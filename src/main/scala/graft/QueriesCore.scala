@@ -1,0 +1,456 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core operator inventory (SURVEY §2 A-I): each entry is a named query over
+  * the driver's fixture tables plus DuckDB oracle SQL with byte-identical
+  * results.
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - timestamps are BIGINT epoch values (fixtures are TIMESTAMP(NANOS) →
+  *    Spark reads nanos longs; DuckDB side uses epoch_ns()//1e9)
+  *  - double aggregation goes through DECIMAL (exact) and casts the final
+  *    value back to double (exact decimal→double, identical in both)
+  *  - ratio outputs are exact-int divisions in double
+  *  - string aggregation is always explicitly ordered
+  */
+object QueriesCore {
+  import Tables.load
+
+  // epoch-seconds SQL fragments
+  private val tsSec = "(ts div 1000000000)" // Spark
+  private def events(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "events").withColumn("ts_sec", expr(tsSec))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- D1/D3: time aggregation with per-trend agg fns + samples ----
+    "q01_time_agg" -> { (s, dir) =>
+      TimeAggregation.rollup(
+        events(s, dir), "user_id", "ts_sec", 3600L,
+        Seq(
+          TimeAggregation.samples,
+          TrendAgg("value", "sum", "sum_value").exact(2),
+          TrendAgg("value", "max", "max_value").exact(2),
+          TrendAgg("value", "min", "min_value").exact(2)
+        )
+      ).orderBy("entity_id", "timestamp")
+    },
+    // ---- C1/D2: entity aggregation over a relation ----
+    "q02_entity_agg" -> { (s, dir) =>
+      val li = load(s, dir, "lineitem")
+      val rel = load(s, dir, "supplier")
+        .select(col("s_suppkey").as("source_id"), col("s_nationkey").cast("long").as("target_id"))
+      EntityAggregation.aggregate(
+        li.withColumn("one_ts", lit(0L)), rel, "l_suppkey", "one_ts",
+        Seq(TimeAggregation.samples, TrendAgg("l_quantity", "sum", "sum_qty").exact(2))
+      ).drop("timestamp").orderBy("entity_id")
+    },
+    // ---- D1→D2 chain: rollup then entity rollup (materialization chain) ----
+    "q03_rollup_chain" -> { (s, dir) =>
+      val hourly = TimeAggregation.rollup(
+        events(s, dir), "user_id", "ts_sec", 3600L,
+        Seq(TimeAggregation.samples, TrendAgg("value", "sum", "sum_value").exact(2)))
+      val rel = hourly.select(col("entity_id").as("source_id"))
+        .distinct().withColumn("target_id", pmod(col("source_id"), lit(10L)))
+      EntityAggregation.aggregate(
+        hourly, rel, "entity_id", "timestamp",
+        Seq(sum(col("samples")).as("samples"),
+          sum(col("sum_value").cast("decimal(30,2)")).cast("double").as("sum_value"))
+      ).orderBy("entity_id", "timestamp")
+    },
+    // ---- D6: package merge (column union + last-wins per column) ----
+    "q04_merge_packages" -> { (s, dir) =>
+      val e = events(s, dir)
+      val hr = (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hr")
+      val pkg1 = e.filter(col("event_type") === "click")
+        .select(col("user_id"), hr, col("value").as("counter_a"), col("event_id"))
+      val pkg2 = e.filter(col("event_type") === "error")
+        .select(col("user_id"), hr, col("value").as("counter_b"), col("event_id"))
+      PackageOps.mergePackages(Seq(pkg1, pkg2), Seq("user_id", "hr"), "event_id")
+        .orderBy("user_id", "hr")
+    },
+    // ---- D9/E1: latest-per-entity (curr-ptr) ----
+    "q05_current_ptr" -> { (s, dir) =>
+      val o = load(s, dir, "orders")
+      AttributeOps.currentPtr(o, "o_custkey", Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          Tables.secCol(o, "o_orderdate").as("order_sec"))
+        .orderBy("o_custkey")
+    },
+    // ---- D10/E2: compaction (drop rows equal to previous) ----
+    "q06_compact" -> { (s, dir) =>
+      AttributeOps.compact(events(s, dir), "user_id",
+          Seq("ts", "event_id"), Seq("event_type"))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id", "event_id")
+    },
+    // ---- SCD-2 history with validity ranges ----
+    "q07_scd2" -> { (s, dir) =>
+      // µs precision: DuckDB truncates the fixtures' nano timestamps to
+      // micros at read, so cross-checkable outputs are µs.
+      AttributeOps.scd2(events(s, dir), "user_id", "ts", Seq("event_id"), Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          expr("valid_from div 1000").as("valid_from_us"),
+          expr("valid_to div 1000").as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    },
+    // ---- A6/A7/A8: MERGE upsert (batch wins, greatest(modified), created kept) ----
+    "q08_upsert" -> { (s, dir) =>
+      val o0 = load(s, dir, "orders")
+      val o = o0.withColumn("sec", Tables.secCol(o0, "o_orderdate"))
+      val target = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("sec").as("modified"),
+          col("sec").as("created"))
+      val batch = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          (col("sec") + 100).as("modified"), (col("sec") + 100).as("created"))
+      Upsert.merge(target, batch, Seq("o_orderkey"), "modified", Some("created"))
+        .orderBy("o_orderkey")
+    },
+    // ---- C2: entity resolution with deterministic id allocation ----
+    "q09_entity_resolution" -> { (s, dir) =>
+      val dim = load(s, dir, "supplier").select(col("s_name").as("name"), col("s_suppkey").as("id"))
+      val incoming = load(s, dir, "supplier").filter(col("s_suppkey") <= 50)
+        .select(col("s_name").as("name"))
+        .union(load(s, dir, "part").select(col("p_brand").as("name")))
+      EntityResolution.resolveRank(incoming, dim).orderBy("name")
+    },
+    // ---- C3/A12: anti-join (insert-missing / virtual entities) ----
+    "q10_anti_join" -> { (s, dir) =>
+      // "insert-missing" shape: customers with no recent order
+      val recent = load(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+      load(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    // ---- B5: predicate AST surface (and/or/in/between/comparison) ----
+    "q11_predicates" -> { (s, dir) =>
+      load(s, dir, "lineitem")
+        .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
+          col("l_quantity") >= 30 && col("l_discount").between(0.02, 0.08) &&
+          expr("l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        .filter(col("l_linenumber").isin(1, 2, 3, 4))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---- H10/B1: generated trends (expression columns) + projection ----
+    "q12_generated_trend" -> { (s, dir) =>
+      load(s, dir, "lineitem")
+        .withColumn("net_price",
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double"))
+        .withColumn("qty_class",
+          when(col("l_quantity") >= 40, "high").when(col("l_quantity") >= 20, "mid")
+            .otherwise("low"))
+        .select("l_orderkey", "l_linenumber", "net_price", "qty_class")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    // ---- D7/I1: modified log fold + fingerprint aggregate ----
+    "q13_fingerprint" -> { (s, dir) =>
+      val state = Materialization.modifiedState(
+        load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        Seq("user_id", "event_type"), "ts_us")
+      Materialization.fingerprint(state, "user_id", "event_type", "last_modified")
+        .orderBy("user_id")
+    },
+    // ---- B6/I2: staleness selection by fingerprint mismatch ----
+    "q14_stale_chunks" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("hr", (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).cast("long"))
+        .withColumn("ts_us", expr("ts div 1000"))
+      def fp(df: DataFrame) = Materialization.fingerprint(
+        Materialization.modifiedState(df, Seq("hr", "event_type"), "ts_us"),
+        "hr", "event_type", "last_modified")
+      val src = fp(e)
+      val processed = fp(e.filter(col("ts_sec") < 1705276800L)) // < 2024-01-15
+      Materialization.staleChunks(src, processed, "hr")
+        .select("hr", "max_modified").orderBy("hr")
+    },
+    // ---- C6/H7: generate_series expansion + left join ----
+    "q15_series_join" -> { (s, dir) =>
+      val hours = s.range(1).select(explode(
+        sequence(lit(1704067200L), lit(1706655600L), lit(3600L))).as("hr"))
+      val counts = events(s, dir)
+        .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      hours.join(counts, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("hr")
+    },
+    // ---- D5: report aggregates ----
+    "q16_report" -> { (s, dir) =>
+      load(s, dir, "events").agg(
+        count(lit(1)).as("row_count"),
+        countDistinct(col("user_id")).as("entity_count"),
+        max(expr("ts div 1000")).as("max_ts_us"),
+        min(expr("ts div 1000")).as("min_ts_us"))
+    },
+    // ---- F1/F2: order-by + limit (top-k) ----
+    "q17_topk" -> { (s, dir) =>
+      load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    },
+    // ---- H14: calendar-month granularity rollup ----
+    "q18_month_rollup" -> { (s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(unix_timestamp(date_trunc("month",
+          col("o_orderdate").cast("timestamp"))).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+        .orderBy("month_start")
+    },
+    // ---- H8/partitioning: partition index assignment ----
+    "q19_partition_index" -> { (s, dir) =>
+      val li = load(s, dir, "lineitem")
+      val sec = Tables.secCol(li, "l_shipdate")
+      li.groupBy((sec - pmod(sec, lit(345600L))).divide(345600).cast("long").as("pindex"))
+        .agg(count(lit(1)).as("n"), min(sec).as("min_sec"), max(sec).as("max_sec"))
+        .orderBy("pindex")
+    },
+    // ---- I6/H1/H11: trigger rule → notifications ----
+    "q20_trigger" -> { (s, dir) =>
+      val kpi = events(s, dir).select(
+        col("user_id").as("entity_id"), col("ts_sec").as("timestamp"),
+        col("value"), col("event_type"))
+      TriggerOps.createNotifications(kpi, TriggerRule(
+        name = "user/1h/highvalue",
+        thresholds = Map("max_value" -> 40.0),
+        condition = "event_type = 'error' AND value > max_value",
+        weight = "CASE WHEN value > 48 THEN 10 WHEN value > 44 THEN 5 ELSE 1 END",
+        details = concat(lit("HighValue: user "), col("entity_id").cast("string"),
+          lit(" value "), col("value").cast("decimal(18,2)").cast("string"))
+      )).orderBy("entity_id", "timestamp")
+    },
+    // ---- G: union-by-name with missing columns ----
+    "q21_union_by_name" -> { (s, dir) =>
+      val a = load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("ekey"), col("n_name").as("name"),
+          col("n_regionkey").as("regionkey"))
+      val b = load(s, dir, "region")
+        .select((col("r_regionkey") + 1000).cast("long").as("ekey"), col("r_name").as("name"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("ekey")
+    },
+    // ---- I7: retention window ----
+    "q22_retention" -> { (s, dir) =>
+      Materialization.retain(events(s, dir), "ts_sec", 1705276800L) // keep >= 2024-01-15
+        .groupBy((col("ts_sec") - pmod(col("ts_sec"), lit(86400L))).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("day")
+    },
+    // ---- H6: JSON payload extraction ----
+    "q23_json_props" -> { (s, dir) =>
+      load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+    // ---- H4/H5/H12: regexp extraction + dn-style parsing ----
+    "q24_dn_parse" -> { (s, dir) =>
+      load(s, dir, "customer")
+        .withColumn("dn", concat(lit("segment="), lower(col("c_mktsegment")),
+          lit(",customer="), col("c_custkey").cast("string")))
+        .withColumn("seg", regexp_extract(col("dn"), "segment=([a-z]+)", 1))
+        .withColumn("cust", regexp_extract(col("dn"), "customer=([0-9]+)", 1).cast("long"))
+        .select("dn", "seg", "cust")
+        .orderBy("cust")
+    }
+  )
+
+  val oracleSql: Map[String, String] = {
+    val ts = "(epoch_ns(ts)//1000000000)"
+    Map(
+      "q01_time_agg" ->
+        s"""SELECT user_id AS entity_id, ($ts//3600)*3600 + 3600 AS "timestamp",
+            count(*) AS samples,
+            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+            CAST(max(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS max_value,
+            CAST(min(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS min_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2""",
+      "q02_entity_agg" ->
+        """SELECT CAST(s_nationkey AS BIGINT) AS entity_id, count(*) AS samples,
+            CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1""",
+      "q03_rollup_chain" ->
+        s"""WITH hourly AS (
+             SELECT user_id, ($ts//3600)*3600 + 3600 AS w, count(*) AS samples,
+               CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+             FROM events GROUP BY 1,2)
+           SELECT user_id % 10 AS entity_id, w AS "timestamp",
+             CAST(sum(samples) AS BIGINT) AS samples,
+             CAST(sum(CAST(sum_value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+           FROM hourly GROUP BY 1,2 ORDER BY 1,2""",
+      "q04_merge_packages" ->
+        s"""WITH u AS (
+             SELECT user_id, ($ts//3600)*3600 AS hr, value AS counter_a,
+               CAST(NULL AS DOUBLE) AS counter_b, event_id
+             FROM events WHERE event_type = 'click'
+             UNION ALL
+             SELECT user_id, ($ts//3600)*3600 AS hr, CAST(NULL AS DOUBLE),
+               value, event_id
+             FROM events WHERE event_type = 'error')
+           SELECT user_id, hr,
+             max_by(counter_a, CASE WHEN counter_a IS NULL THEN NULL ELSE event_id END) AS counter_a,
+             max_by(counter_b, CASE WHEN counter_b IS NULL THEN NULL ELSE event_id END) AS counter_b
+           FROM u GROUP BY 1,2 ORDER BY 1,2""",
+      "q05_current_ptr" ->
+        """SELECT o_custkey, o_orderkey, o_orderstatus,
+            epoch_ns(o_orderdate)//1000000000 AS order_sec
+           FROM orders
+           QUALIFY row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           ORDER BY o_custkey""",
+      "q06_compact" ->
+        """SELECT user_id, event_id, event_type FROM (
+             SELECT user_id, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events)
+           WHERE prev IS NULL OR prev <> event_type
+           ORDER BY user_id, event_id""",
+      "q07_scd2" ->
+        """WITH compacted AS (
+             SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM (
+               SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+             WHERE prev IS NULL OR prev <> event_type)
+           SELECT user_id, event_type, ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+           FROM compacted ORDER BY user_id, valid_from_us""",
+      "q08_upsert" ->
+        """WITH tgt AS (
+             SELECT o_orderkey, o_totalprice,
+               epoch_ns(o_orderdate)//1000000000 AS modified,
+               epoch_ns(o_orderdate)//1000000000 AS created
+             FROM orders WHERE o_orderkey % 3 <> 0),
+           bat AS (
+             SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+               epoch_ns(o_orderdate)//1000000000 + 100 AS modified,
+               epoch_ns(o_orderdate)//1000000000 + 100 AS created
+             FROM orders WHERE o_orderkey % 2 = 0)
+           SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+             greatest(t.modified, b.modified) AS modified,
+             coalesce(t.created, b.created) AS created,
+             coalesce(b.o_totalprice, t.o_totalprice) AS o_totalprice
+           FROM tgt t FULL OUTER JOIN bat b ON t.o_orderkey = b.o_orderkey
+           ORDER BY o_orderkey""",
+      "q09_entity_resolution" ->
+        """WITH dim AS (SELECT s_name AS name, s_suppkey AS id FROM supplier),
+           incoming AS (
+             SELECT s_name AS name FROM supplier WHERE s_suppkey <= 50
+             UNION ALL SELECT p_brand FROM part),
+           matched AS (
+             SELECT DISTINCT i.name, d.id
+             FROM incoming i LEFT JOIN dim d ON i.name = d.name),
+           mx AS (SELECT max(id) AS m FROM dim)
+           SELECT name, id FROM matched WHERE id IS NOT NULL
+           UNION ALL
+           SELECT name, (SELECT m FROM mx) + dense_rank() OVER (ORDER BY name) AS id
+           FROM matched WHERE id IS NULL
+           ORDER BY name""",
+      "q10_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+           ORDER BY c_custkey""",
+      "q11_predicates" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
+             AND l_quantity >= 30 AND l_discount BETWEEN 0.02 AND 0.08
+             AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+             AND l_linenumber IN (1, 2, 3, 4)
+           ORDER BY l_orderkey, l_linenumber""",
+      "q12_generated_trend" ->
+        """SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS net_price,
+             CASE WHEN l_quantity >= 40 THEN 'high'
+                  WHEN l_quantity >= 20 THEN 'mid' ELSE 'low' END AS qty_class
+           FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+      "q13_fingerprint" ->
+        """WITH state AS (
+             SELECT user_id, event_type, max(epoch_us(ts)) AS last_modified
+             FROM events GROUP BY 1,2)
+           SELECT user_id, max(last_modified) AS max_modified,
+             string_agg(event_type || ':' || CAST(last_modified AS VARCHAR), ','
+               ORDER BY event_type || ':' || CAST(last_modified AS VARCHAR)) AS fingerprint
+           FROM state GROUP BY 1 ORDER BY 1""",
+      "q14_stale_chunks" ->
+        s"""WITH src AS (
+             SELECT hr, max(last_modified) AS max_modified,
+               string_agg(event_type || ':' || CAST(last_modified AS VARCHAR), ','
+                 ORDER BY event_type || ':' || CAST(last_modified AS VARCHAR)) AS fingerprint
+             FROM (SELECT ($ts//3600)*3600 AS hr, event_type, max(epoch_us(ts)) AS last_modified
+                   FROM events GROUP BY 1,2) GROUP BY 1),
+           processed AS (
+             SELECT hr, string_agg(event_type || ':' || CAST(last_modified AS VARCHAR), ','
+                 ORDER BY event_type || ':' || CAST(last_modified AS VARCHAR)) AS fingerprint
+             FROM (SELECT ($ts//3600)*3600 AS hr, event_type, max(epoch_us(ts)) AS last_modified
+                   FROM events WHERE $ts < 1705276800 GROUP BY 1,2) GROUP BY 1)
+           SELECT s.hr, s.max_modified
+           FROM src s LEFT JOIN processed p ON s.hr = p.hr
+           WHERE p.fingerprint IS NULL OR p.fingerprint <> s.fingerprint
+           ORDER BY s.hr""",
+      "q15_series_join" ->
+        s"""WITH hours AS (
+             SELECT unnest(generate_series(1704067200, 1706655600, 3600)) AS hr),
+           counts AS (
+             SELECT ($ts//3600)*3600 AS hr, count(*) AS cnt FROM events GROUP BY 1)
+           SELECT h.hr, coalesce(c.cnt, 0) AS cnt
+           FROM hours h LEFT JOIN counts c ON h.hr = c.hr ORDER BY h.hr""",
+      "q16_report" ->
+        """SELECT count(*) AS row_count, count(DISTINCT user_id) AS entity_count,
+             max(epoch_us(ts)) AS max_ts_us, min(epoch_us(ts)) AS min_ts_us
+           FROM events""",
+      "q17_topk" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+      "q18_month_rollup" ->
+        """SELECT epoch_ns(date_trunc('month', o_orderdate))//1000000000 AS month_start,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+           FROM orders GROUP BY 1 ORDER BY 1""",
+      "q19_partition_index" ->
+        """SELECT epoch_ns(l_shipdate)//1000000000//345600 AS pindex, count(*) AS n,
+             min(epoch_ns(l_shipdate)//1000000000) AS min_sec,
+             max(epoch_ns(l_shipdate)//1000000000) AS max_sec
+           FROM lineitem GROUP BY 1 ORDER BY 1""",
+      "q20_trigger" ->
+        s"""SELECT user_id AS entity_id, $ts AS "timestamp",
+             'user/1h/highvalue' AS rule,
+             CAST(CASE WHEN value > 48 THEN 10 WHEN value > 44 THEN 5 ELSE 1 END AS BIGINT)
+               AS weight,
+             'HighValue: user ' || CAST(user_id AS VARCHAR) || ' value ' ||
+               CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS details
+           FROM events WHERE event_type = 'error' AND value > 40
+           ORDER BY 1,2""",
+      "q21_union_by_name" ->
+        """SELECT CAST(n_nationkey AS BIGINT) AS ekey, n_name AS name, n_regionkey AS regionkey
+           FROM nation
+           UNION ALL BY NAME
+           SELECT CAST(r_regionkey + 1000 AS BIGINT) AS ekey, r_name AS name FROM region
+           ORDER BY ekey""",
+      "q22_retention" ->
+        s"""SELECT ($ts//86400)*86400 AS day, count(*) AS n FROM events
+           WHERE $ts >= 1705276800 GROUP BY 1 ORDER BY 1""",
+      "q23_json_props" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+           FROM events GROUP BY 1 ORDER BY 1""",
+      "q24_dn_parse" ->
+        """SELECT 'segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn,
+             regexp_extract('segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR),
+               'segment=([a-z]+)', 1) AS seg,
+             CAST(regexp_extract('segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR),
+               'customer=([0-9]+)', 1) AS BIGINT) AS cust
+           FROM customer ORDER BY cust"""
+    )
+  }
+}

@@ -1,0 +1,266 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator inventory: dedup, similarity search,
+  * text analysis, multimodal plumbing — first-class operators alongside the
+  * reference's own surface (BASELINE.json north star).
+  *
+  * Hash functions in the SQL-checked queries are md5-based so the DuckDB
+  * oracle computes identical values; the operators accept any hash expr and
+  * production would swap in xxhash64 (same shapes, cheaper).
+  */
+object QueriesLLM {
+  import Tables.load
+
+  private def docs(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+
+  /** DuckDB CTE producing (doc_id, pos, tok) — parallel unnest zips. */
+  private val ToksCte =
+    """toks AS (
+        SELECT doc_id,
+          unnest(generate_series(0, len(regexp_split_to_array(trim(text), '\s+')) - 1)) AS pos,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)"""
+
+  /** DuckDB CTE producing distinct (doc_id, shingle) word 3-shingles. */
+  private val ShinglesCte =
+    s"""$ToksCte,
+       led AS (
+         SELECT doc_id, tok,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+         FROM toks),
+       sh AS (
+         SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle
+         FROM led WHERE t3 IS NOT NULL)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup: hash-groupBy on normalized text ----
+    "q25_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("digest")
+    },
+    // ---- MinHash signatures (one pass, k simultaneous minima) ----
+    "q26_minhash_sig" -> { (s, dir) =>
+      Dedup.minhashSignature(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 8)
+        .orderBy("doc_id")
+    },
+    // ---- LSH banding → candidate pairs ----
+    "q27_lsh_candidates" -> { (s, dir) =>
+      val sig = Dedup.minhashSignature(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 8)
+      Dedup.lshCandidates(Dedup.lshBuckets(sig, "doc_id", 4, 2), "doc_id")
+        .orderBy("id1", "id2")
+    },
+    // ---- n-gram Jaccard near-dup pairs (exact verify) ----
+    "q28_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(Dedup.shingles(toks(s, dir), "doc_id", 2), "doc_id", 0.10)
+        .orderBy("id1", "id2")
+    },
+    // ---- SimHash (16-bit, portable arithmetic) ----
+    "q29_simhash" -> { (s, dir) =>
+      Dedup.simhash(toks(s, dir), "doc_id").orderBy("doc_id")
+    },
+    // ---- quality scoring ----
+    "q30_quality" -> { (s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    // ---- language ID heuristic ----
+    "q31_langid" -> { (s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    // ---- token counting / vocabulary histogram ----
+    "q32_token_hist" -> { (s, dir) =>
+      TextAnalysis.tokenHistogram(docs(s, dir), "doc_id", "text")
+        .orderBy(desc("freq"), asc("tok")).limit(50)
+    },
+    // ---- rolling document fingerprint ----
+    "q33_doc_fingerprint" -> { (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    // ---- ANN: hyperplane bucket assignment (LSH/IVF bucketing) ----
+    "q34_ann_buckets" -> { (s, dir) =>
+      load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+        .orderBy("vec_id")
+    },
+    // ---- ANN: brute-force cosine top-k (exact baseline) ----
+    "q35_ann_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+    // ---- ANN: bucketed candidate + exact rerank ----
+    "q36_bucketed_neighbors" -> { (s, dir) =>
+      Similarity.bucketedNeighbors(load(s, dir, "embeddings"), "vec_id", "embedding", 8, 0.2)
+        .orderBy("bucket", "id1", "id2")
+    },
+    // ---- multimodal: binary column metadata (no decode) ----
+    "q37_multimodal_meta" -> { (s, dir) =>
+      Multimodal.binaryMetadata(
+        docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+        .orderBy("doc_id")
+    },
+    // ---- multimodal: batched decode stub + thumbnail plan (rows-only) ----
+    "q38_multimodal_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+      Multimodal.thumbnailPlan(d, 256).orderBy("id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper,
+           count(*) AS copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q26_minhash_sig" ->
+      s"""WITH $ShinglesCte
+         SELECT doc_id,
+           min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+           min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+           min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+           min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+         FROM sh GROUP BY 1 ORDER BY 1""",
+    "q27_lsh_candidates" ->
+      s"""WITH $ShinglesCte,
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM sh GROUP BY 1),
+         buckets AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         ORDER BY 1, 2""",
+    "q28_jaccard_pairs" ->
+      s"""WITH $ToksCte,
+         led AS (
+           SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+           FROM toks),
+         sh AS (
+           SELECT DISTINCT doc_id, tok || ' ' || t2 AS shingle
+           FROM led WHERE t2 IS NOT NULL),
+         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, inter,
+           CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         FROM pairs
+         JOIN counts ca ON ca.doc_id = id1
+         JOIN counts cb ON cb.doc_id = id2
+         WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.10
+         ORDER BY 1, 2""",
+    "q29_simhash" ->
+      s"""WITH $ToksCte,
+         tv AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS BIGINT) AS v
+           FROM toks),
+         votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (v >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+         FROM votes GROUP BY 1 ORDER BY 1""",
+    "q30_quality" ->
+      s"""WITH $ToksCte
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tok IN ('the','a','an','of','to','and','in','is','it','for')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+           CAST(sum(length(tok)) AS DOUBLE) / count(*) AS avg_token_len,
+           CAST(sum(CASE WHEN tok IN ('the','a','an','of','to','and','in','is','it','for')
+             THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+         FROM toks GROUP BY 1 ORDER BY 1""",
+    "q31_langid" ->
+      s"""WITH $ToksCte,
+         hits AS (
+           SELECT doc_id,
+             sum(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN tok IN ('el','la','de','que','y','los') THEN 1 ELSE 0 END) AS n_es
+           FROM toks GROUP BY 1)
+         SELECT doc_id,
+           CASE WHEN n_en >= n_es AND n_en > 0 THEN 'en'
+                WHEN n_es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+         FROM hits ORDER BY 1""",
+    "q32_token_hist" ->
+      s"""WITH $ToksCte
+         SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+         ORDER BY freq DESC, tok LIMIT 50""",
+    "q33_doc_fingerprint" ->
+      s"""WITH $ToksCte
+         SELECT doc_id,
+           CAST(sum((pos + 1) * (ascii(tok) * 31 + length(tok))) AS BIGINT) AS fingerprint
+         FROM toks GROUP BY 1 ORDER BY 1""",
+    "q34_ann_buckets" ->
+      """SELECT vec_id, label,
+           CAST(sum(CASE WHEN embedding[2*b + 1] > embedding[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+         FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) bs
+         GROUP BY 1, 2 ORDER BY 1""",
+    // Float-exact cosine: elements cast float→double (exact), products exact
+    // (24+24-bit mantissas), sequential in-order accumulation — verified
+    // bit-identical between DuckDB list_dot_product and a sequential fold.
+    "q35_ann_topk" ->
+      """WITH scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, rank, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q36_bucketed_neighbors" ->
+      """WITH bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+         bk AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[2*b + 1] > embedding[2*b + 2]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings CROSS JOIN bs GROUP BY 1),
+         pairs AS (
+           SELECT x.bucket, x.vec_id AS id1, y.vec_id AS id2
+           FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT p.bucket, p.id1, p.id2,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM pairs p
+           JOIN embeddings a ON a.vec_id = p.id1
+           JOIN embeddings b ON b.vec_id = p.id2)
+         SELECT bucket, id1, id2, cos FROM scored
+         WHERE cos >= 0.2 ORDER BY bucket, id1, id2""",
+    "q37_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+           hex(encode(substr(text, 1, 4))) AS magic
+         FROM documents ORDER BY doc_id"""
+    // q38 (stubbed decode, sequential FNV fold): rows-only check + ScalaTest.
+  )
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table access.
+  *
+  * The driver's parquet fixtures carry `TIMESTAMP(NANOS)` columns, which
+  * Spark 4 rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`; with
+  * it every timestamp column reads as BIGINT nanoseconds. All graft queries
+  * therefore do time math on epoch integers (`nanos div 1e9`), which is also
+  * the cross-engine-deterministic representation for the DuckDB oracle
+  * (`epoch_ns(ts)//1000000000`).
+  */
+object Tables {
+  final val NanosPerSecond = 1000000000L
+
+  /** Read one fixture table. Sets the nanos conf on the caller's session —
+    * required because the driver passes its own SparkSession to `entry`. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Epoch seconds from a BIGINT-nanoseconds column. Exact integral
+    * division: `/` on Columns is double division, and a double quotient of
+    * ~1.7e9 has ~2.4e-7 ULP — a timestamp a few hundred ns below a second
+    * boundary would round across it. Subtracting the remainder first keeps
+    * every intermediate exact. */
+  def epochSec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((c - pmod(c, lit(NanosPerSecond))) / lit(NanosPerSecond)).cast("long")
+
+  /** SQL fragment: epoch seconds from a nanos column (integral division —
+    * doubles would lose precision above 2^53 ns). */
+  def epochSecSql(col: String): String = s"($col div 1000000000)"
+
+  /** Epoch seconds for a column whatever its physical type: fixtures mix
+    * TIMESTAMP(NANOS) (→ BIGINT under nanosAsLong) and TIMESTAMP(MICROS)
+    * (→ TIMESTAMP_NTZ). Session timezone is UTC, so NTZ→TIMESTAMP→long is
+    * the naive-as-UTC epoch, matching DuckDB's epoch_ns()//1e9. */
+  def secCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(epochSecSql(name))
+      case _ => unix_timestamp(col(name).cast("timestamp"))
+    }
+}

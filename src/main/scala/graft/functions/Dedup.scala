@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design notes (the 100 TB story is the whole point of these):
+  *  - Exact dedup is one hash-aggregate on a digest of normalized text —
+  *    map-side partials collapse duplicates before the shuffle, so shuffle
+  *    volume ≈ |distinct docs|, not |docs|.
+  *  - MinHash/LSH: signatures are one aggregate pass over shingles
+  *    (k min-aggregates computed simultaneously — NOT k passes); banding
+  *    turns all-pairs comparison into an equi-join on (band, bandkey), the
+  *    classic shuffle-join formulation. Bucket skew (a degenerate band key
+  *    shared by thousands of docs) is the known failure mode — AQE skew-join
+  *    handles moderate skew; pathological buckets should be capped.
+  *  - Hash functions are md5-based: slower than xxhash64 but *identical
+  *    across engines* (verifiable against any SQL oracle). In production
+  *    swap `hashExpr` for xxhash64 — the operator shape is unchanged.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: per digest keep min id + copy count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(trim(col(textCol)))).as("digest"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** Distinct word k-shingles per document, built with window `lead` over
+    * the token stream (single shuffle by doc id). */
+  def shingles(tokens: DataFrame, idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until k).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    tokens
+      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
+        lead(col("tok"), k - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+      .distinct()
+  }
+
+  /** k engine-portable hash functions of a shingle: md5 seeded by index;
+    * the min over shingles is taken on the hex string (lexicographic order
+    * is a total order, identical everywhere). */
+  private def shingleHash(i: Int): Column = md5(concat(lit(s"$i:"), col("shingle")))
+
+  /** MinHash signature: one aggregation computing all k minima in a single
+    * pass over the shingle set. */
+  def minhashSignature(sh: DataFrame, idCol: String, k: Int = 8): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(min(shingleHash(0)).as("h0"),
+        (1 until k).map(i => min(shingleHash(i)).as(s"h$i")): _*)
+
+  /** LSH banding: `bands` bands of `rowsPerBand` signature components; a
+    * candidate pair shares at least one full band. Returns (band, key, id). */
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
+  def lshCandidates(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for pairs: |A∩B| / |A∪B| via a shingle equi-join —
+    * deterministic (integer counts, one double division at the end). */
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col(idCol).as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "inter", "jaccard")
+  }
+
+  /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
+    * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
+    * width is a parameter in spirit; 16 keeps the oracle SQL tractable and
+    * the Hamming-ball candidate join selective). */
+  def simhash(tokens: DataFrame, idCol: String): DataFrame = {
+    val v = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+    val withBits = tokens
+      .withColumn("v", v)
+      .select(col(idCol), col("v"), explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("vote",
+        when(expr("shiftright(v, CAST(b AS INT)) % 2") === 1, 1L).otherwise(-1L))
+    withBits
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - **Brute-force cosine top-k**: exact baseline. The dot product is a
+  *    higher-order-function fold (`aggregate`/`zip_with`) — sequential
+  *    within each array, so it's deterministic, and it stays inside codegen
+  *    (no UDF). Cost is O(N·Q·d); use only for small query sets or as the
+  *    rerank stage.
+  *  - **Bucketed (LSH / IVF-style) search**: hyperplane sign-bits put each
+  *    vector in a bucket; candidate set = same-bucket vectors, reranked
+  *    exactly. Turns all-pairs into an equi-join on bucket id — the scale
+  *    path: shuffle volume ∝ bucket sizes, not N².
+  *
+  * Arithmetic determinism: elements are cast float→double (exact), products
+  * of such doubles are exact (48-bit mantissa products), and the fold order
+  * is the array order — results are bit-identical across engines and
+  * cluster layouts.
+  */
+object Similarity {
+
+  /** Exact dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k neighbors for every vector in `queries`
+    * against `corpus` (excluding self-matches on id equality). */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic hyperplane bucket id (nBits sign bits). The planes are
+    * the simplest orthogonal family — plane j compares dims 2j vs 2j+1 —
+    * which is engine-portable (subtraction of floats, exact in double) and
+    * serves as the bucketing baseline; production would use seeded random
+    * Gaussian planes (same operator shape, broadcast plane matrix). */
+  def hyperplaneBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits)
+      .map(j => when(element_at(vec, 2 * j + 1).cast("double") >
+        element_at(vec, 2 * j + 2).cast("double"), lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** IVF/LSH-bucketed neighbor candidates: same-bucket pairs with exact
+    * cosine rerank and threshold. */
+  def bucketedNeighbors(
+      vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, minCos: Double
+  ): DataFrame = {
+    val b = vectors.select(col(idCol), col(vecCol),
+      hyperplaneBucket(col(vecCol), nBits).as("bucket"))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
+    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= minCos)
+      .select("bucket", "id1", "id2", "cos")
+  }
+}

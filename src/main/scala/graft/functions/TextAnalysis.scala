@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All expression-only (no UDFs): whole-stage codegen end to end, and every
+  * computation is integer/string-exact so results are bit-stable across
+  * engines and cluster sizes. The token explode is the only row-multiplying
+  * step; at 100 TB it stays embarrassingly parallel (no shuffle until the
+  * per-document reaggregation, which is keyed by doc id — naturally
+  * balanced).
+  */
+object TextAnalysis {
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  /** (idCol, pos, tok) — whitespace tokenization, the baseline tokenizer
+    * (a BPE-ish regex tokenizer is `tokensRegex`). */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+
+  /** BPE-ish subword-boundary tokenizer: splits words, digits, and
+    * punctuation runs apart (regex analogue of byte-pair pre-tokenization). */
+  def tokensRegex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+        .as(Seq("pos", "tok"))
+    )
+
+  /** Per-document quality metrics: token count, stopword count/ratio, mean
+    * token length. Ratios are exact-int divisions in double (deterministic). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    t.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("tok").isin(StopWords: _*), 1L).otherwise(0L)).as("n_stop"),
+      (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_token_len"),
+      (sum(when(col("tok").isin(StopWords: _*), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("stopword_ratio")
+    )
+  }
+
+  /** N-gram/stopword-evidence language ID (heuristic): counts hits against
+    * tiny per-language function-word lists, argmax with 'und' fallback. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "to", "in")
+    val es = Seq("el", "la", "de", "que", "y", "los")
+    val t = tokens(df, idCol, textCol)
+    t.groupBy(col(idCol)).agg(
+      sum(when(col("tok").isin(en: _*), 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("tok").isin(es: _*), 1L).otherwise(0L)).as("n_es")
+    ).select(
+      col(idCol),
+      when(col("n_en") >= col("n_es") && col("n_en") > 0, "en")
+        .when(col("n_es") > 0, "es")
+        .otherwise("und").as("lang_pred")
+    )
+  }
+
+  /** Corpus token histogram (vocabulary/frequency analysis). */
+  def tokenHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+
+  /** Deterministic rolling document fingerprint: positional weighted sum of
+    * cheap token features — engine-portable integer arithmetic (no builtin
+    * hash whose algorithm differs across engines). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(sum((col("pos") + 1) * (ascii(col("tok")) * 31 + length(col("tok"))))
+        .cast("long").as("fingerprint"))
+}

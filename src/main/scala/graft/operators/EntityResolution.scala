@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity-ref resolution: map external names to entity ids, creating ids for
+  * unseen names (reference: src/minerva/directory/helpers.py:24-93 —
+  * `WITH lookup_list AS (unnest(names)) SELECT l.name, e.id FROM lookup_list
+  *  LEFT JOIN entity e ON name`, then INSERT missing with a PG sequence).
+  *
+  * Spark has no sequences; two allocation strategies:
+  *
+  *  - **hash** (production/100 TB path): id = xxhash64(entity_type, name).
+  *    Embarrassingly parallel, idempotent across retries and executors, no
+  *    coordination; collision probability for N entities ≈ N²/2^65
+  *    (~3·10⁻⁶ at 100M entities — detected by a count-distinct audit).
+  *  - **rank** (small-dimension path, oracle-checkable): id = max(existing)
+  *    + dense_rank() over missing names. Deterministic and compact but the
+  *    global window serializes — only for dimensions that fit comfortably
+  *    on one executor (entity dimensions are ~10⁵-10⁷ rows, far below the
+  *    trend data; if a dimension outgrows this, switch to hash).
+  */
+object EntityResolution {
+
+  /** Resolve `names` (single column `name`) against dimension
+    * `dim(name, id)`; returns (name, id) covering all input names. */
+  def resolveRank(names: DataFrame, dim: DataFrame): DataFrame = {
+    val matched = names
+      .select("name").distinct()
+      .join(dim.select("name", "id"), Seq("name"), "left")
+    val maxId = dim.agg(coalesce(max("id"), lit(0L)).cast("long")).first().getLong(0)
+    val missing = matched
+      .filter(col("id").isNull)
+      .withColumn("id", lit(maxId) + dense_rank().over(Window.orderBy("name")))
+    matched.filter(col("id").isNotNull)
+      .unionByName(missing.select("name", "id"))
+  }
+
+  /** Hash-based allocation: scales without coordination. */
+  def resolveHash(names: DataFrame, dim: DataFrame, entityType: String): DataFrame = {
+    val matched = names.select("name").distinct()
+      .join(dim.select("name", "id"), Seq("name"), "left")
+    matched.withColumn(
+      "id",
+      coalesce(col("id"), abs(xxhash64(lit(entityType), col("name"))))
+    )
+  }
+
+  /** Virtual-entity materialization (commands/virtual_entity.py:30-57):
+    * append names not yet in the dimension (left_anti — the reference's
+    * `ON CONFLICT DO NOTHING`). */
+  def missingEntities(names: DataFrame, dim: DataFrame): DataFrame =
+    names.select("name").distinct()
+      .join(dim.select("name"), Seq("name"), "left_anti")
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataPackage-shaped operations: merge, split-by-part, filters.
+  *
+  * A "package" in the reference is an in-flight batch of rows
+  * `(entity_ref, timestamp, values…)` sharing entity type + granularity
+  * (src/minerva/storage/trend/datapackage.py:40-56). In graft a package is
+  * just a DataFrame with (entity, timestamp) keys — Spark partitioning
+  * replaces the reference's 5000-row chunking entirely.
+  */
+object PackageOps {
+
+  /** Package merge (datapackage.py:58-63,223-258): union packages with the
+    * same shape key, then per-(entity, timestamp) dict-union of values —
+    * *last package wins per column*, nulls don't overwrite.
+    *
+    * Spark-first: `unionByName(allowMissingColumns)` + one hash aggregation
+    * with `max_by(col, seq) ignore-nulls` semantics. We use
+    * `max_by(struct(seq, col)).col`-free formulation: max_by(col, seq
+    * conditioned on col non-null) — expressed as
+    * `max_by(col, CASE WHEN col IS NULL THEN NULL ELSE seq END)`: max_by
+    * ignores rows where the ordering expr is null, giving exactly
+    * "latest non-null value". Single shuffle; map-side partials apply.
+    *
+    * @param pkgs   packages in arrival order
+    * @param seqCol a column (present in all packages) that orders rows —
+    *               e.g. a package sequence number or job id
+    */
+  def mergePackages(
+      pkgs: Seq[DataFrame],
+      keyCols: Seq[String],
+      seqCol: String
+  ): DataFrame = {
+    val unioned = pkgs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val valueCols =
+      unioned.columns.filterNot(c => keyCols.contains(c) || c == seqCol)
+    val aggs = valueCols.map { c =>
+      expr(s"max_by(`$c`, CASE WHEN `$c` IS NULL THEN NULL ELSE `$seqCol` END)")
+        .as(c)
+    }
+    unioned
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Split one package per trend-store part: each part owns a subset of the
+    * trend columns (datapackage.py:107-140; trendstore.py:240-250). One scan
+    * feeds N projections — Catalyst prunes columns per branch, so each part
+    * write reads only its own columns. */
+  def splitByPart(
+      df: DataFrame,
+      keyCols: Seq[String],
+      partColumns: Map[String, Seq[String]]
+  ): Map[String, DataFrame] =
+    partColumns.map { case (part, cols) =>
+      val have = cols.filter(df.columns.contains)
+      part -> df.select((keyCols ++ have).map(col): _*)
+    }
+
+  /** Row + column filter on load (loader.py:161-194: entity regex filter,
+    * trend name filter; commands/load_data.py:57-60 `--dn-filter`). */
+  def filterPackage(
+      df: DataFrame,
+      entityCol: String,
+      entityRegex: Option[String],
+      trendFilter: Option[String => Boolean],
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val rows = entityRegex.fold(df)(re => df.filter(col(entityCol).rlike(re)))
+    trendFilter.fold(rows) { keep =>
+      val cols = keyCols ++ rows.columns.filterNot(keyCols.contains).filter(keep)
+      rows.select(cols.map(col): _*)
+    }
+  }
+
+  /** Existing-trend filter (engine.py:59-73): drop columns unknown to the
+    * target store before writing. */
+  def restrictToStore(df: DataFrame, keyCols: Seq[String], storeCols: Set[String]): DataFrame =
+    df.select((keyCols ++ df.columns.filterNot(keyCols.contains).filter(storeCols)).map(col): _*)
+}
