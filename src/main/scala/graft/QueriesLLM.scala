@@ -57,7 +57,11 @@ object QueriesLLM {
     },
     // ---- n-gram Jaccard near-dup pairs (exact verify) ----
     "q28_jaccard_pairs" -> { (s, dir) =>
-      Dedup.jaccardPairs(Dedup.shingles(toks(s, dir), "doc_id", 2), "doc_id", 0.10)
+      // 3-word shingles: on this corpus's tiny vocabulary, 2-shingles make
+      // nearly every doc pair a candidate (quadratic blowup); k=3 keeps the
+      // candidate set selective — the same reason production MinHash/LSH
+      // prefilters before exact Jaccard.
+      Dedup.jaccardPairs(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 0.10)
         .orderBy("id1", "id2")
     },
     // ---- SimHash (16-bit, portable arithmetic) ----
@@ -145,14 +149,7 @@ object QueriesLLM {
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          ORDER BY 1, 2""",
     "q28_jaccard_pairs" ->
-      s"""WITH $ToksCte,
-         led AS (
-           SELECT doc_id, tok,
-             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-           FROM toks),
-         sh AS (
-           SELECT DISTINCT doc_id, tok || ' ' || t2 AS shingle
-           FROM led WHERE t2 IS NOT NULL),
+      s"""WITH $ShinglesCte,
          counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          pairs AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter

@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact dot product of two float-array columns, computed in double. */
+  /** Exact dot product of two float-array columns, computed in double.
+    * Backed by the codegen'd FloatVectorDot expression (a tight primitive
+    * loop in whole-stage codegen); `dotHof` is the pure-builtin
+    * higher-order-function formulation with identical semantics, kept as
+    * the reference implementation. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.fdot(a, b)
+
+  /** Reference (slow-path) formulation via builtin higher-order functions:
+    * same left-to-right double fold, no custom expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -36,15 +45,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k neighbors for every vector in `queries`
-    * against `corpus` (excluding self-matches on id equality). */
+    * against `corpus` (excluding self-matches on id equality).
+    *
+    * Norms are computed once per vector *before* the N×M join (not per
+    * pair — that would triple the dominant dot-product cost), so each pair
+    * evaluates exactly one dot product. cos = dot/(‖q‖·‖c‖) keeps the raw
+    * dot exact; the two-norm product ordering is identical across engines. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -70,12 +86,15 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, minCos: Double
   ): DataFrame = {
     val b = vectors.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), nBits).as("bucket"))
-    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("bucket"))
-    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("bucket"))
+      hyperplaneBucket(col(vecCol), nBits).as("bucket"),
+      norm(col(vecCol)).as("nrm"))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"),
+      col("bucket"), col("nrm").as("n1"))
+    val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"),
+      col("bucket"), col("nrm").as("n2"))
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= minCos)
       .select("bucket", "id1", "id2", "cos")
   }
