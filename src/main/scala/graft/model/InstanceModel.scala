@@ -1,0 +1,141 @@
+package graft.model
+
+import graft.core.{Granularity, MinervaType}
+import org.yaml.snakeyaml.Yaml
+import scala.jdk.CollectionConverters._
+
+/** Instance definition model: the YAML shapes a Minerva instance is declared
+  * in (reference: src/minerva/instance/__init__.py — Trend at 43-69 with
+  * aggregation defaults SUM/SUM at 66-67, GeneratedTrend at 102-162,
+  * TrendStorePart at 165-214, TrendStore at 217-287; examples under
+  * examples/tiny_instance/). Field names match the reference YAML exactly so
+  * existing instance definitions load verbatim.
+  *
+  * The SQL-bearing fields (generated-trend expressions, trigger conditions,
+  * materialization views) carry *portable scalar SQL* which Spark evaluates
+  * via `expr(...)`; validation happens at definition load
+  * (`sparkSession.sessionState.sqlParser.parseExpression`-equivalent is
+  * exercised by evaluating against an empty frame in tests).
+  */
+final case class Trend(
+    name: String,
+    dataType: MinervaType,
+    description: String = "",
+    timeAggregation: String = "sum",   // reference default SUM
+    entityAggregation: String = "sum"
+)
+
+final case class GeneratedTrend(name: String, dataType: MinervaType, expression: String)
+
+final case class TrendStorePart(
+    name: String,
+    trends: Seq[Trend],
+    generatedTrends: Seq[GeneratedTrend] = Seq.empty
+)
+
+final case class TrendStore(
+    title: String,
+    dataSource: String,
+    entityType: String,
+    granularity: Granularity,
+    partitionSize: Granularity,
+    parts: Seq[TrendStorePart]
+)
+
+final case class MaterializationSource(trendStorePart: String, mappingFunction: String)
+
+final case class Materialization(
+    targetTrendStorePart: String,
+    enabled: Boolean,
+    processingDelay: String,
+    stabilityDelay: String,
+    reprocessingPeriod: String,
+    sources: Seq[MaterializationSource],
+    view: Option[String]
+)
+
+final case class Threshold(name: String, dataType: MinervaType, value: Any)
+
+final case class Trigger(
+    name: String,
+    kpiData: Seq[Trend],
+    thresholds: Seq[Threshold],
+    condition: String,
+    weight: String,
+    notification: String
+)
+
+object InstanceModel {
+  private def yamlMap(text: String): Map[String, Any] = {
+    val y = new Yaml()
+    y.load[java.util.Map[String, Any]](text).asScala.toMap
+  }
+  private def seqOfMaps(v: Any): Seq[Map[String, Any]] = v match {
+    case null => Seq.empty
+    case l: java.util.List[_] =>
+      l.asScala.toSeq.map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
+    case _ => Seq.empty
+  }
+  private def str(m: Map[String, Any], k: String, dflt: String = ""): String =
+    m.get(k).map(String.valueOf).getOrElse(dflt)
+  private def mtype(m: Map[String, Any]): MinervaType =
+    MinervaType.byName(str(m, "data_type", "text")).getOrElse(MinervaType.MText)
+
+  private def trend(m: Map[String, Any]): Trend = Trend(
+    name = str(m, "name"),
+    dataType = mtype(m),
+    description = str(m, "description"),
+    timeAggregation = str(m, "time_aggregation", "sum").toLowerCase,
+    entityAggregation = str(m, "entity_aggregation", "sum").toLowerCase
+  )
+
+  def parseTrendStore(yamlText: String): TrendStore = {
+    val m = yamlMap(yamlText)
+    TrendStore(
+      title = str(m, "title"),
+      dataSource = str(m, "data_source"),
+      entityType = str(m, "entity_type"),
+      granularity = Granularity.parse(str(m, "granularity")),
+      partitionSize = Granularity.parse(str(m, "partition_size", "1d")),
+      parts = seqOfMaps(m.getOrElse("parts", null))
+        .map { p =>
+          TrendStorePart(
+            name = str(p, "name"),
+            trends = seqOfMaps(p.getOrElse("trends", null)).map(trend),
+            generatedTrends = seqOfMaps(p.getOrElse("generated_trends", null)).map { g =>
+              GeneratedTrend(str(g, "name"), mtype(g), str(g, "expression"))
+            }
+          )
+        }
+    )
+  }
+
+  def parseMaterialization(yamlText: String): Materialization = {
+    val m = yamlMap(yamlText)
+    Materialization(
+      targetTrendStorePart = str(m, "target_trend_store_part"),
+      enabled = m.get("enabled").forall(_ == true),
+      processingDelay = str(m, "processing_delay", "30m"),
+      stabilityDelay = str(m, "stability_delay", "5m"),
+      reprocessingPeriod = str(m, "reprocessing_period", "3 days"),
+      sources = seqOfMaps(m.getOrElse("sources", null)).map { s =>
+        MaterializationSource(str(s, "trend_store_part"), str(s, "mapping_function"))
+      },
+      view = m.get("view").map(String.valueOf)
+    )
+  }
+
+  def parseTrigger(yamlText: String): Trigger = {
+    val m = yamlMap(yamlText)
+    Trigger(
+      name = str(m, "name"),
+      kpiData = seqOfMaps(m.getOrElse("kpi_data", null)).map(trend),
+      thresholds = seqOfMaps(m.getOrElse("thresholds", null)).map { t =>
+        Threshold(str(t, "name"), mtype(t), t.getOrElse("value", null))
+      },
+      condition = str(m, "condition"),
+      weight = str(m, "weight"),
+      notification = str(m, "notification")
+    )
+  }
+}

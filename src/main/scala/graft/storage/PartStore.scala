@@ -1,0 +1,111 @@
+package graft.storage
+
+import graft.operators.Upsert
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical trend-part storage on parquet: the A5-A8 write path re-expressed
+  * without a transactional table format.
+  *
+  * Layout: one directory per part, partitioned by `pindex`
+  * (Granularity.timestampToIndex of the row timestamp — the reference's
+  * range partitions, src/minerva/commands/partition.py:50-124). Time-range
+  * predicates prune partitions at scan; retention expiry drops whole
+  * partition directories (I7).
+  *
+  * Write protocol (the reference's COPY-then-upsert collapses into one
+  * MERGE, trendstorepart.py:169-296):
+  *   1. compute the batch's pindex set (driver-side, cheap distinct)
+  *   2. read ONLY those partitions of the target, merge with Upsert.merge
+  *      (batch wins per column, modified=greatest, created preserved)
+  *   3. dynamic-partition-overwrite the affected partitions
+  * Blast radius = partitions containing batch keys — at 100 TB an
+  * incremental load touches a handful of partition directories, never the
+  * table. On Delta/Iceberg the same logical plan becomes MERGE INTO with
+  * optimistic concurrency; here writers to one part must serialize (the
+  * reference splits batches per part already — B2 — so the natural unit of
+  * parallelism is parts, not writers-per-part).
+  *
+  * Schema evolution (trendstorepart.py:141-167,351-374): merge unions
+  * columns (new trends appear with nulls in history) and the type-widening
+  * reconciliation happens before merge via MinervaType.max on mismatched
+  * column types.
+  */
+final case class PartStoreConfig(
+    basePath: String,
+    partitionSizeSeconds: Long,
+    keyCols: Seq[String] = Seq("entity_id", "timestamp"),
+    modifiedCol: String = "modified",
+    createdCol: String = "created"
+)
+
+class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
+  import cfg._
+
+  private def path(part: String) = s"$basePath/$part"
+
+  private def withPindex(df: DataFrame): DataFrame =
+    df.withColumn("pindex",
+      (col("timestamp") - pmod(col("timestamp"), lit(partitionSizeSeconds)))
+        .divide(partitionSizeSeconds).cast("long"))
+
+  def readPart(part: String): Option[DataFrame] =
+    try Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
+    catch { case _: Exception => None }
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** MERGE a batch (entity_id, timestamp, trends…, modified[, created]) into
+    * the part; returns affected partition count.
+    *
+    * Writes go through a staging directory and per-partition renames —
+    * Spark (correctly) refuses to overwrite a path that feeds the same
+    * plan, and the rename makes each partition swap near-atomic. */
+  def store(part: String, batch: DataFrame): Int = {
+    val b = withPindex(batch)
+    val indices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
+    val merged = readPart(part) match {
+      case None => b
+      case Some(existing) =>
+        val affected = existing.filter(col("pindex").isin(indices: _*))
+        val m = Upsert.merge(
+          affected, b, keyCols, modifiedCol,
+          if (batch.columns.contains(createdCol)) Some(createdCol) else None)
+        withPindex(m.drop("pindex"))
+    }
+    val staging = path(part) + "__staging"
+    merged.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+    indices.foreach { i =>
+      val src = hp(s"$staging/pindex=$i")
+      val dst = hp(s"${path(part)}/pindex=$i")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(hp(staging), true)
+    indices.length
+  }
+
+  /** Modified-log append (I1): one row per (part, timestamp) in the batch —
+    * the writer-maintained analogue of trend_directory.mark_modified. */
+  def markModified(part: String, batch: DataFrame, nowSec: Long): Unit = {
+    batch.select(col("timestamp")).distinct()
+      .withColumn("part", lit(part))
+      .withColumn("modified", lit(nowSec))
+      .write.mode(SaveMode.Append).parquet(s"$basePath/_modified_log")
+    }
+
+  /** Retention expiry (I7): drop partitions wholly before the cutoff. */
+  def expire(part: String, cutoffSec: Long): Unit = {
+    val cutoffIndex = Math.floorDiv(cutoffSec, partitionSizeSeconds)
+    readPart(part).foreach { df =>
+      val keep = df.filter(col("pindex") >= cutoffIndex)
+      val tmp = path(part) + "__retained"
+      keep.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(tmp)
+      fs.delete(hp(path(part)), true)
+      fs.rename(hp(tmp), hp(path(part)))
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Operator semantics mirrored from the reference's unit/integration tests
+  * (package merge last-wins, compaction, entity resolution idempotence) plus
+  * specs for the rows-only (non-oracle) operators. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePackages: last non-null wins per column, column union") {
+    val p1 = Seq((1L, 10L, Some(1.0), 1L), (2L, 10L, Some(2.0), 2L))
+      .toDF("e", "ts", "a", "seq")
+    val p2 = Seq((1L, 10L, Some(9.0), 3L), (2L, 10L, None: Option[Double], 4L))
+      .toDF("e", "ts", "a", "seq")
+    val p3 = Seq((1L, 10L, 7.0, 5L)).toDF("e", "ts", "b", "seq")
+    val m = PackageOps.mergePackages(Seq(p1, p2, p3), Seq("e", "ts"), "seq")
+      .sort("e").collect()
+    assert(m(0).getAs[Double]("a") == 9.0) // later package wins
+    assert(m(0).getAs[Double]("b") == 7.0) // column union
+    assert(m(1).getAs[Double]("a") == 2.0) // null did NOT clobber
+    assert(m(1).isNullAt(m(1).fieldIndex("b")))
+  }
+
+  test("resolveHash is idempotent and collision-stable across retries") {
+    val dim = Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "id")
+    val names = Seq("alpha", "gamma", "delta", "gamma").toDF("name")
+    val r1 = EntityResolution.resolveHash(names, dim, "node").sort("name").collect()
+    val r2 = EntityResolution.resolveHash(names, dim, "node").sort("name").collect()
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq) // deterministic
+    assert(r1.find(_.getString(0) == "alpha").get.getLong(1) == 1L) // existing kept
+    assert(r1.length == 3) // distinct names
+  }
+
+  test("compact keeps only change points (null-safe)") {
+    val h = Seq(
+      (1L, 1L, Some("a")), (1L, 2L, Some("a")), (1L, 3L, None: Option[String]),
+      (1L, 4L, None: Option[String]), (1L, 5L, Some("a"))
+    ).toDF("e", "ts", "v")
+    val c = AttributeOps.compact(h, "e", Seq("ts"), Seq("v")).sort("ts").collect()
+    assert(c.map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L)) // a, null, a
+  }
+
+  test("trigger weight/condition are arbitrary SQL fragments") {
+    val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
+    val out = TriggerOps.createNotifications(kpi, TriggerRule(
+      "r", Map("max_power" -> 50.0), "power > max_power",
+      "CASE WHEN power > 54 THEN 9 ELSE 1 END",
+      concat(lit("p="), col("power"))))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("weight") == 9L)
+    assert(out.head.getAs[String]("details") == "p=55.0")
+  }
+
+  test("multimodal decode stub is deterministic and batch-shaped") {
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "t")
+      .withColumn("blob", col("t").cast("binary"))
+    val d1 = Multimodal.decode(df, "id", "blob").collect().sortBy(_.id)
+    val d2 = Multimodal.decode(df, "id", "blob").collect().sortBy(_.id)
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.forall(m => m.width >= 16 && m.height >= 16))
+    val thumbs = Multimodal.thumbnailPlan(
+      Multimodal.decode(df, "id", "blob"), 64).collect()
+    assert(thumbs.forall(r => r.getInt(1) <= 64 && r.getInt(2) <= 64))
+  }
+
+  test("minhash signature: identical shingle sets get identical signatures") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(
+      Dedup.shingles(TextAnalysis.tokens(docs, "doc_id", "text"), "doc_id", 3),
+      "doc_id", 8).sort("doc_id").collect()
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail) // same text → same signature
+    assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    val docs = Seq(
+      (1L, "spark query engine with fast columnar scans and hash joins all day"),
+      (2L, "spark query engine with fast columnar scans and hash joins all night"),
+      (3L, "completely different words about cooking pasta with tomato sauce")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash(TextAnalysis.tokens(docs, "doc_id", "text"), "doc_id")
+      .sort("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) < ham(sh(0), sh(2)))
+  }
+
+  test("bucketed ANN candidates are a subset of exact all-pairs at the same threshold") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val l = e.select(col("vec_id").as("a"), col("embedding").as("v1"))
+    val r = e.select(col("vec_id").as("b"), col("embedding").as("v2"))
+    val exact = l.join(r, col("a") < col("b"))
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") >= 0.3).select("a", "b")
+    val bucketed = Similarity.bucketedNeighbors(e, "vec_id", "embedding", 8, 0.3)
+      .select(col("id1").as("a"), col("id2").as("b"))
+    assert(bucketed.count() > 0)
+    assert(bucketed.join(exact, Seq("a", "b"), "left_anti").count() == 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.MinervaType._
+import java.nio.file.{Files, Paths}
+
+/** Mirrors the tiny_instance ingest fixture (FIXTURES.md §1: sample.csv with
+  * identifier column `node`, ISO-8601 timestamps, numeric trends) and the
+  * schema-deduction CLI (SURVEY A4). */
+class CsvTrendSourceSpec extends SparkSpec {
+
+  private val csv =
+    """node,timestamp,outside_temp,inside_temp,power_kwh,label
+      |hillside14,2020-08-25T14:00:00Z,14.4,32.4,55.8,ok
+      |hillside15,2020-08-25T14:00:00Z,\N,30.0,50.1,warm
+      |hillside14,2020-08-25T14:15:00Z,14.5,,56.2,ok
+      |""".stripMargin
+
+  private def writeFixture(name: String): String = {
+    val p = Paths.get(s"target/tmp/$name.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, csv)
+    p.toString
+  }
+
+  test("schema deduction follows the lattice") {
+    val path = writeFixture("dedschema")
+    val cfg = CsvSourceConfig("node", Some("timestamp"))
+    val schema = CsvTrendSource.deduceSchema(spark, path, cfg).toMap
+    assert(schema("node") == MText)
+    assert(schema("outside_temp") == MReal)
+    assert(schema("power_kwh") == MReal)
+    assert(schema("label") == MText)
+  }
+
+  test("read normalizes: entity/timestamp naming, null tokens, typed trends") {
+    val path = writeFixture("readnorm")
+    val cfg = CsvSourceConfig("node", Some("timestamp"))
+    val schema = Seq(
+      "node" -> MText, "timestamp" -> MTimestamp,
+      "outside_temp" -> MNumeric, "inside_temp" -> MNumeric,
+      "power_kwh" -> MNumeric, "label" -> MText)
+    val df = CsvTrendSource.read(spark, path, cfg, schema)
+    assert(df.columns.contains("entity") && df.columns.contains("timestamp"))
+    val rows = df.sort("timestamp", "entity").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("entity") == "hillside14")
+    assert(rows(0).getAs[Long]("timestamp") == 1598364000L) // 2020-08-25T14:00Z
+    assert(rows(1).isNullAt(rows(1).fieldIndex("outside_temp"))) // \N token
+    assert(rows(2).isNullAt(rows(2).fieldIndex("inside_temp"))) // empty token
+    assert(rows(2).getAs[java.math.BigDecimal]("power_kwh").doubleValue() == 56.2)
+  }
+
+  test("fixed timestamp provider when no timestamp column") {
+    val path = writeFixture("fixedts")
+    val cfg = CsvSourceConfig("node", None, fixedTimestampSec = Some(1700000000L))
+    val schema = Seq("node" -> MText, "timestamp" -> MText,
+      "outside_temp" -> MNumeric, "inside_temp" -> MNumeric,
+      "power_kwh" -> MNumeric, "label" -> MText)
+    val df = CsvTrendSource.read(spark, path, cfg, schema)
+    assert(df.select("timestamp").distinct().head.getLong(0) == 1700000000L)
+  }
+}

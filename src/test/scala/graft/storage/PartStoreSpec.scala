@@ -1,0 +1,100 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's trend-store round-trip integration tests
+  * (integration_tests/storage/trend/test_store.py: COPY path, update/upsert
+  * semantics, missing-column evolution, modified maintenance). */
+class PartStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore(name: String): PartStore = {
+    val base = s"target/tmp/partstore_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    new PartStore(spark, PartStoreConfig(base, partitionSizeSeconds = 86400))
+  }
+
+  test("store then read round-trips") {
+    val ps = freshStore("roundtrip")
+    val batch = Seq(
+      (1L, 1000L, 10.0, 100L, 100L),
+      (2L, 1000L, 20.0, 100L, 100L),
+      (1L, 90000L, 30.0, 100L, 100L) // second day partition
+    ).toDF("entity_id", "timestamp", "power", "modified", "created")
+    assert(ps.store("p1", batch) == 2) // two pindex partitions
+    val back = ps.readPart("p1").get
+    assert(back.count() == 3)
+    assert(back.select("pindex").distinct().count() == 2)
+  }
+
+  test("upsert: batch wins, created preserved, modified greatest, nulls don't clobber") {
+    val ps = freshStore("upsert")
+    val t0 = Seq(
+      (1L, 1000L, Some(10.0), Some(1.0), 100L, 50L),
+      (2L, 1000L, Some(20.0), Some(2.0), 100L, 50L)
+    ).toDF("entity_id", "timestamp", "power", "temp", "modified", "created")
+    ps.store("p", t0)
+    val batch = Seq(
+      (1L, 1000L, Some(11.0), None: Option[Double], 90L, 999L), // older modified, null temp
+      (3L, 1000L, Some(33.0), Some(3.0), 200L, 200L)            // new entity
+    ).toDF("entity_id", "timestamp", "power", "temp", "modified", "created")
+    ps.store("p", batch)
+    val rows = ps.readPart("p").get
+      .select("entity_id", "power", "temp", "modified", "created")
+      .sort("entity_id").collect()
+    assert(rows.length == 3)
+    // entity 1: batch power wins, null temp did NOT clobber, modified = greatest(100,90)=100, created preserved 50
+    assert(rows(0).getDouble(1) == 11.0 && rows(0).getDouble(2) == 1.0)
+    assert(rows(0).getLong(3) == 100L && rows(0).getLong(4) == 50L)
+    // entity 2 untouched
+    assert(rows(1).getDouble(1) == 20.0)
+    // entity 3 inserted
+    assert(rows(2).getDouble(1) == 33.0 && rows(2).getLong(4) == 200L)
+  }
+
+  test("schema evolution: new trend column appears, history gets nulls") {
+    val ps = freshStore("evolve")
+    ps.store("p", Seq((1L, 1000L, 10.0, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    ps.store("p", Seq((2L, 1000L, 5.5, 200L))
+      .toDF("entity_id", "timestamp", "freq", "modified"))
+    val back = ps.readPart("p").get.sort("entity_id")
+    assert(back.columns.toSet.contains("freq") && back.columns.toSet.contains("power"))
+    val rows = back.select("power", "freq").collect()
+    assert(rows(0).getDouble(0) == 10.0 && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).getDouble(1) == 5.5)
+  }
+
+  test("untouched partitions are not rewritten") {
+    val ps = freshStore("blast")
+    ps.store("p", Seq((1L, 1000L, 1.0, 1L)).toDF("entity_id", "timestamp", "power", "modified"))
+    ps.store("p", Seq((1L, 90000L, 2.0, 2L)).toDF("entity_id", "timestamp", "power", "modified"))
+    // writing day-2 must leave day-1 rows intact
+    val back = ps.readPart("p").get.sort("timestamp").select("power").collect()
+    assert(back.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("retention expiry drops whole partitions") {
+    val ps = freshStore("expire")
+    ps.store("p", Seq(
+      (1L, 1000L, 1.0, 1L), (1L, 90000L, 2.0, 1L), (1L, 200000L, 3.0, 1L)
+    ).toDF("entity_id", "timestamp", "power", "modified"))
+    ps.expire("p", cutoffSec = 86400L)
+    val back = ps.readPart("p").get
+    assert(back.count() == 2)
+    assert(back.agg(min("timestamp")).head.getLong(0) == 90000L)
+  }
+
+  test("modified log accumulates per (part, timestamp)") {
+    val ps = freshStore("mlog")
+    val b = Seq((1L, 1000L, 1.0, 1L), (2L, 1000L, 2.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified")
+    ps.store("p", b)
+    ps.markModified("p", b, nowSec = 12345L)
+    val log = spark.read.parquet("target/tmp/partstore_mlog/_modified_log")
+    assert(log.count() == 1) // one distinct timestamp
+    assert(log.head.getAs[Long]("modified") == 12345L)
+  }
+}
