@@ -1,0 +1,116 @@
+package graft.cli
+
+import graft.core.MinervaType
+import graft.model.InstanceModel
+import graft.operators._
+import graft.sources.{CsvSourceConfig, CsvTrendSource}
+import graft.storage.{PartStore, PartStoreConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin command layer mirroring the reference's `minerva` CLI
+  * (src/minerva/commands/minerva_cli.py): load-data, materialize, report,
+  * trigger. Each subcommand is a few lines of glue over the library —
+  * the CLI exists so a reference user has the same operational entry points.
+  *
+  * Usage:
+  *   load-data   <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
+  *   report      <storeBase> <part>
+  *   trigger     <storeBase> <part> <triggerYamlPath> <outDir>
+  *   materialize <storeBase> <sourcePart> <targetPart> <granSec>
+  */
+object Main {
+  def spark(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "load-data" :: csv :: idCol :: tsCol :: base :: part :: rest =>
+      val s = spark()
+      val psize = rest.headOption.map(_.toLong).getOrElse(86400L)
+      val cfg = CsvSourceConfig(idCol, Some(tsCol))
+      val schema = CsvTrendSource.deduceSchema(s, csv, cfg)
+        .map { case (c, t) => if (c == tsCol) c -> MinervaType.MTimestamp else c -> t }
+      val pkg = CsvTrendSource.read(s, csv, cfg, schema)
+      val dim = pkg.sparkSession.createDataFrame(
+        pkg.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      val resolved = EntityResolution.resolveHash(
+        pkg.select(col("entity").as("name")), dim, "default")
+      val now = System.currentTimeMillis() / 1000
+      val batch = pkg.join(resolved, pkg("entity") === resolved("name"))
+        .drop("entity", "name")
+        .withColumnRenamed("id", "entity_id")
+        .withColumn("modified", lit(now))
+      val ps = new PartStore(s, PartStoreConfig(base, psize))
+      val n = ps.store(part, batch)
+      ps.markModified(part, batch, now)
+      println(s"""{"loaded_partitions":$n,"part":"$part"}""")
+
+    case "report" :: base :: part :: Nil =>
+      val s = spark()
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      ps.readPart(part) match {
+        case None => println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1)
+        case Some(df) =>
+          val r = df.agg(
+            count(lit(1)).as("rows"),
+            countDistinct(col("entity_id")).as("entities"),
+            max(col("timestamp")).as("max_ts")).head
+          println(s"""{"part":"$part","rows":${r.getLong(0)},"entities":${r.getLong(1)},"max_ts":${r.get(2)}}""")
+      }
+
+    case "trigger" :: base :: part :: yamlPath :: outDir :: Nil =>
+      val s = spark()
+      val t = InstanceModel.parseTrigger(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val kpi = ps.readPart(part).getOrElse {
+        println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
+      }
+      val rule = TriggerRule(
+        t.name,
+        t.thresholds.map(th => th.name -> th.value).toMap,
+        t.condition,
+        if (t.weight.nonEmpty) t.weight else "1",
+        expr(if (t.notification.nonEmpty) t.notification else s"'${t.name}'"))
+      val out = TriggerOps.createNotifications(kpi, rule)
+      out.write.mode("append").parquet(outDir)
+      println(s"""{"rule":"${t.name}","notifications":${out.count()}}""")
+
+    case "materialize" :: base :: srcPart :: dstPart :: granSec :: Nil =>
+      val s = spark()
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val src = ps.readPart(srcPart).getOrElse {
+        println(s"""{"error":"no such part","part":"$srcPart"}"""); sys.exit(1); null
+      }
+      val trendCols = src.columns.filterNot(
+        Set("entity_id", "timestamp", "modified", "created", "pindex"))
+      val rolled = TimeAggregation.rollup(src, "entity_id", "timestamp", granSec.toLong,
+        TimeAggregation.samples +: trendCols.toSeq.map(c => sum(col(c)).as(c)))
+        .withColumn("modified", lit(System.currentTimeMillis() / 1000))
+      val n = ps.store(dstPart, rolled)
+      println(s"""{"materialized_partitions":$n,"target":"$dstPart"}""")
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage:
+           |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
+           |  report <storeBase> <part>
+           |  trigger <storeBase> <part> <triggerYaml> <outDir>
+           |  materialize <storeBase> <sourcePart> <targetPart> <granSec>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.storage
+
+import graft.operators.AttributeOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Attribute store: slowly-changing attributes per (data_source, entity_type)
+  * (reference: src/minerva/storage/attribute/attributestore.py — staging →
+  * history transfer at 271-316, compaction 261-269, curr-ptr
+  * src/minerva/commands/attribute_store.py:523-579).
+  *
+  * graft shape: `stage` = the incoming batch DataFrame (no physical staging
+  * table needed — the reference stages only to get data into the DB);
+  * `transferStaged` appends to the history parquet with a `modified` stamp;
+  * `compacted`/`current` are derived views. History is append-only and
+  * partitioned by nothing here (attribute history is small relative to
+  * trends); at larger scale partition by entity-id bucket.
+  */
+class AttributeStore(spark: SparkSession, basePath: String) {
+
+  private def historyPath = s"$basePath/history"
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  def history: Option[DataFrame] =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(historyPath))) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(historyPath))
+
+  /** Append a staged batch (entity_id, timestamp, attrs…) to history. */
+  def transferStaged(batch: DataFrame, nowSec: Long): Unit =
+    batch.withColumn("modified", lit(nowSec))
+      .write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(historyPath)
+
+  /** Run-length-compacted history (D10). */
+  def compacted(valueCols: Seq[String]): Option[DataFrame] =
+    history.map(h => AttributeOps.compact(h, "entity_id", Seq("timestamp", "modified"), valueCols))
+
+  /** Latest attribute row per entity (curr-ptr, D9/E1). */
+  def current: Option[DataFrame] =
+    history.map(h => AttributeOps.currentPtr(h, "entity_id", Seq("timestamp", "modified")))
+
+  /** SCD-2 view with validity ranges. */
+  def scd2(valueCols: Seq[String]): Option[DataFrame] =
+    history.map(h => AttributeOps.scd2(h, "entity_id", "timestamp", Seq("modified"), valueCols))
+}

@@ -49,13 +49,13 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       (col("timestamp") - pmod(col("timestamp"), lit(partitionSizeSeconds)))
         .divide(partitionSizeSeconds).cast("long"))
 
-  def readPart(part: String): Option[DataFrame] =
-    try Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
-    catch { case _: Exception => None }
-
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  def readPart(part: String): Option[DataFrame] =
+    if (!fs.exists(hp(path(part)))) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
 
   /** MERGE a batch (entity_id, timestamp, trends…, modified[, created]) into
     * the part; returns affected partition count.
