@@ -250,6 +250,23 @@ object QueriesCore {
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")
     },
+    // ---- B5/G: array columns — build, sort, membership, length ----
+    "q39_array_ops" -> { (s, dir) =>
+      load(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"), col("types"),
+          size(col("types")).as("n_types"),
+          array_contains(col("types"), "error").as("has_error"))
+        .orderBy("user_id")
+    },
+    // ---- Relation cardinality contract validation ----
+    "q40_relation_cardinality" -> { (s, dir) =>
+      val rel = load(s, dir, "orders")
+        .select(col("o_custkey").as("source_id"), col("o_orderkey").as("target_id"))
+      RelationOps.violations(rel, RelationOps.ManyToOne)
+        .orderBy("violated_key")
+    },
     // ---- H4/H5/H12: regexp extraction + dn-style parsing ----
     "q24_dn_parse" -> { (s, dir) =>
       load(s, dir, "customer")
@@ -444,6 +461,14 @@ object QueriesCore {
       "q23_json_props" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+      "q39_array_ops" ->
+        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+             CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,
+             list_contains(list(DISTINCT event_type), 'error') AS has_error
+           FROM events GROUP BY user_id ORDER BY user_id""",
+      "q40_relation_cardinality" ->
+        """SELECT CAST(o_custkey AS BIGINT) AS violated_key, count(*) AS n
+           FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
       "q24_dn_parse" ->
         """SELECT 'segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn,
              regexp_extract('segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR),

@@ -105,6 +105,27 @@ object MinervaType {
     values.iterator.foldLeft(MSmallInt: MinervaType)((acc, v) =>
       max(acc, deduceValue(v)))
 
+  /** Array types: `T[]` for every scalar T (datatype.py:781-862; COPY
+    * `{...}` form at 1005-1016, bracketed `[...]` form for config values).
+    * Spark mapping: `ArrayType(T.sparkType)`. */
+  final case class MArray(elem: MinervaType)
+      extends MinervaType(s"${elem.name}[]", -2, ArrayType(elem.sparkType)) {
+    def accepts(v: String): Boolean = splitArray(v).isDefined
+    /** Parses "{a,b,c}" or "[a,b,c]" into elements (no nested arrays —
+      * the reference has none). */
+    def parseArray(v: String): Option[Seq[Any]] =
+      splitArray(v).map(_.map(e => parse(elem, e.trim).orNull))
+  }
+
+  private def splitArray(v: String): Option[Seq[String]] = {
+    val t = v.trim
+    val inner =
+      if (t.startsWith("{") && t.endsWith("}")) Some(t.substring(1, t.length - 1))
+      else if (t.startsWith("[") && t.endsWith("]")) Some(t.substring(1, t.length - 1))
+      else None
+    inner.map(s => if (s.isEmpty) Seq.empty else s.split(",").toSeq)
+  }
+
   /** Parse a value of the given type; None for null tokens.
     * Range checks mirror the reference (e.g. smallint −2^15..2^15−1,
     * datatype.py:278-367). */
@@ -124,5 +145,8 @@ object MinervaType {
         else throw new IllegalArgumentException(s"not a boolean: $v")
       case MTimestamp =>
         java.sql.Timestamp.valueOf(v.replace("T", " "))
+      case a: MArray =>
+        a.parseArray(v).getOrElse(
+          throw new IllegalArgumentException(s"not an array: $v"))
     })
 }

@@ -51,6 +51,18 @@ class MinervaTypeSpec extends AnyFunSuite {
     for (f <- Seq("false", "f", "0", "off", "no"))
       assert(parse(MBoolean, f).contains(false))
   }
+  test("array types parse COPY and bracket forms") {
+    val ia = MArray(MInteger)
+    assert(ia.accepts("{1,2,3}") && ia.accepts("[1,2,3]"))
+    assert(!ia.accepts("1,2,3"))
+    assert(parse(ia, "{1,2,3}").contains(Seq(1, 2, 3)))
+    assert(parse(ia, "{}").contains(Seq.empty))
+    assert(parse(ia, "{1,\\N,3}").contains(Seq(1, null, 3)))
+    assert(parse(MArray(MText), "[a, b]").contains(Seq("a", "b")))
+    assert(ia.sparkType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType))
+  }
+
   test("timestamp accepts the two known formats") {
     assert(MTimestamp.accepts("2020-08-25 14:00:00"))
     assert(MTimestamp.accepts("2020-08-25T14:00:00"))
