@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.InstanceModel
+import org.apache.spark.sql.functions._
+
+class CompilerSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val store = InstanceModel.parseTrendStore(
+    """title: t
+      |data_source: hub
+      |entity_type: node
+      |granularity: 15m
+      |partition_size: 1d
+      |parts:
+      |  - name: p
+      |    trends:
+      |      - name: drops
+      |        data_type: smallint
+      |      - name: ccr
+      |        data_type: double precision
+      |        time_aggregation: avg
+      |        entity_aggregation: avg
+      |""".stripMargin)
+
+  test("compiled time aggregation: metadata fns, samples injection, widening") {
+    val df = Seq(
+      (1L, 100L, 5, 0.5), (1L, 200L, 7, 0.7), (1L, 4000L, 1, 0.1)
+    ).toDF("entity_id", "timestamp", "drops", "ccr")
+    val rollup = AggregationCompiler.timeAggregation(store.parts.head, 3600L)(df)
+      .sort("timestamp").collect()
+    assert(rollup.length == 2)
+    val r0 = rollup(0)
+    assert(r0.getAs[Long]("samples") == 2)
+    assert(r0.getAs[Long]("drops") == 12L)       // smallint sum → bigint (D4)
+    assert(r0.getAs[Double]("ccr") == 0.6)       // avg double → double
+  }
+
+  test("compiled entity aggregation uses entity_aggregation fns") {
+    val df = Seq((1L, 3600L, 5, 0.5), (2L, 3600L, 7, 0.7))
+      .toDF("entity_id", "timestamp", "drops", "ccr")
+    val rel = Seq((1L, 10L), (2L, 10L)).toDF("source_id", "target_id")
+    val up = AggregationCompiler.entityAggregation(store.parts.head, rel)(df).collect()
+    assert(up.length == 1)
+    assert(up.head.getAs[Long]("entity_id") == 10L)
+    assert(up.head.getAs[Long]("drops") == 12L)
+    assert(up.head.getAs[Double]("ccr") == 0.6)
+  }
+
+  test("salted aggregate equals direct aggregate") {
+    val df = (1 to 1000).map(i => (i % 3L, i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+      .sort("k").collect()
+    val salted = SkewOps.saltedAggregate(df, Seq("k"), salts = 8,
+      partials = Seq(sum("v").as("v_sum"), count(lit(1)).as("n")),
+      finals = Seq(sum("v_sum").as("v_sum"), sum("n").cast("long").as("n")))
+      .sort("k").collect()
+    assert(direct.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+  }
+
+  test("bucket capping drops only oversized buckets") {
+    val b = (Seq.fill(20)(1L) ++ Seq(2L, 2L, 3L)).zipWithIndex
+      .map { case (bk, i) => (bk, i.toLong) }.toDF("bucket", "id")
+    val (kept, dropped) = SkewOps.capBuckets(b, "bucket", maxSize = 5)
+    assert(dropped.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(kept.select("bucket").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+}
