@@ -77,6 +77,21 @@ class OperatorSpec extends SparkSpec {
     assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
   }
 
+  test("xxhash minhash variant: same text same signature, works with banding") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatureXx(
+      Dedup.shingles(TextAnalysis.tokens(docs, "doc_id", "text"), "doc_id", 3),
+      "doc_id", 8).sort("doc_id").collect()
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail)
+    assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
+    val pairs = Dedup.lshCandidates(
+      Dedup.lshBuckets(Dedup.minhashSignatureXx(
+        Dedup.shingles(TextAnalysis.tokens(docs, "doc_id", "text"), "doc_id", 3),
+        "doc_id", 8), "doc_id", 4, 2), "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("simhash of near-identical docs has small hamming distance") {
     val docs = Seq(
       (1L, "spark query engine with fast columnar scans and hash joins all day"),
