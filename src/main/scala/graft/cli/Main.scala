@@ -103,6 +103,40 @@ object Main {
       val n = ps.store(dstPart, rolled)
       println(s"""{"materialized_partitions":$n,"target":"$dstPart"}""")
 
+    // Live-monitor loop (I5, live_monitor.py:40-45): poll → materialize
+    // stale chunks → sleep. Bounded iterations so it is operable in batch
+    // contexts; pass a large count for a daemon.
+    case "live-monitor" :: base :: srcPart :: dstPart :: granSec :: iters :: pollMs :: Nil =>
+      val s = spark()
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val runner = new MaterializationRunner(s, ps, s"$base/_state")
+      (1 to iters.toInt).foreach { i =>
+        val src = ps.readPart(srcPart)
+        val done = src match {
+          case None => Seq.empty
+          case Some(df) =>
+            val gran = granSec.toLong
+            val fp = Materialization.fingerprint(
+              Materialization.modifiedState(
+                df.withColumn("chunk",
+                  (col("timestamp") - pmod(col("timestamp"), lit(gran)))),
+                Seq("chunk", "entity_id"), "modified"),
+              "chunk", "entity_id", "last_modified")
+            val trendCols = df.columns.filterNot(
+              Set("entity_id", "timestamp", "modified", "created", "pindex"))
+            runner.run(MaterializationSpec(dstPart,
+              chunk => TimeAggregation.rollup(
+                df.filter(col("timestamp") >= chunk && col("timestamp") < chunk + gran),
+                "entity_id", "timestamp", gran,
+                TimeAggregation.samples +: trendCols.toSeq.map(c => sum(col(c)).as(c)))
+                .withColumn("modified", lit(System.currentTimeMillis() / 1000)),
+              stabilityDelaySec = 0, retentionSec = Long.MaxValue / 4),
+              fp, nowSec = System.currentTimeMillis() / 1000)
+        }
+        println(s"""{"iteration":$i,"materialized":${done.size}}""")
+        if (i < iters.toInt) Thread.sleep(pollMs.toLong)
+      }
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -110,7 +144,8 @@ object Main {
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
-           |  materialize <storeBase> <sourcePart> <targetPart> <granSec>""".stripMargin)
+           |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
+           |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)
       sys.exit(2)
   }
 }

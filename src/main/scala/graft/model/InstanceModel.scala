@@ -65,7 +65,37 @@ final case class Trigger(
     notification: String
 )
 
+/** A fully-loaded instance directory (the reference's `minerva initialize`
+  * input layout: trend/, materialization/, trigger/ subdirectories of YAML
+  * files — src/minerva/commands/initialize.py:70-147). */
+final case class Instance(
+    trendStores: Seq[TrendStore],
+    materializations: Seq[Materialization],
+    triggers: Seq[Trigger]
+)
+
 object InstanceModel {
+
+  /** Load an instance definition directory. Unknown subdirectories are
+    * ignored; files must be `.yaml`. */
+  def loadInstance(root: String): Instance = {
+    def files(sub: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(root, sub)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".yaml")).sortBy(_.toString)
+          .map(java.nio.file.Files.readString(_))
+        finally s.close()
+      }
+    }
+    Instance(
+      trendStores = files("trend").map(parseTrendStore),
+      materializations = files("materialization").map(parseMaterialization),
+      triggers = files("trigger").map(parseTrigger)
+    )
+  }
   private def yamlMap(text: String): Map[String, Any] = {
     val y = new Yaml()
     y.load[java.util.Map[String, Any]](text).asScala.toMap
