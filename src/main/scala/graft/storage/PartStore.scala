@@ -57,6 +57,46 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     if (!fs.exists(hp(path(part)))) None
     else Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
 
+  /** Load-time type widening (trendstorepart.py:351-374 "assure_data_types"
+    * + SURVEY §7 hard part 5): when the batch carries a wider type for an
+    * existing column, both sides are cast to the wider type before the
+    * merge. Widening only — a narrower batch column is widened up to the
+    * stored type, never the reverse. Order mirrors the Minerva lattice. */
+  private val widenOrder: Seq[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Seq(ShortType, IntegerType, LongType, FloatType, DoubleType,
+      DecimalType(38, 18), TimestampType, StringType)
+  }
+
+  private def wider(a: org.apache.spark.sql.types.DataType,
+                    b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    if (a == b) a
+    else {
+      def idx(d: org.apache.spark.sql.types.DataType): Int = d match {
+        case _: org.apache.spark.sql.types.DecimalType => 5
+        case other => widenOrder.indexOf(other)
+      }
+      val ia = idx(a)
+      val ib = idx(b)
+      if (ia < 0 || ib < 0) a // non-lattice types: keep target's
+      else widenOrder(math.max(ia, ib))
+    }
+  }
+
+  private def reconcileTypes(target: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val common = target.columns.toSet intersect batch.columns.toSet
+    common.foldLeft((target, batch)) { case ((t, b), c) =>
+      val tt = t.schema(c).dataType
+      val bt = b.schema(c).dataType
+      if (tt == bt) (t, b)
+      else {
+        val w = wider(tt, bt)
+        (if (tt == w) t else t.withColumn(c, col(c).cast(w)),
+         if (bt == w) b else b.withColumn(c, col(c).cast(w)))
+      }
+    }
+  }
+
   /** MERGE a batch (entity_id, timestamp, trends…, modified[, created]) into
     * the part; returns affected partition count.
     *
@@ -65,15 +105,28 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     * plan, and the rename makes each partition swap near-atomic. */
   def store(part: String, batch: DataFrame): Int = {
     val b = withPindex(batch)
-    val indices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
-    val merged = readPart(part) match {
-      case None => b
-      case Some(existing) =>
-        val affected = existing.filter(col("pindex").isin(indices: _*))
+    val batchIndices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
+    val (merged, indices) = readPart(part) match {
+      case None => (b, batchIndices)
+      case Some(existing0) =>
+        val (existingRec, bRec) = reconcileTypes(existing0, b)
+        val widened = existingRec.schema != existing0.schema
+        // A widened column must apply to EVERY partition — mixed parquet
+        // schemas across partition dirs don't merge (int vs long). Widening
+        // is rare (the reference ALTERs the whole table too); normal loads
+        // rewrite only the affected partitions.
+        val base =
+          if (widened) existingRec
+          else existingRec.filter(col("pindex").isin(batchIndices: _*))
         val m = Upsert.merge(
-          affected, b, keyCols, modifiedCol,
+          base, bRec, keyCols, modifiedCol,
           if (batch.columns.contains(createdCol)) Some(createdCol) else None)
-        withPindex(m.drop("pindex"))
+        val all = withPindex(m.drop("pindex"))
+        val idx =
+          if (widened)
+            all.select("pindex").distinct().collect().map(_.getLong(0)).sorted
+          else batchIndices
+        (all, idx)
     }
     val staging = path(part) + "__staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)

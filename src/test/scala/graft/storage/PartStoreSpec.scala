@@ -76,6 +76,25 @@ class PartStoreSpec extends SparkSpec {
     assert(back.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0))
   }
 
+  test("type widening: narrower stored type widens when batch is wider") {
+    val ps = freshStore("widen")
+    // day-1 int column
+    ps.store("p", Seq((1L, 1000L, 10, 100L))
+      .toDF("entity_id", "timestamp", "cnt", "modified"))
+    // day-2 batch arrives with long values -> whole part widens to long
+    ps.store("p", Seq((1L, 90000L, 3000000000L, 200L))
+      .toDF("entity_id", "timestamp", "cnt", "modified"))
+    val back = ps.readPart("p").get
+    assert(back.schema("cnt").dataType == org.apache.spark.sql.types.LongType)
+    val rows = back.sort("timestamp").select("cnt").collect()
+    assert(rows(0).getLong(0) == 10L && rows(1).getLong(0) == 3000000000L)
+    // narrower batch against the widened store stays long
+    ps.store("p", Seq((2L, 1000L, 7, 300L))
+      .toDF("entity_id", "timestamp", "cnt", "modified"))
+    assert(ps.readPart("p").get.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("retention expiry drops whole partitions") {
     val ps = freshStore("expire")
     ps.store("p", Seq(
