@@ -267,6 +267,23 @@ object QueriesCore {
       RelationOps.violations(rel, RelationOps.ManyToOne)
         .orderBy("violated_key")
     },
+    // ---- Sessionization: gap-based session windows (lag + running sum) ----
+    "q45_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapped = e.withColumn("prev_sec", lag(col("ts_sec"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || (col("ts_sec") - col("prev_sec")) > 1800, 1L)
+            .otherwise(0L))
+      gapped.withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_sec")).as("session_start"),
+          max(col("ts_sec")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
     // ---- H4/H5/H12: regexp extraction + dn-style parsing ----
     "q24_dn_parse" -> { (s, dir) =>
       load(s, dir, "customer")
@@ -461,6 +478,24 @@ object QueriesCore {
       "q23_json_props" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
            FROM events GROUP BY 1 ORDER BY 1""",
+      "q45_sessionize" ->
+        s"""WITH gapped AS (
+             SELECT user_id, event_id, ts, $ts AS sec,
+               lag($ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+             FROM events),
+           marked AS (
+             SELECT user_id, event_id, ts, sec,
+               CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END
+                 AS new_session
+             FROM gapped),
+           sessions AS (
+             SELECT user_id, sec,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM marked)
+           SELECT user_id, session_id, count(*) AS n_events,
+             min(sec) AS session_start, max(sec) AS session_end
+           FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
       "q39_array_ops" ->
         """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
              CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,

@@ -109,6 +109,23 @@ object QueriesLLM {
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
         .orderBy("doc_id")
     },
+    // ---- BPE-ish regex tokenizer over punctuated text (JSON payloads) ----
+    "q41_regex_tokens" -> { (s, dir) =>
+      TextAnalysis.tokensRegex(load(s, dir, "events"), "event_id", "props")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("tok")).limit(30)
+    },
+    // ---- composite corpus filter: quality ∧ language ∧ dedup-keeper ----
+    "q42_corpus_filter" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val q = TextAnalysis.quality(d, "doc_id", "text")
+        .filter(col("n_tokens") >= 30 && col("stopword_ratio") <= 0.4)
+      val l = TextAnalysis.langId(d, "doc_id", "text").filter(col("lang_pred") === "en")
+      val keepers = Dedup.exact(d, "doc_id", "text").select(col("keeper").as("doc_id"))
+      q.join(l, "doc_id").join(keepers, "doc_id")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
     // ---- multimodal: batched decode stub + thumbnail plan (rows-only) ----
     "q38_multimodal_decode" -> { (s, dir) =>
       val d = Multimodal.decode(
@@ -257,7 +274,34 @@ object QueriesLLM {
     "q37_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
            hex(encode(substr(text, 1, 4))) AS magic
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q41_regex_tokens" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+           FROM events)
+         SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+         ORDER BY freq DESC, tok LIMIT 30""",
+    "q42_corpus_filter" ->
+      s"""WITH $ToksCte,
+         q AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN tok IN ('the','a','an','of','to','and','in','is','it','for')
+               THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio
+           FROM toks GROUP BY 1),
+         l AS (
+           SELECT doc_id,
+             sum(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_en,
+             sum(CASE WHEN tok IN ('el','la','de','que','y','los') THEN 1 ELSE 0 END) AS n_es
+           FROM toks GROUP BY 1),
+         keepers AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text))))
+         SELECT q.doc_id, q.n_tokens
+         FROM q
+         JOIN l ON l.doc_id = q.doc_id
+         JOIN keepers k ON k.doc_id = q.doc_id
+         WHERE q.n_tokens >= 30 AND q.stopword_ratio <= 0.4
+           AND l.n_en >= l.n_es AND l.n_en > 0
+         ORDER BY q.doc_id"""
     // q38 (stubbed decode, sequential FNV fold): rows-only check + ScalaTest.
   )
 }

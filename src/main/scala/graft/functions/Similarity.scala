@@ -59,10 +59,26 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    val sameSet = queries.eq(corpus)
+    val scored =
+      if (sameSet) {
+        // Self-similarity: cos is symmetric and the per-element product
+        // stream is identical in both directions, so each unordered pair
+        // is computed ONCE and mirrored — halves the dominant dot cost
+        // with bit-identical results.
+        val half = q.join(broadcast(c), col("query_id") < col("neighbor_id"))
+          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .select("query_id", "neighbor_id", "cos")
+        half.unionByName(half.select(
+          col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+          col("cos")))
+      } else {
+        q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .select("query_id", "neighbor_id", "cos")
+      }
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
