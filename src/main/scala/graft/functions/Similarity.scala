@@ -54,13 +54,10 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     val sameSet = queries.eq(corpus)
     val scored =
       if (sameSet) {
@@ -79,10 +76,24 @@ object Similarity {
           .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .select("query_id", "neighbor_id", "cos")
       }
+    topKByQuery(scored, k)
+  }
+
+  /** Per-query bounded top-k via the TopKAggregator: map-side partials keep
+    * ≤k rows per (query, partition), so the shuffle carries |queries|·k·
+    * |partitions| rows instead of the full N×M candidate set (a global
+    * row_number window would sort every candidate). Ordering is
+    * (cos desc, neighbor asc) — identical to the window formulation. */
+  private def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.expressions.TopKAggregator(k),
+      ExpressionEncoder[(Long, Double)]())
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      .groupBy("query_id")
+      .agg(topk(col("neighbor_id"), col("cos")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
   }
 
   /** Deterministic hyperplane bucket id (nBits sign bits). The planes are
