@@ -3,12 +3,17 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}.
   *
   * A warmup pass at sf0.001 first exercises Spark's machinery (codegen,
   * parquet readers, shuffle paths) so per-query timings measure the query,
   * not JVM warmup. Timed runs execute `count()` — full computation, no
   * result materialization to the driver.
+  *
+  * Failures are NOT folded into timings: a query that throws is reported
+  * with value -1 under "queries" plus its error class/message under
+  * "errors", and the process exits nonzero — a broken query can never
+  * masquerade as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,20 +31,49 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case '\n'          => "\\n"
+        case '\r'          => "\\r"
+        case '\t'          => "\\t"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      }
     // two measured repetitions, min per query: local[32] scheduling noise
-    // swings individual queries ±30%; min-of-2 reports steady-state cost
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // swings individual queries ±30%; min-of-2 reports steady-state cost.
+    // Either repetition failing marks the query failed.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val r = (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      }
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_))  => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, Left(e)) =>
+      s"\"" + k + "\":\"" + jsonEscape(e) + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2.isLeft)) sys.exit(1)
   }
 }

@@ -251,13 +251,16 @@ object QueriesCore {
         .orderBy("k")
     },
     // ---- B5/G: array columns — build, sort, membership, length ----
+    // Checked output is the ','-joined string form: the driver's compare
+    // harness sorts columns with pandas, which cannot hash raw arrays.
     "q39_array_ops" -> { (s, dir) =>
       load(s, dir, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"))
-        .select(col("user_id"), col("types"),
-          size(col("types")).as("n_types"),
-          array_contains(col("types"), "error").as("has_error"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types_arr"))
+        .select(col("user_id"),
+          array_join(col("types_arr"), ",").as("types"),
+          size(col("types_arr")).as("n_types"),
+          array_contains(col("types_arr"), "error").as("has_error"))
         .orderBy("user_id")
     },
     // ---- Relation cardinality contract validation ----
@@ -497,7 +500,8 @@ object QueriesCore {
              min(sec) AS session_start, max(sec) AS session_end
            FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
       "q39_array_ops" ->
-        """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        """SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
              CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types,
              list_contains(list(DISTINCT event_type), 'error') AS has_error
            FROM events GROUP BY user_id ORDER BY user_id""",

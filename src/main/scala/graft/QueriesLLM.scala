@@ -49,19 +49,21 @@ object QueriesLLM {
       Dedup.minhashSignature(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 8)
         .orderBy("doc_id")
     },
-    // ---- LSH banding → candidate pairs ----
+    // ---- LSH banding → candidate pairs (degenerate buckets capped) ----
     "q27_lsh_candidates" -> { (s, dir) =>
       val sig = Dedup.minhashSignature(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 8)
-      Dedup.lshCandidates(Dedup.lshBuckets(sig, "doc_id", 4, 2), "doc_id")
+      Dedup.lshCandidates(Dedup.lshBuckets(sig, "doc_id", 4, 2), "doc_id", maxBucket = 50)
         .orderBy("id1", "id2")
     },
-    // ---- n-gram Jaccard near-dup pairs (exact verify) ----
+    // ---- n-gram Jaccard near-dup pairs (exact verify, hot shingles capped) ----
     "q28_jaccard_pairs" -> { (s, dir) =>
       // 3-word shingles: on this corpus's tiny vocabulary, 2-shingles make
       // nearly every doc pair a candidate (quadratic blowup); k=3 keeps the
       // candidate set selective — the same reason production MinHash/LSH
-      // prefilters before exact Jaccard.
-      Dedup.jaccardPairs(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 0.10)
+      // prefilters before exact Jaccard. maxDocFreq bounds the f² join
+      // blowup of boilerplate shingles (mirrored in the oracle SQL).
+      Dedup.jaccardPairs(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 0.10,
+          maxDocFreq = 100)
         .orderBy("id1", "id2")
     },
     // ---- SimHash (16-bit, portable arithmetic) ----
@@ -160,17 +162,23 @@ object QueriesLLM {
            SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
            UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
            UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         bsz AS (SELECT band, key FROM buckets GROUP BY 1, 2 HAVING count(*) <= 50),
+         capped AS (
+           SELECT b.* FROM buckets b JOIN bsz s ON b.band = s.band AND b.key = s.key)
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM buckets a JOIN buckets b
+         FROM capped a JOIN capped b
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          ORDER BY 1, 2""",
     "q28_jaccard_pairs" ->
       s"""WITH $ShinglesCte,
-         counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         shc AS (
+           SELECT * FROM sh WHERE shingle IN (
+             SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+         counts AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
          pairs AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT id1, id2, inter,
            CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
@@ -301,7 +309,42 @@ object QueriesLLM {
          JOIN keepers k ON k.doc_id = q.doc_id
          WHERE q.n_tokens >= 30 AND q.stopword_ratio <= 0.4
            AND l.n_en >= l.n_es AND l.n_en > 0
-         ORDER BY q.doc_id"""
-    // q38 (stubbed decode, sequential FNV fold): rows-only check + ScalaTest.
+         ORDER BY q.doc_id""",
+    // q38: the decode STUB's FNV-1a fold is deterministic integer math, so it
+    // is fully oracle-checkable. h is kept unsigned mod 2^64 in HUGEINT; the
+    // per-byte XOR only touches the low 7 bits (fixture text is pure ASCII,
+    // so ord(char) == utf8 byte), hence h - h%128 + xor(h%128, byte).
+    // Signed reinterpretation + arithmetic >>10 (floor division) reproduce
+    // the Scala width/height/thumbnail arithmetic exactly (IEEE double ops
+    // are deterministic and identical across both engines).
+    "q38_multimodal_decode" ->
+      """WITH RECURSIVE fnv AS (
+           SELECT doc_id, length(text) AS n, 0 AS pos,
+             CAST(1469598103934665603 AS HUGEINT) AS h, text
+           FROM documents
+           UNION ALL
+           SELECT doc_id, n, pos + 1,
+             ((h - h % 128 + xor(CAST(h % 128 AS BIGINT), ord(substr(text, pos + 1, 1))))
+               * 1099511628211) % CAST('18446744073709551616' AS HUGEINT),
+             text
+           FROM fnv WHERE pos < n),
+         cs AS (
+           SELECT doc_id,
+             CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS c
+           FROM fnv WHERE pos = n),
+         dims AS (
+           SELECT doc_id,
+             16 + CAST(abs(c) % 1024 AS INT) AS w,
+             16 + CAST(abs((c - ((c % 1024 + 1024) % 1024)) / 1024) % 1024 AS INT) AS h
+           FROM cs),
+         scaled AS (
+           SELECT doc_id, w, h,
+             least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) / greatest(w, h)) AS scale
+           FROM dims)
+         SELECT doc_id AS id,
+           greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
+           greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
+         FROM scaled ORDER BY id"""
   )
 }

@@ -74,10 +74,26 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs from LSH buckets (id1 < id2, distinct). */
-  def lshCandidates(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.alias("a")
-    val b = buckets.alias("b")
+  /** Candidate pairs from LSH buckets (id1 < id2, distinct).
+    *
+    * `maxBucket` caps degenerate buckets: a (band, key) shared by m docs
+    * emits m² pairs, and a pathological key (empty docs, boilerplate) can
+    * have m in the millions at 100 TB while carrying no discriminative
+    * signal. Buckets above the cap are dropped via a broadcast anti-join
+    * (the oversized-bucket list is tiny by construction), bounding the
+    * join output at |bucket|≤maxBucket ⇒ ≤ maxBucket² pairs per bucket. */
+  def lshCandidates(
+      buckets: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val capped =
+      if (maxBucket == Int.MaxValue) buckets
+      else {
+        val oversized = buckets.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("band", "key")
+        buckets.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+      }
+    val a = capped.alias("a")
+    val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
@@ -85,8 +101,27 @@ object Dedup {
   }
 
   /** Exact Jaccard for pairs: |A∩B| / |A∪B| via a shingle equi-join —
-    * deterministic (integer counts, one double division at the end). */
-  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    * deterministic (integer counts, one double division at the end).
+    *
+    * `maxDocFreq` caps hot shingles: a shingle present in f documents emits
+    * f² join rows, and boilerplate shingles ("click here to", license
+    * headers) have f ∝ corpus size while carrying no near-dup signal —
+    * standard LSH hygiene drops them (cf. stop-word removal). The doc-freq
+    * filter runs BEFORE the self-join and the per-doc counts are computed
+    * on the filtered shingle universe, so the Jaccard estimate stays
+    * internally consistent. Oversized-shingle list is tiny ⇒ broadcast
+    * anti-join, no extra shuffle of the big side. */
+  def jaccardPairs(
+      sh0: DataFrame, idCol: String, threshold: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh =
+      if (maxDocFreq == Int.MaxValue) sh0
+      else {
+        // sh is distinct (id, shingle) ⇒ count(*) per shingle IS doc freq
+        val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDocFreq).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")

@@ -66,4 +66,34 @@ class CompilerSkewSpec extends SparkSpec {
     assert(dropped.collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(kept.select("bucket").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
+
+  test("lshCandidates maxBucket bounds a degenerate bucket's pair blowup") {
+    import graft.functions.Dedup
+    // one hot (band,key) shared by 50 docs (uncapped: 50*49/2 = 1225 pairs)
+    // plus one healthy bucket of 3 docs (3 pairs)
+    val hot = (1L to 50L).map(id => (id, 0, "deadbeef"))
+    val ok = Seq((100L, 1, "cafe"), (101L, 1, "cafe"), (102L, 1, "cafe"))
+    val buckets = (hot ++ ok).toDF("doc_id", "band", "key")
+    val uncapped = Dedup.lshCandidates(buckets, "doc_id").count()
+    val capped = Dedup.lshCandidates(buckets, "doc_id", maxBucket = 10).count()
+    assert(uncapped == 1225 + 3)
+    assert(capped == 3) // hot bucket dropped entirely, healthy one intact
+  }
+
+  test("jaccardPairs maxDocFreq drops boilerplate shingles consistently") {
+    import graft.functions.Dedup
+    // shingle "common" appears in all 30 docs (f² = 435 join rows, zero
+    // signal); docs 1/2 also share a discriminative shingle.
+    val boiler = (1L to 30L).map(id => (id, "common"))
+    val real = Seq((1L, "rare pair x"), (2L, "rare pair x"))
+    val sh = (boiler ++ real).toDF("doc_id", "shingle")
+    val capped = Dedup.jaccardPairs(sh, "doc_id", 0.0, maxDocFreq = 10)
+      .collect()
+    // only (1,2) survives, with counts computed on the FILTERED universe:
+    // each has 1 shingle post-filter, intersection 1 → jaccard = 1.0
+    assert(capped.length == 1)
+    val r = capped.head
+    assert(r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
 }
