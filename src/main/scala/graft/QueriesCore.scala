@@ -287,6 +287,139 @@ object QueriesCore {
           max(col("ts_sec")).as("session_end"))
         .orderBy("user_id", "session_id")
     },
+    // ---- A1/A4/A5/B2/B4 + job log: full ingest round-trip ----
+    // A deterministic CSV drop is derived from the events fixture, then
+    // driven through the REAL ingest path: schema deduction (A4) → CSV
+    // source normalize (A1) → existing-trend filter (B4) → split by part
+    // (B2) → job-stamped PartStore writes (A5, I1) → read-back + join.
+    // The oracle recomputes the expected end state straight from events.
+    "q46_csv_ingest" -> { (s, dir) =>
+      import graft.core.MinervaType
+      import graft.sources.{CsvSourceConfig, CsvTrendSource}
+      import graft.storage.{JobLog, PartStore, PartStoreConfig}
+      val work = java.nio.file.Files.createTempDirectory("graft_q46_").toString
+      events(s, dir).select(
+          col("user_id").as("node"),
+          date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("event_id"), col("value"), col("event_type"), col("props"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      val cfg = CsvSourceConfig("node", Some("ts"),
+        timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      // deduce, then declare what deduction can't know: ts is the timestamp
+      // column; value must stay double (a float-parseable string deduces to
+      // real in the reference lattice too — datatype.py:950-957)
+      val schema = CsvTrendSource.deduceSchema(s, s"$work/drop", cfg).map {
+        case ("ts", _)    => "ts" -> MinervaType.MTimestamp
+        case ("value", _) => "value" -> MinervaType.MDouble
+        case (c, t)       => c -> t
+      }
+      val pkg = CsvTrendSource.read(s, s"$work/drop", cfg, schema)
+      val jobLog = new JobLog(s, s"$work/store")
+      val jobId = jobLog.startJob("q46 ingest", 0L)
+      val keys = Seq("entity_id", "timestamp", "event_id", "modified", "job_id")
+      val batch = pkg.select(
+          col("entity").cast("long").as("entity_id"), col("timestamp"),
+          col("event_id").cast("long").as("event_id"),
+          col("value"), col("event_type"), col("props"))
+        .withColumn("modified", lit(0L)).withColumn("job_id", lit(jobId))
+      val known = PackageOps.restrictToStore(batch, keys,
+        Set("value", "event_type")) // props is unknown to the store → dropped
+      val parts = PackageOps.splitByPart(known, keys,
+        Map("ev_values" -> Seq("value"), "ev_types" -> Seq("event_type")))
+      val ps = new PartStore(s, PartStoreConfig(s"$work/store", 86400L))
+      parts.toSeq.sortBy(_._1).foreach { case (p, df) => ps.store(p, df) }
+      jobLog.endJob(jobId, 1L)
+      val values = ps.readPart("ev_values").get
+        .select("entity_id", "timestamp", "event_id", "value", "job_id")
+      val types = ps.readPart("ev_types").get
+        .select("entity_id", "timestamp", "event_id", "event_type")
+      values
+        .join(types, Seq("entity_id", "timestamp", "event_id"))
+        .join(jobLog.jobs.select("job_id"), Seq("job_id")) // stamped id is logged
+        .select(col("entity_id"), col("timestamp").as("ts_sec"),
+          col("event_id"), col("value"), col("event_type"), col("job_id"))
+        .orderBy("event_id")
+    },
+    // ---- A4-array/B3: `T[]` end-to-end — COPY-form array column through
+    // CSV read, PartStore, and an element-fold aggregate ----
+    "q48_array_ingest" -> { (s, dir) =>
+      import graft.core.MinervaType
+      import graft.sources.{CsvSourceConfig, CsvTrendSource}
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = java.nio.file.Files.createTempDirectory("graft_q48_").toString
+      events(s, dir).select(
+          col("event_id").as("node"),
+          date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          concat(lit("{"), col("user_id"), lit(","), col("user_id") * 2, lit("}"))
+            .as("vals"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      val cfg = CsvSourceConfig("node", Some("ts"),
+        timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      val schema = Seq("node" -> MinervaType.MText,
+        "ts" -> MinervaType.MTimestamp,
+        "vals" -> MinervaType.MArray(MinervaType.MBigInt))
+      val pkg = CsvTrendSource.read(s, s"$work/drop", cfg, schema)
+      val batch = pkg.select(col("entity").cast("long").as("entity_id"),
+          col("timestamp"), col("vals"))
+        .withColumn("modified", lit(0L))
+      val ps = new PartStore(s, PartStoreConfig(s"$work/store", 86400L))
+      ps.store("arr", batch)
+      ps.readPart("arr").get.select(
+          col("entity_id"), col("timestamp").as("ts_sec"),
+          size(col("vals")).as("n_vals"),
+          aggregate(col("vals"), lit(0L), (acc, x) => acc + x).as("sum_vals"),
+          array_join(col("vals"), ",").as("vals_str"))
+        .orderBy("entity_id")
+    },
+    // ---- H12: escape-aware DN explode/implode/split round-trip ----
+    // DNs built with an ESCAPED comma inside the first name part, so the
+    // split must honour `\,` (reference distinguishedname.py:23-33).
+    "q43_dn_roundtrip" -> { (s, dir) =>
+      import graft.core.{DistinguishedName => DN}
+      val dn = concat(
+        lit("segment="), DN.escapeCol(concat(col("c_mktsegment"), lit(","), col("c_name"))),
+        lit(",customer="), col("c_custkey").cast("string"))
+      load(s, dir, "customer")
+        .withColumn("dn", dn)
+        .select(
+          col("dn"),
+          size(DN.splitPartsCol(col("dn"))).as("n_parts"),
+          DN.entityTypeNameCol(col("dn")).as("etype"),
+          DN.entityNameCol(col("dn")).cast("long").as("ename"),
+          element_at(DN.partNamesCol(col("dn")), 1).as("seg_name"),
+          DN.parentDnCol(col("dn")).as("parent_dn"))
+        .orderBy("ename")
+    },
+    // ---- C2 alias variant: namespace-scoped alias → entity id ----
+    "q44_alias_resolve" -> { (s, dir) =>
+      val sup = load(s, dir, "supplier")
+      val aliasDim = sup.select(lit("vendor").as("namespace"),
+          concat(lit("V-"), col("s_suppkey").cast("string")).as("alias"),
+          col("s_suppkey").cast("long").as("entity_id"))
+        .unionByName(sup.select(lit("node").as("namespace"),
+          concat(lit("V-"), col("s_suppkey").cast("string")).as("alias"),
+          (col("s_suppkey") + 1000000).cast("long").as("entity_id")))
+      val incoming = load(s, dir, "customer")
+        .select(concat(lit("V-"), col("c_custkey").cast("string")).as("alias"))
+      EntityResolution.resolveAliases(incoming, aliasDim, "vendor")
+        .orderBy("alias")
+    },
+    // ---- C2 hash path: contract audit (id = xxhash64(type, name)) ----
+    // xxhash64 is not in DuckDB, so the oracle checks the CONTRACT: every
+    // distinct name gets exactly one nonneg id and no two names collide.
+    "q47_hash_id_audit" -> { (s, dir) =>
+      import s.implicits._
+      val dim = Seq.empty[(String, Long)].toDF("name", "id") // allocate fresh
+      val incoming = load(s, dir, "supplier").select(col("s_name").as("name"))
+        .union(load(s, dir, "part").select(col("p_brand").as("name")))
+      val resolved = EntityResolution.resolveHash(incoming, dim, "vendor")
+      resolved.agg(
+        count(lit(1)).cast("long").as("n_names"),
+        countDistinct(col("id")).as("n_distinct_ids"),
+        sum(when(col("id") < 0, 1L).otherwise(0L)).cast("long").as("n_negative"))
+    },
     // ---- H4/H5/H12: regexp extraction + dn-style parsing ----
     "q24_dn_parse" -> { (s, dir) =>
       load(s, dir, "customer")
@@ -508,6 +641,64 @@ object QueriesCore {
       "q40_relation_cardinality" ->
         """SELECT CAST(o_custkey AS BIGINT) AS violated_key, count(*) AS n
            FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+      // The round-trip writes what it read: expected end state = events
+      // projected to the stored columns, second-truncated timestamps,
+      // job_id 1 (first job in a fresh store).
+      "q46_csv_ingest" ->
+        s"""SELECT user_id AS entity_id, $ts AS ts_sec, event_id, value,
+             event_type, CAST(1 AS BIGINT) AS job_id
+           FROM events ORDER BY event_id""",
+      "q48_array_ingest" ->
+        s"""SELECT event_id AS entity_id, $ts AS ts_sec,
+             CAST(2 AS INT) AS n_vals,
+             CAST(user_id * 3 AS BIGINT) AS sum_vals,
+             CAST(user_id AS VARCHAR) || ',' || CAST(user_id * 2 AS VARCHAR)
+               AS vals_str
+           FROM events ORDER BY entity_id""",
+      // DuckDB regex (RE2) has no lookbehind, so the escape-aware split is
+      // expressed portably: swap '\,' for a sentinel char, split on ',',
+      // restore. Same results as the Java-regex lookbehind split.
+      "q43_dn_roundtrip" ->
+        """WITH src AS (
+             SELECT c_custkey,
+               'segment=' || replace(c_mktsegment || ',' || c_name, ',', '\,')
+                 || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn
+             FROM customer),
+           split AS (
+             SELECT c_custkey, dn,
+               str_split(replace(dn, '\,', chr(1)), ',') AS parts
+             FROM src)
+           SELECT dn,
+             CAST(len(parts) AS INT) AS n_parts,
+             regexp_extract(parts[len(parts)], '^([^=]+)=', 1) AS etype,
+             CAST(replace(regexp_extract(parts[len(parts)], '^[^=]+=(.*)$', 1),
+               chr(1), ',') AS BIGINT) AS ename,
+             replace(regexp_extract(parts[1], '^[^=]+=(.*)$', 1), chr(1), ',')
+               AS seg_name,
+             CASE WHEN len(parts) > 1 THEN
+               replace(array_to_string(parts[1:len(parts)-1], ','), chr(1), '\,')
+             ELSE NULL END AS parent_dn
+           FROM split ORDER BY ename""",
+      "q44_alias_resolve" ->
+        """WITH dim AS (
+             SELECT 'V-' || CAST(s_suppkey AS VARCHAR) AS alias,
+               CAST(s_suppkey AS BIGINT) AS entity_id
+             FROM supplier),
+           incoming AS (
+             SELECT DISTINCT 'V-' || CAST(c_custkey AS VARCHAR) AS alias
+             FROM customer)
+           SELECT i.alias, d.entity_id
+           FROM incoming i LEFT JOIN dim d ON i.alias = d.alias
+           ORDER BY i.alias""",
+      "q47_hash_id_audit" ->
+        """WITH incoming AS (
+             SELECT DISTINCT name FROM (
+               SELECT s_name AS name FROM supplier
+               UNION ALL SELECT p_brand FROM part))
+           SELECT CAST(count(*) AS BIGINT) AS n_names,
+             CAST(count(*) AS BIGINT) AS n_distinct_ids,
+             CAST(0 AS BIGINT) AS n_negative
+           FROM incoming""",
       "q24_dn_parse" ->
         """SELECT 'segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR) AS dn,
              regexp_extract('segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR),

@@ -49,14 +49,20 @@ object Main {
       val resolved = EntityResolution.resolveHash(
         pkg.select(col("entity").as("name")), dim, "default")
       val now = System.currentTimeMillis() / 1000
+      val jobLog = new graft.storage.JobLog(s, base)
+      val jobId = jobLog.startJob(s"load-data $csv -> $part", now)
+      // every stored row carries the loading job's id
+      // (trendstorepart.py:440-454)
       val batch = pkg.join(resolved, pkg("entity") === resolved("name"))
         .drop("entity", "name")
         .withColumnRenamed("id", "entity_id")
         .withColumn("modified", lit(now))
+        .withColumn("job_id", lit(jobId))
       val ps = new PartStore(s, PartStoreConfig(base, psize))
       val n = ps.store(part, batch)
       ps.markModified(part, batch, now)
-      println(s"""{"loaded_partitions":$n,"part":"$part"}""")
+      jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
+      println(s"""{"loaded_partitions":$n,"part":"$part","job_id":$jobId}""")
 
     case "report" :: base :: part :: Nil =>
       val s = spark()
@@ -96,7 +102,7 @@ object Main {
         println(s"""{"error":"no such part","part":"$srcPart"}"""); sys.exit(1); null
       }
       val trendCols = src.columns.filterNot(
-        Set("entity_id", "timestamp", "modified", "created", "pindex"))
+        Set("entity_id", "timestamp", "modified", "created", "pindex", "job_id"))
       val rolled = TimeAggregation.rollup(src, "entity_id", "timestamp", granSec.toLong,
         TimeAggregation.samples +: trendCols.toSeq.map(c => sum(col(c)).as(c)))
         .withColumn("modified", lit(System.currentTimeMillis() / 1000))
@@ -123,7 +129,7 @@ object Main {
                 Seq("chunk", "entity_id"), "modified"),
               "chunk", "entity_id", "last_modified")
             val trendCols = df.columns.filterNot(
-              Set("entity_id", "timestamp", "modified", "created", "pindex"))
+              Set("entity_id", "timestamp", "modified", "created", "pindex", "job_id"))
             runner.run(MaterializationSpec(dstPart,
               chunk => TimeAggregation.rollup(
                 df.filter(col("timestamp") >= chunk && col("timestamp") < chunk + gran),

@@ -53,4 +53,23 @@ object EntityResolution {
   def missingEntities(names: DataFrame, dim: DataFrame): DataFrame =
     names.select("name").distinct()
       .join(dim.select("name"), Seq("name"), "left_anti")
+
+  /** Alias-based resolution (reference: directory/entityref.py:56-95
+    * EntityAliasRef + helpers.py:16 `aliases_to_entity_ids`): map aliases
+    * to entity ids through an alias directory scoped by namespace (the
+    * reference's alias_type). Telco-style instances key loads on aliases
+    * (equipment codes, vendor ids) rather than canonical names.
+    *
+    * `aliasDim(namespace, alias, entity_id)` is an entity-scale dimension
+    * (≤10⁷ rows) ⇒ broadcast; the fact side never shuffles. Unmatched
+    * aliases keep a null entity_id so callers can route them to
+    * `missingEntities` / dead-letter rather than silently dropping rows. */
+  def resolveAliases(
+      aliases: DataFrame, aliasDim: DataFrame, namespace: String): DataFrame = {
+    val dim = aliasDim
+      .filter(col("namespace") === namespace)
+      .select(col("alias"), col("entity_id"))
+    aliases.select("alias").distinct()
+      .join(broadcast(dim), Seq("alias"), "left")
+  }
 }

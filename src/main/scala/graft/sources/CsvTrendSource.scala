@@ -71,9 +71,20 @@ object CsvTrendSource {
         .otherwise(col(c))
       val castCol =
         if (Some(c) == cfg.timestampColumn)
-          to_timestamp(cleaned).cast("long")
+          to_timestamp(cleaned, cfg.timestampFormat).cast("long")
         else t match {
           case MinervaType.MTimestamp => to_timestamp(regexp_replace(cleaned, "T", " "))
+          case arr: MinervaType.MArray =>
+            // COPY `{a,b,c}` / bracketed `[a,b,c]` array form — the column
+            // expression mirror of MinervaType.MArray.parseArray (reference
+            // datatype.py:781-862, 1005-1016). Empty braces → empty array;
+            // element null tokens → null elements.
+            val inner = regexp_replace(cleaned, "^[\\{\\[]|[\\}\\]]$", "")
+            when(cleaned.isNull, lit(null).cast(arr.sparkType))
+              .when(trim(inner) === "", array().cast(arr.sparkType))
+              .otherwise(transform(split(inner, ","), e =>
+                when(trim(e) === cfg.nullToken || trim(e) === "", lit(null))
+                  .otherwise(trim(e)).cast(arr.elem.sparkType)))
           case other => cleaned.cast(other.sparkType)
         }
       df.withColumn(c, castCol)

@@ -130,12 +130,28 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     }
     val staging = path(part) + "__staging"
     merged.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+    // Swap order is crash-safe: the live partition is renamed ASIDE (not
+    // deleted) before the staged one moves in, so at no point is the data
+    // present in zero places. A crash leaves either the live dir, or the
+    // `__old` dir + staged dir — both recoverable; `__old` leftovers are
+    // swept on the next store. (`pindex=` prefix means Spark's partition
+    // discovery ignores the aside dir even if a sweep is missed.)
     indices.foreach { i =>
       val src = hp(s"$staging/pindex=$i")
       val dst = hp(s"${path(part)}/pindex=$i")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      val aside = hp(s"${path(part)}/.pindex_old_$i")
+      if (fs.exists(aside)) fs.delete(aside, true) // leftover from a crash
+      val hadLive = fs.exists(dst)
+      if (hadLive) {
+        if (!fs.rename(dst, aside))
+          throw new java.io.IOException(s"failed to move aside $dst")
+      }
       fs.mkdirs(dst.getParent)
-      if (fs.exists(src)) fs.rename(src, dst)
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        if (hadLive) fs.rename(aside, dst) // roll back
+        throw new java.io.IOException(s"failed to swap in $src -> $dst")
+      }
+      if (hadLive) fs.delete(aside, true)
     }
     fs.delete(hp(staging), true)
     indices.length

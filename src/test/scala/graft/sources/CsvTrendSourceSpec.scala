@@ -51,6 +51,42 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(rows(2).getAs[java.math.BigDecimal]("power_kwh").doubleValue() == 56.2)
   }
 
+  test("array columns parse COPY `{...}` form with null tokens") {
+    val arrCsv =
+      """node,timestamp,readings
+        |n1,2020-08-25T14:00:00Z,"{1,2,3}"
+        |n2,2020-08-25T14:00:00Z,"{4,\N,6}"
+        |n3,2020-08-25T14:00:00Z,"{}"
+        |n4,2020-08-25T14:00:00Z,\N
+        |""".stripMargin
+    val p = Paths.get("target/tmp/arrcsv.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, arrCsv)
+    val cfg = CsvSourceConfig("node", Some("timestamp"))
+    val schema = Seq("node" -> MText, "timestamp" -> MTimestamp,
+      "readings" -> MArray(MBigInt))
+    val df = CsvTrendSource.read(spark, p.toString, cfg, schema)
+    val rows = df.sort("entity").collect()
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("readings")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).getSeq[Any](rows(1).fieldIndex("readings")).toSeq == Seq(4L, null, 6L))
+    assert(rows(2).getSeq[Long](rows(2).fieldIndex("readings")).toSeq == Seq.empty)
+    assert(rows(3).isNullAt(rows(3).fieldIndex("readings")))
+  }
+
+  test("configured timestampFormat is honoured") {
+    val tsCsv =
+      """node,timestamp,v
+        |n1,25-08-2020 14:00:00,1
+        |""".stripMargin
+    val p = Paths.get("target/tmp/tsfmt.csv")
+    Files.writeString(p, tsCsv)
+    val cfg = CsvSourceConfig("node", Some("timestamp"),
+      timestampFormat = "dd-MM-yyyy HH:mm:ss")
+    val schema = Seq("node" -> MText, "timestamp" -> MTimestamp, "v" -> MBigInt)
+    val df = CsvTrendSource.read(spark, p.toString, cfg, schema)
+    assert(df.head.getAs[Long]("timestamp") == 1598364000L)
+  }
+
   test("fixed timestamp provider when no timestamp column") {
     val path = writeFixture("fixedts")
     val cfg = CsvSourceConfig("node", None, fixedTimestampSec = Some(1700000000L))
