@@ -373,6 +373,87 @@ object QueriesCore {
           array_join(col("vals"), ",").as("vals_str"))
         .orderBy("entity_id")
     },
+    // ---- J2/I4 end-to-end: aggregation-YAML → runnable 15m→1h→1d chain ----
+    // Both hops are compiled purely from YAML definitions (target store,
+    // widened types, samples injection, mapping functions) and executed
+    // back-to-back — the reference's `minerva aggregation compile` flow.
+    "q49_yaml_agg_chain" -> { (s, dir) =>
+      import graft.model.InstanceModel
+      val src = InstanceModel.parseTrendStore(
+        """title: Raw events
+          |data_source: hub
+          |entity_type: user
+          |granularity: 15m
+          |partition_size: 1d
+          |parts:
+          |  - name: hub_user_main_15m
+          |    trends:
+          |      - name: value_i
+          |        data_type: integer
+          |""".stripMargin)
+      val def1h = InstanceModel.parseAggregation(
+        """time_aggregation:
+          |  source: hub_user_main_15m
+          |  name: hub_user_main_1h
+          |  granularity: 1h
+          |  mapping_function: trend.mapping_15m->1h
+          |  parts:
+          |    - name: hub_user_main_1h
+          |      source: hub_user_main_15m
+          |""".stripMargin).timeAggregation.get
+      val c1 = AggregationCompiler.compileTimeAggregation(src, def1h)
+      val def1d = InstanceModel.parseAggregation(
+        """time_aggregation:
+          |  source: hub_user_main_1h
+          |  name: hub_user_main_1d
+          |  granularity: 1d
+          |  mapping_function: trend.mapping_1h->1d
+          |  parts:
+          |    - name: hub_user_main_1d
+          |      source: hub_user_main_1h
+          |""".stripMargin).timeAggregation.get
+      val c2 = AggregationCompiler.compileTimeAggregation(c1.targetStore, def1d)
+      val df15 = events(s, dir).select(
+        col("user_id").as("entity_id"), col("ts_sec").as("timestamp"),
+        floor(col("value")).cast("int").as("value_i"))
+      val daily = c2.units.head.compute(c1.units.head.compute(df15))
+      daily.orderBy("entity_id", "timestamp")
+    },
+    // ---- Entity-aggregation YAML compile over a named relation ----
+    "q50_yaml_entity_agg" -> { (s, dir) =>
+      import graft.model.InstanceModel
+      val src = InstanceModel.parseTrendStore(
+        """title: Hourly user counters
+          |data_source: hub
+          |entity_type: user
+          |granularity: 1h
+          |partition_size: 4d
+          |parts:
+          |  - name: hub_user_main_1h
+          |    trends:
+          |      - name: value_i
+          |        data_type: bigint
+          |""".stripMargin)
+      val ea = InstanceModel.parseAggregation(
+        """entity_aggregation:
+          |  source: hub_user_main_1h
+          |  name: hub_group_main_1h
+          |  entity_type: group
+          |  relation: user->group
+          |  aggregation_type: VIEW_MATERIALIZATION
+          |  parts:
+          |    - name: hub_group_main_1h
+          |      source: hub_user_main_1h
+          |""".stripMargin).entityAggregation.get
+      val hourly = TimeAggregation.rollup(
+        events(s, dir), "user_id", "ts_sec", 3600L,
+        Seq(TimeAggregation.samples,
+          sum(floor(col("value")).cast("int")).cast("bigint").as("value_i")))
+      val rel = hourly.select(col("entity_id").as("source_id")).distinct()
+        .withColumn("target_id", pmod(col("source_id"), lit(10L)))
+      val c = AggregationCompiler.compileEntityAggregation(src, ea, rel)
+      c.units.head.compute(hourly).orderBy("entity_id", "timestamp")
+    },
     // ---- H12: escape-aware DN explode/implode/split round-trip ----
     // DNs built with an ESCAPED comma inside the first name part, so the
     // split must honour `\,` (reference distinguishedname.py:23-33).
@@ -641,6 +722,26 @@ object QueriesCore {
       "q40_relation_cardinality" ->
         """SELECT CAST(o_custkey AS BIGINT) AS violated_key, count(*) AS n
            FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+      "q49_yaml_agg_chain" ->
+        s"""WITH h AS (
+             SELECT user_id AS entity_id, ($ts//3600)*3600 + 3600 AS w,
+               count(*) AS samples,
+               CAST(sum(CAST(floor(value) AS INT)) AS BIGINT) AS value_i
+             FROM events GROUP BY 1, 2)
+           SELECT entity_id, (w//86400)*86400 + 86400 AS "timestamp",
+             CAST(sum(samples) AS BIGINT) AS samples,
+             CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
+           FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q50_yaml_entity_agg" ->
+        s"""WITH h AS (
+             SELECT user_id AS entity_id, ($ts//3600)*3600 + 3600 AS w,
+               count(*) AS samples,
+               CAST(sum(CAST(floor(value) AS INT)) AS BIGINT) AS value_i
+             FROM events GROUP BY 1, 2)
+           SELECT entity_id % 10 AS entity_id, w AS "timestamp",
+             CAST(sum(samples) AS BIGINT) AS samples,
+             CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
+           FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
       // The round-trip writes what it read: expected end state = events
       // projected to the stored columns, second-truncated timestamps,
       // job_id 1 (first job in a fresh store).

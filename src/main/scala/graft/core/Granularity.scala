@@ -93,13 +93,14 @@ object Granularity {
     * (granularity.py:97-152,200-207): bare seconds ("900"), short units
     * ("15m", "1h", "1d", "1w", "1month"), verbose units ("1 day",
     * "2 hours", "900 seconds"). */
-  private val Pat = """^\s*(\d+)\s*(month(?:s)?|mon|w(?:eek(?:s)?)?|d(?:ay(?:s)?)?|h(?:our(?:s)?)?|m(?:in(?:ute(?:s)?)?)?|s(?:ec(?:ond(?:s)?)?)?|)\s*$""".r
+  private val Pat = """^\s*(\d+)\s*(y(?:ear(?:s)?)?|month(?:s)?|mon|w(?:eek(?:s)?)?|d(?:ay(?:s)?)?|h(?:our(?:s)?)?|m(?:in(?:ute(?:s)?)?)?|s(?:ec(?:ond(?:s)?)?)?|)\s*$""".r
 
   def parse(s: String): Granularity = s match {
     case Pat(n, unit) =>
       val v = n.toLong
       unit match {
         case "" => SecondsGranularity(v)
+        case u if u.startsWith("y") => MonthsGranularity(v.toInt * 12)
         case u if u.startsWith("mon") => MonthsGranularity(v.toInt)
         case u if u.startsWith("w") => WeeksGranularity(v.toInt)
         case u if u.startsWith("d") => DaysGranularity(v.toInt)

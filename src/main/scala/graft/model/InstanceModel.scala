@@ -65,13 +65,50 @@ final case class Trigger(
     notification: String
 )
 
+/** One part of an aggregation definition: target part `name` aggregated
+  * from source part `source` (aggregation_compilation.py:449-471). */
+final case class AggregationPartDef(name: String, source: String)
+
+/** A `time_aggregation` definition (reference aggregation YAML; compiled by
+  * aggregation_compilation.py:562-599). `mappingFunction` names a
+  * source→target timestamp mapping (the reference's
+  * `trend.mapping_{src}->{tgt}` regprocedure, aggregation_generation.py:268;
+  * resolved by [[graft.operators.TimestampMappings]]). */
+final case class TimeAggregationDef(
+    name: String,
+    source: String,
+    granularity: Granularity,
+    mappingFunction: String,
+    parts: Seq[AggregationPartDef],
+    dataSource: Option[String] = None,
+    entityType: Option[String] = None
+)
+
+/** An `entity_aggregation` definition (compiled by
+  * aggregation_compilation.py:113-189): rolls a source store up a named
+  * relation to a new entity type. */
+final case class EntityAggregationDef(
+    name: String,
+    source: String,
+    relation: String,
+    entityType: String,
+    parts: Seq[AggregationPartDef],
+    aggregationType: String = "VIEW_MATERIALIZATION"
+)
+
+final case class AggregationDef(
+    timeAggregation: Option[TimeAggregationDef],
+    entityAggregation: Option[EntityAggregationDef]
+)
+
 /** A fully-loaded instance directory (the reference's `minerva initialize`
-  * input layout: trend/, materialization/, trigger/ subdirectories of YAML
-  * files — src/minerva/commands/initialize.py:70-147). */
+  * input layout: trend/, materialization/, trigger/, aggregation/
+  * subdirectories of YAML files — src/minerva/commands/initialize.py:70-147). */
 final case class Instance(
     trendStores: Seq[TrendStore],
     materializations: Seq[Materialization],
-    triggers: Seq[Trigger]
+    triggers: Seq[Trigger],
+    aggregations: Seq[AggregationDef] = Seq.empty
 )
 
 object InstanceModel {
@@ -93,7 +130,8 @@ object InstanceModel {
     Instance(
       trendStores = files("trend").map(parseTrendStore),
       materializations = files("materialization").map(parseMaterialization),
-      triggers = files("trigger").map(parseTrigger)
+      triggers = files("trigger").map(parseTrigger),
+      aggregations = files("aggregation").map(parseAggregation)
     )
   }
   private def yamlMap(text: String): Map[String, Any] = {
@@ -153,6 +191,39 @@ object InstanceModel {
       },
       view = m.get("view").map(String.valueOf)
     )
+  }
+
+  /** Parse an aggregation definition file: `time_aggregation` and/or
+    * `entity_aggregation` keys (commands/aggregation.py:123-140). */
+  def parseAggregation(yamlText: String): AggregationDef = {
+    val m = yamlMap(yamlText)
+    def partDefs(d: Map[String, Any]): Seq[AggregationPartDef] =
+      seqOfMaps(d.getOrElse("parts", null)).map(p =>
+        AggregationPartDef(str(p, "name"), str(p, "source")))
+    val ta = m.get("time_aggregation")
+      .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
+      .map { d =>
+        TimeAggregationDef(
+          name = str(d, "name"),
+          source = str(d, "source"),
+          granularity = Granularity.parse(str(d, "granularity")),
+          mappingFunction = str(d, "mapping_function", "mapping_id"),
+          parts = partDefs(d),
+          dataSource = d.get("data_source").map(String.valueOf),
+          entityType = d.get("entity_type").map(String.valueOf))
+      }
+    val ea = m.get("entity_aggregation")
+      .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
+      .map { d =>
+        EntityAggregationDef(
+          name = str(d, "name"),
+          source = str(d, "source"),
+          relation = str(d, "relation"),
+          entityType = str(d, "entity_type"),
+          parts = partDefs(d),
+          aggregationType = str(d, "aggregation_type", "VIEW_MATERIALIZATION"))
+      }
+    AggregationDef(ta, ea)
   }
 
   def parseTrigger(yamlText: String): Trigger = {

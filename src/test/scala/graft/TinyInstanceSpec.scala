@@ -112,4 +112,86 @@ class TinyInstanceSpec extends SparkSpec {
     assert(read.head.getAs[Long]("weight") == 500L) // 112 > 110
     assert(read.head.getAs[Long]("created") == 4000L) // last wins
   }
+
+  test("aggregation YAML compiles to a runnable 15m→1h→1d chain") {
+    val src = InstanceModel.parseTrendStore(
+      """title: Raw node counters
+        |data_source: hub
+        |entity_type: node
+        |granularity: 15m
+        |partition_size: 1d
+        |parts:
+        |  - name: hub_node_main_15m
+        |    trends:
+        |      - name: drops
+        |        data_type: smallint
+        |      - name: ccr
+        |        data_type: double precision
+        |        time_aggregation: avg
+        |        entity_aggregation: avg
+        |""".stripMargin)
+    val def1h = InstanceModel.parseAggregation(
+      """time_aggregation:
+        |  source: hub_node_main_15m
+        |  name: hub_node_main_1h
+        |  granularity: 1h
+        |  mapping_function: trend.mapping_15m->1h
+        |  parts:
+        |    - name: hub_node_main_1h
+        |      source: hub_node_main_15m
+        |""".stripMargin).timeAggregation.get
+    val c1 = AggregationCompiler.compileTimeAggregation(src, def1h)
+
+    // target STORE definition (define_aggregate_trend_store semantics)
+    assert(c1.targetStore.granularity.name == "1h")
+    assert(c1.targetStore.partitionSize.name == "4d") // PARTITION_SIZE_MAPPING
+    assert(c1.targetStore.dataSource == "hub" && c1.targetStore.entityType == "node")
+    val tgtPart = c1.targetStore.parts.head
+    assert(tgtPart.trends.head.name == "samples") // injected
+    assert(tgtPart.trends.find(_.name == "drops").get.dataType.name == "bigint") // sum widening
+    assert(tgtPart.trends.find(_.name == "ccr").get.dataType.name == "double precision")
+
+    // materialization metadata (define_part_time_aggregation defaults)
+    val m = c1.units.head.materialization
+    assert(m.processingDelay == "30m" && m.stabilityDelay == "5m"
+      && m.reprocessingPeriod == "3 days"
+      && m.sources.head.mappingFunction == "trend.mapping_15m->1h")
+
+    // run the chain: 15m rows → 1h → 1d
+    val df15 = Seq(
+      (1L, 900L, 5, 0.5), (1L, 1800L, 7, 0.7),   // both in hour ending 3600
+      (1L, 4500L, 2, 0.2),                        // hour ending 7200
+      (2L, 900L, 1, 0.1)
+    ).toDF("entity_id", "timestamp", "drops", "ccr")
+    val hourly = c1.units.head.compute(df15)
+    val h = hourly.sort("entity_id", "timestamp").collect()
+    assert(h(0).getAs[Long]("samples") == 2 && h(0).getAs[Long]("drops") == 12L)
+    assert(h(0).getAs[Double]("ccr") == 0.6)
+
+    val def1d = InstanceModel.parseAggregation(
+      """time_aggregation:
+        |  source: hub_node_main_1h
+        |  name: hub_node_main_1d
+        |  granularity: 1d
+        |  mapping_function: trend.mapping_1h->1d
+        |  parts:
+        |    - name: hub_node_main_1d
+        |      source: hub_node_main_1h
+        |""".stripMargin).timeAggregation.get
+    val c2 = AggregationCompiler.compileTimeAggregation(c1.targetStore, def1d)
+    assert(c2.targetStore.partitionSize.name == "3month")
+    val daily = c2.units.head.compute(hourly).sort("entity_id", "timestamp").collect()
+    // entity 1: samples 2+1, drops 12+2; one day window ending 86400
+    assert(daily.length == 2)
+    assert(daily(0).getAs[Long]("timestamp") == 86400L)
+    assert(daily(0).getAs[Long]("samples") == 3L)
+    assert(daily(0).getAs[java.math.BigDecimal]("drops").longValueExact == 14L)
+
+    // custom timestamp-mapping function (I4): registered by name
+    TimestampMappings.register("mapping_shift_1h",
+      ts => (ts + lit(3600L)).cast("long"))
+    val shifted = AggregationCompiler.timeAggregationMapped(
+      c1.targetStore.parts.head, TimestampMappings.resolve("mapping_shift_1h"))(df15)
+    assert(shifted.sort("entity_id", "timestamp").head.getAs[Long]("timestamp") == 4500L)
+  }
 }
