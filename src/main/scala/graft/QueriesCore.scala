@@ -537,18 +537,20 @@ object QueriesCore {
              CAST(sum(samples) AS BIGINT) AS samples,
              CAST(sum(CAST(sum_value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
            FROM hourly GROUP BY 1,2 ORDER BY 1,2""",
+      // dict.update semantics: the ordering expr is gated on the CARRYING
+      // package (pkg tag), not on value nullness — a carried NULL wins.
       "q04_merge_packages" ->
         s"""WITH u AS (
              SELECT user_id, ($ts//3600)*3600 AS hr, value AS counter_a,
-               CAST(NULL AS DOUBLE) AS counter_b, event_id
+               CAST(NULL AS DOUBLE) AS counter_b, event_id, 0 AS pkg
              FROM events WHERE event_type = 'click'
              UNION ALL
              SELECT user_id, ($ts//3600)*3600 AS hr, CAST(NULL AS DOUBLE),
-               value, event_id
+               value, event_id, 1 AS pkg
              FROM events WHERE event_type = 'error')
            SELECT user_id, hr,
-             max_by(counter_a, CASE WHEN counter_a IS NULL THEN NULL ELSE event_id END) AS counter_a,
-             max_by(counter_b, CASE WHEN counter_b IS NULL THEN NULL ELSE event_id END) AS counter_b
+             max_by(counter_a, CASE WHEN pkg = 0 THEN event_id END) AS counter_a,
+             max_by(counter_b, CASE WHEN pkg = 1 THEN event_id END) AS counter_b
            FROM u GROUP BY 1,2 ORDER BY 1,2""",
       "q05_current_ptr" ->
         """SELECT o_custkey, o_orderkey, o_orderstatus,
@@ -588,7 +590,8 @@ object QueriesCore {
            SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
              greatest(t.modified, b.modified) AS modified,
              coalesce(t.created, b.created) AS created,
-             coalesce(b.o_totalprice, t.o_totalprice) AS o_totalprice
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_totalprice
+                  ELSE t.o_totalprice END AS o_totalprice
            FROM tgt t FULL OUTER JOIN bat b ON t.o_orderkey = b.o_orderkey
            ORDER BY o_orderkey""",
       "q09_entity_resolution" ->

@@ -133,8 +133,47 @@ object QueriesLLM {
       val d = Multimodal.decode(
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
+    },
+    // ---- ANN: seeded-Gaussian LSH buckets + capped join + exact rerank —
+    // the production ANN shape (q36 with the production hash family) ----
+    "q51_ann_gaussian" -> { (s, dir) =>
+      Similarity.bucketedNeighborsGaussian(
+          load(s, dir, "embeddings"), "vec_id", "embedding",
+          nBits = 8, dim = 64, seed = 20260812L, minCos = 0.2, maxBucket = 100)
+        .orderBy("bucket", "id1", "id2")
     }
   )
+
+  /** The Gaussian planes are deterministic from the seed, so the SAME plane
+    * constants are inlined into the DuckDB oracle — the hash family itself
+    * is oracle-checked, not just the join shape. Sequential zip/fold dot
+    * products are bit-identical across both engines (proven for q35). */
+  private def gaussianOracle: String = {
+    val planes = Similarity.gaussianPlanes(8, 64, 20260812L)
+    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n           + ")
+    s"""WITH bk AS (
+         SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+       sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+       capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+       pairs AS (
+         SELECT x.bucket, x.vec_id AS id1, y.vec_id AS id2
+         FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       scored AS (
+         SELECT p.bucket, p.id1, p.id2,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             AS cos
+         FROM pairs p
+         JOIN embeddings a ON a.vec_id = p.id1
+         JOIN embeddings b ON b.vec_id = p.id2)
+       SELECT bucket, id1, id2, cos FROM scored
+       WHERE cos >= 0.2 ORDER BY bucket, id1, id2"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -345,6 +384,7 @@ object QueriesLLM {
          SELECT doc_id AS id,
            greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
-         FROM scaled ORDER BY id"""
+         FROM scaled ORDER BY id""",
+    "q51_ann_gaussian" -> gaussianOracle
   )
 }

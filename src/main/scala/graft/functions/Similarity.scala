@@ -58,7 +58,11 @@ object Similarity {
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
-    val sameSet = queries.eq(corpus)
+    // Logical-plan equivalence, not reference equality: two separately
+    // loaded DataFrames over the same source still qualify for the
+    // halved-pair self-similarity optimization.
+    val sameSet = queries.eq(corpus) ||
+      queries.queryExecution.analyzed.sameResult(corpus.queryExecution.analyzed)
     val scored =
       if (sameSet) {
         // Self-similarity: cos is symmetric and the per-element product
@@ -107,14 +111,65 @@ object Similarity {
         element_at(vec, 2 * j + 2).cast("double"), lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Seeded random Gaussian hyperplanes (classic SimHash-for-cosine LSH):
+    * nBits planes in R^dim, generated deterministically from `seed` on the
+    * driver and shipped as literals — every executor sees the same planes,
+    * re-runs are idempotent. For two vectors at angle θ, P(same bit) =
+    * 1 − θ/π, so bucket collision concentrates near-neighbors. */
+  def gaussianPlanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id from seeded-Gaussian plane sign bits. The plane dot product
+    * is a zip_with/aggregate fold over the vector — codegen'd, no UDF. */
+  def gaussianBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = aggregate(
+        zip_with(vec, typedlit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF/LSH-bucketed neighbor candidates: same-bucket pairs with exact
-    * cosine rerank and threshold. */
+    * cosine rerank and threshold.
+    *
+    * **This is the default ANN entry point at scale** (SURVEY §2 similarity
+    * search): shuffle volume ∝ Σ|bucket|², never N². `bruteForceTopK` is
+    * the exact small-corpus baseline and the rerank stage. `bucketFn`
+    * selects the hash family — `hyperplaneBucket(_, nBits)` (portable,
+    * oracle-checkable) or `gaussianBucket(_, planes)` (production).
+    * `maxBucket` drops degenerate buckets (all-zero vectors, constant
+    * embeddings) the same way Dedup.lshCandidates caps LSH keys. */
   def bucketedNeighbors(
-      vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, minCos: Double
+      vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, minCos: Double,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame =
+    bucketedNeighborsBy(vectors, idCol, vecCol,
+      hyperplaneBucket(col(vecCol), nBits), minCos, maxBucket)
+
+  /** Gaussian-plane variant — the production hash family. */
+  def bucketedNeighborsGaussian(
+      vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,
+      seed: Long, minCos: Double, maxBucket: Int = Int.MaxValue
+  ): DataFrame =
+    bucketedNeighborsBy(vectors, idCol, vecCol,
+      gaussianBucket(col(vecCol), gaussianPlanes(nBits, dim, seed)), minCos, maxBucket)
+
+  private def bucketedNeighborsBy(
+      vectors: DataFrame, idCol: String, vecCol: String, bucketCol: Column,
+      minCos: Double, maxBucket: Int
   ): DataFrame = {
-    val b = vectors.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), nBits).as("bucket"),
+    val b0 = vectors.select(col(idCol), col(vecCol),
+      bucketCol.as("bucket"),
       norm(col(vecCol)).as("nrm"))
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else {
+        val oversized = b0.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select("bucket")
+        b0.join(broadcast(oversized), Seq("bucket"), "left_anti")
+      }
     val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       col("bucket"), col("nrm").as("n1"))
     val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"),

@@ -15,31 +15,39 @@ object PackageOps {
 
   /** Package merge (datapackage.py:58-63,223-258): union packages with the
     * same shape key, then per-(entity, timestamp) dict-union of values —
-    * *last package wins per column*, nulls don't overwrite.
+    * *last package CARRYING a column wins for it*, exactly like the
+    * reference's `dict.update()`: a carried NULL overwrites (a counter can
+    * be cleared), while a package that doesn't have the column at all
+    * leaves it untouched.
     *
     * Spark-first: `unionByName(allowMissingColumns)` + one hash aggregation
-    * with `max_by(col, seq) ignore-nulls` semantics. We use
-    * `max_by(struct(seq, col)).col`-free formulation: max_by(col, seq
-    * conditioned on col non-null) — expressed as
-    * `max_by(col, CASE WHEN col IS NULL THEN NULL ELSE seq END)`: max_by
-    * ignores rows where the ordering expr is null, giving exactly
-    * "latest non-null value". Single shuffle; map-side partials apply.
+    * with `max_by(col, seq gated on carrier packages)`: rows from packages
+    * that don't carry the column get a NULL ordering expr, which max_by
+    * ignores — so only carriers compete, and among carriers the greatest
+    * `seqCol` wins value-NULLs included. Single shuffle; map-side partials
+    * apply.
     *
     * @param pkgs   packages in arrival order
-    * @param seqCol a column (present in all packages) that orders rows —
-    *               e.g. a package sequence number or job id
+    * @param seqCol a column (present in all packages) that orders rows;
+    *               must be monotone in package arrival order when packages
+    *               overlap on a column (the reference's job-id semantics)
     */
   def mergePackages(
       pkgs: Seq[DataFrame],
       keyCols: Seq[String],
       seqCol: String
   ): DataFrame = {
-    val unioned = pkgs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val tagged = pkgs.zipWithIndex.map { case (df, i) =>
+      df.withColumn("__pkg", lit(i))
+    }
+    val unioned = tagged.reduce(_.unionByName(_, allowMissingColumns = true))
     val valueCols =
-      unioned.columns.filterNot(c => keyCols.contains(c) || c == seqCol)
+      unioned.columns.filterNot(c => keyCols.contains(c) || c == seqCol || c == "__pkg")
     val aggs = valueCols.map { c =>
-      expr(s"max_by(`$c`, CASE WHEN `$c` IS NULL THEN NULL ELSE `$seqCol` END)")
-        .as(c)
+      val carriers = pkgs.zipWithIndex
+        .collect { case (df, i) if df.columns.contains(c) => i }
+      expr(s"max_by(`$c`, CASE WHEN `__pkg` IN (${carriers.mkString(",")}) " +
+        s"THEN `$seqCol` END)").as(c)
     }
     unioned
       .groupBy(keyCols.map(col): _*)

@@ -13,16 +13,21 @@ import org.apache.spark.sql.functions._
   * `created` is preserved on conflict.
   *
   * Spark-first this is one MERGE: full-outer on the key, batch wins per
-  * value column (nulls don't clobber), `modified = greatest`, `created`
-  * preserved. Without a transactional table format in this environment the
-  * physical write is partition-overwrite of the affected time partitions
-  * (dynamic partition overwrite keeps untouched partitions intact at 100 TB:
-  * only partitions containing batch keys are rewritten — the same blast
-  * radius as the reference's range partitions).
+  * value column it CARRIES — including NULLs, exactly like the reference's
+  * `col = excluded.col` (a counter reset to NULL can be cleared); a column
+  * the batch does NOT carry is untouched (the reference never lists it in
+  * the UPDATE SET). `modified = greatest`, `created` preserved. Without a
+  * transactional table format in this environment the physical write is
+  * partition-overwrite of the affected time partitions (dynamic partition
+  * overwrite keeps untouched partitions intact at 100 TB: only partitions
+  * containing batch keys are rewritten — the same blast radius as the
+  * reference's range partitions).
   */
 object Upsert {
   /** Logical MERGE of `batch` into `target` over `keys`.
-    * Value columns: batch value wins when non-null; `modified` becomes
+    * Value columns carried by the batch take the batch's value for matched
+    * keys (NULL included — trendstorepart.py:418-437 `col = excluded.col`);
+    * target-only columns pass through; `modified` becomes
     * greatest(target.modified, batch.modified); `created` keeps the target's
     * value for existing keys. */
   def merge(
@@ -33,8 +38,9 @@ object Upsert {
       createdCol: Option[String] = None
   ): DataFrame = {
     val t = target.alias("t")
-    val b = batch.alias("b")
-    val special = keys.toSet ++ Set(modifiedCol) ++ createdCol
+    // marker survives the full-outer join: non-null ⇔ the key is in batch
+    val b = batch.withColumn("__in_batch", lit(true)).alias("b")
+    val special = keys.toSet ++ Set(modifiedCol, "__in_batch") ++ createdCol
     val valueCols =
       (target.columns ++ batch.columns).distinct.filterNot(special)
     val joined = t.join(b, keys, "full_outer")
@@ -46,8 +52,8 @@ object Upsert {
         createdCol.map(c => coalesce(col(s"t.$c"), col(s"b.$c")).as(c)).toSeq ++
         valueCols.map { c =>
           val tc = if (target.columns.contains(c)) col(s"t.$c") else lit(null)
-          val bc = if (batch.columns.contains(c)) col(s"b.$c") else lit(null)
-          coalesce(bc, tc).as(c)
+          if (!batch.columns.contains(c)) tc.as(c)
+          else when(col("b.__in_batch").isNotNull, col(s"b.$c")).otherwise(tc).as(c)
         }
     joined.select(proj: _*)
   }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN path specs: seeded-Gaussian bucketing recall vs the exact baseline,
+  * degenerate-bucket capping, and logical-plan self-similarity detection. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** 100 vectors in 5 tight clusters (seeded → deterministic). */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(5)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("gaussian-bucketed candidates recover most exact top-1 neighbors") {
+    val exact = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    val bucketed = Similarity.bucketedNeighborsGaussian(
+        clustered, "vec_id", "embedding", nBits = 4, dim = dim, seed = 42L, minCos = -1.0)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(bucketed.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low (${exact.size} exact pairs)")
+    // same seed → same buckets → same result (deterministic re-run)
+    val again = Similarity.bucketedNeighborsGaussian(
+        clustered, "vec_id", "embedding", nBits = 4, dim = dim, seed = 42L, minCos = -1.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == bucketed)
+  }
+
+  test("bucketed rerank cos equals the exact cosine") {
+    val pairs = Similarity.bucketedNeighborsGaussian(
+        clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
+    val a = clustered.select(col("vec_id").as("id1"), col("embedding").as("va"))
+    val b = clustered.select(col("vec_id").as("id2"), col("embedding").as("vb"))
+    val joined = pairs.join(a, "id1").join(b, "id2")
+      .withColumn("expected", Similarity.cosine(col("va"), col("vb")))
+    assert(joined.filter(col("cos") =!= col("expected")).count() == 0)
+  }
+
+  test("maxBucket drops a degenerate bucket") {
+    // constant vectors all hash to one bucket; clustered ones spread
+    val degenerate = (100L until 160L).map(i => (i, Seq.fill(dim)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val all = clustered.unionByName(degenerate)
+    val uncapped = Similarity.bucketedNeighborsGaussian(
+      all, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
+    val capped = Similarity.bucketedNeighborsGaussian(
+      all, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0, maxBucket = 50)
+    // the 60 constant vectors alone contribute 60*59/2 = 1770 pairs
+    assert(uncapped.count() - capped.count() >= 1770)
+    assert(!capped.select("id1").collect().map(_.getLong(0)).exists(_ >= 100L))
+  }
+
+  test("self-similarity detected via logical plan, not reference equality") {
+    val path = "target/tmp/simspec_vecs"
+    clustered.write.mode("overwrite").parquet(path)
+    val load1 = spark.read.parquet(path)
+    val load2 = spark.read.parquet(path) // separate DataFrame, same source
+    val viaTwoLoads = Similarity
+      .bruteForceTopK(load1, load2, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    val viaOne = Similarity
+      .bruteForceTopK(load1, load1, "vec_id", "embedding", 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaTwoLoads == viaOne)
+  }
+}

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class OperatorSpec extends SparkSpec {
   import spark.implicits._
 
-  test("mergePackages: last non-null wins per column, column union") {
+  test("mergePackages: last CARRYING package wins per column (dict.update)") {
     val p1 = Seq((1L, 10L, Some(1.0), 1L), (2L, 10L, Some(2.0), 2L))
       .toDF("e", "ts", "a", "seq")
     val p2 = Seq((1L, 10L, Some(9.0), 3L), (2L, 10L, None: Option[Double], 4L))
@@ -18,10 +18,13 @@ class OperatorSpec extends SparkSpec {
     val p3 = Seq((1L, 10L, 7.0, 5L)).toDF("e", "ts", "b", "seq")
     val m = PackageOps.mergePackages(Seq(p1, p2, p3), Seq("e", "ts"), "seq")
       .sort("e").collect()
-    assert(m(0).getAs[Double]("a") == 9.0) // later package wins
+    assert(m(0).getAs[Double]("a") == 9.0) // later carrying package wins
     assert(m(0).getAs[Double]("b") == 7.0) // column union
-    assert(m(1).getAs[Double]("a") == 2.0) // null did NOT clobber
-    assert(m(1).isNullAt(m(1).fieldIndex("b")))
+    // p2 CARRIES column a with a null → the null clobbers, exactly like
+    // the reference's dict.update() (datapackage.py:223-258)
+    assert(m(1).isNullAt(m(1).fieldIndex("a")))
+    assert(m(1).isNullAt(m(1).fieldIndex("b"))) // p3 never carried e=2
+    // p3 does NOT carry a → e=1's a untouched by it despite higher seq
   }
 
   test("resolveHash is idempotent and collision-stable across retries") {

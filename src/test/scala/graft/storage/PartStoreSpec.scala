@@ -29,7 +29,7 @@ class PartStoreSpec extends SparkSpec {
     assert(back.select("pindex").distinct().count() == 2)
   }
 
-  test("upsert: batch wins, created preserved, modified greatest, nulls don't clobber") {
+  test("upsert: carried NULLs clobber, absent columns untouched (col = excluded.col)") {
     val ps = freshStore("upsert")
     val t0 = Seq(
       (1L, 1000L, Some(10.0), Some(1.0), 100L, 50L),
@@ -45,13 +45,25 @@ class PartStoreSpec extends SparkSpec {
       .select("entity_id", "power", "temp", "modified", "created")
       .sort("entity_id").collect()
     assert(rows.length == 3)
-    // entity 1: batch power wins, null temp did NOT clobber, modified = greatest(100,90)=100, created preserved 50
-    assert(rows(0).getDouble(1) == 11.0 && rows(0).getDouble(2) == 1.0)
+    // entity 1: batch power wins; the batch CARRIES temp with NULL, so the
+    // NULL clobbers (trendstorepart.py:418-437 `col = excluded.col` — a
+    // counter reset to NULL can be cleared); modified = greatest(100,90);
+    // created preserved 50
+    assert(rows(0).getDouble(1) == 11.0 && rows(0).isNullAt(2))
     assert(rows(0).getLong(3) == 100L && rows(0).getLong(4) == 50L)
     // entity 2 untouched
     assert(rows(1).getDouble(1) == 20.0)
     // entity 3 inserted
     assert(rows(2).getDouble(1) == 33.0 && rows(2).getLong(4) == 200L)
+
+    // a batch NOT carrying temp leaves it untouched (column absence —
+    // not NULL — means "don't touch")
+    ps.store("p", Seq((2L, 1000L, 44.0, 300L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    val r2 = ps.readPart("p").get.filter(col("entity_id") === 2)
+      .select("power", "temp", "modified", "created").head
+    assert(r2.getDouble(0) == 44.0 && r2.getDouble(1) == 2.0)
+    assert(r2.getLong(2) == 300L && r2.getLong(3) == 50L)
   }
 
   test("schema evolution: new trend column appears, history gets nulls") {
