@@ -298,7 +298,9 @@ object QueriesCore {
       import graft.sources.{CsvSourceConfig, CsvTrendSource}
       import graft.storage.{JobLog, PartStore, PartStoreConfig}
       val work = java.nio.file.Files.createTempDirectory("graft_q46_").toString
-      events(s, dir).select(
+      // deterministic 25% subset: the round-trip proof doesn't need every
+      // row, and the bench measures ingest cost, not fixture size
+      events(s, dir).filter(pmod(col("event_id"), lit(4)) === 0).select(
           col("user_id").as("node"),
           date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
           col("event_id"), col("value"), col("event_type"), col("props"))
@@ -306,10 +308,12 @@ object QueriesCore {
         .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
       val cfg = CsvSourceConfig("node", Some("ts"),
         timestampFormat = "yyyy-MM-dd HH:mm:ss")
-      // deduce, then declare what deduction can't know: ts is the timestamp
-      // column; value must stay double (a float-parseable string deduces to
-      // real in the reference lattice too — datatype.py:950-957)
-      val schema = CsvTrendSource.deduceSchema(s, s"$work/drop", cfg).map {
+      // full-input distributed deduction (a driver-side sample deduced
+      // smallint for ids and overflowed at sf0.1 — the honest-bench catch),
+      // then declare what deduction can't know: ts is the timestamp column;
+      // value must stay double (a float-parseable string deduces to real in
+      // the reference lattice too — datatype.py:950-957)
+      val schema = CsvTrendSource.deduceSchemaDistributed(s, s"$work/drop", cfg).map {
         case ("ts", _)    => "ts" -> MinervaType.MTimestamp
         case ("value", _) => "value" -> MinervaType.MDouble
         case (c, t)       => c -> t
@@ -453,6 +457,56 @@ object QueriesCore {
         .withColumn("target_id", pmod(col("source_id"), lit(10L)))
       val c = AggregationCompiler.compileEntityAggregation(src, ea, rel)
       c.units.head.compute(hourly).orderBy("entity_id", "timestamp")
+    },
+    // ---- A9/attribute harvest: CSV → DN-resolved attribute package →
+    // AttributeStore staging transfer → curr-ptr view ----
+    "q52_attr_ingest" -> { (s, dir) =>
+      import graft.core.{DistinguishedName => DN, MinervaType}
+      import graft.sources.{CsvSourceConfig, CsvTrendSource}
+      import graft.storage.AttributeStore
+      val work = java.nio.file.Files.createTempDirectory("graft_q52_").toString
+      events(s, dir).filter(pmod(col("event_id"), lit(4)) === 0).select(
+          concat(lit("user="), col("user_id")).as("dn"),
+          date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("event_id"), col("event_type"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      val cfg = CsvSourceConfig("dn", Some("ts"),
+        timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      val schema = CsvTrendSource.deduceSchemaDistributed(s, s"$work/drop", cfg).map {
+        case ("ts", _) => "ts" -> MinervaType.MTimestamp
+        case (c, t)    => c -> t
+      }
+      val pkg = CsvTrendSource.read(s, s"$work/drop", cfg, schema)
+      // entity ref from the DN (attribute packages key on dn/alias —
+      // datapackage.py:19-38 alias_type='dn')
+      val batch = pkg.select(
+        DN.entityNameCol(col("entity")).cast("long").as("entity_id"),
+        col("timestamp"), col("event_id").cast("long").as("event_id"),
+        col("event_type"))
+      val store = new AttributeStore(s, s"$work/attr")
+      store.transferStaged(batch, nowSec = 0L)
+      AttributeOps.currentPtr(store.history.get, "entity_id",
+          Seq("timestamp", "event_id"))
+        .select(col("entity_id"), col("timestamp").as("ts_sec"),
+          col("event_id"), col("event_type"))
+        .orderBy("entity_id")
+    },
+    // ---- I6 + notification data payload (trigger.py `data` expression) ----
+    "q53_trigger_payload" -> { (s, dir) =>
+      val kpi = events(s, dir).select(
+        col("user_id").as("entity_id"), col("ts_sec").as("timestamp"),
+        col("value"), col("event_type"))
+      TriggerOps.createNotifications(kpi, TriggerRule(
+        name = "user/1h/payload",
+        thresholds = Map("max_value" -> 40.0),
+        condition = "event_type = 'error' AND value > max_value",
+        weight = "1",
+        details = lit("high value"),
+        data = Some(concat(
+          lit("{\"entity_id\":"), col("entity_id").cast("string"),
+          lit(",\"event_type\":\""), col("event_type"), lit("\"}")))
+      )).orderBy("entity_id", "timestamp")
     },
     // ---- H12: escape-aware DN explode/implode/split round-trip ----
     // DNs built with an ESCAPED comma inside the first name part, so the
@@ -683,7 +737,8 @@ object QueriesCore {
              CAST(CASE WHEN value > 48 THEN 10 WHEN value > 44 THEN 5 ELSE 1 END AS BIGINT)
                AS weight,
              'HighValue: user ' || CAST(user_id AS VARCHAR) || ' value ' ||
-               CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS details
+               CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS details,
+             '{}' AS data
            FROM events WHERE event_type = 'error' AND value > 40
            ORDER BY 1,2""",
       "q21_union_by_name" ->
@@ -745,13 +800,29 @@ object QueriesCore {
              CAST(sum(samples) AS BIGINT) AS samples,
              CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+      // ordering is on SECOND-precision timestamps (the CSV round-trip's
+      // resolution) + event_id tiebreak — mirror exactly, not nanos
+      "q52_attr_ingest" ->
+        s"""SELECT user_id AS entity_id, $ts AS ts_sec, event_id, event_type
+           FROM events WHERE event_id % 4 = 0
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY $ts DESC, event_id DESC) = 1
+           ORDER BY entity_id""",
+      "q53_trigger_payload" ->
+        s"""SELECT user_id AS entity_id, $ts AS "timestamp",
+             'user/1h/payload' AS rule, CAST(1 AS BIGINT) AS weight,
+             'high value' AS details,
+             '{"entity_id":' || CAST(user_id AS VARCHAR) || ',"event_type":"'
+               || event_type || '"}' AS data
+           FROM events WHERE event_type = 'error' AND value > 40
+           ORDER BY 1, 2""",
       // The round-trip writes what it read: expected end state = events
       // projected to the stored columns, second-truncated timestamps,
       // job_id 1 (first job in a fresh store).
       "q46_csv_ingest" ->
         s"""SELECT user_id AS entity_id, $ts AS ts_sec, event_id, value,
              event_type, CAST(1 AS BIGINT) AS job_id
-           FROM events ORDER BY event_id""",
+           FROM events WHERE event_id % 4 = 0 ORDER BY event_id""",
       "q48_array_ingest" ->
         s"""SELECT event_id AS entity_id, $ts AS ts_sec,
              CAST(2 AS INT) AS n_vals,

@@ -38,7 +38,7 @@ object Main {
       val s = spark()
       val psize = rest.headOption.map(_.toLong).getOrElse(86400L)
       val cfg = CsvSourceConfig(idCol, Some(tsCol))
-      val schema = CsvTrendSource.deduceSchema(s, csv, cfg)
+      val schema = CsvTrendSource.deduceSchemaDistributed(s, csv, cfg)
         .map { case (c, t) => if (c == tsCol) c -> MinervaType.MTimestamp else c -> t }
       val pkg = CsvTrendSource.read(s, csv, cfg, schema)
       val dim = pkg.sparkSession.createDataFrame(
@@ -63,6 +63,34 @@ object Main {
       ps.markModified(part, batch, now)
       jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
       println(s"""{"loaded_partitions":$n,"part":"$part","job_id":$jobId}""")
+
+    // Attribute harvest path (plugin_api_attribute.py + attribute
+    // DataPackage): CSV → typed package → entity resolution → staging
+    // transfer into the attribute store, job-logged like trend loads.
+    case "load-attributes" :: csv :: idCol :: tsCol :: base :: storeName :: Nil =>
+      val s = spark()
+      val cfg = CsvSourceConfig(idCol, Some(tsCol))
+      val schema = CsvTrendSource.deduceSchemaDistributed(s, csv, cfg)
+        .map { case (c, t) => if (c == tsCol) c -> MinervaType.MTimestamp else c -> t }
+      val pkg = CsvTrendSource.read(s, csv, cfg, schema)
+      val dim = pkg.sparkSession.createDataFrame(
+        pkg.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      val resolved = EntityResolution.resolveHash(
+        pkg.select(col("entity").as("name")), dim, "default")
+      val now = System.currentTimeMillis() / 1000
+      val jobLog = new graft.storage.JobLog(s, base)
+      val jobId = jobLog.startJob(s"load-attributes $csv -> $storeName", now)
+      val batch = pkg.join(resolved, pkg("entity") === resolved("name"))
+        .drop("entity", "name")
+        .withColumnRenamed("id", "entity_id")
+        .withColumn("job_id", lit(jobId))
+      val store = new graft.storage.AttributeStore(s, s"$base/$storeName")
+      store.transferStaged(batch, now)
+      jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
+      println(s"""{"loaded_rows":${batch.count()},"store":"$storeName","job_id":$jobId}""")
 
     case "report" :: base :: part :: Nil =>
       val s = spark()
@@ -148,6 +176,7 @@ object Main {
         s"""unknown command: ${other.mkString(" ")}
            |usage:
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
+           |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>

@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
   * rule-definition time by the SQL parser), exactly mirroring the
   * reference's "SQL fragments as rule data" design.
   */
+/** @param data JSON payload expression (reference trigger.py:74 `data`,
+  *             default `'{}'::json`; rendered per notification row —
+  *             typically `to_json(struct(kpi columns))`). */
 final case class TriggerRule(
     name: String,
     thresholds: Map[String, Any],
     condition: String,
     weight: String,
-    details: Column
+    details: Column,
+    data: Option[Column] = None
 )
 
 object TriggerOps {
   /** Evaluate a rule against KPI rows; returns notification rows
-    * (entity_id, timestamp, rule, weight, details). KPI must expose
+    * (entity_id, timestamp, rule, weight, details, data). KPI must expose
     * entity_id + timestamp. */
   def createNotifications(kpi: DataFrame, rule: TriggerRule): DataFrame = {
     val withThresholds = rule.thresholds.foldLeft(kpi) { case (df, (k, v)) =>
@@ -39,7 +43,8 @@ object TriggerOps {
         col("timestamp"),
         lit(rule.name).as("rule"),
         expr(rule.weight).cast("long").as("weight"),
-        rule.details.as("details")
+        rule.details.as("details"),
+        rule.data.getOrElse(lit("{}")).as("data")
       )
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core.MinervaType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -36,8 +36,10 @@ object CsvTrendSource {
 
   /** Deduce per-column Minerva types from a sample of the file
     * (A4, harvest/trend_config_deducer.py:9-47): read as all-string, fold
-    * the lattice over a driver-side sample. At scale, deduction reads only
-    * `sampleRows` rows — schema work never scans the full input. */
+    * the lattice over a driver-side sample. Deduction reads only
+    * `sampleRows` rows — cheap, but a value past the sample can exceed the
+    * deduced type (e.g. ids crossing 32767 → smallint overflow at load).
+    * Use `deduceSchemaDistributed` when the whole input must be honoured. */
   def deduceSchema(
       spark: SparkSession, path: String, cfg: CsvSourceConfig,
       sampleRows: Int = 10000): Seq[(String, MinervaType)] = {
@@ -51,6 +53,52 @@ object CsvTrendSource {
       c -> MinervaType.deduce(sample.iterator.map(r =>
         Option(r.getString(i)).getOrElse("\\N")))
     }.toSeq
+  }
+
+  /** Exact full-input deduction as ONE distributed aggregate pass: each
+    * value classifies to its lattice rank via `try_cast` expressions
+    * (codegen'd, no UDF), and `max(rank)` per column is the deduced type —
+    * the Spark-native form of the reference's full fold
+    * (datatype.py:960-975). At 100 TB this is a single map-side-combined
+    * aggregation over the scan; there is no driver sample to be wrong. */
+  def deduceSchemaDistributed(
+      spark: SparkSession, path: String, cfg: CsvSourceConfig): Seq[(String, MinervaType)] = {
+    val raw = spark.read
+      .option("header", "true").option("delimiter", cfg.delimiter)
+      .option("nullValue", null: String)
+      .csv(path)
+    def rankOf(c: String): Column = {
+      val v = s"`$c`"
+      val nullTok = cfg.nullToken.replace("\\", "\\\\")
+      expr(
+        s"""CASE
+            WHEN $v IS NULL OR $v = '$nullTok' OR $v = '' THEN 0
+            WHEN try_cast($v AS SMALLINT) IS NOT NULL AND NOT contains($v, '.')
+              AND NOT contains($v, 'e') AND NOT contains($v, 'E') THEN 0
+            WHEN try_cast($v AS INT) IS NOT NULL AND NOT contains($v, '.')
+              AND NOT contains($v, 'e') AND NOT contains($v, 'E') THEN 1
+            WHEN try_cast($v AS BIGINT) IS NOT NULL AND NOT contains($v, '.')
+              AND NOT contains($v, 'e') AND NOT contains($v, 'E') THEN 2
+            WHEN try_cast($v AS FLOAT) IS NOT NULL
+              AND NOT contains(lower($v), 'x') THEN 3
+            WHEN try_cast($v AS DOUBLE) IS NOT NULL
+              AND NOT contains(lower($v), 'x') THEN 4
+            WHEN try_cast($v AS DECIMAL(38,18)) IS NOT NULL THEN 5
+            WHEN try_to_timestamp($v, 'yyyy-MM-dd HH:mm:ss') IS NOT NULL
+              OR try_to_timestamp($v, "yyyy-MM-dd'T'HH:mm:ss") IS NOT NULL THEN 6
+            ELSE 7
+          END""")
+    }
+    val cols = raw.columns.toSeq
+    val row = raw
+      .agg(max(rankOf(cols.head)).as("c0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          max(rankOf(c)).as(s"c${i + 1}")
+        }: _*)
+      .head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> MinervaType.TypeOrder(row.getInt(i))
+    }
   }
 
   /** Read and normalize: typed columns per the (declared or deduced)

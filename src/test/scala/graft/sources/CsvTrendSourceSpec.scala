@@ -73,6 +73,25 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(rows(3).isNullAt(rows(3).fieldIndex("readings")))
   }
 
+  test("distributed deduction honours values beyond any driver sample") {
+    val csv2 = new StringBuilder("id,ts,v,label\n")
+    (1 to 50).foreach(i => csv2 ++= s"$i,2020-08-25 14:00:00,$i.5,ok\n")
+    csv2 ++= "74280,2020-08-25 14:00:00,1.0,ok\n" // beyond smallint, past sample
+    val p = Paths.get("target/tmp/dedist.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, csv2.toString)
+    val cfg = CsvSourceConfig("id", Some("ts"))
+    // a 50-row sample wrongly deduces smallint for id...
+    val sampled = CsvTrendSource.deduceSchema(spark, p.toString, cfg, sampleRows = 50).toMap
+    assert(sampled("id") == MSmallInt)
+    // ...the one-pass distributed fold sees every row
+    val full = CsvTrendSource.deduceSchemaDistributed(spark, p.toString, cfg).toMap
+    assert(full("id") == MInteger)
+    assert(full("v") == MReal)
+    assert(full("ts") == MTimestamp)
+    assert(full("label") == MText)
+  }
+
   test("configured timestampFormat is honoured") {
     val tsCsv =
       """node,timestamp,v
