@@ -508,6 +508,36 @@ object QueriesCore {
           lit(",\"event_type\":\""), col("event_type"), lit("\"}")))
       )).orderBy("entity_id", "timestamp")
     },
+    // ---- A11 + H12: relation materialized from a DN hierarchy ----
+    // Entities: per-customer leaf DNs plus per-segment parent DNs; the
+    // relation derives each child's parent edge from its dn. Segment ids
+    // are deterministic (first letters of TPC-H segments are unique).
+    "q54_dn_hierarchy" -> { (s, dir) =>
+      val cust = load(s, dir, "customer")
+      val leaves = cust.select(
+        col("c_custkey").cast("long").as("id"),
+        concat(lit("segment="), lower(col("c_mktsegment")),
+          lit(",customer="), col("c_custkey").cast("string")).as("dn"))
+      val segs = cust.select(lower(col("c_mktsegment")).as("seg")).distinct()
+        .select((lit(100000L) + ascii(col("seg"))).as("id"),
+          concat(lit("segment="), col("seg")).as("dn"))
+      val rel = RelationOps.fromDnHierarchy(leaves.unionByName(segs))
+      rel.orderBy("source_id")
+    },
+    // ---- I3: stability/processing delays + reprocessing window ----
+    // A chunk materializes only once its sources settled (max_modified +
+    // stability delay <= now) and inside the retention window.
+    "q55_stable_chunks" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("hr", (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))))
+      val state = Materialization.modifiedState(e, Seq("hr", "event_type"), "ts_sec")
+      val chunks = Materialization.fingerprint(state, "hr", "event_type", "last_modified")
+      Materialization.stableChunks(chunks, "hr", "max_modified",
+          nowSec = 1705708800L, stabilityDelaySec = 1800L,
+          retentionSec = 7L * 86400)
+        .select("hr", "max_modified")
+        .orderBy("hr")
+    },
     // ---- H12: escape-aware DN explode/implode/split round-trip ----
     // DNs built with an ESCAPED comma inside the first name part, so the
     // split must honour `\,` (reference distinguishedname.py:23-33).
@@ -800,6 +830,23 @@ object QueriesCore {
              CAST(sum(samples) AS BIGINT) AS samples,
              CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q54_dn_hierarchy" ->
+        """SELECT CAST(c_custkey AS BIGINT) AS source_id,
+             CAST(100000 + ord(substr(lower(c_mktsegment), 1, 1)) AS BIGINT)
+               AS target_id
+           FROM customer ORDER BY source_id""",
+      "q55_stable_chunks" ->
+        s"""WITH state AS (
+             SELECT ($ts//3600)*3600 AS hr, event_type,
+               max($ts) AS last_modified
+             FROM events GROUP BY 1, 2),
+           chunks AS (
+             SELECT hr, max(last_modified) AS max_modified FROM state GROUP BY 1)
+           SELECT hr, max_modified FROM chunks
+           WHERE hr < 1705708800
+             AND max_modified + 1800 <= 1705708800
+             AND hr > 1705708800 - 7*86400
+           ORDER BY hr""",
       // ordering is on SECOND-precision timestamps (the CSV round-trip's
       // resolution) + event_id tiebreak — mirror exactly, not nanos
       "q52_attr_ingest" ->

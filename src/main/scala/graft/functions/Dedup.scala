@@ -79,18 +79,18 @@ object Dedup {
     * `maxBucket` caps degenerate buckets: a (band, key) shared by m docs
     * emits m² pairs, and a pathological key (empty docs, boilerplate) can
     * have m in the millions at 100 TB while carrying no discriminative
-    * signal. Buckets above the cap are dropped via a broadcast anti-join
-    * (the oversized-bucket list is tiny by construction), bounding the
-    * join output at |bucket|≤maxBucket ⇒ ≤ maxBucket² pairs per bucket. */
+    * signal. The cap is a window count over (band, key) — ONE shuffle on
+    * exactly the key the self-join below needs, so Catalyst reuses the
+    * exchange instead of recomputing the signature pipeline per join side;
+    * output bounded at |bucket|≤maxBucket ⇒ ≤ maxBucket² pairs/bucket. */
   def lshCandidates(
       buckets: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame = {
     val capped =
       if (maxBucket == Int.MaxValue) buckets
       else {
-        val oversized = buckets.groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("band", "key")
-        buckets.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+        buckets.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
       }
     val a = capped.alias("a")
     val b = capped.alias("b")
@@ -107,10 +107,10 @@ object Dedup {
     * f² join rows, and boilerplate shingles ("click here to", license
     * headers) have f ∝ corpus size while carrying no near-dup signal —
     * standard LSH hygiene drops them (cf. stop-word removal). The doc-freq
-    * filter runs BEFORE the self-join and the per-doc counts are computed
-    * on the filtered shingle universe, so the Jaccard estimate stays
-    * internally consistent. Oversized-shingle list is tiny ⇒ broadcast
-    * anti-join, no extra shuffle of the big side. */
+    * filter is a window count over shingle — one shuffle on the self-join's
+    * own key (exchange reused, shingle pipeline computed once) — applied
+    * BEFORE the join, with per-doc counts computed on the filtered universe
+    * so the Jaccard estimate stays internally consistent. */
   def jaccardPairs(
       sh0: DataFrame, idCol: String, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
@@ -118,9 +118,9 @@ object Dedup {
       if (maxDocFreq == Int.MaxValue) sh0
       else {
         // sh is distinct (id, shingle) ⇒ count(*) per shingle IS doc freq
-        val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDocFreq).select("shingle")
-        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+        sh0.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
       }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")

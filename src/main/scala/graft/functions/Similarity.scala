@@ -166,9 +166,12 @@ object Similarity {
     val b =
       if (maxBucket == Int.MaxValue) b0
       else {
-        val oversized = b0.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucket).select("bucket")
-        b0.join(broadcast(oversized), Seq("bucket"), "left_anti")
+        // window count on the join key: one shuffle, exchange reused by
+        // the same-bucket self-join below (vs recomputing the bucketing
+        // pipeline per join side with a broadcast anti-join)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+        b0.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
       }
     val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       col("bucket"), col("nrm").as("n1"))

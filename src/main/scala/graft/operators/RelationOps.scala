@@ -23,6 +23,23 @@ object RelationOps {
   def materialize(spark: org.apache.spark.sql.SparkSession, query: String): DataFrame =
     spark.sql(query)
 
+  /** Build the child→parent relation from entity distinguished names: an
+    * entity's parent is the entity whose dn equals the child's dn minus its
+    * last part (the reference derives hierarchy relations from DNs —
+    * directory/distinguishedname.py + relation materialized queries,
+    * commands/relation.py:50-95). Entities = (id, dn); roots (single-part
+    * DNs) have no edge. Equi-join on the parent dn string, escape-aware. */
+  def fromDnHierarchy(entities: DataFrame): DataFrame = {
+    import graft.core.DistinguishedName
+    val parents = entities.select(col("dn").as("__parent_dn"), col("id").as("target_id"))
+    entities
+      .select(col("id").as("source_id"),
+        DistinguishedName.parentDnCol(col("dn")).as("__parent_dn"))
+      .filter(col("__parent_dn").isNotNull)
+      .join(parents, Seq("__parent_dn"))
+      .select("source_id", "target_id")
+  }
+
   /** Edges violating the declared cardinality. Empty ⇒ contract holds.
     * For OneToOne both sides must be unique; OneToMany requires unique
     * targets (each target has one source); ManyToOne requires unique

@@ -32,7 +32,38 @@ trait TrendSource {
   def read(spark: SparkSession, path: String): DataFrame
 }
 
+/** Harvest plugin registry (reference: harvest/plugin discovery via
+  * pkg_resources entry points, src/minerva/harvest/plugins.py): named
+  * registration + lookup; the CSV source self-registers as the built-in.
+  * A deployment registers vendor plugins at startup and `load-data` picks
+  * them by name. */
+object TrendSources {
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, TrendSource]
+
+  def register(source: TrendSource): Unit = registry.put(source.name, source)
+  def get(name: String): Option[TrendSource] = registry.get(name)
+  def names: Seq[String] = registry.keys.toSeq.sorted
+
+  register(CsvTrendSource.plugin(CsvSourceConfig("entity", Some("timestamp"))))
+}
+
 object CsvTrendSource {
+
+  /** Package this source as a registrable harvest plugin: deduces the
+    * schema with the one-pass distributed fold, then reads. */
+  def plugin(cfg: CsvSourceConfig, pluginName: String = "csv"): TrendSource =
+    new TrendSource {
+      def name: String = pluginName
+      def read(spark: SparkSession, path: String): DataFrame = {
+        val schema = deduceSchemaDistributed(spark, path, cfg).map {
+          case (c, _) if cfg.timestampColumn.contains(c) =>
+            c -> (MinervaType.MTimestamp: MinervaType)
+          case (c, t) => c -> t
+        }
+        CsvTrendSource.read(spark, path, cfg, schema)
+      }
+    }
 
   /** Deduce per-column Minerva types from a sample of the file
     * (A4, harvest/trend_config_deducer.py:9-47): read as all-string, fold

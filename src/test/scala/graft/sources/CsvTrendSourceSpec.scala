@@ -106,6 +106,17 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(df.head.getAs[Long]("timestamp") == 1598364000L)
   }
 
+  test("harvest plugin registry: lookup by name reads through the plugin") {
+    val path = writeFixture("plugreg")
+    assert(TrendSources.names.contains("csv")) // built-in self-registration
+    TrendSources.register(
+      CsvTrendSource.plugin(CsvSourceConfig("node", Some("timestamp")), "csv-node"))
+    val df = TrendSources.get("csv-node").get.read(spark, path)
+    assert(df.columns.contains("entity") && df.columns.contains("timestamp"))
+    assert(df.count() == 3)
+    assert(TrendSources.get("no-such-plugin").isEmpty)
+  }
+
   test("fixed timestamp provider when no timestamp column") {
     val path = writeFixture("fixedts")
     val cfg = CsvSourceConfig("node", None, fixedTimestampSec = Some(1700000000L))

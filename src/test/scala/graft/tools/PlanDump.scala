@@ -10,7 +10,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val out = new StringBuilder
-    Seq("q01_time_agg", "q02_entity_agg", "q11_predicates", "q35_ann_topk").foreach { q =>
+    Seq("q01_time_agg", "q02_entity_agg", "q11_predicates", "q35_ann_topk",
+      "q51_ann_gaussian", "q49_yaml_agg_chain", "q27_lsh_candidates", "q54_dn_hierarchy").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, dir)
       out.append(s"===== $q =====\n")
       out.append(df.queryExecution.explainString(
