@@ -329,10 +329,12 @@ object QueriesCore {
         .withColumn("modified", lit(0L)).withColumn("job_id", lit(jobId))
       val known = PackageOps.restrictToStore(batch, keys,
         Set("value", "event_type")) // props is unknown to the store → dropped
+        .persist() // one CSV parse feeds BOTH part writes (B2 split)
       val parts = PackageOps.splitByPart(known, keys,
         Map("ev_values" -> Seq("value"), "ev_types" -> Seq("event_type")))
       val ps = new PartStore(s, PartStoreConfig(s"$work/store", 86400L))
       parts.toSeq.sortBy(_._1).foreach { case (p, df) => ps.store(p, df) }
+      known.unpersist()
       jobLog.endJob(jobId, 1L)
       val values = ps.readPart("ev_values").get
         .select("entity_id", "timestamp", "event_id", "value", "job_id")

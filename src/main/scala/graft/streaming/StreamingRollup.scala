@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open session being tracked per entity (streaming sessionization state). */
+final case class SessionState(start: Long, end: Long, n: Long)
+
+/** A closed session emitted by [[StreamingRollup.sessionize]]. */
+final case class ClosedSession(
+    entity_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
 /** Structured Streaming equivalents of the reference's micro-batch
   * incremental loop (SURVEY §2 I1-I6).
@@ -47,6 +55,68 @@ object StreamingRollup {
         // reference labels rollups with the window END (SURVEY D1)
         unix_timestamp(col("window.end")).as("timestamp") +:
         aggCols.map(col): _*)
+  }
+
+  /** Streaming sessionization with custom state (`flatMapGroupsWithState`,
+    * the SURVEY's custom-state path): per-entity gap-based sessions, the
+    * streaming analogue of the batch q45 window composition.
+    *
+    * State = the one open session per entity; a session closes (and is
+    * emitted) when a later event arrives past the gap, or when event time
+    * passes session_end + gap (event-time timeout keyed to the watermark —
+    * state for silent entities is evicted, bounding the store at
+    * |active entities|, never |events|).
+    *
+    * @param stream streaming frame with an entity column and an event-time
+    *               TIMESTAMP column (watermark applied here)
+    */
+  def sessionize(
+      stream: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      latenessSeconds: Long
+  ): Dataset[ClosedSession] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .select(col(entityCol).cast("long").as("__entity"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      // watermark AFTER the cast — a cast re-derives the column and would
+      // drop the watermark tag if applied first
+      .withWatermark("__ts", s"$latenessSeconds seconds")
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (entity, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(entity, s.start, s.end, s.n))
+          } else {
+            val secs = rows.map(_._2.getTime / 1000).toSeq.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            secs.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.end <= gapSeconds =>
+                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(entity, s.start, s.end, s.n)
+                  Some(SessionState(t, t, 1))
+                case None =>
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.end + gapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   /** Streaming trigger/notification path (I6): threshold rules applied to

@@ -38,6 +38,34 @@ class StreamingRollupSpec extends SparkSpec {
     assert(r.getAs[Double]("sum_value") == 7.0)
   }
 
+  test("stateful sessionization closes sessions on gap and on event-time timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "ts")
+    val sessions = StreamingRollup.sessionize(
+      stream, "user_id", "ts", gapSeconds = 1800, latenessSeconds = 600)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then a 2h gap → new one
+    mem.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    mem.addData((1L, t("2024-01-01 12:30:00"))) // gap > 30m → closes session 1
+    q.processAllAvailable()
+    // advance the watermark far enough to time out the open session
+    mem.addData((2L, t("2024-01-01 16:00:00")))
+    q.processAllAvailable()
+    mem.addData((2L, t("2024-01-01 17:00:00"))) // another advance to flush
+    q.processAllAvailable()
+    val rows = spark.table("sess_sink").sort("entity_id", "session_start").collect()
+    q.stop()
+    val u1 = rows.filter(_.getAs[Long]("entity_id") == 1L)
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Long]("n_events") == 2L)
+    assert(u1(0).getAs[Long]("session_end") - u1(0).getAs[Long]("session_start") == 600L)
+    assert(u1(1).getAs[Long]("n_events") == 1L) // closed by event-time timeout
+  }
+
   test("streaming notifications fire on threshold breach") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
