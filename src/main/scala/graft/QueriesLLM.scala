@@ -134,6 +134,15 @@ object QueriesLLM {
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
+    // ---- ANN: IVF-style nearest-centroid assignment (deterministic
+    // md5-sampled codebook; k-means would swap in transparently) ----
+    "q56_ann_ivf" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+      e.select(col("vec_id"),
+          Similarity.ivfBucket(col("embedding"), centroids).as("bucket"))
+        .orderBy("vec_id")
+    },
     // ---- ANN: seeded-Gaussian LSH buckets + capped join + exact rerank —
     // the production ANN shape (q36 with the production hash family) ----
     "q51_ann_gaussian" -> { (s, dir) =>
@@ -385,6 +394,26 @@ object QueriesLLM {
            greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
-    "q51_ann_gaussian" -> gaussianOracle
+    "q51_ann_gaussian" -> gaussianOracle,
+    // IVF assignment: same deterministic codebook (k smallest md5(id)) and
+    // the same argmax-with-higher-index-tiebreak as the Spark expression.
+    "q56_ann_ivf" ->
+      """WITH cent AS (
+           SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+             - 1 AS INT) AS i, embedding
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 8),
+         scored AS (
+           SELECT e.vec_id, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+               AS cos
+           FROM embeddings e CROSS JOIN cent c)
+         SELECT vec_id, i AS bucket FROM scored
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
+         ORDER BY vec_id"""
   )
 }

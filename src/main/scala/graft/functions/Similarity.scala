@@ -148,6 +148,37 @@ object Similarity {
     bucketedNeighborsBy(vectors, idCol, vecCol,
       hyperplaneBucket(col(vecCol), nBits), minCos, maxBucket)
 
+  /** IVF-style centroid selection: the k corpus vectors with the smallest
+    * md5(id) — a deterministic, engine-reproducible pseudo-random sample
+    * (real IVF would k-means these; the assignment/bucketing machinery is
+    * identical). k rows collected to the driver: IVF codebooks are tiny by
+    * design, this is the one legitimate collect in the ANN path. */
+  def ivfCentroids(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int): Seq[(Int, Seq[Float])] =
+    vectors.select(col(idCol).cast("string").as("__id"), col(vecCol))
+      .orderBy(md5(col("__id")), col("__id"))
+      .limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).toSeq }.toSeq
+
+  /** Nearest-centroid assignment (IVF bucket): argmax over k cosine scores,
+    * computed as one array_max over (cos, idx) structs — k fused dot
+    * products per vector inside codegen, centroids shipped as literals.
+    * Ties break to the larger index (lexicographic struct max), mirrored in
+    * the SQL oracle. */
+  def ivfBucket(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    val scored = centroids.map { case (i, c) =>
+      // ‖centroid‖ precomputed on the driver with the same sequential
+      // sum-of-squares fold DuckDB's list_dot_product uses → identical bits
+      val nc = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val d = aggregate(
+        zip_with(vec, typedlit(c), (x, w) => x.cast("double") * w.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      struct((d / (norm(vec) * lit(nc))).as("c"), lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
+
   /** Gaussian-plane variant — the production hash family. */
   def bucketedNeighborsGaussian(
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,

@@ -129,7 +129,14 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         (all, idx)
     }
     val staging = path(part) + "__staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+    // One shuffle on pindex before the partitioned write: without it every
+    // task writes a sliver into every touched partition dir (tasks ×
+    // partitions small files — slow swap renames, slow reads); with it each
+    // partition dir gets ~one well-sized file. At 100 TB swap this for
+    // repartitionByRange(pindex, entity_id) to keep multiple files per
+    // partition while preserving locality.
+    merged.repartition(col("pindex"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
     // Swap order is crash-safe: the live partition is renamed ASIDE (not
     // deleted) before the staged one moves in, so at no point is the data
     // present in zero places. A crash leaves either the live dir, or the

@@ -62,6 +62,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!capped.select("id1").collect().map(_.getLong(0)).exists(_ >= 100L))
   }
 
+  test("ivf assignment picks the true nearest centroid") {
+    val centroids = Similarity.ivfCentroids(clustered, "vec_id", "embedding", 5)
+    assert(centroids.length == 5 && centroids.map(_._1) == (0 until 5))
+    val assigned = clustered.select(col("vec_id"),
+        Similarity.ivfBucket(col("embedding"), centroids).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // recompute argmax on the driver for every vector
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val na = math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val nb = math.sqrt(b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      d / (na * nb)
+    }
+    val vecs = clustered.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toSeq)
+    vecs.foreach { case (id, v) =>
+      val best = centroids.map { case (i, c) => (cos(v, c), i) }.max._2
+      assert(assigned(id) == best, s"vec $id")
+    }
+  }
+
   test("self-similarity detected via logical plan, not reference equality") {
     val path = "target/tmp/simspec_vecs"
     clustered.write.mode("overwrite").parquet(path)
