@@ -134,6 +134,14 @@ object QueriesLLM {
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
+    // ---- embedding-cosine near-dup over the documents table: hashed-BoW
+    // embedding → LSH buckets → cos-threshold pairs → min-label keeper ----
+    "q57_embedding_neardup" -> { (s, dir) =>
+      val emb = TextAnalysis.hashEmbedding(docs(s, dir), "doc_id", "text", 16)
+      Dedup.embeddingNearDups(emb, "doc_id", "embedding",
+          nBits = 4, minCos = 0.98, maxBucket = 100)
+        .orderBy("doc_id")
+    },
     // ---- ANN: IVF-style nearest-centroid assignment (deterministic
     // md5-sampled codebook; k-means would swap in transparently) ----
     "q56_ann_ivf" -> { (s, dir) =>
@@ -395,6 +403,44 @@ object QueriesLLM {
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
     "q51_ann_gaussian" -> gaussianOracle,
+    // hashed-BoW embedding rebuilt in SQL (md5-byte buckets, dense 16-dim
+    // count lists), then the same hyperplane-bucketed join + keeper fold.
+    "q57_embedding_neardup" ->
+      s"""WITH $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 16 AS b,
+             count(*) AS n
+           FROM toks GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
+           GROUP BY d.doc_id),
+         bk AS (
+           SELECT doc_id, v,
+             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
+               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
+               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+           FROM emb),
+         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+         pairs AS (
+           SELECT x.doc_id AS id1, y.doc_id AS id2,
+             list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+           FROM capped x JOIN capped y
+             ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         mn AS (
+           SELECT id2 AS doc_id, min(id1) AS mn FROM pairs
+           WHERE cos >= 0.98 GROUP BY 1)
+         SELECT d.doc_id, coalesce(m.mn, d.doc_id) AS keeper
+         FROM documents d LEFT JOIN mn m USING (doc_id)
+         ORDER BY d.doc_id""",
     // IVF assignment: same deterministic codebook (k smallest md5(id)) and
     // the same argmax-with-higher-index-tiebreak as the Spark expression.
     "q56_ann_ivf" ->

@@ -138,6 +138,24 @@ object Dedup {
       .select("id1", "id2", "inter", "jaccard")
   }
 
+  /** Embedding-cosine near-dup: LSH-bucketed candidate pairs at
+    * `minCos` over an embedding column, folded to a per-document keeper =
+    * the smallest neighbor id (single-pass min-label; iterate to fixpoint
+    * for full connected components at scale — each pass is this same
+    * aggregate). Docs with no near-dup keep themselves. The embedding can
+    * come from any embedder; `TextAnalysis.hashEmbedding` is the
+    * deterministic built-in. */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, minCos: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = Similarity.bucketedNeighbors(emb, idCol, vecCol, nBits, minCos, maxBucket)
+    val minNeighbor = pairs.groupBy(col("id2").as(idCol))
+      .agg(min(col("id1")).as("__mn"))
+    emb.select(col(idCol))
+      .join(minNeighbor, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__mn"), col(idCol)).as("keeper"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -22,6 +22,24 @@ object TextAnalysis {
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
 
+  /** Hashed bag-of-words document embedding: `dim`-dimensional count vector
+    * with token buckets from the first md5 byte (engine-portable). The
+    * cheap deterministic stand-in for a model embedding — the cosine
+    * near-dup machinery downstream is identical whichever embedder fills
+    * the column. Docs with no tokens get the zero vector. */
+  def hashEmbedding(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    val bucket = conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim
+    val counts = t.groupBy(col(idCol), bucket.as("__b")).agg(count(lit(1)).as("__n"))
+    val maps = counts.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__n")))).as("__m"))
+    df.select(col(idCol)).join(maps, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("__m"), i), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
   /** BPE-ish subword-boundary tokenizer: splits words, digits, and
     * punctuation runs apart (regex analogue of byte-pair pre-tokenization). */
   def tokensRegex(df: DataFrame, idCol: String, textCol: String): DataFrame =

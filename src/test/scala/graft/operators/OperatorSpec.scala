@@ -46,6 +46,23 @@ class OperatorSpec extends SparkSpec {
     assert(c.map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L)) // a, null, a
   }
 
+  test("embedding near-dup: duplicate docs collapse to one keeper") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "completely different text about spark catalyst optimizer plans"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today") // near
+    ).toDF("doc_id", "text")
+    val emb = TextAnalysis.hashEmbedding(docs, "doc_id", "text", 16)
+    val keepers = Dedup.embeddingNearDups(emb, "doc_id", "embedding",
+        nBits = 2, minCos = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers(1L) == 1L)
+    assert(keepers(2L) == 1L) // identical embedding → same bucket, cos 1.0
+    assert(keepers(3L) == 3L) // unrelated doc keeps itself
+    assert(keepers(4L) == 1L) // near-dup folds to the smallest id
+  }
+
   test("trigger weight/condition are arbitrary SQL fragments") {
     val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
     val out = TriggerOps.createNotifications(kpi, TriggerRule(
