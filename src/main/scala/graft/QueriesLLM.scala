@@ -134,6 +134,14 @@ object QueriesLLM {
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
+    // ---- multi-language ID (6 langs, argmax with priority tie-break) ----
+    "q58_langid_multi" -> { (s, dir) =>
+      TextAnalysis.langIdMulti(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    // ---- Gopher-style quality signals + composite pass flag ----
+    "q59_gopher_quality" -> { (s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
     // ---- embedding-cosine near-dup over the documents table: hashed-BoW
     // embedding → LSH buckets → cos-threshold pairs → min-label keeper ----
     "q57_embedding_neardup" -> { (s, dir) =>
@@ -403,6 +411,58 @@ object QueriesLLM {
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
     "q51_ann_gaussian" -> gaussianOracle,
+    "q58_langid_multi" ->
+      s"""WITH $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(sum(CASE WHEN tok IN ('el','la','de','que','y','los') THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+             CAST(sum(CASE WHEN tok IN ('le','la','les','et','des','une') THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+             CAST(sum(CASE WHEN tok IN ('der','die','und','das','nicht','ist') THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+             CAST(sum(CASE WHEN tok IN ('il','di','che','la','per','gli') THEN 1 ELSE 0 END) AS BIGINT) AS n_it,
+             CAST(sum(CASE WHEN tok IN ('o','a','de','que','e','dos') THEN 1 ELSE 0 END) AS BIGINT) AS n_pt
+           FROM toks GROUP BY 1)
+         SELECT doc_id,
+           CASE WHEN greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) = 0 THEN 'und'
+                WHEN n_en = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'en'
+                WHEN n_es = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'es'
+                WHEN n_fr = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'fr'
+                WHEN n_de = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'de'
+                WHEN n_it = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'it'
+                WHEN n_pt = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'pt'
+                ELSE 'und' END AS lang_pred
+         FROM counts ORDER BY doc_id""",
+    "q59_gopher_quality" ->
+      s"""WITH $ToksCte,
+         tokstats AS (
+           SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(length(tok)) AS DOUBLE)/count(*) AS avg_token_len,
+             CAST(sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)
+               AS DOUBLE)/count(*) AS frac_alpha_tokens
+           FROM toks GROUP BY 1),
+         toptok AS (
+           SELECT doc_id, max(n) AS maxn FROM (
+             SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+           GROUP BY 1),
+         charstats AS (
+           SELECT doc_id, length(text) AS len,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS symbols,
+             length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
+           FROM documents)
+         SELECT t.doc_id, t.n_tokens, t.avg_token_len, t.frac_alpha_tokens,
+           CAST(digits AS DOUBLE)/len AS digit_ratio,
+           CAST(symbols AS DOUBLE)/len AS symbol_ratio,
+           CAST(uppers AS DOUBLE)/len AS uppercase_ratio,
+           CAST(maxn AS DOUBLE)/t.n_tokens AS top_token_ratio,
+           (t.n_tokens >= 20 AND t.n_tokens <= 100000
+            AND t.avg_token_len >= 2.0 AND t.avg_token_len <= 12.0
+            AND t.frac_alpha_tokens >= 0.7
+            AND CAST(maxn AS DOUBLE)/t.n_tokens <= 0.2) AS passes_gopher
+         FROM tokstats t
+         JOIN toptok USING (doc_id)
+         JOIN charstats USING (doc_id)
+         ORDER BY t.doc_id""",
     // hashed-BoW embedding rebuilt in SQL (md5-byte buckets, dense 16-dim
     // count lists), then the same hyperplane-bucketed join + keeper fold.
     "q57_embedding_neardup" ->

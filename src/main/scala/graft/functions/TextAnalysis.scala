@@ -79,6 +79,70 @@ object TextAnalysis {
     )
   }
 
+  /** Per-language function-word evidence lists (tiny on purpose — this is
+    * the classifier-free heuristic tier; a model-based ID slots into the
+    * same argmax shape). Declaration order = tie-break priority. */
+  val DefaultLangs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "it" -> Seq("il", "di", "che", "la", "per", "gli"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "dos"))
+
+  /** Multi-language ID: per-language evidence counts in ONE aggregation
+    * pass, argmax with declaration-order tie-break, 'und' when no evidence.
+    * Overlapping function words (la/de/a/que) just contribute to several
+    * languages' evidence — the argmax sorts it out. */
+  def langIdMulti(
+      df: DataFrame, idCol: String, textCol: String,
+      langs: Seq[(String, Seq[String])] = DefaultLangs): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    val aggs = langs.map { case (name, words) =>
+      sum(when(col("tok").isin(words: _*), 1L).otherwise(0L)).as(s"n_$name")
+    }
+    val counts = t.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val mx = greatest(langs.map(l => col(s"n_${l._1}")): _*)
+    val chain = langs.foldLeft(when(mx === 0L, "und")) {
+      case (w, (name, _)) => w.when(col(s"n_$name") === mx, name)
+    }
+    counts.select(col(idCol), chain.otherwise("und").as("lang_pred"))
+  }
+
+  /** Gopher-style quality signals (Rae et al. 2021 §A1.1 heuristics,
+    * public): token-level stats, character-class ratios, and a repetition
+    * signal (top token frequency share), plus the composite pass flag.
+    * Every ratio is an exact-integer division in double — bit-stable. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(df, idCol, textCol)
+    val tokStats = t.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_token_len"),
+      (sum(when(col("tok").rlike("[A-Za-z]"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("frac_alpha_tokens"))
+    val topTok = t.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol)).agg(max(col("__n")).as("__maxn"))
+    def classCount(pattern: String) =
+      length(col(textCol)) - length(regexp_replace(col(textCol), pattern, ""))
+    val charStats = df.select(col(idCol),
+      length(col(textCol)).as("__len"),
+      classCount("[0-9]").as("__digits"),
+      classCount("[^A-Za-z0-9\\s]").as("__symbols"),
+      classCount("[A-Z]").as("__upper"))
+    tokStats.join(topTok, Seq(idCol)).join(charStats, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("avg_token_len"),
+        col("frac_alpha_tokens"),
+        (col("__digits").cast("double") / col("__len")).as("digit_ratio"),
+        (col("__symbols").cast("double") / col("__len")).as("symbol_ratio"),
+        (col("__upper").cast("double") / col("__len")).as("uppercase_ratio"),
+        (col("__maxn").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+          col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0 &&
+          col("frac_alpha_tokens") >= 0.7 &&
+          (col("__maxn").cast("double") / col("n_tokens")) <= 0.2)
+          .as("passes_gopher"))
+  }
+
   /** Corpus token histogram (vocabulary/frequency analysis). */
   def tokenHistogram(df: DataFrame, idCol: String, textCol: String): DataFrame =
     tokens(df, idCol, textCol)
