@@ -134,6 +134,16 @@ object QueriesLLM {
         docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
+    // ---- multimodal: frame sampling over decoded "video" (every 4th) ----
+    "q60_frame_sample" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+      Multimodal.frameSamplePlan(d, 4)
+        .select(col("id"), col("frames"),
+          size(col("frame_idx")).as("n_sampled"),
+          array_join(col("frame_idx"), ",").as("idx_str"))
+        .orderBy("id")
+    },
     // ---- multi-language ID (6 langs, argmax with priority tie-break) ----
     "q58_langid_multi" -> { (s, dir) =>
       TextAnalysis.langIdMulti(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -410,6 +420,33 @@ object QueriesLLM {
            greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
+    // frame sampling: same FNV fold, frames = 1 + |c >> 20| % 120 (floor
+    // shift via exact HUGEINT floor-division), every-4th indices.
+    "q60_frame_sample" ->
+      """WITH RECURSIVE fnv AS (
+           SELECT doc_id, length(text) AS n, 0 AS pos,
+             CAST(1469598103934665603 AS HUGEINT) AS h, text
+           FROM documents
+           UNION ALL
+           SELECT doc_id, n, pos + 1,
+             ((h - h % 128 + xor(CAST(h % 128 AS BIGINT), ord(substr(text, pos + 1, 1))))
+               * 1099511628211) % CAST('18446744073709551616' AS HUGEINT),
+             text
+           FROM fnv WHERE pos < n),
+         cs AS (
+           SELECT doc_id,
+             CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS c
+           FROM fnv WHERE pos = n),
+         fr AS (
+           SELECT doc_id,
+             CAST(1 + abs((c - ((c % 1048576 + 1048576) % 1048576)) / 1048576) % 120
+               AS INT) AS frames
+           FROM cs)
+         SELECT doc_id AS id, frames,
+           CAST(len(generate_series(0, frames - 1, 4)) AS INT) AS n_sampled,
+           array_to_string(generate_series(0, frames - 1, 4), ',') AS idx_str
+         FROM fr ORDER BY id""",
     "q51_ann_gaussian" -> gaussianOracle,
     "q58_langid_multi" ->
       s"""WITH $ToksCte,

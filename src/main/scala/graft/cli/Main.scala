@@ -92,6 +92,39 @@ object Main {
       jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
       println(s"""{"loaded_rows":${batch.count()},"store":"$storeName","job_id":$jobId}""")
 
+    // `minerva aggregation compile` (commands/aggregation.py:123-140 +
+    // aggregation_compilation.py:562-599): read an aggregation definition,
+    // compile against the instance's trend stores, write the target trend
+    // store + one materialization YAML per part back into the instance.
+    case "aggregation-compile" :: instanceDir :: aggYamlPath :: Nil =>
+      val defn = InstanceModel.parseAggregation(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(aggYamlPath)))
+      val ta = defn.timeAggregation.getOrElse {
+        System.err.println("only time_aggregation definitions are compilable here")
+        sys.exit(1); null
+      }
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val src = inst.trendStores.find(st =>
+          st.title == ta.source ||
+          st.parts.exists(p => ta.parts.exists(_.source == p.name)))
+        .getOrElse {
+          System.err.println(s"no trend store matching source '${ta.source}'")
+          sys.exit(1); null
+        }
+      val compiled = AggregationCompiler.compileTimeAggregation(src, ta)
+      val trendDir = java.nio.file.Paths.get(instanceDir, "trend")
+      val matDir = java.nio.file.Paths.get(instanceDir, "materialization")
+      java.nio.file.Files.createDirectories(trendDir)
+      java.nio.file.Files.createDirectories(matDir)
+      java.nio.file.Files.writeString(trendDir.resolve(s"${ta.name}.yaml"),
+        InstanceModel.renderTrendStore(compiled.targetStore))
+      compiled.units.foreach { u =>
+        java.nio.file.Files.writeString(
+          matDir.resolve(s"${u.targetPart}.yaml"),
+          InstanceModel.renderMaterialization(u.materialization))
+      }
+      println(s"""{"compiled":"${ta.name}","parts":${compiled.units.length}}""")
+
     case "report" :: base :: part :: Nil =>
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
@@ -177,6 +210,7 @@ object Main {
            |usage:
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
+           |  aggregation-compile <instanceDir> <aggregationYaml>
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>

@@ -40,7 +40,7 @@ object Multimodal {
       id = id,
       width = 16 + (math.abs(checksum) % 1024).toInt,
       height = 16 + (math.abs(checksum >> 10) % 1024).toInt,
-      frames = 1,
+      frames = 1 + (math.abs(checksum >> 20) % 120).toInt, // fake frame count
       checksum = checksum
     )
   }
@@ -68,4 +68,14 @@ object Multimodal {
       (m.id, (m.width * scale).toInt.max(1), (m.height * scale).toInt.max(1))
     }.toDF("id", "thumb_w", "thumb_h")
   }
+
+  /** Frame sampling over decoded video: every `everyK`-th frame index per
+    * media item (the row-per-frame shape a real frame extractor feeds into
+    * the vision encoder). Expression-only — `sequence` builds the index
+    * array, no decode round-trip; swapping the stub for a real codec keeps
+    * this stage unchanged. Narrow (no shuffle): frames explode in place. */
+  def frameSamplePlan(decoded: Dataset[DecodedMedia], everyK: Int): DataFrame =
+    decoded.toDF()
+      .select(col("id"), col("frames"),
+        sequence(lit(0), col("frames") - 1, lit(everyK)).as("frame_idx"))
 }

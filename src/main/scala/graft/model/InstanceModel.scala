@@ -226,6 +226,65 @@ object InstanceModel {
     AggregationDef(ta, ea)
   }
 
+  // ---- YAML rendering (the compile side of `minerva aggregation compile`:
+  // the reference writes the compiled target store + materializations back
+  // into the instance directory as YAML files) ----
+
+  private def jmap(kvs: (String, Any)*): java.util.Map[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    kvs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  private def jlist(xs: Seq[Any]): java.util.List[Any] = {
+    val l = new java.util.ArrayList[Any]()
+    xs.foreach(l.add)
+    l
+  }
+  private def dumpYaml(root: Any): String = {
+    val opts = new org.yaml.snakeyaml.DumperOptions
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new Yaml(opts).dump(root)
+  }
+
+  /** Render a trend store as reference-shaped YAML (parseTrendStore is the
+    * inverse — round-trip asserted in specs). */
+  def renderTrendStore(ts: TrendStore): String =
+    dumpYaml(jmap(
+      "title" -> ts.title,
+      "data_source" -> ts.dataSource,
+      "entity_type" -> ts.entityType,
+      "granularity" -> ts.granularity.name,
+      "partition_size" -> ts.partitionSize.name,
+      "parts" -> jlist(ts.parts.map { p =>
+        val base = Seq(
+          "name" -> p.name,
+          "trends" -> jlist(p.trends.map { t =>
+            jmap("name" -> t.name, "data_type" -> t.dataType.name,
+              "description" -> t.description,
+              "time_aggregation" -> t.timeAggregation,
+              "entity_aggregation" -> t.entityAggregation)
+          }))
+        val gen =
+          if (p.generatedTrends.isEmpty) Seq.empty
+          else Seq("generated_trends" -> jlist(p.generatedTrends.map { g =>
+            jmap("name" -> g.name, "data_type" -> g.dataType.name,
+              "expression" -> g.expression)
+          }))
+        jmap((base ++ gen): _*)
+      })))
+
+  /** Render a materialization definition as reference-shaped YAML. */
+  def renderMaterialization(m: Materialization): String =
+    dumpYaml(jmap(
+      "target_trend_store_part" -> m.targetTrendStorePart,
+      "enabled" -> m.enabled,
+      "processing_delay" -> m.processingDelay,
+      "stability_delay" -> m.stabilityDelay,
+      "reprocessing_period" -> m.reprocessingPeriod,
+      "sources" -> jlist(m.sources.map(s =>
+        jmap("trend_store_part" -> s.trendStorePart,
+          "mapping_function" -> s.mappingFunction)))))
+
   def parseTrigger(yamlText: String): Trigger = {
     val m = yamlMap(yamlText)
     Trigger(

@@ -37,6 +37,73 @@ class InstanceModelSpec extends AnyFunSuite {
     assert(part.generatedTrends.head.expression == "power_kwh * 1000")
   }
 
+  test("renderTrendStore round-trips through parseTrendStore") {
+    val ts = InstanceModel.parseTrendStore(
+      """title: Raw node counters
+        |data_source: hub
+        |entity_type: node
+        |granularity: 15m
+        |partition_size: 1d
+        |parts:
+        |  - name: hub_node_main_15m
+        |    trends:
+        |      - name: power_kwh
+        |        data_type: numeric
+        |        time_aggregation: avg
+        |        entity_aggregation: avg
+        |    generated_trends:
+        |      - name: power_mwh
+        |        data_type: numeric
+        |        expression: power_kwh * 1000
+        |""".stripMargin)
+    val back = InstanceModel.parseTrendStore(InstanceModel.renderTrendStore(ts))
+    assert(back == ts)
+  }
+
+  test("renderMaterialization round-trips through parseMaterialization") {
+    val m = Materialization("hub_node_main_1h", enabled = true,
+      "30m", "5m", "3 days",
+      Seq(MaterializationSource("hub_node_main_15m", "trend.mapping_15m->1h")),
+      view = None)
+    val back = InstanceModel.parseMaterialization(
+      InstanceModel.renderMaterialization(m))
+    assert(back == m)
+  }
+
+  test("compiled aggregation renders loadable instance files") {
+    val src = InstanceModel.parseTrendStore(
+      """title: hub_node_main_15m
+        |data_source: hub
+        |entity_type: node
+        |granularity: 15m
+        |partition_size: 1d
+        |parts:
+        |  - name: hub_node_main_15m
+        |    trends:
+        |      - name: drops
+        |        data_type: smallint
+        |""".stripMargin)
+    val defn = InstanceModel.parseAggregation(
+      """time_aggregation:
+        |  source: hub_node_main_15m
+        |  name: hub_node_main_1h
+        |  granularity: 1h
+        |  mapping_function: trend.mapping_15m->1h
+        |  parts:
+        |    - name: hub_node_main_1h
+        |      source: hub_node_main_15m
+        |""".stripMargin).timeAggregation.get
+    val compiled = graft.operators.AggregationCompiler.compileTimeAggregation(src, defn)
+    // the rendered YAMLs parse back into the same definitions the runner uses
+    val storeBack = InstanceModel.parseTrendStore(
+      InstanceModel.renderTrendStore(compiled.targetStore))
+    assert(storeBack == compiled.targetStore)
+    val matBack = InstanceModel.parseMaterialization(
+      InstanceModel.renderMaterialization(compiled.units.head.materialization))
+    assert(matBack == compiled.units.head.materialization)
+    assert(storeBack.parts.head.trends.map(_.name) == Seq("samples", "drops"))
+  }
+
   test("materialization yaml parses delays and sources") {
     val m = InstanceModel.parseMaterialization(
       """target_trend_store_part: hub-kpi_node_main_15m
