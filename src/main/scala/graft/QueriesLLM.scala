@@ -160,6 +160,16 @@ object QueriesLLM {
           nBits = 4, minCos = 0.98, maxBucket = 100)
         .orderBy("doc_id")
     },
+    // ---- full connected-component keepers over the near-dup graph ----
+    "q61_neardup_components" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+          nBits = 4, minCos = 0.98, maxBucket = 100)
+        .select("id1", "id2")
+      Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    },
     // ---- ANN: IVF-style nearest-centroid assignment (deterministic
     // md5-sampled codebook; k-means would swap in transparently) ----
     "q56_ann_ivf" -> { (s, dir) =>
@@ -448,6 +458,48 @@ object QueriesLLM {
            array_to_string(generate_series(0, frames - 1, 4), ',') AS idx_str
          FROM fr ORDER BY id""",
     "q51_ann_gaussian" -> gaussianOracle,
+    // true component labels via transitive closure (UNION-deduped
+    // recursive CTE) — the fixpoint is iteration-order independent, so it
+    // equals the Spark min-label loop's result exactly.
+    "q61_neardup_components" ->
+      s"""WITH RECURSIVE $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 16 AS b,
+             count(*) AS n
+           FROM toks GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
+           GROUP BY d.doc_id),
+         bk AS (
+           SELECT doc_id, v,
+             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
+               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
+               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+           FROM emb),
+         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+         pairs AS (
+           SELECT x.doc_id AS id1, y.doc_id AS id2
+           FROM capped x JOIN capped y
+             ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.98),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
+         FROM reach GROUP BY 1 ORDER BY 1""",
     "q58_langid_multi" ->
       s"""WITH $ToksCte,
          counts AS (

@@ -156,6 +156,44 @@ object Dedup {
       .select(col(idCol), coalesce(col("__mn"), col(idCol)).as("keeper"))
   }
 
+  /** Connected-component keeper selection over duplicate pairs: min-label
+    * propagation to fixpoint (the Pregel-style Spark CC loop) — a doc's
+    * keeper is the smallest id REACHABLE through the duplicate graph, so
+    * chains a~b~c collapse to one keeper where the single-pass
+    * `embeddingNearDups` fold would keep two.
+    *
+    * Each iteration is one join + one min-aggregate, both keyed by id;
+    * `localCheckpoint` truncates lineage per round so the plan doesn't grow
+    * with iterations. Iteration count is the component diameter — near-dup
+    * clusters are shallow (dozens of rounds would mean a pathological
+    * duplicate chain; `maxIter` bounds it). The fixpoint label is
+    * order-independent, so any engine computing true components agrees. */
+  def connectedKeepers(
+      all: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = all.select(col(idCol).cast("long").as("id"))
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val fromNeighbors = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val newLabels = labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = newLabels.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = newLabels
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("keeper"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -63,6 +63,16 @@ class OperatorSpec extends SparkSpec {
     assert(keepers(4L) == 1L) // near-dup folds to the smallest id
   }
 
+  test("connectedKeepers collapses duplicate chains to one component keeper") {
+    val all = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1~2~3~4 (no direct 1-4 edge) + isolated pair 5~6
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val keepers = graft.functions.Dedup.connectedKeepers(all, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(keepers(_) == 1L)) // chain collapses
+    assert(keepers(5L) == 5L && keepers(6L) == 5L)
+  }
+
   test("trigger weight/condition are arbitrary SQL fragments") {
     val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
     val out = TriggerOps.createNotifications(kpi, TriggerRule(
