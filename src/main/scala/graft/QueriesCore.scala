@@ -623,8 +623,10 @@ object QueriesCore {
              CAST(sum(samples) AS BIGINT) AS samples,
              CAST(sum(CAST(sum_value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
            FROM hourly GROUP BY 1,2 ORDER BY 1,2""",
-      // dict.update semantics: the ordering expr is gated on the CARRYING
-      // package (pkg tag), not on value nullness — a carried NULL wins.
+      // dict.update semantics: gated on the CARRYING package, and the max
+      // goes through a (seq, value) struct because DuckDB's max_by SKIPS
+      // null values — the struct max preserves a carried NULL at the top
+      // seq, exactly like Spark's max_by (a carried NULL wins).
       "q04_merge_packages" ->
         s"""WITH u AS (
              SELECT user_id, ($ts//3600)*3600 AS hr, value AS counter_a,
@@ -635,8 +637,10 @@ object QueriesCore {
                value, event_id, 1 AS pkg
              FROM events WHERE event_type = 'error')
            SELECT user_id, hr,
-             max_by(counter_a, CASE WHEN pkg = 0 THEN event_id END) AS counter_a,
-             max_by(counter_b, CASE WHEN pkg = 1 THEN event_id END) AS counter_b
+             (max(struct_pack(s := event_id, v := counter_a))
+                FILTER (WHERE pkg = 0)).v AS counter_a,
+             (max(struct_pack(s := event_id, v := counter_b))
+                FILTER (WHERE pkg = 1)).v AS counter_b
            FROM u GROUP BY 1,2 ORDER BY 1,2""",
       "q05_current_ptr" ->
         """SELECT o_custkey, o_orderkey, o_orderstatus,
@@ -812,13 +816,19 @@ object QueriesCore {
       "q40_relation_cardinality" ->
         """SELECT CAST(o_custkey AS BIGINT) AS violated_key, count(*) AS n
            FROM orders GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+      // mapping is the (start, end]-convention CEILING: aligned timestamps
+      // stay fixed (the hour label 24:00 belongs to the day ending 24:00)
       "q49_yaml_agg_chain" ->
         s"""WITH h AS (
-             SELECT user_id AS entity_id, ($ts//3600)*3600 + 3600 AS w,
+             SELECT user_id AS entity_id,
+               CASE WHEN $ts % 3600 = 0 THEN $ts
+                    ELSE ($ts//3600)*3600 + 3600 END AS w,
                count(*) AS samples,
                CAST(sum(CAST(floor(value) AS INT)) AS BIGINT) AS value_i
              FROM events GROUP BY 1, 2)
-           SELECT entity_id, (w//86400)*86400 + 86400 AS "timestamp",
+           SELECT entity_id,
+             CASE WHEN w % 86400 = 0 THEN w
+                  ELSE (w//86400)*86400 + 86400 END AS "timestamp",
              CAST(sum(samples) AS BIGINT) AS samples,
              CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -87,10 +87,13 @@ object Main {
         .drop("entity", "name")
         .withColumnRenamed("id", "entity_id")
         .withColumn("job_id", lit(jobId))
+        .persist() // one CSV read serves both the write and the row count
       val store = new graft.storage.AttributeStore(s, s"$base/$storeName")
       store.transferStaged(batch, now)
+      val nRows = batch.count()
+      batch.unpersist()
       jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
-      println(s"""{"loaded_rows":${batch.count()},"store":"$storeName","job_id":$jobId}""")
+      println(s"""{"loaded_rows":$nRows,"store":"$storeName","job_id":$jobId}""")
 
     // `minerva aggregation compile` (commands/aggregation.py:123-140 +
     // aggregation_compilation.py:562-599): read an aggregation definition,

@@ -114,10 +114,13 @@ object Dedup {
   def jaccardPairs(
       sh0: DataFrame, idCol: String, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // PRECONDITION: sh0 must be DISTINCT (id, shingle) rows — `shingles`
+    // guarantees this; both the set-size counts below AND the doc-freq
+    // window count rely on it (a repeated (id, shingle) would inflate
+    // both the Jaccard denominator and the frequency cap).
     val sh =
       if (maxDocFreq == Int.MaxValue) sh0
       else {
-        // sh is distinct (id, shingle) ⇒ count(*) per shingle IS doc freq
         val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
         sh0.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxDocFreq).drop("__df")
@@ -191,6 +194,12 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedKeepers did not converge in $maxIter iterations — " +
+          "a duplicate chain deeper than the bound; raise maxIter " +
+          "(silently returning partial labels would disagree with any " +
+          "exact component computation)")
     labels.select(col("id").as(idCol), col("label").as("keeper"))
   }
 

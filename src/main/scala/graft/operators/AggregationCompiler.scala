@@ -25,22 +25,32 @@ object TimestampMappings {
 
   private val StandardPat = """mapping_.+->(.+)""".r
 
-  /** Window-end mapping onto a seconds-based target granularity. */
+  /** Window-end mapping onto a seconds-based target granularity: the
+    * target label t maps to is the END of the window CONTAINING it under
+    * the reference's (start, end] convention — a ceiling that leaves
+    * already-aligned timestamps FIXED. Source trend timestamps are
+    * end-labels on the source grid, so e.g. the hourly label 24:00 belongs
+    * to the day ending 24:00, NOT the next day (a plain truncate+step
+    * would misattribute the last source window of every target window). */
   def windowEnd(granSec: Long): Mapping =
-    ts => (ts - pmod(ts, lit(granSec)) + lit(granSec)).cast("long")
+    ts => (ts + pmod(lit(granSec) - pmod(ts, lit(granSec)), lit(granSec))).cast("long")
 
   /** Window-end mapping onto calendar months (UTC session): end of the
-    * enclosing n-month window. */
-  def monthEnd(months: Int): Mapping =
-    ts => unix_timestamp(
-      add_months(date_trunc("month", timestamp_seconds(ts)), months)).cast("long")
+    * enclosing n-month window; month-start-aligned timestamps (end-labels
+    * of the previous month) stay fixed, same (start, end] convention. */
+  def monthEnd(months: Int): Mapping = ts => {
+    val tr = date_trunc("month", timestamp_seconds(ts))
+    when(unix_timestamp(tr) === ts, ts)
+      .otherwise(unix_timestamp(add_months(tr, months)))
+      .cast("long")
+  }
 
   /** Window-end mapping onto Monday-aligned weeks (epoch Monday offset:
-    * 1970-01-05 = 345600s). */
+    * 1970-01-05 = 345600s); Monday-aligned end-labels stay fixed. */
   def weekEnd(weeks: Int): Mapping = ts => {
     val span = lit(weeks * 604800L)
     val shifted = ts - lit(345600L)
-    (shifted - pmod(shifted, span) + span + lit(345600L)).cast("long")
+    (shifted + pmod(span - pmod(shifted, span), span) + lit(345600L)).cast("long")
   }
 
   /** Resolve a mapping-function name (with or without the reference's

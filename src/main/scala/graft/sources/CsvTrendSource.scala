@@ -99,8 +99,8 @@ object CsvTrendSource {
       .option("nullValue", null: String)
       .csv(path)
     def rankOf(c: String): Column = {
-      val v = s"`$c`"
-      val nullTok = cfg.nullToken.replace("\\", "\\\\")
+      val v = s"`${c.replace("`", "``")}`" // backtick-escape the identifier
+      val nullTok = cfg.nullToken.replace("\\", "\\\\").replace("'", "''")
       expr(
         s"""CASE
             WHEN $v IS NULL OR $v = '$nullTok' OR $v = '' THEN 0
@@ -128,7 +128,9 @@ object CsvTrendSource {
         }: _*)
       .head()
     cols.zipWithIndex.map { case (c, i) =>
-      c -> MinervaType.TypeOrder(row.getInt(i))
+      // header-only input: max over zero rows is null → bottom of lattice
+      c -> (if (row.isNullAt(i)) MinervaType.MSmallInt
+            else MinervaType.TypeOrder(row.getInt(i)))
     }
   }
 
@@ -150,7 +152,13 @@ object CsvTrendSource {
         .otherwise(col(c))
       val castCol =
         if (Some(c) == cfg.timestampColumn)
-          to_timestamp(cleaned, cfg.timestampFormat).cast("long")
+          // configured format first, then the reference's two recognized
+          // forms — so a column deduction classified as timestamp
+          // ('yyyy-MM-dd[ T]HH:mm:ss') always parses even when the caller
+          // kept the offset-bearing default format
+          coalesce(
+            try_to_timestamp(cleaned, lit(cfg.timestampFormat)),
+            try_to_timestamp(regexp_replace(cleaned, "T", " "))).cast("long")
         else t match {
           case MinervaType.MTimestamp => to_timestamp(regexp_replace(cleaned, "T", " "))
           case arr: MinervaType.MArray =>

@@ -32,7 +32,11 @@ class JobLog(spark: SparkSession, basePath: String) {
     rows.toDF("job_id", "description", "event", "event_sec")
   }
 
-  /** Allocate an id and record the start (logging/__init__.py:4-12). */
+  /** Allocate an id and record the start (logging/__init__.py:4-12).
+    * Id allocation is read-max-then-append: safe for the reference's model
+    * of one loader per store (its PG sequence serializes ids the same way
+    * a single writer does here); concurrent loaders against one store
+    * would need an external coordinator — same caveat as PartStore writes. */
   def startJob(description: String, nowSec: Long): Long = {
     val id = raw.map(_.agg(coalesce(max("job_id"), lit(0L)).cast("long"))
       .first().getLong(0)).getOrElse(0L) + 1L
@@ -46,13 +50,14 @@ class JobLog(spark: SparkSession, basePath: String) {
     eventDf(Seq((jobId, "", "end", nowSec)))
       .write.mode(SaveMode.Append).parquet(logPath)
 
-  /** Current job table: (job_id, description, started, finished?). */
-  def jobs: DataFrame = raw match {
-    case None => spark.emptyDataFrame
-    case Some(df) =>
-      df.groupBy("job_id").agg(
-        max(when(col("event") === "start", col("description"))).as("description"),
-        min(when(col("event") === "start", col("event_sec"))).as("started"),
-        max(when(col("event") === "end", col("event_sec"))).as("finished"))
+  /** Current job table: (job_id, description, started, finished?) — the
+    * empty case carries the full schema so downstream selects/joins work
+    * against a store with no jobs yet. */
+  def jobs: DataFrame = {
+    val df = raw.getOrElse(eventDf(Seq.empty))
+    df.groupBy("job_id").agg(
+      max(when(col("event") === "start", col("description"))).as("description"),
+      min(when(col("event") === "start", col("event_sec"))).as("started"),
+      max(when(col("event") === "end", col("event_sec"))).as("finished"))
   }
 }

@@ -53,9 +53,31 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     spark.sparkContext.hadoopConfiguration)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
-  def readPart(part: String): Option[DataFrame] =
+  /** Crash recovery: a `.pindex_old_<i>` aside dir with NO live
+    * `pindex=<i>` means a crash hit between the two swap renames — the
+    * aside is the ONLY copy, restore it. An aside WITH a live dir means the
+    * crash hit after the swap-in — the aside is stale, drop it. Runs before
+    * every read and store so recovery happens before any merge base is
+    * computed. */
+  private def recoverAsides(part: String): Unit = {
+    val dir = hp(path(part))
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".pindex_old_")) {
+          val dst = hp(s"${path(part)}/pindex=${name.stripPrefix(".pindex_old_")}")
+          if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+          else fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
+  def readPart(part: String): Option[DataFrame] = {
+    recoverAsides(part)
     if (!fs.exists(hp(path(part)))) None
     else Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
+  }
 
   /** Load-time type widening (trendstorepart.py:351-374 "assure_data_types"
     * + SURVEY §7 hard part 5): when the batch carries a wider type for an
@@ -147,7 +169,9 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       val src = hp(s"$staging/pindex=$i")
       val dst = hp(s"${path(part)}/pindex=$i")
       val aside = hp(s"${path(part)}/.pindex_old_$i")
-      if (fs.exists(aside)) fs.delete(aside, true) // leftover from a crash
+      // asides were restored/cleared by recoverAsides (via readPart) before
+      // the merge base was read; any aside appearing here would be stale
+      if (fs.exists(aside)) fs.delete(aside, true)
       val hadLive = fs.exists(dst)
       if (hadLive) {
         if (!fs.rename(dst, aside))

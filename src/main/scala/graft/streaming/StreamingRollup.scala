@@ -101,11 +101,17 @@ object StreamingRollup {
             var open = state.getOption
             secs.foreach { t =>
               open = open match {
-                case Some(s) if t - s.end <= gapSeconds =>
-                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
+                // within gap of the open session's INTERVAL (either side —
+                // a late event can extend the start downward, not just the
+                // end upward)
+                case Some(s) if t >= s.start - gapSeconds && t <= s.end + gapSeconds =>
+                  Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
+                case Some(s) if t > s.end + gapSeconds =>
                   closed += ClosedSession(entity, s.start, s.end, s.n)
                   Some(SessionState(t, t, 1))
+                case Some(s) => // older than start - gap: its own session
+                  closed += ClosedSession(entity, t, t, 1)
+                  Some(s)
                 case None =>
                   Some(SessionState(t, t, 1))
               }

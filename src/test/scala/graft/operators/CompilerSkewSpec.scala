@@ -67,6 +67,24 @@ class CompilerSkewSpec extends SparkSpec {
     assert(kept.select("bucket").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("timestamp mappings keep aligned end-labels fixed ((start, end] convention)") {
+    // the hourly label 24:00 is the END of day 1's last hour — it belongs
+    // to the day ending 24:00, NOT day 2 (truncate+step would misattribute
+    // the last source window of every target window)
+    val m = TimestampMappings.resolve("trend.mapping_1h->1d")
+    val out = Seq(86400L, 86401L, 82800L, 1L).toDF("ts")
+      .select(col("ts"), m(col("ts")).as("m")).sort("ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(86400L) == 86400L) // aligned end-label stays
+    assert(out(86401L) == 172800L)
+    assert(out(82800L) == 86400L)
+    assert(out(1L) == 86400L)
+    val mw = TimestampMappings.resolve("mapping_1d->1w")
+    // 1970-01-12 00:00 (345600 + 604800) is Monday-aligned — stays
+    val w = Seq(950400L, 950401L).toDF("ts").select(mw(col("ts"))).collect()
+    assert(w(0).getLong(0) == 950400L && w(1).getLong(0) == 1555200L)
+  }
+
   test("lshCandidates maxBucket bounds a degenerate bucket's pair blowup") {
     import graft.functions.Dedup
     // one hot (band,key) shared by 50 docs (uncapped: 50*49/2 = 1225 pairs)

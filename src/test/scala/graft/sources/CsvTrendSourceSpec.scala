@@ -117,6 +117,24 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(TrendSources.get("no-such-plugin").isEmpty)
   }
 
+  test("timestamp parse falls back to the reference formats") {
+    // caller keeps the offset-bearing DEFAULT format but the file carries
+    // the reference's offset-less form — the fallback must parse it
+    val tsCsv =
+      """node,timestamp,v
+        |n1,2020-08-25 14:00:00,1
+        |n2,2020-08-25T15:00:00,2
+        |""".stripMargin
+    val p = Paths.get("target/tmp/tsfallback.csv")
+    Files.writeString(p, tsCsv)
+    val cfg = CsvSourceConfig("node", Some("timestamp")) // default format
+    val schema = Seq("node" -> MText, "timestamp" -> MTimestamp, "v" -> MBigInt)
+    val rows = CsvTrendSource.read(spark, p.toString, cfg, schema)
+      .sort("entity").collect()
+    assert(rows(0).getAs[Long]("timestamp") == 1598364000L)
+    assert(rows(1).getAs[Long]("timestamp") == 1598367600L)
+  }
+
   test("fixed timestamp provider when no timestamp column") {
     val path = writeFixture("fixedts")
     val cfg = CsvSourceConfig("node", None, fixedTimestampSec = Some(1700000000L))

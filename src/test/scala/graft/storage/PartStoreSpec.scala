@@ -107,6 +107,22 @@ class PartStoreSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("crash recovery restores an aside partition that lost its swap") {
+    val ps = freshStore("recover")
+    ps.store("p", Seq((1L, 1000L, 42.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    // simulate a crash between the two swap renames: live dir moved aside,
+    // staged dir never swapped in
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/partstore_recover/p"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/pindex=0"),
+      new org.apache.hadoop.fs.Path(s"$base/.pindex_old_0")))
+    // read triggers recovery: the aside is the only copy → restored
+    val back = ps.readPart("p").get.collect()
+    assert(back.length == 1 && back.head.getAs[Double]("power") == 42.0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.pindex_old_0")))
+  }
+
   test("retention expiry drops whole partitions") {
     val ps = freshStore("expire")
     ps.store("p", Seq(
