@@ -423,7 +423,11 @@ object QueriesCore {
         col("user_id").as("entity_id"), col("ts_sec").as("timestamp"),
         floor(col("value")).cast("int").as("value_i"))
       val daily = c2.units.head.compute(c1.units.head.compute(df15))
-      daily.orderBy("entity_id", "timestamp")
+      // The compiler widens sum(bigint) to DECIMAL(38,18) internally; cast the
+      // terminal column to double like every other gate query (raw decimals
+      // hash differently in some canonicalizations even when values match).
+      daily.withColumn("value_i", col("value_i").cast("double"))
+        .orderBy("entity_id", "timestamp")
     },
     // ---- Entity-aggregation YAML compile over a named relation ----
     "q50_yaml_entity_agg" -> { (s, dir) =>
@@ -458,7 +462,9 @@ object QueriesCore {
       val rel = hourly.select(col("entity_id").as("source_id")).distinct()
         .withColumn("target_id", pmod(col("source_id"), lit(10L)))
       val c = AggregationCompiler.compileEntityAggregation(src, ea, rel)
-      c.units.head.compute(hourly).orderBy("entity_id", "timestamp")
+      c.units.head.compute(hourly)
+        .withColumn("value_i", col("value_i").cast("double"))
+        .orderBy("entity_id", "timestamp")
     },
     // ---- A9/attribute harvest: CSV → DN-resolved attribute package →
     // AttributeStore staging transfer → curr-ptr view ----
@@ -830,7 +836,7 @@ object QueriesCore {
              CASE WHEN w % 86400 = 0 THEN w
                   ELSE (w//86400)*86400 + 86400 END AS "timestamp",
              CAST(sum(samples) AS BIGINT) AS samples,
-             CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
+             CAST(CAST(sum(value_i) AS DECIMAL(38,18)) AS DOUBLE) AS value_i
            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
       "q50_yaml_entity_agg" ->
         s"""WITH h AS (
@@ -840,7 +846,7 @@ object QueriesCore {
              FROM events GROUP BY 1, 2)
            SELECT entity_id % 10 AS entity_id, w AS "timestamp",
              CAST(sum(samples) AS BIGINT) AS samples,
-             CAST(sum(value_i) AS DECIMAL(38,18)) AS value_i
+             CAST(CAST(sum(value_i) AS DECIMAL(38,18)) AS DOUBLE) AS value_i
            FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
       "q54_dn_hierarchy" ->
         """SELECT CAST(c_custkey AS BIGINT) AS source_id,

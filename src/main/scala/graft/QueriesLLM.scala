@@ -511,7 +511,7 @@ object QueriesLLM {
              CAST(sum(CASE WHEN tok IN ('il','di','che','la','per','gli') THEN 1 ELSE 0 END) AS BIGINT) AS n_it,
              CAST(sum(CASE WHEN tok IN ('o','a','de','que','e','dos') THEN 1 ELSE 0 END) AS BIGINT) AS n_pt
            FROM toks GROUP BY 1)
-         SELECT doc_id,
+         SELECT d.doc_id,
            CASE WHEN greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) = 0 THEN 'und'
                 WHEN n_en = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'en'
                 WHEN n_es = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'es'
@@ -520,7 +520,8 @@ object QueriesLLM {
                 WHEN n_it = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'it'
                 WHEN n_pt = greatest(n_en,n_es,n_fr,n_de,n_it,n_pt) THEN 'pt'
                 ELSE 'und' END AS lang_pred
-         FROM counts ORDER BY doc_id""",
+         FROM documents d LEFT JOIN counts USING (doc_id)
+         ORDER BY d.doc_id""",
     "q59_gopher_quality" ->
       s"""WITH $ToksCte,
          tokstats AS (
@@ -539,19 +540,19 @@ object QueriesLLM {
              length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS symbols,
              length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppers
            FROM documents)
-         SELECT t.doc_id, t.n_tokens, t.avg_token_len, t.frac_alpha_tokens,
+         SELECT c.doc_id, t.n_tokens, t.avg_token_len, t.frac_alpha_tokens,
            CAST(digits AS DOUBLE)/len AS digit_ratio,
            CAST(symbols AS DOUBLE)/len AS symbol_ratio,
            CAST(uppers AS DOUBLE)/len AS uppercase_ratio,
            CAST(maxn AS DOUBLE)/t.n_tokens AS top_token_ratio,
-           (t.n_tokens >= 20 AND t.n_tokens <= 100000
+           coalesce(t.n_tokens >= 20 AND t.n_tokens <= 100000
             AND t.avg_token_len >= 2.0 AND t.avg_token_len <= 12.0
             AND t.frac_alpha_tokens >= 0.7
-            AND CAST(maxn AS DOUBLE)/t.n_tokens <= 0.2) AS passes_gopher
-         FROM tokstats t
-         JOIN toptok USING (doc_id)
-         JOIN charstats USING (doc_id)
-         ORDER BY t.doc_id""",
+            AND CAST(maxn AS DOUBLE)/t.n_tokens <= 0.2, FALSE) AS passes_gopher
+         FROM charstats c
+         LEFT JOIN tokstats t USING (doc_id)
+         LEFT JOIN toptok USING (doc_id)
+         ORDER BY c.doc_id""",
     // hashed-BoW embedding rebuilt in SQL (md5-byte buckets, dense 16-dim
     // count lists), then the same hyperplane-bucketed join + keeper fold.
     "q57_embedding_neardup" ->

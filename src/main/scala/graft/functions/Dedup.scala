@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.SkewOps
+
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
   * Scale design notes (the 100 TB story is the whole point of these):
@@ -79,19 +81,15 @@ object Dedup {
     * `maxBucket` caps degenerate buckets: a (band, key) shared by m docs
     * emits m² pairs, and a pathological key (empty docs, boilerplate) can
     * have m in the millions at 100 TB while carrying no discriminative
-    * signal. The cap is a window count over (band, key) — ONE shuffle on
-    * exactly the key the self-join below needs, so Catalyst reuses the
-    * exchange instead of recomputing the signature pipeline per join side;
-    * output bounded at |bucket|≤maxBucket ⇒ ≤ maxBucket² pairs/bucket. */
+    * signal. The cap is `SkewOps.keepSmallKeys` — a map-side-combined size
+    * aggregate joined back on (band, key), skew-immune where a window count
+    * would buffer the entire hot bucket on one task; output bounded at
+    * |bucket|≤maxBucket ⇒ ≤ maxBucket² pairs/bucket. */
   def lshCandidates(
       buckets: DataFrame, idCol: String, maxBucket: Int = Int.MaxValue): DataFrame = {
     val capped =
       if (maxBucket == Int.MaxValue) buckets
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-        buckets.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxBucket).drop("__n")
-      }
+      else SkewOps.keepSmallKeys(buckets, Seq("band", "key"), maxBucket)
     val a = capped.alias("a")
     val b = capped.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -107,10 +105,11 @@ object Dedup {
     * f² join rows, and boilerplate shingles ("click here to", license
     * headers) have f ∝ corpus size while carrying no near-dup signal —
     * standard LSH hygiene drops them (cf. stop-word removal). The doc-freq
-    * filter is a window count over shingle — one shuffle on the self-join's
-    * own key (exchange reused, shingle pipeline computed once) — applied
-    * BEFORE the join, with per-doc counts computed on the filtered universe
-    * so the Jaccard estimate stays internally consistent. */
+    * filter is `SkewOps.keepSmallKeys` on shingle — a partial-aggregated
+    * frequency table joined back, skew-immune for exactly the hot shingles
+    * it drops — applied BEFORE the join, with per-doc counts computed on
+    * the filtered universe so the Jaccard estimate stays internally
+    * consistent. */
   def jaccardPairs(
       sh0: DataFrame, idCol: String, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
@@ -120,11 +119,7 @@ object Dedup {
     // both the Jaccard denominator and the frequency cap).
     val sh =
       if (maxDocFreq == Int.MaxValue) sh0
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-        sh0.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
-      }
+      else SkewOps.keepSmallKeys(sh0, Seq("shingle"), maxDocFreq)
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.alias("a")
     val b = sh.alias("b")
@@ -165,33 +160,52 @@ object Dedup {
     * chains a~b~c collapse to one keeper where the single-pass
     * `embeddingNearDups` fold would keep two.
     *
-    * Each iteration is one join + one min-aggregate, both keyed by id;
+    * Each iteration is ONE Spark action: the per-id min-label aggregate
+    * carries the previous label alongside (min ignores the nulls on
+    * neighbor rows), a side-effecting flag column counts label changes into
+    * a LongAccumulator during the `localCheckpoint` materialization, and
+    * convergence reads the accumulator — no separate compare-join action.
+    * (Task retries can over-count the accumulator; only zero/non-zero is
+    * tested, and a retry of a changed partition stays non-zero.)
     * `localCheckpoint` truncates lineage per round so the plan doesn't grow
     * with iterations. Iteration count is the component diameter — near-dup
     * clusters are shallow (dozens of rounds would mean a pathological
     * duplicate chain; `maxIter` bounds it). The fixpoint label is
-    * order-independent, so any engine computing true components agrees. */
+    * order-independent, so any engine computing true components agrees.
+    *
+    * Ids keep their original type — label propagation needs only a total
+    * order, so string doc ids work as well as longs (a cast would null
+    * non-numeric ids and silently collapse every row into one group). */
   def connectedKeepers(
       all: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = all.select(col(idCol).cast("long").as("id"))
+    var labels = all.select(col(idCol).as("id"))
       .withColumn("label", col("id"))
+    val labelType = labels.schema("label").dataType
+    val sc = all.sparkSession.sparkContext
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val acc = sc.longAccumulator(s"graft.cc.changed.$i")
+      val countChange = udf { changed: Boolean =>
+        if (changed) acc.add(1L)
+        changed
+      }
       val fromNeighbors = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val newLabels = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val newLabels = labels
+        .select(col("id"), col("label"), col("label").as("prev"))
+        .unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
+        .select(col("id"), col("label"),
+          countChange(!(col("label") <=> col("prev"))).as("__changed"))
         .localCheckpoint()
-      val changed = newLabels.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
+        .drop("__changed")
       labels = newLabels
-      converged = !changed
+      converged = acc.value == 0L
       i += 1
     }
     if (!converged)
@@ -209,16 +223,19 @@ object Dedup {
     * the Hamming-ball candidate join selective). */
   def simhash(tokens: DataFrame, idCol: String): DataFrame = {
     val v = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
-    val withBits = tokens
+    // One aggregation, 16 conditional-sum columns (one per bit) over the
+    // un-exploded token stream: same ±1 votes as a bit-explode formulation
+    // with 1/16th the shuffle rows and a single map-side-combined pass.
+    val bitSums = (0 until 16).map { b =>
+      sum(when(expr(s"shiftright(v, $b) % 2") === 1, 1L).otherwise(-1L)).as(s"__s$b")
+    }
+    tokens
       .withColumn("v", v)
-      .select(col(idCol), col("v"), explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("vote",
-        when(expr("shiftright(v, CAST(b AS INT)) % 2") === 1, 1L).otherwise(-1L))
-    withBits
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L))
-        .as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b =>
+          when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 }

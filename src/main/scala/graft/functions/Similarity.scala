@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.SkewOps
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Two paths, per the standard ANN playbook:
@@ -67,14 +69,18 @@ object Similarity {
       if (sameSet) {
         // Self-similarity: cos is symmetric and the per-element product
         // stream is identical in both directions, so each unordered pair
-        // is computed ONCE and mirrored — halves the dominant dot cost
-        // with bit-identical results.
-        val half = q.join(broadcast(c), col("query_id") < col("neighbor_id"))
+        // is computed ONCE and both orientations emitted from the same row
+        // (explode of two structs over one computed cos). One join in the
+        // plan — a union of two references would execute the broadcast
+        // join twice, paying N² dot products for N²/2 pairs.
+        q.join(broadcast(c), col("query_id") < col("neighbor_id"))
           .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .select("query_id", "neighbor_id", "cos")
-        half.unionByName(half.select(
-          col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
-          col("cos")))
+          .select(explode(array(
+            struct(col("query_id"), col("neighbor_id"), col("cos")),
+            struct(col("neighbor_id").as("query_id"),
+              col("query_id").as("neighbor_id"), col("cos")))).as("p"))
+          .select(col("p.query_id").as("query_id"),
+            col("p.neighbor_id").as("neighbor_id"), col("p.cos").as("cos"))
       } else {
         q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
           .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -196,14 +202,7 @@ object Similarity {
       norm(col(vecCol)).as("nrm"))
     val b =
       if (maxBucket == Int.MaxValue) b0
-      else {
-        // window count on the join key: one shuffle, exchange reused by
-        // the same-bucket self-join below (vs recomputing the bucketing
-        // pipeline per join side with a broadcast anti-join)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-        b0.withColumn("__n", count(lit(1)).over(w))
-          .filter(col("__n") <= maxBucket).drop("__n")
-      }
+      else SkewOps.keepSmallKeys(b0, Seq("bucket"), maxBucket)
     val l = b.select(col(idCol).as("id1"), col(vecCol).as("v1"),
       col("bucket"), col("nrm").as("n1"))
     val r = b.select(col(idCol).as("id2"), col(vecCol).as("v2"),

@@ -106,7 +106,12 @@ object TextAnalysis {
     val chain = langs.foldLeft(when(mx === 0L, "und")) {
       case (w, (name, _)) => w.when(col(s"n_$name") === mx, name)
     }
-    counts.select(col(idCol), chain.otherwise("und").as("lang_pred"))
+    // Left-join back to the doc universe: a NULL-text doc has no token rows
+    // and would otherwise produce no output at all — the contract is 'und'
+    // when there is no evidence (the otherwise-branch catches the NULL
+    // counts the left join introduces).
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), chain.otherwise("und").as("lang_pred"))
   }
 
   /** Gopher-style quality signals (Rae et al. 2021 §A1.1 heuristics,
@@ -129,18 +134,22 @@ object TextAnalysis {
       classCount("[0-9]").as("__digits"),
       classCount("[^A-Za-z0-9\\s]").as("__symbols"),
       classCount("[A-Z]").as("__upper"))
-    tokStats.join(topTok, Seq(idCol)).join(charStats, Seq(idCol))
+    // charStats is the doc universe (one row per doc regardless of text);
+    // left-join the token-derived stats so a NULL-text doc still gets a row
+    // (null token stats, passes_gopher = false) instead of vanishing.
+    charStats.join(tokStats, Seq(idCol), "left").join(topTok, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"), col("avg_token_len"),
         col("frac_alpha_tokens"),
         (col("__digits").cast("double") / col("__len")).as("digit_ratio"),
         (col("__symbols").cast("double") / col("__len")).as("symbol_ratio"),
         (col("__upper").cast("double") / col("__len")).as("uppercase_ratio"),
         (col("__maxn").cast("double") / col("n_tokens")).as("top_token_ratio"),
-        (col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
-          col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0 &&
-          col("frac_alpha_tokens") >= 0.7 &&
-          (col("__maxn").cast("double") / col("n_tokens")) <= 0.2)
-          .as("passes_gopher"))
+        coalesce(
+          col("n_tokens") >= 20 && col("n_tokens") <= 100000 &&
+            col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0 &&
+            col("frac_alpha_tokens") >= 0.7 &&
+            (col("__maxn").cast("double") / col("n_tokens")) <= 0.2,
+          lit(false)).as("passes_gopher"))
   }
 
   /** Corpus token histogram (vocabulary/frequency analysis). */

@@ -183,7 +183,10 @@ object AggregationCompiler {
     case "1d" => Granularity.parse("3month")
     case "1w" => Granularity.parse("1y")
     case "1month" => Granularity.parse("5y")
-    case _ => Granularity.parse("1d")
+    case other => throw new IllegalArgumentException(
+      // the reference's PARTITION_SIZE_MAPPING raises KeyError here — a
+      // silent default would compile a wrong partition size
+      s"no partition size mapping for granularity '$other'")
   }
 
   /** One executable materialization produced by a compile: metadata

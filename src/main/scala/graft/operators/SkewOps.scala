@@ -43,6 +43,23 @@ object SkewOps {
       .agg(finals.head, finals.tail: _*)
   }
 
+  /** Keep only rows whose key-group size is ≤ maxSize — the scale-safe
+    * bucket cap. A `count(*) over (partition by key)` window would
+    * hash-partition EVERY row of the hottest key onto a single task —
+    * exactly the degenerate bucket (empty docs, boilerplate) the cap exists
+    * to kill — and survive only via spill. Here the sizes come from a
+    * `groupBy(key).count()` (map-side partial aggregation collapses the hot
+    * key per input partition, so the shuffle carries ≤ |partitions| rows per
+    * key), and the one-row-per-key size table is joined back on the same key
+    * the caller's self-join shuffles on, so the join streams rows through
+    * without per-key buffering. */
+  def keepSmallKeys(df: DataFrame, keys: Seq[String], maxSize: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxSize)
+      .select(keys.map(col): _*)
+    df.join(small, keys)
+  }
+
   /** Cap pathological LSH/ANN buckets: drop buckets larger than `maxSize`
     * (a degenerate bucket produces |bucket|² candidate pairs and no useful
     * signal — standard practice is to skip it and log the count). Returns

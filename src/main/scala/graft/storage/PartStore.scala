@@ -178,7 +178,14 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
           throw new java.io.IOException(s"failed to move aside $dst")
       }
       fs.mkdirs(dst.getParent)
-      if (fs.exists(src) && !fs.rename(src, dst)) {
+      if (!fs.exists(src)) {
+        // Unreachable with current callers (every index in `indices` has
+        // staged rows), but this is the crash-safety path: falling through
+        // to the aside delete would silently lose the live partition.
+        if (hadLive) fs.rename(aside, dst) // restore the live dir
+        throw new java.io.IOException(s"staged partition missing: $src")
+      }
+      if (!fs.rename(src, dst)) {
         if (hadLive) fs.rename(aside, dst) // roll back
         throw new java.io.IOException(s"failed to swap in $src -> $dst")
       }
