@@ -83,6 +83,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("self-similarity executes ONE broadcast join (no phantom halving)") {
+    // The mirrored orientations must come from an explode over one computed
+    // cos — a union of two references to the join would execute the
+    // broadcast join twice, paying N² dot products for N²/2 pairs.
+    val scored = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 2)
+    val plan = scored.queryExecution.executedPlan.toString
+    val joins = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(joins == 1, s"expected 1 BroadcastNestedLoopJoin, got $joins:\n$plan")
+    // mirrored-orientation semantics: every (q,n) has its (n,q) twin in the
+    // full scored set → symmetric top-k against a symmetric corpus
+    val rows = scored.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 2))
+  }
+
   test("self-similarity detected via logical plan, not reference equality") {
     val path = "target/tmp/simspec_vecs"
     clustered.write.mode("overwrite").parquet(path)

@@ -98,6 +98,25 @@ class CompilerSkewSpec extends SparkSpec {
     assert(capped == 3) // hot bucket dropped entirely, healthy one intact
   }
 
+  test("bucket caps plan with no Window on the capped key (hot-bucket safety)") {
+    import graft.functions.Dedup
+    // A count-over-window cap would hash-partition ALL rows of the hottest
+    // bucket onto one task — the exact degenerate key the cap exists to
+    // kill. The aggregate+join cap must leave no Window in the plan.
+    val hot = (1L to 50L).map(id => (id, 0, "deadbeef"))
+    val ok = Seq((100L, 1, "cafe"), (101L, 1, "cafe"), (102L, 1, "cafe"))
+    val buckets = (hot ++ ok).toDF("doc_id", "band", "key")
+    val capped = SkewOps.keepSmallKeys(buckets, Seq("band", "key"), 10)
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(100L, 101L, 102L))
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"))
+    val pairs = Dedup.lshCandidates(buckets, "doc_id", maxBucket = 10)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("Window"))
+    val sh = (1L to 30L).map(id => (id, "common")).toDF("doc_id", "shingle")
+    val jac = Dedup.jaccardPairs(sh, "doc_id", 0.0, maxDocFreq = 10)
+    assert(!jac.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("jaccardPairs maxDocFreq drops boilerplate shingles consistently") {
     import graft.functions.Dedup
     // shingle "common" appears in all 30 docs (f² = 435 join rows, zero
