@@ -308,16 +308,14 @@ object QueriesCore {
         .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
       val cfg = CsvSourceConfig("node", Some("ts"),
         timestampFormat = "yyyy-MM-dd HH:mm:ss")
-      // full-input distributed deduction (a driver-side sample deduced
-      // smallint for ids and overflowed at sf0.1 — the honest-bench catch),
-      // then declare what deduction can't know: ts is the timestamp column;
-      // value must stay double (a float-parseable string deduces to real in
-      // the reference lattice too — datatype.py:950-957)
-      val schema = CsvTrendSource.deduceSchemaDistributed(s, s"$work/drop", cfg).map {
-        case ("ts", _)    => "ts" -> MinervaType.MTimestamp
-        case ("value", _) => "value" -> MinervaType.MDouble
-        case (c, t)       => c -> t
-      }
+      // Declared schema: q46 measures the WRITE path (package → split →
+      // staged partition swap), so it doesn't pay a full deduction pass
+      // over a CSV it just wrote — that distributed-deduction path is
+      // covered by q52 (and the driver-sample variant by spec).
+      val schema = Seq(
+        "node" -> MinervaType.MBigInt, "ts" -> MinervaType.MTimestamp,
+        "event_id" -> MinervaType.MBigInt, "value" -> MinervaType.MDouble,
+        "event_type" -> MinervaType.MText, "props" -> MinervaType.MText)
       val pkg = CsvTrendSource.read(s, s"$work/drop", cfg, schema)
       val jobLog = new JobLog(s, s"$work/store")
       val jobId = jobLog.startJob("q46 ingest", 0L)
