@@ -207,10 +207,137 @@ object Main {
         if (i < iters.toInt) Thread.sleep(pollMs.toLong)
       }
 
+    // `minerva initialize [--load-sample-data]` (commands/initialize.py:
+    // 70-156): load the instance bundle, materialize virtual entities and
+    // relations (initialize_derivatives), optionally load native sample
+    // CSVs, then run one materialization + trigger pass so the instance
+    // comes up populated.
+    case "initialize" :: instanceDir :: base :: rest =>
+      val s = spark()
+      val loadSample = rest.contains("--load-sample-data")
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val now = System.currentTimeMillis() / 1000
+
+      val entityDir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      val veCounts = InstanceInit.materializeVirtualEntities(s, inst, entityDir)
+      val relCounts = InstanceInit.materializeRelations(
+        s, inst, entityDir, s"$base/relation")
+
+      val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
+      var loadedParts = 0
+      if (loadSample) {
+        InstanceModel.loadSampleDataDefs(instanceDir).foreach { ds =>
+          val csv = Seq(
+            s"$instanceDir/sample-data/${ds.name}.csv",
+            s"$instanceDir/sample-data/${ds.name}/sample.csv",
+            s"$instanceDir/sample-data/sample.csv")
+            .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          csv.foreach { path =>
+            val cfg = CsvSourceConfig(ds.identifier, Some(ds.timestamp),
+              delimiter = ds.delimiter)
+            // deduction supplies the file's column order; declared types win
+            val declared = ds.columns.toMap
+            val schema = CsvTrendSource.deduceSchemaDistributed(s, path, cfg).map {
+              case (c, _) if c == ds.timestamp => c -> MinervaType.MTimestamp
+              case (c, t) => c -> declared.getOrElse(c, t)
+            }
+            val pkg = CsvTrendSource.read(s, path, cfg, schema)
+            entityDir.insertMissing(
+              ds.entityType, pkg.select(col("entity").as("name")))
+            val dim = entityDir.read(ds.entityType)
+            val batch = pkg.join(dim, pkg("entity") === dim("name"))
+              .drop("entity", "name").withColumnRenamed("id", "entity_id")
+              .withColumn("modified", lit(now))
+            val valueCols = pkg.columns.filterNot(Set("entity", "timestamp")).toSet
+            // target part: the store on this data source + granularity whose
+            // part declares the sample's value columns (load_sample_data
+            // matches the generated DataPackage to a part the same way)
+            val target = inst.trendStores
+              .filter(st => st.dataSource == ds.dataSource &&
+                st.granularity.name == ds.granularity.name)
+              .flatMap(_.parts)
+              .find(p => valueCols.subsetOf(p.trends.map(_.name).toSet ++
+                Set("entity", "timestamp")))
+              .orElse(inst.trendStores.filter(_.dataSource == ds.dataSource)
+                .flatMap(_.parts).headOption)
+            target.foreach { p =>
+              loadedParts += ps.store(p.name, batch)
+              ps.markModified(p.name, batch, now)
+            }
+          }
+        }
+      }
+
+      // one materialization pass per compiled aggregation unit
+      var materialized = 0
+      inst.aggregations.foreach { ad =>
+        ad.timeAggregation.foreach { ta =>
+          inst.trendStores.find(st =>
+              st.parts.exists(p => ta.parts.exists(_.source == p.name)))
+            .foreach { src =>
+              val compiled = AggregationCompiler.compileTimeAggregation(src, ta)
+              compiled.units.foreach { u =>
+                ps.readPart(u.sourcePart).foreach { df =>
+                  materialized += ps.store(u.targetPart,
+                    u.compute(df).withColumn("modified", lit(now)))
+                }
+              }
+            }
+        }
+        ad.entityAggregation.foreach { ea =>
+          inst.trendStores.find(st =>
+              st.parts.exists(p => ea.parts.exists(_.source == p.name)))
+            .foreach { src =>
+              val rel = InstanceInit.readRelation(s, s"$base/relation", ea.relation)
+              val compiled = AggregationCompiler.compileEntityAggregation(src, ea, rel)
+              compiled.units.foreach { u =>
+                ps.readPart(u.sourcePart).foreach { df =>
+                  materialized += ps.store(u.targetPart,
+                    u.compute(df).withColumn("modified", lit(now)))
+                }
+              }
+            }
+        }
+      }
+
+      // one trigger pass into (typed) notification stores
+      var notifications = 0L
+      inst.triggers.foreach { t =>
+        val partName = t.trendStoreLinks.headOption.map(_.partName)
+          .orElse(inst.trendStores.flatMap(_.parts)
+            .find(p => t.kpiData.forall(k => p.trends.exists(_.name == k.name)))
+            .map(_.name))
+        partName.flatMap(ps.readPart).foreach { kpi =>
+          val rule = TriggerRule(
+            t.name,
+            t.thresholds.map(th => th.name -> th.value).toMap,
+            t.condition,
+            if (t.weight.nonEmpty) t.weight else "1",
+            expr(if (t.notification.nonEmpty) t.notification else s"'${t.name}'"),
+            if (t.data.nonEmpty) Some(expr(t.data)) else None)
+          val out = TriggerOps.createNotifications(kpi, rule)
+          val storeName =
+            if (t.notificationStore.nonEmpty) t.notificationStore else t.name
+          val attrs = inst.notificationStores
+            .find(_.dataSource == storeName).map(_.attributes).getOrElse(Seq.empty)
+          val ns = new graft.storage.NotificationStore(
+            s, s"$base/notification/$storeName", attrs)
+          ns.store(out, now)
+          notifications += out.count()
+        }
+      }
+
+      def jmap(m: Map[String, Long]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""{"virtual_entities":${jmap(veCounts)},"relations":${jmap(relCounts)},""" +
+        s""""loaded_partitions":$loadedParts,"materialized_partitions":$materialized,""" +
+        s""""notifications":$notifications}""")
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage:
+           |  initialize <instanceDir> <storeBase> [--load-sample-data]
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>

@@ -56,13 +56,27 @@ final case class Materialization(
 
 final case class Threshold(name: String, dataType: MinervaType, value: Any)
 
+/** A trigger's binding to a trend-store part (reference trigger YAML
+  * `trend_store_links`: part_name + mapping_function). */
+final case class TriggerStoreLink(partName: String, mappingFunction: String)
+
+/** @param data             JSON payload expression (reference trigger YAML
+  *                         `data`; empty → `{}`)
+  * @param notificationStore name of the notification store the rule writes
+  *                         to (reference `notification_store`)
+  * @param granularity      KPI granularity the rule evaluates at
+  * @param trendStoreLinks  parts feeding the rule's KPI rows */
 final case class Trigger(
     name: String,
     kpiData: Seq[Trend],
     thresholds: Seq[Threshold],
     condition: String,
     weight: String,
-    notification: String
+    notification: String,
+    data: String = "",
+    notificationStore: String = "",
+    granularity: Option[String] = None,
+    trendStoreLinks: Seq[TriggerStoreLink] = Seq.empty
 )
 
 /** One part of an aggregation definition: target part `name` aggregated
@@ -101,37 +115,108 @@ final case class AggregationDef(
     entityAggregation: Option[EntityAggregationDef]
 )
 
+/** A typed attribute column declaration (reference Attribute,
+  * instance/__init__.py:295-330 — shared by attribute stores and
+  * notification stores). */
+final case class AttributeDef(
+    name: String,
+    dataType: MinervaType,
+    unit: String = "",
+    description: String = ""
+)
+
+/** An attribute-store definition (instance/__init__.py:333-372):
+  * `attribute/<ds>_<et>.yaml`. */
+final case class AttributeStoreDef(
+    title: Option[String],
+    dataSource: String,
+    entityType: String,
+    attributes: Seq[AttributeDef]
+)
+
+/** A notification-store definition (instance/__init__.py:375-418,
+  * YAML files under `notification/`): a per-data-source notification table whose
+  * attribute columns are YAML-typed (DDL side: storage/notification/
+  * tables.py:58-115). [[graft.storage.NotificationStore]] enforces these
+  * types on store. */
+final case class NotificationStoreDef(
+    title: Option[String],
+    dataSource: String,
+    entityType: String,
+    attributes: Seq[AttributeDef]
+)
+
+/** An entity relation definition (instance/__init__.py:421-453, YAML files
+  * under `relation/`): a named (source_id, target_id) edge set materialized
+  * from `query`. The reference query is PostgreSQL run as
+  * `TRUNCATE; INSERT INTO relation.<name> …`; graft's contract is portable
+  * SQL over registered `entity_<type>` views (dashes → underscores), run by
+  * [[graft.operators.RelationOps.materialize]]. */
+final case class RelationDef(
+    name: String,
+    sourceEntityType: String,
+    targetEntityType: String,
+    query: String
+)
+
+/** A virtual-entity definition (`virtual-entity/<name>.sql`,
+  * commands/initialize.py:180-199 + virtual_entity.py:30-57): a view over
+  * static names whose rows are inserted into the entity directory on
+  * materialize (`ON CONFLICT DO NOTHING` = insert-missing). `name` is the
+  * file stem = entity type; `viewSelect` is the SELECT body extracted from
+  * the `CREATE VIEW … AS <select>` statement (the portable core — the
+  * surrounding DDL is PostgreSQL catalog plumbing with no Spark analogue). */
+final case class VirtualEntityDef(
+    name: String,
+    sql: String,
+    viewSelect: Option[String]
+)
+
 /** A fully-loaded instance directory (the reference's `minerva initialize`
-  * input layout: trend/, materialization/, trigger/, aggregation/
-  * subdirectories of YAML files — src/minerva/commands/initialize.py:70-147). */
+  * input layout: trend/, attribute/, notification/, virtual-entity/,
+  * relation/, materialization/, trigger/, aggregation/ subdirectories —
+  * src/minerva/commands/initialize.py:70-147). */
 final case class Instance(
     trendStores: Seq[TrendStore],
     materializations: Seq[Materialization],
     triggers: Seq[Trigger],
-    aggregations: Seq[AggregationDef] = Seq.empty
+    aggregations: Seq[AggregationDef] = Seq.empty,
+    attributeStores: Seq[AttributeStoreDef] = Seq.empty,
+    notificationStores: Seq[NotificationStoreDef] = Seq.empty,
+    relations: Seq[RelationDef] = Seq.empty,
+    virtualEntities: Seq[VirtualEntityDef] = Seq.empty
 )
 
 object InstanceModel {
 
   /** Load an instance definition directory. Unknown subdirectories are
-    * ignored; files must be `.yaml`. */
+    * ignored; definition files are `.yaml` except virtual entities
+    * (`.sql` files under `virtual-entity/`, named by file stem). */
   def loadInstance(root: String): Instance = {
-    def files(sub: String): Seq[String] = {
+    def list(sub: String, ext: String): Seq[java.nio.file.Path] = {
       val d = java.nio.file.Paths.get(root, sub)
       if (!java.nio.file.Files.isDirectory(d)) Seq.empty
       else {
         val s = java.nio.file.Files.list(d)
         try s.iterator().asScala.toSeq
-          .filter(_.toString.endsWith(".yaml")).sortBy(_.toString)
-          .map(java.nio.file.Files.readString(_))
+          .filter(_.toString.endsWith(ext)).sortBy(_.toString)
         finally s.close()
       }
     }
+    def files(sub: String): Seq[String] =
+      list(sub, ".yaml").map(java.nio.file.Files.readString(_))
     Instance(
       trendStores = files("trend").map(parseTrendStore),
       materializations = files("materialization").map(parseMaterialization),
       triggers = files("trigger").map(parseTrigger),
-      aggregations = files("aggregation").map(parseAggregation)
+      aggregations = files("aggregation").map(parseAggregation),
+      attributeStores = files("attribute").map(parseAttributeStore),
+      notificationStores = files("notification").map(parseNotificationStore),
+      relations = files("relation").map(parseRelation),
+      virtualEntities = list("virtual-entity", ".sql").map { p =>
+        val stem = p.getFileName.toString.stripSuffix(".sql")
+        parseVirtualEntity(stem, java.nio.file.Files.readString(p))
+      }
     )
   }
   private def yamlMap(text: String): Map[String, Any] = {
@@ -146,8 +231,21 @@ object InstanceModel {
   }
   private def str(m: Map[String, Any], k: String, dflt: String = ""): String =
     m.get(k).map(String.valueOf).getOrElse(dflt)
-  private def mtype(m: Map[String, Any]): MinervaType =
-    MinervaType.byName(str(m, "data_type", "text")).getOrElse(MinervaType.MText)
+  /** PostgreSQL spellings seen in reference instance YAML that aren't in
+    * the core lattice (e.g. tiny_instance/notification/
+    * trigger-notification.yaml uses `json` and `timestamp with time zone`). */
+  private val typeAliases: Map[String, MinervaType] = Map(
+    "timestamp with time zone" -> MinervaType.MTimestamp,
+    "timestamptz" -> MinervaType.MTimestamp,
+    "json" -> MinervaType.MText,
+    "jsonb" -> MinervaType.MText
+  )
+  private def mtype(m: Map[String, Any]): MinervaType = {
+    val n = str(m, "data_type", "text")
+    typeAliases.get(n)
+      .orElse(MinervaType.byName(n))
+      .getOrElse(MinervaType.MText)
+  }
 
   private def trend(m: Map[String, Any]): Trend = Trend(
     name = str(m, "name"),
@@ -285,6 +383,108 @@ object InstanceModel {
         jmap("trend_store_part" -> s.trendStorePart,
           "mapping_function" -> s.mappingFunction)))))
 
+  /** One native sample dataset (sample-data/definition.yaml `native`
+    * entries, commands/load_sample_data.py:61-86 + the parser_config the
+    * harvest plugin receives). */
+  final case class SampleDataSet(
+      name: String,
+      dataSource: String,
+      granularity: Granularity,
+      entityType: String,
+      identifier: String,
+      timestamp: String,
+      delimiter: String,
+      columns: Seq[(String, MinervaType)]
+  )
+
+  /** Parse sample-data/definition.yaml (a list of `- native: {…}` /
+    * `- command: {…}` entries); only native CSV sets are returned —
+    * `command` sets shell out to generator modules in the reference and
+    * have no portable analogue. */
+  def loadSampleDataDefs(root: String): Seq[SampleDataSet] = {
+    val p = java.nio.file.Paths.get(root, "sample-data", "definition.yaml")
+    if (!java.nio.file.Files.isRegularFile(p)) Seq.empty
+    else {
+      val y = new Yaml()
+      val docs = y.load[java.util.List[java.util.Map[String, Any]]](
+        java.nio.file.Files.readString(p))
+      if (docs == null) Seq.empty
+      else docs.asScala.toSeq.flatMap { entry =>
+        entry.asScala.toMap.get("native").map { cfgAny =>
+          val cfg = cfgAny.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+          val pc = cfg.get("parser_config")
+            .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
+            .getOrElse(Map.empty[String, Any])
+          SampleDataSet(
+            name = str(cfg, "name"),
+            dataSource = str(cfg, "data_source"),
+            granularity = Granularity.parse(
+              str(pc, "granularity", str(cfg, "granularity", "15m"))),
+            entityType = str(pc, "entity_type", "node"),
+            identifier = str(pc, "identifier"),
+            timestamp = str(pc, "timestamp"),
+            delimiter = str(pc, "delimiter", ","),
+            columns = seqOfMaps(pc.getOrElse("columns", null))
+              .map(c => str(c, "name") -> mtype(c))
+          )
+        }
+      }
+    }
+  }
+
+  private def attributeDefs(m: Map[String, Any]): Seq[AttributeDef] =
+    seqOfMaps(m.getOrElse("attributes", null)).map { a =>
+      AttributeDef(str(a, "name"), mtype(a), str(a, "unit"), str(a, "description"))
+    }
+
+  /** Parse an attribute-store definition (instance/__init__.py:346-356). */
+  def parseAttributeStore(yamlText: String): AttributeStoreDef = {
+    val m = yamlMap(yamlText)
+    AttributeStoreDef(
+      title = m.get("title").map(String.valueOf),
+      dataSource = str(m, "data_source"),
+      entityType = str(m, "entity_type"),
+      attributes = attributeDefs(m)
+    )
+  }
+
+  /** Parse a notification-store definition (instance/__init__.py:393-402). */
+  def parseNotificationStore(yamlText: String): NotificationStoreDef = {
+    val m = yamlMap(yamlText)
+    NotificationStoreDef(
+      title = m.get("title").map(String.valueOf),
+      dataSource = str(m, "data_source"),
+      entityType = str(m, "entity_type"),
+      attributes = attributeDefs(m)
+    )
+  }
+
+  /** Parse a relation definition (instance/__init__.py:435-442). */
+  def parseRelation(yamlText: String): RelationDef = {
+    val m = yamlMap(yamlText)
+    RelationDef(
+      name = str(m, "name"),
+      sourceEntityType = str(m, "source_entity_type"),
+      targetEntityType = str(m, "target_entity_type"),
+      query = str(m, "query")
+    )
+  }
+
+  private val ViewBody =
+    """(?is).*?CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+\S+\s+AS\s+(.*)""".r
+
+  /** Parse a virtual-entity `.sql` file: extract the SELECT body of the
+    * first `CREATE [OR REPLACE] VIEW … AS <select>;` statement (the
+    * portable core); the remaining statements (create_entity_type /
+    * INSERT … ON CONFLICT) are the reference's PostgreSQL catalog plumbing,
+    * re-expressed by [[graft.operators.InstanceInit.materializeVirtualEntities]]. */
+  def parseVirtualEntity(name: String, sqlText: String): VirtualEntityDef = {
+    val body = sqlText.split(';').collectFirst {
+      case ViewBody(select) => select.trim
+    }
+    VirtualEntityDef(name, sqlText, body)
+  }
+
   def parseTrigger(yamlText: String): Trigger = {
     val m = yamlMap(yamlText)
     Trigger(
@@ -295,7 +495,12 @@ object InstanceModel {
       },
       condition = str(m, "condition"),
       weight = str(m, "weight"),
-      notification = str(m, "notification")
+      notification = str(m, "notification"),
+      data = str(m, "data"),
+      notificationStore = str(m, "notification_store"),
+      granularity = m.get("granularity").map(String.valueOf),
+      trendStoreLinks = seqOfMaps(m.getOrElse("trend_store_links", null)).map(l =>
+        TriggerStoreLink(str(l, "part_name"), str(l, "mapping_function", "mapping_id")))
     )
   }
 }

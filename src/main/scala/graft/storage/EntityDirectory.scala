@@ -1,0 +1,68 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.EntityResolution
+
+/** Persistent entity directory: one (name, id) dimension per entity type
+  * (reference: the `entity.<type>` tables created by
+  * `directory.create_entity_type`, src/minerva/directory/entitytype.py;
+  * rows inserted `ON CONFLICT DO NOTHING` by virtual-entity / relation
+  * materialization).
+  *
+  * graft shape: parquet per type under `<base>/<type>`; ids are
+  * hash-allocated (`EntityResolution.resolveHash`) so inserts are
+  * idempotent, coordination-free, and identical across re-runs — the
+  * property the reference gets from `ON CONFLICT DO NOTHING` plus a
+  * sequence, without the sequence's single-writer bottleneck. Entity
+  * dimensions are small relative to trend data (≤10⁷ rows), so the
+  * read-modify-append here is control-plane work.
+  */
+class EntityDirectory(spark: SparkSession, basePath: String) {
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def path(entityType: String) =
+    new org.apache.hadoop.fs.Path(s"$basePath/$entityType")
+
+  /** The (name, id) dimension for a type; empty frame if never written. */
+  def read(entityType: String): DataFrame =
+    if (fs.exists(path(entityType)))
+      spark.read.parquet(path(entityType).toString).select("name", "id")
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("name", StringType),
+          StructField("id", LongType))))
+    }
+
+  /** Insert names not yet present (the reference's `ON CONFLICT DO
+    * NOTHING`); returns the number of new entities. */
+  def insertMissing(entityType: String, names: DataFrame): Long = {
+    val dim = read(entityType)
+    val missing = EntityResolution.missingEntities(names, dim)
+    val withIds = EntityResolution.resolveHash(missing, dim, entityType)
+      .select(col("name"), col("id").cast("long"))
+    val n = withIds.count()
+    if (n > 0)
+      withIds.write.mode(SaveMode.Append).parquet(path(entityType).toString)
+    n
+  }
+
+  /** Register `entity_<type>` temp views (dashes and other non-identifier
+    * characters → underscores) so relation queries can reference entity
+    * dimensions portably — graft's analogue of the reference's
+    * `entity."<type>"` schema-qualified tables. */
+  def registerViews(entityTypes: Seq[String]): Unit =
+    entityTypes.foreach { t =>
+      read(t).createOrReplaceTempView(EntityDirectory.viewName(t))
+    }
+}
+
+object EntityDirectory {
+  def viewName(entityType: String): String =
+    "entity_" + entityType.replaceAll("[^A-Za-z0-9_]", "_")
+}

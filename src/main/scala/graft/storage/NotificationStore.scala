@@ -2,6 +2,9 @@ package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.AttributeDef
 
 /** Notification store: append-only event/notification table per data source
   * (reference: src/minerva/storage/notification/notificationstore.py:17-22 —
@@ -12,14 +15,56 @@ import org.apache.spark.sql.functions._
   * enforced on read via last-wins dedup (appends are cheap and conflict-free
   * across writers — the reference's single-row INSERT path becomes a batch
   * append; at scale, partition by day of `timestamp`).
+  *
+  * When constructed with YAML-declared `attributes`
+  * ([[graft.model.NotificationStoreDef]] — the reference's typed
+  * notification-table columns, tables.py:58-115), every stored batch is
+  * validated against the declared types: a declared column present in the
+  * batch is cast to its declared type under PostgreSQL assignment-cast
+  * rules (numeric↔numeric and anything→text allowed; cross-family casts
+  * such as text→integer rejected — exactly what the reference table's
+  * INSERT would reject), and a declared column absent from the batch is
+  * added as a typed NULL (the INSERT's unnamed-column default).
   */
-class NotificationStore(spark: SparkSession, basePath: String) {
+class NotificationStore(
+    spark: SparkSession, basePath: String,
+    attributes: Seq[AttributeDef] = Seq.empty) {
 
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
+  private def assignmentCastable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (_: NumericType, _: NumericType) => true
+      case (_, StringType) => true
+      case (f, t) => org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t)
+    }
+
+  /** Validate/cast a batch against the declared attribute types; identity
+    * when the store is untyped. Throws IllegalArgumentException on a
+    * cross-family type mismatch. */
+  def conform(batch: DataFrame): DataFrame =
+    if (attributes.isEmpty) batch
+    else {
+      val present = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+      attributes.foldLeft(batch) { (df, a) =>
+        present.get(a.name) match {
+          case None =>
+            df.withColumn(a.name, lit(null).cast(a.dataType.sparkType))
+          case Some(t) if assignmentCastable(t, a.dataType.sparkType) =>
+            df.withColumn(a.name, col(a.name).cast(a.dataType.sparkType))
+          case Some(t) =>
+            throw new IllegalArgumentException(
+              s"notification attribute '${a.name}' declared " +
+                s"${a.dataType.name} (${a.dataType.sparkType.simpleString}) " +
+                s"but batch column is ${t.simpleString} — no assignment cast")
+        }
+      }
+    }
+
   def store(batch: DataFrame, nowSec: Long): Unit =
-    batch.withColumn("created", lit(nowSec))
+    conform(batch).withColumn("created", lit(nowSec))
       .write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(basePath)
 
   /** All notifications; PK (entity_id, timestamp, rule) deduped last-wins
