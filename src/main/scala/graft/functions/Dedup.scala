@@ -160,18 +160,19 @@ object Dedup {
     * chains a~b~c collapse to one keeper where the single-pass
     * `embeddingNearDups` fold would keep two.
     *
-    * Each iteration is ONE Spark action: the per-id min-label aggregate
-    * carries the previous label alongside (min ignores the nulls on
-    * neighbor rows), a side-effecting flag column counts label changes into
-    * a LongAccumulator during the `localCheckpoint` materialization, and
-    * convergence reads the accumulator — no separate compare-join action.
-    * (Task retries can over-count the accumulator; only zero/non-zero is
-    * tested, and a retry of a changed partition stays non-zero.)
-    * `localCheckpoint` truncates lineage per round so the plan doesn't grow
-    * with iterations. Iteration count is the component diameter — near-dup
-    * clusters are shallow (dozens of rounds would mean a pathological
-    * duplicate chain; `maxIter` bounds it). The fixpoint label is
-    * order-independent, so any engine computing true components agrees.
+    * Each iteration computes the expensive aggregate ONCE: the per-id
+    * min-label aggregate carries the previous label alongside (min ignores
+    * the nulls on neighbor rows) plus a plain `when`-expression change flag
+    * (fully codegen'd — no UDF anywhere in the loop), and `localCheckpoint`
+    * materializes it. Convergence then probes the CHECKPOINTED blocks for
+    * any changed row (`head(1)` short-circuits at the first hit) — a
+    * memory-local scan of already-computed results, never a recompute of
+    * the aggregate. `localCheckpoint` truncates lineage per round so the
+    * plan doesn't grow with iterations. Iteration count is the component
+    * diameter — near-dup clusters are shallow (dozens of rounds would mean
+    * a pathological duplicate chain; `maxIter` bounds it). The fixpoint
+    * label is order-independent, so any engine computing true components
+    * agrees.
     *
     * Ids keep their original type — label propagation needs only a total
     * order, so string doc ids work as well as longs (a cast would null
@@ -184,28 +185,21 @@ object Dedup {
     var labels = all.select(col(idCol).as("id"))
       .withColumn("label", col("id"))
     val labelType = labels.schema("label").dataType
-    val sc = all.sparkSession.sparkContext
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val acc = sc.longAccumulator(s"graft.cc.changed.$i")
-      val countChange = udf { changed: Boolean =>
-        if (changed) acc.add(1L)
-        changed
-      }
       val fromNeighbors = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
-      val newLabels = labels
+      val checkpointed = labels
         .select(col("id"), col("label"), col("label").as("prev"))
         .unionByName(fromNeighbors)
         .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
         .select(col("id"), col("label"),
-          countChange(!(col("label") <=> col("prev"))).as("__changed"))
+          (!(col("label") <=> col("prev"))).as("__changed"))
         .localCheckpoint()
-        .drop("__changed")
-      labels = newLabels
-      converged = acc.value == 0L
+      converged = checkpointed.filter(col("__changed")).head(1).isEmpty
+      labels = checkpointed.drop("__changed")
       i += 1
     }
     if (!converged)

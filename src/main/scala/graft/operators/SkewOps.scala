@@ -48,16 +48,47 @@ object SkewOps {
     * hash-partition EVERY row of the hottest key onto a single task —
     * exactly the degenerate bucket (empty docs, boilerplate) the cap exists
     * to kill — and survive only via spill. Here the sizes come from a
-    * `groupBy(key).count()` (map-side partial aggregation collapses the hot
-    * key per input partition, so the shuffle carries ≤ |partitions| rows per
-    * key), and the one-row-per-key size table is joined back on the same key
-    * the caller's self-join shuffles on, so the join streams rows through
-    * without per-key buffering. */
+    * `groupBy(key).count()` and the one-row-per-key size table is joined
+    * back on the key, so rows stream through without per-key buffering.
+    *
+    * Shuffle sharing: both the size aggregate and the join hash-partition
+    * on the same keys, so `df` is repartitioned on the keys ONCE and both
+    * consumers derive from that child — the physical plan carries a single
+    * `Exchange` for `df` plus a `ReusedExchange` (asserted by
+    * `CompilerSkewSpec`), restoring the exchange the window formulation got
+    * for free. The output stays hash-partitioned on the raw key columns, so
+    * a caller's follow-up self-join on the same keys reuses it too.
+    *
+    * NULL keys: rows with a NULL in any key column are dropped (a NULL
+    * shingle/bucket is a degenerate group, not a real cap candidate). This
+    * is explicit — the filter below — not an accident of inner-join
+    * semantics. */
   def keepSmallKeys(df: DataFrame, keys: Seq[String], maxSize: Int): DataFrame = {
-    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxSize)
+    val parted = df
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .repartition(keys.map(col): _*)
+    // Exchange-reuse anchor. The size branch legitimately needs only the
+    // key columns, so ColumnPruning would push a keys-only projection below
+    // this branch's repartition, the two exchange subtrees would diverge,
+    // and df would be shuffled (and its upstream computed) TWICE. The
+    // anchor defeats that: `first(hash(<non-key cols>))` is carried through
+    // the aggregate and genuinely referenced by the filter inside
+    // `least(maxSize, greatest(maxSize, anchor))` — an expression that
+    // always evaluates to maxSize but that no optimizer rule can fold
+    // (folding it needs the algebraic identity least(c, greatest(c, x)) = c,
+    // which Catalyst does not implement). With every column referenced, both
+    // branches keep the IDENTICAL exchange subtree and AQE reuses the one
+    // shuffle (asserted by CompilerSkewSpec).
+    val nonKey = df.columns.filterNot(keys.contains)
+    val (anchorAgg, capExpr) =
+      if (nonKey.isEmpty) (count(lit(1)).as("__a"), lit(maxSize))
+      else (first(hash(nonKey.map(col).toIndexedSeq: _*)).as("__a"),
+        least(lit(maxSize), greatest(lit(maxSize), col("__a"))))
+    val small = parted.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), anchorAgg)
+      .filter(col("__n") <= capExpr)
       .select(keys.map(col): _*)
-    df.join(small, keys)
+    parted.join(small, keys)
   }
 
   /** Cap pathological LSH/ANN buckets: drop buckets larger than `maxSize`

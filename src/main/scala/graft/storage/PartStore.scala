@@ -204,15 +204,26 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       .write.mode(SaveMode.Append).parquet(s"$basePath/_modified_log")
     }
 
-  /** Retention expiry (I7): drop partitions wholly before the cutoff. */
+  /** Retention expiry (I7): drop partition DIRECTORIES wholly before the
+    * cutoff (trend_directory's per-partition DROP,
+    * src/minerva/commands/partition.py:50-124). A partition is either
+    * entirely expired or entirely retained, so expiry is a metadata-only
+    * directory delete: O(expired partitions), never a table rewrite, and
+    * trivially crash-safe — a crash mid-loop leaves some expired dirs
+    * deleted and the rest intact, retained data is never touched. */
   def expire(part: String, cutoffSec: Long): Unit = {
     val cutoffIndex = Math.floorDiv(cutoffSec, partitionSizeSeconds)
-    readPart(part).foreach { df =>
-      val keep = df.filter(col("pindex") >= cutoffIndex)
-      val tmp = path(part) + "__retained"
-      keep.write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(tmp)
-      fs.delete(hp(path(part)), true)
-      fs.rename(hp(tmp), hp(path(part)))
+    recoverAsides(part)
+    val dir = hp(path(part))
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("pindex=")) {
+          scala.util.Try(name.stripPrefix("pindex=").toLong).toOption
+            .filter(_ < cutoffIndex)
+            .foreach(_ => fs.delete(st.getPath, true))
+        }
+      }
     }
   }
 }

@@ -117,6 +117,33 @@ class CompilerSkewSpec extends SparkSpec {
     assert(!jac.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("keepSmallKeys shuffles df ONCE: size agg reuses the probe exchange") {
+    val hot = (1L to 50L).map(id => (id, 0, "deadbeef"))
+    val ok = Seq((100L, 1, "cafe"), (101L, 1, "cafe"), (102L, 1, "cafe"))
+    val buckets = (hot ++ ok).toDF("doc_id", "band", "key")
+    val capped = SkewOps.keepSmallKeys(buckets, Seq("band", "key"), 10)
+    capped.collect() // let AQE finalize the plan before inspecting it
+    // inspect only the AQE final plan (the dump repeats the pre-reuse
+    // initial plan below it)
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the size-aggregate branch must read the probe branch's shuffle, not
+    // re-shuffle (and re-compute the upstream of) df a second time
+    assert(plan.contains("ReusedExchange"), s"no ReusedExchange in:\n$plan")
+    val freshShuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      .size
+    assert(freshShuffles == 1, s"expected exactly one fresh shuffle of df:\n$plan")
+  }
+
+  test("keepSmallKeys drops NULL-key rows explicitly (documented contract)") {
+    val rows = Seq((1L, Some("a")), (2L, Some("a")), (3L, None: Option[String]))
+      .toDF("doc_id", "key")
+    val kept = SkewOps.keepSmallKeys(rows, Seq("key"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("jaccardPairs maxDocFreq drops boilerplate shingles consistently") {
     import graft.functions.Dedup
     // shingle "common" appears in all 30 docs (f² = 435 join rows, zero

@@ -134,6 +134,43 @@ class PartStoreSpec extends SparkSpec {
     assert(back.agg(min("timestamp")).head.getLong(0) == 90000L)
   }
 
+  test("expiry deletes expired partition dirs only — retained files untouched") {
+    val ps = freshStore("expire_noRewrite")
+    ps.store("p", Seq(
+      (1L, 1000L, 1.0, 1L), (1L, 90000L, 2.0, 1L), (1L, 200000L, 3.0, 1L)
+    ).toDF("entity_id", "timestamp", "power", "modified"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/partstore_expire_noRewrite/p"
+    def fileStamps(pindex: Long): Seq[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/pindex=$pindex"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime)).toSeq.sorted
+    val before1 = fileStamps(1)
+    val before2 = fileStamps(2)
+    ps.expire("p", cutoffSec = 86400L)
+    // expired partition dir is gone; retained partitions are the SAME files
+    // (same path, length, mtime) — expiry is a directory delete, not a
+    // table rewrite
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/pindex=0")))
+    assert(fileStamps(1) == before1 && fileStamps(2) == before2)
+    assert(ps.readPart("p").get.count() == 2)
+  }
+
+  test("expiry recovers a lost swap before deciding what to drop") {
+    val ps = freshStore("expire_crash")
+    ps.store("p", Seq((1L, 1000L, 1.0, 1L), (1L, 90000L, 2.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    // simulate a crash that left the RETAINED day's live dir moved aside
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/partstore_expire_crash/p"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/pindex=1"),
+      new org.apache.hadoop.fs.Path(s"$base/.pindex_old_1")))
+    ps.expire("p", cutoffSec = 86400L)
+    // day 0 expired; day 1 was restored from its aside, then retained
+    val back = ps.readPart("p").get.collect()
+    assert(back.length == 1 && back.head.getAs[Double]("power") == 2.0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.pindex_old_1")))
+  }
+
   test("modified log accumulates per (part, timestamp)") {
     val ps = freshStore("mlog")
     val b = Seq((1L, 1000L, 1.0, 1L), (2L, 1000L, 2.0, 1L))
