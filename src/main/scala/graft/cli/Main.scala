@@ -3,7 +3,7 @@ package graft.cli
 import graft.core.MinervaType
 import graft.model.InstanceModel
 import graft.operators._
-import graft.sources.{CsvSourceConfig, CsvTrendSource}
+import graft.sources.{CsvSourceConfig, CsvTrendSource, SampleDataGen}
 import graft.storage.{PartStore, PartStoreConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -149,12 +149,7 @@ object Main {
       val kpi = ps.readPart(part).getOrElse {
         println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
       }
-      val rule = TriggerRule(
-        t.name,
-        t.thresholds.map(th => th.name -> th.value).toMap,
-        t.condition,
-        if (t.weight.nonEmpty) t.weight else "1",
-        expr(if (t.notification.nonEmpty) t.notification else s"'${t.name}'"))
+      val rule = InstanceInit.triggerRule(t)
       val out = TriggerOps.createNotifications(kpi, rule)
       out.write.mode("append").parquet(outDir)
       println(s"""{"rule":"${t.name}","notifications":${out.count()}}""")
@@ -208,10 +203,12 @@ object Main {
       }
 
     // `minerva initialize [--load-sample-data]` (commands/initialize.py:
-    // 70-156): load the instance bundle, materialize virtual entities and
-    // relations (initialize_derivatives), optionally load native sample
-    // CSVs, then run one materialization + trigger pass so the instance
-    // comes up populated.
+    // 70-156): load the instance bundle, create attribute stores, optionally
+    // load native sample CSVs, THEN materialize virtual entities and
+    // relations (initialize_cmd runs load_sample_data BEFORE
+    // initialize_derivatives, so relation queries see sample-created
+    // entities), then run one materialization + trigger pass so the
+    // instance comes up populated.
     case "initialize" :: instanceDir :: base :: rest =>
       val s = spark()
       val loadSample = rest.contains("--load-sample-data")
@@ -219,19 +216,44 @@ object Main {
       val now = System.currentTimeMillis() / 1000
 
       val entityDir = new graft.storage.EntityDirectory(s, s"$base/entity")
-      val veCounts = InstanceInit.materializeVirtualEntities(s, inst, entityDir)
-      val relCounts = InstanceInit.materializeRelations(
-        s, inst, entityDir, s"$base/relation")
-
       val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
+
+      // attribute stores (initialize_attribute_stores,
+      // commands/initialize.py:157-186): one store per definition
+      val attrStores = inst.attributeStores.map { ad =>
+        ad -> new graft.storage.AttributeStore(
+          s, s"$base/attribute/${ad.dataSource}_${ad.entityType}")
+      }
+
       var loadedParts = 0
+      var loadedAttrRows = 0L
       if (loadSample) {
+        val intervals = rest.collectFirst {
+          case a if a.startsWith("--interval-count=") =>
+            a.stripPrefix("--interval-count=").toInt
+        }.getOrElse(30) // reference default (load_sample_data.py:36)
         InstanceModel.loadSampleDataDefs(instanceDir).foreach { ds =>
-          val csv = Seq(
-            s"$instanceDir/sample-data/${ds.name}.csv",
-            s"$instanceDir/sample-data/${ds.name}/sample.csv",
-            s"$instanceDir/sample-data/sample.csv")
-            .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+          def exists(p: String) =
+            java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+          // a `<name>/sample.csv` is a per-interval TEMPLATE (the
+          // reference's generator-module layout) — render it; a flat
+          // `<name>.csv` / `sample.csv` is literal data
+          val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
+          val csv =
+            if (exists(template)) {
+              val zone = java.time.ZoneId.of("UTC")
+              var t = ds.granularity.truncate(
+                java.time.Instant.ofEpochSecond(now), zone)
+              val tss = (1 to intervals).map { _ =>
+                val v = t.getEpochSecond; t = ds.granularity.prev(t, zone); v
+              }.reverse
+              Some(SampleDataGen.generate(
+                template,
+                java.nio.file.Files.createTempDirectory("graft_sample").toString,
+                tss))
+            } else Seq(
+              s"$instanceDir/sample-data/${ds.name}.csv",
+              s"$instanceDir/sample-data/sample.csv").find(exists)
           csv.foreach { path =>
             val cfg = CsvSourceConfig(ds.identifier, Some(ds.timestamp),
               delimiter = ds.delimiter)
@@ -248,28 +270,64 @@ object Main {
             val batch = pkg.join(dim, pkg("entity") === dim("name"))
               .drop("entity", "name").withColumnRenamed("id", "entity_id")
               .withColumn("modified", lit(now))
-            val valueCols = pkg.columns.filterNot(Set("entity", "timestamp")).toSet
-            // target part: the store on this data source + granularity whose
-            // part declares the sample's value columns (load_sample_data
-            // matches the generated DataPackage to a part the same way)
-            val target = inst.trendStores
-              .filter(st => st.dataSource == ds.dataSource &&
-                st.granularity.name == ds.granularity.name)
-              .flatMap(_.parts)
-              .find(p => valueCols.subsetOf(p.trends.map(_.name).toSet ++
-                Set("entity", "timestamp")))
-              .orElse(inst.trendStores.filter(_.dataSource == ds.dataSource)
-                .flatMap(_.parts).headOption)
-            target.foreach { p =>
-              loadedParts += ps.store(p.name, batch)
-              ps.markModified(p.name, batch, now)
+            if (ds.kind == "attribute") {
+              // attribute sample set → the store on its data source
+              attrStores.find(_._1.dataSource == ds.dataSource) match {
+                case Some((_, store)) =>
+                  store.transferStaged(batch.drop("modified"), now)
+                  loadedAttrRows += batch.count()
+                case None =>
+                  System.err.println(
+                    s"WARN: attribute sample set '${ds.name}' names data " +
+                      s"source '${ds.dataSource}' but no attribute store " +
+                      "declares it — set skipped")
+              }
+            } else {
+              val valueCols = pkg.columns.filterNot(Set("entity", "timestamp")).toSet
+              // target part: the store on this data source + granularity whose
+              // part declares the sample's value columns (load_sample_data
+              // matches the generated DataPackage to a part the same way)
+              val matched = inst.trendStores
+                .filter(st => st.dataSource == ds.dataSource &&
+                  st.granularity.name == ds.granularity.name)
+                .flatMap(_.parts)
+                .find(p => valueCols.subsetOf(p.trends.map(_.name).toSet ++
+                  Set("entity", "timestamp")))
+              val target = matched
+                .orElse(inst.trendStores.filter(_.dataSource == ds.dataSource)
+                  .flatMap(_.parts).headOption)
+              if (matched.isEmpty) target.foreach { p =>
+                System.err.println(
+                  s"WARN: sample set '${ds.name}' columns " +
+                    s"${valueCols.mkString(", ")} match no declared part — " +
+                    s"falling back to first part '${p.name}' of data source " +
+                    s"'${ds.dataSource}'")
+              }
+              target.foreach { p =>
+                loadedParts += ps.store(p.name, batch)
+                ps.markModified(p.name, batch, now)
+              }
             }
           }
         }
       }
 
-      // one materialization pass per compiled aggregation unit
+      // derivatives AFTER sample data (initialize_cmd ordering) so relation
+      // queries over entity_<type> views see sample-created entities
+      val veCounts = InstanceInit.materializeVirtualEntities(s, inst, entityDir)
+      val relCounts = InstanceInit.materializeRelations(
+        s, inst, entityDir, s"$base/relation")
+
+      // curr-ptr materialization for populated attribute stores
+      val attrCurrent = attrStores.map { case (ad, store) =>
+        s"${ad.dataSource}_${ad.entityType}" -> store.materializeCurrent()
+      }.toMap
+
+      // view-defined trend materializations (materialization/*.yaml `view:`)
       var materialized = 0
+      inst.materializations.filter(_.enabled).foreach { m =>
+        materialized += InstanceInit.runViewMaterialization(s, m, ps, now)
+      }
       inst.aggregations.foreach { ad =>
         ad.timeAggregation.foreach { ta =>
           inst.trendStores.find(st =>
@@ -308,18 +366,22 @@ object Main {
             .find(p => t.kpiData.forall(k => p.trends.exists(_.name == k.name)))
             .map(_.name))
         partName.flatMap(ps.readPart).foreach { kpi =>
-          val rule = TriggerRule(
-            t.name,
-            t.thresholds.map(th => th.name -> th.value).toMap,
-            t.condition,
-            if (t.weight.nonEmpty) t.weight else "1",
-            expr(if (t.notification.nonEmpty) t.notification else s"'${t.name}'"),
-            if (t.data.nonEmpty) Some(expr(t.data)) else None)
+          val rule = InstanceInit.triggerRule(t)
           val out = TriggerOps.createNotifications(kpi, rule)
           val storeName =
             if (t.notificationStore.nonEmpty) t.notificationStore else t.name
-          val attrs = inst.notificationStores
-            .find(_.dataSource == storeName).map(_.attributes).getOrElse(Seq.empty)
+          // resolve by definition-file name first, data_source as fallback
+          // (a store file named differently from its data_source must not
+          // silently lose its typed validation)
+          val storeDef = inst.notificationStores.find(_.name == storeName)
+            .orElse(inst.notificationStores.find(_.dataSource == storeName))
+          if (storeDef.isEmpty && inst.notificationStores.nonEmpty)
+            System.err.println(
+              s"WARN: trigger '${t.name}' writes to notification store " +
+                s"'$storeName' but no notification/*.yaml defines it " +
+                "(by file name or data_source) — notifications will be " +
+                "stored untyped")
+          val attrs = storeDef.map(_.attributes).getOrElse(Seq.empty)
           val ns = new graft.storage.NotificationStore(
             s, s"$base/notification/$storeName", attrs)
           ns.store(out, now)
@@ -330,8 +392,9 @@ object Main {
       def jmap(m: Map[String, Long]): String =
         m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"virtual_entities":${jmap(veCounts)},"relations":${jmap(relCounts)},""" +
-        s""""loaded_partitions":$loadedParts,"materialized_partitions":$materialized,""" +
-        s""""notifications":$notifications}""")
+        s""""loaded_partitions":$loadedParts,"loaded_attribute_rows":$loadedAttrRows,""" +
+        s""""attribute_current":${jmap(attrCurrent)},""" +
+        s""""materialized_partitions":$materialized,"notifications":$notifications}""")
 
     case other =>
       System.err.println(

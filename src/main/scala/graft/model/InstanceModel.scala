@@ -138,12 +138,14 @@ final case class AttributeStoreDef(
   * YAML files under `notification/`): a per-data-source notification table whose
   * attribute columns are YAML-typed (DDL side: storage/notification/
   * tables.py:58-115). [[graft.storage.NotificationStore]] enforces these
-  * types on store. */
+  * types on store. `name` is the definition file's stem — triggers
+  * reference a store by this name first, data_source as fallback. */
 final case class NotificationStoreDef(
     title: Option[String],
     dataSource: String,
     entityType: String,
-    attributes: Seq[AttributeDef]
+    attributes: Seq[AttributeDef],
+    name: String = ""
 )
 
 /** An entity relation definition (instance/__init__.py:421-453, YAML files
@@ -211,7 +213,11 @@ object InstanceModel {
       triggers = files("trigger").map(parseTrigger),
       aggregations = files("aggregation").map(parseAggregation),
       attributeStores = files("attribute").map(parseAttributeStore),
-      notificationStores = files("notification").map(parseNotificationStore),
+      notificationStores = list("notification", ".yaml").map { p =>
+        val stem = p.getFileName.toString.stripSuffix(".yaml")
+        parseNotificationStore(java.nio.file.Files.readString(p))
+          .copy(name = stem)
+      },
       relations = files("relation").map(parseRelation),
       virtualEntities = list("virtual-entity", ".sql").map { p =>
         val stem = p.getFileName.toString.stripSuffix(".sql")
@@ -394,7 +400,8 @@ object InstanceModel {
       identifier: String,
       timestamp: String,
       delimiter: String,
-      columns: Seq[(String, MinervaType)]
+      columns: Seq[(String, MinervaType)],
+      kind: String = "trend" // definition `type:` — trend | attribute
   )
 
   /** Parse sample-data/definition.yaml (a list of `- native: {…}` /
@@ -425,7 +432,8 @@ object InstanceModel {
             timestamp = str(pc, "timestamp"),
             delimiter = str(pc, "delimiter", ","),
             columns = seqOfMaps(pc.getOrElse("columns", null))
-              .map(c => str(c, "name") -> mtype(c))
+              .map(c => str(c, "name") -> mtype(c)),
+            kind = str(cfg, "type", "trend")
           )
         }
       }
@@ -473,13 +481,31 @@ object InstanceModel {
   private val ViewBody =
     """(?is).*?CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+\S+\s+AS\s+(.*)""".r
 
+  /** Split SQL text on statement-terminating semicolons OUTSIDE string
+    * literals (a `';'` inside a literal — e.g. a VALUES row — must not
+    * truncate the statement). A doubled `''` escape toggles the quote state
+    * twice, which nets out correctly. Dollar-quoting is not handled —
+    * virtual-entity files carry view DDL, not function bodies. */
+  private def splitSqlStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    sql.foreach {
+      case '\'' => inQuote = !inQuote; cur.append('\'')
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
   /** Parse a virtual-entity `.sql` file: extract the SELECT body of the
     * first `CREATE [OR REPLACE] VIEW … AS <select>;` statement (the
     * portable core); the remaining statements (create_entity_type /
     * INSERT … ON CONFLICT) are the reference's PostgreSQL catalog plumbing,
     * re-expressed by [[graft.operators.InstanceInit.materializeVirtualEntities]]. */
   def parseVirtualEntity(name: String, sqlText: String): VirtualEntityDef = {
-    val body = sqlText.split(';').collectFirst {
+    val body = splitSqlStatements(sqlText).collectFirst {
       case ViewBody(select) => select.trim
     }
     VirtualEntityDef(name, sqlText, body)

@@ -43,4 +43,21 @@ class AttributeStore(spark: SparkSession, basePath: String) {
   /** SCD-2 view with validity ranges. */
   def scd2(valueCols: Seq[String]): Option[DataFrame] =
     history.map(h => AttributeOps.scd2(h, "entity_id", "timestamp", Seq("modified"), valueCols))
+
+  /** Materialize the curr-ptr view as a physical snapshot (the reference's
+    * attribute_store curr-ptr materialization, commands/attribute_store.py:
+    * 523-579). Reads history, writes `<base>/current`; returns the row
+    * count. Safe to overwrite directly: `current` derives from the history
+    * dir, not from the snapshot being replaced. */
+  def materializeCurrent(): Long = current match {
+    case None => 0L
+    case Some(cur) =>
+      cur.write.mode(SaveMode.Overwrite).parquet(s"$basePath/current")
+      spark.read.parquet(s"$basePath/current").count()
+  }
+
+  /** The materialized current snapshot, if one has been written. */
+  def currentSnapshot: Option[DataFrame] =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/current"))) None
+    else Some(spark.read.parquet(s"$basePath/current"))
 }
