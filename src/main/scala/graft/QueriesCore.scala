@@ -544,6 +544,37 @@ object QueriesCore {
         .select("hr", "max_modified")
         .orderBy("hr")
     },
+    // ---- A10 typed notification store: PG assignment casts on write ----
+    // Trigger output stored through a YAML-typed store: declared integer
+    // narrows the bigint weight (checked), declared smallint ROUNDS the
+    // double snapshot (PG numeric→int rounds where a plain Spark cast
+    // truncates), and a declared-but-absent column lands as a typed NULL.
+    "q62_typed_notifications" -> { (s, dir) =>
+      import graft.model.AttributeDef
+      import graft.core.MinervaType
+      val kpi = events(s, dir).select(
+        col("event_id").as("entity_id"), col("ts_sec").as("timestamp"),
+        col("value"), col("event_type"))
+      val notifs = TriggerOps.createNotifications(kpi, TriggerRule(
+        name = "event/typed",
+        thresholds = Map("max_value" -> 40.0),
+        condition = "event_type = 'error' AND value > max_value",
+        weight = "CASE WHEN value > 48 THEN 1000 ELSE 10 END",
+        details = concat(lit("typed "), col("entity_id").cast("string"))),
+        extras = Seq(col("value").as("value_snap")))
+      val attrs = Seq(
+        AttributeDef("weight", MinervaType.MInteger),
+        AttributeDef("details", MinervaType.MText),
+        AttributeDef("value_snap", MinervaType.MSmallInt),
+        AttributeDef("score", MinervaType.MDouble))
+      val base = java.nio.file.Files.createTempDirectory("graft_q62").toString
+      val ns = new graft.storage.NotificationStore(s, s"$base/store", attrs)
+      ns.store(notifs, nowSec = 12345L)
+      ns.read().get
+        .select(col("entity_id"), col("timestamp"), col("rule"), col("weight"),
+          col("details"), col("value_snap"), col("score"), col("created"))
+        .orderBy("entity_id", "timestamp")
+    },
     // ---- H12: escape-aware DN explode/implode/split round-trip ----
     // DNs built with an ESCAPED comma inside the first name part, so the
     // split must honour `\,` (reference distinguishedname.py:23-33).
@@ -877,6 +908,16 @@ object QueriesCore {
              'high value' AS details,
              '{"entity_id":' || CAST(user_id AS VARCHAR) || ',"event_type":"'
                || event_type || '"}' AS data
+           FROM events WHERE event_type = 'error' AND value > 40
+           ORDER BY 1, 2""",
+      "q62_typed_notifications" ->
+        s"""SELECT event_id AS entity_id, $ts AS "timestamp",
+             'event/typed' AS rule,
+             CAST(CASE WHEN value > 48 THEN 1000 ELSE 10 END AS INTEGER) AS weight,
+             'typed ' || CAST(event_id AS VARCHAR) AS details,
+             CAST(ROUND(value) AS SMALLINT) AS value_snap,
+             CAST(NULL AS DOUBLE) AS score,
+             CAST(12345 AS BIGINT) AS created
            FROM events WHERE event_type = 'error' AND value > 40
            ORDER BY 1, 2""",
       // The round-trip writes what it read: expected end state = events

@@ -30,21 +30,27 @@ final case class TriggerRule(
 
 object TriggerOps {
   /** Evaluate a rule against KPI rows; returns notification rows
-    * (entity_id, timestamp, rule, weight, details, data). KPI must expose
-    * entity_id + timestamp. */
-  def createNotifications(kpi: DataFrame, rule: TriggerRule): DataFrame = {
+    * (entity_id, timestamp, rule, weight, details, data[, extras…]). KPI
+    * must expose entity_id + timestamp. `extras` are additional aliased
+    * attribute columns over the KPI row — the reference's typed
+    * notification-store attributes beyond the fixed six
+    * (notificationstore.py:17-22 stores whatever attribute columns the
+    * store declares). */
+  def createNotifications(
+      kpi: DataFrame, rule: TriggerRule,
+      extras: Seq[Column] = Seq.empty): DataFrame = {
     val withThresholds = rule.thresholds.foldLeft(kpi) { case (df, (k, v)) =>
       df.withColumn(k, lit(v))
     }
     withThresholds
       .filter(expr(rule.condition))
-      .select(
+      .select(Seq(
         col("entity_id"),
         col("timestamp"),
         lit(rule.name).as("rule"),
         expr(rule.weight).cast("long").as("weight"),
         rule.details.as("details"),
         rule.data.getOrElse(lit("{}")).as("data")
-      )
+      ) ++ extras: _*)
   }
 }

@@ -41,9 +41,43 @@ class NotificationStore(
       case (f, t) => org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t)
     }
 
+  /** The PostgreSQL-assignment-semantics cast for one declared column:
+    * widening (Cast.canUpCast) is a plain cast; a NARROWING numeric cast
+    * mirrors what the reference table's INSERT would do — fractional
+    * values ROUND to integral targets (PG numeric→int rounds, Spark's
+    * plain cast truncates) and an out-of-range value RAISES instead of
+    * silently wrapping (the ADVICE-flagged double→smallint corruption):
+    * try_cast yields NULL exactly on overflow, and a non-null input that
+    * try_casts to null becomes raise_error at execution. */
+  private def assignmentCast(c: org.apache.spark.sql.Column, name: String,
+      from: DataType, to: DataType): org.apache.spark.sql.Column =
+    if (from == to) c
+    else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to))
+      c.cast(to)
+    else (from, to) match {
+      case (_: NumericType, _: NumericType) =>
+        val fractional: DataType => Boolean = {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        }
+        val integral: DataType => Boolean = {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        val prepared = if (fractional(from) && integral(to)) round(c) else c
+        val tried = prepared.try_cast(to)
+        when(c.isNotNull && tried.isNull,
+          raise_error(concat(
+            lit(s"notification attribute '$name': value out of range for " +
+              s"${to.simpleString}: "), c.cast(StringType))).cast(to))
+          .otherwise(tried)
+      case _ => c.cast(to) // anything → text and other allowed casts
+    }
+
   /** Validate/cast a batch against the declared attribute types; identity
     * when the store is untyped. Throws IllegalArgumentException on a
-    * cross-family type mismatch. */
+    * cross-family type mismatch at plan time; raises at execution on an
+    * out-of-range narrowing value. */
   def conform(batch: DataFrame): DataFrame =
     if (attributes.isEmpty) batch
     else {
@@ -53,7 +87,8 @@ class NotificationStore(
           case None =>
             df.withColumn(a.name, lit(null).cast(a.dataType.sparkType))
           case Some(t) if assignmentCastable(t, a.dataType.sparkType) =>
-            df.withColumn(a.name, col(a.name).cast(a.dataType.sparkType))
+            df.withColumn(a.name,
+              assignmentCast(col(a.name), a.name, t, a.dataType.sparkType))
           case Some(t) =>
             throw new IllegalArgumentException(
               s"notification attribute '${a.name}' declared " +
