@@ -102,31 +102,80 @@ object Main {
     case "aggregation-compile" :: instanceDir :: aggYamlPath :: Nil =>
       val defn = InstanceModel.parseAggregation(
         java.nio.file.Files.readString(java.nio.file.Paths.get(aggYamlPath)))
-      val ta = defn.timeAggregation.getOrElse {
-        System.err.println("only time_aggregation definitions are compilable here")
-        sys.exit(1); null
+      if (defn.timeAggregation.isEmpty && defn.entityAggregation.isEmpty) {
+        System.err.println(
+          "definition has neither time_aggregation nor entity_aggregation")
+        sys.exit(1)
       }
       val inst = InstanceModel.loadInstance(instanceDir)
-      val src = inst.trendStores.find(st =>
-          st.title == ta.source ||
-          st.parts.exists(p => ta.parts.exists(_.source == p.name)))
-        .getOrElse {
-          System.err.println(s"no trend store matching source '${ta.source}'")
-          sys.exit(1); null
-        }
-      val compiled = AggregationCompiler.compileTimeAggregation(src, ta)
+      def findSource(source: String, parts: Seq[graft.model.AggregationPartDef]) =
+        inst.trendStores.find(st =>
+            st.title == source ||
+            st.parts.exists(p => parts.exists(_.source == p.name)))
+          .getOrElse {
+            System.err.println(s"no trend store matching source '$source'")
+            sys.exit(1); null
+          }
       val trendDir = java.nio.file.Paths.get(instanceDir, "trend")
       val matDir = java.nio.file.Paths.get(instanceDir, "materialization")
       java.nio.file.Files.createDirectories(trendDir)
       java.nio.file.Files.createDirectories(matDir)
-      java.nio.file.Files.writeString(trendDir.resolve(s"${ta.name}.yaml"),
-        InstanceModel.renderTrendStore(compiled.targetStore))
-      compiled.units.foreach { u =>
-        java.nio.file.Files.writeString(
-          matDir.resolve(s"${u.targetPart}.yaml"),
-          InstanceModel.renderMaterialization(u.materialization))
+      def write(name: String, compiled: AggregationCompiler.CompiledAggregation): Unit = {
+        java.nio.file.Files.writeString(trendDir.resolve(s"$name.yaml"),
+          InstanceModel.renderTrendStore(compiled.targetStore))
+        compiled.units.foreach { u =>
+          java.nio.file.Files.writeString(
+            matDir.resolve(s"${u.targetPart}.yaml"),
+            InstanceModel.renderMaterialization(u.materialization))
+        }
+        println(s"""{"compiled":"$name","parts":${compiled.units.length}}""")
       }
-      println(s"""{"compiled":"${ta.name}","parts":${compiled.units.length}}""")
+      defn.timeAggregation.foreach { ta =>
+        write(ta.name,
+          AggregationCompiler.compileTimeAggregation(
+            findSource(ta.source, ta.parts), ta))
+      }
+      // entity compilation writes the same YAML artifacts (reference
+      // compile_entity_aggregation, aggregation_compilation.py:113-189);
+      // the relation is only needed at materialization time, never here
+      defn.entityAggregation.foreach { ea =>
+        write(ea.name,
+          AggregationCompiler.compileEntityAggregation(
+            findSource(ea.source, ea.parts), ea,
+            sys.error("relation is not needed for YAML compilation")))
+      }
+
+    // `minerva structure dump` (commands/structure.py — a stub in the
+    // reference; graft dumps the loaded catalog as one JSON document):
+    // stores/parts/trends plus the other definition kinds of the bundle.
+    case "structure" :: instanceDir :: Nil =>
+      val inst = InstanceModel.loadInstance(instanceDir)
+      def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
+      val trendStores = inst.trendStores.map { st =>
+        s"""{"title":${js(st.title)},"data_source":${js(st.dataSource)},""" +
+          s""""entity_type":${js(st.entityType)},"granularity":${js(st.granularity.name)},""" +
+          s""""partition_size":${js(st.partitionSize.name)},"parts":${jarr(st.parts.map { p =>
+            s"""{"name":${js(p.name)},"trends":${jarr(p.trends.map(t =>
+              s"""{"name":${js(t.name)},"data_type":${js(t.dataType.name)}}"""))}}"""
+          })}}"""
+      }
+      val attrStores = inst.attributeStores.map(a =>
+        s"""{"data_source":${js(a.dataSource)},"entity_type":${js(a.entityType)},""" +
+          s""""attributes":${jarr(a.attributes.map(x =>
+            s"""{"name":${js(x.name)},"data_type":${js(x.dataType.name)}}"""))}}""")
+      val notifStores = inst.notificationStores.map(n =>
+        s"""{"name":${js(n.name)},"data_source":${js(n.dataSource)},""" +
+          s""""attributes":${jarr(n.attributes.map(x => js(x.name)))}}""")
+      println(
+        s"""{"trend_stores":${jarr(trendStores)},""" +
+          s""""attribute_stores":${jarr(attrStores)},""" +
+          s""""notification_stores":${jarr(notifStores)},""" +
+          s""""relations":${jarr(inst.relations.map(r => js(r.name)))},""" +
+          s""""virtual_entities":${jarr(inst.virtualEntities.map(v => js(v.name)))},""" +
+          s""""materializations":${jarr(inst.materializations.map(m =>
+            js(m.targetTrendStorePart)))},""" +
+          s""""triggers":${jarr(inst.triggers.map(t => js(t.name)))}}""")
 
     case "report" :: base :: part :: Nil =>
       val s = spark()
@@ -404,6 +453,7 @@ object Main {
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
+           |  structure <instanceDir>
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>

@@ -265,9 +265,11 @@ object AggregationCompiler {
 
   /** compile_entity_aggregation (aggregation_compilation.py:113-189,
     * VIEW_MATERIALIZATION shape): same target-store definition, compute
-    * rolls up the named relation instead of the time axis. */
+    * rolls up the named relation instead of the time axis. `relation` is
+    * by-name: it is only forced when a compiled unit's `compute` runs, so
+    * YAML-only compilation (the CLI's aggregation-compile) needs no data. */
   def compileEntityAggregation(
-      src: TrendStore, defn: EntityAggregationDef, relation: DataFrame)
+      src: TrendStore, defn: EntityAggregationDef, relation: => DataFrame)
       : CompiledAggregation = {
     val srcByName = src.parts.map(p => p.name -> p).toMap
     val units = defn.parts.map { pd =>

@@ -38,6 +38,24 @@ class GraftBundleSpec extends SparkSpec {
       Set("routers" -> "trend", "router-attrs" -> "attribute"))
   }
 
+  test("structure dumps the loaded catalog as JSON") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.cli.Main.main(Array("structure", bundleDir))
+    }
+    val json = out.toString.trim
+    assert(json.startsWith("{") && json.endsWith("}"))
+    assert(json.contains("\"net_router_main_15m\""))
+    assert(json.contains("\"rx_mb\"") && json.contains("\"double precision\""))
+    assert(json.contains("\"inventory\"") && json.contains("\"ports\""))
+    assert(json.contains("\"alerts\"") && json.contains("\"ops-notif\""))
+    assert(json.contains("\"router->v-region\""))
+    assert(json.contains("\"v-region\""))
+    assert(json.contains("\"router/15m/rxhigh\""))
+    // well-formed: the driver-side json parser must accept it
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
   test("initialize: attribute store, name-matched typed notifications, edges") {
     val base = "target/tmp/graft_bundle_init"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

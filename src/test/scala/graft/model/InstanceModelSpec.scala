@@ -104,6 +104,49 @@ class InstanceModelSpec extends AnyFunSuite {
     assert(storeBack.parts.head.trends.map(_.name) == Seq("samples", "drops"))
   }
 
+  test("CLI aggregation-compile handles an entity_aggregation definition") {
+    // q50-shaped definition: the CLI must write a loadable target store +
+    // materialization YAML, exactly like the time path (reference
+    // commands/aggregation.py:120-139)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eacompile")
+    val trendDir = java.nio.file.Files.createDirectories(dir.resolve("trend"))
+    java.nio.file.Files.writeString(trendDir.resolve("hub_user_main_1h.yaml"),
+      """title: Hourly user counters
+        |data_source: hub
+        |entity_type: user
+        |granularity: 1h
+        |partition_size: 4d
+        |parts:
+        |  - name: hub_user_main_1h
+        |    trends:
+        |      - name: value_i
+        |        data_type: bigint
+        |""".stripMargin)
+    val aggFile = dir.resolve("agg.yaml")
+    java.nio.file.Files.writeString(aggFile,
+      """entity_aggregation:
+        |  source: hub_user_main_1h
+        |  name: hub_group_main_1h
+        |  entity_type: group
+        |  relation: user->group
+        |  aggregation_type: VIEW_MATERIALIZATION
+        |  parts:
+        |    - name: hub_group_main_1h
+        |      source: hub_user_main_1h
+        |""".stripMargin)
+    graft.cli.Main.main(Array("aggregation-compile",
+      dir.toString, aggFile.toString))
+    // the written YAML loads back as part of the instance
+    val inst = InstanceModel.loadInstance(dir.toString)
+    val tgt = inst.trendStores.find(_.title == "hub_group_main_1h").get
+    assert(tgt.entityType == "group")
+    assert(tgt.parts.head.name == "hub_group_main_1h")
+    assert(tgt.parts.head.trends.map(_.name) == Seq("samples", "value_i"))
+    val mat = inst.materializations
+      .find(_.targetTrendStorePart == "hub_group_main_1h").get
+    assert(mat.sources.map(_.trendStorePart) == Seq("hub_user_main_1h"))
+  }
+
   test("materialization yaml parses delays and sources") {
     val m = InstanceModel.parseMaterialization(
       """target_trend_store_part: hub-kpi_node_main_15m
