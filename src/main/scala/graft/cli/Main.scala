@@ -239,8 +239,10 @@ object Main {
             val trendCols = df.columns.filterNot(
               Set("entity_id", "timestamp", "modified", "created", "pindex", "job_id"))
             runner.run(MaterializationSpec(dstPart,
+              // readPartRange → the chunk window prunes pindex partition
+              // directories at scan instead of filtering a full-table read
               chunk => TimeAggregation.rollup(
-                df.filter(col("timestamp") >= chunk && col("timestamp") < chunk + gran),
+                ps.readPartRange(srcPart, chunk, chunk + gran).get,
                 "entity_id", "timestamp", gran,
                 TimeAggregation.samples +: trendCols.toSeq.map(c => sum(col(c)).as(c)))
                 .withColumn("modified", lit(System.currentTimeMillis() / 1000)),

@@ -73,11 +73,67 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     }
   }
 
+  // ---- schema sidecar: scan planning without footer reads ----
+  // `mergeSchema=true` reads EVERY file footer at planning — O(files) driver
+  // work that dominates planning at 100 TB. The store writes the merged
+  // schema to `_schema.json` (underscore → invisible to partition
+  // discovery) BEFORE swapping partitions, and reads declare it explicitly.
+  // Crash-safety: the sidecar is always a SUPERSET of any file's schema
+  // (column union + widened types), and Spark's parquet reader fills
+  // missing columns with NULL and upcasts narrower files — so a sidecar
+  // written for a store() that then crashed mid-swap still reads every
+  // surviving file correctly. A missing/partial sidecar falls back to
+  // mergeSchema.
+  private def schemaFile(part: String) = hp(s"${path(part)}/_schema.json")
+
+  private def readSavedSchema(part: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaFile(part)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Throwable => None } // corrupt sidecar → mergeSchema
+      finally in.close()
+    }
+  }
+
+  private def writeSchema(part: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    fs.mkdirs(hp(path(part)))
+    val tmp = hp(s"${path(part)}/._schema.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(schemaFile(part), false)
+    // crash between delete and rename leaves no sidecar → fallback path
+    fs.rename(tmp, schemaFile(part))
+  }
+
   def readPart(part: String): Option[DataFrame] = {
     recoverAsides(part)
     if (!fs.exists(hp(path(part)))) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
+    else readSavedSchema(part) match {
+      case Some(sc) => Some(spark.read.schema(sc).parquet(path(part)))
+      case None =>
+        Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
+    }
   }
+
+  /** Read only the partitions overlapping [fromSec, toSec): the time range
+    * becomes a `pindex` PartitionFilter, so Spark prunes partition
+    * directories at scan — a one-day materialization over a 100 TB part
+    * lists one directory instead of the table. (A bare `timestamp`
+    * predicate cannot prune: Spark doesn't know pindex is derived from
+    * it.) */
+  def readPartRange(part: String, fromSec: Long, toSec: Long): Option[DataFrame] =
+    readPart(part).map { df =>
+      val lo = Math.floorDiv(fromSec, partitionSizeSeconds)
+      val hi = Math.floorDiv(toSec - 1, partitionSizeSeconds)
+      df.filter(col("pindex").between(lo, hi))
+        .filter(col("timestamp") >= fromSec && col("timestamp") < toSec)
+    }
 
   /** Load-time type widening (trendstorepart.py:351-374 "assure_data_types"
     * + SURVEY §7 hard part 5): when the batch carries a wider type for an
@@ -159,6 +215,9 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // partition while preserving locality.
     merged.repartition(col("pindex"))
       .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+    // sidecar BEFORE the swaps: the union/widened schema is a superset of
+    // every surviving file under any crash interleaving (see sidecar notes)
+    writeSchema(part, merged.schema)
     // Swap order is crash-safe: the live partition is renamed ASIDE (not
     // deleted) before the staged one moves in, so at no point is the data
     // present in zero places. A crash leaves either the live dir, or the

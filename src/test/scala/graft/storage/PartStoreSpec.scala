@@ -171,6 +171,48 @@ class PartStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.pindex_old_1")))
   }
 
+  test("readPartRange prunes partition directories via pindex filters") {
+    val ps = freshStore("range")
+    ps.store("p", Seq(
+      (1L, 1000L, 1.0, 1L), (1L, 90000L, 2.0, 1L), (1L, 200000L, 3.0, 1L)
+    ).toDF("entity_id", "timestamp", "power", "modified"))
+    val day2 = ps.readPartRange("p", 86400L, 172800L).get
+    assert(day2.select("power").collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    // the time range must surface as a PartitionFilter on pindex — that is
+    // what lets a 100 TB scan list one directory instead of the table
+    val scanLine = day2.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pindex"), s"no pindex partition filter: $scanLine")
+  }
+
+  test("schema sidecar: reads declare the stored schema without mergeSchema") {
+    val ps = freshStore("sidecar")
+    ps.store("p", Seq((1L, 1000L, 10.0, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(
+      "target/tmp/partstore_sidecar/p/_schema.json")
+    assert(fs.exists(sidecar))
+    // crash-window shape: a SUPERSET sidecar (extra column, widened type)
+    // over narrower files still reads correctly — missing column → NULL,
+    // int-width file upcast to declared long
+    val wider = org.apache.spark.sql.types.StructType(
+      ps.readPart("p").get.schema.fields.map {
+        case f if f.name == "power" => f.copy(name = "power")
+        case f => f
+      } :+ org.apache.spark.sql.types.StructField("ghost",
+        org.apache.spark.sql.types.DoubleType))
+    val out = fs.create(sidecar, true)
+    out.write(wider.json.getBytes("UTF-8")); out.close()
+    val back = ps.readPart("p").get
+    assert(back.columns.contains("ghost"))
+    val r = back.select("power", "ghost").head
+    assert(r.getDouble(0) == 10.0 && r.isNullAt(1))
+    // no sidecar → mergeSchema fallback still reads
+    fs.delete(sidecar, false)
+    assert(ps.readPart("p").get.select("power").head.getDouble(0) == 10.0)
+  }
+
   test("modified log accumulates per (part, timestamp)") {
     val ps = freshStore("mlog")
     val b = Seq((1L, 1000L, 1.0, 1L), (2L, 1000L, 2.0, 1L))
