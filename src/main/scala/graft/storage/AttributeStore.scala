@@ -25,12 +25,24 @@ class AttributeStore(spark: SparkSession, basePath: String) {
 
   def history: Option[DataFrame] =
     if (!fs.exists(new org.apache.hadoop.fs.Path(historyPath))) None
-    else Some(spark.read.option("mergeSchema", "true").parquet(historyPath))
+    else SchemaSidecar.read(fs, historyPath) match {
+      case Some(sc) => Some(spark.read.schema(sc).parquet(historyPath))
+      case None =>
+        Some(spark.read.option("mergeSchema", "true").parquet(historyPath))
+    }
 
-  /** Append a staged batch (entity_id, timestamp, attrs…) to history. */
-  def transferStaged(batch: DataFrame, nowSec: Long): Unit =
-    batch.withColumn("modified", lit(nowSec))
-      .write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(historyPath)
+  /** Append a staged batch (entity_id, timestamp, attrs…) to history. The
+    * schema sidecar is union-merged and written BEFORE the append (superset
+    * contract — see [[SchemaSidecar]]); a genuine type conflict drops the
+    * sidecar so reads fall back to footer merging. */
+  def transferStaged(batch: DataFrame, nowSec: Long): Unit = {
+    val stamped = batch.withColumn("modified", lit(nowSec))
+    SchemaSidecar.merged(SchemaSidecar.read(fs, historyPath), stamped.schema) match {
+      case Some(sc) => SchemaSidecar.write(fs, historyPath, sc)
+      case None => SchemaSidecar.delete(fs, historyPath)
+    }
+    stamped.write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(historyPath)
+  }
 
   /** Run-length-compacted history (D10). */
   def compacted(valueCols: Seq[String]): Option[DataFrame] =

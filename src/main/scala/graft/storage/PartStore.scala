@@ -84,37 +84,10 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   // written for a store() that then crashed mid-swap still reads every
   // surviving file correctly. A missing/partial sidecar falls back to
   // mergeSchema.
-  private def schemaFile(part: String) = hp(s"${path(part)}/_schema.json")
-
-  private def readSavedSchema(part: String): Option[org.apache.spark.sql.types.StructType] = {
-    val p = schemaFile(part)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(org.apache.spark.sql.types.DataType
-        .fromJson(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      catch { case _: Throwable => None } // corrupt sidecar → mergeSchema
-      finally in.close()
-    }
-  }
-
-  private def writeSchema(part: String, schema: org.apache.spark.sql.types.StructType): Unit = {
-    fs.mkdirs(hp(path(part)))
-    val tmp = hp(s"${path(part)}/._schema.json.tmp")
-    val out = fs.create(tmp, true)
-    out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.delete(schemaFile(part), false)
-    // crash between delete and rename leaves no sidecar → fallback path
-    fs.rename(tmp, schemaFile(part))
-  }
-
   def readPart(part: String): Option[DataFrame] = {
     recoverAsides(part)
     if (!fs.exists(hp(path(part)))) None
-    else readSavedSchema(part) match {
+    else SchemaSidecar.read(fs, path(part)) match {
       case Some(sc) => Some(spark.read.schema(sc).parquet(path(part)))
       case None =>
         Some(spark.read.option("mergeSchema", "true").parquet(path(part)))
@@ -216,8 +189,8 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     merged.repartition(col("pindex"))
       .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
     // sidecar BEFORE the swaps: the union/widened schema is a superset of
-    // every surviving file under any crash interleaving (see sidecar notes)
-    writeSchema(part, merged.schema)
+    // every surviving file under any crash interleaving (see SchemaSidecar)
+    SchemaSidecar.write(fs, path(part), merged.schema)
     // Swap order is crash-safe: the live partition is renamed ASIDE (not
     // deleted) before the staged one moves in, so at no point is the data
     // present in zero places. A crash leaves either the live dir, or the
