@@ -145,6 +145,60 @@ object Main {
             sys.error("relation is not needed for YAML compilation")))
       }
 
+    // Catalog registries (reference entity_type.py / data_source.py /
+    // alias.py: create/delete/list over directory tables). graft keeps
+    // data sources and alias types as filesystem registries under the
+    // store base; entity types ARE the entity-directory dimensions.
+    case "entity-type" :: action :: base :: rest =>
+      val s = spark()
+      val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      action match {
+        case "create" =>
+          val created = dir.create(rest.head)
+          println(s"""{"entity_type":"${rest.head}","created":$created}""")
+        case "delete" =>
+          val deleted = dir.delete(rest.head)
+          println(s"""{"entity_type":"${rest.head}","deleted":$deleted}""")
+        case "list" =>
+          println(dir.list().map(n => s""""$n"""").mkString("[", ",", "]"))
+        case other =>
+          System.err.println(s"unknown entity-type action: $other"); sys.exit(2)
+      }
+
+    case kind :: action :: base :: rest if kind == "data-source" || kind == "alias" =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.conf.Configuration())
+      val dir = s"$base/_catalog/${kind.replace('-', '_')}"
+      def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      action match {
+        case "create" =>
+          val created = !fs.exists(p(rest.head)) && fs.mkdirs(p(rest.head))
+          println(s"""{"$kind":"${rest.head}","created":$created}""")
+        case "delete" =>
+          val deleted = fs.exists(p(rest.head)) && fs.delete(p(rest.head), true)
+          println(s"""{"$kind":"${rest.head}","deleted":$deleted}""")
+        case "list" =>
+          val d = new org.apache.hadoop.fs.Path(dir)
+          val names =
+            if (!fs.exists(d)) Seq.empty
+            else fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
+          println(names.map(n => s""""$n"""").mkString("[", ",", "]"))
+        case other =>
+          System.err.println(s"unknown $kind action: $other"); sys.exit(2)
+      }
+
+    // `minerva notification-store create` (commands/notification_store.py):
+    // registers the typed store — the persisted declaration types every
+    // later write, no bundle needed in hand.
+    case "notification-store" :: "create" :: base :: yamlPath :: Nil =>
+      val stem = java.nio.file.Paths.get(yamlPath).getFileName.toString
+        .stripSuffix(".yaml")
+      val defn = InstanceModel.parseNotificationStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
+      graft.storage.NotificationStore.create(
+        s"$base/notification/$stem", defn.attributes)
+      println(s"""{"notification_store":"$stem","attributes":${defn.attributes.length}}""")
+
     // `minerva structure dump` (commands/structure.py — a stub in the
     // reference; graft dumps the loaded catalog as one JSON document):
     // stores/parts/trends plus the other definition kinds of the bundle.
@@ -435,6 +489,7 @@ object Main {
           val attrs = storeDef.map(_.attributes).getOrElse(Seq.empty)
           val ns = new graft.storage.NotificationStore(
             s, s"$base/notification/$storeName", attrs)
+          ns.persistDeclaration() // later writers get the types sans bundle
           ns.store(out, now)
           notifications += out.count()
         }
@@ -456,6 +511,10 @@ object Main {
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
            |  structure <instanceDir>
+           |  entity-type create|delete|list <storeBase> [name]
+           |  data-source create|delete|list <storeBase> [name]
+           |  alias create|delete|list <storeBase> [name]
+           |  notification-store create <storeBase> <defYaml>
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>

@@ -27,9 +27,16 @@ class EntityDirectory(spark: SparkSession, basePath: String) {
   private def path(entityType: String) =
     new org.apache.hadoop.fs.Path(s"$basePath/$entityType")
 
-  /** The (name, id) dimension for a type; empty frame if never written. */
-  def read(entityType: String): DataFrame =
-    if (fs.exists(path(entityType)))
+  /** The (name, id) dimension for a type; empty frame if never written or
+    * created empty (`entity-type create` registers the directory before
+    * any rows exist). */
+  def read(entityType: String): DataFrame = {
+    val hasData = fs.exists(path(entityType)) &&
+      fs.listStatus(path(entityType)).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (hasData)
       spark.read.parquet(path(entityType).toString).select("name", "id")
     else {
       import org.apache.spark.sql.types._
@@ -38,6 +45,24 @@ class EntityDirectory(spark: SparkSession, basePath: String) {
         StructType(Seq(StructField("name", StringType),
           StructField("id", LongType))))
     }
+  }
+
+  /** Register an entity type with no rows yet (`directory.create_entity_type`). */
+  def create(entityType: String): Boolean =
+    if (fs.exists(path(entityType))) false
+    else fs.mkdirs(path(entityType))
+
+  /** Drop an entity type and its dimension. */
+  def delete(entityType: String): Boolean =
+    fs.exists(path(entityType)) && fs.delete(path(entityType), true)
+
+  /** All registered entity types. */
+  def list(): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+  }
 
   /** Insert names not yet present (the reference's `ON CONFLICT DO
     * NOTHING`); returns the number of new entities. */

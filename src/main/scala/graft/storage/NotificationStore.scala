@@ -33,6 +33,20 @@ class NotificationStore(
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
+  /** Effective typed declaration: explicit attributes win; otherwise the
+    * persisted `_attributes.json` written at store creation (the
+    * reference's notification-store DDL makes the table's types part of
+    * the store itself — a writer doesn't need the YAML bundle in hand). */
+  private lazy val declaredAttrs: Seq[AttributeDef] =
+    if (attributes.nonEmpty) attributes
+    else NotificationStore.readDeclaration(fs, basePath)
+
+  /** Persist the typed declaration next to the data (underscore file —
+    * invisible to parquet reads). */
+  def persistDeclaration(): Unit =
+    if (attributes.nonEmpty)
+      NotificationStore.writeDeclaration(fs, basePath, attributes)
+
   private def assignmentCastable(from: DataType, to: DataType): Boolean =
     (from, to) match {
       case (f, t) if f == t => true
@@ -79,10 +93,10 @@ class NotificationStore(
     * cross-family type mismatch at plan time; raises at execution on an
     * out-of-range narrowing value. */
   def conform(batch: DataFrame): DataFrame =
-    if (attributes.isEmpty) batch
+    if (declaredAttrs.isEmpty) batch
     else {
       val present = batch.schema.fields.map(f => f.name -> f.dataType).toMap
-      attributes.foldLeft(batch) { (df, a) =>
+      declaredAttrs.foldLeft(batch) { (df, a) =>
         present.get(a.name) match {
           case None =>
             df.withColumn(a.name, lit(null).cast(a.dataType.sparkType))
@@ -114,4 +128,49 @@ class NotificationStore(
       Some(raw.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"))
     }
+}
+
+object NotificationStore {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+  import graft.core.MinervaType
+
+  private def declFile(basePath: String) = new Path(s"$basePath/_attributes.json")
+
+  /** Create a typed notification store: persist its declaration without a
+    * SparkSession (the CLI's notification-store create). */
+  def create(basePath: String, attrs: Seq[AttributeDef]): Unit = {
+    val fs = FileSystem.get(new org.apache.hadoop.conf.Configuration())
+    writeDeclaration(fs, basePath, attrs)
+  }
+
+  private[storage] def writeDeclaration(
+      fs: FileSystem, basePath: String, attrs: Seq[AttributeDef]): Unit = {
+    fs.mkdirs(new Path(basePath))
+    val json = attrs.map(a =>
+        s"""{"name":"${a.name}","data_type":"${a.dataType.name}"}""")
+      .mkString("[", ",", "]")
+    val out = fs.create(declFile(basePath), true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private[storage] def readDeclaration(
+      fs: FileSystem, basePath: String): Seq[AttributeDef] = {
+    val p = declFile(basePath)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      // JSON is a YAML subset; snakeyaml is already on the classpath
+      import scala.jdk.CollectionConverters._
+      val parsed = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.List[java.util.Map[String, String]]](text)
+      if (parsed == null) Seq.empty
+      else parsed.asScala.toSeq.map { m =>
+        AttributeDef(m.get("name"),
+          MinervaType.byName(m.get("data_type")).getOrElse(MinervaType.MText))
+      }
+    }
+  }
 }

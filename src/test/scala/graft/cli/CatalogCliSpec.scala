@@ -1,0 +1,69 @@
+package graft.cli
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Catalog CRUD commands (reference entity_type.py / data_source.py /
+  * alias.py / notification_store.py — create/delete/list registries). */
+class CatalogCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(args: String*): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { Main.main(args.toArray) }
+    out.toString.trim
+  }
+
+  private val base = {
+    val b = "target/tmp/catalog_cli"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(b), true)
+    b
+  }
+
+  test("entity-type create/list/delete; empty created type reads as empty dim") {
+    assert(run("entity-type", "create", base, "router").contains("\"created\":true"))
+    assert(run("entity-type", "create", base, "router").contains("\"created\":false"))
+    assert(run("entity-type", "list", base) == "[\"router\"]")
+    // a created-but-empty type must read as an empty dimension, not crash
+    val dir = new graft.storage.EntityDirectory(spark, s"$base/entity")
+    assert(dir.read("router").count() == 0)
+    // and insert-missing into it works
+    assert(dir.insertMissing("router", Seq("r1").toDF("name")) == 1)
+    assert(run("entity-type", "delete", base, "router").contains("\"deleted\":true"))
+    assert(run("entity-type", "list", base) == "[]")
+  }
+
+  test("data-source and alias registries round-trip") {
+    assert(run("data-source", "create", base, "hub").contains("\"created\":true"))
+    assert(run("data-source", "list", base) == "[\"hub\"]")
+    assert(run("alias", "create", base, "equipment").contains("\"created\":true"))
+    assert(run("alias", "list", base) == "[\"equipment\"]")
+    assert(run("data-source", "delete", base, "hub").contains("\"deleted\":true"))
+    assert(run("data-source", "list", base) == "[]")
+  }
+
+  test("notification-store create persists a declaration that types later writes") {
+    val yaml = java.nio.file.Files.createTempFile("alerts", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """data_source: ops
+        |entity_type: notification
+        |attributes:
+        |  - name: weight
+        |    data_type: integer
+        |  - name: details
+        |    data_type: text
+        |""".stripMargin)
+    val stem = yaml.getFileName.toString.stripSuffix(".yaml")
+    assert(run("notification-store", "create", base, yaml.toString)
+      .contains("\"attributes\":2"))
+    // a LATER writer constructed WITHOUT attributes picks up the persisted
+    // declaration: weight narrows to the declared integer
+    val ns = new graft.storage.NotificationStore(spark, s"$base/notification/$stem")
+    ns.store(Seq((1L, 100L, "r", 7L, "d"))
+      .toDF("entity_id", "timestamp", "rule", "weight", "details"), nowSec = 1L)
+    val back = ns.read().get
+    assert(back.schema("weight").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.select("weight").head.getInt(0) == 7)
+  }
+}
