@@ -152,13 +152,16 @@ object Main {
     case "entity-type" :: action :: base :: rest =>
       val s = spark()
       val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      def name: String = rest.headOption.getOrElse {
+        System.err.println(s"entity-type $action needs a name"); sys.exit(2); ""
+      }
       action match {
         case "create" =>
-          val created = dir.create(rest.head)
-          println(s"""{"entity_type":"${rest.head}","created":$created}""")
+          val n = name
+          println(s"""{"entity_type":"$n","created":${dir.create(n)}}""")
         case "delete" =>
-          val deleted = dir.delete(rest.head)
-          println(s"""{"entity_type":"${rest.head}","deleted":$deleted}""")
+          val n = name
+          println(s"""{"entity_type":"$n","deleted":${dir.delete(n)}}""")
         case "list" =>
           println(dir.list().map(n => s""""$n"""").mkString("[", ",", "]"))
         case other =>
@@ -167,16 +170,21 @@ object Main {
 
     case kind :: action :: base :: rest if kind == "data-source" || kind == "alias" =>
       val fs = org.apache.hadoop.fs.FileSystem.get(
-        new org.apache.hadoop.conf.Configuration())
+        spark().sparkContext.hadoopConfiguration)
       val dir = s"$base/_catalog/${kind.replace('-', '_')}"
       def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      def name: String = rest.headOption.getOrElse {
+        System.err.println(s"$kind $action needs a name"); sys.exit(2); ""
+      }
       action match {
         case "create" =>
-          val created = !fs.exists(p(rest.head)) && fs.mkdirs(p(rest.head))
-          println(s"""{"$kind":"${rest.head}","created":$created}""")
+          val n = name
+          val created = !fs.exists(p(n)) && fs.mkdirs(p(n))
+          println(s"""{"$kind":"$n","created":$created}""")
         case "delete" =>
-          val deleted = fs.exists(p(rest.head)) && fs.delete(p(rest.head), true)
-          println(s"""{"$kind":"${rest.head}","deleted":$deleted}""")
+          val n = name
+          val deleted = fs.exists(p(n)) && fs.delete(p(n), true)
+          println(s"""{"$kind":"$n","deleted":$deleted}""")
         case "list" =>
           val d = new org.apache.hadoop.fs.Path(dir)
           val names =
@@ -196,7 +204,8 @@ object Main {
       val defn = InstanceModel.parseNotificationStore(
         java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
       graft.storage.NotificationStore.create(
-        s"$base/notification/$stem", defn.attributes)
+        s"$base/notification/$stem", defn.attributes,
+        spark().sparkContext.hadoopConfiguration)
       println(s"""{"notification_store":"$stem","attributes":${defn.attributes.length}}""")
 
     // `minerva structure dump` (commands/structure.py — a stub in the
@@ -204,7 +213,15 @@ object Main {
     // stores/parts/trends plus the other definition kinds of the bundle.
     case "structure" :: instanceDir :: Nil =>
       val inst = InstanceModel.loadInstance(instanceDir)
-      def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      def js(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
       val trendStores = inst.trendStores.map { st =>
         s"""{"title":${js(st.title)},"data_source":${js(st.dataSource)},""" +
@@ -335,17 +352,22 @@ object Main {
       if (loadSample) {
         val intervals = rest.collectFirst {
           case a if a.startsWith("--interval-count=") =>
-            a.stripPrefix("--interval-count=").toInt
+            a.stripPrefix("--interval-count=").toIntOption.getOrElse {
+              System.err.println(s"invalid --interval-count: $a")
+              sys.exit(2); 0
+            }
         }.getOrElse(30) // reference default (load_sample_data.py:36)
         InstanceModel.loadSampleDataDefs(instanceDir).foreach { ds =>
           def exists(p: String) =
             java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-          // a `<name>/sample.csv` is a per-interval TEMPLATE (the
-          // reference's generator-module layout) — render it; a flat
-          // `<name>.csv` / `sample.csv` is literal data
+          // a `<name>/sample.csv` WITH `{{ }}` placeholders is a
+          // per-interval TEMPLATE (the reference's generator-module
+          // layout) — render it; placeholder-free files are literal data
           val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
+          val isTemplate = exists(template) && java.nio.file.Files
+            .readString(java.nio.file.Paths.get(template)).contains("{{")
           val csv =
-            if (exists(template)) {
+            if (isTemplate) {
               val zone = java.time.ZoneId.of("UTC")
               var t = ds.granularity.truncate(
                 java.time.Instant.ofEpochSecond(now), zone)
@@ -358,6 +380,7 @@ object Main {
                 tss))
             } else Seq(
               s"$instanceDir/sample-data/${ds.name}.csv",
+              template, // placeholder-free <name>/sample.csv = literal data
               s"$instanceDir/sample-data/sample.csv").find(exists)
           csv.foreach { path =>
             val cfg = CsvSourceConfig(ds.identifier, Some(ds.timestamp),
@@ -379,8 +402,11 @@ object Main {
               // attribute sample set → the store on its data source
               attrStores.find(_._1.dataSource == ds.dataSource) match {
                 case Some((_, store)) =>
-                  store.transferStaged(batch.drop("modified"), now)
-                  loadedAttrRows += batch.count()
+                  // one CSV read serves both the write and the row count
+                  val staged = batch.drop("modified").persist()
+                  store.transferStaged(staged, now)
+                  loadedAttrRows += staged.count()
+                  staged.unpersist()
                 case None =>
                   System.err.println(
                     s"WARN: attribute sample set '${ds.name}' names data " +

@@ -23,13 +23,20 @@ package graft.core
   *  - scalar trigger fragments ([[rewriteScalar]]): strip the `SELECT`
   *    wrapper and `$1.` row-variable prefixes, `ARRAY[…]` → `array(…)`,
   *    `E'…'` → `'…'` (Spark's default literal parsing interprets the same
-  *    backslash escapes), `::type` casts dropped (graft stores json payloads
-  *    as text), `format(…)` → `format_string(…)` (both printf-style; `%s`
-  *    covers the reference usage).
+  *    backslash escapes), PostgreSQL-only `::type` casts dropped (json /
+  *    jsonb / timestamptz / reg* — graft stores json payloads as text;
+  *    `::int`-style casts Spark itself parses are left alone),
+  *    `format(…)` → `format_string(…)` and `array_to_string(…)` →
+  *    `array_join(…)` (neither name exists in Spark, so valid Spark SQL is
+  *    never touched).
   *
-  * Anything outside these spellings must already be portable SQL; the
-  * rewrite is deliberately textual and total — it never throws, and SQL
-  * that needs no rewriting passes through byte-identical.
+  * Identifier/cast rewrites run OUTSIDE string literals only — a literal
+  * containing `trend.foo` or `$1.50` passes through untouched. Anything
+  * outside these spellings must already be portable SQL; the rewrite is
+  * deliberately textual and total — it never throws, and SQL that needs no
+  * rewriting passes through byte-identical. Known limit: a table alias
+  * that is itself a schema keyword (`… FROM edges entity`) is rewritten
+  * like a schema reference; don't name aliases after schemas.
   */
 object PgSqlCompat {
 
@@ -38,27 +45,83 @@ object PgSqlCompat {
   private def sanitize(name: String): String =
     name.replaceAll("[^A-Za-z0-9_]", "_")
 
+  /** Apply `f` to the text segments OUTSIDE single-quoted literals (a `''`
+    * escape toggles twice — net unchanged). */
+  private def outsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQ = false
+    sql.foreach {
+      case '\'' if !inQ =>
+        out.append(f(seg.toString)); seg.clear(); inQ = true; out.append('\'')
+      case '\'' => inQ = false; out.append('\'')
+      case c if inQ => out.append(c)
+      case c => seg.append(c)
+    }
+    out.append(f(seg.toString))
+    out.toString
+  }
+
   /** Rewrite a relation/materialization/view query (table references +
     * substring-from). */
   def rewriteQuery(sql: String): String = {
-    var s = sql
-    // schema."quoted-name" → schema_quoted_name
-    s = (s"""(?i)\\b($schemas)\\.\"([^\"]+)\"""").r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        m.group(1).toLowerCase + "_" + sanitize(m.group(2))))
-    // schema.unquoted_name → schema_unquoted_name
-    s = (s"""(?i)\\b($schemas)\\.([A-Za-z_][A-Za-z0-9_]*)""").r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        m.group(1).toLowerCase + "_" + m.group(2)))
-    // substring(x from 'pattern') → regexp_extract(x, 'pattern', group)
-    s = """(?is)\bsubstring\s*\(\s*([^()']+?)\s+from\s+('(?:[^']|'')*')\s*\)""".r
-      .replaceAllIn(s, m => {
+    // substring(x from 'pattern') first — its regex spans the quoted pattern
+    val s0 = """(?is)\bsubstring\s*\(\s*([^()']+?)\s+from\s+('(?:[^']|'')*')\s*\)""".r
+      .replaceAllIn(sql, m => {
         val pat = m.group(2)
         val grp = if (pat.contains("(")) 1 else 0
         java.util.regex.Matcher.quoteReplacement(
           s"regexp_extract(${m.group(1).trim}, $pat, $grp)")
       })
-    s
+    outsideLiterals(s0) { seg =>
+      // schema."quoted-name" → schema_quoted_name — but the quoted name is
+      // INSIDE a double quote, not a string literal, so handle it here
+      val a = (s"""(?i)\\b($schemas)\\.\"([^\"]+)\"""").r.replaceAllIn(seg, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1).toLowerCase + "_" + sanitize(m.group(2))))
+      // schema.unquoted_name → schema_unquoted_name
+      (s"""(?i)\\b($schemas)\\.([A-Za-z_][A-Za-z0-9_]*)""").r.replaceAllIn(a, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          m.group(1).toLowerCase + "_" + m.group(2)))
+    }
+  }
+
+  /** `ARRAY[…]` → `array(…)` with quote- and nesting-aware bracket
+    * matching, applied only where ARRAY appears outside a literal. */
+  private def rewriteArrays(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val wordStart = i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))
+      lazy val bracketAt: Int = {
+        var j = i + 5
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '[') j else -1
+      }
+      if (c == '\'') { inQ = !inQ; sb.append(c); i += 1 }
+      else if (!inQ && wordStart && s.regionMatches(true, i, "ARRAY", 0, 5)
+          && bracketAt >= 0) {
+        sb.append("array(")
+        var depth = 1
+        var k = bracketAt + 1
+        var q = false
+        while (k < s.length && depth > 0) {
+          val ch = s.charAt(k)
+          if (ch == '\'') { q = !q; sb.append(ch) }
+          else if (!q && ch == '[') { depth += 1; sb.append(ch) }
+          else if (!q && ch == ']') {
+            depth -= 1; sb.append(if (depth > 0) ']' else ')')
+          }
+          else sb.append(ch)
+          k += 1
+        }
+        i = k
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Rewrite a scalar trigger fragment (weight / notification / data /
@@ -67,19 +130,19 @@ object PgSqlCompat {
     var s = sql.trim.stripSuffix(";").trim
     // the reference wraps scalar rules in a SELECT (run per row with $1)
     s = "(?is)^SELECT\\s+".r.replaceFirstIn(s, "")
-    s = s.replace("$1.", "")
-    // ARRAY[a, b] → array(a, b) (reference usage has no nested brackets)
-    s = "(?is)\\bARRAY\\s*\\[(.*?)\\]".r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(s"array(${m.group(1)})"))
+    s = rewriteArrays(s)
     // E'…' escape-string literal → plain literal (Spark interprets \n etc.)
     s = "(?s)\\bE'((?:[^']|'')*)'".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(s"'${m.group(1)}'"))
-    // ::json / ::timestamptz[] / ::numeric casts → dropped
-    s = "::\\s*[A-Za-z_][A-Za-z0-9_]*(\\s*\\[\\s*\\])?".r.replaceAllIn(s, "")
-    // PG format() is printf-style like Spark's format_string()
-    s = "(?i)\\bformat\\s*\\(".r.replaceAllIn(s, "format_string(")
-    // PG array_to_string(arr, sep[, null_str]) ≡ Spark array_join
-    s = "(?i)\\barray_to_string\\s*\\(".r.replaceAllIn(s, "array_join(")
-    s
+    outsideLiterals(s) { seg =>
+      var t = seg.replace("$1.", "")
+      // PostgreSQL-ONLY casts dropped; ::int etc. (valid Spark) untouched
+      t = "(?i)::\\s*(json|jsonb|timestamptz|regclass|regprocedure|regproc)(\\s*\\[\\s*\\])?".r
+        .replaceAllIn(t, "")
+      // PG format() / array_to_string(): names Spark doesn't define
+      t = "(?i)\\bformat\\s*\\(".r.replaceAllIn(t, "format_string(")
+      t = "(?i)\\barray_to_string\\s*\\(".r.replaceAllIn(t, "array_join(")
+      t
+    }
   }
 }

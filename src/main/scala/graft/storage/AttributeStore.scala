@@ -32,14 +32,22 @@ class AttributeStore(spark: SparkSession, basePath: String) {
     }
 
   /** Append a staged batch (entity_id, timestamp, attrs…) to history. The
-    * schema sidecar is union-merged and written BEFORE the append (superset
-    * contract — see [[SchemaSidecar]]); a genuine type conflict drops the
-    * sidecar so reads fall back to footer merging. */
+    * schema sidecar is union-merged (shared numeric columns widened — the
+    * sidecar stays a superset, narrower files upcast on read) and written
+    * BEFORE the append. A pre-sidecar history seeds the union from the
+    * actual file schema, so earlier columns are never hidden. A genuinely
+    * un-widenable type conflict REFUSES the batch — appending it would
+    * poison every subsequent footer-merge read with incompatible types. */
   def transferStaged(batch: DataFrame, nowSec: Long): Unit = {
     val stamped = batch.withColumn("modified", lit(nowSec))
-    SchemaSidecar.merged(SchemaSidecar.read(fs, historyPath), stamped.schema) match {
+    val saved = SchemaSidecar.read(fs, historyPath)
+      .orElse(history.map(_.schema)) // pre-sidecar files → mergeSchema read
+    SchemaSidecar.merged(saved, stamped.schema) match {
       case Some(sc) => SchemaSidecar.write(fs, historyPath, sc)
-      case None => SchemaSidecar.delete(fs, historyPath)
+      case None => throw new IllegalArgumentException(
+        s"attribute batch schema ${stamped.schema.simpleString} conflicts " +
+          s"with stored history ${saved.get.simpleString} — cast the batch " +
+          "to the stored types before transfer")
     }
     stamped.write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(historyPath)
   }

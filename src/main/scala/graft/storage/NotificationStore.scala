@@ -136,12 +136,14 @@ object NotificationStore {
 
   private def declFile(basePath: String) = new Path(s"$basePath/_attributes.json")
 
-  /** Create a typed notification store: persist its declaration without a
-    * SparkSession (the CLI's notification-store create). */
-  def create(basePath: String, attrs: Seq[AttributeDef]): Unit = {
-    val fs = FileSystem.get(new org.apache.hadoop.conf.Configuration())
-    writeDeclaration(fs, basePath, attrs)
-  }
+  /** Create a typed notification store: persist its declaration (the
+    * CLI's notification-store create). Pass the session's Hadoop
+    * configuration so the declaration lands on the same filesystem the
+    * store reads through. */
+  def create(basePath: String, attrs: Seq[AttributeDef],
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit =
+    writeDeclaration(FileSystem.get(conf), basePath, attrs)
 
   private[storage] def writeDeclaration(
       fs: FileSystem, basePath: String, attrs: Seq[AttributeDef]): Unit = {

@@ -43,18 +43,44 @@ private[storage] object SchemaSidecar {
   def delete(fs: FileSystem, dir: String): Unit =
     fs.delete(file(dir), false)
 
-  /** Union of the saved and incoming schemas: saved column order first,
-    * new incoming columns appended; None when a shared column's types
-    * differ (caller drops the sidecar and lets mergeSchema handle it). */
+  /** Numeric widening ladder for append-only evolution: the sidecar takes
+    * the WIDER type and stays a superset (narrower files upcast on read —
+    * no rewrite needed). */
+  private val widenOrder: Seq[DataType] = {
+    import org.apache.spark.sql.types._
+    Seq(ShortType, IntegerType, LongType, FloatType, DoubleType)
+  }
+
+  private def widen(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else (widenOrder.indexOf(a), widenOrder.indexOf(b)) match {
+      case (x, y) if x >= 0 && y >= 0 => Some(widenOrder(math.max(x, y)))
+      case _ => None
+    }
+
+  /** Union of the saved and incoming schemas: saved column order first
+    * (shared numeric columns widened), new incoming columns appended; None
+    * when a shared column's types genuinely conflict — the caller must NOT
+    * append such a batch (mixed un-widenable footers poison every
+    * subsequent mergeSchema read). */
   def merged(saved: Option[StructType], incoming: StructType): Option[StructType] =
     saved match {
       case None => Some(incoming)
       case Some(s) =>
-        val savedTypes = s.fields.map(f => f.name -> f.dataType).toMap
-        val conflict = incoming.fields.exists(f =>
-          savedTypes.get(f.name).exists(_ != f.dataType))
+        val incomingTypes = incoming.fields.map(f => f.name -> f.dataType).toMap
+        val savedNames = s.fields.map(_.name).toSet
+        var conflict = false
+        val mergedShared = s.fields.map { f =>
+          incomingTypes.get(f.name) match {
+            case None => f
+            case Some(t) => widen(f.dataType, t) match {
+              case Some(w) => f.copy(dataType = w)
+              case None => conflict = true; f
+            }
+          }
+        }
         if (conflict) None
-        else Some(StructType(s.fields ++
-          incoming.fields.filterNot(f => savedTypes.contains(f.name))))
+        else Some(StructType(mergedShared ++
+          incoming.fields.filterNot(f => savedNames.contains(f.name))))
     }
 }

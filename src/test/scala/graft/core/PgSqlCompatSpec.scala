@@ -1,0 +1,50 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PG→Spark rewrite contract: reference spellings rewritten, string
+  * literals and valid Spark SQL left untouched. */
+class PgSqlCompatSpec extends AnyFunSuite {
+
+  test("schema references rewrite; string literals are protected") {
+    val q = """SELECT n.id FROM entity."node-module" n
+              |JOIN trend.hub_x t ON t.note = 'see entity.node docs'""".stripMargin
+    val out = PgSqlCompat.rewriteQuery(q)
+    assert(out.contains("entity_node_module"))
+    assert(out.contains("trend_hub_x"))
+    assert(out.contains("'see entity.node docs'")) // literal untouched
+  }
+
+  test("substring-from rewrites with group selection") {
+    assert(PgSqlCompat.rewriteQuery("substring(x from '([a-z]+)-.*')") ==
+      "regexp_extract(x, '([a-z]+)-.*', 1)")
+    assert(PgSqlCompat.rewriteQuery("substring(x from 'abc')") ==
+      "regexp_extract(x, 'abc', 0)")
+  }
+
+  test("scalar fragments: $1 and PG-only casts stripped outside literals only") {
+    val s = "format('cost $1.50 :: total %s', $1.value::json)"
+    val out = PgSqlCompat.rewriteScalar(s)
+    assert(out == "format_string('cost $1.50 :: total %s', value)")
+    // valid Spark ::int cast survives
+    assert(PgSqlCompat.rewriteScalar("value::int + 1") == "value::int + 1")
+    // literal containing ::active survives
+    assert(PgSqlCompat.rewriteScalar("'state::active'") == "'state::active'")
+  }
+
+  test("ARRAY[..] converts with quote-aware bracket matching") {
+    val s = "array_to_string(ARRAY['a]b', format('%s', x)], E'\\n')"
+    val out = PgSqlCompat.rewriteScalar(s)
+    assert(out == "array_join(array('a]b', format_string('%s', x)), '\\n')")
+    // ARRAY inside a literal untouched
+    assert(PgSqlCompat.rewriteScalar("'use ARRAY[1]'") == "'use ARRAY[1]'")
+  }
+
+  test("portable Spark SQL passes through byte-identical") {
+    val q = "SELECT entity_id, value FROM kpi WHERE value > max_value"
+    assert(PgSqlCompat.rewriteQuery(q) == q)
+    assert(PgSqlCompat.rewriteScalar(
+      "CASE WHEN value > 1 THEN 500 ELSE 300 END") ==
+      "CASE WHEN value > 1 THEN 500 ELSE 300 END")
+  }
+}
