@@ -274,6 +274,19 @@ object Main {
       out.write.mode("append").parquet(outDir)
       println(s"""{"rule":"${t.name}","notifications":${out.count()}}""")
 
+    // Retention expiry (reference commands/partition.py remove-old):
+    // drops whole pindex partition directories before the cutoff.
+    case "expire" :: base :: part :: cutoffSec :: rest =>
+      val s = spark()
+      val psize = rest.headOption.flatMap(_.toLongOption).getOrElse(86400L)
+      val ps = new PartStore(s, PartStoreConfig(base, psize))
+      val cutoff = cutoffSec.toLongOption.getOrElse {
+        System.err.println(s"invalid cutoff seconds: $cutoffSec")
+        sys.exit(2); 0L
+      }
+      ps.expire(part, cutoff)
+      println(s"""{"expired_before":$cutoff,"part":"$part"}""")
+
     case "materialize" :: base :: srcPart :: dstPart :: granSec :: Nil =>
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
@@ -544,6 +557,7 @@ object Main {
            |  report <storeBase> <part>
            |  trigger <storeBase> <part> <triggerYaml> <outDir>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
+           |  expire <storeBase> <part> <cutoffSec> [partitionSizeSec]
            |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)
       sys.exit(2)
   }

@@ -69,11 +69,15 @@ class EntityDirectory(spark: SparkSession, basePath: String) {
   def insertMissing(entityType: String, names: DataFrame): Long = {
     val dim = read(entityType)
     val missing = EntityResolution.missingEntities(names, dim)
+    // one computation serves both the count and the write (the anti-join +
+    // hash resolution would otherwise run twice)
     val withIds = EntityResolution.resolveHash(missing, dim, entityType)
       .select(col("name"), col("id").cast("long"))
+      .persist()
     val n = withIds.count()
     if (n > 0)
       withIds.write.mode(SaveMode.Append).parquet(path(entityType).toString)
+    withIds.unpersist()
     n
   }
 

@@ -43,6 +43,17 @@ class CatalogCliSpec extends SparkSpec {
     assert(run("data-source", "list", base) == "[]")
   }
 
+  test("expire CLI drops partitions before the cutoff") {
+    import spark.implicits._
+    val sb = s"$base/expire_store"
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(sb, 86400))
+    ps.store("p", Seq((1L, 1000L, 1.0, 1L), (1L, 90000L, 2.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    assert(run("expire", sb, "p", "86400").contains("\"expired_before\":86400"))
+    assert(ps.readPart("p").get.select("power").head.getDouble(0) == 2.0)
+  }
+
   test("notification-store create persists a declaration that types later writes") {
     val yaml = java.nio.file.Files.createTempFile("alerts", ".yaml")
     java.nio.file.Files.writeString(yaml,
