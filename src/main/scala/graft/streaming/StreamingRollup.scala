@@ -125,6 +125,39 @@ object StreamingRollup {
       }
   }
 
+  /** Streaming ingest into a trend part (the streaming analogue of the
+    * reference's continuous harvest loop — plugin parse → store →
+    * mark-modified per file, processor.py): each micro-batch runs the SAME
+    * staged-swap keyed MERGE as a batch load. Delivery is micro-batch
+    * at-least-once; because the merge upserts on (entity_id, timestamp), a
+    * replayed micro-batch converges to the same stored rows —
+    * effectively-once storage without a transactional sink. The modified
+    * log gets one entry per (batch timestamp), driving downstream
+    * staleness exactly like batch loads.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def trendSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      nowSec: () => Long = () => System.currentTimeMillis() / 1000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val now = nowSec()
+          // the micro-batch is consumed by two actions (store reads it for
+          // the merge; markModified projects its timestamps)
+          val cached = batch.persist()
+          ps.store(part, cached)
+          ps.markModified(part, cached, now)
+          cached.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming trigger/notification path (I6): threshold rules applied to
     * the stream, appending notification rows — the streaming analogue of
     * `trigger.create_notifications`. Stateless (pure filter+project), so it

@@ -66,6 +66,31 @@ class StreamingRollupSpec extends SparkSpec {
     assert(u1(1).getAs[Long]("n_events") == 1L) // closed by event-time timeout
   }
 
+  test("streaming trend sink merges micro-batches through the staged store") {
+    implicit val sc = spark.sqlContext
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/streaming_sink"
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(base, partitionSizeSeconds = 86400))
+    val mem = MemoryStream[(Long, Long, Double, Long)]
+    val stream = mem.toDF().toDF("entity_id", "timestamp", "power", "modified")
+    val q = StreamingRollup.trendSink(stream, ps, "p", nowSec = () => 42L)
+    mem.addData((1L, 1000L, 1.0, 10L), (2L, 90000L, 2.0, 10L))
+    q.processAllAvailable()
+    // second micro-batch UPSERTS entity 1 (newer modified wins) + new row
+    mem.addData((1L, 1000L, 5.0, 20L), (3L, 1000L, 3.0, 10L))
+    q.processAllAvailable()
+    q.stop()
+    val back = ps.readPart("p").get.sort("entity_id")
+      .select("entity_id", "power").collect()
+    assert(back.map(r => r.getLong(0) -> r.getDouble(1)).toSeq ==
+      Seq(1L -> 5.0, 2L -> 2.0, 3L -> 3.0))
+    // each micro-batch marked its timestamps in the modified log
+    val log = spark.read.parquet(s"$base/_modified_log")
+    assert(log.filter(col("modified") === 42L).count() >= 2)
+  }
+
   test("streaming notifications fire on threshold breach") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
