@@ -95,5 +95,13 @@ class GraftBundleSpec extends SparkSpec {
     assert(byWeight == Seq(100, 900)) // CASE weight: >20 → 900, else 100
     assert(notifs.select("details").collect().map(_.getString(0))
       .forall(_.startsWith("rx ")))
+
+    // re-running initialize is IDEMPOTENT: upserted trends, insert-missing
+    // entities, overwritten relations, PK-deduped notifications
+    graft.cli.Main.main(Array("initialize", bundleDir, base, "--load-sample-data"))
+    assert(dir.read("router").count() == 3)
+    assert(graft.operators.InstanceInit.readRelation(
+      spark, s"$base/relation", "router->v-region").count() == 3)
+    assert(ns.read().get.count() == 2)
   }
 }
