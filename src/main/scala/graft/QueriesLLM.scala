@@ -70,6 +70,14 @@ object QueriesLLM {
     "q29_simhash" -> { (s, dir) =>
       Dedup.simhash(toks(s, dir), "doc_id").orderBy("doc_id")
     },
+    // ---- eval-set decontamination (broadcast n-gram overlap) ----
+    "q63_decontaminate" -> { (s, dir) =>
+      val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
+      val eval = sh.filter(col("doc_id") % 17 === 0)
+      val train = sh.filter(col("doc_id") % 17 =!= 0)
+      Dedup.contamination(train, eval, "doc_id", minOverlap = 2)
+        .orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -289,6 +297,19 @@ object QueriesLLM {
            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
              AS simhash
          FROM votes GROUP BY 1 ORDER BY 1""",
+    "q63_decontaminate" ->
+      s"""WITH $ShinglesCte,
+         eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+         total AS (SELECT doc_id, count(*) AS doc_ngrams FROM train GROUP BY 1),
+         hits AS (
+           SELECT t.doc_id, count(*) AS overlap_ngrams
+           FROM train t JOIN eval e USING (shingle) GROUP BY 1)
+         SELECT total.doc_id, doc_ngrams,
+           COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(overlap_ngrams, 0) >= 2 AS contaminated
+         FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
+         ORDER BY 1""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

@@ -211,6 +211,32 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("keeper"))
   }
 
+  /** Eval-set decontamination (the GPT-3/C4/PaLM-style n-gram overlap
+    * check): per training document, count distinct shingles shared with the
+    * eval set and flag docs at ≥ `minOverlap` hits.
+    *
+    * Scale shape: the eval side is benchmark-sized (≤10⁶ shingles) while
+    * the training corpus is the 100 TB side — the eval shingle set is
+    * BROADCAST, so the corpus-side shingles stream through a broadcast
+    * join and the only shuffle is the per-doc count aggregate (map-side
+    * combined, ∝ |docs|). PRECONDITION: `docShingles` is distinct
+    * (id, shingle) rows — [[shingles]] guarantees this; overlap counts are
+    * set-intersection sizes. Docs with no shingles (NULL/short text) have
+    * no row, mirroring the shingle universe. */
+  def contamination(
+      docShingles: DataFrame, evalShingles: DataFrame, idCol: String,
+      minOverlap: Long = 1L): DataFrame = {
+    val evalSet = broadcast(evalShingles.select(col("shingle")).distinct())
+    val total = docShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("doc_ngrams"))
+    val hits = docShingles.join(evalSet, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))
+    total.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("doc_ngrams"),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -144,6 +144,24 @@ class CompilerSkewSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("contamination flags eval n-gram overlap via a BROADCAST join") {
+    import graft.functions.Dedup
+    val train = Seq(
+      (1L, "a b c"), (1L, "b c d"), (1L, "x y z"), // doc 1: 2 eval hits
+      (2L, "p q r"), (2L, "q r s"),                 // doc 2: 1 hit
+      (3L, "m n o")                                  // doc 3: clean
+    ).toDF("doc_id", "shingle")
+    val eval = Seq((100L, "a b c"), (100L, "b c d"), (101L, "q r s"))
+      .toDF("doc_id", "shingle")
+    val out = Dedup.contamination(train, eval, "doc_id", minOverlap = 2)
+    val rows = out.sort("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq == Seq((1L, 3L, 2L, true), (2L, 2L, 1L, false), (3L, 1L, 0L, false)))
+    // the corpus side must meet the eval set in a broadcast join — the
+    // 100 TB side never shuffles for the membership check
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("jaccardPairs maxDocFreq drops boilerplate shingles consistently") {
     import graft.functions.Dedup
     // shingle "common" appears in all 30 docs (f² = 435 join rows, zero
