@@ -78,6 +78,19 @@ object QueriesLLM {
       Dedup.contamination(train, eval, "doc_id", minOverlap = 2)
         .orderBy("doc_id")
     },
+    // ---- data mixing: per-source mixture statistics ----
+    "q64_source_mixture" -> { (s, dir) =>
+      TextAnalysis.sourceMixture(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("source")
+    },
+    // ---- data mixing: deterministic stratified downsample ----
+    "q65_stratified_sample" -> { (s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "doc_id", "source",
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0),
+          defaultRate = 0.25)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -310,6 +323,37 @@ object QueriesLLM {
            COALESCE(overlap_ngrams, 0) >= 2 AS contaminated
          FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
          ORDER BY 1""",
+    "q64_source_mixture" ->
+      """WITH per AS (
+           SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / td AS doc_share,
+           CAST(n_tokens AS DOUBLE) / tt AS token_share,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS alpha05_weight
+         FROM per CROSS JOIN tot
+         ORDER BY source""",
+    "q65_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) AS hv
+           FROM documents)
+         WHERE CAST(hv % 1000000 AS DOUBLE) < 1000000.0 * (CASE source
+           WHEN 'src2' THEN 0.0 WHEN 'src1' THEN 0.5 WHEN 'src0' THEN 1.0
+           ELSE 0.25 END)
+         ORDER BY doc_id""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

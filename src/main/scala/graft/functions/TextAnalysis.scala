@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: tokenization,
@@ -165,4 +165,51 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum((col("pos") + 1) * (ascii(col("tok")) * 31 + length(col("tok"))))
         .cast("long").as("fingerprint"))
+
+  /** Per-source corpus mixture statistics (data mixing, Pile/LLaMA style):
+    * doc and token counts, proportional shares, and the unnormalized
+    * α=0.5 temperature weight √tokens.
+    *
+    * Determinism: counts are exact integers; shares are single double
+    * divisions of exact integers and √ is correctly rounded — all
+    * engine-identical. The α-weight is left UNNORMALIZED because the
+    * normalizer Σ√tokens is a float sum whose value depends on summation
+    * order; callers normalize over the handful of sources driver-side.
+    * One map-side-combined aggregate; the totals join is a 1-row
+    * broadcast. */
+  def sourceMixture(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame = {
+    val nTokens = when(col(textCol).isNull || trim(col(textCol)) === "", 0)
+      .otherwise(size(split(trim(col(textCol)), "\\s+"))).cast("long")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+    per.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("__td")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("__tt")).as("token_share"),
+        sqrt(col("n_tokens").cast("double")).as("alpha05_weight"))
+  }
+
+  /** Engine-portable uniform in [0, 1e6) from a doc id: first 8 md5 hex
+    * nibbles of "smp:<id>" — the seedless, reproducible coin every engine
+    * can replay (Spark .sample() randomness is partition-layout
+    * dependent). */
+  private def hashUniform(id: Column): Column =
+    conv(substring(md5(concat(lit("smp:"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000L
+
+  /** Deterministic stratified Bernoulli sample: keep a doc iff its hash
+    * uniform falls under its source's rate (missing sources use
+    * `defaultRate`). Streams with NO shuffle and no RNG state — the
+    * scale-correct way to downsample a 100 TB corpus to a target mixture,
+    * reproducible across runs, engines and cluster layouts. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
+  }
 }

@@ -162,6 +162,26 @@ class CompilerSkewSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("stratifiedSample is deterministic, rate-faithful and shuffle-free") {
+    import graft.functions.TextAnalysis
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5)
+    val a = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates, 0.25)
+    val b = TextAnalysis.stratifiedSample(
+      docs.repartition(7), "doc_id", "source", rates, 0.25)
+    val idsA = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    // identical across partition layouts (seedless hash coin, not RNG)
+    assert(idsA == b.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val bySrc = a.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 500L)        // rate 1.0 keeps all
+    assert(!bySrc.contains("src1"))      // rate 0.0 keeps none
+    assert(math.abs(bySrc("src2") - 250L) < 75) // ~0.5 of 500
+    assert(math.abs(bySrc("src3") - 125L) < 60) // default 0.25 of 500
+    // pure filter: no exchange in the plan
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+  }
+
   test("jaccardPairs maxDocFreq drops boilerplate shingles consistently") {
     import graft.functions.Dedup
     // shingle "common" appears in all 30 docs (f² = 435 join rows, zero
