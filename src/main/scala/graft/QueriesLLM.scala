@@ -78,6 +78,15 @@ object QueriesLLM {
       Dedup.contamination(train, eval, "doc_id", minOverlap = 2)
         .orderBy("doc_id")
     },
+    // ---- kNN majority-label assignment over the exact top-k ----
+    "q66_knn_label" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      Similarity.knnLabel(emb.select(col("vec_id"), col("embedding")),
+          seeds, "vec_id", "embedding", "label", k = 5)
+        .orderBy("vec_id")
+    },
     // ---- data mixing: per-source mixture statistics ----
     "q64_source_mixture" -> { (s, dir) =>
       TextAnalysis.sourceMixture(docs(s, dir), "doc_id", "text", "source")
@@ -323,6 +332,31 @@ object QueriesLLM {
            COALESCE(overlap_ngrams, 0) >= 2 AS contaminated
          FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
          ORDER BY 1""",
+    "q66_knn_label" ->
+      """WITH seed AS (
+           SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0),
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM embeddings a JOIN seed b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored),
+         votes AS (
+           SELECT query_id, label, count(*) AS votes
+           FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+         best AS (
+           SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label ASC) AS rn
+           FROM votes)
+         SELECT query_id AS vec_id, label AS predicted_label, votes
+         FROM best WHERE rn = 1 ORDER BY 1""",
     "q64_source_mixture" ->
       """WITH per AS (
            SELECT source,

@@ -213,4 +213,33 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select("bucket", "id1", "id2", "cos")
   }
+
+  /** kNN label assignment (semi-supervised curation): each vector gets the
+    * MAJORITY label of its k nearest labeled seeds, ties broken toward the
+    * smallest label. Fully deterministic: the neighbor set comes from the
+    * exact (cos desc, id asc) top-k and the vote is integer counts — no
+    * float comparison survives into the output. Returns
+    * (idCol, predicted_label, votes).
+    *
+    * Scale shape: inherits bruteForceTopK's broadcast + bounded-top-k plan
+    * (swap in [[bucketedNeighborsGaussian]] candidates for a 100 TB seed
+    * set); the vote is two map-side-combined aggregates on (query, label)
+    * then query. */
+  def knnLabel(
+      queries: DataFrame, seeds: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val topk = bruteForceTopK(
+      queries.select(col(idCol), col(vecCol)),
+      seeds.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+    val voted = topk
+      .join(seeds.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    voted.groupBy("query_id")
+      // lexicographic struct max: most votes, then SMALLEST label (negated)
+      .agg(max(struct(col("votes"), (-col("__lbl")).as("nl"))).as("m"))
+      .select(col("query_id").as(idCol),
+        (-col("m.nl")).as("predicted_label"), col("m.votes").as("votes"))
+  }
 }

@@ -97,6 +97,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getInt(2) <= 2))
   }
 
+  test("knnLabel assigns the majority cluster label and breaks ties low") {
+    // seeds: first 50 clustered vectors labeled by their cluster (i % 5);
+    // queries: the other 50. Tight clusters → all 5 NN share the label.
+    val labeled = clustered.filter(col("vec_id") < 50)
+      .withColumn("label", (col("vec_id") % 5).cast("int"))
+    val queries = clustered.filter(col("vec_id") >= 50)
+    val out = Similarity.knnLabel(queries, labeled, "vec_id", "embedding",
+        "label", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.size == 50)
+    out.foreach { case (id, (lbl, votes)) =>
+      assert(lbl == (id % 5).toInt, s"vec $id predicted $lbl")
+      assert(votes == 5L, s"vec $id unanimous vote expected, got $votes")
+    }
+
+    // exact vote tie (two identical seeds, different labels) → smallest label
+    val seeds = Seq(
+      (10L, Seq(1.0f, 1.0f), 3), (11L, Seq(1.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tied = Similarity.knnLabel(q, seeds, "vec_id", "embedding", "label", k = 2)
+      .collect()
+    assert(tied.length == 1 && tied.head.getInt(1) == 1 && tied.head.getLong(2) == 1L)
+  }
+
   test("self-similarity detected via logical plan, not reference equality") {
     val path = "target/tmp/simspec_vecs"
     clustered.write.mode("overwrite").parquet(path)
