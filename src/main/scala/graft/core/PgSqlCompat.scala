@@ -124,6 +124,44 @@ object PgSqlCompat {
     sb.toString
   }
 
+  /** `E'…'` escape-string literal → plain `'…'` (Spark's default literal
+    * parsing interprets the same backslash escapes). Quote-aware left-to-
+    * right scan: an `E` that sits INSIDE an ordinary literal (`… = 'GRADE
+    * E' AND …`) is content, not an opener — a bare regex would strip it
+    * and corrupt the quoting structure. Inside an E-string both `''` and
+    * `\'` escape the quote. */
+  private def rewriteEStrings(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val wordStart = i == 0 || {
+        val p = s.charAt(i - 1); !Character.isLetterOrDigit(p) && p != '_'
+      }
+      if (inQ) { sb.append(c); if (c == '\'') inQ = false; i += 1 }
+      else if ((c == 'E' || c == 'e') && wordStart &&
+          i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        sb.append('\'')
+        var j = i + 2
+        var open = true
+        while (j < s.length && open) {
+          val ch = s.charAt(j)
+          if (ch == '\\' && j + 1 < s.length) {
+            sb.append(ch).append(s.charAt(j + 1)); j += 2
+          } else if (ch == '\'' && j + 1 < s.length && s.charAt(j + 1) == '\'') {
+            sb.append("''"); j += 2
+          } else {
+            sb.append(ch); if (ch == '\'') open = false; j += 1
+          }
+        }
+        i = j
+      }
+      else { sb.append(c); if (c == '\'') inQ = true; i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rewrite a scalar trigger fragment (weight / notification / data /
     * condition) to a Spark `expr(…)`-parsable expression. */
   def rewriteScalar(sql: String): String = {
@@ -131,9 +169,7 @@ object PgSqlCompat {
     // the reference wraps scalar rules in a SELECT (run per row with $1)
     s = "(?is)^SELECT\\s+".r.replaceFirstIn(s, "")
     s = rewriteArrays(s)
-    // E'…' escape-string literal → plain literal (Spark interprets \n etc.)
-    s = "(?s)\\bE'((?:[^']|'')*)'".r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement(s"'${m.group(1)}'"))
+    s = rewriteEStrings(s)
     outsideLiterals(s) { seg =>
       var t = seg.replace("$1.", "")
       // PostgreSQL-ONLY casts dropped; ::int etc. (valid Spark) untouched

@@ -40,6 +40,21 @@ class PgSqlCompatSpec extends AnyFunSuite {
     assert(PgSqlCompat.rewriteScalar("'use ARRAY[1]'") == "'use ARRAY[1]'")
   }
 
+  test("E inside an ordinary literal is content, not an E-string opener") {
+    // regression: a bare-regex rewrite stripped the E from 'GRADE E' and
+    // consumed the following literal, corrupting the quote structure
+    val s = "grade = 'GRADE E' AND name = 'x'"
+    assert(PgSqlCompat.rewriteScalar(s) == s)
+    assert(PgSqlCompat.rewriteScalar("x = 'E' OR y = 'E'") ==
+      "x = 'E' OR y = 'E'")
+    // genuine E-strings still rewrite, with '' and \' quote escapes honored
+    assert(PgSqlCompat.rewriteScalar("E'it''s\\n'") == "'it''s\\n'")
+    assert(PgSqlCompat.rewriteScalar("E'a\\'b' || 'E'") == "'a\\'b' || 'E'")
+    assert(PgSqlCompat.rewriteScalar("lower(e'X')") == "lower('X')")
+    // E preceded by an identifier char is not an opener
+    assert(PgSqlCompat.rewriteScalar("CASE'x'") == "CASE'x'")
+  }
+
   test("portable Spark SQL passes through byte-identical") {
     val q = "SELECT entity_id, value FROM kpi WHERE value > max_value"
     assert(PgSqlCompat.rewriteQuery(q) == q)
