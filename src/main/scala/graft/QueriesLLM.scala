@@ -100,6 +100,11 @@ object QueriesLLM {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // ---- repetition removal signals (Gopher rep rules) ----
+    "q67_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -388,6 +393,78 @@ object QueriesLLM {
            WHEN 'src2' THEN 0.0 WHEN 'src1' THEN 0.5 WHEN 'src0' THEN 1.0
            ELSE 0.25 END)
          ORDER BY doc_id""",
+    "q67_repetition" ->
+      """WITH base AS (
+           SELECT doc_id,
+             COALESCE(list_filter(string_split_regex(trim(text), '\s+'),
+               t -> t <> ''), []) AS toks,
+             COALESCE(list_filter(list_transform(string_split(text, chr(10)),
+               l -> trim(l)), l -> l <> ''), []) AS lines
+           FROM documents),
+         tok AS (
+           SELECT doc_id, toks, lines,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+               AS tok_chars
+           FROM base),
+         lc AS (
+           SELECT doc_id, l, count(*) AS c
+           FROM (SELECT doc_id, unnest(lines) AS l FROM tok) GROUP BY 1, 2),
+         ls AS (
+           SELECT doc_id, sum(c) AS n_lines,
+             1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+             CASE WHEN sum(c * length(l)) > 0 THEN
+               CAST(sum((c - 1) * length(l)) AS DOUBLE) / sum(c * length(l))
+             END AS dup_line_char_frac
+           FROM lc GROUP BY 1),
+         bc AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(CASE WHEN n_tokens >= 2 THEN
+               list_transform(range(1, CAST(n_tokens AS INTEGER)),
+                 i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END) AS g
+             FROM tok) GROUP BY 1, 2),
+         btop AS (
+           SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, g DESC) AS rn FROM bc),
+         tc AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(CASE WHEN n_tokens >= 3 THEN
+               list_transform(range(1, CAST(n_tokens AS INTEGER) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+               ELSE [] END) AS g
+             FROM tok) GROUP BY 1, 2),
+         ttop AS (
+           SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, g DESC) AS rn FROM tc),
+         fc AS (
+           SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(CASE WHEN n_tokens >= 5 THEN
+               list_transform(range(1, CAST(n_tokens AS INTEGER) - 3),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                   || ' ' || toks[i + 3] || ' ' || toks[i + 4])
+               ELSE [] END) AS g
+             FROM tok) GROUP BY 1, 2),
+         fs AS (
+           SELECT doc_id, sum(CASE WHEN c > 1 THEN c * (length(g) - 4)
+             ELSE 0 END) AS dup5
+           FROM fc GROUP BY 1)
+         SELECT t.doc_id, ls.n_lines, ls.dup_line_frac, ls.dup_line_char_frac,
+           t.n_tokens, btop.g AS top_bigram,
+           CASE WHEN t.tok_chars > 0 THEN
+             CAST(btop.c * (length(btop.g) - 1) AS DOUBLE) / t.tok_chars
+           END AS top_bigram_frac,
+           CASE WHEN t.tok_chars > 0 THEN
+             CAST(ttop.c * (length(ttop.g) - 2) AS DOUBLE) / t.tok_chars
+           END AS top_trigram_frac,
+           CASE WHEN t.tok_chars > 0 THEN
+             CAST(COALESCE(fs.dup5, 0) AS DOUBLE) / t.tok_chars
+           END AS dup_5gram_frac
+         FROM tok t
+         LEFT JOIN ls ON t.doc_id = ls.doc_id
+         LEFT JOIN btop ON t.doc_id = btop.doc_id AND btop.rn = 1
+         LEFT JOIN ttop ON t.doc_id = ttop.doc_id AND ttop.rn = 1
+         LEFT JOIN fs ON t.doc_id = fs.doc_id
+         ORDER BY 1""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

@@ -191,6 +191,84 @@ object TextAnalysis {
         sqrt(col("n_tokens").cast("double")).as("alpha05_weight"))
   }
 
+  /** Gopher-style repetition signals (repetition removal, the second half
+    * of the Gopher quality rules next to [[gopherQuality]]'s token/char
+    * stats): duplicate-line fractions, most-frequent word-{2,3}-gram
+    * coverage, and duplicated 5-gram mass.
+    *
+    * Definitions (all exact-integer numerators/denominators, so the double
+    * divisions are engine-identical):
+    *  - `dup_line_frac`    = 1 − distinct_lines / total_lines (non-empty,
+    *    trimmed lines).
+    *  - `dup_line_char_frac` = chars in repeat occurrences of a line
+    *    (count−1 per distinct line) / total line chars.
+    *  - `top_bigram_frac` / `top_trigram_frac` = token chars covered by all
+    *    occurrences of the most frequent word n-gram / total token chars.
+    *    Ties break toward the lexicographically LARGEST gram (single
+    *    max(struct) aggregate — no second pass). Overlapping occurrences
+    *    are each counted, so the ratio can exceed 1 on degenerate text —
+    *    it is a repetition score, not a measure-theoretic char fraction.
+    *  - `dup_5gram_frac`   = token chars over all occurrences of 5-grams
+    *    seen more than once / total token chars (same overlap caveat).
+    *
+    * Scale shape: three independent explode→two-level-aggregate pipelines
+    * keyed by doc id (map-side combine on (id, gram); no window, no
+    * all-pairs), joined back to the doc universe — per-doc work is bounded
+    * by document length, so 100 TB parallelizes on docs. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val emptyArr = array_repeat(lit(""), 0)
+    val base = df.select(
+      col(idCol),
+      coalesce(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""), emptyArr)
+        .as("__toks"),
+      coalesce(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= ""), emptyArr).as("__lines"))
+      .select(col(idCol), col("__toks"), col("__lines"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__tok_chars"))
+
+    // word n-grams joined with single spaces; absent below length n
+    def grams(n: Int): Column =
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j)): _*)))
+        .otherwise(emptyArr)
+    def gramCounts(n: Int): DataFrame =
+      base.select(col(idCol), explode(grams(n)).as("__g"))
+        .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+
+    val lineStats = base.select(col(idCol), explode(col("__lines")).as("__l"))
+      .groupBy(col(idCol), col("__l")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_lines"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("__c")).as("dup_line_frac"),
+        when(sum(col("__c") * length(col("__l"))) > 0,
+          sum((col("__c") - 1) * length(col("__l"))).cast("double") /
+            sum(col("__c") * length(col("__l")))).as("dup_line_char_frac"))
+    def top(n: Int, gram: String, frac: String): DataFrame =
+      gramCounts(n).groupBy(col(idCol))
+        .agg(max(struct(col("__c"), col("__g"))).as("__t"))
+        .select(col(idCol), col("__t.__g").as(gram),
+          (col("__t.__c") * (length(col("__t.__g")) - (n - 1))).as(frac))
+    val five = gramCounts(5).groupBy(col(idCol))
+      .agg(sum(when(col("__c") > 1, col("__c") * (length(col("__g")) - 4))
+        .otherwise(0L)).as("__dup5"))
+
+    base.join(lineStats, Seq(idCol), "left")
+      .join(top(2, "top_bigram", "__bi"), Seq(idCol), "left")
+      .join(top(3, "__tg", "__tri"), Seq(idCol), "left")
+      .join(five, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"), col("n_tokens"), col("top_bigram"),
+        when(col("__tok_chars") > 0,
+          col("__bi").cast("double") / col("__tok_chars")).as("top_bigram_frac"),
+        when(col("__tok_chars") > 0,
+          col("__tri").cast("double") / col("__tok_chars")).as("top_trigram_frac"),
+        when(col("__tok_chars") > 0,
+          coalesce(col("__dup5"), lit(0L)).cast("double") / col("__tok_chars"))
+          .as("dup_5gram_frac"))
+  }
+
   /** Engine-portable uniform in [0, 1e6) from a doc id: first 8 md5 hex
     * nibbles of "smp:<id>" — the seedless, reproducible coin every engine
     * can replay (Spark .sample() randomness is partition-layout
