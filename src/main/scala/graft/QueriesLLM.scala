@@ -105,6 +105,35 @@ object QueriesLLM {
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // ---- cross-doc boilerplate line removal ----
+    // The synthetic corpus is single-line, so wrap every doc in shared
+    // header/footer chrome (the mirrored-page shape boilerplate removal
+    // exists for) — the operator must flag exactly the shared lines and
+    // reassemble the unique body in order.
+    "q68_boilerplate" -> { (s, dir) =>
+      val corpus = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", lit("shared header banner"), col("text"),
+          lit("shared footer banner")).as("text"))
+      CorpusClean.boilerplateLines(corpus, "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")
+    },
+    // ---- PII detect + redact (deterministic injected fixtures) ----
+    "q69_pii_redact" -> { (s, dir) =>
+      val id = col("doc_id")
+      val pii = docs(s, dir).select(id, concat_ws(" ", col("text"),
+        when(id % 3 === 0,
+          concat(lit("contact user"), id.cast("string"), lit("@example.com"))),
+        when(id % 5 === 0,
+          concat(lit("from 10.0."), (id % 256).cast("string"), lit(".1"))),
+        when(id % 7 === 0,
+          concat(lit("call +1 555 01"), id.cast("string")))).as("text"))
+      CorpusClean.piiRedact(pii, "doc_id", "text").orderBy("doc_id")
+    },
+    // ---- sequence packing (concat-and-chunk, 512-token budget) ----
+    "q70_seq_pack" -> { (s, dir) =>
+      CorpusClean.packSequences(docs(s, dir), "doc_id", "text",
+        budget = 512, shards = 8).orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -465,6 +494,75 @@ object QueriesLLM {
          LEFT JOIN ttop ON t.doc_id = ttop.doc_id AND ttop.rn = 1
          LEFT JOIN fs ON t.doc_id = fs.doc_id
          ORDER BY 1""",
+    "q68_boilerplate" ->
+      """WITH corpus AS (
+           SELECT doc_id, concat_ws(chr(10), 'shared header banner', text,
+             'shared footer banner') AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id, pos, l FROM (
+             SELECT doc_id,
+               unnest(generate_series(0,
+                 len(string_split(text, chr(10))) - 1)) AS pos,
+               unnest(list_transform(string_split(text, chr(10)),
+                 x -> trim(x))) AS l
+             FROM corpus) WHERE l <> ''),
+         cnt AS (
+           SELECT l, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY 1),
+         agg AS (
+           SELECT doc_id, count(*) AS n_lines,
+             sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_boilerplate,
+             string_agg(CASE WHEN ndocs < 2 THEN l END, chr(10)
+               ORDER BY pos) AS clean_text
+           FROM lines JOIN cnt USING (l) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+           coalesce(n_boilerplate, 0) AS n_boilerplate,
+           coalesce(clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    "q69_pii_redact" ->
+      """WITH pii AS (
+           SELECT doc_id, concat_ws(' ', text,
+             CASE WHEN doc_id % 3 = 0 THEN
+               'contact user' || doc_id || '@example.com' END,
+             CASE WHEN doc_id % 5 = 0 THEN
+               'from 10.0.' || (doc_id % 256) || '.1' END,
+             CASE WHEN doc_id % 7 = 0 THEN
+               'call +1 555 01' || doc_id END) AS text
+           FROM documents),
+         s1 AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t1
+           FROM pii),
+         s2 AS (
+           SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+             regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+               '[IP]', 'g') AS t2
+           FROM s1)
+         SELECT doc_id, n_emails, n_ipv4,
+           len(regexp_extract_all(t2, '\+?\d[\d -]{7,}\d')) AS n_phones,
+           regexp_replace(t2, '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS redacted
+         FROM s2 ORDER BY doc_id""",
+    "q70_seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS tok_offset
+           FROM t)
+         SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // 512 AS seq_index, tok_offset % 512 AS seq_offset
+         FROM c ORDER BY doc_id""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: cross-document
+  * boilerplate removal, PII redaction, and sequence packing — the stages
+  * that sit between per-document filtering (TextAnalysis / Dedup) and the
+  * training dataloader.
+  *
+  * All expression-only (whole-stage codegen), all integer/string-exact so
+  * results are bit-stable across engines and cluster sizes.
+  */
+object CorpusClean {
+
+  /** Cross-document boilerplate line removal (the RefinedWeb/CCNet line
+    * dedup stage): a trimmed non-empty line appearing in >= `minDocs`
+    * DISTINCT documents is boilerplate (nav bars, cookie banners, license
+    * headers); rebuild each document without those lines, preserving line
+    * order.
+    *
+    * Output: (id, n_lines, n_boilerplate, clean_text) — one row per input
+    * document, including empty/NULL-text docs (0 lines, empty clean text).
+    *
+    * Scale shape: line explode → distinct (id, line) → count per line
+    * (map-side combined) → equi-join lines to counts on the line key →
+    * re-aggregate by doc id. No window, no all-pairs, no collect; every
+    * shuffle is keyed. A corpus-hot line (millions of docs) skews the
+    * line-keyed join — AQE skew-join splits it, and the build side is one
+    * row per distinct line, so the join itself stays a hash probe.
+    */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(transform(split(col(textCol), "\n"), l => trim(l)))
+          .as(Seq("__pos", "__l")))
+      .filter(col("__l") =!= "")
+    val counts = lines.select(col(idCol), col("__l")).distinct()
+      .groupBy("__l").agg(count(lit(1)).as("__ndocs"))
+    val agg = lines.join(counts, "__l")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__ndocs") >= minDocs, 1L).otherwise(0L))
+          .as("n_boilerplate"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__ndocs") < minDocs,
+              struct(col("__pos").as("p"), col("__l").as("l"))))),
+            s => s.getField("l")),
+          "\n").as("clean_text"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** PII patterns shared with the DuckDB oracle: deliberately restricted to
+    * the regex subset where Java's leftmost-first-greedy and RE2's
+    * leftmost-longest semantics coincide (no alternation, greedy bounded
+    * classes), so counts and redactions are engine-identical. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** PII detection + redaction: email addresses, IPv4 addresses, and
+    * phone-like digit runs, each counted then replaced with a typed marker.
+    * Passes run SEQUENTIALLY (emails, then IPs on the email-redacted text,
+    * then phones) so a digit run inside an already-redacted email is not
+    * double-counted as a phone — counts always describe the text the
+    * pattern actually scanned. NULL text yields NULL counts (unknown, not
+    * zero).
+    *
+    * Pure per-row projection — no shuffle at any scale. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t1 = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
+    df.select(col(idCol),
+        regexp_count(col(textCol), lit(EmailPattern)).as("n_emails"),
+        t1.as("__t1"))
+      .select(col(idCol), col("n_emails"),
+        regexp_count(col("__t1"), lit(Ipv4Pattern)).as("n_ipv4"),
+        regexp_replace(col("__t1"), Ipv4Pattern, "[IP]").as("__t2"))
+      .select(col(idCol), col("n_emails"), col("n_ipv4"),
+        regexp_count(col("__t2"), lit(PhonePattern)).as("n_phones"),
+        regexp_replace(col("__t2"), PhonePattern, "[PHONE]").as("redacted"))
+  }
+
+  /** Concat-and-chunk sequence packing: assign every document a position in
+    * a fixed-`budget` token stream so the dataloader can cut training
+    * sequences without a driver-side pass. Documents are sharded
+    * (`id % shards`), ordered by id within the shard, and laid end to end;
+    * a document's `seq_index` is the sequence its first token lands in and
+    * `seq_offset` the offset inside it (long documents straddle — the
+    * standard concat-then-chunk packing).
+    *
+    * Output: (id, shard, n_tokens, tok_offset, seq_index, seq_offset).
+    *
+    * Scale shape: ONE window, partitioned by shard — pick `shards` at or
+    * above cluster parallelism and each partition streams a running sum
+    * (no full-shard buffering for an unbounded-preceding frame). The id
+    * modulus is the oracle-portable shard key; production swaps in
+    * xxhash64 for non-integer ids, same shape. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), (col(idCol) % shards).as("shard"),
+        toks.as("n_tokens"))
+      .withColumn("tok_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $budget").as("seq_index"),
+        (col("tok_offset") % budget).as("seq_offset"))
+  }
+}

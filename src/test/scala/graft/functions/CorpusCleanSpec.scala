@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operator specs: boilerplate line removal (cross-doc
+  * counting, order-preserving reassembly, null/empty docs), PII redaction
+  * (sequential passes), sequence packing (straddling docs, per-shard
+  * windows — plan-asserted partitioned, never global). */
+class CorpusCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("boilerplate lines flagged across docs, body reassembled in order") {
+    val df = Seq(
+      (1L, "HEADER\nunique one\nmiddle one\nFOOTER"),
+      (2L, "HEADER\nunique two\nFOOTER"),
+      (3L, "HEADER\n  FOOTER  \nunique three"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.boilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 4L, 2L, "unique one\nmiddle one"))
+    assert(out(1) == Row(2L, 3L, 2L, "unique two"))
+    // trimmed-line matching: "  FOOTER  " counts as FOOTER; order preserved
+    assert(out(2) == Row(3L, 3L, 2L, "unique three"))
+    // empty and NULL docs still get rows
+    assert(out(3) == Row(4L, 0L, 0L, ""))
+    assert(out(4) == Row(5L, 0L, 0L, ""))
+  }
+
+  test("a line repeated within ONE doc is not boilerplate") {
+    val df = Seq((1L, "same\nsame\nsame"), (2L, "other")).toDF("doc_id", "text")
+    val out = CorpusClean.boilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 3L, 0L, "same\nsame\nsame"))
+  }
+
+  test("boilerplate plan has no Window operator") {
+    val df = Seq((1L, "a\nb")).toDF("doc_id", "text")
+    val plan = CorpusClean.boilerplateLines(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
+
+  test("pii passes run sequentially and count what they scanned") {
+    val df = Seq(
+      (1L, "mail a.b-c@test.org and 10.0.0.1 then call +1 555 0100 99"),
+      // digits inside the email must NOT count as a phone after redaction
+      (2L, "id 12345678901@example.com only"),
+      (3L, "clean text"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.piiRedact(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 1, 1, 1, "mail [EMAIL] and [IP] then call [PHONE]"))
+    assert(out(1) == Row(2L, 1, 0, 0, "id [EMAIL] only"))
+    assert(out(2) == Row(3L, 0, 0, 0, "clean text"))
+    assert(out(3) == Row(4L, null, null, null, null))
+  }
+
+  test("sequence packing: running offsets per shard, straddling doc keeps its start bin") {
+    // one shard (shards=1) with budget 5: docs of 3,4,2 tokens →
+    // offsets 0,3,7; the 4-token doc straddles bins 0/1 but indexes at 0
+    val df = Seq((0L, "a b c"), (8L, "d e f g"), (16L, "h i"))
+      .toDF("doc_id", "text")
+    val out = CorpusClean.packSequences(df, "doc_id", "text", budget = 5, shards = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(0L, 0L, 3L, 0L, 0L, 0L))
+    assert(out(1) == Row(8L, 0L, 4L, 3L, 0L, 3L))
+    assert(out(2) == Row(16L, 0L, 2L, 7L, 1L, 2L))
+  }
+
+  test("packing window is partitioned by shard, never global") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val plan = CorpusClean.packSequences(df, "doc_id", "text", 512, 8)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("shard")),
+      s"window not keyed by shard:\n$plan")
+  }
+}
