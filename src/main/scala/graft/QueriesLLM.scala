@@ -134,6 +134,14 @@ object QueriesLLM {
       CorpusClean.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8).orderBy("doc_id")
     },
+    // ---- char-trigram LM quality score (CCNet-style perplexity filter) ----
+    // Gate columns are the rational (bit-exact) score; avg_logp/ppl are
+    // libm-dependent and spec-tested instead.
+    "q71_lm_score" -> { (s, dir) =>
+      TextAnalysis.charLmScore(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_trigrams", "sum_p", "mean_p")
+        .orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -563,6 +571,33 @@ object QueriesLLM {
          SELECT doc_id, shard, n_tokens, tok_offset,
            tok_offset // 512 AS seq_index, tok_offset % 512 AS seq_offset
          FROM c ORDER BY doc_id""",
+    "q71_lm_score" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+             'g')) AS s FROM documents),
+         tri AS (
+           SELECT doc_id, substring(s, i, 3) AS tri FROM (
+             SELECT doc_id, s,
+               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+             FROM norm)),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+                FROM c3 GROUP BY 1),
+         model AS (
+           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27)
+             AS p
+           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
+         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, sum(c) AS n_trigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
+                 x -> x.c * x.p)), (a, b) -> a + b) AS sum_p
+           FROM dt JOIN model USING (tri) GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams, sum_p,
+           CASE WHEN n_trigrams > 0 THEN sum_p / n_trigrams END AS mean_p
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

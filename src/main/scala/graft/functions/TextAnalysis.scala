@@ -166,6 +166,73 @@ object TextAnalysis {
       .agg(sum((col("pos") + 1) * (ascii(col("tok")) * 31 + length(col("tok"))))
         .cast("long").as("fingerprint"))
 
+  /** (idCol, tri) — character trigrams of the `[a-z ]`-normalized text
+    * (lowercase, non-letter runs collapsed to one space). Empty/NULL/short
+    * texts yield no rows. */
+  def charTrigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " "))
+    df.select(col(idCol), norm.as("__s"))
+      .select(col(idCol),
+        explode(when(length(col("__s")) >= 3,
+          transform(sequence(lit(1), length(col("__s")) - 2),
+            i => col("__s").substr(i, lit(3))))
+          .otherwise(array_repeat(lit(""), 0))).as("tri"))
+  }
+
+  /** Character-trigram LM quality score (the CCNet/KenLM perplexity-filter
+    * stage, self-trained on the corpus): P(c3 | c1 c2) with add-one
+    * smoothing over the 27-symbol alphabet, conditional-prefix counts taken
+    * from the same trigram position set.
+    *
+    * Output per doc: `n_trigrams`, `sum_p` / `mean_p` (mean conditional
+    * probability — the bit-exact score), and `avg_logp` / `ppl` (the
+    * conventional log-domain form). The rational columns are
+    * engine-bit-exact: every probability is one IEEE division of exact
+    * integers, and the per-doc sum folds in SORTED trigram order (per-key
+    * products, sequential `aggregate`), so no float result depends on
+    * partitioning or row order. `avg_logp`/`ppl` add `ln`/`exp`, whose last
+    * ULP is libm-specific — they are spec-tested, not oracle-hashed.
+    *
+    * Scale shape: the model is at most 27^3 distinct trigrams → counted
+    * with two map-side-combined aggregates and BROADCAST to the per-doc
+    * join; per-doc state is bounded by distinct trigrams per document. No
+    * window, no driver collect. */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tris = charTrigrams(df, idCol, textCol)
+    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("__c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__pre"))
+      .agg(sum("__c3").as("__c2"))
+    val model = c3.join(c2, substring(c3("tri"), 1, 2) === c2("__pre"))
+      .select(col("tri"),
+        ((col("__c3") + 1).cast("double") / (col("__c2").cast("double") + 27))
+          .as("__p"))
+    val perDoc = tris.groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(model), "tri")
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_trigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("tri"), col("__c"), col("__p")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__c") * x.getField("__p"))
+          .as("sum_p"),
+        aggregate(
+          array_sort(collect_list(struct(col("tri"), col("__c"), col("__p")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__c") * log(x.getField("__p")))
+          .as("__sum_logp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("sum_p"),
+        when(col("n_trigrams") > 0, col("sum_p") / col("n_trigrams"))
+          .as("mean_p"),
+        when(col("n_trigrams") > 0, col("__sum_logp") / col("n_trigrams"))
+          .as("avg_logp"),
+        when(col("n_trigrams") > 0,
+          exp(-col("__sum_logp") / col("n_trigrams"))).as("ppl"))
+  }
+
   /** Per-source corpus mixture statistics (data mixing, Pile/LLaMA style):
     * doc and token counts, proportional shares, and the unnormalized
     * α=0.5 temperature weight √tokens.

@@ -81,4 +81,41 @@ class CorpusCleanSpec extends SparkSpec {
     assert(windowLines.forall(_.contains("shard")),
       s"window not keyed by shard:\n$plan")
   }
+  test("char LM score: repetitive text scores more probable than gibberish") {
+    val df = (Seq((1L, "the cat sat on the mat " * 20),
+      (2L, "zq xv jk wp qz vx kj pw " * 20)) ++
+      (3L to 30L).map(i => (i, "the cat sat on the mat and the dog ran")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val meanP = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ppl = out.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(meanP(1L) > meanP(2L))
+    assert(ppl(1L) < ppl(2L))
+  }
+
+  test("char LM score is invariant to partitioning (ordered fold)") {
+    val df = (1L to 40L)
+      .map(i => (i, s"doc number $i with some shared text payload " * 3))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.charLmScore(df.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = TextAnalysis.charLmScore(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("char LM model join is broadcast; empty/null docs get zero rows back") {
+    val df = Seq((1L, "abc def"), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.charLmScore(df, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 4)
+    assert(rows(1).getLong(1) == 0L && rows(1).isNullAt(3))
+    assert(rows(2).getLong(1) == 0L)
+    assert(rows(3).getLong(1) == 0L) // 2 letters -> no trigram
+  }
+
 }
