@@ -12,11 +12,20 @@ import org.apache.spark.sql.functions._
   * graft shape: `stage` = the incoming batch DataFrame (no physical staging
   * table needed — the reference stages only to get data into the DB);
   * `transferStaged` appends to the history parquet with a `modified` stamp;
-  * `compacted`/`current` are derived views. History is append-only and
-  * partitioned by nothing here (attribute history is small relative to
-  * trends); at larger scale partition by entity-id bucket.
+  * `compacted`/`current` are derived views.
+  *
+  * Layout at scale: history is hive-partitioned by `abucket =
+  * pmod(xxhash64(entity_id), buckets)` so a single-entity audit
+  * ([[forEntity]]) prunes to one directory instead of scanning the full
+  * history, and per-bucket maintenance (compaction, expiry) touches 1/Nth
+  * of the store at a time. The bucket count is a layout constant per store
+  * — size it so one bucket's history fits an executor (1024 at 100 TB).
+  * Pre-bucketing stores (root-level parquet files) are detected and kept
+  * on the flat layout — mixing both under one root would break partition
+  * discovery. Derived views drop the bucket column; it is layout, not
+  * data.
   */
-class AttributeStore(spark: SparkSession, basePath: String) {
+class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
 
   private def historyPath = s"$basePath/history"
 
@@ -38,31 +47,60 @@ class AttributeStore(spark: SparkSession, basePath: String) {
     * actual file schema, so earlier columns are never hidden. A genuinely
     * un-widenable type conflict REFUSES the batch — appending it would
     * poison every subsequent footer-merge read with incompatible types. */
+  /** True when the history predates bucketing (parquet files at the dir
+    * root) — appends then stay flat, since Spark's partition discovery
+    * rejects a root that mixes data files and partition directories. */
+  private def legacyFlatLayout: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(historyPath)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  private def bucketCol = pmod(xxhash64(col("entity_id")), lit(buckets.toLong))
+
   def transferStaged(batch: DataFrame, nowSec: Long): Unit = {
     val stamped = batch.withColumn("modified", lit(nowSec))
+    val flat = legacyFlatLayout
+    val toWrite =
+      if (flat) stamped else stamped.withColumn("abucket", bucketCol)
     val saved = SchemaSidecar.read(fs, historyPath)
       .orElse(history.map(_.schema)) // pre-sidecar files → mergeSchema read
-    SchemaSidecar.merged(saved, stamped.schema) match {
+    SchemaSidecar.merged(saved, toWrite.schema) match {
       case Some(sc) => SchemaSidecar.write(fs, historyPath, sc)
       case None => throw new IllegalArgumentException(
         s"attribute batch schema ${stamped.schema.simpleString} conflicts " +
           s"with stored history ${saved.get.simpleString} — cast the batch " +
           "to the stored types before transfer")
     }
-    stamped.write.mode(SaveMode.Append).option("mergeSchema", "true").parquet(historyPath)
+    val w = toWrite.write.mode(SaveMode.Append).option("mergeSchema", "true")
+    (if (flat) w else w.partitionBy("abucket")).parquet(historyPath)
+  }
+
+  /** One entity's full attribute history — on the bucketed layout the
+    * foldable bucket predicate becomes a PartitionFilter, so the scan reads
+    * one `abucket=` directory, not the store. */
+  def forEntity(entityId: Long): Option[DataFrame] = history.map { h =>
+    val byId = h.filter(col("entity_id") === entityId)
+    if (h.columns.contains("abucket"))
+      byId.filter(col("abucket") === pmod(xxhash64(lit(entityId)), lit(buckets.toLong)))
+        .drop("abucket")
+    else byId
   }
 
   /** Run-length-compacted history (D10). */
   def compacted(valueCols: Seq[String]): Option[DataFrame] =
-    history.map(h => AttributeOps.compact(h, "entity_id", Seq("timestamp", "modified"), valueCols))
+    history.map(h => AttributeOps.compact(h.drop("abucket"), "entity_id",
+      Seq("timestamp", "modified"), valueCols))
 
   /** Latest attribute row per entity (curr-ptr, D9/E1). */
   def current: Option[DataFrame] =
-    history.map(h => AttributeOps.currentPtr(h, "entity_id", Seq("timestamp", "modified")))
+    history.map(h => AttributeOps.currentPtr(h.drop("abucket"), "entity_id",
+      Seq("timestamp", "modified")))
 
   /** SCD-2 view with validity ranges. */
   def scd2(valueCols: Seq[String]): Option[DataFrame] =
-    history.map(h => AttributeOps.scd2(h, "entity_id", "timestamp", Seq("modified"), valueCols))
+    history.map(h => AttributeOps.scd2(h.drop("abucket"), "entity_id",
+      "timestamp", Seq("modified"), valueCols))
 
   /** Materialize the curr-ptr view as a physical snapshot (the reference's
     * attribute_store curr-ptr materialization, commands/attribute_store.py:

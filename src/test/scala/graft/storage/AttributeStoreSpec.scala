@@ -48,4 +48,45 @@ class AttributeStoreSpec extends SparkSpec {
     // store still fully readable
     assert(as.history.get.count() == 1)
   }
+  test("history is bucketed by entity hash; forEntity prunes to one bucket dir") {
+    val (as, base) = fresh("bucketed")
+    as.transferStaged((1L to 40L).map(i => (i, 100L, s"v$i"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/history"))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.startsWith("abucket="))
+    assert(dirs.length > 1, s"expected bucket dirs, got ${dirs.mkString(",")}")
+    val one = as.forEntity(7L).get
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("abucket"),
+      s"bucket predicate not pushed to partition pruning:\n$plan")
+    assert(one.collect().map(_.getAs[String]("vendor")).toSeq == Seq("v7"))
+    assert(!one.columns.contains("abucket"))
+  }
+
+  test("pre-bucketing flat history keeps the flat layout on append") {
+    val (as, base) = fresh("legacyflat")
+    // simulate an old store: parquet files at the history root
+    Seq((1L, 100L, "old")).toDF("entity_id", "timestamp", "vendor")
+      .withColumn("modified", org.apache.spark.sql.functions.lit(0L))
+      .write.parquet(s"$base/history")
+    as.transferStaged(Seq((2L, 200L, "new"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/history"))
+      .map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("abucket=")), names.mkString(","))
+    assert(as.history.get.count() == 2)
+    assert(as.forEntity(2L).get.count() == 1) // no bucket column, id filter only
+  }
+
+  test("derived views do not expose the layout bucket column") {
+    val (as, _) = fresh("views")
+    as.transferStaged(Seq((1L, 100L, "a"), (1L, 200L, "b"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    assert(!as.current.get.columns.contains("abucket"))
+    assert(!as.compacted(Seq("vendor")).get.columns.contains("abucket"))
+    assert(as.current.get.select("vendor").head.getString(0) == "b")
+  }
+
 }
