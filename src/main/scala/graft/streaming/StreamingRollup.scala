@@ -158,6 +158,30 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming exact dedup: drop re-arrivals of the same normalized-text
+    * digest within the watermark horizon — the streaming face of the batch
+    * `Dedup.exact` (q25), for ingest feeds that replay or mirror documents.
+    *
+    * Semantics: the FIRST arrival of a digest passes through; duplicates
+    * arriving within `latenessSeconds` of the watermark are dropped.
+    * `dropDuplicatesWithinWatermark` evicts digest state once the watermark
+    * passes its horizon, so the state store is bounded by the horizon's
+    * digest cardinality — never by stream history (a plain
+    * `dropDuplicates` would grow without bound on an unbounded corpus
+    * stream). Duplicates farther apart than the horizon re-emit, which the
+    * batch dedup sweeping the stored corpus reconciles — the standard
+    * streaming-dedup-then-batch-compact split at 100 TB. */
+  def dedupExact(
+      stream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      latenessSeconds: Long
+  ): DataFrame =
+    stream
+      .withColumn("digest", md5(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, s"$latenessSeconds seconds")
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Streaming trigger/notification path (I6): threshold rules applied to
     * the stream, appending notification rows — the streaming analogue of
     * `trigger.create_notifications`. Stateless (pure filter+project), so it

@@ -111,4 +111,26 @@ class StreamingRollupSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("weight") == 10L)
     assert(rows(1).getAs[Long]("weight") == 1L)
   }
+  test("streaming exact dedup drops replayed docs within the watermark horizon") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingRollup.dedupExact(stream, "text", "ts",
+      latenessSeconds = 3600)
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), "alpha doc"),
+      (2L, t("2024-01-01 10:01:00"), "  ALPHA DOC  "), // same after normalization
+      (3L, t("2024-01-01 10:02:00"), "beta doc"))
+    q.processAllAvailable()
+    mem.addData((4L, t("2024-01-01 10:30:00"), "alpha doc")) // replay, in horizon
+    q.processAllAvailable()
+    val ids = spark.table("dedup_sink").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(1L, 3L), s"got $ids")
+  }
+
 }
