@@ -199,15 +199,19 @@ object TextAnalysis {
     * window, no driver collect. */
   def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tris = charTrigrams(df, idCol, textCol)
-    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("__c3"))
+    // per-doc counts FIRST; corpus counts derive from them, so the corpus
+    // explode + (id, tri) shuffle subtree is computed once and shared
+    // between the model build and the scoring join (ReusedExchange)
+    val docTri = tris.groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("__c"))
+    val c3 = docTri.groupBy("tri").agg(sum("__c").as("__c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__pre"))
       .agg(sum("__c3").as("__c2"))
     val model = c3.join(c2, substring(c3("tri"), 1, 2) === c2("__pre"))
       .select(col("tri"),
         ((col("__c3") + 1).cast("double") / (col("__c2").cast("double") + 27))
           .as("__p"))
-    val perDoc = tris.groupBy(col(idCol), col("tri"))
-      .agg(count(lit(1)).as("__c"))
+    val perDoc = docTri
       .join(broadcast(model), "tri")
       .groupBy(col(idCol)).agg(
         sum("__c").as("n_trigrams"),

@@ -109,8 +109,14 @@ class CorpusCleanSpec extends SparkSpec {
     val df = Seq((1L, "abc def"), (2L, ""), (3L, null.asInstanceOf[String]),
       (4L, "ab")).toDF("doc_id", "text")
     val out = TextAnalysis.charLmScore(df, "doc_id", "text")
+    val rows0 = out.collect() // run first: final AQE plan, not the initial one
+    assert(rows0.length == 4)
     val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    // the (id, tri) aggregate subtree feeds both the model build and the
+    // scoring join through ONE shuffle
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
     val rows = out.orderBy("doc_id").collect()
     assert(rows.length == 4)
     assert(rows(1).getLong(1) == 0L && rows(1).isNullAt(3))
