@@ -1,0 +1,58 @@
+package graft
+
+import graft.expressions.{FloatVectorDot, TopKPairs}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Spark extension point: registers graft's custom Catalyst expressions as
+  * SQL functions, so `spark.sql(...)` users (and YAML-defined generated
+  * trends / trigger fragments, which compile through `expr`) can call them
+  * without touching the Scala API.
+  *
+  *  - `fvec_dot(a, b)` — codegen'd float-vector dot product
+  *    ([[graft.expressions.FloatVectorDot]]).
+  *  - `fvec_topk(id, score, k)` — bounded top-k aggregate
+  *    ([[graft.expressions.TopKPairs]]); k must be an integer literal
+  *    (it sizes the aggregation buffer at plan time).
+  *
+  * Wire-up: `spark.sql.extensions=graft.GraftExtensions` on any session
+  * (cluster-wide via spark-defaults), or [[GraftExtensions.register]] on an
+  * already-running session — the CLI and tests use the latter.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (new FunctionIdentifier("fvec_dot"),
+      info("fvec_dot", classOf[FloatVectorDot]),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => FloatVectorDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"fvec_dot(a, b) takes 2 arguments, got ${other.length}")
+      }),
+    (new FunctionIdentifier("fvec_topk"),
+      info("fvec_topk", classOf[TopKPairs]),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, score, Literal(k: Int, IntegerType)) =>
+          TopKPairs(id, score, k)
+        case _ => throw new IllegalArgumentException(
+          "fvec_topk(id, score, k) takes 2 columns and an integer literal k")
+      }))
+
+  /** Register the same functions into a live session (the config-free
+    * path for an already-built SparkSession). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

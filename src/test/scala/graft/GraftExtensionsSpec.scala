@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-surface registration of the custom Catalyst expressions. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fvec_dot and fvec_topk are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head.getDouble(0)
+    assert(d == 11.0)
+
+    Seq((1L, 1L, 0.9), (1L, 2L, 0.7), (1L, 3L, 0.8), (2L, 9L, 0.1))
+      .toDF("q", "id", "score").createOrReplaceTempView("cands")
+    val rows = spark.sql(
+      "SELECT q, fvec_topk(id, score, 2) AS top FROM cands GROUP BY q")
+      .orderBy("q").collect()
+    val top1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(top1.map(_.getLong(1)) == Seq(1L, 3L)) // best two by score
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(9L))
+
+    GraftExtensions.register(spark) // idempotent
+    // the extensions class itself injects the same builders
+    val ext = new GraftExtensions
+    assert(GraftExtensions.functions.length == 2 && ext != null)
+  }
+
+  test("fvec_topk rejects a non-literal k at analysis") {
+    GraftExtensions.register(spark)
+    Seq((1L, 0.5)).toDF("id", "score").createOrReplaceTempView("cands2")
+    val e = intercept[Exception](
+      spark.sql("SELECT fvec_topk(id, score, CAST(id AS INT)) FROM cands2")
+        .collect())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("fvec_topk"))
+  }
+}
