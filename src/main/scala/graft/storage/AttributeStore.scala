@@ -72,7 +72,12 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
           s"with stored history ${saved.get.simpleString} — cast the batch " +
           "to the stored types before transfer")
     }
-    val w = toWrite.write.mode(SaveMode.Append).option("mergeSchema", "true")
+    // co-locate each bucket's rows before the write: one file per bucket
+    // per batch instead of |tasks|×|buckets| small files (attribute
+    // batches are entity-metadata-sized; a bucket per task is the right
+    // chunking at any scale)
+    val arranged = if (flat) toWrite else toWrite.repartition(col("abucket"))
+    val w = arranged.write.mode(SaveMode.Append).option("mergeSchema", "true")
     (if (flat) w else w.partitionBy("abucket")).parquet(historyPath)
   }
 
