@@ -533,6 +533,25 @@ object QueriesCore {
     // ---- I3: stability/processing delays + reprocessing window ----
     // A chunk materializes only once its sources settled (max_modified +
     // stability delay <= now) and inside the retention window.
+    // ---- SkewOps.saltedAggregate: two-stage hot-key rollup (gate-checked
+    // against the one-stage oracle; decimal partials keep sums exact) ----
+    "q72_salted_rollup" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"),
+        (col("ts_sec") - pmod(col("ts_sec"), lit(3600L)) + 3600L).as("timestamp"),
+        col("value"))
+      SkewOps.saltedAggregate(ev, Seq("user_id", "timestamp"), salts = 8,
+          partials = Seq(
+            count(lit(1)).as("__n"),
+            sum(col("value").cast("decimal(30,2)")).as("__s"),
+            min(col("value")).as("__mn"),
+            max(col("value")).as("__mx")),
+          finals = Seq(
+            sum("__n").as("samples"),
+            sum("__s").cast("double").as("sum_value"),
+            min("__mn").as("min_value"),
+            max("__mx").as("max_value")))
+        .orderBy("user_id", "timestamp")
+    },
     "q55_stable_chunks" -> { (s, dir) =>
       val e = events(s, dir)
         .withColumn("hr", (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))))
@@ -643,6 +662,12 @@ object QueriesCore {
             CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
             CAST(max(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS max_value,
             CAST(min(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS min_value
+            FROM events GROUP BY 1,2 ORDER BY 1,2""",
+      "q72_salted_rollup" ->
+        s"""SELECT user_id, ($ts//3600)*3600 + 3600 AS "timestamp",
+            count(*) AS samples,
+            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+            min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY 1,2 ORDER BY 1,2""",
       "q02_entity_agg" ->
         """SELECT CAST(s_nationkey AS BIGINT) AS entity_id, count(*) AS samples,
