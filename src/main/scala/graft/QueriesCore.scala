@@ -530,9 +530,6 @@ object QueriesCore {
       val rel = RelationOps.fromDnHierarchy(leaves.unionByName(segs))
       rel.orderBy("source_id")
     },
-    // ---- I3: stability/processing delays + reprocessing window ----
-    // A chunk materializes only once its sources settled (max_modified +
-    // stability delay <= now) and inside the retention window.
     // ---- SkewOps.saltedAggregate: two-stage hot-key rollup (gate-checked
     // against the one-stage oracle; decimal partials keep sums exact) ----
     "q72_salted_rollup" -> { (s, dir) =>
@@ -552,6 +549,9 @@ object QueriesCore {
             max("__mx").as("max_value")))
         .orderBy("user_id", "timestamp")
     },
+    // ---- I3: stability/processing delays + reprocessing window ----
+    // A chunk materializes only once its sources settled (max_modified +
+    // stability delay <= now) and inside the retention window.
     "q55_stable_chunks" -> { (s, dir) =>
       val e = events(s, dir)
         .withColumn("hr", (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))))

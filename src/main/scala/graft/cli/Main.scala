@@ -30,6 +30,9 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // YAML fragments (generated trends, trigger rules) compile via expr();
+    // registering here puts fvec_dot/fvec_topk in their reach
+    graft.GraftExtensions.register(s)
     s
   }
 

@@ -129,7 +129,9 @@ object PgSqlCompat {
     * right scan: an `E` that sits INSIDE an ordinary literal (`… = 'GRADE
     * E' AND …`) is content, not an opener — a bare regex would strip it
     * and corrupt the quoting structure. Inside an E-string both `''` and
-    * `\'` escape the quote. */
+    * `\'` escape the quote; `\'` is re-emitted as `''` (same Spark
+    * semantics) so the later passes' simple doubling-aware quote tracking
+    * ([[outsideLiterals]], [[rewriteArrays]]) keeps literal parity. */
   private def rewriteEStrings(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -147,7 +149,9 @@ object PgSqlCompat {
         var open = true
         while (j < s.length && open) {
           val ch = s.charAt(j)
-          if (ch == '\\' && j + 1 < s.length) {
+          if (ch == '\\' && j + 1 < s.length && s.charAt(j + 1) == '\'') {
+            sb.append("''"); j += 2
+          } else if (ch == '\\' && j + 1 < s.length) {
             sb.append(ch).append(s.charAt(j + 1)); j += 2
           } else if (ch == '\'' && j + 1 < s.length && s.charAt(j + 1) == '\'') {
             sb.append("''"); j += 2

@@ -23,9 +23,15 @@ import graft.operators.SkewOps
   */
 object Dedup {
 
+  /** Normalized-text content digest — THE digest for exact dedup. Batch
+    * ([[exact]]) and streaming (`StreamingRollup.dedupExact`) share this
+    * definition; the streaming-pass-then-batch-compact reconcile depends on
+    * both sides hashing identically. */
+  def digest(text: Column): Column = md5(lower(trim(text)))
+
   /** Exact dedup on normalized text: per digest keep min id + copy count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(lower(trim(col(textCol)))).as("digest"))
+    df.groupBy(digest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
   /** Distinct word k-shingles per document, built with window `lead` over

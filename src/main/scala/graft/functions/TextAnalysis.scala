@@ -215,14 +215,14 @@ object TextAnalysis {
       .join(broadcast(model), "tri")
       .groupBy(col(idCol)).agg(
         sum("__c").as("n_trigrams"),
-        aggregate(
-          array_sort(collect_list(struct(col("tri"), col("__c"), col("__p")))),
-          lit(0.0),
+        // ONE buffered+sorted struct list; both folds read it
+        array_sort(collect_list(struct(col("tri"), col("__c"), col("__p"))))
+          .as("__arr"))
+      .select(col(idCol), col("n_trigrams"),
+        aggregate(col("__arr"), lit(0.0),
           (acc, x) => acc + x.getField("__c") * x.getField("__p"))
           .as("sum_p"),
-        aggregate(
-          array_sort(collect_list(struct(col("tri"), col("__c"), col("__p")))),
-          lit(0.0),
+        aggregate(col("__arr"), lit(0.0),
           (acc, x) => acc + x.getField("__c") * log(x.getField("__p")))
           .as("__sum_logp"))
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")

@@ -32,13 +32,19 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
-  def history: Option[DataFrame] =
-    if (!fs.exists(new org.apache.hadoop.fs.Path(historyPath))) None
+  def history: Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(historyPath)
+    // a dir holding only markers (_buckets / _schema.json — e.g. a crash
+    // before the first data write) has no history yet
+    def hasData = fs.listStatus(p).exists(s =>
+      s.isDirectory || !s.getPath.getName.startsWith("_"))
+    if (!fs.exists(p) || !hasData) None
     else SchemaSidecar.read(fs, historyPath) match {
       case Some(sc) => Some(spark.read.schema(sc).parquet(historyPath))
       case None =>
         Some(spark.read.option("mergeSchema", "true").parquet(historyPath))
     }
+  }
 
   /** Append a staged batch (entity_id, timestamp, attrs…) to history. The
     * schema sidecar is union-merged (shared numeric columns widened — the
@@ -56,15 +62,41 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
       s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
 
-  private def bucketCol = pmod(xxhash64(col("entity_id")), lit(buckets.toLong))
+  /** The layout's bucket count is persisted next to the data on first
+    * partitioned write; opening an existing store with a different
+    * `buckets` argument would otherwise make every [[forEntity]] lookup
+    * silently scan the wrong bucket. The stored value always wins. */
+  private def bucketsPath = new org.apache.hadoop.fs.Path(historyPath, "_buckets")
+
+  private def storedBuckets: Option[Long] =
+    if (!fs.exists(bucketsPath)) None
+    else {
+      val in = fs.open(bucketsPath)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+
+  private def effectiveBuckets: Long = storedBuckets.getOrElse(buckets.toLong)
+
+  private def writeBucketCount(n: Long): Unit = {
+    val out = fs.create(bucketsPath, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def bucketCol = pmod(xxhash64(col("entity_id")), lit(effectiveBuckets))
 
   def transferStaged(batch: DataFrame, nowSec: Long): Unit = {
     val stamped = batch.withColumn("modified", lit(nowSec))
     val flat = legacyFlatLayout
-    val toWrite =
-      if (flat) stamped else stamped.withColumn("abucket", bucketCol)
+    // fallback schema read must run BEFORE the marker write below creates
+    // the (still data-less) history directory
     val saved = SchemaSidecar.read(fs, historyPath)
       .orElse(history.map(_.schema)) // pre-sidecar files → mergeSchema read
+    if (!flat && storedBuckets.isEmpty) writeBucketCount(buckets.toLong)
+    val toWrite =
+      if (flat) stamped else stamped.withColumn("abucket", bucketCol)
     SchemaSidecar.merged(saved, toWrite.schema) match {
       case Some(sc) => SchemaSidecar.write(fs, historyPath, sc)
       case None => throw new IllegalArgumentException(
@@ -87,7 +119,7 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
   def forEntity(entityId: Long): Option[DataFrame] = history.map { h =>
     val byId = h.filter(col("entity_id") === entityId)
     if (h.columns.contains("abucket"))
-      byId.filter(col("abucket") === pmod(xxhash64(lit(entityId)), lit(buckets.toLong)))
+      byId.filter(col("abucket") === pmod(xxhash64(lit(entityId)), lit(effectiveBuckets)))
         .drop("abucket")
     else byId
   }

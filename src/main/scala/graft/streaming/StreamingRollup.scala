@@ -178,7 +178,7 @@ object StreamingRollup {
       latenessSeconds: Long
   ): DataFrame =
     stream
-      .withColumn("digest", md5(lower(trim(col(textCol)))))
+      .withColumn("digest", graft.functions.Dedup.digest(col(textCol)))
       .withWatermark(tsCol, s"$latenessSeconds seconds")
       .dropDuplicatesWithinWatermark("digest")
 

@@ -49,7 +49,12 @@ class PgSqlCompatSpec extends AnyFunSuite {
       "x = 'E' OR y = 'E'")
     // genuine E-strings still rewrite, with '' and \' quote escapes honored
     assert(PgSqlCompat.rewriteScalar("E'it''s\\n'") == "'it''s\\n'")
-    assert(PgSqlCompat.rewriteScalar("E'a\\'b' || 'E'") == "'a\\'b' || 'E'")
+    // \' re-emits as '' (same Spark semantics) so downstream quote
+    // tracking keeps literal parity...
+    assert(PgSqlCompat.rewriteScalar("E'a\\'b' || 'E'") == "'a''b' || 'E'")
+    // ...which keeps outside-literal rewrites live AFTER an escaped quote
+    assert(PgSqlCompat.rewriteScalar("E'it\\'s' || $1.weight") ==
+      "'it''s' || weight")
     assert(PgSqlCompat.rewriteScalar("lower(e'X')") == "lower('X')")
     // E preceded by an identifier char is not an opener
     assert(PgSqlCompat.rewriteScalar("CASE'x'") == "CASE'x'")

@@ -4,10 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
-/** Corpus-shaping operator specs: boilerplate line removal (cross-doc
-  * counting, order-preserving reassembly, null/empty docs), PII redaction
-  * (sequential passes), sequence packing (straddling docs, per-shard
-  * windows — plan-asserted partitioned, never global). */
+/** Corpus-scoring/shaping operator specs: boilerplate line removal
+  * (cross-doc counting, order-preserving reassembly, null/empty docs), PII
+  * redaction (sequential passes), sequence packing (straddling docs,
+  * per-shard windows — plan-asserted partitioned, never global), and the
+  * `TextAnalysis.charLmScore` trigram LM (score ordering, partitioning
+  * invariance, broadcast + ReusedExchange plan). */
 class CorpusCleanSpec extends SparkSpec {
   import spark.implicits._
 

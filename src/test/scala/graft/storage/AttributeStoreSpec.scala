@@ -89,4 +89,17 @@ class AttributeStoreSpec extends SparkSpec {
     assert(as.current.get.select("vendor").head.getString(0) == "b")
   }
 
+  test("bucket count is persisted: reopening with a different value still finds entities") {
+    val (as16, base) = fresh("bucketcount")
+    as16.transferStaged((1L to 20L).map(i => (i, 100L, s"v$i"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    // ops code misconfigures the layout constant; the stored value wins
+    val as1024 = new AttributeStore(spark, base, buckets = 1024)
+    assert((1L to 20L).forall(id => as1024.forEntity(id).get.count() == 1))
+    // and appends keep hashing with the ORIGINAL count
+    as1024.transferStaged(Seq((21L, 100L, "v21"))
+      .toDF("entity_id", "timestamp", "vendor"), 2L)
+    assert(as16.forEntity(21L).get.count() == 1)
+  }
+
 }
