@@ -211,6 +211,40 @@ object Main {
         spark().sparkContext.hadoopConfiguration)
       println(s"""{"notification_store":"$stem","attributes":${defn.attributes.length}}""")
 
+    // `minerva generate-sample-data` (commands/generate_sample_data.py):
+    // render a definition's per-interval template to CSV files WITHOUT
+    // loading them — the inspect-before-initialize path.
+    case "generate-sample-data" :: instanceDir :: name :: outDir :: rest =>
+      val intervals = rest.collectFirst {
+        case a if a.startsWith("--interval-count=") =>
+          a.stripPrefix("--interval-count=").toIntOption.getOrElse {
+            System.err.println(s"invalid --interval-count: $a"); sys.exit(2); 0
+          }
+      }.getOrElse(30)
+      val now = rest.collectFirst {
+        case a if a.startsWith("--now=") => a.stripPrefix("--now=").toLong
+      }.getOrElse(System.currentTimeMillis() / 1000)
+      InstanceModel.loadSampleDataDefs(instanceDir).find(_.name == name) match {
+        case None =>
+          System.err.println(
+            s"no sample-data definition named '$name' in $instanceDir")
+          sys.exit(2)
+        case Some(ds) =>
+          val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(template))) {
+            System.err.println(s"no template at $template")
+            sys.exit(2)
+          }
+          val zone = java.time.ZoneId.of("UTC")
+          var t = ds.granularity.truncate(
+            java.time.Instant.ofEpochSecond(now), zone)
+          val tss = (1 to intervals).map { _ =>
+            val v = t.getEpochSecond; t = ds.granularity.prev(t, zone); v
+          }.reverse
+          graft.sources.SampleDataGen.generate(template, outDir, tss)
+          println(s"""{"generated_files":${tss.length},"out":"$outDir"}""")
+      }
+
     // `minerva structure dump` (commands/structure.py — a stub in the
     // reference; graft dumps the loaded catalog as one JSON document):
     // stores/parts/trends plus the other definition kinds of the bundle.
@@ -553,6 +587,7 @@ object Main {
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
            |  structure <instanceDir>
+           |  generate-sample-data <instanceDir> <name> <outDir> [--interval-count=N] [--now=sec]
            |  entity-type create|delete|list <storeBase> [name]
            |  data-source create|delete|list <storeBase> [name]
            |  alias create|delete|list <storeBase> [name]

@@ -128,4 +128,27 @@ class ReferenceBundleSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType)
     assert(notifs.filter(col("rule_id").isNotNull).count() == 0)
   }
+  test("generate-sample-data renders per-interval files without loading") {
+    assume(refAvailable)
+    val defs = InstanceModel.loadSampleDataDefs(refDir)
+    assume(defs.nonEmpty)
+    val name = defs.head.name
+    val out = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    graft.cli.Main.main(Array("generate-sample-data", refDir, name, out,
+      "--interval-count=3", "--now=1705708800"))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 3)
+    val body = scala.io.Source.fromFile(files.head).mkString
+    assert(!body.contains("{{"), s"unrendered placeholders in:\n$body")
+    // deterministic: same --now renders byte-identical files
+    val out2 = java.nio.file.Files.createTempDirectory("graft_gen2").toString
+    graft.cli.Main.main(Array("generate-sample-data", refDir, name, out2,
+      "--interval-count=3", "--now=1705708800"))
+    val a = new java.io.File(out).listFiles().map(f =>
+      f.getName -> scala.io.Source.fromFile(f).mkString).toMap
+    val b = new java.io.File(out2).listFiles().map(f =>
+      f.getName -> scala.io.Source.fromFile(f).mkString).toMap
+    assert(a == b)
+  }
+
 }
