@@ -940,7 +940,7 @@ object QueriesCore {
              'event/typed' AS rule,
              CAST(CASE WHEN value > 48 THEN 1000 ELSE 10 END AS INTEGER) AS weight,
              'typed ' || CAST(event_id AS VARCHAR) AS details,
-             CAST(ROUND(value) AS SMALLINT) AS value_snap,
+             CAST(value AS SMALLINT) AS value_snap,
              CAST(NULL AS DOUBLE) AS score,
              CAST(12345 AS BIGINT) AS created
            FROM events WHERE event_type = 'error' AND value > 40

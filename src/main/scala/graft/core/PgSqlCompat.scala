@@ -65,14 +65,11 @@ object PgSqlCompat {
   /** Rewrite a relation/materialization/view query (table references +
     * substring-from). */
   def rewriteQuery(sql: String): String = {
-    // substring(x from 'pattern') first — its regex spans the quoted pattern
-    val s0 = """(?is)\bsubstring\s*\(\s*([^()']+?)\s+from\s+('(?:[^']|'')*')\s*\)""".r
-      .replaceAllIn(sql, m => {
-        val pat = m.group(2)
-        val grp = if (pat.contains("(")) 1 else 0
-        java.util.regex.Matcher.quoteReplacement(
-          s"regexp_extract(${m.group(1).trim}, $pat, $grp)")
-      })
+    // substring(x from 'pattern') first — quote/paren-aware scan so a
+    // wrapped first argument (`substring(lower(r.name) from '…')`) still
+    // rewrites; a bare regex on `[^()']` would skip it and Spark would
+    // misparse the PG form into silent NULLs
+    val s0 = rewriteSubstringFrom(sql)
     outsideLiterals(s0) { seg =>
       // schema."quoted-name" → schema_quoted_name — but the quoted name is
       // INSIDE a double quote, not a string literal, so handle it here
@@ -84,6 +81,71 @@ object PgSqlCompat {
         java.util.regex.Matcher.quoteReplacement(
           m.group(1).toLowerCase + "_" + m.group(2)))
     }
+  }
+
+  /** `substring(expr from 'pattern')` → `regexp_extract(expr, 'pattern',
+    * g)` with quote- and paren-depth-aware argument scanning (the first
+    * argument may be an arbitrary nested expression). Only rewrites when
+    * the part after a top-level ` from ` is a single quoted literal —
+    * positional `substring(x FROM 2)` and anything else pass through.
+    * Total: malformed input is left unchanged, never thrown on. */
+  private def rewriteSubstringFrom(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    val word = "substring"
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val wordStart = i == 0 || {
+        val p = s.charAt(i - 1); !Character.isLetterOrDigit(p) && p != '_'
+      }
+      lazy val parenAt: Int = {
+        var j = i + word.length
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '(') j else -1
+      }
+      if (c == '\'') { inQ = !inQ; sb.append(c); i += 1 }
+      else if (!inQ && wordStart &&
+          s.regionMatches(true, i, word, 0, word.length) && parenAt >= 0) {
+        // collect the argument text up to the matching close paren
+        var depth = 1
+        var q = false
+        var j = parenAt + 1
+        val args = new StringBuilder
+        var fromAt = -1 // top-level " from " position within args
+        while (j < s.length && depth > 0) {
+          val ch = s.charAt(j)
+          if (ch == '\'') q = !q
+          else if (!q && ch == '(') depth += 1
+          else if (!q && ch == ')') depth -= 1
+          if (depth > 0) {
+            if (!q && depth == 1 && fromAt < 0 && ch.isWhitespace &&
+                s.regionMatches(true, j + 1, "from", 0, 4) &&
+                j + 5 < s.length && s.charAt(j + 5).isWhitespace)
+              fromAt = args.length
+            args.append(ch)
+          }
+          j += 1
+        }
+        val closed = depth == 0
+        val pat = if (fromAt < 0) ""
+          else "(?is)^\\s*from\\s+(.*)$".r
+            .findFirstMatchIn(args.substring(fromAt))
+            .map(_.group(1).trim).getOrElse("")
+        val isLit = pat.length >= 2 && pat.head == '\'' && pat.last == '\'' &&
+          // a single literal: interior quotes only as doubled ''
+          "'([^']|'')*'".r.pattern.matcher(pat).matches
+        if (closed && fromAt >= 0 && isLit) {
+          // recurse: the first argument may itself contain the PG form
+          val arg = rewriteSubstringFrom(args.substring(0, fromAt).trim)
+          val grp = if (pat.contains("(")) 1 else 0
+          sb.append(s"regexp_extract($arg, $pat, $grp)")
+          i = j
+        } else { sb.append(c); i += 1 } // not the PG form — copy and move on
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** `ARRAY[…]` → `array(…)` with quote- and nesting-aware bracket

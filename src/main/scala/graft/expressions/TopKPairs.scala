@@ -19,6 +19,12 @@ final class TopKBuffer(val k: Int) {
     s1 > s2 || (s1 == s2 && i1 < i2)
 
   def insert(score: Double, id: Long): Unit = {
+    // NaN never enters: all NaN comparisons are false, so a NaN admitted
+    // while the buffer is non-full could never be displaced while a NaN
+    // arriving at a full buffer would be rejected — top-k membership would
+    // depend on partition/merge order. A NaN cosine (corrupt vector) is
+    // not a candidate, like a NULL one.
+    if (java.lang.Double.isNaN(score)) return
     if (n == k && !better(score, id, scores(n - 1), ids(n - 1))) return
     var pos = if (n < k) n else n - 1 // drop the current worst when full
     while (pos > 0 && better(score, id, scores(pos - 1), ids(pos - 1))) {
@@ -31,7 +37,7 @@ final class TopKBuffer(val k: Int) {
 
 /** Native bounded top-k aggregate: keeps the k best (score, id) pairs per
   * group, ordered (score desc, id asc) — the TypedImperativeAggregate
-  * replacement for the `udaf(TopKAggregator)` path.
+  * replacement for the typed-Aggregator UDAF it replaced (see git history).
   *
   * Why: the typed-Aggregator UDAF pays a per-row encoder boundary (boxing
   * the input tuple, immutable Vector appends, periodic sorts) that
@@ -44,7 +50,9 @@ final class TopKBuffer(val k: Int) {
   * Output: array<struct<_1: double, _2: long>> — field names match the
   * tuple encoding the UDAF produced, so downstream `t._1`/`t._2`
   * projections are unchanged. NULL id/score inputs are skipped (a NULL
-  * cosine means a NULL vector — not a candidate). */
+  * cosine means a NULL vector — not a candidate), and NaN scores likewise
+  * (see TopKBuffer.insert — admitting NaN would make membership depend on
+  * arrival order). */
 case class TopKPairs(
     left: Expression,  // id: LongType
     right: Expression, // score: DoubleType

@@ -95,7 +95,7 @@ object Similarity {
     * (a global row_number window would sort every candidate). Ordering is
     * (cos desc, neighbor asc) — identical to the window formulation.
     * TypedImperativeAggregate with primitive-array buffers: no per-row
-    * encoder boundary (the udaf(TopKAggregator) form spent ~3× the
+    * encoder boundary (the replaced typed-Aggregator UDAF spent ~3× the
     * dot-product cost on input boxing + Vector appends). */
   private def topKByQuery(scored: DataFrame, k: Int): DataFrame =
     scored
@@ -236,10 +236,20 @@ object Similarity {
         "neighbor_id")
       .groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"))
+    // Majority with smallest-label tie-break for ANY orderable label type:
+    // ONE sorted fold over the per-query (votes, label) list — negating the
+    // label into a max(struct) would only work for numeric labels (a string
+    // label would cast to NULL and every prediction would be NULL).
+    // Per-query state is bounded by k distinct labels.
     voted.groupBy("query_id")
-      // lexicographic struct max: most votes, then SMALLEST label (negated)
-      .agg(max(struct(col("votes"), (-col("__lbl")).as("nl"))).as("m"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__lbl"), col("votes")))),
+        struct(lit(null).cast(voted.schema("__lbl").dataType).as("lbl"),
+          lit(0L).as("v")),
+        (acc, x) => when(x.getField("votes") > acc.getField("v"),
+          struct(x.getField("__lbl").as("lbl"), x.getField("votes").as("v")))
+          .otherwise(acc)).as("m"))
       .select(col("query_id").as(idCol),
-        (-col("m.nl")).as("predicted_label"), col("m.votes").as("votes"))
+        col("m.lbl").as("predicted_label"), col("m.v").as("votes"))
   }
 }

@@ -79,10 +79,19 @@ object SkewOps {
     // which Catalyst does not implement). With every column referenced, both
     // branches keep the IDENTICAL exchange subtree and AQE reuses the one
     // shuffle (asserted by CompilerSkewSpec).
+    // hash() rejects MapType inputs, so anchor maps by their size instead
+    // of their value — the anchor only needs to REFERENCE the column, its
+    // value is never observed
     val nonKey = df.columns.filterNot(keys.contains)
+    val hashable = df.schema.fields.filter(f => nonKey.contains(f.name)).map {
+      f => f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => size(col(f.name))
+        case _ => col(f.name)
+      }
+    }
     val (anchorAgg, capExpr) =
       if (nonKey.isEmpty) (count(lit(1)).as("__a"), lit(maxSize))
-      else (first(hash(nonKey.map(col).toIndexedSeq: _*)).as("__a"),
+      else (first(hash(hashable.toIndexedSeq: _*)).as("__a"),
         least(lit(maxSize), greatest(lit(maxSize), col("__a"))))
     val small = parted.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), anchorAgg)

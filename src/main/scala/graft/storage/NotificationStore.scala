@@ -78,7 +78,14 @@ class NotificationStore(
           case ByteType | ShortType | IntegerType | LongType => true
           case _ => false
         }
-        val prepared = if (fractional(from) && integral(to)) round(c) else c
+        // PostgreSQL assignment rounding is source-family-dependent:
+        // float8/float4 → int uses rint (ties to even, bround); numeric →
+        // int rounds ties away from zero (round). Mirror both.
+        val prepared =
+          if (fractional(from) && integral(to)) from match {
+            case DoubleType | FloatType => bround(c)
+            case _ => round(c)
+          } else c
         val tried = prepared.try_cast(to)
         when(c.isNotNull && tried.isNull,
           raise_error(concat(
@@ -118,8 +125,14 @@ class NotificationStore(
 
   /** All notifications; PK (entity_id, timestamp, rule) deduped last-wins
     * by created stamp. */
-  def read(): Option[DataFrame] =
-    if (!fs.exists(new org.apache.hadoop.fs.Path(basePath))) None
+  def read(): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(basePath)
+    // a created-but-never-written store holds only _attributes.json — no
+    // notifications yet (the exists-check alone stopped sufficing once
+    // `create` started persisting declarations)
+    def hasData = fs.listStatus(p).exists(s =>
+      s.isDirectory || !s.getPath.getName.startsWith("_"))
+    if (!fs.exists(p) || !hasData) None
     else {
       val raw = spark.read.option("mergeSchema", "true").parquet(basePath)
       val w = org.apache.spark.sql.expressions.Window
@@ -128,6 +141,7 @@ class NotificationStore(
       Some(raw.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn"))
     }
+  }
 }
 
 object NotificationStore {

@@ -43,19 +43,27 @@ private[storage] object SchemaSidecar {
   def delete(fs: FileSystem, dir: String): Unit =
     fs.delete(file(dir), false)
 
-  /** Numeric widening ladder for append-only evolution: the sidecar takes
+  /** Numeric widening ladders for append-only evolution: the sidecar takes
     * the WIDER type and stays a superset (narrower files upcast on read —
-    * no rewrite needed). */
-  private val widenOrder: Seq[DataType] = {
+    * no rewrite needed). Integral and floating ladders are SEPARATE:
+    * integral→floating (e.g. long + float) is NOT widening — it loses
+    * precision AND Spark's parquet reader cannot read INT64 footers under a
+    * declared FloatType, so such a sidecar would poison every read. That
+    * conflict refuses the batch instead. */
+  private val intOrder: Seq[DataType] = {
     import org.apache.spark.sql.types._
-    Seq(ShortType, IntegerType, LongType, FloatType, DoubleType)
+    Seq(ShortType, IntegerType, LongType)
+  }
+  private val floatOrder: Seq[DataType] = {
+    import org.apache.spark.sql.types._
+    Seq(FloatType, DoubleType)
   }
 
   private def widen(a: DataType, b: DataType): Option[DataType] =
     if (a == b) Some(a)
-    else (widenOrder.indexOf(a), widenOrder.indexOf(b)) match {
-      case (x, y) if x >= 0 && y >= 0 => Some(widenOrder(math.max(x, y)))
-      case _ => None
+    else Seq(intOrder, floatOrder).collectFirst {
+      case ladder if ladder.indexOf(a) >= 0 && ladder.indexOf(b) >= 0 =>
+        ladder(math.max(ladder.indexOf(a), ladder.indexOf(b)))
     }
 
   /** Union of the saved and incoming schemas: saved column order first

@@ -20,6 +20,21 @@ class PgSqlCompatSpec extends AnyFunSuite {
       "regexp_extract(x, '([a-z]+)-.*', 1)")
     assert(PgSqlCompat.rewriteQuery("substring(x from 'abc')") ==
       "regexp_extract(x, 'abc', 0)")
+    // first argument may be an arbitrary nested expression
+    assert(PgSqlCompat.rewriteQuery(
+      "substring(lower(r.name) from '([a-z]+)-.*')") ==
+      "regexp_extract(lower(r.name), '([a-z]+)-.*', 1)")
+    // ...including another substring-from (recursive rewrite)
+    assert(PgSqlCompat.rewriteQuery(
+      "substring(substring(x from 'a(b)c') from 'b')") ==
+      "regexp_extract(regexp_extract(x, 'a(b)c', 1), 'b', 0)")
+    // positional/standard forms and literal content pass through
+    assert(PgSqlCompat.rewriteQuery("substring(x FROM 2)") ==
+      "substring(x FROM 2)")
+    assert(PgSqlCompat.rewriteQuery("substring(x, 1, 3)") ==
+      "substring(x, 1, 3)")
+    assert(PgSqlCompat.rewriteQuery("'use substring(x from ''y'')'") ==
+      "'use substring(x from ''y'')'")
   }
 
   test("scalar fragments: $1 and PG-only casts stripped outside literals only") {

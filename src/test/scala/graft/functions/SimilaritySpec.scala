@@ -135,4 +135,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaTwoLoads == viaOne)
   }
+  test("knnLabel works with non-numeric labels (majority, smallest-label ties)") {
+    val seeds = Seq(
+      (1L, Seq(1f, 0f), "ham"), (2L, Seq(0.9f, 0.1f), "ham"),
+      (3L, Seq(0f, 1f), "spam"), (4L, Seq(0.1f, 0.9f), "spam"),
+      (5L, Seq(0.8f, 0.2f), "eggs")
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((10L, Seq(1f, 0.05f)), (11L, Seq(0.05f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.knnLabel(queries, seeds, "vec_id", "embedding",
+        "label", k = 3)
+      .orderBy("vec_id").collect()
+    assert(out(0).getString(1) == "ham")  // 2 ham + 1 eggs
+    assert(out(1).getString(1) == "spam") // spam cluster
+  }
+
+  test("NaN cosine never occupies a top-k slot, regardless of arrival order") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.3f)),
+      (4L, Seq(Float.NaN, 1f))
+    ).toDF("vec_id", "embedding")
+    val qs = Seq((10L, Seq(1f, 0.01f))).toDF("vec_id", "embedding")
+    Seq(1, 4).foreach { parts =>
+      val got = Similarity.bruteForceTopK(
+          qs, corpus.repartition(parts), "vec_id", "embedding", k = 3)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L), s"parts=$parts got $got")
+    }
+  }
+
 }

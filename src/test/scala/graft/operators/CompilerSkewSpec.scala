@@ -198,4 +198,11 @@ class CompilerSkewSpec extends SparkSpec {
     assert(r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L)
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
+  test("keepSmallKeys tolerates MapType payload columns (anchored by size)") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "v").withColumn("props", map(lit("x"), col("v")))
+    val out = SkewOps.keepSmallKeys(df, Seq("k"), maxSize = 1)
+    assert(out.select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
 }

@@ -102,4 +102,14 @@ class AttributeStoreSpec extends SparkSpec {
     assert(as16.forEntity(21L).get.count() == 1)
   }
 
+  test("integral+floating conflict is refused, not 'widened' lossily") {
+    val (as, _) = fresh("intfloat")
+    as.transferStaged(Seq((1L, 100L, 3000000000L))
+      .toDF("entity_id", "timestamp", "ports"), 1L)
+    val bad = Seq((2L, 200L, 1.5f)).toDF("entity_id", "timestamp", "ports")
+    val e = intercept[IllegalArgumentException](as.transferStaged(bad, 2L))
+    assert(e.getMessage.contains("conflicts"))
+    assert(as.history.get.count() == 1) // store untouched and readable
+  }
+
 }

@@ -49,6 +49,12 @@ class NotificationStoreSpec extends SparkSpec {
     val out = s.conform(Seq(3.6, 2.4, -1.5).toDF("score"))
     assert(out.schema("score").dataType == IntegerType)
     assert(out.sort("score").collect().map(_.getInt(0)).toSeq == Seq(-2, 2, 4))
+    // PG family split on exact ties: float8 → int is rint (half to even)...
+    val ties = s.conform(Seq(2.5, 3.5).toDF("score"))
+    assert(ties.sort("score").collect().map(_.getInt(0)).toSeq == Seq(2, 4))
+    // ...numeric → int rounds half away from zero
+    val dec = s.conform(Seq(BigDecimal("2.5"), BigDecimal("3.5")).toDF("score"))
+    assert(dec.sort("score").collect().map(_.getInt(0)).toSeq == Seq(3, 4))
   }
 
   test("narrowing out-of-range RAISES instead of silently wrapping") {
