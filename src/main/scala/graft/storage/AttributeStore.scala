@@ -155,4 +155,32 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
   def currentSnapshot: Option[DataFrame] =
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/current"))) None
     else Some(spark.read.parquet(s"$basePath/current"))
+
+  /** Incremental curr-ptr refresh: fold only history rows stamped AFTER
+    * the previous snapshot's high-water `modified` into that snapshot,
+    * instead of re-deriving from the full history — at scale the refresh
+    * cost tracks the batch, not the store. Falls back to the full
+    * [[materializeCurrent]] when no snapshot exists. Columns added to the
+    * history since the snapshot appear as NULL in carried-over rows
+    * (unionByName with missing columns), exactly as a full re-derive would
+    * produce for entities whose rows predate the column.
+    *
+    * The snapshot is both input and output, so the new state is staged to
+    * `current.next` and swapped in (the read plan would otherwise see its
+    * own overwrite). */
+  def materializeCurrentIncremental(): Long = currentSnapshot match {
+    case None => materializeCurrent()
+    case Some(snap) =>
+      val last = snap.agg(max("modified")).head.getLong(0)
+      val fresh = history.get.drop("abucket").filter(col("modified") > last)
+      val next = AttributeOps.currentPtr(
+        snap.unionByName(fresh, allowMissingColumns = true),
+        "entity_id", Seq("timestamp", "modified"))
+      val tmp = s"$basePath/current.next"
+      next.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val live = new org.apache.hadoop.fs.Path(s"$basePath/current")
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      spark.read.parquet(s"$basePath/current").count()
+  }
 }

@@ -112,4 +112,25 @@ class AttributeStoreSpec extends SparkSpec {
     assert(as.history.get.count() == 1) // store untouched and readable
   }
 
+  test("incremental curr-ptr refresh folds only fresh rows into the snapshot") {
+    val (as, _) = fresh("incr")
+    as.transferStaged(Seq((1L, 100L, "a"), (2L, 100L, "x"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    assert(as.materializeCurrent() == 2L)
+    // later batch updates entity 1, adds entity 3 AND a new column
+    as.transferStaged(Seq((1L, 200L, "b", 9), (3L, 100L, "z", 7))
+      .toDF("entity_id", "timestamp", "vendor", "ports"), 2L)
+    assert(as.materializeCurrentIncremental() == 3L)
+    val cur = as.currentSnapshot.get.orderBy("entity_id").collect()
+    assert(cur.map(_.getAs[String]("vendor")).toSeq == Seq("b", "x", "z"))
+    // pre-column entity carries a NULL for the new column, like a re-derive
+    assert(cur(1).isNullAt(cur(1).fieldIndex("ports")))
+    // matches the from-scratch derivation exactly
+    val full = as.current.get.orderBy("entity_id")
+      .select("entity_id", "timestamp", "vendor", "ports").collect()
+    val incr = as.currentSnapshot.get.orderBy("entity_id")
+      .select("entity_id", "timestamp", "vendor", "ports").collect()
+    assert(full.map(_.toSeq).toSeq == incr.map(_.toSeq).toSeq)
+  }
+
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Times q35's two halves separately at a real SF: the N²/2 dot-product
-  * join alone, then the full query with the TopKAggregator on top. */
+  * join alone, then the full query with the bounded top-k aggregate on top. */
 object TopkCostProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
