@@ -52,6 +52,16 @@ def compare(name, spark_dir, sql, sf_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     try:
+        rel = con.sql(sql)
+        # The driver's hash path materializes the oracle result through
+        # arrow/pandas, where HUGEINT/DECIMAL columns take a different
+        # representation than Spark's int64/double — values compare equal
+        # here via fetchall() (python ints) but hash-mismatch at the
+        # driver. Flag them before they reach the gate.
+        widened = [(n, str(t)) for n, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+        if widened:
+            return f"ORACLE_TYPE_WIDENED {widened} (CAST to BIGINT/DOUBLE)"
         oracle = con.execute(sql)
         ocols = [d[0] for d in oracle.description]
         orows = oracle.fetchall()

@@ -448,7 +448,7 @@ object QueriesLLM {
            SELECT doc_id, l, count(*) AS c
            FROM (SELECT doc_id, unnest(lines) AS l FROM tok) GROUP BY 1, 2),
          ls AS (
-           SELECT doc_id, sum(c) AS n_lines,
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
              1.0 - CAST(count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
              CASE WHEN sum(c * length(l)) > 0 THEN
                CAST(sum((c - 1) * length(l)) AS DOUBLE) / sum(c * length(l))
@@ -519,7 +519,8 @@ object QueriesLLM {
            SELECT l, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY 1),
          agg AS (
            SELECT doc_id, count(*) AS n_lines,
-             sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_boilerplate,
+             CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
              string_agg(CASE WHEN ndocs < 2 THEN l END, chr(10)
                ORDER BY pos) AS clean_text
            FROM lines JOIN cnt USING (l) GROUP BY doc_id)
@@ -564,9 +565,9 @@ object QueriesLLM {
            FROM documents),
          c AS (
            SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-               AS tok_offset
+               AS BIGINT) AS tok_offset
            FROM t)
          SELECT doc_id, shard, n_tokens, tok_offset,
            tok_offset // 512 AS seq_index, tok_offset % 512 AS seq_offset
@@ -589,7 +590,7 @@ object QueriesLLM {
            FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
          dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
          agg AS (
-           SELECT doc_id, sum(c) AS n_trigrams,
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(
                  list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
