@@ -234,8 +234,11 @@ object PgSqlCompat {
     var s = sql.trim.stripSuffix(";").trim
     // the reference wraps scalar rules in a SELECT (run per row with $1)
     s = "(?is)^SELECT\\s+".r.replaceFirstIn(s, "")
-    s = rewriteArrays(s)
+    // E-strings FIRST: rewriteArrays only understands doubled '' escapes,
+    // so a backslash-escaped quote in an E'…' literal would desync its
+    // in-quote tracking; rewriteEStrings normalizes \' to '' for it
     s = rewriteEStrings(s)
+    s = rewriteArrays(s)
     outsideLiterals(s) { seg =>
       var t = seg.replace("$1.", "")
       // PostgreSQL-ONLY casts dropped; ::int etc. (valid Spark) untouched

@@ -85,7 +85,11 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
     finally out.close()
   }
 
-  private def bucketCol = pmod(xxhash64(col("entity_id")), lit(effectiveBuckets))
+  // hash at LongType always: xxhash64 is type-sensitive, and forEntity's
+  // read-side filter hashes a Long literal — an int-typed batch would
+  // otherwise land in a bucket the partition filter never probes
+  private def bucketCol =
+    pmod(xxhash64(col("entity_id").cast("long")), lit(effectiveBuckets))
 
   def transferStaged(batch: DataFrame, nowSec: Long): Unit = {
     val stamped = batch.withColumn("modified", lit(nowSec))
@@ -171,16 +175,32 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
   def materializeCurrentIncremental(): Long = currentSnapshot match {
     case None => materializeCurrent()
     case Some(snap) =>
-      val last = snap.agg(max("modified")).head.getLong(0)
-      val fresh = history.get.drop("abucket").filter(col("modified") > last)
-      val next = AttributeOps.currentPtr(
-        snap.unionByName(fresh, allowMissingColumns = true),
-        "entity_id", Seq("timestamp", "modified"))
-      val tmp = s"$basePath/current.next"
-      next.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val live = new org.apache.hadoop.fs.Path(s"$basePath/current")
-      fs.delete(live, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
-      spark.read.parquet(s"$basePath/current").count()
+      val lastRow = snap.agg(max("modified")).head
+      // zero-row snapshot: max() is NULL — re-derive from scratch rather
+      // than folding against an undefined high-water mark
+      if (lastRow.isNullAt(0)) materializeCurrent()
+      else {
+        val last = lastRow.getLong(0)
+        val fresh = history.get.drop("abucket").filter(col("modified") > last)
+        val next = AttributeOps.currentPtr(
+          snap.unionByName(fresh, allowMissingColumns = true),
+          "entity_id", Seq("timestamp", "modified"))
+        val tmp = s"$basePath/current.next"
+        next.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val live = new org.apache.hadoop.fs.Path(s"$basePath/current")
+        // rename-aside swap (PartStore's protocol): the live snapshot is
+        // never deleted before its replacement is in place, so a crash at
+        // any point leaves either the old or the new snapshot readable
+        val aside = new org.apache.hadoop.fs.Path(s"$basePath/.current_old")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (!fs.rename(live, aside))
+          throw new java.io.IOException(s"failed to move aside $live")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+          fs.rename(aside, live) // restore; the refresh can be retried
+          throw new java.io.IOException(s"failed to swap in $tmp")
+        }
+        fs.delete(aside, true)
+        spark.read.parquet(s"$basePath/current").count()
+      }
   }
 }

@@ -53,6 +53,12 @@ class PgSqlCompatSpec extends AnyFunSuite {
     assert(out == "array_join(array('a]b', format_string('%s', x)), '\\n')")
     // ARRAY inside a literal untouched
     assert(PgSqlCompat.rewriteScalar("'use ARRAY[1]'") == "'use ARRAY[1]'")
+    // \' inside an E-string must not desync the ARRAY pass's quote
+    // tracking (E-strings normalize before arrays rewrite)
+    assert(PgSqlCompat.rewriteScalar("array_to_string(ARRAY[E'a\\'b'], ',')") ==
+      "array_join(array('a''b'), ',')")
+    assert(PgSqlCompat.rewriteScalar("E'don\\'t' || ARRAY[1, 2]") ==
+      "'don''t' || array(1, 2)")
   }
 
   test("E inside an ordinary literal is content, not an E-string opener") {

@@ -112,6 +112,27 @@ class AttributeStoreSpec extends SparkSpec {
     assert(as.history.get.count() == 1) // store untouched and readable
   }
 
+  test("int-typed entity_id batch lands in the bucket forEntity probes") {
+    val (as, _) = fresh("inttype")
+    // xxhash64 is type-sensitive: an IntegerType batch hashed at its native
+    // type would write to a bucket the LongType read-side filter never
+    // probes — the lookup would silently return zero rows
+    as.transferStaged((1 to 40).map(i => (i, 100L, s"v$i"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    assert((1L to 40L).forall(id => as.forEntity(id).get.count() == 1))
+  }
+
+  test("incremental refresh on a zero-row snapshot falls back to full derive") {
+    val (as, base) = fresh("emptysnap")
+    as.transferStaged(Seq((1L, 100L, "a"))
+      .toDF("entity_id", "timestamp", "vendor"), 1L)
+    // materialize an EMPTY snapshot (e.g. a filter-everything pipeline ran)
+    as.current.get.limit(0).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/current")
+    assert(as.materializeCurrentIncremental() == 1L) // no NPE/getLong throw
+    assert(as.currentSnapshot.get.count() == 1)
+  }
+
   test("incremental curr-ptr refresh folds only fresh rows into the snapshot") {
     val (as, _) = fresh("incr")
     as.transferStaged(Seq((1L, 100L, "a"), (2L, 100L, "x"))

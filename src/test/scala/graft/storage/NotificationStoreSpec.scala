@@ -87,4 +87,19 @@ class NotificationStoreSpec extends SparkSpec {
     assert(types("extra") == MinervaType.MText)
     assert(types("created") == MinervaType.MTimestamp)
   }
+
+  test("declaration round-trips attribute names needing JSON escaping") {
+    val base = "target/tmp/notifspec_escape"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val attrs = Seq(AttributeDef("""quoted"name""", MinervaType.MInteger),
+      AttributeDef("""back\slash""", MinervaType.MText))
+    NotificationStore.create(base, attrs,
+      spark.sparkContext.hadoopConfiguration)
+    // an unescaped render would produce invalid JSON here and every later
+    // writer opening the store would fail to parse the declaration
+    val read = NotificationStore.readDeclaration(fs, base)
+    assert(read == attrs)
+  }
 }
