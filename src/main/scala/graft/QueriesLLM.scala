@@ -39,6 +39,10 @@ object QueriesLLM {
          SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle
          FROM led WHERE t3 IS NOT NULL)"""
 
+  /** Shared repeated-span tail for q75 (appended to every 4th doc). */
+  private val PromoTail =
+    " click here to subscribe to our newsletter today please thanks"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact dedup: hash-groupBy on normalized text ----
     "q25_dedup_exact" -> { (s, dir) =>
@@ -141,6 +145,50 @@ object QueriesLLM {
       TextAnalysis.charLmScore(docs(s, dir), "doc_id", "text")
         .select("doc_id", "n_trigrams", "sum_p", "mean_p")
         .orderBy("doc_id")
+    },
+    // ---- MinHash Jaccard estimate for LSH candidates (cheap verify tier) ----
+    "q73_minhash_est" -> { (s, dir) =>
+      val sig = Dedup.minhashSignature(Dedup.shingles(toks(s, dir), "doc_id", 3), "doc_id", 8)
+      val pairs = Dedup.lshCandidates(Dedup.lshBuckets(sig, "doc_id", 4, 2),
+        "doc_id", maxBucket = 50)
+      Dedup.minhashEstimate(sig, pairs, "doc_id", 8).orderBy("id1", "id2")
+    },
+    // ---- DSIR importance weights (data selection toward a target set) ----
+    // Gate columns are the rational folds; logw is libm-dependent and
+    // spec-tested instead (same contract as q71).
+    "q74_dsir_weights" -> { (s, dir) =>
+      val t = toks(s, dir)
+      TextAnalysis.dsirWeights(
+          t.filter(col("doc_id") % 17 =!= 0),
+          t.filter(col("doc_id") % 17 === 0), "doc_id", buckets = 64)
+        .select("doc_id", "n_feats", "sum_pt", "sum_pr")
+        .orderBy("doc_id")
+    },
+    // ---- duplicated n-gram span coverage (exact-substr dedup signal) ----
+    // The synthetic corpus has no repeated 8-grams, so append a shared
+    // promo sentence to every 4th doc — the mirrored shape (cross-doc
+    // repeated span with unique surroundings) the detector exists for.
+    "q75_dup_spans" -> { (s, dir) =>
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(PromoTail))).otherwise(col("text")).as("text"))
+      Dedup.duplicatedSpans(
+          TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
+        .orderBy("doc_id")
+    },
+    // ---- deterministic train/val/test split ----
+    "q76_hash_split" -> { (s, dir) =>
+      TextAnalysis.hashSplit(docs(s, dir), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+    // ---- product-quantization code assignment (compressed ANN index) ----
+    "q77_pq_codes" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
+      e.select(col("vec_id"), Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
+        .orderBy("vec_id")
     },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
@@ -430,6 +478,150 @@ object QueriesLLM {
            WHEN 'src2' THEN 0.0 WHEN 'src1' THEN 0.5 WHEN 'src0' THEN 1.0
            ELSE 0.25 END)
          ORDER BY doc_id""",
+    "q73_minhash_est" ->
+      s"""WITH $ShinglesCte,
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM sh GROUP BY 1),
+         buckets AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         bsz AS (SELECT band, key FROM buckets GROUP BY 1, 2 HAVING count(*) <= 50),
+         capped AS (
+           SELECT b.* FROM buckets b JOIN bsz s ON b.band = s.band AND b.key = s.key),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         est AS (
+           SELECT p.id1, p.id2,
+             CAST((CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h4 = y.h4 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h5 = y.h5 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h6 = y.h6 THEN 1 ELSE 0 END)
+                + (CASE WHEN x.h7 = y.h7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           FROM pairs p
+           JOIN sig x ON x.doc_id = p.id1
+           JOIN sig y ON y.doc_id = p.id2)
+         SELECT id1, id2, n_match,
+           CAST(n_match AS DOUBLE) / 8 AS est_jaccard
+         FROM est ORDER BY 1, 2""",
+    "q74_dsir_weights" ->
+      s"""WITH $ToksCte,
+         f AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks),
+         tgt AS (SELECT b, count(*) AS ct FROM f WHERE doc_id % 17 = 0 GROUP BY 1),
+         rw AS (SELECT b, count(*) AS cr FROM f WHERE doc_id % 17 <> 0 GROUP BY 1),
+         tots AS (
+           SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS nt,
+                  (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rw) AS nr),
+         model AS (
+           SELECT d.b,
+             CAST(coalesce(ct, 0) + 1 AS DOUBLE) / (CAST(nt AS DOUBLE) + 64) AS pt,
+             CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (CAST(nr AS DOUBLE) + 64) AS pr
+           FROM (SELECT unnest(generate_series(0, 63)) AS b) d
+           LEFT JOIN tgt USING (b) LEFT JOIN rw USING (b) CROSS JOIN tots),
+         dc AS (
+           SELECT doc_id, b, count(*) AS c
+           FROM f WHERE doc_id % 17 <> 0 GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(b := b, c := c, p := pt) ORDER BY b),
+                 x -> x.c * x.p)), (a, y) -> a + y) AS sum_pt,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(b := b, c := c, p := pr) ORDER BY b),
+                 x -> x.c * x.p)), (a, y) -> a + y) AS sum_pr
+           FROM dc JOIN model USING (b) GROUP BY 1)
+         SELECT doc_id, n_feats, sum_pt, sum_pr FROM agg ORDER BY doc_id""",
+    "q75_dup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN text || ' click here to subscribe to our newsletter today please thanks'
+             ELSE text END AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM corpus),
+         occ AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM base),
+         gr AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+           FROM occ),
+         dups AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, cp FROM (
+             SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+             FROM gr JOIN dups USING (g))),
+         cnt AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
+           FROM cov GROUP BY 1),
+         tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+         SELECT t.doc_id, t.n_tokens,
+           coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens AS dup_frac,
+           CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens >= 0.5
+             AS flag_dup
+         FROM tot t LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""",
+    "q76_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN hv < 1000000.0 * 0.9 THEN 'train'
+                WHEN hv < 1000000.0 * (0.9 + 0.05) THEN 'val'
+                ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, CAST((
+             (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+             ) % 1000000 AS DOUBLE) AS hv
+           FROM documents)
+         ORDER BY doc_id""",
+    "q77_pq_codes" ->
+      """WITH cent AS (
+           SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+             - 1 AS INT) AS i, embedding
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 4),
+         ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         scored AS (
+           SELECT e.vec_id, ss.s, c.i,
+             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
+               AS cos
+           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
+         code AS (
+           SELECT vec_id, s, i FROM scored
+           QUALIFY row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY cos DESC, i DESC) = 1)
+         SELECT vec_id,
+           CAST(sum(i * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT) AS pq_code
+         FROM code GROUP BY 1 ORDER BY 1""",
     "q67_repetition" ->
       """WITH base AS (
            SELECT doc_id,

@@ -104,6 +104,73 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    * signature components on which the two documents agree — an unbiased
+    * estimator of the true Jaccard (each min-hash collides with probability
+    * J). This is the cheap verify tier between LSH banding and the exact
+    * shingle-join [[jaccardPairs]]: per pair it reads 2k signature values
+    * instead of re-joining shingle sets, so a 100 TB pipeline can discard
+    * most false-positive candidates before paying the exact join.
+    *
+    * Scale shape: two hash-joins of the pair list against the signature
+    * table (shuffle keyed by doc id, ∝ |pairs| + |docs|), then a pure
+    * projection — no explode, no window. */
+  def minhashEstimate(
+      sig: DataFrame, pairs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val a = sig.alias("sa")
+    val b = sig.alias("sb")
+    val nMatch = (0 until k)
+      .map(i => when(col(s"sa.h$i") === col(s"sb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.select("id1", "id2")
+      .join(a, col("id1") === col(s"sa.$idCol"))
+      .join(b, col("id2") === col(s"sb.$idCol"))
+      .select(col("id1"), col("id2"), nMatch.as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / k)
+  }
+
+  /** Duplicated n-gram span coverage (the detection half of exact-substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", public): a token position is duplicated when it is
+    * covered by any word n-gram occurring MORE THAN ONCE in the corpus
+    * (across or within documents). Reports per-doc duplicated-token counts
+    * and the fraction; `flagAt` sets the drop-threshold flag.
+    *
+    * Scale shape: n-gram construction is one per-doc window (bounded by
+    * document length), corpus counts are a map-side-combined aggregate on
+    * the gram key, and coverage is an n-wide position explode re-aggregated
+    * by (id, pos) then id. The gram-keyed join skews exactly on the grams
+    * that ARE duplicated (the signal — they cannot be capped away);
+    * AQE skew-join splits them, and the build side carries one row per
+    * duplicated distinct gram. */
+  def duplicatedSpans(
+      tokens: DataFrame, idCol: String, n: Int,
+      flagAt: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    val occ = tokens
+      .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("__g"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+    val dupGrams = occ.groupBy("__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__g")
+    val covered = occ.join(dupGrams, "__g")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
+    val totals = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    totals.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens"))
+      .withColumn("flag_dup", col("dup_frac") >= flagAt)
+  }
+
   /** Exact Jaccard for pairs: |A∩B| / |A∪B| via a shingle equi-join —
     * deterministic (integer counts, one double division at the end).
     *

@@ -185,6 +185,39 @@ object Similarity {
     array_max(array(scored: _*)).getField("i")
   }
 
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces of `dim/m` dims; each subspace gets `k` centroids
+    * taken from the same deterministic md5-ordered corpus sample as
+    * [[ivfCentroids]] (k-means would refine them; the code-assignment
+    * machinery is identical). m·k tiny rows collected driver-side — the
+    * same legitimate codebook collect as IVF. */
+  def pqCodebooks(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      dim: Int): Seq[Seq[(Int, Seq[Float])]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sample = ivfCentroids(vectors, idCol, vecCol, k)
+    (0 until m).map(j => sample.map { case (i, v) =>
+      i -> v.slice(j * sub, (j + 1) * sub)
+    })
+  }
+
+  /** Packed PQ code: per subspace, nearest-centroid assignment by cosine
+    * (argmax with higher-index tie-break — [[ivfBucket]] on the subvector,
+    * the engine-portable arithmetic proven for q56), packed little-endian
+    * as Σ codeⱼ·k^j into one BIGINT. An N-vector corpus compresses to N
+    * codes of m·log₂k bits: the memory-resident index for 100 TB ANN —
+    * candidate generation scans codes, exact rerank touches only the
+    * shortlist's full vectors. */
+  def pqCode(vec: Column, codebooks: Seq[Seq[(Int, Seq[Float])]]): Column = {
+    val k = codebooks.head.length
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val codeJ = ivfBucket(slice(vec, j * sub + 1, sub), cb)
+      codeJ.cast("long") * math.pow(k, j).toLong
+    }.reduce(_ + _)
+  }
+
   /** Gaussian-plane variant — the production hash family. */
   def bucketedNeighborsGaussian(
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,

@@ -341,11 +341,11 @@ object TextAnalysis {
   }
 
   /** Engine-portable uniform in [0, 1e6) from a doc id: first 8 md5 hex
-    * nibbles of "smp:<id>" — the seedless, reproducible coin every engine
+    * nibbles of "<salt><id>" — the seedless, reproducible coin every engine
     * can replay (Spark .sample() randomness is partition-layout
     * dependent). */
-  private def hashUniform(id: Column): Column =
-    conv(substring(md5(concat(lit("smp:"), id.cast("string"))), 1, 8), 16, 10)
+  private def hashUniform(id: Column, salt: String = "smp:"): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 1000000L
 
   /** Deterministic stratified Bernoulli sample: keep a doc iff its hash
@@ -360,5 +360,88 @@ object TextAnalysis {
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
+  }
+
+  /** Deterministic train/val/test split by id hash: a document's split is
+    * the first band whose cumulative weight exceeds its hash uniform —
+    * stable across runs, engines, cluster layouts, and corpus growth (a
+    * document's assignment never depends on other documents). Weights are
+    * taken in declaration order and need not sum to 1; the last band
+    * absorbs the remainder. Pure per-row projection, no shuffle. */
+  def hashSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "hashSplit needs at least one band")
+    val hv = hashUniform(col(idCol), "split:").cast("double")
+    val chain = splits.init.foldLeft((when(lit(false), ""), 0.0)) {
+      case ((w, cum), (name, weight)) =>
+        val c = cum + weight
+        (w.when(hv < c * 1000000.0, name), c)
+    }._1
+    df.withColumn("split", chain.otherwise(splits.last._1))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023 "Data Selection for
+    * Language Models via Importance Resampling", public): hashed token
+    * features, per-feature probabilities under a TARGET corpus vs the RAW
+    * corpus (add-one smoothing over the `buckets`-sized hashed domain), and
+    * a per-document importance weight Σ c_f·(ln p_target(f) − ln p_raw(f)).
+    * Documents with high weight look like the target distribution —
+    * resample the raw corpus by it ([[stratifiedSample]]-style) to shift
+    * the mixture.
+    *
+    * Gate-exact columns: `n_feats`, `sum_pt`, `sum_pr` (sorted-order
+    * rational folds — one IEEE division per probability, engine-identical
+    * like [[charLmScore]]); `logw` adds `ln`, whose last ULP is
+    * libm-specific — spec-tested, not oracle-hashed.
+    *
+    * Scale shape: both feature-count tables are ≤ `buckets` rows after a
+    * map-side-combined aggregate and BROADCAST into the per-doc scoring
+    * join; the only corpus-sized shuffle is the (id, bucket) count. The
+    * target corpus is typically benchmark-sized, the raw corpus is the
+    * 100 TB side — both stream. */
+  def dsirWeights(
+      raw: DataFrame, target: DataFrame, idCol: String,
+      buckets: Int = 64): DataFrame = {
+    def bucket(t: DataFrame): DataFrame =
+      t.select(col(idCol),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % buckets)
+          .as("__b"))
+    val rawF = bucket(raw)
+    val tgtCounts = bucket(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawCounts = rawF.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    // complete hashed domain so unseen buckets get the smoothed floor;
+    // corpus totals ride in as a broadcast 1-row frame (no driver action)
+    val dom = rawF.sparkSession.range(buckets).select(col("id").as("__b"))
+    val tots = tgtCounts.agg(coalesce(sum("__ct"), lit(0L)).as("__nt"))
+      .crossJoin(rawCounts.agg(coalesce(sum("__cr"), lit(0L)).as("__nr")))
+    val model = dom
+      .join(tgtCounts, Seq("__b"), "left")
+      .join(rawCounts, Seq("__b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("__b"),
+        ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+          (col("__nt").cast("double") + buckets)).as("__pt"),
+        ((coalesce(col("__cr"), lit(0L)) + 1).cast("double") /
+          (col("__nr").cast("double") + buckets)).as("__pr"))
+    val docCounts = rawF.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val perDoc = docCounts
+      .join(broadcast(model), "__b")
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_feats"),
+        array_sort(collect_list(struct(col("__b"), col("__c"), col("__pt"),
+          col("__pr")))).as("__arr"))
+      .select(col(idCol), col("n_feats"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("__c") * x.getField("__pt")).as("sum_pt"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("__c") * x.getField("__pr")).as("sum_pr"),
+        aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("__c") *
+            (log(x.getField("__pt")) - log(x.getField("__pr")))).as("logw"))
+    raw.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("sum_pt"), col("sum_pr"), col("logw"))
   }
 }

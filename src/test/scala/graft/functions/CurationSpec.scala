@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation-operator specs: MinHash Jaccard estimation, duplicated
+  * n-gram span coverage (exact-substr detection), DSIR importance weights,
+  * deterministic hash splits, and product-quantization codes. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(df: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.tokens(df, "doc_id", "text")
+
+  test("minhashEstimate: identical docs estimate 1.0, disjoint docs 0.0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(Dedup.shingles(toks(df), "doc_id", 3), "doc_id", 8)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val out = Dedup.minhashEstimate(sig, pairs, "doc_id", 8)
+      .orderBy("id1", "id2").collect()
+    assert(out(0) == Row(1L, 2L, 8L, 1.0))   // identical shingle sets
+    assert(out(1) == Row(1L, 3L, 0L, 0.0))   // disjoint shingle sets
+  }
+
+  test("duplicatedSpans: only positions covered by repeated n-grams count") {
+    // docs 1 and 2 share an 8-token run; doc 3 is unique; doc 4 repeats a
+    // run WITHIN itself (within-doc repetition also counts — Lee et al.
+    // dedup any substring occurring more than once in the corpus)
+    val shared = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"x1 y1 $shared z1"),
+      (2L, s"x2 $shared z2 w2"),
+      (3L, "p q r s t u v w x y z"),
+      (4L, s"$shared $shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(toks(df), "doc_id", n = 8, flagAt = 0.5)
+      .orderBy("doc_id").collect()
+    // docs 1/2: exactly the 8 shared positions are covered (8/11 > 0.5 →
+    // flagged for drop)
+    assert(out(0) == Row(1L, 11L, 8L, 8.0 / 11, true))
+    assert(out(1) == Row(2L, 11L, 8L, 8.0 / 11, true))
+    assert(out(2) == Row(3L, 11L, 0L, 0.0, false))
+    // doc 4: the run "a..h" occurs at pos 0 and 8 (plus docs 1/2), and the
+    // straddling windows (h a b c d e f g etc.) are unique — covered
+    // positions are the union of the duplicated windows = all 16
+    assert(out(3) == Row(4L, 16L, 16L, 1.0, true))
+  }
+
+  test("dsirWeights: target-like docs score higher; totals are exact") {
+    // target speaks 'aa bb', raw docs either match the target distribution
+    // or don't
+    val target = Seq((100L, "aa bb aa bb aa bb")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "aa bb aa bb"),
+      (2L, "zz qq zz qq")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(toks(raw), toks(target), "doc_id", 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 4L)) // n_feats exact
+    val w1 = out(0).getDouble(4)
+    val w2 = out(1).getDouble(4)
+    assert(w1 > 0 && w2 < 0 && w1 > w2,
+      s"target-like doc must out-weigh off-target doc: $w1 vs $w2")
+  }
+
+  test("dsirWeights plan: model joins broadcast; no window") {
+    val target = Seq((100L, "aa bb")).toDF("doc_id", "text")
+    val raw = Seq((1L, "aa cc")).toDF("doc_id", "text")
+    val df = TextAnalysis.dsirWeights(toks(raw), toks(target), "doc_id", 64)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model join should broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
+  test("hashSplit: total, disjoint, deterministic, roughly proportional") {
+    val df = (0L until 2000L).toDF("doc_id")
+    val out = TextAnalysis.hashSplit(df, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L) // total: every doc exactly one band
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // deterministic: independent of corpus content and recomputation
+    val again = TextAnalysis.hashSplit(df.repartition(7), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("pqCode: m sub-codes pack positionally; codes index the codebooks") {
+    val vecs = (0L until 32L).map { i =>
+      (i, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4, dim = 16)
+    assert(cbs.length == 4 && cbs.forall(_.length == 4))
+    assert(cbs.forall(_.forall(_._2.length == 4)))
+    val codes = vecs.select(col("vec_id"),
+      Similarity.pqCode(col("embedding"), cbs).as("code")).collect()
+    // 4 subspaces × 2 bits each → codes in [0, 256)
+    assert(codes.forall(r => r.getLong(1) >= 0L && r.getLong(1) < 256L))
+    // a sampled centroid vector quantizes to ITSELF in every subspace:
+    // its packed code has the centroid's own index in each position
+    val sample = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    val sampleIds = vecs.select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).toSeq -> r.getLong(0)).toMap
+    sample.foreach { case (i, v) =>
+      val selfCode = (0 until 4).map(j => i.toLong * (1L << (2 * j))).sum
+      val got = codes.find(_.getLong(0) == sampleIds(v)).get.getLong(1)
+      assert(got == selfCode, s"centroid $i should self-quantize: $got != $selfCode")
+    }
+  }
+}
