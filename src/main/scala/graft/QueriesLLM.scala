@@ -190,6 +190,16 @@ object QueriesLLM {
       e.select(col("vec_id"), Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
         .orderBy("vec_id")
     },
+    // ---- ADC retrieval over PQ codes + exact rerank (compressed ANN) ----
+    "q78_adc_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
+      val codes = e.select(col("vec_id"),
+        Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
+      Similarity.adcTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", cbs, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -622,6 +632,78 @@ object QueriesLLM {
          SELECT vec_id,
            CAST(sum(i * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT) AS pq_code
          FROM code GROUP BY 1 ORDER BY 1""",
+    "q78_adc_topk" ->
+      """WITH cent AS (
+           SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+             - 1 AS INT) AS i, embedding
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 4),
+         ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         scored AS (
+           SELECT e.vec_id, ss.s, c.i,
+             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
+               AS cos
+           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
+         codes AS (
+           SELECT vec_id, s, i FROM scored
+           QUALIFY row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY cos DESC, i DESC) = 1),
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         dt AS (
+           SELECT q.query_id, ss.s, c.i AS code,
+             list_dot_product(CAST(q.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))
+               AS qdot,
+             list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))
+               AS cn2
+           FROM qs q CROSS JOIN ss CROSS JOIN cent c),
+         est AS (
+           SELECT d.query_id, k.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.qdot) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS sdot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.cn2) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS scn2
+           FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i
+           GROUP BY 1, 2),
+         este AS (
+           SELECT e.query_id, e.neighbor_id,
+             e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
+           FROM est e JOIN qs q USING (query_id)
+           WHERE e.query_id <> e.neighbor_id),
+         short AS (
+           SELECT query_id, neighbor_id FROM este
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY est_cos DESC, neighbor_id) <= 50),
+         exact AS (
+           SELECT s.query_id, s.neighbor_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM short s
+           JOIN embeddings a ON a.vec_id = s.query_id
+           JOIN embeddings b ON b.vec_id = s.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM exact)
+         SELECT query_id, neighbor_id, rank, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q67_repetition" ->
       """WITH base AS (
            SELECT doc_id,

@@ -218,6 +218,81 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** ADC (asymmetric distance computation) retrieval over PQ codes: the
+    * query keeps its full vector, the corpus is represented ONLY by packed
+    * codes — the estimated dot product is Σⱼ dot(qⱼ, centroid(j, codeⱼ)),
+    * separable across subspaces, and the estimated cosine divides by ‖q‖
+    * and the reconstructed-centroid norm √Σⱼ‖c(j,codeⱼ)‖².
+    *
+    * Scale shape — the point of PQ: the corpus side carries m small
+    * integers per vector instead of the embedding; the per-query distance
+    * table (m·k dot products) is computed once and BROADCAST, the
+    * candidate scan is a broadcast-join over exploded (vec, j, codeⱼ)
+    * rows re-aggregated by (query, vec) in fixed subspace order, and only
+    * the ADC top-`shortlist` survivors pay the exact-cosine join against
+    * full vectors. Returns (query_id, neighbor_id, rank, cos) — exact
+    * cosines, ADC-selected candidates. */
+  def adcTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
+      shortlist: Int): DataFrame = {
+    val m = codebooks.length
+    val kCodes = codebooks.head.length
+    val sub = codebooks.head.head._2.length
+    // per-query distance table entries as literal centroid subvectors:
+    // (j, code) → dot(q_j, c_{j,code}) and the centroid's ‖c‖² — computed
+    // per query row inside codegen, m·k folds of length dim/m = one full
+    // pass over q per codebook column
+    val entries = for {
+      (cb, j) <- codebooks.zipWithIndex
+      (code, cvec) <- cb
+    } yield {
+      val d = aggregate(
+        zip_with(slice(col("__qv"), j * sub + 1, sub), typedlit(cvec),
+          (x, w) => x.cast("double") * w.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct(lit(j).as("j"), lit(code).as("code"), d.as("qdot"), lit(cn2).as("cn2"))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), norm(col("__qv")).as("qn"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("qn"), col("e.j").as("j"),
+        col("e.code").as("code"), col("e.qdot").as("qdot"), col("e.cn2").as("cn2"))
+    // corpus codes unpacked to (id, j, code_j)
+    val unpacked = codes.select(col(idCol).as("neighbor_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => pmod(floor(col("pq_code") / pow(lit(kCodes), j.cast("double"))).cast("long"),
+            lit(kCodes)).cast("int"))).as(Seq("j", "code")))
+    // fixed j-order fold for the estimated score: deterministic like every
+    // other float reduction in this module
+    val est = unpacked.join(broadcast(q), Seq("j", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("qn")).as("qn"),
+        array_sort(collect_list(struct(col("j"), col("qdot"), col("cn2")))).as("__a"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (aggregate(col("__a"), lit(0.0), (a, x) => a + x.getField("qdot")) /
+          (col("qn") * sqrt(aggregate(col("__a"), lit(0.0),
+            (a, x) => a + x.getField("cn2"))))).as("est_cos"))
+    val short = est
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKPairs.topk(
+        col("neighbor_id").cast("long"), col("est_cos").cast("double"), shortlist)
+        .as("tops"))
+      .select(col("query_id"), explode(col("tops")).as("t"))
+      .select(col("query_id"), col("t._2").as("neighbor_id"))
+    // exact rerank: only the shortlist pays the full-vector cosine
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
+    topKByQuery(exact, k)
+  }
+
   /** Gaussian-plane variant — the production hash family. */
   def bucketedNeighborsGaussian(
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,

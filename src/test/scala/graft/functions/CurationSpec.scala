@@ -94,6 +94,39 @@ class CurationSpec extends SparkSpec {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("adcTopK: exact cosines out, high recall vs brute force, broadcast dtable") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 4, dim = 16)
+    val codes = vecs.select(col("vec_id"),
+      Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
+    val queries = vecs.filter(col("vec_id") < 10)
+    val adc = Similarity.adcTopK(queries, codes, vecs, "vec_id", "embedding",
+      cbs, k = 5, shortlist = 60)
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"distance-table join should broadcast:\n$plan")
+    val adcRows = adc.collect()
+    assert(adcRows.length == 50) // 10 queries × k
+    // cosines are EXACT (rerank stage) — spot-check one against cosine()
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = adcRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 30%-of-corpus shortlist from a 256-cell codebook recovers most of
+    // the true top-5; the floor guards regressions, not a recall SLA
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ADC recall collapsed: $recall")
+    // ranks are 1..k and cos non-increasing per query
+    adcRows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p =>
+        p.head.getDouble(3) >= p.last.getDouble(3)))
+    }
+  }
+
   test("pqCode: m sub-codes pack positionally; codes index the codebooks") {
     val vecs = (0L until 32L).map { i =>
       (i, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 10).toFloat))
