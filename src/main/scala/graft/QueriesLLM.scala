@@ -350,6 +350,33 @@ object QueriesLLM {
        WHERE cos >= 0.2 ORDER BY bucket, id1, id2"""
   }
 
+  /** Shared PQ CTE prefix (q77/q78): md5-sampled 4-centroid codebook, 8
+    * subspaces, per-(vector, subspace) nearest-centroid code — the single
+    * SQL definition of what a PQ code is. */
+  private val PqCodesCte =
+    """cent AS (
+           SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
+             - 1 AS INT) AS i, embedding
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 4),
+         ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         scored AS (
+           SELECT e.vec_id, ss.s, c.i,
+             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
+                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
+               AS cos
+           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
+         codes AS (
+           SELECT vec_id, s, i FROM scored
+           QUALIFY row_number() OVER (PARTITION BY vec_id, s
+             ORDER BY cos DESC, i DESC) = 1)"""
+
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper,
@@ -607,54 +634,12 @@ object QueriesLLM {
            FROM documents)
          ORDER BY doc_id""",
     "q77_pq_codes" ->
-      """WITH cent AS (
-           SELECT CAST(row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-             - 1 AS INT) AS i, embedding
-           FROM embeddings
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 4),
-         ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-         scored AS (
-           SELECT e.vec_id, ss.s, c.i,
-             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
-               AS cos
-           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
-         code AS (
-           SELECT vec_id, s, i FROM scored
-           QUALIFY row_number() OVER (PARTITION BY vec_id, s
-             ORDER BY cos DESC, i DESC) = 1)
+      s"""WITH $PqCodesCte
          SELECT vec_id,
            CAST(sum(i * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT) AS pq_code
-         FROM code GROUP BY 1 ORDER BY 1""",
+         FROM codes GROUP BY 1 ORDER BY 1""",
     "q78_adc_topk" ->
-      """WITH cent AS (
-           SELECT CAST(row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-             - 1 AS INT) AS i, embedding
-           FROM embeddings
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 4),
-         ss AS (SELECT unnest(generate_series(0, 7)) AS s),
-         scored AS (
-           SELECT e.vec_id, ss.s, c.i,
-             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
-               AS cos
-           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
-         codes AS (
-           SELECT vec_id, s, i FROM scored
-           QUALIFY row_number() OVER (PARTITION BY vec_id, s
-             ORDER BY cos DESC, i DESC) = 1),
+      s"""WITH $PqCodesCte,
          qs AS (
            SELECT vec_id AS query_id, embedding,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -683,9 +668,10 @@ object QueriesLLM {
            SELECT e.query_id, e.neighbor_id,
              e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
            FROM est e JOIN qs q USING (query_id)
-           WHERE e.query_id <> e.neighbor_id),
+           WHERE e.query_id <> e.neighbor_id AND q.qn > 0),
          short AS (
            SELECT query_id, neighbor_id FROM este
+           WHERE NOT isnan(est_cos)
            QUALIFY row_number() OVER (PARTITION BY query_id
              ORDER BY est_cos DESC, neighbor_id) <= 50),
          exact AS (

@@ -195,6 +195,11 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       dim: Int): Seq[Seq[(Int, Seq[Float])]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    // the packed code and its double-arithmetic unpack (adcTopK) must stay
+    // exact: k^m has to fit a double's 53-bit integer range — m=8,k=256
+    // (the canonical 64-bit PQ) needs a wider code column, not this packing
+    require(BigInt(k).pow(m) <= (BigInt(1) << 53),
+      s"k^m = $k^$m overflows exact BIGINT packing; use fewer/smaller codebooks")
     val sub = dim / m
     val sample = ivfCentroids(vectors, idCol, vecCol, k)
     (0 until m).map(j => sample.map { case (i, v) =>
@@ -212,6 +217,8 @@ object Similarity {
   def pqCode(vec: Column, codebooks: Seq[Seq[(Int, Seq[Float])]]): Column = {
     val k = codebooks.head.length
     val sub = codebooks.head.head._2.length
+    require(BigInt(k).pow(codebooks.length) <= (BigInt(1) << 53),
+      s"k^m = $k^${codebooks.length} overflows exact BIGINT packing")
     codebooks.zipWithIndex.map { case (cb, j) =>
       val codeJ = ivfBucket(slice(vec, j * sub + 1, sub), cb)
       codeJ.cast("long") * math.pow(k, j).toLong
@@ -254,9 +261,14 @@ object Similarity {
       val cn2 = cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
       struct(lit(j).as("j"), lit(code).as("code"), d.as("qdot"), lit(cn2).as("cn2"))
     }
+    // zero-norm queries have no defined cosine: est_cos would be NaN for
+    // every candidate (dropped by the NaN-rejecting top-k while a SQL
+    // ORDER BY ranks NaN first) — exclude them outright, matching the
+    // oracle's qn > 0 guard
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), norm(col("__qv")).as("qn"),
         explode(array(entries: _*)).as("e"))
+      .filter(col("qn") > 0d)
       .select(col("query_id"), col("qn"), col("e.j").as("j"),
         col("e.code").as("code"), col("e.qdot").as("qdot"), col("e.cn2").as("cn2"))
     // corpus codes unpacked to (id, j, code_j)
@@ -275,6 +287,9 @@ object Similarity {
         (aggregate(col("__a"), lit(0.0), (a, x) => a + x.getField("qdot")) /
           (col("qn") * sqrt(aggregate(col("__a"), lit(0.0),
             (a, x) => a + x.getField("cn2"))))).as("est_cos"))
+      // a candidate whose reconstructed centroid norm is zero (degenerate
+      // codebook) has no estimate — drop rather than NaN-sink it
+      .filter(!isnan(col("est_cos")))
     val short = est
       .groupBy("query_id")
       .agg(graft.expressions.TopKPairs.topk(

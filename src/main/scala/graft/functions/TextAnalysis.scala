@@ -27,9 +27,15 @@ object TextAnalysis {
     * cheap deterministic stand-in for a model embedding — the cosine
     * near-dup machinery downstream is identical whichever embedder fills
     * the column. Docs with no tokens get the zero vector. */
+  /** Engine-portable token→bucket hash (first md5 byte mod `dim`) — the
+    * single source for every hashed-feature family here ([[hashEmbedding]],
+    * [[dsirWeights]]) and their oracle SQL. */
+  private def tokBucket(dim: Int): Column =
+    conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim
+
   def hashEmbedding(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     val t = tokens(df, idCol, textCol)
-    val bucket = conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim
+    val bucket = tokBucket(dim)
     val counts = t.groupBy(col(idCol), bucket.as("__b")).agg(count(lit(1)).as("__n"))
     val maps = counts.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__n")))).as("__m"))
@@ -371,6 +377,10 @@ object TextAnalysis {
   def hashSplit(
       df: DataFrame, idCol: String, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "hashSplit needs at least one band")
+    require(splits.forall(_._2 >= 0) && splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split weights must be non-negative and sum to <= 1 " +
+        s"(got ${splits.map(_._2).sum}) — an over-1 cumulative silently " +
+        "starves every later band")
     val hv = hashUniform(col(idCol), "split:").cast("double")
     val chain = splits.init.foldLeft((when(lit(false), ""), 0.0)) {
       case ((w, cum), (name, weight)) =>
@@ -403,9 +413,7 @@ object TextAnalysis {
       raw: DataFrame, target: DataFrame, idCol: String,
       buckets: Int = 64): DataFrame = {
     def bucket(t: DataFrame): DataFrame =
-      t.select(col(idCol),
-        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % buckets)
-          .as("__b"))
+      t.select(col(idCol), tokBucket(buckets).as("__b"))
     val rawF = bucket(raw)
     val tgtCounts = bucket(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
     val rawCounts = rawF.groupBy("__b").agg(count(lit(1)).as("__cr"))
@@ -425,7 +433,9 @@ object TextAnalysis {
           (col("__nr").cast("double") + buckets)).as("__pr"))
     val docCounts = rawF.groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
-    val perDoc = docCounts
+    // every raw token row lands in a model bucket (complete domain), so
+    // perDoc's key set IS the raw doc universe — no universe re-join needed
+    docCounts
       .join(broadcast(model), "__b")
       .groupBy(col(idCol)).agg(
         sum("__c").as("n_feats"),
@@ -439,9 +449,5 @@ object TextAnalysis {
         aggregate(col("__arr"), lit(0.0),
           (acc, x) => acc + x.getField("__c") *
             (log(x.getField("__pt")) - log(x.getField("__pr")))).as("logw"))
-    raw.select(col(idCol)).distinct().join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        col("sum_pt"), col("sum_pr"), col("logw"))
   }
 }

@@ -188,9 +188,12 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
         val tmp = s"$basePath/current.next"
         next.write.mode(SaveMode.Overwrite).parquet(tmp)
         val live = new org.apache.hadoop.fs.Path(s"$basePath/current")
-        // rename-aside swap (PartStore's protocol): the live snapshot is
-        // never deleted before its replacement is in place, so a crash at
-        // any point leaves either the old or the new snapshot readable
+        // rename-aside swap (PartStore's protocol): the old snapshot is
+        // never DELETED before its replacement lands — a crash inside the
+        // two-rename window leaves `current` absent but the data intact in
+        // `.current_old` / `current.next` (recovered by the next refresh's
+        // full re-derive); readers racing the window see a missing dir,
+        // not corrupt data
         val aside = new org.apache.hadoop.fs.Path(s"$basePath/.current_old")
         if (fs.exists(aside)) fs.delete(aside, true)
         if (!fs.rename(live, aside))
