@@ -176,6 +176,15 @@ object QueriesLLM {
           TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
         .orderBy("doc_id")
     },
+    // ---- duplicated-span removal (drop-every-occurrence rebuild) ----
+    "q79_dup_span_removal" -> { (s, dir) =>
+      val corpus = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(PromoTail))).otherwise(col("text")).as("text"))
+      Dedup.removeDuplicatedSpans(
+          TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
+        .orderBy("doc_id")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -615,6 +624,43 @@ object QueriesLLM {
            CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens >= 0.5
              AS flag_dup
          FROM tot t LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""",
+    "q79_dup_span_removal" ->
+      """WITH corpus AS (
+           SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN text || ' click here to subscribe to our newsletter today please thanks'
+             ELSE text END AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM corpus),
+         occ AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM base),
+         gr AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+           FROM occ),
+         dups AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, cp FROM (
+             SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+             FROM gr JOIN dups USING (g))),
+         tok AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos, toks
+           FROM base),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.toks[t.pos + 1] AS tok
+           FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+           WHERE c.doc_id IS NULL),
+         rebuilt AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY 1),
+         tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+         SELECT t.doc_id, t.n_tokens,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+         FROM tot t LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""",
     "q76_hash_split" ->
       """SELECT doc_id,
            CASE WHEN hv < 1000000.0 * 0.9 THEN 'train'

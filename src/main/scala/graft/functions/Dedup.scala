@@ -143,9 +143,11 @@ object Dedup {
     * that ARE duplicated (the signal — they cannot be capped away);
     * AQE skew-join splits them, and the build side carries one row per
     * duplicated distinct gram. */
-  def duplicatedSpans(
-      tokens: DataFrame, idCol: String, n: Int,
-      flagAt: Double = 0.5): DataFrame = {
+  /** Distinct (idCol, __cp) token positions covered by a corpus-duplicated
+    * n-gram — the shared core of [[duplicatedSpans]] (detect) and
+    * [[removeDuplicatedSpans]] (transform). */
+  private def coveredPositions(
+      tokens: DataFrame, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = (0 until n).map {
@@ -158,9 +160,15 @@ object Dedup {
       .filter(col("__full")).drop("__full")
     val dupGrams = occ.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__g")
-    val covered = occ.join(dupGrams, "__g")
+    occ.join(dupGrams, "__g")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
       .distinct()
+  }
+
+  def duplicatedSpans(
+      tokens: DataFrame, idCol: String, n: Int,
+      flagAt: Double = 0.5): DataFrame = {
+    val covered = coveredPositions(tokens, idCol, n)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
     val totals = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
     totals.join(covered, Seq(idCol), "left")
@@ -169,6 +177,35 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_tokens").cast("double") / col("n_tokens"))
       .withColumn("flag_dup", col("dup_frac") >= flagAt)
+  }
+
+  /** Duplicated-span REMOVAL (the transform half of exact-substring dedup,
+    * RefinedWeb/C4-style "drop every occurrence"): rebuild each document
+    * from the tokens NOT covered by any corpus-duplicated n-gram,
+    * preserving token order. Returns (id, n_tokens, n_kept, clean_text);
+    * a fully-duplicated document keeps its row with empty text.
+    *
+    * Scale shape: [[coveredPositions]]'s pipelines plus one anti-join on
+    * (id, pos) and the ordered sorted-struct reassembly [[CorpusClean
+    * .boilerplateLines]] already carries — per-doc state bounded by
+    * document length. */
+  def removeDuplicatedSpans(
+      tokens: DataFrame, idCol: String, n: Int): DataFrame = {
+    val cov = coveredPositions(tokens, idCol, n)
+      .withColumnRenamed(idCol, "__cid")
+    val kept = tokens
+      .join(cov, tokens(idCol) === cov("__cid") && tokens("pos") === cov("__cp"),
+        "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos").as("p"),
+          col("tok").as("t")))), s => s.getField("t")), " ").as("clean_text"))
+    val totals = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Exact Jaccard for pairs: |A∩B| / |A∪B| via a shingle equi-join —

@@ -51,6 +51,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == Row(4L, 16L, 16L, 1.0, true))
   }
 
+  test("removeDuplicatedSpans: covered tokens drop, order preserved") {
+    val shared = "a b c d e f g h"
+    val df = Seq(
+      (1L, s"x1 y1 $shared z1"),
+      (2L, s"x2 $shared z2 w2"),
+      (3L, "p q r s t u v w x y z"),
+      (4L, s"$shared $shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(toks(df), "doc_id", n = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 11L, 3L, "x1 y1 z1"))
+    assert(out(1) == Row(2L, 11L, 3L, "x2 z2 w2"))
+    assert(out(2) == Row(3L, 11L, 11L, "p q r s t u v w x y z"))
+    // fully-duplicated doc keeps its row, empty text
+    assert(out(3) == Row(4L, 16L, 0L, ""))
+  }
+
   test("dsirWeights: target-like docs score higher; totals are exact") {
     // target speaks 'aa bb', raw docs either match the target distribution
     // or don't

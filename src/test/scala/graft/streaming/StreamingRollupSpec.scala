@@ -133,4 +133,33 @@ class StreamingRollupSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L), s"got $ids")
   }
 
+  test("stateless curation ops (hashSplit, stratifiedSample) run on streams") {
+    // hash-based splits/samples are pure projections/filters with no RNG
+    // state, so the SAME operators serve batch backfill and the streaming
+    // ingest path — and a doc's assignment agrees across both
+    implicit val sc = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "source")
+    val out = TextAnalysis.stratifiedSample(
+      TextAnalysis.hashSplit(stream, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1)),
+      "doc_id", "source", rates = Map("drop" -> 0.0), defaultRate = 1.0)
+    val q = out.writeStream.format("memory").queryName("split_sink")
+      .outputMode("append").start()
+    mem.addData((0L until 50L).map(i =>
+      (i, if (i % 5 == 0) "drop" else "keep")): _*)
+    q.processAllAvailable()
+    val rows = spark.table("split_sink").collect()
+    q.stop()
+    assert(rows.nonEmpty && rows.forall(_.getString(1) == "keep"))
+    // streaming assignment == batch assignment, row for row
+    val batch = TextAnalysis.hashSplit(
+      (0L until 50L).filter(_ % 5 != 0).map(i => (i, "keep")).toDF("doc_id", "source"),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => batch(r.getLong(0)) == r.getString(2)))
+  }
+
 }
