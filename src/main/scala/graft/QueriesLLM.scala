@@ -74,6 +74,12 @@ object QueriesLLM {
     "q29_simhash" -> { (s, dir) =>
       Dedup.simhash(toks(s, dir), "doc_id").orderBy("doc_id")
     },
+    // ---- SimHash Hamming-ball near-dup pairs (multi-index banding) ----
+    "q80_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDups(Dedup.simhash(toks(s, dir), "doc_id"),
+          "doc_id", maxHam = 3, maxBucket = 200)
+        .orderBy("id1", "id2")
+    },
     // ---- eval-set decontamination (broadcast n-gram overlap) ----
     "q63_decontaminate" -> { (s, dir) =>
       val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
@@ -359,6 +365,28 @@ object QueriesLLM {
        WHERE cos >= 0.2 ORDER BY bucket, id1, id2"""
   }
 
+  /** Shared 16-bit SimHash CTE (q29/q80): md5-nibble token values, ±1
+    * per-bit votes, sign → bit; yields `sh16(doc_id, simhash)`. */
+  private val SimhashCte =
+    s"""$ToksCte,
+         tv AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS BIGINT) AS v
+           FROM toks),
+         votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (v >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+           FROM tv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+           GROUP BY 1, 2),
+         sh16 AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS BIGINT) AS simhash
+           FROM votes GROUP BY 1)"""
+
   /** Shared PQ CTE prefix (q77/q78): md5-sampled 4-centroid codebook, 8
     * subspaces, per-(vector, subspace) nearest-centroid code — the single
     * SQL definition of what a PQ code is. */
@@ -438,23 +466,28 @@ object QueriesLLM {
          WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.10
          ORDER BY 1, 2""",
     "q29_simhash" ->
-      s"""WITH $ToksCte,
-         tv AS (
-           SELECT doc_id,
-             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
-               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
-               + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
-               + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS BIGINT) AS v
-           FROM toks),
-         votes AS (
-           SELECT doc_id, b,
-             sum(CASE WHEN (v >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
-           FROM tv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
-           GROUP BY 1, 2)
-         SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-             AS simhash
-         FROM votes GROUP BY 1 ORDER BY 1""",
+      s"""WITH $SimhashCte
+         SELECT doc_id, simhash FROM sh16 ORDER BY 1""",
+    "q80_simhash_neardup" ->
+      s"""WITH $SimhashCte,
+         bands AS (
+           SELECT doc_id, simhash, b.band, (simhash >> (4 * b.band)) % 16 AS key
+           FROM sh16 CROSS JOIN
+             (SELECT unnest(generate_series(0, 3)) AS band) b),
+         bsz AS (
+           SELECT band, key FROM bands GROUP BY 1, 2 HAVING count(*) <= 200),
+         capped AS (
+           SELECT x.* FROM bands x JOIN bsz s
+             ON x.band = s.band AND x.key = s.key),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+             x.simhash AS h1, y.simhash AS h2
+           FROM capped x JOIN capped y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT id1, id2,
+           CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+         ORDER BY 1, 2""",
     "q63_decontaminate" ->
       s"""WITH $ShinglesCte,
          eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),

@@ -347,6 +347,45 @@ object Dedup {
         (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** SimHash near-dup pairs by Hamming ball (Manku et al. 2007's
+    * multi-index approach, public): the 16-bit signature splits into 4
+    * nibble bands — by pigeonhole, any pair within Hamming distance
+    * `maxHam` ≤ 3 agrees on at least one whole band, so banding is EXACT
+    * for the ball, not probabilistic. Candidates share a (band, key)
+    * bucket; the verify is one codegen'd `bit_count(xor)` per pair.
+    *
+    * Scale shape: identical to [[lshCandidates]] — a capped equi-join on
+    * the band key (`maxBucket` via [[SkewOps.keepSmallKeys]] for degenerate
+    * signatures), shuffle ∝ bucket sizes, never all-pairs. */
+  def simhashNearDups(
+      sig: DataFrame, idCol: String, maxHam: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHam <= 3,
+      s"4-band pigeonhole covers Hamming <= 3; maxHam=$maxHam needs more bands")
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), 4 * b) % 16).as("key"))
+    }
+    val buckets0 = sig.select(col(idCol), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) buckets0
+      else SkewOps.keepSmallKeys(buckets0, Seq("band", "key"), maxBucket)
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= maxHam)
+      .select("id1", "id2", "hamming")
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -68,6 +68,23 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == Row(4L, 16L, 0L, ""))
   }
 
+  test("simhashNearDups: banding is exact for the Hamming-3 ball") {
+    // pigeonhole: <=3 differing bits across 4 nibble bands leave at least
+    // one band intact, so the banded join must find EVERY pair at H<=3 —
+    // compare against the brute-force ball
+    val rnd = new scala.util.Random(11)
+    val sigs = (0L until 60L).map(i => (i, rnd.nextInt(1 << 16).toLong))
+    val sig = sigs.toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDups(sig, "doc_id", maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (i, hi) <- sigs; (j, hj) <- sigs if i < j
+      h = java.lang.Long.bitCount(hi ^ hj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty) // the fixture actually exercises the ball
+  }
+
   test("dsirWeights: target-like docs score higher; totals are exact") {
     // target speaks 'aa bb', raw docs either match the target distribution
     // or don't
