@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{FloatVectorDot, TopKPairs}
+import graft.expressions.{FloatVectorDot, MinKLongs, TopKPairs}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.IntegerType
   *  - `fvec_topk(id, score, k)` — bounded top-k aggregate
   *    ([[graft.expressions.TopKPairs]]); k must be an integer literal
   *    (it sizes the aggregation buffer at plan time).
+  *  - `kmv_mink(value, k)` — k-minimum-values sketch aggregate
+  *    ([[graft.expressions.MinKLongs]]); same literal-k rule.
   *
   * Wire-up: `spark.sql.extensions=graft.GraftExtensions` on any session
   * (cluster-wide via spark-defaults), or [[GraftExtensions.register]] on an
@@ -47,6 +49,13 @@ object GraftExtensions {
           TopKPairs(id, score, k)
         case _ => throw new IllegalArgumentException(
           "fvec_topk(id, score, k) takes 2 columns and an integer literal k")
+      }),
+    (new FunctionIdentifier("kmv_mink"),
+      info("kmv_mink", classOf[MinKLongs]),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(k: Int, IntegerType)) => MinKLongs(v, k)
+        case _ => throw new IllegalArgumentException(
+          "kmv_mink(value, k) takes a bigint column and an integer literal k")
       }))
 
   /** Register the same functions into a live session (the config-free

@@ -80,6 +80,16 @@ object QueriesLLM {
           "doc_id", maxHam = 3, maxBucket = 200)
         .orderBy("id1", "id2")
     },
+    // ---- KMV distinct-count sketch vs exact (per-source vocabulary) ----
+    "q81_kmv_distinct" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val t = TextAnalysis.tokens(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      val sk = TextAnalysis.kmvDistinct(t, Seq("source"), "tok", k = 128)
+      t.groupBy("source").agg(countDistinct(col("tok")).as("exact_distinct"))
+        .join(sk, "source")
+        .orderBy("source")
+    },
     // ---- eval-set decontamination (broadcast n-gram overlap) ----
     "q63_decontaminate" -> { (s, dir) =>
       val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
@@ -488,6 +498,36 @@ object QueriesLLM {
            CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(h1, h2)) <= 3
          ORDER BY 1, 2""",
+    "q81_kmv_distinct" ->
+      s"""WITH $ToksCte,
+         tt AS (
+           SELECT t.doc_id, t.tok, d.source
+           FROM toks t JOIN documents d USING (doc_id)),
+         hv AS (
+           SELECT DISTINCT source,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS BIGINT)
+             AS h
+           FROM tt),
+         mins AS (
+           SELECT source, h FROM hv
+           QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 128),
+         agg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_minima, max(h) AS kth
+           FROM mins GROUP BY 1),
+         ex AS (
+           SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+           FROM tt GROUP BY 1)
+         SELECT source, exact_distinct, n_minima,
+           CASE WHEN n_minima < 128 THEN CAST(n_minima AS DOUBLE)
+                ELSE 127 * 4294967296.0 / kth END AS est_distinct
+         FROM ex JOIN agg USING (source) ORDER BY source""",
     "q63_decontaminate" ->
       s"""WITH $ShinglesCte,
          eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),

@@ -23,10 +23,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(top1.map(_.getLong(1)) == Seq(1L, 3L)) // best two by score
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(9L))
 
+    // kmv_mink: sorted distinct minima, bounded at k
+    Seq(5L, 3L, 9L, 3L, 1L, 7L).toDF("v").createOrReplaceTempView("vals")
+    val minima = spark.sql("SELECT kmv_mink(v, 3) AS m FROM vals")
+      .head.getSeq[Long](0)
+    assert(minima == Seq(1L, 3L, 5L)) // duplicate 3 occupies one slot
+
     GraftExtensions.register(spark) // idempotent
     // the extensions class itself injects the same builders
     val ext = new GraftExtensions
-    assert(GraftExtensions.functions.length == 2 && ext != null)
+    assert(GraftExtensions.functions.length == 3 && ext != null)
   }
 
   test("fvec_topk rejects a non-literal k at analysis") {

@@ -85,6 +85,23 @@ class CurationSpec extends SparkSpec {
     assert(want.nonEmpty) // the fixture actually exercises the ball
   }
 
+  test("kmvDistinct: exact below k, sane estimate above, partition-invariant") {
+    val small = (0 until 50).map(i => ("g", s"tok$i")) ++
+      (0 until 50).map(i => ("g", s"tok$i")) // duplicates must not count
+    val out1 = TextAnalysis.kmvDistinct(small.toDF("g", "v"), Seq("g"), "v", k = 128)
+      .collect()
+    assert(out1.head.getLong(1) == 50L)       // n_minima = distinct values
+    assert(out1.head.getDouble(2) == 50.0)    // exact when below k
+    val big = (0 until 20000).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val est = TextAnalysis.kmvDistinct(big, Seq("g"), "v", k = 256)
+      .collect().head.getDouble(2)
+    assert(est > 15000 && est < 25000, s"KMV estimate off: $est for 20000")
+    // sketch is a pure function of the SET: any partitioning, same result
+    val est2 = TextAnalysis.kmvDistinct(big.repartition(13), Seq("g"), "v", k = 256)
+      .collect().head.getDouble(2)
+    assert(est == est2)
+  }
+
   test("dsirWeights: target-like docs score higher; totals are exact") {
     // target speaks 'aa bb', raw docs either match the target distribution
     // or don't
