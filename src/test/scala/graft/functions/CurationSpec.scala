@@ -129,6 +129,33 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
 
+  test("dsirWeights and adcTopK float outputs are partition-invariant") {
+    // both fold floats in sorted key order inside an aggregate — the
+    // result must be bit-identical under any input partitioning
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11}")).toDF("doc_id", "text")
+    val t1 = toks(docs)
+    val t2 = toks(docs.repartition(11))
+    def dsir(t: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dsirWeights(t.filter(col("doc_id") % 3 =!= 0),
+          t.filter(col("doc_id") % 3 === 0), "doc_id", 64)
+        .orderBy("doc_id").collect().toSeq
+    assert(dsir(t1) == dsir(t2))
+
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", 4, 4, 16)
+    def adc(v: org.apache.spark.sql.DataFrame) = {
+      val codes = v.select(col("vec_id"),
+        Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
+      Similarity.adcTopK(v.filter(col("vec_id") < 5), codes, v,
+          "vec_id", "embedding", cbs, k = 3, shortlist = 20)
+        .orderBy("query_id", "rank").collect().toSeq
+    }
+    assert(adc(vecs) == adc(vecs.repartition(9)))
+  }
+
   test("hashSplit: total, disjoint, deterministic, roughly proportional") {
     val df = (0L until 2000L).toDF("doc_id")
     val out = TextAnalysis.hashSplit(df, "doc_id",
