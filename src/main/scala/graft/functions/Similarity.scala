@@ -202,6 +202,10 @@ object Similarity {
       s"k^m = $k^$m overflows exact BIGINT packing; use fewer/smaller codebooks")
     val sub = dim / m
     val sample = ivfCentroids(vectors, idCol, vecCol, k)
+    require(sample.length == k,
+      s"corpus has only ${sample.length} vectors — cannot sample a " +
+        s"$k-centroid codebook (pqCode on a partial codebook would emit " +
+        "codes the unpack arithmetic misinterprets)")
     (0 until m).map(j => sample.map { case (i, v) =>
       i -> v.slice(j * sub, (j + 1) * sub)
     })

@@ -205,6 +205,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("edge inputs: empty/degenerate corpora don't throw or mis-code") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(toks(empty), "doc_id", 8).count() == 0)
+    assert(Dedup.removeDuplicatedSpans(toks(empty), "doc_id", 8).count() == 0)
+    assert(TextAnalysis.kmvDistinct(empty, Seq("doc_id"), "text", 8).count() == 0)
+    assert(TextAnalysis.hashSplit(empty, "doc_id", Seq("a" -> 1.0)).count() == 0)
+    // dsir with an EMPTY target: smoothing floor only, still well-defined
+    val raw = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(toks(raw), toks(empty), "doc_id", 64)
+      .collect()
+    assert(w.length == 1 && !w.head.isNullAt(2))
+    // a codebook cannot be sampled from a too-small corpus — loud, not wrong
+    val tiny = Seq((1L, Array.fill(16)(1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqCodebooks(tiny, "vec_id", "embedding", 4, 4, 16))
+    assert(e.getMessage.contains("codebook"))
+  }
+
   test("pqCode: m sub-codes pack positionally; codes index the codebooks") {
     val vecs = (0L until 32L).map { i =>
       (i, Array.tabulate(16)(d => (math.sin(i * 16 + d) * 10).toFloat))
