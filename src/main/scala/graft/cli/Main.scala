@@ -248,6 +248,17 @@ object Main {
     // `minerva structure dump` (commands/structure.py — a stub in the
     // reference; graft dumps the loaded catalog as one JSON document):
     // stores/parts/trends plus the other definition kinds of the bundle.
+    // Instance skeleton (commands/quick_start.py): a minimal COMPLETE
+    // bundle — run `initialize --load-sample-data <dir>` on it next.
+    case "quick-start" :: dir :: rest =>
+      val name = rest match {
+        case "--instance-name" :: n :: Nil => n
+        case Nil => "default"
+        case other => sys.error(s"unexpected arguments: ${other.mkString(" ")}")
+      }
+      val written = QuickStart.write(dir, name)
+      println(s"""{"skeleton":"$dir","instance":"$name","files":${written.length}}""")
+
     case "structure" :: instanceDir :: Nil =>
       val inst = InstanceModel.loadInstance(instanceDir)
       def js(s: String) = "\"" + s.flatMap {

@@ -43,6 +43,30 @@ class CatalogCliSpec extends SparkSpec {
     assert(run("data-source", "list", base) == "[]")
   }
 
+  test("quick-start writes a complete bundle that initializes end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_qs_base_").toString
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("quick-start", dir, "--instance-name", "campus"))
+    }
+    assert(out.toString.contains("\"instance\":\"campus\""))
+    // the skeleton parses as a full instance...
+    val inst = graft.model.InstanceModel.loadInstance(dir)
+    assert(inst.trendStores.nonEmpty && inst.attributeStores.nonEmpty &&
+      inst.notificationStores.nonEmpty && inst.relations.nonEmpty &&
+      inst.virtualEntities.nonEmpty && inst.triggers.nonEmpty)
+    assert(inst.trendStores.head.parts.head.name == "campus_router_main_15m")
+    // ...and bootstraps a POPULATED instance in one command
+    Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      Main.main(Array("initialize", dir, base, "--load-sample-data"))
+    }
+    val part = spark.read.parquet(s"$base/trend/campus_router_main_15m")
+    assert(part.count() == 3)
+    assert(spark.read.parquet(s"$base/attribute/inventory_router/history")
+      .count() == 3)
+  }
+
   test("expire CLI drops partitions before the cutoff") {
     import spark.implicits._
     val sb = s"$base/expire_store"
