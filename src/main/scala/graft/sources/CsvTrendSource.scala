@@ -104,6 +104,19 @@ object CsvTrendSource {
       expr(
         s"""CASE
             WHEN $v IS NULL OR $v = '$nullTok' OR $v = '' THEN 0
+            -- fast text path: every numeric form (after Float.parseFloat's
+            -- whitespace trim) starts with sign/digit/dot or NaN/Infinity,
+            -- and both timestamp formats start with a digit — anything else
+            -- is rank-7 text after ONE regex instead of eight parse
+            -- attempts (this dominates deduction cost on string columns)
+            WHEN NOT ($v RLIKE '^\\\\s*[+\\\\-.0-9nNiI]') THEN 7
+            -- fast timestamp path: a shape-matching value that parses is
+            -- rank 6 in the original chain too (the '-'/':' characters make
+            -- every numeric try_cast fail), so testing it first is
+            -- equivalent — and saves the six numeric attempts per value
+            WHEN $v RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}$$'
+              AND (try_to_timestamp($v, 'yyyy-MM-dd HH:mm:ss') IS NOT NULL
+                OR try_to_timestamp($v, "yyyy-MM-dd'T'HH:mm:ss") IS NOT NULL) THEN 6
             WHEN try_cast($v AS SMALLINT) IS NOT NULL AND NOT contains($v, '.')
               AND NOT contains($v, 'e') AND NOT contains($v, 'E') THEN 0
             WHEN try_cast($v AS INT) IS NOT NULL AND NOT contains($v, '.')

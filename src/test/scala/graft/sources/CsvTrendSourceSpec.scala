@@ -33,6 +33,29 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(schema("label") == MText)
   }
 
+  test("distributed deduction agrees with the driver lattice on adversarial values") {
+    // one column per adversarial value family: the distributed CASE chain's
+    // fast text/timestamp short-circuits must not change any
+    // classification vs MinervaType.deduceValue's parse-based lattice
+    val values = Seq(
+      "42", "40000", "3000000000", "1.5", "NaN", "Infinity", "-Infinity",
+      "e5", "true", "user=7", "north-r1", "2020-08-25 14:00:00",
+      "2020-08-25T14:00:00", "2020-13-99 99:99:99", ".5", "+5", "-0.25",
+      "12345678901234567890123", "\\N", "iphone", "none")
+    val cols = values.indices.map(i => s"c$i")
+    val p = Paths.get("target/tmp/adversarial.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      cols.mkString(",") + "\n" + values.map(v => "\"" + v + "\"").mkString(",") + "\n")
+    val cfg = CsvSourceConfig("c0", None)
+    val dist = CsvTrendSource.deduceSchemaDistributed(spark, p.toString, cfg).toMap
+    values.zipWithIndex.foreach { case (v, i) =>
+      val want = graft.core.MinervaType.deduceValue(v)
+      assert(dist(s"c$i") == want,
+        s"value '$v': distributed=${dist(s"c$i")} driver=$want")
+    }
+  }
+
   test("read normalizes: entity/timestamp naming, null tokens, typed trends") {
     val path = writeFixture("readnorm")
     val cfg = CsvSourceConfig("node", Some("timestamp"))
