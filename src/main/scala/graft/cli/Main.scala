@@ -148,6 +148,56 @@ object Main {
             sys.error("relation is not needed for YAML compilation")))
       }
 
+    // `minerva aggregation generate-standard-aggregations`
+    // (aggregation_generation.py): for every RAW trend store, write +
+    // compile the standard time ladder and per-relation entity
+    // aggregations. Chained rungs (1d->1w) compile against the target
+    // store produced by the earlier rung.
+    case "aggregation-generate" :: instanceDir :: Nil =>
+      import graft.model.{AggregationDef, AggregationGeneration => AG}
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val aggDir = java.nio.file.Paths.get(instanceDir, "aggregation")
+      val genTrendDir = java.nio.file.Paths.get(instanceDir, "trend")
+      val genMatDir = java.nio.file.Paths.get(instanceDir, "materialization")
+      Seq(aggDir, genTrendDir, genMatDir)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      var stores = inst.trendStores
+      var compiled = 0
+      def compileAndWrite(
+          name: String, c: AggregationCompiler.CompiledAggregation): Unit = {
+        java.nio.file.Files.writeString(genTrendDir.resolve(s"$name.yaml"),
+          InstanceModel.renderTrendStore(c.targetStore))
+        c.units.foreach { u =>
+          java.nio.file.Files.writeString(
+            genMatDir.resolve(s"${u.targetPart}.yaml"),
+            InstanceModel.renderMaterialization(u.materialization))
+        }
+        stores = stores :+ c.targetStore
+        compiled += 1
+      }
+      inst.trendStores.filter(AG.isRaw).foreach { raw =>
+        val rungs = AG.timeLadder(raw)
+        rungs.foreach { ta =>
+          java.nio.file.Files.writeString(aggDir.resolve(s"${ta.name}.yaml"),
+            InstanceModel.renderAggregation(AggregationDef(Some(ta), None)))
+          val src = stores.find(st => st.title == ta.source ||
+              st.parts.exists(p => ta.parts.exists(_.source == p.name)))
+            .getOrElse(sys.error(s"no source store for rung '${ta.name}'"))
+          compileAndWrite(ta.name, AggregationCompiler.compileTimeAggregation(src, ta))
+        }
+        val targets = rungs.flatMap(ta => stores.find(_.title == ta.name))
+        (raw +: targets).foreach { st =>
+          AG.entityAggregations(st, inst.relations).foreach { ea =>
+            java.nio.file.Files.writeString(aggDir.resolve(s"${ea.name}.yaml"),
+              InstanceModel.renderAggregation(AggregationDef(None, Some(ea))))
+            compileAndWrite(ea.name, AggregationCompiler.compileEntityAggregation(
+              st, ea, sys.error("relation is not needed for YAML compilation")))
+          }
+        }
+      }
+      println(s"""{"generated":$compiled,"raw_stores":${
+        inst.trendStores.count(AG.isRaw)}}""")
+
     // Catalog registries (reference entity_type.py / data_source.py /
     // alias.py: create/delete/list over directory tables). graft keeps
     // data sources and alias types as filesystem registries under the
@@ -597,6 +647,8 @@ object Main {
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
+           |  aggregation-generate <instanceDir>
+           |  quick-start <dir> [--instance-name <name>]
            |  structure <instanceDir>
            |  generate-sample-data <instanceDir> <name> <outDir> [--interval-count=N] [--now=sec]
            |  entity-type create|delete|list <storeBase> [name]

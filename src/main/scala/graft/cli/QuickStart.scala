@@ -22,7 +22,7 @@ object QuickStart {
     val ds = if (instanceName == "default") "net" else instanceName
     val files: Seq[(String, String)] = Seq(
       s"trend/${ds}_router_15m.yaml" ->
-        s"""title: Router counters
+        s"""title: Raw router counters
            |data_source: $ds
            |entity_type: router
            |granularity: 15m

@@ -389,6 +389,33 @@ object InstanceModel {
         jmap("trend_store_part" -> s.trendStorePart,
           "mapping_function" -> s.mappingFunction)))))
 
+  /** Render an aggregation definition as reference-shaped YAML
+    * (aggregation_generation.py:200-292 writes the same keys;
+    * parseAggregation is the inverse). */
+  def renderAggregation(defn: AggregationDef): String = {
+    val body = defn.timeAggregation.map { ta =>
+      "time_aggregation" -> jmap(
+        "source" -> ta.source,
+        "name" -> ta.name,
+        "data_source" -> ta.dataSource.orNull,
+        "entity_type" -> ta.entityType.orNull,
+        "granularity" -> ta.granularity.name,
+        "mapping_function" -> ta.mappingFunction,
+        "parts" -> jlist(ta.parts.map(p =>
+          jmap("name" -> p.name, "source" -> p.source))))
+    }.orElse(defn.entityAggregation.map { ea =>
+      "entity_aggregation" -> jmap(
+        "source" -> ea.source,
+        "name" -> ea.name,
+        "entity_type" -> ea.entityType,
+        "relation" -> ea.relation,
+        "aggregation_type" -> ea.aggregationType,
+        "parts" -> jlist(ea.parts.map(p =>
+          jmap("name" -> p.name, "source" -> p.source))))
+    }).getOrElse(throw new IllegalArgumentException("empty aggregation def"))
+    dumpYaml(jmap(body))
+  }
+
   /** One native sample dataset (sample-data/definition.yaml `native`
     * entries, commands/load_sample_data.py:61-86 + the parser_config the
     * harvest plugin receives). */

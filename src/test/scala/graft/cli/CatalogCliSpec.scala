@@ -67,6 +67,37 @@ class CatalogCliSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("aggregation-generate writes and compiles the standard ladder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen_").toString
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) {
+      Main.main(Array("quick-start", dir))
+      Main.main(Array("aggregation-generate", dir))
+    }
+    def names(sub: String) =
+      new java.io.File(s"$dir/$sub").list().toSet
+    // the 15m ladder: 1h, 1d (from raw) then 1w, 1month (chained off 1d),
+    // plus entity aggregations onto v-region for raw AND each target
+    val aggs = names("aggregation")
+    assert(Set("net_router_1h.yaml", "net_router_1d.yaml",
+      "net_router_1w.yaml", "net_router_1month.yaml").subsetOf(aggs), aggs)
+    assert(aggs.contains("net_v-region_15m.yaml") &&
+      aggs.contains("net_v-region_1h.yaml"), aggs)
+    // compiled artifacts landed: target stores + per-part materializations
+    val trends = names("trend")
+    assert(trends.contains("net_router_1h.yaml") &&
+      trends.contains("net_router_1month.yaml"), trends)
+    assert(names("materialization").contains("net_router_main_1h.yaml"))
+    // everything generated still loads as one consistent instance
+    val inst = graft.model.InstanceModel.loadInstance(dir)
+    assert(inst.trendStores.map(_.title).count(_.startsWith("net_router_")) == 4)
+    // chained rung really sources the 1d aggregation, not the raw store
+    val w = inst.aggregations.flatMap(_.timeAggregation)
+      .find(_.name == "net_router_1w").get
+    assert(w.source == "net_router_1d" &&
+      w.parts.head.source == "net_router_main_1d")
+  }
+
   test("expire CLI drops partitions before the cutoff") {
     import spark.implicits._
     val sb = s"$base/expire_store"
