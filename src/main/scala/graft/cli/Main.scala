@@ -185,9 +185,10 @@ object Main {
             .getOrElse(sys.error(s"no source store for rung '${ta.name}'"))
           compileAndWrite(ta.name, AggregationCompiler.compileTimeAggregation(src, ta))
         }
+        val hints = InstanceModel.loadAggregationHints(instanceDir)
         val targets = rungs.flatMap(ta => stores.find(_.title == ta.name))
         (raw +: targets).foreach { st =>
-          AG.entityAggregations(st, inst.relations).foreach { ea =>
+          AG.entityAggregations(st, inst.relations, hints).foreach { ea =>
             java.nio.file.Files.writeString(aggDir.resolve(s"${ea.name}.yaml"),
               InstanceModel.renderAggregation(AggregationDef(None, Some(ea))))
             compileAndWrite(ea.name, AggregationCompiler.compileEntityAggregation(

@@ -389,6 +389,28 @@ object InstanceModel {
         jmap("trend_store_part" -> s.trendStorePart,
           "mapping_function" -> s.mappingFunction)))))
 
+  /** Parse `aggregation/aggregation_hints.yaml`
+    * (instance/__init__.py:548-562): relation name → "TYPE" or
+    * "TYPE+prefix"; TYPE normalizes to the upper-case aggregation-type
+    * names parseAggregation already accepts. */
+  def parseAggregationHints(yamlText: String): Map[String, (String, String)] = {
+    val m = new Yaml().load[java.util.Map[String, String]](yamlText)
+    if (m == null) Map.empty
+    else m.asScala.toMap.map { case (rel, v) =>
+      val parts = String.valueOf(v).split("\\+", 2)
+      rel -> (parts(0).trim.toUpperCase,
+        if (parts.length > 1) parts(1).trim else "")
+    }
+  }
+
+  /** Load the instance's aggregation hints, if the file exists. */
+  def loadAggregationHints(instanceDir: String): Map[String, (String, String)] = {
+    val p = java.nio.file.Paths.get(instanceDir, "aggregation",
+      "aggregation_hints.yaml")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else parseAggregationHints(java.nio.file.Files.readString(p))
+  }
+
   /** Render an aggregation definition as reference-shaped YAML
     * (aggregation_generation.py:200-292 writes the same keys;
     * parseAggregation is the inverse). */

@@ -98,6 +98,24 @@ class CatalogCliSpec extends SparkSpec {
       w.parts.head.source == "net_router_main_1d")
   }
 
+  test("aggregation hints override entity-aggregation type and prefix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hints_").toString
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) { Main.main(Array("quick-start", dir)) }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "aggregation"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "aggregation", "aggregation_hints.yaml"),
+      "router->v-region: view_materialization+sum\n")
+    Console.withOut(sink) { Main.main(Array("aggregation-generate", dir)) }
+    val inst = graft.model.InstanceModel.loadInstance(dir)
+    val ea = inst.aggregations.flatMap(_.entityAggregation)
+      .find(_.name == "net_sum_v-region_15m")
+      .getOrElse(fail(s"prefixed aggregation missing: ${
+        inst.aggregations.flatMap(_.entityAggregation).map(_.name)}"))
+    assert(ea.aggregationType == "VIEW_MATERIALIZATION")
+    assert(ea.parts.head.name == "net_v-region_sum_main_15m")
+  }
+
   test("expire CLI drops partitions before the cutoff") {
     import spark.implicits._
     val sb = s"$base/expire_store"
