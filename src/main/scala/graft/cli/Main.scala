@@ -148,6 +148,61 @@ object Main {
             sys.error("relation is not needed for YAML compilation")))
       }
 
+    // `minerva trend-store check-config` (commands/trend_store/
+    // check_config.py): validate definitions — duplicate part names (the
+    // reference check) plus duplicate trend names within a part.
+    case "trend-store" :: "check-config" :: instanceDir :: Nil =>
+      val inst = InstanceModel.loadInstance(instanceDir)
+      var errors = 0
+      inst.trendStores.foreach { ts =>
+        val dupParts = ts.parts.groupBy(_.name).filter(_._2.length > 1).keys
+        dupParts.foreach { n =>
+          System.err.println(s"trend store '${ts.title}': duplicate part '$n'")
+          errors += 1
+        }
+        ts.parts.foreach { p =>
+          val dupTrends = (p.trends.map(_.name) ++ p.generatedTrends.map(_.name))
+            .groupBy(identity).filter(_._2.length > 1).keys
+          dupTrends.foreach { n =>
+            System.err.println(
+              s"trend store '${ts.title}' part '${p.name}': duplicate trend '$n'")
+            errors += 1
+          }
+        }
+      }
+      println(s"""{"trend_stores":${inst.trendStores.length},"errors":$errors}""")
+      if (errors > 0) sys.exit(1)
+
+    // `minerva trend-store deduce` (commands/trend_store/deduce.py +
+    // harvest/trend_config_deducer.py): deduce a full trend-store
+    // DEFINITION from a data file — exact distributed deduction, rendered
+    // as the same YAML `initialize` consumes.
+    case "trend-store" :: "deduce" :: csv :: idCol :: tsCol :: rest =>
+      val s = spark()
+      val (dataSource, entityType, granName) = rest match {
+        case ds :: et :: g :: Nil => (ds, et, g)
+        case ds :: et :: Nil => (ds, et, "1d")
+        case Nil => ("default", "node", "1d")
+        case other => sys.error(s"unexpected arguments: ${other.mkString(" ")}")
+      }
+      val gran = graft.core.Granularity.parse(granName)
+      val cfg = CsvSourceConfig(idCol, Some(tsCol))
+      val schema = CsvTrendSource.deduceSchemaDistributed(s, csv, cfg)
+      val trends = schema.collect {
+        case (c, t) if c != idCol && c != tsCol =>
+          graft.model.Trend(name = c, dataType = t)
+      }
+      val store = graft.model.TrendStore(
+        title = s"Deduced from $csv",
+        dataSource = dataSource,
+        entityType = entityType,
+        granularity = gran,
+        partitionSize = graft.operators.AggregationCompiler.partitionSizeFor(gran),
+        parts = Seq(graft.model.TrendStorePart(
+          name = s"${dataSource}_${entityType}_$granName",
+          trends = trends)))
+      println(InstanceModel.renderTrendStore(store))
+
     // `minerva aggregation generate-standard-aggregations`
     // (aggregation_generation.py): for every RAW trend store, write +
     // compile the standard time ladder and per-relation entity
@@ -649,6 +704,8 @@ object Main {
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
            |  aggregation-generate <instanceDir>
+           |  trend-store check-config <instanceDir>
+           |  trend-store deduce <csv> <idCol> <tsCol> [dataSource entityType granularity]
            |  quick-start <dir> [--instance-name <name>]
            |  structure <instanceDir>
            |  generate-sample-data <instanceDir> <name> <outDir> [--interval-count=N] [--now=sec]

@@ -98,6 +98,34 @@ class CatalogCliSpec extends SparkSpec {
       w.parts.head.source == "net_router_main_1d")
   }
 
+  test("trend-store check-config flags duplicate parts; deduce emits loadable YAML") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tscli_").toString
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) { Main.main(Array("quick-start", dir)) }
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("trend-store", "check-config", dir))
+    }
+    assert(out.toString.contains("\"errors\":0"), out.toString)
+
+    // deduce: CSV → trend-store YAML that parseTrendStore round-trips
+    val csv = java.nio.file.Files.createTempDirectory("graft_dedcli_")
+      .resolve("data.csv")
+    java.nio.file.Files.writeString(csv,
+      "node,ts,rx,label\nn1,2020-08-25 14:00:00,1.5,edge\n" +
+        "n2,2020-08-25 14:00:00,40000,core\n")
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("trend-store", "deduce", csv.toString, "node", "ts",
+        "net", "router", "15m"))
+    }
+    val ts = graft.model.InstanceModel.parseTrendStore(out2.toString)
+    assert(ts.dataSource == "net" && ts.granularity.name == "15m")
+    assert(ts.parts.head.name == "net_router_15m")
+    val types = ts.parts.head.trends.map(t => t.name -> t.dataType.name).toMap
+    assert(types("rx") == "real" && types("label") == "text", types)
+  }
+
   test("aggregation hints override entity-aggregation type and prefix") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hints_").toString
     val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
