@@ -375,6 +375,33 @@ object QueriesLLM {
        WHERE cos >= 0.2 ORDER BY bucket, id1, id2"""
   }
 
+  /** Shared duplicated-span CTE chain (q75/q79): promo-tail corpus (stays
+    * in sync with [[PromoTail]]), 8-gram occurrences with positions,
+    * corpus-duplicated grams, covered positions `cov(doc_id, cp)`, and
+    * per-doc token totals `tot(doc_id, n_tokens)`. */
+  private val DupSpansCte =
+    """corpus AS (
+           SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN text || ' click here to subscribe to our newsletter today please thanks'
+             ELSE text END AS text
+           FROM documents),
+         base AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM corpus),
+         occ AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM base),
+         gr AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
+           FROM occ),
+         dups AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, cp FROM (
+             SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
+             FROM gr JOIN dups USING (g))),
+         tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)"""
+
   /** Shared 16-bit SimHash CTE (q29/q80): md5-nibble token values, ±1
     * per-bit votes, sign → bit; yields `sh16(doc_id, simhash)`. */
   private val SimhashCte =
@@ -667,30 +694,10 @@ object QueriesLLM {
            FROM dc JOIN model USING (b) GROUP BY 1)
          SELECT doc_id, n_feats, sum_pt, sum_pr FROM agg ORDER BY doc_id""",
     "q75_dup_spans" ->
-      """WITH corpus AS (
-           SELECT doc_id, CASE WHEN doc_id % 4 = 0
-             THEN text || ' click here to subscribe to our newsletter today please thanks'
-             ELSE text END AS text
-           FROM documents),
-         base AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM corpus),
-         occ AS (
-           SELECT doc_id, toks,
-             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
-           FROM base),
-         gr AS (
-           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
-           FROM occ),
-         dups AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
-         cov AS (
-           SELECT DISTINCT doc_id, cp FROM (
-             SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
-             FROM gr JOIN dups USING (g))),
+      s"""WITH $DupSpansCte,
          cnt AS (
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
-           FROM cov GROUP BY 1),
-         tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+           FROM cov GROUP BY 1)
          SELECT t.doc_id, t.n_tokens,
            coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
            CAST(coalesce(c.n_dup_tokens, 0) AS DOUBLE) / t.n_tokens AS dup_frac,
@@ -698,26 +705,7 @@ object QueriesLLM {
              AS flag_dup
          FROM tot t LEFT JOIN cnt c USING (doc_id) ORDER BY doc_id""",
     "q79_dup_span_removal" ->
-      """WITH corpus AS (
-           SELECT doc_id, CASE WHEN doc_id % 4 = 0
-             THEN text || ' click here to subscribe to our newsletter today please thanks'
-             ELSE text END AS text
-           FROM documents),
-         base AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM corpus),
-         occ AS (
-           SELECT doc_id, toks,
-             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
-           FROM base),
-         gr AS (
-           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS g
-           FROM occ),
-         dups AS (SELECT g FROM gr GROUP BY g HAVING count(*) > 1),
-         cov AS (
-           SELECT DISTINCT doc_id, cp FROM (
-             SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
-             FROM gr JOIN dups USING (g))),
+      s"""WITH $DupSpansCte,
          tok AS (
            SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos, toks
            FROM base),
@@ -728,8 +716,7 @@ object QueriesLLM {
          rebuilt AS (
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
              string_agg(tok, ' ' ORDER BY pos) AS clean_text
-           FROM kept GROUP BY 1),
-         tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)
+           FROM kept GROUP BY 1)
          SELECT t.doc_id, t.n_tokens,
            coalesce(r.n_kept, 0) AS n_kept,
            coalesce(r.clean_text, '') AS clean_text

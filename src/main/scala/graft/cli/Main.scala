@@ -36,6 +36,16 @@ object Main {
     s
   }
 
+  /** Resolve an aggregation definition's source store: by title, else by
+    * any part the definition sources (shared by aggregation-compile and
+    * aggregation-generate so the two lookups cannot drift). */
+  private def findAggregationSource(
+      stores: Seq[graft.model.TrendStore], source: String,
+      parts: Seq[graft.model.AggregationPartDef])
+      : Option[graft.model.TrendStore] =
+    stores.find(st => st.title == source ||
+      st.parts.exists(p => parts.exists(_.source == p.name)))
+
   def main(args: Array[String]): Unit = args.toList match {
     case "load-data" :: csv :: idCol :: tsCol :: base :: part :: rest =>
       val s = spark()
@@ -112,9 +122,7 @@ object Main {
       }
       val inst = InstanceModel.loadInstance(instanceDir)
       def findSource(source: String, parts: Seq[graft.model.AggregationPartDef]) =
-        inst.trendStores.find(st =>
-            st.title == source ||
-            st.parts.exists(p => parts.exists(_.source == p.name)))
+        findAggregationSource(inst.trendStores, source, parts)
           .getOrElse {
             System.err.println(s"no trend store matching source '$source'")
             sys.exit(1); null
@@ -230,17 +238,21 @@ object Main {
         stores = stores :+ c.targetStore
         compiled += 1
       }
+      val hints = InstanceModel.loadAggregationHints(instanceDir)
       inst.trendStores.filter(AG.isRaw).foreach { raw =>
         val rungs = AG.timeLadder(raw)
+        // mirror the reference's KeyError message (aggregation_generation
+        // .py:85-88) — a silent no-op would look like a generated ladder
+        if (rungs.isEmpty)
+          System.err.println("no standard aggregation defined for " +
+            s"granularity ${raw.granularity.name} (store '${raw.title}')")
         rungs.foreach { ta =>
           java.nio.file.Files.writeString(aggDir.resolve(s"${ta.name}.yaml"),
             InstanceModel.renderAggregation(AggregationDef(Some(ta), None)))
-          val src = stores.find(st => st.title == ta.source ||
-              st.parts.exists(p => ta.parts.exists(_.source == p.name)))
+          val src = findAggregationSource(stores, ta.source, ta.parts)
             .getOrElse(sys.error(s"no source store for rung '${ta.name}'"))
           compileAndWrite(ta.name, AggregationCompiler.compileTimeAggregation(src, ta))
         }
-        val hints = InstanceModel.loadAggregationHints(instanceDir)
         val targets = rungs.flatMap(ta => stores.find(_.title == ta.name))
         (raw +: targets).foreach { st =>
           AG.entityAggregations(st, inst.relations, hints).foreach { ea =>
@@ -351,9 +363,6 @@ object Main {
           println(s"""{"generated_files":${tss.length},"out":"$outDir"}""")
       }
 
-    // `minerva structure dump` (commands/structure.py — a stub in the
-    // reference; graft dumps the loaded catalog as one JSON document):
-    // stores/parts/trends plus the other definition kinds of the bundle.
     // Instance skeleton (commands/quick_start.py): a minimal COMPLETE
     // bundle — run `initialize --load-sample-data <dir>` on it next.
     case "quick-start" :: dir :: rest =>
@@ -365,6 +374,9 @@ object Main {
       val written = QuickStart.write(dir, name)
       println(s"""{"skeleton":"$dir","instance":"$name","files":${written.length}}""")
 
+    // `minerva structure dump` (commands/structure.py — a stub in the
+    // reference; graft dumps the loaded catalog as one JSON document):
+    // stores/parts/trends plus the other definition kinds of the bundle.
     case "structure" :: instanceDir :: Nil =>
       val inst = InstanceModel.loadInstance(instanceDir)
       def js(s: String) = "\"" + s.flatMap {

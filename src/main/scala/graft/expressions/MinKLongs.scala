@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -48,8 +48,14 @@ case class MinKLongs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MinKBuffer] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[MinKBuffer] with UnaryLike[Expression]
+    with ImplicitCastInputTypes {
   require(k > 1, "KMV needs k > 1 (the estimator divides by k-1)")
+
+  // analysis-time contract (SQL `kmv_mink` callers): the value column must
+  // be (coercible to) BIGINT — without this, an INT column would pass
+  // analysis and die mid-execution on the asInstanceOf[Long]
+  override def inputTypes = Seq(LongType)
 
   override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
 

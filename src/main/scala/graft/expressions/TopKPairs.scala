@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -59,8 +59,13 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+    with ImplicitCastInputTypes {
   require(k > 0)
+
+  // analysis-time contract (SQL `fvec_topk` callers): id coerces to BIGINT,
+  // score to DOUBLE — instead of a mid-execution ClassCastException
+  override def inputTypes = Seq(LongType, DoubleType)
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

@@ -129,23 +129,17 @@ object Dedup {
       .withColumn("est_jaccard", col("n_match").cast("double") / k)
   }
 
-  /** Duplicated n-gram span coverage (the detection half of exact-substring
-    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
-    * Models Better", public): a token position is duplicated when it is
-    * covered by any word n-gram occurring MORE THAN ONCE in the corpus
-    * (across or within documents). Reports per-doc duplicated-token counts
-    * and the fraction; `flagAt` sets the drop-threshold flag.
+  /** Distinct (idCol, __cp) token positions covered by a corpus-duplicated
+    * n-gram — the shared core of [[duplicatedSpans]] (detect) and
+    * [[removeDuplicatedSpans]] (transform).
     *
     * Scale shape: n-gram construction is one per-doc window (bounded by
     * document length), corpus counts are a map-side-combined aggregate on
     * the gram key, and coverage is an n-wide position explode re-aggregated
-    * by (id, pos) then id. The gram-keyed join skews exactly on the grams
-    * that ARE duplicated (the signal — they cannot be capped away);
-    * AQE skew-join splits them, and the build side carries one row per
-    * duplicated distinct gram. */
-  /** Distinct (idCol, __cp) token positions covered by a corpus-duplicated
-    * n-gram — the shared core of [[duplicatedSpans]] (detect) and
-    * [[removeDuplicatedSpans]] (transform). */
+    * by (id, pos). The gram-keyed join skews exactly on the grams that ARE
+    * duplicated (the signal — they cannot be capped away); AQE skew-join
+    * splits them, and the build side carries one row per duplicated
+    * distinct gram. */
   private def coveredPositions(
       tokens: DataFrame, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -165,6 +159,12 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated n-gram span coverage (the detection half of exact-substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", public): a token position is duplicated when it is
+    * covered by any word n-gram occurring MORE THAN ONCE in the corpus
+    * (across or within documents). Reports per-doc duplicated-token counts
+    * and the fraction; `flagAt` sets the drop-threshold flag. */
   def duplicatedSpans(
       tokens: DataFrame, idCol: String, n: Int,
       flagAt: Double = 0.5): DataFrame = {

@@ -313,8 +313,9 @@ object InstanceModel {
           granularity = Granularity.parse(str(d, "granularity")),
           mappingFunction = str(d, "mapping_function", "mapping_id"),
           parts = partDefs(d),
-          dataSource = d.get("data_source").map(String.valueOf),
-          entityType = d.get("entity_type").map(String.valueOf))
+          // explicit YAML nulls behave like absence, not the string "null"
+          dataSource = d.get("data_source").filter(_ != null).map(String.valueOf),
+          entityType = d.get("entity_type").filter(_ != null).map(String.valueOf))
       }
     val ea = m.get("entity_aggregation")
       .map(_.asInstanceOf[java.util.Map[String, Any]].asScala.toMap)
@@ -416,15 +417,17 @@ object InstanceModel {
     * parseAggregation is the inverse). */
   def renderAggregation(defn: AggregationDef): String = {
     val body = defn.timeAggregation.map { ta =>
-      "time_aggregation" -> jmap(
-        "source" -> ta.source,
-        "name" -> ta.name,
-        "data_source" -> ta.dataSource.orNull,
-        "entity_type" -> ta.entityType.orNull,
+      // absent optionals are OMITTED, not rendered as YAML null — a
+      // `data_source: null` would reload as the literal string "null"
+      "time_aggregation" -> jmap((Seq(
+        "source" -> (ta.source: Any),
+        "name" -> ta.name) ++
+        ta.dataSource.map("data_source" -> (_: Any)).toSeq ++
+        ta.entityType.map("entity_type" -> (_: Any)).toSeq ++ Seq(
         "granularity" -> ta.granularity.name,
         "mapping_function" -> ta.mappingFunction,
         "parts" -> jlist(ta.parts.map(p =>
-          jmap("name" -> p.name, "source" -> p.source))))
+          jmap("name" -> p.name, "source" -> p.source))))): _*)
     }.orElse(defn.entityAggregation.map { ea =>
       "entity_aggregation" -> jmap(
         "source" -> ea.source,

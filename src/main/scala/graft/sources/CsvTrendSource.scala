@@ -104,12 +104,13 @@ object CsvTrendSource {
       expr(
         s"""CASE
             WHEN $v IS NULL OR $v = '$nullTok' OR $v = '' THEN 0
-            -- fast text path: every numeric form (after Float.parseFloat's
-            -- whitespace trim) starts with sign/digit/dot or NaN/Infinity,
-            -- and both timestamp formats start with a digit — anything else
-            -- is rank-7 text after ONE regex instead of eight parse
-            -- attempts (this dominates deduction cost on string columns)
-            WHEN NOT ($v RLIKE '^\\\\s*[+\\\\-.0-9nNiI]') THEN 7
+            -- fast text path: every numeric form (after the cast's
+            -- leading-byte trim, which skips ALL bytes <= 0x20, wider than
+            -- regex \\s) starts with sign/digit/dot or NaN/Infinity, and
+            -- both timestamp formats start with a digit — anything else is
+            -- rank-7 text after ONE regex instead of eight parse attempts
+            -- (this dominates deduction cost on string columns)
+            WHEN NOT ($v RLIKE '^[\\\\x00-\\\\x20]*[+\\\\-.0-9nNiI]') THEN 7
             -- fast timestamp path: a shape-matching value that parses is
             -- rank 6 in the original chain too (the '-'/':' characters make
             -- every numeric try_cast fail), so testing it first is

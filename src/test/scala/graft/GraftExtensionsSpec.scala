@@ -28,6 +28,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val minima = spark.sql("SELECT kmv_mink(v, 3) AS m FROM vals")
       .head.getSeq[Long](0)
     assert(minima == Seq(1L, 3L, 5L)) // duplicate 3 occupies one slot
+    // narrower input types coerce at analysis (no mid-execution cast crash)
+    val coerced = spark.sql(
+      "SELECT kmv_mink(CAST(v AS INT), 2) FROM vals").head.getSeq[Long](0)
+    assert(coerced == Seq(1L, 3L))
+    assert(spark.sql("SELECT fvec_topk(CAST(1 AS INT), CAST(0.5 AS FLOAT), 1)")
+      .head.getSeq[org.apache.spark.sql.Row](0).head.getLong(1) == 1L)
 
     GraftExtensions.register(spark) // idempotent
     // the extensions class itself injects the same builders
