@@ -90,6 +90,15 @@ object QueriesLLM {
         .join(sk, "source")
         .orderBy("source")
     },
+    // ---- Z-order key for multi-dimensional file clustering ----
+    "q82_zorder_key" -> { (s, dir) =>
+      load(s, dir, "events")
+        .select(col("event_id"),
+          graft.operators.Layout.zorderKey(
+            pmod(col("user_id"), lit(1024L)), pmod(col("event_id"), lit(1024L)),
+            bits = 10).as("zkey"))
+        .orderBy("event_id")
+    },
     // ---- eval-set decontamination (broadcast n-gram overlap) ----
     "q63_decontaminate" -> { (s, dir) =>
       val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
@@ -525,6 +534,15 @@ object QueriesLLM {
            CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(h1, h2)) <= 3
          ORDER BY 1, 2""",
+    "q82_zorder_key" -> {
+      val terms = (0 until 10).map { i =>
+        s"(((user_id % 1024) >> $i) % 2) * ${1L << (2 * i)}" +
+          s" + (((event_id % 1024) >> $i) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString("\n             + ")
+      s"""SELECT event_id,
+           CAST($terms AS BIGINT) AS zkey
+         FROM events ORDER BY event_id"""
+    },
     "q81_kmv_distinct" ->
       s"""WITH $ToksCte,
          tt AS (

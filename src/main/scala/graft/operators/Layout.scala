@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities: multi-dimensional clustering so parquet
+  * row-group min/max statistics prune on SEVERAL columns at once.
+  *
+  * A table range-partitioned and sorted on one column prunes only that
+  * column's predicates; interleaving the bits of two key columns into a
+  * Morton (Z-order) key gives every file a bounded rectangle in (a, b)
+  * space, so predicates on EITHER dimension skip most files — the
+  * technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`. Pure integer
+  * expression arithmetic (codegen'd, engine-portable, oracle-checkable).
+  */
+object Layout {
+
+  /** Morton/Z-order key: interleave the low `bits` bits of two NON-NEGATIVE
+    * integer columns (a in the even bit positions, b in the odd ones).
+    * Callers bound the domain first (`pmod`, bucketing, or quantile rank) —
+    * bits beyond `bits` are ignored, which folds distant values together
+    * and destroys locality rather than erroring. */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      pmod(shiftright(a.cast("long"), i), lit(2L)) * lit(1L << (2 * i)) +
+        pmod(shiftright(b.cast("long"), i), lit(2L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Cluster a frame for writing: range-partition on the key (contiguous
+    * key ranges per output file) and sort within partitions (row groups
+    * inside a file stay contiguous too). With a Z-order key each output
+    * file covers a bounded rectangle of the two dimensions. */
+  def clusterBy(df: DataFrame, numPartitions: Int, key: Column): DataFrame =
+    df.repartitionByRange(numPartitions, key).sortWithinPartitions(key)
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: key correctness vs a bit-twiddling reference, and the
+  * locality property the key exists for — range-partitioned files cover
+  * bounded rectangles of BOTH dimensions. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def morton(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zorderKey matches the reference Morton interleave") {
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorderKey(col("a"), col("b"), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == morton(a, b, 4), s"($a,$b)")
+    }
+    // the 4-bit key is a bijection on the 16x16 grid
+    assert(got.values.toSet.size == 256)
+  }
+
+  test("z-order clustering bounds every partition's rectangle in BOTH dims") {
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val clustered = Layout.clusterBy(grid, 16,
+        Layout.zorderKey(col("a"), col("b"), 6))
+      .withColumn("part", spark_partition_id())
+    val boxes = clustered.groupBy("part")
+      .agg((max("a") - min("a")).as("da"), (max("b") - min("b")).as("db"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(boxes.map(_.getAs[Long]("n")).sum == 4096L)
+    // 4096 points over 16 partitions = 256 points each; a Z-ordered range
+    // covers a rectangle no wider than ~2 quadrant widths per dim (<= 32
+    // of 64) — row-order partitioning would give da = 3 but db = 63
+    boxes.foreach { r =>
+      assert(r.getAs[Long]("da") <= 32 && r.getAs[Long]("db") <= 32,
+        s"partition rectangle too wide: $r")
+    }
+  }
+}
