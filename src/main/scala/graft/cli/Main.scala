@@ -211,6 +211,90 @@ object Main {
           trends = trends)))
       println(InstanceModel.renderTrendStore(store))
 
+    // `minerva trend-store add-trends|remove-trends|alter-trends|change`
+    // (commands/trend_store.py:99-260): reconcile an edited trend-store
+    // definition against live populated parts. Adds/drops/in-ladder widens
+    // are metadata-only sidecar edits; cross-ladder or forced changes pay
+    // one cast rewrite (TrendMigration).
+    case "trend-store" :: action :: tail
+        if Set("add-trends", "remove-trends", "alter-trends", "change")(action) =>
+      import graft.storage.TrendMigration
+      val flags = tail.filter(_.startsWith("--")).toSet
+      val force = flags.contains("--force")
+      val (base, defFile) = tail.filterNot(_.startsWith("--")) match {
+        case b :: f :: Nil => (b, f)
+        case other => sys.error(
+          s"usage: trend-store $action [--force] [--purge] <storeBase> <definition.yaml>" +
+            s" (got: ${other.mkString(" ")})")
+      }
+      val s = spark()
+      val ts = InstanceModel.parseTrendStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(defFile)))
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      action match {
+        case "add-trends" =>
+          val added = ts.parts.flatMap(p => TrendMigration.addTrends(ps, p))
+          if (added.nonEmpty) println(s"Added trends: ${added.mkString(", ")}")
+          else println("No trends to be added")
+        case "remove-trends" =>
+          val removed = ts.parts.flatMap(p =>
+            TrendMigration.removeTrends(ps, p, purge = flags.contains("--purge")))
+          if (removed.nonEmpty) println(s"Removed trends: ${removed.mkString(", ")}")
+          else println("No trends to be removed.")
+        case "alter-trends" =>
+          val changed = ts.parts.flatMap(p => TrendMigration.alterTrends(ps, p, force))
+          if (changed.nonEmpty) println(s"Changed columns: ${changed.mkString(", ")}")
+          else println("No columns were changed.")
+        case "change" =>
+          ts.parts.foreach { p =>
+            println(s"applying changes for part '${p.name}':")
+            val r = TrendMigration.changePart(ps, p, force)
+            if (r.added.nonEmpty || r.removed.nonEmpty || r.changed.nonEmpty) {
+              println(s"added ${r.added.mkString("[", ", ", "]")}")
+              println(s"removed ${r.removed.mkString("[", ", ", "]")}")
+              println(s"changed ${r.changed.mkString("[", ", ", "]")}")
+            } else println("no changes were made")
+          }
+      }
+
+    // `minerva trend-store show` (commands/trend_store.py:590-650): per-
+    // store introspection — declared config (trends, types, agg fns) next
+    // to what is physically stored (sidecar columns), one JSON object.
+    case "trend-store" :: "show" :: base :: defFile :: Nil =>
+      val s = spark()
+      val ts = InstanceModel.parseTrendStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(defFile)))
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      def js(x: String) = "\"" + x.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
+      val parts = ts.parts.map { p =>
+        val stored = ps.sidecarSchema(p.name)
+        val trends = p.trends.map(t =>
+          s"""{"name":${js(t.name)},"data_type":${js(t.dataType.name)},""" +
+            s""""time_aggregation":${js(t.timeAggregation)},""" +
+            s""""entity_aggregation":${js(t.entityAggregation)}}""")
+        val gen = p.generatedTrends.map(g =>
+          s"""{"name":${js(g.name)},"data_type":${js(g.dataType.name)},""" +
+            s""""expression":${js(g.expression)}}""")
+        val cols = stored.toSeq.flatMap(_.fields.toSeq).map(f =>
+          s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
+        s"""{"name":${js(p.name)},"stored":${stored.nonEmpty},""" +
+          s""""trends":${jarr(trends)},"generated_trends":${jarr(gen)},""" +
+          s""""stored_columns":${jarr(cols)}}"""
+      }
+      println(
+        s"""{"title":${js(ts.title)},"data_source":${js(ts.dataSource)},""" +
+          s""""entity_type":${js(ts.entityType)},""" +
+          s""""granularity":${js(ts.granularity.name)},""" +
+          s""""partition_size":${js(ts.partitionSize.name)},""" +
+          s""""parts":${jarr(parts)}}""")
+
     // `minerva aggregation generate-standard-aggregations`
     // (aggregation_generation.py): for every RAW trend store, write +
     // compile the standard time ladder and per-relation entity

@@ -179,6 +179,14 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
           else batchIndices
         (all, idx)
     }
+    writeAndSwap(part, merged, indices)
+    indices.length
+  }
+
+  /** Staged write + per-partition swap shared by `store` and
+    * `rewritePart`: stage the frame partitioned by pindex, publish the
+    * sidecar, then swap each partition directory in near-atomically. */
+  private def writeAndSwap(part: String, merged: DataFrame, indices: Seq[Long]): Unit = {
     val staging = path(part) + "__staging"
     // One shuffle on pindex before the partitioned write: without it every
     // task writes a sliver into every touched partition dir (tasks ×
@@ -224,8 +232,47 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       if (hadLive) fs.delete(aside, true)
     }
     fs.delete(hp(staging), true)
-    indices.length
   }
+
+  // ---- schema migration hooks (trend-store add/remove/alter-trends) ----
+
+  /** Whether the part has any stored state (data or sidecar). */
+  def exists(part: String): Boolean = fs.exists(hp(path(part)))
+
+  /** The part's declared schema without touching data: what a migration
+    * diffs against (reference: the live table's column list,
+    * trendstorepart.py:141-167). */
+  def sidecarSchema(part: String): Option[org.apache.spark.sql.types.StructType] = {
+    recoverAsides(part)
+    SchemaSidecar.read(fs, path(part))
+  }
+
+  /** Metadata-only schema change: replace the sidecar. Callers must keep
+    * the sidecar ⊇-or-disjoint contract — every column it declares that
+    * files carry must be type-equal or parquet-upcast-wider, so existing
+    * footers still read (missing columns surface as typed NULLs, dropped
+    * columns are simply not scanned). Used for add-trends (typed NULL
+    * backfill), remove-trends, and in-ladder widening — the O(1) analogue
+    * of the reference's ALTER TABLE ADD/DROP COLUMN. */
+  def setSidecar(part: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    SchemaSidecar.write(fs, path(part), schema)
+
+  /** Full-part rewrite through the staged swap: the analogue of a
+    * PostgreSQL ALTER TABLE ... TYPE table rewrite — O(part size), used
+    * only for type changes the parquet reader cannot express as a read-time
+    * upcast (cross-ladder widening, forced narrowing). Each partition
+    * directory swaps near-atomically; a crash mid-loop leaves every
+    * partition either old or new, both readable under the new sidecar only
+    * if the transform widened — which is why narrowing requires --force. */
+  def rewritePart(part: String, transform: DataFrame => DataFrame): Int =
+    readPart(part) match {
+      case None => 0
+      case Some(df0) =>
+        val df = transform(df0)
+        val indices = df.select("pindex").distinct().collect().map(_.getLong(0)).sorted
+        writeAndSwap(part, df, indices)
+        indices.length
+    }
 
   /** Modified-log append (I1): one row per (part, timestamp) in the batch —
     * the writer-maintained analogue of trend_directory.mark_modified. */

@@ -155,6 +155,54 @@ class CatalogCliSpec extends SparkSpec {
     assert(ps.readPart("p").get.select("power").head.getDouble(0) == 2.0)
   }
 
+  test("trend-store change migrates a populated store from an edited definition; show reports both sides") {
+    import graft.core.MinervaType._
+    import graft.model.{Trend, TrendStore, TrendStorePart}
+    val sb = s"$base/migr_store"
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(sb, 86400))
+    ps.store("net_node_15m", Seq((1L, 1000L, 10, 100L), (2L, 90000L, 20, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    // the operator edits the YAML: power widens to bigint, temp appears
+    val edited = TrendStore(
+      title = "net_node", dataSource = "net", entityType = "node",
+      granularity = graft.core.Granularity.parse("15m"),
+      partitionSize = graft.core.Granularity.parse("1d"),
+      parts = Seq(TrendStorePart("net_node_15m",
+        Seq(Trend("power", MBigInt), Trend("temp", MDouble)))))
+    val yaml = java.nio.file.Files.createTempFile("net_node", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      graft.model.InstanceModel.renderTrendStore(edited))
+    val out = run("trend-store", "change", sb, yaml.toString)
+    assert(out.contains("added [temp]"), out)
+    assert(out.contains("changed [power]"), out)
+    val back = ps.readPart("net_node_15m").get
+    assert(back.schema("power").dataType.simpleString == "bigint")
+    assert(back.schema("temp").dataType.simpleString == "double")
+    assert(back.count() == 2)
+    // idempotent: a second run reports nothing to do
+    assert(run("trend-store", "change", sb, yaml.toString)
+      .contains("no changes were made"))
+    // show: declared config next to the stored sidecar
+    val shown = run("trend-store", "show", sb, yaml.toString)
+    assert(shown.contains("\"stored\":true"), shown)
+    assert(shown.contains(
+      "{\"name\":\"power\",\"data_type\":\"bigint\",\"time_aggregation\":\"sum\""), shown)
+    assert(shown.contains("{\"name\":\"power\",\"type\":\"bigint\"}"), shown)
+    // narrowing without --force fails loudly, with --force applies
+    val narrowed = edited.copy(parts = Seq(TrendStorePart("net_node_15m",
+      Seq(Trend("power", MSmallInt), Trend("temp", MDouble)))))
+    java.nio.file.Files.writeString(yaml,
+      graft.model.InstanceModel.renderTrendStore(narrowed))
+    intercept[graft.storage.TrendMigration.NonUpwardChange] {
+      run("trend-store", "alter-trends", sb, yaml.toString)
+    }
+    assert(run("trend-store", "alter-trends", "--force", sb, yaml.toString)
+      .contains("Changed columns: power"))
+    assert(ps.readPart("net_node_15m").get
+      .schema("power").dataType.simpleString == "smallint")
+  }
+
   test("notification-store create persists a declaration that types later writes") {
     val yaml = java.nio.file.Files.createTempFile("alerts", ".yaml")
     java.nio.file.Files.writeString(yaml,
