@@ -403,6 +403,83 @@ object Main {
     // `minerva notification-store create` (commands/notification_store.py):
     // registers the typed store — the persisted declaration types every
     // later write, no bundle needed in hand.
+    // `minerva attribute-store …` (commands/attribute_store.py:26-437):
+    // day-2 operator commands over the attribute library. Stores live at
+    // `<base>/attribute/<dataSource>_<entityType>` (the initialize
+    // convention).
+    case "attribute-store" :: "create" :: base :: yamlPath :: Nil =>
+      val ad = InstanceModel.parseAttributeStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
+      val name = s"${ad.dataSource}_${ad.entityType}"
+      graft.storage.AttributeStore.create(
+        spark(), s"$base/attribute/$name", ad.attributes)
+      println(s"""{"attribute_store":"$name","attributes":${ad.attributes.length}}""")
+
+    case "attribute-store" :: "delete" :: base :: name :: Nil =>
+      val s = spark()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val deleted = fs.delete(
+        new org.apache.hadoop.fs.Path(s"$base/attribute/$name"), true)
+      println(s"""{"attribute_store":"$name","deleted":$deleted}""")
+
+    case "attribute-store" :: "list" :: base :: Nil =>
+      val s = spark()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(s"$base/attribute")
+      val names =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .sorted.toSeq
+      println(names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+
+    // show: declared/stored columns + row counts of history and the
+    // materialized snapshots (reference show, attribute_store.py:210-246)
+    case "attribute-store" :: "show" :: base :: name :: Nil =>
+      val s = spark()
+      val st = new graft.storage.AttributeStore(s, s"$base/attribute/$name")
+      val schema = st.history.map(_.schema).orElse(st.declaredSchema)
+      val cols = schema.toSeq.flatMap(_.fields.toSeq)
+        .filterNot(_.name == "abucket")
+        .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+      val histRows = st.history.map(_.count()).getOrElse(0L)
+      val curRows = st.currentSnapshot.map(_.count().toString).getOrElse("null")
+      println(s"""{"attribute_store":"$name","columns":${
+        cols.mkString("[", ",", "]")},"history_rows":$histRows,""" +
+        s""""current_rows":$curRows}""")
+
+    // materialize-curr-ptr [name]: one store, or every store under the
+    // base when no name is given (attribute_store.py:308-335);
+    // --incremental folds only rows past the snapshot high-water mark
+    case "attribute-store" :: "materialize-curr-ptr" :: base :: rest =>
+      val s = spark()
+      val flags = rest.filter(_.startsWith("--")).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val names = rest.filterNot(_.startsWith("--")) match {
+        case Nil =>
+          val p = new org.apache.hadoop.fs.Path(s"$base/attribute")
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+            .sorted.toSeq
+        case xs => xs
+      }
+      val results = names.map { n =>
+        val st = new graft.storage.AttributeStore(s, s"$base/attribute/$n")
+        val rows =
+          if (flags.contains("--incremental")) st.materializeCurrentIncremental()
+          else st.materializeCurrent()
+        s""""$n":$rows"""
+      }
+      println(results.mkString("{", ",", "}"))
+
+    case "attribute-store" :: "compact" :: base :: name :: Nil =>
+      val st = new graft.storage.AttributeStore(
+        spark(), s"$base/attribute/$name")
+      println(s"""{"attribute_store":"$name","compacted_rows":${
+        st.materializeCompacted()}}""")
+
     case "notification-store" :: "create" :: base :: yamlPath :: Nil =>
       val stem = java.nio.file.Paths.get(yamlPath).getFileName.toString
         .stripSuffix(".yaml")
@@ -802,6 +879,12 @@ object Main {
            |  aggregation-generate <instanceDir>
            |  trend-store check-config <instanceDir>
            |  trend-store deduce <csv> <idCol> <tsCol> [dataSource entityType granularity]
+           |  trend-store add-trends|remove-trends|alter-trends|change [--force] [--purge] <storeBase> <defYaml>
+           |  trend-store show <storeBase> <defYaml>
+           |  attribute-store create <storeBase> <defYaml>
+           |  attribute-store delete|show|compact <storeBase> <name>
+           |  attribute-store list <storeBase>
+           |  attribute-store materialize-curr-ptr <storeBase> [name] [--incremental]
            |  quick-start <dir> [--instance-name <name>]
            |  structure <instanceDir>
            |  generate-sample-data <instanceDir> <name> <outDir> [--interval-count=N] [--now=sec]

@@ -128,6 +128,28 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
     else byId
   }
 
+  /** Declared history schema (sidecar), present even before any data —
+    * what `attribute-store show` reports for an empty created store. */
+  def declaredSchema: Option[org.apache.spark.sql.types.StructType] =
+    SchemaSidecar.read(fs, historyPath)
+
+  /** Value columns: everything that isn't a key/meta/layout column. */
+  private def valueColumns(h: DataFrame): Seq[String] =
+    h.columns.filterNot(Set("entity_id", "timestamp", "modified", "job_id",
+      "abucket")).toSeq
+
+  /** Materialize the run-length compaction as a physical table
+    * (reference `attribute-store compact` → attribute_directory
+    * compaction, attributestore.py:261-269): writes `<base>/compacted`,
+    * returns its row count. */
+  def materializeCompacted(): Long = history match {
+    case None => 0L
+    case Some(h) =>
+      compacted(valueColumns(h)).get
+        .write.mode(SaveMode.Overwrite).parquet(s"$basePath/compacted")
+      spark.read.parquet(s"$basePath/compacted").count()
+  }
+
   /** Run-length-compacted history (D10). */
   def compacted(valueCols: Seq[String]): Option[DataFrame] =
     history.map(h => AttributeOps.compact(h.drop("abucket"), "entity_id",
@@ -205,5 +227,27 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
         fs.delete(aside, true)
         spark.read.parquet(s"$basePath/current").count()
       }
+  }
+}
+
+object AttributeStore {
+  /** Create an empty attribute store with a declared, typed history
+    * sidecar (reference `attribute-store create`,
+    * commands/attribute_store.py:45-101): later staged transfers
+    * union-merge against the declared types instead of deducing them from
+    * whichever batch happens to arrive first. */
+  def create(
+      spark: SparkSession,
+      basePath: String,
+      attributes: Seq[graft.model.AttributeDef]): Unit = {
+    import org.apache.spark.sql.types._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val fields = Seq(
+      StructField("entity_id", LongType),
+      StructField("timestamp", LongType),
+      StructField("modified", LongType)) ++
+      attributes.map(a => StructField(a.name, a.dataType.sparkType))
+    SchemaSidecar.write(fs, s"$basePath/history", StructType(fields))
   }
 }

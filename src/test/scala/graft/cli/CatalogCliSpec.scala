@@ -203,6 +203,52 @@ class CatalogCliSpec extends SparkSpec {
       .schema("power").dataType.simpleString == "smallint")
   }
 
+  test("attribute-store create -> load -> compact -> curr-ptr round-trip") {
+    val yaml = java.nio.file.Files.createTempFile("inventory", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """data_source: inventory
+        |entity_type: switch
+        |attributes:
+        |  - name: model
+        |    data_type: text
+        |  - name: ports
+        |    data_type: integer
+        |""".stripMargin)
+    assert(run("attribute-store", "create", base, yaml.toString)
+      .contains("\"attribute_store\":\"inventory_switch\",\"attributes\":2"))
+    assert(run("attribute-store", "list", base)
+      .contains("\"inventory_switch\""))
+    // empty created store shows the DECLARED columns
+    val shownEmpty = run("attribute-store", "show", base, "inventory_switch")
+    assert(shownEmpty.contains("{\"name\":\"ports\",\"type\":\"int\"}"), shownEmpty)
+    assert(shownEmpty.contains("\"history_rows\":0"), shownEmpty)
+    // load two batches: entity 1 changes model, entity 2 stays put
+    val st = new graft.storage.AttributeStore(spark, s"$base/attribute/inventory_switch")
+    st.transferStaged(Seq((1L, 100L, "m1", 24), (2L, 100L, "m2", 48))
+      .toDF("entity_id", "timestamp", "model", "ports"), nowSec = 100L)
+    st.transferStaged(Seq((1L, 200L, "m9", 24), (2L, 200L, "m2", 48))
+      .toDF("entity_id", "timestamp", "model", "ports"), nowSec = 200L)
+    // compact: entity 2's unchanged run collapses, entity 1 keeps both
+    assert(run("attribute-store", "compact", base, "inventory_switch")
+      .contains("\"compacted_rows\":3"))
+    // curr-ptr across ALL stores under the base (no name argument)
+    val out = run("attribute-store", "materialize-curr-ptr", base)
+    assert(out.contains("\"inventory_switch\":2"), out)
+    val cur = st.currentSnapshot.get
+    assert(cur.filter(col("entity_id") === 1).select("model").head.getString(0) == "m9")
+    // incremental refresh after one more batch
+    st.transferStaged(Seq((3L, 300L, "m3", 8))
+      .toDF("entity_id", "timestamp", "model", "ports"), nowSec = 300L)
+    assert(run("attribute-store", "materialize-curr-ptr", base,
+      "inventory_switch", "--incremental").contains("\"inventory_switch\":3"))
+    // show now reports stored rows and the snapshot
+    val shown = run("attribute-store", "show", base, "inventory_switch")
+    assert(shown.contains("\"history_rows\":5"), shown)
+    assert(shown.contains("\"current_rows\":3"), shown)
+    assert(run("attribute-store", "delete", base, "inventory_switch")
+      .contains("\"deleted\":true"))
+  }
+
   test("notification-store create persists a declaration that types later writes") {
     val yaml = java.nio.file.Files.createTempFile("alerts", ".yaml")
     java.nio.file.Files.writeString(yaml,
