@@ -535,29 +535,31 @@ object QueriesLLM {
          FROM cand WHERE bit_count(xor(h1, h2)) <= 3
          ORDER BY 1, 2""",
     "q82_zorder_key" -> {
+      // DuckDB's % is sign-of-dividend; pmod-wrap so negative ids agree
+      // with the Spark side's pmod
       val terms = (0 until 10).map { i =>
-        s"(((user_id % 1024) >> $i) % 2) * ${1L << (2 * i)}" +
-          s" + (((event_id % 1024) >> $i) % 2) * ${1L << (2 * i + 1)}"
+        s"((((user_id % 1024 + 1024) % 1024) >> $i) % 2) * ${1L << (2 * i)}" +
+          s" + ((((event_id % 1024 + 1024) % 1024) >> $i) % 2) * ${1L << (2 * i + 1)}"
       }.mkString("\n             + ")
       s"""SELECT event_id,
            CAST($terms AS BIGINT) AS zkey
          FROM events ORDER BY event_id"""
     },
-    "q81_kmv_distinct" ->
+    "q81_kmv_distinct" -> {
+      // 13-nibble (52-bit) md5 ladder mirroring kmvDistinct's
+      // conv(substring(md5(tok), 1, 13), 16, 10)
+      val ladder = (0 until 13).map { i =>
+        val mult = BigInt(16).pow(12 - i)
+        val term = s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1)"
+        if (mult == 1) term else s"$term * $mult"
+      }.mkString("\n           + ")
       s"""WITH $ToksCte,
          tt AS (
            SELECT t.doc_id, t.tok, d.source
            FROM toks t JOIN documents d USING (doc_id)),
          hv AS (
            SELECT DISTINCT source,
-             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
-           + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
-           + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
-           + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
-           + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
-           + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
-           + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS BIGINT)
+             CAST($ladder AS BIGINT)
              AS h
            FROM tt),
          mins AS (
@@ -571,8 +573,9 @@ object QueriesLLM {
            FROM tt GROUP BY 1)
          SELECT source, exact_distinct, n_minima,
            CASE WHEN n_minima < 128 THEN CAST(n_minima AS DOUBLE)
-                ELSE 127 * 4294967296.0 / kth END AS est_distinct
-         FROM ex JOIN agg USING (source) ORDER BY source""",
+                ELSE 127 * 4503599627370496.0 / kth END AS est_distinct
+         FROM ex JOIN agg USING (source) ORDER BY source"""
+    },
     "q63_decontaminate" ->
       s"""WITH $ShinglesCte,
          eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),

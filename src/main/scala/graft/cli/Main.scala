@@ -153,7 +153,7 @@ object Main {
         write(ea.name,
           AggregationCompiler.compileEntityAggregation(
             findSource(ea.source, ea.parts), ea,
-            sys.error("relation is not needed for YAML compilation")))
+            AggregationCompiler.noRelation(ea.name)))
       }
 
     // `minerva trend-store check-config` (commands/trend_store/
@@ -310,14 +310,18 @@ object Main {
         .foreach(java.nio.file.Files.createDirectories(_))
       var stores = inst.trendStores
       var compiled = 0
+      // the WHOLE ladder compiles before anything is written: outputs are
+      // staged here and flushed at the end, so a failed generation (an
+      // unresolvable chained rung, a bad hint) leaves the instance
+      // directory unchanged instead of half-generated
+      val staged = Seq.newBuilder[(java.nio.file.Path, String)]
       def compileAndWrite(
           name: String, c: AggregationCompiler.CompiledAggregation): Unit = {
-        java.nio.file.Files.writeString(genTrendDir.resolve(s"$name.yaml"),
-          InstanceModel.renderTrendStore(c.targetStore))
+        staged += genTrendDir.resolve(s"$name.yaml") ->
+          InstanceModel.renderTrendStore(c.targetStore)
         c.units.foreach { u =>
-          java.nio.file.Files.writeString(
-            genMatDir.resolve(s"${u.targetPart}.yaml"),
-            InstanceModel.renderMaterialization(u.materialization))
+          staged += genMatDir.resolve(s"${u.targetPart}.yaml") ->
+            InstanceModel.renderMaterialization(u.materialization)
         }
         stores = stores :+ c.targetStore
         compiled += 1
@@ -331,8 +335,8 @@ object Main {
           System.err.println("no standard aggregation defined for " +
             s"granularity ${raw.granularity.name} (store '${raw.title}')")
         rungs.foreach { ta =>
-          java.nio.file.Files.writeString(aggDir.resolve(s"${ta.name}.yaml"),
-            InstanceModel.renderAggregation(AggregationDef(Some(ta), None)))
+          staged += aggDir.resolve(s"${ta.name}.yaml") ->
+            InstanceModel.renderAggregation(AggregationDef(Some(ta), None))
           val src = findAggregationSource(stores, ta.source, ta.parts)
             .getOrElse(sys.error(s"no source store for rung '${ta.name}'"))
           compileAndWrite(ta.name, AggregationCompiler.compileTimeAggregation(src, ta))
@@ -340,12 +344,15 @@ object Main {
         val targets = rungs.flatMap(ta => stores.find(_.title == ta.name))
         (raw +: targets).foreach { st =>
           AG.entityAggregations(st, inst.relations, hints).foreach { ea =>
-            java.nio.file.Files.writeString(aggDir.resolve(s"${ea.name}.yaml"),
-              InstanceModel.renderAggregation(AggregationDef(None, Some(ea))))
+            staged += aggDir.resolve(s"${ea.name}.yaml") ->
+              InstanceModel.renderAggregation(AggregationDef(None, Some(ea)))
             compileAndWrite(ea.name, AggregationCompiler.compileEntityAggregation(
-              st, ea, sys.error("relation is not needed for YAML compilation")))
+              st, ea, AggregationCompiler.noRelation(ea.name)))
           }
         }
+      }
+      staged.result().foreach { case (p, text) =>
+        java.nio.file.Files.writeString(p, text)
       }
       println(s"""{"generated":$compiled,"raw_stores":${
         inst.trendStores.count(AG.isRaw)}}""")

@@ -390,25 +390,33 @@ object TextAnalysis {
     df.withColumn("split", chain.otherwise(splits.last._1))
   }
 
+  /** 2⁵²: the KMV hash space (13 md5 nibbles). */
+  val KmvHashSpace: Double = 4503599627370496.0
+
   /** KMV distinct-count estimate per group (vocabulary size, unique users):
-    * hash each value to an engine-portable 32-bit md5 uniform, keep the k
-    * smallest distinct hashes ([[graft.expressions.MinKLongs]] — map-side
-    * partials carry ≤k longs per group, shuffle |groups|·k at ANY corpus
-    * size), estimate distinct ≈ (k−1)·2³² / kth-minimum. Exact when the
-    * group has fewer than k distinct values. Fully deterministic — unlike
-    * HLL approx_count_distinct, the same input set yields the same
-    * estimate on every engine, so it is oracle-checkable and sketches can
-    * be persisted/merged across ingest batches. */
+    * hash each value to an engine-portable 52-bit md5 uniform (first 13
+    * nibbles — 2⁵² ≈ 4.5·10¹⁵ hash space, so birthday-collision bias stays
+    * negligible even at ~10¹⁰ distinct values per group, and every hash is
+    * exactly representable in a double for the cross-engine estimator
+    * division), keep the k smallest distinct hashes
+    * ([[graft.expressions.MinKLongs]] — map-side partials carry ≤k longs
+    * per group, shuffle |groups|·k at ANY corpus size), estimate
+    * distinct ≈ (k−1)·2⁵² / kth-minimum. Exact — up to 52-bit hash
+    * collisions, which under-count by one with no signal — when the group
+    * has fewer than k distinct values. Fully deterministic — unlike HLL
+    * approx_count_distinct, the same input set yields the same estimate on
+    * every engine, so it is oracle-checkable and sketches can be
+    * persisted/merged across ingest batches. */
   def kmvDistinct(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 1024): DataFrame = {
-    val hv = conv(substring(md5(col(valueCol)), 1, 8), 16, 10).cast("long")
+    val hv = conv(substring(md5(col(valueCol)), 1, 13), 16, 10).cast("long")
     df.groupBy(groupCols.map(col): _*)
       .agg(graft.expressions.MinKLongs.mink(hv, k).as("__minima"))
       .select(groupCols.map(col) ++ Seq(
         size(col("__minima")).cast("long").as("n_minima"),
         when(size(col("__minima")) < k, size(col("__minima")).cast("double"))
-          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+          .otherwise(lit((k - 1).toDouble * KmvHashSpace) /
             element_at(col("__minima"), k).cast("double"))
           .as("est_distinct")): _*)
   }

@@ -263,11 +263,24 @@ object AggregationCompiler {
       units)
   }
 
+  /** Raised when a compiled unit's `compute` forces a relation that a
+    * YAML-only caller declared absent — the failure says what it means
+    * instead of surfacing an arbitrary sys.error. */
+  final class RelationNotProvided(name: String) extends IllegalStateException(
+    s"entity aggregation '$name' requires its relation frame at " +
+      "materialization time; this compilation was YAML-only (no relation " +
+      "was provided)")
+
+  /** Sentinel relation for YAML-only compilation: passed by-name, so it
+    * only throws if a future code path actually forces the relation. */
+  def noRelation(name: String): DataFrame = throw new RelationNotProvided(name)
+
   /** compile_entity_aggregation (aggregation_compilation.py:113-189,
     * VIEW_MATERIALIZATION shape): same target-store definition, compute
     * rolls up the named relation instead of the time axis. `relation` is
     * by-name: it is only forced when a compiled unit's `compute` runs, so
-    * YAML-only compilation (the CLI's aggregation-compile) needs no data. */
+    * YAML-only compilation (the CLI's aggregation-compile) needs no data —
+    * such callers pass [[noRelation]]. */
   def compileEntityAggregation(
       src: TrendStore, defn: EntityAggregationDef, relation: => DataFrame)
       : CompiledAggregation = {

@@ -102,6 +102,51 @@ class CurationSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("kmvDistinct: 52-bit hash keeps the estimate tight at 1e5 distinct") {
+    val big = (0 until 100000).map(i => ("g", s"value_$i")).toDF("g", "v")
+    val est = TextAnalysis.kmvDistinct(big, Seq("g"), "v", k = 512)
+      .collect().head.getDouble(2)
+    // KMV std error ≈ 1/sqrt(k-1) ≈ 4.4%; 3σ bound. Deterministic, so a
+    // pass is stable — this guards the estimator arithmetic, and a 32-bit
+    // hash regression (collision bias) would also surface here.
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.14,
+      s"KMV estimate off: $est for 100000 distinct")
+  }
+
+  test("KMV sketches persist through PartStore and merge across batches") {
+    import graft.expressions.MinKLongs
+    // two ingest batches of tokens for one source; the scaladoc contract:
+    // per-batch sketches stored as array<bigint> columns merge (explode +
+    // re-aggregate) to EXACTLY the one-shot sketch of the union
+    val b1 = (0 until 3000).map(i => s"tok_$i").toDF("v")
+    val b2 = (1500 until 4500).map(i => s"tok_$i").toDF("v")
+    val hv = conv(substring(md5(col("v")), 1, 13), 16, 10).cast("long")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.agg(MinKLongs.mink(hv, 64).as("sketch"))
+    val base = "target/tmp/kmv_persist"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(base, 86400))
+    // one sketch row per (source entity, batch timestamp)
+    ps.store("vocab_sketch", sketch(b1).select(
+      lit(1L).as("entity_id"), lit(1000L).as("timestamp"),
+      col("sketch"), lit(1L).as("modified")))
+    ps.store("vocab_sketch", sketch(b2).select(
+      lit(1L).as("entity_id"), lit(87000L).as("timestamp"),
+      col("sketch"), lit(2L).as("modified")))
+    val stored = ps.readPart("vocab_sketch").get
+    assert(stored.count() == 2) // two batch rows, two partitions
+    // merge: union of minima re-aggregated under the same k
+    val mergedSketch = stored
+      .select(explode(col("sketch")).as("h"))
+      .agg(MinKLongs.mink(col("h"), 64).as("sketch"))
+      .head.getSeq[Long](0)
+    val oneShot = sketch(b1.union(b2)).head.getSeq[Long](0)
+    assert(mergedSketch == oneShot)
+  }
+
   test("dsirWeights: target-like docs score higher; totals are exact") {
     // target speaks 'aa bb', raw docs either match the target distribution
     // or don't

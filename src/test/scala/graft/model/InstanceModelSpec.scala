@@ -147,6 +147,79 @@ class InstanceModelSpec extends AnyFunSuite {
     assert(mat.sources.map(_.trendStorePart) == Seq("hub_user_main_1h"))
   }
 
+  test("entity part-name translation keeps underscore entity types whole") {
+    import graft.model.{AggregationGeneration => AG}
+    // prefix lands after the WHOLE target entity type (generating.py:21),
+    // even when that type itself contains underscores
+    assert(AG.translateEntityPartName("net_router_main_15m", "v_site", "sum_")
+      == "net_v_site_sum_main_15m")
+    assert(AG.translateEntityPartName("net_router_main_15m", "v-region")
+      == "net_v-region_main_15m")
+  }
+
+  test("YAML-only entity compilation fails with intent if the relation is forced") {
+    import graft.operators.AggregationCompiler
+    val src = TrendStore("Raw hub", "hub", "user",
+      graft.core.Granularity.parse("1h"), graft.core.Granularity.parse("4d"),
+      Seq(TrendStorePart("hub_user_main_1h",
+        Seq(Trend("value_i", graft.core.MinervaType.MBigInt)))))
+    val ea = EntityAggregationDef(
+      name = "hub_group_main_1h", source = "Raw hub", relation = "user->group",
+      entityType = "group",
+      parts = Seq(AggregationPartDef("hub_group_main_1h", "hub_user_main_1h")),
+      aggregationType = "VIEW_MATERIALIZATION")
+    val compiled = AggregationCompiler.compileEntityAggregation(
+      src, ea, AggregationCompiler.noRelation(ea.name))
+    // compilation itself never forces the relation...
+    assert(compiled.units.length == 1)
+    // ...but a path that does gets the dedicated error, not a bare sys.error
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val ex = intercept[AggregationCompiler.RelationNotProvided] {
+      compiled.units.head.compute(
+        Seq((1L, 100L, 5L)).toDF("entity_id", "timestamp", "value_i")).collect()
+    }
+    assert(ex.getMessage.contains("hub_group_main_1h"))
+    assert(ex.getMessage.contains("YAML-only"))
+  }
+
+  test("aggregation-generate on a failing ladder leaves the instance unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_genfail")
+    val trendDir = java.nio.file.Files.createDirectories(dir.resolve("trend"))
+    // part name breaks the <ds>_<et>_<tail> convention: the entity
+    // aggregation pass throws AFTER the time rungs compiled — nothing may
+    // have been written by then
+    java.nio.file.Files.writeString(trendDir.resolve("odd.yaml"),
+      """title: Raw odd
+        |data_source: net
+        |entity_type: node
+        |granularity: 15m
+        |partition_size: 1d
+        |parts:
+        |  - name: oddname
+        |    trends:
+        |      - name: power
+        |        data_type: integer
+        |""".stripMargin)
+    val relDir = java.nio.file.Files.createDirectories(dir.resolve("relation"))
+    java.nio.file.Files.writeString(relDir.resolve("node->site.yaml"),
+      """name: node->site
+        |source_entity_type: node
+        |target_entity_type: site
+        |query: SELECT 1 AS source_id, 1 AS target_id
+        |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.main(Array("aggregation-generate", dir.toString))
+    }
+    def entries(sub: String): Seq[String] = {
+      val f = dir.resolve(sub).toFile
+      if (!f.exists()) Seq.empty else f.list().toSeq
+    }
+    assert(entries("aggregation").isEmpty, entries("aggregation"))
+    assert(entries("materialization").isEmpty, entries("materialization"))
+    assert(entries("trend") == Seq("odd.yaml"), entries("trend"))
+  }
+
   test("materialization yaml parses delays and sources") {
     val m = InstanceModel.parseMaterialization(
       """target_trend_store_part: hub-kpi_node_main_15m
