@@ -220,14 +220,14 @@ object QueriesLLM {
     // ---- product-quantization code assignment (compressed ANN index) ----
     "q77_pq_codes" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
-      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
       e.select(col("vec_id"), Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
         .orderBy("vec_id")
     },
     // ---- ADC retrieval over PQ codes + exact rerank (compressed ANN) ----
     "q78_adc_topk" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
-      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding", m = 8, k = 4, dim = 64)
       val codes = e.select(col("vec_id"),
         Similarity.pqCode(col("embedding"), cbs).as("pq_code"))
       Similarity.adcTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
@@ -338,7 +338,7 @@ object QueriesLLM {
     // md5-sampled codebook; k-means would swap in transparently) ----
     "q56_ann_ivf" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
-      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+      val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
       e.select(col("vec_id"),
           Similarity.ivfBucket(col("embedding"), centroids).as("bucket"))
         .orderBy("vec_id")
@@ -436,25 +436,100 @@ object QueriesLLM {
   /** Shared PQ CTE prefix (q77/q78): md5-sampled 4-centroid codebook, 8
     * subspaces, per-(vector, subspace) nearest-centroid code — the single
     * SQL definition of what a PQ code is. */
-  private val PqCodesCte =
-    """cent AS (
-           SELECT CAST(row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-             - 1 AS INT) AS i, embedding
+  /** The codebook training sample: first `sampleN` vectors by
+    * (md5(id), id) — mirrors Similarity.codebookSample. */
+  private val SampCte =
+    """samp AS (
+           SELECT CAST(vec_id AS VARCHAR) AS sid,
+             CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings
            ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 4),
+           LIMIT 2048)"""
+
+  /** Refined IVF centroids (k=8): seeds = first k sample vectors, one
+    * Lloyd pass — assignment with the argmax/higher-index tiebreak, then
+    * a per-cell per-dimension mean summed in id order (list_reduce over
+    * an id-ordered list = the same sequential fold the Scala refinement
+    * runs) rounded through REAL. Empty cells keep their seed. Mirrors
+    * Similarity.lloydOnce bit for bit. */
+  private val RefinedCentCte =
+    s"""$SampCte,
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY md5(sid), sid) - 1 AS INT)
+             AS i, emb
+           FROM samp ORDER BY md5(sid), sid LIMIT 8),
+         asg AS (
+           SELECT s.sid, s.emb, c.i,
+             list_dot_product(s.emb, c.emb) /
+               (sqrt(list_dot_product(s.emb, s.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM samp s CROSS JOIN seeds c),
+         mem AS (
+           SELECT sid, emb, i FROM asg
+           QUALIFY row_number() OVER (PARTITION BY sid
+             ORDER BY cos DESC, i DESC) = 1),
+         sums AS (
+           SELECT i, count(*) AS n,
+             list_reduce(list(emb ORDER BY sid),
+               (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2]))
+             AS vsum
+           FROM mem GROUP BY 1),
+         cent AS (
+           SELECT c.i,
+             CASE WHEN s.i IS NULL THEN c.emb
+                  ELSE list_transform(s.vsum,
+                         x -> CAST(CAST(x / s.n AS REAL) AS DOUBLE)) END
+               AS embedding
+           FROM seeds c LEFT JOIN sums s USING (i))"""
+
+  /** PQ codes over per-subspace Lloyd-refined codebooks (m=8 subspaces of
+    * 8 dims, k=4): the shared sample is sliced per subspace, each slice
+    * refined independently — mirrors Similarity.pqCodebooksRefined. */
+  private val PqCodesCte =
+    s"""$SampCte,
          ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         sseeds AS (
+           SELECT ss.s, sd.i, sd.emb[1 + 8*ss.s : 8 + 8*ss.s] AS emb
+           FROM (
+             SELECT CAST(row_number() OVER (ORDER BY md5(sid), sid) - 1 AS INT)
+               AS i, emb
+             FROM samp ORDER BY md5(sid), sid LIMIT 4) sd
+           CROSS JOIN ss),
+         ssamp AS (
+           SELECT ss.s, p.sid, p.emb[1 + 8*ss.s : 8 + 8*ss.s] AS emb
+           FROM samp p CROSS JOIN ss),
+         pasg AS (
+           SELECT a.s, a.sid, a.emb, c.i,
+             list_dot_product(a.emb, c.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM ssamp a JOIN sseeds c ON a.s = c.s),
+         pmem AS (
+           SELECT s, sid, emb, i FROM pasg
+           QUALIFY row_number() OVER (PARTITION BY s, sid
+             ORDER BY cos DESC, i DESC) = 1),
+         psums AS (
+           SELECT s, i, count(*) AS n,
+             list_reduce(list(emb ORDER BY sid),
+               (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2]))
+             AS vsum
+           FROM pmem GROUP BY 1, 2),
+         cent AS (
+           SELECT c.s, c.i,
+             CASE WHEN m.i IS NULL THEN c.emb
+                  ELSE list_transform(m.vsum,
+                         x -> CAST(CAST(x / m.n AS REAL) AS DOUBLE)) END
+               AS emb
+           FROM sseeds c LEFT JOIN psums m ON m.s = c.s AND m.i = c.i),
          scored AS (
-           SELECT e.vec_id, ss.s, c.i,
-             list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(e.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                                      CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))))
+           SELECT e.vec_id, c.s, c.i,
+             list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                              c.emb) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.emb, c.emb)))
                AS cos
-           FROM embeddings e CROSS JOIN ss CROSS JOIN cent c),
+           FROM embeddings e CROSS JOIN cent c),
          codes AS (
            SELECT vec_id, s, i FROM scored
            QUALIFY row_number() OVER (PARTITION BY vec_id, s
@@ -773,14 +848,11 @@ object QueriesLLM {
                CAST(embedding AS DOUBLE[]))) AS qn
            FROM embeddings WHERE vec_id % 100 = 0),
          dt AS (
-           SELECT q.query_id, ss.s, c.i AS code,
-             list_dot_product(CAST(q.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))
-               AS qdot,
-             list_dot_product(CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]),
-                              CAST(c.embedding[1 + 8*ss.s : 8 + 8*ss.s] AS DOUBLE[]))
-               AS cn2
-           FROM qs q CROSS JOIN ss CROSS JOIN cent c),
+           SELECT q.query_id, c.s, c.i AS code,
+             list_dot_product(CAST(q.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                              c.emb) AS qdot,
+             list_dot_product(c.emb, c.emb) AS cn2
+           FROM qs q CROSS JOIN cent c),
          est AS (
            SELECT d.query_id, k.vec_id AS neighbor_id,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1288,21 +1360,17 @@ object QueriesLLM {
          SELECT d.doc_id, coalesce(m.mn, d.doc_id) AS keeper
          FROM documents d LEFT JOIN mn m USING (doc_id)
          ORDER BY d.doc_id""",
-    // IVF assignment: same deterministic codebook (k smallest md5(id)) and
-    // the same argmax-with-higher-index-tiebreak as the Spark expression.
+    // IVF assignment: deterministic md5-ordered seeds + ONE Lloyd pass
+    // (assign sample → per-cell per-dim mean in id order → REAL-rounded),
+    // then the same argmax-with-higher-index-tiebreak as the Spark
+    // expression — mirrors Similarity.ivfCentroidsRefined bit for bit.
     "q56_ann_ivf" ->
-      """WITH cent AS (
-           SELECT CAST(row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR))
-             - 1 AS INT) AS i, embedding
-           FROM embeddings
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 8),
+      s"""WITH $RefinedCentCte,
          scored AS (
            SELECT e.vec_id, c.i,
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
                (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+                sqrt(list_dot_product(c.embedding, c.embedding)))
                AS cos
            FROM embeddings e CROSS JOIN cent c)
          SELECT vec_id, i AS bucket FROM scored

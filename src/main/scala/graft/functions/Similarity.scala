@@ -167,6 +167,81 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](1).toSeq }.toSeq
 
+  /** Deterministic md5-ordered training sample for codebook construction:
+    * the first `n` corpus vectors by (md5(id), id). Codebooks train on a
+    * bounded sample at ANY corpus size — this is the one driver-side
+    * collect in the ANN path, and it is capped by `n`, not the corpus. */
+  private def codebookSample(
+      vectors: DataFrame, idCol: String, vecCol: String, n: Int)
+      : Seq[(String, Seq[Float])] =
+    vectors.select(col(idCol).cast("string").as("__id"), col(vecCol))
+      .orderBy(md5(col("__id")), col("__id"))
+      .limit(n).collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toSeq)).toSeq
+
+  /** One Lloyd refinement pass (pure, driver-side, bit-deterministic):
+    * assign every sample vector to its nearest seed with the SAME
+    * double-cosine / higher-index tie-break arithmetic as [[ivfBucket]],
+    * then replace each centroid by the per-dimension mean of its members,
+    * summed in id order — a sequential fold both engines reproduce (the
+    * DuckDB oracle mirrors it with list_reduce over an id-ordered list),
+    * rounded through Float so a refined codebook ships exactly like a
+    * sampled one. Empty cells keep their seed. One pass moves centroids
+    * to cell centers of mass — most of k-means' recall gain for a fixed,
+    * reproducible cost (Lloyd 1982, public). */
+  private[functions] def lloydOnce(
+      sample: Seq[(String, Seq[Float])],
+      seeds: Seq[(Int, Seq[Float])]): Seq[(Int, Seq[Float])] = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val seedNorm = seeds.map { case (i, c) => i -> math.sqrt(dot(c, c)) }.toMap
+    def assign(v: Seq[Float]): Int = {
+      val nv = math.sqrt(dot(v, v))
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      seeds.foreach { case (i, c) =>
+        val cos = dot(v, c) / (nv * seedNorm(i))
+        // ascending i + compare≥0 = array_max's lexicographic (cos, i):
+        // ties (and NaN-greatest) resolve to the larger index
+        if (best < 0 || java.lang.Double.compare(cos, bestCos) >= 0) {
+          best = i; bestCos = cos
+        }
+      }
+      best
+    }
+    val members = sample.groupBy(s => assign(s._2))
+    seeds.map { case (i, seedVec) =>
+      members.get(i) match {
+        case None => i -> seedVec
+        case Some(ms) =>
+          val sorted = ms.sortBy(_._1)
+          val dim = seedVec.length
+          val sums = new Array[Double](dim)
+          sorted.foreach { case (_, v) =>
+            var d = 0
+            while (d < dim) { sums(d) += v(d).toDouble; d += 1 }
+          }
+          i -> sums.map(s => (s / ms.length).toFloat).toSeq
+      }
+    }
+  }
+
+  /** [[ivfCentroids]] + one Lloyd pass over a deterministic sample:
+    * sampled seeds move to their cells' centers of mass, materially
+    * tightening IVF cell boundaries (higher recall at the same probe
+    * count) while staying engine-reproducible. */
+  def ivfCentroidsRefined(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleN: Int = 2048): Seq[(Int, Seq[Float])] = {
+    val sample = codebookSample(vectors, idCol, vecCol, math.max(k, sampleN))
+    lloydOnce(sample,
+      sample.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
+  }
+
   /** Nearest-centroid assignment (IVF bucket): argmax over k cosine scores,
     * computed as one array_max over (cos, idx) structs — k fused dot
     * products per vector inside codegen, centroids shipped as literals.
@@ -209,6 +284,30 @@ object Similarity {
     (0 until m).map(j => sample.map { case (i, v) =>
       i -> v.slice(j * sub, (j + 1) * sub)
     })
+  }
+
+  /** [[pqCodebooks]] + one Lloyd pass per subspace over the shared
+    * deterministic sample: each subspace codebook independently moves to
+    * its cells' centers of mass — reconstruction error drops, so ADC
+    * estimates rank closer to exact cosine order. */
+  def pqCodebooksRefined(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      dim: Int, sampleN: Int = 2048): Seq[Seq[(Int, Seq[Float])]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(BigInt(k).pow(m) <= (BigInt(1) << 53),
+      s"k^m = $k^$m overflows exact BIGINT packing; use fewer/smaller codebooks")
+    val sub = dim / m
+    val sample = codebookSample(vectors, idCol, vecCol, math.max(k, sampleN))
+    require(sample.length >= k,
+      s"corpus has only ${sample.length} vectors — cannot sample a " +
+        s"$k-centroid codebook")
+    (0 until m).map { j =>
+      val sliced = sample.map { case (id, v) =>
+        (id, v.slice(j * sub, (j + 1) * sub))
+      }
+      lloydOnce(sliced,
+        sliced.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
+    }
   }
 
   /** Packed PQ code: per subspace, nearest-centroid assignment by cosine
