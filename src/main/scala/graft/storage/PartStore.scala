@@ -153,8 +153,20 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     *
     * Writes go through a staging directory and per-partition renames —
     * Spark (correctly) refuses to overwrite a path that feeds the same
-    * plan, and the rename makes each partition swap near-atomic. */
-  def store(part: String, batch: DataFrame): Int = {
+    * plan, and the rename makes each partition swap near-atomic.
+    *
+    * `zorderBy` (opt-in) names exactly two bounded non-negative integer
+    * columns: rewritten partitions are range-partitioned and sorted on
+    * their Morton key ([[graft.operators.Layout.zorderKey]]), so each
+    * output file covers a bounded rectangle in (a, b) space and parquet
+    * min/max stats skip files/row-groups on predicates over EITHER
+    * column — Delta/Iceberg `OPTIMIZE ZORDER BY` without the table
+    * format. The default path is unchanged. */
+  def store(
+      part: String, batch: DataFrame,
+      zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 10): Int = {
+    require(zorderBy.isEmpty || zorderBy.length == 2,
+      s"zorderBy interleaves exactly two columns, got ${zorderBy.length}")
     val b = withPindex(batch)
     val batchIndices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
     val (merged, indices) = readPart(part) match {
@@ -179,14 +191,20 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
           else batchIndices
         (all, idx)
     }
-    writeAndSwap(part, merged, indices)
+    val zorder =
+      if (zorderBy.isEmpty) None
+      else Some(graft.operators.Layout.zorderKey(
+        col(zorderBy(0)), col(zorderBy(1)), zorderBits))
+    writeAndSwap(part, merged, indices, zorder)
     indices.length
   }
 
   /** Staged write + per-partition swap shared by `store` and
     * `rewritePart`: stage the frame partitioned by pindex, publish the
     * sidecar, then swap each partition directory in near-atomically. */
-  private def writeAndSwap(part: String, merged: DataFrame, indices: Seq[Long]): Unit = {
+  private def writeAndSwap(
+      part: String, merged: DataFrame, indices: Seq[Long],
+      zorder: Option[org.apache.spark.sql.Column] = None): Unit = {
     val staging = path(part) + "__staging"
     // One shuffle on pindex before the partitioned write: without it every
     // task writes a sliver into every touched partition dir (tasks ×
@@ -194,7 +212,22 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // partition dir gets ~one well-sized file. At 100 TB swap this for
     // repartitionByRange(pindex, entity_id) to keep multiple files per
     // partition while preserving locality.
-    merged.repartition(col("pindex"))
+    val arranged = zorder match {
+      case None => merged.repartition(col("pindex"))
+      case Some(zk) =>
+        // contiguous (pindex, zkey) range per task + in-task sort: every
+        // file covers a bounded Morton rectangle, and row groups within a
+        // file stay contiguous too. numPartitions is EXPLICIT — an
+        // implicit repartitionByRange lets AQE coalesce small outputs
+        // into one task, which collapses every rectangle into the full
+        // plane and silently disables the skipping this layout buys.
+        val n = merged.sparkSession.sessionState.conf.numShufflePartitions
+        merged.withColumn("__zkey", zk)
+          .repartitionByRange(n, col("pindex"), col("__zkey"))
+          .sortWithinPartitions(col("pindex"), col("__zkey"))
+          .drop("__zkey")
+    }
+    arranged
       .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
     // sidecar BEFORE the swaps: the union/widened schema is a superset of
     // every surviving file under any crash interleaving (see SchemaSidecar)

@@ -134,6 +134,46 @@ class TrendMigrationSpec extends SparkSpec {
     assert(!spark.read.parquet(s"$base/p").columns.contains("extra"))
   }
 
+  test("z-ordered store: identical data, bounded per-file stats on the second dim") {
+    val (ps, base) = freshStore("zorder")
+    val (psPlain, _) = freshStore("zorder_plain")
+    val batch = (0 until 4096).map { i =>
+      (i.toLong, 1000L + (i % 7),
+        (i % 64).toLong * 16, ((i * 37) % 64).toLong * 16, 1L)
+    }.toDF("entity_id", "timestamp", "a_m", "b_m", "modified")
+    psPlain.store("p", batch)
+    ps.store("p", batch, zorderBy = Seq("a_m", "b_m"))
+    // layout must not change the data
+    val cols = Seq("entity_id", "timestamp", "a_m", "b_m")
+    assert(ps.readPart("p").get.orderBy("entity_id").select(cols.map(col): _*)
+      .collect().toSeq ==
+      psPlain.readPart("p").get.orderBy("entity_id").select(cols.map(col): _*)
+        .collect().toSeq)
+    // every file covers a bounded Morton rectangle: with 4 write tasks the
+    // top 2 zkey bits are fixed per file, so b_m (the SECOND dimension — a
+    // plain sort can't serve it) is confined to half its range per file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/p"), true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.result()
+    }
+    assert(files.length > 1, s"expected multiple files, got $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("b_m"),
+        org.apache.spark.sql.functions.max("b_m")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(ranges.exists(_._1 >= 512), s"no high-b_m file: $ranges")
+    assert(ranges.exists(_._2 < 512), s"no low-b_m file: $ranges")
+  }
+
   test("change: add + remove + retype in one reconciliation pass") {
     val (ps, _) = freshStore("change")
     seed(ps)
