@@ -65,6 +65,25 @@ class CatalogCliSpec extends SparkSpec {
     assert(part.count() == 3)
     assert(spark.read.parquet(s"$base/attribute/inventory_router/history")
       .count() == 3)
+    // ...and one materialization cycle rolls the loaded 15m data up to 1h
+    // — the full onboarding path: quick-start → initialize → materialize
+    val matOut = run("materialize", s"$base/trend",
+      "campus_router_main_15m", "campus_router_main_1h", "3600")
+    assert(matOut.contains("\"materialized_partitions\":"), matOut)
+    val rolled = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(s"$base/trend", 86400))
+      .readPart("campus_router_main_1h").get
+    assert(rolled.count() >= 1)
+    assert(rolled.columns.contains("samples"))
+    // conservation: the rollup preserves each counter's total
+    val srcDf = spark.read.parquet(s"$base/trend/campus_router_main_15m")
+    val counters = srcDf.columns.filterNot(Set("entity_id", "timestamp",
+      "modified", "created", "pindex", "job_id")).toSeq
+    counters.foreach { c =>
+      val a = srcDf.agg(sum(col(c).cast("double"))).head.getDouble(0)
+      val b = rolled.agg(sum(col(c).cast("double"))).head.getDouble(0)
+      assert(a == b, s"rollup lost counter $c: $a vs $b")
+    }
   }
 
   test("aggregation-generate writes and compiles the standard ladder") {
