@@ -343,6 +343,14 @@ object QueriesLLM {
           Similarity.ivfBucket(col("embedding"), centroids).as("bucket"))
         .orderBy("vec_id")
     },
+    // ---- IVF retrieval end-to-end: probe 2 of 8 cells, exact rerank ----
+    "q83_ivf_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", centroids, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // ---- ANN: seeded-Gaussian LSH buckets + capped join + exact rerank —
     // the production ANN shape (q36 with the production hash family) ----
     "q51_ann_gaussian" -> { (s, dir) =>
@@ -1375,6 +1383,46 @@ object QueriesLLM {
            FROM embeddings e CROSS JOIN cent c)
          SELECT vec_id, i AS bucket FROM scored
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    // IVF retrieval: refined centroids, 2-of-8 cell probe per query,
+    // exact cosine rerank, (cos DESC, neighbor ASC) top-5 — mirrors
+    // Similarity.ivfTopK including the probe tie-break (cos DESC, i DESC).
+    "q83_ivf_topk" ->
+      s"""WITH $RefinedCentCte,
+         cscored AS (
+           SELECT e.vec_id, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.embedding, c.embedding)))
+               AS cos
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, i AS bucket FROM cscored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) = 1),
+         probes AS (
+           SELECT vec_id AS query_id, i AS bucket FROM cscored
+           WHERE vec_id % 100 = 0
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) <= 2),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN assigned a USING (bucket)
+           WHERE a.vec_id <> p.query_id),
+         rescored AS (
+           SELECT c.query_id, c.neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+               AS cos
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INT) AS rank, cos
+         FROM rescored
+         QUALIFY rank <= 5
+         ORDER BY query_id, rank"""
   )
 }

@@ -260,6 +260,45 @@ object Similarity {
     array_max(array(scored: _*)).getField("i")
   }
 
+  /** IVF retrieval end-to-end: probe the `nProbe` nearest cells per query
+    * and exact-rerank ONLY the vectors assigned to those cells. The scale
+    * path for ANN over a partitioned corpus: corpus assignment is one
+    * codegen'd pass (bucket ∝ corpus, computed once and storable as a
+    * column), the probe set is |queries|·nProbe rows joined equi on
+    * bucket, and the N² term disappears — candidates ≈ corpus·nProbe/k
+    * per query, each paying one exact cosine. With `nProbe = k` every
+    * cell is probed and the result equals [[bruteForceTopK]] exactly
+    * (spec-asserted); recall/latency trades along nProbe, the IVF knob.
+    * Output: (query_id, neighbor_id, rank, cos) — exact cosines.
+    * (Jégou et al. 2011's IVFADC splits the same way; here the rerank is
+    * exact because the corpus keeps full vectors — combine with
+    * [[adcTopK]] for the compressed variant.) */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+    // per-query cell scores, sorted descending (cos, i) — ties and
+    // NaN-greatest resolve exactly like ivfBucket's array_max
+    val cellArray = array(centroids.map { case (i, c) =>
+      val nc = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val d = aggregate(
+        zip_with(col("__qv"), typedlit(c), (x, w) => x.cast("double") * w.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      struct((d / (norm(col("__qv")) * lit(nc))).as("c"), lit(i).as("i"))
+    }: _*)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(slice(sort_array(cellArray, asc = false), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("__qv"), col("pc.i").as("__bucket"))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), ivfBucket(col(vecCol), centroids).as("__bucket"))
+    val scored = probes.join(assigned, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cos")
+    topKByQuery(scored, k)
+  }
+
   /** Product-quantization codebooks: the vector space is split into `m`
     * contiguous subspaces of `dim/m` dims; each subspace gets `k` centroids
     * taken from the same deterministic md5-ordered corpus sample as

@@ -38,6 +38,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again == bucketed)
   }
 
+  test("ivfTopK: full probe equals brute force; partial probe keeps recall") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // nProbe = k probes every cell → EXACTLY the brute-force result
+    val all = rows(Similarity.ivfTopK(
+      queries, clustered, "vec_id", "embedding", cents, k = 3, nProbe = 5))
+    val exact = rows(Similarity.bruteForceTopK(
+      queries, clustered, "vec_id", "embedding", 3))
+    assert(all == exact)
+    // probing 2 of 5 cells on tightly clustered data keeps most of top-3
+    val partial = rows(Similarity.ivfTopK(
+      queries, clustered, "vec_id", "embedding", cents, k = 3, nProbe = 2))
+      .map(t => (t._1, t._2)).toSet
+    val recall = exact.map(t => (t._1, t._2)).count(partial.contains).toDouble /
+      exact.size
+    assert(recall >= 0.8, s"IVF nProbe=2 recall too low: $recall")
+    // plan shape: bucket equi-join + bounded native top-k — no Window, no
+    // nested-loop candidate generation
+    val plan = Similarity.ivfTopK(queries, clustered, "vec_id", "embedding",
+      cents, k = 3, nProbe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("bucketed rerank cos equals the exact cosine") {
     val pairs = Similarity.bucketedNeighborsGaussian(
         clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
