@@ -234,6 +234,12 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- per-source document cap (domain balancing) ----
+    "q84_domain_cap" -> { (s, dir) =>
+      TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -444,6 +450,16 @@ object QueriesLLM {
   /** Shared PQ CTE prefix (q77/q78): md5-sampled 4-centroid codebook, 8
     * subspaces, per-(vector, subspace) nearest-centroid code — the single
     * SQL definition of what a PQ code is. */
+  /** 13-nibble (52-bit) md5 → BIGINT ladder, mirroring the Spark side's
+    * `conv(substring(md5(x), 1, 13), 16, 10)` (kmvDistinct, capPerKey). */
+  private def md5Ladder52(sqlExpr: String): String =
+    (0 until 13).map { i =>
+      val mult = BigInt(16).pow(12 - i)
+      val term =
+        s"(strpos('0123456789abcdef', substr(md5($sqlExpr), ${i + 1}, 1)) - 1)"
+      if (mult == 1) term else s"$term * $mult"
+    }.mkString("\n           + ")
+
   /** The codebook training sample: first `sampleN` vectors by
     * (md5(id), id) — mirrors Similarity.codebookSample. */
   private val SampCte =
@@ -628,14 +644,18 @@ object QueriesLLM {
            CAST($terms AS BIGINT) AS zkey
          FROM events ORDER BY event_id"""
     },
+    "q84_domain_cap" -> {
+      val ladder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             CAST($ladder AS BIGINT) AS hv
+           FROM documents)
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY hv, doc_id) <= 15
+         ORDER BY doc_id"""
+    },
     "q81_kmv_distinct" -> {
-      // 13-nibble (52-bit) md5 ladder mirroring kmvDistinct's
-      // conv(substring(md5(tok), 1, 13), 16, 10)
-      val ladder = (0 until 13).map { i =>
-        val mult = BigInt(16).pow(12 - i)
-        val term = s"(strpos('0123456789abcdef', substr(md5(tok), ${i + 1}, 1)) - 1)"
-        if (mult == 1) term else s"$term * $mult"
-      }.mkString("\n           + ")
+      val ladder = md5Ladder52("tok")
       s"""WITH $ToksCte,
          tt AS (
            SELECT t.doc_id, t.tok, d.source

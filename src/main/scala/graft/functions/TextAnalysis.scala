@@ -368,6 +368,37 @@ object TextAnalysis {
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
   }
 
+  /** Cap rows per key — the per-domain/per-source document cap every
+    * curation pipeline needs (a handful of hosts otherwise dominate a
+    * crawl): keep the `n` rows with the smallest salted 52-bit md5(id)
+    * hash per key, i.e. a deterministic uniform choice that any engine
+    * replays bit-for-bit. Ties (hash collisions) break on the id.
+    *
+    * Scale shape: a window row_number would SORT every key's full row
+    * set; here [[graft.expressions.TopKPairs]] keeps ≤n (hash, id) pairs
+    * per key map-side, the shuffle carries |keys|·n·|partitions| pairs at
+    * ANY corpus size, and survivors semi-join back equi on (key, id).
+    * No Window anywhere in the plan (spec-asserted). */
+  def capPerKey(
+      df: DataFrame, keyCol: String, idCol: String, n: Int,
+      salt: String = "cap:"): DataFrame = {
+    require(n >= 1, s"capPerKey needs n >= 1, got $n")
+    // 13 md5 nibbles = 52 bits: exact in the double score TopKPairs
+    // orders on (and mirrors kmvDistinct's engine-portable hash)
+    val hv = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    // TopKPairs orders (score DESC, id ASC): negate the hash so the n
+    // SMALLEST hashes survive
+    val survivors = df
+      .groupBy(col(keyCol))
+      .agg(graft.expressions.TopKPairs.topk(
+        col(idCol).cast("long"), -hv.cast("double"), n).as("__keep"))
+      .select(col(keyCol), explode(col("__keep")).as("__t"))
+      .select(col(keyCol), col("__t._2").as(idCol))
+    df.join(survivors, Seq(keyCol, idCol), "left_semi")
+  }
+
   /** Deterministic train/val/test split by id hash: a document's split is
     * the first band whose cumulative weight exceeds its hash uniform —
     * stable across runs, engines, cluster layouts, and corpus growth (a

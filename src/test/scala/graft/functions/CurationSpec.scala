@@ -102,6 +102,27 @@ class CurationSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("capPerKey: deterministic per-key cap, partition-invariant, no Window") {
+    val docs = (0L until 300L).map(i => (i, s"src_${i % 3}"))
+      .toDF("doc_id", "source")
+    val capped = TextAnalysis.capPerKey(docs, "source", "doc_id", 20)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey.values.forall(_ == 20), byKey) // 100 per key, capped to 20
+    // keys under the cap keep everything
+    val small = TextAnalysis.capPerKey(docs.filter(col("doc_id") < 10), "source",
+      "doc_id", 20)
+    assert(small.count() == 10)
+    // deterministic + partition-invariant: same survivors any layout
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = TextAnalysis.capPerKey(docs.repartition(13), "source", "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // map-side bounded aggregate, not a per-key sort
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("kmvDistinct: 52-bit hash keeps the estimate tight at 1e5 distinct") {
     val big = (0 until 100000).map(i => ("g", s"value_$i")).toDF("g", "v")
     val est = TextAnalysis.kmvDistinct(big, Seq("g"), "v", k = 512)
