@@ -36,6 +36,12 @@ object Main {
     s
   }
 
+  /** Filename slug for an installed trigger: reference trigger names carry
+    * slashes (`node/15m/highpowerusage`) — flattened for the registry
+    * file, the real name stays inside the YAML. */
+  private def triggerSlug(name: String): String =
+    name.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Resolve an aggregation definition's source store: by title, else by
     * any part the definition sources (shared by aggregation-compile and
     * aggregation-generate so the two lookups cannot drift). */
@@ -595,6 +601,111 @@ object Main {
           println(s"""{"part":"$part","rows":${r.getLong(0)},"entities":${r.getLong(1)},"max_ts":${r.get(2)}}""")
       }
 
+    // `minerva trigger create|delete|list|enable|disable|execute|run-all`
+    // (commands/trigger.py:31-284): installed-trigger registry under
+    // `<base>/trigger/` with an `.enabled` marker per trigger. `execute`
+    // runs one installed trigger explicitly; `run-all` runs every ENABLED
+    // one — the enabled flag gates scheduled execution exactly as the
+    // reference's timer-driven runs do.
+    case "trigger" :: "create" :: base :: yamlPath :: Nil =>
+      val text = java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath))
+      val t = InstanceModel.parseTrigger(text) // validate before installing
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      java.nio.file.Files.createDirectories(dir)
+      val slug = triggerSlug(t.name)
+      java.nio.file.Files.writeString(dir.resolve(s"$slug.yaml"), text)
+      java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
+      println(s"""{"trigger":"${t.name}","created":true,"enabled":true}""")
+
+    case "trigger" :: "delete" :: base :: name :: Nil =>
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      val existed = java.nio.file.Files.deleteIfExists(
+        dir.resolve(s"${triggerSlug(name)}.yaml"))
+      java.nio.file.Files.deleteIfExists(dir.resolve(s"${triggerSlug(name)}.enabled"))
+      println(s"""{"trigger":"$name","deleted":$existed}""")
+
+    case "trigger" :: "list" :: base :: Nil =>
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      val names =
+        if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
+        else dir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
+      println(names.map { f =>
+        val slug = f.stripSuffix(".yaml")
+        val n = InstanceModel.parseTrigger(
+          java.nio.file.Files.readString(dir.resolve(f))).name
+        val en = java.nio.file.Files.exists(dir.resolve(s"$slug.enabled"))
+        s"""{"name":"$n","enabled":$en}"""
+      }.mkString("[", ",", "]"))
+
+    case "trigger" :: action :: base :: name :: Nil
+        if action == "enable" || action == "disable" =>
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      val slug = triggerSlug(name)
+      if (!java.nio.file.Files.exists(dir.resolve(s"$slug.yaml"))) {
+        println(s"""{"error":"no such trigger","trigger":"$name"}""")
+        sys.exit(1)
+      }
+      if (action == "enable")
+        java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
+      else java.nio.file.Files.deleteIfExists(dir.resolve(s"$slug.enabled"))
+      println(s"""{"trigger":"$name","enabled":${action == "enable"}}""")
+
+    case "trigger" :: "execute" :: base :: name :: part :: outDir :: Nil =>
+      val yaml = java.nio.file.Paths.get(base, "trigger",
+        s"${triggerSlug(name)}.yaml")
+      if (!java.nio.file.Files.exists(yaml)) {
+        println(s"""{"error":"no such trigger","trigger":"$name"}""")
+        sys.exit(1)
+      }
+      main(Array("trigger", s"$base/trend", part, yaml.toString, outDir))
+
+    case "trigger" :: "run-all" :: base :: part :: outDir :: Nil =>
+      val s = spark()
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      val enabled =
+        if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
+        else dir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
+          .map(_.stripSuffix(".yaml"))
+          .filter(s0 => java.nio.file.Files.exists(dir.resolve(s"$s0.enabled")))
+      val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
+      val kpi = ps.readPart(part).getOrElse {
+        println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
+      }
+      val counts = enabled.map { slug =>
+        val t = InstanceModel.parseTrigger(java.nio.file.Files.readString(
+          dir.resolve(s"$slug.yaml")))
+        val out = TriggerOps.createNotifications(kpi, InstanceInit.triggerRule(t))
+        out.write.mode("append").parquet(outDir)
+        s""""${t.name}":${out.count()}"""
+      }
+      println(counts.mkString("{", ",", "}"))
+
+    // `minerva relation materialize|list` (commands/relation.py:63-133):
+    // (re)materialize instance relation queries into edge sets.
+    case "relation" :: "materialize" :: instanceDir :: base :: rest =>
+      val s = spark()
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      val rels = rest match {
+        case Nil => inst.relations
+        case names => inst.relations.filter(r => names.contains(r.name))
+      }
+      val counts = rels.map(r => r.name ->
+        InstanceInit.materializeRelation(s, r, dir, s"$base/relation"))
+      println(counts.map { case (n, c) => s""""$n":$c""" }
+        .mkString("{", ",", "}"))
+
+    case "relation" :: "list" :: base :: Nil =>
+      val s = spark()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(s"$base/relation")
+      val names =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .sorted.toSeq
+      println(names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+
     case "trigger" :: base :: part :: yamlPath :: outDir :: Nil =>
       val s = spark()
       val t = InstanceModel.parseTrigger(
@@ -900,7 +1011,14 @@ object Main {
            |  alias create|delete|list <storeBase> [name]
            |  notification-store create <storeBase> <defYaml>
            |  report <storeBase> <part>
-           |  trigger <storeBase> <part> <triggerYaml> <outDir>
+           |  trigger <trendBase> <part> <triggerYaml> <outDir>
+           |  trigger create <storeBase> <triggerYaml>
+           |  trigger delete|enable|disable <storeBase> <name>
+           |  trigger list <storeBase>
+           |  trigger execute <storeBase> <name> <part> <outDir>
+           |  trigger run-all <storeBase> <part> <outDir>
+           |  relation materialize <instanceDir> <storeBase> [name...]
+           |  relation list <storeBase>
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
            |  expire <storeBase> <part> <cutoffSec> [partitionSizeSec]
            |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)

@@ -222,6 +222,40 @@ class CatalogCliSpec extends SparkSpec {
       .schema("power").dataType.simpleString == "smallint")
   }
 
+  test("trigger registry gates run-all by enabled; relation CLI rematerializes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_trigcli_").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_trigcli_base_").toString
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) {
+      Main.main(Array("quick-start", dir, "--instance-name", "campus"))
+      Main.main(Array("initialize", dir, b, "--load-sample-data"))
+    }
+    // install the bundle's trigger into the live registry
+    val trigYaml = s"$dir/trigger/router-15m-rxhigh.yaml"
+    assert(run("trigger", "create", b, trigYaml).contains("\"created\":true"))
+    val listed = run("trigger", "list", b)
+    assert(listed.contains("\"name\":\"router/15m/rxhigh\",\"enabled\":true"), listed)
+    // run-all executes the enabled trigger against the loaded part
+    val outDir = java.nio.file.Files.createTempDirectory("graft_trig_out_").toString
+    val ran = run("trigger", "run-all", b, "campus_router_main_15m", outDir)
+    assert(ran.contains("\"router/15m/rxhigh\":"), ran)
+    // disabled trigger drops out of run-all (the reference's enabled gate)
+    assert(run("trigger", "disable", b, "router/15m/rxhigh")
+      .contains("\"enabled\":false"))
+    assert(run("trigger", "run-all", b, "campus_router_main_15m", outDir) == "{}")
+    // explicit execute still runs a disabled trigger (reference
+    // execute-trigger semantics)
+    assert(run("trigger", "execute", b, "router/15m/rxhigh",
+      "campus_router_main_15m", outDir).contains("\"rule\":\"router/15m/rxhigh\""))
+    assert(run("trigger", "delete", b, "router/15m/rxhigh")
+      .contains("\"deleted\":true"))
+    assert(run("trigger", "list", b) == "[]")
+    // relation group: rematerialize from the instance + list edge sets
+    val rel = run("relation", "materialize", dir, b)
+    assert(rel.contains("\"router->v-region\":"), rel)
+    assert(run("relation", "list", b).contains("\"router->v-region\""))
+  }
+
   test("attribute-store create -> load -> compact -> curr-ptr round-trip") {
     val yaml = java.nio.file.Files.createTempFile("inventory", ".yaml")
     java.nio.file.Files.writeString(yaml,
