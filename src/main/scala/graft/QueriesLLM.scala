@@ -240,6 +240,12 @@ object QueriesLLM {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // ---- per-source length-distribution cutoffs (filter thresholds) ----
+    "q85_source_quantiles" -> { (s, dir) =>
+      TextAnalysis.groupQuantiles(docs(s, dir), Seq("source"), "n_chars",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("source")
+    },
     // ---- quality scoring ----
     "q30_quality" -> { (s, dir) =>
       TextAnalysis.quality(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -644,6 +650,12 @@ object QueriesLLM {
            CAST($terms AS BIGINT) AS zkey
          FROM events ORDER BY event_id"""
     },
+    "q85_source_quantiles" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+         FROM documents GROUP BY 1 ORDER BY source""",
     "q84_domain_cap" -> {
       val ladder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source FROM (

@@ -695,6 +695,18 @@ object Main {
       println(counts.map { case (n, c) => s""""$n":$c""" }
         .mkString("{", ",", "}"))
 
+    // `minerva virtual-entity materialize` (commands/virtual_entity.py:
+    // 30-57): upsert each virtual-entity view's names into the entity
+    // directory (ON CONFLICT DO NOTHING = insert-missing).
+    case "virtual-entity" :: "materialize" :: instanceDir :: base :: Nil =>
+      val s = spark()
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      val counts = inst.virtualEntities.map(ve =>
+        ve.name -> InstanceInit.materializeVirtualEntity(s, ve, dir))
+      println(counts.map { case (n, c) => s""""$n":$c""" }
+        .mkString("{", ",", "}"))
+
     case "relation" :: "list" :: base :: Nil =>
       val s = spark()
       val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -368,6 +368,29 @@ object TextAnalysis {
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
   }
 
+  /** Per-group quantile cutoffs (exact R-7 linear interpolation — the
+    * `percentile` both Spark and DuckDB's `quantile_cont` implement
+    * bit-identically, so cutoffs are engine-portable): the primitive
+    * behind "drop the bottom decile per source" length/quality filters —
+    * compute cutoffs once, join them back, filter.
+    *
+    * Scale note: EXACT percentile state is O(distinct values per group)
+    * on the aggregating executor — right for per-source length/score
+    * distributions (bounded value domains), wrong for open-ended
+    * per-group cardinalities; there, switch to `approx_percentile`
+    * (t-digest) and give up cross-engine bit-equality. */
+  def groupQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      quantiles: Seq[(String, Double)]): DataFrame = {
+    require(quantiles.nonEmpty, "groupQuantiles needs at least one quantile")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        quantiles.map { case (name, q) =>
+          expr(s"percentile(`$valueCol`, $q)").as(name)
+        }: _*)
+  }
+
   /** Cap rows per key — the per-domain/per-source document cap every
     * curation pipeline needs (a handful of hosts otherwise dominate a
     * crawl): keep the `n` rows with the smallest salted 52-bit md5(id)

@@ -254,6 +254,9 @@ class CatalogCliSpec extends SparkSpec {
     val rel = run("relation", "materialize", dir, b)
     assert(rel.contains("\"router->v-region\":"), rel)
     assert(run("relation", "list", b).contains("\"router->v-region\""))
+    // virtual-entity rematerialization is idempotent (insert-missing)
+    val ve = run("virtual-entity", "materialize", dir, b)
+    assert(ve.contains("\"v-region\":"), ve)
   }
 
   test("attribute-store create -> load -> compact -> curr-ptr round-trip") {

@@ -123,6 +123,22 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("groupQuantiles: exact R-7 cutoffs drive per-source filters") {
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", i.toLong * 2))).toDF("source", "len")
+    val q = TextAnalysis.groupQuantiles(df, Seq("source"), "len",
+      Seq("p50" -> 0.5, "p10" -> 0.1))
+    val a = q.filter(col("source") === "a").head
+    assert(a.getLong(1) == 100)
+    assert(a.getDouble(2) == 50.5)  // p50 of 1..100
+    assert(a.getDouble(3) == 10.9)  // 1 + 0.1*(100-1) interpolated
+    // the intended usage: cutoffs join back as a tiny broadcast frame and
+    // drop each source's bottom decile
+    val kept = df.join(q.select(col("source"), col("p10")), "source")
+      .filter(col("len") >= col("p10"))
+    assert(kept.filter(col("source") === "a").count() == 90)
+  }
+
   test("kmvDistinct: 52-bit hash keeps the estimate tight at 1e5 distinct") {
     val big = (0 until 100000).map(i => ("g", s"value_$i")).toDF("g", "v")
     val est = TextAnalysis.kmvDistinct(big, Seq("g"), "v", k = 512)
