@@ -36,6 +36,20 @@ object Main {
     s
   }
 
+  /** JSON string escape shared by every CLI emitter (names come from
+    * free-form YAML — raw interpolation would emit invalid JSON). */
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jarr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
   /** Filename slug for an installed trigger: reference trigger names carry
     * slashes (`node/15m/highpowerusage`) — flattened for the registry
     * file, the real name stays inside the YAML. */
@@ -271,14 +285,6 @@ object Main {
       val ts = InstanceModel.parseTrendStore(
         java.nio.file.Files.readString(java.nio.file.Paths.get(defFile)))
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
-      def js(x: String) = "\"" + x.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
       val parts = ts.parts.map { p =>
         val stored = ps.sidecarSchema(p.name)
         val trends = p.trends.map(t =>
@@ -424,9 +430,14 @@ object Main {
       val ad = InstanceModel.parseAttributeStore(
         java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
       val name = s"${ad.dataSource}_${ad.entityType}"
-      graft.storage.AttributeStore.create(
+      val created = graft.storage.AttributeStore.create(
         spark(), s"$base/attribute/$name", ad.attributes)
-      println(s"""{"attribute_store":"$name","attributes":${ad.attributes.length}}""")
+      println(s"""{"attribute_store":"$name","created":$created,""" +
+        s""""attributes":${ad.attributes.length}}""")
+      if (!created) {
+        System.err.println(s"attribute store '$name' already exists — not overwritten")
+        sys.exit(1)
+      }
 
     case "attribute-store" :: "delete" :: base :: name :: Nil =>
       val s = spark()
@@ -455,7 +466,7 @@ object Main {
       val schema = st.history.map(_.schema).orElse(st.declaredSchema)
       val cols = schema.toSeq.flatMap(_.fields.toSeq)
         .filterNot(_.name == "abucket")
-        .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+        .map(f => s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
       val histRows = st.history.map(_.count()).getOrElse(0L)
       val curRows = st.currentSnapshot.map(_.count().toString).getOrElse("null")
       println(s"""{"attribute_store":"$name","columns":${
@@ -553,16 +564,6 @@ object Main {
     // stores/parts/trends plus the other definition kinds of the bundle.
     case "structure" :: instanceDir :: Nil =>
       val inst = InstanceModel.loadInstance(instanceDir)
-      def js(s: String) = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
-      def jarr(xs: Seq[String]) = xs.mkString("[", ",", "]")
       val trendStores = inst.trendStores.map { st =>
         s"""{"title":${js(st.title)},"data_source":${js(st.dataSource)},""" +
           s""""entity_type":${js(st.entityType)},"granularity":${js(st.granularity.name)},""" +
@@ -613,7 +614,19 @@ object Main {
       val dir = java.nio.file.Paths.get(base, "trigger")
       java.nio.file.Files.createDirectories(dir)
       val slug = triggerSlug(t.name)
-      java.nio.file.Files.writeString(dir.resolve(s"$slug.yaml"), text)
+      val slugFile = dir.resolve(s"$slug.yaml")
+      // slugs flatten slashes: refuse to overwrite a DIFFERENT trigger
+      // that happens to share the slug (re-creating the same one is fine)
+      if (java.nio.file.Files.exists(slugFile)) {
+        val existing = InstanceModel.parseTrigger(
+          java.nio.file.Files.readString(slugFile)).name
+        if (existing != t.name) {
+          System.err.println(s"trigger slug '$slug' already holds " +
+            s"'$existing' — delete it first or rename '${t.name}'")
+          sys.exit(1)
+        }
+      }
+      java.nio.file.Files.writeString(slugFile, text)
       java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
       println(s"""{"trigger":"${t.name}","created":true,"enabled":true}""")
 
@@ -634,7 +647,7 @@ object Main {
         val n = InstanceModel.parseTrigger(
           java.nio.file.Files.readString(dir.resolve(f))).name
         val en = java.nio.file.Files.exists(dir.resolve(s"$slug.enabled"))
-        s"""{"name":"$n","enabled":$en}"""
+        s"""{"name":${js(n)},"enabled":$en}"""
       }.mkString("[", ",", "]"))
 
     case "trigger" :: action :: base :: name :: Nil
@@ -676,7 +689,7 @@ object Main {
           dir.resolve(s"$slug.yaml")))
         val out = TriggerOps.createNotifications(kpi, InstanceInit.triggerRule(t))
         out.write.mode("append").parquet(outDir)
-        s""""${t.name}":${out.count()}"""
+        s"""${js(t.name)}:${out.count()}"""
       }
       println(counts.mkString("{", ",", "}"))
 
@@ -692,7 +705,7 @@ object Main {
       }
       val counts = rels.map(r => r.name ->
         InstanceInit.materializeRelation(s, r, dir, s"$base/relation"))
-      println(counts.map { case (n, c) => s""""$n":$c""" }
+      println(counts.map { case (n, c) => s"${js(n)}:$c" }
         .mkString("{", ",", "}"))
 
     // `minerva virtual-entity materialize` (commands/virtual_entity.py:
@@ -704,7 +717,7 @@ object Main {
       val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
       val counts = inst.virtualEntities.map(ve =>
         ve.name -> InstanceInit.materializeVirtualEntity(s, ve, dir))
-      println(counts.map { case (n, c) => s""""$n":$c""" }
+      println(counts.map { case (n, c) => s"${js(n)}:$c" }
         .mkString("{", ",", "}"))
 
     case "relation" :: "list" :: base :: Nil =>

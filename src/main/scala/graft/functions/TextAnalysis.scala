@@ -406,6 +406,15 @@ object TextAnalysis {
       df: DataFrame, keyCol: String, idCol: String, n: Int,
       salt: String = "cap:"): DataFrame = {
     require(n >= 1, s"capPerKey needs n >= 1, got $n")
+    // ids ride through a LongType aggregate; a non-integral id column
+    // would cast to NULL, be skipped by the aggregate, and the semi-join
+    // would silently delete the whole corpus
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(idCol).dataType),
+      s"capPerKey id column '$idCol' must be integral, got " +
+        df.schema(idCol).dataType.simpleString)
     // 13 md5 nibbles = 52 bits: exact in the double score TopKPairs
     // orders on (and mirrors kmvDistinct's engine-portable hash)
     val hv = conv(substring(
@@ -417,9 +426,14 @@ object TextAnalysis {
       .groupBy(col(keyCol))
       .agg(graft.expressions.TopKPairs.topk(
         col(idCol).cast("long"), -hv.cast("double"), n).as("__keep"))
-      .select(col(keyCol), explode(col("__keep")).as("__t"))
-      .select(col(keyCol), col("__t._2").as(idCol))
-    df.join(survivors, Seq(keyCol, idCol), "left_semi")
+      .select(col(keyCol).as("__k"), explode(col("__keep")).as("__t"))
+      .select(col("__k"), col("__t._2").as("__id"))
+    // null-SAFE key equality: a NULL key is its own group and gets capped
+    // like any other (the SQL-window oracle partitions NULLs together too);
+    // a plain equi-join would silently delete every NULL-key row
+    df.join(survivors,
+      df(keyCol) <=> survivors("__k") && df(idCol) === survivors("__id"),
+      "left_semi")
   }
 
   /** Deterministic train/val/test split by id hash: a document's split is
@@ -460,7 +474,11 @@ object TextAnalysis {
     * has fewer than k distinct values. Fully deterministic — unlike HLL
     * approx_count_distinct, the same input set yields the same estimate on
     * every engine, so it is oracle-checkable and sketches can be
-    * persisted/merged across ingest batches. */
+    * persisted/merged across ingest batches.
+    *
+    * Hash layout v2 (52-bit): sketches persisted under the earlier 32-bit
+    * layout must be REBUILT, not merged — their small hashes would
+    * dominate the minima and inflate estimates by ~2²⁰. */
   def kmvDistinct(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 1024): DataFrame = {

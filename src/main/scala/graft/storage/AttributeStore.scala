@@ -235,19 +235,29 @@ object AttributeStore {
     * sidecar (reference `attribute-store create`,
     * commands/attribute_store.py:45-101): later staged transfers
     * union-merge against the declared types instead of deducing them from
-    * whichever batch happens to arrive first. */
+    * whichever batch happens to arrive first.
+    *
+    * Returns false (and writes NOTHING) when the store already has any
+    * history state — overwriting a live union-merged sidecar with the
+    * bare declaration would drop the bucket column and any widened types,
+    * poisoning reads (the reference raises DuplicateTrendStore-style on
+    * re-create too). */
   def create(
       spark: SparkSession,
       basePath: String,
-      attributes: Seq[graft.model.AttributeDef]): Unit = {
+      attributes: Seq[graft.model.AttributeDef]): Boolean = {
     import org.apache.spark.sql.types._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val fields = Seq(
-      StructField("entity_id", LongType),
-      StructField("timestamp", LongType),
-      StructField("modified", LongType)) ++
-      attributes.map(a => StructField(a.name, a.dataType.sparkType))
-    SchemaSidecar.write(fs, s"$basePath/history", StructType(fields))
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/history"))) false
+    else {
+      val fields = Seq(
+        StructField("entity_id", LongType),
+        StructField("timestamp", LongType),
+        StructField("modified", LongType)) ++
+        attributes.map(a => StructField(a.name, a.dataType.sparkType))
+      SchemaSidecar.write(fs, s"$basePath/history", StructType(fields))
+      true
+    }
   }
 }

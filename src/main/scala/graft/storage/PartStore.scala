@@ -61,6 +61,14 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     * computed. */
   private def recoverAsides(part: String): Unit = {
     val dir = hp(path(part))
+    // whole-part rewrite recovery (rewritePart's single-rename swap): a
+    // live dir missing with a `.{part}_old` aside means a crash hit
+    // between the two renames — the aside is the authoritative pre-rewrite
+    // state, restore it (the interrupted rewrite is simply re-run). A
+    // leftover `__rewrite` staging dir is stale either way.
+    val oldAside = hp(s"$basePath/.${part}_old")
+    if (!fs.exists(dir) && fs.exists(oldAside)) fs.rename(oldAside, dir)
+    fs.delete(hp(path(part) + "__rewrite"), true)
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -290,20 +298,39 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   def setSidecar(part: String, schema: org.apache.spark.sql.types.StructType): Unit =
     SchemaSidecar.write(fs, path(part), schema)
 
-  /** Full-part rewrite through the staged swap: the analogue of a
-    * PostgreSQL ALTER TABLE ... TYPE table rewrite — O(part size), used
-    * only for type changes the parquet reader cannot express as a read-time
-    * upcast (cross-ladder widening, forced narrowing). Each partition
-    * directory swaps near-atomically; a crash mid-loop leaves every
-    * partition either old or new, both readable under the new sidecar only
-    * if the transform widened — which is why narrowing requires --force. */
+  /** Full-part rewrite: the analogue of a PostgreSQL ALTER TABLE ... TYPE
+    * table rewrite — O(part size), used only for type changes the parquet
+    * reader cannot express as a read-time upcast (cross-ladder widening,
+    * forced narrowing).
+    *
+    * Unlike `store`'s per-partition swap, the rewrite swaps the WHOLE part
+    * directory in one rename: mixed old/new-typed footers under either
+    * sidecar are unreadable, so partial swaps must be impossible. The new
+    * tree (data + its own sidecar) is fully staged first; the visible path
+    * changes in a single rename; a crash between the two renames leaves the
+    * complete pre-rewrite tree in `.{part}_old`, restored by
+    * `recoverAsides` before any later read — the interrupted migration is
+    * simply re-run. */
   def rewritePart(part: String, transform: DataFrame => DataFrame): Int =
     readPart(part) match {
       case None => 0
       case Some(df0) =>
         val df = transform(df0)
         val indices = df.select("pindex").distinct().collect().map(_.getLong(0)).sorted
-        writeAndSwap(part, df, indices)
+        val rewriteDir = path(part) + "__rewrite"
+        fs.delete(hp(rewriteDir), true)
+        df.repartition(col("pindex"))
+          .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(rewriteDir)
+        SchemaSidecar.write(fs, rewriteDir, df.schema)
+        val aside = hp(s"$basePath/.${part}_old")
+        if (fs.exists(aside)) fs.delete(aside, true)
+        if (!fs.rename(hp(path(part)), aside))
+          throw new java.io.IOException(s"failed to move aside ${path(part)}")
+        if (!fs.rename(hp(rewriteDir), hp(path(part)))) {
+          fs.rename(aside, hp(path(part))) // roll back
+          throw new java.io.IOException(s"failed to swap in $rewriteDir")
+        }
+        fs.delete(aside, true)
         indices.length
     }
 

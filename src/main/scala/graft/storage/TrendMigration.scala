@@ -104,7 +104,12 @@ object TrendMigration {
   /** Diff a declared part against its stored sidecar. None = part has no
     * stored state yet (nothing to migrate). Generated trends are read-time
     * expressions here, never physical columns, so they don't participate. */
-  def diff(store: PartStore, part: TrendStorePart): Option[PartDiff] =
+  def diff(store: PartStore, part: TrendStorePart): Option[PartDiff] = {
+    val shadowing = part.trends.map(_.name).filter(MetaColumns.contains)
+    require(shadowing.isEmpty,
+      s"trend name(s) ${shadowing.mkString(", ")} shadow engine meta " +
+        "columns — a migration would write duplicate sidecar fields and " +
+        "poison every later read")
     store.sidecarSchema(part.name).map { sc =>
       val declared = part.trends.map(t => t.name -> t.dataType.sparkType)
       val declaredMap = declared.toMap
@@ -125,6 +130,7 @@ object TrendMigration {
       }
       PartDiff(part.name, added, removed, changed)
     }
+  }
 
   /** `add-trends`: append declared-but-missing trends to the sidecar.
     * Returns the added names (reference add_trends_to_trend_store). */

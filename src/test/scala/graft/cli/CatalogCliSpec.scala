@@ -271,7 +271,7 @@ class CatalogCliSpec extends SparkSpec {
         |    data_type: integer
         |""".stripMargin)
     assert(run("attribute-store", "create", base, yaml.toString)
-      .contains("\"attribute_store\":\"inventory_switch\",\"attributes\":2"))
+      .contains("\"attribute_store\":\"inventory_switch\",\"created\":true"))
     assert(run("attribute-store", "list", base)
       .contains("\"inventory_switch\""))
     // empty created store shows the DECLARED columns

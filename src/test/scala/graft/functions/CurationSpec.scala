@@ -121,6 +121,19 @@ class CurationSpec extends SparkSpec {
     // map-side bounded aggregate, not a per-key sort
     val plan = capped.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
+    // NULL keys form their own capped group (null-safe semi-join), exactly
+    // like the SQL window oracle's NULL partition
+    val withNull = docs.union(
+      (1000L until 1030L).map(i => (i, null.asInstanceOf[String]))
+        .toDF("doc_id", "source"))
+    val cappedNull = TextAnalysis.capPerKey(withNull, "source", "doc_id", 20)
+    assert(cappedNull.filter(col("source").isNull).count() == 20)
+    // non-integral ids are refused up front instead of silently deleting
+    intercept[IllegalArgumentException] {
+      TextAnalysis.capPerKey(
+        docs.withColumn("doc_id", col("doc_id").cast("string")),
+        "source", "doc_id", 20)
+    }
   }
 
   test("groupQuantiles: exact R-7 cutoffs drive per-source filters") {

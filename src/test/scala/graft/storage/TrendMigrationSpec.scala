@@ -174,6 +174,26 @@ class TrendMigrationSpec extends SparkSpec {
     assert(ranges.exists(_._2 < 512), s"no low-b_m file: $ranges")
   }
 
+  test("rewrite crash window: live part restored from the .part_old aside") {
+    val (ps, base) = freshStore("rewritecrash")
+    seed(ps)
+    val before = ps.readPart("p").get.orderBy("entity_id", "timestamp")
+      .collect().toSeq
+    // simulate a crash between rewritePart's two renames: live dir moved
+    // aside, a (stale) staged rewrite tree left behind
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/p"),
+      new org.apache.hadoop.fs.Path(s"$base/.p_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/p__rewrite/pindex=0"))
+    // any later read recovers the pre-rewrite state and sweeps the staging
+    val after = ps.readPart("p").get.orderBy("entity_id", "timestamp")
+      .collect().toSeq
+    assert(after == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.p_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/p__rewrite")))
+  }
+
   test("change: add + remove + retype in one reconciliation pass") {
     val (ps, _) = freshStore("change")
     seed(ps)
