@@ -346,6 +346,18 @@ object QueriesLLM {
       Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs)
         .orderBy("doc_id")
     },
+    // ---- cluster representative by quality (keep the longest copy) ----
+    "q86_cluster_rep" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+          nBits = 4, minCos = 0.98, maxBucket = 100)
+        .select("id1", "id2")
+      val labels = Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs)
+      Dedup.clusterRepresentatives(labels, "doc_id", "keeper",
+          d.select(col("doc_id"), col("n_chars")), "n_chars")
+        .orderBy("doc_id")
+    },
     // ---- ANN: IVF-style nearest-centroid assignment (deterministic
     // md5-sampled codebook; k-means would swap in transparently) ----
     "q56_ann_ivf" -> { (s, dir) =>
@@ -564,6 +576,47 @@ object QueriesLLM {
            SELECT vec_id, s, i FROM scored
            QUALIFY row_number() OVER (PARTITION BY vec_id, s
              ORDER BY cos DESC, i DESC) = 1)"""
+
+  /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
+    * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
+    * min-label propagation to a fixpoint. */
+  private val NearDupReachCte =
+    s"""RECURSIVE $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 16 AS b,
+             count(*) AS n
+           FROM toks GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
+           GROUP BY d.doc_id),
+         bk AS (
+           SELECT doc_id, v,
+             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
+               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
+               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+           FROM emb),
+         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+         pairs AS (
+           SELECT x.doc_id AS id1, y.doc_id AS id2
+           FROM capped x JOIN capped y
+             ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.98),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)"""
 
   val oracleSql: Map[String, String] = Map(
     "q25_dedup_exact" ->
@@ -1271,44 +1324,21 @@ object QueriesLLM {
     // recursive CTE) — the fixpoint is iteration-order independent, so it
     // equals the Spark min-label loop's result exactly.
     "q61_neardup_components" ->
-      s"""WITH RECURSIVE $ToksCte,
-         counts AS (
-           SELECT doc_id,
-             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
-               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
-               % 16 AS b,
-             count(*) AS n
-           FROM toks GROUP BY 1, 2),
-         emb AS (
-           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
-           FROM documents d
-           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
-           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
-           GROUP BY d.doc_id),
-         bk AS (
-           SELECT doc_id, v,
-             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
-               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
-               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
-               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
-             sqrt(list_dot_product(v, v)) AS nrm
-           FROM emb),
-         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
-         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
-         pairs AS (
-           SELECT x.doc_id AS id1, y.doc_id AS id2
-           FROM capped x JOIN capped y
-             ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.98),
-         edges AS (
-           SELECT id1 AS src, id2 AS dst FROM pairs
-           UNION ALL SELECT id2, id1 FROM pairs),
-         reach AS (
-           SELECT doc_id AS id, doc_id AS label FROM documents
-           UNION
-           SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+      s"""WITH $NearDupReachCte
          SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
          FROM reach GROUP BY 1 ORDER BY 1""",
+    "q86_cluster_rep" ->
+      s"""WITH $NearDupReachCte,
+         comp AS (
+           SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
+           FROM reach GROUP BY 1),
+         rep AS (
+           SELECT c.keeper, d.doc_id AS rep_id
+           FROM comp c JOIN documents d USING (doc_id)
+           QUALIFY row_number() OVER (PARTITION BY c.keeper
+             ORDER BY d.n_chars DESC, d.doc_id) = 1)
+         SELECT c.doc_id, c.keeper, r.rep_id
+         FROM comp c JOIN rep r USING (keeper) ORDER BY c.doc_id""",
     "q58_langid_multi" ->
       s"""WITH $ToksCte,
          counts AS (

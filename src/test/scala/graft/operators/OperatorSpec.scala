@@ -73,6 +73,20 @@ class OperatorSpec extends SparkSpec {
     assert(keepers(5L) == 5L && keepers(6L) == 5L)
   }
 
+  test("clusterRepresentatives picks the highest-quality copy, ties to smaller id") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "keeper")
+    val scores = Seq((1L, 100L), (2L, 400L), (3L, 400L), (5L, 10L), (6L, 9L))
+      .toDF("doc_id", "n_chars")
+    val reps = graft.functions.Dedup.clusterRepresentatives(
+        labels, "doc_id", "keeper", scores, "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cluster 1: docs 2 and 3 tie at 400 → smaller id 2 wins (not min-id 1)
+    assert(Seq(1L, 2L, 3L).forall(reps(_) == 2L))
+    // cluster 5: 5 outscores 6
+    assert(reps(5L) == 5L && reps(6L) == 5L)
+  }
+
   test("trigger weight/condition are arbitrary SQL fragments") {
     val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
     val out = TriggerOps.createNotifications(kpi, TriggerRule(
