@@ -240,6 +240,11 @@ object QueriesLLM {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // ---- temperature-balanced source sampling rates (T=4) ----
+    "q87_temperature_mix" -> { (s, dir) =>
+      TextAnalysis.temperatureMixture(docs(s, dir), "source", sqrtIters = 2)
+        .orderBy("source")
+    },
     // ---- per-source length-distribution cutoffs (filter thresholds) ----
     "q85_source_quantiles" -> { (s, dir) =>
       TextAnalysis.groupQuantiles(docs(s, dir), Seq("source"), "n_chars",
@@ -703,6 +708,25 @@ object QueriesLLM {
            CAST($terms AS BIGINT) AS zkey
          FROM events ORDER BY event_id"""
     },
+    "q87_temperature_mix" ->
+      """WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n_docs,
+             sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS weight
+           FROM counts),
+         tot AS (
+           SELECT
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(weight ORDER BY source)),
+               (a, b) -> a + b) AS sum_w,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+           FROM w)
+         SELECT source, n_docs, weight,
+           least(1.0, weight / sum_w * CAST(n_total AS DOUBLE)
+             / CAST(n_docs AS DOUBLE)) AS rate
+         FROM w CROSS JOIN tot ORDER BY source""",
     "q85_source_quantiles" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            quantile_cont(n_chars, 0.5) AS p50,

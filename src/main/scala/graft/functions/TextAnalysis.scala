@@ -368,6 +368,42 @@ object TextAnalysis {
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
   }
 
+  /** Temperature-balanced source mixture (the multilingual p^(1/T)
+    * sampling scheme of Conneau & Lample 2019, public): per-source
+    * sampling RATES that reshape the corpus toward count^α shares, with
+    * α = 1/2^sqrtIters computed by REPEATED IEEE sqrt — sqrt is
+    * correctly-rounded on every engine, unlike pow, so the rates are
+    * engine-exact (sqrtIters 1 ⇒ T=2, 2 ⇒ T=4, …). rate_s =
+    * min(1, (w_s/Σw)·(N/n_s)); compose with [[stratifiedSample]] to
+    * materialize the resample.
+    *
+    * Scale shape: ONE count aggregate touches the corpus; everything
+    * after runs on a |sources|-row frame whose Σw folds in source order
+    * (bit-stable), joined back as a 1-row broadcast totals frame. */
+  def temperatureMixture(
+      df: DataFrame, sourceCol: String, sqrtIters: Int = 1): DataFrame = {
+    require(sqrtIters >= 1 && sqrtIters <= 6,
+      s"sqrtIters must be in [1, 6] (alpha = 1/2^k), got $sqrtIters")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val w = (1 to sqrtIters).foldLeft(col("n_docs").cast("double"))(
+      (c, _) => sqrt(c))
+    val weighted = counts.withColumn("weight", w)
+    val totals = weighted
+      .agg(sort_array(collect_list(struct(
+        col(sourceCol).as("s"), col("weight").as("w"),
+        col("n_docs").as("n")))).as("xs"))
+      .select(
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("w"))
+          .as("sum_w"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x.getField("n"))
+          .as("n_total"))
+    weighted.crossJoin(broadcast(totals)) // 1-row totals frame
+      .select(col(sourceCol), col("n_docs"), col("weight"),
+        least(lit(1.0), col("weight") / col("sum_w") *
+          col("n_total").cast("double") / col("n_docs").cast("double"))
+          .as("rate"))
+  }
+
   /** Per-group quantile cutoffs (exact R-7 linear interpolation — the
     * `percentile` both Spark and DuckDB's `quantile_cont` implement
     * bit-identically, so cutoffs are engine-portable): the primitive

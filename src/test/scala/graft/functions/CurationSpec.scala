@@ -136,6 +136,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture flattens source shares; rates cap at 1") {
+    val docs = ((1 to 160).map(i => (i.toLong, "big")) ++
+      (161 to 170).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val m = TextAnalysis.temperatureMixture(docs, "source", sqrtIters = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // sqrt weighting: small source upsamples to the cap, big downsamples
+    assert(m("small")._2 == 1.0)
+    assert(m("big")._2 > 0.5 && m("big")._2 < 1.0, m)
+    // composing with stratifiedSample applies the rates deterministically
+    val rates = m.map { case (s, (_, r)) => s -> r }
+    val sampled = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates)
+    val kept = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 10)        // rate 1 keeps everything
+    assert(kept("big") < 160)          // rate < 1 thins the big source
+  }
+
   test("groupQuantiles: exact R-7 cutoffs drive per-source filters") {
     val df = ((1 to 100).map(i => ("a", i.toLong)) ++
       (1 to 50).map(i => ("b", i.toLong * 2))).toDF("source", "len")
