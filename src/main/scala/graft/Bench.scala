@@ -71,8 +71,17 @@ object Bench {
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line to disk: the driver captures stdout with a
+    // bounded tail window that has truncated long runs (BENCH_r06 lost
+    // q01-q26) — a file survives any capture window
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target", "bench_last.json"), line + "\n")
+    } catch { case _: java.io.IOException => () } // stdout already has it
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
   }

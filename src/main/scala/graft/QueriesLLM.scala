@@ -245,6 +245,13 @@ object QueriesLLM {
       TextAnalysis.temperatureMixture(docs(s, dir), "source", sqrtIters = 2)
         .orderBy("source")
     },
+    // ---- temperature resample materialized end to end (rates → sample) ----
+    "q88_temperature_sample" -> { (s, dir) =>
+      TextAnalysis.materializeTemperatureSample(docs(s, dir), "source",
+          "doc_id", sqrtIters = 2)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
     // ---- per-source length-distribution cutoffs (filter thresholds) ----
     "q85_source_quantiles" -> { (s, dir) =>
       TextAnalysis.groupQuantiles(docs(s, dir), Seq("source"), "n_chars",
@@ -478,6 +485,15 @@ object QueriesLLM {
   private def md5Ladder52(sqlExpr: String): String =
     (0 until 13).map { i =>
       val mult = BigInt(16).pow(12 - i)
+      val term =
+        s"(strpos('0123456789abcdef', substr(md5($sqlExpr), ${i + 1}, 1)) - 1)"
+      if (mult == 1) term else s"$term * $mult"
+    }.mkString("\n           + ")
+
+  /** 8-nibble (32-bit) md5 ladder — mirrors TextAnalysis.hashUniform. */
+  private def md5Ladder32(sqlExpr: String): String =
+    (0 until 8).map { i =>
+      val mult = BigInt(16).pow(7 - i)
       val term =
         s"(strpos('0123456789abcdef', substr(md5($sqlExpr), ${i + 1}, 1)) - 1)"
       if (mult == 1) term else s"$term * $mult"
@@ -719,14 +735,49 @@ object QueriesLLM {
          tot AS (
            SELECT
              list_reduce(
-               list_prepend(CAST(0.0 AS DOUBLE), list(weight ORDER BY source)),
+               -- NULLS FIRST pins the same float fold order as Spark's
+               -- sort_array (NULL structs sort first there); DuckDB's
+               -- default NULLS LAST would move a NULL source's term to the
+               -- end of the summation and break bit parity
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(weight ORDER BY source NULLS FIRST)),
                (a, b) -> a + b) AS sum_w,
              CAST(sum(n_docs) AS BIGINT) AS n_total
            FROM w)
          SELECT source, n_docs, weight,
            least(1.0, weight / sum_w * CAST(n_total AS DOUBLE)
              / CAST(n_docs AS DOUBLE)) AS rate
-         FROM w CROSS JOIN tot ORDER BY source""",
+         FROM w CROSS JOIN tot ORDER BY source NULLS FIRST""",
+    "q88_temperature_sample" -> {
+      val ladder = md5Ladder32("'smp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n_docs,
+             sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS weight
+           FROM counts),
+         tot AS (
+           SELECT
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(weight ORDER BY source NULLS FIRST)),
+               (a, b) -> a + b) AS sum_w,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+           FROM w),
+         rates AS (
+           SELECT source,
+             least(1.0, weight / sum_w * CAST(n_total AS DOUBLE)
+               / CAST(n_docs AS DOUBLE)) AS rate
+           FROM w CROSS JOIN tot)
+         SELECT doc_id, d.source AS source FROM (
+           SELECT doc_id, source,
+             CAST($ladder AS BIGINT) AS hv
+           FROM documents) d
+         JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+         WHERE CAST(d.hv % 1000000 AS DOUBLE) < 1000000.0 * r.rate
+         ORDER BY doc_id"""
+    },
     "q85_source_quantiles" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            quantile_cont(n_chars, 0.5) AS p50,

@@ -277,6 +277,58 @@ object Main {
           }
       }
 
+    // `minerva trend-store create|add-parts` (commands/trend_store/
+    // create.py, add_parts.py): register a store's parts as fresh sidecars
+    // (the O(1) analogue of CREATE TABLE — partitions materialize on first
+    // load). `create` refuses a store ANY of whose parts already exist
+    // (reference DuplicateTrendStore); `add-parts` creates only the
+    // missing ones and leaves live parts untouched.
+    case "trend-store" :: action :: base :: defFile :: Nil
+        if action == "create" || action == "add-parts" =>
+      import graft.storage.TrendMigration
+      val s = spark()
+      val ts = InstanceModel.parseTrendStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(defFile)))
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val (existing, missing) = ts.parts.partition(p =>
+        ps.sidecarSchema(p.name).nonEmpty)
+      if (action == "create" && existing.nonEmpty) {
+        System.err.println(s"Duplicate trend store ${ts.dataSource}, " +
+          s"${ts.entityType}, ${ts.granularity.name} — parts already " +
+          s"exist: ${existing.map(_.name).mkString(", ")}")
+        sys.exit(1)
+      }
+      // changePart with no stored state = fresh sidecar of the declared
+      // schema (get_or_create_trend_store_part)
+      missing.foreach(p => TrendMigration.changePart(ps, p, force = false))
+      println(s"""{"trend_store":${js(ts.title)},"${
+        if (action == "create") "created" else "added"}":${
+        jarr(missing.map(p => js(p.name)))}}""")
+
+    // `minerva trend-store delete` (commands/trend_store/delete.py): drop
+    // every part of the definition — sidecar + partition dirs + crash
+    // asides.
+    case "trend-store" :: "delete" :: base :: defFile :: Nil =>
+      val s = spark()
+      val ts = InstanceModel.parseTrendStore(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(defFile)))
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val deleted = ts.parts.map(_.name).filter(ps.deletePart)
+      println(s"""{"trend_store":${js(ts.title)},"deleted":${
+        jarr(deleted.map(js))}}""")
+
+    // `minerva trend-store list` (commands/trend_store/list.py): stored
+    // parts with their column counts — one directory listing + sidecar
+    // reads, no data touched.
+    case "trend-store" :: "list" :: base :: Nil =>
+      val s = spark()
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      val parts = ps.listParts().map { p =>
+        val cols = ps.sidecarSchema(p).map(_.fields.length)
+        s"""{"name":${js(p)},"columns":${cols.getOrElse(-1)}}"""
+      }
+      println(jarr(parts))
+
     // `minerva trend-store show` (commands/trend_store.py:590-650): per-
     // store introspection — declared config (trends, types, agg fns) next
     // to what is physically stored (sidecar columns), one JSON object.
@@ -382,12 +434,12 @@ object Main {
       action match {
         case "create" =>
           val n = name
-          println(s"""{"entity_type":"$n","created":${dir.create(n)}}""")
+          println(s"""{"entity_type":${js(n)},"created":${dir.create(n)}}""")
         case "delete" =>
           val n = name
-          println(s"""{"entity_type":"$n","deleted":${dir.delete(n)}}""")
+          println(s"""{"entity_type":${js(n)},"deleted":${dir.delete(n)}}""")
         case "list" =>
-          println(dir.list().map(n => s""""$n"""").mkString("[", ",", "]"))
+          println(dir.list().map(js).mkString("[", ",", "]"))
         case other =>
           System.err.println(s"unknown entity-type action: $other"); sys.exit(2)
       }
@@ -404,17 +456,17 @@ object Main {
         case "create" =>
           val n = name
           val created = !fs.exists(p(n)) && fs.mkdirs(p(n))
-          println(s"""{"$kind":"$n","created":$created}""")
+          println(s"""{"$kind":${js(n)},"created":$created}""")
         case "delete" =>
           val n = name
           val deleted = fs.exists(p(n)) && fs.delete(p(n), true)
-          println(s"""{"$kind":"$n","deleted":$deleted}""")
+          println(s"""{"$kind":${js(n)},"deleted":$deleted}""")
         case "list" =>
           val d = new org.apache.hadoop.fs.Path(dir)
           val names =
             if (!fs.exists(d)) Seq.empty
             else fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
-          println(names.map(n => s""""$n"""").mkString("[", ",", "]"))
+          println(names.map(js).mkString("[", ",", "]"))
         case other =>
           System.err.println(s"unknown $kind action: $other"); sys.exit(2)
       }
@@ -432,7 +484,7 @@ object Main {
       val name = s"${ad.dataSource}_${ad.entityType}"
       val created = graft.storage.AttributeStore.create(
         spark(), s"$base/attribute/$name", ad.attributes)
-      println(s"""{"attribute_store":"$name","created":$created,""" +
+      println(s"""{"attribute_store":${js(name)},"created":$created,""" +
         s""""attributes":${ad.attributes.length}}""")
       if (!created) {
         System.err.println(s"attribute store '$name' already exists — not overwritten")
@@ -445,7 +497,7 @@ object Main {
         s.sparkContext.hadoopConfiguration)
       val deleted = fs.delete(
         new org.apache.hadoop.fs.Path(s"$base/attribute/$name"), true)
-      println(s"""{"attribute_store":"$name","deleted":$deleted}""")
+      println(s"""{"attribute_store":${js(name)},"deleted":$deleted}""")
 
     case "attribute-store" :: "list" :: base :: Nil =>
       val s = spark()
@@ -456,7 +508,7 @@ object Main {
         if (!fs.exists(p)) Seq.empty
         else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
           .sorted.toSeq
-      println(names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+      println(names.map(js).mkString("[", ",", "]"))
 
     // show: declared/stored columns + row counts of history and the
     // materialized snapshots (reference show, attribute_store.py:210-246)
@@ -469,7 +521,7 @@ object Main {
         .map(f => s"""{"name":${js(f.name)},"type":${js(f.dataType.simpleString)}}""")
       val histRows = st.history.map(_.count()).getOrElse(0L)
       val curRows = st.currentSnapshot.map(_.count().toString).getOrElse("null")
-      println(s"""{"attribute_store":"$name","columns":${
+      println(s"""{"attribute_store":${js(name)},"columns":${
         cols.mkString("[", ",", "]")},"history_rows":$histRows,""" +
         s""""current_rows":$curRows}""")
 
@@ -494,14 +546,14 @@ object Main {
         val rows =
           if (flags.contains("--incremental")) st.materializeCurrentIncremental()
           else st.materializeCurrent()
-        s""""$n":$rows"""
+        s"""${js(n)}:$rows"""
       }
       println(results.mkString("{", ",", "}"))
 
     case "attribute-store" :: "compact" :: base :: name :: Nil =>
       val st = new graft.storage.AttributeStore(
         spark(), s"$base/attribute/$name")
-      println(s"""{"attribute_store":"$name","compacted_rows":${
+      println(s"""{"attribute_store":${js(name)},"compacted_rows":${
         st.materializeCompacted()}}""")
 
     case "notification-store" :: "create" :: base :: yamlPath :: Nil =>
@@ -512,7 +564,7 @@ object Main {
       graft.storage.NotificationStore.create(
         s"$base/notification/$stem", defn.attributes,
         spark().sparkContext.hadoopConfiguration)
-      println(s"""{"notification_store":"$stem","attributes":${defn.attributes.length}}""")
+      println(s"""{"notification_store":${js(stem)},"attributes":${defn.attributes.length}}""")
 
     // `minerva generate-sample-data` (commands/generate_sample_data.py):
     // render a definition's per-interval template to CSV files WITHOUT
@@ -628,14 +680,52 @@ object Main {
       }
       java.nio.file.Files.writeString(slugFile, text)
       java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
-      println(s"""{"trigger":"${t.name}","created":true,"enabled":true}""")
+      println(s"""{"trigger":${js(t.name)},"created":true,"enabled":true}""")
+
+    // `minerva trigger update-weight|update-kpi-function|update-data-function`
+    // (commands/trigger.py:124-253): load a NEW definition YAML and patch
+    // only that aspect of the INSTALLED trigger (matched by name) in
+    // place. Everything else — including the `.enabled` sidecar — is
+    // preserved, so an operator can tune a live trigger without
+    // delete + re-create.
+    case "trigger" :: action :: base :: yamlPath :: Nil
+        if action == "update-weight" || action == "update-kpi-function" ||
+          action == "update-data-function" =>
+      val newDef = InstanceModel.parseTrigger(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
+      val dir = java.nio.file.Paths.get(base, "trigger")
+      val slugFile = dir.resolve(s"${triggerSlug(newDef.name)}.yaml")
+      if (!java.nio.file.Files.exists(slugFile)) {
+        println(s"""{"error":"no such trigger","trigger":${js(newDef.name)}}""")
+        sys.exit(1)
+      }
+      val installed = InstanceModel.parseTrigger(
+        java.nio.file.Files.readString(slugFile))
+      if (installed.name != newDef.name) {
+        System.err.println(s"trigger slug holds '${installed.name}', " +
+          s"not '${newDef.name}' — refusing to patch a different trigger")
+        sys.exit(1)
+      }
+      val patched = action match {
+        case "update-weight" => installed.copy(weight = newDef.weight)
+        case "update-kpi-function" => installed.copy(
+          kpiData = newDef.kpiData, granularity = newDef.granularity,
+          trendStoreLinks = newDef.trendStoreLinks)
+        case _ => installed.copy(data = newDef.data)
+      }
+      java.nio.file.Files.writeString(slugFile,
+        InstanceModel.renderTrigger(patched))
+      val enabled = java.nio.file.Files.exists(
+        dir.resolve(s"${triggerSlug(newDef.name)}.enabled"))
+      println(s"""{"trigger":${js(newDef.name)},"updated":${
+        js(action.stripPrefix("update-"))},"enabled":$enabled}""")
 
     case "trigger" :: "delete" :: base :: name :: Nil =>
       val dir = java.nio.file.Paths.get(base, "trigger")
       val existed = java.nio.file.Files.deleteIfExists(
         dir.resolve(s"${triggerSlug(name)}.yaml"))
       java.nio.file.Files.deleteIfExists(dir.resolve(s"${triggerSlug(name)}.enabled"))
-      println(s"""{"trigger":"$name","deleted":$existed}""")
+      println(s"""{"trigger":${js(name)},"deleted":$existed}""")
 
     case "trigger" :: "list" :: base :: Nil =>
       val dir = java.nio.file.Paths.get(base, "trigger")
@@ -655,19 +745,19 @@ object Main {
       val dir = java.nio.file.Paths.get(base, "trigger")
       val slug = triggerSlug(name)
       if (!java.nio.file.Files.exists(dir.resolve(s"$slug.yaml"))) {
-        println(s"""{"error":"no such trigger","trigger":"$name"}""")
+        println(s"""{"error":"no such trigger","trigger":${js(name)}}""")
         sys.exit(1)
       }
       if (action == "enable")
         java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
       else java.nio.file.Files.deleteIfExists(dir.resolve(s"$slug.enabled"))
-      println(s"""{"trigger":"$name","enabled":${action == "enable"}}""")
+      println(s"""{"trigger":${js(name)},"enabled":${action == "enable"}}""")
 
     case "trigger" :: "execute" :: base :: name :: part :: outDir :: Nil =>
       val yaml = java.nio.file.Paths.get(base, "trigger",
         s"${triggerSlug(name)}.yaml")
       if (!java.nio.file.Files.exists(yaml)) {
-        println(s"""{"error":"no such trigger","trigger":"$name"}""")
+        println(s"""{"error":"no such trigger","trigger":${js(name)}}""")
         sys.exit(1)
       }
       main(Array("trigger", s"$base/trend", part, yaml.toString, outDir))
@@ -687,9 +777,15 @@ object Main {
       val counts = enabled.map { slug =>
         val t = InstanceModel.parseTrigger(java.nio.file.Files.readString(
           dir.resolve(s"$slug.yaml")))
+        // persist so the write and the reported count share ONE execution
+        // of the notification pipeline (and the count reflects what was
+        // actually written, not a recomputation)
         val out = TriggerOps.createNotifications(kpi, InstanceInit.triggerRule(t))
-        out.write.mode("append").parquet(outDir)
-        s"""${js(t.name)}:${out.count()}"""
+          .persist()
+        try {
+          out.write.mode("append").parquet(outDir)
+          s"""${js(t.name)}:${out.count()}"""
+        } finally out.unpersist()
       }
       println(counts.mkString("{", ",", "}"))
 
@@ -729,7 +825,7 @@ object Main {
         if (!fs.exists(p)) Seq.empty
         else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
           .sorted.toSeq
-      println(names.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+      println(names.map(js).mkString("[", ",", "]"))
 
     case "trigger" :: base :: part :: yamlPath :: outDir :: Nil =>
       val s = spark()
@@ -740,9 +836,12 @@ object Main {
         println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
       }
       val rule = InstanceInit.triggerRule(t)
-      val out = TriggerOps.createNotifications(kpi, rule)
-      out.write.mode("append").parquet(outDir)
-      println(s"""{"rule":"${t.name}","notifications":${out.count()}}""")
+      // persist: one execution shared by the write and the reported count
+      val out = TriggerOps.createNotifications(kpi, rule).persist()
+      try {
+        out.write.mode("append").parquet(outDir)
+        println(s"""{"rule":${js(t.name)},"notifications":${out.count()}}""")
+      } finally out.unpersist()
 
     // Retention expiry (reference commands/partition.py remove-old):
     // drops whole pindex partition directories before the cutoff.
@@ -1023,6 +1122,8 @@ object Main {
            |  trend-store check-config <instanceDir>
            |  trend-store deduce <csv> <idCol> <tsCol> [dataSource entityType granularity]
            |  trend-store add-trends|remove-trends|alter-trends|change [--force] [--purge] <storeBase> <defYaml>
+           |  trend-store create|add-parts|delete <storeBase> <defYaml>
+           |  trend-store list <storeBase>
            |  trend-store show <storeBase> <defYaml>
            |  attribute-store create <storeBase> <defYaml>
            |  attribute-store delete|show|compact <storeBase> <name>
@@ -1039,6 +1140,7 @@ object Main {
            |  trigger <trendBase> <part> <triggerYaml> <outDir>
            |  trigger create <storeBase> <triggerYaml>
            |  trigger delete|enable|disable <storeBase> <name>
+           |  trigger update-weight|update-kpi-function|update-data-function <storeBase> <triggerYaml>
            |  trigger list <storeBase>
            |  trigger execute <storeBase> <name> <part> <outDir>
            |  trigger run-all <storeBase> <part> <outDir>

@@ -287,25 +287,6 @@ object Dedup {
     * Ids keep their original type — label propagation needs only a total
     * order, so string doc ids work as well as longs (a cast would null
     * non-numeric ids and silently collapse every row into one group). */
-  /** Re-choose each duplicate cluster's representative by QUALITY: given
-    * component labels ((id, component) — e.g. [[connectedKeepers]]
-    * output) and a per-document score, returns (id, component, rep_id)
-    * with rep_id = argmax(score, ties → smaller id) within the component
-    * — "keep the longest / highest-quality copy", the keep policy real
-    * dedup pipelines apply where a min-id keeper would keep an arbitrary
-    * one. One struct-max aggregate over |docs| and a |components|-sized
-    * join back; no window, no per-cluster sort. */
-  def clusterRepresentatives(
-      labels: DataFrame, idCol: String, componentCol: String,
-      scored: DataFrame, scoreCol: String): DataFrame = {
-    val withScore = labels.join(scored, Seq(idCol))
-    val reps = withScore.groupBy(col(componentCol))
-      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("__m"))
-      .select(col(componentCol), (-col("__m.nid")).as("rep_id"))
-    labels.join(reps, Seq(componentCol))
-      .select(col(idCol), col(componentCol), col("rep_id"))
-  }
-
   def connectedKeepers(
       all: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
@@ -338,6 +319,34 @@ object Dedup {
           "(silently returning partial labels would disagree with any " +
           "exact component computation)")
     labels.select(col("id").as(idCol), col("label").as("keeper"))
+  }
+
+  /** Re-choose each duplicate cluster's representative by QUALITY: given
+    * component labels ((id, component) — e.g. [[connectedKeepers]]
+    * output) and a per-document score, returns (id, component, rep_id)
+    * with rep_id = argmax(score, ties → smallest id) within the component
+    * — "keep the longest / highest-quality copy", the keep policy real
+    * dedup pipelines apply where a min-id keeper would keep an arbitrary
+    * one. Two aggregates over |docs| (per-component max score, then min id
+    * among rows attaining it) and a |components|-sized join back; no
+    * window, no per-cluster sort, and — like [[connectedKeepers]] — ids
+    * keep their original type: the tie-break is an order-based `min`, so
+    * string doc ids work as well as longs (the obvious one-pass
+    * `max(struct(score, -id))` trick would cast a string id to NULL and
+    * overflow at Long.MinValue). Both aggregates and the final join hash
+    * on `componentCol`, so the exchange is reused across stages. */
+  def clusterRepresentatives(
+      labels: DataFrame, idCol: String, componentCol: String,
+      scored: DataFrame, scoreCol: String): DataFrame = {
+    val withScore = labels.join(scored, Seq(idCol))
+    val best = withScore.groupBy(col(componentCol))
+      .agg(max(col(scoreCol)).as("__best"))
+    val reps = withScore.join(best, Seq(componentCol))
+      .filter(col(scoreCol) <=> col("__best"))
+      .groupBy(col(componentCol))
+      .agg(min(col(idCol)).as("rep_id"))
+    labels.join(reps, Seq(componentCol))
+      .select(col(idCol), col(componentCol), col("rep_id"))
   }
 
   /** Eval-set decontamination (the GPT-3/C4/PaLM-style n-gram overlap

@@ -404,6 +404,29 @@ object TextAnalysis {
           .as("rate"))
   }
 
+  /** Materialize a temperature-balanced resample end to end:
+    * [[temperatureMixture]] → collect the per-source rates →
+    * [[stratifiedSample]], in one call. The collect is bounded by
+    * |sources| rows (a mixture over more than a few thousand sources is a
+    * modeling error long before it is a driver-memory problem), so this
+    * stays a control-plane read; the corpus itself is touched exactly
+    * twice — one count aggregate for the rates, one shuffle-free filtered
+    * pass for the sample. A NULL source is its own mixture group; its
+    * rate rides through [[stratifiedSample]]'s `defaultRate` (a string
+    * "null" key would never equal a NULL column), which is exact because
+    * every non-null source is enumerated. */
+  def materializeTemperatureSample(
+      df: DataFrame, sourceCol: String, idCol: String,
+      sqrtIters: Int = 1): DataFrame = {
+    val rows = temperatureMixture(df, sourceCol, sqrtIters)
+      .select(col(sourceCol).cast("string"), col("rate"))
+      .collect()
+    val named = rows.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val nullRate = rows.find(_.isNullAt(0)).map(_.getDouble(1)).getOrElse(1.0)
+    stratifiedSample(df, idCol, sourceCol, named, defaultRate = nullRate)
+  }
+
   /** Per-group quantile cutoffs (exact R-7 linear interpolation — the
     * `percentile` both Spark and DuckDB's `quantile_cont` implement
     * bit-identically, so cutoffs are engine-portable): the primitive

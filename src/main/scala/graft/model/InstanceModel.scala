@@ -581,4 +581,31 @@ object InstanceModel {
         TriggerStoreLink(str(l, "part_name"), str(l, "mapping_function", "mapping_id")))
     )
   }
+
+  /** Render a trigger as reference-shaped YAML ([[parseTrigger]] is the
+    * inverse — round-trip asserted in specs). The CLI's `trigger update-*`
+    * commands use this to patch one aspect of an installed trigger in
+    * place (reference commands/trigger.py:124-253 update-weight /
+    * update-kpi-function / update-data-function). */
+  def renderTrigger(t: Trigger): String =
+    dumpYaml(jmap((Seq[(String, Any)](
+      "name" -> t.name,
+      "kpi_data" -> jlist(t.kpiData.map(k =>
+        jmap("name" -> k.name, "data_type" -> k.dataType.name,
+          "description" -> k.description,
+          "time_aggregation" -> k.timeAggregation,
+          "entity_aggregation" -> k.entityAggregation))),
+      "thresholds" -> jlist(t.thresholds.map(th =>
+        jmap("name" -> th.name, "data_type" -> th.dataType.name,
+          "value" -> th.value))),
+      "condition" -> t.condition,
+      "weight" -> t.weight,
+      "notification" -> t.notification,
+      "data" -> t.data,
+      "notification_store" -> t.notificationStore) ++
+      // absent granularity is OMITTED (a YAML null would reload as "null")
+      t.granularity.map("granularity" -> (_: Any)).toSeq ++ Seq(
+      "trend_store_links" -> jlist(t.trendStoreLinks.map(l =>
+        jmap("part_name" -> l.partName,
+          "mapping_function" -> l.mappingFunction))))): _*))
 }

@@ -64,10 +64,17 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // whole-part rewrite recovery (rewritePart's single-rename swap): a
     // live dir missing with a `.{part}_old` aside means a crash hit
     // between the two renames — the aside is the authoritative pre-rewrite
-    // state, restore it (the interrupted rewrite is simply re-run). A
-    // leftover `__rewrite` staging dir is stale either way.
+    // state, restore it (the interrupted rewrite is simply re-run). An
+    // aside WITH a live dir means the crash hit after the swap-in but
+    // before the aside delete — the aside is stale PRE-rewrite data; drop
+    // it now, or a later removal of the live part (retention, manual
+    // cleanup) would silently resurrect it. A leftover `__rewrite` staging
+    // dir is stale either way.
     val oldAside = hp(s"$basePath/.${part}_old")
-    if (!fs.exists(dir) && fs.exists(oldAside)) fs.rename(oldAside, dir)
+    if (fs.exists(oldAside)) {
+      if (!fs.exists(dir)) fs.rename(oldAside, dir)
+      else fs.delete(oldAside, true)
+    }
     fs.delete(hp(path(part) + "__rewrite"), true)
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { st =>
@@ -333,6 +340,31 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         fs.delete(aside, true)
         indices.length
     }
+
+  /** Parts physically present under the store base — any non-hidden
+    * directory except internal logs (`_modified_log` etc.). One driver-side
+    * directory listing: O(parts), never touches data
+    * (`trend-store list`, reference commands/trend_store/list.py). */
+  def listParts(): Seq[String] = {
+    val base = hp(basePath)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sorted
+  }
+
+  /** Drop a part wholesale: sidecar, every pindex partition dir, and any
+    * crash aside — the analogue of trend_directory.delete_trend_store's
+    * per-part DROP TABLE (`trend-store delete`,
+    * reference commands/trend_store/delete.py). Metadata-only directory
+    * deletes; returns whether anything existed. */
+  def deletePart(part: String): Boolean = {
+    val aside = fs.delete(hp(s"$basePath/.${part}_old"), true)
+    val staging = fs.delete(hp(path(part) + "__rewrite"), true)
+    fs.delete(hp(path(part)), true) || aside || staging
+  }
 
   /** Modified-log append (I1): one row per (part, timestamp) in the batch —
     * the writer-maintained analogue of trend_directory.mark_modified. */

@@ -259,6 +259,121 @@ class CatalogCliSpec extends SparkSpec {
     assert(ve.contains("\"v-region\":"), ve)
   }
 
+  test("trigger update-* patches one aspect in place, preserving enabled state") {
+    val b = java.nio.file.Files.createTempDirectory("graft_trigupd_").toString
+    // a part with known KPI rows: entity 1 fires (power 55 > 10), 2 doesn't
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(s"$b/trend", 86400))
+    ps.store("node_main_15m", Seq((1L, 900L, 55.0, 1L), (2L, 900L, 5.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    def trigYaml(weightSql: String, dataLine: String = "") =
+      s"""name: node/15m/power
+         |kpi_data:
+         |  - name: power
+         |    data_type: numeric
+         |thresholds:
+         |  - name: max_power
+         |    data_type: numeric
+         |    value: 10
+         |condition: |-
+         |  power > max_power
+         |weight: |-
+         |  $weightSql
+         |notification: |-
+         |  SELECT format('p=%s', $$1.power)
+         |$dataLine
+         |notification_store: alerts
+         |granularity: 15m
+         |trend_store_links:
+         |  - part_name: node_main_15m
+         |    mapping_function: mapping_id
+         |""".stripMargin.replace("\n\n", "\n")
+    val yaml = java.nio.file.Files.createTempFile("trig_upd", ".yaml")
+    java.nio.file.Files.writeString(yaml, trigYaml("1"))
+    assert(run("trigger", "create", b, yaml.toString).contains("\"created\":true"))
+    // disable first: update-* must PRESERVE enabled-state, not reset it
+    assert(run("trigger", "disable", b, "node/15m/power")
+      .contains("\"enabled\":false"))
+    // operator edits the weight in the definition and pushes just that
+    java.nio.file.Files.writeString(yaml,
+      trigYaml("SELECT CASE WHEN $1.power > 20 THEN 777 ELSE 111 END"))
+    val upd = run("trigger", "update-weight", b, yaml.toString)
+    assert(upd.contains("\"updated\":\"weight\""), upd)
+    assert(upd.contains("\"enabled\":false"), upd) // sidecar survived
+    // execute (explicit execute runs even a disabled trigger) → new weight
+    val outDir = java.nio.file.Files.createTempDirectory("graft_trigupd_out_")
+      .toString
+    run("trigger", "execute", b, "node/15m/power", "node_main_15m", outDir)
+    val notes = spark.read.parquet(outDir)
+    assert(notes.count() == 1)
+    assert(notes.select("weight").head.getLong(0) == 777L)
+    assert(notes.select("data").head.getString(0) == "{}") // no data fn yet
+    // update-data-function patches ONLY the payload; the weight stays 777
+    java.nio.file.Files.writeString(yaml, trigYaml("1",
+      "data: |-\n  SELECT format('{\"power\": %s}', $1.power)"))
+    assert(run("trigger", "update-data-function", b, yaml.toString)
+      .contains("\"updated\":\"data-function\""))
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft_trigupd_out2_")
+      .toString
+    run("trigger", "execute", b, "node/15m/power", "node_main_15m", outDir2)
+    val notes2 = spark.read.parquet(outDir2)
+    assert(notes2.select("weight").head.getLong(0) == 777L) // NOT the yaml's 1
+    assert(notes2.select("data").head.getString(0) == "{\"power\": 55.0}")
+    // update-kpi-function patches the KPI surface (kpi_data / links /
+    // granularity); the installed YAML round-trips through the parser
+    assert(run("trigger", "update-kpi-function", b, yaml.toString)
+      .contains("\"updated\":\"kpi-function\""))
+    val installed = graft.model.InstanceModel.parseTrigger(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        b, "trigger", "node_15m_power.yaml")))
+    assert(installed.kpiData.map(_.name) == Seq("power"))
+    assert(installed.weight.contains("777")) // kpi update left weight alone
+  }
+
+  test("trend-store create/add-parts/delete/list standalone verbs") {
+    import graft.core.MinervaType._
+    import graft.model.{Trend, TrendStore, TrendStorePart}
+    val sb = s"$base/verbs_store"
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(sb, 86400))
+    def defYaml(parts: TrendStorePart*) = {
+      val ts = TrendStore(
+        title = "net_node", dataSource = "net", entityType = "node",
+        granularity = graft.core.Granularity.parse("15m"),
+        partitionSize = graft.core.Granularity.parse("1d"),
+        parts = parts)
+      val p = java.nio.file.Files.createTempFile("verbs", ".yaml")
+      java.nio.file.Files.writeString(p,
+        graft.model.InstanceModel.renderTrendStore(ts))
+      p.toString
+    }
+    val mainPart = TrendStorePart("net_node_main_15m",
+      Seq(Trend("power", MBigInt)))
+    val y1 = defYaml(mainPart)
+    // create registers a fresh sidecar per part (no data yet)
+    assert(run("trend-store", "create", sb, y1)
+      .contains("\"created\":[\"net_node_main_15m\"]"))
+    assert(ps.sidecarSchema("net_node_main_15m").exists(
+      _.fieldNames.contains("power")))
+    assert(run("trend-store", "list", sb)
+      .contains("\"name\":\"net_node_main_15m\""))
+    // add-parts creates only the MISSING part, leaving the live one alone
+    val y2 = defYaml(mainPart, TrendStorePart("net_node_aux_15m",
+      Seq(Trend("temp", MDouble))))
+    assert(run("trend-store", "add-parts", sb, y2)
+      .contains("\"added\":[\"net_node_aux_15m\"]"))
+    // a created part accepts loads immediately (sidecar types the merge)
+    ps.store("net_node_main_15m", Seq((1L, 1000L, 7L, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    assert(ps.readPart("net_node_main_15m").get.count() == 1)
+    // delete drops sidecars AND partition data for every part
+    assert(run("trend-store", "delete", sb, y2)
+      .contains("\"net_node_main_15m\"")) // both parts reported
+    assert(ps.sidecarSchema("net_node_main_15m").isEmpty)
+    assert(ps.readPart("net_node_main_15m").isEmpty)
+    assert(run("trend-store", "list", sb) == "[]")
+  }
+
   test("attribute-store create -> load -> compact -> curr-ptr round-trip") {
     val yaml = java.nio.file.Files.createTempFile("inventory", ".yaml")
     java.nio.file.Files.writeString(yaml,

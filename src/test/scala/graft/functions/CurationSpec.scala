@@ -153,6 +153,29 @@ class CurationSpec extends SparkSpec {
     assert(kept("big") < 160)          // rate < 1 thins the big source
   }
 
+  test("materializeTemperatureSample = manual mixture → sample composition") {
+    val docs = ((1 to 160).map(i => (i.toLong, "big")) ++
+      (161 to 170).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    // manual two-step: collect rates, then stratifiedSample
+    val rates = TextAnalysis.temperatureMixture(docs, "source", sqrtIters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val manual = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val auto = TextAnalysis.materializeTemperatureSample(
+        docs, "source", "doc_id", sqrtIters = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auto == manual)
+    assert(auto.nonEmpty && auto.size < 170) // actually thinned something
+    // a NULL source is its own mixture group, not silently rate-1: with
+    // enough NULL-source rows the group downsamples like any other
+    val withNull = ((1 to 160).map(i => (i.toLong, null: String)) ++
+      (161 to 170).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val sampledNull = TextAnalysis.materializeTemperatureSample(
+        withNull, "source", "doc_id", sqrtIters = 2)
+      .filter(col("source").isNull).count()
+    assert(sampledNull > 0 && sampledNull < 160, sampledNull)
+  }
+
   test("groupQuantiles: exact R-7 cutoffs drive per-source filters") {
     val df = ((1 to 100).map(i => ("a", i.toLong)) ++
       (1 to 50).map(i => ("b", i.toLong * 2))).toDF("source", "len")

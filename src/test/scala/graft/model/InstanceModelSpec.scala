@@ -257,4 +257,32 @@ class InstanceModelSpec extends AnyFunSuite {
     assert(t.condition == "power_kwh > max_power")
     assert(t.kpiData.head.dataType == MinervaType.MNumeric)
   }
+
+  test("renderTrigger round-trips through parseTrigger") {
+    val t = InstanceModel.parseTrigger(
+      """name: node/15m/highpowerusage
+        |kpi_data:
+        |  - name: power_kwh
+        |    data_type: numeric
+        |thresholds:
+        |  - name: max_power
+        |    data_type: numeric
+        |    value: 0.05
+        |condition: power_kwh > max_power
+        |weight: 'CASE WHEN power_kwh > 1 THEN 500 ELSE 300 END'
+        |notification: "SELECT format('power %s', $1.power_kwh)"
+        |data: "SELECT format('{}', $1.power_kwh)"
+        |notification_store: alerts
+        |granularity: 15m
+        |trend_store_links:
+        |  - part_name: net_node_main_15m
+        |    mapping_function: mapping_id
+        |""".stripMargin)
+    val back = InstanceModel.parseTrigger(InstanceModel.renderTrigger(t))
+    assert(back == t)
+    // absent granularity is omitted, not rendered as the string "null"
+    val bare = t.copy(granularity = None)
+    val bareBack = InstanceModel.parseTrigger(InstanceModel.renderTrigger(bare))
+    assert(bareBack.granularity.isEmpty)
+  }
 }

@@ -87,6 +87,23 @@ class OperatorSpec extends SparkSpec {
     assert(reps(5L) == 5L && reps(6L) == 5L)
   }
 
+  test("clusterRepresentatives works with STRING doc ids (no numeric cast)") {
+    // connectedKeepers documents string ids as supported; the natural
+    // composition feeds them straight into clusterRepresentatives
+    val all = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("doc_id")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id1", "id2")
+    val labels = Dedup.connectedKeepers(all, "doc_id", pairs)
+    val scores = Seq(("doc-a", 10L), ("doc-b", 40L), ("doc-c", 40L), ("doc-z", 1L))
+      .toDF("doc_id", "n_chars")
+    val reps = Dedup.clusterRepresentatives(labels, "doc_id", "keeper",
+        scores, "n_chars")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(reps.values.forall(_ != null)) // string ids must not null out
+    // doc-b and doc-c tie at 40 → lexicographically smaller id doc-b wins
+    assert(Seq("doc-a", "doc-b", "doc-c").forall(reps(_) == "doc-b"))
+    assert(reps("doc-z") == "doc-z") // singleton is its own representative
+  }
+
   test("trigger weight/condition are arbitrary SQL fragments") {
     val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
     val out = TriggerOps.createNotifications(kpi, TriggerRule(

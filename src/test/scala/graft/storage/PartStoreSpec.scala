@@ -123,6 +123,28 @@ class PartStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/.pindex_old_0")))
   }
 
+  test("stale whole-part aside is dropped once the live part exists") {
+    // a crash AFTER rewritePart's swap-in but BEFORE the aside delete
+    // leaves `.{part}_old` next to a complete live part; recovery must
+    // drop the stale aside — if the live part is later removed (manual
+    // cleanup, retention), a surviving aside would silently resurrect
+    // pre-rewrite data
+    val ps = freshStore("stale_aside")
+    ps.store("p", Seq((1L, 1000L, 42.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/partstore_stale_aside"
+    val aside = new org.apache.hadoop.fs.Path(s"$base/.p_old")
+    fs.mkdirs(aside) // the stale pre-rewrite copy
+    val back = ps.readPart("p").get.collect()
+    assert(back.length == 1 && back.head.getAs[Double]("power") == 42.0)
+    assert(!fs.exists(aside)) // stale aside dropped, not kept around
+    // the part's later deletion must not resurrect anything
+    assert(ps.deletePart("p"))
+    assert(ps.readPart("p").isEmpty)
+  }
+
   test("retention expiry drops whole partitions") {
     val ps = freshStore("expire")
     ps.store("p", Seq(
