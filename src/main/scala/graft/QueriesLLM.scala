@@ -234,6 +234,26 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- canonical 64-bit PQ (m=8, k=256): array subcodes, no packing ----
+    "q89_pq_codes64" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64)
+      e.select(col("vec_id"),
+          Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+        .orderBy("vec_id")
+    },
+    // ---- ADC retrieval over canonical 64-bit array codes ----
+    "q90_adc_topk64" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64)
+      val codes = e.select(col("vec_id"),
+        Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+      Similarity.adcTopKArray(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", cbs, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- per-source document cap (domain balancing) ----
     "q84_domain_cap" -> { (s, dir) =>
       TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 15)
@@ -546,9 +566,11 @@ object QueriesLLM {
            FROM seeds c LEFT JOIN sums s USING (i))"""
 
   /** PQ codes over per-subspace Lloyd-refined codebooks (m=8 subspaces of
-    * 8 dims, k=4): the shared sample is sliced per subspace, each slice
-    * refined independently — mirrors Similarity.pqCodebooksRefined. */
-  private val PqCodesCte =
+    * 8 dims, k centroids): the shared sample is sliced per subspace, each
+    * slice refined independently — mirrors Similarity.pqCodebooksRefined.
+    * k=4 is the BIGINT-packed gate config (q77/q78); k=256 the canonical
+    * 64-bit config (q89/q90). */
+  private def pqCodesCte(k: Int) =
     s"""$SampCte,
          ss AS (SELECT unnest(generate_series(0, 7)) AS s),
          sseeds AS (
@@ -556,7 +578,7 @@ object QueriesLLM {
            FROM (
              SELECT CAST(row_number() OVER (ORDER BY md5(sid), sid) - 1 AS INT)
                AS i, emb
-             FROM samp ORDER BY md5(sid), sid LIMIT 4) sd
+             FROM samp ORDER BY md5(sid), sid LIMIT $k) sd
            CROSS JOIN ss),
          ssamp AS (
            SELECT ss.s, p.sid, p.emb[1 + 8*ss.s : 8 + 8*ss.s] AS emb
@@ -597,6 +619,63 @@ object QueriesLLM {
            SELECT vec_id, s, i FROM scored
            QUALIFY row_number() OVER (PARTITION BY vec_id, s
              ORDER BY cos DESC, i DESC) = 1)"""
+
+  private val PqCodesCte = pqCodesCte(4)
+
+  /** ADC retrieval body shared by q78 (packed codes, k=4) and q90
+    * (array codes, k=256): per-query distance table over `cent`,
+    * subspace-ordered fold, shortlist by estimate, exact rerank. The
+    * corpus side reads the `codes` CTE — code REPRESENTATION (packed
+    * BIGINT vs positional array) is a Spark-side storage concern the
+    * oracle never sees. */
+  private val AdcRetrievalSql =
+    """qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         dt AS (
+           SELECT q.query_id, c.s, c.i AS code,
+             list_dot_product(CAST(q.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                              c.emb) AS qdot,
+             list_dot_product(c.emb, c.emb) AS cn2
+           FROM qs q CROSS JOIN cent c),
+         est AS (
+           SELECT d.query_id, k.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.qdot) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS sdot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.cn2) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS scn2
+           FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i
+           GROUP BY 1, 2),
+         este AS (
+           SELECT e.query_id, e.neighbor_id,
+             e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
+           FROM est e JOIN qs q USING (query_id)
+           WHERE e.query_id <> e.neighbor_id AND q.qn > 0),
+         short AS (
+           SELECT query_id, neighbor_id FROM este
+           WHERE NOT isnan(est_cos)
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY est_cos DESC, neighbor_id) <= 50),
+         exact AS (
+           SELECT s.query_id, s.neighbor_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM short s
+           JOIN embeddings a ON a.vec_id = s.query_id
+           JOIN embeddings b ON b.vec_id = s.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM exact)
+         SELECT query_id, neighbor_id, rank, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
     * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
@@ -1008,55 +1087,16 @@ object QueriesLLM {
          SELECT vec_id,
            CAST(sum(i * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT) AS pq_code
          FROM codes GROUP BY 1 ORDER BY 1""",
+    "q89_pq_codes64" ->
+      s"""WITH ${pqCodesCte(256)}
+         SELECT vec_id, list(CAST(i AS SMALLINT) ORDER BY s) AS pq_code
+         FROM codes GROUP BY 1 ORDER BY 1""",
+    "q90_adc_topk64" ->
+      s"""WITH ${pqCodesCte(256)},
+         $AdcRetrievalSql""",
     "q78_adc_topk" ->
       s"""WITH $PqCodesCte,
-         qs AS (
-           SELECT vec_id AS query_id, embedding,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-               CAST(embedding AS DOUBLE[]))) AS qn
-           FROM embeddings WHERE vec_id % 100 = 0),
-         dt AS (
-           SELECT q.query_id, c.s, c.i AS code,
-             list_dot_product(CAST(q.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
-                              c.emb) AS qdot,
-             list_dot_product(c.emb, c.emb) AS cn2
-           FROM qs q CROSS JOIN cent c),
-         est AS (
-           SELECT d.query_id, k.vec_id AS neighbor_id,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(list(struct_pack(j := d.s, v := d.qdot) ORDER BY d.s),
-                 x -> x.v)), (a, y) -> a + y) AS sdot,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(list(struct_pack(j := d.s, v := d.cn2) ORDER BY d.s),
-                 x -> x.v)), (a, y) -> a + y) AS scn2
-           FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i
-           GROUP BY 1, 2),
-         este AS (
-           SELECT e.query_id, e.neighbor_id,
-             e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
-           FROM est e JOIN qs q USING (query_id)
-           WHERE e.query_id <> e.neighbor_id AND q.qn > 0),
-         short AS (
-           SELECT query_id, neighbor_id FROM este
-           WHERE NOT isnan(est_cos)
-           QUALIFY row_number() OVER (PARTITION BY query_id
-             ORDER BY est_cos DESC, neighbor_id) <= 50),
-         exact AS (
-           SELECT s.query_id, s.neighbor_id,
-             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-               AS cos
-           FROM short s
-           JOIN embeddings a ON a.vec_id = s.query_id
-           JOIN embeddings b ON b.vec_id = s.neighbor_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
-           FROM exact)
-         SELECT query_id, neighbor_id, rank, cos FROM ranked
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+         $AdcRetrievalSql""",
     "q67_repetition" ->
       """WITH base AS (
            SELECT doc_id,

@@ -276,6 +276,32 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), ivfBucket(col(vecCol), centroids).as("__bucket"))
+    ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
+  }
+
+  /** [[ivfTopK]] against a STORED bucket column: the corpus assignment
+    * ([[ivfBucket]] persisted as a column, e.g. through a PartStore write)
+    * is READ, never recomputed — the incremental-index path for a growing
+    * corpus: each ingest batch computes its own bucket at write time, and
+    * retrieval probes the stored column however large the corpus has
+    * grown. Identical results to [[ivfTopK]] under the same centroids
+    * (spec-asserted); the caller owns centroid/column consistency — a
+    * bucket column from different centroids silently probes wrong cells,
+    * so persist the codebook alongside the column. */
+  def ivfTopKStored(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, centroids: Seq[(Int, Seq[Float])], k: Int,
+      nProbe: Int): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(bucketCol).cast("int").as("__bucket"))
+    ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
+  }
+
+  private def ivfTopKAssigned(
+      queries: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
     // per-query cell scores, sorted descending (cos, i) — ties and
     // NaN-greatest resolve exactly like ivfBucket's array_max
     val cellArray = array(centroids.map { case (i, c) =>
@@ -290,8 +316,6 @@ object Similarity {
       .select(col("query_id"), col("__qv"),
         explode(slice(sort_array(cellArray, asc = false), 1, nProbe)).as("pc"))
       .select(col("query_id"), col("__qv"), col("pc.i").as("__bucket"))
-    val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), ivfBucket(col(vecCol), centroids).as("__bucket"))
     val scored = probes.join(assigned, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -309,11 +333,6 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       dim: Int): Seq[Seq[(Int, Seq[Float])]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    // the packed code and its double-arithmetic unpack (adcTopK) must stay
-    // exact: k^m has to fit a double's 53-bit integer range — m=8,k=256
-    // (the canonical 64-bit PQ) needs a wider code column, not this packing
-    require(BigInt(k).pow(m) <= (BigInt(1) << 53),
-      s"k^m = $k^$m overflows exact BIGINT packing; use fewer/smaller codebooks")
     val sub = dim / m
     val sample = ivfCentroids(vectors, idCol, vecCol, k)
     require(sample.length == k,
@@ -333,8 +352,6 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       dim: Int, sampleN: Int = 2048): Seq[Seq[(Int, Seq[Float])]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    require(BigInt(k).pow(m) <= (BigInt(1) << 53),
-      s"k^m = $k^$m overflows exact BIGINT packing; use fewer/smaller codebooks")
     val sub = dim / m
     val sample = codebookSample(vectors, idCol, vecCol, math.max(k, sampleN))
     require(sample.length >= k,
@@ -360,11 +377,29 @@ object Similarity {
     val k = codebooks.head.length
     val sub = codebooks.head.head._2.length
     require(BigInt(k).pow(codebooks.length) <= (BigInt(1) << 53),
-      s"k^m = $k^${codebooks.length} overflows exact BIGINT packing")
+      s"k^m = $k^${codebooks.length} overflows exact BIGINT packing; " +
+        "use pqCodeArray for wider configurations (m=8, k=256)")
     codebooks.zipWithIndex.map { case (cb, j) =>
       val codeJ = ivfBucket(slice(vec, j * sub + 1, sub), cb)
       codeJ.cast("long") * math.pow(k, j).toLong
     }.reduce(_ + _)
+  }
+
+  /** PQ code as `array<smallint>` of the m subcodes in subspace order —
+    * the layout for configurations the BIGINT packing can't hold exactly,
+    * above all the canonical 64-bit PQ (m=8, k=256: k^m = 2^64 > 2^53).
+    * Same per-subspace assignment arithmetic as [[pqCode]]; the array
+    * costs m·2 bytes per vector (16 bytes at the canonical config — still
+    * a 16× compression of a 64-dim float vector) and [[adcTopKArray]]
+    * reads subcodes positionally instead of div/mod-unpacking, so no
+    * arithmetic touches the code at retrieval either. */
+  def pqCodeArray(vec: Column, codebooks: Seq[Seq[(Int, Seq[Float])]]): Column = {
+    val sub = codebooks.head.head._2.length
+    require(codebooks.head.length <= 32767,
+      s"k = ${codebooks.head.length} overflows a smallint subcode")
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      ivfBucket(slice(vec, j * sub + 1, sub), cb).cast("smallint")
+    }: _*)
   }
 
   /** ADC (asymmetric distance computation) retrieval over PQ codes: the
@@ -387,6 +422,35 @@ object Similarity {
       shortlist: Int): DataFrame = {
     val m = codebooks.length
     val kCodes = codebooks.head.length
+    // corpus codes unpacked to (id, j, code_j) by div/mod on the packed
+    // BIGINT — exact because pqCode enforces k^m ≤ 2^53
+    val unpacked = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => pmod(floor(col("pq_code") / pow(lit(kCodes), j.cast("double"))).cast("long"),
+          lit(kCodes)).cast("int"))).as(Seq("j", "code")))
+    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k, shortlist)
+  }
+
+  /** [[adcTopK]] over `array<smallint>` codes ([[pqCodeArray]]): identical
+    * retrieval, but the unpack is a positional explode of the code array —
+    * no arithmetic, no 2^53 ceiling, so the canonical 64-bit PQ (m=8,
+    * k=256) works. */
+  def adcTopKArray(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
+      shortlist: Int): DataFrame = {
+    val unpacked = codes.select(col(idCol).as("neighbor_id"),
+        posexplode(col("pq_code")).as(Seq("j", "code")))
+      .select(col("neighbor_id"), col("j").cast("int").as("j"),
+        col("code").cast("int").as("code"))
+    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k, shortlist)
+  }
+
+  private def adcTopKUnpacked(
+      queries: DataFrame, unpacked: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
+      shortlist: Int): DataFrame = {
     val sub = codebooks.head.head._2.length
     // per-query distance table entries as literal centroid subvectors:
     // (j, code) → dot(q_j, c_{j,code}) and the centroid's ‖c‖² — computed
@@ -413,11 +477,6 @@ object Similarity {
       .filter(col("qn") > 0d)
       .select(col("query_id"), col("qn"), col("e.j").as("j"),
         col("e.code").as("code"), col("e.qdot").as("qdot"), col("e.cn2").as("cn2"))
-    // corpus codes unpacked to (id, j, code_j)
-    val unpacked = codes.select(col(idCol).as("neighbor_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => pmod(floor(col("pq_code") / pow(lit(kCodes), j.cast("double"))).cast("long"),
-            lit(kCodes)).cast("int"))).as(Seq("j", "code")))
     // fixed j-order fold for the estimated score: deterministic like every
     // other float reduction in this module
     val est = unpacked.join(broadcast(q), Seq("j", "code"))

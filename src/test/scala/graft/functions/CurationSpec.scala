@@ -264,6 +264,48 @@ class CurationSpec extends SparkSpec {
     assert(refined >= 0.6, s"refined ADC recall too low: $refined")
   }
 
+  test("canonical 64-bit PQ (m=8, k=256): array codes, recall >= k=16 floor") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallArray(kCodes: Int): Double = {
+      val cbs = Similarity.pqCodebooksRefined(
+        vecs, "vec_id", "embedding", m = 8, k = kCodes, dim = 16)
+      val codes = vecs.select(col("vec_id"),
+        Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+      val got = Similarity.adcTopKArray(queries, codes, vecs,
+          "vec_id", "embedding", cbs, k = 5, shortlist = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val floor = recallArray(16)
+    val canonical = recallArray(256)
+    // 256 centroids per 2-dim subspace over 300 points ≈ lossless codes:
+    // the canonical config must meet the small-codebook floor and a high
+    // absolute bar (deterministic inputs → deterministic recalls)
+    assert(canonical >= floor, s"k=256 recall $canonical < k=16 floor $floor")
+    assert(canonical >= 0.8, s"canonical 64-bit PQ recall too low: $canonical")
+    // representations agree: at a config both hold (m=8, k=16 → 16^8 < 2^53)
+    // the packed BIGINT's digits are exactly the array's subcodes
+    val cbs16 = Similarity.pqCodebooksRefined(
+      vecs, "vec_id", "embedding", m = 8, k = 16, dim = 16)
+    val both = vecs.select(col("vec_id"),
+        Similarity.pqCode(col("embedding"), cbs16).as("packed"),
+        Similarity.pqCodeArray(col("embedding"), cbs16).as("arr"))
+      .collect()
+    both.foreach { r =>
+      val packed = r.getLong(1)
+      val arr = r.getSeq[Short](2)
+      val repacked = arr.zipWithIndex.map { case (c, j) =>
+        c.toLong * math.pow(16, j).toLong }.sum
+      assert(repacked == packed, s"vec ${r.getLong(0)}: $arr != $packed")
+    }
+  }
+
   test("ivfCentroidsRefined tightens cells: mean cosine-to-centroid rises") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 300L).map { i =>

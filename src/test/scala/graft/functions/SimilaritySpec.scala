@@ -65,6 +65,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ivfTopKStored: a persisted bucket column round-trips the retrieval") {
+    // the incremental-index path: bucket computed at WRITE time, stored
+    // through PartStore, retrieval probes the stored column — identical
+    // answers to recomputing the assignment per call
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val queries = clustered.filter(col("vec_id") < 10)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/ivf_stored", 86400))
+    ps.deletePart("emb_index")
+    ps.store("emb_index", clustered.select(
+      col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+      col("embedding"),
+      Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+      lit(1L).as("modified")))
+    val stored = ps.readPart("emb_index").get.select(
+      col("entity_id").as("vec_id"), col("embedding"), col("bucket"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val fromStored = rows(Similarity.ivfTopKStored(
+      queries, stored, "vec_id", "embedding", "bucket", cents, k = 3, nProbe = 2))
+    val fresh = rows(Similarity.ivfTopK(
+      queries, clustered, "vec_id", "embedding", cents, k = 3, nProbe = 2))
+    assert(fromStored == fresh)
+    // and the stored path really skipped re-assignment: ivfBucket's
+    // array_max argmax appears nowhere (the probe side ranks cells with
+    // sort_array, not array_max), while the recomputing path carries one.
+    // Compare ANALYZED plans — over a LocalRelation corpus the optimizer
+    // constant-folds the fresh path's assignment away entirely
+    val storedPlan = Similarity.ivfTopKStored(queries, stored, "vec_id",
+        "embedding", "bucket", cents, k = 3, nProbe = 2)
+      .queryExecution.analyzed.toString
+    assert(!storedPlan.contains("array_max"), storedPlan)
+    val freshPlan = Similarity.ivfTopK(queries, clustered, "vec_id",
+        "embedding", cents, k = 3, nProbe = 2)
+      .queryExecution.analyzed.toString
+    assert(freshPlan.contains("array_max"), freshPlan)
+  }
+
   test("bucketed rerank cos equals the exact cosine") {
     val pairs = Similarity.bucketedNeighborsGaussian(
         clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
