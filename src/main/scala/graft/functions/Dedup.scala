@@ -137,11 +137,18 @@ object Dedup {
     * document length), corpus counts are a map-side-combined aggregate on
     * the gram key, and coverage is an n-wide position explode re-aggregated
     * by (id, pos). The gram-keyed join skews exactly on the grams that ARE
-    * duplicated (the signal — they cannot be capped away); AQE skew-join
-    * splits them, and the build side carries one row per duplicated
-    * distinct gram. */
+    * duplicated (the signal — they cannot be capped away), and AQE's
+    * skew-join rule can NOT help: the dup-gram side finishes its count
+    * aggregate between its shuffle and the join, so the join's children
+    * are never the bare shuffle stages the rule pattern-matches
+    * (empirically confirmed by `tools.SkewDrive`). The salted join is the
+    * mechanism that actually holds at scale: occurrence rows carry a
+    * deterministic per-row salt and the one-row-per-dup-gram build side
+    * is replicated across all `salt` values, spreading a hot gram's
+    * occurrences over `salt` reduce tasks. Results are identical for any
+    * salt (spec-asserted); the cost is |dup grams|·salt build rows. */
   private def coveredPositions(
-      tokens: DataFrame, idCol: String, n: Int): DataFrame = {
+      tokens: DataFrame, idCol: String, n: Int, salt: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = (0 until n).map {
@@ -154,7 +161,13 @@ object Dedup {
       .filter(col("__full")).drop("__full")
     val dupGrams = occ.groupBy("__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__g")
-    occ.join(dupGrams, "__g")
+    val joined =
+      if (salt <= 1) occ.join(dupGrams, "__g")
+      else occ
+        .withColumn("__s", pmod(xxhash64(col(idCol), col("pos")), lit(salt.toLong)))
+        .join(dupGrams.withColumn("__s",
+          explode(sequence(lit(0L), lit(salt.toLong - 1)))), Seq("__g", "__s"))
+    joined
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
       .distinct()
   }
@@ -167,8 +180,8 @@ object Dedup {
     * and the fraction; `flagAt` sets the drop-threshold flag. */
   def duplicatedSpans(
       tokens: DataFrame, idCol: String, n: Int,
-      flagAt: Double = 0.5): DataFrame = {
-    val covered = coveredPositions(tokens, idCol, n)
+      flagAt: Double = 0.5, salt: Int = 16): DataFrame = {
+    val covered = coveredPositions(tokens, idCol, n, salt)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_tokens"))
     val totals = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
     totals.join(covered, Seq(idCol), "left")
@@ -190,8 +203,8 @@ object Dedup {
     * .boilerplateLines]] already carries — per-doc state bounded by
     * document length. */
   def removeDuplicatedSpans(
-      tokens: DataFrame, idCol: String, n: Int): DataFrame = {
-    val cov = coveredPositions(tokens, idCol, n)
+      tokens: DataFrame, idCol: String, n: Int, salt: Int = 16): DataFrame = {
+    val cov = coveredPositions(tokens, idCol, n, salt)
       .withColumnRenamed(idCol, "__cid")
     val kept = tokens
       .join(cov, tokens(idCol) === cov("__cid") && tokens("pos") === cov("__cp"),

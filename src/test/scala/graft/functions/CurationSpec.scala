@@ -49,6 +49,13 @@ class CurationSpec extends SparkSpec {
     // straddling windows (h a b c d e f g etc.) are unique — covered
     // positions are the union of the duplicated windows = all 16
     assert(out(3) == Row(4L, 16L, 16L, 1.0, true))
+    // the salt is PHYSICAL only: any salt returns identical rows (the
+    // default 16 ran above; 1 disables salting, 5 doesn't divide anything)
+    for (s <- Seq(1, 5)) {
+      val salted = Dedup.duplicatedSpans(toks(df), "doc_id", n = 8, salt = s)
+        .orderBy("doc_id").collect()
+      assert(salted.toSeq == out.toSeq, s"salt=$s diverged")
+    }
   }
 
   test("removeDuplicatedSpans: covered tokens drop, order preserved") {
