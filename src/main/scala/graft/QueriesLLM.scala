@@ -239,8 +239,7 @@ object QueriesLLM {
       val e = load(s, dir, "embeddings")
       val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
         m = 8, k = 256, dim = 64)
-      e.select(col("vec_id"),
-          Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+      Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
         .orderBy("vec_id")
     },
     // ---- ADC retrieval over canonical 64-bit array codes ----
@@ -248,8 +247,7 @@ object QueriesLLM {
       val e = load(s, dir, "embeddings")
       val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
         m = 8, k = 256, dim = 64)
-      val codes = e.select(col("vec_id"),
-        Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+      val codes = Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
       Similarity.adcTopKArray(e.filter(col("vec_id") % 100 === 0), codes, e,
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")

@@ -402,6 +402,53 @@ object Similarity {
     }: _*)
   }
 
+  /** Frame-level PQ encoding via a broadcast join against an m·k-row
+    * codebook frame — the form that stays fast at the canonical m=8,
+    * k=256: the Column form ([[pqCodeArray]]) inlines m·k literal fold
+    * expressions, and at 2048 of them the generated class is ~11 MB and
+    * Janino takes ~14 s to compile it PER PLAN; the join form keeps one
+    * fold expression regardless of k. Per-vector arithmetic is identical
+    * (same subspace dot/norm folds, same (cos, code) argmax with
+    * higher-code tie-break and NaN-greatest), so codes are bit-identical
+    * to [[pqCodeArray]] (spec-asserted). Output: (idCol, pq_code:
+    * array<smallint>); feed straight into [[adcTopKArray]]. The
+    * |corpus|·m·k intermediate never materializes — partial aggregation
+    * collapses it map-side to |corpus|·m before any shuffle. */
+  def pqEncodeArray(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    require(codebooks.head.length <= 32767,
+      s"k = ${codebooks.head.length} overflows a smallint subcode")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cvec) =>
+        // ‖centroid‖ precomputed with the same driver-side fold as
+        // ivfBucket — identical bits
+        (j, code, cvec,
+          math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      }
+    }.toDF("j", "code", "__cvec", "__cn")
+    // dot = the codegen'd FloatVectorDot (same left-to-right double fold
+    // as the HOF form — bit-identical, spec-asserted): the |corpus|·m·k
+    // joined rows each pay one tight primitive loop instead of an
+    // interpreted zip_with/aggregate lambda pair (~10× on this stage)
+    val subv = slice(col("__v"), col("j") * lit(sub) + 1, lit(sub))
+    vectors.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("j"), col("code"),
+        (dot(subv, col("__cvec")) / (norm(subv) * col("__cn"))).as("__cos"))
+      .groupBy(col(idCol), col("j"))
+      // struct-max = array_max's lexicographic (cos, code) with NaN
+      // greatest — the exact ivfBucket tie-break
+      .agg(max(struct(col("__cos"), col("code"))).as("__m"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("__m.code").as("c")))),
+        s => s.getField("c").cast("smallint")).as("pq_code"))
+  }
+
   /** ADC (asymmetric distance computation) retrieval over PQ codes: the
     * query keeps its full vector, the corpus is represented ONLY by packed
     * codes — the estimated dot product is Σⱼ dot(qⱼ, centroid(j, codeⱼ)),
@@ -452,31 +499,32 @@ object Similarity {
       codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
       shortlist: Int): DataFrame = {
     val sub = codebooks.head.head._2.length
-    // per-query distance table entries as literal centroid subvectors:
-    // (j, code) → dot(q_j, c_{j,code}) and the centroid's ‖c‖² — computed
-    // per query row inside codegen, m·k folds of length dim/m = one full
-    // pass over q per codebook column
-    val entries = for {
-      (cb, j) <- codebooks.zipWithIndex
-      (code, cvec) <- cb
-    } yield {
-      val d = aggregate(
-        zip_with(slice(col("__qv"), j * sub + 1, sub), typedlit(cvec),
-          (x, w) => x.cast("double") * w.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      struct(lit(j).as("j"), lit(code).as("code"), d.as("qdot"), lit(cn2).as("cn2"))
-    }
+    // per-query distance table: (j, code) → dot(q_j, c_{j,code}) and the
+    // centroid's ‖c‖², via a broadcast cross join against the m·k-row
+    // codebook frame. A prior version inlined m·k literal fold
+    // expressions instead; at the canonical m=8, k=256 that compiled an
+    // 11 MB task binary that fell out of codegen and ran ~20× slower —
+    // the tiny broadcast join keeps ONE fold expression regardless of k
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, cvec) =>
+        (j, code, cvec,
+          cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+    }.toDF("j", "code", "__cvec", "cn2")
     // zero-norm queries have no defined cosine: est_cos would be NaN for
     // every candidate (dropped by the NaN-rejecting top-k while a SQL
     // ORDER BY ranks NaN first) — exclude them outright, matching the
     // oracle's qn > 0 guard
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .select(col("query_id"), norm(col("__qv")).as("qn"),
-        explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), norm(col("__qv")).as("qn"), col("__qv"))
       .filter(col("qn") > 0d)
-      .select(col("query_id"), col("qn"), col("e.j").as("j"),
-        col("e.code").as("code"), col("e.qdot").as("qdot"), col("e.cn2").as("cn2"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qn"), col("j"), col("code"),
+        dot(slice(col("__qv"), col("j") * lit(sub) + 1, lit(sub)),
+          col("__cvec")).as("qdot"),
+        col("cn2"))
     // fixed j-order fold for the estimated score: deterministic like every
     // other float reduction in this module
     val est = unpacked.join(broadcast(q), Seq("j", "code"))

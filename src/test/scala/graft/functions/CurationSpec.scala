@@ -282,8 +282,7 @@ class CurationSpec extends SparkSpec {
     def recallArray(kCodes: Int): Double = {
       val cbs = Similarity.pqCodebooksRefined(
         vecs, "vec_id", "embedding", m = 8, k = kCodes, dim = 16)
-      val codes = vecs.select(col("vec_id"),
-        Similarity.pqCodeArray(col("embedding"), cbs).as("pq_code"))
+      val codes = Similarity.pqEncodeArray(vecs, "vec_id", "embedding", cbs)
       val got = Similarity.adcTopKArray(queries, codes, vecs,
           "vec_id", "embedding", cbs, k = 5, shortlist = 40)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -296,10 +295,14 @@ class CurationSpec extends SparkSpec {
     // absolute bar (deterministic inputs → deterministic recalls)
     assert(canonical >= floor, s"k=256 recall $canonical < k=16 floor $floor")
     assert(canonical >= 0.8, s"canonical 64-bit PQ recall too low: $canonical")
-    // representations agree: at a config both hold (m=8, k=16 → 16^8 < 2^53)
-    // the packed BIGINT's digits are exactly the array's subcodes
+    // representations agree at a config where all three hold (m=8, k=16
+    // → 16^8 < 2^53): the join-based encoder's array equals the
+    // literal-inlined Column's, and the packed BIGINT's digits are
+    // exactly those subcodes
     val cbs16 = Similarity.pqCodebooksRefined(
       vecs, "vec_id", "embedding", m = 8, k = 16, dim = 16)
+    val viaJoin = Similarity.pqEncodeArray(vecs, "vec_id", "embedding", cbs16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Short](1)).toMap
     val both = vecs.select(col("vec_id"),
         Similarity.pqCode(col("embedding"), cbs16).as("packed"),
         Similarity.pqCodeArray(col("embedding"), cbs16).as("arr"))
@@ -307,6 +310,8 @@ class CurationSpec extends SparkSpec {
     both.foreach { r =>
       val packed = r.getLong(1)
       val arr = r.getSeq[Short](2)
+      assert(viaJoin(r.getLong(0)) == arr,
+        s"vec ${r.getLong(0)}: join-encoded ${viaJoin(r.getLong(0))} != $arr")
       val repacked = arr.zipWithIndex.map { case (c, j) =>
         c.toLong * math.pow(16, j).toLong }.sum
       assert(repacked == packed, s"vec ${r.getLong(0)}: $arr != $packed")
