@@ -557,6 +557,72 @@ object Similarity {
     topKByQuery(exact, k)
   }
 
+  /** Persist centroids next to a stored index: a stored bucket/code
+    * column is only meaningful WITH the codebook that produced it
+    * ([[ivfTopKStored]]'s contract), so the two must travel together.
+    * Format: one `index<TAB>comma-joined-floats` line per centroid —
+    * `Float.toString` is the shortest round-tripping decimal, so
+    * save → load is bit-exact (spec-asserted). Driver-side, O(k·dim). */
+  def saveCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Seq[Float])]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(centroids.map { case (i, v) =>
+      s"$i\t${v.mkString(",")}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inverse of [[saveCentroids]]. */
+  def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Float])] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(i, vs) = line.split("\t", 2)
+      i.toInt -> vs.split(",").toSeq.map(_.toFloat)
+    }
+  }
+
+  /** Persist PQ codebooks (all m subspaces) — the sidecar for a stored
+    * `pq_code` column ([[pqEncodeArray]] output through a PartStore).
+    * Lines are `j<TAB>code<TAB>floats`; same exact round trip. */
+  def savePqCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, v) => s"$j\t$code\t${v.mkString(",")}" }
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inverse of [[savePqCodebooks]]. */
+  def loadPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[(Int, Seq[Float])]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(j, code, vs) = line.split("\t", 3)
+      (j.toInt, code.toInt, vs.split(",").toSeq.map(_.toFloat))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => r._2 -> r._3) }
+  }
+
   /** Gaussian-plane variant — the production hash family. */
   def bucketedNeighborsGaussian(
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,

@@ -104,6 +104,24 @@ class SimilaritySpec extends SparkSpec {
     assert(freshPlan.contains("array_max"), freshPlan)
   }
 
+  test("centroid/codebook sidecars round-trip bit-exactly; stored index replays") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    Similarity.saveCentroids(spark, "target/tmp/cents_sidecar", cents)
+    val back = Similarity.loadCentroids(spark, "target/tmp/cents_sidecar")
+    assert(back == cents) // Float.toString round-trips exactly
+    // a retrieval against the loaded codebook is the same retrieval
+    val queries = clustered.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopK(queries, clustered, "vec_id", "embedding",
+      cents, k = 3, nProbe = 2).collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfTopK(queries, clustered, "vec_id", "embedding",
+      back, k = 3, nProbe = 2).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    Similarity.savePqCodebooks(spark, "target/tmp/pq_sidecar", cbs)
+    assert(Similarity.loadPqCodebooks(spark, "target/tmp/pq_sidecar") == cbs)
+  }
+
   test("bucketed rerank cos equals the exact cosine") {
     val pairs = Similarity.bucketedNeighborsGaussian(
         clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
