@@ -176,6 +176,74 @@ object Main {
             AggregationCompiler.noRelation(ea.name)))
       }
 
+    // `minerva aggregation compile-all` (commands/aggregation.py:68-76 +
+    // 95-120): compile every aggregation/*.yaml in the instance, sorted —
+    // each compile reloads the instance, so chained definitions resolve
+    // against targets written by earlier files.
+    case "aggregation-compile-all" :: instanceDir :: Nil =>
+      val aggDir = java.nio.file.Paths.get(instanceDir, "aggregation")
+      val files =
+        if (!java.nio.file.Files.isDirectory(aggDir)) Seq.empty[String]
+        else aggDir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
+      files.foreach { f =>
+        main(Array("aggregation-compile", instanceDir,
+          aggDir.resolve(f).toString))
+      }
+      println(s"""{"compiled_definitions":${files.length}}""")
+
+    // `minerva trend-materialization create|update|drop|list`
+    // (commands/trend_materialization.py:70-127): administer the
+    // materialization registry — here the instance's materialization/
+    // directory, which the runner and `materialize` read. create refuses
+    // a duplicate (reference DuplicateTable), update requires one, drop
+    // reports whether anything matched. The input YAML is stored
+    // VERBATIM (validated by parseMaterialization first) so view
+    // definitions and comments survive.
+    case "trend-materialization" :: action :: instanceDir :: rest
+        if Set("create", "update", "drop", "list")(action) =>
+      val dir = java.nio.file.Paths.get(instanceDir, "materialization")
+      def arg(what: String): String = rest.headOption.getOrElse {
+        System.err.println(s"trend-materialization $action needs $what")
+        sys.exit(2); ""
+      }
+      action match {
+        case "create" | "update" =>
+          val text = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(arg("a definition yaml")))
+          val m = InstanceModel.parseMaterialization(text)
+          val f = dir.resolve(s"${triggerSlug(m.targetTrendStorePart)}.yaml")
+          val exists = java.nio.file.Files.exists(f)
+          if (action == "create" && exists) {
+            System.err.println("Error creating materialization: " +
+              s"'${m.targetTrendStorePart}' already exists")
+            sys.exit(1)
+          }
+          if (action == "update" && !exists) {
+            System.err.println(
+              s"No materialization matched name '${m.targetTrendStorePart}'")
+            sys.exit(1)
+          }
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(f, text)
+          println(s"""{"materialization":${js(m.targetTrendStorePart)},"${
+            if (action == "create") "created" else "updated"}":true}""")
+        case "drop" =>
+          val name = arg("a name")
+          val existed = java.nio.file.Files.deleteIfExists(
+            dir.resolve(s"${triggerSlug(name)}.yaml"))
+          println(s"""{"materialization":${js(name)},"dropped":$existed}""")
+        case "list" =>
+          val files =
+            if (!java.nio.file.Files.isDirectory(dir)) Seq.empty[String]
+            else dir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
+          println(files.map { f =>
+            val m = InstanceModel.parseMaterialization(
+              java.nio.file.Files.readString(dir.resolve(f)))
+            s"""{"name":${js(m.targetTrendStorePart)},"enabled":${m.enabled},""" +
+              s""""sources":${m.sources.length}}"""
+          }.mkString("[", ",", "]"))
+      }
+
     // `minerva trend-store check-config` (commands/trend_store/
     // check_config.py): validate definitions — duplicate part names (the
     // reference check) plus duplicate trend names within a part.
@@ -364,7 +432,7 @@ object Main {
     // compile the standard time ladder and per-relation entity
     // aggregations. Chained rungs (1d->1w) compile against the target
     // store produced by the earlier rung.
-    case "aggregation-generate" :: instanceDir :: Nil =>
+    case "aggregation-generate" :: instanceDir :: storeTitles =>
       import graft.model.{AggregationDef, AggregationGeneration => AG}
       val inst = InstanceModel.loadInstance(instanceDir)
       val aggDir = java.nio.file.Paths.get(instanceDir, "aggregation")
@@ -391,7 +459,21 @@ object Main {
         compiled += 1
       }
       val hints = InstanceModel.loadAggregationHints(instanceDir)
-      inst.trendStores.filter(AG.isRaw).foreach { raw =>
+      // optional positional filters (reference `aggregation generate
+      // [trend_store...]`, commands/aggregation.py:31-46 — there by file
+      // path, here by store title): generate for the named raw stores only
+      val rawStores = inst.trendStores.filter(AG.isRaw)
+      val selected =
+        if (storeTitles.isEmpty) rawStores
+        else {
+          val missing = storeTitles.filterNot(t => rawStores.exists(_.title == t))
+          if (missing.nonEmpty) {
+            System.err.println(s"no raw trend store titled: ${missing.mkString(", ")}")
+            sys.exit(1)
+          }
+          rawStores.filter(s => storeTitles.contains(s.title))
+        }
+      selected.foreach { raw =>
         val rungs = AG.timeLadder(raw)
         // mirror the reference's KeyError message (aggregation_generation
         // .py:85-88) — a silent no-op would look like a generated ladder
@@ -418,8 +500,7 @@ object Main {
       staged.result().foreach { case (p, text) =>
         java.nio.file.Files.writeString(p, text)
       }
-      println(s"""{"generated":$compiled,"raw_stores":${
-        inst.trendStores.count(AG.isRaw)}}""")
+      println(s"""{"generated":$compiled,"raw_stores":${selected.length}}""")
 
     // Catalog registries (reference entity_type.py / data_source.py /
     // alias.py: create/delete/list over directory tables). graft keeps
@@ -565,6 +646,15 @@ object Main {
         s"$base/notification/$stem", defn.attributes,
         spark().sparkContext.hadoopConfiguration)
       println(s"""{"notification_store":${js(stem)},"attributes":${defn.attributes.length}}""")
+
+    // `minerva notification-store delete` (commands/notification_store.py:
+    // 88-115): drop the store wholesale — declaration + rows.
+    case "notification-store" :: "delete" :: base :: name :: Nil =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark().sparkContext.hadoopConfiguration)
+      val deleted = fs.delete(
+        new org.apache.hadoop.fs.Path(s"$base/notification/$name"), true)
+      println(s"""{"notification_store":${js(name)},"deleted":$deleted}""")
 
     // `minerva generate-sample-data` (commands/generate_sample_data.py):
     // render a definition's per-interval template to CSV files WITHOUT
@@ -1118,7 +1208,11 @@ object Main {
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
-           |  aggregation-generate <instanceDir>
+           |  aggregation-compile-all <instanceDir>
+           |  aggregation-generate <instanceDir> [storeTitle...]
+           |  trend-materialization create|update <instanceDir> <defYaml>
+           |  trend-materialization drop <instanceDir> <name>
+           |  trend-materialization list <instanceDir>
            |  trend-store check-config <instanceDir>
            |  trend-store deduce <csv> <idCol> <tsCol> [dataSource entityType granularity]
            |  trend-store add-trends|remove-trends|alter-trends|change [--force] [--purge] <storeBase> <defYaml>
@@ -1136,6 +1230,7 @@ object Main {
            |  data-source create|delete|list <storeBase> [name]
            |  alias create|delete|list <storeBase> [name]
            |  notification-store create <storeBase> <defYaml>
+           |  notification-store delete <storeBase> <name>
            |  report <storeBase> <part>
            |  trigger <trendBase> <part> <triggerYaml> <outDir>
            |  trigger create <storeBase> <triggerYaml>

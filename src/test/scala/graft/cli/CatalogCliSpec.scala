@@ -374,6 +374,73 @@ class CatalogCliSpec extends SparkSpec {
     assert(run("trend-store", "list", sb) == "[]")
   }
 
+  test("trend-materialization registry, aggregation compile-all, filtered generate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tm_").toString
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    Console.withOut(sink) { Main.main(Array("quick-start", dir)) }
+    // filtered generate: only the named raw store (by title)
+    assert(run("aggregation-generate", dir, "Raw router counters")
+      .contains("\"raw_stores\":1"))
+    // compile-all recompiles every generated aggregation definition
+    val all = run("aggregation-compile-all", dir)
+    assert(all.contains("\"compiled_definitions\":"), all)
+    assert(all.contains("\"compiled\":\"net_router_1h\""), all)
+    // the registry lists the generated materializations
+    val listed = run("trend-materialization", "list", dir)
+    assert(listed.contains("\"name\":\"net_router_main_1h\""), listed)
+    // drop removes exactly one; a second drop reports no match
+    assert(run("trend-materialization", "drop", dir, "net_router_main_1h")
+      .contains("\"dropped\":true"))
+    assert(!run("trend-materialization", "list", dir)
+      .contains("net_router_main_1h"))
+    assert(run("trend-materialization", "drop", dir, "net_router_main_1h")
+      .contains("\"dropped\":false"))
+    // create installs a definition verbatim; update replaces it in place
+    val yaml = java.nio.file.Files.createTempFile("mat", ".yaml")
+    def matYaml(enabled: Boolean) =
+      s"""target_trend_store_part: net_router_main_1h
+         |enabled: $enabled
+         |processing_delay: 30m
+         |stability_delay: 5m
+         |reprocessing_period: 3 days
+         |sources:
+         |- trend_store_part: net_router_main_15m
+         |  mapping_function: trend.mapping_id
+         |""".stripMargin
+    java.nio.file.Files.writeString(yaml, matYaml(enabled = true))
+    assert(run("trend-materialization", "create", dir, yaml.toString)
+      .contains("\"created\":true"))
+    java.nio.file.Files.writeString(yaml, matYaml(enabled = false))
+    assert(run("trend-materialization", "update", dir, yaml.toString)
+      .contains("\"updated\":true"))
+    val back = graft.model.InstanceModel.parseMaterialization(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dir, "materialization", "net_router_main_1h.yaml")))
+    assert(!back.enabled)
+  }
+
+  test("notification-store delete drops declaration and rows") {
+    val yaml = java.nio.file.Files.createTempFile("alerts_del", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """data_source: ops
+        |entity_type: notification
+        |attributes:
+        |  - name: weight
+        |    data_type: integer
+        |""".stripMargin)
+    val stem = yaml.getFileName.toString.stripSuffix(".yaml")
+    run("notification-store", "create", base, yaml.toString)
+    val ns = new graft.storage.NotificationStore(spark, s"$base/notification/$stem")
+    ns.store(Seq((1L, 100L, "r", 7L, "d"))
+      .toDF("entity_id", "timestamp", "rule", "weight", "details"), nowSec = 1L)
+    assert(run("notification-store", "delete", base, stem)
+      .contains("\"deleted\":true"))
+    assert(new graft.storage.NotificationStore(
+      spark, s"$base/notification/$stem").read().isEmpty)
+    assert(run("notification-store", "delete", base, stem)
+      .contains("\"deleted\":false"))
+  }
+
   test("attribute-store create -> load -> compact -> curr-ptr round-trip") {
     val yaml = java.nio.file.Files.createTempFile("inventory", ".yaml")
     java.nio.file.Files.writeString(yaml,
