@@ -397,6 +397,28 @@ object Main {
       }
       println(jarr(parts))
 
+    // `minerva trend-store list-config` (trend_store.py:242-257): the
+    // INSTANCE-configured stores (YAML), vs `list` which shows what is
+    // physically stored.
+    case "trend-store" :: "list-config" :: instanceDir :: Nil =>
+      val inst = InstanceModel.loadInstance(instanceDir)
+      println(inst.trendStores.map { ts =>
+        s"""{"title":${js(ts.title)},"data_source":${js(ts.dataSource)},""" +
+          s""""entity_type":${js(ts.entityType)},""" +
+          s""""granularity":${js(ts.granularity.name)},""" +
+          s""""parts":${ts.parts.length}}"""
+      }.mkString("[", ",", "]"))
+
+    // `minerva trend-store process-modified-log` (trend_store.py:908-966):
+    // fold the append-only modified log into its state — max(modified)
+    // per (part, timestamp) — so staleness reads stop re-scanning every
+    // appended batch. Idempotent; the reference's --reset position has no
+    // analogue (the fold is total, not positional).
+    case "trend-store" :: "process-modified-log" :: base :: Nil =>
+      val s = spark()
+      val ps = new PartStore(s, PartStoreConfig(base, 86400))
+      println(s"""{"modified_state_rows":${ps.compactModifiedLog()}}""")
+
     // `minerva trend-store show` (commands/trend_store.py:590-650): per-
     // store introspection — declared config (trends, types, agg fns) next
     // to what is physically stored (sidecar columns), one JSON object.
@@ -1218,6 +1240,8 @@ object Main {
            |  trend-store add-trends|remove-trends|alter-trends|change [--force] [--purge] <storeBase> <defYaml>
            |  trend-store create|add-parts|delete <storeBase> <defYaml>
            |  trend-store list <storeBase>
+           |  trend-store process-modified-log <storeBase>
+           |  trend-store list-config <instanceDir>
            |  trend-store show <storeBase> <defYaml>
            |  attribute-store create <storeBase> <defYaml>
            |  attribute-store delete|show|compact <storeBase> <name>

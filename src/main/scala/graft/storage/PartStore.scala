@@ -375,6 +375,52 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       .write.mode(SaveMode.Append).parquet(s"$basePath/_modified_log")
     }
 
+  private val ModifiedLog = "_modified_log"
+
+  /** The modified log, crash-recovered first (a compaction interrupted
+    * between its two swap renames leaves the pre-compaction log in the
+    * `.{name}_old` aside — same discipline as part rewrites). */
+  def readModifiedLog(): Option[DataFrame] = {
+    val dir = hp(s"$basePath/$ModifiedLog")
+    val aside = hp(s"$basePath/.${ModifiedLog}_old")
+    if (fs.exists(aside)) {
+      if (!fs.exists(dir)) fs.rename(aside, dir)
+      else fs.delete(aside, true) // post-swap crash: aside is stale
+    }
+    fs.delete(hp(s"$basePath/${ModifiedLog}__compact"), true)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** `trend-store process-modified-log` (reference trend_store.py:908-966
+    * folds trend_directory.modified_log into the modified STATE table so
+    * staleness queries stop re-scanning the log): replace the append-only
+    * log with its fold — max(modified) per (part, timestamp). The log
+    * stays bounded by |distinct (part, timestamp)| instead of growing
+    * with every batch; folding an already-folded log is a no-op, so the
+    * reference's processing position (its `--reset`) has no analogue.
+    * Crash-safe via the same stage → aside → swap-in discipline as
+    * [[rewritePart]]. Returns the folded row count. */
+  def compactModifiedLog(): Long = readModifiedLog() match {
+    case None => 0L
+    case Some(log) =>
+      val staged = s"$basePath/${ModifiedLog}__compact"
+      log.groupBy(col("part"), col("timestamp"))
+        .agg(max(col("modified")).as("modified"))
+        .write.mode(SaveMode.Overwrite).parquet(staged)
+      val n = spark.read.parquet(staged).count()
+      val live = hp(s"$basePath/$ModifiedLog")
+      val aside = hp(s"$basePath/.${ModifiedLog}_old")
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"failed to move aside $live")
+      if (!fs.rename(hp(staged), live)) {
+        fs.rename(aside, live) // roll back
+        throw new java.io.IOException(s"failed to swap in $staged")
+      }
+      fs.delete(aside, true)
+      n
+  }
+
   /** Retention expiry (I7): drop partition DIRECTORIES wholly before the
     * cutoff (trend_directory's per-partition DROP,
     * src/minerva/commands/partition.py:50-124). A partition is either

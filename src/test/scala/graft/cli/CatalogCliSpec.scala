@@ -126,6 +126,9 @@ class CatalogCliSpec extends SparkSpec {
       Main.main(Array("trend-store", "check-config", dir))
     }
     assert(out.toString.contains("\"errors\":0"), out.toString)
+    // list-config shows the instance-declared stores (vs physical `list`)
+    val cfg = run("trend-store", "list-config", dir)
+    assert(cfg.contains("\"title\":\"Raw router counters\""), cfg)
 
     // deduce: CSV → trend-store YAML that parseTrendStore round-trips
     val csv = java.nio.file.Files.createTempDirectory("graft_dedcli_")

@@ -245,4 +245,29 @@ class PartStoreSpec extends SparkSpec {
     assert(log.count() == 1) // one distinct timestamp
     assert(log.head.getAs[Long]("modified") == 12345L)
   }
+
+  test("process-modified-log folds the log to max(modified) per key") {
+    val ps = freshStore("mlog_compact")
+    val b = Seq((1L, 1000L, 1.0, 1L), (2L, 90000L, 2.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified")
+    // marks: both timestamps at 10, then ts 1000 again at 20 — the raw
+    // log carries 3 rows, the fold 2 with max(modified) per timestamp
+    ps.markModified("p", b, nowSec = 10L)
+    ps.markModified("p", b.filter(col("timestamp") === 1000L), nowSec = 20L)
+    assert(ps.readModifiedLog().get.count() == 3)
+    assert(ps.compactModifiedLog() == 2L)
+    val folded = ps.readModifiedLog().get.collect()
+      .map(r => r.getAs[Long]("timestamp") -> r.getAs[Long]("modified")).toMap
+    assert(folded == Map(1000L -> 20L, 90000L -> 10L))
+    // idempotent
+    assert(ps.compactModifiedLog() == 2L)
+    // crash between the two swap renames: live log gone, aside holds the
+    // pre-compaction state — readModifiedLog restores it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = "target/tmp/partstore_mlog_compact"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/_modified_log"),
+      new org.apache.hadoop.fs.Path(s"$base/._modified_log_old")))
+    assert(ps.readModifiedLog().get.count() == 2)
+  }
 }
