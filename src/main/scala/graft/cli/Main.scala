@@ -56,6 +56,113 @@ object Main {
   private def triggerSlug(name: String): String =
     name.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Load native sample data sets into trend parts / attribute stores —
+    * shared by `initialize --load-sample-data` and the standalone
+    * `load-sample-data` verb (reference load_sample_data.py:26-60 takes
+    * an optional dataset name + --interval-count). Returns
+    * (loaded trend partitions, loaded attribute rows). */
+  private def loadSampleDataSets(
+      s: SparkSession, instanceDir: String, inst: graft.model.Instance,
+      entityDir: graft.storage.EntityDirectory, ps: PartStore,
+      attrStores: Seq[(graft.model.AttributeStoreDef, graft.storage.AttributeStore)],
+      intervals: Int, now: Long, dataset: Option[String]): (Int, Long) = {
+    var loadedParts = 0
+    var loadedAttrRows = 0L
+    val defs = InstanceModel.loadSampleDataDefs(instanceDir)
+      .filter(ds => dataset.forall(_ == ds.name))
+    dataset.foreach { name =>
+      if (defs.isEmpty) {
+        System.err.println(s"no sample data set named '$name'")
+        sys.exit(1)
+      }
+    }
+    defs.foreach { ds =>
+      def exists(p: String) =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      // a `<name>/sample.csv` WITH `{{ }}` placeholders is a
+      // per-interval TEMPLATE (the reference's generator-module
+      // layout) — render it; placeholder-free files are literal data
+      val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
+      val isTemplate = exists(template) && java.nio.file.Files
+        .readString(java.nio.file.Paths.get(template)).contains("{{")
+      val csv =
+        if (isTemplate) {
+          val zone = java.time.ZoneId.of("UTC")
+          var t = ds.granularity.truncate(
+            java.time.Instant.ofEpochSecond(now), zone)
+          val tss = (1 to intervals).map { _ =>
+            val v = t.getEpochSecond; t = ds.granularity.prev(t, zone); v
+          }.reverse
+          Some(SampleDataGen.generate(
+            template,
+            java.nio.file.Files.createTempDirectory("graft_sample").toString,
+            tss))
+        } else Seq(
+          s"$instanceDir/sample-data/${ds.name}.csv",
+          template, // placeholder-free <name>/sample.csv = literal data
+          s"$instanceDir/sample-data/sample.csv").find(exists)
+      csv.foreach { path =>
+        val cfg = CsvSourceConfig(ds.identifier, Some(ds.timestamp),
+          delimiter = ds.delimiter)
+        // deduction supplies the file's column order; declared types win
+        val declared = ds.columns.toMap
+        val schema = CsvTrendSource.deduceSchemaDistributed(s, path, cfg).map {
+          case (c, _) if c == ds.timestamp => c -> MinervaType.MTimestamp
+          case (c, t) => c -> declared.getOrElse(c, t)
+        }
+        val pkg = CsvTrendSource.read(s, path, cfg, schema)
+        entityDir.insertMissing(
+          ds.entityType, pkg.select(col("entity").as("name")))
+        val dim = entityDir.read(ds.entityType)
+        val batch = pkg.join(dim, pkg("entity") === dim("name"))
+          .drop("entity", "name").withColumnRenamed("id", "entity_id")
+          .withColumn("modified", lit(now))
+        if (ds.kind == "attribute") {
+          // attribute sample set → the store on its data source
+          attrStores.find(_._1.dataSource == ds.dataSource) match {
+            case Some((_, store)) =>
+              // one CSV read serves both the write and the row count
+              val staged = batch.drop("modified").persist()
+              store.transferStaged(staged, now)
+              loadedAttrRows += staged.count()
+              staged.unpersist()
+            case None =>
+              System.err.println(
+                s"WARN: attribute sample set '${ds.name}' names data " +
+                  s"source '${ds.dataSource}' but no attribute store " +
+                  "declares it — set skipped")
+          }
+        } else {
+          val valueCols = pkg.columns.filterNot(Set("entity", "timestamp")).toSet
+          // target part: the store on this data source + granularity whose
+          // part declares the sample's value columns (load_sample_data
+          // matches the generated DataPackage to a part the same way)
+          val matched = inst.trendStores
+            .filter(st => st.dataSource == ds.dataSource &&
+              st.granularity.name == ds.granularity.name)
+            .flatMap(_.parts)
+            .find(p => valueCols.subsetOf(p.trends.map(_.name).toSet ++
+              Set("entity", "timestamp")))
+          val target = matched
+            .orElse(inst.trendStores.filter(_.dataSource == ds.dataSource)
+              .flatMap(_.parts).headOption)
+          if (matched.isEmpty) target.foreach { p =>
+            System.err.println(
+              s"WARN: sample set '${ds.name}' columns " +
+                s"${valueCols.mkString(", ")} match no declared part — " +
+                s"falling back to first part '${p.name}' of data source " +
+                s"'${ds.dataSource}'")
+          }
+          target.foreach { p =>
+            loadedParts += ps.store(p.name, batch)
+            ps.markModified(p.name, batch, now)
+          }
+        }
+      }
+    }
+    (loadedParts, loadedAttrRows)
+  }
+
   /** Resolve an aggregation definition's source store: by title, else by
     * any part the definition sources (shared by aggregation-compile and
     * aggregation-generate so the two lookups cannot drift). */
@@ -939,6 +1046,48 @@ object Main {
           .sorted.toSeq
       println(names.map(js).mkString("[", ",", "]"))
 
+    // `minerva relation create|remove` (commands/relation.py:22-61,
+    // 133-160): install a relation definition into the instance /
+    // remove it — and, for remove, drop the materialized edge set too
+    // (the reference's DROP TABLE relation."<name>").
+    case "relation" :: "create" :: instanceDir :: yamlPath :: Nil =>
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(yamlPath))
+      val r = InstanceModel.parseRelation(text) // validate before install
+      // file named by the RAW relation name (`router->v-region.yaml`) —
+      // the convention instance bundles already use; the loader globs
+      // relation/*.yaml so the name only needs to be path-safe
+      if (r.name.contains("/") || r.name.contains(" ")) {
+        System.err.println(s"relation name '${r.name}' is not path-safe")
+        sys.exit(1)
+      }
+      val dir = java.nio.file.Paths.get(instanceDir, "relation")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(s"${r.name}.yaml"), text)
+      println(s"""{"relation":${js(r.name)},"created":true}""")
+
+    case "relation" :: "remove" :: instanceDir :: base :: name :: Nil =>
+      if (name.contains("/")) {
+        System.err.println(s"relation name '$name' is not path-safe")
+        sys.exit(1)
+      }
+      // bundles name relation FILES freely (`router-to-v-region.yaml`
+      // holding name `router->v-region`) — match by the PARSED name
+      val relDir = java.nio.file.Paths.get(instanceDir, "relation")
+      val matched =
+        if (!java.nio.file.Files.isDirectory(relDir)) None
+        else relDir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
+          .map(relDir.resolve(_))
+          .find(p => InstanceModel.parseRelation(
+            java.nio.file.Files.readString(p)).name == name)
+      val existed = matched.exists(java.nio.file.Files.deleteIfExists(_))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark().sparkContext.hadoopConfiguration)
+      val droppedEdges = fs.delete(
+        new org.apache.hadoop.fs.Path(s"$base/relation/$name"), true)
+      println(s"""{"relation":${js(name)},"removed":$existed,""" +
+        s""""dropped_edges":$droppedEdges}""")
+
     case "trigger" :: base :: part :: yamlPath :: outDir :: Nil =>
       val s = spark()
       val t = InstanceModel.parseTrigger(
@@ -1018,6 +1167,32 @@ object Main {
         if (i < iters.toInt) Thread.sleep(pollMs.toLong)
       }
 
+    // `minerva load-sample-data [dataset]` (commands/load_sample_data.py:
+    // 26-60): load native sample sets into an ALREADY-initialized base —
+    // all sets, or one by name. Same machinery as
+    // `initialize --load-sample-data`.
+    case "load-sample-data" :: instanceDir :: base :: rest =>
+      val s = spark()
+      val inst = InstanceModel.loadInstance(instanceDir)
+      val now = System.currentTimeMillis() / 1000
+      val entityDir = new graft.storage.EntityDirectory(s, s"$base/entity")
+      val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
+      val attrStores = inst.attributeStores.map { ad =>
+        ad -> new graft.storage.AttributeStore(
+          s, s"$base/attribute/${ad.dataSource}_${ad.entityType}")
+      }
+      val intervals = rest.collectFirst {
+        case a if a.startsWith("--interval-count=") =>
+          a.stripPrefix("--interval-count=").toIntOption.getOrElse {
+            System.err.println(s"invalid --interval-count: $a")
+            sys.exit(2); 0
+          }
+      }.getOrElse(30)
+      val dataset = rest.filterNot(_.startsWith("--")).headOption
+      val (p, a) = loadSampleDataSets(
+        s, instanceDir, inst, entityDir, ps, attrStores, intervals, now, dataset)
+      println(s"""{"loaded_partitions":$p,"attribute_rows":$a}""")
+
     // `minerva initialize [--load-sample-data]` (commands/initialize.py:
     // 70-156): load the instance bundle, create attribute stores, optionally
     // load native sample CSVs, THEN materialize virtual entities and
@@ -1051,90 +1226,9 @@ object Main {
               sys.exit(2); 0
             }
         }.getOrElse(30) // reference default (load_sample_data.py:36)
-        InstanceModel.loadSampleDataDefs(instanceDir).foreach { ds =>
-          def exists(p: String) =
-            java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-          // a `<name>/sample.csv` WITH `{{ }}` placeholders is a
-          // per-interval TEMPLATE (the reference's generator-module
-          // layout) — render it; placeholder-free files are literal data
-          val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
-          val isTemplate = exists(template) && java.nio.file.Files
-            .readString(java.nio.file.Paths.get(template)).contains("{{")
-          val csv =
-            if (isTemplate) {
-              val zone = java.time.ZoneId.of("UTC")
-              var t = ds.granularity.truncate(
-                java.time.Instant.ofEpochSecond(now), zone)
-              val tss = (1 to intervals).map { _ =>
-                val v = t.getEpochSecond; t = ds.granularity.prev(t, zone); v
-              }.reverse
-              Some(SampleDataGen.generate(
-                template,
-                java.nio.file.Files.createTempDirectory("graft_sample").toString,
-                tss))
-            } else Seq(
-              s"$instanceDir/sample-data/${ds.name}.csv",
-              template, // placeholder-free <name>/sample.csv = literal data
-              s"$instanceDir/sample-data/sample.csv").find(exists)
-          csv.foreach { path =>
-            val cfg = CsvSourceConfig(ds.identifier, Some(ds.timestamp),
-              delimiter = ds.delimiter)
-            // deduction supplies the file's column order; declared types win
-            val declared = ds.columns.toMap
-            val schema = CsvTrendSource.deduceSchemaDistributed(s, path, cfg).map {
-              case (c, _) if c == ds.timestamp => c -> MinervaType.MTimestamp
-              case (c, t) => c -> declared.getOrElse(c, t)
-            }
-            val pkg = CsvTrendSource.read(s, path, cfg, schema)
-            entityDir.insertMissing(
-              ds.entityType, pkg.select(col("entity").as("name")))
-            val dim = entityDir.read(ds.entityType)
-            val batch = pkg.join(dim, pkg("entity") === dim("name"))
-              .drop("entity", "name").withColumnRenamed("id", "entity_id")
-              .withColumn("modified", lit(now))
-            if (ds.kind == "attribute") {
-              // attribute sample set → the store on its data source
-              attrStores.find(_._1.dataSource == ds.dataSource) match {
-                case Some((_, store)) =>
-                  // one CSV read serves both the write and the row count
-                  val staged = batch.drop("modified").persist()
-                  store.transferStaged(staged, now)
-                  loadedAttrRows += staged.count()
-                  staged.unpersist()
-                case None =>
-                  System.err.println(
-                    s"WARN: attribute sample set '${ds.name}' names data " +
-                      s"source '${ds.dataSource}' but no attribute store " +
-                      "declares it — set skipped")
-              }
-            } else {
-              val valueCols = pkg.columns.filterNot(Set("entity", "timestamp")).toSet
-              // target part: the store on this data source + granularity whose
-              // part declares the sample's value columns (load_sample_data
-              // matches the generated DataPackage to a part the same way)
-              val matched = inst.trendStores
-                .filter(st => st.dataSource == ds.dataSource &&
-                  st.granularity.name == ds.granularity.name)
-                .flatMap(_.parts)
-                .find(p => valueCols.subsetOf(p.trends.map(_.name).toSet ++
-                  Set("entity", "timestamp")))
-              val target = matched
-                .orElse(inst.trendStores.filter(_.dataSource == ds.dataSource)
-                  .flatMap(_.parts).headOption)
-              if (matched.isEmpty) target.foreach { p =>
-                System.err.println(
-                  s"WARN: sample set '${ds.name}' columns " +
-                    s"${valueCols.mkString(", ")} match no declared part — " +
-                    s"falling back to first part '${p.name}' of data source " +
-                    s"'${ds.dataSource}'")
-              }
-              target.foreach { p =>
-                loadedParts += ps.store(p.name, batch)
-                ps.markModified(p.name, batch, now)
-              }
-            }
-          }
-        }
+        val (p, a) = loadSampleDataSets(
+          s, instanceDir, inst, entityDir, ps, attrStores, intervals, now, None)
+        loadedParts += p; loadedAttrRows += a
       }
 
       // derivatives AFTER sample data (initialize_cmd ordering) so relation
@@ -1264,7 +1358,10 @@ object Main {
            |  trigger execute <storeBase> <name> <part> <outDir>
            |  trigger run-all <storeBase> <part> <outDir>
            |  relation materialize <instanceDir> <storeBase> [name...]
+           |  relation create <instanceDir> <defYaml>
+           |  relation remove <instanceDir> <storeBase> <name>
            |  relation list <storeBase>
+           |  load-sample-data <instanceDir> <storeBase> [dataset] [--interval-count=N]
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
            |  expire <storeBase> <part> <cutoffSec> [partitionSizeSec]
            |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)

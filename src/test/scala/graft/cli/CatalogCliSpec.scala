@@ -260,6 +260,25 @@ class CatalogCliSpec extends SparkSpec {
     // virtual-entity rematerialization is idempotent (insert-missing)
     val ve = run("virtual-entity", "materialize", dir, b)
     assert(ve.contains("\"v-region\":"), ve)
+    // relation remove drops BOTH the instance YAML and the edge set;
+    // create reinstalls from a definition file
+    // the bundle file is named freely; remove matches by PARSED name
+    val relYaml = java.nio.file.Paths.get(dir, "relation",
+      "router-to-v-region.yaml")
+    val relText = java.nio.file.Files.readString(relYaml)
+    assert(run("relation", "remove", dir, b, "router->v-region")
+      .contains("\"removed\":true,\"dropped_edges\":true"))
+    assert(run("relation", "list", b) == "[]")
+    assert(!java.nio.file.Files.exists(relYaml))
+    val tmp = java.nio.file.Files.createTempFile("rel", ".yaml")
+    java.nio.file.Files.writeString(tmp, relText)
+    assert(run("relation", "create", dir, tmp.toString)
+      .contains("\"created\":true"))
+    assert(run("relation", "materialize", dir, b)
+      .contains("\"router->v-region\":"))
+    // standalone load-sample-data re-loads the named set into the base
+    val lsd = run("load-sample-data", dir, b, "routers")
+    assert(lsd.contains("\"loaded_partitions\":"), lsd)
   }
 
   test("trigger update-* patches one aspect in place, preserving enabled state") {
