@@ -104,6 +104,32 @@ class OperatorSpec extends SparkSpec {
     assert(reps("doc-z") == "doc-z") // singleton is its own representative
   }
 
+  test("clusterRepresentatives: randomized argmax/min-id law, ties included") {
+    // heavy tie density on purpose: scores drawn from {0..4} so most
+    // components exercise the min-id tie-break the round-7 fix rewrote
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val label = (0 until n).map(i => i.toLong -> rnd.nextInt(8).toLong).toMap
+      val score = (0 until n).map(i => i.toLong -> rnd.nextInt(5).toLong).toMap
+      val labels = label.toSeq.toDF("doc_id", "keeper")
+      val scores = score.toSeq.toDF("doc_id", "n_chars")
+      val reps = Dedup.clusterRepresentatives(
+          labels, "doc_id", "keeper", scores, "n_chars")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(reps.length == n)
+      val expected = label.groupBy(_._2).map { case (c, members) =>
+        val best = members.keys.map(score).max
+        c -> members.keys.filter(score(_) == best).min
+      }
+      reps.foreach { case (id, c, rep) =>
+        assert(c == label(id), s"seed $seed: doc $id component drifted")
+        assert(rep == expected(c),
+          s"seed $seed: component $c rep $rep != expected ${expected(c)}")
+      }
+    }
+  }
+
   test("trigger weight/condition are arbitrary SQL fragments") {
     val kpi = Seq((1L, 10L, 55.0), (2L, 10L, 5.0)).toDF("entity_id", "timestamp", "power")
     val out = TriggerOps.createNotifications(kpi, TriggerRule(
