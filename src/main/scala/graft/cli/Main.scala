@@ -869,7 +869,7 @@ object Main {
           val r = df.agg(
             count(lit(1)).as("rows"),
             countDistinct(col("entity_id")).as("entities"),
-            max(col("timestamp")).as("max_ts")).head
+            max(col("timestamp")).as("max_ts")).head()
           println(s"""{"part":"$part","rows":${r.getLong(0)},"entities":${r.getLong(1)},"max_ts":${r.get(2)}}""")
       }
 

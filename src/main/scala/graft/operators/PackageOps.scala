@@ -51,7 +51,7 @@ object PackageOps {
     }
     unioned
       .groupBy(keyCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
   /** Split one package per trend-store part: each part owns a subset of the

@@ -197,7 +197,7 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
   def materializeCurrentIncremental(): Long = currentSnapshot match {
     case None => materializeCurrent()
     case Some(snap) =>
-      val lastRow = snap.agg(max("modified")).head
+      val lastRow = snap.agg(max("modified")).head()
       // zero-row snapshot: max() is NULL — re-derive from scratch rather
       // than folding against an undefined high-water mark
       if (lastRow.isNullAt(0)) materializeCurrent()

@@ -195,7 +195,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         // rewrite only the affected partitions.
         val base =
           if (widened) existingRec
-          else existingRec.filter(col("pindex").isin(batchIndices: _*))
+          else existingRec.filter(col("pindex").isin(batchIndices.toIndexedSeq: _*))
         val m = Upsert.merge(
           base, bRec, keyCols, modifiedCol,
           if (batch.columns.contains(createdCol)) Some(createdCol) else None)
@@ -210,7 +210,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       if (zorderBy.isEmpty) None
       else Some(graft.operators.Layout.zorderKey(
         col(zorderBy(0)), col(zorderBy(1)), zorderBits))
-    writeAndSwap(part, merged, indices, zorder)
+    writeAndSwap(part, merged, indices.toIndexedSeq, zorder)
     indices.length
   }
 

@@ -54,7 +54,7 @@ object StreamingRollup {
       col("entity_id") +:
         // reference labels rollups with the window END (SURVEY D1)
         unix_timestamp(col("window.end")).as("timestamp") +:
-        aggCols.map(col): _*)
+        aggCols.toIndexedSeq.map(col): _*)
   }
 
   /** Streaming sessionization with custom state (`flatMapGroupsWithState`,
