@@ -122,6 +122,40 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.loadPqCodebooks(spark, "target/tmp/pq_sidecar") == cbs)
   }
 
+  test("incremental IVF: batches bucket at write time, retrieval spans them") {
+    // the full growing-corpus loop: codebook trained once and persisted,
+    // each ingest batch computes its OWN bucket with the loaded codebook,
+    // retrieval probes the stored column over everything written so far —
+    // identical to reassigning the whole corpus per query
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    Similarity.saveCentroids(spark, "target/tmp/ivf_incr/centroids", cents)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/ivf_incr", 86400))
+    ps.deletePart("emb")
+    def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+      val cb = Similarity.loadCentroids(spark, "target/tmp/ivf_incr/centroids")
+      ps.store("emb", batch.select(
+        col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+        col("embedding"),
+        Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
+        lit(1L).as("modified")))
+    }
+    writeBatch(clustered.filter(col("vec_id") < 60))
+    writeBatch(clustered.filter(col("vec_id") >= 60)) // corpus grows
+    val stored = ps.readPart("emb").get.select(
+      col("entity_id").as("vec_id"), col("embedding"), col("bucket"))
+    assert(stored.count() == 100)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val incremental = rows(Similarity.ivfTopKStored(
+      queries, stored, "vec_id", "embedding", "bucket", cents, k = 3, nProbe = 5))
+    val fresh = rows(Similarity.ivfTopK(
+      queries, clustered, "vec_id", "embedding", cents, k = 3, nProbe = 5))
+    assert(incremental == fresh)
+  }
+
   test("bucketed rerank cos equals the exact cosine") {
     val pairs = Similarity.bucketedNeighborsGaussian(
         clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
