@@ -46,6 +46,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Every retrieval path funnels its candidates through the LongType
+    * TopKPairs aggregate — a string id would cast to NULL, be skipped by
+    * the aggregate, and the query would return silently-empty results
+    * (the same failure class clusterRepresentatives' tie-break had in
+    * round 6). Refuse loudly instead, like capPerKey. */
+  private def requireIntegralId(df: DataFrame, idCol: String, fn: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+      s"$fn id column '$idCol' must be integral (rides through a LongType " +
+        s"top-k aggregate), got ${t.simpleString}")
+  }
+
   /** Brute-force cosine top-k neighbors for every vector in `queries`
     * against `corpus` (excluding self-matches on id equality).
     *
@@ -56,6 +69,7 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int
   ): DataFrame = {
+    requireIntegralId(corpus, idCol, "bruteForceTopK")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -276,6 +290,7 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfTopK")
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), ivfBucket(col(vecCol), centroids).as("__bucket"))
     ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
@@ -294,6 +309,7 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, centroids: Seq[(Int, Seq[Float])], k: Int,
       nProbe: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "ivfTopKStored")
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), col(bucketCol).cast("int").as("__bucket"))
     ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
@@ -467,6 +483,7 @@ object Similarity {
       queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
       shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "adcTopK")
     val m = codebooks.length
     val kCodes = codebooks.head.length
     // corpus codes unpacked to (id, j, code_j) by div/mod on the packed
@@ -486,6 +503,7 @@ object Similarity {
       queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
       shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "adcTopKArray")
     val unpacked = codes.select(col(idCol).as("neighbor_id"),
         posexplode(col("pq_code")).as(Seq("j", "code")))
       .select(col("neighbor_id"), col("j").cast("int").as("j"),

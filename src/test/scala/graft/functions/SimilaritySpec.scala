@@ -156,6 +156,31 @@ class SimilaritySpec extends SparkSpec {
     assert(incremental == fresh)
   }
 
+  test("ANN entry points refuse non-integral id columns loudly") {
+    // string ids would null out inside the LongType top-k aggregate and
+    // return silently-empty results — the guard turns that into a
+    // plan-build-time error
+    val s = clustered.select(
+      concat(lit("v"), col("vec_id")).as("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(s, s, "vec_id", "embedding", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(s, s, "vec_id", "embedding", cents, 3, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKStored(s, s, "vec_id", "embedding", "vec_id", cents, 3, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.adcTopKArray(s,
+        Similarity.pqEncodeArray(s, "vec_id", "embedding", cbs),
+        s, "vec_id", "embedding", cbs, 3, 10)
+    }
+  }
+
   test("bucketed rerank cos equals the exact cosine") {
     val pairs = Similarity.bucketedNeighborsGaussian(
         clustered, "vec_id", "embedding", 4, dim, 42L, minCos = -1.0)
