@@ -270,6 +270,21 @@ object QueriesLLM {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // ---- end-to-end curation pipeline: exact dedup → quality floor →
+    // per-source cap → deterministic split, composed from the primitives
+    // exactly as a real corpus build chains them ----
+    "q91_curation_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val keepers = Dedup.exact(d, "doc_id", "text")
+        .select(col("keeper").as("doc_id"))
+      val deduped = d.join(keepers, Seq("doc_id"), "left_semi")
+      val filtered = deduped.filter(col("n_chars") >= 50)
+      val capped = TextAnalysis.capPerKey(filtered, "source", "doc_id", 20)
+      TextAnalysis.hashSplit(capped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.2))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
     // ---- per-source length-distribution cutoffs (filter thresholds) ----
     "q85_source_quantiles" -> { (s, dir) =>
       TextAnalysis.groupQuantiles(docs(s, dir), Seq("source"), "n_chars",
@@ -861,6 +876,27 @@ object QueriesLLM {
            quantile_cont(n_chars, 0.9) AS p90,
            quantile_cont(n_chars, 0.99) AS p99
          FROM documents GROUP BY 1 ORDER BY source""",
+    "q91_curation_pipeline" -> {
+      val capLadder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
+      val splitLadder = md5Ladder32("'split:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH keepers AS (
+           SELECT min(doc_id) AS doc_id
+           FROM documents GROUP BY md5(lower(trim(text)))),
+         flt AS (
+           SELECT d.doc_id, d.source
+           FROM documents d JOIN keepers USING (doc_id)
+           WHERE d.n_chars >= 50),
+         capped AS (
+           SELECT doc_id, source FROM (
+             SELECT doc_id, source, CAST($capLadder AS BIGINT) AS hv
+             FROM flt)
+           QUALIFY row_number() OVER (PARTITION BY source
+             ORDER BY hv, doc_id) <= 20)
+         SELECT doc_id, source,
+           CASE WHEN CAST(($splitLadder) % 1000000 AS DOUBLE) < 800000.0
+             THEN 'train' ELSE 'val' END AS split
+         FROM capped ORDER BY doc_id"""
+    },
     "q84_domain_cap" -> {
       val ladder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source FROM (
