@@ -16,7 +16,8 @@ object R7PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    Seq("q88_temperature_sample", "q89_pq_codes64", "q90_adc_topk64")
+    Seq("q88_temperature_sample", "q89_pq_codes64", "q90_adc_topk64",
+        "q91_curation_pipeline")
       .foreach { q =>
         val df = graft.SparkEntry.queries(q)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
