@@ -953,10 +953,13 @@ object Main {
         else dir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
       println(names.map { f =>
         val slug = f.stripSuffix(".yaml")
-        val n = InstanceModel.parseTrigger(
-          java.nio.file.Files.readString(dir.resolve(f))).name
+        val t = InstanceModel.parseTrigger(
+          java.nio.file.Files.readString(dir.resolve(f)))
         val en = java.nio.file.Files.exists(dir.resolve(s"$slug.enabled"))
-        s"""{"name":${js(n)},"enabled":$en}"""
+        // granularity in the listing mirrors the reference's
+        // `SELECT id, name, granularity, enabled` (trigger.py:253-266)
+        s"""{"name":${js(t.name)},"enabled":$en,"granularity":${
+          t.granularity.map(js).getOrElse("null")}}"""
       }.mkString("[", ",", "]"))
 
     case "trigger" :: action :: base :: name :: Nil
