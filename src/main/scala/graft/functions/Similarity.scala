@@ -363,7 +363,13 @@ object Similarity {
   /** [[pqCodebooks]] + one Lloyd pass per subspace over the shared
     * deterministic sample: each subspace codebook independently moves to
     * its cells' centers of mass — reconstruction error drops, so ADC
-    * estimates rank closer to exact cosine order. */
+    * estimates rank closer to exact cosine order.
+    *
+    * `sampleN` sizing: the default 2048 gives k=4..16 codebooks hundreds
+    * of samples per centroid; at the canonical k=256 that is only ~8 per
+    * centroid — raise `sampleN` toward 32·k there (still a bounded
+    * driver-side collect at any corpus size; the gate keeps 2048 because
+    * its oracle reproduces the sample by an id-ordered LIMIT). */
   def pqCodebooksRefined(
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       dim: Int, sampleN: Int = 2048): Seq[Seq[(Int, Seq[Float])]] = {
