@@ -73,7 +73,7 @@ object Main {
     dataset.foreach { name =>
       if (defs.isEmpty) {
         System.err.println(s"no sample data set named '$name'")
-        sys.exit(1)
+        exit(1)
       }
     }
     defs.foreach { ds =>
@@ -173,7 +173,19 @@ object Main {
     stores.find(st => st.title == source ||
       st.parts.exists(p => parts.exists(_.source == p.name)))
 
-  def main(args: Array[String]): Unit = args.toList match {
+  /** Exit with `code` without killing the JVM: commands signal failure by
+    * throwing [[CliExit]], `main` converts it to a process exit, and tests
+    * call [[run]] directly and intercept it — CLI error paths become
+    * assertable in-process. */
+  final case class CliExit(code: Int)
+    extends RuntimeException(s"exit $code")
+  private def exit(code: Int): Nothing = throw CliExit(code)
+
+  def main(args: Array[String]): Unit =
+    try run(args.toList)
+    catch { case CliExit(code) => sys.exit(code) }
+
+  def run(args: List[String]): Unit = args match {
     case "load-data" :: csv :: idCol :: tsCol :: base :: part :: rest =>
       val s = spark()
       val psize = rest.headOption.map(_.toLong).getOrElse(86400L)
@@ -245,14 +257,14 @@ object Main {
       if (defn.timeAggregation.isEmpty && defn.entityAggregation.isEmpty) {
         System.err.println(
           "definition has neither time_aggregation nor entity_aggregation")
-        sys.exit(1)
+        exit(1)
       }
       val inst = InstanceModel.loadInstance(instanceDir)
       def findSource(source: String, parts: Seq[graft.model.AggregationPartDef]) =
         findAggregationSource(inst.trendStores, source, parts)
           .getOrElse {
             System.err.println(s"no trend store matching source '$source'")
-            sys.exit(1); null
+            exit(1); null
           }
       val trendDir = java.nio.file.Paths.get(instanceDir, "trend")
       val matDir = java.nio.file.Paths.get(instanceDir, "materialization")
@@ -293,7 +305,7 @@ object Main {
         if (!java.nio.file.Files.isDirectory(aggDir)) Seq.empty[String]
         else aggDir.toFile.list().toSeq.filter(_.endsWith(".yaml")).sorted
       files.foreach { f =>
-        main(Array("aggregation-compile", instanceDir,
+        run(List("aggregation-compile", instanceDir,
           aggDir.resolve(f).toString))
       }
       println(s"""{"compiled_definitions":${files.length}}""")
@@ -311,7 +323,7 @@ object Main {
       val dir = java.nio.file.Paths.get(instanceDir, "materialization")
       def arg(what: String): String = rest.headOption.getOrElse {
         System.err.println(s"trend-materialization $action needs $what")
-        sys.exit(2); ""
+        exit(2); ""
       }
       action match {
         case "create" | "update" =>
@@ -323,12 +335,12 @@ object Main {
           if (action == "create" && exists) {
             System.err.println("Error creating materialization: " +
               s"'${m.targetTrendStorePart}' already exists")
-            sys.exit(1)
+            exit(1)
           }
           if (action == "update" && !exists) {
             System.err.println(
               s"No materialization matched name '${m.targetTrendStorePart}'")
-            sys.exit(1)
+            exit(1)
           }
           java.nio.file.Files.createDirectories(dir)
           java.nio.file.Files.writeString(f, text)
@@ -374,7 +386,7 @@ object Main {
         }
       }
       println(s"""{"trend_stores":${inst.trendStores.length},"errors":$errors}""")
-      if (errors > 0) sys.exit(1)
+      if (errors > 0) exit(1)
 
     // `minerva trend-store deduce` (commands/trend_store/deduce.py +
     // harvest/trend_config_deducer.py): deduce a full trend-store
@@ -471,7 +483,7 @@ object Main {
         System.err.println(s"Duplicate trend store ${ts.dataSource}, " +
           s"${ts.entityType}, ${ts.granularity.name} — parts already " +
           s"exist: ${existing.map(_.name).mkString(", ")}")
-        sys.exit(1)
+        exit(1)
       }
       // changePart with no stored state = fresh sidecar of the declared
       // schema (get_or_create_trend_store_part)
@@ -598,7 +610,7 @@ object Main {
           val missing = storeTitles.filterNot(t => rawStores.exists(_.title == t))
           if (missing.nonEmpty) {
             System.err.println(s"no raw trend store titled: ${missing.mkString(", ")}")
-            sys.exit(1)
+            exit(1)
           }
           rawStores.filter(s => storeTitles.contains(s.title))
         }
@@ -639,7 +651,7 @@ object Main {
       val s = spark()
       val dir = new graft.storage.EntityDirectory(s, s"$base/entity")
       def name: String = rest.headOption.getOrElse {
-        System.err.println(s"entity-type $action needs a name"); sys.exit(2); ""
+        System.err.println(s"entity-type $action needs a name"); exit(2); ""
       }
       action match {
         case "create" =>
@@ -651,7 +663,7 @@ object Main {
         case "list" =>
           println(dir.list().map(js).mkString("[", ",", "]"))
         case other =>
-          System.err.println(s"unknown entity-type action: $other"); sys.exit(2)
+          System.err.println(s"unknown entity-type action: $other"); exit(2)
       }
 
     case kind :: action :: base :: rest if kind == "data-source" || kind == "alias" =>
@@ -660,7 +672,7 @@ object Main {
       val dir = s"$base/_catalog/${kind.replace('-', '_')}"
       def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
       def name: String = rest.headOption.getOrElse {
-        System.err.println(s"$kind $action needs a name"); sys.exit(2); ""
+        System.err.println(s"$kind $action needs a name"); exit(2); ""
       }
       action match {
         case "create" =>
@@ -678,7 +690,7 @@ object Main {
             else fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
           println(names.map(js).mkString("[", ",", "]"))
         case other =>
-          System.err.println(s"unknown $kind action: $other"); sys.exit(2)
+          System.err.println(s"unknown $kind action: $other"); exit(2)
       }
 
     // `minerva notification-store create` (commands/notification_store.py):
@@ -698,7 +710,7 @@ object Main {
         s""""attributes":${ad.attributes.length}}""")
       if (!created) {
         System.err.println(s"attribute store '$name' already exists — not overwritten")
-        sys.exit(1)
+        exit(1)
       }
 
     case "attribute-store" :: "delete" :: base :: name :: Nil =>
@@ -792,7 +804,7 @@ object Main {
       val intervals = rest.collectFirst {
         case a if a.startsWith("--interval-count=") =>
           a.stripPrefix("--interval-count=").toIntOption.getOrElse {
-            System.err.println(s"invalid --interval-count: $a"); sys.exit(2); 0
+            System.err.println(s"invalid --interval-count: $a"); exit(2); 0
           }
       }.getOrElse(30)
       val now = rest.collectFirst {
@@ -802,12 +814,12 @@ object Main {
         case None =>
           System.err.println(
             s"no sample-data definition named '$name' in $instanceDir")
-          sys.exit(2)
+          exit(2)
         case Some(ds) =>
           val template = s"$instanceDir/sample-data/${ds.name}/sample.csv"
           if (!java.nio.file.Files.exists(java.nio.file.Paths.get(template))) {
             System.err.println(s"no template at $template")
-            sys.exit(2)
+            exit(2)
           }
           val zone = java.time.ZoneId.of("UTC")
           var t = ds.granularity.truncate(
@@ -864,7 +876,7 @@ object Main {
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
       ps.readPart(part) match {
-        case None => println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1)
+        case None => println(s"""{"error":"no such part","part":"$part"}"""); exit(1)
         case Some(df) =>
           val r = df.agg(
             count(lit(1)).as("rows"),
@@ -894,7 +906,7 @@ object Main {
         if (existing != t.name) {
           System.err.println(s"trigger slug '$slug' already holds " +
             s"'$existing' — delete it first or rename '${t.name}'")
-          sys.exit(1)
+          exit(1)
         }
       }
       java.nio.file.Files.writeString(slugFile, text)
@@ -916,14 +928,14 @@ object Main {
       val slugFile = dir.resolve(s"${triggerSlug(newDef.name)}.yaml")
       if (!java.nio.file.Files.exists(slugFile)) {
         println(s"""{"error":"no such trigger","trigger":${js(newDef.name)}}""")
-        sys.exit(1)
+        exit(1)
       }
       val installed = InstanceModel.parseTrigger(
         java.nio.file.Files.readString(slugFile))
       if (installed.name != newDef.name) {
         System.err.println(s"trigger slug holds '${installed.name}', " +
           s"not '${newDef.name}' — refusing to patch a different trigger")
-        sys.exit(1)
+        exit(1)
       }
       val patched = action match {
         case "update-weight" => installed.copy(weight = newDef.weight)
@@ -968,7 +980,7 @@ object Main {
       val slug = triggerSlug(name)
       if (!java.nio.file.Files.exists(dir.resolve(s"$slug.yaml"))) {
         println(s"""{"error":"no such trigger","trigger":${js(name)}}""")
-        sys.exit(1)
+        exit(1)
       }
       if (action == "enable")
         java.nio.file.Files.writeString(dir.resolve(s"$slug.enabled"), "true")
@@ -980,9 +992,9 @@ object Main {
         s"${triggerSlug(name)}.yaml")
       if (!java.nio.file.Files.exists(yaml)) {
         println(s"""{"error":"no such trigger","trigger":${js(name)}}""")
-        sys.exit(1)
+        exit(1)
       }
-      main(Array("trigger", s"$base/trend", part, yaml.toString, outDir))
+      run(List("trigger", s"$base/trend", part, yaml.toString, outDir))
 
     case "trigger" :: "run-all" :: base :: part :: outDir :: Nil =>
       val s = spark()
@@ -994,7 +1006,7 @@ object Main {
           .filter(s0 => java.nio.file.Files.exists(dir.resolve(s"$s0.enabled")))
       val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
       val kpi = ps.readPart(part).getOrElse {
-        println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
+        println(s"""{"error":"no such part","part":"$part"}"""); exit(1); null
       }
       val counts = enabled.map { slug =>
         val t = InstanceModel.parseTrigger(java.nio.file.Files.readString(
@@ -1062,7 +1074,7 @@ object Main {
       // relation/*.yaml so the name only needs to be path-safe
       if (r.name.contains("/") || r.name.contains(" ")) {
         System.err.println(s"relation name '${r.name}' is not path-safe")
-        sys.exit(1)
+        exit(1)
       }
       val dir = java.nio.file.Paths.get(instanceDir, "relation")
       java.nio.file.Files.createDirectories(dir)
@@ -1072,7 +1084,7 @@ object Main {
     case "relation" :: "remove" :: instanceDir :: base :: name :: Nil =>
       if (name.contains("/")) {
         System.err.println(s"relation name '$name' is not path-safe")
-        sys.exit(1)
+        exit(1)
       }
       // bundles name relation FILES freely (`router-to-v-region.yaml`
       // holding name `router->v-region`) — match by the PARSED name
@@ -1097,7 +1109,7 @@ object Main {
         java.nio.file.Files.readString(java.nio.file.Paths.get(yamlPath)))
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
       val kpi = ps.readPart(part).getOrElse {
-        println(s"""{"error":"no such part","part":"$part"}"""); sys.exit(1); null
+        println(s"""{"error":"no such part","part":"$part"}"""); exit(1); null
       }
       val rule = InstanceInit.triggerRule(t)
       // persist: one execution shared by the write and the reported count
@@ -1115,7 +1127,7 @@ object Main {
       val ps = new PartStore(s, PartStoreConfig(base, psize))
       val cutoff = cutoffSec.toLongOption.getOrElse {
         System.err.println(s"invalid cutoff seconds: $cutoffSec")
-        sys.exit(2); 0L
+        exit(2); 0L
       }
       ps.expire(part, cutoff)
       println(s"""{"expired_before":$cutoff,"part":"$part"}""")
@@ -1124,7 +1136,7 @@ object Main {
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
       val src = ps.readPart(srcPart).getOrElse {
-        println(s"""{"error":"no such part","part":"$srcPart"}"""); sys.exit(1); null
+        println(s"""{"error":"no such part","part":"$srcPart"}"""); exit(1); null
       }
       val trendCols = src.columns.filterNot(
         Set("entity_id", "timestamp", "modified", "created", "pindex", "job_id"))
@@ -1188,7 +1200,7 @@ object Main {
         case a if a.startsWith("--interval-count=") =>
           a.stripPrefix("--interval-count=").toIntOption.getOrElse {
             System.err.println(s"invalid --interval-count: $a")
-            sys.exit(2); 0
+            exit(2); 0
           }
       }.getOrElse(30)
       val dataset = rest.filterNot(_.startsWith("--")).headOption
@@ -1226,7 +1238,7 @@ object Main {
           case a if a.startsWith("--interval-count=") =>
             a.stripPrefix("--interval-count=").toIntOption.getOrElse {
               System.err.println(s"invalid --interval-count: $a")
-              sys.exit(2); 0
+              exit(2); 0
             }
         }.getOrElse(30) // reference default (load_sample_data.py:36)
         val (p, a) = loadSampleDataSets(
@@ -1368,6 +1380,6 @@ object Main {
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
            |  expire <storeBase> <part> <cutoffSec> [partitionSizeSec]
            |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)
-      sys.exit(2)
+      exit(2)
   }
 }

@@ -10,8 +10,18 @@ class CatalogCliSpec extends SparkSpec {
 
   private def run(args: String*): String = {
     val out = new java.io.ByteArrayOutputStream()
-    Console.withOut(new java.io.PrintStream(out)) { Main.main(args.toArray) }
+    Console.withOut(new java.io.PrintStream(out)) { Main.run(args.toList) }
     out.toString.trim
+  }
+
+  /** Error paths throw CliExit instead of killing the JVM — assert the
+    * exit code a shell user would see. */
+  private def runExpectExit(code: Int)(args: String*): Unit = {
+    val ex = intercept[Main.CliExit] {
+      Console.withOut(new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream())) { Main.run(args.toList) }
+    }
+    assert(ex.code == code, s"expected exit $code, got ${ex.code}")
   }
 
   private val base = {
@@ -439,6 +449,55 @@ class CatalogCliSpec extends SparkSpec {
       java.nio.file.Files.readString(java.nio.file.Paths.get(
         dir, "materialization", "net_router_main_1h.yaml")))
     assert(!back.enabled)
+  }
+
+  test("CLI error paths exit nonzero without side effects") {
+    // unknown command → usage, exit 2
+    runExpectExit(2)("no-such-command")
+    runExpectExit(2)("entity-type", "create", base) // missing name
+    // duplicate trend-store create refused (DuplicateTrendStore), exit 1
+    import graft.core.MinervaType._
+    import graft.model.{Trend, TrendStore, TrendStorePart}
+    val sb = s"$base/errpaths_store"
+    val ts = TrendStore(
+      title = "net_node", dataSource = "net", entityType = "node",
+      granularity = graft.core.Granularity.parse("15m"),
+      partitionSize = graft.core.Granularity.parse("1d"),
+      parts = Seq(TrendStorePart("err_part", Seq(Trend("power", MBigInt)))))
+    val yaml = java.nio.file.Files.createTempFile("errpaths", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      graft.model.InstanceModel.renderTrendStore(ts))
+    assert(run("trend-store", "create", sb, yaml.toString)
+      .contains("\"created\""))
+    runExpectExit(1)("trend-store", "create", sb, yaml.toString)
+    // update-* on an uninstalled trigger → exit 1
+    val trigDir = java.nio.file.Files.createTempDirectory("graft_errtrig_")
+    val trigYaml = trigDir.resolve("t.yaml")
+    java.nio.file.Files.writeString(trigYaml,
+      "name: ghost\ncondition: 1 = 1\nweight: '1'\nnotification: n\n")
+    runExpectExit(1)(
+      "trigger", "update-weight", trigDir.toString, trigYaml.toString)
+    // duplicate trend-materialization create → exit 1, file unchanged
+    val inst = java.nio.file.Files.createTempDirectory("graft_errmat_")
+    val mat = inst.resolve("def.yaml")
+    java.nio.file.Files.writeString(mat,
+      """target_trend_store_part: p1
+        |enabled: true
+        |processing_delay: 30m
+        |stability_delay: 5m
+        |reprocessing_period: 3 days
+        |sources:
+        |- trend_store_part: p0
+        |  mapping_function: trend.mapping_id
+        |""".stripMargin)
+    assert(run("trend-materialization", "create", inst.toString, mat.toString)
+      .contains("\"created\":true"))
+    runExpectExit(1)(
+      "trend-materialization", "create", inst.toString, mat.toString)
+    // drop of a missing materialization is NOT an error (reference prints
+    // "No materialization matched")
+    assert(run("trend-materialization", "drop", inst.toString, "nope")
+      .contains("\"dropped\":false"))
   }
 
   test("notification-store delete drops declaration and rows") {
