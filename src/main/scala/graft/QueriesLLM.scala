@@ -252,6 +252,14 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- distributed Lloyd pass: fixed-point per-cell means over the
+    // FULL corpus (deterministic under any partitioning) ----
+    "q92_ivf_cell_means" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val seeds = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+      Similarity.ivfCellMeans(e, "embedding", seeds)
+        .orderBy("cell", "dim")
+    },
     // ---- per-source document cap (domain balancing) ----
     "q84_domain_cap" -> { (s, dir) =>
       TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 15)
@@ -897,6 +905,30 @@ object QueriesLLM {
              THEN 'train' ELSE 'val' END AS split
          FROM capped ORDER BY doc_id"""
     },
+    "q92_ivf_cell_means" ->
+      """WITH seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+               CAST(vec_id AS VARCHAR)) - 1 AS INT) AS i,
+             CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 8),
+         asg AS (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, s.i AS cell
+           FROM embeddings e CROSS JOIN seeds s
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.emb) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(s.emb, s.emb))) DESC, s.i DESC) = 1),
+         dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         qx AS (
+           SELECT a.cell, d.dim,
+             CAST(floor(a.emb[d.dim + 1] * 16777216.0 + 0.5) AS BIGINT) AS q
+           FROM asg a CROSS JOIN dims d)
+         SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 16777216.0 AS mean
+         FROM qx GROUP BY 1, 2 ORDER BY cell, dim""",
     "q84_domain_cap" -> {
       val ladder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source FROM (

@@ -256,6 +256,68 @@ object Similarity {
       sample.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
   }
 
+  /** Distributed per-cell means for a Lloyd refinement pass over the FULL
+    * corpus — the scale rung above the bounded driver-side [[lloydOnce]]
+    * (whose 2048-vector sample caps codebook quality at large k).
+    *
+    * The obstacle to distributing Lloyd deterministically is float
+    * summation order: a plain per-cell `sum(x)` depends on partition
+    * layout. Here each element is quantized to a 2^`scaleBits` fixed-point
+    * LONG (`floor(x·2^s + 0.5)` — floor is engine-identical, unlike
+    * round's half-up/half-even split); integer sums are associative, so
+    * the result is bit-identical under ANY partitioning and on any engine
+    * (oracle-checked), at the cost of ≤2^-s quantization error per
+    * element — invisible next to float precision at s=24.
+    *
+    * Shape: one codegen'd assignment pass + a dim-exploded (cell, dim)
+    * aggregate, map-side combined to ≤ k·dim rows per partition; shuffle
+    * is k·dim·|partitions| at any corpus size. Output: (cell, dim, n,
+    * mean) — k·dim rows, collectable to rebuild a codebook
+    * ([[ivfCentroidsRefinedFull]]). */
+  def ivfCellMeans(
+      vectors: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], scaleBits: Int = 24): DataFrame = {
+    require(scaleBits >= 8 && scaleBits <= 40,
+      s"scaleBits $scaleBits outside the sane fixed-point range [8, 40]")
+    val scale = (1L << scaleBits).toDouble
+    // cell first, explode second: a generator sharing a select with the
+    // assignment argmax strips the struct aliases ivfBucket's getField
+    // needs (Spark splits the projection around Generate)
+    vectors
+      .select(col(vecCol).as("__v"),
+        ivfBucket(col(vecCol), centroids).as("cell"))
+      .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * scale + 0.5).cast("long")).as("__qsum"))
+      .select(col("cell"), col("dim"), col("n"),
+        (col("__qsum").cast("double") / col("n") / scale).as("mean"))
+  }
+
+  /** [[ivfCentroids]] seeds + ONE distributed Lloyd pass over the whole
+    * corpus via [[ivfCellMeans]]: the k·dim mean rows collect to the
+    * driver (bounded by the codebook size, never the corpus) and round
+    * through Float exactly like [[lloydOnce]]. Empty cells keep their
+    * seed. Deterministic under any partitioning (spec-asserted). */
+  def ivfCentroidsRefinedFull(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      scaleBits: Int = 24): Seq[(Int, Seq[Float])] = {
+    val seeds = ivfCentroids(vectors, idCol, vecCol, k)
+    val dims = seeds.head._2.length
+    val means = ivfCellMeans(vectors, vecCol, seeds, scaleBits)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(3).toFloat).toSeq
+      }
+    seeds.map { case (i, seedVec) =>
+      means.get(i) match {
+        case Some(m) if m.length == dims => i -> m
+        case _ => i -> seedVec
+      }
+    }
+  }
+
   /** Nearest-centroid assignment (IVF bucket): argmax over k cosine scores,
     * computed as one array_max over (cos, idx) structs — k fused dot
     * products per vector inside codegen, centroids shipped as literals.

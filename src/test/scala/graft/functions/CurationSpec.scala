@@ -345,6 +345,53 @@ class CurationSpec extends SparkSpec {
       s"one Lloyd pass should tighten cells: $after <= $before")
   }
 
+  test("ivfCellMeans: fixed-point means are partition-invariant; full-corpus refinement tightens cells") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val seeds = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 8)
+    // float sums would drift with partition layout; the quantized LONG
+    // sums must not — bit-identical rows under 1, 7, and 32 partitions
+    val base = Similarity.ivfCellMeans(vecs, "embedding", seeds)
+      .orderBy("cell", "dim").collect().map(_.toSeq).toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val rep = Similarity.ivfCellMeans(
+          vecs.repartition(p), "embedding", seeds)
+        .orderBy("cell", "dim").collect().map(_.toSeq).toSeq
+      assert(rep == base, s"partitioning $p changed the means")
+    }
+    // the full-corpus pass is a real refinement: mean cosine-to-centroid
+    // rises vs the raw seeds (same criterion as the sampled Lloyd spec)
+    def meanCos(cents: Seq[(Int, Seq[Float])]): Double = {
+      val byId = cents.toMap
+      vecs.select(col("vec_id"),
+          Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+          col("embedding"))
+        .collect().map { r =>
+          val v = r.getSeq[Float](2)
+          val c = byId(r.getInt(1))
+          val d = (v, c).zipped.map((a, b) => a.toDouble * b.toDouble).sum
+          val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          val nc = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+          d / (nv * nc)
+        }.sum / 300.0
+    }
+    val refined = Similarity.ivfCentroidsRefinedFull(vecs, "vec_id", "embedding", 8)
+    assert(meanCos(refined) > meanCos(seeds),
+      s"full-corpus Lloyd pass should tighten cells: ${meanCos(refined)} <= ${meanCos(seeds)}")
+    // quantization error vs the driver-side unquantized fold is bounded
+    // by the fixed-point step (2^-24 per element, plus float rounding) —
+    // at 300 vectors the 2048-sample driver pass covers the whole corpus
+    // with the same seeds and assignment, so only the summation differs
+    val unquantized = Similarity.ivfCentroidsRefined(vecs, "vec_id", "embedding", 8)
+    refined.zip(unquantized).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 2e-6, s"quantized mean drifted: $x vs $y")
+      }
+    }
+  }
+
   test("dsirWeights: target-like docs score higher; totals are exact") {
     // target speaks 'aa bb', raw docs either match the target distribution
     // or don't
