@@ -260,6 +260,13 @@ object QueriesLLM {
       Similarity.ivfCellMeans(e, "embedding", seeds)
         .orderBy("cell", "dim")
     },
+    // ---- SemDeDup: within-IVF-cell near-dup, keep the centroid outlier ----
+    "q93_semantic_dedup" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      Dedup.semanticDedup(e, "vec_id", "embedding", centroids, minCos = 0.4)
+        .orderBy("vec_id")
+    },
     // ---- per-source document cap (domain balancing) ----
     "q84_domain_cap" -> { (s, dir) =>
       TextAnalysis.capPerKey(docs(s, dir), "source", "doc_id", 15)
@@ -929,6 +936,36 @@ object QueriesLLM {
          SELECT cell, dim, CAST(count(*) AS BIGINT) AS n,
            CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 16777216.0 AS mean
          FROM qx GROUP BY 1, 2 ORDER BY cell, dim""",
+    // SemDeDup: refined-centroid assignment (cell + winning cos), directed
+    // same-cell dominance pairs (preceding in centroid_cos ASC, id ASC with
+    // pair-cos ≥ 0.4), keep = never dominated — mirrors Dedup.semanticDedup.
+    "q93_semantic_dedup" ->
+      s"""WITH $RefinedCentCte,
+         scored AS (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.embedding, c.embedding)))
+               AS cos
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, emb, i AS cell, cos AS centroid_cos FROM scored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) = 1),
+         dropped AS (
+           SELECT DISTINCT d.vec_id
+           FROM assigned d JOIN assigned n
+             ON d.cell = n.cell AND d.vec_id <> n.vec_id
+           WHERE (n.centroid_cos < d.centroid_cos OR
+                  (n.centroid_cos = d.centroid_cos AND n.vec_id < d.vec_id))
+             AND list_dot_product(d.emb, n.emb) /
+                 (sqrt(list_dot_product(d.emb, d.emb)) *
+                  sqrt(list_dot_product(n.emb, n.emb))) >= 0.4)
+         SELECT a.vec_id, a.cell, a.centroid_cos,
+           (dr.vec_id IS NULL) AS keep
+         FROM assigned a LEFT JOIN dropped dr USING (vec_id)
+         ORDER BY a.vec_id""",
     "q84_domain_cap" -> {
       val ladder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
       s"""SELECT doc_id, source FROM (

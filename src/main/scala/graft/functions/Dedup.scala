@@ -362,6 +362,55 @@ object Dedup {
       .select(col(idCol), col(componentCol), col("rep_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public): cluster
+    * the corpus into IVF cells, compare embeddings ONLY within a cell, and
+    * where a pair exceeds `minCos` keep the most-outlying copy — the one
+    * LEAST similar to its cell centroid (the paper's keep policy: outliers
+    * carry more information than cluster-core near-duplicates).
+    *
+    * Exact semantics (deterministic, engine-reproducible): a document is
+    * dropped iff some same-cell neighbor with pair-cosine ≥ `minCos`
+    * precedes it in (centroid_cos ASC, id ASC) order. The minimal element
+    * of every duplicate neighborhood always survives, and the rule is
+    * pairwise — no component computation (compose with
+    * [[connectedKeepers]] when transitive-closure semantics are wanted).
+    *
+    * Scale shape: assignment is one codegen'd argmax pass over the corpus
+    * ([[graft.functions.Similarity.ivfAssign]] — centroid cos and cell
+    * from ONE array_max); candidate pairs are an equi-join on the cell
+    * key, so the all-pairs N² never appears — pair work is Σ|cell|²,
+    * bounded by the codebook size k (the SemDeDup knob: k grows with the
+    * corpus so cells stay bounded); the dominance filter and the distinct
+    * dropped-id set ride the same cell-hashed exchange. PRECONDITION:
+    * non-zero vectors (a zero vector's cosine is NaN, which no engine
+    * pair compares alike).
+    *
+    * Output: one row per input doc — (id, cell, centroid_cos, keep). */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], minCos: Double): DataFrame = {
+    val assigned = emb
+      .select(col(idCol), col(vecCol).as("__v"),
+        Similarity.ivfAssign(col(vecCol), centroids).as("__a"))
+      .select(col(idCol), col("__v"),
+        col("__a").getField("i").as("cell"),
+        col("__a").getField("c").as("centroid_cos"))
+    val cand = assigned.select(col("cell"), col(idCol).as("__did"),
+      col("__v").as("__dv"), col("centroid_cos").as("__dcc"))
+    val dom = assigned.select(col("cell"), col(idCol).as("__nid"),
+      col("__v").as("__nv"), col("centroid_cos").as("__ncc"))
+    val dropped = cand.join(dom, Seq("cell"))
+      .filter(col("__nid") =!= col("__did"))
+      .filter(col("__ncc") < col("__dcc") ||
+        (col("__ncc") === col("__dcc") && col("__nid") < col("__did")))
+      .filter(Similarity.cosine(col("__dv"), col("__nv")) >= minCos)
+      .select(col("__did").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("centroid_cos"),
+        col("__drop").isNull.as("keep"))
+  }
+
   /** Eval-set decontamination (the GPT-3/C4/PaLM-style n-gram overlap
     * check): per training document, count distinct shingles shared with the
     * eval set and flag docs at ≥ `minOverlap` hits.

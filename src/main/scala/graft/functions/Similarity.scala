@@ -318,12 +318,13 @@ object Similarity {
     }
   }
 
-  /** Nearest-centroid assignment (IVF bucket): argmax over k cosine scores,
-    * computed as one array_max over (cos, idx) structs — k fused dot
-    * products per vector inside codegen, centroids shipped as literals.
-    * Ties break to the larger index (lexicographic struct max), mirrored in
-    * the SQL oracle. */
-  def ivfBucket(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+  /** Nearest-centroid assignment as the winning (cos, cell) struct — the
+    * argmax [[ivfBucket]] reads its cell index from, exposed whole for
+    * operators that also need the winning cosine (SemDeDup's
+    * keep-the-outlier policy reads both fields from ONE argmax instead of
+    * recomputing k dot products per field). Fields: `c` = cosine to the
+    * assigned centroid, `i` = cell index. */
+  def ivfAssign(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
     val scored = centroids.map { case (i, c) =>
       // ‖centroid‖ precomputed on the driver with the same sequential
       // sum-of-squares fold DuckDB's list_dot_product uses → identical bits
@@ -333,8 +334,16 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       struct((d / (norm(vec) * lit(nc))).as("c"), lit(i).as("i"))
     }
-    array_max(array(scored: _*)).getField("i")
+    array_max(array(scored: _*))
   }
+
+  /** Nearest-centroid assignment (IVF bucket): argmax over k cosine scores,
+    * computed as one array_max over (cos, idx) structs — k fused dot
+    * products per vector inside codegen, centroids shipped as literals.
+    * Ties break to the larger index (lexicographic struct max), mirrored in
+    * the SQL oracle. */
+  def ivfBucket(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    ivfAssign(vec, centroids).getField("i")
 
   /** IVF retrieval end-to-end: probe the `nProbe` nearest cells per query
     * and exact-rerank ONLY the vectors assigned to those cells. The scale

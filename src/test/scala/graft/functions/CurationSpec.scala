@@ -535,4 +535,50 @@ class CurationSpec extends SparkSpec {
       assert(got == selfCode, s"centroid $i should self-quantize: $got != $selfCode")
     }
   }
+
+  test("semanticDedup: outlier survives, sub-threshold and cross-cell pairs kept") {
+    val centroids = Seq(
+      0 -> Seq(1f, 0f, 0f, 0f),
+      1 -> Seq(0f, 1f, 0f, 0f))
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),      // cell 0, ON the centroid (cos = 1)
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)), // cell 0, near-dup of 1, slight outlier
+      (3L, Seq(0f, 1f, 0.2f, 0f)),    // cell 1, no near-dup
+      (4L, Seq(0.9f, 0.95f, 0f, 0f)), // cell 1 (0.95 > 0.9)
+      (5L, Seq(0.95f, 0.9f, 0f, 0f))  // cell 0 — near-dup of 4 but ACROSS cells
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, minCos = 0.9)
+      .orderBy("vec_id").collect()
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val cell = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cell == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0))
+    // the SemDeDup keep policy: of the (1,2) duplicate pair the OUTLIER
+    // (lower centroid cos — doc 2) survives, the cluster-core copy drops
+    assert(!keep(1L) && keep(2L), s"outlier policy violated: $keep")
+    // doc 3: same cell as 4 but pair cos << 0.9 → both kept
+    assert(keep(3L) && keep(4L))
+    // docs 4/5 are near-identical but land in DIFFERENT cells → never
+    // compared (the SemDeDup trade: recall bounded by the cell partition)
+    assert(keep(5L))
+    // one row per input doc, centroid_cos is the winning assignment cos
+    assert(out.length == 5)
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("semanticDedup: every cell's minimal (centroid_cos, id) doc always survives") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 60L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin((i % 6) * 8 + d).toFloat)
+      (i, base.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsRefined(emb, "vec_id", "embedding", 4)
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, minCos = 0.95)
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getLong(0), r.getBoolean(3)))
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      val minRow = rows.minBy(r => (r._2, r._3))
+      assert(minRow._4, s"cell $c minimal element was dropped: $minRow")
+    }
+    // with a tight threshold over 6 repeated directions, something drops
+    assert(out.exists(!_._4), "expected at least one dropped near-dup")
+  }
 }
