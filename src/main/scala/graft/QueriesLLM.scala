@@ -234,19 +234,25 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
-    // ---- canonical 64-bit PQ (m=8, k=256): array subcodes, no packing ----
+    // ---- canonical 64-bit PQ (m=8, k=256): array subcodes, no packing.
+    // sampleN = 32·k (the recommended floor for k=256 — the default 2048
+    // is only ~8 samples/centroid); the gate projects the code array as a
+    // comma-joined string because the harness sorts/hashes scalar cells —
+    // array<smallint> stays the storage form (pqEncodeArray, parity spec) ----
     "q89_pq_codes64" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
       val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
-        m = 8, k = 256, dim = 64)
+        m = 8, k = 256, dim = 64, sampleN = 8192)
       Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
+        .select(col("vec_id"),
+          array_join(col("pq_code"), ",").as("pq_code_csv"))
         .orderBy("vec_id")
     },
     // ---- ADC retrieval over canonical 64-bit array codes ----
     "q90_adc_topk64" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
       val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
-        m = 8, k = 256, dim = 64)
+        m = 8, k = 256, dim = 64, sampleN = 8192)
       val codes = Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
       Similarity.adcTopKArray(e.filter(col("vec_id") % 100 === 0), codes, e,
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
@@ -549,13 +555,15 @@ object QueriesLLM {
 
   /** The codebook training sample: first `sampleN` vectors by
     * (md5(id), id) — mirrors Similarity.codebookSample. */
-  private val SampCte =
-    """samp AS (
+  private def sampCte(sampleN: Int) =
+    s"""samp AS (
            SELECT CAST(vec_id AS VARCHAR) AS sid,
              CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings
            ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 2048)"""
+           LIMIT $sampleN)"""
+
+  private val SampCte = sampCte(2048)
 
   /** Refined IVF centroids (k=8): seeds = first k sample vectors, one
     * Lloyd pass — assignment with the argmax/higher-index tiebreak, then
@@ -597,9 +605,10 @@ object QueriesLLM {
     * 8 dims, k centroids): the shared sample is sliced per subspace, each
     * slice refined independently — mirrors Similarity.pqCodebooksRefined.
     * k=4 is the BIGINT-packed gate config (q77/q78); k=256 the canonical
-    * 64-bit config (q89/q90). */
-  private def pqCodesCte(k: Int) =
-    s"""$SampCte,
+    * 64-bit config (q89/q90, trained on a 32·k = 8192-row sample — whole
+    * corpus at gate scale). */
+  private def pqCodesCte(k: Int, sampleN: Int = 2048) =
+    s"""${sampCte(sampleN)},
          ss AS (SELECT unnest(generate_series(0, 7)) AS s),
          sseeds AS (
            SELECT ss.s, sd.i, sd.emb[1 + 8*ss.s : 8 + 8*ss.s] AS emb
@@ -1191,11 +1200,13 @@ object QueriesLLM {
            CAST(sum(i * (CAST(1 AS BIGINT) << (2 * s))) AS BIGINT) AS pq_code
          FROM codes GROUP BY 1 ORDER BY 1""",
     "q89_pq_codes64" ->
-      s"""WITH ${pqCodesCte(256)}
-         SELECT vec_id, list(CAST(i AS SMALLINT) ORDER BY s) AS pq_code
+      s"""WITH ${pqCodesCte(256, 8192)}
+         SELECT vec_id,
+           array_to_string(list(CAST(i AS SMALLINT) ORDER BY s), ',')
+             AS pq_code_csv
          FROM codes GROUP BY 1 ORDER BY 1""",
     "q90_adc_topk64" ->
-      s"""WITH ${pqCodesCte(256)},
+      s"""WITH ${pqCodesCte(256, 8192)},
          $AdcRetrievalSql""",
     "q78_adc_topk" ->
       s"""WITH $PqCodesCte,

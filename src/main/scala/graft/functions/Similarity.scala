@@ -439,8 +439,9 @@ object Similarity {
     * `sampleN` sizing: the default 2048 gives k=4..16 codebooks hundreds
     * of samples per centroid; at the canonical k=256 that is only ~8 per
     * centroid — raise `sampleN` toward 32·k there (still a bounded
-    * driver-side collect at any corpus size; the gate keeps 2048 because
-    * its oracle reproduces the sample by an id-ordered LIMIT). */
+    * driver-side collect at any corpus size). The canonical gates
+    * (q89/q90) pass sampleN = 8192 and their oracle mirrors it with the
+    * same id-ordered LIMIT. */
   def pqCodebooksRefined(
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       dim: Int, sampleN: Int = 2048): Seq[Seq[(Int, Seq[Float])]] = {

@@ -318,6 +318,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pqCodebooksRefined sampleN: a 32·k sample never loses to a k-row one") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 1000L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(sampleN: Int): Double = {
+      val cbs = Similarity.pqCodebooksRefined(
+        vecs, "vec_id", "embedding", m = 8, k = 16, dim = 16, sampleN = sampleN)
+      val codes = Similarity.pqEncodeArray(vecs, "vec_id", "embedding", cbs)
+      val got = Similarity.adcTopKArray(queries, codes, vecs,
+          "vec_id", "embedding", cbs, k = 5, shortlist = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // sampleN = k trains each centroid on ~1 vector (the seed itself);
+    // sampleN = 32·k is the documented sizing the canonical gates use.
+    // Deterministic inputs → deterministic recalls; the well-sized sample
+    // must never lose to the degenerate one and must clear a floor.
+    val starved = recallAt(16)
+    val sized = recallAt(32 * 16)
+    assert(sized >= starved, s"32·k recall $sized < k-row recall $starved")
+    assert(sized >= 0.5, s"32·k-sample ADC recall too low: $sized")
+  }
+
   test("ivfCentroidsRefined tightens cells: mean cosine-to-centroid rises") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 300L).map { i =>
