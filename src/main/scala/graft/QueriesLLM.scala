@@ -291,6 +291,23 @@ object QueriesLLM {
         .select("doc_id", "source")
         .orderBy("doc_id")
     },
+    // ---- temperature resample on a SKEWED source grouping: the real
+    // documents.source is near-uniform, so q88's least(1.0, …) caps every
+    // rate at 1 and the gate can't discriminate the weight fold — here a
+    // hash-derived 50/30/15/5 source makes the two big groups downsample
+    // (rates < 1) while the small ones keep everything ----
+    "q94_temperature_skew" -> { (s, dir) =>
+      val hv = conv(substring(md5(concat(lit("skew:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val skewed = docs(s, dir).withColumn("skew_source",
+        when(hv < 500000L, "s0").when(hv < 800000L, "s1")
+          .when(hv < 950000L, "s2").otherwise("s3"))
+      TextAnalysis.materializeTemperatureSample(skewed, "skew_source",
+          "doc_id", sqrtIters = 2)
+        .select("doc_id", "skew_source")
+        .orderBy("doc_id")
+    },
     // ---- end-to-end curation pipeline: exact dedup → quality floor →
     // per-source cap → deterministic split, composed from the primitives
     // exactly as a real corpus build chains them ----
@@ -891,6 +908,44 @@ object QueriesLLM {
              CAST($ladder AS BIGINT) AS hv
            FROM documents) d
          JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+         WHERE CAST(d.hv % 1000000 AS DOUBLE) < 1000000.0 * r.rate
+         ORDER BY doc_id"""
+    },
+    "q94_temperature_skew" -> {
+      val skewLadder = md5Ladder32("'skew:' || CAST(doc_id AS VARCHAR)")
+      val smpLadder = md5Ladder32("'smp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH docs2 AS (
+           SELECT doc_id,
+             CASE WHEN hv < 500000 THEN 's0' WHEN hv < 800000 THEN 's1'
+                  WHEN hv < 950000 THEN 's2' ELSE 's3' END AS skew_source
+           FROM (
+             SELECT doc_id, CAST(($skewLadder) % 1000000 AS BIGINT) AS hv
+             FROM documents)),
+         counts AS (
+           SELECT skew_source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM docs2 GROUP BY 1),
+         w AS (
+           SELECT skew_source, n_docs,
+             sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS weight
+           FROM counts),
+         tot AS (
+           SELECT
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(weight ORDER BY skew_source NULLS FIRST)),
+               (a, b) -> a + b) AS sum_w,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+           FROM w),
+         rates AS (
+           SELECT skew_source,
+             least(1.0, weight / sum_w * CAST(n_total AS DOUBLE)
+               / CAST(n_docs AS DOUBLE)) AS rate
+           FROM w CROSS JOIN tot)
+         SELECT doc_id, d.skew_source AS skew_source FROM (
+           SELECT doc_id, skew_source,
+             CAST($smpLadder AS BIGINT) AS hv
+           FROM docs2) d
+         JOIN rates r USING (skew_source)
          WHERE CAST(d.hv % 1000000 AS DOUBLE) < 1000000.0 * r.rate
          ORDER BY doc_id"""
     },
