@@ -385,19 +385,31 @@ object Dedup {
     * non-zero vectors (a zero vector's cosine is NaN, which no engine
     * pair compares alike).
     *
+    * `maxCell` is the degenerate-cell guard-rail (the [[lshCandidates]]
+    * `maxBucket` pattern via [[graft.operators.SkewOps.keepSmallKeys]]):
+    * a cell larger than `maxCell` — constant embeddings, or k sized far
+    * below the corpus — is EXCLUDED from pair generation, so its docs all
+    * keep and pair work stays ≤ Σ min(|cell|, maxCell)². Failing open
+    * (keep, don't dedup) is the safe direction for training data; the
+    * principled fix for recurring oversized cells is growing k.
+    *
     * Output: one row per input doc — (id, cell, centroid_cos, keep). */
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])], minCos: Double): DataFrame = {
+      centroids: Seq[(Int, Seq[Float])], minCos: Double,
+      maxCell: Int = Int.MaxValue): DataFrame = {
     val assigned = emb
       .select(col(idCol), col(vecCol).as("__v"),
         Similarity.ivfAssign(col(vecCol), centroids).as("__a"))
       .select(col(idCol), col("__v"),
         col("__a").getField("i").as("cell"),
         col("__a").getField("c").as("centroid_cos"))
-    val cand = assigned.select(col("cell"), col(idCol).as("__did"),
+    val paired =
+      if (maxCell == Int.MaxValue) assigned
+      else SkewOps.keepSmallKeys(assigned, Seq("cell"), maxCell)
+    val cand = paired.select(col("cell"), col(idCol).as("__did"),
       col("__v").as("__dv"), col("centroid_cos").as("__dcc"))
-    val dom = assigned.select(col("cell"), col(idCol).as("__nid"),
+    val dom = paired.select(col("cell"), col(idCol).as("__nid"),
       col("__v").as("__nv"), col("centroid_cos").as("__ncc"))
     val dropped = cand.join(dom, Seq("cell"))
       .filter(col("__nid") =!= col("__did"))

@@ -608,4 +608,36 @@ class CurationSpec extends SparkSpec {
     // with a tight threshold over 6 repeated directions, something drops
     assert(out.exists(!_._4), "expected at least one dropped near-dup")
   }
+
+  test("semanticDedup maxCell: a degenerate cell fails open, others dedup") {
+    val centroids = Seq(
+      0 -> Seq(1f, 0f, 0f, 0f),
+      1 -> Seq(0f, 1f, 0f, 0f))
+    // cell 0 degenerate: 40 near-identical embeddings (a constant-embedding
+    // pathology); cell 1 small with one genuine near-dup pair
+    val bigCell = (0L until 40L).map(i =>
+      (i, Seq(1f, 0.001f * i, 0f, 0f)))
+    val smallCell = Seq(
+      (100L, Seq(0f, 1f, 0f, 0f)),
+      (101L, Seq(0f, 0.99f, 0.05f, 0f)))
+    val emb = (bigCell ++ smallCell).toDF("vec_id", "embedding")
+    val capped = Dedup.semanticDedup(emb, "vec_id", "embedding", centroids,
+        minCos = 0.9, maxCell = 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // every doc of the over-cap cell is kept (excluded from pair
+    // generation — fails open), still one output row each
+    assert(capped.size == 42)
+    bigCell.foreach { case (id, _) =>
+      assert(capped(id), s"over-cap cell doc $id was dropped") }
+    // the small cell still dedups: 100 is the cluster-core copy (cos = 1
+    // to its centroid), 101 the outlier — outlier survives, core drops
+    assert(capped(101L) && !capped(100L),
+      s"under-cap cell lost its dedup: $capped")
+    // uncapped, the degenerate cell pairs quadratically and all but the
+    // minimal element drop — the guard is what kept them
+    val uncapped = Dedup.semanticDedup(emb, "vec_id", "embedding", centroids,
+        minCos = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(bigCell.count { case (id, _) => uncapped(id) } == 1)
+  }
 }
