@@ -458,6 +458,16 @@ object QueriesLLM {
           "vec_id", "embedding", centroids, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     },
+    // ---- IVF retrieval on FULL-corpus-refined centroids: the distributed
+    // fixed-point Lloyd pass (q92's ivfCellMeans) feeding retrieval — the
+    // 100 TB index-build rung, vs q83's 2048-row driver-sample refinement ----
+    "q95_ivf_topk_full" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroidsRefinedFull(e, "vec_id", "embedding", 8)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", centroids, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // ---- ANN: seeded-Gaussian LSH buckets + capped join + exact rerank —
     // the production ANN shape (q36 with the production hash family) ----
     "q51_ann_gaussian" -> { (s, dir) =>
@@ -617,6 +627,87 @@ object QueriesLLM {
                          x -> CAST(CAST(x / s.n AS REAL) AS DOUBLE)) END
                AS embedding
            FROM seeds c LEFT JOIN sums s USING (i))"""
+
+  /** FULL-corpus-refined IVF centroids (k=8): same md5-ordered seeds as
+    * [[RefinedCentCte]], but the Lloyd pass runs over EVERY corpus vector
+    * with fixed-point per-dim sums (floor(x·2²⁴+0.5) as BIGINT — the q92
+    * arithmetic, deterministic under any partitioning), means rounded
+    * through REAL exactly like ivfCentroidsRefinedFull's collect-to-Float.
+    * Empty cells keep their seed. */
+  private val FullRefinedCentCte =
+    """fseeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+               CAST(vec_id AS VARCHAR)) - 1 AS INT) AS i,
+             CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 8),
+         fasg AS (
+           SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, s.i AS cell
+           FROM embeddings e CROSS JOIN fseeds s
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.emb) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(s.emb, s.emb))) DESC, s.i DESC) = 1),
+         fdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         fqx AS (
+           SELECT a.cell, d.dim,
+             CAST(floor(a.emb[d.dim + 1] * 16777216.0 + 0.5) AS BIGINT) AS q
+           FROM fasg a CROSS JOIN fdims d),
+         fdm AS (
+           SELECT cell, dim,
+             CAST(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
+               / 16777216.0 AS REAL) AS mr
+           FROM fqx GROUP BY 1, 2),
+         fmeans AS (
+           SELECT cell, list(CAST(mr AS DOUBLE) ORDER BY dim) AS emb
+           FROM fdm GROUP BY cell),
+         cent AS (
+           SELECT s.i, coalesce(f.emb, s.emb) AS embedding
+           FROM fseeds s LEFT JOIN fmeans f ON f.cell = s.i)"""
+
+  /** IVF retrieval body shared by q83 (driver-sample-refined centroids)
+    * and q95 (full-corpus fixed-point centroids): reads whichever `cent`
+    * CTE precedes it — 2-of-8 cell probe per query (probe tie-break
+    * cos DESC, i DESC), exact cosine rerank, (cos DESC, neighbor ASC)
+    * top-5 — mirrors Similarity.ivfTopK. */
+  private val IvfRetrievalSql =
+    """cscored AS (
+           SELECT e.vec_id, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.embedding, c.embedding)))
+               AS cos
+           FROM embeddings e CROSS JOIN cent c),
+         assigned AS (
+           SELECT vec_id, i AS bucket FROM cscored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) = 1),
+         probes AS (
+           SELECT vec_id AS query_id, i AS bucket FROM cscored
+           WHERE vec_id % 100 = 0
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) <= 2),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM probes p JOIN assigned a USING (bucket)
+           WHERE a.vec_id <> p.query_id),
+         rescored AS (
+           SELECT c.query_id, c.neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+               AS cos
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INT) AS rank, cos
+         FROM rescored
+         QUALIFY rank <= 5
+         ORDER BY query_id, rank"""
 
   /** PQ codes over per-subspace Lloyd-refined codebooks (m=8 subspaces of
     * 8 dims, k centroids): the shared sample is sliced per subspace, each
@@ -1735,40 +1826,11 @@ object QueriesLLM {
     // Similarity.ivfTopK including the probe tie-break (cos DESC, i DESC).
     "q83_ivf_topk" ->
       s"""WITH $RefinedCentCte,
-         cscored AS (
-           SELECT e.vec_id, c.i,
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
-               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(c.embedding, c.embedding)))
-               AS cos
-           FROM embeddings e CROSS JOIN cent c),
-         assigned AS (
-           SELECT vec_id, i AS bucket FROM cscored
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-             ORDER BY cos DESC, i DESC) = 1),
-         probes AS (
-           SELECT vec_id AS query_id, i AS bucket FROM cscored
-           WHERE vec_id % 100 = 0
-           QUALIFY row_number() OVER (PARTITION BY vec_id
-             ORDER BY cos DESC, i DESC) <= 2),
-         cand AS (
-           SELECT p.query_id, a.vec_id AS neighbor_id
-           FROM probes p JOIN assigned a USING (bucket)
-           WHERE a.vec_id <> p.query_id),
-         rescored AS (
-           SELECT c.query_id, c.neighbor_id,
-             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
-               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
-               AS cos
-           FROM cand c
-           JOIN embeddings q ON q.vec_id = c.query_id
-           JOIN embeddings n ON n.vec_id = c.neighbor_id)
-         SELECT query_id, neighbor_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, neighbor_id) AS INT) AS rank, cos
-         FROM rescored
-         QUALIFY rank <= 5
-         ORDER BY query_id, rank"""
+         $IvfRetrievalSql""",
+    // Same retrieval over the FULL-corpus fixed-point Lloyd centroids
+    // (q92's arithmetic feeding the index) — mirrors ivfCentroidsRefinedFull.
+    "q95_ivf_topk_full" ->
+      s"""WITH $FullRefinedCentCte,
+         $IvfRetrievalSql"""
   )
 }

@@ -65,6 +65,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ivfTopK on full-corpus Lloyd centroids: recall >= sampled-centroid floor") {
+    val queries = clustered.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(
+        queries, clustered, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(cents: Seq[(Int, Seq[Float])]): Double = {
+      val got = Similarity.ivfTopK(
+          queries, clustered, "vec_id", "embedding", cents, k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    // the distributed fixed-point Lloyd pass (every corpus vector, q92's
+    // arithmetic) must not lose to the 2048-row driver-sample refinement
+    // — here the sample IS the corpus, so the floors coincide and the
+    // full pass must reproduce them (deterministic inputs)
+    val sampled = recallWith(
+      Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5))
+    val full = recallWith(
+      Similarity.ivfCentroidsRefinedFull(clustered, "vec_id", "embedding", 5))
+    assert(full >= sampled, s"full-corpus recall $full < sampled $sampled")
+    assert(full >= 0.8, s"full-corpus Lloyd retrieval recall too low: $full")
+  }
+
   test("ivfTopKStored: a persisted bucket column round-trips the retrieval") {
     // the incremental-index path: bucket computed at WRITE time, stored
     // through PartStore, retrieval probes the stored column — identical
