@@ -842,10 +842,53 @@ object Main {
       val written = QuickStart.write(dir, name)
       println(s"""{"skeleton":"$dir","instance":"$name","files":${written.length}}""")
 
+    // `minerva structure load` (commands/structure.py:24-32 — a stub in
+    // the reference; graft's contract: apply a dumped structure document
+    // to a store base, idempotently). Trend-store parts reconcile through
+    // TrendMigration.changePart (fresh sidecar when absent, add/alter/
+    // remove when present — non-upward type changes need --force);
+    // attribute stores create their typed sidecar when absent (an
+    // existing store's union-merged sidecar is never overwritten);
+    // notification stores re-persist their typed declaration (the
+    // declaration IS the structure, so an edited dump applies).
+    case "structure" :: "load" :: dumpFile :: base :: rest =>
+      val force = rest == List("--force")
+      if (!force && rest.nonEmpty)
+        sys.error(s"unexpected arguments: ${rest.mkString(" ")}")
+      val s = spark()
+      val inst = InstanceModel.parseStructure(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(dumpFile)))
+      val ps = new PartStore(s, PartStoreConfig(s"$base/trend", 86400))
+      val trendParts = inst.trendStores.flatMap(_.parts).map { p =>
+        val r = graft.storage.TrendMigration.changePart(ps, p, force)
+        s"""{"name":${js(p.name)},"added":${jarr(r.added.map(js))},""" +
+          s""""removed":${jarr(r.removed.map(js))},""" +
+          s""""changed":${jarr(r.changed.map(js))}}"""
+      }
+      val attrs = inst.attributeStores.map { ad =>
+        val path = s"$base/attribute/${ad.dataSource}_${ad.entityType}"
+        val created = graft.storage.AttributeStore.create(s, path, ad.attributes)
+        s"""{"store":${js(s"${ad.dataSource}_${ad.entityType}")},"created":$created}"""
+      }
+      val notifs = inst.notificationStores.map { nd =>
+        val name = if (nd.name.nonEmpty) nd.name else nd.dataSource
+        graft.storage.NotificationStore.create(
+          s"$base/notification/$name", nd.attributes,
+          s.sparkContext.hadoopConfiguration)
+        s"""{"store":${js(name)},"attributes":${nd.attributes.length}}"""
+      }
+      println(
+        s"""{"trend_store_parts":${jarr(trendParts)},""" +
+          s""""attribute_stores":${jarr(attrs)},""" +
+          s""""notification_stores":${jarr(notifs)}}""")
+
     // `minerva structure dump` (commands/structure.py — a stub in the
     // reference; graft dumps the loaded catalog as one JSON document):
     // stores/parts/trends plus the other definition kinds of the bundle.
-    case "structure" :: instanceDir :: Nil =>
+    // `structure <dir>` without a verb stays a dump (pre-load spelling).
+    case "structure" :: verbOrDir :: dirOrNil
+        if dirOrNil.isEmpty || (verbOrDir == "dump" && dirOrNil.length == 1) =>
+      val instanceDir = if (verbOrDir == "dump") dirOrNil.head else verbOrDir
       val inst = InstanceModel.loadInstance(instanceDir)
       val trendStores = inst.trendStores.map { st =>
         s"""{"title":${js(st.title)},"data_source":${js(st.dataSource)},""" +
@@ -859,9 +902,13 @@ object Main {
         s"""{"data_source":${js(a.dataSource)},"entity_type":${js(a.entityType)},""" +
           s""""attributes":${jarr(a.attributes.map(x =>
             s"""{"name":${js(x.name)},"data_type":${js(x.dataType.name)}}"""))}}""")
+      // attributes are typed in the dump — `structure load` re-creates the
+      // store's declaration from them, so names alone would lose fidelity
       val notifStores = inst.notificationStores.map(n =>
         s"""{"name":${js(n.name)},"data_source":${js(n.dataSource)},""" +
-          s""""attributes":${jarr(n.attributes.map(x => js(x.name)))}}""")
+          s""""entity_type":${js(n.entityType)},""" +
+          s""""attributes":${jarr(n.attributes.map(x =>
+            s"""{"name":${js(x.name)},"data_type":${js(x.dataType.name)}}"""))}}""")
       println(
         s"""{"trend_stores":${jarr(trendStores)},""" +
           s""""attribute_stores":${jarr(attrStores)},""" +
@@ -1357,7 +1404,8 @@ object Main {
            |  attribute-store list <storeBase>
            |  attribute-store materialize-curr-ptr <storeBase> [name] [--incremental]
            |  quick-start <dir> [--instance-name <name>]
-           |  structure <instanceDir>
+           |  structure [dump] <instanceDir>
+           |  structure load <dumpFile> <storeBase> [--force]
            |  generate-sample-data <instanceDir> <name> <outDir> [--interval-count=N] [--now=sec]
            |  entity-type create|delete|list <storeBase> [name]
            |  data-source create|delete|list <storeBase> [name]

@@ -261,8 +261,10 @@ object InstanceModel {
     entityAggregation = str(m, "entity_aggregation", "sum").toLowerCase
   )
 
-  def parseTrendStore(yamlText: String): TrendStore = {
-    val m = yamlMap(yamlText)
+  def parseTrendStore(yamlText: String): TrendStore =
+    trendStoreFromMap(yamlMap(yamlText))
+
+  private def trendStoreFromMap(m: Map[String, Any]): TrendStore = {
     TrendStore(
       title = str(m, "title"),
       dataSource = str(m, "data_source"),
@@ -516,6 +518,42 @@ object InstanceModel {
       dataSource = str(m, "data_source"),
       entityType = str(m, "entity_type"),
       attributes = attributeDefs(m)
+    )
+  }
+
+  /** Parse a `structure dump` document back into store definitions — the
+    * apply side of the dump (reference `structure load`,
+    * commands/structure.py:24-32; the reference body is a stub, so the
+    * contract is graft's own dump format). The dump is JSON, which
+    * snakeyaml parses natively (YAML ⊇ JSON) — same loader as the
+    * definition files. Only the store-structure kinds round-trip with
+    * full fidelity (trend/attribute/notification stores carry their typed
+    * columns in the dump); relations/materializations/triggers appear in
+    * the dump as names only and load as empty. */
+  def parseStructure(text: String): Instance = {
+    val m = yamlMap(text)
+    Instance(
+      trendStores =
+        seqOfMaps(m.getOrElse("trend_stores", null)).map(trendStoreFromMap),
+      materializations = Seq.empty,
+      triggers = Seq.empty,
+      attributeStores =
+        seqOfMaps(m.getOrElse("attribute_stores", null)).map { am =>
+          AttributeStoreDef(
+            title = am.get("title").map(String.valueOf),
+            dataSource = str(am, "data_source"),
+            entityType = str(am, "entity_type"),
+            attributes = attributeDefs(am))
+        },
+      notificationStores =
+        seqOfMaps(m.getOrElse("notification_stores", null)).map { nm =>
+          NotificationStoreDef(
+            title = nm.get("title").map(String.valueOf),
+            dataSource = str(nm, "data_source"),
+            entityType = str(nm, "entity_type"),
+            attributes = attributeDefs(nm),
+            name = str(nm, "name"))
+        }
     )
   }
 

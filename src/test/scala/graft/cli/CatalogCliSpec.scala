@@ -96,6 +96,48 @@ class CatalogCliSpec extends SparkSpec {
     }
   }
 
+  test("structure dump -> edit -> load round-trips; re-load is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_struct_").toString
+    val sbase = java.nio.file.Files.createTempDirectory("graft_struct_base_").toString
+    run("quick-start", dir, "--instance-name", "campus")
+    // dump the instance structure (both spellings emit the same document)
+    val dumped = run("structure", "dump", dir)
+    assert(dumped == run("structure", dir))
+    assert(dumped.contains("\"campus_router_main_15m\""))
+    // edit: a new trend column on the 15m part
+    val edited = dumped.replace(
+      """{"name":"tx_mb","data_type":"double precision"}""",
+      """{"name":"tx_mb","data_type":"double precision"},{"name":"errors","data_type":"bigint"}""")
+    assert(edited != dumped, "edit did not apply — fixture drifted")
+    val dumpFile = java.nio.file.Paths.get(dir, "structure.json")
+    java.nio.file.Files.writeString(dumpFile, edited)
+    // load onto an empty base: every part's sidecar is created with the
+    // edited column present
+    val loaded = run("structure", "load", dumpFile.toString, sbase)
+    assert(loaded.contains("\"errors\""), loaded)
+    val ps = new graft.storage.PartStore(
+      spark, graft.storage.PartStoreConfig(s"$sbase/trend", 86400))
+    val cols = ps.sidecarSchema("campus_router_main_15m").get.fieldNames.toSeq
+    assert(cols.contains("errors") && cols.contains("rx_mb") &&
+      cols.contains("tx_mb"), cols)
+    // list (physical catalog) shows the loaded parts
+    val listed = run("trend-store", "list", s"$sbase/trend")
+    assert(listed.contains("campus_router_main_15m"), listed)
+    // attribute + notification stores came along with their declarations
+    assert(graft.storage.AttributeStore.create(
+      spark, s"$sbase/attribute/inventory_router", Seq.empty) == false,
+      "attribute store sidecar missing after load")
+    assert(new java.io.File(s"$sbase/notification").list().nonEmpty)
+    // idempotent re-load: nothing added/removed/changed the second time
+    val again = run("structure", "load", dumpFile.toString, sbase)
+    assert(!again.replaceAll("\"added\":\\[\\]", "").contains("\"added\""),
+      s"re-load was not a no-op: $again")
+    // and the loaded base dumps... via trend-store show round-trip: the
+    // edited column is visible to the catalog commands
+    val showOut = run("trend-store", "list", s"$sbase/trend")
+    assert(showOut.contains("campus_router_main_15m"), showOut)
+  }
+
   test("aggregation-generate writes and compiles the standard ladder") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gen_").toString
     val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
