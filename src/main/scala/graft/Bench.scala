@@ -43,7 +43,12 @@ object Bench {
       }
     // two measured repetitions, min per query: local[32] scheduling noise
     // swings individual queries ±30%; min-of-2 reports steady-state cost.
-    // Either repetition failing marks the query failed.
+    // When the two timings disagree by >2× the query gets ONE extra
+    // repetition — two driver rounds in a row showed 3-5× contended
+    // phantoms (r6: q55-q57, r7: q35-q42) that a fresh run erased, and a
+    // >2× spread is exactly that signature; the rerun is bounded (only
+    // disagreeing queries pay it) and the min over 3 kills the phantom.
+    // Any repetition failing marks the query failed.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -55,8 +60,15 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
+    var reruns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = (timeOnce(fn), timeOnce(fn)) match {
+        case (Right(a), Right(b)) if math.max(a, b) > 2 * math.min(a, b) =>
+          reruns += 1
+          timeOnce(fn) match {
+            case Right(c) => Right(math.min(math.min(a, b), c))
+            case Left(e)  => Left(e)
+          }
         case (Right(a), Right(b)) => Right(math.min(a, b))
         case (Left(e), _)         => Left(e)
         case (_, Left(e))         => Left(e)
@@ -72,7 +84,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$reruns,"sf":"$sfDir"}"""
     println(line)
     // also persist the line to disk: the driver captures stdout with a
     // bounded tail window that has truncated long runs (BENCH_r06 lost
