@@ -667,8 +667,7 @@ object Main {
       }
 
     case kind :: action :: base :: rest if kind == "data-source" || kind == "alias" =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark().sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(spark(), base)
       val dir = s"$base/_catalog/${kind.replace('-', '_')}"
       def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
       def name: String = rest.headOption.getOrElse {
@@ -715,16 +714,14 @@ object Main {
 
     case "attribute-store" :: "delete" :: base :: name :: Nil =>
       val s = spark()
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(s, base)
       val deleted = fs.delete(
         new org.apache.hadoop.fs.Path(s"$base/attribute/$name"), true)
       println(s"""{"attribute_store":${js(name)},"deleted":$deleted}""")
 
     case "attribute-store" :: "list" :: base :: Nil =>
       val s = spark()
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(s, base)
       val p = new org.apache.hadoop.fs.Path(s"$base/attribute")
       val names =
         if (!fs.exists(p)) Seq.empty
@@ -753,8 +750,7 @@ object Main {
     case "attribute-store" :: "materialize-curr-ptr" :: base :: rest =>
       val s = spark()
       val flags = rest.filter(_.startsWith("--")).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(s, base)
       val names = rest.filterNot(_.startsWith("--")) match {
         case Nil =>
           val p = new org.apache.hadoop.fs.Path(s"$base/attribute")
@@ -791,8 +787,7 @@ object Main {
     // `minerva notification-store delete` (commands/notification_store.py:
     // 88-115): drop the store wholesale — declaration + rows.
     case "notification-store" :: "delete" :: base :: name :: Nil =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark().sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(spark(), base)
       val deleted = fs.delete(
         new org.apache.hadoop.fs.Path(s"$base/notification/$name"), true)
       println(s"""{"notification_store":${js(name)},"deleted":$deleted}""")
@@ -1099,8 +1094,7 @@ object Main {
 
     case "relation" :: "list" :: base :: Nil =>
       val s = spark()
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(s, base)
       val p = new org.apache.hadoop.fs.Path(s"$base/relation")
       val names =
         if (!fs.exists(p)) Seq.empty
@@ -1143,8 +1137,7 @@ object Main {
           .find(p => InstanceModel.parseRelation(
             java.nio.file.Files.readString(p)).name == name)
       val existed = matched.exists(java.nio.file.Files.deleteIfExists(_))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark().sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(spark(), base)
       val droppedEdges = fs.delete(
         new org.apache.hadoop.fs.Path(s"$base/relation/$name"), true)
       println(s"""{"relation":${js(name)},"removed":$existed,""" +

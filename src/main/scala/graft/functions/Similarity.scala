@@ -662,8 +662,7 @@ object Similarity {
   def saveCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Seq[Float])]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.core.HadoopFs.forPath(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(centroids.map { case (i, v) =>
       s"$i\t${v.mkString(",")}"
@@ -675,8 +674,7 @@ object Similarity {
   def loadCentroids(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Int, Seq[Float])] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.core.HadoopFs.forPath(spark, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val text =
       try new String(in.readAllBytes(), "UTF-8")
@@ -693,8 +691,7 @@ object Similarity {
   def savePqCodebooks(
       spark: org.apache.spark.sql.SparkSession, path: String,
       codebooks: Seq[Seq[(Int, Seq[Float])]]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.core.HadoopFs.forPath(spark, path)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     try out.write(codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.map { case (code, v) => s"$j\t$code\t${v.mkString(",")}" }
@@ -706,8 +703,7 @@ object Similarity {
   def loadPqCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[(Int, Seq[Float])]] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.core.HadoopFs.forPath(spark, path)
     val in = fs.open(new org.apache.hadoop.fs.Path(path))
     val text =
       try new String(in.readAllBytes(), "UTF-8")

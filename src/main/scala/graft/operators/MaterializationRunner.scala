@@ -61,7 +61,7 @@ class MaterializationRunner(spark: SparkSession, parts: PartStore, statePath: St
         .unionByName(processed)
       val tmp = s"$statePath/${spec.target}__tmp"
       merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val fs = graft.core.HadoopFs.forPath(spark, statePath)
       val dst = new org.apache.hadoop.fs.Path(s"$statePath/${spec.target}")
       fs.delete(dst, true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

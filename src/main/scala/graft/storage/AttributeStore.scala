@@ -29,8 +29,7 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
 
   private def historyPath = s"$basePath/history"
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  private def fs = graft.core.HadoopFs.forPath(spark, basePath)
 
   def history: Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(historyPath)
@@ -247,8 +246,7 @@ object AttributeStore {
       basePath: String,
       attributes: Seq[graft.model.AttributeDef]): Boolean = {
     import org.apache.spark.sql.types._
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.core.HadoopFs.forPath(spark, basePath)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/history"))) false
     else {
       val fields = Seq(

@@ -21,8 +21,7 @@ import graft.operators.EntityResolution
   */
 class EntityDirectory(spark: SparkSession, basePath: String) {
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  private def fs = graft.core.HadoopFs.forPath(spark, basePath)
 
   private def path(entityType: String) =
     new org.apache.hadoop.fs.Path(s"$basePath/$entityType")

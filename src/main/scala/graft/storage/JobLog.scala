@@ -19,8 +19,7 @@ import org.apache.spark.sql.functions._
 class JobLog(spark: SparkSession, basePath: String) {
   private val logPath = s"$basePath/_job_log"
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  private def fs = graft.core.HadoopFs.forPath(spark, logPath)
   private def exists = fs.exists(new org.apache.hadoop.fs.Path(logPath))
 
   private def raw: Option[DataFrame] =

@@ -30,8 +30,7 @@ class NotificationStore(
     spark: SparkSession, basePath: String,
     attributes: Seq[AttributeDef] = Seq.empty) {
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  private def fs = graft.core.HadoopFs.forPath(spark, basePath)
 
   /** Effective typed declaration: explicit attributes win; otherwise the
     * persisted `_attributes.json` written at store creation (the
@@ -157,7 +156,7 @@ object NotificationStore {
   def create(basePath: String, attrs: Seq[AttributeDef],
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit =
-    writeDeclaration(FileSystem.get(conf), basePath, attrs)
+    writeDeclaration(graft.core.HadoopFs.forPath(conf, basePath), basePath, attrs)
 
   private[storage] def writeDeclaration(
       fs: FileSystem, basePath: String, attrs: Seq[AttributeDef]): Unit = {

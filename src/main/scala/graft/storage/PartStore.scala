@@ -49,8 +49,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       (col("timestamp") - pmod(col("timestamp"), lit(partitionSizeSeconds)))
         .divide(partitionSizeSeconds).cast("long"))
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  private def fs = graft.core.HadoopFs.forPath(spark, basePath)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Crash recovery: a `.pindex_old_<i>` aside dir with NO live
@@ -377,6 +376,10 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
 
   private val ModifiedLog = "_modified_log"
 
+  /** Test seam: runs between the compaction's staged fold and the
+    * live→aside swap — the window where a concurrent markModified lands. */
+  private[storage] var compactInterleaveHook: () => Unit = () => ()
+
   /** The modified log, crash-recovered first (a compaction interrupted
     * between its two swap renames leaves the pre-compaction log in the
     * `.{name}_old` aside — same discipline as part rewrites). */
@@ -403,12 +406,22 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   def compactModifiedLog(): Long = readModifiedLog() match {
     case None => 0L
     case Some(log) =>
+      val live = hp(s"$basePath/$ModifiedLog")
+      // Snapshot the live dir's file names BEFORE the fold reads it: a
+      // concurrent markModified can append between the fold and the
+      // live→aside rename, and those appends would otherwise ride into
+      // the aside and be deleted with it (lost staleness state). Any
+      // aside file not in this snapshot is folded back into the swapped-in
+      // log below; the fold is max-per-key, so preserving a file the fold
+      // may have partially seen only re-introduces rows a later compaction
+      // dedups — never loses one.
+      val preFold = fs.listStatus(live).map(_.getPath.getName).toSet
       val staged = s"$basePath/${ModifiedLog}__compact"
       log.groupBy(col("part"), col("timestamp"))
         .agg(max(col("modified")).as("modified"))
         .write.mode(SaveMode.Overwrite).parquet(staged)
       val n = spark.read.parquet(staged).count()
-      val live = hp(s"$basePath/$ModifiedLog")
+      compactInterleaveHook()
       val aside = hp(s"$basePath/.${ModifiedLog}_old")
       if (fs.exists(aside)) fs.delete(aside, true)
       if (!fs.rename(live, aside))
@@ -416,6 +429,12 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       if (!fs.rename(hp(staged), live)) {
         fs.rename(aside, live) // roll back
         throw new java.io.IOException(s"failed to swap in $staged")
+      }
+      fs.listStatus(aside).foreach { st =>
+        val name = st.getPath.getName
+        val isData = !name.startsWith("_") && !name.startsWith(".")
+        if (isData && !preFold.contains(name))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(live, name))
       }
       fs.delete(aside, true)
       n

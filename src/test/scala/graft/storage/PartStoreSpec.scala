@@ -270,4 +270,24 @@ class PartStoreSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(s"$base/._modified_log_old")))
     assert(ps.readModifiedLog().get.count() == 2)
   }
+
+  test("compaction preserves a markModified interleaved between stage and swap") {
+    val ps = freshStore("mlog_race")
+    val b = Seq((1L, 1000L, 1.0, 1L), (2L, 90000L, 2.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified")
+    ps.markModified("p", b, nowSec = 10L)
+    // a concurrent load appends ts 180000 AFTER the fold staged but BEFORE
+    // the live→aside swap — the lost-update window: without the fold-back,
+    // the append rides into the aside and is deleted with it
+    val late = Seq((3L, 180000L, 3.0, 1L))
+      .toDF("entity_id", "timestamp", "power", "modified")
+    ps.compactInterleaveHook = () => ps.markModified("p", late, nowSec = 30L)
+    ps.compactModifiedLog()
+    ps.compactInterleaveHook = () => ()
+    val after = ps.readModifiedLog().get.collect()
+      .map(r => r.getAs[Long]("timestamp") -> r.getAs[Long]("modified")).toMap
+    assert(after == Map(1000L -> 10L, 90000L -> 10L, 180000L -> 30L))
+    // a later compaction folds the preserved append in cleanly
+    assert(ps.compactModifiedLog() == 3L)
+  }
 }
