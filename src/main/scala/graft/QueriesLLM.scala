@@ -310,17 +310,27 @@ object QueriesLLM {
     },
     // ---- end-to-end curation pipeline: exact dedup → quality floor →
     // per-source cap → deterministic split, composed from the primitives
-    // exactly as a real corpus build chains them ----
+    // exactly as a real corpus build chains them. The cap runs on the
+    // q94-style 50/30/15/5 hash-derived source so it fires ASYMMETRICALLY
+    // (big sources hit the cap, small ones keep everything) — a cap over
+    // the near-uniform real `source` drops symmetric counts and the gate
+    // can't tell a per-key cap from a global sample ----
     "q91_curation_pipeline" -> { (s, dir) =>
       val d = docs(s, dir)
       val keepers = Dedup.exact(d, "doc_id", "text")
         .select(col("keeper").as("doc_id"))
       val deduped = d.join(keepers, Seq("doc_id"), "left_semi")
       val filtered = deduped.filter(col("n_chars") >= 50)
-      val capped = TextAnalysis.capPerKey(filtered, "source", "doc_id", 20)
+      val hv = conv(substring(md5(concat(lit("skew:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+      val skewed = filtered.withColumn("skew_source",
+        when(hv < 500000L, "s0").when(hv < 800000L, "s1")
+          .when(hv < 950000L, "s2").otherwise("s3"))
+      val capped = TextAnalysis.capPerKey(skewed, "skew_source", "doc_id", 100)
       TextAnalysis.hashSplit(capped, "doc_id",
           Seq("train" -> 0.8, "val" -> 0.2))
-        .select("doc_id", "source", "split")
+        .select("doc_id", "source", "skew_source", "split")
         .orderBy("doc_id")
     },
     // ---- per-source length-distribution cutoffs (filter thresholds) ----
@@ -466,6 +476,39 @@ object QueriesLLM {
       val centroids = Similarity.ivfCentroidsRefinedFull(e, "vec_id", "embedding", 8)
       Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
           "vec_id", "embedding", centroids, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
+    // ---- incremental IVF index, end to end: the codebook is trained
+    // once and PERSISTED as a sidecar; each ingest batch computes its own
+    // bucket column at write time with the LOADED codebook; retrieval
+    // probes the stored column across every batch written so far. The
+    // oracle is q83's FRESH single-pass retrieval — identical results
+    // certify write-time bucketing == whole-corpus reassignment, the
+    // property that makes the index appendable at 100 TB (new data never
+    // forces re-indexing old data) ----
+    "q96_ivf_incremental" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val work = java.nio.file.Files.createTempDirectory("graft_q96_").toString
+      Similarity.saveCentroids(s, s"$work/centroids", centroids)
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 86400))
+      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val cb = Similarity.loadCentroids(s, s"$work/centroids")
+        ps.store("emb", batch.select(
+          col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+          col("embedding"),
+          Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
+          lit(1L).as("modified")))
+      }
+      val hv = conv(substring(md5(concat(lit("batch:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      writeBatch(e.filter(hv === 0L))
+      writeBatch(e.filter(hv === 1L)) // corpus grows; first batch untouched
+      val stored = ps.readPart("emb").get.select(
+        col("entity_id").as("vec_id"), col("embedding"), col("bucket"))
+      Similarity.ivfTopKStored(e.filter(col("vec_id") % 100 === 0), stored,
+          "vec_id", "embedding", "bucket", centroids, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     },
     // ---- ANN: seeded-Gaussian LSH buckets + capped join + exact rerank —
@@ -1047,22 +1090,30 @@ object QueriesLLM {
            quantile_cont(n_chars, 0.99) AS p99
          FROM documents GROUP BY 1 ORDER BY source""",
     "q91_curation_pipeline" -> {
+      val skewLadder = md5Ladder32("'skew:' || CAST(doc_id AS VARCHAR)")
       val capLadder = md5Ladder52("'cap:' || CAST(doc_id AS VARCHAR)")
       val splitLadder = md5Ladder32("'split:' || CAST(doc_id AS VARCHAR)")
       s"""WITH keepers AS (
            SELECT min(doc_id) AS doc_id
            FROM documents GROUP BY md5(lower(trim(text)))),
          flt AS (
-           SELECT d.doc_id, d.source
-           FROM documents d JOIN keepers USING (doc_id)
+           SELECT d.doc_id, d.source,
+             CASE WHEN d.shv < 500000 THEN 's0' WHEN d.shv < 800000 THEN 's1'
+                  WHEN d.shv < 950000 THEN 's2' ELSE 's3' END AS skew_source
+           FROM (
+             SELECT doc_id, source, n_chars,
+               CAST(($skewLadder) % 1000000 AS BIGINT) AS shv
+             FROM documents) d
+           JOIN keepers USING (doc_id)
            WHERE d.n_chars >= 50),
          capped AS (
-           SELECT doc_id, source FROM (
-             SELECT doc_id, source, CAST($capLadder AS BIGINT) AS hv
+           SELECT doc_id, source, skew_source FROM (
+             SELECT doc_id, source, skew_source,
+               CAST($capLadder AS BIGINT) AS hv
              FROM flt)
-           QUALIFY row_number() OVER (PARTITION BY source
-             ORDER BY hv, doc_id) <= 20)
-         SELECT doc_id, source,
+           QUALIFY row_number() OVER (PARTITION BY skew_source
+             ORDER BY hv, doc_id) <= 100)
+         SELECT doc_id, source, skew_source,
            CASE WHEN CAST(($splitLadder) % 1000000 AS DOUBLE) < 800000.0
              THEN 'train' ELSE 'val' END AS split
          FROM capped ORDER BY doc_id"""
@@ -1831,6 +1882,12 @@ object QueriesLLM {
     // (q92's arithmetic feeding the index) — mirrors ivfCentroidsRefinedFull.
     "q95_ivf_topk_full" ->
       s"""WITH $FullRefinedCentCte,
+         $IvfRetrievalSql""",
+    // Incremental index (q96) retrieves IDENTICALLY to a fresh single-pass
+    // build: sidecar round-trip is bit-exact and write-time buckets equal
+    // whole-corpus reassignment, so the oracle IS q83's retrieval.
+    "q96_ivf_incremental" ->
+      s"""WITH $RefinedCentCte,
          $IvfRetrievalSql"""
   )
 }

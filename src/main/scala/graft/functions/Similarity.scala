@@ -303,6 +303,8 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
       scaleBits: Int = 24): Seq[(Int, Seq[Float])] = {
     val seeds = ivfCentroids(vectors, idCol, vecCol, k)
+    require(seeds.nonEmpty,
+      s"ivfCentroidsRefinedFull: empty corpus — no vectors in '$vecCol' to seed $k centroids from")
     val dims = seeds.head._2.length
     val means = ivfCellMeans(vectors, vecCol, seeds, scaleBits)
       .collect()
@@ -556,11 +558,20 @@ object Similarity {
     * rows re-aggregated by (query, vec) in fixed subspace order, and only
     * the ADC top-`shortlist` survivors pay the exact-cosine join against
     * full vectors. Returns (query_id, neighbor_id, rank, cos) — exact
-    * cosines, ADC-selected candidates. */
+    * cosines, ADC-selected candidates.
+    *
+    * Broadcast bound: the distance table carries |queries|·m·k rows
+    * (2048 per query at the canonical m=8, k=256), so the broadcast path
+    * is sized for interactive query sets — ~10⁴ queries ≈ 20M small rows
+    * against the default 8 GB broadcast ceiling. For a batch query set
+    * beyond that (e.g. all-corpus self-retrieval), pass
+    * `broadcastDistanceTable = false`: the candidate join shuffles on
+    * (j, code) instead — same rows, exchange cost instead of a broadcast
+    * that would exceed the limit. */
   def adcTopK(
       queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
     requireIntegralId(codes, idCol, "adcTopK")
     val m = codebooks.length
     val kCodes = codebooks.head.length
@@ -570,7 +581,8 @@ object Similarity {
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         j => pmod(floor(col("pq_code") / pow(lit(kCodes), j.cast("double"))).cast("long"),
           lit(kCodes)).cast("int"))).as(Seq("j", "code")))
-    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k, shortlist)
+    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k,
+      shortlist, broadcastDistanceTable)
   }
 
   /** [[adcTopK]] over `array<smallint>` codes ([[pqCodeArray]]): identical
@@ -580,20 +592,21 @@ object Similarity {
   def adcTopKArray(
       queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
     requireIntegralId(codes, idCol, "adcTopKArray")
     val unpacked = codes.select(col(idCol).as("neighbor_id"),
         posexplode(col("pq_code")).as(Seq("j", "code")))
       .select(col("neighbor_id"), col("j").cast("int").as("j"),
         col("code").cast("int").as("code"))
-    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k, shortlist)
+    adcTopKUnpacked(queries, unpacked, corpus, idCol, vecCol, codebooks, k,
+      shortlist, broadcastDistanceTable)
   }
 
   private def adcTopKUnpacked(
       queries: DataFrame, unpacked: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
     val sub = codebooks.head.head._2.length
     // per-query distance table: (j, code) → dot(q_j, c_{j,code}) and the
     // centroid's ‖c‖², via a broadcast cross join against the m·k-row
@@ -623,7 +636,11 @@ object Similarity {
         col("cn2"))
     // fixed j-order fold for the estimated score: deterministic like every
     // other float reduction in this module
-    val est = unpacked.join(broadcast(q), Seq("j", "code"))
+    // |queries|·m·k distance-table rows: broadcast for interactive query
+    // sets, shuffle on (j, code) when the caller knows the set is too
+    // large for the broadcast ceiling (see adcTopK scaladoc)
+    val qMaybeBcast = if (broadcastDistanceTable) broadcast(q) else q
+    val est = unpacked.join(qMaybeBcast, Seq("j", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("qn")).as("qn"),
         array_sort(collect_list(struct(col("j"), col("qdot"), col("cn2")))).as("__a"))
