@@ -882,15 +882,32 @@ object Main {
     // stores/parts/trends plus the other definition kinds of the bundle.
     // `structure <dir>` without a verb stays a dump (pre-load spelling).
     case "structure" :: verbOrDir :: dirOrNil
-        if dirOrNil.isEmpty || (verbOrDir == "dump" && dirOrNil.length == 1) =>
+        if (verbOrDir != "dump" && dirOrNil.isEmpty) ||
+          (verbOrDir == "dump" && dirOrNil.length == 1) =>
       val instanceDir = if (verbOrDir == "dump") dirOrNil.head else verbOrDir
       val inst = InstanceModel.loadInstance(instanceDir)
+      // every kind dumps its FULL definition so parseStructure round-trips
+      // the document without loss: stores carry typed columns + aggregation
+      // metadata, the other kinds their complete YAML-equivalent fields
+      def trendJson(t: graft.model.Trend): String =
+        s"""{"name":${js(t.name)},"data_type":${js(t.dataType.name)},""" +
+          s""""description":${js(t.description)},""" +
+          s""""time_aggregation":${js(t.timeAggregation)},""" +
+          s""""entity_aggregation":${js(t.entityAggregation)}}"""
+      def jscalar(v: Any): String = v match {
+        case null => "null"
+        case b: java.lang.Boolean => b.toString
+        case n: java.lang.Number => n.toString
+        case other => js(String.valueOf(other))
+      }
       val trendStores = inst.trendStores.map { st =>
         s"""{"title":${js(st.title)},"data_source":${js(st.dataSource)},""" +
           s""""entity_type":${js(st.entityType)},"granularity":${js(st.granularity.name)},""" +
           s""""partition_size":${js(st.partitionSize.name)},"parts":${jarr(st.parts.map { p =>
-            s"""{"name":${js(p.name)},"trends":${jarr(p.trends.map(t =>
-              s"""{"name":${js(t.name)},"data_type":${js(t.dataType.name)}}"""))}}"""
+            s"""{"name":${js(p.name)},"trends":${jarr(p.trends.map(trendJson))},""" +
+              s""""generated_trends":${jarr(p.generatedTrends.map(g =>
+                s"""{"name":${js(g.name)},"data_type":${js(g.dataType.name)},""" +
+                  s""""expression":${js(g.expression)}}"""))}}"""
           })}}"""
       }
       val attrStores = inst.attributeStores.map(a =>
@@ -904,15 +921,43 @@ object Main {
           s""""entity_type":${js(n.entityType)},""" +
           s""""attributes":${jarr(n.attributes.map(x =>
             s"""{"name":${js(x.name)},"data_type":${js(x.dataType.name)}}"""))}}""")
+      val relations = inst.relations.map(r =>
+        s"""{"name":${js(r.name)},"source_entity_type":${js(r.sourceEntityType)},""" +
+          s""""target_entity_type":${js(r.targetEntityType)},"query":${js(r.query)}}""")
+      val virtualEntities = inst.virtualEntities.map(v =>
+        s"""{"name":${js(v.name)},"sql":${js(v.sql)}}""")
+      val mats = inst.materializations.map(mz =>
+        s"""{"target_trend_store_part":${js(mz.targetTrendStorePart)},""" +
+          s""""enabled":${mz.enabled},""" +
+          s""""processing_delay":${js(mz.processingDelay)},""" +
+          s""""stability_delay":${js(mz.stabilityDelay)},""" +
+          s""""reprocessing_period":${js(mz.reprocessingPeriod)},""" +
+          s""""sources":${jarr(mz.sources.map(src =>
+            s"""{"trend_store_part":${js(src.trendStorePart)},""" +
+              s""""mapping_function":${js(src.mappingFunction)}}"""))}""" +
+          mz.view.map(v => s""","view":${js(v)}""").getOrElse("") + "}")
+      val triggers = inst.triggers.map { t =>
+        s"""{"name":${js(t.name)},""" +
+          s""""kpi_data":${jarr(t.kpiData.map(trendJson))},""" +
+          s""""thresholds":${jarr(t.thresholds.map(th =>
+            s"""{"name":${js(th.name)},"data_type":${js(th.dataType.name)},""" +
+              s""""value":${jscalar(th.value)}}"""))},""" +
+          s""""condition":${js(t.condition)},"weight":${js(t.weight)},""" +
+          s""""notification":${js(t.notification)},"data":${js(t.data)},""" +
+          s""""notification_store":${js(t.notificationStore)}""" +
+          t.granularity.map(g => s""","granularity":${js(g)}""").getOrElse("") +
+          s""","trend_store_links":${jarr(t.trendStoreLinks.map(l =>
+            s"""{"part_name":${js(l.partName)},""" +
+              s""""mapping_function":${js(l.mappingFunction)}}"""))}}"""
+      }
       println(
         s"""{"trend_stores":${jarr(trendStores)},""" +
           s""""attribute_stores":${jarr(attrStores)},""" +
           s""""notification_stores":${jarr(notifStores)},""" +
-          s""""relations":${jarr(inst.relations.map(r => js(r.name)))},""" +
-          s""""virtual_entities":${jarr(inst.virtualEntities.map(v => js(v.name)))},""" +
-          s""""materializations":${jarr(inst.materializations.map(m =>
-            js(m.targetTrendStorePart)))},""" +
-          s""""triggers":${jarr(inst.triggers.map(t => js(t.name)))}}""")
+          s""""relations":${jarr(relations)},""" +
+          s""""virtual_entities":${jarr(virtualEntities)},""" +
+          s""""materializations":${jarr(mats)},""" +
+          s""""triggers":${jarr(triggers)}}""")
 
     case "report" :: base :: part :: Nil =>
       val s = spark()

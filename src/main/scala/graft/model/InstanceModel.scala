@@ -284,8 +284,10 @@ object InstanceModel {
     )
   }
 
-  def parseMaterialization(yamlText: String): Materialization = {
-    val m = yamlMap(yamlText)
+  def parseMaterialization(yamlText: String): Materialization =
+    materializationFromMap(yamlMap(yamlText))
+
+  private def materializationFromMap(m: Map[String, Any]): Materialization = {
     Materialization(
       targetTrendStorePart = str(m, "target_trend_store_part"),
       enabled = m.get("enabled").forall(_ == true),
@@ -521,22 +523,41 @@ object InstanceModel {
     )
   }
 
-  /** Parse a `structure dump` document back into store definitions — the
-    * apply side of the dump (reference `structure load`,
+  /** Parse a `structure dump` document back into definitions — the apply
+    * side of the dump (reference `structure load`,
     * commands/structure.py:24-32; the reference body is a stub, so the
     * contract is graft's own dump format). The dump is JSON, which
     * snakeyaml parses natively (YAML ⊇ JSON) — same loader as the
-    * definition files. Only the store-structure kinds round-trip with
-    * full fidelity (trend/attribute/notification stores carry their typed
-    * columns in the dump); relations/materializations/triggers appear in
-    * the dump as names only and load as empty. */
+    * definition files. EVERY kind round-trips with full fidelity: the dump
+    * carries typed store columns (with aggregation metadata and generated
+    * trends) plus complete relation / virtual-entity / materialization /
+    * trigger definitions. Older name-only dumps still load (non-map list
+    * entries are skipped, yielding the empty definitions they carried). */
   def parseStructure(text: String): Instance = {
     val m = yamlMap(text)
+    // lenient list-of-maps: legacy dumps carried some kinds as bare name
+    // strings — skip those instead of failing the whole load
+    def maps(key: String): Seq[Map[String, Any]] = m.getOrElse(key, null) match {
+      case l: java.util.List[_] => l.asScala.toSeq.collect {
+        case e: java.util.Map[_, _] =>
+          e.asInstanceOf[java.util.Map[String, Any]].asScala.toMap
+      }
+      case _ => Seq.empty
+    }
     Instance(
       trendStores =
         seqOfMaps(m.getOrElse("trend_stores", null)).map(trendStoreFromMap),
-      materializations = Seq.empty,
-      triggers = Seq.empty,
+      materializations = maps("materializations").map(materializationFromMap),
+      triggers = maps("triggers").map(triggerFromMap),
+      relations = maps("relations").map { rm =>
+        RelationDef(
+          name = str(rm, "name"),
+          sourceEntityType = str(rm, "source_entity_type"),
+          targetEntityType = str(rm, "target_entity_type"),
+          query = str(rm, "query"))
+      },
+      virtualEntities = maps("virtual_entities").map(vm =>
+        parseVirtualEntity(str(vm, "name"), str(vm, "sql"))),
       attributeStores =
         seqOfMaps(m.getOrElse("attribute_stores", null)).map { am =>
           AttributeStoreDef(
@@ -601,8 +622,9 @@ object InstanceModel {
     VirtualEntityDef(name, sqlText, body)
   }
 
-  def parseTrigger(yamlText: String): Trigger = {
-    val m = yamlMap(yamlText)
+  def parseTrigger(yamlText: String): Trigger = triggerFromMap(yamlMap(yamlText))
+
+  private def triggerFromMap(m: Map[String, Any]): Trigger = {
     Trigger(
       name = str(m, "name"),
       kpiData = seqOfMaps(m.getOrElse("kpi_data", null)).map(trend),
@@ -614,7 +636,9 @@ object InstanceModel {
       notification = str(m, "notification"),
       data = str(m, "data"),
       notificationStore = str(m, "notification_store"),
-      granularity = m.get("granularity").map(String.valueOf),
+      // explicit YAML/JSON nulls behave like absence (String.valueOf(null)
+      // would otherwise smuggle the string "null" in as a granularity)
+      granularity = m.get("granularity").filter(_ != null).map(String.valueOf),
       trendStoreLinks = seqOfMaps(m.getOrElse("trend_store_links", null)).map(l =>
         TriggerStoreLink(str(l, "part_name"), str(l, "mapping_function", "mapping_id")))
     )

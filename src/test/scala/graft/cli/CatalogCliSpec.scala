@@ -100,14 +100,46 @@ class CatalogCliSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_struct_").toString
     val sbase = java.nio.file.Files.createTempDirectory("graft_struct_base_").toString
     run("quick-start", dir, "--instance-name", "campus")
+    // a materialization definition rides along to prove the non-store
+    // kinds round-trip through the dump with full fidelity
+    val matDir = java.nio.file.Paths.get(dir, "materialization")
+    java.nio.file.Files.createDirectories(matDir)
+    java.nio.file.Files.writeString(matDir.resolve("campus_router_main_1h.yaml"),
+      """target_trend_store_part: campus_router_main_1h
+        |enabled: true
+        |processing_delay: 30m
+        |stability_delay: 5m
+        |reprocessing_period: 3 days
+        |sources:
+        |  - trend_store_part: campus_router_main_15m
+        |    mapping_function: mapping_15m->1h
+        |""".stripMargin)
     // dump the instance structure (both spellings emit the same document)
     val dumped = run("structure", "dump", dir)
     assert(dumped == run("structure", dir))
     assert(dumped.contains("\"campus_router_main_15m\""))
+    // FULL-fidelity round-trip: parseStructure(dump) == loadInstance for
+    // every kind (aggregations excepted — they compile into stores/mats)
+    val inst = graft.model.InstanceModel.loadInstance(dir)
+    val reparsed = graft.model.InstanceModel.parseStructure(dumped)
+    assert(reparsed.trendStores == inst.trendStores)
+    assert(reparsed.attributeStores.map(_.copy(title = None)) ==
+      inst.attributeStores.map(_.copy(title = None)))
+    assert(reparsed.notificationStores.map(_.copy(title = None)) ==
+      inst.notificationStores.map(_.copy(title = None)))
+    assert(reparsed.relations == inst.relations)
+    assert(reparsed.virtualEntities == inst.virtualEntities)
+    assert(reparsed.materializations == inst.materializations)
+    assert(reparsed.triggers == inst.triggers)
+    // a materialization edit in the dump survives the round-trip
+    val matEdited = graft.model.InstanceModel.parseStructure(
+      dumped.replace("\"processing_delay\":\"30m\"", "\"processing_delay\":\"45m\""))
+    assert(matEdited.materializations.map(_.processingDelay) == Seq("45m"))
     // edit: a new trend column on the 15m part
-    val edited = dumped.replace(
-      """{"name":"tx_mb","data_type":"double precision"}""",
-      """{"name":"tx_mb","data_type":"double precision"},{"name":"errors","data_type":"bigint"}""")
+    val trendJson = """{"name":"tx_mb","data_type":"double precision","description":"","time_aggregation":"sum","entity_aggregation":"sum"}"""
+    assert(dumped.contains(trendJson), "fixture drifted: tx_mb trend JSON not found")
+    val edited = dumped.replace(trendJson,
+      trendJson + """,{"name":"errors","data_type":"bigint"}""")
     assert(edited != dumped, "edit did not apply — fixture drifted")
     val dumpFile = java.nio.file.Paths.get(dir, "structure.json")
     java.nio.file.Files.writeString(dumpFile, edited)
@@ -497,6 +529,8 @@ class CatalogCliSpec extends SparkSpec {
     // unknown command → usage, exit 2
     runExpectExit(2)("no-such-command")
     runExpectExit(2)("entity-type", "create", base) // missing name
+    // bare `structure dump` (no dir) → usage, not NoSuchElementException
+    runExpectExit(2)("structure", "dump")
     // duplicate trend-store create refused (DuplicateTrendStore), exit 1
     import graft.core.MinervaType._
     import graft.model.{Trend, TrendStore, TrendStorePart}

@@ -151,4 +151,40 @@ class ReferenceBundleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("generate-sample-data at 1month lands every interval on a month boundary") {
+    // reference semantics (commands/generate_sample_data.py:61-110 +
+    // granularity.truncate): end = truncate(now) and each earlier interval
+    // steps back one CALENDAR month — 29/31/30-day steps across a leap
+    // February, never a fixed-seconds decrement
+    val dir = java.nio.file.Files.createTempDirectory("graft_month_gen_")
+    val sd = dir.resolve("sample-data")
+    java.nio.file.Files.createDirectories(sd.resolve("monthly"))
+    java.nio.file.Files.writeString(sd.resolve("definition.yaml"),
+      """- native:
+        |    name: monthly
+        |    data_source: net
+        |    granularity: 1month
+        |    parser_config:
+        |      entity_type: node
+        |      granularity: 1month
+        |""".stripMargin)
+    java.nio.file.Files.writeString(sd.resolve("monthly").resolve("sample.csv"),
+      "node,timestamp,power\nn1,{{ timestamp }},{{ power[0] }}\n")
+    val out = java.nio.file.Files.createTempDirectory("graft_month_out_").toString
+    // now = 2024-03-15T10:17:00Z, mid-month in a leap year
+    graft.cli.Main.main(Array("generate-sample-data", dir.toString, "monthly",
+      out, "--interval-count=4", "--now=1710497820"))
+    val got = new java.io.File(out).listFiles().map(_.getName).sorted.toSeq
+    // month starts walking back: 2023-12-01, 2024-01-01, 2024-02-01,
+    // 2024-03-01 00:00:00 UTC — a fixed-width step would drift off the 1st
+    val expected = Seq(1701388800L, 1704067200L, 1706745600L, 1709251200L)
+    assert(got == expected.map(ts => s"gen_$ts.csv"), got)
+    expected.foreach { ts =>
+      val inst = java.time.Instant.ofEpochSecond(ts)
+        .atZone(java.time.ZoneOffset.UTC)
+      assert(inst.getDayOfMonth == 1 && inst.getHour == 0 &&
+        inst.getMinute == 0, inst.toString)
+    }
+  }
+
 }
