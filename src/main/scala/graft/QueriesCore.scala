@@ -121,7 +121,7 @@ object QueriesCore {
     "q10_anti_join" -> { (s, dir) =>
       // "insert-missing" shape: customers with no recent order
       val recent = load(s, dir, "orders")
-        .filter(expr("o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00'"))
+        .filter(col("o_orderdate") >= lit(946684800L * Tables.NanosPerSecond))
       load(s, dir, "customer")
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
@@ -131,7 +131,7 @@ object QueriesCore {
       load(s, dir, "lineitem")
         .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F") &&
           col("l_quantity") >= 30 && col("l_discount").between(0.02, 0.08) &&
-          expr("l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+          col("l_shipdate") > lit(820454400L * Tables.NanosPerSecond))
         .filter(col("l_linenumber").isin(1, 2, 3, 4))
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
@@ -200,7 +200,7 @@ object QueriesCore {
     "q18_month_rollup" -> { (s, dir) =>
       load(s, dir, "orders")
         .groupBy(unix_timestamp(date_trunc("month",
-          col("o_orderdate").cast("timestamp"))).as("month_start"))
+          timestamp_micros(expr("o_orderdate div 1000")))).as("month_start"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
         .orderBy("month_start")

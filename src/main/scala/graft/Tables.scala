@@ -5,21 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Testdata table access.
   *
-  * The driver's parquet fixtures carry `TIMESTAMP(NANOS)` columns, which
-  * Spark 4 rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`; with
-  * it every timestamp column reads as BIGINT nanoseconds. All graft queries
-  * therefore do time math on epoch integers (`nanos div 1e9`), which is also
-  * the cross-engine-deterministic representation for the DuckDB oracle
-  * (`epoch_ns(ts)//1000000000`).
+  * Fixture timestamp columns have shipped as both `TIMESTAMP(NANOS)` (which
+  * Spark 4 only reads under `spark.sql.legacy.parquet.nanosAsLong=true`, as
+  * BIGINT nanoseconds) and plain `TIMESTAMP(MICROS)` (which reads as
+  * TIMESTAMP_NTZ). `load` normalizes every timestamp-typed column to BIGINT
+  * epoch-nanoseconds so all graft queries do time math on epoch integers
+  * (`nanos div 1e9`) regardless of the physical type — which is also the
+  * cross-engine-deterministic representation for the DuckDB oracle
+  * (`epoch_ns(ts)//1000000000`, identical for nanos and micros storage).
   */
 object Tables {
   final val NanosPerSecond = 1000000000L
 
-  /** Read one fixture table. Sets the nanos conf on the caller's session —
-    * required because the driver passes its own SparkSession to `entry`. */
+  /** Read one fixture table with timestamps normalized to BIGINT nanos.
+    * Sets the nanos conf and a UTC session timezone on the caller's session
+    * (the driver passes its own SparkSession to `entry`): NANOS columns read
+    * as BIGINT directly; MICROS columns read as TIMESTAMP_NTZ and are
+    * converted naive-as-UTC, matching DuckDB's naive `epoch_ns`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, unix_micros(col(f.name).cast("timestamp")) * lit(1000L))
+        case org.apache.spark.sql.types.TimestampType =>
+          d.withColumn(f.name, unix_micros(col(f.name)) * lit(1000L))
+        case _ => d
+      }
+    }
   }
 
   /** Epoch seconds from a BIGINT-nanoseconds column. Exact integral
