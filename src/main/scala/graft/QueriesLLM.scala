@@ -258,6 +258,20 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- IVF-PQ retrieval (IVFADC / FAISS IndexIVFPQ shape): 2-of-8
+    // cell probe gates the corpus, ADC scores only the probed codes,
+    // exact rerank pays full vectors for the shortlist alone — the
+    // composition of q83's gate and q90's compressed scan ----
+    "q97_ivfpq_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val codes = Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", cents, cbs, k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- distributed Lloyd pass: fixed-point per-cell means over the
     // FULL corpus (deterministic under any partitioning) ----
     "q92_ivf_cell_means" -> { (s, dir) =>
@@ -625,13 +639,15 @@ object QueriesLLM {
 
   /** The codebook training sample: first `sampleN` vectors by
     * (md5(id), id) — mirrors Similarity.codebookSample. */
-  private def sampCte(sampleN: Int) =
-    s"""samp AS (
+  private def sampCteNamed(name: String, sampleN: Int) =
+    s"""$name AS (
            SELECT CAST(vec_id AS VARCHAR) AS sid,
              CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings
            ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
            LIMIT $sampleN)"""
+
+  private def sampCte(sampleN: Int) = sampCteNamed("samp", sampleN)
 
   private val SampCte = sampCte(2048)
 
@@ -640,36 +656,41 @@ object QueriesLLM {
     * a per-cell per-dimension mean summed in id order (list_reduce over
     * an id-ordered list = the same sequential fold the Scala refinement
     * runs) rounded through REAL. Empty cells keep their seed. Mirrors
-    * Similarity.lloydOnce bit for bit. */
-  private val RefinedCentCte =
-    s"""$SampCte,
-         seeds AS (
+    * Similarity.lloydOnce bit for bit. Every CTE name takes the prefix
+    * `p` so the chain can share one WITH clause with the PQ chain (which
+    * owns the bare `samp`/`cent` names) — p = "" reproduces the
+    * historical q56/q83 text. */
+  private def refinedCentCte(p: String) =
+    s"""${sampCteNamed(s"${p}samp", 2048)},
+         ${p}seeds AS (
            SELECT CAST(row_number() OVER (ORDER BY md5(sid), sid) - 1 AS INT)
              AS i, emb
-           FROM samp ORDER BY md5(sid), sid LIMIT 8),
-         asg AS (
+           FROM ${p}samp ORDER BY md5(sid), sid LIMIT 8),
+         ${p}asg AS (
            SELECT s.sid, s.emb, c.i,
              list_dot_product(s.emb, c.emb) /
                (sqrt(list_dot_product(s.emb, s.emb)) *
                 sqrt(list_dot_product(c.emb, c.emb))) AS cos
-           FROM samp s CROSS JOIN seeds c),
-         mem AS (
-           SELECT sid, emb, i FROM asg
+           FROM ${p}samp s CROSS JOIN ${p}seeds c),
+         ${p}mem AS (
+           SELECT sid, emb, i FROM ${p}asg
            QUALIFY row_number() OVER (PARTITION BY sid
              ORDER BY cos DESC, i DESC) = 1),
-         sums AS (
+         ${p}sums AS (
            SELECT i, count(*) AS n,
              list_reduce(list(emb ORDER BY sid),
                (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2]))
              AS vsum
-           FROM mem GROUP BY 1),
-         cent AS (
+           FROM ${p}mem GROUP BY 1),
+         ${p}cent AS (
            SELECT c.i,
              CASE WHEN s.i IS NULL THEN c.emb
                   ELSE list_transform(s.vsum,
                          x -> CAST(CAST(x / s.n AS REAL) AS DOUBLE)) END
                AS embedding
-           FROM seeds c LEFT JOIN sums s USING (i))"""
+           FROM ${p}seeds c LEFT JOIN ${p}sums s USING (i))"""
+
+  private val RefinedCentCte = refinedCentCte("")
 
   /** FULL-corpus-refined IVF centroids (k=8): same md5-ordered seeds as
     * [[RefinedCentCte]], but the Lloyd pass runs over EVERY corpus vector
@@ -816,8 +837,14 @@ object QueriesLLM {
     * corpus side reads the `codes` CTE — code REPRESENTATION (packed
     * BIGINT vs positional array) is a Spark-side storage concern the
     * oracle never sees. */
-  private val AdcRetrievalSql =
-    """qs AS (
+  /** ADC retrieval tail: per-query distance table over the PQ `cent`,
+    * subspace-ordered fold, shortlist by estimate, exact rerank. `estFrom`
+    * is the FROM/JOIN clause feeding the estimate — the full corpus scan
+    * by default (q78/q90), or the IVF-probed candidate set (q97). */
+  private def adcRetrievalSql(
+      estFrom: String =
+        "FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i") =
+    s"""qs AS (
            SELECT vec_id AS query_id, embedding,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                CAST(embedding AS DOUBLE[]))) AS qn
@@ -836,7 +863,7 @@ object QueriesLLM {
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(list(struct_pack(j := d.s, v := d.cn2) ORDER BY d.s),
                  x -> x.v)), (a, y) -> a + y) AS scn2
-           FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i
+           $estFrom
            GROUP BY 1, 2),
          este AS (
            SELECT e.query_id, e.neighbor_id,
@@ -864,6 +891,36 @@ object QueriesLLM {
            FROM exact)
          SELECT query_id, neighbor_id, rank, cos FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val AdcRetrievalSql = adcRetrievalSql()
+
+  /** IVF probe gate + candidate set for the IVF-PQ oracle (q97): cell
+    * scores from the `iv`-prefixed refined-centroid chain, 2-of-8 probe
+    * per query (tie-break cos DESC, i DESC — mirrors probeCells), corpus
+    * assignment, and the probed candidate pairs that replace the ADC
+    * tail's full scan. */
+  private val IvfPqGateCte =
+    s"""${refinedCentCte("iv")},
+         icsc AS (
+           SELECT e.vec_id, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.embedding, c.embedding)))
+               AS cos
+           FROM embeddings e CROSS JOIN ivcent c),
+         iassigned AS (
+           SELECT vec_id, i AS bucket FROM icsc
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) = 1),
+         iprobes AS (
+           SELECT vec_id AS query_id, i AS bucket FROM icsc
+           WHERE vec_id % 100 = 0
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) <= 2),
+         icand AS (
+           SELECT p.query_id, a.vec_id AS neighbor_id
+           FROM iprobes p JOIN iassigned a USING (bucket)
+           WHERE a.vec_id <> p.query_id)"""
 
   /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
     * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
@@ -1405,6 +1462,17 @@ object QueriesLLM {
     "q90_adc_topk64" ->
       s"""WITH ${pqCodesCte(256, 8192)},
          $AdcRetrievalSql""",
+    // IVF-PQ: same PQ chain and ADC tail as q90, but the estimate reads
+    // only the IVF-probed candidate pairs — the icand gate replaces the
+    // full corpus scan (distance table additionally keyed by query).
+    "q97_ivfpq_topk" ->
+      s"""WITH ${pqCodesCte(256, 8192)},
+         $IvfPqGateCte,
+         ${adcRetrievalSql(
+        """FROM icand cc
+           JOIN codes k ON k.vec_id = cc.neighbor_id
+           JOIN dt d ON d.query_id = cc.query_id
+             AND d.s = k.s AND d.code = k.i""")}""",
     "q78_adc_topk" ->
       s"""WITH $PqCodesCte,
          $AdcRetrievalSql""",

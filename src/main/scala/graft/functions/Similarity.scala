@@ -388,11 +388,13 @@ object Similarity {
     ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
   }
 
-  private def ivfTopKAssigned(
-      queries: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
-    // per-query cell scores, sorted descending (cos, i) — ties and
-    // NaN-greatest resolve exactly like ivfBucket's array_max
+  /** Per-query probed cells: (query_id, __qv, __bucket), `nProbe` rows per
+    * query — the nearest cells with ties and NaN-greatest resolving exactly
+    * like ivfBucket's array_max. Shared by [[ivfTopK]]/[[ivfTopKStored]]
+    * (exact rerank of probed cells) and [[ivfPqTopK]] (ADC rerank). */
+  private def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
     val cellArray = array(centroids.map { case (i, c) =>
       val nc = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
       val d = aggregate(
@@ -400,11 +402,17 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       struct((d / (norm(col("__qv")) * lit(nc))).as("c"), lit(i).as("i"))
     }: _*)
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), col("__qv"),
         explode(slice(sort_array(cellArray, asc = false), 1, nProbe)).as("pc"))
       .select(col("query_id"), col("__qv"), col("pc.i").as("__bucket"))
+  }
+
+  private def ivfTopKAssigned(
+      queries: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
     val scored = probes.join(assigned, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -602,18 +610,17 @@ object Similarity {
       shortlist, broadcastDistanceTable)
   }
 
-  private def adcTopKUnpacked(
-      queries: DataFrame, unpacked: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String,
-      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
-      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+  /** Per-query ADC distance table: one row per (query, j, code) carrying
+    * dot(qⱼ, c_{j,code}) and the centroid's ‖c‖², via a broadcast cross
+    * join against the m·k-row codebook frame. A prior version inlined m·k
+    * literal fold expressions instead; at the canonical m=8, k=256 that
+    * compiled an 11 MB task binary that fell out of codegen and ran ~20×
+    * slower — the tiny broadcast join keeps ONE fold expression
+    * regardless of k. */
+  private def adcDistanceTable(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
     val sub = codebooks.head.head._2.length
-    // per-query distance table: (j, code) → dot(q_j, c_{j,code}) and the
-    // centroid's ‖c‖², via a broadcast cross join against the m·k-row
-    // codebook frame. A prior version inlined m·k literal fold
-    // expressions instead; at the canonical m=8, k=256 that compiled an
-    // 11 MB task binary that fell out of codegen and ran ~20× slower —
-    // the tiny broadcast join keeps ONE fold expression regardless of k
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = codebooks.zipWithIndex.flatMap { case (cb, j) =>
@@ -626,7 +633,7 @@ object Similarity {
     // every candidate (dropped by the NaN-rejecting top-k while a SQL
     // ORDER BY ranks NaN first) — exclude them outright, matching the
     // oracle's qn > 0 guard
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .select(col("query_id"), norm(col("__qv")).as("qn"), col("__qv"))
       .filter(col("qn") > 0d)
       .crossJoin(broadcast(cents))
@@ -634,13 +641,33 @@ object Similarity {
         dot(slice(col("__qv"), col("j") * lit(sub) + 1, lit(sub)),
           col("__cvec")).as("qdot"),
         col("cn2"))
+  }
+
+  private def adcTopKUnpacked(
+      queries: DataFrame, unpacked: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+    val q = adcDistanceTable(queries, idCol, vecCol, codebooks)
     // fixed j-order fold for the estimated score: deterministic like every
     // other float reduction in this module
     // |queries|·m·k distance-table rows: broadcast for interactive query
     // sets, shuffle on (j, code) when the caller knows the set is too
     // large for the broadcast ceiling (see adcTopK scaladoc)
     val qMaybeBcast = if (broadcastDistanceTable) broadcast(q) else q
-    val est = unpacked.join(qMaybeBcast, Seq("j", "code"))
+    adcEstimateRerank(unpacked.join(qMaybeBcast, Seq("j", "code")),
+      queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** ADC tail shared by the full-scan paths ([[adcTopK]]/[[adcTopKArray]])
+    * and the cell-probed path ([[ivfPqTopK]]): `joined` carries one row per
+    * (query_id, neighbor_id, subspace) with the distance-table columns
+    * (qn, j, qdot, cn2) attached. Folds the estimated cosine in fixed
+    * j-order, shortlists per query, exact-reranks only the shortlist. */
+  private def adcEstimateRerank(
+      joined: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val est = joined
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("qn")).as("qn"),
         array_sort(collect_list(struct(col("j"), col("qdot"), col("cn2")))).as("__a"))
@@ -668,6 +695,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("cos"))
     topKByQuery(exact, k)
+  }
+
+  /** IVF-PQ retrieval (the IVFADC composition of Jégou et al. 2011, the
+    * FAISS `IndexIVFPQ` analogue): probe the `nProbe` nearest IVF cells per
+    * query, ADC-score ONLY the PQ codes of vectors assigned to those cells,
+    * and exact-rerank the ADC shortlist against full vectors. This is the
+    * 100 TB retrieval rung the separate pieces build toward:
+    *
+    *  - [[ivfTopK]] alone still pays a full-vector cosine per candidate
+    *    (corpus·nProbe/k per query);
+    *  - [[adcTopKArray]] alone scans EVERY corpus code per query
+    *    (corpus·m joined rows);
+    *  - combined, the candidate scan is corpus·nProbe/k codes per query —
+    *    m small integers each — so per-query work drops by k/nProbe on top
+    *    of PQ's per-row compression, and the corpus side never touches a
+    *    full vector until the ≤`shortlist` rerank rows.
+    *
+    * `codes` carries (idCol, pq_code array<smallint>) — [[pqCodeArray]] /
+    * [[pqEncodeArray]] output, storable as a column; `corpus` keeps full
+    * vectors for cell assignment and the final rerank (at scale both are
+    * columns of the same stored table, so the id-equi join below is
+    * scan-local). With `nProbe = |centroids|` every cell is probed and the
+    * result equals [[adcTopKArray]] exactly (spec-asserted).
+    * Output: (query_id, neighbor_id, rank, cos) — exact cosines,
+    * IVF-gated ADC-selected candidates. */
+  def ivfPqTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+    requireIntegralId(codes, idCol, "ivfPqTopK")
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      ivfBucket(col(vecCol), centroids).as("__bucket"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("pq_code")),
+        Seq("neighbor_id"))
+    ivfPqAssigned(queries, assigned, corpus, idCol, vecCol, centroids,
+      codebooks, k, nProbe, shortlist, broadcastDistanceTable)
+  }
+
+  /** [[ivfPqTopK]] against a STORED index frame carrying BOTH the bucket
+    * column and the code array (each ingest batch computes its own at
+    * write time — [[ivfTopKStored]]'s incremental-index contract extended
+    * to the compressed path). Neither is recomputed; the caller owns
+    * centroid/codebook/column consistency (persist both sidecars). */
+  def ivfPqTopKStored(
+      queries: DataFrame, index: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, codeCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+    requireIntegralId(index, idCol, "ivfPqTopKStored")
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(bucketCol).cast("int").as("__bucket"), col(codeCol).as("pq_code"))
+    ivfPqAssigned(queries, assigned, corpus, idCol, vecCol, centroids,
+      codebooks, k, nProbe, shortlist, broadcastDistanceTable)
+  }
+
+  private def ivfPqAssigned(
+      queries: DataFrame, assigned: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean): DataFrame = {
+    // candidate (query, neighbor, j, code) rows: probe-cell equi-join
+    // gates the corpus BEFORE any code is unpacked — rows ∝
+    // |queries|·(corpus·nProbe/k)·m, never corpus·|queries|
+    val cand = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("query_id"), col("__bucket"))
+      .join(assigned, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("pq_code")).as(Seq("j", "code")))
+      .select(col("query_id"), col("neighbor_id"),
+        col("j").cast("int").as("j"), col("code").cast("int").as("code"))
+    val dt = adcDistanceTable(queries, idCol, vecCol, codebooks)
+    val dtMaybeBcast = if (broadcastDistanceTable) broadcast(dt) else dt
+    // keyed by query_id as well — each candidate only meets ITS query's
+    // distance-table rows, unlike the full-scan path's (j, code) join
+    adcEstimateRerank(cand.join(dtMaybeBcast, Seq("query_id", "j", "code")),
+      queries, corpus, idCol, vecCol, k, shortlist)
   }
 
   /** Persist centroids next to a stored index: a stored bucket/code

@@ -339,6 +339,74 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getString(1) == "spam") // spam cluster
   }
 
+  test("ivfPqTopK: full probe equals the ADC full scan; partial probe keeps recall") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    val codes = Similarity.pqEncodeArray(clustered, "vec_id", "embedding", cbs)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // nProbe = k probes every cell → the IVF gate admits every candidate,
+    // so the result IS adcTopKArray's (same codebooks, same shortlist)
+    val all = rows(Similarity.ivfPqTopK(queries, codes, clustered, "vec_id",
+      "embedding", cents, cbs, k = 3, nProbe = 5, shortlist = 10))
+    val fullScan = rows(Similarity.adcTopKArray(queries, codes, clustered,
+      "vec_id", "embedding", cbs, k = 3, shortlist = 10))
+    assert(all == fullScan)
+    // probing 2 of 5 cells on tightly clustered data keeps most of the
+    // full scan's top-3 — the k/nProbe work reduction costs little recall
+    val partial = rows(Similarity.ivfPqTopK(queries, codes, clustered,
+        "vec_id", "embedding", cents, cbs, k = 3, nProbe = 2, shortlist = 10))
+      .map(r => (r.head, r(1))).toSet
+    val recall = fullScan.map(r => (r.head, r(1))).count(partial.contains)
+      .toDouble / fullScan.size
+    assert(recall >= 0.8, s"IVF-PQ nProbe=2 recall too low: $recall")
+    // plan shape: no Window, no Cartesian candidate generation — the probe
+    // gate and the per-query distance join are equi-joins. (The one
+    // BroadcastNestedLoopJoin in the plan is the intentional m·k-row
+    // codebook cross join building the distance table, not a candidate
+    // generator.)
+    val plan = Similarity.ivfPqTopK(queries, codes, clustered, "vec_id",
+        "embedding", cents, cbs, k = 3, nProbe = 2, shortlist = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ivfPqTopKStored: write-time bucket+code columns replay the fresh path") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    val codes = Similarity.pqEncodeArray(clustered, "vec_id", "embedding", cbs)
+    val queries = clustered.filter(col("vec_id") < 10)
+    // the stored index carries BOTH columns, computed once at write time —
+    // materialized through parquet so retrieval genuinely READS them
+    // (and the analyzed-plan assertion below sees no derivation lineage)
+    clustered
+      .select(col("vec_id"),
+        Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+        col("embedding"))
+      .join(codes, "vec_id")
+      .select("vec_id", "bucket", "pq_code")
+      .write.mode("overwrite").parquet("target/tmp/ivfpq_index")
+    val index = spark.read.parquet("target/tmp/ivfpq_index")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val stored = rows(Similarity.ivfPqTopKStored(queries, index, clustered,
+      "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+      k = 3, nProbe = 2, shortlist = 10))
+    val fresh = rows(Similarity.ivfPqTopK(queries, codes, clustered, "vec_id",
+      "embedding", cents, cbs, k = 3, nProbe = 2, shortlist = 10))
+    assert(stored == fresh)
+    // the stored path never re-derives the assignment argmax
+    val storedPlan = Similarity.ivfPqTopKStored(queries, index, clustered,
+        "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+        k = 3, nProbe = 2, shortlist = 10)
+      .queryExecution.analyzed.toString
+    assert(!storedPlan.contains("array_max"), storedPlan)
+  }
+
   test("NaN cosine never occupies a top-k slot, regardless of arrival order") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.3f)),
