@@ -107,6 +107,18 @@ object QueriesLLM {
       Dedup.contamination(train, eval, "doc_id", minOverlap = 2)
         .orderBy("doc_id")
     },
+    // ---- Bloom-prefiltered decontamination: the eval-set-too-big-to-
+    // broadcast path. Tier 1 prunes corpus shingles through a codegen'd
+    // might_contain on a BloomFilterAggregate sketch; tier 2's exact
+    // confirm join kills false positives, so the output is deterministic
+    // and the oracle is the PLAIN exact-overlap SQL ----
+    "q98_bloom_decontaminate" -> { (s, dir) =>
+      val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
+      val eval = sh.filter(col("doc_id") % 13 === 0)
+      val train = sh.filter(col("doc_id") % 13 =!= 0)
+      Dedup.contaminationBloom(train, eval, "doc_id", minOverlap = 1)
+        .orderBy("doc_id")
+    },
     // ---- kNN majority-label assignment over the exact top-k ----
     "q66_knn_label" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
@@ -1275,6 +1287,22 @@ object QueriesLLM {
          SELECT total.doc_id, doc_ngrams,
            COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
            COALESCE(overlap_ngrams, 0) >= 2 AS contaminated
+         FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
+         ORDER BY 1""",
+    // q98's bloom prefilter is invisible to the result: the confirm join
+    // makes the output equal the exact n-gram overlap, so the oracle IS
+    // q63's shape on the %13 split.
+    "q98_bloom_decontaminate" ->
+      s"""WITH $ShinglesCte,
+         eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 13 <> 0),
+         total AS (SELECT doc_id, count(*) AS doc_ngrams FROM train GROUP BY 1),
+         hits AS (
+           SELECT t.doc_id, count(*) AS overlap_ngrams
+           FROM train t JOIN eval e USING (shingle) GROUP BY 1)
+         SELECT total.doc_id, doc_ngrams,
+           COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(overlap_ngrams, 0) >= 1 AS contaminated
          FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
          ORDER BY 1""",
     "q66_knn_label" ->

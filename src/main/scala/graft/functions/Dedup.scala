@@ -449,6 +449,62 @@ object Dedup {
         (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** [[contamination]] for an eval set too large to broadcast as an exact
+    * set: a Bloom filter of the eval shingles (built with Spark's own
+    * `BloomFilterAggregate` over `xxhash64`, a few MB at any eval size)
+    * is embedded as a literal and prunes the corpus side BEFORE the exact
+    * confirm join — the same two-tier shape as LSH-then-Jaccard. The
+    * final counts are bloom-independent (false positives die in the
+    * confirm join, `fpp` only tunes how much corpus survives the
+    * prefilter), so results are deterministic and equal
+    * [[contamination]]'s exactly (spec-asserted).
+    *
+    * Scale shape: tier 1 is a codegen'd `might_contain` filter streaming
+    * over corpus shingles (no exchange, no broadcast beyond the sketch
+    * bytes in the task binary); tier 2 shuffles ONLY the surviving
+    * ≈ (hits + fpp·|corpus shingles|) rows against the eval set — the
+    * exchange that [[contamination]] avoids by broadcasting is here paid
+    * only by the pruned residue, which is what makes a 10⁹-shingle eval
+    * set workable. `expectedEvalNgrams` sizes the sketch; ≤ 0 derives it
+    * with one count over the (small) eval side. */
+  def contaminationBloom(
+      docShingles: DataFrame, evalShingles: DataFrame, idCol: String,
+      minOverlap: Long = 1L, expectedEvalNgrams: Long = -1L,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalSet = evalShingles.select(col("shingle")).distinct()
+    val nItems =
+      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(1L, evalSet.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nItems, fpp)
+    val bloomBytes = evalSet
+      .select(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("shingle"))),
+          Literal(nItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // an EMPTY eval set aggregates to a null sketch — nothing can overlap,
+    // so the prefilter is `false` rather than a null-propagating predicate
+    val mightContain =
+      if (bloomBytes == null) lit(false)
+      else GraftBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("shingle")))))
+    val hits = docShingles.filter(mightContain)
+      .join(evalSet, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))
+    val total = docShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("doc_ngrams"))
+    total.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("doc_ngrams"),
+        coalesce(col("overlap_ngrams"), lit(0L)).as("overlap_ngrams"),
+        (coalesce(col("overlap_ngrams"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** SimHash near-dup pairs by Hamming ball (Manku et al. 2007's
     * multi-index approach, public): the 16-bit signature splits into 4
     * nibble bands — by pigeonhole, any pair within Hamming distance

@@ -162,6 +162,35 @@ class CompilerSkewSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("contaminationBloom equals the exact path; bloom really prunes") {
+    import graft.functions.Dedup
+    // larger corpus so the prefilter's selectivity is observable
+    val train = (1L to 400L).flatMap { d =>
+      Seq((d, s"uniq $d a"), (d, s"uniq $d b"), (d, s"shared ${d % 7}"))
+    }.toDF("doc_id", "shingle")
+    val eval = Seq((900L, "shared 0"), (900L, "shared 1"), (901L, "absent x"))
+      .toDF("doc_id", "shingle")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.sort("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // tier-2 confirm kills bloom false positives → bit-identical output
+    assert(rows(Dedup.contaminationBloom(train, eval, "doc_id", minOverlap = 1)) ==
+      rows(Dedup.contamination(train, eval, "doc_id", minOverlap = 1)))
+    // the prefilter is the codegen'd BloomFilterMightContain expression
+    // sitting as a Filter BEFORE the confirm join — not a UDF. Checked on
+    // the ANALYZED plan: over a LocalRelation the optimizer evaluates the
+    // filter eagerly (ConvertToLocalRelation), so it leaves the physical
+    // plan; a file-backed corpus keeps it at the scan
+    val plan = Dedup.contaminationBloom(train, eval, "doc_id", minOverlap = 1)
+      .queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan)
+    // empty eval set: null sketch → nothing contaminated, no NPE
+    val none = Dedup.contaminationBloom(train,
+      eval.filter(col("doc_id") < 0), "doc_id", minOverlap = 1)
+    assert(none.filter(col("contaminated")).count() == 0)
+    assert(none.count() == 400)
+  }
+
   test("stratifiedSample is deterministic, rate-faithful and shuffle-free") {
     import graft.functions.TextAnalysis
     val docs = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
