@@ -32,6 +32,11 @@ object Tables {
           d.withColumn(f.name, unix_micros(col(f.name).cast("timestamp")) * lit(1000L))
         case org.apache.spark.sql.types.TimestampType =>
           d.withColumn(f.name, unix_micros(col(f.name)) * lit(1000L))
+        // a DATE column would be the third physical shape a regenerated
+        // fixture could ship — midnight UTC, same epoch-nanos contract
+        case org.apache.spark.sql.types.DateType =>
+          d.withColumn(f.name,
+            unix_date(col(f.name)).cast("long") * lit(86400L * NanosPerSecond))
         case _ => d
       }
     }

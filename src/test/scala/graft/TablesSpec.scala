@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.{Date, Timestamp}
+
+/** `Tables.load` time normalization: whatever physical type a regenerated
+  * fixture ships (TIMESTAMP micros → NTZ, TIMESTAMP with tz, DATE — the
+  * NANOS-as-BIGINT path is covered by every fixture-backed gate query),
+  * time columns come out as BIGINT epoch-nanoseconds under the
+  * naive-as-UTC contract that matches DuckDB's epoch_ns. */
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("micros-NTZ, tz-timestamp and date columns all load as epoch nanos") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tables_").toString
+    // 2000-01-01 00:00:00 UTC = 946684800 s
+    val sec = 946684800L
+    Seq((1L, Timestamp.valueOf("2000-01-01 00:00:00"), Date.valueOf("2000-01-01")))
+      .toDF("id", "ts", "d")
+      .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val got = Tables.load(spark, dir, "t")
+    val schema = got.schema
+    Seq("ts", "ts_ntz", "d").foreach { c =>
+      assert(schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"$c: ${schema(c).dataType}")
+    }
+    val r = got.select("ts", "ts_ntz", "d").head
+    // session tz is UTC, so the naive literal IS the UTC instant for all
+    // three physical shapes
+    assert(r.getLong(0) == sec * Tables.NanosPerSecond)
+    assert(r.getLong(1) == sec * Tables.NanosPerSecond)
+    assert(r.getLong(2) == sec * Tables.NanosPerSecond)
+    // and the downstream helpers agree
+    val s2 = got.select(Tables.epochSec(col("ts")).as("s")).head.getLong(0)
+    assert(s2 == sec)
+  }
+}
