@@ -284,6 +284,44 @@ object QueriesLLM {
           "vec_id", "embedding", cents, cbs, k = 5, nProbe = 2, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- incremental IVF-PQ, end to end: q96's appendable-index loop on
+    // the COMPRESSED path. Both codebooks persist as sidecars; each ingest
+    // batch computes its own bucket AND code array at write time with the
+    // LOADED sidecars; retrieval runs ivfPqTopKStored over the stored
+    // columns. Oracle = q97's fresh single-pass retrieval — identical
+    // results certify that appending a batch re-indexes nothing ----
+    "q99_ivfpq_incremental" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val work = java.nio.file.Files.createTempDirectory("graft_q99_").toString
+      Similarity.saveCentroids(s, s"$work/centroids", cents)
+      Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 86400))
+      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+        val cb = Similarity.loadCentroids(s, s"$work/centroids")
+        val pq = Similarity.loadPqCodebooks(s, s"$work/codebooks")
+        ps.store("emb", Similarity.pqEncodeArray(batch, "vec_id", "embedding", pq)
+          .join(batch, "vec_id")
+          .select(col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+            col("embedding"),
+            Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
+            col("pq_code"), lit(1L).as("modified")))
+      }
+      val hv = conv(substring(md5(concat(lit("batch:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      writeBatch(e.filter(hv === 0L))
+      writeBatch(e.filter(hv === 1L)) // corpus grows; first batch untouched
+      val stored = ps.readPart("emb").get.select(
+        col("entity_id").as("vec_id"), col("embedding"),
+        col("bucket"), col("pq_code"))
+      Similarity.ivfPqTopKStored(e.filter(col("vec_id") % 100 === 0), stored,
+          e, "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- distributed Lloyd pass: fixed-point per-cell means over the
     // FULL corpus (deterministic under any partitioning) ----
     "q92_ivf_cell_means" -> { (s, dir) =>
@@ -1305,6 +1343,17 @@ object QueriesLLM {
            COALESCE(overlap_ngrams, 0) >= 1 AS contaminated
          FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
          ORDER BY 1""",
+    // Incremental IVF-PQ retrieves IDENTICALLY to the fresh single-pass
+    // build (sidecar round-trips are bit-exact; write-time bucket/code
+    // equal whole-corpus assignment), so the oracle IS q97's retrieval.
+    "q99_ivfpq_incremental" ->
+      s"""WITH ${pqCodesCte(256, 8192)},
+         $IvfPqGateCte,
+         ${adcRetrievalSql(
+        """FROM icand cc
+           JOIN codes k ON k.vec_id = cc.neighbor_id
+           JOIN dt d ON d.query_id = cc.query_id
+             AND d.s = k.s AND d.code = k.i""")}""",
     "q66_knn_label" ->
       """WITH seed AS (
            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0),

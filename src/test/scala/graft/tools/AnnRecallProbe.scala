@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Similarity
+
+/** Recall/latency sweep for the ANN retrieval tiers — the measured basis
+  * for the nProbe/shortlist guidance in PLANS.md. Brute-force top-5 is
+  * ground truth; each tier reports recall@5 and wall seconds at sf0.1.
+  *
+  * Run: `sbt "Test/runMain graft.tools.AnnRecallProbe [sfDir]"` */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+      m = 8, k = 256, dim = 64, sampleN = 8192)
+    val codes = Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
+      .localCheckpoint() // codes computed once; probe times retrieval only
+
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (truth, tBrute) = timed(pairs(
+      Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)))
+    println(f"brute_force recall=1.000 sec=$tBrute%.2f pairs=${truth.size}")
+    for (nProbe <- Seq(1, 2, 4, 8)) {
+      val (got, t) = timed(pairs(Similarity.ivfTopK(
+        queries, e, "vec_id", "embedding", cents, k = 5, nProbe = nProbe)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"ivf nProbe=$nProbe recall=$rec%.3f sec=$t%.2f")
+    }
+    for ((nProbe, shortlist) <- Seq((2, 20), (2, 50), (2, 100), (4, 50), (8, 50))) {
+      val (got, t) = timed(pairs(Similarity.ivfPqTopK(
+        queries, codes, e, "vec_id", "embedding", cents, cbs,
+        k = 5, nProbe = nProbe, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"ivfpq nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
+    for (shortlist <- Seq(50)) {
+      val (got, t) = timed(pairs(Similarity.adcTopKArray(
+        queries, codes, e, "vec_id", "embedding", cbs, k = 5, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"adc_fullscan shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
+    spark.stop()
+  }
+}
