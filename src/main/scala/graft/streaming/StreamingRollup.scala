@@ -158,6 +158,50 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming incremental ANN index maintenance: the q99 appendable
+    * IVF-PQ loop driven by a stream. Each micro-batch of (id, vector) rows
+    * loads the PERSISTED centroid/codebook sidecars (per batch, so a
+    * sidecar refresh is picked up at the next micro-batch without a
+    * restart), computes its own bucket and PQ code-array columns, and
+    * upserts through the staged-swap merge — existing rows are never
+    * re-indexed, and a replayed micro-batch converges to the same stored
+    * rows (same effectively-once argument as [[trendSink]]). Retrieval
+    * over the growing index is `Similarity.ivfPqTopKStored` (compressed)
+    * or `ivfTopKStored` (bucket-only) at any point between batches.
+    *
+    * Returns the started query; callers own its lifecycle. */
+  def indexSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      centroidsPath: String,
+      codebooksPath: String,
+      idCol: String,
+      vecCol: String,
+      nowSec: () => Long = () => System.currentTimeMillis() / 1000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cents = graft.functions.Similarity.loadCentroids(spark, centroidsPath)
+          val cbs = graft.functions.Similarity.loadPqCodebooks(spark, codebooksPath)
+          val now = nowSec()
+          val cached = batch.persist()
+          ps.store(part, graft.functions.Similarity
+            .pqEncodeArray(cached, idCol, vecCol, cbs)
+            .join(cached, idCol)
+            .select(col(idCol).as("entity_id"), lit(0L).as("timestamp"),
+              col(vecCol).as("embedding"),
+              graft.functions.Similarity.ivfBucket(col(vecCol), cents).as("bucket"),
+              col("pq_code"), lit(now).as("modified")))
+          cached.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop re-arrivals of the same normalized-text
     * digest within the watermark horizon — the streaming face of the batch
     * `Dedup.exact` (q25), for ingest feeds that replay or mirror documents.

@@ -162,4 +162,52 @@ class StreamingRollupSpec extends SparkSpec {
     assert(rows.forall(r => batch(r.getLong(0)) == r.getString(2)))
   }
 
+  test("streaming indexSink grows the IVF-PQ index batch by batch; retrieval matches fresh") {
+    import graft.functions.Similarity
+    implicit val sc = spark.sqlContext
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroidsRefined(corpus, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqCodebooksRefined(
+      corpus, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    val base = "target/tmp/stream_index"
+    Similarity.saveCentroids(spark, s"$base/centroids", cents)
+    Similarity.savePqCodebooks(spark, s"$base/codebooks", cbs)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 86400))
+    ps.deletePart("emb")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingRollup.indexSink(
+      mem.toDF().toDF("vec_id", "embedding"), ps, "emb",
+      s"$base/centroids", s"$base/codebooks", "vec_id", "embedding",
+      nowSec = () => 42L)
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stored = ps.readPart("emb").get.select(
+      col("entity_id").as("vec_id"), col("embedding"),
+      col("bucket"), col("pq_code"))
+    assert(stored.count() == 80)
+    val queries = corpus.filter(col("vec_id") < 8)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // the streamed two-batch index answers exactly like a fresh
+    // whole-corpus build — write-time bucket/code == single-pass assignment
+    val viaStream = res(Similarity.ivfPqTopKStored(queries, stored, corpus,
+      "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+      k = 3, nProbe = 2, shortlist = 10))
+    val fresh = res(Similarity.ivfPqTopK(queries,
+      Similarity.pqEncodeArray(corpus, "vec_id", "embedding", cbs), corpus,
+      "vec_id", "embedding", cents, cbs, k = 3, nProbe = 2, shortlist = 10))
+    assert(viaStream == fresh)
+  }
+
 }
