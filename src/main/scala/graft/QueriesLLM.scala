@@ -300,15 +300,19 @@ object QueriesLLM {
       Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 86400))
-      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
+      def writeBatch(batch0: org.apache.spark.sql.DataFrame): Unit = {
         val cb = Similarity.loadCentroids(s, s"$work/centroids")
         val pq = Similarity.loadPqCodebooks(s, s"$work/codebooks")
+        // the batch feeds BOTH the encoder and the vector re-attach join
+        val batch = batch0.persist()
         ps.store("emb", Similarity.pqEncodeArray(batch, "vec_id", "embedding", pq)
           .join(batch, "vec_id")
           .select(col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
             col("embedding"),
             Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
             col("pq_code"), lit(1L).as("modified")))
+        batch.unpersist()
+        ()
       }
       val hv = conv(substring(md5(concat(lit("batch:"),
           col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
@@ -881,16 +885,14 @@ object QueriesLLM {
 
   private val PqCodesCte = pqCodesCte(4)
 
-  /** ADC retrieval body shared by q78 (packed codes, k=4) and q90
-    * (array codes, k=256): per-query distance table over `cent`,
-    * subspace-ordered fold, shortlist by estimate, exact rerank. The
-    * corpus side reads the `codes` CTE — code REPRESENTATION (packed
-    * BIGINT vs positional array) is a Spark-side storage concern the
-    * oracle never sees. */
-  /** ADC retrieval tail: per-query distance table over the PQ `cent`,
-    * subspace-ordered fold, shortlist by estimate, exact rerank. `estFrom`
-    * is the FROM/JOIN clause feeding the estimate — the full corpus scan
-    * by default (q78/q90), or the IVF-probed candidate set (q97). */
+  /** ADC retrieval tail shared by q78 (packed codes, k=4), q90 (array
+    * codes, k=256) and the IVF-PQ pair: per-query distance table over the
+    * PQ `cent`, subspace-ordered fold, shortlist by estimate, exact
+    * rerank. The corpus side reads the `codes` CTE — code REPRESENTATION
+    * (packed BIGINT vs positional array) is a Spark-side storage concern
+    * the oracle never sees. `estFrom` is the FROM/JOIN clause feeding the
+    * estimate — the full corpus scan by default, or the IVF-probed
+    * candidate set (q97/q99). */
   private def adcRetrievalSql(
       estFrom: String =
         "FROM codes k JOIN dt d ON d.s = k.s AND d.code = k.i") =
@@ -971,6 +973,35 @@ object QueriesLLM {
            SELECT p.query_id, a.vec_id AS neighbor_id
            FROM iprobes p JOIN iassigned a USING (bucket)
            WHERE a.vec_id <> p.query_id)"""
+
+  /** Exact train×eval shingle-overlap oracle on a `doc_id % mod` eval
+    * split: q63's broadcast path and q98's bloom-prefiltered path differ
+    * only in execution strategy, so both gate against this same SQL. */
+  private def decontaminationOracle(mod: Int, minOverlap: Int) =
+    s"""WITH $ShinglesCte,
+         eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $mod = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % $mod <> 0),
+         total AS (SELECT doc_id, count(*) AS doc_ngrams FROM train GROUP BY 1),
+         hits AS (
+           SELECT t.doc_id, count(*) AS overlap_ngrams
+           FROM train t JOIN eval e USING (shingle) GROUP BY 1)
+         SELECT total.doc_id, doc_ngrams,
+           COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(overlap_ngrams, 0) >= $minOverlap AS contaminated
+         FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
+         ORDER BY 1"""
+
+  /** Full IVF-PQ retrieval oracle, shared verbatim by q97 (fresh build)
+    * and q99 (incremental stored index) — identical SQL is the point:
+    * the stored path must hash-match the fresh one. */
+  private val IvfPqRetrievalOracle =
+    s"""WITH ${pqCodesCte(256, 8192)},
+         $IvfPqGateCte,
+         ${adcRetrievalSql(
+      """FROM icand cc
+           JOIN codes k ON k.vec_id = cc.neighbor_id
+           JOIN dt d ON d.query_id = cc.query_id
+             AND d.s = k.s AND d.code = k.i""")}"""
 
   /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
     * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
@@ -1314,46 +1345,15 @@ object QueriesLLM {
                 ELSE 127 * 4503599627370496.0 / kth END AS est_distinct
          FROM ex JOIN agg USING (source) ORDER BY source"""
     },
-    "q63_decontaminate" ->
-      s"""WITH $ShinglesCte,
-         eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
-         train AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
-         total AS (SELECT doc_id, count(*) AS doc_ngrams FROM train GROUP BY 1),
-         hits AS (
-           SELECT t.doc_id, count(*) AS overlap_ngrams
-           FROM train t JOIN eval e USING (shingle) GROUP BY 1)
-         SELECT total.doc_id, doc_ngrams,
-           COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
-           COALESCE(overlap_ngrams, 0) >= 2 AS contaminated
-         FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
-         ORDER BY 1""",
+    "q63_decontaminate" -> decontaminationOracle(mod = 17, minOverlap = 2),
     // q98's bloom prefilter is invisible to the result: the confirm join
     // makes the output equal the exact n-gram overlap, so the oracle IS
     // q63's shape on the %13 split.
-    "q98_bloom_decontaminate" ->
-      s"""WITH $ShinglesCte,
-         eval AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
-         train AS (SELECT * FROM sh WHERE doc_id % 13 <> 0),
-         total AS (SELECT doc_id, count(*) AS doc_ngrams FROM train GROUP BY 1),
-         hits AS (
-           SELECT t.doc_id, count(*) AS overlap_ngrams
-           FROM train t JOIN eval e USING (shingle) GROUP BY 1)
-         SELECT total.doc_id, doc_ngrams,
-           COALESCE(overlap_ngrams, 0) AS overlap_ngrams,
-           COALESCE(overlap_ngrams, 0) >= 1 AS contaminated
-         FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
-         ORDER BY 1""",
+    "q98_bloom_decontaminate" -> decontaminationOracle(mod = 13, minOverlap = 1),
     // Incremental IVF-PQ retrieves IDENTICALLY to the fresh single-pass
     // build (sidecar round-trips are bit-exact; write-time bucket/code
     // equal whole-corpus assignment), so the oracle IS q97's retrieval.
-    "q99_ivfpq_incremental" ->
-      s"""WITH ${pqCodesCte(256, 8192)},
-         $IvfPqGateCte,
-         ${adcRetrievalSql(
-        """FROM icand cc
-           JOIN codes k ON k.vec_id = cc.neighbor_id
-           JOIN dt d ON d.query_id = cc.query_id
-             AND d.s = k.s AND d.code = k.i""")}""",
+    "q99_ivfpq_incremental" -> IvfPqRetrievalOracle,
     "q66_knn_label" ->
       """WITH seed AS (
            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0),
@@ -1542,14 +1542,7 @@ object QueriesLLM {
     // IVF-PQ: same PQ chain and ADC tail as q90, but the estimate reads
     // only the IVF-probed candidate pairs — the icand gate replaces the
     // full corpus scan (distance table additionally keyed by query).
-    "q97_ivfpq_topk" ->
-      s"""WITH ${pqCodesCte(256, 8192)},
-         $IvfPqGateCte,
-         ${adcRetrievalSql(
-        """FROM icand cc
-           JOIN codes k ON k.vec_id = cc.neighbor_id
-           JOIN dt d ON d.query_id = cc.query_id
-             AND d.s = k.s AND d.code = k.i""")}""",
+    "q97_ivfpq_topk" -> IvfPqRetrievalOracle,
     "q78_adc_topk" ->
       s"""WITH $PqCodesCte,
          $AdcRetrievalSql""",

@@ -49,12 +49,10 @@ object AnnRecallProbe {
       val rec = truth.count(got.contains).toDouble / truth.size
       println(f"ivfpq nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
     }
-    for (shortlist <- Seq(50)) {
-      val (got, t) = timed(pairs(Similarity.adcTopKArray(
-        queries, codes, e, "vec_id", "embedding", cbs, k = 5, shortlist = shortlist)))
-      val rec = truth.count(got.contains).toDouble / truth.size
-      println(f"adc_fullscan shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
-    }
+    val (adc, tAdc) = timed(pairs(Similarity.adcTopKArray(
+      queries, codes, e, "vec_id", "embedding", cbs, k = 5, shortlist = 50)))
+    val adcRec = truth.count(adc.contains).toDouble / truth.size
+    println(f"adc_fullscan shortlist=50 recall=$adcRec%.3f sec=$tAdc%.2f")
     spark.stop()
   }
 }
