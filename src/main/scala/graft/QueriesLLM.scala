@@ -326,6 +326,21 @@ object QueriesLLM {
           k = 5, nProbe = 2, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- residual IVF-PQ (the FAISS IndexIVFPQ default): codes encode
+    // vector − cell centroid, the ADC table reconstructs cell + residual
+    // per probed cell — tighter estimates than the cell-agnostic q97 ----
+    "q100_ivfpq_residual" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksResidual(e, "vec_id", "embedding",
+        cents, m = 8, k = 256, dim = 64, sampleN = 8192)
+      val index = Similarity.ivfPqEncodeResidual(e, "vec_id", "embedding",
+        cents, cbs)
+      Similarity.ivfPqTopKResidual(e.filter(col("vec_id") % 100 === 0), index,
+          e, "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- distributed Lloyd pass: fixed-point per-cell means over the
     // FULL corpus (deterministic under any partitioning) ----
     "q92_ivf_cell_means" -> { (s, dir) =>
@@ -917,7 +932,13 @@ object QueriesLLM {
                  x -> x.v)), (a, y) -> a + y) AS scn2
            $estFrom
            GROUP BY 1, 2),
-         este AS (
+         $AdcTailSql"""
+
+  /** este → shortlist → exact rerank → rank≤5: the retrieval tail every
+    * ADC oracle shares (full-scan, IVF-probed, residual) — reads whatever
+    * `qs` and `est` CTEs precede it. */
+  private val AdcTailSql =
+    """este AS (
            SELECT e.query_id, e.neighbor_id,
              e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
            FROM est e JOIN qs q USING (query_id)
@@ -990,6 +1011,115 @@ object QueriesLLM {
            COALESCE(overlap_ngrams, 0) >= $minOverlap AS contaminated
          FROM total LEFT JOIN hits ON total.doc_id = hits.doc_id
          ORDER BY 1"""
+
+  /** Residual IVF-PQ oracle (q100): mirrors pqCodebooksResidual /
+    * ivfPqEncodeResidual / ivfPqTopKResidual. Builds on [[IvfPqGateCte]]'s
+    * ivcent/iassigned/iprobes/icand. Residual arithmetic is Float IEEE on
+    * both engines: DOUBLE-exact subtract/add rounded through REAL equals
+    * Scala's Float `-`/`+`. Chain: sample residuals (assign → subtract) →
+    * per-subspace Lloyd (rcent) → corpus residual codes (rcodes, carrying
+    * the cell) → combined reconstruction centroids (ccomb = cell slice +
+    * residual centroid) → per-(query, probed-cell) distance table → est
+    * over the probed candidates → the shared ADC tail. */
+  private val IvfPqResidualOracle = {
+    val resExpr = "list_transform(list_zip(%s, %s)," +
+      " z -> CAST(CAST(z[1] - z[2] AS REAL) AS DOUBLE))"
+    s"""WITH $IvfPqGateCte,
+         ${sampCteNamed("rsamp", 8192)},
+         rasg AS (
+           SELECT p.sid, p.emb, c.i
+           FROM rsamp p CROSS JOIN ivcent c
+           QUALIFY row_number() OVER (PARTITION BY p.sid ORDER BY
+             list_dot_product(p.emb, c.embedding) /
+               (sqrt(list_dot_product(p.emb, p.emb)) *
+                sqrt(list_dot_product(c.embedding, c.embedding))) DESC,
+             c.i DESC) = 1),
+         rres AS (
+           SELECT a.sid,
+             ${resExpr.format("a.emb", "c.embedding")} AS emb
+           FROM rasg a JOIN ivcent c ON c.i = a.i),
+         rss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         rsseeds AS (
+           SELECT rss.s, sd.i, sd.emb[1 + 8*rss.s : 8 + 8*rss.s] AS emb
+           FROM (
+             SELECT CAST(row_number() OVER (ORDER BY md5(sid), sid) - 1 AS INT)
+               AS i, emb
+             FROM rres ORDER BY md5(sid), sid LIMIT 256) sd
+           CROSS JOIN rss),
+         rssamp AS (
+           SELECT rss.s, p.sid, p.emb[1 + 8*rss.s : 8 + 8*rss.s] AS emb
+           FROM rres p CROSS JOIN rss),
+         rpasg AS (
+           SELECT a.s, a.sid, a.emb, c.i,
+             list_dot_product(a.emb, c.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))) AS cos
+           FROM rssamp a JOIN rsseeds c ON a.s = c.s),
+         rpmem AS (
+           SELECT s, sid, emb, i FROM rpasg
+           QUALIFY row_number() OVER (PARTITION BY s, sid
+             ORDER BY cos DESC, i DESC) = 1),
+         rpsums AS (
+           SELECT s, i, count(*) AS n,
+             list_reduce(list(emb ORDER BY sid),
+               (a, b) -> list_transform(list_zip(a, b), p -> p[1] + p[2]))
+             AS vsum
+           FROM rpmem GROUP BY 1, 2),
+         rcent AS (
+           SELECT c.s, c.i,
+             CASE WHEN m.i IS NULL THEN c.emb
+                  ELSE list_transform(m.vsum,
+                         x -> CAST(CAST(x / m.n AS REAL) AS DOUBLE)) END
+               AS emb
+           FROM rsseeds c LEFT JOIN rpsums m ON m.s = c.s AND m.i = c.i),
+         crres AS (
+           SELECT e.vec_id, a.bucket,
+             ${resExpr.format("CAST(e.embedding AS DOUBLE[])", "c.embedding")}
+               AS emb
+           FROM embeddings e
+           JOIN iassigned a USING (vec_id)
+           JOIN ivcent c ON c.i = a.bucket),
+         rcodes AS (
+           SELECT r.vec_id, r.bucket, c.s, c.i FROM crres r CROSS JOIN rcent c
+           QUALIFY row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+             list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s], c.emb) /
+               (sqrt(list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s],
+                                      r.emb[1 + 8*c.s : 8 + 8*c.s])) *
+                sqrt(list_dot_product(c.emb, c.emb))) DESC, c.i DESC) = 1),
+         ccomb AS (
+           SELECT ic.i AS cell, rc.s, rc.i AS code,
+             list_transform(
+               list_zip(ic.embedding[1 + 8*rc.s : 8 + 8*rc.s], rc.emb),
+               z -> CAST(CAST(z[1] + z[2] AS REAL) AS DOUBLE)) AS emb
+           FROM ivcent ic CROSS JOIN rcent rc),
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         rdt AS (
+           SELECT q.query_id, p.bucket, cc.s, cc.code,
+             list_dot_product(CAST(q.embedding[1 + 8*cc.s : 8 + 8*cc.s]
+               AS DOUBLE[]), cc.emb) AS qdot,
+             list_dot_product(cc.emb, cc.emb) AS cn2
+           FROM qs q
+           JOIN iprobes p ON p.query_id = q.query_id
+           JOIN ccomb cc ON cc.cell = p.bucket),
+         est AS (
+           SELECT d.query_id, k.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.qdot) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS sdot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(j := d.s, v := d.cn2) ORDER BY d.s),
+                 x -> x.v)), (a, y) -> a + y) AS scn2
+           FROM icand cc
+           JOIN rcodes k ON k.vec_id = cc.neighbor_id
+           JOIN rdt d ON d.query_id = cc.query_id AND d.bucket = k.bucket
+             AND d.s = k.s AND d.code = k.i
+           GROUP BY 1, 2),
+         $AdcTailSql"""
+  }
 
   /** Full IVF-PQ retrieval oracle, shared verbatim by q97 (fresh build)
     * and q99 (incremental stored index) — identical SQL is the point:
@@ -1354,6 +1484,7 @@ object QueriesLLM {
     // build (sidecar round-trips are bit-exact; write-time bucket/code
     // equal whole-corpus assignment), so the oracle IS q97's retrieval.
     "q99_ivfpq_incremental" -> IvfPqRetrievalOracle,
+    "q100_ivfpq_residual" -> IvfPqResidualOracle,
     "q66_knn_label" ->
       """WITH seed AS (
            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0),

@@ -203,22 +203,27 @@ object Similarity {
     * sampled one. Empty cells keep their seed. One pass moves centroids
     * to cell centers of mass — most of k-means' recall gain for a fixed,
     * reproducible cost (Lloyd 1982, public). */
-  private[functions] def lloydOnce(
-      sample: Seq[(String, Seq[Float])],
-      seeds: Seq[(Int, Seq[Float])]): Seq[(Int, Seq[Float])] = {
-    def dot(a: Seq[Float], b: Seq[Float]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    val seedNorm = seeds.map { case (i, c) => i -> math.sqrt(dot(c, c)) }.toMap
-    def assign(v: Seq[Float]): Int = {
-      val nv = math.sqrt(dot(v, v))
+  private def driverDot(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Driver-side nearest-centroid assignment with [[ivfBucket]]'s exact
+    * arithmetic (double cosine, higher-index tie-break, NaN-greatest) —
+    * the function [[lloydOnce]] assigns with, reused by the residual
+    * codebook trainer so sample residuals subtract the SAME cell the
+    * distributed encoder would pick. */
+  private[functions] def driverAssign(
+      seeds: Seq[(Int, Seq[Float])]): Seq[Float] => Int = {
+    val seedNorm = seeds.map { case (i, c) => i -> math.sqrt(driverDot(c, c)) }.toMap
+    (v: Seq[Float]) => {
+      val nv = math.sqrt(driverDot(v, v))
       var best = -1
       var bestCos = Double.NegativeInfinity
       seeds.foreach { case (i, c) =>
-        val cos = dot(v, c) / (nv * seedNorm(i))
+        val cos = driverDot(v, c) / (nv * seedNorm(i))
         // ascending i + compare≥0 = array_max's lexicographic (cos, i):
         // ties (and NaN-greatest) resolve to the larger index
         if (best < 0 || java.lang.Double.compare(cos, bestCos) >= 0) {
@@ -227,6 +232,12 @@ object Similarity {
       }
       best
     }
+  }
+
+  private[functions] def lloydOnce(
+      sample: Seq[(String, Seq[Float])],
+      seeds: Seq[(Int, Seq[Float])]): Seq[(Int, Seq[Float])] = {
+    val assign = driverAssign(seeds)
     val members = sample.groupBy(s => assign(s._2))
     seeds.map { case (i, seedVec) =>
       members.get(i) match {
@@ -470,6 +481,126 @@ object Similarity {
     }
   }
 
+  /** Residual PQ codebooks — the IVFADC composition as FAISS ships it
+    * (`IndexIVFPQ` encodes residuals by default): each sample vector is
+    * assigned to its IVF cell with [[ivfBucket]]'s exact arithmetic
+    * ([[driverAssign]]), the cell centroid is subtracted in Float IEEE
+    * (both engines reproduce the rounding bit-exactly), and per-subspace
+    * codebooks train on the residual slices. Residuals remove the cell
+    * mean, so the m·log₂k code bits encode within-cell structure instead
+    * of re-encoding cell position — reconstruction error drops vs one
+    * global codebook over raw vectors, which is the accuracy rung above
+    * [[pqCodebooksRefined]] for cell-probed retrieval
+    * ([[ivfPqTopKResidual]]). Same bounded driver-side sample collect. */
+  def pqCodebooksResidual(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], m: Int, k: Int, dim: Int,
+      sampleN: Int = 2048): Seq[Seq[(Int, Seq[Float])]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sample = codebookSample(vectors, idCol, vecCol, math.max(k, sampleN))
+    require(sample.length >= k,
+      s"corpus has only ${sample.length} vectors — cannot sample a " +
+        s"$k-centroid codebook")
+    val assign = driverAssign(centroids)
+    val cmap = centroids.toMap
+    val residuals = sample.map { case (id, v) =>
+      val c = cmap(assign(v))
+      (id, v.zip(c).map { case (x, y) => x - y })
+    }
+    (0 until m).map { j =>
+      val sliced = residuals.map { case (id, v) =>
+        (id, v.slice(j * sub, (j + 1) * sub))
+      }
+      lloydOnce(sliced,
+        sliced.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
+    }
+  }
+
+  /** Residual IVF-PQ index columns in one pass: (idCol, bucket, pq_code)
+    * where `bucket` is the IVF cell and `pq_code` encodes the CELL
+    * RESIDUAL (vector − cell centroid, Float IEEE) against
+    * [[pqCodebooksResidual]] codebooks. The centroid subtraction is a
+    * broadcast join on bucket (k tiny rows) feeding a float `zip_with`;
+    * the encode is the audited broadcast-join form carrying (id, bucket)
+    * through. This is the write-time column pair for the residual stored
+    * index — feed [[ivfPqTopKResidual]]. */
+  def ivfPqEncodeResidual(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cframe = centroids.toDF("__b", "__cent")
+    val withRes = vectors
+      .select(col(idCol), col(vecCol).as("__v"),
+        ivfBucket(col(vecCol), centroids).as("bucket"))
+      .join(broadcast(cframe), col("bucket") === col("__b"))
+      .select(col(idCol), col("bucket"),
+        zip_with(col("__v"), col("__cent"), (x, y) => x - y).as("__res"))
+    pqEncodeArrayKeyed(withRes, Seq(idCol, "bucket"), "__res", codebooks)
+  }
+
+  /** [[ivfPqTopK]] over RESIDUAL codes: candidates come from the same
+    * nProbe-cell gate, but the ADC estimate reconstructs
+    * `cell centroid + residual centroid` — the distance table carries one
+    * row per (query, probed cell, j, code) against the k·m·k_codes
+    * combined-centroid frame (16 384 rows at the canonical 8/8/256 —
+    * still a driver-built broadcast), so estimates are cell-aware and
+    * materially tighter than the cell-agnostic [[ivfPqTopK]] table.
+    * `index` carries the write-time (idCol, bucketCol, codeCol) columns
+    * from [[ivfPqEncodeResidual]] (fresh or stored — the encoder IS the
+    * write-time form). With `shortlist` ≥ the probed candidate count the
+    * result equals [[ivfTopK]] at the same nProbe exactly — the ADC tier
+    * only orders the shortlist cut (spec-asserted). */
+  def ivfPqTopKResidual(
+      queries: DataFrame, index: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, codeCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+    requireIntegralId(index, idCol, "ivfPqTopKResidual")
+    val m = codebooks.length
+    val sub = codebooks.head.head._2.length
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // combined reconstruction centroids: cell slice + residual centroid,
+    // Float IEEE add (the arithmetic the oracle mirrors through REAL)
+    val cellCents = centroids.flatMap { case (cell, cvec) =>
+      codebooks.zipWithIndex.flatMap { case (cb, j) =>
+        cb.map { case (code, rvec) =>
+          val comb = cvec.slice(j * sub, (j + 1) * sub).zip(rvec)
+            .map { case (x, y) => x + y }
+          (cell, j, code, comb, driverDot(comb, comb))
+        }
+      }
+    }.toDF("__bucket", "j", "code", "__cvec", "cn2")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    // per-(query, probed cell) distance table: |queries|·nProbe·m·k rows
+    val dt = probes
+      .select(col("query_id"), col("__bucket"), norm(col("__qv")).as("qn"),
+        col("__qv"))
+      .filter(col("qn") > 0d)
+      .join(broadcast(cellCents), Seq("__bucket"))
+      .select(col("query_id"), col("__bucket"), col("qn"), col("j"), col("code"),
+        dot(slice(col("__qv"), col("j") * lit(sub) + 1, lit(sub)),
+          col("__cvec")).as("qdot"),
+        col("cn2"))
+    val dtMaybeBcast = if (broadcastDistanceTable) broadcast(dt) else dt
+    val cand = probes.select(col("query_id"), col("__bucket"))
+      .join(index.select(col(idCol).as("neighbor_id"),
+        col(bucketCol).cast("int").as("__bucket"), col(codeCol).as("__pq")),
+        Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__bucket"), col("neighbor_id"),
+        posexplode(col("__pq")).as(Seq("j", "code")))
+      .select(col("query_id"), col("__bucket"), col("neighbor_id"),
+        col("j").cast("int").as("j"), col("code").cast("int").as("code"))
+    adcEstimateRerank(
+      cand.join(dtMaybeBcast, Seq("query_id", "__bucket", "j", "code")),
+      queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
   /** Packed PQ code: per subspace, nearest-centroid assignment by cosine
     * (argmax with higher-index tie-break — [[ivfBucket]] on the subvector,
     * the engine-portable arithmetic proven for q56), packed little-endian
@@ -520,6 +651,14 @@ object Similarity {
     * collapses it map-side to |corpus|·m before any shuffle. */
   def pqEncodeArray(
       vectors: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame =
+    pqEncodeArrayKeyed(vectors, Seq(idCol), vecCol, codebooks)
+
+  /** [[pqEncodeArray]] grouped by several passthrough key columns — the
+    * residual encoder carries (id, bucket) through the encode so the
+    * bucket needn't be re-joined afterwards. */
+  private def pqEncodeArrayKeyed(
+      vectors: DataFrame, keys: Seq[String], vecCol: String,
       codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
     val sub = codebooks.head.head._2.length
     require(codebooks.head.length <= 32767,
@@ -539,15 +678,16 @@ object Similarity {
     // joined rows each pay one tight primitive loop instead of an
     // interpreted zip_with/aggregate lambda pair (~10× on this stage)
     val subv = slice(col("__v"), col("j") * lit(sub) + 1, lit(sub))
-    vectors.select(col(idCol), col(vecCol).as("__v"))
+    val keyCols = keys.map(col)
+    vectors.select(keyCols :+ col(vecCol).as("__v"): _*)
       .crossJoin(broadcast(cents))
-      .select(col(idCol), col("j"), col("code"),
-        (dot(subv, col("__cvec")) / (norm(subv) * col("__cn"))).as("__cos"))
-      .groupBy(col(idCol), col("j"))
+      .select(keyCols ++ Seq(col("j"), col("code"),
+        (dot(subv, col("__cvec")) / (norm(subv) * col("__cn"))).as("__cos")): _*)
+      .groupBy(keyCols :+ col("j"): _*)
       // struct-max = array_max's lexicographic (cos, code) with NaN
       // greatest — the exact ivfBucket tie-break
       .agg(max(struct(col("__cos"), col("code"))).as("__m"))
-      .groupBy(col(idCol))
+      .groupBy(keyCols: _*)
       .agg(transform(
         array_sort(collect_list(struct(col("j"), col("__m.code").as("c")))),
         s => s.getField("c").cast("smallint")).as("pq_code"))

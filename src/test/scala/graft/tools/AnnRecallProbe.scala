@@ -53,6 +53,17 @@ object AnnRecallProbe {
       queries, codes, e, "vec_id", "embedding", cbs, k = 5, shortlist = 50)))
     val adcRec = truth.count(adc.contains).toDouble / truth.size
     println(f"adc_fullscan shortlist=50 recall=$adcRec%.3f sec=$tAdc%.2f")
+    val rcbs = Similarity.pqCodebooksResidual(e, "vec_id", "embedding",
+      cents, m = 8, k = 256, dim = 64, sampleN = 8192)
+    val rindex = Similarity.ivfPqEncodeResidual(
+      e, "vec_id", "embedding", cents, rcbs).localCheckpoint()
+    for ((nProbe, shortlist) <- Seq((2, 50), (4, 50), (8, 50))) {
+      val (got, t) = timed(pairs(Similarity.ivfPqTopKResidual(
+        queries, rindex, e, "vec_id", "embedding", "bucket", "pq_code",
+        cents, rcbs, k = 5, nProbe = nProbe, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"ivfpq_residual nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
     spark.stop()
   }
 }
