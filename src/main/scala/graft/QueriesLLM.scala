@@ -300,20 +300,10 @@ object QueriesLLM {
       Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 86400))
-      def writeBatch(batch0: org.apache.spark.sql.DataFrame): Unit = {
-        val cb = Similarity.loadCentroids(s, s"$work/centroids")
-        val pq = Similarity.loadPqCodebooks(s, s"$work/codebooks")
-        // the batch feeds BOTH the encoder and the vector re-attach join
-        val batch = batch0.persist()
-        ps.store("emb", Similarity.pqEncodeArray(batch, "vec_id", "embedding", pq)
-          .join(batch, "vec_id")
-          .select(col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
-            col("embedding"),
-            Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
-            col("pq_code"), lit(1L).as("modified")))
-        batch.unpersist()
-        ()
-      }
+      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.writeIndexBatch(ps, "emb", batch, "vec_id", "embedding",
+          Similarity.loadCentroids(s, s"$work/centroids"),
+          Similarity.loadPqCodebooks(s, s"$work/codebooks"), modified = 1L)
       val hv = conv(substring(md5(concat(lit("batch:"),
           col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
       writeBatch(e.filter(hv === 0L))

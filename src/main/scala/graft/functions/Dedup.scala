@@ -450,50 +450,55 @@ object Dedup {
   }
 
   /** [[contamination]] for an eval set too large to broadcast as an exact
-    * set: a Bloom filter of the eval shingles (built with Spark's own
-    * `BloomFilterAggregate` over `xxhash64`, a few MB at any eval size)
-    * is embedded as a literal and prunes the corpus side BEFORE the exact
-    * confirm join — the same two-tier shape as LSH-then-Jaccard. The
-    * final counts are bloom-independent (false positives die in the
-    * confirm join, `fpp` only tunes how much corpus survives the
-    * prefilter), so results are deterministic and equal
-    * [[contamination]]'s exactly (spec-asserted).
+    * set: a Bloom filter of the eval shingles is embedded as a literal
+    * and prunes the corpus side BEFORE the exact confirm join — the same
+    * two-tier shape as LSH-then-Jaccard. The final counts are
+    * bloom-independent (false positives die in the confirm join, `fpp`
+    * only tunes how much corpus survives the prefilter), so results are
+    * deterministic and equal [[contamination]]'s exactly (spec-asserted).
     *
-    * Scale shape: tier 1 is a codegen'd `might_contain` filter streaming
-    * over corpus shingles (no exchange, no broadcast beyond the sketch
-    * bytes in the task binary); tier 2 shuffles ONLY the surviving
-    * ≈ (hits + fpp·|corpus shingles|) rows against the eval set — the
-    * exchange that [[contamination]] avoids by broadcasting is here paid
-    * only by the pruned residue, which is what makes a 10⁹-shingle eval
-    * set workable. `expectedEvalNgrams` sizes the sketch; ≤ 0 derives it
-    * with one count over the (small) eval side. */
+    * Scale shape: tier 1 is Spark's codegen'd `might_contain` expression
+    * streaming over corpus shingles (no exchange); tier 2 shuffles ONLY
+    * the surviving ≈ (hits + fpp·|corpus shingles|) rows against the eval
+    * set — the exchange that [[contamination]] avoids by broadcasting is
+    * here paid only by the pruned residue. The sketch is built with an
+    * uncapped `treeAggregate` over `xxhash64` values (order-independent
+    * bit-set union → deterministic; putLong/mightContainLong
+    * byte-parity with the codegen'd probe is probe-verified) — NOT with
+    * `BloomFilterAggregate`/`stat.bloomFilter`, which silently clamp to
+    * 8 MB (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`):
+    * ~0.07 bits/item at a 10⁹-shingle eval set, i.e. fpp → 1 and a
+    * prefilter that prunes nothing. Sketch bytes ride in the task binary:
+    * ~0.9 MB per 10⁶ eval shingles at fpp=0.03, so literal shipping is
+    * comfortable to ~10⁸ items; beyond that raise `fpp` (prefilter-only
+    * correctness lets it trade freely) or split the eval set.
+    * `expectedEvalNgrams` sizes the sketch; ≤ 0 derives it with one count
+    * over the eval side. */
   def contaminationBloom(
       docShingles: DataFrame, evalShingles: DataFrame, idCol: String,
       minOverlap: Long = 1L, expectedEvalNgrams: Long = -1L,
       fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    // one computation of the (possibly expensively derived) eval side
+    // feeds the count, the sketch build and the confirm join
     val evalSet = evalShingles.select(col("shingle")).distinct()
+      .localCheckpoint()
     val nItems =
       if (expectedEvalNgrams > 0) expectedEvalNgrams
       else math.max(1L, evalSet.count())
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(nItems, fpp)
-    val bloomBytes = evalSet
-      .select(GraftBridge.column(new BloomFilterAggregate(
-          GraftBridge.expression(xxhash64(col("shingle"))),
-          Literal(nItems), Literal(numBits)).toAggregateExpression())
-        .as("bf"))
-      .head.getAs[Array[Byte]](0)
-    // an EMPTY eval set aggregates to a null sketch — nothing can overlap,
-    // so the prefilter is `false` rather than a null-propagating predicate
-    val mightContain =
-      if (bloomBytes == null) lit(false)
-      else GraftBridge.column(BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType),
-        GraftBridge.expression(xxhash64(col("shingle")))))
+    val bloom = evalSet.select(xxhash64(col("shingle")).as("h"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(nItems, fpp))(
+        (bf, h) => { bf.putLong(h); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bos.toByteArray, BinaryType),
+      GraftBridge.expression(xxhash64(col("shingle")))))
     val hits = docShingles.filter(mightContain)
       .join(evalSet, "shingle")
       .groupBy(col(idCol)).agg(count(lit(1)).as("overlap_ngrams"))

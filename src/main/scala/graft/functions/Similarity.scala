@@ -560,7 +560,6 @@ object Similarity {
       codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
       shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
     requireIntegralId(index, idCol, "ivfPqTopKResidual")
-    val m = codebooks.length
     val sub = codebooks.head.head._2.length
     val spark = queries.sparkSession
     import spark.implicits._
@@ -914,6 +913,30 @@ object Similarity {
     // distance-table rows, unlike the full-scan path's (j, code) join
     adcEstimateRerank(cand.join(dtMaybeBcast, Seq("query_id", "j", "code")),
       queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Write one ingest batch's IVF-PQ index columns — bucket + PQ code
+    * array computed at write time — through a PartStore staged merge.
+    * THE write-time indexing contract, shared by the batch incremental
+    * loop (q99) and the streaming `StreamingRollup.indexSink`: one
+    * implementation, so the stored-equals-fresh gate property cannot
+    * drift between the two ingest paths. Stored columns:
+    * (entity_id, timestamp=0, embedding, bucket, pq_code, modified). */
+  def writeIndexBatch(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], modified: Long): Unit = {
+    // the batch feeds BOTH the encoder and the vector re-attach join
+    val cached = batch.persist()
+    ps.store(part, pqEncodeArray(cached, idCol, vecCol, codebooks)
+      .join(cached, idCol)
+      .select(col(idCol).as("entity_id"), lit(0L).as("timestamp"),
+        col(vecCol).as("embedding"),
+        ivfBucket(col(vecCol), centroids).as("bucket"),
+        col("pq_code"), lit(modified).as("modified")))
+    cached.unpersist()
+    ()
   }
 
   /** Persist centroids next to a stored index: a stored bucket/code

@@ -185,19 +185,11 @@ object StreamingRollup {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val cents = graft.functions.Similarity.loadCentroids(spark, centroidsPath)
-          val cbs = graft.functions.Similarity.loadPqCodebooks(spark, codebooksPath)
-          val now = nowSec()
-          val cached = batch.persist()
-          ps.store(part, graft.functions.Similarity
-            .pqEncodeArray(cached, idCol, vecCol, cbs)
-            .join(cached, idCol)
-            .select(col(idCol).as("entity_id"), lit(0L).as("timestamp"),
-              col(vecCol).as("embedding"),
-              graft.functions.Similarity.ivfBucket(col(vecCol), cents).as("bucket"),
-              col("pq_code"), lit(now).as("modified")))
-          cached.unpersist()
-          ()
+          graft.functions.Similarity.writeIndexBatch(ps, part, batch.toDF(),
+            idCol, vecCol,
+            graft.functions.Similarity.loadCentroids(spark, centroidsPath),
+            graft.functions.Similarity.loadPqCodebooks(spark, codebooksPath),
+            modified = nowSec())
         }
       }
       .start()

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import java.sql.{Date, Timestamp}
 
 /** `Tables.load` time normalization: whatever physical type a regenerated
   * fixture ships (TIMESTAMP micros → NTZ, TIMESTAMP with tz, DATE — the
@@ -13,10 +12,13 @@ class TablesSpec extends SparkSpec {
 
   test("micros-NTZ, tz-timestamp and date columns all load as epoch nanos") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tables_").toString
-    // 2000-01-01 00:00:00 UTC = 946684800 s
+    // 2000-01-01 00:00:00 UTC = 946684800 s = day 10957 — all columns are
+    // built from epoch constants so the spec never touches the JVM
+    // default timezone (Timestamp.valueOf would)
     val sec = 946684800L
-    Seq((1L, Timestamp.valueOf("2000-01-01 00:00:00"), Date.valueOf("2000-01-01")))
-      .toDF("id", "ts", "d")
+    Seq(1L).toDF("id")
+      .withColumn("ts", timestamp_micros(lit(sec * 1000000L)))
+      .withColumn("d", date_from_unix_date(lit((sec / 86400).toInt)))
       .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
       .write.mode("overwrite").parquet(s"$dir/t.parquet")
     val got = Tables.load(spark, dir, "t")
