@@ -471,6 +471,31 @@ class SimilaritySpec extends SparkSpec {
     assert(viaRepart == base)
   }
 
+  test("IVF-PQ entry points tolerate empty sides and an over-wide probe") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    val codes = Similarity.pqEncodeArray(clustered, "vec_id", "embedding", cbs)
+    val queries = clustered.filter(col("vec_id") < 10)
+    val none = clustered.filter(col("vec_id") < 0)
+    // empty query side → empty result, no job failure
+    assert(Similarity.ivfPqTopK(none, codes, clustered, "vec_id", "embedding",
+      cents, cbs, k = 3, nProbe = 2, shortlist = 10).count() == 0)
+    // empty corpus/code side → empty result
+    val noCodes = Similarity.pqEncodeArray(none, "vec_id", "embedding", cbs)
+    assert(Similarity.ivfPqTopK(queries, noCodes, none, "vec_id", "embedding",
+      cents, cbs, k = 3, nProbe = 2, shortlist = 10).count() == 0)
+    // nProbe beyond the centroid count behaves as nProbe = k (the probe
+    // slice caps at the cell array), matching the full-probe identity
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val over = rows(Similarity.ivfPqTopK(queries, codes, clustered, "vec_id",
+      "embedding", cents, cbs, k = 3, nProbe = 99, shortlist = 10))
+    val full = rows(Similarity.ivfPqTopK(queries, codes, clustered, "vec_id",
+      "embedding", cents, cbs, k = 3, nProbe = 5, shortlist = 10))
+    assert(over == full)
+  }
+
   test("NaN cosine never occupies a top-k slot, regardless of arrival order") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.3f)),

@@ -184,11 +184,16 @@ class CompilerSkewSpec extends SparkSpec {
     val plan = Dedup.contaminationBloom(train, eval, "doc_id", minOverlap = 1)
       .queryExecution.analyzed.toString
     assert(plan.contains("might_contain"), plan)
-    // empty eval set: null sketch → nothing contaminated, no NPE
+    // empty eval set: empty sketch → nothing contaminated, no NPE
     val none = Dedup.contaminationBloom(train,
       eval.filter(col("doc_id") < 0), "doc_id", minOverlap = 1)
     assert(none.filter(col("contaminated")).count() == 0)
     assert(none.count() == 400)
+    // caller-sized sketch (expectedEvalNgrams > 0 skips the count job)
+    // produces identical results
+    assert(rows(Dedup.contaminationBloom(train, eval, "doc_id",
+      minOverlap = 1, expectedEvalNgrams = 1000L)) ==
+      rows(Dedup.contamination(train, eval, "doc_id", minOverlap = 1)))
   }
 
   test("stratifiedSample is deterministic, rate-faithful and shuffle-free") {
