@@ -331,6 +331,18 @@ object QueriesLLM {
           k = 5, nProbe = 2, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- full-corpus PQ codebook training: q92's fixed-point Lloyd
+    // arithmetic per (subspace, code, dim) — no codebook bounded by a
+    // driver sample anymore; codes re-derived with the refined books ----
+    "q101_pq_codes_full" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cbs = Similarity.pqCodebooksRefinedFull(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64)
+      Similarity.pqEncodeArray(e, "vec_id", "embedding", cbs)
+        .select(col("vec_id"),
+          array_join(col("pq_code"), ",").as("pq_code_csv"))
+        .orderBy("vec_id")
+    },
     // ---- distributed Lloyd pass: fixed-point per-cell means over the
     // FULL corpus (deterministic under any partitioning) ----
     "q92_ivf_cell_means" -> { (s, dir) =>
@@ -1475,6 +1487,58 @@ object QueriesLLM {
     // equal whole-corpus assignment), so the oracle IS q97's retrieval.
     "q99_ivfpq_incremental" -> IvfPqRetrievalOracle,
     "q100_ivfpq_residual" -> IvfPqResidualOracle,
+    // Full-corpus PQ training: md5-ordered k seeds per subspace, ONE
+    // fixed-point Lloyd pass over every corpus vector (q92's
+    // floor(x·2²⁴+0.5) BIGINT sums — deterministic under any
+    // partitioning), codes re-derived with the refined books. Mirrors
+    // pqCodebooksRefinedFull / pqCellMeans.
+    "q101_pq_codes_full" ->
+      """WITH fsd AS (
+           SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+               CAST(vec_id AS VARCHAR)) - 1 AS INT) AS i,
+             CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+           LIMIT 256),
+         fss AS (SELECT unnest(generate_series(0, 7)) AS s),
+         fsseeds AS (
+           SELECT fss.s, fsd.i, fsd.emb[1 + 8*fss.s : 8 + 8*fss.s] AS emb
+           FROM fsd CROSS JOIN fss),
+         fcode0 AS (
+           SELECT e.vec_id, c.s, c.i FROM embeddings e CROSS JOIN fsseeds c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+             list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]), c.emb) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.emb, c.emb))) DESC, c.i DESC) = 1),
+         fdims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+         fqx AS (
+           SELECT k.s, k.i, d.dim,
+             CAST(floor(CAST(e.embedding[1 + 8*k.s + d.dim] AS DOUBLE)
+               * 16777216.0 + 0.5) AS BIGINT) AS q
+           FROM fcode0 k JOIN embeddings e USING (vec_id) CROSS JOIN fdims d),
+         fdm AS (
+           SELECT s, i, dim,
+             CAST(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
+               / 16777216.0 AS REAL) AS mr
+           FROM fqx GROUP BY 1, 2, 3),
+         fmean AS (
+           SELECT s, i, list(CAST(mr AS DOUBLE) ORDER BY dim) AS emb
+           FROM fdm GROUP BY 1, 2),
+         fcent AS (
+           SELECT c.s, c.i, coalesce(f.emb, c.emb) AS emb
+           FROM fsseeds c LEFT JOIN fmean f ON f.s = c.s AND f.i = c.i),
+         fcode1 AS (
+           SELECT e.vec_id, c.s, c.i FROM embeddings e CROSS JOIN fcent c
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+             list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]), c.emb) /
+               (sqrt(list_dot_product(CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]),
+                                      CAST(e.embedding[1 + 8*c.s : 8 + 8*c.s] AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.emb, c.emb))) DESC, c.i DESC) = 1)
+         SELECT vec_id,
+           array_to_string(list(CAST(i AS SMALLINT) ORDER BY s), ',')
+             AS pq_code_csv
+         FROM fcode1 GROUP BY 1 ORDER BY 1""",
     "q66_knn_label" ->
       """WITH seed AS (
            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 3 = 0),

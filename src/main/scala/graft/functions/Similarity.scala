@@ -481,6 +481,65 @@ object Similarity {
     }
   }
 
+  /** Distributed per-(subspace, code, dim) fixed-point means over the
+    * FULL corpus — [[ivfCellMeans]]'s q92 arithmetic applied to PQ
+    * training: every vector is sub-assigned per subspace through the
+    * broadcast-join encoder (the codegen-safe form at k=256 — the Column
+    * argmax would inline m·k literal folds), subvector dims explode to
+    * (s, code, dim, x) rows, and the sums are `floor(x·2^scaleBits + 0.5)`
+    * LONGs — integer addition is order-free, so the means are
+    * bit-identical under any partitioning and any engine. Shuffle ≤
+    * m·k·sub·|partitions| partial rows. Output: (s, code, dim, n, mean). */
+  def pqCellMeans(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], scaleBits: Int = 24): DataFrame = {
+    require(scaleBits >= 8 && scaleBits <= 40,
+      s"scaleBits $scaleBits outside the sane fixed-point range [8, 40]")
+    val scale = (1L << scaleBits).toDouble
+    val sub = codebooks.head.head._2.length
+    val coded = pqEncodeArrayKeyed(vectors, Seq(idCol), vecCol, codebooks)
+    vectors.select(col(idCol), col(vecCol).as("__v"))
+      .join(coded, idCol)
+      .select(col("__v"), posexplode(col("pq_code")).as(Seq("s", "code")))
+      .select(col("s").cast("int").as("s"), col("code").cast("int").as("code"),
+        posexplode(slice(col("__v"), col("s").cast("int") * lit(sub) + 1,
+          lit(sub))).as(Seq("dim", "x")))
+      .groupBy(col("s"), col("code"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * scale + 0.5).cast("long")).as("__qsum"))
+      .select(col("s"), col("code"), col("dim"), col("n"),
+        (col("__qsum").cast("double") / col("n") / scale).as("mean"))
+  }
+
+  /** [[pqCodebooks]] seeds + ONE distributed Lloyd pass over the whole
+    * corpus via [[pqCellMeans]] — the full-corpus training rung for PQ
+    * codebooks, completing what q92/[[ivfCentroidsRefinedFull]] did for
+    * IVF centroids: no codebook is bounded by a driver sample anymore.
+    * The m·k·sub mean rows collect to the driver (bounded by codebook
+    * size, never the corpus) and round through Float exactly like
+    * [[lloydOnce]]. Codes no corpus vector maps to keep their seed.
+    * Deterministic under any partitioning (spec-asserted). */
+  def pqCodebooksRefinedFull(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      dim: Int, scaleBits: Int = 24): Seq[Seq[(Int, Seq[Float])]] = {
+    val seeds = pqCodebooks(vectors, idCol, vecCol, m, k, dim)
+    val sub = dim / m
+    val means = pqCellMeans(vectors, idCol, vecCol, seeds, scaleBits)
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(_.getDouble(4).toFloat).toSeq
+      }
+    seeds.zipWithIndex.map { case (cb, j) =>
+      cb.map { case (code, seedVec) =>
+        means.get((j, code)) match {
+          case Some(v) if v.length == sub => code -> v
+          case _ => code -> seedVec
+        }
+      }
+    }
+  }
+
   /** Residual PQ codebooks — the IVFADC composition as FAISS ships it
     * (`IndexIVFPQ` encodes residuals by default): each sample vector is
     * assigned to its IVF cell with [[ivfBucket]]'s exact arithmetic

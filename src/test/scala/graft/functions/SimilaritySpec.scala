@@ -496,6 +496,31 @@ class SimilaritySpec extends SparkSpec {
     assert(over == full)
   }
 
+  test("full-corpus PQ training: partition-invariant, moves seeds, keeps empty codes") {
+    val full = Similarity.pqCodebooksRefinedFull(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    // bit-identical under any partition layout (fixed-point LONG sums)
+    val repart = Similarity.pqCodebooksRefinedFull(
+      clustered.repartition(7), "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    assert(full == repart)
+    // the full pass genuinely moved the seed codebooks (corpus ≠ sample
+    // here would be redundant — what matters is means ≠ raw seed vectors)
+    val seeds = Similarity.pqCodebooks(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    assert(full != seeds)
+    // a code no corpus vector maps to keeps its seed: train against a
+    // single-vector corpus — at most one code per subspace has members
+    val one = clustered.filter(col("vec_id") === 0)
+    val oneSeeds = Similarity.pqCodebooks(
+      one, "vec_id", "embedding", m = 4, k = 1, dim = dim)
+    val oneFull = Similarity.pqCodebooksRefinedFull(
+      one, "vec_id", "embedding", m = 4, k = 1, dim = dim)
+    assert(oneSeeds.flatten.map(_._1) == oneFull.flatten.map(_._1))
+    // and the refined books encode without error
+    assert(Similarity.pqEncodeArray(clustered, "vec_id", "embedding", full)
+      .count() == 100)
+  }
+
   test("NaN cosine never occupies a top-k slot, regardless of arrival order") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.3f)),
