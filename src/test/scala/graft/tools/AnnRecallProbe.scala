@@ -53,6 +53,14 @@ object AnnRecallProbe {
       queries, codes, e, "vec_id", "embedding", cbs, k = 5, shortlist = 50)))
     val adcRec = truth.count(adc.contains).toDouble / truth.size
     println(f"adc_fullscan shortlist=50 recall=$adcRec%.3f sec=$tAdc%.2f")
+    val fcbs = Similarity.pqCodebooksRefinedFull(e, "vec_id", "embedding",
+      m = 8, k = 256, dim = 64)
+    val fcodes = Similarity.pqEncodeArray(e, "vec_id", "embedding", fcbs)
+      .localCheckpoint()
+    val (fadc, tFull) = timed(pairs(Similarity.adcTopKArray(
+      queries, fcodes, e, "vec_id", "embedding", fcbs, k = 5, shortlist = 50)))
+    val fadcRec = truth.count(fadc.contains).toDouble / truth.size
+    println(f"adc_fullscan_fulltrain shortlist=50 recall=$fadcRec%.3f sec=$tFull%.2f")
     val rcbs = Similarity.pqCodebooksResidual(e, "vec_id", "embedding",
       cents, m = 8, k = 256, dim = 64, sampleN = 8192)
     val rindex = Similarity.ivfPqEncodeResidual(
