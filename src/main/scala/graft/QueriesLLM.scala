@@ -482,16 +482,21 @@ object QueriesLLM {
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     },
-    // ---- multimodal: batched decode stub + thumbnail plan (rows-only) ----
+    // ---- multimodal: REAL header decode (PNG/JPEG/GIF/AVI) + thumbnails.
+    // Testdata has no media bytes, so the gate synthesizes format-conformant
+    // containers from (doc_id, n_chars) and runs the real byte parser; the
+    // oracle recomputes dimensions arithmetically, so a parser reading the
+    // wrong offset/endianness hash-mismatches. ----
     "q38_multimodal_decode" -> { (s, dir) =>
       val d = Multimodal.decode(
-        docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+        Multimodal.fixtureBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
-    // ---- multimodal: frame sampling over decoded "video" (every 4th) ----
+    // ---- multimodal: frame sampling over decoded video (every 4th).
+    // AVI docs (doc_id%4==3) carry real dwTotalFrames; stills decode to 1. ----
     "q60_frame_sample" -> { (s, dir) =>
       val d = Multimodal.decode(
-        docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+        Multimodal.fixtureBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
       Multimodal.frameSamplePlan(d, 4)
         .select(col("id"), col("frames"),
           size(col("frame_idx")).as("n_sampled"),
@@ -2005,34 +2010,27 @@ object QueriesLLM {
          WHERE q.n_tokens >= 30 AND q.stopword_ratio <= 0.4
            AND l.n_en >= l.n_es AND l.n_en > 0
          ORDER BY q.doc_id""",
-    // q38: the decode STUB's FNV-1a fold is deterministic integer math, so it
-    // is fully oracle-checkable. h is kept unsigned mod 2^64 in HUGEINT; the
-    // per-byte XOR only touches the low 7 bits (fixture text is pure ASCII,
-    // so ord(char) == utf8 byte), hence h - h%128 + xor(h%128, byte).
-    // Signed reinterpretation + arithmetic >>10 (floor division) reproduce
-    // the Scala width/height/thumbnail arithmetic exactly (IEEE double ops
-    // are deterministic and identical across both engines).
+    // q38: the Spark side synthesizes real PNG/JPEG/GIF/AVI containers from
+    // (doc_id, n_chars) and parses dimensions back with the real
+    // header parser (Multimodal.parseMedia). The oracle recomputes the
+    // fixture dimensions arithmetically (Multimodal.mediaFixture scaladoc),
+    // so the gate proves parse ∘ synthesize = identity: a wrong offset or
+    // endianness in the parser hash-mismatches. Ground-truth byte anchoring
+    // (a genuine 1×1 PNG etc.) lives in MultimodalSpec.
     "q38_multimodal_decode" ->
-      """WITH RECURSIVE fnv AS (
-           SELECT doc_id, length(text) AS n, 0 AS pos,
-             CAST(1469598103934665603 AS HUGEINT) AS h, text
-           FROM documents
-           UNION ALL
-           SELECT doc_id, n, pos + 1,
-             ((h - h % 128 + xor(CAST(h % 128 AS BIGINT), ord(substr(text, pos + 1, 1))))
-               * 1099511628211) % CAST('18446744073709551616' AS HUGEINT),
-             text
-           FROM fnv WHERE pos < n),
-         cs AS (
+      """WITH dims AS (
            SELECT doc_id,
-             CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-                  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS c
-           FROM fnv WHERE pos = n),
-         dims AS (
-           SELECT doc_id,
-             16 + CAST(abs(c) % 1024 AS INT) AS w,
-             16 + CAST(abs((c - ((c % 1024 + 1024) % 1024)) / 1024) % 1024 AS INT) AS h
-           FROM cs),
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 1 + n_chars % 1000
+               WHEN 1 THEN 1 + n_chars % 1000
+               WHEN 2 THEN 1 + n_chars % 500
+               ELSE 16 + n_chars % 1920 END AS w,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 1 + (doc_id * 7) % 1000
+               WHEN 1 THEN 1 + (doc_id * 7) % 1000
+               WHEN 2 THEN 1 + (doc_id * 3) % 500
+               ELSE 16 + (doc_id * 5) % 1080 END AS h
+           FROM documents),
          scaled AS (
            SELECT doc_id, w, h,
              least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) / greatest(w, h)) AS scale
@@ -2041,29 +2039,14 @@ object QueriesLLM {
            greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
-    // frame sampling: same FNV fold, frames = 1 + |c >> 20| % 120 (floor
-    // shift via exact HUGEINT floor-division), every-4th indices.
+    // q60: frame counts come from the AVI avih dwTotalFrames field the
+    // fixture wrote (doc_id%4==3); still images decode to 1 frame.
     "q60_frame_sample" ->
-      """WITH RECURSIVE fnv AS (
-           SELECT doc_id, length(text) AS n, 0 AS pos,
-             CAST(1469598103934665603 AS HUGEINT) AS h, text
-           FROM documents
-           UNION ALL
-           SELECT doc_id, n, pos + 1,
-             ((h - h % 128 + xor(CAST(h % 128 AS BIGINT), ord(substr(text, pos + 1, 1))))
-               * 1099511628211) % CAST('18446744073709551616' AS HUGEINT),
-             text
-           FROM fnv WHERE pos < n),
-         cs AS (
+      """WITH fr AS (
            SELECT doc_id,
-             CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
-                  THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS c
-           FROM fnv WHERE pos = n),
-         fr AS (
-           SELECT doc_id,
-             CAST(1 + abs((c - ((c % 1048576 + 1048576) % 1048576)) / 1048576) % 120
-               AS INT) AS frames
-           FROM cs)
+             CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 120 AS INT)
+                  ELSE 1 END AS frames
+           FROM documents)
          SELECT doc_id AS id, frames,
            CAST(len(generate_series(0, frames - 1, 4)) AS INT) AS n_sampled,
            array_to_string(generate_series(0, frames - 1, 4), ',') AS idx_str

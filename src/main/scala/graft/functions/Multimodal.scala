@@ -1,20 +1,30 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata.
   *
-  * Spark-side plumbing is real: schema, batch-wise per-partition transforms
-  * (the Scala analogue of `mapInPandas` — `mapPartitions` over an Iterator,
-  * amortizing per-batch model/codec setup), partitioning, and
-  * metadata extraction via native expressions. The codec itself (JPEG
-  * decode, audio resample, video frame-sample) is STUBBED with a
-  * deterministic fake — the decode libraries are not in this container —
-  * clearly marked below; swapping in a real codec changes only the body of
-  * `decodeStub`.
+  * The decode stage is a REAL container-header parser: PNG IHDR (big-endian
+  * dimensions, PNG spec §11.2.2), JPEG SOFn marker walk (ITU T.81 §B.2.2 —
+  * segments are length-prefixed, so the scan skips APPn/COM/DQT to the
+  * frame header), GIF logical screen descriptor (little-endian, GIF89a
+  * spec §18), and AVI `avih` main header (RIFF chunk walk; dwTotalFrames /
+  * dwWidth / dwHeight at fixed offsets in the AVIMAINHEADER struct). These
+  * are pure byte reads — no codec library — which is exactly what a
+  * 100 TB metadata-extraction pass wants: dimensions and frame counts
+  * without decompressing pixel data. Full pixel decode (JPEG IDCT, video
+  * codecs) would slot into the same `mapPartitions` batch shape; the
+  * libraries are not in this container, so unknown formats degrade to a
+  * checksum-only row (width/height/frames = 0) rather than fake numbers.
+  *
+  * Reference analogue: minerva treats payloads it cannot type as opaque
+  * text and extracts what its parsers can (src/minerva/storage/datatype.py
+  * deduce_parser_config); here the binary analogue is header-typed
+  * extraction with an explicit unknown fallback.
   */
 object Multimodal {
 
@@ -28,25 +38,108 @@ object Multimodal {
       hex(substring(col(binCol), 1, 4)).as("magic")
     )
 
-  final case class DecodedMedia(id: Long, width: Int, height: Int, frames: Int, checksum: Long)
+  final case class DecodedMedia(
+      id: Long, format: String, width: Int, height: Int, frames: Int, checksum: Long)
 
-  /** STUB decode: deterministic fake standing in for the real codec.
-    * Real implementation would decode `bytes` (e.g. via javax.imageio /
-    * ffmpeg bindings); the Spark plumbing — per-partition batching, typed
-    * output schema, no driver round-trips — is the part under test. */
-  private def decodeStub(id: Long, bytes: Array[Byte]): DecodedMedia = {
-    val checksum = bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ b) * 1099511628211L)
-    DecodedMedia(
-      id = id,
-      width = 16 + (math.abs(checksum) % 1024).toInt,
-      height = 16 + (math.abs(checksum >> 10) % 1024).toInt,
-      frames = 1 + (math.abs(checksum >> 20) % 120).toInt, // fake frame count
-      checksum = checksum
-    )
+  // ---- byte readers ---------------------------------------------------
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, StandardCharsets.US_ASCII)
+
+  /** FNV-1a 64-bit over the raw bytes — cheap dedup/change-detect key kept
+    * for every row regardless of format. */
+  def fnv64(bytes: Array[Byte]): Long =
+    bytes.foldLeft(-3750763034362895579L /* 0xcbf29ce484222325 */ )(
+      (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 24 && b.take(8).sameElements(PngSig) && fourcc(b, 12) == "IHDR"
+
+  /** SOF0–SOF15 minus DHT (C4), JPG (C8), DAC (CC) — the frame headers that
+    * carry image dimensions (T.81 table B.1). */
+  private def isSofMarker(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** Walk JPEG segments from SOI to the first SOFn; every non-standalone
+    * segment is big-endian length-prefixed, so the walk is O(#segments). */
+  private def parseJpeg(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if (u8(b, pos) != 0xff) return unknown(id, cs) // desynced stream
+      val m = u8(b, pos + 1)
+      if (m == 0xff) pos += 1 // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) pos += 2 // standalone
+      else {
+        val len = be16(b, pos + 2)
+        if (isSofMarker(m)) {
+          if (pos + 9 > b.length) return unknown(id, cs)
+          // segment: len(2) precision(1) height(2) width(2) ...
+          return DecodedMedia(id, "jpeg", be16(b, pos + 7), be16(b, pos + 5), 1, cs)
+        }
+        pos += 2 + len
+      }
+    }
+    unknown(id, cs)
   }
 
-  /** Batch decode: mapPartitions so a real codec would be initialized once
-    * per partition (the `mapInPandas` batch shape), not once per row. */
+  /** Depth-first RIFF chunk walk to the `avih` AVIMAINHEADER; chunks are
+    * (fourcc, le32 size, payload) word-aligned, LIST chunks nest. */
+  private def findAvih(b: Array[Byte], from: Int, end: Int): Int = {
+    var pos = from
+    while (pos + 8 <= end) {
+      val id = fourcc(b, pos)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > end + 1) return -1
+      if (id == "avih") return pos + 8
+      if (id == "LIST") {
+        val r = findAvih(b, pos + 12, math.min(end, pos + 8 + size))
+        if (r >= 0) return r
+      }
+      pos += 8 + size + (size & 1)
+    }
+    -1
+  }
+
+  private def parseAvi(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    val avih = findAvih(b, 12, b.length)
+    if (avih < 0 || avih + 40 > b.length) unknown(id, cs)
+    else
+      DecodedMedia(id, "avi",
+        width = le32(b, avih + 32), height = le32(b, avih + 36),
+        frames = le32(b, avih + 16), checksum = cs)
+  }
+
+  private def unknown(id: Long, cs: Long): DecodedMedia =
+    DecodedMedia(id, "unknown", 0, 0, 0, cs)
+
+  /** Real header parse: format sniff on magic bytes, then the format's own
+    * dimension/frame fields. Unknown formats keep the checksum and report
+    * zero dimensions — never fabricated numbers. */
+  def parseMedia(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val cs = fnv64(bytes)
+    if (isPng(bytes))
+      DecodedMedia(id, "png", be32(bytes, 16), be32(bytes, 20), 1, cs)
+    else if (bytes.length >= 4 && u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8)
+      parseJpeg(id, bytes, cs)
+    else if (bytes.length >= 13 &&
+             (fourcc(bytes, 0) + new String(bytes, 4, 2, StandardCharsets.US_ASCII))
+               .matches("GIF8[79]a"))
+      DecodedMedia(id, "gif", le16(bytes, 6), le16(bytes, 8), 1, cs)
+    else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ")
+      parseAvi(id, bytes, cs)
+    else unknown(id, cs)
+  }
+
+  /** Batch decode: mapPartitions so per-partition setup (a real pixel codec,
+    * if added) is amortized across the batch — the `mapInPandas` shape. */
   def decode(df: DataFrame, idCol: String, binCol: String): Dataset[DecodedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -54,12 +147,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => parseMedia(id, bytes) }
       }
   }
 
-  /** "Resize"/feature-extract stage over decoded media — placeholder
-    * arithmetic with the real pipeline shape (narrow, no shuffle). */
+  /** "Resize"/feature-extract stage over decoded media — real scale
+    * arithmetic with the pipeline shape (narrow, no shuffle). */
   def thumbnailPlan(decoded: Dataset[DecodedMedia], maxDim: Int): DataFrame = {
     val spark = decoded.sparkSession
     import spark.implicits._
@@ -72,10 +165,84 @@ object Multimodal {
   /** Frame sampling over decoded video: every `everyK`-th frame index per
     * media item (the row-per-frame shape a real frame extractor feeds into
     * the vision encoder). Expression-only — `sequence` builds the index
-    * array, no decode round-trip; swapping the stub for a real codec keeps
-    * this stage unchanged. Narrow (no shuffle): frames explode in place. */
+    * array, no decode round-trip. Narrow (no shuffle). */
   def frameSamplePlan(decoded: Dataset[DecodedMedia], everyK: Int): DataFrame =
     decoded.toDF()
       .select(col("id"), col("frames"),
         sequence(lit(0), col("frames") - 1, lit(everyK)).as("frame_idx"))
+
+  // ---- deterministic fixture synthesis --------------------------------
+  // The driver testdata carries no real media bytes, so the gate queries
+  // synthesize format-conformant containers from document columns and then
+  // run the REAL parser over them. The oracle recomputes the same
+  // dimensions arithmetically — a parser reading the wrong offset or
+  // endianness breaks the gate, and MultimodalSpec anchors the parser
+  // against genuine image bytes (a real 1×1 PNG) independently.
+
+  private def be16b(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32b(v: Int) =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32b(v: Int) =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+  private def ascii(s: String) = s.getBytes(StandardCharsets.US_ASCII)
+
+  def synthPng(w: Int, h: Int): Array[Byte] =
+    PngSig ++ be32b(13) ++ ascii("IHDR") ++ be32b(w) ++ be32b(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32b(0) // bit depth/color/... + (unchecked) CRC
+
+  /** SOI + APP0(JFIF) + variable-length COM + SOF0 + EOI — the COM segment
+    * varies per doc so the marker walk genuinely has to skip by length. */
+  def synthJpeg(w: Int, h: Int, comLen: Int): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16b(16) ++ ascii("JFIF") ++
+      Array[Byte](0, 1, 1, 0) ++ be16b(1) ++ be16b(1) ++ Array[Byte](0, 0)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ be16b(2 + comLen) ++
+      Array.fill(comLen)('x'.toByte)
+    val sof = Array(0xff, 0xc0).map(_.toByte) ++ be16b(17) ++ Array[Byte](8) ++
+      be16b(h) ++ be16b(w) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ com ++ sof ++ Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  def synthGif(w: Int, h: Int): Array[Byte] =
+    ascii("GIF89a") ++ le16b(w) ++ le16b(h) ++ Array[Byte](0, 0, 0, 0x3b)
+
+  /** RIFF/AVI with a LIST(hdrl) holding the 56-byte AVIMAINHEADER. */
+  def synthAvi(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val avihPayload = le32b(33333) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(frames) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(w) ++ le32b(h) ++ Array.fill(16)(0.toByte)
+    val avih = ascii("avih") ++ le32b(avihPayload.length) ++ avihPayload
+    val hdrl = ascii("LIST") ++ le32b(4 + avih.length) ++ ascii("hdrl") ++ avih
+    ascii("RIFF") ++ le32b(4 + hdrl.length) ++ ascii("AVI ") ++ hdrl
+  }
+
+  /** Per-doc fixture: format rotates on doc_id % 4; dimensions derive from
+    * (doc_id, n_chars) so the oracle can recompute them without bytes.
+    *   0 → PNG  w = 1 + n_chars % 1000, h = 1 + (doc_id·7) % 1000
+    *   1 → JPEG same dims, COM length 1 + doc_id % 29
+    *   2 → GIF  w = 1 + n_chars % 500,  h = 1 + (doc_id·3) % 500
+    *   3 → AVI  w = 16 + n_chars % 1920, h = 16 + (doc_id·5) % 1080,
+    *            frames = 1 + doc_id % 120 */
+  def mediaFixture(docId: Long, nChars: Long): Array[Byte] = (docId % 4) match {
+    case 0 => synthPng((1 + nChars % 1000).toInt, (1 + (docId * 7) % 1000).toInt)
+    case 1 => synthJpeg((1 + nChars % 1000).toInt, (1 + (docId * 7) % 1000).toInt,
+                        (1 + docId % 29).toInt)
+    case 2 => synthGif((1 + nChars % 500).toInt, (1 + (docId * 3) % 500).toInt)
+    case _ => synthAvi((16 + nChars % 1920).toInt, (16 + (docId * 5) % 1080).toInt,
+                       (1 + docId % 120).toInt)
+  }
+
+  /** Synthesize the media blob column from a documents frame (gate fixture
+    * path — a real deployment reads an existing binary column instead).
+    * Narrow map, no shuffle: yields exactly the (id, blob) shape `decode`
+    * consumes. */
+  def fixtureBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, mediaFixture(id, n)) }
+      .toDF(idCol, "blob")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Anchors the real header parser against ground-truth bytes: a genuine
+  * 1×1 PNG and the canonical smallest GIF89a (byte-for-byte the files any
+  * encoder produces), a JPEG laid out differently from the synth fixture
+  * (DQT before a progressive SOF2), and AVI spec offsets. These catch
+  * endianness/offset bugs the gate oracle can't (the gate proves
+  * parse ∘ synthesize = identity; this proves parse matches the format
+  * specs independently of our synthesizer). */
+class MultimodalSpec extends SparkSpec {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** A real, complete 1×1 transparent PNG (RGBA, zlib IDAT, valid CRCs). */
+  private val realPng = hex(
+    "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 0806000000 1F15C489" +
+    "0000000A 49444154 789C636000000002 0001 E221BC33 00000000 49454E44 AE426082")
+
+  /** The canonical smallest valid GIF89a: 1×1, 2-entry palette, one image. */
+  private val realGif = hex(
+    "474946383961 0100 0100 80 00 00 FFFFFF 000000" + // header + screen + GCT
+    "21F904 01 0000 00 00" +                          // graphic control ext
+    "2C 0000 0000 0100 0100 00" +                     // image descriptor 1×1
+    "02 02 4401 00" +                                 // LZW data
+    "3B")                                             // trailer
+
+  test("real 1x1 PNG parses to 1x1 via IHDR big-endian fields") {
+    val m = Multimodal.parseMedia(7L, realPng)
+    assert(m.format == "png" && m.width == 1 && m.height == 1 && m.frames == 1)
+  }
+
+  test("canonical 1x1 GIF89a parses via little-endian screen descriptor") {
+    val m = Multimodal.parseMedia(8L, realGif)
+    assert(m.format == "gif" && m.width == 1 && m.height == 1)
+  }
+
+  test("JPEG marker walk finds SOF2 behind DQT (layout differs from synth)") {
+    // SOI + DQT(65 bytes quant table) + SOF2 (progressive), h=45 w=123
+    val dqt = Array(0xff, 0xdb).map(_.toByte) ++ Array[Byte](0, 67, 0) ++
+      Array.fill(64)(1.toByte)
+    val sof2 = Array(0xff, 0xc2).map(_.toByte) ++ Array[Byte](0, 11, 8) ++
+      Array[Byte](0, 45, 0, 123, 1, 1, 0x11, 0)
+    val bytes = Array(0xff, 0xd8).map(_.toByte) ++ dqt ++ sof2 ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val m = Multimodal.parseMedia(9L, bytes)
+    assert(m.format == "jpeg" && m.width == 123 && m.height == 45)
+  }
+
+  test("JPEG truncated before any SOF degrades to unknown, not garbage") {
+    val m = Multimodal.parseMedia(1L, Array(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0, 0).map(_.toByte))
+    assert(m.format == "unknown" && m.width == 0)
+  }
+
+  test("AVI avih fields round-trip at AVIMAINHEADER spec offsets") {
+    val m = Multimodal.parseMedia(3L, Multimodal.synthAvi(320, 240, 42))
+    assert(m.format == "avi" && m.width == 320 && m.height == 240 && m.frames == 42)
+  }
+
+  test("fnv64 matches published FNV-1a test vectors") {
+    assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
+    assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
+  }
+
+  test("mediaFixture round-trips through the parser per the documented formulas") {
+    for (docId <- 0L to 11L; nChars <- Seq(3L, 499L, 1234L)) {
+      val m = Multimodal.parseMedia(docId, Multimodal.mediaFixture(docId, nChars))
+      (docId % 4) match {
+        case 0 =>
+          assert(m.format == "png" && m.width == 1 + nChars % 1000 &&
+            m.height == 1 + (docId * 7) % 1000 && m.frames == 1)
+        case 1 =>
+          assert(m.format == "jpeg" && m.width == 1 + nChars % 1000 &&
+            m.height == 1 + (docId * 7) % 1000 && m.frames == 1)
+        case 2 =>
+          assert(m.format == "gif" && m.width == 1 + nChars % 500 &&
+            m.height == 1 + (docId * 3) % 500 && m.frames == 1)
+        case _ =>
+          assert(m.format == "avi" && m.width == 16 + nChars % 1920 &&
+            m.height == 16 + (docId * 5) % 1080 && m.frames == 1 + docId % 120)
+      }
+    }
+  }
+
+  test("fixtureBlobs + decode is a narrow pipeline (no shuffle)") {
+    import spark.implicits._
+    val docs = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+      .toDF("doc_id", "n_chars")
+    val decoded = Multimodal.decode(
+      Multimodal.fixtureBlobs(docs, "doc_id", "n_chars"), "doc_id", "blob")
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val rows = decoded.collect().sortBy(_.id)
+    assert(rows.map(_.format).toSeq == Seq("png", "jpeg", "gif", "avi"))
+  }
+}

@@ -142,13 +142,18 @@ class OperatorSpec extends SparkSpec {
     assert(out.head.getAs[String]("details") == "p=55.0")
   }
 
-  test("multimodal decode stub is deterministic and batch-shaped") {
-    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "t")
-      .withColumn("blob", col("t").cast("binary"))
+  test("multimodal decode parses real headers; unknown bytes degrade honestly") {
+    val df = Seq(
+      (1L, Multimodal.synthPng(640, 480)),
+      (2L, Multimodal.synthGif(320, 200)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "blob")
     val d1 = Multimodal.decode(df, "id", "blob").collect().sortBy(_.id)
     val d2 = Multimodal.decode(df, "id", "blob").collect().sortBy(_.id)
-    assert(d1.toSeq == d2.toSeq)
-    assert(d1.forall(m => m.width >= 16 && m.height >= 16))
+    assert(d1.toSeq == d2.toSeq) // deterministic
+    assert(d1(0).format == "png" && d1(0).width == 640 && d1(0).height == 480)
+    assert(d1(1).format == "gif" && d1(1).width == 320 && d1(1).height == 200)
+    assert(d1(2).format == "unknown" && d1(2).width == 0 && d1(2).height == 0)
     val thumbs = Multimodal.thumbnailPlan(
       Multimodal.decode(df, "id", "blob"), 64).collect()
     assert(thumbs.forall(r => r.getInt(1) <= 64 && r.getInt(2) <= 64))
