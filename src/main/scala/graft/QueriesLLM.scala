@@ -298,8 +298,9 @@ object QueriesLLM {
       val work = java.nio.file.Files.createTempDirectory("graft_q99_").toString
       Similarity.saveCentroids(s, s"$work/centroids", cents)
       Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
+      // id-range index partitioning (200 ids/partition) — writeIndexBatch
       val ps = new graft.storage.PartStore(s,
-        graft.storage.PartStoreConfig(work, 86400))
+        graft.storage.PartStoreConfig(work, 200))
       def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
         Similarity.writeIndexBatch(ps, "emb", batch, "vec_id", "embedding",
           Similarity.loadCentroids(s, s"$work/centroids"),
@@ -581,12 +582,16 @@ object QueriesLLM {
       val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
       val work = java.nio.file.Files.createTempDirectory("graft_q96_").toString
       Similarity.saveCentroids(s, s"$work/centroids", centroids)
+      // 200 "ids per partition": the stored index is ID-RANGE partitioned
+      // (timestamp = vec_id), so each batch's merge touches only the
+      // partitions holding its ids — see Similarity.writeIndexBatch
       val ps = new graft.storage.PartStore(s,
-        graft.storage.PartStoreConfig(work, 86400))
+        graft.storage.PartStoreConfig(work, 200))
       def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
         val cb = Similarity.loadCentroids(s, s"$work/centroids")
         ps.store("emb", batch.select(
-          col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+          col("vec_id").as("entity_id"),
+          col("vec_id").cast("long").as("timestamp"),
           col("embedding"),
           Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
           lit(1L).as("modified")))

@@ -980,7 +980,18 @@ object Similarity {
     * loop (q99) and the streaming `StreamingRollup.indexSink`: one
     * implementation, so the stored-equals-fresh gate property cannot
     * drift between the two ingest paths. Stored columns:
-    * (entity_id, timestamp=0, embedding, bucket, pq_code, modified). */
+    * (entity_id, timestamp=entity_id, embedding, bucket, pq_code, modified).
+    *
+    * `timestamp = entity_id` makes the PartStore's time partitioning an
+    * ID-RANGE partitioning for index parts: pindex = id div
+    * `partitionSizeSeconds` (read "ids per partition" here). The merge
+    * base and the staged swap then touch ONLY the partitions containing
+    * the batch's ids — appends of fresh (monotone) ids land in tail
+    * partitions and re-embeds rewrite just the ranges holding those keys,
+    * so per-append cost is O(batch + touched partitions), never O(index).
+    * (A constant timestamp would collapse the index into one partition and
+    * make every append a full rewrite; an IVF-bucket key would not bound
+    * the blast radius either, since a random batch spans most cells.) */
   def writeIndexBatch(
       ps: graft.storage.PartStore, part: String,
       batch: DataFrame, idCol: String, vecCol: String,
@@ -990,7 +1001,8 @@ object Similarity {
     val cached = batch.persist()
     ps.store(part, pqEncodeArray(cached, idCol, vecCol, codebooks)
       .join(cached, idCol)
-      .select(col(idCol).as("entity_id"), lit(0L).as("timestamp"),
+      .select(col(idCol).as("entity_id"),
+        col(idCol).cast("long").as("timestamp"),
         col(vecCol).as("embedding"),
         ivfBucket(col(vecCol), centroids).as("bucket"),
         col("pq_code"), lit(modified).as("modified")))

@@ -135,14 +135,20 @@ object StreamingRollup {
     * log gets one entry per (batch timestamp), driving downstream
     * staleness exactly like batch loads.
     *
+    * `checkpointLocation` makes the query recoverable (resume from the
+    * last committed micro-batch after a crash/restart); without it the
+    * query restarts from scratch, which the keyed merge tolerates
+    * (replays converge) but pays a full source re-read for.
+    *
     * Returns the started query; callers own its lifecycle. */
   def trendSink(
       stream: DataFrame,
       ps: graft.storage.PartStore,
       part: String,
-      nowSec: () => Long = () => System.currentTimeMillis() / 1000
+      nowSec: () => Long = () => System.currentTimeMillis() / 1000,
+      checkpointLocation: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
@@ -165,11 +171,19 @@ object StreamingRollup {
     * restart), computes its own bucket and PQ code-array columns, and
     * upserts through the staged-swap merge — existing rows are never
     * re-indexed, and a replayed micro-batch converges to the same stored
-    * rows (same effectively-once argument as [[trendSink]]). Retrieval
-    * over the growing index is `Similarity.ivfPqTopKStored` (compressed)
-    * or `ivfTopKStored` (bucket-only) at any point between batches.
+    * rows MODULO the `modified` column: the default `nowSec` is wall
+    * clock, so a replay stamps a different `modified` (greatest-wins
+    * upsert keeps results identical; pass a deterministic `nowSec` for
+    * bit-identical replays). Retrieval over the growing index is
+    * `Similarity.ivfPqTopKStored` (compressed) or `ivfTopKStored`
+    * (bucket-only) at any point between batches. The index part is
+    * ID-RANGE partitioned (`Similarity.writeIndexBatch`), so each
+    * micro-batch merge touches only the partitions holding its ids.
     *
-    * Returns the started query; callers own its lifecycle. */
+    * Returns the started query; callers own its lifecycle. A production
+    * stream should pass `checkpointLocation` — without it the query
+    * cannot resume from its last committed micro-batch after a crash
+    * (replays still converge, but the source is re-read from scratch). */
   def indexSink(
       stream: DataFrame,
       ps: graft.storage.PartStore,
@@ -178,9 +192,10 @@ object StreamingRollup {
       codebooksPath: String,
       idCol: String,
       vecCol: String,
-      nowSec: () => Long = () => System.currentTimeMillis() / 1000
+      nowSec: () => Long = () => System.currentTimeMillis() / 1000,
+      checkpointLocation: Option[String] = None
   ): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {

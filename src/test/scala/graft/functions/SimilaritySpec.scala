@@ -98,7 +98,8 @@ class SimilaritySpec extends SparkSpec {
       graft.storage.PartStoreConfig("target/tmp/ivf_stored", 86400))
     ps.deletePart("emb_index")
     ps.store("emb_index", clustered.select(
-      col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+      col("vec_id").as("entity_id"),
+      col("vec_id").cast("long").as("timestamp"), // id-range partitioning
       col("embedding"),
       Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
       lit(1L).as("modified")))
@@ -152,19 +153,33 @@ class SimilaritySpec extends SparkSpec {
     // identical to reassigning the whole corpus per query
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     Similarity.saveCentroids(spark, "target/tmp/ivf_incr/centroids", cents)
+    // 50 ids per partition → ids 0..99 span pindex 0 and 1
     val ps = new graft.storage.PartStore(spark,
-      graft.storage.PartStoreConfig("target/tmp/ivf_incr", 86400))
+      graft.storage.PartStoreConfig("target/tmp/ivf_incr", 50))
     ps.deletePart("emb")
     def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit = {
       val cb = Similarity.loadCentroids(spark, "target/tmp/ivf_incr/centroids")
       ps.store("emb", batch.select(
-        col("vec_id").as("entity_id"), lit(0L).as("timestamp"),
+        col("vec_id").as("entity_id"),
+        col("vec_id").cast("long").as("timestamp"), // id-range partitioning
         col("embedding"),
         Similarity.ivfBucket(col("embedding"), cb).as("bucket"),
         lit(1L).as("modified")))
     }
-    writeBatch(clustered.filter(col("vec_id") < 60))
-    writeBatch(clustered.filter(col("vec_id") >= 60)) // corpus grows
+    writeBatch(clustered.filter(col("vec_id") < 50))
+    // snapshot pindex=0's files: the second batch (ids 50..99, pindex 1)
+    // must not read or rewrite them — bounded blast radius per append
+    def filesOf(dir: String) = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSeq.sorted
+    }
+    val p0 = "target/tmp/ivf_incr/emb/pindex=0"
+    val before = filesOf(p0)
+    writeBatch(clustered.filter(col("vec_id") >= 50)) // corpus grows
+    assert(filesOf(p0) == before,
+      "appending a disjoint id range rewrote an untouched partition")
+    assert(new java.io.File("target/tmp/ivf_incr/emb/pindex=1").exists())
     val stored = ps.readPart("emb").get.select(
       col("entity_id").as("vec_id"), col("embedding"), col("bucket"))
     assert(stored.count() == 100)

@@ -182,10 +182,11 @@ class StreamingRollupSpec extends SparkSpec {
       graft.storage.PartStoreConfig(base, 86400))
     ps.deletePart("emb")
     val mem = MemoryStream[(Long, Seq[Float])]
+    val ckpt = s"$base/_checkpoint_${System.nanoTime()}"
     val q = StreamingRollup.indexSink(
       mem.toDF().toDF("vec_id", "embedding"), ps, "emb",
       s"$base/centroids", s"$base/codebooks", "vec_id", "embedding",
-      nowSec = () => 42L)
+      nowSec = () => 42L, checkpointLocation = Some(ckpt))
     val rows = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
     q.processAllAvailable()
