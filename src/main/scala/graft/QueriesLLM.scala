@@ -569,6 +569,18 @@ object QueriesLLM {
           "vec_id", "embedding", centroids, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     },
+    // ---- multi-pass distributed Lloyd: q95's fixed-point pass ITERATED —
+    // pass 1's Float-rounded centroids feed pass 2's assignment; the
+    // deterministic movement-based early stop (ε=0 here) makes the pass
+    // count engine-reproducible, so the oracle replays both passes ----
+    "q102_ivf_topk_lloyd2" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val centroids = Similarity.ivfCentroidsIteratedFull(
+        e, "vec_id", "embedding", 8, nIter = 2)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", centroids, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // ---- incremental IVF index, end to end: the codebook is trained
     // once and PERSISTED as a sidecar; each ingest batch computes its own
     // bucket column at write time with the LOADED codebook; retrieval
@@ -773,44 +785,63 @@ object QueriesLLM {
 
   private val RefinedCentCte = refinedCentCte("")
 
-  /** FULL-corpus-refined IVF centroids (k=8): same md5-ordered seeds as
-    * [[RefinedCentCte]], but the Lloyd pass runs over EVERY corpus vector
-    * with fixed-point per-dim sums (floor(x·2²⁴+0.5) as BIGINT — the q92
-    * arithmetic, deterministic under any partitioning), means rounded
-    * through REAL exactly like ivfCentroidsRefinedFull's collect-to-Float.
-    * Empty cells keep their seed. */
-  private val FullRefinedCentCte =
+  /** md5-ordered k=8 seeds over the full corpus, (i, embedding) shape. */
+  private val FullSeedsCte =
     """fseeds AS (
            SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                CAST(vec_id AS VARCHAR)) - 1 AS INT) AS i,
-             CAST(embedding AS DOUBLE[]) AS emb
+             CAST(embedding AS DOUBLE[]) AS embedding
            FROM embeddings
            ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-           LIMIT 8),
-         fasg AS (
+           LIMIT 8)"""
+
+  /** One FULL-corpus fixed-point Lloyd pass in SQL: every corpus vector
+    * assigned to its nearest `inCent` centroid (argmax/higher-index
+    * tiebreak), per-(cell, dim) means via floor(x·2²⁴+0.5) BIGINT sums —
+    * the q92 arithmetic, deterministic under any partitioning — rounded
+    * through REAL exactly like the Scala collect-to-Float. Empty cells
+    * keep their input centroid. Chains: pass N's `outName` is pass N+1's
+    * `inCent`, mirroring Similarity.ivfCentroidsIteratedFull pass for
+    * pass. */
+  private def fullLloydPassCte(p: String, inCent: String, outName: String) =
+    s"""${p}asg AS (
            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, s.i AS cell
-           FROM embeddings e CROSS JOIN fseeds s
+           FROM embeddings e CROSS JOIN $inCent s
            QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.emb) /
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.embedding) /
                (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                       CAST(e.embedding AS DOUBLE[]))) *
-                sqrt(list_dot_product(s.emb, s.emb))) DESC, s.i DESC) = 1),
-         fdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
-         fqx AS (
+                sqrt(list_dot_product(s.embedding, s.embedding))) DESC, s.i DESC) = 1),
+         ${p}dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         ${p}qx AS (
            SELECT a.cell, d.dim,
              CAST(floor(a.emb[d.dim + 1] * 16777216.0 + 0.5) AS BIGINT) AS q
-           FROM fasg a CROSS JOIN fdims d),
-         fdm AS (
+           FROM ${p}asg a CROSS JOIN ${p}dims d),
+         ${p}dm AS (
            SELECT cell, dim,
              CAST(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
                / 16777216.0 AS REAL) AS mr
-           FROM fqx GROUP BY 1, 2),
-         fmeans AS (
+           FROM ${p}qx GROUP BY 1, 2),
+         ${p}means AS (
            SELECT cell, list(CAST(mr AS DOUBLE) ORDER BY dim) AS emb
-           FROM fdm GROUP BY cell),
-         cent AS (
-           SELECT s.i, coalesce(f.emb, s.emb) AS embedding
-           FROM fseeds s LEFT JOIN fmeans f ON f.cell = s.i)"""
+           FROM ${p}dm GROUP BY cell),
+         $outName AS (
+           SELECT s.i, coalesce(f.emb, s.embedding) AS embedding
+           FROM $inCent s LEFT JOIN ${p}means f ON f.cell = s.i)"""
+
+  /** FULL-corpus-refined IVF centroids (k=8): seeds + ONE fixed-point
+    * Lloyd pass — mirrors ivfCentroidsRefinedFull. */
+  private val FullRefinedCentCte =
+    s"""$FullSeedsCte,
+         ${fullLloydPassCte("f", "fseeds", "cent")}"""
+
+  /** TWO full-corpus Lloyd passes (q102): pass 1's Float-rounded output
+    * feeds pass 2's assignment — mirrors ivfCentroidsIteratedFull(nIter=2)
+    * including the Float rounding between passes. */
+  private val TwoPassCentCte =
+    s"""$FullSeedsCte,
+         ${fullLloydPassCte("g1", "fseeds", "g1cent")},
+         ${fullLloydPassCte("g2", "g1cent", "cent")}"""
 
   /** IVF retrieval body shared by q83 (driver-sample-refined centroids)
     * and q95 (full-corpus fixed-point centroids): reads whichever `cent`
@@ -2193,6 +2224,12 @@ object QueriesLLM {
     // (q92's arithmetic feeding the index) — mirrors ivfCentroidsRefinedFull.
     "q95_ivf_topk_full" ->
       s"""WITH $FullRefinedCentCte,
+         $IvfRetrievalSql""",
+    // Two chained full-corpus Lloyd passes, then the same retrieval —
+    // mirrors ivfCentroidsIteratedFull(nIter=2) pass for pass (Float
+    // rounding between passes included).
+    "q102_ivf_topk_lloyd2" ->
+      s"""WITH $TwoPassCentCte,
          $IvfRetrievalSql""",
     // Incremental index (q96) retrieves IDENTICALLY to a fresh single-pass
     // build: sidecar round-trip is bit-exact and write-time buckets equal

@@ -312,23 +312,75 @@ object Similarity {
     * seed. Deterministic under any partitioning (spec-asserted). */
   def ivfCentroidsRefinedFull(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-      scaleBits: Int = 24): Seq[(Int, Seq[Float])] = {
-    val seeds = ivfCentroids(vectors, idCol, vecCol, k)
-    require(seeds.nonEmpty,
-      s"ivfCentroidsRefinedFull: empty corpus — no vectors in '$vecCol' to seed $k centroids from")
-    val dims = seeds.head._2.length
-    val means = ivfCellMeans(vectors, vecCol, seeds, scaleBits)
+      scaleBits: Int = 24): Seq[(Int, Seq[Float])] =
+    ivfCentroidsIteratedFull(vectors, idCol, vecCol, k, nIter = 1,
+      epsilon = 0.0, scaleBits = scaleBits)
+
+  /** One full-corpus Lloyd pass from the GIVEN centroids: distributed
+    * fixed-point means ([[ivfCellMeans]]) collected (k·dim rows, bounded
+    * by codebook size) and rounded through Float. Empty cells keep their
+    * previous centroid. */
+  private def lloydPassFull(
+      vectors: DataFrame, vecCol: String, current: Seq[(Int, Seq[Float])],
+      scaleBits: Int): Seq[(Int, Seq[Float])] = {
+    val dims = current.head._2.length
+    val means = ivfCellMeans(vectors, vecCol, current, scaleBits)
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cell, rows) =>
         cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(3).toFloat).toSeq
       }
-    seeds.map { case (i, seedVec) =>
+    current.map { case (i, prevVec) =>
       means.get(i) match {
         case Some(m) if m.length == dims => i -> m
-        case _ => i -> seedVec
+        case _ => i -> prevVec
       }
     }
+  }
+
+  /** Max per-dimension centroid movement between two passes — computed
+    * from the Float-rounded centroids in Double, so the value (and the
+    * early-stop decision below) is deterministic on any engine. Public:
+    * callers use it to report convergence trajectories (AnnRecallProbe). */
+  def centroidMovement(
+      a: Seq[(Int, Seq[Float])], b: Seq[(Int, Seq[Float])]): Double = {
+    val bm = b.toMap
+    a.map { case (i, va) =>
+      val vb = bm(i)
+      va.zip(vb).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }
+        .foldLeft(0.0)(math.max)
+    }.foldLeft(0.0)(math.max)
+  }
+
+  /** Multi-pass distributed Lloyd over the FULL corpus: [[ivfCentroids]]
+    * seeds, then up to `nIter` fixed-point passes ([[ivfCellMeans]]'s
+    * order-free integer sums — each pass bit-identical under any
+    * partitioning), stopping early when the max per-dim centroid movement
+    * drops to ≤ `epsilon`. Movement is computed from Float-rounded
+    * centroids, so the stop rule is itself deterministic — run-to-run AND
+    * engine-to-engine (the q102 oracle replays the same passes in SQL).
+    * Each pass costs one corpus scan + a k·dim-bounded collect; on
+    * clustered corpora later passes tighten cells toward the k-means
+    * fixpoint, raising gate recall at equal nProbe (Lloyd 1982; measured
+    * in tools/AnnRecallProbe). */
+  def ivfCentroidsIteratedFull(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      nIter: Int, epsilon: Double = 0.0, scaleBits: Int = 24)
+      : Seq[(Int, Seq[Float])] = {
+    require(nIter >= 1, s"ivfCentroidsIteratedFull: nIter $nIter < 1")
+    val seeds = ivfCentroids(vectors, idCol, vecCol, k)
+    require(seeds.nonEmpty,
+      s"ivfCentroidsIteratedFull: empty corpus — no vectors in '$vecCol' to seed $k centroids from")
+    var cur = seeds
+    var iter = 0
+    var moved = Double.PositiveInfinity
+    while (iter < nIter && moved > epsilon) {
+      val next = lloydPassFull(vectors, vecCol, cur, scaleBits)
+      moved = centroidMovement(cur, next)
+      cur = next
+      iter += 1
+    }
+    cur
   }
 
   /** Nearest-centroid assignment as the winning (cos, cell) struct — the
@@ -521,23 +573,55 @@ object Similarity {
     * Deterministic under any partitioning (spec-asserted). */
   def pqCodebooksRefinedFull(
       vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
-      dim: Int, scaleBits: Int = 24): Seq[Seq[(Int, Seq[Float])]] = {
-    val seeds = pqCodebooks(vectors, idCol, vecCol, m, k, dim)
-    val sub = dim / m
-    val means = pqCellMeans(vectors, idCol, vecCol, seeds, scaleBits)
+      dim: Int, scaleBits: Int = 24): Seq[Seq[(Int, Seq[Float])]] =
+    pqCodebooksIteratedFull(vectors, idCol, vecCol, m, k, dim, nIter = 1,
+      epsilon = 0.0, scaleBits = scaleBits)
+
+  /** One full-corpus PQ Lloyd pass from the GIVEN codebooks. */
+  private def pqPassFull(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      current: Seq[Seq[(Int, Seq[Float])]], scaleBits: Int)
+      : Seq[Seq[(Int, Seq[Float])]] = {
+    val sub = current.head.head._2.length
+    val means = pqCellMeans(vectors, idCol, vecCol, current, scaleBits)
       .collect()
       .groupBy(r => (r.getInt(0), r.getInt(1)))
       .map { case (key, rows) =>
         key -> rows.sortBy(_.getInt(2)).map(_.getDouble(4).toFloat).toSeq
       }
-    seeds.zipWithIndex.map { case (cb, j) =>
-      cb.map { case (code, seedVec) =>
+    current.zipWithIndex.map { case (cb, j) =>
+      cb.map { case (code, prevVec) =>
         means.get((j, code)) match {
           case Some(v) if v.length == sub => code -> v
-          case _ => code -> seedVec
+          case _ => code -> prevVec
         }
       }
     }
+  }
+
+  /** Multi-pass full-corpus PQ codebook training — the
+    * [[ivfCentroidsIteratedFull]] loop per subspace: up to `nIter`
+    * fixed-point passes, early-stopped when no sub-centroid moves more
+    * than `epsilon` in any dimension (movement from Float-rounded books,
+    * so the stop rule is deterministic). Each pass is one corpus
+    * encode+scan; the collect stays bounded by m·k·(dim/m). */
+  def pqCodebooksIteratedFull(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      dim: Int, nIter: Int, epsilon: Double = 0.0, scaleBits: Int = 24)
+      : Seq[Seq[(Int, Seq[Float])]] = {
+    require(nIter >= 1, s"pqCodebooksIteratedFull: nIter $nIter < 1")
+    val seeds = pqCodebooks(vectors, idCol, vecCol, m, k, dim)
+    var cur = seeds
+    var iter = 0
+    var moved = Double.PositiveInfinity
+    while (iter < nIter && moved > epsilon) {
+      val next = pqPassFull(vectors, idCol, vecCol, cur, scaleBits)
+      moved = cur.zip(next).map { case (a, b) => centroidMovement(a, b) }
+        .foldLeft(0.0)(math.max)
+      cur = next
+      iter += 1
+    }
+    cur
   }
 
   /** Residual PQ codebooks — the IVFADC composition as FAISS ships it

@@ -88,6 +88,55 @@ class SimilaritySpec extends SparkSpec {
     assert(full >= 0.8, s"full-corpus Lloyd retrieval recall too low: $full")
   }
 
+  test("multi-pass Lloyd: deterministic, converges, nIter=1 == RefinedFull") {
+    // one pass through the iterated API is exactly the historical one-pass
+    val one = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 1)
+    assert(one == Similarity.ivfCentroidsRefinedFull(
+      clustered, "vec_id", "embedding", 5))
+    // two passes: bit-identical under any partition layout (each pass is
+    // fixed-point; the movement stop rule reads Float-rounded centroids)
+    val two = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 2)
+    val twoRepart = Similarity.ivfCentroidsIteratedFull(
+      clustered.repartition(7), "vec_id", "embedding", 5, nIter = 2)
+    assert(two == twoRepart)
+    // a huge epsilon stops after the first pass — early stop is effective
+    val stopped = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 10, epsilon = 1e9)
+    assert(stopped == one)
+    // movement shrinks as passes approach the k-means fixpoint
+    val three = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 3)
+    val m12 = Similarity.centroidMovement(one, two)
+    val m23 = Similarity.centroidMovement(two, three)
+    assert(m23 <= m12, s"movement grew: pass1->2 $m12, pass2->3 $m23")
+    // and at a convergent epsilon the loop is idempotent: asking for more
+    // passes than needed returns the converged book
+    val conv = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 50, epsilon = 1e-6)
+    val convMore = Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 60, epsilon = 1e-6)
+    assert(conv == convMore)
+  }
+
+  test("multi-pass PQ training: nIter=1 == RefinedFull, deterministic, early-stops") {
+    val one = Similarity.pqCodebooksIteratedFull(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim, nIter = 1)
+    assert(one == Similarity.pqCodebooksRefinedFull(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim))
+    val two = Similarity.pqCodebooksIteratedFull(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim, nIter = 2)
+    val twoRepart = Similarity.pqCodebooksIteratedFull(
+      clustered.repartition(7), "vec_id", "embedding", m = 4, k = 4, dim = dim,
+      nIter = 2)
+    assert(two == twoRepart)
+    val stopped = Similarity.pqCodebooksIteratedFull(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim,
+      nIter = 10, epsilon = 1e9)
+    assert(stopped == one)
+  }
+
   test("ivfTopKStored: a persisted bucket column round-trips the retrieval") {
     // the incremental-index path: bucket computed at WRITE time, stored
     // through PartStore, retrieval probes the stored column — identical

@@ -72,6 +72,22 @@ object AnnRecallProbe {
       val rec = truth.count(got.contains).toDouble / truth.size
       println(f"ivfpq_residual nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
     }
+    // multi-pass distributed Lloyd: does iterating tighten the IVF gate?
+    // (movement printed per depth so the convergence trajectory is visible)
+    var prev: Seq[(Int, Seq[Float])] = null
+    for (nIter <- Seq(1, 2, 4, 8)) {
+      val (c, tTrain) = timed(Similarity.ivfCentroidsIteratedFull(
+        e, "vec_id", "embedding", 8, nIter = nIter))
+      val mv = if (prev == null) Double.NaN else Similarity.centroidMovement(prev, c)
+      prev = c
+      for (nProbe <- Seq(1, 2)) {
+        val (got, t) = timed(pairs(Similarity.ivfTopK(
+          queries, e, "vec_id", "embedding", c, k = 5, nProbe = nProbe)))
+        val rec = truth.count(got.contains).toDouble / truth.size
+        println(f"ivf_lloyd nIter=$nIter nProbe=$nProbe recall=$rec%.3f " +
+          f"sec=$t%.2f train_sec=$tTrain%.2f move_from_prev_depth=$mv%.5f")
+      }
+    }
     spark.stop()
   }
 }
