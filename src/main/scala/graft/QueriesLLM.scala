@@ -270,6 +270,22 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- OPQ (Ge et al. 2013): variance-balanced dimension permutation
+    // before PQ — an orthogonal transform the ORACLE recomputes end to
+    // end (fixed-point per-dim variances → snake allocation → permuted
+    // q90 chain). Cosines are permutation-invariant, so only the ADC
+    // estimate (subspace grouping) differs from q90 ----
+    "q103_opq_adc_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val perm = Similarity.opqPermutation(e, "embedding", m = 8, dim = 64)
+      val p = Similarity.permuteVectors(e, "embedding", perm)
+      val cbs = Similarity.pqCodebooksRefined(p, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val codes = Similarity.pqEncodeArray(p, "vec_id", "embedding", cbs)
+      Similarity.adcTopKArray(p.filter(col("vec_id") % 100 === 0), codes, p,
+          "vec_id", "embedding", cbs, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- IVF-PQ retrieval (IVFADC / FAISS IndexIVFPQ shape): 2-of-8
     // cell probe gates the corpus, ADC scores only the probed codes,
     // exact rerank pays full vectors for the shortlist alone — the
@@ -1765,6 +1781,40 @@ object QueriesLLM {
     "q90_adc_topk64" ->
       s"""WITH ${pqCodesCte(256, 8192)},
          $AdcRetrievalSql""",
+    // OPQ: per-dim fixed-point variances (exact integers — n·Σq² − (Σq)²
+    // with q = floor(x·4096 + 0.5) BIGINT, mirroring opqPermutation),
+    // variance-rank snake allocation to subspaces, then EXACTLY q90's
+    // PQ + ADC chain over the permuted vectors (\bembeddings\b → pemb —
+    // zero drift from the audited chain).
+    "q103_opq_adc_topk" ->
+      s"""WITH pvar AS (
+           SELECT d.dim, count(*) AS n,
+             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+               * 4096.0 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+                   * 4096.0 + 0.5) AS BIGINT)
+               * CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+                   * 4096.0 + 0.5) AS BIGINT)) AS s2
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+           GROUP BY 1),
+         prank AS (
+           SELECT dim,
+             CAST(row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, dim) - 1
+               AS INT) AS r
+           FROM pvar),
+         pperm AS (
+           SELECT CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                       ELSE 7 - (r % 8) END * 8 + (r // 8) AS newpos,
+             dim AS olddim
+           FROM prank),
+         pemb AS (
+           SELECT e.vec_id,
+             list(e.embedding[p.olddim + 1] ORDER BY p.newpos) AS embedding
+           FROM embeddings e CROSS JOIN pperm p
+           GROUP BY e.vec_id),
+         ${(pqCodesCte(256, 8192) + ",\n         " + AdcRetrievalSql)
+            .replaceAll("\\bembeddings\\b", "pemb")}""",
     // IVF-PQ: same PQ chain and ADC tail as q90, but the estimate reads
     // only the IVF-probed candidate pairs — the icand gate replaces the
     // full corpus scan (distance table additionally keyed by query).

@@ -1156,6 +1156,188 @@ object Similarity {
       .map { case (_, rows) => rows.sortBy(_._2).map(r => r._2 -> r._3) }
   }
 
+  // ---- OPQ: orthogonal transforms before PQ (Ge et al. 2013, CVPR —
+  // "Optimized Product Quantization", public) --------------------------
+
+  /** Variance-balanced dimension permutation — the coordinate-space form
+    * of OPQ's eigenvalue allocation: per-dimension variances over the
+    * FULL corpus (fixed-point, so exact integers on any engine), dims
+    * ranked by variance, allocated to the m subspaces in snake order so
+    * every subspace receives an equal share of high-variance dims. A
+    * permutation matrix is orthogonal, so this IS a rotation — one the
+    * SQL oracle recomputes end-to-end (q103), unlike a dense PCA matrix
+    * whose eigendecomposition SQL can't express. Fixes PQ's worst
+    * failure mode at zero FLOP cost per vector: variance concentrated in
+    * one subspace starves the other codebooks of signal.
+    *
+    * Variance ranking value: n·Σq² − (Σq)² with q = floor(x·2^s + 0.5) —
+    * summed through decimal so no scale overflows it. Returns `perm`
+    * with perm(newPos) = oldDim. Deterministic under any partitioning. */
+  def opqPermutation(
+      vectors: DataFrame, vecCol: String, m: Int, dim: Int,
+      scaleBits: Int = 12): Seq[Int] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val scale = (1L << scaleBits).toDouble
+    val stats = vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * scale + 0.5).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("s1"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("s2"))
+      .collect()
+    require(stats.length == dim,
+      s"opqPermutation: corpus vectors have ${stats.length} dims, expected $dim")
+    val ranked = stats.map { r =>
+      val n = BigInt(r.getLong(1))
+      val s1 = BigInt(r.getDecimal(2).toBigIntegerExact)
+      val s2 = BigInt(r.getDecimal(3).toBigIntegerExact)
+      (r.getInt(0), n * s2 - s1 * s1)
+    }.sortWith { case ((d1, v1), (d2, v2)) =>
+      if (v1 != v2) v1 > v2 else d1 < d2
+    }
+    val sub = dim / m
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      val row = r / m
+      val c = r % m
+      val j = if (row % 2 == 0) c else m - 1 - c // snake
+      perm(j * sub + row) = d
+    }
+    perm.toIndexedSeq
+  }
+
+  /** Apply a dimension permutation: pure element shuffle (Float-exact, no
+    * arithmetic), narrow plan. Orthogonal ⇒ norms, inner products, and
+    * therefore every downstream cosine are unchanged; only the PQ
+    * subspace grouping moves. */
+  def permuteVectors(vectors: DataFrame, vecCol: String, perm: Seq[Int]): DataFrame =
+    vectors.withColumn(vecCol, array(perm.map(d => col(vecCol).getItem(d)): _*))
+
+  /** Dense OPQ rotation: PCA on the bounded deterministic sample
+    * ([[codebookSample]] — the one driver collect, capped by sampleN) via
+    * power iteration with deflation, then Ge et al.'s parametric
+    * eigenvalue allocation — eigen-dims greedily assigned to the subspace
+    * with the smallest current eigenvalue product (log-sum balanced), so
+    * each subspace quantizes an equal share of the data's variance.
+    * Everything is fixed-iteration driver-side double arithmetic from a
+    * deterministic sample: the matrix is reproducible run to run, and
+    * ships/persists like a codebook. Returns R as rows; `R · x` is the
+    * rotated vector ([[rotateVectors]]); rows j·sub..(j+1)·sub-1 feed
+    * subspace j. Spec-covered (orthogonality, determinism, reconstruction
+    * error); the oracle-gated OPQ path is [[opqPermutation]] — SQL cannot
+    * replay an eigendecomposition. */
+  def opqRotationPca(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+      sampleN: Int = 2048, powerIters: Int = 100): Seq[Seq[Float]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sample = codebookSample(vectors, idCol, vecCol, sampleN).map(_._2)
+    require(sample.nonEmpty, "opqRotationPca: empty corpus")
+    val n = sample.length
+    val mean = Array.tabulate(dim)(d => sample.iterator.map(_(d).toDouble).sum / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      val c = Array.tabulate(dim)(d => v(d) - mean(d))
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) += c(i) * c(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < dim) { cov(i)(j) /= n; j += 1 }
+      i += 1
+    }
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(r => {
+        var s = 0.0; var c = 0
+        while (c < dim) { s += a(r)(c) * v(c); c += 1 }
+        s
+      })
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    // Gram-Schmidt against accepted eigvecs each step: deflation alone
+    // lets numeric drift re-grow old components when the remaining
+    // spectrum is near-degenerate (isotropic noise tail) — projection
+    // keeps R orthonormal to ~1e-12 instead of ~1e-3
+    def orthogonalize(v: Array[Double]): Array[Double] = {
+      val w = v.clone()
+      accepted.foreach { u =>
+        val d = w.zip(u).map { case (a, b) => a * b }.sum
+        var i = 0
+        while (i < dim) { w(i) -= d * u(i); i += 1 }
+      }
+      w
+    }
+    val eig = (0 until dim).map { _ =>
+      // deterministic start: basis vector of the current largest diagonal
+      val start = (0 until dim).maxBy(d => cov(d)(d) -> -d)
+      var v = {
+        val b = orthogonalize(
+          Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0))
+        val bn = nrm(b)
+        if (bn > 1e-300) b.map(_ / bn)
+        else Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0)
+      }
+      var it = 0
+      while (it < powerIters) {
+        val w = orthogonalize(matVec(cov, v))
+        val wn = nrm(w)
+        if (wn > 1e-300) v = w.map(_ / wn) // else: eigenvalue ~0, keep v
+        it += 1
+      }
+      val lambda = {
+        val w = matVec(cov, v)
+        v.zip(w).map { case (a, b) => a * b }.sum
+      }
+      // deflate
+      var r = 0
+      while (r < dim) {
+        var c = 0
+        while (c < dim) { cov(r)(c) -= lambda * v(r) * v(c); c += 1 }
+        r += 1
+      }
+      accepted += v
+      (lambda, v)
+    }
+    // eigenvalue allocation: descending λ, greedy to the subspace with the
+    // smallest log-product (ties → lowest subspace index); slots bounded
+    val sub = dim / m
+    val order = eig.sortBy { case (l, _) => -l }
+    val logProd = Array.fill(m)(0.0)
+    val filled = Array.fill(m)(0)
+    val rows = Array.ofDim[Seq[Float]](dim)
+    order.foreach { case (lambda, v) =>
+      val j = (0 until m).filter(filled(_) < sub)
+        .minBy(j => (logProd(j), j))
+      rows(j * sub + filled(j)) = v.map(_.toFloat).toSeq
+      logProd(j) += math.log(math.max(lambda, 1e-12))
+      filled(j) += 1
+    }
+    rows.toIndexedSeq
+  }
+
+  /** Rotate vectors by R (rows): out(i) = Σ_j R(i)(j)·x(j), computed in
+    * double and rounded through Float so rotated vectors store exactly
+    * like raw ones. Column-expression form — dim² literal multiplies per
+    * row, the same codegen envelope as a k=dim [[ivfAssign]]; for
+    * dim ≳ 128 prefer a broadcast-join formulation (the
+    * [[pqEncodeArrayKeyed]] precedent). Orthogonal R preserves norms and
+    * inner products, so downstream cosine semantics are unchanged. */
+  def rotateVectors(
+      vectors: DataFrame, vecCol: String, rot: Seq[Seq[Float]]): DataFrame =
+    vectors.withColumn(vecCol,
+      array(rot.map { row =>
+        aggregate(
+          zip_with(col(vecCol), typedlit(row),
+            (x, w) => x.cast("double") * w.cast("double")),
+          lit(0.0), (acc, x) => acc + x).cast("float")
+      }: _*))
+
   /** Gaussian-plane variant — the production hash family. */
   def bucketedNeighborsGaussian(
       vectors: DataFrame, idCol: String, vecCol: String, nBits: Int, dim: Int,

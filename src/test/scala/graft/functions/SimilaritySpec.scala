@@ -599,4 +599,82 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OPQ permutation: true permutation, partition-invariant, spreads variance") {
+    // variance-skewed fixture: dims 0..3 dominate — under identity
+    // grouping all four land in subspace 0 and starve the others
+    val rnd = new scala.util.Random(7)
+    val vs = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map { d =>
+        if (d < 4) (10.0 * rnd.nextGaussian()).toFloat
+        else (0.1 * rnd.nextGaussian()).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val perm = Similarity.opqPermutation(vs, "embedding", m = 4, dim = dim)
+    assert(perm.sorted == (0 until dim)) // orthogonal: a true permutation
+    assert(perm == Similarity.opqPermutation(
+      vs.repartition(7), "embedding", m = 4, dim = dim))
+    // snake allocation sends the 4 high-variance dims to 4 DISTINCT subspaces
+    val sub = dim / 4
+    val hiSub = (0 until dim).filter(p => perm(p) < 4).map(_ / sub)
+    assert(hiSub.distinct.length == 4, s"high-variance dims clumped: $hiSub")
+    // inner products are permutation-invariant → the RANKING is unchanged
+    // (cos agrees to the last ulp or two: summation ORDER moved, so exact
+    // bit-equality of the double fold is not guaranteed — compare ranks)
+    val p = Similarity.permuteVectors(vs, "embedding", perm)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df.filter(col("vec_id") < 5), df,
+        "vec_id", "embedding", 3).orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSeq
+    assert(top(vs) == top(p))
+  }
+
+  test("OPQ PCA rotation: orthogonal, deterministic, recon error <= residual-PQ") {
+    // correlated fixture: cluster centers + noise along two fixed DENSE
+    // directions straddling every subspace block — axis-aligned PQ blocks
+    // see correlated marginals, a PCA rotation concentrates the noise
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val dir1 = Array.fill(dim)(rnd.nextGaussian())
+    val dir2 = Array.fill(dim)(rnd.nextGaussian())
+    val vs = (0 until 240).map { i =>
+      val c = centers(i % 4)
+      val (g1, g2) = (rnd.nextGaussian(), rnd.nextGaussian())
+      (i.toLong, (0 until dim).map(d =>
+        (c(d) + 0.8 * g1 * dir1(d) + 0.8 * g2 * dir2(d) +
+          0.02 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rot = Similarity.opqRotationPca(vs, "vec_id", "embedding", m = 4, dim = dim)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(t => rot(i)(t).toDouble * rot(j)(t).toDouble).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-3,
+        s"R·Rᵀ[$i][$j] = $d — rows not orthonormal")
+    }
+    assert(rot == Similarity.opqRotationPca(vs, "vec_id", "embedding", 4, dim))
+    // reconstruction error of residual-PQ, in raw vs PCA-rotated space —
+    // orthogonality makes the two errors directly comparable
+    def reconErr(frame: org.apache.spark.sql.DataFrame): Double = {
+      val cents = Similarity.ivfCentroidsRefined(frame, "vec_id", "embedding", 4)
+      val cbs = Similarity.pqCodebooksResidual(frame, "vec_id", "embedding",
+        cents, m = 4, k = 8, dim = dim)
+      val assignCell = Similarity.driverAssign(cents)
+      val cmap = cents.toMap
+      val sub = dim / 4
+      frame.collect().map(_.getSeq[Float](1).toSeq).map { v =>
+        val c = cmap(assignCell(v))
+        val res = v.zip(c).map { case (x, y) => x - y }
+        val rec = (0 until 4).flatMap { j =>
+          val s = res.slice(j * sub, (j + 1) * sub)
+          cbs(j).toMap.apply(Similarity.driverAssign(cbs(j))(s))
+        }
+        v.zip(c.zip(rec).map { case (x, y) => x + y })
+          .map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+      }.sum
+    }
+    val rawErr = reconErr(vs)
+    val opqErr = reconErr(Similarity.rotateVectors(vs, "embedding", rot))
+    assert(opqErr <= rawErr,
+      s"OPQ-rotated residual-PQ recon $opqErr worse than raw residual-PQ $rawErr")
+  }
+
 }
