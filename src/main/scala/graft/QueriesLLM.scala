@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
 object QueriesLLM {
   import Tables.load
 
+  /** Per-invocation scratch dir for the end-to-end index queries
+    * (q96/q99), deleted recursively at JVM exit — repeated gate/bench
+    * runs in one JVM accumulate only until exit, and nothing survives
+    * the process. (Deleting eagerly after the query returns would break
+    * it: the returned frame reads the stored parquet lazily.) */
+  private def tempWorkDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   private def toks(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
@@ -270,6 +288,48 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- streaming late-data gate (SURVEY I3): events replay through
+    // the streaming trendSink in two micro-batches where EVERY row of the
+    // second batch is event-time OLDER than the first — late stragglers
+    // upsert into already-written early pindex partitions through the
+    // staged merge. Batch-reprocessing equivalence is the contract: the
+    // stored part equals the one-shot batch aggregate of all events, so
+    // the oracle is that batch computation (arrival order invisible).
+    // MemoryStream is the harness feed (driver-side by nature); the
+    // operator under test is the sink, not the feed ----
+    "q104_streaming_late" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(
+        col("user_id").as("entity_id"),
+        graft.Tables.epochSec(col("ts")).as("timestamp"),
+        col("value"))
+      // fixed-point micro-units: LONG sums are order-free, so the stored
+      // hash is deterministic on both engines (a double sum would not be)
+      val base = ev.groupBy("entity_id", "timestamp")
+        .agg(sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("power"))
+      val mid = base.agg(
+        ((min("timestamp") + max("timestamp")) / 2).cast("long")).head.getLong(0)
+      val rows = base.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 1L))
+      val work = tempWorkDir("graft_q104_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 3600))
+      val mem = MemoryStream[(Long, Long, Long, Long)]
+      val q = graft.streaming.StreamingRollup.trendSink(
+        mem.toDF().toDF("entity_id", "timestamp", "power", "modified"),
+        ps, "ev", nowSec = () => 42L)
+      try {
+        mem.addData(rows.filter(_._2 >= mid).toSeq: _*) // recent half first
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._2 < mid).toSeq: _*)  // then the late half
+        q.processAllAvailable()
+      } finally q.stop()
+      ps.readPart("ev").get
+        .select(col("entity_id"), col("timestamp"), col("power"))
+        .orderBy("entity_id", "timestamp")
+    },
     // ---- OPQ (Ge et al. 2013): variance-balanced dimension permutation
     // before PQ — an orthogonal transform the ORACLE recomputes end to
     // end (fixed-point per-dim variances → snake allocation → permuted
@@ -311,7 +371,7 @@ object QueriesLLM {
       val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
       val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
         m = 8, k = 256, dim = 64, sampleN = 8192)
-      val work = java.nio.file.Files.createTempDirectory("graft_q99_").toString
+      val work = tempWorkDir("graft_q99_")
       Similarity.saveCentroids(s, s"$work/centroids", cents)
       Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
       // id-range index partitioning (200 ids/partition) — writeIndexBatch
@@ -608,7 +668,7 @@ object QueriesLLM {
     "q96_ivf_incremental" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
       val centroids = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
-      val work = java.nio.file.Files.createTempDirectory("graft_q96_").toString
+      val work = tempWorkDir("graft_q96_")
       Similarity.saveCentroids(s, s"$work/centroids", centroids)
       // 200 "ids per partition": the stored index is ID-RANGE partitioned
       // (timestamp = vec_id), so each batch's merge touches only the
@@ -2281,6 +2341,15 @@ object QueriesLLM {
     "q102_ivf_topk_lloyd2" ->
       s"""WITH $TwoPassCentCte,
          $IvfRetrievalSql""",
+    // Streaming late-batch replay converges to the one-shot batch
+    // aggregate (keyed upsert; arrival order invisible), so the oracle IS
+    // the batch computation over all events.
+    "q104_streaming_late" ->
+      """SELECT user_id AS entity_id,
+           (epoch_ns(ts)//1000000000) AS "timestamp",
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS power
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // Incremental index (q96) retrieves IDENTICALLY to a fresh single-pass
     // build: sidecar round-trip is bit-exact and write-time buckets equal
     // whole-corpus reassignment, so the oracle IS q83's retrieval.

@@ -18,10 +18,19 @@ object Tables {
   final val NanosPerSecond = 1000000000L
 
   /** Read one fixture table with timestamps normalized to BIGINT nanos.
-    * Sets the nanos conf and a UTC session timezone on the caller's session
-    * (the driver passes its own SparkSession to `entry`): NANOS columns read
-    * as BIGINT directly; MICROS columns read as TIMESTAMP_NTZ and are
-    * converted naive-as-UTC, matching DuckDB's naive `epoch_ns`. */
+    *
+    * SESSION-WIDE CONTRACT, not a leak: this sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and a UTC session
+    * timezone on the CALLER's session and leaves them set. Both are
+    * load-bearing at execution time — the frame is lazy, the NTZ→epoch
+    * cast reads the analysis-time timezone, and the nanos conf governs
+    * every later fixture read on the session — so a save/restore around
+    * this call would silently break the returned frame. Callers sharing
+    * the session with timezone-sensitive code must run that code on UTC
+    * too (every graft query does: all time math is epoch-integer). NANOS
+    * columns read as BIGINT directly; MICROS columns read as
+    * TIMESTAMP_NTZ and convert naive-as-UTC, matching DuckDB's naive
+    * `epoch_ns`. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

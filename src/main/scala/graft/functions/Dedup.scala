@@ -496,6 +496,13 @@ object Dedup {
         (a, b) => { a.mergeInPlace(b); a })
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
+    // the sketch ships as a plan literal serialized into every task
+    // binary: past a few hundred MB that fails opaquely (broadcast/plan
+    // blowup) — refuse loudly with the actionable knobs instead
+    require(bos.size() <= (512 << 20),
+      f"contaminationBloom sketch is ${bos.size() / 1048576}%d MB " +
+        "(> 512 MB literal-shipping ceiling): raise fpp (the confirm join " +
+        "keeps results exact) or split the eval set into multiple passes")
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal(bos.toByteArray, BinaryType),
       GraftBridge.expression(xxhash64(col("shingle")))))

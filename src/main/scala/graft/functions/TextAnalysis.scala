@@ -433,20 +433,27 @@ object TextAnalysis {
     * behind "drop the bottom decile per source" length/quality filters —
     * compute cutoffs once, join them back, filter.
     *
-    * Scale note: EXACT percentile state is O(distinct values per group)
-    * on the aggregating executor — right for per-source length/score
-    * distributions (bounded value domains), wrong for open-ended
-    * per-group cardinalities; there, switch to `approx_percentile`
-    * (t-digest) and give up cross-engine bit-equality. */
+    * Scale switch — `approx = true`: EXACT percentile state is
+    * O(distinct values per group) on the aggregating executor — right
+    * for per-source length/score distributions (bounded value domains),
+    * an OOM for open-ended per-group cardinalities. The approx path uses
+    * `approx_percentile` (bounded sketch state, `accuracy` buckets) and
+    * gives up cross-engine bit-equality: approx cutoffs are
+    * deterministic for a given Spark version but NOT the R-7 value the
+    * DuckDB oracle computes — gate exact, scale approx. */
   def groupQuantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
-      quantiles: Seq[(String, Double)]): DataFrame = {
+      quantiles: Seq[(String, Double)], approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(quantiles.nonEmpty, "groupQuantiles needs at least one quantile")
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         quantiles.map { case (name, q) =>
-          expr(s"percentile(`$valueCol`, $q)").as(name)
+          if (approx)
+            expr(s"approx_percentile(`$valueCol`, $q, $accuracy)")
+              .cast("double").as(name)
+          else expr(s"percentile(`$valueCol`, $q)").as(name)
         }: _*)
   }
 

@@ -199,6 +199,27 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(col("source") === "a").count() == 90)
   }
 
+  test("groupQuantiles approx=true: bounded sketch state, near-exact cutoffs") {
+    // the scale escape hatch: t-digest state instead of O(distinct)/group.
+    // On a bounded domain with generous accuracy the cutoffs land within
+    // one domain step of exact — close, but NOT the oracle's R-7 bits
+    // (documented trade: gate exact, scale approx).
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", i.toLong * 2))).toDF("source", "len")
+    val exact = TextAnalysis.groupQuantiles(df, Seq("source"), "len",
+      Seq("p50" -> 0.5, "p90" -> 0.9))
+    val approx = TextAnalysis.groupQuantiles(df, Seq("source"), "len",
+      Seq("p50" -> 0.5, "p90" -> 0.9), approx = true)
+    // same shape: joinable drop-in for the exact frame
+    assert(approx.schema.fieldNames.toSeq == exact.schema.fieldNames.toSeq)
+    val e = exact.filter(col("source") === "a").head
+    val ap = approx.filter(col("source") === "a").head
+    assert(math.abs(ap.getDouble(2) - e.getDouble(2)) <= 1.0,
+      s"approx p50 ${ap.getDouble(2)} far from exact ${e.getDouble(2)}")
+    assert(math.abs(ap.getDouble(3) - e.getDouble(3)) <= 1.0,
+      s"approx p90 ${ap.getDouble(3)} far from exact ${e.getDouble(3)}")
+  }
+
   test("kmvDistinct: 52-bit hash keeps the estimate tight at 1e5 distinct") {
     val big = (0 until 100000).map(i => ("g", s"value_$i")).toDF("g", "v")
     val est = TextAnalysis.kmvDistinct(big, Seq("g"), "v", k = 512)
