@@ -314,8 +314,12 @@ object QueriesLLM {
       val rows = base.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 1L))
       val work = tempWorkDir("graft_q104_")
+      // daily partitions: the events fixture spans ~30 days, so the late
+      // batch rewrites ~15 already-written partition dirs through the
+      // staged swap — the semantics under test — without the per-dir swap
+      // overhead of hourly partitioning (720 dirs ≈ 16 s of bench time)
       val ps = new graft.storage.PartStore(s,
-        graft.storage.PartStoreConfig(work, 3600))
+        graft.storage.PartStoreConfig(work, 86400))
       val mem = MemoryStream[(Long, Long, Long, Long)]
       val q = graft.streaming.StreamingRollup.trendSink(
         mem.toDF().toDF("entity_id", "timestamp", "power", "modified"),

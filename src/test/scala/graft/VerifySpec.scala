@@ -10,10 +10,12 @@ class VerifySpec extends SparkSpec {
       throw new RuntimeException("exploded")
     }
     assert(err.contains("exploded"))
-    // a Spark job that would run ~forever: cancelled + reported, fast
+    // a Spark job that would run ~forever (scanning 2^63 ids; no
+    // overflow-prone arithmetic — an ANSI error would END the job and
+    // race the watchdog): cancelled + reported, fast
     val t0 = System.nanoTime()
     val to = Verify.runGuarded(spark, "hang", 2) {
-      spark.range(Long.MaxValue).selectExpr("sum(id * id)").collect()
+      spark.range(Long.MaxValue).filter("id % 7 = 3").count()
       ()
     }
     val sec = (System.nanoTime() - t0) / 1e9
