@@ -1094,6 +1094,64 @@ object Similarity {
     ()
   }
 
+  /** [[writeIndexBatch]]'s READ-optimized sibling: timestamp = IVF
+    * bucket, so with `PartStoreConfig(partitionSizeSeconds = 1)` the
+    * stored part is partitioned BY CELL (pindex == bucket) and stored
+    * retrieval prunes the scan to the probed cells
+    * ([[ivfTopKStoredPruned]]) — IO ∝ nProbe/k of the index instead of a
+    * full scan. The partitioning trade, explicitly:
+    *  - id-range ([[writeIndexBatch]]): appends touch only the
+    *    partitions holding the batch's ids — ingest-heavy indexes.
+    *  - by-bucket (this): a random batch spans most cells, so each
+    *    append rewrites most partitions — build-once / low-rate-ingest
+    *    indexes serving many retrievals.
+    * Contract: the codebook must be FROZEN — bucket derives from it, and
+    * the upsert key includes the bucket-valued timestamp, so a
+    * re-embedded vector that changes cells leaves its old row in the old
+    * cell's partition (rebuild, or tombstone, on codebook change). */
+  def writeIndexBatchByBucket(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], modified: Long): Unit = {
+    val cached = batch.persist()
+    ps.store(part, pqEncodeArray(cached, idCol, vecCol, codebooks)
+      .join(cached, idCol)
+      .select(col(idCol).as("entity_id"),
+        ivfBucket(col(vecCol), centroids).cast("long").as("timestamp"),
+        col(vecCol).as("embedding"),
+        ivfBucket(col(vecCol), centroids).as("bucket"),
+        col("pq_code"), lit(modified).as("modified")))
+    cached.unpersist()
+    ()
+  }
+
+  /** Stored IVF retrieval with PARTITION-PRUNED scan over a by-bucket
+    * index part ([[writeIndexBatchByBucket]]): the union of all queries'
+    * probe cells — at most k distinct values, collected driver-side from
+    * the probes frame (bounded by the codebook, never the corpus) —
+    * becomes a `pindex IN (...)` PartitionFilter, so the scan lists only
+    * the probed cells' directories. At 100 TB with k=4096 cells and
+    * nProbe=64 that is 1.6 % of the index read instead of 100 %.
+    * Results are identical to [[ivfTopKStored]] over the same rows
+    * (spec-asserted); the pruning is pure IO elision. */
+  def ivfTopKStoredPruned(
+      queries: DataFrame, ps: graft.storage.PartStore, part: String,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      k: Int, nProbe: Int): DataFrame = {
+    requireIntegralId(queries, idCol, "ivfTopKStoredPruned")
+    val cells = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted
+    val stored = ps.readPart(part).getOrElse(
+        throw new IllegalArgumentException(
+          s"ivfTopKStoredPruned: no stored index part '$part'"))
+      .filter(col("pindex").isin(cells.toIndexedSeq: _*))
+    val assigned = stored.select(col("entity_id").as("neighbor_id"),
+      col("embedding").as("__cv"), col("bucket").cast("int").as("__bucket"))
+    ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
+  }
+
   /** Persist centroids next to a stored index: a stored bucket/code
     * column is only meaningful WITH the codebook that produced it
     * ([[ivfTopKStored]]'s contract), so the two must travel together.
@@ -1319,6 +1377,176 @@ object Similarity {
       filled(j) += 1
     }
     rows.toIndexedSeq
+  }
+
+  /** Non-parametric OPQ (Ge et al. 2013 §3.1): alternating optimization
+    * of the rotation and the codebooks on the bounded sample —
+    *   encode(R·x) → retrain per-subspace codebooks → Procrustes-solve
+    *   R = argmin ‖R·x − decode(encode(R·x))‖² = U·Vᵀ from the SVD of
+    *   C·Xᵀ — repeated `iters` times from the PARAMETRIC init
+    * ([[opqRotationPca]]), so iteration starts at the parametric error
+    * and descends the actual quantization objective instead of the PCA
+    * proxy. All driver-side double arithmetic on the deterministic
+    * sample (SVD via eigendecomposition of MᵀM with the same
+    * Gram-Schmidt-stabilized power iteration), so the matrix is
+    * reproducible and ships like a codebook. Returns (R, codebooks in
+    * the rotated space) — encode production data with
+    * [[rotateVectors]] + these codebooks, NOT freshly trained ones (the
+    * pair is jointly optimized). */
+  def opqRotationNonParametric(
+      vectors: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      dim: Int, sampleN: Int = 2048, iters: Int = 8, powerIters: Int = 100)
+      : (Seq[Seq[Float]], Seq[Seq[(Int, Seq[Float])]]) = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sample = codebookSample(vectors, idCol, vecCol, math.max(k, sampleN))
+    require(sample.length >= k,
+      s"corpus has only ${sample.length} vectors — cannot train $k codes")
+    val xs = sample.map(_._2.map(_.toDouble).toArray)
+    var r: Array[Array[Double]] =
+      opqRotationPca(vectors, idCol, vecCol, m, dim, sampleN, powerIters)
+        .map(_.map(_.toDouble).toArray).toArray
+    var cbs: Seq[Seq[(Int, Seq[Float])]] = null
+    def apply(rm: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += rm(i)(j) * x(j); j += 1 }
+        s
+      }
+    var it = 0
+    while (it < iters) {
+      // (1) codebooks on the rotated sample (same deterministic trainer
+      // as pqCodebooksRefined: first-k seeds + one Lloyd pass per slice)
+      val rotated = sample.zip(xs).map { case ((id, _), x) =>
+        (id, apply(r, x).map(_.toFloat).toSeq)
+      }
+      cbs = (0 until m).map { j =>
+        val sliced = rotated.map { case (id, v) =>
+          (id, v.slice(j * sub, (j + 1) * sub))
+        }
+        lloydOnce(sliced,
+          sliced.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
+      }
+      // (2) reconstruction targets in rotated space
+      val recon = rotated.map { case (_, v) =>
+        (0 until m).flatMap { j =>
+          val s = v.slice(j * sub, (j + 1) * sub)
+          cbs(j).toMap.apply(driverAssign(cbs(j))(s))
+        }.map(_.toDouble).toArray
+      }
+      // (3) Procrustes: M = Σ c·xᵀ; R = U·Vᵀ from M = U·Σ·Vᵀ
+      val mMat = Array.ofDim[Double](dim, dim)
+      xs.zip(recon).foreach { case (x, c) =>
+        var a = 0
+        while (a < dim) {
+          var b = 0
+          while (b < dim) { mMat(a)(b) += c(a) * x(b); b += 1 }
+          a += 1
+        }
+      }
+      r = procrustesRotation(mMat, powerIters)
+      it += 1
+    }
+    (r.map(_.map(_.toFloat).toSeq).toSeq, cbs)
+  }
+
+  /** Orthogonal factor U·Vᵀ of M's SVD — the Procrustes solution. V =
+    * eigvecs of MᵀM (symmetric PSD; Gram-Schmidt-stabilized power
+    * iteration), U columns = M·v/σ, with zero-σ columns completed by
+    * Gram-Schmidt against the basis so U stays orthonormal. */
+  private def procrustesRotation(
+      mMat: Array[Array[Double]], powerIters: Int): Array[Array[Double]] = {
+    val dim = mMat.length
+    def matTmat: Array[Array[Double]] = {
+      val out = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          var s = 0.0; var t = 0
+          while (t < dim) { s += mMat(t)(i) * mMat(t)(j); t += 1 }
+          out(i)(j) = s; j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    val a = matTmat
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def orth(w: Array[Double], basis: Seq[Array[Double]]): Array[Double] = {
+      val o = w.clone()
+      basis.foreach { u =>
+        val d = o.zip(u).map { case (p, q) => p * q }.sum
+        var i = 0
+        while (i < dim) { o(i) -= d * u(i); i += 1 }
+      }
+      o
+    }
+    (0 until dim).foreach { _ =>
+      val start = (0 until dim).maxBy(d => a(d)(d) -> -d)
+      var v = {
+        val b = orth(Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0),
+          vs.toSeq)
+        val bn = nrm(b)
+        if (bn > 1e-300) b.map(_ / bn)
+        else Array.tabulate(dim)(d => if (d == start) 1.0 else 0.0)
+      }
+      var itp = 0
+      while (itp < powerIters) {
+        val w = orth(Array.tabulate(dim) { rr =>
+          var s = 0.0; var c = 0
+          while (c < dim) { s += a(rr)(c) * v(c); c += 1 }
+          s
+        }, vs.toSeq)
+        val wn = nrm(w)
+        if (wn > 1e-300) v = w.map(_ / wn)
+        itp += 1
+      }
+      val lambda = {
+        var s = 0.0; var i = 0
+        while (i < dim) {
+          var c = 0; var row = 0.0
+          while (c < dim) { row += a(i)(c) * v(c); c += 1 }
+          s += v(i) * row; i += 1
+        }
+        s
+      }
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { a(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      vs += v
+    }
+    // U columns: M·v/σ, Gram-Schmidt completion where σ ≈ 0
+    val us = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    vs.foreach { v =>
+      val mv = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += mMat(i)(j) * v(j); j += 1 }
+        s
+      }
+      val o = orth(mv, us.toSeq)
+      val on = nrm(o)
+      val u =
+        if (on > 1e-10) o.map(_ / on)
+        else {
+          // σ ≈ 0: any unit vector orthogonal to the accepted U columns
+          val cand = (0 until dim).iterator.map { d =>
+            orth(Array.tabulate(dim)(i => if (i == d) 1.0 else 0.0), us.toSeq)
+          }.find(nrm(_) > 1e-6).get
+          cand.map(_ / nrm(cand))
+        }
+      us += u
+    }
+    // R = U·Vᵀ: R(i)(j) = Σ_t U(i, t)·V(j, t) — us/vs hold COLUMNS
+    Array.tabulate(dim, dim) { (i, j) =>
+      var s = 0.0; var t = 0
+      while (t < dim) { s += us(t)(i) * vs(t)(j); t += 1 }
+      s
+    }
   }
 
   /** Rotate vectors by R (rows): out(i) = Σ_j R(i)(j)·x(j), computed in

@@ -599,6 +599,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("by-bucket index: retrieval prunes the scan to probed cells, same answers") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    // partitionSizeSeconds = 1 → pindex == bucket
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/ivf_bybucket", 1))
+    ps.deletePart("emb")
+    Similarity.writeIndexBatchByBucket(ps, "emb", clustered,
+      "vec_id", "embedding", cents, cbs, modified = 1L)
+    // one partition dir per non-empty cell
+    val dirs = new java.io.File("target/tmp/ivf_bybucket/emb").listFiles()
+      .filter(_.getName.startsWith("pindex=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.length <= 5, dirs.toSeq)
+    val queries = clustered.filter(col("vec_id") < 10)
+    val pruned = Similarity.ivfTopKStoredPruned(
+      queries, ps, "emb", "vec_id", "embedding", cents, k = 3, nProbe = 2)
+    // identical to the unpruned stored retrieval — pruning is IO elision
+    val stored = ps.readPart("emb").get.select(
+      col("entity_id").as("vec_id"), col("embedding"), col("bucket"))
+    val full = Similarity.ivfTopKStored(
+      queries, stored, "vec_id", "embedding", "bucket", cents, k = 3, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(pruned) == rows(full))
+    // and the scan really carries a pindex PartitionFilter
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pindex"), s"no pindex partition filter: $scanLine")
+  }
+
   test("OPQ permutation: true permutation, partition-invariant, spreads variance") {
     // variance-skewed fixture: dims 0..3 dominate — under identity
     // grouping all four land in subspace 0 and starve the others
@@ -675,6 +706,38 @@ class SimilaritySpec extends SparkSpec {
     val opqErr = reconErr(Similarity.rotateVectors(vs, "embedding", rot))
     assert(opqErr <= rawErr,
       s"OPQ-rotated residual-PQ recon $opqErr worse than raw residual-PQ $rawErr")
+
+    // non-parametric alternation: starts at the parametric rotation and
+    // descends the actual quantization objective — plain-PQ recon error
+    // must not exceed the parametric rotation's, and R stays orthonormal
+    def plainErr(rm: Seq[Seq[Float]], cb: Seq[Seq[(Int, Seq[Float])]]): Double = {
+      val sub2 = dim / 4
+      vs.collect().map(_.getSeq[Float](1).toSeq).map { v =>
+        val rv = rm.map(row =>
+          row.zip(v).foldLeft(0.0) { case (s, (w, x)) =>
+            s + w.toDouble * x.toDouble }.toFloat)
+        val rec = (0 until 4).flatMap { j =>
+          val s = rv.slice(j * sub2, (j + 1) * sub2)
+          cb(j).toMap.apply(Similarity.driverAssign(cb(j))(s))
+        }
+        rv.zip(rec).map { case (x, y) =>
+          val d = x.toDouble - y.toDouble; d * d }.sum
+      }.sum
+    }
+    val paramCbs = Similarity.pqCodebooksRefined(
+      Similarity.rotateVectors(vs, "embedding", rot), "vec_id", "embedding",
+      m = 4, k = 8, dim = dim)
+    val (npRot, npCbs) = Similarity.opqRotationNonParametric(
+      vs, "vec_id", "embedding", m = 4, k = 8, dim = dim, iters = 6)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val d = (0 until dim).map(t => npRot(i)(t).toDouble * npRot(j)(t).toDouble).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-3,
+        s"non-parametric R·Rᵀ[$i][$j] = $d")
+    }
+    val paramErr = plainErr(rot, paramCbs)
+    val npErr = plainErr(npRot, npCbs)
+    assert(npErr <= paramErr * 1.001,
+      s"non-parametric OPQ $npErr worse than parametric $paramErr")
   }
 
 }
