@@ -288,6 +288,40 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- full-corpus residual codebook training: q101's fixed-point
+    // pass applied to RESIDUALS (vector − cell centroid, the encoder's
+    // exact Float arithmetic) — completes the training matrix: IVF full
+    // (q95), PQ full (q101), residual full (here); no codebook is
+    // bounded by a driver sample anywhere ----
+    "q106_residual_codes_full" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksResidualFull(e, "vec_id", "embedding",
+        cents, m = 8, k = 256, dim = 64)
+      Similarity.ivfPqEncodeResidual(e, "vec_id", "embedding", cents, cbs)
+        .select(col("vec_id"), col("bucket"),
+          array_join(col("pq_code"), ",").as("pq_code_csv"))
+        .orderBy("vec_id")
+    },
+    // ---- by-bucket index + partition-pruned stored retrieval: the
+    // probe-cell union (≤ k values) becomes a pindex PartitionFilter, so
+    // the scan reads only probed cells' directories — retrieval IO ∝
+    // nProbe/k. Results equal a fresh whole-corpus retrieval, so the
+    // oracle IS q83's — pruning must be pure IO elision ----
+    "q105_ivf_pruned" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val work = tempWorkDir("graft_q105_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1)) // pindex == bucket
+      Similarity.writeIndexBatchByBucket(ps, "emb", e, "vec_id", "embedding",
+        cents, cbs, modified = 1L)
+      Similarity.ivfTopKStoredPruned(e.filter(col("vec_id") % 100 === 0),
+          ps, "emb", "vec_id", "embedding", cents, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // ---- streaming late-data gate (SURVEY I3): events replay through
     // the streaming trendSink in two micro-batches where EVERY row of the
     // second batch is event-time OLDER than the first — late stragglers
@@ -1144,11 +1178,17 @@ object QueriesLLM {
     * the cell) → combined reconstruction centroids (ccomb = cell slice +
     * residual centroid) → per-(query, probed-cell) distance table → est
     * over the probed candidates → the shared ADC tail. */
-  private val IvfPqResidualOracle = {
-    val resExpr = "list_transform(list_zip(%s, %s)," +
-      " z -> CAST(CAST(z[1] - z[2] AS REAL) AS DOUBLE))"
-    s"""WITH $IvfPqGateCte,
-         ${sampCteNamed("rsamp", 8192)},
+  private val ResExpr = "list_transform(list_zip(%s, %s)," +
+    " z -> CAST(CAST(z[1] - z[2] AS REAL) AS DOUBLE))"
+
+  /** Residual codebook SEEDS: sample residuals (assign -> REAL-rounded
+    * subtract vs the `iv` refined centroids) -> per-subspace Lloyd ->
+    * `rcent` (s, i, emb). Mirrors Similarity.pqCodebooksResidual; shared
+    * by the q100 retrieval oracle and q106's full-corpus trainer (where
+    * rcent is pass 0). */
+  private val ResidualSeedCte = {
+    val resExpr = ResExpr
+    s"""${sampCteNamed("rsamp", 8192)},
          rasg AS (
            SELECT p.sid, p.emb, c.i
            FROM rsamp p CROSS JOIN ivcent c
@@ -1194,14 +1234,24 @@ object QueriesLLM {
                   ELSE list_transform(m.vsum,
                          x -> CAST(CAST(x / m.n AS REAL) AS DOUBLE)) END
                AS emb
-           FROM rsseeds c LEFT JOIN rpsums m ON m.s = c.s AND m.i = c.i),
-         crres AS (
+           FROM rsseeds c LEFT JOIN rpsums m ON m.s = c.s AND m.i = c.i)"""
+  }
+
+  /** Full-corpus residuals (vec_id, bucket, emb) vs the `iv` centroids —
+    * the SQL twin of Similarity.residualFrame. */
+  private val CorpusResidualCte =
+    s"""crres AS (
            SELECT e.vec_id, a.bucket,
-             ${resExpr.format("CAST(e.embedding AS DOUBLE[])", "c.embedding")}
+             ${ResExpr.format("CAST(e.embedding AS DOUBLE[])", "c.embedding")}
                AS emb
            FROM embeddings e
            JOIN iassigned a USING (vec_id)
-           JOIN ivcent c ON c.i = a.bucket),
+           JOIN ivcent c ON c.i = a.bucket)"""
+
+  private val IvfPqResidualOracle = {
+    s"""WITH $IvfPqGateCte,
+         $ResidualSeedCte,
+         $CorpusResidualCte,
          rcodes AS (
            SELECT r.vec_id, r.bucket, c.s, c.i FROM crres r CROSS JOIN rcent c
            QUALIFY row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
@@ -2359,6 +2409,57 @@ object QueriesLLM {
     // whole-corpus reassignment, so the oracle IS q83's retrieval.
     "q96_ivf_incremental" ->
       s"""WITH $RefinedCentCte,
-         $IvfRetrievalSql"""
+         $IvfRetrievalSql""",
+    // Partition-pruned stored retrieval answers exactly like the fresh
+    // whole-corpus retrieval (pruning is IO elision), so the oracle IS
+    // q83's.
+    "q105_ivf_pruned" ->
+      s"""WITH $RefinedCentCte,
+         $IvfRetrievalSql""",
+    // Full-corpus residual training: rcent seeds (the q100 chain) + ONE
+    // fixed-point pass over every corpus residual (q92/q101 arithmetic),
+    // codes re-derived with the refined books — mirrors
+    // pqCodebooksResidualFull / ivfPqEncodeResidual.
+    "q106_residual_codes_full" ->
+      s"""WITH $IvfPqGateCte,
+         $ResidualSeedCte,
+         $CorpusResidualCte,
+         f0 AS (
+           SELECT r.vec_id, c.s, c.i,
+             r.emb[1 + 8*c.s : 8 + 8*c.s] AS semb
+           FROM crres r CROSS JOIN rcent c
+           QUALIFY row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+             list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s], c.emb) /
+               (sqrt(list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s],
+                                      r.emb[1 + 8*c.s : 8 + 8*c.s])) *
+                sqrt(list_dot_product(c.emb, c.emb))) DESC, c.i DESC) = 1),
+         frdims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+         frqx AS (
+           SELECT f.s, f.i, d.dim,
+             CAST(floor(f.semb[d.dim + 1] * 16777216.0 + 0.5) AS BIGINT) AS q
+           FROM f0 f CROSS JOIN frdims d),
+         frdm AS (
+           SELECT s, i, dim,
+             CAST(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
+               / 16777216.0 AS REAL) AS mr
+           FROM frqx GROUP BY 1, 2, 3),
+         frmeans AS (
+           SELECT s, i, list(CAST(mr AS DOUBLE) ORDER BY dim) AS emb
+           FROM frdm GROUP BY 1, 2),
+         frcent AS (
+           SELECT c.s, c.i, coalesce(f.emb, c.emb) AS emb
+           FROM rcent c LEFT JOIN frmeans f ON f.s = c.s AND f.i = c.i),
+         fcodes AS (
+           SELECT r.vec_id, r.bucket, c.s, c.i
+           FROM crres r CROSS JOIN frcent c
+           QUALIFY row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+             list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s], c.emb) /
+               (sqrt(list_dot_product(r.emb[1 + 8*c.s : 8 + 8*c.s],
+                                      r.emb[1 + 8*c.s : 8 + 8*c.s])) *
+                sqrt(list_dot_product(c.emb, c.emb))) DESC, c.i DESC) = 1)
+         SELECT vec_id, bucket,
+           array_to_string(list(CAST(i AS SMALLINT) ORDER BY s), ',')
+             AS pq_code_csv
+         FROM fcodes GROUP BY 1, 2 ORDER BY 1"""
   )
 }

@@ -610,18 +610,50 @@ object Similarity {
       dim: Int, nIter: Int, epsilon: Double = 0.0, scaleBits: Int = 24)
       : Seq[Seq[(Int, Seq[Float])]] = {
     require(nIter >= 1, s"pqCodebooksIteratedFull: nIter $nIter < 1")
-    val seeds = pqCodebooks(vectors, idCol, vecCol, m, k, dim)
+    iteratePqOn(vectors, idCol, vecCol,
+      pqCodebooks(vectors, idCol, vecCol, m, k, dim), nIter, epsilon, scaleBits)
+  }
+
+  /** The shared multi-pass PQ loop over an arbitrary (id, vector) frame —
+    * raw vectors ([[pqCodebooksIteratedFull]]) or residuals
+    * ([[pqCodebooksResidualFull]]). */
+  private def iteratePqOn(
+      frame: DataFrame, idCol: String, vecCol: String,
+      seeds: Seq[Seq[(Int, Seq[Float])]], nIter: Int, epsilon: Double,
+      scaleBits: Int): Seq[Seq[(Int, Seq[Float])]] = {
     var cur = seeds
     var iter = 0
     var moved = Double.PositiveInfinity
     while (iter < nIter && moved > epsilon) {
-      val next = pqPassFull(vectors, idCol, vecCol, cur, scaleBits)
+      val next = pqPassFull(frame, idCol, vecCol, cur, scaleBits)
       moved = cur.zip(next).map { case (a, b) => centroidMovement(a, b) }
         .foldLeft(0.0)(math.max)
       cur = next
       iter += 1
     }
     cur
+  }
+
+  /** Full-corpus residual codebook training — the last sample-bounded
+    * training step in the residual tier: [[pqCodebooksResidual]]'s
+    * sample-trained books seed up to `nIter` distributed fixed-point
+    * passes over EVERY corpus residual ([[residualFrame]] — the same
+    * Float-subtract arithmetic the encoder uses), with the
+    * [[ivfCentroidsIteratedFull]] ε early stop. Completes the training
+    * matrix: IVF full (q95), PQ full (q101), residual full (q106) —
+    * no codebook anywhere is bounded by a driver sample. */
+  def pqCodebooksResidualFull(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], m: Int, k: Int, dim: Int,
+      sampleN: Int = 8192, nIter: Int = 1, epsilon: Double = 0.0,
+      scaleBits: Int = 24): Seq[Seq[(Int, Seq[Float])]] = {
+    require(nIter >= 1, s"pqCodebooksResidualFull: nIter $nIter < 1")
+    val seeds =
+      pqCodebooksResidual(vectors, idCol, vecCol, centroids, m, k, dim, sampleN)
+    iteratePqOn(
+      residualFrame(vectors, idCol, vecCol, centroids)
+        .select(col(idCol), col("__res")),
+      idCol, "__res", seeds, nIter, epsilon, scaleBits)
   }
 
   /** Residual PQ codebooks — the IVFADC composition as FAISS ships it
@@ -668,21 +700,31 @@ object Similarity {
     * the encode is the audited broadcast-join form carrying (id, bucket)
     * through. This is the write-time column pair for the residual stored
     * index — feed [[ivfPqTopKResidual]]. */
-  def ivfPqEncodeResidual(
+  /** (id, bucket, __res) residual frame: each vector minus its assigned
+    * cell centroid, Float IEEE subtract — the one residual definition
+    * shared by the encoder and the full-corpus trainer so they cannot
+    * drift. Broadcast-join against the k-row centroid frame; narrow
+    * otherwise. */
+  private def residualFrame(
       vectors: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])],
-      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame = {
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cframe = centroids.toDF("__b", "__cent")
-    val withRes = vectors
+    vectors
       .select(col(idCol), col(vecCol).as("__v"),
         ivfBucket(col(vecCol), centroids).as("bucket"))
       .join(broadcast(cframe), col("bucket") === col("__b"))
       .select(col(idCol), col("bucket"),
         zip_with(col("__v"), col("__cent"), (x, y) => x - y).as("__res"))
-    pqEncodeArrayKeyed(withRes, Seq(idCol, "bucket"), "__res", codebooks)
   }
+
+  def ivfPqEncodeResidual(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): DataFrame =
+    pqEncodeArrayKeyed(residualFrame(vectors, idCol, vecCol, centroids),
+      Seq(idCol, "bucket"), "__res", codebooks)
 
   /** [[ivfPqTopK]] over RESIDUAL codes: candidates come from the same
     * nProbe-cell gate, but the ADC estimate reconstructs

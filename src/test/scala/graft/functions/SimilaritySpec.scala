@@ -243,6 +243,23 @@ class SimilaritySpec extends SparkSpec {
     assert(incremental == fresh)
   }
 
+  test("full-corpus residual training: partition-invariant, refines the seeds") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val full = Similarity.pqCodebooksResidualFull(
+      clustered, "vec_id", "embedding", cents, m = 4, k = 4, dim = dim)
+    val repart = Similarity.pqCodebooksResidualFull(
+      clustered.repartition(7), "vec_id", "embedding", cents, m = 4, k = 4, dim = dim)
+    assert(full == repart) // fixed-point sums: any partition layout
+    // the distributed pass genuinely moved the sample-trained seeds
+    val seeds = Similarity.pqCodebooksResidual(
+      clustered, "vec_id", "embedding", cents, m = 4, k = 4, dim = dim)
+    assert(full != seeds)
+    // and the refined books feed the existing encoder unchanged
+    val codes = Similarity.ivfPqEncodeResidual(
+      clustered, "vec_id", "embedding", cents, full)
+    assert(codes.count() == 100)
+  }
+
   test("ANN entry points refuse non-integral id columns loudly") {
     // string ids would null out inside the LongType top-k aggregate and
     // return silently-empty results — the guard turns that into a
