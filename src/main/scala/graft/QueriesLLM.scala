@@ -368,6 +368,40 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- scalar quantization (FAISS IndexScalarQuantizer QT_8bit
+    // shape): per-dim (min, max) trained over the full corpus, one uint8
+    // code per dimension — 4× compression at per-dim fidelity, the rung
+    // between raw float32 and PQ's 32×. All-double affine arithmetic, so
+    // codes are bit-identical cross-engine ----
+    "q107_sq_codes" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val ps = Similarity.sqParams(e, "embedding", 64)
+      Similarity.sqEncode(e, "vec_id", "embedding", ps)
+        .select(col("vec_id"), array_join(col("sq_code"), ",").as("sq_code_csv"))
+        .orderBy("vec_id")
+    },
+    // ---- asymmetric SQ retrieval: full-vector queries against the
+    // uint8-coded corpus (decode-on-the-fly estimate), exact rerank for
+    // the shortlist — the same estimate→shortlist→rerank tail as ADC ----
+    "q108_sq_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val ps = Similarity.sqParams(e, "embedding", 64)
+      val codes = Similarity.sqEncode(e, "vec_id", "embedding", ps)
+      Similarity.sqTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", ps, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
+    // ---- exact cosine range search (FAISS range_search shape): ALL
+    // neighbors above the similarity threshold — data-driven result
+    // size, the retrieval contract top-k can't express. The exactness
+    // anchor; rangeSearchIvf is the gated scale path (subset + recall
+    // spec-asserted) ----
+    "q109_range_search" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      Similarity.rangeSearch(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", minCos = 0.25)
+        .orderBy("query_id", "neighbor_id")
+    },
     // ---- OPQ (Ge et al. 2013): variance-balanced dimension permutation
     // before PQ — an orthogonal transform the ORACLE recomputes end to
     // end (fixed-point per-dim variances → snake allocation → permuted
@@ -1123,6 +1157,29 @@ object QueriesLLM {
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
   private val AdcRetrievalSql = adcRetrievalSql()
+
+  /** Scalar-quantizer chain shared by q107 (codes) and q108 (retrieval):
+    * per-dim corpus (min, max) — min/max are order-free, so no
+    * fixed-point machinery — then the all-double affine code
+    * `clamp(floor((x − mn)/(mx − mn)·255 + ½))` mirroring
+    * Similarity.sqCode bit for bit (FLOAT→DOUBLE casts are exact and
+    * both engines run the same IEEE double ops in the same order). */
+  private val SqCte =
+    """sqp AS (
+           SELECT d.dim,
+             CAST(min(e.embedding[d.dim + 1]) AS DOUBLE) AS mn,
+             CAST(max(e.embedding[d.dim + 1]) AS DOUBLE) AS mx
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+           GROUP BY 1),
+         scodes AS (
+           SELECT e.vec_id,
+             list(CAST(least(greatest(CASE WHEN p.mx = p.mn THEN 0.0
+                 ELSE floor((CAST(e.embedding[p.dim + 1] AS DOUBLE) - p.mn)
+                   / (p.mx - p.mn) * 255.0 + 0.5) END, 0.0), 255.0)
+               AS SMALLINT) ORDER BY p.dim) AS sq_code
+           FROM embeddings e CROSS JOIN sqp p
+           GROUP BY 1)"""
 
   /** IVF probe gate + candidate set for the IVF-PQ oracle (q97): cell
     * scores from the `iv`-prefixed refined-centroid chain, 2-of-8 probe
@@ -1895,6 +1952,56 @@ object QueriesLLM {
     "q90_adc_topk64" ->
       s"""WITH ${pqCodesCte(256, 8192)},
          $AdcRetrievalSql""",
+    "q107_sq_codes" ->
+      s"""WITH $SqCte
+         SELECT vec_id, array_to_string(sq_code, ',') AS sq_code_csv
+         FROM scodes ORDER BY vec_id""",
+    // Range search: exact cosine (the AdcTailSql rerank arithmetic) with
+    // a threshold instead of a rank cut; zero-norm guards mirror the
+    // Spark side (NaN orders GREATEST in both engines, so an unguarded
+    // NaN would pass the threshold).
+    "q109_range_search" ->
+      """WITH qs AS (
+           SELECT vec_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         cs AS (
+           SELECT vec_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS cn
+           FROM embeddings)
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(CAST(q.embedding AS DOUBLE[]),
+             CAST(c.embedding AS DOUBLE[])) / (q.qn * c.cn) AS cos
+         FROM qs q JOIN cs c ON q.vec_id <> c.vec_id
+         WHERE q.qn > 0 AND c.cn > 0
+           AND list_dot_product(CAST(q.embedding AS DOUBLE[]),
+             CAST(c.embedding AS DOUBLE[])) / (q.qn * c.cn) >= 0.25
+         ORDER BY query_id, neighbor_id""",
+    // SQ retrieval: decode the stored codes back to v̂ (per-dim affine),
+    // estimate cos(q, v̂) with the same double fold as the Spark side,
+    // then EXACTLY the shared ADC tail (shortlist 50 → exact rerank →
+    // rank ≤ 5).
+    "q108_sq_topk" ->
+      s"""WITH $SqCte,
+         sdec AS (
+           SELECT s.vec_id,
+             list(p.mn + CAST(s.sq_code[p.dim + 1] AS DOUBLE)
+                 * ((p.mx - p.mn) / 255.0) ORDER BY p.dim) AS dv
+           FROM scodes s CROSS JOIN sqp p
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         est AS (
+           SELECT q.query_id, d.vec_id AS neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), d.dv) AS sdot,
+             list_dot_product(d.dv, d.dv) AS scn2
+           FROM qs q CROSS JOIN sdec d),
+         $AdcTailSql""",
     // OPQ: per-dim fixed-point variances (exact integers — n·Σq² − (Σq)²
     // with q = floor(x·4096 + 0.5) BIGINT, mirroring opqPermutation),
     // variance-rank snake allocation to subspaces, then EXACTLY q90's

@@ -1003,6 +1003,18 @@ object Similarity {
       // a candidate whose reconstructed centroid norm is zero (degenerate
       // codebook) has no estimate — drop rather than NaN-sink it
       .filter(!isnan(col("est_cos")))
+    shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Shortlist-by-estimate → exact-rerank tail shared by every
+    * compressed-scan retrieval (ADC over PQ codes, the scalar-quantizer
+    * scan): `est` carries one (query_id, neighbor_id, est_cos) row per
+    * surviving candidate with NaN estimates already filtered. Only the
+    * ≤`shortlist` best-estimated candidates per query pay the full-vector
+    * cosine; final order is exact (cos desc, neighbor asc) top-`k`. */
+  private def shortlistExactRerank(
+      est: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
     val short = est
       .groupBy("query_id")
       .agg(graft.expressions.TopKPairs.topk(
@@ -1674,5 +1686,172 @@ object Similarity {
           .otherwise(acc)).as("m"))
       .select(col("query_id").as(idCol),
         col("m.lbl").as("predicted_label"), col("m.v").as("votes"))
+  }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8): the third compression rung next to PQ.
+  // Public analogue: FAISS IndexScalarQuantizer QT_8bit — each dimension
+  // is affinely mapped to one uint8 code against per-dim (min, max)
+  // trained over the full corpus. 4× compression vs float32 at far
+  // higher fidelity than PQ's m codes; the scan stays a per-dim affine
+  // decode (pure ALU), so SQ is the right rung when IO — not CPU — is
+  // the retrieval bottleneck and PQ's 32× compression over-quantizes.
+  // ------------------------------------------------------------------
+
+  /** Scalar-quantizer training: per-dimension (min, max) over the FULL
+    * corpus. One posexplode + min/max aggregate — map-side combined,
+    * shuffle ≤ dim·|partitions| partials, `dim` rows collected (the same
+    * bounded driver-side collect as a codebook). min/max are
+    * order-insensitive, so the params are partition-invariant by
+    * construction — no fixed-point machinery needed. */
+  def sqParams(
+      vectors: DataFrame, vecCol: String, dim: Int): Seq[(Float, Float)] = {
+    val rows = vectors
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    require(rows.length == dim,
+      s"sqParams saw ${rows.length} distinct dims, expected $dim — ragged " +
+        "or empty vectors cannot train a scalar quantizer")
+    rows.map(r => r.getInt(0) -> ((r.getFloat(1), r.getFloat(2))))
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** Per-dim uint8 code column: `clamp(floor((x − mn)/(mx − mn)·255 + ½))`,
+    * all-double arithmetic (Float→Double casts are exact, so the codes are
+    * bit-identical across engines). A constant dimension (mx = mn) codes
+    * to 0 and decodes back to mn exactly. */
+  def sqCode(vec: Column, params: Seq[(Float, Float)]): Column = {
+    val mns = typedLit(params.map(_._1.toDouble))
+    val mxs = typedLit(params.map(_._2.toDouble))
+    transform(vec, (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0.0))
+        .otherwise(least(greatest(
+          floor((x.cast("double") - mn) / (mx - mn) * lit(255.0) + lit(0.5)),
+          lit(0.0)), lit(255.0)))
+        .cast("smallint")
+    })
+  }
+
+  /** Encode a corpus: (idCol, sq_code array<smallint>) — the storable
+    * index column, 1 byte of information per dimension. */
+  def sqEncode(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      params: Seq[(Float, Float)]): DataFrame =
+    vectors.select(col(idCol), sqCode(col(vecCol), params).as("sq_code"))
+
+  /** Reconstruction column: `v̂_d = mn_d + code_d·(mx_d − mn_d)/255` as
+    * array<double> — the asymmetric-distance corpus side. */
+  def sqDecode(codeCol: Column, params: Seq[(Float, Float)]): Column = {
+    val mns = typedLit(params.map(_._1.toDouble))
+    val steps = typedLit(params.map { case (mn, mx) =>
+      (mx.toDouble - mn.toDouble) / 255.0
+    })
+    transform(codeCol, (c, i) =>
+      element_at(mns, i + 1) + c.cast("double") * element_at(steps, i + 1))
+  }
+
+  /** Asymmetric scalar-quantizer retrieval: queries keep full vectors, the
+    * corpus is represented ONLY by its uint8 codes — each candidate pays a
+    * per-dim affine decode and one double fold (est = cos(q, v̂)), the
+    * ≤`shortlist` best estimates per query pay the exact full-vector
+    * cosine ([[shortlistExactRerank]]).
+    *
+    * Scale shape: the small query side (with precomputed norms) is
+    * broadcast and the code table streams — ONE scan of m-byte rows per
+    * retrieval, no shuffle until the bounded top-k partials
+    * (|queries|·shortlist·|partitions| rows). The decode per (query,
+    * candidate) pair is recomputed rather than materialized: decoded
+    * doubles are 8× the codes' bytes, so caching them would spill the very
+    * IO the codes saved; at 100 TB the scan is IO-bound and the affine
+    * ALU rides free. Compose with the IVF gate exactly like
+    * [[ivfPqTopK]] when a full scan per query is too much.
+    * Returns (query_id, neighbor_id, rank, cos) — exact cosines,
+    * SQ-selected candidates. */
+  def sqTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, params: Seq[(Float, Float)], k: Int,
+      shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "sqTopK")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      // zero-norm queries have no defined cosine (the oracle's qn > 0
+      // guard — same contract as adcDistanceTable)
+      .filter(col("__qn") > 0d)
+    val est = codes
+      .select(col(idCol).as("neighbor_id"),
+        sqDecode(col("sq_code"), params).as("__dv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotHof(col("__qv"), col("__dv")) /
+          (col("__qn") * sqrt(dotHof(col("__dv"), col("__dv"))))).as("est_cos"))
+      .filter(!isnan(col("est_cos")))
+    shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  // ------------------------------------------------------------------
+  // Range search: ALL neighbors above a similarity threshold (the FAISS
+  // `range_search` analogue) — the retrieval shape top-k can't express:
+  // result size is data-driven (every duplicate cluster member, every
+  // in-radius match), not a fixed k.
+  // ------------------------------------------------------------------
+
+  /** Exact cosine range search: every (query, corpus) pair with
+    * cos ≥ `minCos`, excluding self-matches and zero-norm vectors (whose
+    * cosine is undefined — both engines would otherwise rank the NaN
+    * ABOVE the threshold, since Spark and most SQL engines order NaN
+    * greatest). Returns (query_id, neighbor_id, cos).
+    *
+    * Scale shape: the small query side is broadcast with precomputed
+    * norms and the corpus streams — one scan, no shuffle at all (the
+    * threshold filter is evaluated map-side and survivors flow straight
+    * out). This is the exactness anchor; gate a 100 TB corpus with
+    * [[rangeSearchIvf]] or the LSH buckets first. */
+  def rangeSearch(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0d)
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0d)
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** IVF-gated range search: only corpus vectors in each query's `nProbe`
+    * nearest cells pay the exact cosine + threshold test. Approximate the
+    * same way [[ivfTopK]] is — an in-radius neighbor assigned to an
+    * unprobed cell is missed — and every returned row passes the EXACT
+    * threshold, so the result is always a subset of [[rangeSearch]]'s
+    * (spec-asserted, with measured recall on clustered data). Candidates
+    * ∝ corpus·nProbe/|cells| per query instead of the full scan. */
+  def rangeSearchIvf(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])], minCos: Double,
+      nProbe: Int): DataFrame = {
+    val probed = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0d)
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"),
+        ivfBucket(col(vecCol), centroids).as("__bucket"))
+      .filter(col("__cn") > 0d)
+      .join(broadcast(probed), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) /
+        (col("__qn") * col("__cn")))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "neighbor_id", "cos")
   }
 }

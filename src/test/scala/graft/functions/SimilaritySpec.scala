@@ -283,6 +283,102 @@ class SimilaritySpec extends SparkSpec {
         Similarity.pqEncodeArray(s, "vec_id", "embedding", cbs),
         s, "vec_id", "embedding", cbs, 3, 10)
     }
+    intercept[IllegalArgumentException] {
+      val ps = Similarity.sqParams(clustered, "embedding", dim)
+      Similarity.sqTopK(s,
+        s.select(col("vec_id"), Similarity.sqCode(col("embedding"), ps).as("sq_code")),
+        s, "vec_id", "embedding", ps, 3, 10)
+    }
+  }
+
+  test("SQ8: decode error within half a step; constant dims exact; codes in [0,255]") {
+    val ps = Similarity.sqParams(clustered, "embedding", dim)
+    assert(ps.length == dim)
+    ps.foreach { case (mn, mx) => assert(mn <= mx) }
+    // append a constant dimension by training on a frame with one
+    val constDim = clustered.select(col("vec_id"),
+      concat(col("embedding"), array(lit(3.5f))).as("embedding"))
+    val psC = Similarity.sqParams(constDim, "embedding", dim + 1)
+    assert(psC(dim) == ((3.5f, 3.5f)))
+    val decoded = constDim.select(col("vec_id"), col("embedding"),
+        Similarity.sqCode(col("embedding"), psC).as("sq_code"))
+      .withColumn("dv", Similarity.sqDecode(col("sq_code"), psC))
+      .collect()
+    decoded.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val c = r.getSeq[Short](2)
+      val v = r.getSeq[Double](3)
+      c.foreach(ci => assert(ci >= 0 && ci <= 255))
+      // constant dim: code 0, exact reconstruction
+      assert(c(dim) == 0 && v(dim) == 3.5f.toDouble)
+      // every dim reconstructs within half a quantization step
+      (0 until dim).foreach { d =>
+        val (mn, mx) = psC(d)
+        val step = (mx.toDouble - mn.toDouble) / 255.0
+        assert(math.abs(v(d) - x(d).toDouble) <= step / 2 + 1e-12,
+          s"dim $d: ${v(d)} vs ${x(d)} (step $step)")
+      }
+    }
+  }
+
+  test("rangeSearch matches a local recompute; IVF gate is an exact subset with recall") {
+    val queries = clustered.filter(col("vec_id") < 10)
+    val t = 0.5
+    // local ground truth with the same left-to-right double fold
+    val all = clustered.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cosL(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      q <- all.keys.filter(_ < 10); c <- all.keys if q != c
+      if cosL(all(q), all(c)) >= t
+    } yield (q, c)).toSet
+    val got = Similarity.rangeSearch(queries, clustered, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == expected)
+    got.foreach { case (q, c, cos) =>
+      assert(math.abs(cos - cosL(all(q), all(c))) < 1e-12)
+      assert(cos >= t)
+    }
+    // IVF-gated: always a subset of the exact answer, high recall on
+    // clustered data even probing 2 of 5 cells
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val gated = Similarity.rangeSearchIvf(
+        queries, clustered, "vec_id", "embedding", cents, t, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated.subsetOf(expected))
+    val recall = expected.count(gated.contains).toDouble / math.max(expected.size, 1)
+    assert(recall >= 0.8, s"IVF range recall too low: $recall (${expected.size} pairs)")
+  }
+
+  test("sqTopK: full shortlist equals brute force; tight shortlist keeps recall") {
+    val ps = Similarity.sqParams(clustered, "embedding", dim)
+    val codes = Similarity.sqEncode(clustered, "vec_id", "embedding", ps)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // shortlist = corpus: the estimate only orders candidates, every one
+    // is exact-reranked → EXACTLY the brute-force result
+    val full = rows(Similarity.sqTopK(
+      queries, codes, clustered, "vec_id", "embedding", ps, k = 3, shortlist = 100))
+    val exact = rows(Similarity.bruteForceTopK(
+      queries, clustered, "vec_id", "embedding", 3))
+    assert(full == exact)
+    // a tight shortlist rides the 8-bit estimate — near-lossless at SQ8
+    val tight = rows(Similarity.sqTopK(
+        queries, codes, clustered, "vec_id", "embedding", ps, k = 3, shortlist = 5))
+      .map(t => (t._1, t._2)).toSet
+    val recall = exact.map(t => (t._1, t._2)).count(tight.contains).toDouble /
+      exact.size
+    assert(recall >= 0.9, s"SQ8 shortlist=5 recall too low: $recall")
   }
 
   test("full-corpus Lloyd refuses an empty corpus loudly") {
