@@ -391,6 +391,26 @@ object QueriesLLM {
           "vec_id", "embedding", ps, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- binary quantization (FAISS IndexBinaryFlat shape): 1 sign bit
+    // per dimension packed 32-per-BIGINT — the 32× compression floor.
+    // Training-free, integer end to end, so the oracle replays the codes
+    // exactly ----
+    "q110_bq_codes" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      Similarity.bqEncode(e, "vec_id", "embedding", 64)
+        .select(col("vec_id"), array_join(col("bq_code"), ",").as("bq_code_csv"))
+        .orderBy("vec_id")
+    },
+    // ---- BQ retrieval: Hamming-agreement estimate (XOR + popcount, the
+    // cheapest candidate scan of any rung) shortlists for the shared
+    // exact rerank ----
+    "q111_bq_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val codes = Similarity.bqEncode(e, "vec_id", "embedding", 64)
+      Similarity.bqTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- exact cosine range search (FAISS range_search shape): ALL
     // neighbors above the similarity threshold — data-driven result
     // size, the retrieval contract top-k can't express. The exactness
@@ -1125,16 +1145,14 @@ object QueriesLLM {
            GROUP BY 1, 2),
          $AdcTailSql"""
 
-  /** este → shortlist → exact rerank → rank≤5: the retrieval tail every
-    * ADC oracle shares (full-scan, IVF-probed, residual) — reads whatever
-    * `qs` and `est` CTEs precede it. */
-  private val AdcTailSql =
-    """este AS (
-           SELECT e.query_id, e.neighbor_id,
-             e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
-           FROM est e JOIN qs q USING (query_id)
-           WHERE e.query_id <> e.neighbor_id AND q.qn > 0),
-         short AS (
+  /** The tail below `este` (query_id, neighbor_id, est_cos): shortlist 50
+    * by estimate (ties → smaller neighbor), exact-cosine rerank, rank ≤ 5.
+    * Shared by every compressed-retrieval oracle — the ADC family feeds it
+    * through [[AdcTailSql]]'s sdot/scn2 arithmetic (full-scan, IVF-probed,
+    * residual), the binary-quantization oracle (q111) feeds an integer
+    * Hamming-agreement `este` directly. */
+  private val RerankTailSql =
+    """short AS (
            SELECT query_id, neighbor_id FROM este
            WHERE NOT isnan(est_cos)
            QUALIFY row_number() OVER (PARTITION BY query_id
@@ -1155,6 +1173,14 @@ object QueriesLLM {
            FROM exact)
          SELECT query_id, neighbor_id, rank, cos FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val AdcTailSql =
+    s"""este AS (
+           SELECT e.query_id, e.neighbor_id,
+             e.sdot / (q.qn * sqrt(e.scn2)) AS est_cos
+           FROM est e JOIN qs q USING (query_id)
+           WHERE e.query_id <> e.neighbor_id AND q.qn > 0),
+         $RerankTailSql"""
 
   private val AdcRetrievalSql = adcRetrievalSql()
 
@@ -1180,6 +1206,22 @@ object QueriesLLM {
                AS SMALLINT) ORDER BY p.dim) AS sq_code
            FROM embeddings e CROSS JOIN sqp p
            GROUP BY 1)"""
+
+  /** Binary-quantization codes shared by q110 (codes) and q111
+    * (retrieval): bit `d % 32` of word `d // 32` set iff the dim is
+    * positive — integer construction mirroring Similarity.bqCode
+    * exactly (no float arithmetic anywhere). */
+  private val BqCte =
+    """bqw AS (
+           SELECT e.vec_id, d.dim // 32 AS w,
+             CAST(sum(CASE WHEN e.embedding[d.dim + 1] > 0
+               THEN (CAST(1 AS BIGINT) << (d.dim % 32))
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+           GROUP BY 1, 2),
+         bq AS (
+           SELECT vec_id, list(word ORDER BY w) AS bq FROM bqw GROUP BY 1)"""
 
   /** IVF probe gate + candidate set for the IVF-PQ oracle (q97): cell
     * scores from the `iv`-prefixed refined-centroid chain, 2-of-8 probe
@@ -1979,6 +2021,30 @@ object QueriesLLM {
            AND list_dot_product(CAST(q.embedding AS DOUBLE[]),
              CAST(c.embedding AS DOUBLE[])) / (q.qn * c.cn) >= 0.25
          ORDER BY query_id, neighbor_id""",
+    "q110_bq_codes" ->
+      s"""WITH $BqCte
+         SELECT vec_id, array_to_string(bq, ',') AS bq_code_csv
+         FROM bq ORDER BY vec_id""",
+    // BQ retrieval: integer Hamming-agreement estimate (64 − popcount of
+    // the XOR'd sign words — exact on both engines), then the shared
+    // shortlist-50 → exact-rerank → rank≤5 tail.
+    "q111_bq_topk" ->
+      s"""WITH $BqCte,
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         este AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(64 - (bit_count(xor(qb.bq[1], c.bq[1]))
+                      + bit_count(xor(qb.bq[2], c.bq[2]))) AS DOUBLE)
+               AS est_cos
+           FROM qs q
+           JOIN bq qb ON qb.vec_id = q.query_id
+           CROSS JOIN bq c
+           WHERE q.qn > 0 AND q.query_id <> c.vec_id),
+         $RerankTailSql""",
     // SQ retrieval: decode the stored codes back to v̂ (per-dim affine),
     // estimate cos(q, v̂) with the same double fold as the Spark side,
     // then EXACTLY the shared ADC tail (shortlist 50 → exact rerank →

@@ -1793,6 +1793,74 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // Binary quantization (BQ): 1 bit per dimension — the 32× compression
+  // floor under SQ8's 4× and PQ's configurable middle. Public analogue:
+  // FAISS IndexBinaryFlat / sign-bit hashing (Charikar 2002 hyperplane
+  // sketch with the coordinate planes). The estimate is the Hamming
+  // AGREEMENT between sign patterns — pure integer ops (XOR + popcount),
+  // so the oracle replays it exactly; the shortlist pays the exact
+  // cosine like every other compressed rung.
+  // ------------------------------------------------------------------
+
+  /** Sign-bit code words: bit `d % 32` of word `d / 32` is set iff
+    * `x_d > 0` — 32 dims per BIGINT word, a trailing partial word for
+    * dim % 32 ≠ 0 (zip_with's null padding contributes no bit). No
+    * training, no parameters: the code is a pure function of the vector,
+    * so incremental appends never invalidate existing codes. */
+  def bqCode(vec: Column, dim: Int): Column = {
+    val nWords = (dim + 31) / 32
+    val weights = typedLit((0 until 32).map(1L << _))
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(
+        zip_with(slice(vec, w * lit(32) + 1, lit(32)), sequence(lit(1), lit(32)),
+          (x, j) => when(x > lit(0f), element_at(weights, j))
+            .otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x))
+  }
+
+  /** Encode a corpus: (idCol, bq_code array<bigint>) — dim/8 bytes of
+    * information per vector. */
+  def bqEncode(
+      vectors: DataFrame, idCol: String, vecCol: String, dim: Int): DataFrame =
+    vectors.select(col(idCol), bqCode(col(vecCol), dim).as("bq_code"))
+
+  /** Binary-quantized retrieval: est = dim − Hamming(sign(q), sign(c)) —
+    * the count of dimensions whose signs agree, a monotone proxy for
+    * angular similarity (Goemans–Williamson: P[signs agree] =
+    * 1 − θ/π). Integer arithmetic end to end until the exact rerank, so
+    * estimates are bit-identical on any engine and any partitioning.
+    * Ties (est is one of dim+1 values) break toward the smaller
+    * neighbor id in the shortlist, deterministically.
+    *
+    * Scale shape: identical to [[sqTopK]] — broadcast query codes, ONE
+    * streaming scan of dim/8-byte corpus codes, XOR+popcount per pair
+    * (cheapest estimate of any rung), bounded top-k partials, exact
+    * cosine only for the ≤`shortlist` survivors. The crude estimate
+    * needs a wider shortlist than SQ8's for equal recall — measured in
+    * the spec — which is the standing BQ trade: 8× less IO than SQ8,
+    * more rerank candidates. */
+  def bqTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "bqTopK")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      // zero-norm queries have no defined cosine — the same guard as
+      // every retrieval entry point (the oracle's qn > 0)
+      .filter(norm(col("__qv")) > 0d)
+      .select(col("query_id"), bqCode(col("__qv"), dim).as("__qc"))
+    val est = codes
+      .select(col(idCol).as("neighbor_id"), col("bq_code").as("__cc"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(dim) - aggregate(
+          zip_with(col("__qc"), col("__cc"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x)).cast("double").as("est_cos"))
+    shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  // ------------------------------------------------------------------
   // Range search: ALL neighbors above a similarity threshold (the FAISS
   // `range_search` analogue) — the retrieval shape top-k can't express:
   // result size is data-driven (every duplicate cluster member, every

@@ -321,6 +321,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BQ: sign-bit packing matches a local recompute; partial last word works") {
+    // dim=16 → one partial word; recompute the pack locally bit by bit
+    val got = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = clustered.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = v.zipWithIndex.foldLeft(0L) { case (acc, (x, d)) =>
+        if (x > 0f) acc | (1L << (d % 32)) else acc
+      }
+      assert(got(id) == Seq(expected), s"vec $id")
+    }
+    // 64 dims → exactly two full words, every bit position exercised
+    val wide = clustered.select(col("vec_id"),
+      concat(col("embedding"), col("embedding"), col("embedding"),
+        col("embedding")).as("embedding"))
+    val words = Similarity.bqEncode(wide, "vec_id", "embedding", 64)
+      .select(org.apache.spark.sql.functions.size(col("bq_code")).as("n"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(words == Seq(2))
+  }
+
+  test("bqTopK: full shortlist equals brute force; tight shortlist keeps recall") {
+    val codes = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full = rows(Similarity.bqTopK(
+      queries, codes, clustered, "vec_id", "embedding", dim, k = 3, shortlist = 100))
+    val exact = rows(Similarity.bruteForceTopK(
+      queries, clustered, "vec_id", "embedding", 3))
+    assert(full == exact)
+    // 1-bit estimates are crude: same-cluster vectors share sign patterns,
+    // so a cluster-sized shortlist still recovers most of the top-3
+    val tight = rows(Similarity.bqTopK(
+        queries, codes, clustered, "vec_id", "embedding", dim, k = 3, shortlist = 20))
+      .map(t => (t._1, t._2)).toSet
+    val recall = exact.map(t => (t._1, t._2)).count(tight.contains).toDouble /
+      exact.size
+    assert(recall >= 0.7, s"BQ shortlist=20 recall too low: $recall")
+  }
+
   test("rangeSearch matches a local recompute; IVF gate is an exact subset with recall") {
     val queries = clustered.filter(col("vec_id") < 10)
     val t = 0.5
