@@ -391,6 +391,19 @@ object QueriesLLM {
           "vec_id", "embedding", ps, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- IVF × SQ (FAISS IndexIVFScalarQuantizer shape): 2-of-8 cell
+    // probe gates the corpus, the SQ affine decode estimates only probed
+    // candidates, exact rerank pays full vectors for the shortlist —
+    // completes the gate × estimator matrix (full vectors / PQ / SQ) ----
+    "q112_ivfsq_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val ps = Similarity.sqParams(e, "embedding", 64)
+      val codes = Similarity.sqEncode(e, "vec_id", "embedding", ps)
+      Similarity.ivfSqTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", cents, ps, k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- binary quantization (FAISS IndexBinaryFlat shape): 1 sign bit
     // per dimension packed 32-per-BIGINT — the 32× compression floor.
     // Training-free, integer end to end, so the oracle replays the codes
@@ -2025,6 +2038,31 @@ object QueriesLLM {
       s"""WITH $BqCte
          SELECT vec_id, array_to_string(bq, ',') AS bq_code_csv
          FROM bq ORDER BY vec_id""",
+    // IVF × SQ: the q97 probe gate (icand) feeds the q108 SQ estimate,
+    // then the shared shortlist/rerank tail.
+    "q112_ivfsq_topk" ->
+      s"""WITH $SqCte,
+         $IvfPqGateCte,
+         sdec AS (
+           SELECT s.vec_id,
+             list(p.mn + CAST(s.sq_code[p.dim + 1] AS DOUBLE)
+                 * ((p.mx - p.mn) / 255.0) ORDER BY p.dim) AS dv
+           FROM scodes s CROSS JOIN sqp p
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         este AS (
+           SELECT i.query_id, i.neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), d.dv)
+               / (q.qn * sqrt(list_dot_product(d.dv, d.dv))) AS est_cos
+           FROM icand i
+           JOIN qs q ON q.query_id = i.query_id
+           JOIN sdec d ON d.vec_id = i.neighbor_id
+           WHERE q.qn > 0),
+         $RerankTailSql""",
     // BQ retrieval: integer Hamming-agreement estimate (64 − popcount of
     // the XOR'd sign words — exact on both engines), then the shared
     // shortlist-50 → exact-rerank → rank≤5 tail.

@@ -1792,6 +1792,40 @@ object Similarity {
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
 
+  /** IVF-gated scalar-quantizer retrieval (the FAISS
+    * `IndexIVFScalarQuantizer` composition): probe the `nProbe` nearest
+    * cells per query, SQ-estimate ONLY corpus vectors assigned to those
+    * cells, exact-rerank the shortlist. Completes the gate × estimator
+    * matrix — IVF gates full vectors ([[ivfTopK]]), PQ codes
+    * ([[ivfPqTopK]]), and SQ codes (here) through the same probe-cell
+    * equi-join; candidates ∝ corpus·nProbe/|cells| per query, each paying
+    * an affine decode + one fold instead of a full-vector cosine. With
+    * `nProbe = |centroids|` the result equals [[sqTopK]] exactly
+    * (spec-asserted). */
+  def ivfSqTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      params: Seq[(Float, Float)], k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "ivfSqTopK")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0d)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        ivfBucket(col(vecCol), centroids).as("__bucket"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("sq_code")),
+        Seq("neighbor_id"))
+      .withColumn("__dv", sqDecode(col("sq_code"), params))
+    val est = assigned.join(broadcast(probes), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotHof(col("__qv"), col("__dv")) /
+          (col("__qn") * sqrt(dotHof(col("__dv"), col("__dv"))))).as("est_cos"))
+      .filter(!isnan(col("est_cos")))
+    shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
   // ------------------------------------------------------------------
   // Binary quantization (BQ): 1 bit per dimension — the 32× compression
   // floor under SQ8's 4× and PQ's configurable middle. Public analogue:
