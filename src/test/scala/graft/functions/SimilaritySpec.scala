@@ -385,6 +385,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"BQ shortlist=20 recall too low: $recall")
   }
 
+  test("compressed scans keep the bounded-top-k plan shape (no Window, broadcast query side)") {
+    val ps = Similarity.sqParams(clustered, "embedding", dim)
+    val scodes = Similarity.sqEncode(clustered, "vec_id", "embedding", ps)
+    val bcodes = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
+    val queries = clustered.filter(col("vec_id") < 10)
+    Seq(
+      Similarity.sqTopK(queries, scodes, clustered, "vec_id", "embedding",
+        ps, k = 3, shortlist = 10),
+      Similarity.bqTopK(queries, bcodes, clustered, "vec_id", "embedding",
+        dim, k = 3, shortlist = 10),
+      Similarity.rangeSearch(queries, clustered, "vec_id", "embedding", 0.5)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // ranking flows through the bounded TopKPairs aggregate (or a pure
+      // map-side filter for range search) — a Window would sort EVERY
+      // candidate pair per query
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("BroadcastExchange"), plan)
+    }
+  }
+
   test("rangeSearch matches a local recompute; IVF gate is an exact subset with recall") {
     val queries = clustered.filter(col("vec_id") < 10)
     val t = 0.5

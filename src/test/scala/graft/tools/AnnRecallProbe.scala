@@ -72,6 +72,32 @@ object AnnRecallProbe {
       val rec = truth.count(got.contains).toDouble / truth.size
       println(f"ivfpq_residual nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
     }
+    // SQ8 / BQ / IVF-SQ: the per-dim compression rungs — how much recall
+    // does each byte budget buy at matched shortlists?
+    val sqp = Similarity.sqParams(e, "embedding", 64)
+    val scodes = Similarity.sqEncode(e, "vec_id", "embedding", sqp)
+      .localCheckpoint()
+    for (shortlist <- Seq(10, 20, 50)) {
+      val (got, t) = timed(pairs(Similarity.sqTopK(
+        queries, scodes, e, "vec_id", "embedding", sqp, k = 5, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"sq8_fullscan shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
+    for ((nProbe, shortlist) <- Seq((2, 50), (4, 50))) {
+      val (got, t) = timed(pairs(Similarity.ivfSqTopK(
+        queries, scodes, e, "vec_id", "embedding", cents, sqp,
+        k = 5, nProbe = nProbe, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"ivfsq nProbe=$nProbe shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
+    val bcodes = Similarity.bqEncode(e, "vec_id", "embedding", 64)
+      .localCheckpoint()
+    for (shortlist <- Seq(50, 100, 200)) {
+      val (got, t) = timed(pairs(Similarity.bqTopK(
+        queries, bcodes, e, "vec_id", "embedding", 64, k = 5, shortlist = shortlist)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"bq_fullscan shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
+    }
     // multi-pass distributed Lloyd: does iterating tighten the IVF gate?
     // (movement printed per depth so the convergence trajectory is visible)
     var prev: Seq[(Int, Seq[Float])] = null
