@@ -711,6 +711,20 @@ object QueriesLLM {
       Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs)
         .orderBy("doc_id")
     },
+    // ---- connected components via large-star/small-star contraction
+    // (Kiveris et al. 2014): O(log n) rounds vs the min-label fixpoint's
+    // O(diameter) — the scale path for chain-heavy near-dup graphs. Same
+    // pairs and the same recursive-CTE oracle as q61: both algorithms
+    // must land on identical component minima ----
+    "q113_components_star" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+          nBits = 4, minCos = 0.98, maxBucket = 100)
+        .select("id1", "id2")
+      Dedup.connectedKeepersStar(d.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    },
     // ---- cluster representative by quality (keep the longest copy) ----
     "q86_cluster_rep" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -2467,6 +2481,12 @@ object QueriesLLM {
     // recursive CTE) — the fixpoint is iteration-order independent, so it
     // equals the Spark min-label loop's result exactly.
     "q61_neardup_components" ->
+      s"""WITH $NearDupReachCte
+         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
+         FROM reach GROUP BY 1 ORDER BY 1""",
+    // star contraction computes the SAME component minima as the
+    // min-label fixpoint — one transitive-closure oracle gates both
+    "q113_components_star" ->
       s"""WITH $NearDupReachCte
          SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
          FROM reach GROUP BY 1 ORDER BY 1""",

@@ -334,6 +334,75 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("keeper"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — public): same output contract as [[connectedKeepers]]
+    * ((id, keeper = component minimum)), different convergence class.
+    * The min-label fixpoint needs O(diameter) rounds — a duplicate CHAIN
+    * (doc A ≈ B ≈ C ≈ …, each adjacent pair a near-dup but the ends
+    * unrelated) of depth d pays d shuffles. Star contraction converges
+    * in O(log n) rounds regardless of diameter, which is the difference
+    * between 15 and 50+ iterations on the pathological chains web-scale
+    * near-dup graphs actually contain.
+    *
+    * Each round: large-star hangs every neighbor LARGER than u off
+    * min(Γ(u) ∪ {u}); small-star re-hangs the smaller neighbors. Both
+    * are one groupBy + one join on the edge frame (edges only shrink
+    * toward star form, never multiply past 2|E|), lineage cut per round
+    * with localCheckpoint like the fixpoint loop. Convergence = the edge
+    * set is round-stable (exact: count + one-sided anti check on
+    * distinct sets), then every surviving edge IS (node, component min).
+    * Ids need only be orderable — numeric and string both work. */
+  def connectedKeepersStar(
+      all: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      nbrs.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val m = directed.groupBy("u").agg(min("v").as("m"))
+      directed.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct sets: equal counts + empty one-sided
+      // difference ⇔ set equality (exact, not a checksum heuristic)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").head(1).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedKeepersStar did not converge in $maxIter rounds — " +
+          "pathological beyond the O(log n) bound; raise maxIter " +
+          "(partial star edges would mislabel components)")
+    val lab = edges.groupBy("u").agg(min("v").as("keeper"))
+      .select(col("u").as("__id"), col("keeper"))
+    all.select(col(idCol))
+      .join(lab, all(idCol) === lab("__id"), "left")
+      .select(col(idCol), coalesce(col("keeper"), col(idCol)).as("keeper"))
+  }
+
   /** Re-choose each duplicate cluster's representative by QUALITY: given
     * component labels ((id, component) — e.g. [[connectedKeepers]]
     * output) and a per-document score, returns (id, component, rep_id)

@@ -73,6 +73,35 @@ class OperatorSpec extends SparkSpec {
     assert(keepers(5L) == 5L && keepers(6L) == 5L)
   }
 
+  test("connectedKeepersStar equals the min-label fixpoint; deep chains converge in O(log n)") {
+    // a 64-deep chain: min-label needs 63 rounds (> its default bound of
+    // 20); star contraction lands it comfortably inside maxIter = 10
+    val n = 64
+    val all = (1L to n.toLong).toDF("doc_id")
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("id1", "id2")
+    val starLabels = graft.functions.Dedup.connectedKeepersStar(
+        all, "doc_id", chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(starLabels(_) == 1L))
+    // random-ish multi-component graph: both algorithms, identical labels
+    val rnd = new scala.util.Random(11)
+    val ids = (1L to 40L)
+    val pairs = Seq.fill(30)((rnd.nextInt(40) + 1L, rnd.nextInt(40) + 1L))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val allR = ids.toDF("doc_id")
+    val a = graft.functions.Dedup.connectedKeepers(allR, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = graft.functions.Dedup.connectedKeepersStar(allR, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // string ids: min is order-based, so lexicographic components work
+    val sAll = Seq("a", "b", "c", "z").toDF("doc_id")
+    val sPairs = Seq(("a", "b"), ("b", "c")).toDF("id1", "id2")
+    val s = graft.functions.Dedup.connectedKeepersStar(sAll, "doc_id", sPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s("a") == "a" && s("b") == "a" && s("c") == "a" && s("z") == "z")
+  }
+
   test("clusterRepresentatives picks the highest-quality copy, ties to smaller id") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
       .toDF("doc_id", "keeper")
