@@ -176,6 +176,22 @@ object QueriesLLM {
       CorpusClean.boilerplateLines(corpus, "doc_id", "text", minDocs = 2)
         .orderBy("doc_id")
     },
+    // ---- first-occurrence line dedup (CCNet hash-dedup keep policy):
+    // the single-line corpus is composed into two-line docs where each
+    // odd doc repeats its even buddy's line (cross-doc dup) and each even
+    // doc repeats its own (within-doc dup) — exactly one copy of every
+    // line must survive, at the globally smallest (doc, pos) ----
+    "q114_line_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val buddy = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val corpus = d.withColumn("bid", col("doc_id") - (col("doc_id") % 2))
+        .join(buddy, Seq("bid"), "left")
+        .select(col("doc_id"),
+          concat_ws("\n", coalesce(col("btext"), col("text")), col("text"))
+            .as("text"))
+      CorpusClean.dedupLinesFirstOccurrence(corpus, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // ---- PII detect + redact (deterministic injected fixtures) ----
     "q69_pii_redact" -> { (s, dir) =>
       val id = col("doc_id")
@@ -2259,6 +2275,43 @@ object QueriesLLM {
            coalesce(n_boilerplate, 0) AS n_boilerplate,
            coalesce(clean_text, '') AS clean_text
          FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // First-occurrence line dedup: keeper = arg-min (doc, pos) per
+    // trimmed line (QUALIFY row_number mirrors Spark's struct-min — both
+    // are the lexicographic minimum).
+    "q114_line_dedup" ->
+      """WITH corpus AS (
+           SELECT d.doc_id,
+             concat_ws(chr(10), coalesce(b.text, d.text), d.text) AS text
+           FROM documents d
+           LEFT JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 2)),
+         lines AS (
+           SELECT doc_id, pos, l FROM (
+             SELECT doc_id,
+               unnest(generate_series(0,
+                 len(string_split(text, chr(10))) - 1)) AS pos,
+               unnest(list_transform(string_split(text, chr(10)),
+                 x -> trim(x))) AS l
+             FROM corpus) WHERE l <> ''),
+         firsts AS (
+           SELECT l, doc_id AS fd, pos AS fp FROM lines
+           QUALIFY row_number() OVER (PARTITION BY l
+             ORDER BY doc_id, pos) = 1),
+         tot AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lines GROUP BY 1),
+         ka AS (
+           SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(x.l, chr(10) ORDER BY x.pos) AS clean_text
+           FROM lines x JOIN firsts f
+             ON f.l = x.l AND f.fd = x.doc_id AND f.fp = x.pos
+           GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(t.n_lines, 0) - coalesce(k.n_kept, 0) AS n_dropped,
+           coalesce(k.clean_text, '') AS clean_text
+         FROM documents d
+         LEFT JOIN tot t USING (doc_id) LEFT JOIN ka k USING (doc_id)
+         ORDER BY doc_id""",
     "q69_pii_redact" ->
       """WITH pii AS (
            SELECT doc_id, concat_ws(' ', text,

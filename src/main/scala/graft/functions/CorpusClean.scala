@@ -56,6 +56,53 @@ object CorpusClean {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact cross-document line dedup, FIRST occurrence wins — the CCNet
+    * paragraph-hash dedup policy (Wenzek et al. 2020, public): a trimmed
+    * non-empty line survives only at its globally first occurrence
+    * (smallest (doc, position) lexicographically); every later copy is
+    * dropped. Complements [[boilerplateLines]]'s frequency threshold,
+    * which removes ALL copies of corpus-hot lines — here even a
+    * twice-occurring line keeps exactly one copy, so no content is lost,
+    * only repetition.
+    *
+    * Output: (id, n_lines, n_dropped, clean_text) — one row per input
+    * document, empty-text docs included.
+    *
+    * Scale shape: line explode → per-line arg-min aggregate (a struct
+    * `min`, map-side combined — no window over the corpus-wide line
+    * groups) → equi-join back on the line key → re-aggregate per doc.
+    * Same skew posture as boilerplateLines: a corpus-hot line keys one
+    * aggregate row, and AQE splits the re-join. Determinism: the keeper
+    * is an order-based min, so any partitioning and either engine picks
+    * the same copy. */
+  def dedupLinesFirstOccurrence(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(transform(split(col(textCol), "\n"), l => trim(l)))
+          .as(Seq("__pos", "__l")))
+      .filter(col("__l") =!= "")
+    val firsts = lines.groupBy("__l")
+      .agg(min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__f"))
+    val kept = lines.join(firsts, "__l")
+      .filter(col("__f.d") === col(idCol) && col("__f.p") === col("__pos"))
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
+    val agg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("__n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos").as("p"), col("__l").as("l")))),
+          s => s.getField("l")),
+        "\n").as("clean_text"))
+    df.select(col(idCol)).join(totals, Seq(idCol), "left")
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("n_lines"), lit(0L)) - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** PII patterns shared with the DuckDB oracle: deliberately restricted to
     * the regex subset where Java's leftmost-first-greedy and RE2's
     * leftmost-longest semantics coincide (no alternation, greedy bounded

@@ -46,6 +46,27 @@ class CorpusCleanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
   }
 
+  test("first-occurrence line dedup: one copy survives at the smallest (doc, pos)") {
+    val df = Seq(
+      (1L, "alpha\nshared\nalpha"),   // within-doc dup: pos-2 alpha drops
+      (2L, "shared\nbeta"),           // cross-doc dup: doc 1 owns 'shared'
+      (3L, "  shared \ngamma"),       // trimmed match still drops
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.dedupLinesFirstOccurrence(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 3L, 1L, "alpha\nshared"))
+    assert(out(1) == Row(2L, 2L, 1L, "beta"))
+    assert(out(2) == Row(3L, 2L, 1L, "gamma"))
+    assert(out(3) == Row(4L, 0L, 0L, ""))
+    assert(out(4) == Row(5L, 0L, 0L, ""))
+    // no Window anywhere: the keeper is a struct-min aggregate
+    val plan = CorpusClean.dedupLinesFirstOccurrence(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
+  }
+
   test("pii passes run sequentially and count what they scanned") {
     val df = Seq(
       (1L, "mail a.b-c@test.org and 10.0.0.1 then call +1 555 0100 99"),
