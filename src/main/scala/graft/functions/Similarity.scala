@@ -1252,6 +1252,38 @@ object Similarity {
     finally out.close()
   }
 
+  /** Persist scalar-quantizer params — the sidecar for a stored `sq_code`
+    * column ([[sqEncode]] output through a PartStore). Lines are
+    * `dim<TAB>min<TAB>max`; `Float.toString` is an exact round trip, so
+    * loaded params decode stored codes bit-identically. Same frozen-param
+    * contract as the centroid/codebook sidecars: retraining params
+    * invalidates every stored code. */
+  def saveSqParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      params: Seq[(Float, Float)]): Unit = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(params.zipWithIndex.map { case ((mn, mx), d) =>
+      s"$d\t$mn\t$mx"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inverse of [[saveSqParams]]. */
+  def loadSqParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Float, Float)] = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(d, mn, mx) = line.split("\t", 3)
+      d.toInt -> ((mn.toFloat, mx.toFloat))
+    }.sortBy(_._1).map(_._2)
+  }
+
   /** Inverse of [[savePqCodebooks]]. */
   def loadPqCodebooks(
       spark: org.apache.spark.sql.SparkSession,

@@ -193,6 +193,16 @@ class SimilaritySpec extends SparkSpec {
       clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
     Similarity.savePqCodebooks(spark, "target/tmp/pq_sidecar", cbs)
     assert(Similarity.loadPqCodebooks(spark, "target/tmp/pq_sidecar") == cbs)
+    val ps = Similarity.sqParams(clustered, "embedding", dim)
+    Similarity.saveSqParams(spark, "target/tmp/sq_sidecar", ps)
+    val psBack = Similarity.loadSqParams(spark, "target/tmp/sq_sidecar")
+    assert(psBack == ps)
+    // codes from loaded params are the stored codes — the frozen contract
+    val c1 = Similarity.sqEncode(clustered, "vec_id", "embedding", ps)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val c2 = Similarity.sqEncode(clustered, "vec_id", "embedding", psBack)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(c1 == c2)
   }
 
   test("incremental IVF: batches bucket at write time, retrieval spans them") {
