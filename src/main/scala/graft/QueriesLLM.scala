@@ -440,6 +440,18 @@ object QueriesLLM {
           "vec_id", "embedding", dim = 64, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- IVF × BQ (FAISS IndexBinaryIVF shape): the probe gate over
+    // sign codes — XOR+popcount per probed candidate, the final cell of
+    // the gate × estimator matrix ----
+    "q115_ivfbq_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val codes = Similarity.bqEncode(e, "vec_id", "embedding", 64)
+      Similarity.ivfBqTopK(e.filter(col("vec_id") % 100 === 0), codes, e,
+          "vec_id", "embedding", cents, dim = 64, k = 5, nProbe = 2,
+          shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- exact cosine range search (FAISS range_search shape): ALL
     // neighbors above the similarity threshold — data-driven result
     // size, the retrieval contract top-k can't express. The exactness
@@ -2112,6 +2124,27 @@ object QueriesLLM {
            JOIN bq qb ON qb.vec_id = q.query_id
            CROSS JOIN bq c
            WHERE q.qn > 0 AND q.query_id <> c.vec_id),
+         $RerankTailSql""",
+    // IVF × BQ: the q97 probe gate feeds the q111 Hamming-agreement
+    // estimate over probed candidates only, then the shared tail.
+    "q115_ivfbq_topk" ->
+      s"""WITH $BqCte,
+         $IvfPqGateCte,
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         este AS (
+           SELECT i.query_id, i.neighbor_id,
+             CAST(64 - (bit_count(xor(qb.bq[1], c.bq[1]))
+                      + bit_count(xor(qb.bq[2], c.bq[2]))) AS DOUBLE)
+               AS est_cos
+           FROM icand i
+           JOIN qs q ON q.query_id = i.query_id
+           JOIN bq qb ON qb.vec_id = i.query_id
+           JOIN bq c ON c.vec_id = i.neighbor_id
+           WHERE q.qn > 0),
          $RerankTailSql""",
     // SQ retrieval: decode the stored codes back to v̂ (per-dim affine),
     // estimate cos(q, v̂) with the same double fold as the Spark side,

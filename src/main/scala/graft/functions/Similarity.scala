@@ -1926,6 +1926,37 @@ object Similarity {
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
 
+  /** IVF-gated binary-quantized retrieval (FAISS `IndexBinaryIVF`'s
+    * composition, cosine-framed): probe `nProbe` cells, Hamming-agreement
+    * estimate ONLY the probed cells' sign codes, exact-rerank the
+    * shortlist. The last cell of the gate × estimator matrix (full
+    * vectors / PQ / SQ / BQ all gate through the same probe-cell
+    * equi-join); per-candidate work drops to one XOR+popcount over
+    * dim/8 bytes. With `nProbe = |centroids|` the result equals
+    * [[bqTopK]] exactly (spec-asserted). */
+  def ivfBqTopK(
+      queries: DataFrame, codes: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Seq[Float])], dim: Int, k: Int,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    requireIntegralId(codes, idCol, "ivfBqTopK")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .filter(norm(col("__qv")) > 0d)
+      .withColumn("__qc", bqCode(col("__qv"), dim))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"),
+        ivfBucket(col(vecCol), centroids).as("__bucket"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("bq_code")),
+        Seq("neighbor_id"))
+    val est = assigned.join(broadcast(probes), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(dim) - aggregate(
+          zip_with(col("__qc"), col("bq_code"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x)).cast("double").as("est_cos"))
+    shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
   // ------------------------------------------------------------------
   // Range search: ALL neighbors above a similarity threshold (the FAISS
   // `range_search` analogue) — the retrieval shape top-k can't express:

@@ -352,6 +352,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF-SQ nProbe=2 recall too low: $recall")
   }
 
+  test("ivfBqTopK: full probe equals bqTopK; partial probe keeps recall") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val codes = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
+    val queries = clustered.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val full = rows(Similarity.ivfBqTopK(queries, codes, clustered,
+      "vec_id", "embedding", cents, dim, k = 3, nProbe = 5, shortlist = 100))
+    val flat = rows(Similarity.bqTopK(queries, codes, clustered,
+      "vec_id", "embedding", dim, k = 3, shortlist = 100))
+    assert(full == flat)
+    val partial = rows(Similarity.ivfBqTopK(queries, codes, clustered,
+        "vec_id", "embedding", cents, dim, k = 3, nProbe = 2, shortlist = 100))
+      .map(t => (t._1, t._2)).toSet
+    val recall = flat.map(t => (t._1, t._2)).count(partial.contains).toDouble /
+      flat.size
+    assert(recall >= 0.8, s"IVF-BQ nProbe=2 recall too low: $recall")
+  }
+
   test("BQ: sign-bit packing matches a local recompute; partial last word works") {
     // dim=16 → one partial word; recompute the pack locally bit by bit
     val got = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
