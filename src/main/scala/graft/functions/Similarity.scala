@@ -365,10 +365,11 @@ object Similarity {
     * in tools/AnnRecallProbe). */
   def ivfCentroidsIteratedFull(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-      nIter: Int, epsilon: Double = 0.0, scaleBits: Int = 24)
+      nIter: Int, epsilon: Double = 0.0, scaleBits: Int = 24,
+      seedsOpt: Option[Seq[(Int, Seq[Float])]] = None)
       : Seq[(Int, Seq[Float])] = {
     require(nIter >= 1, s"ivfCentroidsIteratedFull: nIter $nIter < 1")
-    val seeds = ivfCentroids(vectors, idCol, vecCol, k)
+    val seeds = seedsOpt.getOrElse(ivfCentroids(vectors, idCol, vecCol, k))
     require(seeds.nonEmpty,
       s"ivfCentroidsIteratedFull: empty corpus — no vectors in '$vecCol' to seed $k centroids from")
     var cur = seeds
@@ -381,6 +382,54 @@ object Similarity {
       iter += 1
     }
     cur
+  }
+
+  /** Deterministic farthest-point (maximin) seeding over the bounded
+    * codebook sample (Gonzalez 1985, public — the deterministic cousin of
+    * k-means++): start from the sample's md5-first vector, then greedily
+    * add the sample vector whose angular distance (1 − cos) to its
+    * NEAREST chosen seed is largest, ties → earlier sample position.
+    * The md5-ordered prefix [[ivfCentroids]] uses can land several seeds
+    * inside one dense cluster; maximin spreads them — on clustered
+    * corpora that is the difference between an IVF gate that separates
+    * the clusters and one that splits a cluster while merging two others
+    * (spec-measured on the 5-cluster fixture). Pure driver arithmetic
+    * over ≤`sampleN` vectors — deterministic run-to-run, same bounded
+    * collect as every codebook routine; feed the result to
+    * [[ivfCentroidsIteratedFull]]'s `seedsOpt` for full-corpus Lloyd
+    * refinement on top. Zero-norm sample vectors are skipped (their
+    * cosine is undefined). */
+  def maximinSeeds(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      sampleN: Int = 2048): Seq[(Int, Seq[Float])] = {
+    val sample = codebookSample(vectors, idCol, vecCol, sampleN)
+      .map(_._2).filter(v => driverDot(v, v) > 0)
+    require(sample.length >= k,
+      s"maximinSeeds: only ${sample.length} non-zero sample vectors for " +
+        s"$k seeds")
+    val norms = sample.map(v => math.sqrt(driverDot(v, v))).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    // minDist(i) = 1 − best cos between sample(i) and any chosen seed
+    val minDist = Array.tabulate(sample.length) { i =>
+      1.0 - driverDot(sample(i), sample(0)) / (norms(i) * norms(0))
+    }
+    while (chosen.size < k) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < sample.length) {
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      chosen += best
+      i = 0
+      while (i < sample.length) {
+        val d = 1.0 - driverDot(sample(i), sample(best)) / (norms(i) * norms(best))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    chosen.toSeq.zipWithIndex.map { case (si, i) => i -> sample(si) }
   }
 
   /** Nearest-centroid assignment as the winning (cos, cell) struct — the

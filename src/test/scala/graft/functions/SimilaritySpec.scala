@@ -331,6 +331,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("maximin seeding spreads seeds across clusters; deterministic; composes with Lloyd") {
+    // with k = true cluster count, farthest-point seeds land one per
+    // cluster — the md5-ordered prefix has no such guarantee
+    val seeds = Similarity.maximinSeeds(clustered, "vec_id", "embedding", 5)
+    assert(seeds.map(_._1) == (0 until 5))
+    val again = Similarity.maximinSeeds(clustered, "vec_id", "embedding", 5)
+    assert(again == seeds)
+    // every true cluster center is closest to a DISTINCT maximin seed
+    val centers = clustered.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .groupBy(_._1 % 5).map { case (c, vs) =>
+        val dim = vs.head._2.length
+        val m = new Array[Float](dim)
+        vs.foreach(v => (0 until dim).foreach(d => m(d) += v._2(d) / vs.length))
+        c -> m.toSeq
+      }
+    def cosL(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val assignment = centers.values.map { c =>
+      seeds.maxBy { case (_, s) => cosL(c, s) }._1
+    }.toSet
+    assert(assignment.size == 5,
+      s"maximin seeds collapsed clusters: only ${assignment.size} distinct")
+    // seeds inject into the full-corpus Lloyd loop: the gate with
+    // maximin+1 pass recovers at least what md5-prefix+1 pass does
+    val queries = clustered.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, clustered, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallWith(c: Seq[(Int, Seq[Float])]): Double = {
+      val got = Similarity.ivfTopK(queries, clustered, "vec_id", "embedding",
+        c, k = 3, nProbe = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val mm = recallWith(Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 1,
+      seedsOpt = Some(seeds)))
+    val md = recallWith(Similarity.ivfCentroidsIteratedFull(
+      clustered, "vec_id", "embedding", 5, nIter = 1))
+    assert(mm >= md, s"maximin-seeded recall $mm < md5-prefix recall $md")
+  }
+
   test("ivfSqTopK: full probe equals sqTopK; partial probe keeps recall") {
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     val ps = Similarity.sqParams(clustered, "embedding", dim)

@@ -98,6 +98,17 @@ object AnnRecallProbe {
       val rec = truth.count(got.contains).toDouble / truth.size
       println(f"bq_fullscan shortlist=$shortlist recall=$rec%.3f sec=$t%.2f")
     }
+    // maximin (farthest-point) seeding vs the md5-prefix default, both
+    // through one full-corpus Lloyd pass
+    val mmSeeds = Similarity.maximinSeeds(e, "vec_id", "embedding", 8)
+    val (mmCents, tMm) = timed(Similarity.ivfCentroidsIteratedFull(
+      e, "vec_id", "embedding", 8, nIter = 1, seedsOpt = Some(mmSeeds)))
+    for (nProbe <- Seq(1, 2)) {
+      val (got, t) = timed(pairs(Similarity.ivfTopK(
+        queries, e, "vec_id", "embedding", mmCents, k = 5, nProbe = nProbe)))
+      val rec = truth.count(got.contains).toDouble / truth.size
+      println(f"ivf_maximin nProbe=$nProbe recall=$rec%.3f sec=$t%.2f train_sec=$tMm%.2f")
+    }
     // multi-pass distributed Lloyd: does iterating tighten the IVF gate?
     // (movement printed per depth so the convergence trajectory is visible)
     var prev: Seq[(Int, Seq[Float])] = null
