@@ -1867,11 +1867,16 @@ object Similarity {
         sqDecode(col("sq_code"), params).as("__dv"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotHof(col("__qv"), col("__dv")) /
-          (col("__qn") * sqrt(dotHof(col("__dv"), col("__dv"))))).as("est_cos"))
+        sqEstCos(col("__qv"), col("__qn"), col("__dv")).as("est_cos"))
       .filter(!isnan(col("est_cos")))
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
+
+  /** cos(q, v̂) — the SQ estimate both the flat scan and the IVF-gated
+    * path rank by: `sdot / (qn · √(v̂·v̂))`, mirrored verbatim by the
+    * oracle's este arithmetic. */
+  private def sqEstCos(qv: Column, qn: Column, dv: Column): Column =
+    dotHof(qv, dv) / (qn * sqrt(dotHof(dv, dv)))
 
   /** IVF-gated scalar-quantizer retrieval (the FAISS
     * `IndexIVFScalarQuantizer` composition): probe the `nProbe` nearest
@@ -1901,8 +1906,7 @@ object Similarity {
     val est = assigned.join(broadcast(probes), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotHof(col("__qv"), col("__dv")) /
-          (col("__qn") * sqrt(dotHof(col("__dv"), col("__dv"))))).as("est_cos"))
+        sqEstCos(col("__qv"), col("__qn"), col("__dv")).as("est_cos"))
       .filter(!isnan(col("est_cos")))
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
@@ -1968,12 +1972,17 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("bq_code").as("__cc"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (lit(dim) - aggregate(
-          zip_with(col("__qc"), col("__cc"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x)).cast("double").as("est_cos"))
+        bqAgreement(col("__qc"), col("__cc"), dim).as("est_cos"))
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
+
+  /** Hamming agreement `dim − popcount(q XOR c)` — the BQ estimate both
+    * the flat scan and the IVF-gated path rank by; integer until the
+    * final double cast, so bit-identical on any engine. */
+  private def bqAgreement(qc: Column, cc: Column, dim: Int): Column =
+    (lit(dim) - aggregate(
+      zip_with(qc, cc, (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+      lit(0L), (acc, x) => acc + x)).cast("double")
 
   /** IVF-gated binary-quantized retrieval (FAISS `IndexBinaryIVF`'s
     * composition, cosine-framed): probe `nProbe` cells, Hamming-agreement
@@ -1999,10 +2008,7 @@ object Similarity {
     val est = assigned.join(broadcast(probes), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (lit(dim) - aggregate(
-          zip_with(col("__qc"), col("bq_code"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x)).cast("double").as("est_cos"))
+        bqAgreement(col("__qc"), col("bq_code"), dim).as("est_cos"))
     shortlistExactRerank(est, queries, corpus, idCol, vecCol, k, shortlist)
   }
 

@@ -1,29 +1,34 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
 
-/** Prints physical-plan evidence for the plan-quality checklist:
-  * pushdown reaching parquet, column pruning, broadcast joins, WSCG spans. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", "4").getOrCreate()
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val interesting = Seq("q01_time_agg", "q02_entity_agg", "q11_predicates",
-      "q12_generated_trend", "q05_current_ptr", "q35_ann_topk", "q27_lsh_candidates")
-    interesting.foreach { q =>
-      val df = graft.SparkEntry.queries(q)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      val pushed = plan.linesIterator.filter(l =>
-        l.contains("PushedFilters") || l.contains("ReadSchema")).map(_.trim.take(200))
-      println(s"=== $q")
-      println("  broadcasts=" + plan.linesIterator.count(_.contains("BroadcastHashJoin")))
-      println("  sortmerge=" + plan.linesIterator.count(_.contains("SortMergeJoin")))
-      println("  exchanges=" + plan.linesIterator.count(_.contains("Exchange")))
-      pushed.foreach(l => println("  " + l))
+    val e = graft.Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val ps = Similarity.sqParams(e, "embedding", 64)
+    val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+    val scodes = Similarity.sqEncode(e, "vec_id", "embedding", ps)
+    val bcodes = Similarity.bqEncode(e, "vec_id", "embedding", 64)
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val p = df.queryExecution.executedPlan.toString
+      def c(s: String) = p.sliding(s.length).count(_ == s)
+      println(s"$name: BHJ=${c("BroadcastHashJoin")} BNLJ=${c("BroadcastNestedLoopJoin")} " +
+        s"SMJ=${c("SortMergeJoin")} Window=${c("Window ")} Exch=${c("Exchange")}")
     }
+    audit("sqTopK", Similarity.sqTopK(q, scodes, e, "vec_id", "embedding", ps, 5, 50))
+    audit("ivfSqTopK", Similarity.ivfSqTopK(q, scodes, e, "vec_id", "embedding", cents, ps, 5, 2, 50))
+    audit("bqTopK", Similarity.bqTopK(q, bcodes, e, "vec_id", "embedding", 64, 5, 50))
+    audit("ivfBqTopK", Similarity.ivfBqTopK(q, bcodes, e, "vec_id", "embedding", cents, 64, 5, 2, 50))
+    audit("rangeSearch", Similarity.rangeSearch(q, e, "vec_id", "embedding", 0.25))
+    audit("rangeSearchIvf", Similarity.rangeSearchIvf(q, e, "vec_id", "embedding", cents, 0.25, 2))
     spark.stop()
   }
 }
