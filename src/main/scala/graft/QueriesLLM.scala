@@ -209,6 +209,34 @@ object QueriesLLM {
       CorpusClean.packSequences(docs(s, dir), "doc_id", "text",
         budget = 512, shards = 8).orderBy("doc_id")
     },
+    // ---- curation pipeline capstone: quality gate → first-occurrence
+    // dedup → sequence packing, three oracle-gated operators composed in
+    // ONE plan — the library's actual usage shape (dedup changes which
+    // docs survive, which changes every downstream packing offset) ----
+    "q116_pipeline_pack" -> { (s, dir) =>
+      // the raw fixture passes both gates vacuously (no short docs, no
+      // exact dups) — inject both failure modes so every stage fires:
+      // every 10th doc shrinks to 2 tokens (fails the quality gate),
+      // every 7th≡3 doc copies its left neighbor (dedup drops the copy)
+      val d = docs(s, dir)
+      val buddy = d.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("__btext"))
+      val corpus = d.join(buddy, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit("tiny doc"))
+            .when(col("doc_id") % 7 === 3,
+              coalesce(col("__btext"), col("text")))
+            .otherwise(col("text")).as("text"))
+      val toks = size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        .cast("long")
+      val survivors = CorpusClean.dedupLinesFirstOccurrence(
+          corpus.filter(toks >= 3), "doc_id", "text")
+        .filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      CorpusClean.packSequences(survivors, "doc_id", "text",
+          budget = 256, shards = 4)
+        .orderBy("doc_id")
+    },
     // ---- char-trigram LM quality score (CCNet-style perplexity filter) ----
     // Gate columns are the rational (bit-exact) score; avg_logp/ppl are
     // libm-dependent and spec-tested instead.
@@ -2388,6 +2416,36 @@ object QueriesLLM {
            FROM t)
          SELECT doc_id, shard, n_tokens, tok_offset,
            tok_offset // 512 AS seq_index, tok_offset % 512 AS seq_offset
+         FROM c ORDER BY doc_id""",
+    // Pipeline capstone: the q70 token arithmetic gates quality, the
+    // q114 arg-min keeper dedups (single-line docs → text-level), and the
+    // q70 window packs the SURVIVORS — offsets shift with every dedup.
+    "q116_pipeline_pack" ->
+      """WITH corpus AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 0 THEN 'tiny doc'
+                  WHEN d.doc_id % 7 = 3 THEN coalesce(b.text, d.text)
+                  ELSE d.text END AS text
+           FROM documents d
+           LEFT JOIN documents b ON b.doc_id = d.doc_id - 1),
+         t AS (
+           SELECT doc_id, trim(text) AS l,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM corpus),
+         q AS (SELECT * FROM t WHERE n_tokens >= 3),
+         f AS (
+           SELECT doc_id, n_tokens FROM q WHERE l <> ''
+           QUALIFY row_number() OVER (PARTITION BY l ORDER BY doc_id) = 1),
+         s AS (SELECT doc_id, doc_id % 4 AS shard, n_tokens FROM f),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS tok_offset
+           FROM s)
+         SELECT doc_id, shard, n_tokens, tok_offset,
+           tok_offset // 256 AS seq_index, tok_offset % 256 AS seq_offset
          FROM c ORDER BY doc_id""",
     "q71_lm_score" ->
       """WITH norm AS (
