@@ -554,6 +554,35 @@ object QueriesLLM {
           k = 5, nProbe = 2, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- incremental stored SQ index (q99's loop on the SQ rung):
+    // params + centroids persisted as sidecars, two md5-split batches
+    // encode their bucket AND uint8 codes at write time with the LOADED
+    // sidecars, stored retrieval recomputes nothing — and must equal the
+    // fresh q112 chain exactly (shared oracle) ----
+    "q117_ivfsq_stored" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val ps0 = Similarity.sqParams(e, "embedding", 64)
+      val work = tempWorkDir("graft_q117_")
+      Similarity.saveCentroids(s, s"$work/centroids", cents)
+      Similarity.saveSqParams(s, s"$work/sqparams", ps0)
+      val store = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 200))
+      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.writeIndexBatchSq(store, "emb", batch, "vec_id",
+          "embedding", Similarity.loadCentroids(s, s"$work/centroids"),
+          Similarity.loadSqParams(s, s"$work/sqparams"), modified = 1L)
+      val hv = conv(substring(md5(concat(lit("batch:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      writeBatch(e.filter(hv === 0L))
+      writeBatch(e.filter(hv === 1L))
+      val stored = store.readPart("emb").get.select(
+        col("entity_id").as("vec_id"), col("bucket"), col("sq_code"))
+      Similarity.ivfSqTopKStored(e.filter(col("vec_id") % 100 === 0), stored,
+          e, "vec_id", "embedding", "bucket", "sq_code", cents, ps0,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- residual IVF-PQ (the FAISS IndexIVFPQ default): codes encode
     // vector − cell centroid, the ADC table reconstructs cell + residual
     // per probed cell — tighter estimates than the cell-agnostic q97 ----
@@ -1289,6 +1318,34 @@ object QueriesLLM {
                AS SMALLINT) ORDER BY p.dim) AS sq_code
            FROM embeddings e CROSS JOIN sqp p
            GROUP BY 1)"""
+
+  /** IVF × SQ retrieval oracle shared by q112 (fresh) and q117 (stored
+    * index replayed from sidecars — storage must be answer-invisible):
+    * the q97 probe gate (icand) feeds the q108 SQ decode/estimate, then
+    * the shared shortlist/rerank tail. */
+  private lazy val IvfSqRetrievalOracle =
+    s"""WITH $SqCte,
+         $IvfPqGateCte,
+         sdec AS (
+           SELECT s.vec_id,
+             list(p.mn + CAST(s.sq_code[p.dim + 1] AS DOUBLE)
+                 * ((p.mx - p.mn) / 255.0) ORDER BY p.dim) AS dv
+           FROM scodes s CROSS JOIN sqp p
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, embedding,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+               CAST(embedding AS DOUBLE[]))) AS qn
+           FROM embeddings WHERE vec_id % 100 = 0),
+         este AS (
+           SELECT i.query_id, i.neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), d.dv)
+               / (q.qn * sqrt(list_dot_product(d.dv, d.dv))) AS est_cos
+           FROM icand i
+           JOIN qs q ON q.query_id = i.query_id
+           JOIN sdec d ON d.vec_id = i.neighbor_id
+           WHERE q.qn > 0),
+         $RerankTailSql"""
 
   /** Binary-quantization codes shared by q110 (codes) and q111
     * (retrieval): bit `d % 32` of word `d // 32` set iff the dim is
@@ -2110,29 +2167,11 @@ object QueriesLLM {
          FROM bq ORDER BY vec_id""",
     // IVF × SQ: the q97 probe gate (icand) feeds the q108 SQ estimate,
     // then the shared shortlist/rerank tail.
-    "q112_ivfsq_topk" ->
-      s"""WITH $SqCte,
-         $IvfPqGateCte,
-         sdec AS (
-           SELECT s.vec_id,
-             list(p.mn + CAST(s.sq_code[p.dim + 1] AS DOUBLE)
-                 * ((p.mx - p.mn) / 255.0) ORDER BY p.dim) AS dv
-           FROM scodes s CROSS JOIN sqp p
-           GROUP BY 1),
-         qs AS (
-           SELECT vec_id AS query_id, embedding,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-               CAST(embedding AS DOUBLE[]))) AS qn
-           FROM embeddings WHERE vec_id % 100 = 0),
-         este AS (
-           SELECT i.query_id, i.neighbor_id,
-             list_dot_product(CAST(q.embedding AS DOUBLE[]), d.dv)
-               / (q.qn * sqrt(list_dot_product(d.dv, d.dv))) AS est_cos
-           FROM icand i
-           JOIN qs q ON q.query_id = i.query_id
-           JOIN sdec d ON d.vec_id = i.neighbor_id
-           WHERE q.qn > 0),
-         $RerankTailSql""",
+    "q112_ivfsq_topk" -> IvfSqRetrievalOracle,
+    // Stored IVF-SQ index: write-time bucket + uint8 codes replayed from
+    // sidecars must change NOTHING about the answer — the oracle is the
+    // fresh q112 chain verbatim.
+    "q117_ivfsq_stored" -> IvfSqRetrievalOracle,
     // BQ retrieval: integer Hamming-agreement estimate (64 − popcount of
     // the XOR'd sign words — exact on both engines), then the shared
     // shortlist-50 → exact-rerank → rank≤5 tail.

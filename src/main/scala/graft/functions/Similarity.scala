@@ -1197,6 +1197,27 @@ object Similarity {
     ()
   }
 
+  /** [[writeIndexBatch]] for the SQ rung: same id-range partitioning and
+    * write-time columns, with the per-dim uint8 code array in place of PQ
+    * codes — appends touch only the partitions holding the batch's ids,
+    * and retrieval ([[ivfSqTopKStored]]) recomputes nothing. Frozen
+    * centroid/param contract as everywhere: persist both sidecars
+    * ([[saveCentroids]], [[saveSqParams]]) and load them per batch. */
+  def writeIndexBatchSq(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      params: Seq[(Float, Float)], modified: Long): Unit = {
+    ps.store(part, batch
+      .select(col(idCol).as("entity_id"),
+        col(idCol).cast("long").as("timestamp"),
+        col(vecCol).as("embedding"),
+        ivfBucket(col(vecCol), centroids).as("bucket"),
+        sqCode(col(vecCol), params).as("sq_code"),
+        lit(modified).as("modified")))
+    ()
+  }
+
   /** [[writeIndexBatch]]'s READ-optimized sibling: timestamp = IVF
     * bucket, so with `PartStoreConfig(partitionSizeSeconds = 1)` the
     * stored part is partitioned BY CELL (pindex == bucket) and stored
@@ -1894,16 +1915,43 @@ object Similarity {
       params: Seq[(Float, Float)], k: Int, nProbe: Int,
       shortlist: Int): DataFrame = {
     requireIntegralId(codes, idCol, "ivfSqTopK")
-    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
-      .withColumn("__qn", norm(col("__qv")))
-      .filter(col("__qn") > 0d)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"),
         ivfBucket(col(vecCol), centroids).as("__bucket"))
       .join(codes.select(col(idCol).as("neighbor_id"), col("sq_code")),
         Seq("neighbor_id"))
+    ivfSqAssigned(queries, assigned, corpus, idCol, vecCol, centroids,
+      params, k, nProbe, shortlist)
+  }
+
+  /** [[ivfSqTopK]] against a STORED index frame carrying both the bucket
+    * column and the SQ code array ([[writeIndexBatchSq]] output) —
+    * [[ivfPqTopKStored]]'s contract for the SQ rung: nothing is
+    * recomputed at read time; the caller owns centroid/param/column
+    * consistency (persist both sidecars, [[saveSqParams]]). */
+  def ivfSqTopKStored(
+      queries: DataFrame, index: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, codeCol: String,
+      centroids: Seq[(Int, Seq[Float])], params: Seq[(Float, Float)],
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    requireIntegralId(index, idCol, "ivfSqTopKStored")
+    val assigned = index.select(col(idCol).as("neighbor_id"),
+      col(bucketCol).cast("int").as("__bucket"), col(codeCol).as("sq_code"))
+    ivfSqAssigned(queries, assigned, corpus, idCol, vecCol, centroids,
+      params, k, nProbe, shortlist)
+  }
+
+  private def ivfSqAssigned(
+      queries: DataFrame, assigned: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
+      params: Seq[(Float, Float)], k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(col("__qn") > 0d)
+    val est = assigned
       .withColumn("__dv", sqDecode(col("sq_code"), params))
-    val est = assigned.join(broadcast(probes), Seq("__bucket"))
+      .join(broadcast(probes), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         sqEstCos(col("__qv"), col("__qn"), col("__dv")).as("est_cos"))

@@ -397,6 +397,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF-SQ nProbe=2 recall too low: $recall")
   }
 
+  test("ivfSqTopKStored: stored bucket+code columns replay the fresh path") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val ps = Similarity.sqParams(clustered, "embedding", dim)
+    val queries = clustered.filter(col("vec_id") < 10)
+    val index = clustered.select(col("vec_id"),
+      Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+      Similarity.sqCode(col("embedding"), ps).as("sq_code"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val stored = rows(Similarity.ivfSqTopKStored(queries, index, clustered,
+      "vec_id", "embedding", "bucket", "sq_code", cents, ps,
+      k = 3, nProbe = 2, shortlist = 20))
+    val fresh = rows(Similarity.ivfSqTopK(queries,
+      Similarity.sqEncode(clustered, "vec_id", "embedding", ps), clustered,
+      "vec_id", "embedding", cents, ps, k = 3, nProbe = 2, shortlist = 20))
+    assert(stored == fresh)
+  }
+
   test("ivfBqTopK: full probe equals bqTopK; partial probe keeps recall") {
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     val codes = Similarity.bqEncode(clustered, "vec_id", "embedding", dim)
