@@ -759,6 +759,16 @@ object QueriesLLM {
         Multimodal.fixtureBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
       Multimodal.thumbnailPlan(d, 256).orderBy("id")
     },
+    // ---- multimodal audio: real RIFF/WAVE fmt+data chunk walk — sample
+    // rate, channels, and sample-frame count from genuine header fields
+    // (frames = dataSize / blockAlign over a real zero payload) ----
+    "q118_wav_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.audioBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("frames"))
+        .orderBy("id")
+    },
     // ---- multimodal: frame sampling over decoded video (every 4th).
     // AVI docs (doc_id%4==3) carry real dwTotalFrames; stills decode to 1. ----
     "q60_frame_sample" -> { (s, dir) =>
@@ -2647,6 +2657,15 @@ object QueriesLLM {
            greatest(1, CAST(trunc(w * scale) AS INT)) AS thumb_w,
            greatest(1, CAST(trunc(h * scale) AS INT)) AS thumb_h
          FROM scaled ORDER BY id""",
+    // q118: the WAV fixture derives every field from (doc_id, n_chars),
+    // so the oracle recomputes them arithmetically — the Spark side must
+    // read the SAME numbers back out of real chunk bytes.
+    "q118_wav_decode" ->
+      """SELECT doc_id AS id, 'wav' AS format,
+           CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(1 + doc_id % 480 AS INT) AS frames
+         FROM documents ORDER BY id""",
     // q60: frame counts come from the AVI avih dwTotalFrames field the
     // fixture wrote (doc_id%4==3); still images decode to 1 frame.
     "q60_frame_sample" ->

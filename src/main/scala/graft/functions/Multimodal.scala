@@ -117,6 +117,37 @@ object Multimodal {
         frames = le32(b, avih + 16), checksum = cs)
   }
 
+  /** RIFF/WAVE header parse (WAVE spec, public): linear chunk walk to
+    * `fmt ` (channels le16@+2, sample rate le32@+4, block align le16@+12)
+    * and `data` (payload size). The fixed DecodedMedia shape carries
+    * audio as width = sample rate (Hz), height = channels, frames =
+    * sample frames (dataSize / blockAlign) — documented mapping, same
+    * no-codec byte-arithmetic contract as the image/video parsers. */
+  private def parseWav(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = 12
+    var fmt = -1
+    var dataSize = -1
+    var ok = true
+    while (ok && pos + 8 <= b.length) {
+      val cid = fourcc(b, pos)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length + 1) ok = false
+      else {
+        if (cid == "fmt ") fmt = pos + 8
+        if (cid == "data") dataSize = size
+        pos += 8 + size + (size & 1)
+      }
+    }
+    if (fmt < 0 || fmt + 16 > b.length) unknown(id, cs)
+    else {
+      val channels = le16(b, fmt + 2)
+      val rate = le32(b, fmt + 4)
+      val block = le16(b, fmt + 12)
+      val frames = if (dataSize >= 0 && block > 0) dataSize / block else 0
+      DecodedMedia(id, "wav", rate, channels, frames, cs)
+    }
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -135,6 +166,8 @@ object Multimodal {
       DecodedMedia(id, "gif", le16(bytes, 6), le16(bytes, 8), 1, cs)
     else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "AVI ")
       parseAvi(id, bytes, cs)
+    else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE")
+      parseWav(id, bytes, cs)
     else unknown(id, cs)
   }
 
@@ -215,6 +248,38 @@ object Multimodal {
     val avih = ascii("avih") ++ le32b(avihPayload.length) ++ avihPayload
     val hdrl = ascii("LIST") ++ le32b(4 + avih.length) ++ ascii("hdrl") ++ avih
     ascii("RIFF") ++ le32b(4 + hdrl.length) ++ ascii("AVI ") ++ hdrl
+  }
+
+  /** Canonical PCM WAV: RIFF/WAVE + 16-byte `fmt ` + `data` with a real
+    * zero payload of frames·blockAlign bytes, so the parser's
+    * dataSize/blockAlign arithmetic reads genuine chunk fields. */
+  def synthWav(rate: Int, channels: Int, bitsPerSample: Int, frames: Int): Array[Byte] = {
+    val block = channels * bitsPerSample / 8
+    val dataSize = frames * block
+    val fmt = ascii("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      le32b(rate) ++ le32b(rate * block) ++ le16b(block) ++ le16b(bitsPerSample)
+    val data = ascii("data") ++ le32b(dataSize) ++ Array.fill(dataSize)(0.toByte)
+    ascii("RIFF") ++ le32b(4 + fmt.length + data.length) ++ ascii("WAVE") ++
+      fmt ++ data
+  }
+
+  /** Audio fixture: 16-bit PCM, rate/channels/frames derived from
+    * (doc_id, n_chars) so the oracle recomputes them without bytes.
+    *   rate = 8000 + (n_chars % 8)·1000, channels = 1 + doc_id % 2,
+    *   frames = 1 + doc_id % 480 */
+  def audioFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthWav(rate = 8000 + (nChars % 8).toInt * 1000,
+      channels = 1 + (docId % 2).toInt, bitsPerSample = 16,
+      frames = (1 + docId % 480).toInt)
+
+  /** [[fixtureBlobs]] for the audio gate: (id, blob) WAV column. */
+  def audioBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, audioFixture(id, n)) }
+      .toDF(idCol, "blob")
   }
 
   /** Per-doc fixture: format rotates on doc_id % 4; dimensions derive from

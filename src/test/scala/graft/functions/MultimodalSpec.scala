@@ -59,6 +59,26 @@ class MultimodalSpec extends SparkSpec {
     assert(m.format == "avi" && m.width == 320 && m.height == 240 && m.frames == 42)
   }
 
+  test("hand-built canonical WAV parses fmt/data chunks; extra chunk skipped") {
+    // 8000 Hz mono 16-bit, 3 sample frames (6 data bytes), with a LIST
+    // chunk BEFORE fmt so the walk genuinely skips by size
+    val hex = ("52494646" + "32000000" + "57415645" +   // RIFF size WAVE
+      "4C495354" + "04000000" + "494E464F" +            // LIST(4) INFO
+      "666D7420" + "10000000" +                         // fmt (16)
+      "0100" + "0100" + "401F0000" + "803E0000" +       // PCM, 1ch, 8000, 16000
+      "0200" + "1000" +                                 // block 2, 16 bit
+      "64617461" + "06000000" + "000000000000")         // data(6)
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val m = Multimodal.parseMedia(9L, bytes)
+    assert(m.format == "wav" && m.width == 8000 && m.height == 1 && m.frames == 3)
+    // synth round-trip at spec offsets
+    val s = Multimodal.parseMedia(10L, Multimodal.synthWav(44100, 2, 16, 480))
+    assert(s.format == "wav" && s.width == 44100 && s.height == 2 && s.frames == 480)
+    // truncated mid-header degrades to unknown, never garbage
+    val t = Multimodal.parseMedia(11L, bytes.take(20))
+    assert(t.format == "unknown" && t.frames == 0)
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
