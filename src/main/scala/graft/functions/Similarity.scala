@@ -1895,9 +1895,12 @@ object Similarity {
 
   /** cos(q, v̂) — the SQ estimate both the flat scan and the IVF-gated
     * path rank by: `sdot / (qn · √(v̂·v̂))`, mirrored verbatim by the
-    * oracle's este arithmetic. */
+    * oracle's este arithmetic. Uses the codegen'd [[dot]] (FloatVectorDot
+    * handles mixed float/double arrays with the same left-to-right double
+    * fold as the HOF form — bit-identical, spec-asserted) so the per-pair
+    * estimate loop stays inside whole-stage codegen. */
   private def sqEstCos(qv: Column, qn: Column, dv: Column): Column =
-    dotHof(qv, dv) / (qn * sqrt(dotHof(dv, dv)))
+    dot(qv, dv) / (qn * sqrt(dot(dv, dv)))
 
   /** IVF-gated scalar-quantizer retrieval (the FAISS
     * `IndexIVFScalarQuantizer` composition): probe the `nProbe` nearest
