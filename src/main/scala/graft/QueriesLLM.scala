@@ -284,6 +284,21 @@ object QueriesLLM {
           TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
         .orderBy("doc_id")
     },
+    // ---- Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+    // 2005): d·w bounded counters, point estimate = min over d rows —
+    // deliberately tiny w=16 so the 31-token vocabulary genuinely
+    // collides and the oracle must reproduce the overestimates ----
+    "q119_cms_heavy_hitters" -> { (s, dir) =>
+      val t = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+        .filter(col("tok") =!= "").select(col("tok"))
+      val sketch = TextAnalysis.cmsSketch(t, "tok", d = 3, w = 16)
+      val exact = t.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      TextAnalysis.cmsEstimate(exact.select(col("tok")), "tok", sketch,
+          d = 3, w = 16)
+        .join(exact, "tok")
+        .select(col("tok"), col("exact_count"), col("est_count"))
+        .orderBy("tok")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -1898,6 +1913,37 @@ object QueriesLLM {
          FROM ex JOIN agg USING (source) ORDER BY source"""
     },
     "q63_decontaminate" -> decontaminationOracle(mod = 17, minOverlap = 2),
+    // CMS: both the sketch (per-row bucket counts) and every min-of-d
+    // estimate replayed with the shared md5 ladder — overestimates from
+    // the forced w=16 collisions must match exactly.
+    "q119_cms_heavy_hitters" -> {
+      val hLadder = md5Ladder52("CAST(r.rw AS VARCHAR) || ':' || t.tok")
+      val kLadder = md5Ladder52("CAST(r.rw AS VARCHAR) || ':' || k.tok")
+      s"""WITH t AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+             x -> x <> '')) AS tok
+           FROM documents),
+         h AS (
+           SELECT t.tok, r.rw,
+             CAST($hLadder AS BIGINT) % 16 AS bucket
+           FROM t CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS rw) r),
+         sk AS (
+           SELECT rw, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT tok FROM t),
+         kh AS (
+           SELECT k.tok, r.rw,
+             CAST($kLadder AS BIGINT) % 16 AS bucket
+           FROM keys k CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS rw) r),
+         est AS (
+           SELECT kh.tok, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+           FROM kh LEFT JOIN sk USING (rw, bucket) GROUP BY 1),
+         ex AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+           FROM t GROUP BY 1)
+         SELECT ex.tok, ex.exact_count, est.est_count
+         FROM ex JOIN est USING (tok) ORDER BY tok"""
+    },
     // q98's bloom prefilter is invisible to the result: the confirm join
     // makes the output equal the exact n-gram overlap, so the oracle IS
     // q63's shape on the %13 split.

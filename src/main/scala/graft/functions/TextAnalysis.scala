@@ -559,6 +559,53 @@ object TextAnalysis {
           .as("est_distinct")): _*)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
+    * independent hash rows of `w` counters each — the bounded-memory
+    * frequency summary behind heavy-hitter stats (vocab counts, hot
+    * domains, frequent shingles) when exact counting's state would be the
+    * corpus' distinct-key cardinality. The sketch is ONE map-side-combined
+    * aggregate with ≤ d·w output rows regardless of corpus size; hashes
+    * are the md5-prefix family every oracle-shared operator here uses, so
+    * the sketch (and every estimate read from it) is bit-identical on any
+    * engine and any partitioning.
+    *
+    * Returns (row, bucket, cnt) with one row per NON-EMPTY counter. */
+  def cmsSketch(
+      df: DataFrame, keyCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 16, s"cmsSketch: d $d outside [1, 16]")
+    require(w >= 2, s"cmsSketch: w $w < 2")
+    val rows = explode(sequence(lit(0), lit(d - 1))).as("row")
+    df.select(col(keyCol).as("__k"))
+      .select(col("__k"), rows)
+      .select(col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("__k"))), 1, 13), 16, 10).cast("long"), lit(w.toLong))
+          .as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[cmsSketch]]: for each candidate key, the
+    * MINIMUM of its d counters — an overestimate by at most the collision
+    * mass (ε ≈ e/w of the stream length with probability 1 − e^−d; the
+    * classic CMS guarantee). `keys` is the candidate frame (e.g. distinct
+    * keys of a sample, or a domain whitelist); the sketch side is ≤ d·w
+    * rows and broadcast, so estimation is a map-side join at any scale.
+    * Missing counters read as 0 (a key hashing only to empty counters was
+    * never seen). Returns `keys` + (est_count). */
+  def cmsEstimate(
+      keys: DataFrame, keyCol: String, sketch: DataFrame, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val hashed = keys
+      .select(col(keyCol), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col(keyCol), col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col(keyCol))), 1, 13), 16, 10).cast("long"), lit(w.toLong))
+          .as("bucket"))
+    hashed.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023 "Data Selection for
     * Language Models via Importance Resampling", public): hashed token
     * features, per-feature probabilities under a TARGET corpus vs the RAW

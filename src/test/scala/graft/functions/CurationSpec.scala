@@ -109,6 +109,41 @@ class CurationSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("CMS: never underestimates, exact without collisions, bounded state, broadcast estimate") {
+    val keys = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"key$i"))
+    val df = keys.toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // tiny sketch: collisions guaranteed, estimates are still >= exact
+    val sk = TextAnalysis.cmsSketch(df, "k", d = 3, w = 16)
+    assert(sk.count() <= 3L * 16)
+    val est = TextAnalysis.cmsEstimate(df.distinct(), "k", sk, d = 3, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: CMS underestimated ${est(k)} < $c")
+    }
+    // wide sketch: 200 keys in 3×4096 counters — no collisions, exact
+    val skWide = TextAnalysis.cmsSketch(df, "k", d = 3, w = 4096)
+    val estWide = TextAnalysis.cmsEstimate(df.distinct(), "k", skWide,
+        d = 3, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) => assert(estWide(k) == c) }
+    // a never-seen key estimates 0 only if all its counters are empty —
+    // with w=4096 that is overwhelmingly likely and deterministic here
+    val unseen = TextAnalysis.cmsEstimate(
+        Seq("never-seen-key-xyz").toDF("k"), "k", skWide, d = 3, w = 4096)
+      .collect().head.getLong(1)
+    assert(unseen == 0L)
+    // partition invariance: the sketch is a pure function of the multiset
+    val sk2 = TextAnalysis.cmsSketch(df.repartition(13), "k", d = 3, w = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val sk1 = sk.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sk1 == sk2)
+    // estimate-side plan: sketch is broadcast, no sort-merge join
+    val plan = TextAnalysis.cmsEstimate(df.distinct(), "k", sk, 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("capPerKey: deterministic per-key cap, partition-invariant, no Window") {
     val docs = (0L until 300L).map(i => (i, s"src_${i % 3}"))
       .toDF("doc_id", "source")
