@@ -96,14 +96,17 @@ object Multimodal {
     var pos = from
     while (pos + 8 <= end) {
       val id = fourcc(b, pos)
-      val size = le32(b, pos + 4)
-      if (size < 0 || pos + 8 + size > end + 1) return -1
+      // widen to Long before bounds math: a corrupt size near 2^31 would
+      // overflow Int, pass the guard, and crash the walk instead of
+      // degrading to 'unknown' (the module's contract for bad bytes)
+      val size = le32(b, pos + 4).toLong
+      if (size < 0 || pos + 8L + size > end.toLong + 1) return -1
       if (id == "avih") return pos + 8
       if (id == "LIST") {
-        val r = findAvih(b, pos + 12, math.min(end, pos + 8 + size))
+        val r = findAvih(b, pos + 12, math.min(end.toLong, pos + 8L + size).toInt)
         if (r >= 0) return r
       }
-      pos += 8 + size + (size & 1)
+      pos = (pos + 8L + size + (size & 1)).toInt
     }
     -1
   }
@@ -130,12 +133,14 @@ object Multimodal {
     var ok = true
     while (ok && pos + 8 <= b.length) {
       val cid = fourcc(b, pos)
-      val size = le32(b, pos + 4)
-      if (size < 0 || pos + 8 + size > b.length + 1) ok = false
+      // Long bounds math — see findAvih: corrupt sizes must degrade, not
+      // overflow Int and crash the decode task
+      val size = le32(b, pos + 4).toLong
+      if (size < 0 || pos + 8L + size > b.length.toLong + 1) ok = false
       else {
         if (cid == "fmt ") fmt = pos + 8
-        if (cid == "data") dataSize = size
-        pos += 8 + size + (size & 1)
+        if (cid == "data") dataSize = size.toInt
+        pos = (pos + 8L + size + (size & 1)).toInt
       }
     }
     if (fmt < 0 || fmt + 16 > b.length) unknown(id, cs)

@@ -409,9 +409,14 @@ object Similarity {
         s"$k seeds")
     val norms = sample.map(v => math.sqrt(driverDot(v, v))).toArray
     val chosen = scala.collection.mutable.ArrayBuffer(0)
-    // minDist(i) = 1 − best cos between sample(i) and any chosen seed
+    // minDist(i) = 1 − best cos between sample(i) and any chosen seed;
+    // chosen indices are pinned to −∞ so they can never be re-selected
+    // (with ≈0 float noise a duplicate-heavy sample could otherwise tie
+    // an already-chosen index back into the argmax → duplicate seeds →
+    // a permanently empty IVF cell)
     val minDist = Array.tabulate(sample.length) { i =>
-      1.0 - driverDot(sample(i), sample(0)) / (norms(i) * norms(0))
+      if (i == 0) Double.NegativeInfinity
+      else 1.0 - driverDot(sample(i), sample(0)) / (norms(i) * norms(0))
     }
     while (chosen.size < k) {
       var best = -1
@@ -422,10 +427,11 @@ object Similarity {
         i += 1
       }
       chosen += best
+      minDist(best) = Double.NegativeInfinity
       i = 0
       while (i < sample.length) {
         val d = 1.0 - driverDot(sample(i), sample(best)) / (norms(i) * norms(best))
-        if (d < minDist(i)) minDist(i) = d
+        if (d < minDist(i)) minDist(i) = d // −∞ pins stay pinned (d ≮ −∞)
         i += 1
       }
     }
@@ -523,8 +529,16 @@ object Similarity {
 
   private def ivfTopKAssigned(
       queries: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame = {
-    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): DataFrame =
+    ivfTopKProbed(
+      probeCells(queries, idCol, vecCol, centroids, nProbe), assigned, k)
+
+  /** Tail of the stored-IVF retrieval with the probes frame ALREADY
+    * computed — lets [[ivfTopKStoredPruned]] reuse the same probes it
+    * collected for the partition filter instead of paying the k-way
+    * centroid scan twice. */
+  private def ivfTopKProbed(
+      probes: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
     val scored = probes.join(assigned, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -1184,6 +1198,12 @@ object Similarity {
       batch: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Seq[Float])],
       codebooks: Seq[Seq[(Int, Seq[Float])]], modified: Long): Unit = {
+    // FORMAT NOTE: timestamp = entity_id (id-range partitioning) since the
+    // round-11 fix — earlier indexes wrote timestamp = 0, so every row
+    // shared one partition and one upsert keyspace. Re-ingesting into a
+    // pre-fix stored part would upsert under NEW (entity_id, entity_id)
+    // keys and leave the old (entity_id, 0) rows behind as duplicates:
+    // REBUILD any index written before this change rather than appending.
     // the batch feeds BOTH the encoder and the vector re-attach join
     val cached = batch.persist()
     ps.store(part, pqEncodeArray(cached, idCol, vecCol, codebooks)
@@ -1264,7 +1284,16 @@ object Similarity {
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
       k: Int, nProbe: Int): DataFrame = {
     requireIntegralId(queries, idCol, "ivfTopKStoredPruned")
-    val cells = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    // pindex == bucket only holds for partitionSizeSeconds = 1 (the
+    // writeIndexBatchByBucket contract); any other size maps every bucket
+    // to pindex 0 and the cell filter would SILENTLY return empty results
+    require(ps.config.partitionSizeSeconds == 1L,
+      "ivfTopKStoredPruned requires a by-bucket index store " +
+        "(PartStoreConfig(partitionSizeSeconds = 1), written by " +
+        s"writeIndexBatchByBucket) — got ${ps.config.partitionSizeSeconds}")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .localCheckpoint() // computed ONCE: feeds both the filter and the join
+    val cells = probes
       .select(col("__bucket")).distinct()
       .collect().map(_.getInt(0).toLong).sorted
     val stored = ps.readPart(part).getOrElse(
@@ -1273,7 +1302,7 @@ object Similarity {
       .filter(col("pindex").isin(cells.toIndexedSeq: _*))
     val assigned = stored.select(col("entity_id").as("neighbor_id"),
       col("embedding").as("__cv"), col("bucket").cast("int").as("__bucket"))
-    ivfTopKAssigned(queries, assigned, idCol, vecCol, centroids, k, nProbe)
+    ivfTopKProbed(probes, assigned, k)
   }
 
   /** Persist centroids next to a stored index: a stored bucket/code
@@ -1569,25 +1598,34 @@ object Similarity {
         while (j < dim) { s += rm(i)(j) * x(j); j += 1 }
         s
       }
-    var it = 0
-    while (it < iters) {
-      // (1) codebooks on the rotated sample (same deterministic trainer
-      // as pqCodebooksRefined: first-k seeds + one Lloyd pass per slice)
-      val rotated = sample.zip(xs).map { case ((id, _), x) =>
-        (id, apply(r, x).map(_.toFloat).toSeq)
+    def rotatedSample(rm: Array[Array[Double]]): Seq[(String, Seq[Float])] =
+      sample.zip(xs).map { case ((id, _), x) =>
+        (id, apply(rm, x).map(_.toFloat).toSeq)
       }
-      cbs = (0 until m).map { j =>
+    // same deterministic trainer as pqCodebooksRefined: first-k seeds +
+    // one Lloyd pass per slice
+    def trainCbs(rotated: Seq[(String, Seq[Float])]): Seq[Seq[(Int, Seq[Float])]] =
+      (0 until m).map { j =>
         val sliced = rotated.map { case (id, v) =>
           (id, v.slice(j * sub, (j + 1) * sub))
         }
         lloydOnce(sliced,
           sliced.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
       }
-      // (2) reconstruction targets in rotated space
+    var it = 0
+    while (it < iters) {
+      // (1) codebooks on the rotated sample
+      val rotated = rotatedSample(r)
+      cbs = trainCbs(rotated)
+      // (2) reconstruction targets in rotated space — assigner and
+      // codebook lookup built ONCE per subspace, not per sample point
+      // (the per-point form rebuilt the k-entry norm map n·m times)
+      val assigns = (0 until m).map(j => driverAssign(cbs(j)))
+      val cbMaps = (0 until m).map(j => cbs(j).toMap)
       val recon = rotated.map { case (_, v) =>
         (0 until m).flatMap { j =>
           val s = v.slice(j * sub, (j + 1) * sub)
-          cbs(j).toMap.apply(driverAssign(cbs(j))(s))
+          cbMaps(j)(assigns(j)(s))
         }.map(_.toDouble).toArray
       }
       // (3) Procrustes: M = Σ c·xᵀ; R = U·Vᵀ from M = U·Σ·Vᵀ
@@ -1603,6 +1641,12 @@ object Similarity {
       r = procrustesRotation(mMat, powerIters)
       it += 1
     }
+    // final half-step: the loop ends on a rotation update, so retrain the
+    // codebooks against the RETURNED rotation — otherwise callers encode
+    // R_new-rotated vectors with R_old-fitted codebooks and pay
+    // quantization error above the alternation's objective (Ge et al. /
+    // FAISS end on a codebook update for the same reason)
+    cbs = trainCbs(rotatedSample(r))
     (r.map(_.map(_.toFloat).toSeq).toSeq, cbs)
   }
 

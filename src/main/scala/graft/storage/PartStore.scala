@@ -42,6 +42,11 @@ final case class PartStoreConfig(
 class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   import cfg._
 
+  /** The store's configuration — exposed so operators with partitioning
+    * preconditions (e.g. the by-bucket pruned ANN retrieval, which needs
+    * pindex == bucket) can validate instead of silently mis-pruning. */
+  def config: PartStoreConfig = cfg
+
   private def path(part: String) = s"$basePath/$part"
 
   private def withPindex(df: DataFrame): DataFrame =

@@ -79,6 +79,23 @@ class MultimodalSpec extends SparkSpec {
     assert(t.format == "unknown" && t.frames == 0)
   }
 
+  test("corrupt RIFF chunk sizes near 2^31 degrade to unknown, never crash") {
+    // chunk size 0x7FFFFFF0 would overflow Int bounds math and wrap pos
+    // negative — the walk must treat it as out-of-bounds and give up
+    def le32b(v: Long) = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val asciiB = (s: String) => s.getBytes("US-ASCII")
+    val evilWav = asciiB("RIFF") ++ le32b(0x7ffffff0L) ++ asciiB("WAVE") ++
+      asciiB("LIST") ++ le32b(0x7ffffff0L) ++ Array.fill(16)(0.toByte)
+    val w = Multimodal.parseMedia(1L, evilWav)
+    assert(w.format == "unknown" && w.frames == 0)
+    val evilAvi = asciiB("RIFF") ++ le32b(0x7ffffff0L) ++ asciiB("AVI ") ++
+      asciiB("LIST") ++ le32b(0x7ffffff0L) ++ Array.fill(16)(0.toByte)
+    val a = Multimodal.parseMedia(2L, evilAvi)
+    assert(a.format == "unknown" && a.frames == 0)
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
