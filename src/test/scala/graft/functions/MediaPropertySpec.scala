@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.scalacheck.{Arbitrary, Gen, Prop, Properties}
+
+/** Property checks for the media header parsers: parseMedia must be a
+  * TOTAL function over arbitrary bytes (one corrupt blob in 100 TB must
+  * degrade to an `unknown` row, never crash a decode task — the contract
+  * the round-11 Long-bounds fix restored), and every synth container must
+  * round-trip its fields exactly through the parser. */
+object MediaPropertySpec extends Properties("Multimodal.parseMedia") {
+  import Prop.forAll
+
+  private val bytes: Gen[Array[Byte]] =
+    Gen.listOf(Arbitrary.arbitrary[Byte]).map(_.toArray)
+
+  // valid container prefixes followed by garbage — hits the chunk walks
+  // with plausible-but-corrupt interiors, not just random noise
+  private val riffish: Gen[Array[Byte]] = for {
+    form <- Gen.oneOf("AVI ", "WAVE")
+    size <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    tail <- Gen.listOf(Arbitrary.arbitrary[Byte])
+  } yield "RIFF".getBytes("US-ASCII") ++
+    Array((size & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+      ((size >> 16) & 0xff).toByte, ((size >> 24) & 0xff).toByte) ++
+    form.getBytes("US-ASCII") ++ tail.toArray
+
+  private def parses(b: Array[Byte]): Boolean = {
+    val m = Multimodal.parseMedia(1L, b)
+    m.format != null && m.checksum == Multimodal.fnv64(b)
+  }
+
+  property("total over arbitrary bytes") = forAll(bytes)(parses)
+
+  property("total over corrupt RIFF interiors") = forAll(riffish)(parses)
+
+  property("total over truncated valid containers") =
+    forAll(Gen.chooseNum(1L, 5000L), Gen.chooseNum(0, 80)) { (id, n) =>
+      val full = Multimodal.mediaFixture(id, id * 31 % 997)
+      parses(full.take(n min full.length))
+    }
+
+  property("synth PNG/JPEG/GIF/AVI round-trip their dimension fields") =
+    forAll(Gen.chooseNum(1, 4000), Gen.chooseNum(1, 4000),
+        Gen.chooseNum(1, 29), Gen.chooseNum(1, 500)) { (w, h, com, fr) =>
+      val png = Multimodal.parseMedia(1L, Multimodal.synthPng(w, h))
+      val jpg = Multimodal.parseMedia(2L, Multimodal.synthJpeg(w, h, com))
+      val gif = Multimodal.parseMedia(3L,
+        Multimodal.synthGif(w min 65535, h min 65535))
+      val avi = Multimodal.parseMedia(4L, Multimodal.synthAvi(w, h, fr))
+      png.format == "png" && png.width == w && png.height == h &&
+        jpg.format == "jpeg" && jpg.width == w && jpg.height == h &&
+        gif.format == "gif" && gif.width == (w min 65535) &&
+        gif.height == (h min 65535) &&
+        avi.format == "avi" && avi.width == w && avi.height == h &&
+        avi.frames == fr
+    }
+
+  property("synth WAV round-trips rate/channels/frames") =
+    forAll(Gen.chooseNum(1000, 192000), Gen.chooseNum(1, 8),
+        Gen.chooseNum(0, 2000)) { (rate, ch, fr) =>
+      val m = Multimodal.parseMedia(5L, Multimodal.synthWav(rate, ch, 16, fr))
+      m.format == "wav" && m.width == rate && m.height == ch && m.frames == fr
+    }
+}
