@@ -284,6 +284,13 @@ object QueriesLLM {
           TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
         .orderBy("doc_id")
     },
+    // ---- TF-IDF term weighting: gate-exact counts (tf, df, n_docs);
+    // the libm ln product is spec-tested per the charLmScore convention ----
+    "q120_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfIdf(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "tok", "tf", "df", "n_docs")
+        .orderBy("doc_id", "tok")
+    },
     // ---- Count-Min sketch frequency estimates (Cormode & Muthukrishnan
     // 2005): d·w bounded counters, point estimate = min over d rows —
     // deliberately tiny w=16 so the 31-token vocabulary genuinely
@@ -1913,6 +1920,24 @@ object QueriesLLM {
          FROM ex JOIN agg USING (source) ORDER BY source"""
     },
     "q63_decontaminate" -> decontaminationOracle(mod = 17, minOverlap = 2),
+    "q120_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dfq AS (
+           SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY 1),
+         n AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           FROM documents)
+         SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, n.n_docs
+         FROM tf JOIN dfq USING (tok) CROSS JOIN n
+         ORDER BY doc_id, tok""",
     // CMS: both the sketch (per-row bucket counts) and every min-of-d
     // estimate replayed with the shared md5 ladder — overestimates from
     // the forced w=16 collisions must match exactly.

@@ -559,6 +559,33 @@ object TextAnalysis {
           .as("est_distinct")): _*)
   }
 
+  /** TF-IDF term weighting (Spärck Jones 1972, public): per-(doc, term)
+    * frequency × inverse document frequency `ln(N / df)`. Two map-side
+    * aggregates — (doc, tok) counts and distinct-doc counts per tok — and
+    * one equi-join on the token key; the N total is a 1-row broadcast
+    * cross join. No window, no all-pairs; a corpus-hot token skews the
+    * token-keyed join exactly like [[cmsSketch]]'s bucket join and AQE
+    * splits it.
+    *
+    * Gate-exact columns: `tf`, `df`, `n_docs` (pure counts); `tfidf`
+    * multiplies `ln`, whose last ULP is libm-specific — spec-tested, not
+    * oracle-hashed (the [[charLmScore]]/[[dsirWeights]] convention).
+    * Returns (idCol, tok, tf, df, n_docs, tfidf). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("n_docs"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot

@@ -109,6 +109,25 @@ class CurationSpec extends SparkSpec {
     assert(est == est2)
   }
 
+  test("tfIdf: counts exact, corpus-wide term scores 0, rare term outranks common") {
+    val df = Seq(
+      (1L, "apple apple rare"),
+      (2L, "apple banana"),
+      (3L, "apple banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // tf/df/N exact
+    assert(out((1L, "apple")) == ((2L, 3L, 3L, 2.0 * math.log(1.0))))
+    assert(out((1L, "rare"))._1 == 1L && out((1L, "rare"))._2 == 1L)
+    // a term in EVERY doc carries zero discriminative weight
+    assert(out((1L, "apple"))._4 == 0.0)
+    // the rare term outranks the common one within doc 1 despite lower tf
+    assert(out((1L, "rare"))._4 > out((1L, "apple"))._4)
+    assert(out((2L, "banana"))._4 == 1.0 * math.log(3.0 / 2.0))
+  }
+
   test("CMS: never underestimates, exact without collisions, bounded state, broadcast estimate") {
     val keys = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"key$i"))
     val df = keys.toDF("k")
