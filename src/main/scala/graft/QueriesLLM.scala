@@ -291,6 +291,14 @@ object QueriesLLM {
         .select("doc_id", "tok", "tf", "df", "n_docs")
         .orderBy("doc_id", "tok")
     },
+    // ---- BM25 weights: counts + the rational tf-saturation term
+    // gate-exact (k1 = 1.2, b = 0.75 → plain double arithmetic); the
+    // ln-idf product is spec-tested ----
+    "q121_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "tok", "tf", "df", "dl", "n_docs", "tf_norm")
+        .orderBy("doc_id", "tok")
+    },
     // ---- Count-Min sketch frequency estimates (Cormode & Muthukrishnan
     // 2005): d·w bounded counters, point estimate = min over d rows —
     // deliberately tiny w=16 so the 31-token vocabulary genuinely
@@ -1937,6 +1945,35 @@ object QueriesLLM {
            FROM documents)
          SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, n.n_docs
          FROM tf JOIN dfq USING (tok) CROSS JOIN n
+         ORDER BY doc_id, tok""",
+    // BM25: the tf_norm arithmetic is written in the Spark op order —
+    // tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl / (n_toks/n_docs))).
+    "q121_bm25" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         dfq AS (
+           SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY 1),
+         n AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks
+           FROM t)
+         SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, dl.dl, n.n_docs,
+           CAST(tf.tf AS DOUBLE) * 2.2 /
+             (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+               0.75 * CAST(dl.dl AS DOUBLE) /
+                 (CAST(n.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+             AS tf_norm
+         FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
          ORDER BY doc_id, tok""",
     // CMS: both the sketch (per-row bucket counts) and every min-of-d
     // estimate replayed with the shared md5 ladder — overestimates from

@@ -586,6 +586,43 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** BM25 per-(doc, term) weights (Robertson et al., Okapi BM25 — public):
+    * the tf saturation + length normalization IR engines actually rank
+    * with, `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, times the BM25
+    * idf `ln((N − df + ½)/(df + ½) + 1)`. Same aggregate shapes as
+    * [[tfIdf]] plus a per-doc length count and a 2-value broadcast total
+    * (N, avgdl).
+    *
+    * Gate-exact columns: `tf`, `df`, `dl`, `n_docs`, and `tf_norm` — with
+    * rational k1 = 1.2 and b = 0.75 the normalization is plain IEEE
+    * double arithmetic, identical on both engines when written in the
+    * same op order. `bm25` multiplies the libm `ln` — spec-tested.
+    * Returns (idCol, tok, tf, df, dl, n_docs, tf_norm, bm25). */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docFreq = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val totals = toks.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("__n_toks")))
+    // avgdl as ONE division (n_toks/n_docs) so both engines round once
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") /
+          (col("__n_toks").cast("double") / col("n_docs").cast("double"))))
+    tf.join(dl, idCol).join(docFreq, "tok").crossJoin(broadcast(totals))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("dl"),
+        col("n_docs"), tfNorm.as("tf_norm"),
+        (tfNorm * log((col("n_docs").cast("double") -
+          col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))).as("bm25"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot

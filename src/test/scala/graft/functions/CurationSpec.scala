@@ -128,6 +128,28 @@ class CurationSpec extends SparkSpec {
     assert(out((2L, "banana"))._4 == 1.0 * math.log(3.0 / 2.0))
   }
 
+  test("bm25: saturation bounded by k1+1, long docs penalized, rare terms outrank") {
+    val df = Seq(
+      (1L, "apple apple apple apple apple apple apple apple rare"),
+      (2L, "apple banana"),
+      (3L, "apple banana banana banana banana banana banana banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6), r.getDouble(7))).toMap
+    // tf saturates: even tf=8 stays under the k1+1 ceiling
+    assert(out((1L, "apple"))._2 < 2.2)
+    // monotone in tf at equal length: banana(7) > apple(1) within doc 3
+    assert(out((3L, "banana"))._2 > out((3L, "apple"))._2)
+    // length normalization: the same tf=1 scores higher in the SHORT doc
+    assert(out((2L, "apple"))._2 > out((3L, "apple"))._2)
+    // idf: 'apple' appears in every doc → its BM25 idf ln(0.5/3.5+1) is
+    // small but positive; 'rare' (df=1) outranks it within doc 1 despite
+    // 8× lower tf
+    assert(out((1L, "rare"))._3 > out((1L, "apple"))._3)
+    assert(out((1L, "apple"))._3 > 0.0)
+  }
+
   test("CMS: never underestimates, exact without collisions, bounded state, broadcast estimate") {
     val keys = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"key$i"))
     val df = keys.toDF("k")
