@@ -650,6 +650,56 @@ object QueriesCore {
         .withColumn("cust", regexp_extract(col("dn"), "customer=([0-9]+)", 1).cast("long"))
         .select("dn", "seg", "cust")
         .orderBy("cust")
+    },
+    // ---- Temporal joins (TemporalOps): as-of feature attachment ----
+    // Leakage-free feature join: each event picks up the stats of the most
+    // recent CLOSED hour (available at hour end), none older than 2 h.
+    "q122_asof_join" -> { (s, dir) =>
+      val e = events(s, dir)
+      val hourly = e.groupBy(col("user_id"),
+          (col("ts_sec") - pmod(col("ts_sec"), lit(3600L)) + 3600L).as("avail_sec"))
+        .agg(count(lit(1)).as("prev_hr_events"),
+          max(floor(col("value") * 100).cast("long")).as("prev_hr_max_cents"))
+      TemporalOps.asofJoin(
+          e.select(col("user_id"), col("event_id"), col("ts_sec").as("sec")),
+          hourly, Seq("user_id"), "sec", "avail_sec", tolerance = Some(7200L))
+        .orderBy("user_id", "sec", "event_id")
+    },
+    // ---- Temporal joins: interval-overlap via grid bucketing ----
+    // User sessions (gap 1800, half-open [start, end+1800)) overlapped
+    // with sparse "incident" windows [sec-300, sec+900) — the equi-join
+    // shape never materializes the |sessions|·|incidents| cartesian a
+    // naive inequality join compiles to.
+    "q123_range_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val gapped = e.withColumn("prev_sec", lag(col("ts_sec"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || (col("ts_sec") - col("prev_sec")) > 1800, 1L)
+            .otherwise(0L))
+      val sessions = gapped.withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts_sec")).as("s_lo"), (max(col("ts_sec")) + lit(1800L)).as("s_hi"))
+      val incidents = e
+        .filter(col("event_type") === "error" && pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id").as("incident_id"),
+          (col("ts_sec") - 300L).as("i_lo"), (col("ts_sec") + 900L).as("i_hi"))
+      TemporalOps.intervalOverlapJoin(sessions, "s_lo", "s_hi",
+          incidents, "i_lo", "i_hi", bucketWidth = 3600L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("incident_id")
+    },
+    // ---- Rolling window stats (fixed-point cents keep sums exact) ----
+    "q124_rolling_stats" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      TemporalOps.rollingStats(
+          e.select("user_id", "event_id", "ts_sec", "cents"),
+          Seq("user_id"), Seq("ts_sec", "event_id"), "cents", window = 5)
+        .orderBy("user_id", "ts_sec", "event_id")
     }
   )
 
@@ -1009,7 +1059,75 @@ object QueriesCore {
                'segment=([a-z]+)', 1) AS seg,
              CAST(regexp_extract('segment=' || lower(c_mktsegment) || ',customer=' || CAST(c_custkey AS VARCHAR),
                'customer=([0-9]+)', 1) AS BIGINT) AS cust
-           FROM customer ORDER BY cust"""
+           FROM customer ORDER BY cust""",
+      // Independent implementation: DuckDB's native ASOF JOIN (>= right ts,
+      // latest wins) checks the union+running-window formulation against a
+      // genuinely different algorithm, not a mirror of it.
+      "q122_asof_join" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec, value FROM events),
+           hourly AS (
+             SELECT user_id, (sec//3600)*3600 + 3600 AS avail_sec,
+               count(*) AS prev_hr_events,
+               max(CAST(floor(value*100) AS BIGINT)) AS prev_hr_max_cents
+             FROM ev GROUP BY 1, 2),
+           j AS (
+             SELECT e.user_id, e.event_id, e.sec, h.avail_sec,
+               h.prev_hr_events, h.prev_hr_max_cents
+             FROM ev e ASOF LEFT JOIN hourly h
+               ON e.user_id = h.user_id AND e.sec >= h.avail_sec)
+           SELECT user_id, event_id, sec,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN avail_sec END AS asof_ts,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN prev_hr_events END AS prev_hr_events,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN prev_hr_max_cents END AS prev_hr_max_cents
+           FROM j ORDER BY user_id, sec, event_id""",
+      // Independent implementation: a plain inequality join (DuckDB IEJoin)
+      // vs the grid-bucketed equi-join.
+      "q123_range_join" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, event_type, $ts AS sec FROM events),
+           gapped AS (
+             SELECT user_id, event_id, sec,
+               lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+             FROM ev),
+           marked AS (
+             SELECT user_id, event_id, sec,
+               CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END
+                 AS new_session
+             FROM gapped),
+           sess0 AS (
+             SELECT user_id, sec,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM marked),
+           sessions AS (
+             SELECT user_id, session_id, min(sec) AS s_lo, max(sec) + 1800 AS s_hi
+             FROM sess0 GROUP BY 1, 2),
+           incidents AS (
+             SELECT event_id AS incident_id, sec - 300 AS i_lo, sec + 900 AS i_hi
+             FROM ev WHERE event_type = 'error' AND event_id % 7 = 0)
+           SELECT incident_id, count(*) AS n_sessions,
+             count(DISTINCT user_id) AS n_users
+           FROM sessions s JOIN incidents i
+             ON s.s_lo < i.i_hi AND i.i_lo < s.s_hi
+           GROUP BY 1 ORDER BY 1""",
+      "q124_rolling_stats" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS ts_sec,
+               CAST(floor(value*100) AS BIGINT) AS cents
+             FROM events)
+           SELECT user_id, event_id, ts_sec, cents,
+             count(*) OVER w AS roll_n,
+             CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+             min(cents) OVER w AS roll_min,
+             max(cents) OVER w AS roll_max
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, ts_sec, event_id"""
     )
   }
 }

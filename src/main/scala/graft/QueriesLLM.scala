@@ -314,6 +314,22 @@ object QueriesLLM {
         .select(col("tok"), col("exact_count"), col("est_count"))
         .orderBy("tok")
     },
+    // ---- sliding-window token chunking (RAG corpus prep): 64-token
+    // chunks every 48 tokens, map-side chunk-id fan-out, no join ----
+    "q125_chunking" -> { (s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    },
+    // ---- fixed-point PageRank over a derived link graph (source
+    // weighting signal; ranks bit-exact under any partition layout) ----
+    "q126_pagerank" -> { (s, dir) =>
+      val e = load(s, dir, "events")
+      val edges = e.select(col("user_id").as("src"),
+        pmod(col("event_id"), lit(97)).cast("long").as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -1975,6 +1991,51 @@ object QueriesLLM {
              AS tf_norm
          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
          ORDER BY doc_id, tok""",
+    // Chunking: token pos p → chunk ids [max(0,⌈(p−64+1)/48⌉) .. ⌊p/48⌋];
+    // the numerator is clamped non-negative BEFORE dividing so floor/trunc
+    // agree in both engines.
+    "q125_chunking" ->
+      s"""WITH $ToksCte,
+         ids AS (
+           SELECT doc_id, pos, tok,
+             unnest(generate_series(
+               CAST(greatest(0, pos - 64 + 48) // 48 AS BIGINT),
+               CAST(pos // 48 AS BIGINT))) AS chunk_id
+           FROM toks)
+         SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         FROM ids GROUP BY 1, 2 ORDER BY 1, 2""",
+    // PageRank, 3 unrolled damped iterations in the exact integer op
+    // order of Graph.pageRank: teleport = (1e12//100)*15//N, inflow =
+    // Σ rank//outdeg over distinct edges, rank' = teleport+inflow*85//100.
+    "q126_pagerank" -> {
+      val iter = (prev: String, out: String) =>
+        s"""c_$out AS (
+             SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+             FROM $prev r JOIN outdeg o ON r.node = o.src
+               JOIN edges e ON e.src = o.src
+             GROUP BY 1),
+           $out AS (
+             SELECT n.node,
+               (1000000000000 // 100) * 15 // (SELECT n FROM nn) +
+                 (COALESCE(c.inflow, 0) * 85) // 100 AS rank
+             FROM nodes n LEFT JOIN c_$out c ON n.node = c.node)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(event_id % 97 AS BIGINT) AS dst
+           FROM events),
+         nodes AS (
+           SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         r0 AS (
+           SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank
+           FROM nodes),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node"""
+    },
     // CMS: both the sketch (per-row bucket counts) and every min-of-d
     // estimate replayed with the shared md5 ladder — overestimates from
     // the forced w=16 collisions must match exactly.

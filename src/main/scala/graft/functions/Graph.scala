@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over edge DataFrames. Complements the
+  * connected-component operators in [[Dedup]] (min-label fixpoint,
+  * large-star/small-star): where components answer "which docs are the
+  * same", centrality answers "which sources/hosts matter" — the standard
+  * curation signal for weighting a web-scale corpus (PageRank; Page et al.
+  * 1999, public).
+  *
+  * All rank arithmetic is FIXED-POINT (LONG, `scale` = 1e12 units of
+  * probability mass) so every iteration is bit-identical under any
+  * partition layout — the same determinism contract as the distributed
+  * Lloyd trainer in [[Similarity]] — and exactly reproducible by the
+  * integer-only DuckDB oracle. Float PageRank would hash-diverge on
+  * summation order.
+  */
+object Graph {
+
+  /** `iterations` rounds of damped PageRank over `edges` (srcCol, dstCol;
+    * parallel edges count once — they are deduplicated). Nodes = union of
+    * sources and destinations. Returns (node, rank) with rank in `scale`
+    * fixed-point units.
+    *
+    * Semantics: rank'(v) = scale·(100−damp)/100/N + damp/100 · Σ_{u→v}
+    * rank(u) div outdeg(u), all divisions integral — dangling-node mass
+    * (and integer-division remainders) drain rather than redistribute,
+    * the original Page et al. "dangling nodes removed" treatment; ranks
+    * therefore sum to slightly under `scale` and comparisons are ordinal,
+    * which is all corpus weighting needs.
+    *
+    * Scale: per iteration one equi-join ranks⋈edges on src (hash
+    * partitioned both sides, reused across iterations since the
+    * partitioning key never changes) + one aggregation on dst — the
+    * standard message-passing shape, shuffle ∝ |edges|. The loop
+    * localCheckpoints each iteration like the component fixpoints in
+    * [[Dedup.connectedComponents]], so the plan does not grow with
+    * `iterations`. Out-degrees are computed once. Skewed in-degree (a hub
+    * everyone links to) is a hot reduce key — AQE skew handling applies;
+    * out-degree skew is map-side only. */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "pageRank: iterations must be >= 0")
+    require(dampPct >= 0 && dampPct <= 100, "pageRank: dampPct in [0,100]")
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0L) return nodes.withColumn("rank", lit(0L))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val teleport = scale / 100L * (100L - dampPct) / n
+
+    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val contrib = ranks.join(outDeg, ranks("node") === outDeg("src"))
+        .select(col("src"), expr("rank div outdeg").as("c"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"coalesce(inflow, 0L) * ${dampPct}L div 100L")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -22,6 +22,42 @@ object TextAnalysis {
   def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
 
+  /** Sliding-window token chunking (retrieval/RAG corpus prep): documents
+    * split into chunks of `chunkSize` tokens starting every `stride`
+    * tokens (overlap = chunkSize − stride). Output one row per
+    * (doc, chunk): `chunk_id` (0-based start index / stride), `n_tokens`,
+    * `chunk_text` (space-rejoined).
+    *
+    * Scale: NO join and no per-document collection — each token emits the
+    * ≤ ⌈chunkSize/stride⌉ chunk ids that contain it (a map-side explode
+    * with constant fan-out ≈ 1.33 at 64/48), then one hash aggregation on
+    * (doc, chunk) assembles chunks. The alternative — generate chunk-start
+    * rows and range-join tokens per doc — is O(n²/stride) per document on
+    * long docs; this is O(n · chunkSize/stride) regardless of length.
+    * Token pos p belongs to chunk k iff k·stride ≤ p < k·stride+chunkSize,
+    * i.e. k ∈ [max(0, ⌈(p−chunkSize+1)/stride⌉), ⌊p/stride⌋] — every
+    * emitted chunk therefore has ≥ 1 token (no empty trailing chunks). */
+  def chunkTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunkTokens: need 0 < stride <= chunkSize, got ($chunkSize, $stride)")
+    val t = tokens(df, idCol, textCol)
+    // ceil((p-C+1)/S) via clamp-then-truncate: the numerator is clamped to
+    // ≥ 0 BEFORE dividing so the floor/trunc divergence on negative ints
+    // (Spark `div` truncates) can never bite — both engines agree on
+    // non-negative truncation.
+    val kMin = (greatest(lit(0L), col("pos") - chunkSize + stride) / stride).cast("long")
+    val kMax = (col("pos") / stride).cast("long")
+    t.select(col(idCol), col("pos"), col("tok"),
+        explode(sequence(kMin, kMax)).as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("chunk_text"))
+  }
+
   /** Hashed bag-of-words document embedding: `dim`-dimensional count vector
     * with token buckets from the first md5 byte (engine-portable). The
     * cheap deterministic stand-in for a model embedding — the cosine

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's built-in surface lacks: as-of join
+  * (latest-at-or-before feature attachment) and range joins (point-in-
+  * interval, interval-overlap) without the cartesian blow-up a naive
+  * `a.join(b, cond)` inequality join compiles to (BroadcastNestedLoopJoin,
+  * O(|a|·|b|) comparisons).
+  *
+  * The reference's surface has no temporal joins (its trend storage is
+  * keyed by exact granularity-aligned timestamps — `trend/storage.py`'s
+  * whole model), but any pipeline that attaches slowly-changing state or
+  * windowed context to event streams needs them; they are first-class here
+  * alongside the SURVEY §2 inventory.
+  *
+  * Scale designs:
+  *  - [[asofJoin]] is ONE shuffle per side into the same hash partitioning
+  *    on the key, plus a per-key sort — no candidate pairs ever
+  *    materialize, unlike the "join on key + ts range then keep max"
+  *    formulation whose intermediate is |left|·(right rows in range).
+  *    Per-key work is inherently serial (the running "latest seen" scan);
+  *    a hot key serializes within its partition exactly like any
+  *    per-entity ordered scan (sessionize, SCD-2). At 100 TB both sides
+  *    stream through the sort — nothing is collected or broadcast.
+  *  - [[pointInIntervalJoin]] / [[intervalOverlapJoin]] discretize time
+  *    into `bucketWidth`-second grid cells: intervals replicate to the
+  *    cells they span (factor ≈ 1 + span/bucketWidth — pick bucketWidth
+  *    near the median span to keep it ~2×), points land in exactly one
+  *    cell, and the join is a plain equi-join on (cell) or (cell, key)
+  *    that Catalyst shuffles hash-partitioned. Candidates are bounded by
+  *    Σ|cell_a|·|cell_b| over co-resident cells, never |a|·|b|; a
+  *    pathological cell (every interval crossing one hour) is visible as
+  *    one hot cell and cappable with [[SkewOps.keepSmallKeys]] upstream.
+  */
+object TemporalOps {
+
+  /** Backward as-of join: for each `left` row, attach the `right` row with
+    * the greatest `rightTs` ≤ `leftTs` within the same `keyCols` group
+    * (optionally no older than `tolerance` seconds); unmatched left rows
+    * keep NULL payload. Right payload = every right column not in
+    * `keyCols`/`rightTs`, which must be disjoint from left's column names.
+    * The matched right timestamp is returned as `asof_ts`.
+    *
+    * Implementation: union both sides tagged (right=0, left=1) and run one
+    * running-frame `last(_, ignoreNulls)` window ordered by
+    * (ts, side) — at equal timestamps the right row sorts first, so a
+    * feature published exactly at the event time IS visible (standard
+    * backward-inclusive as-of, DuckDB `ASOF JOIN ... ON l.ts >= r.ts`
+    * semantics, which is also what the oracle runs).
+    *
+    * Determinism: callers must ensure `right` has at most one row per
+    * (keyCols, rightTs) — with duplicates the window's tie order, hence
+    * the attached payload, is partition-layout-dependent.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
+    val clash = payload.toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"asofJoin: right payload columns collide with left: $clash")
+    val leftOnly = left.columns.filterNot(keyCols.contains)
+
+    def nullAs(src: DataFrame, name: String): Column =
+      lit(null).cast(src.schema(name).dataType).as(name)
+
+    val lTagged = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).cast("long").as("__ts"), lit(1).as("__side")) ++
+        leftOnly.map(col) ++
+        Seq(lit(null).cast("long").as("asof_ts")) ++
+        payload.map(p => nullAs(right, p)): _*)
+    val rTagged = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).cast("long").as("__ts"), lit(0).as("__side")) ++
+        leftOnly.map(c => nullAs(left, c)) ++
+        Seq(col(rightTs).cast("long").as("asof_ts")) ++
+        payload.map(col): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = ("asof_ts" +: payload.toSeq).foldLeft(lTagged.unionByName(rTagged)) {
+      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    val inTol = tolerance match {
+      case Some(t) => col("asof_ts").isNotNull && (col("__ts") - col("asof_ts")) <= t
+      case None    => col("asof_ts").isNotNull
+    }
+    val masked = ("asof_ts" +: payload.toSeq).foldLeft(carried.filter(col("__side") === 1)) {
+      (d, c) => d.withColumn(c, when(inTol, col(c)))
+    }
+    masked.select(
+      keyCols.map(col) ++ leftOnly.map(col) ++ ("asof_ts" +: payload.toSeq).map(col): _*)
+  }
+
+  /** Grid cells an [lo, hi) interval covers, as a column of LONGs.
+    * Integral floor-division is safe here because epoch seconds in every
+    * fixture (and any sane deployment) are non-negative; `sequence` is
+    * inclusive so the hi-side cell uses hi-1 (half-open intervals never
+    * touch the cell starting exactly at hi). */
+  private def cells(lo: Column, hi: Column, bucketWidth: Long): Column =
+    sequence(
+      (lo - pmod(lo, lit(bucketWidth))) / bucketWidth cast "long",
+      ((hi - 1) - pmod(hi - 1, lit(bucketWidth))) / bucketWidth cast "long")
+
+  /** Point-in-interval join: rows of `points` paired with every `intervals`
+    * row whose half-open [loCol, hiCol) contains ptCol. Output = point
+    * columns ++ interval columns (names must be disjoint). Empty or
+    * inverted intervals (hi ≤ lo) match nothing.
+    *
+    * Each point maps to exactly one grid cell, so no post-join dedup is
+    * needed: a (point, interval) pair can only meet in the point's cell.
+    */
+  def pointInIntervalJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "pointInIntervalJoin: bucketWidth must be positive")
+    val p = points.withColumn("__cell",
+      (col(ptCol) - pmod(col(ptCol), lit(bucketWidth))) / bucketWidth cast "long")
+    val iv = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__cell", explode(cells(col(loCol), col(hiCol), bucketWidth)))
+    p.join(iv, "__cell")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__cell")
+  }
+
+  /** Interval-overlap join: pairs (a, b) whose half-open intervals
+    * intersect (aLo < bHi ∧ bLo < aHi). Both sides replicate to their grid
+    * cells; a pair spanning several shared cells would match once per
+    * cell, so each pair is emitted only from the cell containing the
+    * overlap's start (`greatest(aLo, bLo)`) — an exact-once rule that
+    * needs no distinct/shuffle afterwards. */
+  def intervalOverlapJoin(
+      a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlapJoin: bucketWidth must be positive")
+    val ea = a.filter(col(aHi) > col(aLo))
+      .withColumn("__cell", explode(cells(col(aLo), col(aHi), bucketWidth)))
+    val eb = b.filter(col(bHi) > col(bLo))
+      .withColumn("__cell", explode(cells(col(bLo), col(bHi), bucketWidth)))
+    val ovStart = greatest(col(aLo), col(bLo))
+    ea.join(eb, "__cell")
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__cell") === ((ovStart - pmod(ovStart, lit(bucketWidth))) / bucketWidth).cast("long"))
+      .drop("__cell")
+  }
+
+  /** Per-key rolling statistics over an ordered sequence: for each row,
+    * aggregates over the trailing `window` rows (inclusive — ROWS
+    * `window-1` PRECEDING .. CURRENT). `valueCol` must be integral
+    * (LONG) so the running sums are exact and engine-portable; callers
+    * with double measures scale to fixed-point first (`floor(v*100)` —
+    * IEEE multiply-then-floor is bit-identical everywhere).
+    *
+    * One shuffle on `keyCols` + per-key sort; the frame is bounded, so
+    * Spark's sliding-frame evaluation keeps O(window) state per key —
+    * no growing buffers at 100 TB. `orderCols` must be a total order
+    * within each key or the row-based frame is layout-dependent. */
+  def rollingStats(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, window: Int): DataFrame = {
+    require(window > 0, "rollingStats: window must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+  }
+}

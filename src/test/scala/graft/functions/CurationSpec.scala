@@ -27,6 +27,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1) == Row(1L, 3L, 0L, 0.0))   // disjoint shingle sets
   }
 
+  test("chunkTokens: sliding windows cover every token, overlap = C−S") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 3L, "t0 t1 t2"),
+      (1L, 1L, 3L, "t2 t3 t4"), // t2 shared: overlap = 1
+      (1L, 2L, 1L, "t4"),       // trailing partial chunk, never empty
+      (2L, 0L, 1L, "a"),
+      (3L, 0L, 1L, ""))) // split("") yields one empty token, like tokens()
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 2, stride = 3)
+    }
+  }
+
   test("duplicatedSpans: only positions covered by repeated n-grams count") {
     // docs 1 and 2 share an 8-token run; doc 3 is unique; doc 4 repeats a
     // run WITHIN itself (within-doc repetition also counts — Lee et al.

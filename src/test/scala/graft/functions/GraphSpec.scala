@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("s", "d")
+
+  test("pageRank matches hand-computed fixed-point iteration") {
+    // N=3, r0 = 1e12/3 = 333333333333 each; teleport = (1e12/100)*15/3
+    // node1 (outdeg 2) sends 166666666666 to 2 and 3; node2 sends all to 1;
+    // node3 dangles (mass drains).
+    val got = Graph.pageRank(edges, "s", "d", iterations = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 50000000000L + 333333333333L * 85 / 100),
+      (2L, 50000000000L + 166666666666L * 85 / 100),
+      (3L, 50000000000L + 166666666666L * 85 / 100)))
+  }
+
+  test("pageRank zero iterations is the uniform prior; ranks bounded") {
+    val r0 = Graph.pageRank(edges, "s", "d", iterations = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0.values.toSet === Set(1000000000000L / 3))
+    val r5 = Graph.pageRank(edges, "s", "d", iterations = 5)
+      .agg(sum(col("rank"))).as[Long].head()
+    assert(r5 > 0L && r5 <= 1000000000000L) // mass only drains, never grows
+  }
+
+  test("pageRank dedups parallel edges and is layout-invariant") {
+    val dup = edges.union(edges).union(edges)
+    val a = Graph.pageRank(dup.repartition(13), "s", "d", iterations = 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(edges.coalesce(1), "s", "d", iterations = 3)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
+  test("pageRank empty graph returns empty") {
+    val e = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Graph.pageRank(e, "s", "d", iterations = 2).count() === 0L)
+  }
+}

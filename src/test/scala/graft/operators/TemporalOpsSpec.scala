@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- asofJoin ----
+
+  private def leftDf = Seq(
+    (1L, 100L, "a"), (1L, 205L, "b"), (1L, 999L, "c"),
+    (2L, 50L, "d"), (3L, 10L, "e")
+  ).toDF("k", "t", "tag")
+
+  private def rightDf = Seq(
+    (1L, 100L, 10L), (1L, 200L, 20L), (2L, 60L, 30L)
+  ).toDF("k", "rt", "feat")
+
+  test("asofJoin attaches latest at-or-before per key") {
+    val out = TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .select("k", "t", "tag", "asof_ts", "feat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, 100L, "a", Some(100L), Some(10L)), // equal ts IS visible
+      (1L, 205L, "b", Some(200L), Some(20L)),
+      (1L, 999L, "c", Some(200L), Some(20L)),
+      (2L, 50L, "d", None, None),             // right row is in the future
+      (3L, 10L, "e", None, None)))            // key absent on right
+  }
+
+  test("asofJoin tolerance masks stale matches") {
+    val out = TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(100L))
+      .orderBy("k", "t").select("t", "asof_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    // t=999 matched rt=200 but 799 > 100 → masked
+    assert(out.find(_._1 == 999L).get._2 === None)
+    assert(out.find(_._1 == 205L).get._2 === Some(200L))
+  }
+
+  test("asofJoin rejects colliding payload names") {
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(leftDf, rightDf.withColumnRenamed("feat", "tag"),
+        Seq("k"), "t", "rt")
+    }
+  }
+
+  test("asofJoin result is partition-layout invariant") {
+    val a = TemporalOps.asofJoin(leftDf.repartition(7), rightDf.repartition(3),
+      Seq("k"), "t", "rt").orderBy("k", "t").collect()
+    val b = TemporalOps.asofJoin(leftDf.coalesce(1), rightDf.coalesce(1),
+      Seq("k"), "t", "rt").orderBy("k", "t").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  // ---- range joins ----
+
+  test("pointInIntervalJoin matches half-open [lo, hi)") {
+    val pts = Seq((1L, "p1"), (10L, "p2"), (99L, "p3"), (100L, "p4"))
+      .toDF("pt", "pid")
+    val ivs = Seq((0L, 100L, "A"), (10L, 11L, "B"), (50L, 50L, "empty"),
+      (60L, 40L, "inverted")).toDF("lo", "hi", "iv")
+    val got = TemporalOps.pointInIntervalJoin(pts, "pt", ivs, "lo", "hi", 16L)
+      .select("pid", "iv").as[(String, String)].collect().toSet
+    assert(got === Set(("p1", "A"), ("p2", "A"), ("p2", "B"), ("p3", "A")))
+    // p4 at pt=100 excluded: hi is exclusive; empty/inverted match nothing
+  }
+
+  test("intervalOverlapJoin emits each overlapping pair exactly once") {
+    // spans crossing MANY shared buckets must still emit once
+    val a = Seq((0L, 1000L, "a1"), (500L, 600L, "a2"), (2000L, 2001L, "a3"))
+      .toDF("alo", "ahi", "aid")
+    val b = Seq((900L, 1500L, "b1"), (0L, 10000L, "b2"), (1000L, 1100L, "b3"))
+      .toDF("blo", "bhi", "bid")
+    val got = TemporalOps.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi", 64L)
+      .groupBy("aid", "bid").count().as[(String, String, Long)].collect()
+    assert(got.forall(_._3 == 1L), s"duplicate pair emissions: ${got.mkString(",")}")
+    assert(got.map(r => (r._1, r._2)).toSet === Set(
+      ("a1", "b1"), ("a1", "b2"), ("a2", "b2"), ("a3", "b2")))
+    // a1 [0,1000) does NOT overlap b3 [1000,1100): half-open adjacency
+  }
+
+  test("range join candidate generation stays an equi-join (no nested-loop)") {
+    val a = Seq((0L, 100L, "x")).toDF("alo", "ahi", "aid")
+    val b = Seq((50L, 150L, "y")).toDF("blo", "bhi", "bid")
+    val plan = TemporalOps.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join compiled to a product:\n$plan")
+  }
+
+  // ---- rollingStats ----
+
+  test("rollingStats computes trailing-window aggregates") {
+    val df = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 5L),
+      (2L, 1L, 7L)).toDF("k", "ord", "v")
+    val out = TemporalOps.rollingStats(df, Seq("k"), Seq("ord"), "v", window = 3)
+      .orderBy("k", "ord")
+      .select("k", "ord", "roll_n", "roll_sum", "roll_min", "roll_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 10L, 10L, 10L),
+      (1L, 2L, 2L, 30L, 10L, 20L),
+      (1L, 3L, 3L, 60L, 10L, 30L),
+      (1L, 4L, 3L, 55L, 5L, 30L),
+      (2L, 1L, 1L, 7L, 7L, 7L)))
+  }
+}
