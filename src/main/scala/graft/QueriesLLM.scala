@@ -815,6 +815,23 @@ object QueriesLLM {
           col("height").as("channels"), col("frames"))
         .orderBy("id")
     },
+    // ---- multimodal: MPEG-1 Layer III frame walk (ID3v2 skip + per-frame
+    // length hops; rate/channels from the first header, frames counted) ----
+    "q127_mp3_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.mp3Blobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("frames"))
+        .orderBy("id")
+    },
+    // ---- multimodal: BMP BITMAPINFOHEADER parse (le32 dims, negative
+    // height = top-down rows → magnitude) ----
+    "q128_bmp_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.bmpBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width"), col("height"), col("frames"))
+        .orderBy("id")
+    },
     // ---- multimodal: frame sampling over decoded video (every 4th).
     // AVI docs (doc_id%4==3) carry real dwTotalFrames; stills decode to 1. ----
     "q60_frame_sample" -> { (s, dir) =>
@@ -2834,6 +2851,22 @@ object QueriesLLM {
            CAST(8000 + (n_chars % 8) * 1000 AS INT) AS sample_rate,
            CAST(1 + doc_id % 2 AS INT) AS channels,
            CAST(1 + doc_id % 480 AS INT) AS frames
+         FROM documents ORDER BY id""",
+    // q127: the oracle recomputes the fixture arithmetic (srIdx→rate
+    // table, parity→mode, frame count); the parser recovered them from
+    // real MPEG header bytes + frame-length hops.
+    "q127_mp3_decode" ->
+      """SELECT doc_id AS id, 'mp3' AS format,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 32000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN n_chars % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+           CAST(1 + doc_id % 24 AS INT) AS frames
+         FROM documents ORDER BY id""",
+    "q128_bmp_decode" ->
+      """SELECT doc_id AS id, 'bmp' AS format,
+           CAST(1 + n_chars % 2000 AS INT) AS width,
+           CAST(1 + (doc_id * 11) % 1200 AS INT) AS height,
+           CAST(1 AS INT) AS frames
          FROM documents ORDER BY id""",
     // q60: frame counts come from the AVI avih dwTotalFrames field the
     // fixture wrote (doc_id%4==3); still images decode to 1 frame.

@@ -153,6 +153,74 @@ object Multimodal {
     }
   }
 
+  /** BMP (Windows bitmap): 'BM' magic + 14-byte file header, then either
+    * BITMAPINFOHEADER (biSize=40+, le32 dims at 18/22 — height NEGATIVE
+    * for top-down rows, magnitude reported) or the ancient
+    * BITMAPCOREHEADER (biSize=12, le16 dims at 18/20). */
+  private def parseBmp(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    if (b.length < 22) return unknown(id, cs)
+    val biSize = le32(b, 14)
+    if (biSize == 12)
+      DecodedMedia(id, "bmp", le16(b, 18), le16(b, 20), 1, cs)
+    else if (biSize >= 40 && b.length >= 26)
+      DecodedMedia(id, "bmp", math.abs(le32(b, 18)), math.abs(le32(b, 22)), 1, cs)
+    else unknown(id, cs)
+  }
+
+  // MPEG-1 Layer III (ISO 11172-3, public): bitrate table (kbps, index
+  // 0/15 invalid) and sample-rate table for version 1.
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000, 0)
+
+  /** ID3v2 prefix length ("ID3" + ver + flags + 4-byte SYNCSAFE size —
+    * 7 bits per byte, ID3v2 spec §3.1), or 0 if absent. */
+  private def id3v2Size(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+    else 0
+
+  private def isMp3Sync(b: Array[Byte], pos: Int): Boolean =
+    pos + 4 <= b.length && u8(b, pos) == 0xff && (u8(b, pos + 1) & 0xfe) == 0xfa
+  // 0xfa mask: sync(3)=111, version=11 (MPEG1), layer=01 (III); CRC bit free.
+  // JPEG's SOI 0xffd8 fails the mask (0xd8 & 0xfe = 0xd8), so the sniffs
+  // cannot collide.
+
+  /** MP3 frame walk: skip ID3v2, then hop frame to frame by the computed
+    * frame length (144·bitrate/sampleRate + padding for Layer III v1) —
+    * counting frames and reading rate/channel mode from the first header.
+    * Real per-frame arithmetic, no decoder: the walk only succeeds if
+    * every hop lands on a sync word, so a wrong table or length formula
+    * degrades to `unknown` instead of returning plausible numbers.
+    * DecodedMedia mapping (as WAV): width = sample rate, height =
+    * channels, frames = MPEG frames. */
+  private def parseMp3(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = id3v2Size(b)
+    var frames = 0
+    var rate = 0
+    var channels = 0
+    var ok = true
+    while (ok && pos + 4 <= b.length) {
+      if (!isMp3Sync(b, pos)) ok = false
+      else {
+        val brIdx = (u8(b, pos + 2) >> 4) & 0xf
+        val srIdx = (u8(b, pos + 2) >> 2) & 0x3
+        val padding = (u8(b, pos + 2) >> 1) & 0x1
+        val mode = (u8(b, pos + 3) >> 6) & 0x3
+        val br = Mp3BitrateV1L3(brIdx) * 1000
+        val sr = Mp3SampleRateV1(srIdx)
+        if (br == 0 || sr == 0) ok = false
+        else {
+          if (frames == 0) { rate = sr; channels = if (mode == 3) 1 else 2 }
+          frames += 1
+          pos += 144 * br / sr + padding
+        }
+      }
+    }
+    if (frames == 0) unknown(id, cs)
+    else DecodedMedia(id, "mp3", rate, channels, frames, cs)
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -173,6 +241,10 @@ object Multimodal {
       parseAvi(id, bytes, cs)
     else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE")
       parseWav(id, bytes, cs)
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      parseBmp(id, bytes, cs)
+    else if (id3v2Size(bytes) > 0 || isMp3Sync(bytes, 0))
+      parseMp3(id, bytes, cs)
     else unknown(id, cs)
   }
 
@@ -266,6 +338,70 @@ object Multimodal {
     val data = ascii("data") ++ le32b(dataSize) ++ Array.fill(dataSize)(0.toByte)
     ascii("RIFF") ++ le32b(4 + fmt.length + data.length) ++ ascii("WAVE") ++
       fmt ++ data
+  }
+
+  /** BITMAPINFOHEADER BMP; negative `h` encodes a top-down bitmap (the
+    * parser reports the magnitude). Header-only — no pixel array, like
+    * the other stills. */
+  def synthBmp(w: Int, h: Int): Array[Byte] =
+    ascii("BM") ++ le32b(54) ++ le32b(0) ++ le32b(54) ++ // file header
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+      Array.fill(24)(0.toByte)
+
+  /** MPEG-1 Layer III stream: optional ID3v2 tag (syncsafe-sized zero
+    * padding), then `frames` frames at 128 kbps — frame length
+    * 144·128000/rate (417/384/576 bytes for 44100/48000/32000), header
+    * bytes real, payload zeros. The walk in [[parseMp3]] must hop every
+    * one of them to count right. */
+  def synthMp3(srIdx: Int, stereo: Boolean, frames: Int, id3Pad: Int): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2 && frames > 0 && id3Pad >= 0)
+    val sr = Mp3SampleRateV1(srIdx)
+    val flen = 144 * 128000 / sr
+    val hdr = Array(0xff.toByte, 0xfb.toByte,
+      ((9 << 4) | (srIdx << 2)).toByte, // bitrate idx 9 = 128k, no padding
+      (if (stereo) 0x00 else 0xc0).toByte) // mode 0 = stereo, 3 = mono
+    val id3 =
+      if (id3Pad == 0) Array.empty[Byte]
+      else ascii("ID3") ++ Array[Byte](4, 0, 0) ++
+        Array(((id3Pad >> 21) & 0x7f).toByte, ((id3Pad >> 14) & 0x7f).toByte,
+          ((id3Pad >> 7) & 0x7f).toByte, (id3Pad & 0x7f).toByte) ++
+        Array.fill(id3Pad)(0.toByte)
+    id3 ++ Array.fill(frames)(hdr ++ Array.fill(flen - 4)(0.toByte)).flatten
+  }
+
+  /** MP3 fixture, recomputable from (doc_id, n_chars):
+    *   srIdx = doc_id % 3 → rate ∈ {44100, 48000, 32000},
+    *   stereo ⇔ n_chars even, frames = 1 + doc_id % 24,
+    *   ID3v2 pad = (doc_id · 13) % 100. */
+  def mp3Fixture(docId: Long, nChars: Long): Array[Byte] =
+    synthMp3(srIdx = (docId % 3).toInt, stereo = nChars % 2 == 0,
+      frames = (1 + docId % 24).toInt, id3Pad = ((docId * 13) % 100).toInt)
+
+  /** [[fixtureBlobs]] for the MP3 gate. */
+  def mp3Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, mp3Fixture(id, n)) }
+      .toDF(idCol, "blob")
+  }
+
+  /** BMP fixture: w = 1 + n_chars % 2000; h = ±(1 + (doc_id·11) % 1200),
+    * negative (top-down) for odd doc_id — the parser must report |h|. */
+  def bmpFixture(docId: Long, nChars: Long): Array[Byte] = {
+    val h = (1 + (docId * 11) % 1200).toInt
+    synthBmp((1 + nChars % 2000).toInt, if (docId % 2 == 1) -h else h)
+  }
+
+  /** [[fixtureBlobs]] for the BMP gate. */
+  def bmpBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, bmpFixture(id, n)) }
+      .toDF(idCol, "blob")
   }
 
   /** Audio fixture: 16-bit PCM, rate/channels/frames derived from

@@ -61,4 +61,40 @@ object MediaPropertySpec extends Properties("Multimodal.parseMedia") {
       val m = Multimodal.parseMedia(5L, Multimodal.synthWav(rate, ch, 16, fr))
       m.format == "wav" && m.width == rate && m.height == ch && m.frames == fr
     }
+
+  property("synth MP3 round-trips rate/channels/frame count") =
+    forAll(Gen.chooseNum(0, 2), Gen.oneOf(true, false),
+        Gen.chooseNum(1, 64), Gen.chooseNum(0, 127)) { (sr, stereo, fr, pad) =>
+      val m = Multimodal.parseMedia(6L, Multimodal.synthMp3(sr, stereo, fr, pad))
+      m.format == "mp3" &&
+        m.width == Array(44100, 48000, 32000)(sr) &&
+        m.height == (if (stereo) 2 else 1) && m.frames == fr
+    }
+
+  property("synth BMP round-trips dims; negative height reports magnitude") =
+    forAll(Gen.chooseNum(1, 30000), Gen.chooseNum(1, 30000),
+        Gen.oneOf(true, false)) { (w, h, topDown) =>
+      val m = Multimodal.parseMedia(7L,
+        Multimodal.synthBmp(w, if (topDown) -h else h))
+      m.format == "bmp" && m.width == w && m.height == h && m.frames == 1
+    }
+
+  // truncated/corrupt MP3 and BMP variants must degrade, not crash or
+  // miscount — the walk only counts hops that land on real sync words
+  property("total over truncated MP3/BMP and mid-stream corruption") =
+    forAll(Gen.chooseNum(0, 600), Gen.chooseNum(1, 8)) { (cut, fr) =>
+      val mp3 = Multimodal.synthMp3(0, stereo = true, fr, 11)
+      val bmp = Multimodal.synthBmp(100, 100)
+      val cutMp3 = mp3.take(cut min mp3.length)
+      // id3(10+11) + one 417-byte frame → 2nd frame's sync sits at 438;
+      // zeroing it must truncate the count at 1, not crash or overcount
+      val broken = mp3.clone()
+      val secondSync = 21 + 417
+      if (broken.length > secondSync) broken(secondSync) = 0
+      parses(cutMp3) && parses(bmp.take(cut min bmp.length)) && {
+        val m = Multimodal.parseMedia(8L, broken)
+        if (fr >= 2) m.format == "mp3" && m.frames == 1
+        else m.format == "mp3" && m.frames == fr
+      }
+    }
 }

@@ -79,6 +79,41 @@ class MultimodalSpec extends SparkSpec {
     assert(t.format == "unknown" && t.frames == 0)
   }
 
+  test("hand-built MP3: padded frame + ID3v2 skip, at ISO 11172-3 offsets") {
+    // one Layer III frame, 128 kbps @ 44100, PADDING bit set (synthMp3
+    // never sets it): frame length = 144·128000/44100 + 1 = 418
+    val hdr = Array(0xff, 0xfb, 0x92, 0x00).map(_.toByte) // br=9 sr=0 pad=1, stereo
+    val frame = hdr ++ Array.fill(414)(0.toByte)
+    val m = Multimodal.parseMedia(1L, frame ++ frame)
+    assert(m.format == "mp3" && m.width == 44100 && m.height == 2 && m.frames == 2)
+    // ID3v2 with syncsafe size 0x81 (= 0x01 0x01 across 7-bit bytes)
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 1, 1) ++
+      Array.fill(129)(0.toByte)
+    val t = Multimodal.parseMedia(2L, id3 ++ frame)
+    assert(t.format == "mp3" && t.frames == 1)
+    // free/bad bitrate index (0) degrades to unknown
+    val bad = Array(0xff, 0xfb, 0x02, 0x00).map(_.toByte) ++ Array.fill(100)(0.toByte)
+    assert(Multimodal.parseMedia(3L, bad).format == "unknown")
+  }
+
+  test("hand-built BMP: INFOHEADER and CORE header dims at spec offsets") {
+    def le32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val fileHdr = "BM".getBytes("US-ASCII") ++ le32b(54) ++ le32b(0) ++ le32b(54)
+    val info = fileHdr ++ le32b(40) ++ le32b(640) ++ le32b(-480) ++
+      le16b(1) ++ le16b(24) ++ Array.fill(24)(0.toByte)
+    val m = Multimodal.parseMedia(4L, info)
+    assert(m.format == "bmp" && m.width == 640 && m.height == 480) // |top-down|
+    // ancient BITMAPCOREHEADER: biSize=12, le16 dims at 18/20
+    val core = fileHdr ++ le32b(12) ++ le16b(320) ++ le16b(200) ++
+      le16b(1) ++ le16b(8)
+    val c = Multimodal.parseMedia(5L, core)
+    assert(c.format == "bmp" && c.width == 320 && c.height == 200)
+    // 'BM' magic but truncated before the dims → unknown
+    assert(Multimodal.parseMedia(6L, info.take(20)).format == "unknown")
+  }
+
   test("corrupt RIFF chunk sizes near 2^31 degrade to unknown, never crash") {
     // chunk size 0x7FFFFFF0 would overflow Int bounds math and wrap pos
     // negative — the walk must treat it as out-of-bounds and give up
