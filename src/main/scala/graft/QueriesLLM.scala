@@ -330,6 +330,19 @@ object QueriesLLM {
       Graph.pageRank(edges, "src", "dst", iterations = 3)
         .orderBy("node")
     },
+    // ---- BM25 retrieval: query-token probe over the corpus stats,
+    // fixed-point scoring, bounded top-20 ----
+    "q129_bm25_search" -> { (s, dir) =>
+      TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
+          queryToks = Seq("hash", "join", "merge"), topN = 20)
+    },
+    // ---- graph-based ANN: NN-Descent k-NN graph (Dong et al. 2011),
+    // deterministic bucket + md5-ring init, 2 neighbor-of-neighbor rounds ----
+    "q130_nn_descent" -> { (s, dir) =>
+      Similarity.nnDescent(load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 4, iterations = 2, initBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -2008,6 +2021,100 @@ object QueriesLLM {
              AS tf_norm
          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
          ORDER BY doc_id, tok""",
+    // BM25 search: q121's stats CTEs + the raw-idf-ratio contribution in
+    // the exact Spark op order, LONG fixed-point before the per-doc sum.
+    "q129_bm25_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         dfq AS (
+           SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY 1),
+         n AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks
+           FROM t),
+         hits AS (
+           SELECT tf.doc_id,
+             CAST(floor(
+               (CAST(tf.tf AS DOUBLE) * 2.2 /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+                   0.75 * CAST(dl.dl AS DOUBLE) /
+                     (CAST(n.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+               * ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+                  (CAST(dfq.df AS DOUBLE) + 0.5))
+               * 1e9) AS BIGINT) AS contrib
+           FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
+           WHERE tf.tok IN ('hash', 'join', 'merge'))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_toks,
+           CAST(sum(contrib) AS BIGINT) AS score_scaled
+         FROM hits GROUP BY 1
+         ORDER BY score_scaled DESC, doc_id LIMIT 20""",
+    // NN-Descent: deterministic 4-bit sign-bucket init, then two rounds
+    // of (forward ∪ reverse) one-hop candidate expansion, exact cosine,
+    // top-4 per node — the same set-valued fixpoint the Spark loop runs.
+    "q130_nn_descent" -> {
+      val rankRound = (pairs: String, out: String) =>
+        s"""s_$out AS (
+             SELECT p.q, p.nb,
+               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+             FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+           $out AS (
+             SELECT q, nb, cos, rank FROM (
+               SELECT q, nb, cos,
+                 CAST(row_number() OVER (PARTITION BY q
+                   ORDER BY cos DESC, nb) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= 4)"""
+      val expand = (prev: String, out: String) =>
+        s"""g_$out AS (
+             SELECT q AS a, nb AS b FROM $prev
+             UNION SELECT nb, q FROM $prev),
+           h_$out AS (
+             SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
+           c_$out AS (
+             SELECT DISTINCT a AS q, b AS nb FROM (
+               SELECT * FROM g_$out UNION SELECT * FROM h_$out)
+             WHERE a <> b)"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         ring AS (
+           SELECT id, COALESCE(
+               lead(id) OVER (ORDER BY mk, id),
+               first_value(id) OVER (ORDER BY mk, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS succ
+           FROM mkr),
+         p0 AS (
+           SELECT x.id AS q, y.id AS nb
+           FROM bk x JOIN bk y ON x.b = y.b AND x.id <> y.id
+           UNION SELECT id, succ FROM ring WHERE id <> succ
+           UNION SELECT succ, id FROM ring WHERE id <> succ),
+         ${rankRound("p0", "r0")},
+         ${expand("r0", "i1")},
+         ${rankRound("c_i1", "r1")},
+         ${expand("r1", "i2")},
+         ${rankRound("c_i2", "r2")}
+         SELECT q AS query_id, nb AS neighbor_id, rank, cos
+         FROM r2 ORDER BY query_id, rank"""
+    },
     // Chunking: token pos p → chunk ids [max(0,⌈(p−64+1)/48⌉) .. ⌊p/48⌋];
     // the numerator is clamped non-negative BEFORE dividing so floor/trunc
     // agree in both engines.

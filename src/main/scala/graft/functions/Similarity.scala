@@ -168,6 +168,119 @@ object Similarity {
     bucketedNeighborsBy(vectors, idCol, vecCol,
       hyperplaneBucket(col(vecCol), nBits), minCos, maxBucket)
 
+  /** Graph-based ANN construction: NN-Descent (Dong et al., WWW 2011,
+    * public). Builds a k-NN cosine graph by iterative neighbor-of-neighbor
+    * refinement — the missing ANN family next to the partition (IVF),
+    * hash (LSH), and compression (PQ/SQ/BQ) tiers; the principle is "a
+    * neighbor of a neighbor is likely a neighbor".
+    *
+    *  - init: top-k among (a) each node's `initBits` hyperplane bucket
+    *    (the same portable sign-bucket arithmetic as [[hyperplaneBucket]])
+    *    and (b) its neighbors on a deterministic md5-ordered ring
+    *    ([[md5Ring]]) — the ring is the connectivity the classic
+    *    algorithm gets from random init: bucket-only candidates leave
+    *    cross-bucket components unreachable forever.
+    *  - iterate: B(v) = forward ∪ reverse neighbors; candidate set =
+    *    B(v) ∪ { w : u ∈ B(v), w ∈ B(u) } (one-hop expansion), dedup,
+    *    exact cosine on the survivors, keep top-k per node.
+    *
+    * Every stage is an equi-join on node ids: per-node candidates are
+    * bounded by 2k·(2k+1), so the per-iteration join and shuffle volume is
+    * Θ(n·k²) — never N². Each iteration localCheckpoints so the plan
+    * stays flat. Fully deterministic (candidate sets are set-valued, cos
+    * is an in-order fold, ranking ties break on neighbor id), hence
+    * oracle-reproducible — the classic algorithm's random sampling is
+    * replaced by the deterministic bucket + md5-ring init, the same shape
+    * seeded NN-Descent implementations use.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) like [[bruteForceTopK]].
+    */
+  /** Successor ring in (md5(id), id) order — a deterministic stand-in for
+    * a random Hamiltonian cycle: every node gets exactly one successor,
+    * the cycle visits all ids, and the order is engine-reproducible (the
+    * md5-string ladder every oracle-shared operator here uses).
+    *
+    * Computed WITHOUT a global sort: ids split into 16 md5-first-hex
+    * buckets (hex lex order == bucket numeric order, so concatenating
+    * buckets in bucket order IS the global (md5, id) order), `lead` runs
+    * per-bucket, and the ≤16 bucket head/tail rows are stitched
+    * tail(b) → head(next non-empty bucket) with a window over that
+    * 16-row frame — bounded driver-free work at any corpus size.
+    * Returns (id, succ); a single-id input yields succ = id (callers
+    * filter self-links). */
+  private def md5Ring(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = ids.select(col("id"), md5(col("id").cast("string")).as("mk"))
+      .withColumn("rb", conv(substring(col("mk"), 1, 1), 16, 10).cast("int"))
+    val w = Window.partitionBy("rb").orderBy("mk", "id")
+    val within = keyed.withColumn("succ", lead(col("id"), 1).over(w))
+    val heads = keyed.groupBy("rb")
+      .agg(min_by(col("id"), struct(col("mk"), col("id"))).as("head"))
+    // ≤16 rows: single-partition window is bounded, not a scale hazard
+    val hw = Window.orderBy("rb")
+    val hall = Window.orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nextHeads = heads
+      .withColumn("next_head",
+        coalesce(lead(col("head"), 1).over(hw), first(col("head")).over(hall)))
+      .select(col("rb"), col("next_head"))
+    val tails = within.filter(col("succ").isNull).select("rb", "id")
+    within.filter(col("succ").isNotNull).select("id", "succ")
+      .unionByName(tails.join(nextHeads, "rb")
+        .select(col("id"), col("next_head").as("succ")))
+  }
+
+  def nnDescent(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int, initBits: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    requireIntegralId(vectors, idCol, "nnDescent")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint()
+
+    def scoreAndRank(pairs: DataFrame): DataFrame = {
+      val scored = pairs
+        .join(v.select(col("id").as("query_id"), col("vec").as("qv"), col("nrm").as("qn")), "query_id")
+        .join(v.select(col("id").as("neighbor_id"), col("vec").as("cv"), col("nrm").as("cn")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      topKByQuery(scored, k)
+    }
+
+    val bucketed = v.select(col("id"), hyperplaneBucket(col("vec"), initBits).as("b"))
+    val small = graft.operators.SkewOps.keepSmallKeys(bucketed, Seq("b"), maxBucket)
+    val bucketPairs = small.select(col("b"), col("id").as("query_id"))
+      .join(small.select(col("b"), col("id").as("neighbor_id")), "b")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    // Bucket-only init leaves the graph DISCONNECTED across buckets, and
+    // descent can never bridge components (candidates only come from
+    // existing links) — the role the classic algorithm's random init
+    // plays is connectivity, restored here by a deterministic md5-ordered
+    // ring (both directions) over all ids.
+    val ring = md5Ring(v.select(col("id")))
+    val initPairs = bucketPairs
+      .union(ring.select(col("id").as("query_id"), col("succ").as("neighbor_id")))
+      .union(ring.select(col("succ").as("query_id"), col("id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+
+    var nbr = scoreAndRank(initPairs).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val fwd = nbr.select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      val gen = fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))) // fwd ∪ rev
+      val hop = gen.join(gen.select(col("a").as("b"), col("b").as("c")), "b")
+        .select(col("a"), col("c").as("b"))
+      val cands = gen.union(hop)
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .select(col("a").as("query_id"), col("b").as("neighbor_id"))
+      nbr = scoreAndRank(cands).localCheckpoint()
+    }
+    nbr
+  }
+
   /** IVF-style centroid selection: the k corpus vectors with the smallest
     * md5(id) — a deterministic, engine-reproducible pseudo-random sample
     * (real IVF would k-means these; the assignment/bucketing machinery is

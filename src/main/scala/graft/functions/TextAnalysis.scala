@@ -659,6 +659,37 @@ object TextAnalysis {
           (col("df").cast("double") + lit(0.5)) + lit(1.0))).as("bm25"))
   }
 
+  /** BM25 retrieval: score every document against a bag of query tokens
+    * and keep the top `topN` by score. Scoring uses [[bm25]]'s gate-exact
+    * `tf_norm` and the RAW Robertson idf ratio (n−df+0.5)/(df+0.5) —
+    * monotone in the usual log idf, so rankings agree — scaled to LONG
+    * fixed-point (`floor(·1e9)`) before the per-doc sum, which makes the
+    * aggregate order-independent and engine-exact (a double sum over query
+    * terms would hash-diverge on summation order; the ln variant is
+    * spec-tested via the `bm25` column).
+    *
+    * Scale: corpus-wide df/dl stats are the same two aggregates every
+    * BM25 deployment precomputes (materialize them once and reuse across
+    * queries — they do NOT depend on the query); the query-token filter is
+    * a broadcast-size `isin` applied before the score join, so the scored
+    * frame is |docs containing a query token|, not |corpus × vocab|. */
+  def bm25Search(
+      df: DataFrame, idCol: String, textCol: String,
+      queryToks: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25Search: empty query")
+    val stats = bm25(df, idCol, textCol, k1, b)
+    stats.filter(col("tok").isin(queryToks: _*))
+      .withColumn("contrib",
+        floor(col("tf_norm") *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * lit(1e9)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_toks"), sum(col("contrib")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot

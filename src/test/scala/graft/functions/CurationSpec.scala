@@ -167,6 +167,31 @@ class CurationSpec extends SparkSpec {
     assert(out((1L, "apple"))._3 > 0.0)
   }
 
+  test("bm25Search: hit count drives rank, rare query term outranks, topN bound") {
+    val df = Seq(
+      (1L, "hash join merge sort"),          // all 3 query terms
+      (2L, "hash hash hash filter scan"),    // saturating tf on one term
+      (3L, "sort filter scan group window"), // no hits
+      (4L, "merge sort"),                    // 1 hit
+      (5L, "join merge scan")                // 2 hits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(df, "doc_id", "text",
+        Seq("hash", "join", "merge"), topN = 3)
+      .select("doc_id", "n_hit_toks", "score_scaled")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 3)                    // topN bound, doc 3 excluded
+    assert(out.map(_._1).toSet.contains(1L))    // 3-term doc survives the cut
+    assert(!out.map(_._1).contains(3L))
+    // doc 1 (3 distinct hits) outscores doc 4 (1 hit of a common term)
+    val scores = TextAnalysis.bm25Search(df, "doc_id", "text",
+        Seq("hash", "join", "merge"), topN = 5)
+      .select("doc_id", "score_scaled").as[(Long, Long)].collect().toMap
+    assert(scores(1L) > scores(4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Search(df, "doc_id", "text", Seq.empty, 3)
+    }
+  }
+
   test("CMS: never underestimates, exact without collisions, bounded state, broadcast estimate") {
     val keys = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"key$i"))
     val df = keys.toDF("k")

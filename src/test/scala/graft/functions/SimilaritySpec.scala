@@ -38,6 +38,44 @@ class SimilaritySpec extends SparkSpec {
     assert(again == bucketed)
   }
 
+  test("nnDescent: descent rounds lift recall over bucket init; deterministic") {
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val init = Similarity.nnDescent(clustered, "vec_id", "embedding",
+      k = 3, iterations = 0, initBits = 4)
+    val refined = Similarity.nnDescent(clustered, "vec_id", "embedding",
+      k = 3, iterations = 2, initBits = 4)
+    val (r0, r2) = (recallOf(init), recallOf(refined))
+    assert(r2 >= r0, s"descent lost recall: $r0 -> $r2")
+    assert(r2 >= 0.9, s"2-round NN-Descent recall too low: $r2")
+    // deterministic under any partition layout
+    val again = Similarity.nnDescent(clustered.repartition(13), "vec_id", "embedding",
+      k = 3, iterations = 2, initBits = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(again === refined.orderBy("query_id", "rank").collect().toSeq)
+  }
+
+  test("nnDescent: hop expansion reconnects nodes split across init buckets") {
+    // a chain of near-identical vectors whose sign-bits differ on dim 0/1:
+    // bucket init splits {0,1} from {2,3}, but 1-2 are mutual neighbors
+    // through the shared cluster, so a round of expansion finds cross-pairs
+    val base = Array.fill(dim)(0.5f)
+    def v(eps0: Float) = { val a = base.clone(); a(0) = a(1) + eps0; a.toSeq }
+    val chain = Seq(
+      (0L, v(0.10f)), (1L, v(0.05f)), (2L, v(-0.05f)), (3L, v(-0.10f))
+    ).toDF("vec_id", "embedding")
+    val r1 = Similarity.nnDescent(chain, "vec_id", "embedding",
+      k = 2, iterations = 1, initBits = 1)
+    // after one round every node must know a neighbor from the OTHER bucket
+    val pairs = r1.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pairs.exists { case (a, b) => (a <= 1) != (b <= 1) },
+      s"no cross-bucket pair after a descent round: $pairs")
+  }
+
   test("ivfTopK: full probe equals brute force; partial probe keeps recall") {
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     val queries = clustered.filter(col("vec_id") < 10)
