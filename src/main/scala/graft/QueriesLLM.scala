@@ -343,6 +343,29 @@ object QueriesLLM {
           k = 4, iterations = 2, initBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- max-passage retrieval: chunk the corpus, BM25-score passages,
+    // keep each doc's best passage from the top-50 pool (composition of
+    // chunkTokens + bm25Search, the standard long-doc retrieval shape) ----
+    "q131_passage_search" -> { (s, dir) =>
+      val chunks = TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .withColumn("passage_id", col("doc_id") * 100000 + col("chunk_id"))
+      TextAnalysis.bm25Search(chunks, "passage_id", "chunk_text",
+          queryToks = Seq("hash", "join", "merge"), topN = 50)
+        .withColumn("doc_id", expr("passage_id div 100000"))
+        .groupBy("doc_id")
+        .agg(max(col("score_scaled")).as("best_passage_score"),
+          count(lit(1)).as("n_passages_in_top"))
+        .orderBy(col("best_passage_score").desc, col("doc_id"))
+    },
+    // ---- exact triangle counts on the derived interaction graph
+    // (degree-ordered node-iterator — wedge work O(m^1.5), not Σdeg²) ----
+    "q132_triangles" -> { (s, dir) =>
+      val e = load(s, dir, "events")
+      val edges = e.select(col("user_id").as("src"),
+        pmod(col("event_id"), lit(97)).cast("long").as("dst"))
+      Graph.triangleCounts(edges, "src", "dst").orderBy("node")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -2058,6 +2081,91 @@ object QueriesLLM {
            CAST(sum(contrib) AS BIGINT) AS score_scaled
          FROM hits GROUP BY 1
          ORDER BY score_scaled DESC, doc_id LIMIT 20""",
+    // Max-passage retrieval: q125's chunk CTE → re-tokenized passages →
+    // q129's BM25 arithmetic keyed by passage_id → per-doc best of top-50.
+    "q131_passage_search" ->
+      s"""WITH $ToksCte,
+         ids AS (
+           SELECT doc_id, pos, tok,
+             unnest(generate_series(
+               CAST(greatest(0, pos - 64 + 48) // 48 AS BIGINT),
+               CAST(pos // 48 AS BIGINT))) AS chunk_id
+           FROM toks),
+         chunks AS (
+           SELECT doc_id * 100000 + chunk_id AS passage_id,
+             string_agg(tok, ' ' ORDER BY pos) AS ctext
+           FROM ids GROUP BY doc_id, chunk_id),
+         t AS (
+           SELECT passage_id,
+             unnest(list_filter(string_split_regex(trim(ctext), '\\s+'),
+               x -> x <> '')) AS tok
+           FROM chunks),
+         tf AS (
+           SELECT passage_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dl AS (
+           SELECT passage_id, CAST(count(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         dfq AS (
+           SELECT tok, CAST(count(DISTINCT passage_id) AS BIGINT) AS df
+           FROM t GROUP BY 1),
+         n AS (
+           SELECT CAST(count(DISTINCT passage_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks
+           FROM t),
+         hits AS (
+           SELECT tf.passage_id,
+             CAST(floor(
+               (CAST(tf.tf AS DOUBLE) * 2.2 /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+                   0.75 * CAST(dl.dl AS DOUBLE) /
+                     (CAST(n.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+               * ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+                  (CAST(dfq.df AS DOUBLE) + 0.5))
+               * 1e9) AS BIGINT) AS contrib
+           FROM tf JOIN dl USING (passage_id) JOIN dfq USING (tok) CROSS JOIN n
+           WHERE tf.tok IN ('hash', 'join', 'merge')),
+         top AS (
+           SELECT passage_id, CAST(sum(contrib) AS BIGINT) AS score_scaled
+           FROM hits GROUP BY 1
+           ORDER BY score_scaled DESC, passage_id LIMIT 50)
+         SELECT passage_id // 100000 AS doc_id,
+           max(score_scaled) AS best_passage_score,
+           CAST(count(*) AS BIGINT) AS n_passages_in_top
+         FROM top GROUP BY 1
+         ORDER BY best_passage_score DESC, doc_id""",
+    // Triangles: same orientation rule (degree, id) and wedge-close joins
+    // in plain SQL — exact integer counts.
+    "q132_triangles" ->
+      """WITH raw AS (
+           SELECT CAST(user_id AS BIGINT) AS x,
+             CAST(event_id % 97 AS BIGINT) AS y
+           FROM events),
+         und AS (
+           SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+           FROM raw WHERE x <> y),
+         deg AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+             SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           GROUP BY 1),
+         oriented AS (
+           SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.a ELSE u.b END AS u,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                    THEN u.b ELSE u.a END AS v
+           FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+         wedges AS (
+           SELECT e1.u AS w, e1.v AS p, e2.v AS q
+           FROM oriented e1 JOIN oriented e2
+             ON e1.u = e2.u AND e1.v < e2.v),
+         tri AS (
+           SELECT w, p, q FROM wedges
+           JOIN und ON least(p, q) = a AND greatest(p, q) = b)
+         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+           SELECT w AS node FROM tri
+           UNION ALL SELECT p FROM tri
+           UNION ALL SELECT q FROM tri)
+         GROUP BY 1 ORDER BY 1""",
     // NN-Descent: deterministic 4-bit sign-bucket init, then two rounds
     // of (forward ∪ reverse) one-hop candidate expansion, exact cosine,
     // top-4 per node — the same set-valued fixpoint the Spark loop runs.

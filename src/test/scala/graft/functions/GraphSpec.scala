@@ -42,4 +42,30 @@ class GraphSpec extends SparkSpec {
     val e = Seq.empty[(Long, Long)].toDF("s", "d")
     assert(Graph.pageRank(e, "s", "d", iterations = 2).count() === 0L)
   }
+
+  test("triangleCounts: K4 gives 3 per node; stars and paths give none") {
+    // K4 has C(4,3)=4 triangles, each node in exactly 3
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(k4, "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    // star (hub 0): many wedges, zero closing edges
+    val star = (1L to 6L).map(i => (0L, i)).toDF("s", "d")
+    assert(Graph.triangleCounts(star, "s", "d").count() === 0L)
+    // path 1-2-3-4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.triangleCounts(path, "s", "d").count() === 0L)
+  }
+
+  test("triangleCounts: duplicates/reverse/self-loops collapse; layout-invariant") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L), (3L, 3L)).toDF("s", "d")
+    val a = Graph.triangleCounts(messy.repartition(7), "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    val b = Graph.triangleCounts(messy.coalesce(1), "s", "d")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+  }
 }
