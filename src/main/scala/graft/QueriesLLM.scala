@@ -366,6 +366,18 @@ object QueriesLLM {
         pmod(col("event_id"), lit(97)).cast("long").as("dst"))
       Graph.triangleCounts(edges, "src", "dst").orderBy("node")
     },
+    // ---- graph-ANN retrieval: greedy beam search over the NN-Descent
+    // graph (HNSW layer-0 walk) — md5-smallest entry points, 2 hops,
+    // beam 8, exact top-4 out ----
+    "q133_graph_search" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val g = Similarity.nnDescent(e, "vec_id", "embedding",
+        k = 4, iterations = 0, initBits = 4)
+      val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.graphSearch(qs, g, e, "vec_id", "embedding",
+          k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -2166,6 +2178,89 @@ object QueriesLLM {
            UNION ALL SELECT p FROM tri
            UNION ALL SELECT q FROM tri)
          GROUP BY 1 ORDER BY 1""",
+    // Graph search: q130's init CTEs build the same k=4 graph (r0), then
+    // entry seeding + two beam-8 hops + final top-4, every stage the
+    // exact (cos DESC, node) ranking the Spark TopKPairs aggregate uses.
+    "q133_graph_search" -> {
+      val beamRound = (cands: String, out: String, n: Int) =>
+        s"""s_$out AS (
+             SELECT c.qid, c.node,
+               list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
+             FROM $cands c
+             JOIN n nv ON c.node = nv.id
+             JOIN qsq qv ON c.qid = qv.qid
+             WHERE c.qid <> c.node),
+           $out AS (
+             SELECT qid, node, cos, rank FROM (
+               SELECT qid, node, cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $n)"""
+      val hop = (prev: String, out: String) =>
+        s"""c_$out AS (
+             SELECT f.qid, r.nb AS node FROM $prev f JOIN r0 r ON f.node = r.q
+             UNION SELECT qid, node FROM $prev)"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         ring AS (
+           SELECT id, COALESCE(
+               lead(id) OVER (ORDER BY mk, id),
+               first_value(id) OVER (ORDER BY mk, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS succ
+           FROM mkr),
+         p0 AS (
+           SELECT x.id AS q, y.id AS nb
+           FROM bk x JOIN bk y ON x.b = y.b AND x.id <> y.id
+           UNION SELECT id, succ FROM ring WHERE id <> succ
+           UNION SELECT succ, id FROM ring WHERE id <> succ),
+         s_r0 AS (
+           SELECT p.q, p.nb,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+           FROM p0 p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+         r0 AS (
+           SELECT q, nb FROM (
+             SELECT q, nb,
+               CAST(row_number() OVER (PARTITION BY q
+                 ORDER BY cos DESC, nb) AS INT) AS rank
+             FROM s_r0)
+           WHERE rank <= 4),
+         qsq AS (
+           SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n WHERE id % 50 = 0),
+         ent AS (
+           SELECT id FROM mkr ORDER BY mk, id LIMIT 4),
+         bent AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
+         c_f0 AS (
+           SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent e
+           UNION
+           SELECT qb.qid, bent.node FROM qb JOIN bent USING (b)),
+         ${beamRound("c_f0", "f0", 8)},
+         ${hop("f0", "f1")},
+         ${beamRound("c_f1", "f1", 8)},
+         ${hop("f1", "f2")},
+         ${beamRound("c_f2", "f2", 8)},
+         c_fin AS (SELECT qid, node FROM f2),
+         ${beamRound("c_fin", "fin", 4)}
+         SELECT qid AS query_id, node AS neighbor_id, rank, cos
+         FROM fin ORDER BY query_id, rank"""
+    },
     // NN-Descent: deterministic 4-bit sign-bucket init, then two rounds
     // of (forward ∪ reverse) one-hop candidate expansion, exact cosine,
     // top-4 per node — the same set-valued fixpoint the Spark loop runs.

@@ -281,6 +281,96 @@ object Similarity {
     nbr
   }
 
+  /** Graph-ANN retrieval: greedy beam search over a k-NN graph (the
+    * search half of graph ANN — HNSW's layer-0 walk, Malkov & Yashunin
+    * 2016, public; [[nnDescent]] is the build half). Queries seed from
+    * `entries` md5-smallest ids (the [[ivfCentroids]] convention) and —
+    * when `seedBits > 0` — additionally from up to `entries` md5-smallest
+    * nodes of the query's own `seedBits` hyperplane bucket (LSH-seeded
+    * graph search: greedy descent cannot escape a far-away basin, the
+    * role HNSW's upper layers play; a bucket-local entry starts the walk
+    * near the query, and the global entries keep empty buckets seeded).
+    * Then `hops` rounds of: expand the beam's graph neighbors, score
+    * exact cosine, keep the best `beam` per query. Returns the final top
+    * `k` per query as (query_id, neighbor_id, rank, cos), self-matches
+    * excluded.
+    *
+    * Scale: per hop the candidate set is ≤ beam·(graph degree+1) per
+    * query — every stage an equi-join on node id + the bounded TopKPairs
+    * aggregate, shuffle ∝ |queries|·beam·deg per hop, independent of
+    * corpus size (the property that makes graph search the
+    * lowest-latency ANN family). Previously-scored nodes are re-scored
+    * rather than tracked in a visited set: a visited structure would be
+    * another |queries|-keyed shuffle per hop, while re-scoring costs one
+    * dot product per duplicate candidate — the cheaper side at beam·deg
+    * scale. Deterministic throughout (set-valued candidates, in-order
+    * cosine fold, (cos desc, id) tie-break). */
+  def graphSearch(
+      queries: DataFrame, graph: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int, entries: Int,
+      seedBits: Int = 0): DataFrame = {
+    requireIntegralId(vectors, idCol, "graphSearch")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint()
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .localCheckpoint()
+    val edges = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val entryIds = v.select(col("id"), md5(col("id").cast("string")).as("mk"))
+      .orderBy("mk", "id").limit(entries).select("id")
+
+    def topBeam(cands: DataFrame, n: Int): DataFrame =
+      cands
+        .join(v.select(col("id").as("node"), col("vec"), col("nrm")), "node")
+        .join(q, "qid")
+        .filter(col("qid") =!= col("node"))
+        .select(col("qid"), col("node"),
+          (dot(col("qv"), col("vec")) / (col("qn") * col("nrm"))).as("cos"))
+        .groupBy("qid")
+        .agg(graft.expressions.TopKPairs.topk(
+          col("node").cast("long"), col("cos").cast("double"), n).as("tops"))
+        .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t._2").as("node"),
+          (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
+
+    val globalSeeds = q.select(col("qid"))
+      .crossJoin(entryIds.select(col("id").as("node")))
+    val seeds =
+      if (seedBits <= 0) globalSeeds
+      else {
+        import org.apache.spark.sql.expressions.Window
+        // per-bucket entry list: md5-smallest `entries` ids of each
+        // bucket — a bounded window per bucket, joined to queries on the
+        // query's own bucket
+        val bw = Window.partitionBy("b").orderBy("mk", "id")
+        val bucketEntries = v
+          .select(col("id"), hyperplaneBucket(col("vec"), seedBits).as("b"),
+            md5(col("id").cast("string")).as("mk"))
+          .withColumn("rn", row_number().over(bw))
+          .filter(col("rn") <= entries)
+          .select(col("b"), col("id").as("node"))
+        val qBuckets = q.select(col("qid"), hyperplaneBucket(col("qv"), seedBits).as("b"))
+        globalSeeds.union(qBuckets.join(bucketEntries, "b").select("qid", "node"))
+          .distinct()
+      }
+    var frontier = topBeam(seeds, beam)
+      .select("qid", "node").localCheckpoint()
+    for (_ <- 0 until hops) {
+      val expanded = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .union(frontier.select("qid", "node"))
+        .distinct()
+      frontier = topBeam(expanded, beam).select("qid", "node").localCheckpoint()
+    }
+    topBeam(frontier, k)
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
   /** IVF-style centroid selection: the k corpus vectors with the smallest
     * md5(id) — a deterministic, engine-reproducible pseudo-random sample
     * (real IVF would k-means these; the assignment/bucketing machinery is

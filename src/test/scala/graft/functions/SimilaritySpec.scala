@@ -76,6 +76,33 @@ class SimilaritySpec extends SparkSpec {
       s"no cross-bucket pair after a descent round: $pairs")
   }
 
+  test("graphSearch: hops lift recall toward brute force; deterministic") {
+    val g = Similarity.nnDescent(clustered, "vec_id", "embedding",
+      k = 4, iterations = 1, initBits = 3)
+    val exact = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(hops: Int, seedBits: Int): Double = {
+      val got = Similarity.graphSearch(clustered, g, clustered, "vec_id", "embedding",
+          k = 3, beam = 8, hops = hops, entries = 3, seedBits = seedBits)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val (r0, r3) = (recallAt(0, 3), recallAt(3, 3))
+    assert(r3 >= r0, s"beam hops lost recall: $r0 -> $r3")
+    assert(r3 >= 0.8, s"3-hop bucket-seeded graph search recall too low: $r3")
+    // bucket seeding is what rescues greedy search from far-away basins:
+    // global-entry-only search from 3 seeds cannot cover 5 clusters
+    assert(r3 > recallAt(3, 0),
+      "bucket seeding should beat global-entries-only on clustered data")
+    val a = Similarity.graphSearch(clustered.repartition(11), g, clustered,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3, seedBits = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.graphSearch(clustered, g, clustered,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3, seedBits = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("ivfTopK: full probe equals brute force; partial probe keeps recall") {
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     val queries = clustered.filter(col("vec_id") < 10)
