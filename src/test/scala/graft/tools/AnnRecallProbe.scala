@@ -125,6 +125,25 @@ object AnnRecallProbe {
           f"sec=$t%.2f train_sec=$tTrain%.2f move_from_prev_depth=$mv%.5f")
       }
     }
+    // graph tier: NN-Descent build depth vs graph quality (edge recall of
+    // the true top-4 graph), then beam-search retrieval recall over each
+    for (iters <- Seq(0, 1, 2)) {
+      val (g, tBuild) = timed(Similarity.nnDescent(
+        e, "vec_id", "embedding", k = 4, iterations = iters, initBits = 4)
+        .localCheckpoint())
+      val truth4 = pairs(Similarity.bruteForceTopK(
+        e, e, "vec_id", "embedding", 4))
+      val gp = pairs(g)
+      val edgeRec = truth4.count(gp.contains).toDouble / truth4.size
+      for ((beam, hops) <- Seq((8, 2), (16, 3))) {
+        val (got, t) = timed(pairs(Similarity.graphSearch(
+          queries, g, e, "vec_id", "embedding",
+          k = 5, beam = beam, hops = hops, entries = 4, seedBits = 4)))
+        val rec = truth.count(got.contains).toDouble / truth.size
+        println(f"graph iters=$iters edge_recall=$edgeRec%.3f beam=$beam " +
+          f"hops=$hops recall=$rec%.3f sec=$t%.2f build_sec=$tBuild%.2f")
+      }
+    }
     spark.stop()
   }
 }
