@@ -378,6 +378,30 @@ object QueriesLLM {
           k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- hard-negative mining (contrastive data prep): per-anchor top-5
+    // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
+    "q134_hard_negatives" -> { (s, dir) =>
+      Similarity.hardNegatives(load(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, minCos = 0.05, maxCos = 0.30, nBits = 4)
+        .orderBy("anchor_id", "rank")
+    },
+    // ---- CCNet-style fluency bucketing: char-LM score → per-language
+    // equal-count terciles (head/middle/tail) via ntile — the integer
+    // window formulation sidesteps float quantile interpolation ----
+    "q135_perplexity_filter" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val scored = TextAnalysis.charLmScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .filter(col("mean_p").isNotNull)
+      val w = Window.partitionBy("lang").orderBy(col("mean_p").desc, col("doc_id"))
+      scored.withColumn("tercile", ntile(3).over(w))
+        .withColumn("ppl_bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .select("doc_id", "lang", "mean_p", "ppl_bucket")
+        .orderBy("doc_id")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3019,6 +3043,71 @@ object QueriesLLM {
          SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams, sum_p,
            CASE WHEN n_trigrams > 0 THEN sum_p / n_trigrams END AS mean_p
          FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+    // Hard negatives: q36's bucket-pair scoring at 4 bits, band filter,
+    // both orientations, (cos DESC, id) row_number <= 5.
+    "q134_hard_negatives" ->
+      """WITH bs AS (SELECT unnest(generate_series(0, 3)) AS b),
+         bk AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[2*b + 1] > embedding[2*b + 2]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings CROSS JOIN bs GROUP BY 1),
+         pairs AS (
+           SELECT x.vec_id AS id1, y.vec_id AS id2
+           FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT p.id1, p.id2,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+               AS cos
+           FROM pairs p
+           JOIN embeddings a ON a.vec_id = p.id1
+           JOIN embeddings b ON b.vec_id = p.id2),
+         band AS (SELECT * FROM scored WHERE cos >= 0.05 AND cos < 0.30),
+         sym AS (
+           SELECT id1 AS anchor_id, id2 AS negative_id, cos FROM band
+           UNION ALL SELECT id2, id1, cos FROM band)
+         SELECT anchor_id, negative_id, rank, cos FROM (
+           SELECT anchor_id, negative_id, cos,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos DESC, negative_id) AS INT) AS rank
+           FROM sym)
+         WHERE rank <= 5 ORDER BY anchor_id, rank""",
+    // Fluency buckets: q71's char-LM CTEs + per-language ntile terciles.
+    "q135_perplexity_filter" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+             'g')) AS s FROM documents),
+         tri AS (
+           SELECT doc_id, substring(s, i, 3) AS tri FROM (
+             SELECT doc_id, s,
+               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+             FROM norm)),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+                FROM c3 GROUP BY 1),
+         model AS (
+           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27)
+             AS p
+           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
+         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
+                 x -> x.c * x.p)), (a, b) -> a + b) AS sum_p
+           FROM dt JOIN model USING (tri) GROUP BY 1),
+         scored AS (
+           SELECT d.doc_id, d.lang, agg.sum_p / agg.n_trigrams AS mean_p
+           FROM documents d JOIN agg USING (doc_id)
+           WHERE agg.n_trigrams > 0)
+         SELECT doc_id, lang, mean_p,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+         FROM scored ORDER BY doc_id""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

@@ -1998,6 +1998,35 @@ object Similarity {
       .select("bucket", "id1", "id2", "cos")
   }
 
+  /** Hard-negative mining for contrastive/embedding training (the DPR/
+    * ANCE data-prep step, public practice): for each anchor, the top `k`
+    * candidates whose cosine lies in the half-open band
+    * [minCos, maxCos) — similar enough to be informative negatives,
+    * strictly below the near-duplicate ceiling that would poison training
+    * with false negatives. Candidates come from the hyperplane-bucket
+    * join (Σ|bucket|² bounded, `maxBucket`-capped like every LSH path
+    * here), so mining is sub-quadratic at any corpus size; each unordered
+    * bucket pair is scored once and both orientations feed the bounded
+    * per-anchor top-k. Returns (anchor_id, negative_id, rank, cos). */
+  def hardNegatives(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCos: Double, maxCos: Double, nBits: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    requireIntegralId(vectors, idCol, "hardNegatives")
+    require(minCos < maxCos, s"hardNegatives: empty band [$minCos, $maxCos)")
+    val band = bucketedNeighbors(vectors, idCol, vecCol, nBits, minCos, maxBucket)
+      .filter(col("cos") < maxCos)
+    val sym = band.select(explode(array(
+        struct(col("id1").as("query_id"), col("id2").as("neighbor_id"), col("cos")),
+        struct(col("id2").as("query_id"), col("id1").as("neighbor_id"), col("cos"))))
+        .as("p"))
+      .select(col("p.query_id").as("query_id"),
+        col("p.neighbor_id").as("neighbor_id"), col("p.cos").as("cos"))
+    topKByQuery(sym, k)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
   /** kNN label assignment (semi-supervised curation): each vector gets the
     * MAJORITY label of its k nearest labeled seeds, ties broken toward the
     * smallest label. Fully deterministic: the neighbor set comes from the

@@ -103,6 +103,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hardNegatives: band respected, near-dups excluded, k bounded") {
+    val out = Similarity.hardNegatives(clustered, "vec_id", "embedding",
+      k = 3, minCos = -0.5, maxCos = 0.9, nBits = 2)
+    val rows = out.select("anchor_id", "negative_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the band ceiling IS the near-dup exclusion: the tight same-cluster
+    // pairs on this fixture score cos > 0.9 and must all be filtered
+    assert(rows.forall(r => r._3 >= -0.5 && r._3 < 0.9), "cos outside band")
+    val perAnchor = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(_ <= 3), "k bound violated")
+    // ranks are 1..n contiguous per anchor
+    val ranks = out.select("anchor_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(ranks.values.forall(rs => rs == (1 to rs.length)))
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(clustered, "vec_id", "embedding", 3, 0.5, 0.5, 2)
+    }
+  }
+
   test("ivfTopK: full probe equals brute force; partial probe keeps recall") {
     val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
     val queries = clustered.filter(col("vec_id") < 10)
