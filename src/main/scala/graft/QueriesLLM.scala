@@ -402,6 +402,22 @@ object QueriesLLM {
         .select("doc_id", "lang", "mean_p", "ppl_bucket")
         .orderBy("doc_id")
     },
+    // ---- classifier-based quality filter plumbing (fastText pass):
+    // hashed-BoW linear score, logit-space threshold, synthetic weights ----
+    "q136_classifier_filter" -> { (s, dir) =>
+      val weights = (0 until 64).map(b => ((b * 37) % 21 - 10) / 10.0)
+      TextAnalysis.linearScore(docs(s, dir), "doc_id", "text",
+          weights, bias = -0.55)
+        .orderBy("doc_id")
+    },
+    // ---- matryoshka retrieval: 16-dim prefix shortlist → full-dim
+    // exact rerank (MRL two-stage) ----
+    "q137_matryoshka_topk" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      Similarity.matryoshkaTopK(e.filter(pmod(col("vec_id"), lit(50)) === 0), e,
+          "vec_id", "embedding", prefixDim = 16, k = 5, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3108,6 +3124,63 @@ object QueriesLLM {
              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
              AS ppl_bucket
          FROM scored ORDER BY doc_id""",
+    // Linear classifier: q74's bucket ladder, synthetic weight formula
+    // inlined, bucket-ordered fold + bias, logit-space keep flag.
+    "q136_classifier_filter" ->
+      s"""WITH $ToksCte,
+         f AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks WHERE tok <> ''),
+         dc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+         model AS (
+           SELECT b, CAST((b * 37) % 21 - 10 AS DOUBLE) / 10.0 AS w
+           FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(b := b, c := c, w := w) ORDER BY b),
+                 x -> x.c * x.w)), (a, y) -> a + y) + (-0.55) AS logit
+           FROM dc JOIN model USING (b) GROUP BY 1)
+         SELECT doc_id, n_feats, logit, logit > 0 AS keep
+         FROM agg ORDER BY doc_id""",
+    // Matryoshka: prefix-16 cosine shortlist (row_number <= 50), full-dim
+    // exact rerank, final top-5 — both stages the exact (cos DESC, id)
+    // ranking of the Spark aggregates.
+    "q137_matryoshka_topk" ->
+      """WITH n AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             CAST(embedding[1:16] AS DOUBLE[]) AS pv
+           FROM embeddings),
+         nn AS (
+           SELECT id, vec, pv, sqrt(list_dot_product(vec, vec)) AS nrm,
+             sqrt(list_dot_product(pv, pv)) AS pnrm
+           FROM n),
+         qs AS (SELECT * FROM nn WHERE id % 50 = 0),
+         s1 AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_dot_product(q.pv, c.pv) / (q.pnrm * c.pnrm) AS pcos
+           FROM qs q JOIN nn c ON q.id <> c.id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pcos DESC, neighbor_id) AS rn
+             FROM s1)
+           WHERE rn <= 50),
+         s2 AS (
+           SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cos
+           FROM short s JOIN nn q ON s.query_id = q.id
+             JOIN nn c ON s.neighbor_id = c.id)
+         SELECT query_id, neighbor_id, rank, cos FROM (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM s2)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

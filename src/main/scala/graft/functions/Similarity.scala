@@ -1998,6 +1998,35 @@ object Similarity {
       .select("bucket", "id1", "id2", "cos")
   }
 
+  /** Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022, public):
+    * shortlist by cosine over the first `prefixDim` dimensions — MRL
+    * embeddings front-load information, so the prefix is a valid cheap
+    * index costing prefixDim/dim of the flops — then exact full-dim
+    * rerank of the shortlist only. The dimension-truncation analogue of
+    * the SQ/BQ estimate-then-rerank rungs; at 100 TB stage 1 rides the
+    * same bucketed/IVF candidate paths (identical operator shapes, just
+    * shorter vectors). Returns (query_id, neighbor_id, rank, cos) with
+    * full-dimension cosines. */
+  def matryoshkaTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      prefixDim: Int, k: Int, shortlist: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "matryoshkaTopK")
+    require(prefixDim > 0 && k > 0 && shortlist >= k,
+      s"matryoshkaTopK: need prefixDim>0, 0<k<=shortlist, got ($prefixDim, $k, $shortlist)")
+    def trunc(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, prefixDim).as(vecCol))
+    val cand = bruteForceTopK(trunc(queries), trunc(corpus), idCol, vecCol, shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    topKByQuery(scored, k)
+  }
+
   /** Hard-negative mining for contrastive/embedding training (the DPR/
     * ANCE data-prep step, public practice): for each anchor, the top `k`
     * candidates whose cosine lies in the half-open band

@@ -690,6 +690,44 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Classifier-based quality filtering plumbing — the fastText-style
+    * linear-classifier pass of GPT-3/LLaMA-era pipelines (public
+    * practice: score every doc with a trained model, keep positives).
+    * score = Σ_b count(doc, b) · weights(b) + bias over the hashed
+    * bag-of-words buckets; `keep` = logit > 0. The decision lives in
+    * LOGIT space deliberately: no exp()/sigmoid means no libm in the
+    * gate. `weights` is any |dim|-bounded vector (a trained model drops
+    * in as data; this container has none, so gates use a deterministic
+    * synthetic vector — the hashing, broadcast model join, ordered fold,
+    * and thresholding are the real, tested plumbing).
+    *
+    * Scale: one (doc, bucket) count aggregate, a broadcast ≤dim-row model
+    * join, and a per-doc bounded ordered fold (≤dim entries) — the same
+    * shape as [[dsirWeights]]; corpus touched once. */
+  def linearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Double], bias: Double): DataFrame = {
+    val dim = weights.length
+    require(dim > 0, "linearScore: empty weight vector")
+    val t = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .select(col(idCol), tokBucket(dim).as("__b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }
+      .toDF("__b", "__w")
+    t.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(model), "__b")
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_feats"),
+        array_sort(collect_list(struct(col("__b"), col("__c"), col("__w"))))
+          .as("__arr"))
+      .select(col(idCol), col("n_feats"),
+        (aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("__c") * x.getField("__w")) + lit(bias))
+          .as("logit"))
+      .withColumn("keep", col("logit") > 0)
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot

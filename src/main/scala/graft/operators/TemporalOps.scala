@@ -37,10 +37,11 @@ import org.apache.spark.sql.functions._
   */
 object TemporalOps {
 
-  /** Backward as-of join: for each `left` row, attach the `right` row with
-    * the greatest `rightTs` ≤ `leftTs` within the same `keyCols` group
-    * (optionally no older than `tolerance` seconds); unmatched left rows
-    * keep NULL payload. Right payload = every right column not in
+  /** As-of join: for each `left` row, attach the `right` row with the
+    * greatest `rightTs` ≤ `leftTs` (direction "backward", the default) or
+    * the smallest `rightTs` ≥ `leftTs` ("forward") within the same
+    * `keyCols` group, optionally no further than `tolerance` seconds
+    * away; unmatched left rows keep NULL payload. Right payload = every right column not in
     * `keyCols`/`rightTs`, which must be disjoint from left's column names.
     * The matched right timestamp is returned as `asof_ts`.
     *
@@ -61,7 +62,11 @@ object TemporalOps {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got '$direction'")
+    val fwd = direction == "forward"
     val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     val clash = payload.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asofJoin: right payload columns collide with left: $clash")
@@ -83,16 +88,20 @@ object TemporalOps {
         Seq(col(rightTs).cast("long").as("asof_ts")) ++
         payload.map(col): _*)
 
+    // forward = earliest at-or-after: identical running scan over the
+    // REVERSED timestamp order (right rows still sort before left at
+    // equal ts, so an exactly-simultaneous feature stays visible)
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(if (fwd) col("__ts").desc else col("__ts").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = ("asof_ts" +: payload.toSeq).foldLeft(lTagged.unionByName(rTagged)) {
       (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
 
+    val gap = if (fwd) col("asof_ts") - col("__ts") else col("__ts") - col("asof_ts")
     val inTol = tolerance match {
-      case Some(t) => col("asof_ts").isNotNull && (col("__ts") - col("asof_ts")) <= t
+      case Some(t) => col("asof_ts").isNotNull && gap <= t
       case None    => col("asof_ts").isNotNull
     }
     val masked = ("asof_ts" +: payload.toSeq).foldLeft(carried.filter(col("__side") === 1)) {

@@ -192,6 +192,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("linearScore: bias-only model, monotone in counts, keep = logit>0") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb aa bb"), (3L, "")).toDF("doc_id", "text")
+    // zero weights: logit == bias for any doc with tokens; empty doc absent
+    val z = TextAnalysis.linearScore(df, "doc_id", "text",
+        Seq.fill(8)(0.0), bias = 0.25)
+      .select("doc_id", "logit", "keep").as[(Long, Double, Boolean)].collect()
+    assert(z.toSet === Set((1L, 0.25, true), (2L, 0.25, true)))
+    // uniform positive weights: doubling the text doubles (logit - bias)
+    val p = TextAnalysis.linearScore(df, "doc_id", "text",
+        Seq.fill(8)(0.5), bias = -1.5)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    assert(math.abs((p(2L) + 1.5) - 2 * (p(1L) + 1.5)) < 1e-12)
+    assert(p(1L) == -0.5 && p(2L) == 0.5) // 2 toks * .5 - 1.5 / 4 toks * .5 - 1.5
+    intercept[IllegalArgumentException] {
+      TextAnalysis.linearScore(df, "doc_id", "text", Seq.empty, 0.0)
+    }
+  }
+
   test("CMS: never underestimates, exact without collisions, bounded state, broadcast estimate") {
     val keys = (0 until 200).flatMap(i => Seq.fill(1 + i % 5)(s"key$i"))
     val df = keys.toDF("k")

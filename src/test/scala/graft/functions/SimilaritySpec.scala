@@ -103,6 +103,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("matryoshkaTopK: full shortlist == brute force; prefix shortlist keeps recall") {
+    val full = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val exhaustive = Similarity.matryoshkaTopK(clustered, clustered,
+        "vec_id", "embedding", prefixDim = dim, k = 3, shortlist = 99)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive === full) // full prefix + full shortlist = exact
+    val pref = Similarity.matryoshkaTopK(clustered, clustered,
+        "vec_id", "embedding", prefixDim = 4, k = 3, shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = truth.count(pref.contains).toDouble / truth.size
+    assert(rec >= 0.8, s"prefix-4 shortlist-20 recall too low: $rec")
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(clustered, clustered, "vec_id", "embedding", 4, 5, 3)
+    }
+  }
+
   test("hardNegatives: band respected, near-dups excluded, k bounded") {
     val out = Similarity.hardNegatives(clustered, "vec_id", "embedding",
       k = 3, minCos = -0.5, maxCos = 0.9, nBits = 2)

@@ -41,6 +41,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out.find(_._1 == 205L).get._2 === Some(200L))
   }
 
+  test("asofJoin forward direction attaches earliest at-or-after") {
+    val out = TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        direction = "forward")
+      .orderBy("k", "t").select("k", "t", "asof_ts", "feat").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq === Seq(
+      (1L, 100L, Some(100L), Some(10L)), // equal ts visible forward too
+      (1L, 205L, None, None),            // nothing later on key 1
+      (1L, 999L, None, None),
+      (2L, 50L, Some(60L), Some(30L)),   // future row now matches
+      (3L, 10L, None, None)))
+    // forward tolerance: gap measured the other way
+    val tol = TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(5L), direction = "forward")
+      .orderBy("k", "t").select("t", "asof_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(tol.find(_._1 == 50L).get._2 === None) // gap 10 > 5
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt",
+        direction = "sideways")
+    }
+  }
+
   test("asofJoin rejects colliding payload names") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(leftDf, rightDf.withColumnRenamed("feat", "tag"),
