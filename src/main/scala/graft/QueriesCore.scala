@@ -692,6 +692,20 @@ object QueriesCore {
         .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
         .orderBy("incident_id")
     },
+    // ---- As-of join via the NATIVE physical operator (custom
+    // LogicalPlan + Strategy + streaming-merge SparkPlan): q122's exact
+    // semantics, third implementation against the same ASOF oracle ----
+    "q138_asof_native" -> { (s, dir) =>
+      val e = events(s, dir)
+      val hourly = e.groupBy(col("user_id"),
+          (col("ts_sec") - pmod(col("ts_sec"), lit(3600L)) + 3600L).as("avail_sec"))
+        .agg(count(lit(1)).as("prev_hr_events"),
+          max(floor(col("value") * 100).cast("long")).as("prev_hr_max_cents"))
+      TemporalOps.asofJoinNative(
+          e.select(col("user_id"), col("event_id"), col("ts_sec").as("sec")),
+          hourly, Seq("user_id"), "sec", "avail_sec", tolerance = Some(7200L))
+        .orderBy("user_id", "sec", "event_id")
+    },
     // ---- Rolling window stats (fixed-point cents keep sums exact) ----
     "q124_rolling_stats" -> { (s, dir) =>
       val e = events(s, dir)
@@ -705,6 +719,27 @@ object QueriesCore {
 
   val oracleSql: Map[String, String] = {
     val ts = "(epoch_ns(ts)//1000000000)"
+    val oracleSqlAsof =
+      s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec, value FROM events),
+           hourly AS (
+             SELECT user_id, (sec//3600)*3600 + 3600 AS avail_sec,
+               count(*) AS prev_hr_events,
+               max(CAST(floor(value*100) AS BIGINT)) AS prev_hr_max_cents
+             FROM ev GROUP BY 1, 2),
+           j AS (
+             SELECT e.user_id, e.event_id, e.sec, h.avail_sec,
+               h.prev_hr_events, h.prev_hr_max_cents
+             FROM ev e ASOF LEFT JOIN hourly h
+               ON e.user_id = h.user_id AND e.sec >= h.avail_sec)
+           SELECT user_id, event_id, sec,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN avail_sec END AS asof_ts,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN prev_hr_events END AS prev_hr_events,
+             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+               THEN prev_hr_max_cents END AS prev_hr_max_cents
+           FROM j ORDER BY user_id, sec, event_id"""
     Map(
       "q01_time_agg" ->
         s"""SELECT user_id AS entity_id, ($ts//3600)*3600 + 3600 AS "timestamp",
@@ -1063,27 +1098,10 @@ object QueriesCore {
       // Independent implementation: DuckDB's native ASOF JOIN (>= right ts,
       // latest wins) checks the union+running-window formulation against a
       // genuinely different algorithm, not a mirror of it.
-      "q122_asof_join" ->
-        s"""WITH ev AS (
-             SELECT user_id, event_id, $ts AS sec, value FROM events),
-           hourly AS (
-             SELECT user_id, (sec//3600)*3600 + 3600 AS avail_sec,
-               count(*) AS prev_hr_events,
-               max(CAST(floor(value*100) AS BIGINT)) AS prev_hr_max_cents
-             FROM ev GROUP BY 1, 2),
-           j AS (
-             SELECT e.user_id, e.event_id, e.sec, h.avail_sec,
-               h.prev_hr_events, h.prev_hr_max_cents
-             FROM ev e ASOF LEFT JOIN hourly h
-               ON e.user_id = h.user_id AND e.sec >= h.avail_sec)
-           SELECT user_id, event_id, sec,
-             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
-               THEN avail_sec END AS asof_ts,
-             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
-               THEN prev_hr_events END AS prev_hr_events,
-             CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
-               THEN prev_hr_max_cents END AS prev_hr_max_cents
-           FROM j ORDER BY user_id, sec, event_id""",
+      "q122_asof_join" -> oracleSqlAsof,
+      // q138 = q122's semantics through the native physical operator —
+      // same oracle text, third implementation of the same join.
+      "q138_asof_native" -> oracleSqlAsof,
       // Independent implementation: a plain inequality join (DuckDB IEJoin)
       // vs the grid-bucketed equi-join.
       "q123_range_join" ->

@@ -111,6 +111,44 @@ object TemporalOps {
       keyCols.map(col) ++ leftOnly.map(col) ++ ("asof_ts" +: payload.toSeq).map(col): _*)
   }
 
+  /** Backward as-of join through the NATIVE physical operator
+    * ([[graft.plans.AsofJoinExec]]): identical semantics to
+    * [[asofJoin]]'s backward direction — same output columns, same
+    * equality-inclusive match, same tolerance masking — but executed as
+    * a single streaming merge per partition with O(1) state instead of
+    * the union + running-window composition (no null-padded union
+    * materialization, no window state per carried column). The composed
+    * form is the executable specification; `AsofJoinExecSpec`
+    * differential-tests the two.
+    *
+    * Both ts columns must be LongType (epoch seconds/nanos — every graft
+    * time column is); refuses loudly otherwise rather than silently
+    * casting a column the caller also reads from the output. */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.types.LongType
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
+    val clash = payload.toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"asofJoinNative: right payload columns collide with left: $clash")
+    require(left.schema(leftTs).dataType == LongType &&
+        right.schema(rightTs).dataType == LongType,
+      s"asofJoinNative: ts columns must be LongType epoch values, got " +
+        s"${left.schema(leftTs).dataType.simpleString}/${right.schema(rightTs).dataType.simpleString}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    GraftBridge.ofRows(spark, graft.plans.AsofJoin(
+      GraftBridge.analyzed(left), GraftBridge.analyzed(right),
+      keyCols, leftTs, rightTs, tolerance))
+  }
+
   /** Grid cells an [lo, hi) interval covers, as a column of LONGs.
     * Integral floor-division is safe here because epoch seconds in every
     * fixture (and any sane deployment) are non-negative; `sequence` is

@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+class AsofJoinExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 100L, "a"), (1L, 205L, "b"), (1L, 999L, "c"),
+    (2L, 50L, "d"), (3L, 10L, "e")
+  ).toDF("k", "t", "tag")
+
+  private def rightDf = Seq(
+    (1L, 100L, 10L), (1L, 200L, 20L), (2L, 60L, 30L)
+  ).toDF("k", "rt", "feat")
+
+  test("native exec matches the hand-computed backward semantics") {
+    val out = TemporalOps.asofJoinNative(leftDf, rightDf, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .select("k", "t", "tag", "asof_ts", "feat")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4))))
+    assert(out.toSeq === Seq(
+      (1L, 100L, "a", Some(100L), Some(10L)),
+      (1L, 205L, "b", Some(200L), Some(20L)),
+      (1L, 999L, "c", Some(200L), Some(20L)),
+      (2L, 50L, "d", None, None),
+      (3L, 10L, "e", None, None)))
+  }
+
+  test("differential: native == composed on generated data, with and without tolerance") {
+    // deterministic pseudo-random (hash-derived) ts streams, multiple keys,
+    // duplicate left timestamps, keys missing on either side
+    val left = spark.range(0, 2000).select(
+      (col("id") % 23).as("k"),
+      (pmod(col("id") * 2654435761L, lit(100000L))).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(0, 500).select(
+      (col("id") % 29).as("k"),
+      (pmod(col("id") * 1099511628211L, lit(100000L))).as("rt"),
+      (col("id") * 7).as("payload"))
+      // determinism contract: at most one right row per (k, rt)
+      .groupBy("k", "rt").agg(max("payload").as("payload"))
+    for (tol <- Seq(None, Some(5000L))) {
+      val composed = TemporalOps.asofJoin(left, right, Seq("k"), "t", "rt", tol)
+        .select("k", "lid", "t", "asof_ts", "payload")
+        .orderBy("k", "lid").collect().toSeq
+      val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "rt", tol)
+        .select("k", "lid", "t", "asof_ts", "payload")
+        .orderBy("k", "lid").collect().toSeq
+      assert(native === composed, s"divergence at tolerance=$tol")
+    }
+  }
+
+  test("native exec plans one exchange+sort per side and survives repartitioned input") {
+    val df = TemporalOps.asofJoinNative(leftDf.repartition(7), rightDf.repartition(3),
+      Seq("k"), "t", "rt")
+    df.collect() // finalize the AQE plan before reading it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native node missing:\n$plan")
+    assert(!plan.contains("Window"), "native path must not fall back to the window form")
+    val a = df.orderBy("k", "t").collect().toSeq
+    val b = TemporalOps.asofJoinNative(leftDf.coalesce(1), rightDf.coalesce(1),
+      Seq("k"), "t", "rt").orderBy("k", "t").collect().toSeq
+    assert(a === b)
+  }
+
+  test("native exec refuses non-long ts and payload collisions") {
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinNative(leftDf.withColumn("t", col("t").cast("int")),
+        rightDf, Seq("k"), "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinNative(leftDf, rightDf.withColumnRenamed("feat", "tag"),
+        Seq("k"), "t", "rt")
+    }
+  }
+
+  test("null timestamps: left nulls never match, right nulls never retained") {
+    val l = Seq((1L, Some(100L), "x"), (1L, None, "y")).toDF("k", "t", "tag")
+    val r = Seq((1L, Some(50L), 5L), (1L, None, 99L)).toDF("k", "rt", "feat")
+    val out = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "rt")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(out === Set(("x", Some(50L), Some(5L)), ("y", None, None)))
+  }
+}
