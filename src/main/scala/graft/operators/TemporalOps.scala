@@ -144,6 +144,9 @@ object TemporalOps {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AsofJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AsofJoinFilterPushdown
     GraftBridge.ofRows(spark, graft.plans.AsofJoin(
       GraftBridge.analyzed(left), GraftBridge.analyzed(right),
       keyCols, leftTs, rightTs, tolerance))

@@ -56,6 +56,41 @@ final case class AsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node: push left-only Filters below
+  * [[AsofJoin]]. Catalyst's PushPredicateThroughJoin knows nothing about
+  * this operator, so without the rule `asofJoinNative(...).filter(k = 5)`
+  * shuffles and merges the FULL left side before dropping rows — with
+  * it, the predicate reaches the left scan (partition pruning,
+  * PushedFilters) exactly as it would through a plain join. Sound
+  * because the operator emits exactly one output row per left row and a
+  * left-attribute predicate reads only that row's columns. Right-side
+  * predicates do NOT commute (dropping right rows changes which row is
+  * "latest at-or-before") and are left untouched.
+  * Registered via `spark.experimental.extraOptimizations` alongside the
+  * strategy. */
+object AsofJoinFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet => ASet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoin) =>
+      val leftSet = ASet(aj.left.output)
+      val (pushable, kept) =
+        splitConjuncts(cond).partition(_.references.subsetOf(leftSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsofJoin]] into [[AsofJoinExec]]; register via
   * `spark.experimental.extraStrategies` ([[graft.operators.TemporalOps
   * .asofJoinNative]] does it idempotently). */

@@ -67,6 +67,29 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("left-only filter conjuncts push below the native as-of join") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val df = TemporalOps.asofJoinNative(leftDf, rightDf, Seq("k"), "t", "rt")
+      .filter(col("t") > 60L && col("feat") === 20L) // t: left-only, feat: payload
+    val opt = df.queryExecution.optimizedPlan
+    val aj = opt.collectFirst { case a: AsofJoin => a }.get
+    val leftSet = AttributeSet(aj.left.output)
+    val inLeft = aj.left.collect { case f: Filter => f }.toSet
+    val above = opt.collect { case f: Filter => f }.filterNot(inLeft)
+    // no left-only predicate may remain above the join (the rule pushed
+    // it; over a LocalRelation it may even collapse into the relation)
+    assert(above.forall(f => !f.references.subsetOf(leftSet)),
+      s"left-only filter stranded above AsofJoin:\n$opt")
+    // and the results still match the composed form under the same filter
+    val composed = TemporalOps.asofJoin(leftDf, rightDf, Seq("k"), "t", "rt")
+      .filter(col("t") > 60L && col("feat") === 20L)
+      .select("k", "t", "tag", "asof_ts", "feat").orderBy("k", "t").collect().toSeq
+    val native = df.select("k", "t", "tag", "asof_ts", "feat")
+      .orderBy("k", "t").collect().toSeq
+    assert(native === composed)
+  }
+
   test("native exec refuses non-long ts and payload collisions") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoinNative(leftDf.withColumn("t", col("t").cast("int")),
