@@ -920,6 +920,22 @@ object QueriesLLM {
       d.select(col("id"), col("format"), col("width"), col("height"), col("frames"))
         .orderBy("id")
     },
+    // ---- multimodal: FLAC STREAMINFO packed-bitfield parse ----
+    "q139_flac_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.flacBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("frames").as("total_samples"))
+        .orderBy("id")
+    },
+    // ---- multimodal: TIFF IFD walk (both byte orders, SHORT and LONG
+    // value types, skip-over of unrelated tags) ----
+    "q140_tiff_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.tiffBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width"), col("height"), col("frames"))
+        .orderBy("id")
+    },
     // ---- multimodal: frame sampling over decoded video (every 4th).
     // AVI docs (doc_id%4==3) carry real dwTotalFrames; stills decode to 1. ----
     "q60_frame_sample" -> { (s, dir) =>
@@ -3338,6 +3354,18 @@ object QueriesLLM {
       """SELECT doc_id AS id, 'bmp' AS format,
            CAST(1 + n_chars % 2000 AS INT) AS width,
            CAST(1 + (doc_id * 11) % 1200 AS INT) AS height,
+           CAST(1 AS INT) AS frames
+         FROM documents ORDER BY id""",
+    "q139_flac_decode" ->
+      """SELECT doc_id AS id, 'flac' AS format,
+           CAST(16000 + (n_chars % 5) * 8000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 8 AS INT) AS channels,
+           CAST(100 + doc_id % 1000 AS INT) AS total_samples
+         FROM documents ORDER BY id""",
+    "q140_tiff_decode" ->
+      """SELECT doc_id AS id, 'tiff' AS format,
+           CAST(1 + n_chars % 4000 AS INT) AS width,
+           CAST(1 + (doc_id * 13) % 3000 AS INT) AS height,
            CAST(1 AS INT) AS frames
          FROM documents ORDER BY id""",
     // q60: frame counts come from the AVI avih dwTotalFrames field the

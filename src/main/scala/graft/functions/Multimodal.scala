@@ -221,6 +221,61 @@ object Multimodal {
     else DecodedMedia(id, "mp3", rate, channels, frames, cs)
   }
 
+  /** FLAC STREAMINFO (flac format spec, public): "fLaC" + metadata block
+    * header (type 0 = STREAMINFO, 24-bit BE length), then the packed
+    * bitfields — sample rate 20 bits @ byte 18, channels−1 3 bits,
+    * bits/sample−1 5 bits, total samples 36 bits. Mapping (as WAV):
+    * width = sample rate, height = channels, frames = total samples
+    * (clamped to Int). */
+  private def parseFlac(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    if (b.length < 26) return unknown(id, cs)
+    val blockType = u8(b, 4) & 0x7f
+    val blockLen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (blockType != 0 || blockLen < 34) return unknown(id, cs)
+    val sr = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+    val channels = ((u8(b, 20) >> 1) & 0x7) + 1
+    val totalHi = (u8(b, 21) & 0x0f).toLong << 32
+    val total = totalHi | (be32(b, 22).toLong & 0xffffffffL)
+    if (sr == 0) unknown(id, cs)
+    else DecodedMedia(id, "flac", sr, channels,
+      math.min(total, Int.MaxValue.toLong).toInt, cs)
+  }
+
+  /** TIFF baseline header (TIFF 6.0 spec, public): endianness from II/MM,
+    * magic 42, IFD offset, then the IFD entry walk for ImageWidth (256)
+    * and ImageLength (257) — SHORT(3)/LONG(4) values inline in the value
+    * field per the spec's left-justification rule. Both byte orders. */
+  private def parseTiff(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    if (b.length < 8) return unknown(id, cs)
+    val little = b(0) == 'I' && b(1) == 'I'
+    def r16(i: Int) = if (little) le16(b, i) else be16(b, i)
+    def r32(i: Int) = if (little) le32(b, i) else be32(b, i)
+    if (r16(2) != 42) return unknown(id, cs)
+    val ifd = r32(4)
+    if (ifd < 8 || ifd.toLong + 2 > b.length) return unknown(id, cs)
+    val n = r16(ifd)
+    var (w, h) = (0, 0)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return unknown(id, cs)
+      val tag = r16(e)
+      val typ = r16(e + 2)
+      // inline value: SHORT reads 2 bytes, LONG reads 4 (spec §2: values
+      // shorter than 4 bytes are left-justified in the value field)
+      val v = typ match {
+        case 3 => r16(e + 8)
+        case 4 => r32(e + 8)
+        case _ => -1
+      }
+      if (tag == 256 && v >= 0) w = v
+      if (tag == 257 && v >= 0) h = v
+      i += 1
+    }
+    if (w > 0 && h > 0) DecodedMedia(id, "tiff", w, h, 1, cs)
+    else unknown(id, cs)
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -243,6 +298,11 @@ object Multimodal {
       parseWav(id, bytes, cs)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       parseBmp(id, bytes, cs)
+    else if (bytes.length >= 4 && fourcc(bytes, 0) == "fLaC")
+      parseFlac(id, bytes, cs)
+    else if (bytes.length >= 4 &&
+             ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
+      parseTiff(id, bytes, cs)
     else if (id3v2Size(bytes) > 0 || isMp3Sync(bytes, 0))
       parseMp3(id, bytes, cs)
     else unknown(id, cs)
@@ -401,6 +461,71 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
       .as[(Long, Long)]
       .map { case (id, n) => (id, bmpFixture(id, n)) }
+      .toDF(idCol, "blob")
+  }
+
+  /** FLAC with a real packed STREAMINFO (16 bits/sample); frame/block
+    * size fields zero — the parser only reads the documented bitfields. */
+  def synthFlac(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(rate < (1 << 20) && channels >= 1 && channels <= 8 && totalSamples >= 0)
+    val bps = 16
+    val si = new Array[Byte](34)
+    si(10) = ((rate >> 12) & 0xff).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bps - 1) >> 4) & 1)).toByte
+    si(13) = ((((bps - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+    val lo = totalSamples & 0xffffffffL
+    si(14) = ((lo >> 24) & 0xff).toByte
+    si(15) = ((lo >> 16) & 0xff).toByte
+    si(16) = ((lo >> 8) & 0xff).toByte
+    si(17) = (lo & 0xff).toByte
+    ascii("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  /** Baseline TIFF: 8-byte header + one IFD with width/length (SHORT or
+    * LONG type) plus a Compression entry the walk must skip; both byte
+    * orders. */
+  def synthTiff(w: Int, h: Int, little: Boolean, useShort: Boolean): Array[Byte] = {
+    def p16(v: Int) = if (little) le16b(v) else be16b(v)
+    def p32(v: Int) = if (little) le32b(v) else be32b(v)
+    val typ = if (useShort) 3 else 4
+    def value(v: Int): Array[Byte] =
+      if (useShort) p16(v) ++ Array[Byte](0, 0) else p32(v)
+    def entry(tag: Int, v: Int): Array[Byte] =
+      p16(tag) ++ p16(typ) ++ p32(1) ++ value(v)
+    val order = if (little) "II" else "MM"
+    ascii(order) ++ p16(42) ++ p32(8) ++
+      p16(3) ++ entry(256, w) ++ entry(259, 1) ++ entry(257, h) ++ p32(0)
+  }
+
+  /** FLAC fixture: rate = 16000 + (n_chars % 5)·8000, channels =
+    * 1 + doc_id % 8, samples = 100 + doc_id % 1000. */
+  def flacFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthFlac(16000 + (nChars % 5).toInt * 8000, 1 + (docId % 8).toInt,
+      100 + docId % 1000)
+
+  def flacBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, flacFixture(id, n)) }
+      .toDF(idCol, "blob")
+  }
+
+  /** TIFF fixture: little-endian for even doc_id, SHORT values for even
+    * n_chars; w = 1 + n_chars % 4000, h = 1 + (doc_id·13) % 3000. */
+  def tiffFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthTiff((1 + nChars % 4000).toInt, (1 + (docId * 13) % 3000).toInt,
+      little = docId % 2 == 0, useShort = nChars % 2 == 0)
+
+  def tiffBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, n) => (id, tiffFixture(id, n)) }
       .toDF(idCol, "blob")
   }
 

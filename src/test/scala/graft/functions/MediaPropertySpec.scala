@@ -79,6 +79,28 @@ object MediaPropertySpec extends Properties("Multimodal.parseMedia") {
       m.format == "bmp" && m.width == w && m.height == h && m.frames == 1
     }
 
+  property("synth FLAC round-trips rate/channels/samples from packed bitfields") =
+    forAll(Gen.chooseNum(1, 1048575), Gen.chooseNum(1, 8),
+        Gen.chooseNum(0L, 68719476735L)) { (rate, ch, total) =>
+      val m = Multimodal.parseMedia(9L, Multimodal.synthFlac(rate, ch, total))
+      m.format == "flac" && m.width == rate && m.height == ch &&
+        m.frames == math.min(total, Int.MaxValue.toLong).toInt
+    }
+
+  property("synth TIFF round-trips dims in both byte orders and value types") =
+    forAll(Gen.chooseNum(1, 65535), Gen.chooseNum(1, 65535),
+        Gen.oneOf(true, false), Gen.oneOf(true, false)) { (w, h, little, short) =>
+      val m = Multimodal.parseMedia(10L, Multimodal.synthTiff(w, h, little, short))
+      m.format == "tiff" && m.width == w && m.height == h
+    }
+
+  property("total over truncated FLAC/TIFF") =
+    forAll(Gen.chooseNum(0, 50), Gen.oneOf(true, false)) { (cut, little) =>
+      val flac = Multimodal.synthFlac(44100, 2, 1000L)
+      val tiff = Multimodal.synthTiff(100, 100, little, useShort = true)
+      parses(flac.take(cut min flac.length)) && parses(tiff.take(cut min tiff.length))
+    }
+
   // truncated/corrupt MP3 and BMP variants must degrade, not crash or
   // miscount — the walk only counts hops that land on real sync words
   property("total over truncated MP3/BMP and mid-stream corruption") =
