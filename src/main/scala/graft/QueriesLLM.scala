@@ -418,6 +418,33 @@ object QueriesLLM {
           "vec_id", "embedding", prefixDim = 16, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- round-11 curation capstone: classifier gate → per-language
+    // fluency terciles (keep head+middle) → chunking → per-source shard
+    // stats. Composes q136 + q135 + q125 end to end; any stage silently
+    // passing everything (or nothing) shifts every per-source count ----
+    "q141_curation_capstone" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val weights = (0 until 64).map(b => ((b * 37) % 21 - 10) / 10.0)
+      val cls = TextAnalysis.linearScore(d, "doc_id", "text", weights, bias = -0.55)
+        .filter(col("keep")).select("doc_id")
+      val scored = TextAnalysis.charLmScore(d, "doc_id", "text")
+        .join(d.select("doc_id", "lang", "source"), "doc_id")
+        .join(cls, "doc_id")
+        .filter(col("mean_p").isNotNull)
+      val w = Window.partitionBy("lang").orderBy(col("mean_p").desc, col("doc_id"))
+      val keep = scored.withColumn("tercile", ntile(3).over(w))
+        .filter(col("tercile") <= 2)
+        .select("doc_id", "source")
+      val chunks = TextAnalysis.chunkTokens(
+        d.join(keep.select("doc_id"), "doc_id"), "doc_id", "text", 64, 48)
+      chunks.join(keep, "doc_id")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3197,6 +3224,74 @@ object QueriesLLM {
                ORDER BY cos DESC, neighbor_id) AS INT) AS rank
            FROM s2)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // Capstone: q136's classifier CTEs + q71's LM CTEs + ntile keep +
+    // q125's chunk fan-out, aggregated per source.
+    "q141_curation_capstone" ->
+      s"""WITH $ToksCte,
+         f AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks WHERE tok <> ''),
+         wdc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+         wmodel AS (
+           SELECT b, CAST((b * 37) % 21 - 10 AS DOUBLE) / 10.0 AS w
+           FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+         cls AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list(struct_pack(b := b, c := c, w := w) ORDER BY b),
+                   x -> x.c * x.w)), (a, y) -> a + y) + (-0.55) AS logit
+             FROM wdc JOIN wmodel USING (b) GROUP BY doc_id)
+           WHERE logit > 0),
+         norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+             'g')) AS s FROM documents),
+         tri AS (
+           SELECT doc_id, substring(s, i, 3) AS tri FROM (
+             SELECT doc_id, s,
+               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+             FROM norm)),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+                FROM c3 GROUP BY 1),
+         pmodel AS (
+           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27) AS p
+           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
+         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+         lmagg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
+                 x -> x.c * x.p)), (a, b) -> a + b) AS sum_p
+           FROM dt JOIN pmodel USING (tri) GROUP BY 1),
+         scored AS (
+           SELECT d.doc_id, d.lang, d.source, lmagg.sum_p / lmagg.n_trigrams AS mean_p
+           FROM documents d JOIN lmagg USING (doc_id) JOIN cls USING (doc_id)
+           WHERE lmagg.n_trigrams > 0),
+         keep AS (
+           SELECT doc_id, source FROM (
+             SELECT doc_id, source,
+               ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id) AS t
+             FROM scored)
+           WHERE t <= 2),
+         ids AS (
+           SELECT t.doc_id, t.pos,
+             unnest(generate_series(
+               CAST(greatest(0, t.pos - 64 + 48) // 48 AS BIGINT),
+               CAST(t.pos // 48 AS BIGINT))) AS chunk_id
+           FROM toks t JOIN keep USING (doc_id)),
+         ch AS (
+           SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n
+           FROM ids GROUP BY 1, 2)
+         SELECT k.source, CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(ch.n) AS BIGINT) AS n_tokens
+         FROM ch JOIN keep k USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

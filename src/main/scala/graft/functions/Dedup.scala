@@ -71,6 +71,35 @@ object Dedup {
       .agg(min(xxhash64(lit(0), col("shingle"))).as("h0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
 
+  /** Candidate-pair probability of the banding scheme at Jaccard s:
+    * P = 1 − (1 − s^r)^b (the MMDS S-curve, public). */
+  def lshCurve(bands: Int, rowsPerBand: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a Jaccard `threshold` under a total
+    * signature budget of at most `kBudget` components (b·r ≤ kBudget):
+    * the standard MMDS tuning — among all exact factorizations, choose
+    * the one whose S-curve midpoint (the s where P = 0.5, s = (1/b)^(1/r))
+    * sits closest to the threshold. Ties prefer more rows per band
+    * (steeper curve ⇒ fewer false-positive candidate pairs, the expensive
+    * failure at corpus scale: every FP is a verify-join row).
+    * Driver-side pure arithmetic — use before [[minhashSignature]] /
+    * [[lshBuckets]] instead of hand-picking (b, r). */
+  def lshTune(threshold: Double, kBudget: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"lshTune: threshold in (0,1), got $threshold")
+    require(kBudget >= 2, s"lshTune: budget >= 2, got $kBudget")
+    val options = for {
+      r <- 1 to kBudget
+      b <- 1 to kBudget / r
+      if b * r >= 2
+    } yield {
+      val midpoint = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(midpoint - threshold), -r, b, r)
+    }
+    val best = options.min
+    (best._3, best._4)
+  }
+
   /** LSH banding: `bands` bands of `rowsPerBand` signature components; a
     * candidate pair shares at least one full band. Returns (band, key, id). */
   def lshBuckets(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {

@@ -192,6 +192,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lshTune picks the S-curve midpoint; curve arithmetic sane") {
+    // (1/4)^(1/2) = 0.5 exactly — the unique diff-0 option within budget 16
+    assert(Dedup.lshTune(0.5, 16) === ((4, 2)))
+    // with budget 64 the steeper exact solution (16 bands of 4) wins
+    assert(Dedup.lshTune(0.5, 64) === ((16, 4)))
+    // higher thresholds push toward more rows per band / fewer bands
+    val (b1, r1) = Dedup.lshTune(0.2, 32)
+    val (b2, r2) = Dedup.lshTune(0.9, 32)
+    assert(math.pow(1.0 / b1, 1.0 / r1) < math.pow(1.0 / b2, 1.0 / r2))
+    // the S-curve's 50% crossing is bracketed around the tuned midpoint
+    // (at the midpoint itself P = 1-(1-1/b)^b ≈ 0.63, the MMDS
+    // approximation's known offset) and the curve is monotone in s
+    val (b, r) = Dedup.lshTune(0.5, 64)
+    assert(Dedup.lshCurve(b, r, 0.3) < 0.5 && Dedup.lshCurve(b, r, 0.7) > 0.5)
+    assert(math.abs(Dedup.lshCurve(b, r, 0.5) - (1 - math.pow(1 - 1.0 / b, b))) < 1e-12)
+    assert(Dedup.lshCurve(b, r, 0.9) > Dedup.lshCurve(b, r, 0.5))
+    intercept[IllegalArgumentException](Dedup.lshTune(1.5, 16))
+  }
+
   test("linearScore: bias-only model, monotone in counts, keep = logit>0") {
     val df = Seq((1L, "aa bb"), (2L, "aa bb aa bb"), (3L, "")).toDF("doc_id", "text")
     // zero weights: logit == bias for any doc with tokens; empty doc absent
