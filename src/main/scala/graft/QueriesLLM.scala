@@ -445,6 +445,35 @@ object QueriesLLM {
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source")
     },
+    // ---- incremental exact dedup against a PERSISTED digest store:
+    // two md5-split batches, cross-batch duplicates injected (docs with
+    // id ≡ 3 mod 7 carry the text of id−3), second batch must resolve
+    // keepers from batch 1's persisted state ----
+    "q142_incremental_dedup" -> { (s, dir) =>
+      val d0 = docs(s, dir).select("doc_id", "text")
+      val dupSrc = d0.select((col("doc_id") + 3).as("doc_id"), col("text").as("dup_text"))
+      val corpus = d0.join(dupSrc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3 && col("dup_text").isNotNull,
+            col("dup_text")).otherwise(col("text")).as("text"))
+      val split = pmod(conv(substring(md5(concat(lit("inc:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q142_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+      Dedup.exactIncremental(ps, "digests",
+        corpus.filter(split === 0), "doc_id", "text").count() // batch 1 → state
+      Dedup.exactIncremental(ps, "digests",
+          corpus.filter(split === 1), "doc_id", "text")
+        .orderBy("digest")
+    },
+    // ---- per-source token-budget fill (mixture construction at token
+    // granularity; md5-shuffled admission order, boundary doc included) ----
+    "q143_token_budget" -> { (s, dir) =>
+      TextAnalysis.tokenBudgetFill(docs(s, dir), "doc_id", "text", "source",
+          budget = 800L)
+        .orderBy("doc_id")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3292,6 +3321,49 @@ object QueriesLLM {
            CAST(sum(ch.n) AS BIGINT) AS n_tokens
          FROM ch JOIN keep k USING (doc_id)
          GROUP BY 1 ORDER BY 1""",
+    // Incremental dedup: batch-2 keepers resolve to batch-1's where the
+    // digest was already seen — storage is answer-invisible, the oracle
+    // recomputes pure two-batch semantics.
+    "q142_incremental_dedup" -> {
+      val split = md5Ladder32("'inc:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH corpus AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 3 AND s.text IS NOT NULL
+               THEN s.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 3),
+         sp AS (
+           SELECT doc_id, text, CAST(($split) % 2 AS BIGINT) AS split
+           FROM corpus),
+         b1 AS (
+           SELECT md5(lower(trim(text))) AS digest,
+             CAST(min(doc_id) AS BIGINT) AS keeper
+           FROM sp WHERE split = 0 GROUP BY 1),
+         b2 AS (
+           SELECT md5(lower(trim(text))) AS digest,
+             CAST(min(doc_id) AS BIGINT) AS keeper2,
+             CAST(count(*) AS BIGINT) AS batch_copies
+           FROM sp WHERE split = 1 GROUP BY 1)
+         SELECT b2.digest, b2.batch_copies,
+           coalesce(b1.keeper, b2.keeper2) AS keeper
+         FROM b2 LEFT JOIN b1 USING (digest) ORDER BY digest"""
+    },
+    // Token-budget fill: running sums over the md5 admission order.
+    "q143_token_budget" -> {
+      val mk = "md5('budget:' || CAST(doc_id AS VARCHAR))"
+      s"""WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_toks,
+             $mk AS mk
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_toks,
+             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY mk, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+           FROM d)
+         SELECT doc_id, source, n_toks, cum_toks
+         FROM c WHERE cum_toks - n_toks < 800 ORDER BY doc_id"""
+    },
     "q30_quality" ->
       s"""WITH $ToksCte
          SELECT doc_id, count(*) AS n_tokens,

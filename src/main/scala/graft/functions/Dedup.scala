@@ -34,6 +34,54 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** Incremental exact dedup against PERSISTED digest state: the
+    * digest→keeper map of all prior batches lives in a [[graft.storage
+    * .PartStore]] part (range-partitioned by a 60-bit digest prefix, so
+    * each batch's merge and the anti-join base read only the partitions
+    * its digests land in — the same bounded-blast-radius contract the
+    * incremental ANN index proved), each batch dedups against stored
+    * state AND itself, and only genuinely-new digests are appended
+    * (first-occurrence-wins across batches, exactly
+    * `dropDuplicatesWithinWatermark`'s batch analogue with unbounded
+    * retention). Configure the store with `keyCols = Seq("digest")` —
+    * the full digest keys the merge, the 60-bit prefix only places rows
+    * in partitions, so prefix collisions cannot clobber state.
+    *
+    * Returns one row per distinct batch digest:
+    * (digest, batch_copies, keeper) where keeper is the FIRST id ever
+    * seen for the digest (historical, not batch-local). */
+  def exactIncremental(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(store.config.keyCols == Seq("digest"),
+      "exactIncremental: store must be keyed by the digest column " +
+        s"(keyCols = Seq(\"digest\")), got ${store.config.keyCols}")
+    val psize = store.config.partitionSizeSeconds
+    val batchState = batch
+      .select(col(idCol).cast("long").as("__id"), digest(col(textCol)).as("digest"))
+      .groupBy("digest")
+      .agg(min(col("__id")).as("keeper"), count(lit(1)).as("batch_copies"))
+      .withColumn("entity_id", conv(substring(col("digest"), 1, 15), 16, 10).cast("long"))
+      .withColumn("timestamp", col("entity_id"))
+      .localCheckpoint() // two uses below; digest hashing runs once
+    val pidx = batchState
+      .select(((col("timestamp") - pmod(col("timestamp"), lit(psize))) / psize)
+        .cast("long").as("p")).distinct()
+    def pruned(df: DataFrame): DataFrame =
+      df.join(broadcast(pidx), df("pindex") === col("p")).drop("p")
+    val fresh = store.readPart(part) match {
+      case None => batchState
+      case Some(ex) =>
+        batchState.join(pruned(ex).select("digest"), Seq("digest"), "left_anti")
+    }
+    store.store(part, fresh.select(col("digest"), col("entity_id"),
+      col("timestamp"), col("keeper"), lit(1L).as("modified")))
+    val state = pruned(store.readPart(part).get)
+    batchState.select(col("digest"), col("batch_copies"))
+      .join(state.select(col("digest"), col("keeper")), "digest")
+      .select("digest", "batch_copies", "keeper")
+  }
+
   /** Distinct word k-shingles per document, built with window `lead` over
     * the token stream (single shuffle by doc id). */
   def shingles(tokens: DataFrame, idCol: String, k: Int = 3): DataFrame = {

@@ -690,6 +690,35 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Per-source token-budget fill: admit documents in deterministic
+    * md5-shuffled order until each source's running token count reaches
+    * `budget` — the "fill N billion tokens per source" step of mixture
+    * construction, token-level where [[temperatureMixture]] is
+    * doc-rate-level. The document that crosses the boundary is admitted
+    * (budgets are floors), so every non-empty source with a positive
+    * budget contributes at least one doc. Returns the admitted rows as
+    * (idCol, sourceCol, n_toks, cum_toks).
+    *
+    * Scale: one running-sum window per source — the same per-key ordered
+    * scan as sessionize; a source spanning most of the corpus serializes
+    * within its partition, in which case pre-filter with a rate sample
+    * ([[temperatureMixture]]) or cut at an approximate cum-quantile and
+    * windows only the boundary stratum. */
+  def tokenBudgetFill(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetFill: budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val nToks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val mk = md5(concat(lit("budget:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(sourceCol).orderBy(col("__mk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(sourceCol), nToks.as("n_toks"), mk.as("__mk"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .filter(col("cum_toks") - col("n_toks") < budget)
+      .select(idCol, sourceCol, "n_toks", "cum_toks")
+  }
+
   /** Classifier-based quality filtering plumbing — the fastText-style
     * linear-classifier pass of GPT-3/LLaMA-era pipelines (public
     * practice: score every doc with a trained model, keep positives).

@@ -192,6 +192,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("exactIncremental: first occurrence wins across batches, appends stay bounded") {
+    val work = java.nio.file.Files.createTempDirectory("graft_incdedup_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+    val b1 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha")).toDF("doc_id", "text")
+    val b2 = Seq((1L, "alpha"), (2L, "gamma"), (3L, "gamma")).toDF("doc_id", "text")
+    val r1 = Dedup.exactIncremental(ps, "d", b1, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(r1 === Set((2L, 10L), (1L, 11L))) // alpha keeper=10 (min in batch)
+    val r2 = Dedup.exactIncremental(ps, "d", b2, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    // alpha already seen: keeper stays 10 even though batch-2 has id 1
+    assert(r2 === Set((1L, 10L), (2L, 2L)))
+    // idempotent replay: same batch again changes nothing
+    val r3 = Dedup.exactIncremental(ps, "d", b2, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(r3 === r2)
+    assert(ps.readPart("d").get.select("digest").distinct().count() === 3L)
+    intercept[IllegalArgumentException] {
+      Dedup.exactIncremental(new graft.storage.PartStore(spark,
+        graft.storage.PartStoreConfig(work + "2", 100L)), "d", b1, "doc_id", "text")
+    }
+  }
+
+  test("tokenBudgetFill: boundary doc admitted, cut respected, deterministic") {
+    val df = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c", "s1"), (3L, "a", "s1"),
+      (4L, "x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tokenBudgetFill(df, "doc_id", "text", "source", budget = 6L)
+      .select("doc_id", "n_toks", "cum_toks").as[(Long, Long, Long)].collect()
+    // every admitted doc started below budget; totals may overshoot by
+    // at most one doc (the boundary doc is included)
+    assert(out.forall { case (_, n, cum) => cum - n < 6L })
+    val perSource = TextAnalysis.tokenBudgetFill(df, "doc_id", "text", "source", 6L)
+      .groupBy("source").agg(sum(col("n_toks"))).as[(String, Long)].collect().toMap
+    assert(perSource("s2") === 1L) // tiny source fully admitted
+    assert(perSource("s1") >= 6L - 4L && perSource("s1") <= 6L + 5L)
+    val again = TextAnalysis.tokenBudgetFill(df.repartition(5), "doc_id", "text", "source", 6L)
+      .orderBy("doc_id").collect().toSeq
+    assert(again === TextAnalysis.tokenBudgetFill(df, "doc_id", "text", "source", 6L)
+      .orderBy("doc_id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetFill(df, "doc_id", "text", "source", 0L)
+    }
+  }
+
   test("lshTune picks the S-curve midpoint; curve arithmetic sane") {
     // (1/4)^(1/2) = 0.5 exactly — the unique diff-0 option within budget 16
     assert(Dedup.lshTune(0.5, 16) === ((4, 2)))
