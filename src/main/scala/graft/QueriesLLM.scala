@@ -474,6 +474,15 @@ object QueriesLLM {
           budget = 800L)
         .orderBy("doc_id")
     },
+    // ---- KMV sketch overlap: contamination planning from two <=256-long
+    // sketches, never a corpus join (A = shingles of docs id%3!=0, B =
+    // docs id%2==0 — genuinely overlapping sets) ----
+    "q144_sketch_overlap" -> { (s, dir) =>
+      val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
+      val a = sh.filter(pmod(col("doc_id"), lit(3)) =!= 0).select("shingle")
+      val b = sh.filter(pmod(col("doc_id"), lit(2)) === 0).select("shingle")
+      TextAnalysis.kmvOverlapEstimate(a, b, "shingle", k = 256)
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3363,6 +3372,40 @@ object QueriesLLM {
            FROM d)
          SELECT doc_id, source, n_toks, cum_toks
          FROM c WHERE cum_toks - n_toks < 800 ORDER BY doc_id"""
+    },
+    // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
+    // the exact double arithmetic of kmvOverlapEstimate.
+    "q144_sketch_overlap" -> {
+      val ladder = md5Ladder52("shingle")
+      s"""WITH $ShinglesCte,
+         ha AS (
+           SELECT DISTINCT CAST($ladder AS BIGINT) AS h
+           FROM sh WHERE doc_id % 3 <> 0),
+         hb AS (
+           SELECT DISTINCT CAST($ladder AS BIGINT) AS h
+           FROM sh WHERE doc_id % 2 = 0),
+         ma AS (SELECT h FROM ha QUALIFY row_number() OVER (ORDER BY h) <= 256),
+         mb AS (SELECT h FROM hb QUALIFY row_number() OVER (ORDER BY h) <= 256),
+         ux AS (SELECT DISTINCT h FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb)),
+         x AS (SELECT h FROM ux QUALIFY row_number() OVER (ORDER BY h) <= 256),
+         c AS (
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM ma) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM mb) AS n_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM x) AS kx,
+             (SELECT CAST(count(*) AS BIGINT) FROM x
+               WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)) AS y,
+             (SELECT max(h) FROM x) AS kth)
+         SELECT n_a, n_b, kx, y,
+           CAST(y AS DOUBLE) / CAST(kx AS DOUBLE) AS jaccard_est,
+           CASE WHEN kx < 256 THEN CAST(kx AS DOUBLE)
+             ELSE CAST(255 AS DOUBLE) * 4503599627370496.0 / CAST(kth AS DOUBLE)
+             END AS union_est,
+           (CAST(y AS DOUBLE) / CAST(kx AS DOUBLE)) *
+             (CASE WHEN kx < 256 THEN CAST(kx AS DOUBLE)
+               ELSE CAST(255 AS DOUBLE) * 4503599627370496.0 / CAST(kth AS DOUBLE)
+               END) AS inter_est
+         FROM c"""
     },
     "q30_quality" ->
       s"""WITH $ToksCte

@@ -595,6 +595,41 @@ object TextAnalysis {
           .as("est_distinct")): _*)
   }
 
+  /** Cross-corpus overlap estimation from two KMV sketches (Bar-Yossef
+    * et al. 2002; the Jaccard-from-min-k construction of Beyer et al.
+    * 2007, public): X = the k smallest distinct hashes of the sketch
+    * UNION, J ≈ |X ∩ A ∩ B| / |X|, |A∩B| ≈ J · |A∪B|_KMV. Returns one
+    * row: (n_a, n_b, kx, y, jaccard_est, union_est, inter_est).
+    *
+    * The planning-time answer to "how contaminated is corpus B with set
+    * A?" for TWO ≤k-long sketch scans — never a join of the corpora;
+    * sketches can be persisted (they ride PartStore like any column) and
+    * compared across snapshots without touching the data again. */
+  def kmvOverlapEstimate(
+      a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmvOverlapEstimate: k >= 2, got $k")
+    val hv = conv(substring(md5(col(valueCol)), 1, 13), 16, 10).cast("long")
+    def sk(df: DataFrame, name: String) =
+      df.agg(graft.expressions.MinKLongs.mink(hv, k).as(name))
+    val x = slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k)
+    sk(a, "ma").crossJoin(sk(b, "mb"))
+      .select(col("ma"), col("mb"), x.as("x"))
+      .select(
+        size(col("ma")).cast("long").as("n_a"),
+        size(col("mb")).cast("long").as("n_b"),
+        size(col("x")).cast("long").as("kx"),
+        size(array_intersect(array_intersect(col("x"), col("ma")), col("mb")))
+          .cast("long").as("y"),
+        col("x"))
+      .withColumn("jaccard_est", col("y").cast("double") / col("kx").cast("double"))
+      .withColumn("union_est",
+        when(col("kx") < k, col("kx").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvHashSpace) /
+            element_at(col("x"), k).cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .drop("x")
+  }
+
   /** TF-IDF term weighting (Spärck Jones 1972, public): per-(doc, term)
     * frequency × inverse document frequency `ln(N / df)`. Two map-side
     * aggregates — (doc, tok) counts and distinct-doc counts per tok — and

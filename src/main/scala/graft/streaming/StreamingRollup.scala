@@ -209,6 +209,37 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming incremental dedup with PERSISTED state: each micro-batch
+    * runs [[graft.functions.Dedup.exactIncremental]] against the shared
+    * digest PartStore — the streaming face of q142, complementing
+    * [[dedupExact]]'s bounded-horizon watermark dedup with UNBOUNDED
+    * retention (duplicates are caught however far apart they arrive,
+    * because the state lives in storage, not the state store). Batch
+    * backfills and the stream share one write contract, exactly like
+    * [[indexSink]] and `writeIndexBatch`: a batch job calling
+    * exactIncremental on the same store is indistinguishable from the
+    * stream having processed that data. Recoverable streams must pass
+    * `checkpointLocation`; replayed micro-batches are idempotent (the
+    * anti-join admits no already-stored digest). */
+  def dedupSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.Dedup.exactIncremental(
+            ps, part, batch.toDF(), idCol, textCol).count()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop re-arrivals of the same normalized-text
     * digest within the watermark horizon — the streaming face of the batch
     * `Dedup.exact` (q25), for ingest feeds that replay or mirror documents.

@@ -239,6 +239,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kmvOverlapEstimate: exact below k, close estimate above") {
+    // below k the sketches ARE the sets: estimator must be exact
+    val a = (0 until 30).map(i => s"v$i").toDF("v")
+    val b = (20 until 50).map(i => s"v$i").toDF("v")
+    val r = TextAnalysis.kmvOverlapEstimate(a, b, "v", k = 256)
+      .select("kx", "y", "jaccard_est", "union_est", "inter_est").head()
+    assert(r.getLong(0) === 50L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 10.0 / 50.0)
+    assert(r.getDouble(3) === 50.0 && r.getDouble(4) === 10.0)
+    // above k: estimate within a loose band of truth (J = 1/3)
+    val big1 = (0 until 20000).map(i => s"x$i").toDF("v")
+    val big2 = (10000 until 30000).map(i => s"x$i").toDF("v")
+    val e = TextAnalysis.kmvOverlapEstimate(big1, big2, "v", k = 512)
+      .select("jaccard_est", "inter_est").head()
+    assert(math.abs(e.getDouble(0) - 1.0 / 3.0) < 0.08, s"J est ${e.getDouble(0)}")
+    assert(e.getDouble(1) > 6000 && e.getDouble(1) < 15000, s"inter est ${e.getDouble(1)}")
+  }
+
   test("lshTune picks the S-curve midpoint; curve arithmetic sane") {
     // (1/4)^(1/2) = 0.5 exactly — the unique diff-0 option within budget 16
     assert(Dedup.lshTune(0.5, 16) === ((4, 2)))

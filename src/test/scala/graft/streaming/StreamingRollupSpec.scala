@@ -162,6 +162,37 @@ class StreamingRollupSpec extends SparkSpec {
     assert(rows.forall(r => batch(r.getLong(0)) == r.getString(2)))
   }
 
+  test("streaming dedupSink shares the persisted-digest contract with batch") {
+    import graft.functions.Dedup
+    implicit val sc = spark.sqlContext
+    val base = "target/tmp/stream_dedup"
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 1L << 55, keyCols = Seq("digest")))
+    ps.deletePart("d")
+    // a BATCH job seeds the store — the stream must dedup against it
+    Dedup.exactIncremental(ps, "d",
+      Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingRollup.dedupSink(mem.toDF().toDF("doc_id", "text"),
+      ps, "d", "doc_id", "text")
+    mem.addData((1L, "alpha"), (2L, "gamma"))
+    q.processAllAvailable()
+    mem.addData((3L, "gamma"), (4L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val state = ps.readPart("d").get.select("digest", "keeper")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dg = (s: String) => // md5(lower(trim(s)))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.toLowerCase.trim.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(state.size === 4)
+    assert(state(dg("alpha")) === 10L) // batch seed wins over stream's id 1
+    assert(state(dg("gamma")) === 2L)  // first micro-batch wins over the second
+    assert(state(dg("delta")) === 4L)
+  }
+
   test("streaming indexSink grows the IVF-PQ index batch by batch; retrieval matches fresh") {
     import graft.functions.Similarity
     implicit val sc = spark.sqlContext
