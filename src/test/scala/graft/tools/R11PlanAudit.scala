@@ -15,7 +15,12 @@ object R11PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val qs = Seq("q122_asof_join", "q123_range_join", "q124_rolling_stats",
       "q125_chunking", "q126_pagerank", "q127_mp3_decode", "q128_bmp_decode",
-      "q129_bm25_search", "q130_nn_descent")
+      "q129_bm25_search", "q130_nn_descent", "q131_passage_search",
+      "q132_triangles", "q133_graph_search", "q134_hard_negatives",
+      "q135_perplexity_filter", "q136_classifier_filter", "q137_matryoshka_topk",
+      "q138_asof_native", "q139_flac_decode", "q140_tiff_decode",
+      "q141_curation_capstone", "q142_incremental_dedup", "q143_token_budget",
+      "q144_sketch_overlap")
     for (name <- qs) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
