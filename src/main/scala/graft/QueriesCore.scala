@@ -706,6 +706,38 @@ object QueriesCore {
           hourly, Seq("user_id"), "sec", "avail_sec", tolerance = Some(7200L))
         .orderBy("user_id", "sec", "event_id")
     },
+    // ---- As-of join, FORWARD direction: each event attaches the
+    // nearest FUTURE closed-hour stats within 2h (scheduling lookahead;
+    // oracle = DuckDB ASOF with the <= comparator — direction flows
+    // from the inequality) ----
+    "q145_asof_forward" -> { (s, dir) =>
+      val e = events(s, dir)
+      val hourly = e.groupBy(col("user_id"),
+          (col("ts_sec") - pmod(col("ts_sec"), lit(3600L)) + 3600L).as("avail_sec"))
+        .agg(count(lit(1)).as("hr_events"))
+      TemporalOps.asofJoin(
+          e.select(col("user_id"), col("event_id"), col("ts_sec").as("sec")),
+          hourly, Seq("user_id"), "sec", "avail_sec",
+          tolerance = Some(7200L), direction = "forward")
+        .orderBy("user_id", "sec", "event_id")
+    },
+    // ---- Point-in-interval range join: events falling inside sparse
+    // incident windows (grid-bucketed equi-join; every point maps to ONE
+    // cell so no dedup stage exists at all) ----
+    "q146_point_in_interval" -> { (s, dir) =>
+      val e = events(s, dir)
+      val incidents = e
+        .filter(col("event_type") === "error" && pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id").as("incident_id"),
+          (col("ts_sec") - 300L).as("i_lo"), (col("ts_sec") + 900L).as("i_hi"))
+      TemporalOps.pointInIntervalJoin(
+          e.select(col("event_id"), col("ts_sec").as("sec")), "sec",
+          incidents, "i_lo", "i_hi", bucketWidth = 900L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"), min(col("sec")).as("first_sec"),
+          max(col("sec")).as("last_sec"))
+        .orderBy("incident_id")
+    },
     // ---- Rolling window stats (fixed-point cents keep sums exact) ----
     "q124_rolling_stats" -> { (s, dir) =>
       val e = events(s, dir)
@@ -1099,6 +1131,35 @@ object QueriesCore {
       // latest wins) checks the union+running-window formulation against a
       // genuinely different algorithm, not a mirror of it.
       "q122_asof_join" -> oracleSqlAsof,
+      // Forward direction: DuckDB ASOF with e.sec <= h.avail picks the
+      // SMALLEST avail >= sec — the comparator IS the direction.
+      "q145_asof_forward" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec FROM events),
+           hourly AS (
+             SELECT user_id, (sec//3600)*3600 + 3600 AS avail_sec,
+               count(*) AS hr_events
+             FROM ev GROUP BY 1, 2),
+           j AS (
+             SELECT e.user_id, e.event_id, e.sec, h.avail_sec, h.hr_events
+             FROM ev e ASOF LEFT JOIN hourly h
+               ON e.user_id = h.user_id AND e.sec <= h.avail_sec)
+           SELECT user_id, event_id, sec,
+             CASE WHEN avail_sec IS NOT NULL AND avail_sec - sec <= 7200
+               THEN avail_sec END AS asof_ts,
+             CASE WHEN avail_sec IS NOT NULL AND avail_sec - sec <= 7200
+               THEN hr_events END AS hr_events
+           FROM j ORDER BY user_id, sec, event_id""",
+      "q146_point_in_interval" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, event_type, $ts AS sec FROM events),
+           incidents AS (
+             SELECT event_id AS incident_id, sec - 300 AS i_lo, sec + 900 AS i_hi
+             FROM ev WHERE event_type = 'error' AND event_id % 7 = 0)
+           SELECT incident_id, count(*) AS n_events,
+             min(e.sec) AS first_sec, max(e.sec) AS last_sec
+           FROM ev e JOIN incidents i ON e.sec >= i.i_lo AND e.sec < i.i_hi
+           GROUP BY 1 ORDER BY 1""",
       // q138 = q122's semantics through the native physical operator —
       // same oracle text, third implementation of the same join.
       "q138_asof_native" -> oracleSqlAsof,
