@@ -90,6 +90,31 @@ class AsofJoinExecSpec extends SparkSpec {
     assert(native === composed)
   }
 
+  test("multi-key as-of: composed and native agree; keys scope matches") {
+    val l = Seq((1L, 7L, 100L, "a"), (1L, 8L, 100L, "b"), (2L, 7L, 100L, "c"))
+      .toDF("k1", "k2", "t", "tag")
+    val r = Seq((1L, 7L, 50L, 11L), (1L, 8L, 60L, 22L), (2L, 9L, 40L, 33L))
+      .toDF("k1", "k2", "rt", "feat")
+    val composed = TemporalOps.asofJoin(l, r, Seq("k1", "k2"), "t", "rt")
+      .select("k1", "k2", "tag", "asof_ts", "feat")
+      .orderBy("k1", "k2").collect().toSeq
+    val native = TemporalOps.asofJoinNative(l, r, Seq("k1", "k2"), "t", "rt")
+      .select("k1", "k2", "tag", "asof_ts", "feat")
+      .orderBy("k1", "k2").collect().toSeq
+    assert(native === composed)
+    val m = native.map(x => (x.getString(2), Option(x.get(4)))).toMap
+    assert(m === Map("a" -> Some(11L), "b" -> Some(22L), "c" -> None))
+    // (2,7) must NOT match (2,9)'s row: both key columns scope the join
+  }
+
+  test("empty sides: empty right yields all-null payload; empty left yields nothing") {
+    val none = Seq.empty[(Long, Long, Long)].toDF("k", "rt", "feat")
+    val a = TemporalOps.asofJoinNative(leftDf, none, Seq("k"), "t", "rt")
+    assert(a.count() === 5L && a.filter(col("asof_ts").isNotNull).count() === 0L)
+    val noneL = Seq.empty[(Long, Long, String)].toDF("k", "t", "tag")
+    assert(TemporalOps.asofJoinNative(noneL, rightDf, Seq("k"), "t", "rt").count() === 0L)
+  }
+
   test("native exec refuses non-long ts and payload collisions") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoinNative(leftDf.withColumn("t", col("t").cast("int")),
