@@ -483,6 +483,25 @@ object QueriesLLM {
       val b = sh.filter(pmod(col("doc_id"), lit(2)) === 0).select("shingle")
       TextAnalysis.kmvOverlapEstimate(a, b, "shingle", k = 256)
     },
+    // ---- asymmetric containment from per-doc KMV sketches: docs with
+    // id ≡ 1 mod 4 QUOTE the whole previous doc (prev_text || ' ' ||
+    // text), so pairs (4k, 4k+1) have containment ≈ 1 while Jaccard
+    // stays small — the signal this estimator exists for ----
+    "q147_containment" -> { (s, dir) =>
+      val d0 = docs(s, dir).select("doc_id", "text")
+      val prev = d0.select((col("doc_id") + 1).as("doc_id"), col("text").as("prev_text"))
+      val corpus = d0.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 1 && col("prev_text").isNotNull,
+            concat(col("prev_text"), lit(" "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val sh = Dedup.shingles(TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 3)
+      val sk = Dedup.kmvDocSketches(sh, "doc_id", "shingle", k = 64)
+      val pairs = d0.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .join(d0.select(col("doc_id").as("id2")), "id2") // id2 must exist
+      Dedup.containmentEstimate(sk, "doc_id", pairs, k = 64).orderBy("id1")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3372,6 +3391,70 @@ object QueriesLLM {
            FROM d)
          SELECT doc_id, source, n_toks, cum_toks
          FROM c WHERE cum_toks - n_toks < 800 ORDER BY doc_id"""
+    },
+    // Containment: per-doc min-64 sketches over the quote-injected
+    // corpus, per-pair union-X estimator in the exact Spark op order.
+    "q147_containment" -> {
+      val ladder = md5Ladder52("shingle")
+      s"""WITH corpus AS (
+           SELECT d.doc_id, CASE WHEN d.doc_id % 4 = 1 AND p.text IS NOT NULL
+             THEN p.text || ' ' || d.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+         toks AS (
+           SELECT doc_id,
+             unnest(generate_series(0, len(regexp_split_to_array(trim(text), '\\s+')) - 1)) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM corpus),
+         led AS (
+           SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           FROM toks),
+         sh AS (
+           SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle
+           FROM led WHERE t3 IS NOT NULL),
+         hv AS (SELECT DISTINCT doc_id, CAST($ladder AS BIGINT) AS h FROM sh),
+         mins AS (
+           SELECT doc_id, h FROM hv
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 64),
+         pairs AS (
+           SELECT d.doc_id AS id1, d.doc_id + 1 AS id2
+           FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+           WHERE d.doc_id % 4 = 0),
+         xa AS (SELECT p.id1, p.id2, m.h FROM pairs p JOIN mins m ON m.doc_id = p.id1),
+         xb AS (SELECT p.id1, p.id2, m.h FROM pairs p JOIN mins m ON m.doc_id = p.id2),
+         ux AS (SELECT DISTINCT id1, id2, h FROM
+           (SELECT * FROM xa UNION ALL SELECT * FROM xb)),
+         x AS (SELECT id1, id2, h FROM ux
+           QUALIFY row_number() OVER (PARTITION BY id1, id2 ORDER BY h) <= 64),
+         yc AS (
+           SELECT x.id1, x.id2, CAST(count(*) AS BIGINT) AS y FROM x
+           JOIN xa ON xa.id1 = x.id1 AND xa.id2 = x.id2 AND xa.h = x.h
+           JOIN xb ON xb.id1 = x.id1 AND xb.id2 = x.id2 AND xb.h = x.h
+           GROUP BY 1, 2),
+         sa AS (SELECT id1, id2, CAST(count(*) AS BIGINT) AS n_a, max(h) AS ka
+                FROM xa GROUP BY 1, 2),
+         sb AS (SELECT DISTINCT id1, id2 FROM xb),
+         sx AS (SELECT id1, id2, CAST(count(*) AS BIGINT) AS kx, max(h) AS kxh
+                FROM x GROUP BY 1, 2)
+         SELECT sa.id1, sa.id2, sa.n_a, sx.kx,
+           CAST(coalesce(yc.y, 0) AS BIGINT) AS y,
+           CASE WHEN sa.n_a < 64 THEN CAST(sa.n_a AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 / CAST(sa.ka AS DOUBLE)
+             END AS est_a,
+           CASE WHEN sx.kx < 64 THEN CAST(sx.kx AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 / CAST(sx.kxh AS DOUBLE)
+             END AS est_union,
+           CAST(coalesce(yc.y, 0) AS DOUBLE) / CAST(sx.kx AS DOUBLE) AS jaccard_est,
+           (CAST(coalesce(yc.y, 0) AS DOUBLE) / CAST(sx.kx AS DOUBLE)) *
+             (CASE WHEN sx.kx < 64 THEN CAST(sx.kx AS DOUBLE)
+               ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 / CAST(sx.kxh AS DOUBLE)
+               END) /
+             (CASE WHEN sa.n_a < 64 THEN CAST(sa.n_a AS DOUBLE)
+               ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 / CAST(sa.ka AS DOUBLE)
+               END) AS containment_est
+         FROM sa JOIN sx USING (id1, id2) JOIN sb USING (id1, id2)
+         LEFT JOIN yc USING (id1, id2) ORDER BY id1"""
     },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.

@@ -119,6 +119,53 @@ object Dedup {
       .agg(min(xxhash64(lit(0), col("shingle"))).as("h0"),
         (1 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
 
+  /** Per-document KMV sketches over a (id, valueCol) stream — ≤k longs
+    * per doc however long the doc is, the bounded-state per-doc summary
+    * [[containmentEstimate]] consumes. */
+  def kmvDocSketches(
+      values: DataFrame, idCol: String, valueCol: String, k: Int): DataFrame = {
+    val hv = conv(substring(md5(col(valueCol)), 1, 13), 16, 10).cast("long")
+    values.groupBy(col(idCol))
+      .agg(graft.expressions.MinKLongs.mink(hv, k).as("minima"))
+  }
+
+  /** Asymmetric CONTAINMENT |A∩B| / |A| estimated per candidate pair
+    * from per-doc KMV sketches (Broder 1997's containment via the
+    * union-X construction, public): the quote/subset signal Jaccard
+    * under-scores — a short doc fully quoted inside a long one has tiny
+    * Jaccard but containment ≈ 1, which is exactly what curation wants
+    * to catch before dropping the "duplicate". Per pair: X = k smallest
+    * of the sketch union, J ≈ |X∩A∩B|/|X|, |A∩B| ≈ J·|A∪B|_KMV,
+    * containment ≈ |A∩B| / |A|_KMV.
+    *
+    * `pairs` (id1, id2) comes from any candidate tier (LSH buckets);
+    * the join ships two ≤k arrays per pair — never shingle sets. Exact
+    * whenever both docs have < k distinct values (sketch == set). */
+  def containmentEstimate(
+      sketches: DataFrame, idCol: String, pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"containmentEstimate: k >= 2, got $k")
+    val space = graft.functions.TextAnalysis.KmvHashSpace
+    def kmvEst(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(space) /
+          element_at(arr, k).cast("double"))
+    val x = slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k)
+    pairs
+      .join(sketches.select(col(idCol).as("id1"), col("minima").as("ma")), "id1")
+      .join(sketches.select(col(idCol).as("id2"), col("minima").as("mb")), "id2")
+      .select(col("id1"), col("id2"), col("ma"), col("mb"), x.as("x"))
+      .select(col("id1"), col("id2"),
+        size(col("ma")).cast("long").as("n_a"),
+        size(col("x")).cast("long").as("kx"),
+        size(array_intersect(array_intersect(col("x"), col("ma")), col("mb")))
+          .cast("long").as("y"),
+        kmvEst(col("ma")).as("est_a"),
+        kmvEst(col("x")).as("est_union"))
+      .withColumn("jaccard_est", col("y").cast("double") / col("kx").cast("double"))
+      .withColumn("containment_est",
+        col("jaccard_est") * col("est_union") / col("est_a"))
+  }
+
   /** Candidate-pair probability of the banding scheme at Jaccard s:
     * P = 1 − (1 − s^r)^b (the MMDS S-curve, public). */
   def lshCurve(bands: Int, rowsPerBand: Int, s: Double): Double =

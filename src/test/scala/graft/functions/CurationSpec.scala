@@ -239,6 +239,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("containmentEstimate: quoted doc scores ~1 where Jaccard stays small") {
+    // B = A's shingles plus many of its own: containment(A in B) = 1,
+    // Jaccard = |A|/|B| — the asymmetric case the estimator exists for
+    val values = ((0 until 20).map(i => (1L, s"s$i")) ++       // A: 20 shingles
+      (0 until 100).map(i => (2L, s"s$i")) ++                  // B ⊇ A, 100 shingles
+      (200 until 220).map(i => (3L, s"s$i"))).toDF("doc_id", "shingle")
+    val sk = Dedup.kmvDocSketches(values, "doc_id", "shingle", k = 256)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    // below k the sketches are the sets: estimates are EXACT
+    val full = Dedup.containmentEstimate(sk, "doc_id", pairs, k = 256)
+      .select("id2", "jaccard_est", "containment_est").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(full(2L) === ((0.2, 1.0)))  // J = 20/100, containment = 1
+    assert(full(3L) === ((0.0, 0.0)))  // disjoint
+  }
+
   test("kmvOverlapEstimate: exact below k, close estimate above") {
     // below k the sketches ARE the sets: estimator must be exact
     val a = (0 until 30).map(i => s"v$i").toDF("v")
