@@ -738,6 +738,76 @@ object QueriesCore {
           max(col("sec")).as("last_sec"))
         .orderBy("incident_id")
     },
+    // ---- Classic TPC-H on the fixture tables: general-OLAP gates with
+    // decimal-exact money arithmetic (sum in DECIMAL, avgs as double
+    // division of the exact sums — the q01 convention) ----
+    "q149_tpch_q1" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") <= 950000000L)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) *
+            (one + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "q150_tpch_q3" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val c = load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = load(s, dir, "orders")
+        .withColumn("order_sec", expr("o_orderdate div 1000000000"))
+        .filter(col("order_sec") < 850000000L)
+      val l = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") > 850000000L)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "order_sec", "o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "q151_tpch_q5" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val o = load(s, dir, "orders")
+        .withColumn("order_sec", expr("o_orderdate div 1000000000"))
+        .filter(col("order_sec") >= 800000000L && col("order_sec") < 900000000L)
+      load(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey")) // LOCAL suppliers only
+        .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    "q152_tpch_q6" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") >= 800000000L && col("ship_sec") < 900000000L)
+        .filter(dec(col("l_discount")).between(
+          lit(0.05).cast("decimal(12,2)"), lit(0.07).cast("decimal(12,2)")))
+        .filter(col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
     // ---- Rolling window stats (fixed-point cents keep sums exact) ----
     "q124_rolling_stats" -> { (s, dir) =>
       val e = events(s, dir)
@@ -1131,6 +1201,67 @@ object QueriesCore {
       // latest wins) checks the union+running-window formulation against a
       // genuinely different algorithm, not a mirror of it.
       "q122_asof_join" -> oracleSqlAsof,
+      // TPC-H gates: the same decimal-exact money arithmetic — products
+      // and sums in DECIMAL, averages as double division of exact sums.
+      "q149_tpch_q1" ->
+        """WITH base AS (
+             SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+                 (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS sum_charge,
+               count(*) AS count_order
+             FROM lineitem
+             WHERE epoch_ns(l_shipdate)//1000000000 <= 950000000
+             GROUP BY 1, 2)
+           SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+             sum_disc_price, sum_charge, count_order,
+             sum_qty / count_order AS avg_qty,
+             sum_base_price / count_order AS avg_price
+           FROM base ORDER BY 1, 2""",
+      "q150_tpch_q3" ->
+        """SELECT l_orderkey,
+             epoch_ns(o_orderdate)//1000000000 AS order_sec, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND epoch_ns(o_orderdate)//1000000000 < 850000000
+             AND epoch_ns(l_shipdate)//1000000000 > 850000000
+           GROUP BY 1, 2, 3
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      "q151_tpch_q5" ->
+        """SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE epoch_ns(o_orderdate)//1000000000 >= 800000000
+             AND epoch_ns(o_orderdate)//1000000000 < 900000000
+           GROUP BY 1 ORDER BY revenue DESC, n_name""",
+      "q152_tpch_q6" ->
+        """SELECT
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+           FROM lineitem
+           WHERE epoch_ns(l_shipdate)//1000000000 >= 800000000
+             AND epoch_ns(l_shipdate)//1000000000 < 900000000
+             AND CAST(l_discount AS DECIMAL(12,2))
+               BETWEEN CAST(0.05 AS DECIMAL(12,2)) AND CAST(0.07 AS DECIMAL(12,2))
+             AND l_quantity < 24""",
       // Forward direction: DuckDB ASOF with e.sec <= h.avail picks the
       // SMALLEST avail >= sec — the comparator IS the direction.
       "q145_asof_forward" ->

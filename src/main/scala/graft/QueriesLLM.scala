@@ -502,6 +502,13 @@ object QueriesLLM {
         .join(d0.select(col("doc_id").as("id2")), "id2") // id2 must exist
       Dedup.containmentEstimate(sk, "doc_id", pairs, k = 64).orderBy("id1")
     },
+    // ---- blocklist filter (C4-style badwords stage): word-level exact
+    // match against a broadcast list ----
+    "q148_blocklist" -> { (s, dir) =>
+      CorpusClean.blocklistFilter(docs(s, dir), "doc_id", "text",
+          blocklist = Seq("slow", "big", "merge"))
+        .orderBy("doc_id")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3456,6 +3463,14 @@ object QueriesLLM {
          FROM sa JOIN sx USING (id1, id2) JOIN sb USING (id1, id2)
          LEFT JOIN yc USING (id1, id2) ORDER BY id1"""
     },
+    "q148_blocklist" ->
+      s"""WITH $ToksCte
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN lower(tok) IN ('slow', 'big', 'merge')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           sum(CASE WHEN lower(tok) IN ('slow', 'big', 'merge')
+             THEN 1 ELSE 0 END) > 0 AS blocked
+         FROM toks GROUP BY 1 ORDER BY 1""",
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
     "q144_sketch_overlap" -> {

@@ -120,6 +120,33 @@ object CorpusClean {
     * zero).
     *
     * Pure per-row projection — no shuffle at any scale. */
+  /** Blocklist filtering (the badwords stage every web-corpus pipeline
+    * runs, e.g. the C4 cleanup, public): flag documents containing any
+    * blocked TOKEN and count the hits. Word-level exact matching on the
+    * whitespace tokenizer — a broadcast join against the ≤|list|-row
+    * blocklist, deliberately NOT a regex alternation (regex dialects
+    * diverge across engines and a 10k-word alternation defeats codegen);
+    * substring/obfuscation matching belongs to a scoring model, not the
+    * hard filter. Output: (id, n_tokens, n_blocked, blocked) for every
+    * input doc. */
+  def blocklistFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = blocklist.toDF("tok")
+    val toks = TextAnalysis.tokens(df, idCol, textCol)
+    val counts = toks
+      .join(broadcast(bl), lower(toks("tok")) === bl("tok"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked"))
+    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    totals.join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
   def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t1 = regexp_replace(col(textCol), EmailPattern, "[EMAIL]")
     df.select(col(idCol),

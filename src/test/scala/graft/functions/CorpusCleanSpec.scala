@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
 class CorpusCleanSpec extends SparkSpec {
   import spark.implicits._
 
+  test("blocklistFilter: case-insensitive word hits, clean docs unflagged") {
+    val df = Seq(
+      (1L, "the BAD word"), (2L, "all clean here"), (3L, "bad bad notbad")
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.blocklistFilter(df, "doc_id", "text", Seq("bad"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_blocked", "blocked")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, true),   // case-insensitive match
+      (2L, 3L, 0L, false),
+      (3L, 3L, 2L, true)))  // 'notbad' is NOT a hit: word-level, not substring
+    intercept[IllegalArgumentException] {
+      CorpusClean.blocklistFilter(df, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  import spark.implicits._
+
   test("boilerplate lines flagged across docs, body reassembled in order") {
     val df = Seq(
       (1L, "HEADER\nunique one\nmiddle one\nFOOTER"),
