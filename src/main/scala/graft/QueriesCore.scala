@@ -808,6 +808,38 @@ object QueriesCore {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     },
+    "q153_tpch_q18" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val l = load(s, dir, "lineitem")
+      val bigOrders = l.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("order_qty"))
+        .filter(col("order_qty") > 180)
+      load(s, dir, "customer")
+        .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("o_orderdate div 1000000000").as("order_sec"),
+          col("o_totalprice"), col("order_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    "q154_tpch_q10" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val o = load(s, dir, "orders")
+        .withColumn("order_sec", expr("o_orderdate div 1000000000"))
+        .filter(col("order_sec") >= 850000000L && col("order_sec") < 950000000L)
+      load(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(load(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
     // ---- Rolling window stats (fixed-point cents keep sums exact) ----
     "q124_rolling_stats" -> { (s, dir) =>
       val e = events(s, dir)
@@ -1251,6 +1283,32 @@ object QueriesCore {
            WHERE epoch_ns(o_orderdate)//1000000000 >= 800000000
              AND epoch_ns(o_orderdate)//1000000000 < 900000000
            GROUP BY 1 ORDER BY revenue DESC, n_name""",
+      "q153_tpch_q18" ->
+        """WITH big AS (
+             SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS order_qty
+             FROM lineitem GROUP BY 1
+             HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 180)
+           SELECT c_name, c_custkey, o_orderkey,
+             epoch_ns(o_orderdate)//1000000000 AS order_sec,
+             o_totalprice, CAST(order_qty AS DOUBLE) AS total_qty
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN big ON o_orderkey = l_orderkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+      "q154_tpch_q10" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE epoch_ns(o_orderdate)//1000000000 >= 850000000
+             AND epoch_ns(o_orderdate)//1000000000 < 950000000
+             AND l_returnflag = 'R'
+           GROUP BY 1, 2, 3, 4
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
       "q152_tpch_q6" ->
         """SELECT
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
