@@ -20,7 +20,9 @@ object R11PlanAudit {
       "q135_perplexity_filter", "q136_classifier_filter", "q137_matryoshka_topk",
       "q138_asof_native", "q139_flac_decode", "q140_tiff_decode",
       "q141_curation_capstone", "q142_incremental_dedup", "q143_token_budget",
-      "q144_sketch_overlap")
+      "q144_sketch_overlap", "q145_asof_forward", "q146_point_in_interval",
+      "q147_containment", "q148_blocklist", "q149_tpch_q1", "q150_tpch_q3",
+      "q151_tpch_q5", "q152_tpch_q6", "q153_tpch_q18", "q154_tpch_q10")
     for (name <- qs) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
