@@ -135,15 +135,15 @@ object CorpusClean {
     require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
     val spark = df.sparkSession
     import spark.implicits._
-    val bl = blocklist.toDF("tok")
+    // lowercase + distinct the LIST side too: case-insensitivity must be
+    // two-sided, and duplicate entries would double-count every hit
+    val bl = blocklist.map(_.toLowerCase).distinct.toDF("bl_tok")
     val toks = TextAnalysis.tokens(df, idCol, textCol)
-    val counts = toks
-      .join(broadcast(bl), lower(toks("tok")) === bl("tok"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked"))
-    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
-    totals.join(counts, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"))
+    // one pass: the token explode (the dominant cost) runs once, the
+    // broadcast left join marks hits, one aggregate counts both
+    toks.join(broadcast(bl), lower(toks("tok")) === col("bl_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), count(col("bl_tok")).as("n_blocked"))
       .withColumn("blocked", col("n_blocked") > 0)
   }
 

@@ -56,6 +56,15 @@ object Dedup {
     require(store.config.keyCols == Seq("digest"),
       "exactIncremental: store must be keyed by the digest column " +
         s"(keyCols = Seq(\"digest\")), got ${store.config.keyCols}")
+    // a string/UUID id would cast to NULL and persist null keepers into
+    // the shared state forever — refuse loudly, like the ANN paths
+    locally {
+      import org.apache.spark.sql.types._
+      val t = batch.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+        s"exactIncremental: id column '$idCol' must be integral (keepers " +
+          s"are stored as LONG), got ${t.simpleString}")
+    }
     val psize = store.config.partitionSizeSeconds
     val batchState = batch
       .select(col(idCol).cast("long").as("__id"), digest(col(textCol)).as("digest"))

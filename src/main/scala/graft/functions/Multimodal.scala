@@ -438,14 +438,21 @@ object Multimodal {
       frames = (1 + docId % 24).toInt, id3Pad = ((docId * 13) % 100).toInt)
 
   /** [[fixtureBlobs]] for the MP3 gate. */
-  def mp3Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
+  /** Shared blob-column builder: (id, blob) from a deterministic
+    * (docId, nChars) fixture function — one narrow map, the shape
+    * [[decode]] consumes. */
+  private def blobsOf(docs: DataFrame, idCol: String, nCharsCol: String)(
+      fixture: (Long, Long) => Array[Byte]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
       .as[(Long, Long)]
-      .map { case (id, n) => (id, mp3Fixture(id, n)) }
+      .map { case (id, n) => (id, fixture(id, n)) }
       .toDF(idCol, "blob")
   }
+
+  def mp3Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(mp3Fixture)
 
   /** BMP fixture: w = 1 + n_chars % 2000; h = ±(1 + (doc_id·11) % 1200),
     * negative (top-down) for odd doc_id — the parser must report |h|. */
@@ -455,14 +462,8 @@ object Multimodal {
   }
 
   /** [[fixtureBlobs]] for the BMP gate. */
-  def bmpBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
-      .as[(Long, Long)]
-      .map { case (id, n) => (id, bmpFixture(id, n)) }
-      .toDF(idCol, "blob")
-  }
+  def bmpBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(bmpFixture)
 
   /** FLAC with a real packed STREAMINFO (16 bits/sample); frame/block
     * size fields zero — the parser only reads the documented bitfields. */
@@ -505,14 +506,8 @@ object Multimodal {
     synthFlac(16000 + (nChars % 5).toInt * 8000, 1 + (docId % 8).toInt,
       100 + docId % 1000)
 
-  def flacBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
-      .as[(Long, Long)]
-      .map { case (id, n) => (id, flacFixture(id, n)) }
-      .toDF(idCol, "blob")
-  }
+  def flacBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(flacFixture)
 
   /** TIFF fixture: little-endian for even doc_id, SHORT values for even
     * n_chars; w = 1 + n_chars % 4000, h = 1 + (doc_id·13) % 3000. */
@@ -520,14 +515,8 @@ object Multimodal {
     synthTiff((1 + nChars % 4000).toInt, (1 + (docId * 13) % 3000).toInt,
       little = docId % 2 == 0, useShort = nChars % 2 == 0)
 
-  def tiffBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
-      .as[(Long, Long)]
-      .map { case (id, n) => (id, tiffFixture(id, n)) }
-      .toDF(idCol, "blob")
-  }
+  def tiffBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(tiffFixture)
 
   /** Audio fixture: 16-bit PCM, rate/channels/frames derived from
     * (doc_id, n_chars) so the oracle recomputes them without bytes.
@@ -539,14 +528,8 @@ object Multimodal {
       frames = (1 + docId % 480).toInt)
 
   /** [[fixtureBlobs]] for the audio gate: (id, blob) WAV column. */
-  def audioBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
-      .as[(Long, Long)]
-      .map { case (id, n) => (id, audioFixture(id, n)) }
-      .toDF(idCol, "blob")
-  }
+  def audioBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(audioFixture)
 
   /** Per-doc fixture: format rotates on doc_id % 4; dimensions derive from
     * (doc_id, n_chars) so the oracle can recompute them without bytes.
@@ -568,12 +551,6 @@ object Multimodal {
     * path — a real deployment reads an existing binary column instead).
     * Narrow map, no shuffle: yields exactly the (id, blob) shape `decode`
     * consumes. */
-  def fixtureBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
-      .as[(Long, Long)]
-      .map { case (id, n) => (id, mediaFixture(id, n)) }
-      .toDF(idCol, "blob")
-  }
+  def fixtureBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(mediaFixture)
 }

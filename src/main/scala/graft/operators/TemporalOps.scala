@@ -70,23 +70,33 @@ object TemporalOps {
     val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     val clash = payload.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asofJoin: right payload columns collide with left: $clash")
+    val reserved = Seq("asof_ts", "__ts", "__side", "__match")
+    val resClash = reserved.filter(r => left.columns.contains(r) || payload.contains(r))
+    require(resClash.isEmpty,
+      s"asofJoin: reserved output/internal column names in use: $resClash " +
+        "(rename before joining — common when chaining two as-of joins)")
     val leftOnly = left.columns.filterNot(keyCols.contains)
 
-    def nullAs(src: DataFrame, name: String): Column =
-      lit(null).cast(src.schema(name).dataType).as(name)
-
+    // The matched right row travels as ONE struct so its fields stay
+    // ATOMIC: per-column last(ignoreNulls) would paper over a genuine
+    // NULL in the matched row with a stale value from an OLDER right row,
+    // silently mixing columns of different rows (and diverging from the
+    // native exec and DuckDB ASOF, which both return the whole row).
+    val matchType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("asof_ts",
+        org.apache.spark.sql.types.LongType) +:
+        payload.map(p => right.schema(p).copy(nullable = true)))
     val lTagged = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).cast("long").as("__ts"), lit(1).as("__side")) ++
-        leftOnly.map(col) ++
-        Seq(lit(null).cast("long").as("asof_ts")) ++
-        payload.map(p => nullAs(right, p)): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(matchType).as("__match"): _*)
     val rTagged = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).cast("long").as("__ts"), lit(0).as("__side")) ++
-        leftOnly.map(c => nullAs(left, c)) ++
-        Seq(col(rightTs).cast("long").as("asof_ts")) ++
-        payload.map(col): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTs).cast("long").as("asof_ts") +: payload.map(col): _*)
+          .as("__match"): _*)
 
     // forward = earliest at-or-after: identical running scan over the
     // REVERSED timestamp order (right rows still sort before left at
@@ -95,20 +105,21 @@ object TemporalOps {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(if (fwd) col("__ts").desc else col("__ts").asc, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("asof_ts" +: payload.toSeq).foldLeft(lTagged.unionByName(rTagged)) {
-      (d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
 
-    val gap = if (fwd) col("asof_ts") - col("__ts") else col("__ts") - col("asof_ts")
+    val matchedTs = col("__match.asof_ts")
+    val gap = if (fwd) matchedTs - col("__ts") else col("__ts") - matchedTs
     val inTol = tolerance match {
-      case Some(t) => col("asof_ts").isNotNull && gap <= t
-      case None    => col("asof_ts").isNotNull
+      case Some(t) => col("__match").isNotNull && gap <= t
+      case None    => col("__match").isNotNull
     }
-    val masked = ("asof_ts" +: payload.toSeq).foldLeft(carried.filter(col("__side") === 1)) {
-      (d, c) => d.withColumn(c, when(inTol, col(c)))
-    }
-    masked.select(
-      keyCols.map(col) ++ leftOnly.map(col) ++ ("asof_ts" +: payload.toSeq).map(col): _*)
+    carried.filter(col("__side") === 1)
+      .withColumn("__match", when(inTol, col("__match")))
+      .select(
+        keyCols.map(col) ++ leftOnly.map(col) ++
+          (col("__match.asof_ts").as("asof_ts") +:
+            payload.map(p => col(s"__match.$p").as(p))): _*)
   }
 
   /** Backward as-of join through the NATIVE physical operator
@@ -136,6 +147,9 @@ object TemporalOps {
     val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     val clash = payload.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asofJoinNative: right payload columns collide with left: $clash")
+    require(!left.columns.contains("asof_ts") && !payload.contains("asof_ts"),
+      "asofJoinNative: 'asof_ts' is the matched-timestamp output column — " +
+        "rename the existing one before joining (common when chaining as-ofs)")
     require(left.schema(leftTs).dataType == LongType &&
         right.schema(rightTs).dataType == LongType,
       s"asofJoinNative: ts columns must be LongType epoch values, got " +

@@ -81,8 +81,11 @@ object AsofJoinFilterPushdown
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsofJoin) =>
       val leftSet = ASet(aj.left.output)
-      val (pushable, kept) =
-        splitConjuncts(cond).partition(_.references.subsetOf(leftSet))
+      // deterministic only: rand()/spark_partition_id()/input_file_name()
+      // have empty references (hence "subsetOf") but change meaning when
+      // re-sited — same guard Catalyst's own pushdown rules apply
+      val (pushable, kept) = splitConjuncts(cond)
+        .partition(c => c.deterministic && c.references.subsetOf(leftSet))
       if (pushable.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))

@@ -66,6 +66,21 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: a matched row's NULL payload stays NULL (atomic row carry)") {
+    // right at ts=10 has x=5; at ts=20 x is GENUINELY null. A left row at
+    // ts=25 matches the ts=20 row and must see x=null — per-column
+    // ignoreNulls carry would smear the stale 5 forward.
+    val l = Seq((1L, 25L)).toDF("k", "t")
+    val r = Seq((1L, 10L, Some(5L)), (1L, 20L, None)).toDF("k", "rt", "x")
+    val out = TemporalOps.asofJoin(l, r, Seq("k"), "t", "rt")
+      .select("asof_ts", "x").head()
+    assert(out.getLong(0) === 20L && out.isNullAt(1))
+    // reserved-name guard: chaining without renaming refuses loudly
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoin(l.withColumn("asof_ts", lit(1L)), r, Seq("k"), "t", "rt")
+    }
+  }
+
   test("asofJoin rejects colliding payload names") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(leftDf, rightDf.withColumnRenamed("feat", "tag"),

@@ -40,7 +40,10 @@ class AsofJoinExecSpec extends SparkSpec {
     val right = spark.range(0, 500).select(
       (col("id") % 29).as("k"),
       (pmod(col("id") * 1099511628211L, lit(100000L))).as("rt"),
-      (col("id") * 7).as("payload"))
+      // every 5th matched row carries a GENUINE NULL payload — the case
+      // that distinguishes atomic row carry from per-column
+      // last(ignoreNulls) smearing (the review-caught divergence)
+      when(col("id") % 5 =!= 0, col("id") * 7).as("payload"))
       // determinism contract: at most one right row per (k, rt)
       .groupBy("k", "rt").agg(max("payload").as("payload"))
     for (tol <- Seq(None, Some(5000L))) {
