@@ -840,6 +840,52 @@ object QueriesCore {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+    "q155_tpch_q14" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val l = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") >= 850000000L && col("ship_sec") < 900000000L)
+      val disc = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      l.join(load(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", disc)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("promo_revenue"),
+          sum(disc).cast("double").as("total_revenue"))
+        .withColumn("promo_pct",
+          lit(100.0) * col("promo_revenue") / col("total_revenue"))
+    },
+    // ---- Funnel analysis: per-user ordered view → click → purchase
+    // progression (each stage's first event must FOLLOW the previous
+    // stage's), aggregated to stage-conversion counts ----
+    "q156_funnel" -> { (s, dir) =>
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_sec")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_sec") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts_sec")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_sec") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts_sec")).as("p_ts"))
+      val users = e.select(countDistinct(col("user_id")).as("n_users"))
+      users
+        .crossJoin(v.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    },
+    // ---- Cohort retention: users bucketed by first-seen week, activity
+    // counted per (cohort_week, weeks_since) cell ----
+    "q157_cohort_retention" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("week", expr("ts_sec div 604800"))
+      val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      e.select("user_id", "week").distinct()
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    },
     // ---- Rolling window stats (fixed-point cents keep sums exact) ----
     "q124_rolling_stats" -> { (s, dir) =>
       val e = events(s, dir)
@@ -1309,6 +1355,52 @@ object QueriesCore {
              AND l_returnflag = 'R'
            GROUP BY 1, 2, 3, 4
            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+      "q155_tpch_q14" ->
+        """WITH l AS (
+             SELECT l_partkey,
+               CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS disc
+             FROM lineitem
+             WHERE epoch_ns(l_shipdate)//1000000000 >= 850000000
+               AND epoch_ns(l_shipdate)//1000000000 < 900000000),
+           base AS (
+             SELECT
+               CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN disc
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+               CAST(sum(disc) AS DOUBLE) AS total_revenue
+             FROM l JOIN part ON l_partkey = p_partkey)
+           SELECT promo_revenue, total_revenue,
+             100.0 * promo_revenue / total_revenue AS promo_pct
+           FROM base""",
+      "q156_funnel" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_type, $ts AS sec FROM events),
+           v AS (
+             SELECT user_id, min(sec) AS v_ts FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+           c AS (
+             SELECT e.user_id, min(e.sec) AS c_ts
+             FROM ev e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.sec >= v.v_ts GROUP BY 1),
+           p AS (
+             SELECT e.user_id, min(e.sec) AS p_ts
+             FROM ev e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.sec >= c.c_ts GROUP BY 1)
+           SELECT
+             (SELECT count(DISTINCT user_id) FROM ev) AS n_users,
+             (SELECT count(*) FROM v) AS n_viewed,
+             (SELECT count(*) FROM c) AS n_clicked_after_view,
+             (SELECT count(*) FROM p) AS n_purchased_after_click""",
+      "q157_cohort_retention" ->
+        s"""WITH ev AS (
+             SELECT user_id, $ts//604800 AS week FROM events),
+           cohort AS (
+             SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+           act AS (SELECT DISTINCT user_id, week FROM ev)
+           SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since,
+             count(DISTINCT a.user_id) AS n_active
+           FROM act a JOIN cohort c USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2""",
       "q152_tpch_q6" ->
         """SELECT
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
