@@ -2366,9 +2366,14 @@ object QueriesLLM {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
              AS succ
            FROM mkr),
+         bkc AS (
+           -- mirror nnDescent's maxBucket=4096 cap (keepSmallKeys): a
+           -- bucket past the cap contributes NO init pairs
+           SELECT id, b FROM bk
+           QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
          p0 AS (
            SELECT x.id AS q, y.id AS nb
-           FROM bk x JOIN bk y ON x.b = y.b AND x.id <> y.id
+           FROM bkc x JOIN bkc y ON x.b = y.b AND x.id <> y.id
            UNION SELECT id, succ FROM ring WHERE id <> succ
            UNION SELECT succ, id FROM ring WHERE id <> succ),
          s_r0 AS (
@@ -2452,9 +2457,14 @@ object QueriesLLM {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
              AS succ
            FROM mkr),
+         bkc AS (
+           -- mirror nnDescent's maxBucket=4096 cap (keepSmallKeys): a
+           -- bucket past the cap contributes NO init pairs
+           SELECT id, b FROM bk
+           QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
          p0 AS (
            SELECT x.id AS q, y.id AS nb
-           FROM bk x JOIN bk y ON x.b = y.b AND x.id <> y.id
+           FROM bkc x JOIN bkc y ON x.b = y.b AND x.id <> y.id
            UNION SELECT id, succ FROM ring WHERE id <> succ
            UNION SELECT succ, id FROM ring WHERE id <> succ),
          ${rankRound("p0", "r0")},

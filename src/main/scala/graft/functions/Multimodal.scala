@@ -116,8 +116,11 @@ object Multimodal {
     if (avih < 0 || avih + 40 > b.length) unknown(id, cs)
     else
       DecodedMedia(id, "avi",
-        width = le32(b, avih + 32), height = le32(b, avih + 36),
-        frames = le32(b, avih + 16), checksum = cs)
+        // clamp corrupt fields (dwTotalFrames >= 2^31 reads negative):
+        // a negative frame count would crash downstream sequence() calls
+        width = math.max(0, le32(b, avih + 32)),
+        height = math.max(0, le32(b, avih + 36)),
+        frames = math.max(0, le32(b, avih + 16)), checksum = cs)
   }
 
   /** RIFF/WAVE header parse (WAVE spec, public): linear chunk walk to
@@ -339,7 +342,12 @@ object Multimodal {
   def frameSamplePlan(decoded: Dataset[DecodedMedia], everyK: Int): DataFrame =
     decoded.toDF()
       .select(col("id"), col("frames"),
-        sequence(lit(0), col("frames") - 1, lit(everyK)).as("frame_idx"))
+        // frames <= 0 is the unknown-format degrade path (and the clamp
+        // for corrupt counts): an EMPTY index array, not a crash —
+        // sequence(0, -1, k) throws at runtime
+        when(col("frames") > 0,
+          sequence(lit(0), col("frames") - 1, lit(everyK)))
+          .otherwise(array().cast("array<int>")).as("frame_idx"))
 
   // ---- deterministic fixture synthesis --------------------------------
   // The driver testdata carries no real media bytes, so the gate queries
@@ -437,7 +445,6 @@ object Multimodal {
     synthMp3(srIdx = (docId % 3).toInt, stereo = nChars % 2 == 0,
       frames = (1 + docId % 24).toInt, id3Pad = ((docId * 13) % 100).toInt)
 
-  /** [[fixtureBlobs]] for the MP3 gate. */
   /** Shared blob-column builder: (id, blob) from a deterministic
     * (docId, nChars) fixture function — one narrow map, the shape
     * [[decode]] consumes. */
@@ -461,7 +468,6 @@ object Multimodal {
     synthBmp((1 + nChars % 2000).toInt, if (docId % 2 == 1) -h else h)
   }
 
-  /** [[fixtureBlobs]] for the BMP gate. */
   def bmpBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(bmpFixture)
 

@@ -55,6 +55,12 @@ object TemporalOps {
     * Determinism: callers must ensure `right` has at most one row per
     * (keyCols, rightTs) — with duplicates the window's tie order, hence
     * the attached payload, is partition-layout-dependent.
+    *
+    * NULL keys follow SQL equality (the DuckDB ASOF `ON l.k = r.k`
+    * semantics the oracle runs): a NULL never equals a NULL, so
+    * NULL-key right rows are dropped and NULL-key left rows always get
+    * NULL payload — NOT the "NULLs group together" behavior a raw
+    * window partitionBy would give.
     */
   def asofJoin(
       left: DataFrame,
@@ -76,6 +82,8 @@ object TemporalOps {
       s"asofJoin: reserved output/internal column names in use: $resClash " +
         "(rename before joining — common when chaining two as-of joins)")
     val leftOnly = left.columns.filterNot(keyCols.contains)
+    // SQL NULL-equality: NULL-key right rows can never match anything
+    val rightClean = right.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
 
     // The matched right row travels as ONE struct so its fields stay
     // ATOMIC: per-column last(ignoreNulls) would paper over a genuine
@@ -91,7 +99,7 @@ object TemporalOps {
         Seq(col(leftTs).cast("long").as("__ts"), lit(1).as("__side")) ++
         leftOnly.map(col) :+
         lit(null).cast(matchType).as("__match"): _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       keyCols.map(col) ++
         Seq(col(rightTs).cast("long").as("__ts"), lit(0).as("__side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
@@ -161,20 +169,31 @@ object TemporalOps {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.AsofJoinFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AsofJoinFilterPushdown
+    // SQL NULL-equality (match the composed form and DuckDB ASOF): a
+    // NULL-key right row can never match; the merge's RowOrdering would
+    // otherwise treat NULL == NULL and group them
+    val rightClean = right.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     GraftBridge.ofRows(spark, graft.plans.AsofJoin(
-      GraftBridge.analyzed(left), GraftBridge.analyzed(right),
+      GraftBridge.analyzed(left), GraftBridge.analyzed(rightClean),
       keyCols, leftTs, rightTs, tolerance))
   }
 
+  /** Exact non-negative integral floor division of a LONG column: the
+    * remainder is subtracted first and the division runs in DECIMAL, so
+    * the quotient is exact at ANY magnitude — a double division would
+    * mis-bucket values whose remainder-free numerator exceeds 2^53 and
+    * isn't a multiple of the double ulp (e.g. epoch-NANOS timestamps
+    * with an hour-in-nanos bucket). */
+  private def floorDiv(c: Column, d: Long): Column =
+    ((c - pmod(c, lit(d))).cast("decimal(38,0)") / lit(d).cast("decimal(38,0)"))
+      .cast("long")
+
   /** Grid cells an [lo, hi) interval covers, as a column of LONGs.
-    * Integral floor-division is safe here because epoch seconds in every
-    * fixture (and any sane deployment) are non-negative; `sequence` is
-    * inclusive so the hi-side cell uses hi-1 (half-open intervals never
-    * touch the cell starting exactly at hi). */
+    * Floor semantics need non-negative inputs (epoch values are);
+    * `sequence` is inclusive so the hi-side cell uses hi-1 (half-open
+    * intervals never touch the cell starting exactly at hi). */
   private def cells(lo: Column, hi: Column, bucketWidth: Long): Column =
-    sequence(
-      (lo - pmod(lo, lit(bucketWidth))) / bucketWidth cast "long",
-      ((hi - 1) - pmod(hi - 1, lit(bucketWidth))) / bucketWidth cast "long")
+    sequence(floorDiv(lo, bucketWidth), floorDiv(hi - 1, bucketWidth))
 
   /** Point-in-interval join: rows of `points` paired with every `intervals`
     * row whose half-open [loCol, hiCol) contains ptCol. Output = point
@@ -189,8 +208,7 @@ object TemporalOps {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "pointInIntervalJoin: bucketWidth must be positive")
-    val p = points.withColumn("__cell",
-      (col(ptCol) - pmod(col(ptCol), lit(bucketWidth))) / bucketWidth cast "long")
+    val p = points.withColumn("__cell", floorDiv(col(ptCol), bucketWidth))
     val iv = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell", explode(cells(col(loCol), col(hiCol), bucketWidth)))
@@ -217,7 +235,7 @@ object TemporalOps {
     val ovStart = greatest(col(aLo), col(bLo))
     ea.join(eb, "__cell")
       .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
-      .filter(col("__cell") === ((ovStart - pmod(ovStart, lit(bucketWidth))) / bucketWidth).cast("long"))
+      .filter(col("__cell") === floorDiv(ovStart, bucketWidth))
       .drop("__cell")
   }
 

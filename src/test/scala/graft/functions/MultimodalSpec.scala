@@ -114,6 +114,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMedia(6L, info.take(20)).format == "unknown")
   }
 
+  test("frameSamplePlan: unknown-format rows (frames=0) yield EMPTY index arrays") {
+    import spark.implicits._
+    val decoded = Seq(
+      Multimodal.DecodedMedia(1L, "avi", 10, 10, 9, 0L),
+      Multimodal.DecodedMedia(2L, "unknown", 0, 0, 0, 0L) // degrade path
+    ).toDS()
+    val out = Multimodal.frameSamplePlan(decoded, 4)
+      .select("id", "frame_idx").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(out(1L) === Seq(0, 4, 8))
+    assert(out(2L) === Seq.empty) // sequence(0,-1,4) would have thrown
+  }
+
   test("corrupt RIFF chunk sizes near 2^31 degrade to unknown, never crash") {
     // chunk size 0x7FFFFFF0 would overflow Int bounds math and wrap pos
     // negative — the walk must treat it as out-of-bounds and give up

@@ -81,6 +81,22 @@ class TemporalOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin NULL keys follow SQL equality: never match, never group") {
+    val l = Seq((Option(1L), 100L, "a"), (Option.empty[Long], 100L, "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), 50L, 7L), (Option.empty[Long], 40L, 9L))
+      .toDF("k", "rt", "feat")
+    val out = TemporalOps.asofJoin(l, r, Seq("k"), "t", "rt")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    // NULL-key left row must NOT pick up the NULL-key right row
+    assert(out === Set(("a", Some(50L), Some(7L)), ("b", None, None)))
+    val native = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "rt")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(native === out)
+  }
+
   test("asofJoin rejects colliding payload names") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(leftDf, rightDf.withColumnRenamed("feat", "tag"),
