@@ -509,6 +509,30 @@ object QueriesLLM {
           blocklist = Seq("slow", "big", "merge"))
         .orderBy("doc_id")
     },
+    // ---- personalized PageRank: teleport mass pinned to a seed set
+    // (trusted-source relevance propagation), 3 integer-exact rounds ----
+    "q158_ppr" -> { (s, dir) =>
+      val e = load(s, dir, "events")
+      val edges = e.select(col("user_id").as("src"),
+        pmod(col("event_id"), lit(97)).cast("long").as("dst"))
+      Graph.pageRankPersonalized(edges, "src", "dst",
+          seeds = Seq(0L, 7L, 21L), iterations = 3)
+        .orderBy("node")
+    },
+    // ---- per-window distinct sketches: hourly unique users, exact vs
+    // the KMV estimate from a bounded per-window sketch ----
+    "q159_window_distinct" -> { (s, dir) =>
+      val e = load(s, dir, "events")
+        .withColumn("ts_sec", expr("ts div 1000000000"))
+        .withColumn("hr", (col("ts_sec") - pmod(col("ts_sec"), lit(3600L))).cast("long"))
+      val est = TextAnalysis.kmvDistinct(
+        e.select(col("hr"), col("user_id").cast("string").as("u")),
+        Seq("hr"), "u", k = 64)
+      val exact = e.groupBy("hr").agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "hr")
+        .select("hr", "n_minima", "est_distinct", "exact_distinct")
+        .orderBy("hr")
+    },
     // ---- deterministic train/val/test split ----
     "q76_hash_split" -> { (s, dir) =>
       TextAnalysis.hashSplit(docs(s, dir), "doc_id",
@@ -3481,6 +3505,64 @@ object QueriesLLM {
            sum(CASE WHEN lower(tok) IN ('slow', 'big', 'merge')
              THEN 1 ELSE 0 END) > 0 AS blocked
          FROM toks GROUP BY 1 ORDER BY 1""",
+    // PPR: 3 unrolled rounds, teleport pinned to the seed set in the
+    // exact integer op order of Graph.pageRankPersonalized.
+    "q158_ppr" -> {
+      val iter = (prev: String, out: String) =>
+        s"""c_$out AS (
+             SELECT e.dst AS node, sum(r.rank // o.outdeg) AS inflow
+             FROM $prev r JOIN outdeg o ON r.node = o.src
+               JOIN edges e ON e.src = o.src
+             GROUP BY 1),
+           $out AS (
+             SELECT n.node,
+               (CASE WHEN n.node IN (0, 7, 21)
+                 THEN (1000000000000 // 100) * 15 // 3 ELSE 0 END) +
+                 (COALESCE(c.inflow, 0) * 85) // 100 AS rank
+             FROM nodes n LEFT JOIN c_$out c ON n.node = c.node)"""
+      s"""WITH edges AS (
+           SELECT DISTINCT CAST(user_id AS BIGINT) AS src,
+             CAST(event_id % 97 AS BIGINT) AS dst
+           FROM events),
+         nodes AS (
+           SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         r0 AS (
+           SELECT node, CASE WHEN node IN (0, 7, 21)
+             THEN 1000000000000 // 3 ELSE 0 END AS rank
+           FROM nodes),
+         ${iter("r0", "r1")},
+         ${iter("r1", "r2")},
+         ${iter("r2", "r3")}
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node"""
+    },
+    // Windowed KMV: q81's ladder and estimate formula, partitioned by the
+    // hour bucket.
+    "q159_window_distinct" -> {
+      val ladder = md5Ladder52("u")
+      s"""WITH ev AS (
+           SELECT (epoch_ns(ts)//1000000000) -
+               ((epoch_ns(ts)//1000000000) % 3600) AS hr,
+             CAST(user_id AS VARCHAR) AS u
+           FROM events),
+         hv AS (
+           SELECT DISTINCT hr, CAST($ladder AS BIGINT) AS h FROM ev),
+         mins AS (
+           SELECT hr, h FROM hv
+           QUALIFY row_number() OVER (PARTITION BY hr ORDER BY h) <= 64),
+         agg AS (
+           SELECT hr, CAST(count(*) AS BIGINT) AS n_minima, max(h) AS kth
+           FROM mins GROUP BY 1),
+         ex AS (
+           SELECT hr, CAST(count(DISTINCT u) AS BIGINT) AS exact_distinct
+           FROM ev GROUP BY 1)
+         SELECT agg.hr, agg.n_minima,
+           CASE WHEN agg.n_minima < 64 THEN CAST(agg.n_minima AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * 4503599627370496.0 / CAST(agg.kth AS DOUBLE)
+             END AS est_distinct,
+           ex.exact_distinct
+         FROM agg JOIN ex USING (hr) ORDER BY hr"""
+    },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
     "q144_sketch_overlap" -> {

@@ -43,6 +43,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(e, "s", "d", iterations = 2).count() === 0L)
   }
 
+  test("pageRankPersonalized: mass stays near the seed set, decays with distance") {
+    // chain 1 -> 2 -> 3 -> 4, seed {1}: at (near) stationarity rank decays
+    // strictly along the chain (at FEW iterations the seed pulse is still
+    // traveling and the far node transiently dominates — iterate past it);
+    // the unreachable component {9 -> 8} must score 0
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 8L)).toDF("s", "d")
+    val r = Graph.pageRankPersonalized(e, "s", "d", seeds = Seq(1L), iterations = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    assert(r(9L) === 0L && r(8L) === 0L)
+    // uniform-seed PPR over ALL nodes == plain pageRank (same teleport math)
+    val all = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val ppr = Graph.pageRankPersonalized(all, "s", "d", Seq(1L, 2L), 2)
+      .orderBy("node").collect().toSeq
+    val pr = Graph.pageRank(all, "s", "d", 2).orderBy("node").collect().toSeq
+    assert(ppr === pr)
+    intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(e, "s", "d", Seq.empty, 2)
+    }
+  }
+
   test("triangleCounts: K4 gives 3 per node; stars and paths give none") {
     // K4 has C(4,3)=4 triangles, each node in exactly 3
     val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j))
