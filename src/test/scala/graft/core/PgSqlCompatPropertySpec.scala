@@ -41,9 +41,14 @@ object PgSqlCompatPropertySpec extends Properties("PgSqlCompat") {
   }
 
   property("rewriteScalar is identity on portable expressions") =
-    forAll(portable.map(_.replaceAll("(?i)^SELECT\\s+", ""))) { q =>
-      val trimmed = q.trim.stripSuffix(";").trim
-      PgSqlCompat.rewriteScalar(q) == trimmed
+    // Strip leading SELECTs INSIDE the property (and all repeats):
+    // rewriteScalar itself strips one leading SELECT by contract, and
+    // scalacheck shrink candidates bypass a generator-side map — a
+    // shrunk value like "SELECT 7" falsified the old one-strip-outside
+    // formulation even though the rewriter behaved exactly as specified.
+    forAll(portable) { raw =>
+      val q = raw.replaceAll("(?i)^(SELECT\\s+)+", "")
+      PgSqlCompat.rewriteScalar(q) == q.trim.stripSuffix(";").trim
     }
 
   property("rewrites are total on arbitrary strings") =
