@@ -85,7 +85,14 @@ object Dedup {
     }
     store.store(part, fresh.select(col("digest"), col("entity_id"),
       col("timestamp"), col("keeper"), lit(1L).as("modified")))
-    val state = pruned(store.readPart(part).get)
+    // An EMPTY first batch writes zero partitions, so readPart can still
+    // be None here — fall back to an empty state frame instead of
+    // throwing (.get); the final join is empty either way because
+    // batchState is empty too.
+    val state = store.readPart(part) match {
+      case Some(ex) => pruned(ex)
+      case None     => fresh.limit(0)
+    }
     batchState.select(col("digest"), col("batch_copies"))
       .join(state.select(col("digest"), col("keeper")), "digest")
       .select("digest", "batch_copies", "keeper")
@@ -170,9 +177,15 @@ object Dedup {
           .cast("long").as("y"),
         kmvEst(col("ma")).as("est_a"),
         kmvEst(col("x")).as("est_union"))
-      .withColumn("jaccard_est", col("y").cast("double") / col("kx").cast("double"))
+      // Degenerate sketches (a doc with zero values → empty minima, so
+      // kx = 0 or est_a = 0) would produce 0/0 = NaN and poison every
+      // downstream comparison; emit NULL instead — "no estimate", the
+      // SQL-idiomatic value a threshold filter drops naturally.
+      .withColumn("jaccard_est",
+        when(col("kx") > 0, col("y").cast("double") / col("kx").cast("double")))
       .withColumn("containment_est",
-        col("jaccard_est") * col("est_union") / col("est_a"))
+        when(col("est_a") > 0.0,
+          col("jaccard_est") * col("est_union") / col("est_a")))
   }
 
   /** Candidate-pair probability of the banding scheme at Jaccard s:

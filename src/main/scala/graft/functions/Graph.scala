@@ -88,6 +88,16 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // Teleport/init mass is divided by |seeds| but only reaches seeds
+    // PRESENT in the edge-derived node set — a typo'd or filtered-out
+    // seed would silently discard its share and skew every rank. Fail
+    // loudly instead (|seeds| is driver-small, so this count is cheap).
+    val missingSeeds = seeds.toSet --
+      nodes.filter(col("node").isin(seeds: _*))
+        .collect().map(_.getLong(0)).toSet
+    require(missingSeeds.isEmpty,
+      s"pageRankPersonalized: seeds absent from graph (their teleport " +
+        s"share would be silently lost): ${missingSeeds.toSeq.sorted.mkString(", ")}")
     val seedShare = scale / 100L * (100L - dampPct) / seeds.length
     val isSeed = col("node").isin(seeds: _*)
     val teleportCol = when(isSeed, lit(seedShare)).otherwise(lit(0L))

@@ -621,7 +621,10 @@ object TextAnalysis {
         size(array_intersect(array_intersect(col("x"), col("ma")), col("mb")))
           .cast("long").as("y"),
         col("x"))
-      .withColumn("jaccard_est", col("y").cast("double") / col("kx").cast("double"))
+      // kx = 0 (one side empty → empty union sketch) would give 0/0 =
+      // NaN; NULL = "no estimate" instead, matching containmentEstimate
+      .withColumn("jaccard_est",
+        when(col("kx") > 0, col("y").cast("double") / col("kx").cast("double")))
       .withColumn("union_est",
         when(col("kx") < k, col("kx").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(KmvHashSpace) /
@@ -696,8 +699,16 @@ object TextAnalysis {
 
   /** BM25 retrieval: score every document against a bag of query tokens
     * and keep the top `topN` by score. Scoring uses [[bm25]]'s gate-exact
-    * `tf_norm` and the RAW Robertson idf ratio (n−df+0.5)/(df+0.5) —
-    * monotone in the usual log idf, so rankings agree — scaled to LONG
+    * `tf_norm` and the RAW Robertson idf ratio (n−df+0.5)/(df+0.5).
+    * NOTE: the ratio is monotone in the usual log idf PER TERM, so
+    * rankings agree with standard BM25 only for single-term queries; a
+    * multi-term sum of ratio-weighted contributions can order documents
+    * differently from the summed-log-idf formulation (the ratio
+    * exaggerates rare-term dominance). This variant is chosen for
+    * engine-exact fixed-point summation, not BM25 rank equivalence —
+    * callers needing textbook multi-term BM25 order should rank by a
+    * sum over the [[bm25]] frame's `bm25` (log-idf) column instead.
+    * The score is scaled to LONG
     * fixed-point (`floor(·1e9)`) before the per-doc sum, which makes the
     * aggregate order-independent and engine-exact (a double sum over query
     * terms would hash-diverge on summation order; the ln variant is

@@ -82,8 +82,15 @@ object TemporalOps {
       s"asofJoin: reserved output/internal column names in use: $resClash " +
         "(rename before joining — common when chaining two as-of joins)")
     val leftOnly = left.columns.filterNot(keyCols.contains)
-    // SQL NULL-equality: NULL-key right rows can never match anything
-    val rightClean = right.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // SQL NULL-equality: NULL-key right rows can never match anything.
+    // NULL-TIMESTAMP right rows can't either (DuckDB ASOF `l.ts >= r.ts`
+    // is never true for NULL r.ts) — without this filter a null-ts row
+    // sorts first (asc nulls-first), its non-null __match struct is
+    // carried by last(ignoreNulls), and with tolerance=None every left
+    // row before the first real right row would get its payload with
+    // asof_ts=NULL.
+    val rightClean = right.filter(
+      (keyCols.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
 
     // The matched right row travels as ONE struct so its fields stay
     // ATOMIC: per-column last(ignoreNulls) would paper over a genuine
@@ -171,8 +178,12 @@ object TemporalOps {
         spark.experimental.extraOptimizations :+ graft.plans.AsofJoinFilterPushdown
     // SQL NULL-equality (match the composed form and DuckDB ASOF): a
     // NULL-key right row can never match; the merge's RowOrdering would
-    // otherwise treat NULL == NULL and group them
-    val rightClean = right.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    // otherwise treat NULL == NULL and group them. NULL-ts right rows
+    // likewise never satisfy l.ts >= r.ts — filtered here so the exec's
+    // merge loop only ever sees real timestamps (symmetric with the
+    // composed form's rightClean).
+    val rightClean = right.filter(
+      (keyCols.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
     GraftBridge.ofRows(spark, graft.plans.AsofJoin(
       GraftBridge.analyzed(left), GraftBridge.analyzed(rightClean),
       keyCols, leftTs, rightTs, tolerance))

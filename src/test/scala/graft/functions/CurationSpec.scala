@@ -253,6 +253,32 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(full(2L) === ((0.2, 1.0)))  // J = 20/100, containment = 1
     assert(full(3L) === ((0.0, 0.0)))  // disjoint
+    // degenerate sketch (doc with zero values → empty minima): NULL
+    // estimates, never 0/0 = NaN
+    val withEmpty = sk.select(col("doc_id"), col("minima"))
+      .union(Seq(99L).toDF("doc_id").withColumn("minima",
+        array().cast("array<long>")))
+    val degen = Dedup.containmentEstimate(withEmpty, "doc_id",
+        Seq((99L, 1L)).toDF("id1", "id2"), k = 256)
+      .select("jaccard_est", "containment_est").head()
+    assert(degen.isNullAt(1)) // est_a = 0 → no containment estimate
+  }
+
+  test("exactIncremental: empty first batch is a no-op, not a crash") {
+    val work = java.nio.file.Files.createTempDirectory("graft_incdedup_e_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // zero-row store write leaves readPart = None — must return the
+    // empty (digest, batch_copies, keeper) frame, not throw on .get
+    val r0 = Dedup.exactIncremental(ps, "d", empty, "doc_id", "text")
+    assert(r0.columns.toSeq === Seq("digest", "batch_copies", "keeper"))
+    assert(r0.count() === 0L)
+    // state still works for subsequent real batches
+    val r1 = Dedup.exactIncremental(ps, "d",
+        Seq((5L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 5L)))
   }
 
   test("kmvOverlapEstimate: exact below k, close estimate above") {

@@ -62,6 +62,13 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Graph.pageRankPersonalized(e, "s", "d", Seq.empty, 2)
     }
+    // a seed absent from the graph would silently lose its teleport
+    // share (mass is divided by |seeds| but only graph nodes receive
+    // it) — must fail loudly, naming the missing ids
+    val miss = intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(e, "s", "d", Seq(1L, 777L), 2)
+    }
+    assert(miss.getMessage.contains("777"))
   }
 
   test("triangleCounts: K4 gives 3 per node; stars and paths give none") {

@@ -97,6 +97,27 @@ class TemporalOpsSpec extends SparkSpec {
     assert(native === out)
   }
 
+  test("asofJoin NULL-timestamp right rows never match (both paths)") {
+    // A null-ts right row sorts FIRST under asc nulls-first; without the
+    // rightClean ts filter its payload would smear onto every left row
+    // before the first real right row (asof_ts=NULL, tolerance=None
+    // passes the isNotNull struct check). DuckDB ASOF l.t >= r.t is
+    // never true for NULL r.t — these rows must be invisible.
+    val l = Seq((1L, 5L, "early"), (1L, 100L, "late")).toDF("k", "t", "tag")
+    val r = Seq((1L, Option.empty[Long], 99L), (1L, Option(50L), 7L))
+      .toDF("k", "rt", "feat")
+    val composed = TemporalOps.asofJoin(l, r, Seq("k"), "t", "rt")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(composed === Set(
+      ("early", None, None),            // nothing at-or-before 5
+      ("late", Some(50L), Some(7L))))   // real row matches; 99 never leaks
+    val native = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "rt")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(native === composed)
+  }
+
   test("asofJoin rejects colliding payload names") {
     intercept[IllegalArgumentException] {
       TemporalOps.asofJoin(leftDf, rightDf.withColumnRenamed("feat", "tag"),
