@@ -386,19 +386,24 @@ object QueriesLLM {
         .orderBy("anchor_id", "rank")
     },
     // ---- CCNet-style fluency bucketing: char-LM score → per-language
-    // equal-count terciles (head/middle/tail) via ntile — the integer
-    // window formulation sidesteps float quantile interpolation ----
+    // VALUE-threshold terciles (head/middle/tail) from R-7 cutoffs —
+    // CCNet's actual formulation (perplexity cutoffs per language), and
+    // the scale shape: the previous ntile window sorted each language's
+    // ENTIRE corpus on one task; cutoffs are one tiny aggregate
+    // broadcast back (R-7 interpolation is bit-identical in Spark
+    // `percentile` and DuckDB `quantile_cont`, and both engines compute
+    // mean_p identically, so the >= comparisons agree exactly) ----
     "q135_perplexity_filter" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val scored = TextAnalysis.charLmScore(d, "doc_id", "text")
         .join(d.select("doc_id", "lang"), "doc_id")
         .filter(col("mean_p").isNotNull)
-      val w = Window.partitionBy("lang").orderBy(col("mean_p").desc, col("doc_id"))
-      scored.withColumn("tercile", ntile(3).over(w))
+      val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
+        Seq("c13" -> (1.0 / 3), "c23" -> (2.0 / 3))).drop("n_docs")
+      scored.join(broadcast(cuts), "lang")
         .withColumn("ppl_bucket",
-          when(col("tercile") === 1, "head")
-            .when(col("tercile") === 2, "middle").otherwise("tail"))
+          when(col("mean_p") >= col("c23"), "head")
+            .when(col("mean_p") >= col("c13"), "middle").otherwise("tail"))
         .select("doc_id", "lang", "mean_p", "ppl_bucket")
         .orderBy("doc_id")
     },
@@ -423,7 +428,6 @@ object QueriesLLM {
     // stats. Composes q136 + q135 + q125 end to end; any stage silently
     // passing everything (or nothing) shifts every per-source count ----
     "q141_curation_capstone" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
       val weights = (0 until 64).map(b => ((b * 37) % 21 - 10) / 10.0)
       val cls = TextAnalysis.linearScore(d, "doc_id", "text", weights, bias = -0.55)
@@ -432,9 +436,12 @@ object QueriesLLM {
         .join(d.select("doc_id", "lang", "source"), "doc_id")
         .join(cls, "doc_id")
         .filter(col("mean_p").isNotNull)
-      val w = Window.partitionBy("lang").orderBy(col("mean_p").desc, col("doc_id"))
-      val keep = scored.withColumn("tercile", ntile(3).over(w))
-        .filter(col("tercile") <= 2)
+      // keep head+middle = top two-thirds BY VALUE per language (R-7
+      // cutoff broadcast, q135's shape — no per-language global sort)
+      val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
+        Seq("c13" -> (1.0 / 3))).drop("n_docs")
+      val keep = scored.join(broadcast(cuts), "lang")
+        .filter(col("mean_p") >= col("c13"))
         .select("doc_id", "source")
       val chunks = TextAnalysis.chunkTokens(
         d.join(keep.select("doc_id"), "doc_id"), "doc_id", "text", 64, 48)
@@ -3259,12 +3266,17 @@ object QueriesLLM {
          scored AS (
            SELECT d.doc_id, d.lang, agg.sum_p / agg.n_trigrams AS mean_p
            FROM documents d JOIN agg USING (doc_id)
-           WHERE agg.n_trigrams > 0)
+           WHERE agg.n_trigrams > 0),
+         cuts AS (
+           SELECT lang,
+             quantile_cont(mean_p, CAST(1 AS DOUBLE) / 3) AS c13,
+             quantile_cont(mean_p, CAST(2 AS DOUBLE) / 3) AS c23
+           FROM scored GROUP BY 1)
          SELECT doc_id, lang, mean_p,
-           CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id)
-             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           CASE WHEN mean_p >= c23 THEN 'head'
+                WHEN mean_p >= c13 THEN 'middle' ELSE 'tail' END
              AS ppl_bucket
-         FROM scored ORDER BY doc_id""",
+         FROM scored JOIN cuts USING (lang) ORDER BY doc_id""",
     // Linear classifier: q74's bucket ladder, synthetic weight formula
     // inlined, bucket-ordered fold + bias, logit-space keep flag.
     "q136_classifier_filter" ->
@@ -3370,12 +3382,12 @@ object QueriesLLM {
            SELECT d.doc_id, d.lang, d.source, lmagg.sum_p / lmagg.n_trigrams AS mean_p
            FROM documents d JOIN lmagg USING (doc_id) JOIN cls USING (doc_id)
            WHERE lmagg.n_trigrams > 0),
+         cuts AS (
+           SELECT lang, quantile_cont(mean_p, CAST(1 AS DOUBLE) / 3) AS c13
+           FROM scored GROUP BY 1),
          keep AS (
-           SELECT doc_id, source FROM (
-             SELECT doc_id, source,
-               ntile(3) OVER (PARTITION BY lang ORDER BY mean_p DESC, doc_id) AS t
-             FROM scored)
-           WHERE t <= 2),
+           SELECT doc_id, source FROM scored JOIN cuts USING (lang)
+           WHERE mean_p >= c13),
          ids AS (
            SELECT t.doc_id, t.pos,
              unnest(generate_series(
