@@ -745,24 +745,67 @@ object TextAnalysis {
     * budget contributes at least one doc. Returns the admitted rows as
     * (idCol, sourceCol, n_toks, cum_toks).
     *
-    * Scale: one running-sum window per source — the same per-key ordered
-    * scan as sessionize; a source spanning most of the corpus serializes
-    * within its partition, in which case pre-filter with a rate sample
-    * ([[temperatureMixture]]) or cut at an approximate cum-quantile and
-    * windows only the boundary stratum. */
+    * Scale: two-phase stratified cut, NOT one running-sum window per
+    * source (which would serialize a source spanning most of the corpus
+    * into a single task). The md5 shuffle key is split into 256
+    * lexicographic strata (its first two hex chars — a prefix range, so
+    * stratum order IS shuffle order); per-(source, stratum) token sums
+    * are one tiny aggregate (≤ 256·|sources| rows), their running
+    * prefix a ≤256-row bounded window, and only strata whose prefix
+    * starts below the budget — the admitted region plus the single
+    * boundary stratum — are windowed per doc. Work past the budget cut
+    * is one aggregate pass, never a sort; per-source serial chains are
+    * one stratum (~1/256 of the source), not the source. cum_toks is
+    * exact: stratum prefix + within-stratum running sum equals the
+    * global running sum in integer arithmetic. */
   def tokenBudgetFill(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"tokenBudgetFill: budget must be positive, got $budget")
     import org.apache.spark.sql.expressions.Window
-    val nToks = size(split(trim(col(textCol)), "\\s+")).cast("long")
-    val mk = md5(concat(lit("budget:"), col(idCol).cast("string")))
-    val w = Window.partitionBy(sourceCol).orderBy(col("__mk"), col(idCol))
+    val base = tokenBudgetBase(df, idCol, textCol, sourceCol)
+    // fully renamed join side: live descends from base, so a bare
+    // __stratum reference would be ambiguous self-join lineage
+    val live = tokenBudgetStrata(base, sourceCol, budget)
+      .select(col(sourceCol).as("__src"), col("__stratum").as("__ls"), col("__pre"))
+    val wIn = Window.partitionBy(col(sourceCol), col("__stratum"))
+      .orderBy(col("__mk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(sourceCol), nToks.as("n_toks"), mk.as("__mk"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+    // null-safe source match: a NULL source is its own mixture group
+    // (the window partitionBy of the one-phase form grouped it too)
+    base.join(broadcast(live),
+        col(sourceCol) <=> col("__src") && col("__stratum") === col("__ls"))
+      .drop("__ls", "__src")
+      .withColumn("cum_toks", col("__pre") + sum(col("n_toks")).over(wIn))
       .filter(col("cum_toks") - col("n_toks") < budget)
       .select(idCol, sourceCol, "n_toks", "cum_toks")
+  }
+
+  /** (id, source, n_toks, __mk, __stratum) working frame for
+    * [[tokenBudgetFill]]: md5 admission key plus its 2-hex-char stratum. */
+  private def tokenBudgetBase(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame = {
+    val nToks = size(split(trim(col(textCol)), "\\s+")).cast("long")
+    val mk = md5(concat(lit("budget:"), col(idCol).cast("string")))
+    df.select(col(idCol), col(sourceCol), nToks.as("n_toks"), mk.as("__mk"))
+      .withColumn("__stratum", substring(col("__mk"), 1, 2))
+  }
+
+  /** Per-(source, stratum) token sums with the running prefix BEFORE
+    * each stratum, filtered to strata that can admit at least one doc
+    * (first doc's cum-before = __pre, so __pre < budget). ≤ 256 rows
+    * per source before the filter; the filter is the scale cut — docs
+    * in dead strata are never sorted or windowed. Exposed for the spec
+    * that bounds the windowed fraction. */
+  private[graft] def tokenBudgetStrata(
+      base: DataFrame, sourceCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wPre = Window.partitionBy(sourceCol).orderBy("__stratum")
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤256-row partitions
+    base.groupBy(col(sourceCol), col("__stratum"))
+      .agg(sum("n_toks").as("__ssum"))
+      .withColumn("__pre", coalesce(sum(col("__ssum")).over(wPre), lit(0L)))
+      .filter(col("__pre") < budget)
   }
 
   /** Classifier-based quality filtering plumbing — the fastText-style

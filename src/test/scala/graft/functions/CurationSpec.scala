@@ -239,6 +239,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetFill: windowed fraction is bounded on a single-source corpus") {
+    // 2000 one-token docs, budget 20: the two-phase cut must window only
+    // the strata whose running prefix starts below the budget — the
+    // admitted region (~20 docs ≈ 3 strata of ~8 docs each) plus the
+    // boundary stratum, never all 256 (the one-phase form effectively
+    // windowed every doc of the source in ONE task)
+    val docs = (1L to 2000L).map(i => (i, "tok", "s")).toDF("doc_id", "text", "source")
+    val base = docs.select(col("doc_id"), col("source"),
+        lit(1L).as("n_toks"),
+        md5(concat(lit("budget:"), col("doc_id").cast("string"))).as("__mk"))
+      .withColumn("__stratum", substring(col("__mk"), 1, 2))
+    val live = TextAnalysis.tokenBudgetStrata(base, "source", budget = 20L)
+    assert(live.count() <= 8L, "budget cut did not bound the windowed strata")
+    // and the cut is exact: same admit set + cum_toks as a driver-side
+    // replay of the one-phase running sum
+    val out = TextAnalysis.tokenBudgetFill(docs, "doc_id", "text", "source", 20L)
+      .select("doc_id", "cum_toks").as[(Long, Long)].collect().toMap
+    val ordered = base.select("doc_id", "__mk").as[(Long, String)].collect()
+      .sortBy { case (id, mk) => (mk, id) }
+    val expected = ordered.zipWithIndex
+      .takeWhile { case (_, idx) => idx < 20 } // cum_before = idx < budget
+      .map { case ((id, _), idx) => id -> (idx + 1L) }.toMap
+    assert(out === expected)
+  }
+
   test("containmentEstimate: quoted doc scores ~1 where Jaccard stays small") {
     // B = A's shingles plus many of its own: containment(A in B) = 1,
     // Jaccard = |A|/|B| — the asymmetric case the estimator exists for
