@@ -715,7 +715,7 @@ object QueriesCore {
       val hourly = e.groupBy(col("user_id"),
           (col("ts_sec") - pmod(col("ts_sec"), lit(3600L)) + 3600L).as("avail_sec"))
         .agg(count(lit(1)).as("hr_events"))
-      TemporalOps.asofJoin(
+      TemporalOps.asofJoinNative(
           e.select(col("user_id"), col("event_id"), col("ts_sec").as("sec")),
           hourly, Seq("user_id"), "sec", "avail_sec",
           tolerance = Some(7200L), direction = "forward")

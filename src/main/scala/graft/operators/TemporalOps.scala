@@ -137,9 +137,9 @@ object TemporalOps {
             payload.map(p => col(s"__match.$p").as(p))): _*)
   }
 
-  /** Backward as-of join through the NATIVE physical operator
+  /** As-of join through the NATIVE physical operator
     * ([[graft.plans.AsofJoinExec]]): identical semantics to
-    * [[asofJoin]]'s backward direction — same output columns, same
+    * [[asofJoin]] in both directions — same output columns, same
     * equality-inclusive match, same tolerance masking — but executed as
     * a single streaming merge per partition with O(1) state instead of
     * the union + running-window composition (no null-padded union
@@ -156,9 +156,12 @@ object TemporalOps {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.types.LongType
+    require(direction == "backward" || direction == "forward",
+      s"asofJoinNative: direction must be backward|forward, got '$direction'")
     val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTs)
     val clash = payload.toSet intersect left.columns.toSet
     require(clash.isEmpty, s"asofJoinNative: right payload columns collide with left: $clash")
@@ -186,7 +189,7 @@ object TemporalOps {
       (keyCols.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
     GraftBridge.ofRows(spark, graft.plans.AsofJoin(
       GraftBridge.analyzed(left), GraftBridge.analyzed(rightClean),
-      keyCols, leftTs, rightTs, tolerance))
+      keyCols, leftTs, rightTs, tolerance, forward = direction == "forward"))
   }
 
   /** Exact non-negative integral floor division of a LONG column: the

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, BaseOrdering, Expression,
-  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+  Ascending, Attribute, AttributeReference, BaseOrdering, Descending,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -12,7 +13,11 @@ import org.apache.spark.sql.types.LongType
 
 /** Native as-of join — the (c)-rung of the custom-operator ladder: a
   * LogicalPlan node, a SparkStrategy, and a SparkPlan that executes the
-  * backward-inclusive as-of merge in ONE streaming pass per partition.
+  * inclusive as-of merge in ONE streaming pass per partition. Backward
+  * (greatest right ts ≤ left ts) scans both sides ascending; forward
+  * (smallest right ts ≥ left ts) is the SAME merge loop over the
+  * reversed timestamp order (keys still ascending, ts descending), with
+  * the retain predicate and tolerance gap mirrored.
   *
   * Why a physical operator when [[graft.operators.TemporalOps.asofJoin]]
   * already composes it from union + running window: the composed plan
@@ -36,6 +41,7 @@ final case class AsofJoin(
     leftTs: String,
     rightTs: String,
     tolerance: Option[Long],
+    forward: Boolean = false,
     asofTsAttr: AttributeReference = AttributeReference("asof_ts", LongType)())
   extends BinaryNode {
 
@@ -108,7 +114,7 @@ object AsofJoinStrategy extends SparkStrategy {
         planLater(aj.left), planLater(aj.right),
         aj.keyCols.map(byName(aj.left, _)), aj.keyCols.map(byName(aj.right, _)),
         byName(aj.left, aj.leftTs), byName(aj.right, aj.rightTs),
-        aj.rightPayload, aj.tolerance, aj.output) :: Nil
+        aj.rightPayload, aj.tolerance, aj.forward, aj.output) :: Nil
     case _ => Nil
   }
 }
@@ -122,18 +128,23 @@ final case class AsofJoinExec(
     rightTs: Attribute,
     rightPayload: Seq[Attribute],
     tolerance: Option[Long],
+    forward: Boolean,
     output: Seq[Attribute])
   extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // forward scans the reversed ts order: keys ascending, ts descending —
+  // the merge loop is direction-blind given this ordering
+  private def tsDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
 
   override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir)
 
   // rows pass through in left order, one output row per left row
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -145,6 +156,7 @@ final case class AsofJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val tol = tolerance
+    val fwd = forward
     val keyTypes = leftKeys.map(_.dataType)
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
@@ -184,8 +196,8 @@ final case class AsofJoinExec(
           val lKey = lKeyProj(l)
           val lTsRow = lTsProj(l)
           if (lTsRow.isNullAt(0)) {
-            // NULL left ts never matches (sorts first, so no right rows
-            // are consumed out of order)
+            // NULL left ts never matches; it consumes no right rows, so
+            // its position in the sort (first asc, last desc) is inert
             joined(l, nullMatch)
           } else {
             val lTs = lTsRow.getLong(0)
@@ -199,19 +211,25 @@ final case class AsofJoinExec(
                 rCur = if (rIter.hasNext) rIter.next() else null
               } else if (cmp == 0) {
                 val rTsRow = rTsProj(rCur)
+                // retain while the right row is on the match side of the
+                // left ts in SCAN order (asc: ts <= lTs, the last retained
+                // is the greatest at-or-before; desc: ts >= lTs, the last
+                // retained is the smallest at-or-after); stop at the
+                // first row past it — it may match a later left row
                 if (rTsRow.isNullAt(0)) {
                   rCur = if (rIter.hasNext) rIter.next() else null // null ts: unusable
-                } else if (rTsRow.getLong(0) <= lTs) {
+                } else if (if (fwd) rTsRow.getLong(0) >= lTs
+                           else rTsRow.getLong(0) <= lTs) {
                   matchTs = rTsRow.getLong(0)
                   matchRow = matchProj(rCur).copy()
                   rKeyCopy = rKey.copy()
                   rCur = if (rIter.hasNext) rIter.next() else null
-                } else advancing = false // future right row: stop, keep for later
+                } else advancing = false // past the left ts: stop, keep for later
               } else advancing = false // right is ahead on key
             }
             val usable = matchRow != null && rKeyCopy != null &&
               keyOrd.compare(rKeyCopy, lKey) == 0 &&
-              tol.forall(t => lTs - matchTs <= t)
+              tol.forall(t => (if (fwd) matchTs - lTs else lTs - matchTs) <= t)
             joined(l, if (usable) matchRow else nullMatch)
           }
           resultProj(joined)

@@ -129,6 +129,53 @@ class AsofJoinExecSpec extends SparkSpec {
     }
   }
 
+  test("native forward matches the hand-computed at-or-after semantics") {
+    val out = TemporalOps.asofJoinNative(leftDf, rightDf, Seq("k"), "t", "rt",
+        direction = "forward")
+      .orderBy("k", "t").select("k", "t", "asof_ts", "feat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    assert(out.toSeq === Seq(
+      (1L, 100L, Some(100L), Some(10L)), // equal ts visible forward too
+      (1L, 205L, None, None),
+      (1L, 999L, None, None),
+      (2L, 50L, Some(60L), Some(30L)),
+      (3L, 10L, None, None)))
+    // forward tolerance: gap measured the other way
+    val tol = TemporalOps.asofJoinNative(leftDf, rightDf, Seq("k"), "t", "rt",
+        tolerance = Some(5L), direction = "forward")
+      .orderBy("k", "t").select("t", "asof_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    assert(tol.find(_._1 == 50L).get._2 === None) // gap 10 > 5
+    assert(tol.find(_._1 == 100L).get._2 === Some(100L))
+    intercept[IllegalArgumentException] {
+      TemporalOps.asofJoinNative(leftDf, rightDf, Seq("k"), "t", "rt",
+        direction = "sideways")
+    }
+  }
+
+  test("differential: native forward == composed forward on generated data") {
+    val left = spark.range(0, 2000).select(
+      (col("id") % 23).as("k"),
+      (pmod(col("id") * 2654435761L, lit(100000L))).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(0, 500).select(
+      (col("id") % 29).as("k"),
+      (pmod(col("id") * 1099511628211L, lit(100000L))).as("rt"),
+      when(col("id") % 5 =!= 0, col("id") * 7).as("payload"))
+      .groupBy("k", "rt").agg(max("payload").as("payload"))
+    for (tol <- Seq(None, Some(5000L))) {
+      val composed = TemporalOps.asofJoin(left, right, Seq("k"), "t", "rt", tol,
+          direction = "forward")
+        .select("k", "lid", "t", "asof_ts", "payload")
+        .orderBy("k", "lid").collect().toSeq
+      val native = TemporalOps.asofJoinNative(left, right, Seq("k"), "t", "rt", tol,
+          direction = "forward")
+        .select("k", "lid", "t", "asof_ts", "payload")
+        .orderBy("k", "lid").collect().toSeq
+      assert(native === composed, s"forward divergence at tolerance=$tol")
+    }
+  }
+
   test("null timestamps: left nulls never match, right nulls never retained") {
     val l = Seq((1L, Some(100L), "x"), (1L, None, "y")).toDF("k", "t", "tag")
     val r = Seq((1L, Some(50L), 5L), (1L, None, 99L)).toDF("k", "rt", "feat")
@@ -136,5 +183,12 @@ class AsofJoinExecSpec extends SparkSpec {
       .select("tag", "asof_ts", "feat").collect()
       .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
     assert(out === Set(("x", Some(50L), Some(5L)), ("y", None, None)))
+    // forward: null right ts sorts LAST in the desc scan — still never
+    // retained; null left ts still emits null payload
+    val fwd = TemporalOps.asofJoinNative(l, r, Seq("k"), "t", "rt",
+        direction = "forward")
+      .select("tag", "asof_ts", "feat").collect()
+      .map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    assert(fwd === Set(("x", None, None), ("y", None, None)))
   }
 }
