@@ -630,7 +630,11 @@ object QueriesLLM {
     // stored part equals the one-shot batch aggregate of all events, so
     // the oracle is that batch computation (arrival order invisible).
     // MemoryStream is the harness feed (driver-side by nature); the
-    // operator under test is the sink, not the feed ----
+    // operator under test is the sink, not the feed. The replayed slice
+    // is CAPPED at 4096 rows by a deterministic md5 top-N (a distributed
+    // TakeOrdered, not a full sort) so driver memory is O(1) in sf —
+    // the cap binds at the gate sf (10k aggregated rows at sf0.01), so
+    // oracle equivalence of the capped slice is itself verified ----
     "q104_streaming_late" -> { (s, dir) =>
       implicit val sc = s.sqlContext
       import s.implicits._
@@ -643,10 +647,18 @@ object QueriesLLM {
       // hash is deterministic on both engines (a double sum would not be)
       val base = ev.groupBy("entity_id", "timestamp")
         .agg(sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("power"))
-      val mid = base.agg(
-        ((min("timestamp") + max("timestamp")) / 2).cast("long")).head.getLong(0)
-      val rows = base.collect()
+      val capped = base
+        .withColumn("__h", md5(concat(lit("late:"),
+          col("entity_id").cast("string"), lit(":"),
+          col("timestamp").cast("string"))))
+        .orderBy(col("__h"), col("entity_id"), col("timestamp"))
+        .limit(4096)
+      val rows = capped.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 1L))
+      // late-half split point from the replayed slice itself (driver-side
+      // min/max over the already-collected bounded rows — no extra job)
+      val ts = rows.map(_._2)
+      val mid = (ts.min + ts.max) / 2
       val work = tempWorkDir("graft_q104_")
       // daily partitions: the events fixture spans ~30 days, so the late
       // batch rewrites ~15 already-written partition dirs through the
@@ -3945,12 +3957,23 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // batch-reprocessing equivalence over the SAME md5-capped slice the
+    // harness replays: the cap binds at sf0.01 (10k base rows), so the
+    // deterministic top-N is part of what the oracle checks
     "q104_streaming_late" ->
-      """SELECT user_id AS entity_id,
-           (epoch_ns(ts)//1000000000) AS "timestamp",
-           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS power
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      """WITH base AS (
+           SELECT user_id AS entity_id,
+             (epoch_ns(ts)//1000000000) AS "timestamp",
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS power
+           FROM events GROUP BY 1, 2),
+         capped AS (
+           SELECT entity_id, "timestamp", power FROM base
+           ORDER BY md5('late:' || CAST(entity_id AS VARCHAR) || ':'
+               || CAST("timestamp" AS VARCHAR)),
+             entity_id, "timestamp"
+           LIMIT 4096)
+         SELECT entity_id, "timestamp", power FROM capped ORDER BY 1, 2""",
     // Incremental index (q96) retrieves IDENTICALLY to a fresh single-pass
     // build: sidecar round-trip is bit-exact and write-time buckets equal
     // whole-corpus reassignment, so the oracle IS q83's retrieval.
