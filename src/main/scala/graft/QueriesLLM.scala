@@ -775,6 +775,49 @@ object QueriesLLM {
           "vec_id", "embedding", cbs, k = 5, shortlist = 50)
         .orderBy("query_id", "rank")
     },
+    // ---- stored OPQ × IVF-PQ index (FAISS OPQ8,IVF8,PQ8 shape): the
+    // permutation persists as a THIRD sidecar next to centroids and
+    // codebooks; two md5-split batches permute + bucket + code at write
+    // time with the LOADED sidecars (writeIndexBatchOpq), and stored
+    // retrieval runs entirely in OPQ space with permuted queries —
+    // closing round 11's gap (OPQ was fresh-build-only: the 1.7 s
+    // permutation retrain ran on every q103 query). Oracle = the fresh
+    // OPQ'd q97 chain: identical results certify the sidecar round-trip
+    // AND that appends re-index nothing ----
+    "q160_opq_ivfpq_stored" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val work = tempWorkDir("graft_q160_")
+      Similarity.savePermutation(s, s"$work/perm",
+        Similarity.opqPermutation(e, "embedding", m = 8, dim = 64))
+      val perm = Similarity.loadPermutation(s, s"$work/perm")
+      val p = Similarity.permuteVectors(e, "embedding", perm)
+      val cents = Similarity.ivfCentroidsRefined(p, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(p, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      Similarity.saveCentroids(s, s"$work/centroids", cents)
+      Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 200))
+      def writeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.writeIndexBatchOpq(ps, "emb", batch, "vec_id", "embedding",
+          Similarity.loadPermutation(s, s"$work/perm"),
+          Similarity.loadCentroids(s, s"$work/centroids"),
+          Similarity.loadPqCodebooks(s, s"$work/codebooks"), modified = 1L)
+      val hv = conv(substring(md5(concat(lit("batch:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      writeBatch(e.filter(hv === 0L))
+      writeBatch(e.filter(hv === 1L))
+      // rerank corpus = the STORED permuted vectors: certifies the
+      // embedding column round-trips, not just the codes
+      val stored = ps.readPart("emb").get.select(
+        col("entity_id").as("vec_id"), col("embedding"),
+        col("bucket"), col("pq_code"))
+      Similarity.ivfPqTopKStored(p.filter(col("vec_id") % 100 === 0), stored,
+          stored.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- IVF-PQ retrieval (IVFADC / FAISS IndexIVFPQ shape): 2-of-8
     // cell probe gates the corpus, ADC scores only the probed codes,
     // exact rerank pays full vectors for the shortlist alone — the
@@ -1855,6 +1898,40 @@ object QueriesLLM {
            JOIN codes k ON k.vec_id = cc.neighbor_id
            JOIN dt d ON d.query_id = cc.query_id
              AND d.s = k.s AND d.code = k.i""")}"""
+
+  /** OPQ permutation CTEs (mirrors Similarity.opqPermutation): per-dim
+    * fixed-point variances — exact integers, n·Σq² − (Σq)² with
+    * q = floor(x·4096 + 0.5) BIGINT — variance-rank snake allocation to
+    * 8 subspaces, and `pemb` = the permuted corpus. Shared by q103
+    * (fresh ADC) and q160 (stored IVF-PQ); callers substitute
+    * `embeddings → pemb` in the retrieval chain that follows. */
+  private val OpqPermCte =
+    """pvar AS (
+           SELECT d.dim, count(*) AS n,
+             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+               * 4096.0 + 0.5) AS BIGINT)) AS s1,
+             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+                   * 4096.0 + 0.5) AS BIGINT)
+               * CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
+                   * 4096.0 + 0.5) AS BIGINT)) AS s2
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+           GROUP BY 1),
+         prank AS (
+           SELECT dim,
+             CAST(row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, dim) - 1
+               AS INT) AS r
+           FROM pvar),
+         pperm AS (
+           SELECT CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                       ELSE 7 - (r % 8) END * 8 + (r // 8) AS newpos,
+             dim AS olddim
+           FROM prank),
+         pemb AS (
+           SELECT e.vec_id,
+             list(e.embedding[p.olddim + 1] ORDER BY p.newpos) AS embedding
+           FROM embeddings e CROSS JOIN pperm p
+           GROUP BY e.vec_id)"""
 
   /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
     * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
@@ -2948,33 +3025,16 @@ object QueriesLLM {
     // PQ + ADC chain over the permuted vectors (\bembeddings\b → pemb —
     // zero drift from the audited chain).
     "q103_opq_adc_topk" ->
-      s"""WITH pvar AS (
-           SELECT d.dim, count(*) AS n,
-             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
-               * 4096.0 + 0.5) AS BIGINT)) AS s1,
-             sum(CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
-                   * 4096.0 + 0.5) AS BIGINT)
-               * CAST(floor(CAST(e.embedding AS DOUBLE[])[d.dim + 1]
-                   * 4096.0 + 0.5) AS BIGINT)) AS s2
-           FROM embeddings e
-           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
-           GROUP BY 1),
-         prank AS (
-           SELECT dim,
-             CAST(row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, dim) - 1
-               AS INT) AS r
-           FROM pvar),
-         pperm AS (
-           SELECT CASE WHEN (r // 8) % 2 = 0 THEN r % 8
-                       ELSE 7 - (r % 8) END * 8 + (r // 8) AS newpos,
-             dim AS olddim
-           FROM prank),
-         pemb AS (
-           SELECT e.vec_id,
-             list(e.embedding[p.olddim + 1] ORDER BY p.newpos) AS embedding
-           FROM embeddings e CROSS JOIN pperm p
-           GROUP BY e.vec_id),
+      s"""WITH $OpqPermCte,
          ${(pqCodesCte(256, 8192) + ",\n         " + AdcRetrievalSql)
+            .replaceAll("\\bembeddings\\b", "pemb")}""",
+    // Stored OPQ index ≡ fresh build: the permutation/centroid/codebook
+    // sidecars round-trip exactly and write-time OPQ-space buckets/codes
+    // equal whole-corpus assignment, so the oracle is the fresh
+    // OPQ × IVF-PQ retrieval (q97's chain over the permuted corpus).
+    "q160_opq_ivfpq_stored" ->
+      s"""WITH $OpqPermCte,
+         ${IvfPqRetrievalOracle.stripPrefix("WITH ")
             .replaceAll("\\bembeddings\\b", "pemb")}""",
     // IVF-PQ: same PQ chain and ADC tail as q90, but the estimate reads
     // only the IVF-probed candidate pairs — the icand gate replaces the

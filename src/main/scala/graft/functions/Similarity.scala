@@ -1602,6 +1602,58 @@ object Similarity {
       .map { case (_, rows) => rows.sortBy(_._2).map(r => r._2 -> r._3) }
   }
 
+  /** Persist an OPQ dimension permutation — the third index sidecar
+    * (alongside centroids and codebooks) for a stored OPQ-space index:
+    * stored buckets/codes are meaningless without the permutation that
+    * produced them, and queries must be permuted with the SAME sidecar
+    * at retrieval time. Lines are `newPos<TAB>oldDim` — pure ints, so
+    * the round trip is exact by construction. Same frozen contract as
+    * every sidecar: re-deriving the permutation (corpus drift changes
+    * variances) invalidates every stored code — rebuild, don't append. */
+  def savePermutation(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      perm: Seq[Int]): Unit = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(perm.zipWithIndex.map { case (oldDim, newPos) =>
+      s"$newPos\t$oldDim"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inverse of [[savePermutation]]. */
+  def loadPermutation(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Int] = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(p, d) = line.split("\t", 2)
+      p.toInt -> d.toInt
+    }.sortBy(_._1).map(_._2)
+  }
+
+  /** [[writeIndexBatch]] for an OPQ index (FAISS `OPQm,IVFx,PQm` shape):
+    * the batch's vectors are permuted into OPQ space FIRST, then
+    * bucketed and coded — so the stored `embedding`, `bucket`, and
+    * `pq_code` columns all live in OPQ space and retrieval
+    * ([[ivfPqTopKStored]]) runs entirely there with permuted queries
+    * (cosines are permutation-invariant, so results equal the
+    * unpermuted index's exact rerank). Centroids and codebooks must
+    * have been trained on PERMUTED vectors; all three sidecars
+    * ([[savePermutation]], [[saveCentroids]], [[savePqCodebooks]])
+    * travel with the index and are loaded per batch. */
+  def writeIndexBatchOpq(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      perm: Seq[Int],
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], modified: Long): Unit =
+    writeIndexBatch(ps, part, permuteVectors(batch, vecCol, perm),
+      idCol, vecCol, centroids, codebooks, modified)
+
   // ---- OPQ: orthogonal transforms before PQ (Ge et al. 2013, CVPR —
   // "Optimized Product Quantization", public) --------------------------
 

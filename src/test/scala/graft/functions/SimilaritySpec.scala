@@ -308,6 +308,38 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("permutation sidecar round-trips; stored OPQ batches equal fresh encode") {
+    val perm = Similarity.opqPermutation(clustered, "embedding", m = 4, dim = dim)
+    Similarity.savePermutation(spark, "target/tmp/perm_sidecar", perm)
+    val back = Similarity.loadPermutation(spark, "target/tmp/perm_sidecar")
+    assert(back == perm) // pure ints: exact by construction
+    // writeIndexBatchOpq stores OPQ-space vectors/buckets/codes: the
+    // stored rows must equal a fresh whole-corpus permute + encode
+    val p = Similarity.permuteVectors(clustered, "embedding", back)
+    val cents = Similarity.ivfCentroidsRefined(p, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(p, "vec_id", "embedding",
+      m = 4, k = 4, dim = dim)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/opq_store", 50))
+    ps.deletePart("emb")
+    Similarity.writeIndexBatchOpq(ps, "emb",
+      clustered.filter(col("vec_id") < 50), "vec_id", "embedding",
+      back, cents, cbs, modified = 1L)
+    Similarity.writeIndexBatchOpq(ps, "emb",
+      clustered.filter(col("vec_id") >= 50), "vec_id", "embedding",
+      back, cents, cbs, modified = 1L)
+    val stored = ps.readPart("emb").get
+      .select(col("entity_id"), col("embedding"), col("bucket"), col("pq_code"))
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    val fresh = Similarity.pqEncodeArray(p, "vec_id", "embedding", cbs)
+      .join(p, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+        col("pq_code"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(stored == fresh)
+  }
+
   test("incremental IVF: batches bucket at write time, retrieval spans them") {
     // the full growing-corpus loop: codebook trained once and persisted,
     // each ingest batch computes its OWN bucket with the loaded codebook,
