@@ -3,12 +3,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}.
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}
+  * as the LAST stdout line. Two diagnostic JSON lines precede it:
+  * {"metric":"bench_cold",...} with each query's FIRST timed run, and
+  * {"metric":"bench_load",...} with JVM load-average stamps — so a
+  * driver-side reading can tell ambient machine load / cold-cache cost
+  * from a genuine plan regression (round 11's q92–q96 read 1.6–8.3×
+  * slower driver-side while idle reruns were flat; nothing in the
+  * artifact could attribute it).
   *
   * A warmup pass at sf0.001 first exercises Spark's machinery (codegen,
   * parquet readers, shuffle paths) so per-query timings measure the query,
   * not JVM warmup. Timed runs execute `count()` — full computation, no
   * result materialization to the driver.
+  *
+  * Output budget: the driver captures stdout through a bounded tail
+  * window — BENCH_r11's "parsed" came back null because the 159-query
+  * full-precision line outgrew it and lost its head. Timings are
+  * rounded to 1 ms in the printed lines (grading precision; the full
+  * doubles go to target/bench_last.json) and the contract line prints
+  * last so a tail capture always holds its start.
   *
   * Failures are NOT folded into timings: a query that throws is reported
   * with value -1 under "queries" plus its error class/message under
@@ -27,6 +41,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -61,8 +79,10 @@ object Bench {
       }
     }
     var reruns = 0
+    // per query: (min "warm" timing used for grading, first "cold" run)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val r = (timeOnce(fn), timeOnce(fn)) match {
+      val first = timeOnce(fn)
+      val r = (first, timeOnce(fn)) match {
         case (Right(a), Right(b)) if math.max(a, b) > 2 * math.min(a, b) =>
           reruns += 1
           timeOnce(fn) match {
@@ -76,26 +96,41 @@ object Bench {
         case (Left(e), _)         => Left(e)
         case (_, Left(e))         => Left(e)
       }
-      name -> r
+      (name, r, first)
     }
-    val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
-      case (k, Left(_))  => s"\"" + k + "\":-1"
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, Left(e)) =>
+    val loadEnd = loadAvg
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qmap(vals: Seq[(String, Either[String, Double])], f: Double => String) =
+      vals.map {
+        case (k, Right(v)) => s"\"" + k + "\":" + f(v)
+        case (k, Left(_))  => s"\"" + k + "\":-1"
+      }.mkString("{", ",", "}")
+    val warm = results.map { case (n, r, _) => n -> r }
+    val cold = results.map { case (n, _, c) => n -> c }
+    val errors = results.collect { case (k, Left(e), _) =>
       s"\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
+    val total = warm.collect { case (_, Right(v)) => v }.sum
+    // diagnostic lines FIRST (expendable if the capture window is tight)
+    val coldLine =
+      s"""{"metric":"bench_cold","queries":${qmap(cold, fmt)}}"""
+    val loadLine =
+      s"""{"metric":"bench_load","load_start":$loadStart,"load_end":$loadEnd,"reruns":$reruns,"cpus":$cpus}"""
+    // the contract line LAST, 1 ms precision so it fits a tail capture
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reruns":$reruns,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(warm, fmt)},"errors":$errors,"reruns":$reruns,"sf":"$sfDir"}"""
+    println(coldLine)
+    println(loadLine)
     println(line)
-    // also persist the line to disk: the driver captures stdout with a
-    // bounded tail window that has truncated long runs (BENCH_r06 lost
-    // q01-q26) — a file survives any capture window
+    // also persist everything FULL-PRECISION to disk: the driver's
+    // bounded stdout tail has truncated long runs (BENCH_r06 lost
+    // q01-q26, BENCH_r11 parsed null) — a file survives any window
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target", "bench_last.json"), line + "\n")
+        java.nio.file.Paths.get("target", "bench_last.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(warm, _.toString)},"cold":${qmap(cold, _.toString)},"errors":$errors,"reruns":$reruns,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""" + "\n")
     } catch { case _: java.io.IOException => () } // stdout already has it
     spark.stop()
     if (results.exists(_._2.isLeft)) sys.exit(1)
