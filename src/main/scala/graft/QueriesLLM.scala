@@ -378,6 +378,27 @@ object QueriesLLM {
           k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- two-layer graph-ANN retrieval (the HNSW shape): md5-level
+    // 1/16 coarse subset, NN-Descent graph per layer, LSH-seeded coarse
+    // walk (beam 4, 2 hops) locates + refines the basin and seeds the
+    // layer-0 beam search — measured (LayeredSweep / AnnRecallProbe):
+    // matches flat search one hop deeper at fewer distance evals ----
+    "q161_layered_search" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val sub = e.join(
+        Similarity.coarseLayerNodes(e, "vec_id", denom = 16)
+          .select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val g0 = Similarity.nnDescent(e, "vec_id", "embedding",
+        k = 4, iterations = 0, initBits = 4)
+      val g1 = Similarity.nnDescent(sub, "vec_id", "embedding",
+        k = 4, iterations = 0, initBits = 4)
+      val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.graphSearchLayered(qs, g0, g1, e, "vec_id", "embedding",
+          k = 4, beam = 8, hops = 2, entries = 4, beam1 = 4, hops1 = 2,
+          seedBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2527,6 +2548,130 @@ object QueriesLLM {
          ${hop("f0", "f1")},
          ${beamRound("c_f1", "f1", 8)},
          ${hop("f1", "f2")},
+         ${beamRound("c_f2", "f2", 8)},
+         c_fin AS (SELECT qid, node FROM f2),
+         ${beamRound("c_fin", "fin", 4)}
+         SELECT qid AS query_id, node AS neighbor_id, rank, cos
+         FROM fin ORDER BY query_id, rank"""
+    },
+    // Two-layer graph search: q133's init CTEs build the layer-0 graph;
+    // the same CTEs restricted to the md5-level 1/16 subset build the
+    // coarse graph; a beam-4 walk over it replaces the global+bucket
+    // seeding, and its final nodes seed the layer-0 rounds.
+    "q161_layered_search" -> {
+      val beamRound = (cands: String, out: String, n: Int) =>
+        s"""s_$out AS (
+             SELECT c.qid, c.node,
+               list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
+             FROM $cands c
+             JOIN n nv ON c.node = nv.id
+             JOIN qsq qv ON c.qid = qv.qid
+             WHERE c.qid <> c.node),
+           $out AS (
+             SELECT qid, node, cos, rank FROM (
+               SELECT qid, node, cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $n)"""
+      val hop = (prev: String, out: String, graph: String) =>
+        s"""c_$out AS (
+             SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
+             UNION SELECT qid, node FROM $prev)"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         ring AS (
+           SELECT id, COALESCE(
+               lead(id) OVER (ORDER BY mk, id),
+               first_value(id) OVER (ORDER BY mk, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS succ
+           FROM mkr),
+         bkc AS (
+           SELECT id, b FROM bk
+           QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+         p0 AS (
+           SELECT x.id AS q, y.id AS nb
+           FROM bkc x JOIN bkc y ON x.b = y.b AND x.id <> y.id
+           UNION SELECT id, succ FROM ring WHERE id <> succ
+           UNION SELECT succ, id FROM ring WHERE id <> succ),
+         s_r0 AS (
+           SELECT p.q, p.nb,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+           FROM p0 p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+         r0 AS (
+           SELECT q, nb FROM (
+             SELECT q, nb,
+               CAST(row_number() OVER (PARTITION BY q
+                 ORDER BY cos DESC, nb) AS INT) AS rank
+             FROM s_r0)
+           WHERE rank <= 4),
+         l1 AS (
+           SELECT id FROM n
+           WHERE (${md5Ladder32("'lvl:' || CAST(id AS VARCHAR)")}) % 16 = 0),
+         mk1 AS (SELECT m.id, m.mk FROM mkr m JOIN l1 USING (id)),
+         ring1 AS (
+           SELECT id, COALESCE(
+               lead(id) OVER (ORDER BY mk, id),
+               first_value(id) OVER (ORDER BY mk, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS succ
+           FROM mk1),
+         bkc1 AS (
+           SELECT bk.id, bk.b FROM bk JOIN l1 USING (id)
+           QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+         p1 AS (
+           SELECT x.id AS q, y.id AS nb
+           FROM bkc1 x JOIN bkc1 y ON x.b = y.b AND x.id <> y.id
+           UNION SELECT id, succ FROM ring1 WHERE id <> succ
+           UNION SELECT succ, id FROM ring1 WHERE id <> succ),
+         s_r1 AS (
+           SELECT p.q, p.nb,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+           FROM p1 p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+         r1 AS (
+           SELECT q, nb FROM (
+             SELECT q, nb,
+               CAST(row_number() OVER (PARTITION BY q
+                 ORDER BY cos DESC, nb) AS INT) AS rank
+             FROM s_r1)
+           WHERE rank <= 4),
+         qsq AS (
+           SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n WHERE id % 50 = 0),
+         ent1 AS (SELECT id FROM mk1 ORDER BY mk, id LIMIT 4),
+         bent1 AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN l1 USING (id) JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
+         c_g0 AS (
+           SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent1 e
+           UNION
+           SELECT qb.qid, bent1.node FROM qb JOIN bent1 USING (b)),
+         ${beamRound("c_g0", "g0", 4)},
+         ${hop("g0", "g1", "r1")},
+         ${beamRound("c_g1", "g1", 4)},
+         ${hop("g1", "g2", "r1")},
+         ${beamRound("c_g2", "g2", 4)},
+         c_gfin AS (SELECT qid, node FROM g2),
+         ${beamRound("c_gfin", "gfin", 4)},
+         c_f0 AS (SELECT qid, node FROM gfin),
+         ${beamRound("c_f0", "f0", 8)},
+         ${hop("f0", "f1", "r0")},
+         ${beamRound("c_f1", "f1", 8)},
+         ${hop("f1", "f2", "r0")},
          ${beamRound("c_f2", "f2", 8)},
          c_fin AS (SELECT qid, node FROM f2),
          ${beamRound("c_fin", "fin", 4)}

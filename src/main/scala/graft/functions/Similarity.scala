@@ -305,24 +305,22 @@ object Similarity {
     * dot product per duplicate candidate — the cheaper side at beam·deg
     * scale. Deterministic throughout (set-valued candidates, in-order
     * cosine fold, (cos desc, id) tie-break). */
-  def graphSearch(
-      queries: DataFrame, graph: DataFrame, vectors: DataFrame,
-      idCol: String, vecCol: String,
-      k: Int, beam: Int, hops: Int, entries: Int,
-      seedBits: Int = 0): DataFrame = {
-    requireIntegralId(vectors, idCol, "graphSearch")
-    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("nrm"))
-      .localCheckpoint()
-    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
-        norm(col(vecCol)).as("qn"))
-      .localCheckpoint()
-    val edges = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint()
-    val entryIds = v.select(col("id"), md5(col("id").cast("string")).as("mk"))
-      .orderBy("mk", "id").limit(entries).select("id")
+  /** Mutable distance-evaluation counter for the search probes
+    * ([[graphSearch]]/[[graphSearchLayered]] `stats` parameter): when
+    * present, every scored candidate row is counted with one extra
+    * driver-side `count()` per beam stage — measurement only, never pass
+    * from production paths. */
+  final class SearchStats { var evals: Long = 0L }
 
-    def topBeam(cands: DataFrame, n: Int): DataFrame =
+  /** Shared beam-walk core: greedy beam search over `edges` from
+    * per-query `seeds` (qid, node) — `hops` rounds of expand-neighbors /
+    * score-exact-cosine / keep-`beam`, then the final top `k`. `q`/`v`
+    * carry (qid|id, vec, nrm); see [[graphSearch]] for the contract. */
+  private def beamWalk(
+      q: DataFrame, v: DataFrame, edges: DataFrame, seeds: DataFrame,
+      beam: Int, hops: Int, k: Int, stats: Option[SearchStats]): DataFrame = {
+    def topBeam(cands: DataFrame, n: Int): DataFrame = {
+      stats.foreach(_.evals += cands.count())
       cands
         .join(v.select(col("id").as("node"), col("vec"), col("nrm")), "node")
         .join(q, "qid")
@@ -335,6 +333,36 @@ object Similarity {
         .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
         .select(col("qid"), col("t._2").as("node"),
           (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
+    }
+    var frontier = topBeam(seeds, beam)
+      .select("qid", "node").localCheckpoint()
+    for (_ <- 0 until hops) {
+      val expanded = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .union(frontier.select("qid", "node"))
+        .distinct()
+      frontier = topBeam(expanded, beam).select("qid", "node").localCheckpoint()
+    }
+    topBeam(frontier, k)
+  }
+
+  def graphSearch(
+      queries: DataFrame, graph: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int, entries: Int,
+      seedBits: Int = 0, stats: Option[SearchStats] = None): DataFrame = {
+    requireIntegralId(vectors, idCol, "graphSearch")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint()
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .localCheckpoint()
+    val edges = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val entryIds = v.select(col("id"), md5(col("id").cast("string")).as("mk"))
+      .orderBy("mk", "id").limit(entries).select("id")
 
     val globalSeeds = q.select(col("qid"))
       .crossJoin(entryIds.select(col("id").as("node")))
@@ -356,17 +384,93 @@ object Similarity {
         globalSeeds.union(qBuckets.join(bucketEntries, "b").select("qid", "node"))
           .distinct()
       }
-    var frontier = topBeam(seeds, beam)
-      .select("qid", "node").localCheckpoint()
-    for (_ <- 0 until hops) {
-      val expanded = frontier
-        .join(edges, frontier("node") === edges("src"))
-        .select(col("qid"), col("dst").as("node"))
-        .union(frontier.select("qid", "node"))
-        .distinct()
-      frontier = topBeam(expanded, beam).select("qid", "node").localCheckpoint()
-    }
-    topBeam(frontier, k)
+    beamWalk(q, v, edges, seeds, beam, hops, k, stats)
+      .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** Deterministic coarse-layer membership for [[graphSearchLayered]]:
+    * a node is on layer 1 iff its 32-bit md5 ladder ('lvl:'-salted) is
+    * ≡ 0 mod `denom` — HNSW's exponential level assignment collapsed to
+    * two layers (Malkov & Yashunin 2016 §4 use p = 1/M per level; a
+    * fixed 1/denom sample is the two-layer special case), md5-derived so
+    * membership is engine-reproducible and append-stable (a new vector's
+    * level never depends on corpus size). */
+  def coarseLayerNodes(vectors: DataFrame, idCol: String, denom: Int): DataFrame = {
+    require(denom >= 2, s"coarseLayerNodes: denom >= 2, got $denom")
+    vectors.select(col(idCol).cast("long").as("id"))
+      .filter(pmod(conv(substring(md5(concat(lit("lvl:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(denom.toLong)) === 0L)
+  }
+
+  /** Two-layer graph-ANN retrieval (the HNSW shape, Malkov & Yashunin
+    * 2016): a greedy walk over a COARSE graph (built on the ~1/denom
+    * [[coarseLayerNodes]] subset) locates each query's basin, and its
+    * best `entries` coarse nodes seed the layer-0 beam search — replacing
+    * [[graphSearch]]'s global + LSH-bucket seeding. Why: single-layer
+    * greedy search cannot escape a far-away entry basin without either
+    * many hops or per-bucket seed lists; the coarse walk covers the
+    * corpus diameter in hops over a denom×-smaller graph, so layer-0
+    * needs fewer hops and fewer distance evaluations for the same recall
+    * (measured in AnnRecallProbe; the gain grows with corpus size since
+    * layer-1 walk cost scales with |corpus|/denom).
+    *
+    * `graph1` must be a k-NN graph over exactly the [[coarseLayerNodes]]
+    * subset (build: [[nnDescent]] on `vectors` semi-joined to the
+    * subset); `graph` is the full layer-0 graph. Same determinism
+    * contract as [[graphSearch]]. */
+  def graphSearchLayered(
+      queries: DataFrame, graph: DataFrame, graph1: DataFrame,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int, entries: Int,
+      beam1: Int, hops1: Int, seedBits: Int = 0,
+      stats: Option[SearchStats] = None): DataFrame = {
+    requireIntegralId(vectors, idCol, "graphSearchLayered")
+    val v = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+      .localCheckpoint()
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .localCheckpoint()
+    val edges0 = graph.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    val edges1 = graph1.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint()
+    // layer-1 node set = the coarse graph's own nodes (src ∪ dst): the
+    // walk stays on the layer by construction, no membership recompute
+    val l1Nodes = edges1.select(col("src").as("id"))
+      .union(edges1.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    val entryIds = l1Nodes
+      .withColumn("mk", md5(col("id").cast("string")))
+      .orderBy("mk", "id").limit(entries).select("id")
+    val globalSeeds1 = q.select(col("qid"))
+      .crossJoin(entryIds.select(col("id").as("node")))
+    // seedBits > 0: additionally enter the coarse layer at the query's
+    // own hyperplane bucket (graphSearch's LSH seeding applied to the
+    // LAYER-1 subset) — basin location is then O(1) and the coarse walk
+    // only refines it, which is what lets layer-0 run fewer hops
+    val seeds1 =
+      if (seedBits <= 0) globalSeeds1
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val bw = Window.partitionBy("b").orderBy("mk", "id")
+        val bucketEntries = v.join(l1Nodes, "id")
+          .select(col("id"), hyperplaneBucket(col("vec"), seedBits).as("b"),
+            md5(col("id").cast("string")).as("mk"))
+          .withColumn("rn", row_number().over(bw))
+          .filter(col("rn") <= entries)
+          .select(col("b"), col("id").as("node"))
+        val qBuckets = q.select(col("qid"), hyperplaneBucket(col("qv"), seedBits).as("b"))
+        globalSeeds1.union(qBuckets.join(bucketEntries, "b").select("qid", "node"))
+          .distinct()
+      }
+    // coarse walk: best `entries` layer-1 nodes per query become the
+    // layer-0 entry points
+    val coarseBest = beamWalk(q, v, edges1, seeds1, beam1, hops1, entries, stats)
+      .select("qid", "node")
+    beamWalk(q, v, edges0, coarseBest, beam, hops, k, stats)
       .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
         col("rank"), col("cos"))
   }

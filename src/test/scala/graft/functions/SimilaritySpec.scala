@@ -103,6 +103,52 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("graphSearchLayered: coarse walk seeds layer 0; deterministic; evals counted") {
+    val g0 = Similarity.nnDescent(clustered, "vec_id", "embedding",
+      k = 4, iterations = 1, initBits = 3)
+    // denom=4 keeps the coarse layer populated on the 100-row fixture
+    val sub = clustered.join(Similarity.coarseLayerNodes(clustered, "vec_id", 4)
+      .select(col("id").as("vec_id")), Seq("vec_id"), "left_semi")
+    assert(sub.count() > 5, "coarse layer unexpectedly empty")
+    val g1 = Similarity.nnDescent(sub, "vec_id", "embedding",
+      k = 4, iterations = 1, initBits = 3)
+    val exact = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val stats = new Similarity.SearchStats
+    val got = Similarity.graphSearchLayered(clustered, g0, g1, clustered,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3,
+        beam1 = 3, hops1 = 2, seedBits = 3, stats = Some(stats))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rec = exact.count(got.contains).toDouble / exact.size
+    // LSH-seeded coarse walk must rescue far-basin queries like flat
+    // bucket seeding does (the multi-cluster fixture is that failure
+    // mode), with FEWER layer-0 hops
+    assert(rec >= 0.8, s"layered search recall too low: $rec")
+    assert(stats.evals > 0, "stats hook did not count scored candidates")
+    // the coarse walk's point: flat search needs an extra layer-0 hop
+    // for the same recall neighborhood, and evals are deterministic
+    // (set-valued candidates), so the comparison is exact, not flaky
+    val flatStats = new Similarity.SearchStats
+    val flat = Similarity.graphSearch(clustered, g0, clustered,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 3, entries = 3,
+        seedBits = 3, stats = Some(flatStats))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val flatRec = exact.count(flat.contains).toDouble / exact.size
+    assert(rec >= flatRec - 0.05,
+      s"layered hops=2 recall $rec far below flat hops=3 $flatRec")
+    assert(stats.evals < flatStats.evals,
+      s"layered used ${stats.evals} evals, flat hops=3 ${flatStats.evals}")
+    val a = Similarity.graphSearchLayered(clustered.repartition(11), g0, g1,
+        clustered, "vec_id", "embedding", k = 3, beam = 8, hops = 2,
+        entries = 3, beam1 = 3, hops1 = 2, seedBits = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.graphSearchLayered(clustered, g0, g1, clustered,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3,
+        beam1 = 3, hops1 = 2, seedBits = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("matryoshkaTopK: full shortlist == brute force; prefix shortlist keeps recall") {
     val full = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
       .orderBy("query_id", "rank").collect().toSeq

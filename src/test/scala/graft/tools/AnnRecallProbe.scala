@@ -144,6 +144,38 @@ object AnnRecallProbe {
           f"hops=$hops recall=$rec%.3f sec=$t%.2f build_sec=$tBuild%.2f")
       }
     }
+    // two-layer (HNSW-shape) vs flat: same layer-0 graph, coarse walk
+    // replaces global+bucket seeding — recall per DISTANCE EVALUATION is
+    // the figure of merit (evals = scored candidate rows, counted by the
+    // stats hook)
+    locally {
+      val g0 = Similarity.nnDescent(
+        e, "vec_id", "embedding", k = 4, iterations = 1, initBits = 4)
+        .localCheckpoint()
+      val sub = e.join(Similarity.coarseLayerNodes(e, "vec_id", 16)
+        .select(col("id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val (g1, tG1) = timed(Similarity.nnDescent(
+        sub, "vec_id", "embedding", k = 4, iterations = 1, initBits = 4)
+        .localCheckpoint())
+      for ((beam, hops) <- Seq((8, 2), (8, 1), (16, 3))) {
+        val sFlat = new Similarity.SearchStats
+        val (gotF, tF) = timed(pairs(Similarity.graphSearch(
+          queries, g0, e, "vec_id", "embedding",
+          k = 5, beam = beam, hops = hops, entries = 4, seedBits = 4,
+          stats = Some(sFlat))))
+        val recF = truth.count(gotF.contains).toDouble / truth.size
+        val sLay = new Similarity.SearchStats
+        val (gotL, tL) = timed(pairs(Similarity.graphSearchLayered(
+          queries, g0, g1, e, "vec_id", "embedding",
+          k = 5, beam = beam, hops = hops, entries = 4, beam1 = 4, hops1 = 2,
+          seedBits = 4, stats = Some(sLay))))
+        val recL = truth.count(gotL.contains).toDouble / truth.size
+        println(f"graph_flat beam=$beam hops=$hops recall=$recF%.3f " +
+          f"evals=${sFlat.evals} sec=$tF%.2f")
+        println(f"graph_layered beam=$beam hops=$hops recall=$recL%.3f " +
+          f"evals=${sLay.evals} sec=$tL%.2f coarse_build_sec=$tG1%.2f")
+      }
+    }
     spark.stop()
   }
 }
