@@ -855,6 +855,164 @@ object QueriesCore {
         .withColumn("promo_pct",
           lit(100.0) * col("promo_revenue") / col("total_revenue"))
     },
+    // ---- TPC-H Q4 shape (order priority checking): the fixture has no
+    // commit/receipt dates, so "late lineitem exists" = shipped after
+    // the order date — the same EXISTS-semi-join plan shape ----
+    "q162_tpch_q4" -> { (s, dir) =>
+      val o = load(s, dir, "orders")
+        .withColumn("order_sec", expr("o_orderdate div 1000000000"))
+        .filter(col("order_sec") >= 850000000L && col("order_sec") < 950000000L)
+      val l = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+            col("ship_sec") > col("order_sec"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    // ---- TPC-H Q7 (volume shipping): revenue between a nation pair in
+    // both directions, by year bucket (31536000-second years — exact
+    // integer bucketing, identical cross-engine, no TZ calendar) ----
+    "q163_tpch_q7" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val l = load(s, dir, "lineitem")
+        .withColumn("ship_yr", expr("l_shipdate div 1000000000 div 31536000"))
+      val sn = load(s, dir, "supplier")
+        .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = load(s, dir, "customer")
+        .join(load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      l.join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "ship_yr")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_yr")
+    },
+    // ---- TPC-H Q8 (national market share): NATION_2's share of ECONOMY
+    // part revenue sold into the ASIA region, per order-year bucket ----
+    "q164_tpch_q8" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val asiaNations = load(s, dir, "nation")
+        .join(load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("asia_key"))
+      val sn = load(s, dir, "supplier")
+        .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("asia_key"), "left_semi")
+        .withColumn("order_yr", expr("o_orderdate div 1000000000 div 31536000"))
+        .groupBy("order_yr")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("nation_volume"),
+          sum(vol).cast("double").as("total_volume"))
+        .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+        .orderBy("order_yr")
+    },
+    // ---- TPC-H Q9 shape (product-type profit): the fixture has no
+    // partsupp/supplycost, so profit = discounted revenue of 'red'-named
+    // parts, by supplier nation × ship-year ----
+    "q165_tpch_q9" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val sn = load(s, dir, "supplier")
+        .join(load(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part").filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("ship_yr", expr("l_shipdate div 1000000000 div 31536000"))
+        .groupBy("nation", "ship_yr")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("ship_yr").desc)
+    },
+    // ---- TPC-H Q13 (customer order distribution): per-customer order
+    // counts through a LEFT join (zero-order customers must appear),
+    // then the histogram of customers per count ----
+    "q166_tpch_q13" -> { (s, dir) =>
+      val o = load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = load(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // ---- TPC-H Q17 (small-quantity-order revenue): lineitems below
+    // 20% of their part's average quantity, one brand — the per-part
+    // aggregate join replaces the correlated subquery ----
+    "q167_tpch_q17" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val l = load(s, dir, "lineitem")
+      // exact decimal sum / exact count → one double division per part
+      val partAvg = l.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      l.join(broadcast(load(s, dir, "part").filter(col("p_brand") === "Brand#11")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+    // ---- TPC-H Q19 shape (discounted revenue, OR'd brand/size/quantity
+    // bands — no p_container in the fixture, p_size bands instead): one
+    // broadcast join, the disjunction evaluated post-join ----
+    "q168_tpch_q19" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val band1 = col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)
+      val band2 = col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)
+      val band3 = col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)
+      load(s, dir, "lineitem")
+        .join(broadcast(load(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(band1 || band2 || band3)
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    // ---- TPC-H Q22 shape (global sales opportunity): customers with
+    // above-average positive balance and no URGENT orders, per nation —
+    // scalar decimal-exact average + anti-join (the fixture's every
+    // customer has SOME order, so the classic no-orders-at-all predicate
+    // would make the gate vacuously empty) ----
+    "q169_tpch_q22" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val c = load(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(load(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
     // ---- Funnel analysis: per-user ordered view → click → purchase
     // progression (each stage's first event must FOLLOW the previous
     // stage's), aggregated to stage-conversion counts ----
@@ -1372,6 +1530,122 @@ object QueriesCore {
            SELECT promo_revenue, total_revenue,
              100.0 * promo_revenue / total_revenue AS promo_pct
            FROM base""",
+      "q162_tpch_q4" ->
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders o
+           WHERE epoch_ns(o_orderdate)//1000000000 >= 850000000
+             AND epoch_ns(o_orderdate)//1000000000 < 950000000
+             AND EXISTS (
+               SELECT 1 FROM lineitem l
+               WHERE l.l_orderkey = o.o_orderkey
+                 AND epoch_ns(l.l_shipdate)//1000000000 >
+                   epoch_ns(o.o_orderdate)//1000000000)
+           GROUP BY 1 ORDER BY 1""",
+      "q163_tpch_q7" ->
+        """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             epoch_ns(l_shipdate)//1000000000//31536000 AS ship_yr,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      "q164_tpch_q8" ->
+        """WITH vols AS (
+             SELECT epoch_ns(o_orderdate)//1000000000//31536000 AS order_yr,
+               sn.n_name AS supp_nation,
+               CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 AS vol
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation cnat ON c_nationkey = cnat.n_nationkey
+             JOIN region ON cnat.n_regionkey = r_regionkey
+             WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'),
+           base AS (
+             SELECT order_yr,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+               CAST(sum(vol) AS DOUBLE) AS total_volume
+             FROM vols GROUP BY 1)
+           SELECT order_yr, nation_volume, total_volume,
+             nation_volume / total_volume AS mkt_share
+           FROM base ORDER BY order_yr""",
+      "q165_tpch_q9" ->
+        """SELECT n_name AS nation,
+             epoch_ns(l_shipdate)//1000000000//31536000 AS ship_yr,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS sum_profit
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE EXISTS (
+             SELECT 1 FROM part
+             WHERE p_partkey = l_partkey AND p_name LIKE '%red%')
+           GROUP BY 1, 2 ORDER BY nation, ship_yr DESC""",
+      "q166_tpch_q13" ->
+        """WITH per_cust AS (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer
+             LEFT JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+             GROUP BY 1)
+           SELECT c_count, count(*) AS custdist
+           FROM per_cust GROUP BY 1
+           ORDER BY custdist DESC, c_count DESC""",
+      "q167_tpch_q17" ->
+        """WITH part_avg AS (
+             SELECT l_partkey AS pk,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                 AS avg_qty
+             FROM lineitem GROUP BY 1)
+           SELECT
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+             count(*) AS n_items
+           FROM lineitem
+           JOIN part_avg ON l_partkey = pk
+           WHERE l_quantity < 0.2 * avg_qty
+             AND EXISTS (
+               SELECT 1 FROM part
+               WHERE p_partkey = l_partkey AND p_brand = 'Brand#11')""",
+      "q168_tpch_q19" ->
+        """SELECT
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_items
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""",
+      "q169_tpch_q22" ->
+        """WITH avg_bal AS (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*) AS avg_bal
+             FROM customer WHERE c_acctbal > 0)
+           SELECT c_nationkey, count(*) AS numcust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           FROM customer CROSS JOIN avg_bal
+           WHERE c_acctbal > avg_bal
+             AND NOT EXISTS (
+               SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                 AND o_orderpriority = '1-URGENT')
+           GROUP BY 1 ORDER BY 1""",
       "q156_funnel" ->
         s"""WITH ev AS (
              SELECT user_id, event_type, $ts AS sec FROM events),
