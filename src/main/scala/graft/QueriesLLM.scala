@@ -505,6 +505,14 @@ object QueriesLLM {
     // ---- KMV sketch overlap: contamination planning from two <=256-long
     // sketches, never a corpus join (A = shingles of docs id%3!=0, B =
     // docs id%2==0 — genuinely overlapping sets) ----
+    // ---- cross-source vocabulary overlap matrix: per-source KMV token
+    // sketches → pairwise Jaccard/union/intersection estimates — the
+    // mixture-QA triage that flags duplicated crawls / train-eval
+    // leakage between sources before any doc-level dedup pass ----
+    "q170_source_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(docs(s, dir), "source", "text", k = 256)
+        .orderBy("source_a", "source_b")
+    },
     "q144_sketch_overlap" -> { (s, dir) =>
       val sh = Dedup.shingles(toks(s, dir), "doc_id", 3)
       val a = sh.filter(pmod(col("doc_id"), lit(3)) =!= 0).select("shingle")
@@ -3794,6 +3802,45 @@ object QueriesLLM {
     },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
+    // Per-source min-k sketches in SQL (PARTITION BY source row_number),
+    // then q144's estimate arithmetic per pair over list-valued sketches.
+    "q170_source_overlap" -> {
+      val ladder = md5Ladder52("tok")
+      s"""WITH $ToksCte,
+         dh AS (
+           SELECT DISTINCT source, CAST($ladder AS BIGINT) AS h
+           FROM toks JOIN documents USING (doc_id)
+           WHERE tok <> ''),
+         mk AS (
+           SELECT source, h FROM dh
+           QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256),
+         sk AS (
+           SELECT source, list(h ORDER BY h) AS minima FROM mk GROUP BY 1),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+             a.minima AS ma, b.minima AS mb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         c AS (
+           SELECT source_a, source_b,
+             CAST(len(ma) AS BIGINT) AS n_a, CAST(len(mb) AS BIGINT) AS n_b,
+             list_sort(list_distinct(list_concat(ma, mb)))[1:256] AS x,
+             ma, mb
+           FROM p),
+         e AS (
+           SELECT source_a, source_b, n_a, n_b,
+             CAST(len(x) AS BIGINT) AS kx,
+             CAST(len(list_intersect(list_intersect(x, ma), mb)) AS BIGINT) AS y,
+             CASE WHEN len(x) < 256 THEN CAST(len(x) AS DOUBLE)
+               ELSE CAST(255 AS DOUBLE) * 4503599627370496.0 /
+                 CAST(x[256] AS DOUBLE) END AS union_est
+           FROM c)
+         SELECT source_a, source_b, n_a, n_b, kx, y, union_est,
+           CASE WHEN kx > 0 THEN CAST(y AS DOUBLE) / CAST(kx AS DOUBLE) END
+             AS jaccard_est,
+           (CASE WHEN kx > 0 THEN CAST(y AS DOUBLE) / CAST(kx AS DOUBLE) END)
+             * union_est AS inter_est
+         FROM e ORDER BY source_a, source_b"""
+    },
     "q144_sketch_overlap" -> {
       val ladder = md5Ladder52("shingle")
       s"""WITH $ShinglesCte,

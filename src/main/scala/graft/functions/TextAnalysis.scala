@@ -633,6 +633,51 @@ object TextAnalysis {
       .drop("x")
   }
 
+  /** Cross-source vocabulary-overlap matrix: one KMV sketch of distinct
+    * token hashes per source (bounded ≤k longs however large the
+    * source), then every source PAIR's Jaccard/union/intersection
+    * estimates from the sketch union — [[kmvOverlapEstimate]]'s
+    * arithmetic lifted from one fixed pair to the full matrix. This is
+    * the mixture-QA / decontamination triage primitive: which corpus
+    * sources share vocabulary (a high-overlap pair flags duplicated
+    * crawls or train/eval leakage) BEFORE paying a doc-level dedup pass.
+    *
+    * Scale: one token aggregate with ≤k-long bounded state per source
+    * (map-side combined), then a |S|²-row self-join of sketch rows —
+    * |S| is the mixture's source count (dozens), so the matrix never
+    * touches the corpus again. Estimates are exact while a pair's
+    * union has < k distinct hashes (sketch == set); NULL sources drop
+    * from the matrix (`source_a < source_b` is never true for NULL).
+    * Returns (source_a, source_b, n_a, n_b, kx, y, jaccard_est,
+    * union_est, inter_est), min-k order-free so engine-exact. */
+  def sourceOverlapMatrix(
+      df: DataFrame, sourceCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"sourceOverlapMatrix: k >= 2, got $k")
+    val toks = tokens(df, sourceCol, textCol).filter(col("tok") =!= "")
+      .select(col(sourceCol), col("tok"))
+    val sk = Dedup.kmvDocSketches(toks, sourceCol, "tok", k)
+    def kmvEst(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvHashSpace) /
+          element_at(arr, k).cast("double"))
+    val x = slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k)
+    val a = sk.select(col(sourceCol).as("source_a"), col("minima").as("ma"))
+    val b = sk.select(col(sourceCol).as("source_b"), col("minima").as("mb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        size(col("ma")).cast("long").as("n_a"),
+        size(col("mb")).cast("long").as("n_b"),
+        col("ma"), col("mb"), x.as("x"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        size(col("x")).cast("long").as("kx"),
+        size(array_intersect(array_intersect(col("x"), col("ma")), col("mb")))
+          .cast("long").as("y"),
+        kmvEst(col("x")).as("union_est"))
+      .withColumn("jaccard_est",
+        when(col("kx") > 0, col("y").cast("double") / col("kx").cast("double")))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+
   /** TF-IDF term weighting (Spärck Jones 1972, public): per-(doc, term)
     * frequency × inverse document frequency `ln(N / df)`. Two map-side
     * aggregates — (doc, tok) counts and distinct-doc counts per tok — and

@@ -306,6 +306,23 @@ class CurationSpec extends SparkSpec {
     assert(r1 === Set((1L, 5L)))
   }
 
+  test("sourceOverlapMatrix: exact below k, pairs ordered, null source dropped") {
+    val df = Seq(
+      (1L, "a b c d", "s1"), (2L, "c d e", "s2"), (3L, "x y", "s3"),
+      (4L, "ghost", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlapMatrix(df, "source", "text", k = 64)
+      .select("source_a", "source_b", "n_a", "n_b", "kx", "y", "inter_est")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    // below k the sketches ARE the vocab sets: everything exact
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(("s1", "s2")) === ((4L, 3L, 5L, 2L, 2.0))) // {c,d} shared
+    assert(out(("s1", "s3")) === ((4L, 2L, 6L, 0L, 0.0)))
+    assert(out(("s2", "s3")) === ((3L, 2L, 5L, 0L, 0.0)))
+  }
+
   test("kmvOverlapEstimate: exact below k, close estimate above") {
     // below k the sketches ARE the sets: estimator must be exact
     val a = (0 until 30).map(i => s"v$i").toDF("v")
