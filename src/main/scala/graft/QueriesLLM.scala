@@ -1214,6 +1214,44 @@ object QueriesLLM {
           Similarity.ivfBucket(col("embedding"), centroids).as("bucket"))
         .orderBy("vec_id")
     },
+    // ---- clustering-quality QA: IVF cell × ground-truth label counts →
+    // per-cell purity (majority-label fraction) — the curation check
+    // that an embedding index's cells actually align with semantics
+    // before cell-level dedup/sampling trusts them ----
+    "q172_cluster_purity" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cellLabel = e.select(col("vec_id"), col("label"),
+          Similarity.ivfBucket(col("embedding"), cents).as("bucket"))
+        .groupBy("bucket", "label").agg(count(lit(1)).as("n"))
+      // majority by (n desc, label asc) — the struct-max tie-break the
+      // oracle's row_number ORDER BY mirrors exactly
+      cellLabel.groupBy("bucket").agg(
+          sum("n").as("n_vecs"),
+          max(struct(col("n"), (-col("label")).cast("long").as("neg_label"))).as("m"))
+        .select(col("bucket"), col("n_vecs"),
+          col("m.n").as("majority_n"),
+          (-col("m.neg_label")).as("majority_label"),
+          (col("m.n").cast("double") / col("n_vecs")).as("purity"))
+        .orderBy("bucket")
+    },
+    // ---- per-label mean embedding (domain centroids — the DSIR-style
+    // target-profile primitive): fixed-point 2^24 quantized per-dim sums
+    // through DECIMAL, so the means are bit-identical cross-engine ----
+    "q173_label_centroids" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x").cast("double") * lit(16777216.0) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("q").cast("decimal(38,0)")).as("sq"))
+        .select(col("label"), col("dim"), col("n_vecs"),
+          (col("sq").cast("double") / col("n_vecs") / lit(16777216.0))
+            .as("mean_x"))
+        .orderBy("label", "dim")
+    },
     // ---- IVF retrieval end-to-end: probe 2 of 8 cells, exact rerank ----
     "q83_ivf_topk" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
@@ -4189,6 +4227,49 @@ object QueriesLLM {
          SELECT vec_id, i AS bucket FROM scored
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
          ORDER BY vec_id""",
+    // Cell × label purity over q56's assignment; majority tie-break
+    // (n DESC, label ASC) mirrors the Spark struct-max on (n, -label).
+    // CTE names p-prefixed: RefinedCentCte already defines `asg`.
+    "q172_cluster_purity" ->
+      s"""WITH $RefinedCentCte,
+         pscored AS (
+           SELECT e.vec_id, e.label, c.i,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.embedding) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.embedding, c.embedding)))
+               AS cos
+           FROM embeddings e CROSS JOIN cent c),
+         pasg AS (
+           SELECT vec_id, label, i AS bucket FROM pscored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) = 1),
+         pcl AS (
+           SELECT bucket, label, count(*) AS n FROM pasg GROUP BY 1, 2),
+         pper AS (
+           SELECT bucket, label, n,
+             CAST(sum(n) OVER (PARTITION BY bucket) AS BIGINT) AS n_vecs,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY n DESC, label ASC) AS rn
+           FROM pcl)
+         SELECT bucket, n_vecs, CAST(n AS BIGINT) AS majority_n,
+           CAST(label AS BIGINT) AS majority_label,
+           CAST(n AS DOUBLE) / n_vecs AS purity
+         FROM pper WHERE rn = 1 ORDER BY bucket""",
+    // Per-(label, dim) fixed-point mean: q106's frdm arithmetic —
+    // floor(x·2^24 + 0.5) BIGINT sums, one double division by count,
+    // one exact division by 2^24.
+    "q173_label_centroids" ->
+      """WITH xs AS (
+           SELECT label, d.dim,
+             CAST(floor(CAST(embedding AS DOUBLE[])[d.dim + 1] * 16777216.0
+               + 0.5) AS BIGINT) AS q
+           FROM embeddings
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d)
+         SELECT CAST(label AS BIGINT) AS label, dim,
+           count(*) AS n_vecs,
+           CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) / 16777216.0
+             AS mean_x
+         FROM xs GROUP BY 1, 2 ORDER BY 1, 2""",
     // IVF retrieval: refined centroids, 2-of-8 cell probe per query,
     // exact cosine rerank, (cos DESC, neighbor ASC) top-5 — mirrors
     // Similarity.ivfTopK including the probe tie-break (cos DESC, i DESC).
