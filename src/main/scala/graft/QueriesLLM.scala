@@ -436,6 +436,19 @@ object QueriesLLM {
           weights, bias = -0.55)
         .orderBy("doc_id")
     },
+    // ---- TRAINED linear probe (squared loss, 2 full-batch GD
+    // iterations, fixed-point gradients): closes the loop the synthetic-
+    // weight classifier gates (q136) leave open — weights learned from
+    // the labeled corpus, bit-exact cross-engine, ready for
+    // score-and-filter ----
+    "q174_linear_probe" -> { (s, dir) =>
+      import s.implicits._
+      val e = load(s, dir, "embeddings")
+      Similarity.linearProbeTrain(e, "embedding", "label",
+          positiveLabel = 0L, iterations = 2, lrShift = 8, dim = 64)
+        .zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("j", "w").orderBy("j")
+    },
     // ---- matryoshka retrieval: 16-dim prefix shortlist → full-dim
     // exact rerank (MRL two-stage) ----
     "q137_matryoshka_topk" -> { (s, dir) =>
@@ -4227,6 +4240,43 @@ object QueriesLLM {
          SELECT vec_id, i AS bucket FROM scored
          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, i DESC) = 1
          ORDER BY vec_id""",
+    // Two unrolled GD iterations, mirroring linearProbeTrain exactly:
+    // err = list_dot_product(x̃, w) − y (the in-order fold dotHof runs),
+    // per-(row, dim) contributions floor(err·x·2^24 + 0.5) BIGINT-summed,
+    // g = sum/2^24/n, w ← w − g/256. Iteration 1's w is the zero list so
+    // even its dot product runs through the same code path.
+    "q174_linear_probe" -> {
+      val grad = (errCte: String, out: String) =>
+        s"""$out AS (
+             SELECT d.j,
+               CAST(CAST(sum(CAST(floor(e.err * e.xa[d.j + 1] * 16777216.0
+                 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 16777216.0
+                 / (SELECT n FROM nn) AS g
+             FROM $errCte e CROSS JOIN dims d GROUP BY 1)"""
+      s"""WITH pbase AS (
+           SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) || [CAST(1 AS DOUBLE)] AS xa,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+           FROM embeddings),
+         dims AS (SELECT unnest(generate_series(0, 64)) AS j),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pbase),
+         w0l AS (
+           SELECT list(CAST(0 AS DOUBLE) ORDER BY j) AS wl FROM dims),
+         pe1 AS (
+           SELECT vec_id, xa,
+             list_dot_product(xa, (SELECT wl FROM w0l)) - y AS err
+           FROM pbase),
+         ${grad("pe1", "pg1")},
+         pw1 AS (SELECT j, 0.0 - g / 256.0 AS w FROM pg1),
+         w1l AS (SELECT list(w ORDER BY j) AS wl FROM pw1),
+         pe2 AS (
+           SELECT vec_id, xa,
+             list_dot_product(xa, (SELECT wl FROM w1l)) - y AS err
+           FROM pbase),
+         ${grad("pe2", "pg2")}
+         SELECT CAST(pw1.j AS BIGINT) AS j, pw1.w - pg2.g / 256.0 AS w
+         FROM pw1 JOIN pg2 ON pw1.j = pg2.j ORDER BY j"""
+    },
     // Cell × label purity over q56's assignment; majority tie-break
     // (n DESC, label ASC) mirrors the Spark struct-max on (n, -label).
     // CTE names p-prefixed: RefinedCentCte already defines `asg`.

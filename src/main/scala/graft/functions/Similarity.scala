@@ -475,6 +475,63 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** Deterministic full-batch linear-probe training (squared loss, fixed
+    * iterations): w ← w − lr·∇, ∇_j = (1/n)·Σ_i err_i·x_ij with
+    * err_i = w·x̃_i − y_i over the bias-augmented vector x̃ = x ++ [1],
+    * y = (label == positiveLabel). This closes the "synthetic weights"
+    * gap in the classifier-filter plumbing ([[graft.functions
+    * .TextAnalysis.linearScore]]): the probe TRAINS on a labeled corpus
+    * and its weights drop straight into score-and-filter.
+    *
+    * Why squared loss and not logistic: no exp/sigmoid means no libm in
+    * the model — every step is add/multiply, so training is bit-exact
+    * cross-engine (for a separable filter threshold the linear probe is
+    * the standard cheap probe; public practice, e.g. linear probing of
+    * representations, Alain & Bengio 2016).
+    *
+    * Determinism at any partitioning: per-row err is the in-order double
+    * fold ([[dotHof]], ≡ DuckDB list_dot_product); per-(row, dim)
+    * gradient contributions quantize to floor(err·x·2²⁴ + 0.5) LONGs
+    * summed through DECIMAL (order-free exact integers — the q92 Lloyd
+    * trick); lr = 2^−lrShift is dyadic so the update arithmetic is
+    * exact-by-rounding identical everywhere.
+    *
+    * Scale: one full corpus pass per iteration (map-side combined
+    * aggregate of dim+1 longs), driver state = dim+1 doubles —
+    * iterations are small constants, so the shape is iterations ×
+    * O(corpus/cluster) with no shuffle growth. */
+  def linearProbeTrain(
+      vectors: DataFrame, vecCol: String, labelCol: String,
+      positiveLabel: Long, iterations: Int, lrShift: Int, dim: Int): Seq[Double] = {
+    require(iterations >= 1, s"linearProbeTrain: iterations >= 1, got $iterations")
+    require(lrShift >= 0 && lrShift <= 62, s"linearProbeTrain: bad lrShift $lrShift")
+    val lr = 1.0 / (1L << lrShift).toDouble
+    val base = vectors.select(
+        concat(col(vecCol), array(lit(1.0f))).as("xa"),
+        when(col(labelCol).cast("long") === positiveLabel, 1.0d)
+          .otherwise(0.0d).as("y"))
+      .localCheckpoint() // scanned once per iteration
+    val n = base.count()
+    require(n > 0, "linearProbeTrain: empty corpus")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iterations) {
+      val wCol = array(w.toIndexedSeq.map(lit): _*)
+      val err = dotHof(col("xa"), wCol) - col("y")
+      val grads = base
+        .select(err.as("err"), posexplode(col("xa")).as(Seq("j", "x")))
+        .select(col("j"),
+          floor(col("err") * col("x").cast("double") * lit(16777216.0) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy("j")
+        .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      w = w.indices.map { j =>
+        w(j) - lr * (grads.getOrElse(j, 0.0) / 16777216.0 / n)
+      }.toArray
+    }
+    w.toIndexedSeq
+  }
+
   /** IVF-style centroid selection: the k corpus vectors with the smallest
     * md5(id) — a deterministic, engine-reproducible pseudo-random sample
     * (real IVF would k-means these; the assignment/bucketing machinery is

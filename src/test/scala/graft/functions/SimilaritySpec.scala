@@ -149,6 +149,35 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("linearProbeTrain: learns to separate labeled clusters; partition-invariant") {
+    import spark.implicits._
+    // labels = cluster index (i % 5): a linear probe on near-separated
+    // Gaussians must score label-0 vectors above the rest after a few
+    // full-batch steps
+    val labeled = clustered.withColumn("label", (col("vec_id") % 5).cast("int"))
+    val w = Similarity.linearProbeTrain(labeled, "embedding", "label",
+      positiveLabel = 0L, iterations = 8, lrShift = 6, dim = dim)
+    assert(w.length === dim + 1)
+    val wCol = array(w.map(lit): _*)
+    val scores = labeled.select(col("vec_id"), col("label"),
+        Similarity.dotHof(concat(col("embedding"), array(lit(1.0f))), wCol)
+          .as("score"))
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val pos = scores.filter(_._1 == 0).map(_._2)
+    val neg = scores.filter(_._1 != 0).map(_._2)
+    assert(pos.sum / pos.length > neg.sum / neg.length,
+      "probe did not separate the positive cluster")
+    // fixed-point decimal gradient sums: identical weights at any layout
+    val w2 = Similarity.linearProbeTrain(labeled.repartition(13),
+      "embedding", "label", positiveLabel = 0L, iterations = 8,
+      lrShift = 6, dim = dim)
+    assert(w2 === w)
+    intercept[IllegalArgumentException] {
+      Similarity.linearProbeTrain(labeled.limit(0), "embedding", "label",
+        0L, 1, 8, dim)
+    }
+  }
+
   test("matryoshkaTopK: full shortlist == brute force; prefix shortlist keeps recall") {
     val full = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", 3)
       .orderBy("query_id", "rank").collect().toSeq
