@@ -486,6 +486,26 @@ object QueriesLLM {
           sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source")
     },
+    // ---- incremental MinHash/LSH near-dup candidates against PERSISTED
+    // bucket state (q142's append-only contract on the near-dup tier):
+    // two md5-split batches, each probing only its keys' partitions; the
+    // union of both calls' candidates must equal the full-corpus LSH run
+    // under the same batch schedule (caps applied at each probe's
+    // as-of sizes — the oracle replays the schedule exactly) ----
+    "q175_lsh_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val split = pmod(conv(substring(md5(concat(lit("lshb:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q175_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L << 55,
+          keyCols = Seq("band", "key", "entity_id")))
+      val c1 = Dedup.lshIncremental(ps, "lsh", d.filter(split === 0),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 50)
+      val c2 = Dedup.lshIncremental(ps, "lsh", d.filter(split === 1),
+        "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 50)
+      c1.union(c2).distinct().orderBy("id1", "id2")
+    },
     // ---- incremental exact dedup against a PERSISTED digest store:
     // two md5-split batches, cross-batch duplicates injected (docs with
     // id ≡ 3 mod 7 carry the text of id−3), second batch must resolve
@@ -2067,6 +2087,53 @@ object QueriesLLM {
            min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
            min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
          FROM sh GROUP BY 1 ORDER BY 1""",
+    // Replays the two-batch schedule exactly: call 1 caps at batch-1
+    // sizes, call 2 caps at merged sizes over batch-2 keys and keeps
+    // pairs touching a batch-2 doc; union distinct = the gate output.
+    "q175_lsh_incremental" -> {
+      val splitLadder = md5Ladder32("'lshb:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $ShinglesCte,
+         spl AS (
+           SELECT doc_id, CAST(($splitLadder) % 2 AS BIGINT) AS split
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM sh GROUP BY 1),
+         buckets AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         bs AS (
+           SELECT b.doc_id, b.band, b.key, s.split
+           FROM buckets b JOIN spl s USING (doc_id)),
+         c1sz AS (
+           SELECT band, key FROM bs WHERE split = 0
+           GROUP BY 1, 2 HAVING count(*) <= 50),
+         c1m AS (
+           SELECT bs.* FROM bs JOIN c1sz USING (band, key) WHERE split = 0),
+         p1 AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM c1m a JOIN c1m b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         k2 AS (SELECT DISTINCT band, key FROM bs WHERE split = 1),
+         c2all AS (SELECT bs.* FROM bs JOIN k2 USING (band, key)),
+         c2sz AS (
+           SELECT band, key FROM c2all GROUP BY 1, 2 HAVING count(*) <= 50),
+         c2m AS (SELECT c2all.* FROM c2all JOIN c2sz USING (band, key)),
+         p2 AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM c2m a JOIN c2m b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           WHERE a.split = 1 OR b.split = 1)
+         SELECT DISTINCT id1, id2
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         ORDER BY 1, 2"""
+    },
     "q27_lsh_candidates" ->
       s"""WITH $ShinglesCte,
          sig AS (

@@ -98,6 +98,80 @@ object Dedup {
       .select("digest", "batch_copies", "keeper")
   }
 
+  /** Incremental MinHash/LSH near-dup candidates against PERSISTED
+    * bucket state — [[exactIncremental]]'s append-only contract lifted to
+    * the near-duplicate tier: every prior batch's (band, key, doc) bucket
+    * memberships live in a [[graft.storage.PartStore]] part partitioned
+    * by a 60-bit prefix of the band key, each new batch APPENDS its own
+    * memberships and probes ONLY the partitions its keys land in, and
+    * the candidate pairs returned are those involving at least one batch
+    * doc — so per-batch cost is O(batch buckets + co-resident members),
+    * never O(corpus), and the union of all batches' outputs equals the
+    * full-corpus [[lshCandidates]] run (spec-asserted; a batch replayed
+    * idempotently re-emits its pairs — dedupe downstream or compare as
+    * sets).
+    *
+    * `maxBucket` caps a bucket at its size AS OF THE PROBE: a bucket
+    * that grows past the cap only suppresses pairs from later batches —
+    * exactly how a capped streaming system behaves, and mirrored by the
+    * oracle (which replays the same batch schedule). A key's members all
+    * co-reside in its prefix partition, so the cap sees the bucket's
+    * full membership.
+    *
+    * Configure the store with `keyCols = Seq("band", "key", "entity_id")`
+    * (one state row per bucket membership; replays overwrite
+    * themselves). */
+  def lshIncremental(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(store.config.keyCols == Seq("band", "key", "entity_id"),
+      "lshIncremental: store must be keyed by the bucket membership " +
+        s"(keyCols = Seq(\"band\", \"key\", \"entity_id\")), got ${store.config.keyCols}")
+    locally {
+      import org.apache.spark.sql.types._
+      val t = batch.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+        s"lshIncremental: id column '$idCol' must be integral, got ${t.simpleString}")
+    }
+    val psize = store.config.partitionSizeSeconds
+    val sig = minhashSignature(
+      shingles(graft.functions.TextAnalysis.tokens(batch, idCol, textCol),
+        idCol, shingleK),
+      idCol, bands * rowsPerBand)
+    val rows = lshBuckets(sig, idCol, bands, rowsPerBand)
+      .select(col("band"), col("key"), col(idCol).cast("long").as("entity_id"))
+      .withColumn("timestamp", conv(substring(col("key"), 1, 15), 16, 10).cast("long"))
+      .withColumn("modified", lit(1L))
+      .localCheckpoint() // feeds the write, the probe filter, and newIds
+    store.store(part, rows)
+    val pidx = rows
+      .select(((col("timestamp") - pmod(col("timestamp"), lit(psize))) / psize)
+        .cast("long").as("p")).distinct()
+    val state = store.readPart(part).get
+    val pruned = state.join(broadcast(pidx), state("pindex") === col("p"))
+      .select(col("band"), col("key"), col("entity_id"))
+    val capped =
+      if (maxBucket == Int.MaxValue) pruned
+      else SkewOps.keepSmallKeys(pruned, Seq("band", "key"), maxBucket)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.entity_id") < col("b.entity_id"))
+      .select(col("a.entity_id").as("id1"), col("b.entity_id").as("id2"))
+    val newIds = rows.select(col("entity_id").as("nid")).distinct()
+    pairs.join(broadcast(newIds), pairs("id1") === col("nid"), "left_semi")
+      .union(pairs.join(broadcast(newIds), pairs("id2") === col("nid"), "left_semi"))
+      .distinct()
+      // EAGER snapshot: the probe reads the store AS OF THIS CALL — a
+      // lazy frame evaluated after a later batch's store() would see the
+      // future state (and its caps), silently changing this batch's
+      // candidates
+      .localCheckpoint()
+  }
+
   /** Distinct word k-shingles per document, built with window `lead` over
     * the token stream (single shuffle by doc id). */
   def shingles(tokens: DataFrame, idCol: String, k: Int = 3): DataFrame = {

@@ -289,6 +289,40 @@ class CurationSpec extends SparkSpec {
     assert(degen.isNullAt(1)) // est_a = 0 → no containment estimate
   }
 
+  test("lshIncremental: batch union == full-corpus candidates; replay idempotent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text with no shared shingles at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (5L, "another unrelated document about spark query planning")
+    ).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").as[(Long, Long)].collect().toSet
+    val full = pairsOf(Dedup.lshCandidates(
+      Dedup.lshBuckets(Dedup.minhashSignature(
+        Dedup.shingles(graft.functions.TextAnalysis.tokens(docs, "doc_id", "text"),
+          "doc_id", 3), "doc_id", 8), "doc_id", 4, 2), "doc_id"))
+    val work = java.nio.file.Files.createTempDirectory("graft_lshinc_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 55,
+        keyCols = Seq("band", "key", "entity_id")))
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") > 2)
+    val c1 = pairsOf(Dedup.lshIncremental(ps, "lsh", b1, "doc_id", "text", 4, 2))
+    val c2 = pairsOf(Dedup.lshIncremental(ps, "lsh", b2, "doc_id", "text", 4, 2))
+    assert((c1 ++ c2) === full, s"incremental union ${c1 ++ c2} != full $full")
+    assert(full.contains((1L, 4L)), "exact dup pair must be a candidate")
+    // replaying batch 2 overwrites its own state rows and re-emits its pairs
+    val c2again = pairsOf(Dedup.lshIncremental(ps, "lsh", b2, "doc_id", "text", 4, 2))
+    assert(c2again === c2)
+    intercept[IllegalArgumentException] {
+      Dedup.lshIncremental(new graft.storage.PartStore(spark,
+        graft.storage.PartStoreConfig(work + "2", 100L)), "lsh", b1,
+        "doc_id", "text", 4, 2)
+    }
+  }
+
   test("exactIncremental: empty first batch is a no-op, not a crash") {
     val work = java.nio.file.Files.createTempDirectory("graft_incdedup_e_").toString
     val ps = new graft.storage.PartStore(spark,
