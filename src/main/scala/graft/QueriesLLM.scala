@@ -742,6 +742,53 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- streaming sessionization gate (custom flatMapGroupsWithState
+    // state, SURVEY I5's custom-state path): a bounded md5-capped event
+    // slice replays through StreamingRollup.sessionize in two TIME-SPLIT
+    // micro-batches (lateness 0 — time-split batches are never late, and
+    // an event-time timeout can only fire for sessions a batch-2 event
+    // could not extend anyway: watermark > end+gap implies any later
+    // event starts a new session in batch semantics too), then two
+    // far-future sentinel batches flush the remaining open sessions via
+    // the event-time timeout. Batch-reprocessing equivalence is the
+    // contract: emitted sessions == the batch q45 window composition
+    // over the same slice, so the oracle is that batch computation ----
+    "q176_streaming_sessions" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(col("event_id"),
+        col("user_id"), graft.Tables.epochSec(col("ts")).as("sec"))
+      val capped = ev
+        .withColumn("__h", md5(concat(lit("sess:"), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .select("user_id", "sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ts = capped.map(_._2)
+      val mid = (ts.min + ts.max) / 2
+      val mem = MemoryStream[(Long, Long)]
+      val sessions = graft.streaming.StreamingRollup.sessionize(
+        mem.toDF().toDF("user_id", "sec"), "user_id", "sec",
+        gapSeconds = 1800L, latenessSeconds = 0L)
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("q176_sessions").outputMode("append").start()
+      try {
+        mem.addData(capped.filter(_._2 < mid).toSeq: _*)  // earlier half
+        q.processAllAvailable()
+        mem.addData(capped.filter(_._2 >= mid).toSeq: _*) // later half
+        q.processAllAvailable()
+        val sentinel = ts.max + 1800L + 1000000L
+        mem.addData((-1L, sentinel))
+        q.processAllAvailable()
+        mem.addData((-1L, sentinel + 1800L + 10L)) // second advance: flush
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q176_sessions")
+        .filter(col("entity_id") =!= -1L)
+        .select(col("entity_id").as("user_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
     // ---- scalar quantization (FAISS IndexScalarQuantizer QT_8bit
     // shape): per-dim (min, max) trained over the full corpus, one uint8
     // code per dimension — 4× compression at per-dim fidelity, the rung
@@ -4407,6 +4454,36 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Batch-reprocessing equivalence for the streaming sessionizer: the
+    // q45 window composition over the same md5-capped event slice.
+    // Duplicate (user, sec) rows are indistinguishable, so lag/cumsum
+    // tie order cannot change the per-session aggregates.
+    "q176_streaming_sessions" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             (epoch_ns(ts)//1000000000) AS sec
+           FROM events),
+         capped AS (
+           SELECT user_id, sec FROM ev
+           ORDER BY md5('sess:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096),
+         ord AS (
+           SELECT user_id, sec,
+             lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev
+           FROM capped),
+         marked AS (
+           SELECT user_id, sec,
+             CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS ns
+           FROM ord),
+         sess AS (
+           SELECT user_id, sec,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY sec
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id, min(sec) AS session_start, max(sec) AS session_end,
+           count(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     // batch-reprocessing equivalence over the SAME md5-capped slice the
     // harness replays: the cap binds at sf0.01 (10k base rows), so the
     // deterministic top-N is part of what the oracle checks
