@@ -742,6 +742,52 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- streaming windowed rollup gate (SURVEY I1/I3's watermarked
+    // tumbling-window aggregation, Append mode): the md5-capped slice
+    // replays in two TIME-SPLIT batches — lateness 0 is sound because a
+    // window finalized at watermark=mid can only contain pre-mid rows
+    // and batch 2 is entirely >= mid — then sentinel batches flush the
+    // open windows. Fixed-point micro-unit LONG sums keep the stored
+    // hash engine-exact; oracle = the batch per-(entity, hour-end)
+    // aggregate over the same slice ----
+    "q171_streaming_rollup" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.Tables.epochSec(col("ts")).as("sec"), col("value"))
+      val capped = ev
+        .withColumn("__h", md5(concat(lit("roll:"), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .select(col("user_id"), col("sec"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ts = capped.map(_._2)
+      val mid = (ts.min + ts.max) / 2
+      val mem = MemoryStream[(Long, Long, Long)]
+      val rolled = graft.streaming.StreamingRollup.rollup(
+        mem.toDF().toDF("user_id", "sec", "micro")
+          .withColumn("ets", col("sec").cast("timestamp")),
+        "user_id", "ets", granSeconds = 3600L, latenessSeconds = 0L,
+        aggs = Seq(sum(col("micro")).as("power")))
+      val q = rolled.writeStream.format("memory")
+        .queryName("q171_rollup").outputMode("append").start()
+      try {
+        mem.addData(capped.filter(_._2 < mid).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(capped.filter(_._2 >= mid).toSeq: _*)
+        q.processAllAvailable()
+        val sentinel = ts.max + 3L * 3600L
+        mem.addData((-1L, sentinel, 0L))
+        q.processAllAvailable()
+        mem.addData((-1L, sentinel + 3L * 3600L, 0L)) // flush sentinel's window
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q171_rollup")
+        .filter(col("entity_id") =!= -1L)
+        .select(col("entity_id"), col("timestamp"), col("power"))
+        .orderBy("entity_id", "timestamp")
+    },
     // ---- streaming sessionization gate (custom flatMapGroupsWithState
     // state, SURVEY I5's custom-state path): a bounded md5-capped event
     // slice replays through StreamingRollup.sessionize in two TIME-SPLIT
@@ -4454,6 +4500,23 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Batch-reprocessing equivalence for the streaming windowed rollup:
+    // per-(entity, hour-end) fixed-point sums over the same capped slice.
+    "q171_streaming_rollup" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             (epoch_ns(ts)//1000000000) AS sec, value
+           FROM events),
+         capped AS (
+           SELECT user_id, sec,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS micro
+           FROM ev
+           ORDER BY md5('roll:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096)
+         SELECT user_id AS entity_id,
+           (sec//3600)*3600 + 3600 AS "timestamp",
+           CAST(sum(micro) AS BIGINT) AS power
+         FROM capped GROUP BY 1, 2 ORDER BY 1, 2""",
     // Batch-reprocessing equivalence for the streaming sessionizer: the
     // q45 window composition over the same md5-capped event slice.
     // Duplicate (user, sec) rows are indistinguishable, so lag/cumsum
