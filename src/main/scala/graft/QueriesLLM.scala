@@ -506,6 +506,32 @@ object QueriesLLM {
         "doc_id", "text", bands = 4, rowsPerBand = 2, maxBucket = 50)
       c1.union(c2).distinct().orderBy("id1", "id2")
     },
+    // ---- fully incremental near-dup KEEPERS (the append-only capstone:
+    // q175 candidates → persisted-sketch Jaccard verify → union-find
+    // parent state): two md5-split batches, each emitting its docs'
+    // as-of keepers; cross-batch merges flow through all three stores.
+    // Oracle replays the schedule — batch-1 keepers from batch-1
+    // verified pairs only, batch-2 keepers from both — with the same
+    // per-probe bucket caps ----
+    "q177_neardup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val split = pmod(conv(substring(md5(concat(lit("ndup:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q177_")
+      def mk(name: String, keys: Seq[String]) = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/$name", 1L << 55, keyCols = keys))
+      val bs = mk("b", Seq("band", "key", "entity_id"))
+      val ss = mk("s", Seq("entity_id"))
+      val ps = mk("p", Seq("entity_id"))
+      def run(b: org.apache.spark.sql.DataFrame) =
+        Dedup.nearDupIncremental(bs, ss, ps, b, "doc_id", "text",
+          bands = 4, rowsPerBand = 2, shingleK = 3, sketchK = 256,
+          threshold = 0.5, maxBucket = 50)
+      val r1 = run(d.filter(split === 0)).withColumn("batch", lit(0L))
+      val r2 = run(d.filter(split === 1)).withColumn("batch", lit(1L))
+      r1.union(r2).select("doc_id", "batch", "keeper")
+        .orderBy("doc_id", "batch")
+    },
     // ---- incremental exact dedup against a PERSISTED digest store:
     // two md5-split batches, cross-batch duplicates injected (docs with
     // id ≡ 3 mod 7 carry the text of id−3), second batch must resolve
@@ -2180,6 +2206,99 @@ object QueriesLLM {
            min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
            min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
          FROM sh GROUP BY 1 ORDER BY 1""",
+    // Incremental near-dup keepers: q175's schedule CTEs ('ndup:' salt,
+    // same per-probe caps) + per-doc KMV-256 sketch verify (q170's list
+    // arithmetic) + two recursive min-label reaches — batch-1 keepers
+    // over batch-1 verified pairs, batch-2 keepers over both.
+    "q177_neardup_incremental" -> {
+      val splitLadder = md5Ladder32("'ndup:' || CAST(doc_id AS VARCHAR)")
+      val skLadder = md5Ladder52("shingle")
+      val verify = (pairsCte: String, out: String) =>
+        s"""$out AS (
+             SELECT id1, id2 FROM (
+               SELECT p.id1, p.id2,
+                 list_sort(list_distinct(list_concat(a.minima, b.minima)))[1:256]
+                   AS x,
+                 a.minima AS ma, b.minima AS mb
+               FROM $pairsCte p
+               JOIN skl a ON a.doc_id = p.id1
+               JOIN skl b ON b.doc_id = p.id2)
+             WHERE len(x) > 0
+               AND CAST(len(list_intersect(list_intersect(x, ma), mb))
+                 AS DOUBLE) / len(x) >= 0.5)"""
+      s"""WITH RECURSIVE ${ShinglesCte.stripPrefix("")},
+         spl AS (
+           SELECT doc_id, CAST(($splitLadder) % 2 AS BIGINT) AS split
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM sh GROUP BY 1),
+         buckets AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         bsch AS (
+           SELECT b.doc_id, b.band, b.key, s.split
+           FROM buckets b JOIN spl s USING (doc_id)),
+         c1sz AS (
+           SELECT band, key FROM bsch WHERE split = 0
+           GROUP BY 1, 2 HAVING count(*) <= 50),
+         c1m AS (
+           SELECT bsch.* FROM bsch JOIN c1sz USING (band, key) WHERE split = 0),
+         p1 AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM c1m a JOIN c1m b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         k2 AS (SELECT DISTINCT band, key FROM bsch WHERE split = 1),
+         c2all AS (SELECT bsch.* FROM bsch JOIN k2 USING (band, key)),
+         c2sz AS (
+           SELECT band, key FROM c2all GROUP BY 1, 2 HAVING count(*) <= 50),
+         c2m AS (SELECT c2all.* FROM c2all JOIN c2sz USING (band, key)),
+         p2 AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM c2m a JOIN c2m b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           WHERE a.split = 1 OR b.split = 1),
+         dh AS (
+           SELECT DISTINCT doc_id, CAST($skLadder AS BIGINT) AS h FROM sh),
+         mkv AS (
+           SELECT doc_id, h FROM dh
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 256),
+         skl AS (
+           SELECT doc_id, list(h ORDER BY h) AS minima FROM mkv GROUP BY 1),
+         ${verify("p1", "v1")},
+         ${verify("p2", "v2")},
+         edges1 AS (
+           SELECT id1 AS src, id2 AS dst FROM v1
+           UNION ALL SELECT id2, id1 FROM v1),
+         reach1 AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach1 r JOIN edges1 e ON e.src = r.id),
+         kp1 AS (SELECT id AS doc_id, min(label) AS keeper FROM reach1 GROUP BY 1),
+         edges2 AS (
+           SELECT id1 AS src, id2 AS dst FROM v1
+           UNION ALL SELECT id2, id1 FROM v1
+           UNION ALL SELECT id1, id2 FROM v2
+           UNION ALL SELECT id2, id1 FROM v2),
+         reach2 AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach2 r JOIN edges2 e ON e.src = r.id),
+         kp2 AS (SELECT id AS doc_id, min(label) AS keeper FROM reach2 GROUP BY 1)
+         SELECT doc_id, batch, keeper FROM (
+           SELECT s.doc_id, CAST(0 AS BIGINT) AS batch, kp1.keeper
+           FROM spl s JOIN kp1 USING (doc_id) WHERE s.split = 0
+           UNION ALL
+           SELECT s.doc_id, CAST(1 AS BIGINT) AS batch, kp2.keeper
+           FROM spl s JOIN kp2 USING (doc_id) WHERE s.split = 1)
+         ORDER BY doc_id, batch"""
+    },
     // Replays the two-batch schedule exactly: call 1 caps at batch-1
     // sizes, call 2 caps at merged sizes over batch-2 keys and keeps
     // pairs touching a batch-2 doc; union distinct = the gate output.

@@ -149,7 +149,10 @@ object Dedup {
     val pidx = rows
       .select(((col("timestamp") - pmod(col("timestamp"), lit(psize))) / psize)
         .cast("long").as("p")).distinct()
-    val state = store.readPart(part).get
+    // an all-empty-docs batch writes zero partitions: state may still be
+    // absent — probe an empty frame instead of crashing on .get
+    val state = store.readPart(part)
+      .getOrElse(rows.limit(0).withColumn("pindex", lit(0L)))
     val pruned = state.join(broadcast(pidx), state("pindex") === col("p"))
       .select(col("band"), col("key"), col("entity_id"))
     val capped =
@@ -170,6 +173,121 @@ object Dedup {
       // future state (and its caps), silently changing this batch's
       // candidates
       .localCheckpoint()
+  }
+
+  /** Fully incremental near-duplicate KEEPER assignment — the composed
+    * append-only pipeline: [[lshIncremental]] candidates → KMV-sketch
+    * Jaccard verify against PERSISTED per-doc sketches → union-find
+    * component state with parent pointers. Each batch touches only its
+    * own neighborhood: candidate generation probes the bucket store's
+    * key partitions, verification reads only the candidate ids' sketch
+    * partitions, and the union-find "find" is an iterative pruned
+    * parent-pointer walk (paths compress on every write — after a batch,
+    * every touched node points DIRECTLY at its component keeper, so the
+    * next find over those nodes terminates in ≤ 2 pruned joins). Keeper
+    * labels are component minima (union by min: a root is always its
+    * tree's minimum, so the contracted-graph minimum is the true
+    * component minimum).
+    *
+    * Returns one row per batch doc: (doc_id, keeper) AS OF this batch —
+    * a doc emitted earlier may acquire a smaller keeper when a later
+    * batch merges its component; the state reflects that, the earlier
+    * emission (correctly, for an append-only log) does not.
+    *
+    * Stores: `buckets` keyed (band, key, entity_id) — [[lshIncremental]]
+    * contract; `sketches` and `parents` keyed (entity_id), id-range
+    * partitioned (timestamp = doc id). */
+  def nearDupIncremental(
+      bucketStore: graft.storage.PartStore,
+      sketchStore: graft.storage.PartStore,
+      parentStore: graft.storage.PartStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleK: Int, sketchK: Int,
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(sketchStore.config.keyCols == Seq("entity_id") &&
+        parentStore.config.keyCols == Seq("entity_id"),
+      "nearDupIncremental: sketch/parent stores must be keyed by entity_id")
+    require(threshold > 0 && threshold <= 1,
+      s"nearDupIncremental: threshold in (0, 1], got $threshold")
+    // 1. candidate pairs (>=1 batch side), from persisted bucket state
+    val cand = lshIncremental(bucketStore, "buckets", batch, idCol, textCol,
+      bands, rowsPerBand, shingleK, maxBucket)
+    // 2. persist this batch's sketches (id-range partitions)
+    val sk = kmvDocSketches(
+      shingles(graft.functions.TextAnalysis.tokens(batch, idCol, textCol),
+        idCol, shingleK),
+      idCol, "shingle", sketchK)
+    sketchStore.store("sk", sk.select(
+      col(idCol).cast("long").as("entity_id"),
+      col(idCol).cast("long").as("timestamp"),
+      col("minima"), lit(1L).as("modified")))
+    // 3. verify candidates from STORED sketches, pruned to candidate ids
+    def prunedByIds(
+        store: graft.storage.PartStore, part: String, ids: DataFrame,
+        emptyLike: DataFrame): DataFrame = {
+      val psz = store.config.partitionSizeSeconds
+      val pidx = ids.select(((col("node") - pmod(col("node"), lit(psz))) / psz)
+        .cast("long").as("p")).distinct()
+      val st = store.readPart(part)
+        .getOrElse(emptyLike.withColumn("pindex", lit(0L)))
+      st.join(broadcast(pidx), st("pindex") === col("p"))
+    }
+    val candIds = cand.select(col("id1").as("node"))
+      .union(cand.select(col("id2").as("node"))).distinct().localCheckpoint()
+    val skPruned = prunedByIds(sketchStore, "sk", candIds,
+        sk.select(col(idCol).cast("long").as("entity_id"), col("minima")).limit(0))
+      .select(col("entity_id").as("did"), col("minima"))
+    val verified = containmentEstimate(skPruned, "did", cand, sketchK)
+      .filter(col("jaccard_est") >= threshold)
+      .select("id1", "id2").localCheckpoint()
+    // 4. union-find over parent-pointer state
+    val nodes0 = verified.select(col("id1").as("node"))
+      .union(verified.select(col("id2").as("node")))
+      .union(batch.select(col(idCol).cast("long").as("node")))
+      .distinct().localCheckpoint()
+    val emptyPar = nodes0.select(col("node").as("entity_id"),
+      col("node").as("parent")).limit(0)
+    var labels = nodes0.select(col("node"), col("node").as("root"))
+      .localCheckpoint()
+    var changed = true
+    var iters = 0
+    while (changed) {
+      iters += 1
+      require(iters <= 64,
+        "nearDupIncremental: parent chains deeper than 64 — state corrupt?")
+      val par = prunedByIds(parentStore, "par",
+          labels.select(col("root").as("node")).distinct(), emptyPar)
+        .select(col("entity_id"), col("parent"))
+      val next = labels.join(par, labels("root") === par("entity_id"), "left")
+        .select(col("node"),
+          coalesce(col("parent"), col("root")).as("root2"), col("root"))
+        .localCheckpoint()
+      changed = next.filter(col("root2") =!= col("root")).head(1).nonEmpty
+      labels = next.select(col("node"), col("root2").as("root"))
+    }
+    // 5. components of the CONTRACTED graph (bounded by the batch
+    // neighborhood, never the corpus)
+    val contracted = verified
+      .join(labels.select(col("node").as("id1"), col("root").as("r1")), "id1")
+      .join(labels.select(col("node").as("id2"), col("root").as("r2")), "id2")
+      .select(col("r1").as("id1"), col("r2").as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val roots = labels.select(col("root").as("id")).distinct()
+    val comp = connectedKeepersStar(roots, "id", contracted)
+      .select(col("id").as("root"), col("keeper"))
+    // 6. path-compressing upsert: every touched node AND every old root
+    // points directly at the new keeper
+    val nodeKeeper = labels.join(comp, "root")
+      .select(col("node"), col("keeper")).localCheckpoint()
+    val upserts = nodeKeeper
+      .union(comp.select(col("root").as("node"), col("keeper")))
+      .distinct()
+    parentStore.store("par", upserts.select(
+      col("node").as("entity_id"), col("node").as("timestamp"),
+      col("keeper").as("parent"), lit(1L).as("modified")))
+    batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(nodeKeeper.withColumnRenamed("node", "doc_id"), "doc_id")
+      .localCheckpoint() // snapshot: later batches must not leak in
   }
 
   /** Distinct word k-shingles per document, built with window `lead` over

@@ -323,6 +323,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("nearDupIncremental: as-of keepers match the batch pipeline per schedule") {
+    // three near-dup families: {1,4} identical, {2,6} identical (cross-
+    // batch), 7 ~ 2 (near), {3,5} unrelated singletons
+    val base = "the quick brown fox jumps over the lazy dog tonight again"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra tail words here"),
+      (3L, "completely different text with no shared shingles at all"),
+      (4L, base),
+      (5L, "another unrelated document about spark query planning"),
+      (6L, base + " extra tail words here"),
+      (7L, base + " extra tail words here and more")
+    ).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_ndinc_").toString
+    def store(name: String, keys: Seq[String]) = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/$name", 1L << 55, keyCols = keys))
+    val bs = store("b", Seq("band", "key", "entity_id"))
+    val ss = store("s", Seq("entity_id"))
+    val ps = store("p", Seq("entity_id"))
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupIncremental(bs, ss, ps, b, "doc_id", "text",
+          bands = 4, rowsPerBand = 2, shingleK = 3, sketchK = 256,
+          threshold = 0.8)
+        .as[(Long, Long)].collect().toMap
+    // threshold 0.8: j(1,2) = 9/13 ≈ 0.69 — a CANDIDATE (shared band)
+    // that the sketch-verify tier must REJECT; j(1,4) = 1 merges
+    val r1 = run(docs.filter(col("doc_id") <= 4))
+    assert(r1 === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // 6 == 2 exactly (cross-batch merge through persisted state);
+    // 7 ~ 6 at j = 13/15 ≈ 0.87 chains into the same component
+    val r2 = run(docs.filter(col("doc_id") > 4))
+    assert(r2(5L) === 5L)
+    assert(r2(6L) === 2L, s"cross-batch merge failed: $r2")
+    assert(r2(7L) === 2L, s"transitive chain failed: $r2")
+    // replay of batch 2 is idempotent (state converged)
+    assert(run(docs.filter(col("doc_id") > 4)) === r2)
+  }
+
   test("exactIncremental: empty first batch is a no-op, not a crash") {
     val work = java.nio.file.Files.createTempDirectory("graft_incdedup_e_").toString
     val ps = new graft.storage.PartStore(spark,
