@@ -564,6 +564,18 @@ object QueriesLLM {
     // ---- KMV sketch overlap: contamination planning from two <=256-long
     // sketches, never a corpus join (A = shingles of docs id%3!=0, B =
     // docs id%2==0 — genuinely overlapping sets) ----
+    // ---- content-defined chunking + cross-doc chunk dedup: word-level
+    // Rabin/LBFS boundaries (expected 16-token chunks), per-chunk
+    // digests, and each chunk's corpus-wide copy count — the sub-doc
+    // dedup granularity fixed-stride chunking can't give (an insertion
+    // shifts stride grids; CDC boundaries re-anchor on content) ----
+    "q178_cdc_chunks" -> { (s, dir) =>
+      val ch = TextAnalysis.cdcChunks(docs(s, dir), "doc_id", "text", maskBits = 4)
+      val copies = ch.groupBy("chunk_digest").agg(count(lit(1)).as("n_copies"))
+      ch.join(copies, "chunk_digest")
+        .select("doc_id", "chunk_id", "n_toks", "chunk_digest", "n_copies")
+        .orderBy("doc_id", "chunk_id")
+    },
     // ---- cross-source vocabulary overlap matrix: per-source KMV token
     // sketches → pairwise Jaccard/union/intersection estimates — the
     // mixture-QA triage that flags duplicated crawls / train-eval
@@ -4132,6 +4144,33 @@ object QueriesLLM {
     },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
+    // CDC boundaries: salted 32-bit ladder % 16 == 0 AFTER a token ends
+    // its chunk; chunk id = boundary count over strictly-earlier
+    // positions; digest over the in-order rejoined tokens.
+    "q178_cdc_chunks" -> {
+      val ladder = md5Ladder32("'cdc:' || tok")
+      s"""WITH $ToksCte,
+         tk AS (
+           SELECT doc_id, pos, tok,
+             CASE WHEN ($ladder) % 16 = 0 THEN 1 ELSE 0 END AS b
+           FROM toks WHERE tok <> ''),
+         ck AS (
+           SELECT doc_id, pos, tok,
+             COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+           FROM tk),
+         ch AS (
+           SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             count(*) AS n_toks,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+           FROM ck GROUP BY 1, 2),
+         cp AS (
+           SELECT chunk_digest, count(*) AS n_copies FROM ch GROUP BY 1)
+         SELECT doc_id, chunk_id, n_toks, ch.chunk_digest, n_copies
+         FROM ch JOIN cp USING (chunk_digest)
+         ORDER BY doc_id, chunk_id"""
+    },
     // Per-source min-k sketches in SQL (PARTITION BY source row_number),
     // then q144's estimate arithmetic per pair over list-valued sketches.
     "q170_source_overlap" -> {

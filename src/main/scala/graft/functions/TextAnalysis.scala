@@ -678,6 +678,45 @@ object TextAnalysis {
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
 
+  /** Content-defined chunking (CDC — the Rabin/LBFS boundary idea,
+    * Muthitacharoen et al. 2001, public — at WORD granularity): a chunk
+    * boundary falls AFTER every token whose salted 32-bit md5 is ≡ 0
+    * mod 2^maskBits, so expected chunk length is 2^maskBits tokens and
+    * boundaries depend only on CONTENT — an insertion near the start
+    * shifts fixed-stride chunk grids everywhere ([[chunkTokens]]'s
+    * failure mode for dedup) but leaves every boundary after the next
+    * content match untouched, so downstream digests still collide with
+    * the unedited copy (spec-asserted). Returns one row per (doc,
+    * chunk): (idCol, chunk_id, n_toks, chunk_digest) with the digest
+    * over the space-rejoined in-order tokens.
+    *
+    * Scale: boundary flags are map-side; the running boundary count is
+    * one per-DOC window (bounded by document length — the [[graft
+    * .functions.Dedup.shingles]] convention, not a corpus-wide sort)
+    * and the digest one ordered in-group aggregation. Cross-doc chunk
+    * dedup is then an exact groupBy on chunk_digest. */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String, maskBits: Int): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20,
+      s"cdcChunks: maskBits in [1, 20], got $maskBits")
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+    val boundary = (pmod(
+      conv(substring(md5(concat(lit("cdc:"), col("tok"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(1L << maskBits)) === 0L).cast("long")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("__b", boundary)
+      .withColumn("chunk_id", coalesce(sum(col("__b")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ")).as("chunk_digest"))
+  }
+
   /** TF-IDF term weighting (Spärck Jones 1972, public): per-(doc, term)
     * frequency × inverse document frequency `ln(N / df)`. Two map-side
     * aggregates — (doc, tok) counts and distinct-doc counts per tok — and

@@ -377,6 +377,36 @@ class CurationSpec extends SparkSpec {
     assert(r1 === Set((1L, 5L)))
   }
 
+  test("cdcChunks: insertion-robust boundaries; fixed-stride chunking is not") {
+    val words = (1 to 400).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "inserted prefix tokens " + words))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(docs, "doc_id", "text", maskBits = 4)
+      .select("doc_id", "chunk_digest").as[(Long, String)].collect()
+    val d1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val d2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // all of doc 1's chunks except (possibly) the first reappear in the
+    // shifted doc — the boundary after the first content match re-anchors
+    val shared = d1.intersect(d2).size.toDouble / d1.size
+    assert(shared >= 0.8, s"CDC lost chunk alignment under insertion: $shared")
+    // fixed-stride chunking on the same pair shares almost nothing
+    // (3-token shift breaks every 16-token grid chunk)
+    val fixed = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 16, stride = 16)
+      .select(col("doc_id"), md5(col("chunk_text")).as("d"))
+      .as[(Long, String)].collect()
+    val f1 = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert(f1.intersect(f2).size.toDouble / f1.size < shared)
+    // expected chunk length ≈ 2^4 tokens, and token totals are preserved
+    val n = TextAnalysis.cdcChunks(docs, "doc_id", "text", 4)
+      .groupBy("doc_id").agg(sum("n_toks")).as[(Long, Long)].collect().toMap
+    assert(n(1L) === 400L && n(2L) === 403L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.cdcChunks(docs, "doc_id", "text", 0)
+    }
+  }
+
   test("sourceOverlapMatrix: exact below k, pairs ordered, null source dropped") {
     val df = Seq(
       (1L, "a b c d", "s1"), (2L, "c d e", "s2"), (3L, "x y", "s3"),
