@@ -1273,6 +1273,16 @@ object QueriesLLM {
           col("height").as("channels"), col("frames"))
         .orderBy("id")
     },
+    // ---- multimodal video container: real ISO-BMFF box walk (ftyp
+    // sniff, nested moov/mvhd/trak/tkhd) — duration from mvhd, frame
+    // dimensions from tkhd's 16.16 fixed-point fields ----
+    "q179_mp4_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.mp4Blobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width"), col("height"),
+          col("frames").as("duration_ts"))
+        .orderBy("id")
+    },
     // ---- multimodal: MPEG-1 Layer III frame walk (ID3v2 skip + per-frame
     // length hops; rate/channels from the first header, frames counted) ----
     "q127_mp3_decode" -> { (s, dir) =>
@@ -4388,6 +4398,12 @@ object QueriesLLM {
     // q127: the oracle recomputes the fixture arithmetic (srIdx→rate
     // table, parity→mode, frame count); the parser recovered them from
     // real MPEG header bytes + frame-length hops.
+    "q179_mp4_decode" ->
+      """SELECT doc_id AS id, 'mp4' AS format,
+           CAST(16 + n_chars % 1920 AS INT) AS width,
+           CAST(16 + (doc_id * 9) % 1080 AS INT) AS height,
+           CAST(1 + doc_id % 240 AS INT) AS duration_ts
+         FROM documents ORDER BY id""",
     "q127_mp3_decode" ->
       """SELECT doc_id AS id, 'mp3' AS format,
            CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000

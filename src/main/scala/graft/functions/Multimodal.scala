@@ -279,6 +279,46 @@ object Multimodal {
     else unknown(id, cs)
   }
 
+  /** ISO-BMFF (MP4/MOV) box walk: top-level boxes are size(be32) +
+    * fourcc; `moov` nests `mvhd` (timescale be32@+20, duration be32@+24
+    * for version 0) and `trak`/`tkhd` (16.16 fixed-point width be32@+84,
+    * height be32@+88 for version 0 — the ISO/IEC 14496-12 layout,
+    * public). Returns (w, h, duration) or null on any malformed size —
+    * same degrade-to-unknown contract as the RIFF walks. */
+  private def findMp4Meta(b: Array[Byte]): Array[Int] = {
+    var w = 0; var h = 0; var dur = -1
+    def walk(from: Int, end: Int, depth: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= end) {
+        val size = be32(b, pos).toLong
+        val typ = fourcc(b, pos + 4)
+        if (size < 8 || pos + size > end) return // corrupt: stop this level
+        val boxEnd = (pos + size).toInt
+        typ match {
+          case "moov" | "trak" if depth < 4 => walk(pos + 8, boxEnd, depth + 1)
+          case "mvhd" if pos + 28 <= boxEnd && u8(b, pos + 8) == 0 =>
+            dur = math.max(0, be32(b, pos + 24))
+          case "tkhd" if pos + 92 <= boxEnd && u8(b, pos + 8) == 0 =>
+            w = math.max(w, be32(b, pos + 84) >>> 16)
+            h = math.max(h, be32(b, pos + 88) >>> 16)
+          case _ => ()
+        }
+        pos = boxEnd
+      }
+    }
+    walk(0, b.length, 0)
+    if (dur < 0) null else Array(w, h, dur)
+  }
+
+  private def parseMp4(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    val m = findMp4Meta(b)
+    if (m == null) unknown(id, cs)
+    // frames carries the mvhd duration in timescale units — the field a
+    // frame sampler divides by (timescale/fps); documented mapping like
+    // WAV's rate/channels
+    else DecodedMedia(id, "mp4", m(0), m(1), m(2), cs)
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -306,6 +346,8 @@ object Multimodal {
     else if (bytes.length >= 4 &&
              ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
       parseTiff(id, bytes, cs)
+    else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
+      parseMp4(id, bytes, cs)
     else if (id3v2Size(bytes) > 0 || isMp3Sync(bytes, 0))
       parseMp3(id, bytes, cs)
     else unknown(id, cs)
@@ -460,6 +502,40 @@ object Multimodal {
 
   def mp3Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(mp3Fixture)
+
+  /** Canonical minimal ISO-BMFF: ftyp(isom) + moov{ mvhd v0 (timescale,
+    * duration) + trak{ tkhd v0 with 16.16 width/height } } — every size
+    * and offset per ISO/IEC 14496-12, so the parser walks genuine box
+    * structure. */
+  def synthMp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    val ftyp = be32b(24) ++ ascii("ftyp") ++ ascii("isom") ++ be32b(0) ++
+      ascii("isom") ++ ascii("mp42")
+    val mvhd = be32b(108) ++ ascii("mvhd") ++ be32b(0) /*v0+flags*/ ++
+      be32b(0) ++ be32b(0) ++ be32b(timescale) ++ be32b(duration) ++
+      be32b(0x00010000) ++ be16b(0x0100) ++ Array.fill(10)(0.toByte) ++
+      (Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .flatMap(be32b).toArray) ++ Array.fill(24)(0.toByte) ++ be32b(2)
+    val tkhd = be32b(92) ++ ascii("tkhd") ++ be32b(0) ++
+      be32b(0) ++ be32b(0) ++ be32b(1) /*track id*/ ++ be32b(0) ++
+      be32b(duration) ++ Array.fill(8)(0.toByte) ++ be16b(0) ++ be16b(0) ++
+      be16b(0) ++ be16b(0) ++
+      (Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .flatMap(be32b).toArray) ++
+      be32b(w << 16) ++ be32b(h << 16)
+    val trak = be32b(8 + tkhd.length) ++ ascii("trak") ++ tkhd
+    val moov = be32b(8 + mvhd.length + trak.length) ++ ascii("moov") ++
+      mvhd ++ trak
+    ftyp ++ moov
+  }
+
+  /** MP4 fixture: w = 16 + n_chars % 1920, h = 16 + (doc_id·9) % 1080,
+    * duration = 1 + doc_id % 240 at timescale 600. */
+  def mp4Fixture(docId: Long, nChars: Long): Array[Byte] =
+    synthMp4((16 + nChars % 1920).toInt, (16 + (docId * 9) % 1080).toInt,
+      600, (1 + docId % 240).toInt)
+
+  def mp4Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(mp4Fixture)
 
   /** BMP fixture: w = 1 + n_chars % 2000; h = ±(1 + (doc_id·11) % 1200),
     * negative (top-down) for odd doc_id — the parser must report |h|. */

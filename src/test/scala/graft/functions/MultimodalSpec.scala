@@ -144,6 +144,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a.format == "unknown" && a.frames == 0)
   }
 
+  test("hand-built ISO-BMFF: mvhd/tkhd at 14496-12 offsets; corrupt sizes degrade") {
+    // hand-assembled (not via synthMp4): ftyp + moov{mvhd(ts=1000,
+    // dur=42) + trak{tkhd w=320 h=240}} — anchors the box offsets
+    // independently of the synthesizer
+    def be32b(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val asciiB = (s: String) => s.getBytes("US-ASCII")
+    val ftyp = be32b(16) ++ asciiB("ftyp") ++ asciiB("isom") ++ be32b(0)
+    val mvhd = be32b(108) ++ asciiB("mvhd") ++ be32b(0) ++ be32b(0) ++ be32b(0) ++
+      be32b(1000) ++ be32b(42) ++ Array.fill(108 - 28)(0.toByte)
+    val tkhd = be32b(92) ++ asciiB("tkhd") ++ Array.fill(84 - 8)(0.toByte) ++
+      be32b(320L << 16) ++ be32b(240L << 16)
+    val trak = be32b(100) ++ asciiB("trak") ++ tkhd
+    val moov = be32b(8 + 108 + 100) ++ asciiB("moov") ++ mvhd ++ trak
+    val m = Multimodal.parseMedia(9L, ftyp ++ moov)
+    assert(m.format == "mp4" && m.width == 320 && m.height == 240 && m.frames == 42)
+    // corrupt: moov size past the buffer → degrade to unknown, no crash
+    val evil = ftyp ++ be32b(0x7ffffff0L) ++ asciiB("moov") ++ Array.fill(8)(0.toByte)
+    val e = Multimodal.parseMedia(10L, evil)
+    assert(e.format == "unknown" && e.frames == 0)
+    // fixture round-trips per the documented formulas
+    for (docId <- 0L to 5L; nChars <- Seq(7L, 2001L)) {
+      val f = Multimodal.parseMedia(docId, Multimodal.mp4Fixture(docId, nChars))
+      assert(f.format == "mp4" && f.width == 16 + nChars % 1920 &&
+        f.height == 16 + (docId * 9) % 1080 && f.frames == 1 + docId % 240)
+    }
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
