@@ -564,6 +564,57 @@ object QueriesLLM {
     // ---- KMV sketch overlap: contamination planning from two <=256-long
     // sketches, never a corpus join (A = shingles of docs id%3!=0, B =
     // docs id%2==0 — genuinely overlapping sets) ----
+    // ---- robust per-source outlier stats: median + MAD of document
+    // length (two R-7 passes) and the 3-MAD outlier count — the
+    // heavy-tail-immune filter primitive (one 10 MB doc moves a mean
+    // arbitrarily, a median not at all) ----
+    "q180_robust_outliers" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stats = TextAnalysis.groupRobustStats(d, Seq("source"), "n_chars")
+      d.join(broadcast(stats), "source")
+        .withColumn("__out",
+          (abs(col("n_chars").cast("double") - col("med")) >
+            lit(3.0) * col("mad")).cast("long"))
+        .groupBy("source")
+        .agg(first(col("n_docs")).as("n_docs"), first(col("med")).as("med"),
+          first(col("mad")).as("mad"), sum(col("__out")).as("n_outliers"))
+        .orderBy("source")
+    },
+    // ---- per-user interval coverage: events padded to 900-second
+    // intervals, overlaps merged with the lag/cummax window chain (the
+    // classic interval-union), total covered seconds + merged count ----
+    "q181_interval_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = load(s, dir, "events").select(col("user_id"),
+        graft.Tables.epochSec(col("ts")).as("lo"))
+        .withColumn("hi", col("lo") + 900L)
+      val wOrd = Window.partitionBy("user_id").orderBy("lo", "hi")
+      val wMax = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val grouped = e
+        .withColumn("__pmax", max(col("hi")).over(wMax))
+        .withColumn("__new",
+          when(col("__pmax").isNull || col("lo") > col("__pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("grp",
+          sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      grouped.groupBy("user_id", "grp")
+        .agg(min("lo").as("m_lo"), max("hi").as("m_hi"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("m_hi") - col("m_lo")).as("covered_sec"))
+        .orderBy("user_id")
+    },
+    // ---- multi-level aggregation (ROLLUP grouping sets): per
+    // (event_type, user-decile), per event_type, and grand total in ONE
+    // pass — Catalyst expands the grouping sets, no multi-scan union ----
+    "q182_rollup_sets" -> { (s, dir) =>
+      val e = load(s, dir, "events").select(col("event_type"),
+        pmod(col("user_id"), lit(10L)).as("user_mod"),
+        floor(col("value") * 1e6 + 0.5).cast("long").as("micro"))
+      e.rollup("event_type", "user_mod")
+        .agg(count(lit(1)).as("n"), sum("micro").as("sum_micro"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+    },
     // ---- content-defined chunking + cross-doc chunk dedup: word-level
     // Rabin/LBFS boundaries (expected 16-token chunks), per-chunk
     // digests, and each chunk's corpus-wide copy count — the sub-doc
@@ -4154,6 +4205,53 @@ object QueriesLLM {
     },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
+    // Median + MAD via two quantile_cont passes, then the 3-MAD count.
+    "q180_robust_outliers" ->
+      """WITH med AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY 1),
+         mad AS (
+           SELECT d.source,
+             quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5) AS mad
+           FROM documents d JOIN med m USING (source) GROUP BY 1)
+         SELECT d.source, m.n_docs, m.med, a.mad,
+           CAST(sum(CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - m.med)
+             > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM documents d JOIN med m USING (source) JOIN mad a ON d.source = a.source
+         GROUP BY 1, 2, 3, 4 ORDER BY d.source""",
+    // Interval union via lag/cummax: same window chain, exact longs.
+    "q181_interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id, (epoch_ns(ts)//1000000000) AS lo,
+             (epoch_ns(ts)//1000000000) + 900 AS hi
+           FROM events),
+         mk AS (
+           SELECT user_id, lo, hi,
+             max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         grp AS (
+           SELECT user_id, lo, hi,
+             sum(CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY lo, hi
+                 ROWS UNBOUNDED PRECEDING) AS g
+           FROM mk),
+         m AS (
+           SELECT user_id, g, min(lo) AS m_lo, max(hi) AS m_hi
+           FROM grp GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_intervals,
+           CAST(sum(m_hi - m_lo) AS BIGINT) AS covered_sec
+         FROM m GROUP BY 1 ORDER BY 1""",
+    // ROLLUP grouping sets with fixed-point micro sums.
+    "q182_rollup_sets" ->
+      """SELECT event_type, user_id % 10 AS user_mod,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+         FROM events
+         GROUP BY ROLLUP (event_type, user_mod)
+         ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""",
     // CDC boundaries: salted 32-bit ladder % 16 == 0 AFTER a token ends
     // its chunk; chunk id = boundary count over strictly-earlier
     // positions; digest over the in-order rejoined tokens.

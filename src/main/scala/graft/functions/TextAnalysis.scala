@@ -493,6 +493,30 @@ object TextAnalysis {
         }: _*)
   }
 
+  /** Per-group robust location/scale: median and MAD (median absolute
+    * deviation — Hampel's robust scale, public standard) of `valueCol`,
+    * via two [[groupQuantiles]] passes (R-7, engine-exact). The
+    * outlier-filter primitive mean/stddev gets wrong on heavy-tailed
+    * length/quality distributions: one 10 MB document moves a source's
+    * mean arbitrarily but its median not at all.
+    *
+    * Scale: two grouped percentile aggregates + one broadcast-size join
+    * of the per-group medians (|groups| rows); same `approx` switch
+    * caveats as [[groupQuantiles]] apply if swapped in. Returns
+    * (groupCols..., n_docs, med, mad). */
+  def groupRobustStats(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val med = groupQuantiles(df, groupCols, valueCol, Seq("med" -> 0.5))
+      .withColumnRenamed("n_docs", "__n")
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("med")))
+    groupQuantiles(dev, groupCols, "__dev", Seq("mad" -> 0.5))
+      .drop("n_docs")
+      .join(broadcast(med), groupCols)
+      .select(groupCols.map(col) ++
+        Seq(col("__n").as("n_docs"), col("med"), col("mad")): _*)
+  }
+
   /** Cap rows per key — the per-domain/per-source document cap every
     * curation pipeline needs (a handful of hosts otherwise dominate a
     * crawl): keep the `n` rows with the smallest salted 52-bit md5(id)
