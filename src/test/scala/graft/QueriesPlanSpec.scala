@@ -24,4 +24,20 @@ class QueriesPlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"unexpected Window in:\n$plan")
     }
+
+  /** Windows that DO exist must be keyed (per-doc / per-entity ordered
+    * scans — bounded by one key's row count), never global. */
+  private val keyedWindowQueries = Seq(
+    "q178_cdc_chunks" -> "doc_id",        // per-doc boundary prefix sum
+    "q181_interval_coverage" -> "user_id") // per-user interval merge
+
+  for ((q, key) <- keyedWindowQueries)
+    test(s"$q windows are keyed by $key, never global") {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windowLines.nonEmpty, s"expected a keyed window in:\n$plan")
+      assert(windowLines.forall(_.contains(key)),
+        s"window not keyed by $key:\n$plan")
+    }
 }
