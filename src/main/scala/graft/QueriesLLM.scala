@@ -399,6 +399,20 @@ object QueriesLLM {
           seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- semi-supervised label propagation over the k-NN graph: 5% of
+    // nodes keep ground-truth labels, two synchronous majority-vote
+    // rounds spread them along graph edges (ties → smallest label) —
+    // the weak-supervision expansion step of a labeling pipeline ----
+    "q183_label_propagation" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val g = Similarity.nnDescent(e, "vec_id", "embedding",
+        k = 4, iterations = 0, initBits = 4)
+      val seeds = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+        .select("vec_id", "label")
+      Graph.labelPropagate(g, "query_id", "neighbor_id",
+          seeds, "vec_id", "label", iterations = 2)
+        .orderBy("node")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2964,6 +2978,74 @@ object QueriesLLM {
          ${beamRound("c_fin", "fin", 4)}
          SELECT qid AS query_id, node AS neighbor_id, rank, cos
          FROM fin ORDER BY query_id, rank"""
+    },
+    // Label propagation: q133's init CTEs build the same k=4 graph;
+    // two unrolled majority-vote rounds over the symmetric edge set,
+    // (cnt DESC, label ASC) pick, seeds immutable.
+    "q183_label_propagation" -> {
+      val round = (prev: String, out: String) =>
+        s"""v_$out AS (
+             SELECT u.dst AS node, p.label, count(*) AS cnt
+             FROM und u JOIN $prev p ON u.src = p.node GROUP BY 1, 2),
+           b_$out AS (
+             SELECT node, label FROM (
+               SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, label ASC) AS rn
+               FROM v_$out)
+             WHERE rn = 1),
+           $out AS (
+             SELECT node, label FROM seedl
+             UNION ALL
+             SELECT b.node, b.label FROM b_$out b
+             WHERE NOT EXISTS (SELECT 1 FROM seedl s WHERE s.node = b.node))"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         ring AS (
+           SELECT id, COALESCE(
+               lead(id) OVER (ORDER BY mk, id),
+               first_value(id) OVER (ORDER BY mk, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             AS succ
+           FROM mkr),
+         bkc AS (
+           SELECT id, b FROM bk
+           QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+         p0 AS (
+           SELECT x.id AS q, y.id AS nb
+           FROM bkc x JOIN bkc y ON x.b = y.b AND x.id <> y.id
+           UNION SELECT id, succ FROM ring WHERE id <> succ
+           UNION SELECT succ, id FROM ring WHERE id <> succ),
+         s_r0 AS (
+           SELECT p.q, p.nb,
+             list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+           FROM p0 p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+         r0 AS (
+           SELECT q, nb FROM (
+             SELECT q, nb,
+               CAST(row_number() OVER (PARTITION BY q
+                 ORDER BY cos DESC, nb) AS INT) AS rank
+             FROM s_r0)
+           WHERE rank <= 4),
+         und AS (
+           SELECT q AS src, nb AS dst FROM r0 WHERE q <> nb
+           UNION
+           SELECT nb, q FROM r0 WHERE q <> nb),
+         seedl AS (
+           SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+           FROM embeddings WHERE vec_id % 20 = 0),
+         ${round("seedl", "l1")},
+         ${round("l1", "l2")}
+         SELECT node, label FROM l2 ORDER BY node"""
     },
     // Two-layer graph search: q133's init CTEs build the layer-0 graph;
     // the same CTEs restricted to the md5-level 1/16 subset build the

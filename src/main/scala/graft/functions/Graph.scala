@@ -149,6 +149,49 @@ object Graph {
     * power-law graphs at 100 TB. Closing edges are probed with one
     * equi-join against the canonical edge set. All joins are
     * hash-partitioned equi-joins; counts are exact integers. */
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002's hard
+    * variant, public): seed nodes carry fixed ground-truth labels; each
+    * synchronous round, every non-seed node adopts the most frequent
+    * label among its currently-labeled neighbors (ties → smallest
+    * label, via the struct-max on (count, −label) — deterministic at
+    * any layout), recomputed from scratch per round so a node's label
+    * can improve as information spreads. Unreached nodes stay absent.
+    * The weak-supervision expansion step of a labeling pipeline: a few
+    * human labels → graph-consistent labels for the neighborhood.
+    *
+    * Scale: per round one edge⋈labels equi-join + two grouped
+    * aggregates — shuffle ∝ |edges|, bounded rounds, lineage cut per
+    * round. Returns (node, label) for seeds ∪ reached nodes. */
+  def labelPropagate(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String, seedLabelCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, "labelPropagate: iterations must be >= 0")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val seed = seeds.select(col(seedIdCol).cast("long").as("node"),
+        col(seedLabelCol).cast("long").as("label"))
+      .distinct().localCheckpoint()
+    var labels = seed
+    for (_ <- 0 until iterations) {
+      val votes = und.join(labels, und("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+      labels = seed
+        .unionByName(best.join(seed.select("node"), Seq("node"), "left_anti"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
