@@ -578,6 +578,25 @@ object QueriesLLM {
     // ---- KMV sketch overlap: contamination planning from two <=256-long
     // sketches, never a corpus join (A = shingles of docs id%3!=0, B =
     // docs id%2==0 — genuinely overlapping sets) ----
+    // ---- mixture-build capstone: temperature resample (q88) → per-
+    // source token-budget fill (q143) → sequence packing (q70) → per-
+    // shard stats, the full "build a training mixture" chain in one
+    // plan — a defect in any stage shifts every downstream shard ----
+    "q184_mixture_capstone" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val sampled = TextAnalysis.materializeTemperatureSample(
+        d, "source", "doc_id", sqrtIters = 2)
+      val admitted = TextAnalysis.tokenBudgetFill(
+        sampled, "doc_id", "text", "source", budget = 600L)
+      val packed = CorpusClean.packSequences(
+        d.join(admitted.select("doc_id"), "doc_id"), "doc_id", "text",
+        budget = 512, shards = 8)
+      packed.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          (max("seq_index") + 1).as("n_bins"))
+        .orderBy("shard")
+    },
     // ---- robust per-source outlier stats: median + MAD of document
     // length (two R-7 passes) and the 3-MAD outlier count — the
     // heavy-tail-immune filter primitive (one 10 MB doc moves a mean
@@ -4287,6 +4306,65 @@ object QueriesLLM {
     },
     // KMV overlap: min-256 sketches per side, union-X Jaccard estimator,
     // the exact double arithmetic of kmvOverlapEstimate.
+    // Mixture capstone: q88's rate CTEs sample, q143's per-source cum
+    // admits, q70's shard window packs — composed verbatim.
+    "q184_mixture_capstone" -> {
+      val ladder = md5Ladder32("'smp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH counts AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n_docs,
+             sqrt(sqrt(CAST(n_docs AS DOUBLE))) AS weight
+           FROM counts),
+         tot AS (
+           SELECT
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(weight ORDER BY source NULLS FIRST)),
+               (a, b) -> a + b) AS sum_w,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+           FROM w),
+         rates AS (
+           SELECT source,
+             least(1.0, weight / sum_w * CAST(n_total AS DOUBLE)
+               / CAST(n_docs AS DOUBLE)) AS rate
+           FROM w CROSS JOIN tot),
+         smp AS (
+           SELECT doc_id, d.source AS source FROM (
+             SELECT doc_id, source,
+               CAST($ladder AS BIGINT) AS hv
+             FROM documents) d
+           JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+           WHERE CAST(d.hv % 1000000 AS DOUBLE) < 1000000.0 * r.rate),
+         bd AS (
+           SELECT s.doc_id, s.source,
+             CAST(len(regexp_split_to_array(trim(doc.text), '\\s+')) AS BIGINT)
+               AS n_toks,
+             md5('budget:' || CAST(s.doc_id AS VARCHAR)) AS mk
+           FROM smp s JOIN documents doc USING (doc_id)),
+         cum AS (
+           SELECT doc_id, n_toks,
+             CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY mk, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+           FROM bd),
+         adm AS (SELECT doc_id FROM cum WHERE cum_toks - n_toks < 600),
+         t AS (
+           SELECT d.doc_id, d.doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents d JOIN adm USING (doc_id)),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS tok_offset
+           FROM t)
+         SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(tok_offset // 512) + 1 AS BIGINT) AS n_bins
+         FROM c GROUP BY 1 ORDER BY 1"""
+    },
     // Median + MAD via two quantile_cont passes, then the 3-MAD count.
     "q180_robust_outliers" ->
       """WITH med AS (
