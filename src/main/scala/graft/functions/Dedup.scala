@@ -125,7 +125,8 @@ object Dedup {
       store: graft.storage.PartStore, part: String,
       batch: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, shingleK: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      shinglesOpt: Option[DataFrame] = None): DataFrame = {
     require(store.config.keyCols == Seq("band", "key", "entity_id"),
       "lshIncremental: store must be keyed by the bucket membership " +
         s"(keyCols = Seq(\"band\", \"key\", \"entity_id\")), got ${store.config.keyCols}")
@@ -136,10 +137,13 @@ object Dedup {
         s"lshIncremental: id column '$idCol' must be integral, got ${t.simpleString}")
     }
     val psize = store.config.partitionSizeSeconds
-    val sig = minhashSignature(
+    // shinglesOpt: callers that ALSO sketch the batch (nearDupIncremental)
+    // pass the materialized shingle frame so the tokens→shingles pass
+    // runs once per batch, not once per consumer
+    val sh = shinglesOpt.getOrElse(
       shingles(graft.functions.TextAnalysis.tokens(batch, idCol, textCol),
-        idCol, shingleK),
-      idCol, bands * rowsPerBand)
+        idCol, shingleK))
+    val sig = minhashSignature(sh, idCol, bands * rowsPerBand)
     val rows = lshBuckets(sig, idCol, bands, rowsPerBand)
       .select(col("band"), col("key"), col(idCol).cast("long").as("entity_id"))
       .withColumn("timestamp", conv(substring(col("key"), 1, 15), 16, 10).cast("long"))
@@ -209,14 +213,16 @@ object Dedup {
       "nearDupIncremental: sketch/parent stores must be keyed by entity_id")
     require(threshold > 0 && threshold <= 1,
       s"nearDupIncremental: threshold in (0, 1], got $threshold")
+    // 0. ONE tokens→shingles pass, shared by the LSH signatures and the
+    // KMV sketches (it feeds two full aggregations — materialize it)
+    val sh = shingles(
+      graft.functions.TextAnalysis.tokens(batch, idCol, textCol),
+      idCol, shingleK).localCheckpoint()
     // 1. candidate pairs (>=1 batch side), from persisted bucket state
     val cand = lshIncremental(bucketStore, "buckets", batch, idCol, textCol,
-      bands, rowsPerBand, shingleK, maxBucket)
+      bands, rowsPerBand, shingleK, maxBucket, shinglesOpt = Some(sh))
     // 2. persist this batch's sketches (id-range partitions)
-    val sk = kmvDocSketches(
-      shingles(graft.functions.TextAnalysis.tokens(batch, idCol, textCol),
-        idCol, shingleK),
-      idCol, "shingle", sketchK)
+    val sk = kmvDocSketches(sh, idCol, "shingle", sketchK)
     sketchStore.store("sk", sk.select(
       col(idCol).cast("long").as("entity_id"),
       col(idCol).cast("long").as("timestamp"),
