@@ -1013,6 +1013,33 @@ object QueriesCore {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     },
+    // ---- bucketed co-located join: both fact tables written
+    // bucketBy(8, orderkey) + sortBy into the session catalog, so the
+    // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
+    // parquet with NO shuffle on either side (plan-asserted in
+    // QueriesPlanSpec) — the big-fact⋈big-fact technique when broadcast
+    // is impossible: at 100 TB the join pays zero network ----
+    "q185_bucketed_join" -> { (s, dir) =>
+      val work = QueriesLLM.tempWorkDir("graft_q185_")
+      load(s, dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$work/orders_b").saveAsTable("graft_q185_orders")
+      load(s, dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$work/lineitem_b").saveAsTable("graft_q185_lineitem")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      s.table("graft_q185_orders")
+        .join(s.table("graft_q185_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
     // ---- Funnel analysis: per-user ordered view → click → purchase
     // progression (each stage's first event must FOLLOW the previous
     // stage's), aggregated to stage-conversion counts ----
@@ -1645,6 +1672,13 @@ object QueriesCore {
              AND NOT EXISTS (
                SELECT 1 FROM orders WHERE o_custkey = c_custkey
                  AND o_orderpriority = '1-URGENT')
+           GROUP BY 1 ORDER BY 1""",
+      "q185_bucketed_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            GROUP BY 1 ORDER BY 1""",
       "q156_funnel" ->
         s"""WITH ev AS (

@@ -20,7 +20,7 @@ object QueriesLLM {
     * runs in one JVM accumulate only until exit, and nothing survives
     * the process. (Deleting eagerly after the query returns would break
     * it: the returned frame reads the stored parquet lazily.) */
-  private def tempWorkDir(prefix: String): String = {
+  private[graft] def tempWorkDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

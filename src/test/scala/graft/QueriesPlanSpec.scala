@@ -40,4 +40,28 @@ class QueriesPlanSpec extends SparkSpec {
       assert(windowLines.forall(_.contains(key)),
         s"window not keyed by $key:\n$plan")
     }
+
+  test("q185 bucketed join shuffles NEITHER fact side when broadcast is off") {
+    // at gate SF Catalyst (correctly) broadcasts the small side, which
+    // hides what bucketing buys; disabling auto-broadcast simulates the
+    // at-scale condition — two facts too big to broadcast — where the
+    // bucketed SMJ must read pre-bucketed, pre-sorted parquet with NO
+    // exchange and NO sort on either input
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q185_bucketed_join")(spark, dir)
+      df.collect() // finalize the AQE plan before reading it
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a bucketed SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      // the groupBy/orderBy exchanges remain; a join-KEY exchange means
+      // bucketing was ignored and the 100 TB fact⋈fact join pays the
+      // full network cost
+      for (key <- Seq("o_orderkey", "l_orderkey"))
+        assert(!plan.linesIterator.exists(l =>
+            l.contains("Exchange") && l.contains(key)),
+          s"fact side shuffled on $key:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
