@@ -19,13 +19,23 @@ import org.apache.spark.sql.types.IntegerType
   *  - `kmv_mink(value, k)` — k-minimum-values sketch aggregate
   *    ([[graft.expressions.MinKLongs]]); same literal-k rule.
   *
+  * Also injects the native as-of join's planner strategy and its
+  * filter-pushdown optimizer rule ([[graft.plans.AsofJoinStrategy]],
+  * [[graft.plans.AsofJoinFilterPushdown]]) — the production
+  * registration path; [[graft.operators.TemporalOps.asofJoinNative]]
+  * additionally self-registers through `spark.experimental` so the
+  * operator works on a session built without the extension config.
+  *
   * Wire-up: `spark.sql.extensions=graft.GraftExtensions` on any session
   * (cluster-wide via spark-defaults), or [[GraftExtensions.register]] on an
   * already-running session — the CLI and tests use the latter.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinFilterPushdown)
+  }
 }
 
 object GraftExtensions {

@@ -25,4 +25,14 @@ object GraftBridge {
     * a custom logical node. */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Introspection over `private[sql]` SparkSessionExtensions builders —
+    * lets GraftExtensionsSpec assert the strategy/rule injections without
+    * booting a second SparkContext with spark.sql.extensions set. */
+  def plannerStrategies(
+      ext: SparkSessionExtensions, spark: SparkSession): Seq[Any] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+  def optimizerRules(
+      ext: SparkSessionExtensions, spark: SparkSession): Seq[Any] =
+    ext.buildOptimizerRules(spark.asInstanceOf[classic.SparkSession])
 }

@@ -41,6 +41,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.length == 3 && ext != null)
   }
 
+  test("extension point injects the as-of strategy and pushdown rule") {
+    // a session configured with spark.sql.extensions=graft.GraftExtensions
+    // gets the native as-of planner WITHOUT asofJoinNative's experimental
+    // self-registration — asserted through the builders rather than a
+    // second SparkContext
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.GraftBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsofJoinStrategy), strategies.toString)
+    val rules = org.apache.spark.sql.GraftBridge.optimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.AsofJoinFilterPushdown), rules.toString)
+  }
+
   test("fvec_topk rejects a non-literal k at analysis") {
     GraftExtensions.register(spark)
     Seq((1L, 0.5)).toDF("id", "score").createOrReplaceTempView("cands2")
