@@ -168,9 +168,11 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.entity_id") < col("b.entity_id"))
       .select(col("a.entity_id").as("id1"), col("b.entity_id").as("id2"))
+    // no broadcast hint: an ingest batch can be millions of ids — let
+    // AQE pick broadcast vs shuffle from the measured size
     val newIds = rows.select(col("entity_id").as("nid")).distinct()
-    pairs.join(broadcast(newIds), pairs("id1") === col("nid"), "left_semi")
-      .union(pairs.join(broadcast(newIds), pairs("id2") === col("nid"), "left_semi"))
+    pairs.join(newIds, pairs("id1") === col("nid"), "left_semi")
+      .union(pairs.join(newIds, pairs("id2") === col("nid"), "left_semi"))
       .distinct()
       // EAGER snapshot: the probe reads the store AS OF THIS CALL — a
       // lazy frame evaluated after a later batch's store() would see the
@@ -260,7 +262,12 @@ object Dedup {
     while (changed) {
       iters += 1
       require(iters <= 64,
-        "nearDupIncremental: parent chains deeper than 64 — state corrupt?")
+        "nearDupIncremental: parent-pointer chains deeper than 64. Paths " +
+          "compress only when touched, so a component merged in many " +
+          "batches without its old members ever re-appearing can deepen; " +
+          "run a maintenance batch over the affected ids (any batch " +
+          "touching them rewrites their pointers to the root) or rebuild " +
+          "the parent part")
       val par = prunedByIds(parentStore, "par",
           labels.select(col("root").as("node")).distinct(), emptyPar)
         .select(col("entity_id"), col("parent"))

@@ -442,6 +442,13 @@ object Similarity {
     val l1Nodes = edges1.select(col("src").as("id"))
       .union(edges1.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
+    // an empty coarse graph (denom too large for the corpus) would seed
+    // NOTHING and return silently-empty results — the failure class the
+    // retrieval tier refuses loudly everywhere else
+    require(l1Nodes.head(1).nonEmpty,
+      "graphSearchLayered: coarse graph has no nodes — denom too large " +
+        "for this corpus (coarseLayerNodes selected nothing); lower denom " +
+        "or fall back to graphSearch")
     val entryIds = l1Nodes
       .withColumn("mk", md5(col("id").cast("string")))
       .orderBy("mk", "id").limit(entries).select("id")
@@ -524,7 +531,10 @@ object Similarity {
             .cast("long").as("q"))
         .groupBy("j")
         .agg(sum(col("q").cast("decimal(38,0)")).as("sq"))
-        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+        .collect().map(r => r.getInt(0) ->
+          // a null sum means every contribution was null (null vector
+          // elements upstream): treat as zero gradient rather than NPE
+          Option(r.getDecimal(1)).map(_.doubleValue()).getOrElse(0.0)).toMap
       w = w.indices.map { j =>
         w(j) - lr * (grads.getOrElse(j, 0.0) / 16777216.0 / n)
       }.toArray
