@@ -806,6 +806,25 @@ object QueriesLLM {
           ps, "emb", "vec_id", "embedding", cents, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     },
+    // ---- partition-pruned stored IVF-PQ retrieval (q105's pruning on
+    // the COMPRESSED path): by-bucket index part (pindex == cell), the
+    // probe set becomes a PartitionFilter, ADC reads only probed cells'
+    // stored codes — the nProbe/k-of-index-bytes retrieval at 100 TB ----
+    "q186_ivfpq_pruned" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val work = tempWorkDir("graft_q186_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1)) // pindex == bucket
+      Similarity.writeIndexBatchByBucket(ps, "emb", e, "vec_id", "embedding",
+        cents, cbs, modified = 1L)
+      Similarity.ivfPqTopKStoredPruned(e.filter(col("vec_id") % 100 === 0),
+          ps, "emb", e, "vec_id", "embedding", cents, cbs,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- streaming late-data gate (SURVEY I3): events replay through
     // the streaming trendSink in two micro-batches where EVERY row of the
     // second batch is event-time OLDER than the first — late stragglers
@@ -5008,6 +5027,9 @@ object QueriesLLM {
     "q105_ivf_pruned" ->
       s"""WITH $RefinedCentCte,
          $IvfRetrievalSql""",
+    // Pruned stored IVF-PQ answers exactly like the fresh q97 chain
+    // (pruning is IO elision), so the oracle IS q97's.
+    "q186_ivfpq_pruned" -> IvfPqRetrievalOracle,
     // Full-corpus residual training: rcent seeds (the q100 chain) + ONE
     // fixed-point pass over every corpus residual (q92/q101 arithmetic),
     // codes re-derived with the refined books — mirrors

@@ -1529,11 +1529,20 @@ object Similarity {
       queries: DataFrame, assigned: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, centroids: Seq[(Int, Seq[Float])],
       codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean): DataFrame =
+    ivfPqProbed(probeCells(queries, idCol, vecCol, centroids, nProbe),
+      queries, assigned, corpus, idCol, vecCol, codebooks, k, shortlist,
+      broadcastDistanceTable)
+
+  private def ivfPqProbed(
+      probes: DataFrame, queries: DataFrame, assigned: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int,
       shortlist: Int, broadcastDistanceTable: Boolean): DataFrame = {
     // candidate (query, neighbor, j, code) rows: probe-cell equi-join
     // gates the corpus BEFORE any code is unpacked — rows ∝
     // |queries|·(corpus·nProbe/k)·m, never corpus·|queries|
-    val cand = probeCells(queries, idCol, vecCol, centroids, nProbe)
+    val cand = probes
       .select(col("query_id"), col("__bucket"))
       .join(assigned, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1547,6 +1556,43 @@ object Similarity {
     // distance-table rows, unlike the full-scan path's (j, code) join
     adcEstimateRerank(cand.join(dtMaybeBcast, Seq("query_id", "j", "code")),
       queries, corpus, idCol, vecCol, k, shortlist)
+  }
+
+  /** Stored IVF-PQ retrieval with PARTITION-PRUNED scan over a
+    * by-bucket index part ([[writeIndexBatchByBucket]]) — the
+    * compressed-codes sibling of [[ivfTopKStoredPruned]]: the probed
+    * cells (≤ codebook-size, collected driver-side) become a `pindex
+    * IN (...)` PartitionFilter, so the scan lists only those cells'
+    * directories, THEN the ADC estimate runs over the pruned stored
+    * codes and the exact rerank pays full vectors for the shortlist
+    * alone. Results identical to [[ivfPqTopKStored]] over the same
+    * rows (spec-asserted; pruning is pure IO elision). At 100 TB this
+    * is the compressed retrieval path that touches nProbe/k of the
+    * index bytes instead of all of them. */
+  def ivfPqTopKStoredPruned(
+      queries: DataFrame, ps: graft.storage.PartStore, part: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], k: Int, nProbe: Int,
+      shortlist: Int, broadcastDistanceTable: Boolean = true): DataFrame = {
+    requireIntegralId(queries, idCol, "ivfPqTopKStoredPruned")
+    require(ps.config.partitionSizeSeconds == 1L,
+      "ivfPqTopKStoredPruned requires a by-bucket index store " +
+        "(PartStoreConfig(partitionSizeSeconds = 1), written by " +
+        s"writeIndexBatchByBucket) — got ${ps.config.partitionSizeSeconds}")
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .localCheckpoint() // computed ONCE: feeds both the filter and the join
+    val cells = probes
+      .select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted
+    val stored = ps.readPart(part).getOrElse(
+        throw new IllegalArgumentException(
+          s"ivfPqTopKStoredPruned: no stored index part '$part'"))
+      .filter(col("pindex").isin(cells.toIndexedSeq: _*))
+    val assigned = stored.select(col("entity_id").as("neighbor_id"),
+      col("bucket").cast("int").as("__bucket"), col("pq_code"))
+    ivfPqProbed(probes, queries, assigned, corpus, idCol, vecCol,
+      codebooks, k, shortlist, broadcastDistanceTable)
   }
 
   /** Write one ingest batch's IVF-PQ index columns — bucket + PQ code

@@ -1131,6 +1131,37 @@ class SimilaritySpec extends SparkSpec {
     assert(scanLine.contains("pindex"), s"no pindex partition filter: $scanLine")
   }
 
+  test("by-bucket IVF-PQ: pruned stored retrieval == unpruned, filter present") {
+    val cents = Similarity.ivfCentroidsRefined(clustered, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooksRefined(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/ivfpq_bybucket", 1))
+    ps.deletePart("emb")
+    Similarity.writeIndexBatchByBucket(ps, "emb", clustered,
+      "vec_id", "embedding", cents, cbs, modified = 1L)
+    val queries = clustered.filter(col("vec_id") < 10)
+    val pruned = Similarity.ivfPqTopKStoredPruned(queries, ps, "emb",
+      clustered, "vec_id", "embedding", cents, cbs,
+      k = 3, nProbe = 2, shortlist = 10)
+    val stored = ps.readPart("emb").get.select(
+      col("entity_id").as("vec_id"), col("bucket"), col("pq_code"))
+    val full = Similarity.ivfPqTopKStored(queries, stored, clustered,
+      "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+      k = 3, nProbe = 2, shortlist = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(pruned) == rows(full)) // pruning is pure IO elision
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pindex"), s"no pindex partition filter: $scanLine")
+    intercept[IllegalArgumentException] { // refuses a non-by-bucket store
+      Similarity.ivfPqTopKStoredPruned(queries, new graft.storage.PartStore(
+        spark, graft.storage.PartStoreConfig("target/tmp/ivfpq_bybucket", 50)),
+        "emb", clustered, "vec_id", "embedding", cents, cbs, 3, 2, 10)
+    }
+  }
+
   test("OPQ permutation: true permutation, partition-invariant, spreads variance") {
     // variance-skewed fixture: dims 0..3 dominate — under identity
     // grouping all four land in subspace 0 and starve the others
