@@ -493,6 +493,84 @@ object TextAnalysis {
         }: _*)
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, public):
+    * learn the top `nMerges` byte-pair merges from the corpus WORD
+    * VOCABULARY — the classic formulation: one corpus pass builds
+    * (word, freq), then each merge step runs over the vocab alone
+    * (pair-frequency aggregate → argmax → merge application), so
+    * training cost is nMerges × O(vocab), never nMerges × O(corpus).
+    * Returns one row per step: (step, left, right, pair_freq).
+    *
+    * Determinism: argmax ties break (freq DESC, left ASC, right ASC);
+    * merge application is greedy left-to-right, expressed through
+    * per-word windows instead of a sequential fold so ANY engine
+    * replays it: for left ≠ right occurrences never overlap (an
+    * adjacent occurrence would force left = right), and for
+    * left == right a run of k occurrences takes every second one —
+    * (pos − runStart) even — which IS the greedy outcome on a
+    * character run. No end-of-word marker (merges stay within words;
+    * documented simplification of the </w> convention).
+    *
+    * Scale: vocab = one corpus aggregate (map-side combined); each
+    * step is two vocab-sized shuffles (pair counts, merge windows per
+    * word — windows bounded by word LENGTH) and one driver-side
+    * 1-row argmax collect. */
+  def bpeTrain(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"bpeTrain: nMerges in [1, 64], got $nMerges")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .groupBy(col("tok").as("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), split(col("word"), "").as("toks"))
+      .localCheckpoint()
+    val steps = Seq.newBuilder[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      // pair stream: per word, (t, lead(t)) over pos
+      val w = Window.partitionBy("word").orderBy("pos")
+      val occ = vocab
+        .select(col("word"), col("freq"), posexplode(col("toks")).as(Seq("pos", "t")))
+        .withColumn("nxt", lead(col("t"), 1).over(w))
+      val top = occ.filter(col("nxt").isNotNull)
+        .groupBy(col("t").as("l"), col("nxt").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        steps += ((step, l, r, cnt))
+        // apply the merge via per-word windows (greedy ≡ run-parity)
+        val marked = occ
+          .withColumn("occ", col("t") === l && col("nxt") === r)
+          .withColumn("newRun",
+            (col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
+              .cast("long"))
+          .withColumn("runId", sum(col("newRun")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        val runStarts = marked.filter(col("occ"))
+          .groupBy("word", "runId").agg(min("pos").as("runStart"))
+        val taken = marked.join(runStarts, Seq("word", "runId"), "left")
+          .withColumn("taken",
+            col("occ") && (lit(l) =!= lit(r) ||
+              pmod(col("pos") - col("runStart"), lit(2)) === 0))
+          .withColumn("consumed",
+            coalesce(lag(col("taken"), 1).over(w), lit(false)))
+        vocab = taken.filter(!col("consumed"))
+          .withColumn("out", when(col("taken"), concat(col("t"), col("nxt")))
+            .otherwise(col("t")))
+          .groupBy("word", "freq")
+          .agg(array_sort(collect_list(struct(col("pos"), col("out")))).as("a"))
+          .select(col("word"), col("freq"),
+            transform(col("a"), x => x("out")).as("toks"))
+          .localCheckpoint()
+      }
+    }
+    steps.result().toDF("step", "left", "right", "pair_freq")
+  }
+
   /** Per-group robust location/scale: median and MAD (median absolute
     * deviation — Hampel's robust scale, public standard) of `valueCol`,
     * via two [[groupQuantiles]] passes (R-7, engine-exact). The

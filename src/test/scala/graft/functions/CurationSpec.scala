@@ -377,6 +377,33 @@ class CurationSpec extends SparkSpec {
     assert(r1 === Set((1L, 5L)))
   }
 
+  test("bpeTrain: learns the hand-computed merges; run-parity matches greedy") {
+    // vocab: "abab" ×3, "ab" ×2, "aaaa" ×2
+    // pair counts step 1: (a,b) = 3·2 + 2·1 = 8; (b,a) = 3; (a,a) = 2·3 = 6
+    //   → merge 1 = (a,b) freq 8; "abab"→[ab,ab], "ab"→[ab], "aaaa" stays
+    // step 2: (ab,ab) = 3; (a,a) = 6 → merge 2 = (a,a) freq 6
+    //   "aaaa"→[aa,aa] (greedy on the run: positions 0,2 — run parity)
+    // step 3: (ab,ab) = 3; (aa,aa) = 2 → merge 3 = (ab,ab) freq 3
+    val docs = Seq(
+      (1L, "abab abab abab ab ab"),
+      (2L, "aaaa aaaa")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges === Seq(
+      (1, "a", "b", 8L), (2, "a", "a", 6L), (3, "ab", "ab", 3L)))
+    // partition-invariant (windows are per-word; argmax is ordered)
+    val again = TextAnalysis.bpeTrain(docs.repartition(7), "doc_id", "text", 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(again === merges)
+    // odd-run greedy: "aaa" run of 2 occurrences takes only the first
+    val odd = TextAnalysis.bpeTrain(
+      Seq((1L, "aaa aaa")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // step 1: (a,a) freq 2·2 = 4 → "aaa" → [aa, a]; step 2: (aa,a) = 2
+    assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+  }
+
   test("cdcChunks: insertion-robust boundaries; fixed-stride chunking is not") {
     val words = (1 to 400).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, words), (2L, "inserted prefix tokens " + words))
