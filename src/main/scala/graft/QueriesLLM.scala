@@ -605,6 +605,19 @@ object QueriesLLM {
       TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text", nMerges = 3)
         .orderBy("step")
     },
+    // ---- BPE encoding: per-doc piece counts after the q187-learned
+    // merges — corpus tokens join the segmented vocab (encode is a
+    // broadcast-size lookup, never a per-doc merge replay) ----
+    "q188_bpe_tokens" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.bpeVocab(d, "doc_id", "text", nMerges = 3)
+        .select(col("word"), size(col("toks")).cast("long").as("n_pieces"))
+      TextAnalysis.tokens(d, "doc_id", "text").filter(col("tok") =!= "")
+        .join(broadcast(vocab), col("tok") === col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
     // ---- robust per-source outlier stats: median + MAD of document
     // length (two R-7 passes) and the 3-MAD outlier count — the
     // heavy-tail-immune filter primitive (one 10 MB doc moves a mean
@@ -2288,6 +2301,59 @@ object QueriesLLM {
   /** Near-dup pairs + recursive reachability shared by q61/q86: hashed
     * embeddings, hyperplane buckets, capped in-bucket cosine pairs, and
     * min-label propagation to a fixpoint. */
+  /** BPE oracle builders (q187/q188): character-level v0 vocab and one
+    * merge step (pair-count argmax + run-parity greedy application). */
+  private val BpeV0Cte =
+    """v0 AS (
+           SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(tok)),
+               i -> substring(tok, i, 1)) AS toks
+           FROM toks WHERE tok <> '' GROUP BY 1)"""
+
+  private def bpeStepCte(vp: String, n: Int): String =
+    s"""p$n AS (
+             SELECT toks[i] AS l, toks[i + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS cnt
+             FROM $vp CROSS JOIN
+               unnest(generate_series(1, len(toks) - 1)) AS u(i)
+             GROUP BY 1, 2),
+           m$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
+           e$n AS (
+             SELECT word, freq, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS t,
+               CASE WHEN u.i < len(toks) THEN toks[u.i + 1] END AS nxt
+             FROM $vp CROSS JOIN
+               unnest(generate_series(1, len(toks))) AS u(i)),
+           o$n AS (
+             SELECT e.word, e.freq, e.pos, e.t, e.nxt, m.l AS ml, m.r AS mr,
+               coalesce(e.t = m.l AND e.nxt = m.r, false) AS occ
+             FROM e$n e CROSS JOIN m$n m),
+           nr$n AS (
+             SELECT *, CASE WHEN occ AND NOT coalesce(
+                 lag(occ) OVER (PARTITION BY word ORDER BY pos), false)
+               THEN 1 ELSE 0 END AS newRun
+             FROM o$n),
+           r$n AS (
+             SELECT *, sum(newRun) OVER (PARTITION BY word ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS runId
+             FROM nr$n),
+           rs$n AS (
+             SELECT word, runId, min(pos) AS runStart
+             FROM r$n WHERE occ GROUP BY 1, 2),
+           t$n AS (
+             SELECT a.*, coalesce(a.occ AND (a.ml <> a.mr
+                 OR (a.pos - b.runStart) % 2 = 0), false) AS taken
+             FROM r$n a LEFT JOIN rs$n b
+               ON a.word = b.word AND a.runId = b.runId),
+           u$n AS (
+             SELECT *, coalesce(lag(taken) OVER (PARTITION BY word
+               ORDER BY pos), false) AS consumed
+             FROM t$n),
+           v$n AS (
+             SELECT word, freq,
+               list(CASE WHEN taken THEN t || nxt ELSE t END ORDER BY pos)
+                 AS toks
+             FROM u$n WHERE NOT consumed GROUP BY 1, 2)"""
+
   private val NearDupReachCte =
     s"""RECURSIVE $ToksCte,
          counts AS (
@@ -4396,65 +4462,30 @@ object QueriesLLM {
     // over the evolving vocab + the run-parity greedy merge windows the
     // Spark op runs (greedy left-to-right ≡ take-every-second within an
     // occurrence run; non-equal pairs never overlap).
-    "q187_bpe_train" -> {
-      val step = (vp: String, n: Int) =>
-        s"""p$n AS (
-             SELECT toks[i] AS l, toks[i + 1] AS r,
-               CAST(sum(freq) AS BIGINT) AS cnt
-             FROM $vp CROSS JOIN
-               unnest(generate_series(1, len(toks) - 1)) AS u(i)
-             GROUP BY 1, 2),
-           m$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
-           e$n AS (
-             SELECT word, freq, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS t,
-               CASE WHEN u.i < len(toks) THEN toks[u.i + 1] END AS nxt
-             FROM $vp CROSS JOIN
-               unnest(generate_series(1, len(toks))) AS u(i)),
-           o$n AS (
-             SELECT e.word, e.freq, e.pos, e.t, e.nxt, m.l AS ml, m.r AS mr,
-               coalesce(e.t = m.l AND e.nxt = m.r, false) AS occ
-             FROM e$n e CROSS JOIN m$n m),
-           nr$n AS (
-             SELECT *, CASE WHEN occ AND NOT coalesce(
-                 lag(occ) OVER (PARTITION BY word ORDER BY pos), false)
-               THEN 1 ELSE 0 END AS newRun
-             FROM o$n),
-           r$n AS (
-             SELECT *, sum(newRun) OVER (PARTITION BY word ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS runId
-             FROM nr$n),
-           rs$n AS (
-             SELECT word, runId, min(pos) AS runStart
-             FROM r$n WHERE occ GROUP BY 1, 2),
-           t$n AS (
-             SELECT a.*, coalesce(a.occ AND (a.ml <> a.mr
-                 OR (a.pos - b.runStart) % 2 = 0), false) AS taken
-             FROM r$n a LEFT JOIN rs$n b
-               ON a.word = b.word AND a.runId = b.runId),
-           u$n AS (
-             SELECT *, coalesce(lag(taken) OVER (PARTITION BY word
-               ORDER BY pos), false) AS consumed
-             FROM t$n),
-           v$n AS (
-             SELECT word, freq,
-               list(CASE WHEN taken THEN t || nxt ELSE t END ORDER BY pos)
-                 AS toks
-             FROM u$n WHERE NOT consumed GROUP BY 1, 2)"""
+    "q187_bpe_train" ->
       s"""WITH $ToksCte,
-         v0 AS (
-           SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
-             list_transform(generate_series(1, length(tok)),
-               i -> substring(tok, i, 1)) AS toks
-           FROM toks WHERE tok <> '' GROUP BY 1),
-         ${step("v0", 1)},
-         ${step("v1", 2)},
-         ${step("v2", 3)}
+         $BpeV0Cte,
+         ${bpeStepCte("v0", 1)},
+         ${bpeStepCte("v1", 2)},
+         ${bpeStepCte("v2", 3)}
          SELECT step, l AS "left", r AS "right", cnt AS pair_freq FROM (
            SELECT CAST(1 AS INT) AS step, l, r, cnt FROM m1
            UNION ALL SELECT 2, l, r, cnt FROM m2
            UNION ALL SELECT 3, l, r, cnt FROM m3)
-         ORDER BY step"""
-    },
+         ORDER BY step""",
+    // BPE encode: the q187 chain's FINAL vocab joined back to corpus
+    // tokens — per-doc word and piece counts.
+    "q188_bpe_tokens" ->
+      s"""WITH $ToksCte,
+         $BpeV0Cte,
+         ${bpeStepCte("v0", 1)},
+         ${bpeStepCte("v1", 2)},
+         ${bpeStepCte("v2", 3)}
+         SELECT t.doc_id, count(*) AS n_words,
+           CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tokens
+         FROM toks t JOIN v3 v ON t.tok = v.word
+         WHERE t.tok <> ''
+         GROUP BY 1 ORDER BY 1""",
     // Median + MAD via two quantile_cont passes, then the 3-MAD count.
     "q180_robust_outliers" ->
       """WITH med AS (

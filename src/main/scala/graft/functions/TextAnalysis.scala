@@ -517,7 +517,21 @@ object TextAnalysis {
     * 1-row argmax collect. */
   def bpeTrain(
       df: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame =
+    bpeCore(df, idCol, textCol, nMerges)._1
+
+  /** The post-training segmented vocabulary: (word, freq, toks) with
+    * `toks` = the word's BPE pieces after [[bpeTrain]]'s `nMerges`
+    * merges — the lookup an encoder joins corpus tokens against
+    * ([[bpeCore]] runs training once for both outputs). */
+  def bpeVocab(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame =
+    bpeCore(df, idCol, textCol, nMerges)._2
+
+  private def bpeCore(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"bpeTrain: nMerges in [1, 64], got $nMerges")
     import org.apache.spark.sql.expressions.Window
@@ -568,7 +582,7 @@ object TextAnalysis {
           .localCheckpoint()
       }
     }
-    steps.result().toDF("step", "left", "right", "pair_freq")
+    (steps.result().toDF("step", "left", "right", "pair_freq"), vocab)
   }
 
   /** Per-group robust location/scale: median and MAD (median absolute
