@@ -904,6 +904,51 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- stream-stream interval join gate (view⋈click attribution):
+    // both sides replay in time-split batches; inner-join rows emit on
+    // arrival of the matching side (no sentinel needed), watermark
+    // eviction at lateness 0 is sound because an evicted view (ts +
+    // window < mid) cannot match any batch-2 click (ts >= mid). Oracle =
+    // the batch interval join over the same capped slices ----
+    "q189_stream_interval_join" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.Tables.epochSec(col("ts")).as("sec"), col("event_type"))
+      def capped(kind: String, salt: String) = ev
+        .filter(col("event_type") === kind)
+        .withColumn("__h", md5(concat(lit(salt), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .select("event_id", "user_id", "sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val views = capped("view", "sij_v:")
+      val clicks = capped("click", "sij_c:")
+      val all = views.map(_._3) ++ clicks.map(_._3)
+      val mid = (all.min + all.max) / 2
+      val memV = MemoryStream[(Long, Long, Long)]
+      val memC = MemoryStream[(Long, Long, Long)]
+      val joined = graft.streaming.StreamingRollup.streamIntervalJoin(
+        memV.toDF().toDF("view_id", "v_user", "v_ts"), "v_user", "v_ts",
+        memC.toDF().toDF("click_id", "c_user", "c_ts"), "c_user", "c_ts",
+        windowSeconds = 7200L, latenessSeconds = 0L)
+      val q = joined.select(col("view_id"), col("click_id"),
+          unix_timestamp(col("v_ts")).as("v_sec"),
+          unix_timestamp(col("c_ts")).as("c_sec"))
+        .writeStream.format("memory").queryName("q189_sij")
+        .outputMode("append").start()
+      try {
+        memV.addData(views.filter(_._3 < mid).toSeq: _*)
+        memC.addData(clicks.filter(_._3 < mid).toSeq: _*)
+        q.processAllAvailable()
+        memV.addData(views.filter(_._3 >= mid).toSeq: _*)
+        memC.addData(clicks.filter(_._3 >= mid).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q189_sij")
+        .select("view_id", "click_id", "v_sec", "c_sec")
+        .orderBy("view_id", "click_id")
+    },
     // ---- streaming windowed rollup gate (SURVEY I1/I3's watermarked
     // tumbling-window aggregation, Append mode): the md5-capped slice
     // replays in two TIME-SPLIT batches — lateness 0 is sound because a
@@ -5053,6 +5098,26 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Batch interval join over the same md5-capped view/click slices.
+    "q189_stream_interval_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             (epoch_ns(ts)//1000000000) AS sec, event_type
+           FROM events),
+         v AS (
+           SELECT event_id AS view_id, user_id, sec AS v_sec FROM ev
+           WHERE event_type = 'view'
+           ORDER BY md5('sij_v:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096),
+         c AS (
+           SELECT event_id AS click_id, user_id, sec AS c_sec FROM ev
+           WHERE event_type = 'click'
+           ORDER BY md5('sij_c:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096)
+         SELECT view_id, click_id, v_sec, c_sec
+         FROM v JOIN c USING (user_id)
+         WHERE c_sec >= v_sec AND c_sec <= v_sec + 7200
+         ORDER BY view_id, click_id""",
     // Batch-reprocessing equivalence for the streaming windowed rollup:
     // per-(entity, hour-end) fixed-point sums over the same capped slice.
     "q171_streaming_rollup" ->

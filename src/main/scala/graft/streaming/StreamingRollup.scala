@@ -125,6 +125,37 @@ object StreamingRollup {
       }
   }
 
+  /** Stream-stream interval join: rows of `right` matched to `left`
+    * rows with the same key whose event time falls in
+    * [leftTs, leftTs + windowSeconds] — the impression⋈click /
+    * trigger⋈outcome attribution join, as a genuine two-sided stateful
+    * streaming join (NOT a static broadcast): both sides buffer in the
+    * state store and the time-range condition + watermarks bound state
+    * — a left row evicts once the watermark passes leftTs +
+    * windowSeconds (no future right row can reach it), a right row once
+    * it passes rightTs (Spark derives both bounds from the condition).
+    * Inner-join rows emit on arrival of the matching side, so no
+    * flush/sentinel is needed for completeness at quiesce.
+    *
+    * Column names must be disjoint; both ts columns must cast to
+    * TIMESTAMP. Returns left columns ++ right columns. */
+  def streamIntervalJoin(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      windowSeconds: Long, latenessSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "streamIntervalJoin: windowSeconds must be positive")
+    val clash = left.columns.toSet intersect right.columns.toSet
+    require(clash.isEmpty, s"streamIntervalJoin: column names collide: $clash")
+    val l = left.withColumn(leftTs, col(leftTs).cast("timestamp"))
+      .withWatermark(leftTs, s"$latenessSeconds seconds")
+    val r = right.withColumn(rightTs, col(rightTs).cast("timestamp"))
+      .withWatermark(rightTs, s"$latenessSeconds seconds")
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $windowSeconds seconds"))
+  }
+
   /** Streaming ingest into a trend part (the streaming analogue of the
     * reference's continuous harvest loop — plugin parse → store →
     * mark-modified per file, processor.py): each micro-batch runs the SAME
