@@ -904,6 +904,37 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- streaming dedup sink gate: documents replay through
+    // dedupSink (foreachBatch → exactIncremental against the persisted
+    // digest store) in two md5-split micro-batches; the stored state
+    // must equal the batch two-call schedule — first-occurrence-wins
+    // ACROSS batches, keeper = the first batch's min id per digest ----
+    "q190_streaming_dedup" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = docs(s, dir).select("doc_id", "text")
+      val split = pmod(conv(substring(md5(concat(lit("sdd:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = d.withColumn("__s", split)
+        .select("doc_id", "text", "__s").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val work = tempWorkDir("graft_q190_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingRollup.dedupSink(
+        mem.toDF().toDF("doc_id", "text"), ps, "d", "doc_id", "text")
+      try {
+        mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ps.readPart("d").get
+        .select(col("digest"), col("keeper"))
+        .orderBy("digest")
+    },
     // ---- stream-stream interval join gate (view⋈click attribution):
     // both sides replay in time-split batches; inner-join rows emit on
     // arrival of the matching side (no sentinel needed), watermark
@@ -5098,6 +5129,26 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Streaming dedup = the batch two-call schedule: batch-1 digests
+    // keep their min id; only genuinely-new digests land from batch 2.
+    "q190_streaming_dedup" -> {
+      val splitLadder = md5Ladder32("'sdd:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+           SELECT doc_id, text,
+             CAST(($splitLadder) % 2 AS BIGINT) AS split
+           FROM documents),
+         b1 AS (
+           SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper
+           FROM d WHERE split = 0 GROUP BY 1),
+         b2 AS (
+           SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper
+           FROM d WHERE split = 1 GROUP BY 1)
+         SELECT digest, keeper FROM b1
+         UNION ALL
+         SELECT digest, keeper FROM b2
+         WHERE digest NOT IN (SELECT digest FROM b1)
+         ORDER BY digest"""
+    },
     // Batch interval join over the same md5-capped view/click slices.
     "q189_stream_interval_join" ->
       """WITH ev AS (
