@@ -904,6 +904,49 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- streaming index sink gate (q99's loop through the streaming
+    // face): an md5-capped embedding slice replays through indexSink in
+    // two micro-batches — each batch buckets + PQ-codes itself at write
+    // time with the LOADED sidecars — and stored retrieval must equal
+    // the fresh single-pass chain over the same slice (batch split is
+    // invisible in the final state, so the oracle ignores it) ----
+    "q191_streaming_index" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = load(s, dir, "embeddings")
+        .withColumn("__h", md5(concat(lit("sidx:"), col("vec_id").cast("string"))))
+        .orderBy("__h", "vec_id").limit(4096)
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+      val cents = Similarity.ivfCentroidsRefined(e, "vec_id", "embedding", 8)
+      val cbs = Similarity.pqCodebooksRefined(e, "vec_id", "embedding",
+        m = 8, k = 256, dim = 64, sampleN = 8192)
+      val work = tempWorkDir("graft_q191_")
+      Similarity.saveCentroids(s, s"$work/centroids", cents)
+      Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 200))
+      val rows = e.as[(Long, Seq[Float])].collect()
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingRollup.indexSink(
+        mem.toDF().toDF("vec_id", "embedding"), ps, "emb",
+        s"$work/centroids", s"$work/codebooks", "vec_id", "embedding",
+        nowSec = () => 42L)
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val stored = ps.readPart("emb").get.select(
+        col("entity_id").as("vec_id"), col("embedding"),
+        col("bucket"), col("pq_code"))
+      Similarity.ivfPqTopKStored(e.filter(col("vec_id") % 100 === 0), stored,
+          e, "vec_id", "embedding", "bucket", "pq_code", cents, cbs,
+          k = 5, nProbe = 2, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
     // ---- streaming dedup sink gate: documents replay through
     // dedupSink (foreachBatch → exactIncremental against the persisted
     // digest store) in two md5-split micro-batches; the stored state
@@ -5129,6 +5172,15 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Streaming index sink ≡ fresh single-pass build over the capped
+    // slice: q97's retrieval chain with embeddings → the md5 top-4096.
+    "q191_streaming_index" ->
+      s"""WITH ecap AS (
+           SELECT vec_id, embedding FROM embeddings
+           ORDER BY md5('sidx:' || CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT 4096),
+         ${IvfPqRetrievalOracle.stripPrefix("WITH ")
+            .replaceAll("\\bembeddings\\b", "ecap")}""",
     // Streaming dedup = the batch two-call schedule: batch-1 digests
     // keep their min id; only genuinely-new digests land from batch 2.
     "q190_streaming_dedup" -> {
