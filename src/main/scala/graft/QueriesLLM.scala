@@ -1526,6 +1526,14 @@ object QueriesLLM {
           col("frames").as("duration_ts"))
         .orderBy("id")
     },
+    // ---- multimodal: WEBP/VP8X RIFF chunk walk — 24-bit LE canvas
+    // dimensions from the extended header ----
+    "q192_webp_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.webpBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width"), col("height"))
+        .orderBy("id")
+    },
     // ---- multimodal: MPEG-1 Layer III frame walk (ID3v2 skip + per-frame
     // length hops; rate/channels from the first header, frames counted) ----
     "q127_mp3_decode" -> { (s, dir) =>
@@ -4896,6 +4904,11 @@ object QueriesLLM {
     // q127: the oracle recomputes the fixture arithmetic (srIdx→rate
     // table, parity→mode, frame count); the parser recovered them from
     // real MPEG header bytes + frame-length hops.
+    "q192_webp_decode" ->
+      """SELECT doc_id AS id, 'webp' AS format,
+           CAST(1 + n_chars % 4096 AS INT) AS width,
+           CAST(1 + (doc_id * 17) % 2160 AS INT) AS height
+         FROM documents ORDER BY id""",
     "q179_mp4_decode" ->
       """SELECT doc_id AS id, 'mp4' AS format,
            CAST(16 + n_chars % 1920 AS INT) AS width,

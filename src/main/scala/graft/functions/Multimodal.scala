@@ -310,6 +310,27 @@ object Multimodal {
     if (dur < 0) null else Array(w, h, dur)
   }
 
+  /** WEBP (RIFF container, VP8X extended header — the WebP container
+    * spec, public): canvas dimensions are 24-bit little-endian
+    * (value − 1) at payload offsets 4 and 7 after the 1-byte flags +
+    * 3 reserved bytes. Same RIFF chunk walk as WAV/AVI. */
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
+  private def parseWebp(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val cid = fourcc(b, pos)
+      val size = le32(b, pos + 4).toLong
+      if (size < 0 || pos + 8L + size > b.length) return unknown(id, cs)
+      if (cid == "VP8X" && size >= 10)
+        return DecodedMedia(id, "webp",
+          1 + le24(b, pos + 12), 1 + le24(b, pos + 15), 1, cs)
+      pos = (pos + 8L + size + (size & 1)).toInt
+    }
+    unknown(id, cs)
+  }
+
   private def parseMp4(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
     val m = findMp4Meta(b)
     if (m == null) unknown(id, cs)
@@ -339,6 +360,8 @@ object Multimodal {
       parseAvi(id, bytes, cs)
     else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WAVE")
       parseWav(id, bytes, cs)
+    else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" && fourcc(bytes, 8) == "WEBP")
+      parseWebp(id, bytes, cs)
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
       parseBmp(id, bytes, cs)
     else if (bytes.length >= 4 && fourcc(bytes, 0) == "fLaC")
@@ -536,6 +559,24 @@ object Multimodal {
 
   def mp4Blobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(mp4Fixture)
+
+  /** Canonical WEBP/VP8X: RIFF + 'WEBP' + VP8X chunk (flags, 3 reserved,
+    * 24-bit LE canvas width−1 / height−1) per the container spec. */
+  def synthWebp(w: Int, h: Int): Array[Byte] = {
+    def le24b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val vp8x = ascii("VP8X") ++ le32b(10) ++
+      Array(0.toByte) ++ Array.fill(3)(0.toByte) ++
+      le24b(w - 1) ++ le24b(h - 1)
+    ascii("RIFF") ++ le32b(4 + vp8x.length) ++ ascii("WEBP") ++ vp8x
+  }
+
+  /** WEBP fixture: w = 1 + n_chars % 4096, h = 1 + (doc_id·17) % 2160. */
+  def webpFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthWebp((1 + nChars % 4096).toInt, (1 + (docId * 17) % 2160).toInt)
+
+  def webpBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(webpFixture)
 
   /** BMP fixture: w = 1 + n_chars % 2000; h = ±(1 + (doc_id·11) % 1200),
     * negative (top-down) for odd doc_id — the parser must report |h|. */

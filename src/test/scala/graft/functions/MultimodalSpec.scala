@@ -172,6 +172,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hand-built WEBP/VP8X parses 24-bit LE dims; corrupt chunk degrades") {
+    def le32b(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val asciiB = (s: String) => s.getBytes("US-ASCII")
+    // canvas 70000×300: exercises the third width byte (70000 > 2^16)
+    val vp8x = asciiB("VP8X") ++ le32b(10) ++ Array(0.toByte) ++
+      Array.fill(3)(0.toByte) ++
+      Array((69999 & 0xff).toByte, ((69999 >> 8) & 0xff).toByte,
+        ((69999 >> 16) & 0xff).toByte) ++
+      Array((299 & 0xff).toByte, ((299 >> 8) & 0xff).toByte, 0.toByte)
+    val m = Multimodal.parseMedia(11L,
+      asciiB("RIFF") ++ le32b(4 + vp8x.length) ++ asciiB("WEBP") ++ vp8x)
+    assert(m.format == "webp" && m.width == 70000 && m.height == 300)
+    val evil = asciiB("RIFF") ++ le32b(0x7ffffff0L) ++ asciiB("WEBP") ++
+      asciiB("VP8X") ++ le32b(0x7ffffff0L) ++ Array.fill(10)(0.toByte)
+    assert(Multimodal.parseMedia(12L, evil).format == "unknown")
+    for (docId <- 0L to 3L; nChars <- Seq(5L, 5000L)) {
+      val f = Multimodal.parseMedia(docId, Multimodal.webpFixture(docId, nChars))
+      assert(f.format == "webp" && f.width == 1 + nChars % 4096 &&
+        f.height == 1 + (docId * 17) % 2160)
+    }
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
