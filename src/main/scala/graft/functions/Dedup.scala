@@ -181,6 +181,46 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Maintenance pass for [[nearDupIncremental]]'s parent-pointer store:
+    * rewrites EVERY stored pointer to its component root by pointer
+    * doubling (parent ← parent(parent) per round — depth halves each
+    * round, so convergence is O(log maxDepth) full-store joins), then
+    * one staged store rewrite. Run it when chains deepen (components
+    * merged across many batches whose members never re-appear) — after
+    * compaction every find is a single pruned lookup again. Returns the
+    * number of pointers that changed. */
+  def compactParents(
+      parentStore: graft.storage.PartStore, part: String): Long = {
+    val st = parentStore.readPart(part) match {
+      case Some(df) => df.select(col("entity_id"), col("parent")).localCheckpoint()
+      case None     => return 0L
+    }
+    var cur = st
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      require(rounds <= 64, "compactParents: no convergence in 64 doubling rounds")
+      val p2 = cur.alias("a")
+        .join(cur.select(col("entity_id").as("pid"), col("parent").as("pp"))
+          .alias("b"), col("a.parent") === col("pid"), "left")
+        .select(col("a.entity_id").as("entity_id"),
+          coalesce(col("pp"), col("a.parent")).as("parent"),
+          col("a.parent").as("__old"))
+        .localCheckpoint()
+      changed = p2.filter(col("parent") =!= col("__old")).head(1).nonEmpty
+      cur = p2.select("entity_id", "parent")
+    }
+    val diffs = cur.alias("n")
+      .join(st.select(col("entity_id"), col("parent").as("__orig")), "entity_id")
+      .filter(col("parent") =!= col("__orig"))
+      .count()
+    parentStore.store(part, cur.select(
+      col("entity_id"), col("entity_id").as("timestamp"),
+      col("parent"), lit(1L).as("modified")))
+    diffs
+  }
+
   /** Fully incremental near-duplicate KEEPER assignment — the composed
     * append-only pipeline: [[lshIncremental]] candidates → KMV-sketch
     * Jaccard verify against PERSISTED per-doc sketches → union-find
@@ -265,9 +305,9 @@ object Dedup {
         "nearDupIncremental: parent-pointer chains deeper than 64. Paths " +
           "compress only when touched, so a component merged in many " +
           "batches without its old members ever re-appearing can deepen; " +
-          "run a maintenance batch over the affected ids (any batch " +
-          "touching them rewrites their pointers to the root) or rebuild " +
-          "the parent part")
+          "run compactParents (pointer-doubling maintenance pass that " +
+          "flattens every chain to its root) or a batch touching the " +
+          "affected ids")
       val par = prunedByIds(parentStore, "par",
           labels.select(col("root").as("node")).distinct(), emptyPar)
         .select(col("entity_id"), col("parent"))

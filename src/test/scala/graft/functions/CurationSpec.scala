@@ -377,6 +377,24 @@ class CurationSpec extends SparkSpec {
     assert(r1 === Set((1L, 5L)))
   }
 
+  test("compactParents: pointer doubling flattens chains to roots") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cpar_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("entity_id")))
+    // a 5-deep chain 5→4→3→2→1→1 plus a flat pair 10→9→9
+    val rows = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 1L),
+      (10L, 9L), (9L, 9L)).toDF("entity_id", "parent")
+    ps.store("par", rows.select(col("entity_id"),
+      col("entity_id").as("timestamp"), col("parent"), lit(1L).as("modified")))
+    val changed = Dedup.compactParents(ps, "par")
+    assert(changed === 3L) // 5, 4, 3 re-pointed to 1; 2,1,10,9 already flat
+    val after = ps.readPart("par").get.select("entity_id", "parent")
+      .as[(Long, Long)].collect().toMap
+    assert(after === Map(5L -> 1L, 4L -> 1L, 3L -> 1L, 2L -> 1L, 1L -> 1L,
+      10L -> 9L, 9L -> 9L))
+    assert(Dedup.compactParents(ps, "par") === 0L) // idempotent
+  }
+
   test("bpeTrain: learns the hand-computed merges; run-parity matches greedy") {
     // vocab: "abab" ×3, "ab" ×2, "aaaa" ×2
     // pair counts step 1: (a,b) = 3·2 + 2·1 = 8; (b,a) = 3; (a,a) = 2·3 = 6
