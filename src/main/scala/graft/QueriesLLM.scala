@@ -904,6 +904,43 @@ object QueriesLLM {
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
     },
+    // ---- streaming funnel detection gate (CEP-lite custom state): the
+    // md5-capped event slice replays in two time-split batches; each
+    // user's earliest in-order view→click→purchase chain must equal the
+    // batch q156 chained-min computation over the same slice ----
+    "q193_streaming_funnel" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.Tables.epochSec(col("ts")).as("sec"), col("event_type"))
+      val capped = ev
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .withColumn("__h", md5(concat(lit("fun:"), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .select("user_id", "sec", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val ts = capped.map(_._2)
+      val mid = (ts.min + ts.max) / 2
+      val mem = MemoryStream[(Long, Long, String)]
+      val hits = graft.streaming.StreamingRollup.funnelDetect(
+        mem.toDF().toDF("user_id", "sec", "event_type"),
+        "user_id", "sec", "event_type", Seq("view", "click", "purchase"))
+      val q = hits.toDF()
+        .select(col("entity_id").as("user_id"),
+          element_at(col("times"), 1).as("v_ts"),
+          element_at(col("times"), 2).as("c_ts"),
+          element_at(col("times"), 3).as("p_ts"))
+        .writeStream.format("memory").queryName("q193_funnel")
+        .outputMode("append").start()
+      try {
+        mem.addData(capped.filter(_._2 < mid).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(capped.filter(_._2 >= mid).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q193_funnel").orderBy("user_id")
+    },
     // ---- streaming index sink gate (q99's loop through the streaming
     // face): an md5-capped embedding slice replays through indexSink in
     // two micro-batches — each batch buckets + PQ-codes itself at write
@@ -5185,6 +5222,31 @@ object QueriesLLM {
     // Streaming late-batch replay converges to the one-shot batch
     // aggregate (keyed upsert; arrival order invisible), so the oracle IS
     // the batch computation over all events.
+    // Streaming funnel = q156's chained-min over the capped slice.
+    "q193_streaming_funnel" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             (epoch_ns(ts)//1000000000) AS sec, event_type
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         capped AS (
+           SELECT user_id, sec, event_type FROM ev
+           ORDER BY md5('fun:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096),
+         v AS (
+           SELECT user_id, min(sec) AS v_ts FROM capped
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.sec) AS c_ts
+           FROM capped e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.sec >= v.v_ts GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.sec) AS p_ts
+           FROM capped e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.sec >= c.c_ts GROUP BY 1)
+         SELECT p.user_id, v.v_ts, c.c_ts, p.p_ts
+         FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+         ORDER BY user_id""",
     // Streaming index sink ≡ fresh single-pass build over the capped
     // slice: q97's retrieval chain with embeddings → the md5 top-4096.
     "q191_streaming_index" ->

@@ -11,6 +11,9 @@ final case class SessionState(start: Long, end: Long, n: Long)
 final case class ClosedSession(
     entity_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
+/** A completed stage sequence emitted by [[StreamingRollup.funnelDetect]]. */
+final case class FunnelHit(entity_id: Long, times: Seq[Long])
+
 /** Structured Streaming equivalents of the reference's micro-batch
   * incremental loop (SURVEY §2 I1-I6).
   *
@@ -121,6 +124,54 @@ object StreamingRollup {
               state.setTimeoutTimestamp((s.end + gapSeconds) * 1000)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming funnel detection (CEP-lite over custom state): per
+    * entity, track the earliest in-order completion of `stages` — the
+    * first stage-0 event, then the first stage-1 event at-or-after it,
+    * and so on — and emit ONE [[FunnelHit]] with the stage timestamps
+    * when the last stage completes. The streaming face of the batch
+    * funnel (q156's chained min-after-min): processing events in event-
+    * time order (ties break by stage index, so a same-second view is
+    * visible to its click) makes "first event of stage i at-or-after
+    * stage i−1" exactly the batch chain.
+    *
+    * State = ≤|stages| longs per entity, retained until completion —
+    * bound it in production with an upstream watermark filter or a
+    * periodic state sweep; the gate feeds a bounded slice. */
+  def funnelDetect(
+      stream: DataFrame, entityCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "funnelDetect: empty stage list")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val nStages = stages.length
+    val typed = stream.select(col(entityCol).cast("long"),
+        col(tsCol).cast("long"), col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity, rows, state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty)
+          if (times.length >= nStages) Iterator.empty // already emitted
+          else {
+            val evs = rows.toSeq
+              .flatMap { case (_, t, ty) => stageIdx.get(ty).map(i => (t, i)) }
+              .sortBy { case (t, i) => (t, i) }
+            val out = Seq.newBuilder[FunnelHit]
+            evs.foreach { case (t, i) =>
+              if (times.length < nStages && i == times.length &&
+                  (times.isEmpty || t >= times.last)) {
+                times = times :+ t
+                if (times.length == nStages) out += FunnelHit(entity, times)
+              }
+            }
+            state.update(times)
+            out.result().iterator
           }
       }
   }
