@@ -993,7 +993,12 @@ object QueriesLLM {
       implicit val sc = s.sqlContext
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      // md5-capped replay slice (q104's convention): driver memory O(1)
+      // in sf — the cap binds above sf0.01's 500 docs
       val d = docs(s, dir).select("doc_id", "text")
+        .withColumn("__h", md5(concat(lit("sddcap:"), col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+        .select("doc_id", "text")
       val split = pmod(conv(substring(md5(concat(lit("sdd:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
       val rows = d.withColumn("__s", split)
@@ -5260,10 +5265,14 @@ object QueriesLLM {
     // keep their min id; only genuinely-new digests land from batch 2.
     "q190_streaming_dedup" -> {
       val splitLadder = md5Ladder32("'sdd:' || CAST(doc_id AS VARCHAR)")
-      s"""WITH d AS (
+      s"""WITH capped AS (
+           SELECT doc_id, text FROM documents
+           ORDER BY md5('sddcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 2048),
+         d AS (
            SELECT doc_id, text,
              CAST(($splitLadder) % 2 AS BIGINT) AS split
-           FROM documents),
+           FROM capped),
          b1 AS (
            SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper
            FROM d WHERE split = 0 GROUP BY 1),

@@ -170,7 +170,9 @@ object StreamingRollup {
                 if (times.length == nStages) out += FunnelHit(entity, times)
               }
             }
-            state.update(times)
+            // no state row for entities that never reached stage 0 —
+            // the store stays bounded by funnel PARTICIPANTS
+            if (times.nonEmpty) state.update(times)
             out.result().iterator
           }
       }
