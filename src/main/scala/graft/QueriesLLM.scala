@@ -413,6 +413,34 @@ object QueriesLLM {
           seeds, "vec_id", "label", iterations = 2)
         .orderBy("node")
     },
+    // ---- incremental persisted graph-ANN index (the HNSW insert loop):
+    // two batches build the stored graph — batch 2 beam-searches the
+    // EXISTING index for its neighbors, links bidirectionally, appends —
+    // then retrieval runs over the accumulated store. Deterministic for
+    // the fixed schedule, but graph construction is insertion-order
+    // semantics by nature (no SQL-expressible oracle; the driver records
+    // the rows-only check, SimilaritySpec measures recall vs fresh) ----
+    "q194_graph_incremental" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val work = tempWorkDir("graft_q194_")
+      val es = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/e", 500, keyCols = Seq("entity_id", "dst")))
+      val vs = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/v", 500, keyCols = Seq("entity_id")))
+      val hv = conv(substring(md5(concat(lit("gidx:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      def insert(b: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.graphInsertBatch(es, vs, "g", b, "vec_id", "embedding",
+          k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4)
+      insert(e.filter(hv === 0L))
+      insert(e.filter(hv === 1L))
+      val (g, v) = Similarity.readGraphIndex(es, vs, "g")
+      Similarity.graphSearch(e.filter(col("vec_id") % 50 === 0), g,
+          v.select(col("entity_id").as("vec_id"), col("vec").as("embedding")),
+          "vec_id", "embedding", k = 4, beam = 8, hops = 2, entries = 4,
+          seedBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>

@@ -542,6 +542,81 @@ object Similarity {
     w.toIndexedSeq
   }
 
+  /** Incremental graph-ANN index — the HNSW insert loop, batch-
+    * formulated (Malkov & Yashunin 2016 §4 alg. 1, public): a PERSISTED
+    * k-NN graph grows by batches. Per batch: (1) every new vector beam-
+    * searches the EXISTING stored graph for its top-k neighbors (one
+    * [[graphSearch]] over the batch as the query set — |batch| queries,
+    * never a corpus rebuild), (2) the batch's INTERNAL k-NN edges come
+    * from [[nnDescent]] on the batch alone, (3) new→old, old→new (the
+    * bidirectional HNSW link), and batch-internal edges append to the
+    * edge store (id-range partitioned by source node, so appends land
+    * in the new ids' partitions; reverse links upsert into the touched
+    * neighbors' partitions only), and vectors append to the vector
+    * store. The first batch bootstraps with nnDescent alone.
+    *
+    * Unlike the IVF/PQ incremental indexes there is NO oracle-exact
+    * equivalence to a fresh build — graph construction is insertion-
+    * order-dependent by nature (HNSW's too); the contract is RECALL,
+    * spec-measured: incremental search recall on the clustered fixture
+    * within a few points of the fresh-built graph's. Old nodes' degrees
+    * grow as reverse links accrue (HNSW prunes to M; here search cost
+    * per hop scales with degree, so run occasional compaction by
+    * rebuilding hot nodes' edge lists — documented trade, not hidden).
+    *
+    * Stores: edges keyed (entity_id = src, dst); vectors keyed
+    * (entity_id). Search the accumulated index with [[graphSearch]]
+    * over `readGraphIndex`. */
+  def graphInsertBatch(
+      edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
+      part: String, batch: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int): Unit = {
+    require(edgeStore.config.keyCols == Seq("entity_id", "dst"),
+      "graphInsertBatch: edge store must be keyed (entity_id, dst)")
+    require(vecStore.config.keyCols == Seq("entity_id"),
+      "graphInsertBatch: vector store must be keyed (entity_id)")
+    requireIntegralId(batch, idCol, "graphInsertBatch")
+    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val cross = (edgeStore.readPart(part), vecStore.readPart(part)) match {
+      case (Some(edges0), Some(vecs0)) =>
+        val g = edges0.select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
+        val vOld = vecs0.select(col("entity_id").as("id"), col("vec"))
+        val found = graphSearch(b.withColumnRenamed("vec", vecCol)
+            .withColumnRenamed("id", idCol),
+          g, vOld.withColumnRenamed("vec", vecCol).withColumnRenamed("id", idCol),
+          idCol, vecCol, k, beam, hops, entries, seedBits)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .localCheckpoint()
+        found.unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
+      case _ => b.limit(0).select(col("id").as("src"), col("id").as("dst"))
+    }
+    val edges = internal.unionByName(cross).distinct()
+    edgeStore.store(part, edges.select(
+      col("src").as("entity_id"), col("src").as("timestamp"),
+      col("dst"), lit(1L).as("modified")))
+    vecStore.store(part, b.select(
+      col("id").as("entity_id"), col("id").as("timestamp"),
+      col("vec"), lit(1L).as("modified")))
+    ()
+  }
+
+  /** The accumulated (graph, vectors) view of a [[graphInsertBatch]]
+    * index, in the shapes [[graphSearch]] consumes. */
+  def readGraphIndex(
+      edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
+      part: String): (DataFrame, DataFrame) = {
+    val g = edgeStore.readPart(part).getOrElse(
+        throw new IllegalArgumentException(s"readGraphIndex: no edge part '$part'"))
+      .select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
+    val v = vecStore.readPart(part).getOrElse(
+        throw new IllegalArgumentException(s"readGraphIndex: no vector part '$part'"))
+      .select(col("entity_id"), col("vec"))
+    (g, v)
+  }
+
   /** IVF-style centroid selection: the k corpus vectors with the smallest
     * md5(id) — a deterministic, engine-reproducible pseudo-random sample
     * (real IVF would k-means these; the assignment/bucketing machinery is

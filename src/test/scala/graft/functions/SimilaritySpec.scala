@@ -1162,6 +1162,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graphInsertBatch: incremental index recall tracks the fresh build") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ginc_").toString
+    val es = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/e", 50, keyCols = Seq("entity_id", "dst")))
+    val vs = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/v", 50, keyCols = Seq("entity_id")))
+    def insert(b: org.apache.spark.sql.DataFrame): Unit =
+      Similarity.graphInsertBatch(es, vs, "g", b, "vec_id", "embedding",
+        k = 4, beam = 8, hops = 2, entries = 3, seedBits = 3)
+    insert(clustered.filter(col("vec_id") < 50))
+    insert(clustered.filter(col("vec_id") >= 50))
+    val (g, v) = Similarity.readGraphIndex(es, vs, "g")
+    assert(v.count() === 100L)
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    def recall(got: Set[(Long, Long)]): Double = {
+      val exact = Similarity.bruteForceTopK(queries, clustered,
+          "vec_id", "embedding", 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val incr = recall(Similarity.graphSearch(queries,
+        g, v.select(col("entity_id").as("vec_id"), col("vec").as("embedding")),
+        "vec_id", "embedding", k = 3, beam = 8, hops = 3, entries = 3, seedBits = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet)
+    val fresh = recall(Similarity.graphSearch(queries,
+        Similarity.nnDescent(clustered, "vec_id", "embedding", 4, 1, 3), clustered,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 3, entries = 3, seedBits = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet)
+    // insertion order costs some edge quality; the contract is the
+    // incremental index stays a working ANN index, not a bit-equal one
+    assert(incr >= fresh - 0.15 && incr >= 0.6,
+      s"incremental graph recall $incr vs fresh $fresh")
+    // idempotent replay of batch 2: edges upsert on (src, dst)
+    val nEdges = g.count()
+    insert(clustered.filter(col("vec_id") >= 50))
+    assert(Similarity.readGraphIndex(es, vs, "g")._1.count() >= nEdges)
+  }
+
   test("OPQ permutation: true permutation, partition-invariant, spreads variance") {
     // variance-skewed fixture: dims 0..3 dominate — under identity
     // grouping all four land in subspace 0 and starve the others
