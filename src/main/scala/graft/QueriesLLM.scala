@@ -441,6 +441,16 @@ object QueriesLLM {
           seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- weighted sampling without replacement (Efraimidis-Spirtakis
+    // A-ES): per-source top-8 by the ln(u)/w priority, w = doc length —
+    // the bounded-aggregate shape (TopKPairs partials, no per-group
+    // row_number window) ----
+    "q195_weighted_sample" -> { (s, dir) =>
+      val d = docs(s, dir).withColumn("w_len",
+        greatest(col("n_chars").cast("double"), lit(1.0)))
+      TextAnalysis.weightedSample(d, "doc_id", "source", "w_len", n = 8)
+        .orderBy("source", "rank")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2590,6 +2600,23 @@ object QueriesLLM {
            SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q195_weighted_sample" -> {
+      val ladder = md5Ladder32("'wrs:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (
+           SELECT source, doc_id,
+             ln(((
+           $ladder
+             ) % 1000000 + 0.5) / 1000000.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS aes_key
+           FROM documents),
+         r AS (
+           SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY aes_key DESC, doc_id ASC) AS rnk
+           FROM k)
+         SELECT source, doc_id, CAST(rnk AS INT) AS rank
+         FROM r WHERE rnk <= 8 ORDER BY source, rank"""
+    },
     "q25_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper,
            count(*) AS copies

@@ -404,6 +404,40 @@ object TextAnalysis {
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis 2006
+    * A-ES, public): per group, the `n` items with the LARGEST key
+    * ln(u)/w — the log-space form of the classic u^(1/w) priority (u ∈
+    * (0,1) the item's uniform coin, w > 0 its weight; ln(u) is negative,
+    * so dividing by a larger weight pulls the key toward 0 and heavier
+    * items win with exactly the A-ES inclusion law). The coin is the
+    * engine-portable md5 ladder ((h + 0.5)/1e6 keeps u strictly inside
+    * (0,1)), so every engine replays the same sample; non-positive or
+    * NULL weights yield a NULL key, which the aggregate skips — such
+    * items are never sampled (documented, not an error).
+    *
+    * Scale shape: per-group top-n through the native bounded TopKPairs
+    * aggregate — map-side partials carry ≤n rows per (group, partition),
+    * shuffle volume |groups|·n·|partitions| — NOT a per-group
+    * row_number window, which would sort each group's entire corpus on
+    * a single task (the q135 ntile lesson). Returns (groupCol, idCol,
+    * rank) with rank 1..n in key order (ties broken by id inside the
+    * aggregate). */
+  def weightedSample(
+      df: DataFrame, idCol: String, groupCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1, got $n")
+    val u = (hashUniform(col(idCol), "wrs:").cast("double") + 0.5d) /
+      1000000.0d
+    val w = col(weightCol).cast("double")
+    val key = when(w > 0.0d, log(u) / w)
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.TopKPairs.topk(
+        col(idCol).cast("long"), key, n).as("tops"))
+      .select(col(groupCol), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col(groupCol), col("t._2").as(idCol),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Temperature-balanced source mixture (the multilingual p^(1/T)
     * sampling scheme of Conneau & Lample 2019, public): per-source
     * sampling RATES that reshape the corpus toward count^α shares, with

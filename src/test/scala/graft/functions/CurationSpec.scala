@@ -610,6 +610,31 @@ class CurationSpec extends SparkSpec {
     assert(kept("big") < 160)          // rate < 1 thins the big source
   }
 
+  test("weightedSample: A-ES law — bounded per group, weight-monotone, " +
+      "non-positive weights excluded") {
+    val docs = ((1 to 50).map(i => (i.toLong, "a", 10.0)) ++
+      Seq((51L, "a", 1e9), (52L, "a", 0.0), (53L, "a", -3.0)) ++
+      (61 to 65).map(i => (i.toLong, "b", 5.0)))
+      .toDF("doc_id", "source", "w")
+    val s = TextAnalysis.weightedSample(docs, "doc_id", "source", "w", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // bounded per group; group b has only 5 eligible rows
+    assert(s.count(_._1 == "a") == 8)
+    assert(s.count(_._1 == "b") == 5)
+    // ranks are 1..n dense per group
+    assert(s.filter(_._1 == "a").map(_._3).sorted.toSeq == (1 to 8))
+    // the overwhelming weight wins rank 1 (its key ln(u)/1e9 ≈ 0 beats
+    // every weight-10 key with overwhelming probability — and the md5
+    // coins are fixed, so this is deterministic here)
+    assert(s.find(r => r._1 == "a" && r._3 == 1).map(_._2).contains(51L))
+    // zero/negative weights never sampled
+    assert(!s.exists(r => r._2 == 52L || r._2 == 53L))
+    // determinism: same input → same sample
+    val s2 = TextAnalysis.weightedSample(docs, "doc_id", "source", "w", n = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(s.toSet == s2.toSet)
+  }
+
   test("materializeTemperatureSample = manual mixture → sample composition") {
     val docs = ((1 to 160).map(i => (i.toLong, "big")) ++
       (161 to 170).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
