@@ -451,6 +451,21 @@ object QueriesLLM {
       TextAnalysis.weightedSample(d, "doc_id", "source", "w_len", n = 8)
         .orderBy("source", "rank")
     },
+    // ---- hybrid retrieval: Reciprocal Rank Fusion of two tiers — exact
+    // full-dim cosine top-20 ⊕ the matryoshka prefix-dim tier — the
+    // calibration-free rank combiner (only ranks enter, so heterogeneous
+    // scorers compose; same as fusing BM25 ⊕ dense) ----
+    "q196_rrf_hybrid" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val full = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 20)
+        .select("query_id", "neighbor_id", "rank")
+      val mat = Similarity.matryoshkaTopK(qs, e, "vec_id", "embedding",
+          prefixDim = 16, k = 20, shortlist = 50)
+        .select("query_id", "neighbor_id", "rank")
+      Similarity.rrfFuse(Seq(full, mat), k = 10)
+        .orderBy("query_id", "rank")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2617,6 +2632,65 @@ object QueriesLLM {
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
     },
+    // Two rank tiers (q35's full-cos shape at k=20; q137's prefix tier at
+    // k=20) fused by Σ 1/(60+rank); two addends per pair, so DuckDB's
+    // sum == the engine's sorted fold exactly.
+    "q196_rrf_hybrid" ->
+      """WITH n AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             CAST(embedding[1:16] AS DOUBLE[]) AS pv
+           FROM embeddings),
+         nn AS (
+           SELECT id, vec, pv, sqrt(list_dot_product(vec, vec)) AS nrm,
+             sqrt(list_dot_product(pv, pv)) AS pnrm
+           FROM n),
+         qs AS (SELECT * FROM nn WHERE id % 50 = 0),
+         fs AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cos
+           FROM qs q JOIN nn c ON q.id <> c.id),
+         ra AS (
+           SELECT query_id, neighbor_id, rnk FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM fs) WHERE rnk <= 20),
+         ps AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_dot_product(q.pv, c.pv) / (q.pnrm * c.pnrm) AS pcos
+           FROM qs q JOIN nn c ON q.id <> c.id),
+         short AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pcos DESC, neighbor_id) AS rn
+             FROM ps) WHERE rn <= 50),
+         s2 AS (
+           SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS cos
+           FROM short s JOIN nn q ON s.query_id = q.id
+             JOIN nn c ON s.neighbor_id = c.id),
+         rb AS (
+           SELECT query_id, neighbor_id, rnk FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM s2) WHERE rnk <= 20),
+         contrib AS (
+           SELECT query_id, neighbor_id,
+             1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS part FROM ra
+           UNION ALL
+           SELECT query_id, neighbor_id,
+             1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS part FROM rb),
+         fused AS (
+           SELECT query_id, neighbor_id, sum(part) AS rrf
+           FROM contrib GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, rank, rrf FROM (
+           SELECT query_id, neighbor_id, rrf,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, neighbor_id) AS INT) AS rank
+           FROM fused)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q25_dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS digest, min(doc_id) AS keeper,
            count(*) AS copies

@@ -120,6 +120,47 @@ object Similarity {
       .select(col("query_id"), col("t._2").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009, public):
+    * fuse per-query rankings from heterogeneous retrievers into one list
+    * by score Σᵢ 1/(c + rankᵢ) over the rankings that returned the
+    * (query, neighbor) pair — the standard hybrid-retrieval combiner
+    * (lexical ⊕ dense, cheap-tier ⊕ exact-tier) that needs no score
+    * calibration because only RANKS enter. Each input frame carries
+    * (query_id, neighbor_id, rank); a pair absent from a ranking simply
+    * contributes nothing. The fused score is a sum of exactly-rounded
+    * reciprocals, so it is bit-identical across engines; ties (e.g. two
+    * pairs each appearing in a single ranking at the same rank) break by
+    * neighbor id.
+    *
+    * Scale shape: the union is map-side, ONE shuffle aggregates
+    * contributions on (query, neighbor) — each pair has ≤ |rankings|
+    * rows — and the per-query cut runs through the bounded TopKPairs
+    * aggregate, never a ranking window. Output: (query_id, neighbor_id,
+    * rank, rrf). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1, s"rrfFuse: k must be >= 1, got $k")
+    require(c >= 0, s"rrfFuse: rank constant c must be >= 0, got $c")
+    val contrib = rankings.map(_.select(
+        col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        (lit(1.0d) / (lit(c).cast("double") + col("rank").cast("double")))
+          .as("part")))
+      .reduce(_.unionByName(_))
+    contrib.groupBy("query_id", "neighbor_id")
+      // sorted fold, not sum(): ≤|rankings| doubles per pair, and adding
+      // them in value order makes the fused score independent of partial-
+      // aggregation order (two addends are commutative-exact; three or
+      // more are not associative in float)
+      .agg(aggregate(sort_array(collect_list(col("part"))), lit(0.0d),
+        (a, x) => a + x).as("rrf"))
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKPairs.topk(
+        col("neighbor_id"), col("rrf"), k).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("t._1").as("rrf"))
+  }
+
   /** Deterministic hyperplane bucket id (nBits sign bits). The planes are
     * the simplest orthogonal family — plane j compares dims 2j vs 2j+1 —
     * which is engine-portable (subtraction of floats, exact in double) and

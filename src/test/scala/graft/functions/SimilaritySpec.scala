@@ -1311,4 +1311,26 @@ class SimilaritySpec extends SparkSpec {
       s"non-parametric OPQ $npErr worse than parametric $paramErr")
   }
 
+  test("rrfFuse: hand-computed fusion, tie-break by id, single-list pairs kept") {
+    import spark.implicits._
+    // query 1: ranking A has (10,1),(11,2); ranking B has (11,1),(12,2)
+    val ra = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val rb = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(ra, rb), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._3)
+    // 11 appears in both: 1/62 + 1/61 wins; 10 (1/61) and 12 (1/62) follow;
+    // 10 before 12 because its reciprocal is larger
+    assert(out.map(x => (x._2, x._3)).toSeq ==
+      Seq((11L, 1), (10L, 2), (12L, 3)), out.toSeq)
+    assert(math.abs(out(0)._4 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    // equal single-list scores tie-break by neighbor id: two pairs at the
+    // same rank in different rankings
+    val rc = Seq((2L, 30L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val rd = Seq((2L, 20L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val tied = Similarity.rrfFuse(Seq(rc, rd), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(tied.toSeq == Seq((20L, 1), (30L, 2)), tied.toSeq)
+  }
+
 }
