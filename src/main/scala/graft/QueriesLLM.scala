@@ -466,6 +466,19 @@ object QueriesLLM {
       Similarity.rrfFuse(Seq(full, mat), k = 10)
         .orderBy("query_id", "rank")
     },
+    // ---- MMR diversification: greedy λ·rel − (1−λ)·max-sim-to-selected
+    // over the brute-force top-10 shortlist, k=3 picks per query —
+    // the diverse-subset selector, k bounded aggregate rounds (no
+    // ranking window, no corpus rescan) ----
+    "q197_mmr_diversify" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val qs = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val cand = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("rel"))
+      Similarity.mmrDiversify(cand, e, "vec_id", "embedding",
+          k = 3, lambda = 0.5)
+        .orderBy("query_id", "step")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2632,6 +2645,76 @@ object QueriesLLM {
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
     },
+    // Greedy MMR, k=3 unrolled: s1 = argmax rel; s2 = argmax of
+    // 0.5·rel − 0.5·cos(c, s1); s3 adds the max over the two selected.
+    // All arithmetic is the q35 dot/norm ladder — engine-exact.
+    "q197_mmr_diversify" ->
+      """WITH n AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         nn AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM n),
+         qs AS (SELECT * FROM nn WHERE id % 50 = 0),
+         scored AS (
+           SELECT q.id AS query_id, c.id AS neighbor_id,
+             list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm) AS rel
+           FROM qs q JOIN nn c ON q.id <> c.id),
+         cand AS (
+           SELECT query_id, neighbor_id, rel FROM (
+             SELECT query_id, neighbor_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id) AS rn
+             FROM scored) WHERE rn <= 10),
+         s1 AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id) AS rn
+             FROM cand) WHERE rn = 1),
+         r2 AS (
+           SELECT c.query_id, c.neighbor_id,
+             0.5 * c.rel - 0.5 *
+               (list_dot_product(cv.vec, sv.vec) / (cv.nrm * sv.nrm))
+               AS score
+           FROM cand c
+           JOIN s1 ON s1.query_id = c.query_id
+             AND s1.neighbor_id <> c.neighbor_id
+           JOIN nn cv ON cv.id = c.neighbor_id
+           JOIN nn sv ON sv.id = s1.neighbor_id),
+         s2 AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rn
+             FROM r2) WHERE rn = 1),
+         sel12 AS (
+           SELECT query_id, neighbor_id FROM s1
+           UNION ALL SELECT query_id, neighbor_id FROM s2),
+         r3 AS (
+           SELECT c.query_id, c.neighbor_id,
+             0.5 * c.rel - 0.5 *
+               max(list_dot_product(cv.vec, sv.vec) / (cv.nrm * sv.nrm))
+               AS score
+           FROM cand c
+           JOIN sel12 s ON s.query_id = c.query_id
+           JOIN nn cv ON cv.id = c.neighbor_id
+           JOIN nn sv ON sv.id = s.neighbor_id
+           WHERE NOT EXISTS (
+             SELECT 1 FROM sel12 x
+             WHERE x.query_id = c.query_id
+               AND x.neighbor_id = c.neighbor_id)
+           GROUP BY c.query_id, c.neighbor_id, c.rel),
+         s3 AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rn
+             FROM r3) WHERE rn = 1)
+         SELECT query_id, neighbor_id, step FROM (
+           SELECT query_id, neighbor_id, 1 AS step FROM s1
+           UNION ALL SELECT query_id, neighbor_id, 2 AS step FROM s2
+           UNION ALL SELECT query_id, neighbor_id, 3 AS step FROM s3)
+         ORDER BY query_id, step""",
     // Two rank tiers (q35's full-cos shape at k=20; q137's prefix tier at
     // k=20) fused by Σ 1/(60+rank); two addends per pair, so DuckDB's
     // sum == the engine's sorted fold exactly.

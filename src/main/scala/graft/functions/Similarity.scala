@@ -161,6 +161,70 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("t._1").as("rrf"))
   }
 
+  /** Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    * 1998, public): greedily select `k` results per query from a bounded
+    * shortlist, each step taking the candidate that maximizes
+    * λ·rel − (1−λ)·max_{s∈selected} cos(c, s) — relevance traded against
+    * redundancy with what is already picked. THE standard result
+    * diversifier, and in curation the diverse-subset selector (diverse
+    * few-shot pools, cluster-spanning eval slices).
+    *
+    * `candidates` carries (query_id, neighbor_id, rel) — any retrieval
+    * tier's bounded top-N; `vectors` supplies candidate embeddings for
+    * the pairwise diversity term. Output (query_id, neighbor_id, step),
+    * step = 1..k in selection order; queries whose shortlist runs out
+    * stop early.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, so this
+    * runs k bounded rounds — each joins the remaining shortlist rows
+    * (≤N per query) against that query's ≤k selected rows and reduces
+    * with max/argmax AGGREGATES (max of ≤k exact cosines, argmax as a
+    * struct max with id tie-break) — no ranking window, no cross-corpus
+    * work, per-round cost O(|queries|·N·k). Frames are
+    * localCheckpointed per round to keep lineage flat. */
+  def mmrDiversify(
+      candidates: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"mmrDiversify: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrDiversify: lambda must be in [0, 1], got $lambda")
+    requireIntegralId(vectors, idCol, "mmrDiversify")
+    val v = vectors.select(col(idCol).cast("long").as("__vid"),
+      col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+    val cand = candidates.select(col("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rel").cast("double").as("rel"))
+      .join(v, col("neighbor_id") === col("__vid")).drop("__vid")
+      .localCheckpoint()
+    def argmax(df: DataFrame, scoreCol: String): DataFrame =
+      df.groupBy("query_id")
+        .agg(max(struct(col(scoreCol).as("s"),
+          (-col("neighbor_id")).as("negid"))).as("m"))
+        .select(col("query_id"), (-col("m.negid")).as("neighbor_id"))
+    var selected = argmax(cand, "rel").withColumn("step", lit(1))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val selV = selected
+        .join(cand.select("query_id", "neighbor_id", "cvec", "cnrm"),
+          Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("cvec").as("svec"),
+          col("cnrm").as("snrm"))
+      val remaining = cand.join(selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val scored = remaining.join(selV, Seq("query_id"))
+        .withColumn("__sim", dot(col("cvec"), col("svec")) /
+          (col("cnrm") * col("snrm")))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("__sim")).as("__pen"))
+        .withColumn("__score",
+          lit(lambda) * col("rel") - lit(1.0d - lambda) * col("__pen"))
+      selected = selected
+        .unionByName(argmax(scored, "__score").withColumn("step", lit(t)))
+        .localCheckpoint()
+    }
+    selected
+  }
+
   /** Deterministic hyperplane bucket id (nBits sign bits). The planes are
     * the simplest orthogonal family — plane j compares dims 2j vs 2j+1 —
     * which is engine-portable (subtraction of floats, exact in double) and

@@ -1311,6 +1311,54 @@ class SimilaritySpec extends SparkSpec {
       s"non-parametric OPQ $npErr worse than parametric $paramErr")
   }
 
+  test("mmrDiversify == the sequential greedy reference loop") {
+    import spark.implicits._
+    // deterministic 2-D fixture: 12 candidates on varied directions
+    val vecs = (0 until 12).map { i =>
+      val ang = 0.3 + 0.45 * i
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat))
+    }
+    val vdf = vecs.toDF("vec_id", "embedding")
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val byId = vecs.toMap
+    // shortlists for two "queries" (ids 0 and 6): every other candidate
+    val cand = for {
+      q <- Seq(0L, 6L); c <- vecs.map(_._1) if c != q
+    } yield (q, c, cosD(byId(q), byId(c)))
+    val candDf = cand.toDF("query_id", "neighbor_id", "rel")
+    val got = Similarity.mmrDiversify(candDf, vdf, "vec_id", "embedding",
+        k = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.sortBy(_._3).map(_._2).toSeq }
+    // sequential reference: argmax 0.5*rel - 0.5*max-sim-to-selected
+    def ref(q: Long): Seq[Long] = {
+      val pool = cand.filter(_._1 == q).map(x => x._2 -> x._3).toMap
+      var sel = Seq.empty[Long]
+      (1 to 4).foreach { _ =>
+        val rem = pool.keys.filterNot(sel.contains).toSeq
+        val best = rem.minBy { c =>
+          val pen = if (sel.isEmpty) 0.0 else sel.map(s1 => cosD(byId(c), byId(s1))).max
+          val score = if (sel.isEmpty) pool(c) else 0.5 * pool(c) - 0.5 * pen
+          (-score, c)
+        }
+        sel = sel :+ best
+      }
+      sel
+    }
+    assert(got(0L) == ref(0L), s"q0: ${got(0L)} vs ${ref(0L)}")
+    assert(got(6L) == ref(6L), s"q6: ${got(6L)} vs ${ref(6L)}")
+    // the diversity term actually bites: pure-relevance order differs
+    val pureRel = cand.filter(_._1 == 0L).sortBy(x => (-x._3, x._2))
+      .take(4).map(_._2)
+    assert(got(0L) != pureRel, "MMR should reorder vs pure relevance")
+  }
+
   test("rrfFuse: hand-computed fusion, tie-break by id, single-list pairs kept") {
     import spark.implicits._
     // query 1: ranking A has (10,1),(11,2); ranking B has (11,1),(12,2)
