@@ -479,6 +479,20 @@ object QueriesLLM {
           k = 3, lambda = 0.5)
         .orderBy("query_id", "step")
     },
+    // ---- cross-split leakage: near-dup pairs straddling the train
+    // boundary — the semantic contamination n-gram decontamination
+    // can't see. LSH-bucketed hash-embedding pairs (q57's tier at a
+    // looser 0.9) × the q76 hash split at 70/15/15 ----
+    "q198_split_leakage" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val sp = TextAnalysis.hashSplit(d, "doc_id",
+        Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+        nBits = 4, minCos = 0.9, maxBucket = 100)
+      Dedup.splitLeakage(pairs, sp, "doc_id", "split")
+        .orderBy("holdout_id", "train_id")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2644,6 +2658,62 @@ object QueriesLLM {
            FROM k)
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
+    },
+    // q57's LSH-bucketed hash-embedding pair tier (at 0.9) joined twice
+    // against the q76 split ladder at 70/15/15; straddle = exactly one
+    // side lands in train.
+    "q198_split_leakage" -> {
+      val ladder = md5Ladder32("'split:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 16 AS b,
+             count(*) AS n
+           FROM toks GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
+           GROUP BY d.doc_id),
+         bk AS (
+           SELECT doc_id, v,
+             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
+               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
+               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+           FROM emb),
+         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+         nd AS (
+           SELECT x.doc_id AS id1, y.doc_id AS id2,
+             list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+           FROM capped x JOIN capped y
+             ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN hv < 1000000.0 * 0.7 THEN 'train'
+                  WHEN hv < 1000000.0 * (0.7 + 0.15) THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id, CAST((
+           $ladder
+             ) % 1000000 AS DOUBLE) AS hv
+             FROM documents))
+         SELECT
+           CASE WHEN s1.split = 'train' THEN p.id2 ELSE p.id1 END AS holdout_id,
+           CASE WHEN s1.split = 'train' THEN s2.split ELSE s1.split END AS holdout_split,
+           CASE WHEN s1.split = 'train' THEN p.id1 ELSE p.id2 END AS train_id,
+           p.cos
+         FROM nd p
+         JOIN sp s1 ON s1.doc_id = p.id1
+         JOIN sp s2 ON s2.doc_id = p.id2
+         WHERE (s1.split = 'train') <> (s2.split = 'train')
+         ORDER BY holdout_id, train_id"""
     },
     // Greedy MMR, k=3 unrolled: s1 = argmax rel; s2 = argmax of
     // 0.5·rel − 0.5·cos(c, s1); s3 adds the max over the two selected.

@@ -181,6 +181,39 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** Cross-split contamination: near-duplicate pairs that STRADDLE the
+    * train boundary — a held-out (val/test) document whose near-twin sits
+    * in train inflates eval scores without any verbatim overlap, which is
+    * exactly what n-gram decontamination ([[contaminationBloom]]) cannot
+    * see. Compose any pair tier (`pairs` = (id1, id2, cos) — LSH-bucketed
+    * embedding pairs, MinHash-verified pairs…) with a split assignment
+    * (`splits` = (idCol, splitCol)) and get one row per leaking pair:
+    * (holdout_id, holdout_split, train_id, cos). A holdout doc with
+    * several train twins emits one row each (callers dedupe or count as
+    * needed); pairs within the same side (train~train, val~val, val~test)
+    * are NOT leakage and don't appear.
+    *
+    * Scale shape: two equi-joins of the bounded pair set against the
+    * split frame on id — no new pairwise work; the candidate tier
+    * already did the quadratic-avoidance. */
+  def splitLeakage(
+      pairs: DataFrame, splits: DataFrame, idCol: String, splitCol: String,
+      trainSplit: String = "train"): DataFrame = {
+    val sp1 = splits.select(col(idCol).as("id1"), col(splitCol).as("__s1"))
+    val sp2 = splits.select(col(idCol).as("id2"), col(splitCol).as("__s2"))
+    pairs.select("id1", "id2", "cos")
+      .join(sp1, "id1").join(sp2, "id2")
+      .filter((col("__s1") === trainSplit) =!= (col("__s2") === trainSplit))
+      .select(
+        when(col("__s1") === trainSplit, col("id2")).otherwise(col("id1"))
+          .as("holdout_id"),
+        when(col("__s1") === trainSplit, col("__s2")).otherwise(col("__s1"))
+          .as("holdout_split"),
+        when(col("__s1") === trainSplit, col("id1")).otherwise(col("id2"))
+          .as("train_id"),
+        col("cos"))
+  }
+
   /** Maintenance pass for [[nearDupIncremental]]'s parent-pointer store:
     * rewrites EVERY stored pointer to its component root by pointer
     * doubling (parent ← parent(parent) per round — depth halves each

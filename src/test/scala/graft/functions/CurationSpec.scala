@@ -635,6 +635,22 @@ class CurationSpec extends SparkSpec {
     assert(s.toSet == s2.toSet)
   }
 
+  test("splitLeakage: only train-straddling pairs, holdout-oriented") {
+    val pairs = Seq(
+      (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
+      (3L, 4L, 0.93),   // val   ~ train → leak, holdout = 3
+      (5L, 6L, 0.99),   // train ~ train → not leakage
+      (7L, 8L, 0.97))   // val   ~ test  → not leakage (no train side)
+      .toDF("id1", "id2", "cos")
+    val splits = Seq(1L -> "train", 2L -> "test", 3L -> "val", 4L -> "train",
+      5L -> "train", 6L -> "train", 7L -> "val", 8L -> "test")
+      .toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, splits, "doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "test", 1L), (3L, "val", 4L)), out.toSeq)
+  }
+
   test("materializeTemperatureSample = manual mixture → sample composition") {
     val docs = ((1 to 160).map(i => (i.toLong, "big")) ++
       (161 to 170).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
