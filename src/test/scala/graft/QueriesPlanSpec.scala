@@ -16,7 +16,11 @@ class QueriesPlanSpec extends SparkSpec {
     * with NO Window at all. */
   private val noWindowQueries = Seq(
     "q135_perplexity_filter", // tercile cutoffs are a broadcast agg
-    "q141_curation_capstone") // same cutoff shape + map-side chunking
+    "q141_curation_capstone", // same cutoff shape + map-side chunking
+    "q195_weighted_sample",   // A-ES top-n via the bounded TopKPairs agg
+    "q196_rrf_hybrid",        // both tiers + the fused cut are bounded aggs
+    "q197_mmr_diversify",     // greedy rounds are max/argmax aggregates
+    "q198_split_leakage")     // pair tier × split: joins only
 
   for (q <- noWindowQueries)
     test(s"$q plans with no Window operator") {
