@@ -493,6 +493,16 @@ object QueriesLLM {
       Dedup.splitLeakage(pairs, sp, "doc_id", "split")
         .orderBy("holdout_id", "train_id")
     },
+    // ---- mixture drift monitoring: per-source smoothed χ² divergence
+    // from the corpus token distribution over the 64-bucket hashed
+    // domain (KL rides alongside in the API, spec-tested — the q74
+    // libm-ln convention keeps it out of the oracle) ----
+    "q199_source_drift" -> { (s, dir) =>
+      TextAnalysis.distributionDrift(docs(s, dir), "source", "text",
+          buckets = 64)
+        .select("source", "n_toks", "chi2")
+        .orderBy("source")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2659,6 +2669,40 @@ object QueriesLLM {
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
     },
+    // q74's hashed 64-bucket domain + Laplace smoothing, per SOURCE vs
+    // the corpus; χ² folds in b order like the DSIR sums.
+    "q199_source_drift" ->
+      s"""WITH $ToksCte,
+         st AS (
+           SELECT d.source,
+             CAST((strpos('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(t.tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks t JOIN documents d USING (doc_id)
+           WHERE t.tok <> ''),
+         gc AS (SELECT source, b, count(*) AS cg FROM st GROUP BY 1, 2),
+         cc AS (SELECT b, count(*) AS ccnt FROM st GROUP BY 1),
+         gtot AS (SELECT source, CAST(sum(cg) AS BIGINT) AS ng FROM gc GROUP BY 1),
+         ctot AS (SELECT CAST(coalesce(sum(ccnt), 0) AS BIGINT) AS nc FROM cc),
+         dom AS (SELECT unnest(generate_series(0, 63)) AS b),
+         grps AS (SELECT DISTINCT source FROM documents),
+         full0 AS (
+           SELECT g.source, d.b,
+             CAST(coalesce(t.ng, 0) AS BIGINT) AS n,
+             CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE)
+               / (CAST(coalesce(t.ng, 0) AS DOUBLE) + 64) AS p,
+             CAST(coalesce(cc.ccnt, 0) + 1 AS DOUBLE)
+               / (CAST(nc AS DOUBLE) + 64) AS q
+           FROM grps g CROSS JOIN dom d
+           LEFT JOIN gc ON gc.source = g.source AND gc.b = d.b
+           LEFT JOIN cc ON cc.b = d.b
+           LEFT JOIN gtot t ON t.source = g.source
+           CROSS JOIN ctot)
+         SELECT source, max(n) AS n_toks,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list(struct_pack(b := b, p := p, q := q) ORDER BY b),
+               x -> (x.p - x.q) * (x.p - x.q) / x.q)), (a, y) -> a + y) AS chi2
+         FROM full0 GROUP BY 1 ORDER BY source""",
     // q57's LSH-bucketed hash-embedding pair tier (at 0.9) joined twice
     // against the q76 split ladder at 70/15/15; straddle = exactly one
     // side lands in train.

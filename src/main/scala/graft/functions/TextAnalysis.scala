@@ -404,6 +404,64 @@ object TextAnalysis {
     df.filter(hashUniform(col(idCol)).cast("double") < rateCol * 1000000.0)
   }
 
+  /** Per-group token-distribution DRIFT vs the whole corpus: Laplace-
+    * smoothed per-group and corpus distributions over the hashed
+    * `buckets`-bucket token domain (the [[dsirWeights]] feature space),
+    * reduced to two divergences per group — χ² = Σ (p−q)²/q (exactly
+    * rounded arithmetic only, so oracle-exact cross-engine) and
+    * KL(p‖q) = Σ p·(ln p − ln q) (libm ln — spec-tested, not oracle-
+    * exposed, the q74 convention). The mixture-monitoring primitive:
+    * which source's language shifted this ingest, which shard diverges
+    * from the corpus.
+    *
+    * Scale shape: ONE token pass builds (group, bucket) counts
+    * (map-side combined); everything after runs on |groups|·buckets
+    * rows with the corpus distribution broadcast; per-group folds run
+    * over the ≤`buckets`-entry sorted array, so the sums are partial-
+    * aggregation-order-independent. Groups whose documents tokenize to
+    * nothing keep n_toks = 0 and score the pure-smoothing divergence
+    * (uniform p vs corpus q), not NULL. Output: (groupCol, n_toks,
+    * chi2, kl). */
+  def distributionDrift(
+      df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2 && buckets <= 4096,
+      s"distributionDrift: buckets in [2, 4096], got $buckets")
+    val t = tokens(df, groupCol, textCol).filter(col("tok") =!= "")
+      .select(col(groupCol), tokBucket(buckets).as("__b"))
+    val gc = t.groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__cg"))
+    val cc = t.groupBy(col("__b")).agg(count(lit(1)).as("__cc"))
+    val dom = df.sparkSession.range(buckets).select(col("id").as("__b"))
+    val gtot = gc.groupBy(col(groupCol)).agg(sum("__cg").as("__ng"))
+    val ctot = cc.agg(coalesce(sum("__cc"), lit(0L)).as("__nc"))
+    df.select(col(groupCol)).distinct()
+      .crossJoin(dom)
+      .join(gc, Seq(groupCol, "__b"), "left")
+      .join(broadcast(cc), Seq("__b"), "left")
+      .join(gtot, Seq(groupCol), "left")
+      .crossJoin(broadcast(ctot))
+      .select(col(groupCol), col("__b"),
+        coalesce(col("__ng"), lit(0L)).as("__n"),
+        ((coalesce(col("__cg"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__ng"), lit(0L)).cast("double") + buckets))
+          .as("__p"),
+        ((coalesce(col("__cc"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__nc"), lit(0L)).cast("double") + buckets))
+          .as("__q"))
+      .groupBy(col(groupCol)).agg(
+        max(col("__n")).as("n_toks"),
+        array_sort(collect_list(struct(col("__b"), col("__p"), col("__q"))))
+          .as("__arr"))
+      .select(col(groupCol), col("n_toks"),
+        aggregate(col("__arr"), lit(0.0d), (acc, x) => acc +
+          (x.getField("__p") - x.getField("__q")) *
+          (x.getField("__p") - x.getField("__q")) / x.getField("__q"))
+          .as("chi2"),
+        aggregate(col("__arr"), lit(0.0d), (acc, x) => acc +
+          x.getField("__p") *
+          (log(x.getField("__p")) - log(x.getField("__q")))).as("kl"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis 2006
     * A-ES, public): per group, the `n` items with the LARGEST key
     * ln(u)/w — the log-space form of the classic u^(1/w) priority (u ∈

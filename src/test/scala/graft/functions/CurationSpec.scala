@@ -635,6 +635,32 @@ class CurationSpec extends SparkSpec {
     assert(s.toSet == s2.toSet)
   }
 
+  test("distributionDrift: zero on the corpus itself, positive under " +
+      "skew, tokenless group finite") {
+    // one group == the corpus: p and q are the same smoothed counts
+    val same = Seq(("s", "aa bb cc"), ("s", "aa dd")).toDF("source", "text")
+    val r1 = TextAnalysis.distributionDrift(same, "source", "text").collect()
+    assert(r1.length == 1 && r1(0).getAs[Long]("n_toks") == 5L)
+    assert(r1(0).getAs[Double]("chi2") == 0.0 && r1(0).getAs[Double]("kl") == 0.0)
+    // two disjoint vocabularies: both sides diverge from the pooled corpus
+    val skew = Seq(("a", "x x x x"), ("b", "y z w v")).toDF("source", "text")
+    val r2 = TextAnalysis.distributionDrift(skew, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("chi2"), r.getAs[Double]("kl"))).toMap
+    assert(r2("a")._2 > 0.0 && r2("a")._3 > 0.0, r2)
+    assert(r2("b")._2 > 0.0 && r2("b")._3 > 0.0, r2)
+    // KL is a true divergence (≥ 0 by Gibbs) for every group
+    assert(r2.values.forall(_._3 >= 0.0), r2)
+    // a group whose docs tokenize to nothing: n_toks 0, finite scores
+    // (uniform smoothed p vs corpus q), never NULL/NaN
+    val empt = Seq(("a", "x y"), ("e", "")).toDF("source", "text")
+    val r3 = TextAnalysis.distributionDrift(empt, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_toks"), r.getAs[Double]("chi2"), r.getAs[Double]("kl"))).toMap
+    assert(r3("e")._1 == 0L)
+    assert(!r3("e")._2.isNaN && !r3("e")._3.isNaN && r3("e")._2 > 0.0)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
