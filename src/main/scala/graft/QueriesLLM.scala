@@ -503,6 +503,32 @@ object QueriesLLM {
         .select("source", "n_toks", "chi2")
         .orderBy("source")
     },
+    // ---- selection-tier capstone: split → drop train docs leaking into
+    // holdout (q198's straddle set) → A-ES quality-weighted sample per
+    // source (q195) → per-source drift report of the SAMPLED set (q199).
+    // One plan, composed oracle; every stage's scale shape is the
+    // component gate's ----
+    "q200_curation_select" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val sp = TextAnalysis.hashSplit(d, "doc_id",
+        Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+        nBits = 4, minCos = 0.9, maxBucket = 100)
+      val leakTrain = Dedup.splitLeakage(pairs, sp, "doc_id", "split")
+        .select(col("train_id").as("doc_id")).distinct()
+      val train = sp.filter(col("split") === "train")
+        .join(leakTrain, Seq("doc_id"), "left_anti")
+        .withColumn("w_len", greatest(col("n_chars").cast("double"), lit(1.0)))
+      val picked = TextAnalysis.weightedSample(train, "doc_id", "source",
+        "w_len", n = 8)
+      val sampled = picked.join(d.select("doc_id", "text"), "doc_id")
+      TextAnalysis.distributionDrift(sampled, "source", "text", buckets = 64)
+        .join(picked.groupBy("source").agg(count(lit(1)).as("n_docs")),
+          "source")
+        .select("source", "n_docs", "n_toks", "chi2")
+        .orderBy("source")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2668,6 +2694,113 @@ object QueriesLLM {
            FROM k)
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
+    },
+    // Capstone: q198's split + pair CTEs → leak-pruned train → q195's
+    // A-ES ladder over the pruned set → q199's drift CTEs over the
+    // sampled docs.
+    "q200_curation_select" -> {
+      val splitLadder = md5Ladder32("'split:' || CAST(doc_id AS VARCHAR)")
+      val wrsLadder = md5Ladder32("'wrs:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH $ToksCte,
+         counts AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 16 AS b,
+             count(*) AS n
+           FROM toks GROUP BY 1, 2),
+         emb AS (
+           SELECT d.doc_id, list(CAST(coalesce(c.n, 0) AS DOUBLE) ORDER BY s.i) AS v
+           FROM documents d
+           CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+           LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = s.i
+           GROUP BY d.doc_id),
+         bk AS (
+           SELECT doc_id, v,
+             CAST((CASE WHEN v[1] > v[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v[3] > v[4] THEN 2 ELSE 0 END)
+               + (CASE WHEN v[5] > v[6] THEN 4 ELSE 0 END)
+               + (CASE WHEN v[7] > v[8] THEN 8 ELSE 0 END) AS BIGINT) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+           FROM emb),
+         sz AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= 100),
+         capped AS (SELECT bk.* FROM bk JOIN sz USING (bucket)),
+         ndp AS (
+           SELECT x.doc_id AS id1, y.doc_id AS id2
+           FROM capped x JOIN capped y
+             ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.9),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN hv < 1000000.0 * 0.7 THEN 'train'
+                  WHEN hv < 1000000.0 * (0.7 + 0.15) THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id, CAST((
+           $splitLadder
+             ) % 1000000 AS DOUBLE) AS hv
+             FROM documents)),
+         leak_train AS (
+           SELECT DISTINCT
+             CASE WHEN s1.split = 'train' THEN p.id1 ELSE p.id2 END AS doc_id
+           FROM ndp p
+           JOIN sp s1 ON s1.doc_id = p.id1
+           JOIN sp s2 ON s2.doc_id = p.id2
+           WHERE (s1.split = 'train') <> (s2.split = 'train')),
+         train AS (
+           SELECT d.doc_id, d.source, d.n_chars
+           FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+           WHERE sp.split = 'train'
+             AND d.doc_id NOT IN (SELECT doc_id FROM leak_train)),
+         kk AS (
+           SELECT source, doc_id,
+             ln(((
+           $wrsLadder
+             ) % 1000000 + 0.5) / 1000000.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS aes_key
+           FROM train),
+         picked AS (
+           SELECT source, doc_id FROM (
+             SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY aes_key DESC, doc_id ASC) AS rnk
+             FROM kk) WHERE rnk <= 8),
+         st AS (
+           SELECT p.source,
+             CAST((strpos('0123456789abcdef', substr(md5(t.tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(t.tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks t JOIN picked p USING (doc_id)
+           WHERE t.tok <> ''),
+         gc AS (SELECT source, b, count(*) AS cg FROM st GROUP BY 1, 2),
+         cc AS (SELECT b, count(*) AS ccnt FROM st GROUP BY 1),
+         gtot AS (SELECT source, CAST(sum(cg) AS BIGINT) AS ng FROM gc GROUP BY 1),
+         ctot AS (SELECT CAST(coalesce(sum(ccnt), 0) AS BIGINT) AS nc FROM cc),
+         dom AS (SELECT unnest(generate_series(0, 63)) AS b),
+         grps AS (SELECT DISTINCT source FROM picked),
+         full0 AS (
+           SELECT g.source, d.b,
+             CAST(coalesce(t.ng, 0) AS BIGINT) AS n,
+             CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE)
+               / (CAST(coalesce(t.ng, 0) AS DOUBLE) + 64) AS p,
+             CAST(coalesce(cc.ccnt, 0) + 1 AS DOUBLE)
+               / (CAST(nc AS DOUBLE) + 64) AS q
+           FROM grps g CROSS JOIN dom d
+           LEFT JOIN gc ON gc.source = g.source AND gc.b = d.b
+           LEFT JOIN cc ON cc.b = d.b
+           LEFT JOIN gtot t ON t.source = g.source
+           CROSS JOIN ctot),
+         ndocs AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM picked GROUP BY 1)
+         SELECT f.source, ndocs.n_docs, f.n_toks, f.chi2 FROM (
+           SELECT source, max(n) AS n_toks,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(b := b, p := p, q := q) ORDER BY b),
+                 x -> (x.p - x.q) * (x.p - x.q) / x.q)), (a, y) -> a + y) AS chi2
+           FROM full0 GROUP BY 1) f
+         JOIN ndocs USING (source)
+         ORDER BY f.source"""
     },
     // q74's hashed 64-bucket domain + Laplace smoothing, per SOURCE vs
     // the corpus; χ² folds in b order like the DSIR sums.

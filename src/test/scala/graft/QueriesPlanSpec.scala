@@ -21,7 +21,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q196_rrf_hybrid",        // both tiers + the fused cut are bounded aggs
     "q197_mmr_diversify",     // greedy rounds are max/argmax aggregates
     "q198_split_leakage",     // pair tier × split: joins only
-    "q199_source_drift")      // one token pass + |groups|·64-row folds
+    "q199_source_drift",      // one token pass + |groups|·64-row folds
+    "q200_curation_select")   // capstone: all component shapes, no window
 
   for (q <- noWindowQueries)
     test(s"$q plans with no Window operator") {
