@@ -529,6 +529,20 @@ object QueriesLLM {
         .select("source", "n_docs", "n_toks", "chi2")
         .orderBy("source")
     },
+    // ---- EXACT set-similarity join (prefix filtering): all pairs with
+    // token-set Jaccard >= 3/5, integer-exact threshold — the oracle
+    // computes naive all-pairs, so a hash match PROVES the prefix
+    // filter dropped nothing. The synthetic fixture is DENSELY self-
+    // similar (most doc pairs clear 0.6), so the gate runs on the
+    // doc_id % 7 slice — the TRUE answer on the full corpus is
+    // O(corpus²) rows on this fixture, a fixture property, not an
+    // operator cost ----
+    "q201_setsim_join" -> { (s, dir) =>
+      Dedup.setSimilarityJoin(
+          docs(s, dir).filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text", tauNum = 3, tauDen = 5)
+        .orderBy("id1", "id2")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2695,6 +2709,28 @@ object QueriesLLM {
          SELECT source, doc_id, CAST(rnk AS INT) AS rank
          FROM r WHERE rnk <= 8 ORDER BY source, rank"""
     },
+    // NAIVE all-pairs (no prefix filter): the oracle deliberately takes
+    // the quadratic route so agreement certifies the filter's
+    // completeness, not just its precision. Integer threshold i·5 ≥
+    // 3·(n1+n2−i) mirrors the engine exactly.
+    "q201_setsim_join" ->
+      s"""WITH $ToksCte,
+         td AS (
+           SELECT DISTINCT doc_id, tok FROM toks
+           WHERE tok <> '' AND doc_id % 7 = 0),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS i
+           FROM td a JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT x.id1, x.id2, sa.n AS n1, sb.n AS n2, x.i AS inter,
+           CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) AS jac
+         FROM inter x
+         JOIN sz sa ON sa.doc_id = x.id1
+         JOIN sz sb ON sb.doc_id = x.id2
+         WHERE x.i * 5 >= 3 * (sa.n + sb.n - x.i)
+         ORDER BY x.id1, x.id2""",
     // Capstone: q198's split + pair CTEs → leak-pruned train → q195's
     // A-ES ladder over the pruned set → q199's drift CTEs over the
     // sampled docs.

@@ -181,6 +181,72 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** EXACT set-similarity join with prefix filtering (Bayardo, Ma &
+    * Srikant 2007 "Scaling Up All Pairs"; Xiao et al.'s PPJoin prefix,
+    * public): ALL document pairs whose token-set Jaccard ≥ num/den —
+    * deterministic and complete, the exact complement to the
+    * probabilistic MinHash/LSH tier. Each doc's tokens sort by GLOBAL
+    * rarity (corpus freq asc, md5(tok), tok — one total order shared by
+    * every doc); a pair with J ≥ τ must share a token inside each side's
+    * first |d| − ⌈τ·|d|⌉ + 1 tokens (if the prefixes were disjoint, the
+    * overlap would be confined to the suffixes, which are too small),
+    * so the candidate set is the equi-join on PREFIX tokens only — rare
+    * tokens, few docs each, the quadratic never materializes.
+    *
+    * The threshold is a RATIONAL num/den and every comparison is integer
+    * (⌈τn⌉ = (num·n + den − 1) div den; the filter is i·den ≥
+    * num·(n₁ + n₂ − i)) — no float rounds anywhere in the logic, so any
+    * engine reproduces the exact pair set; the reported `jac` is the
+    * single exact division i/(n₁+n₂−i).
+    *
+    * Scale shape: one distinct-token pass, one corpus-frequency
+    * aggregate joined back, per-doc prefix via sorted bounded
+    * collect_list (array ≤ doc length — no window), candidate equi-join
+    * on prefix tokens, and a verify join bounded by candidates × doc
+    * length. Skew = a frequent token landing in prefixes; rarity
+    * ordering makes prefix tokens the RAREST ones, which is the
+    * algorithm's own skew defense. Output: (id1, id2, n1, n2, inter,
+    * jac), id1 < id2. */
+  def setSimilarityJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauDen >= 1 && tauNum <= tauDen,
+      s"setSimilarityJoin: need 0 < num/den <= 1, got $tauNum/$tauDen")
+    val t = TextAnalysis.tokens(df, idCol, textCol)
+      .filter(col("tok") =!= "")
+      .select(col(idCol).as("__id"), col("tok")).distinct()
+      .localCheckpoint()
+    val sz = t.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val freq = t.groupBy("tok").agg(count(lit(1)).as("__f"))
+    val prefLen = col("__n") -
+      ((lit(tauNum) * col("__n") + (tauDen - 1)) / tauDen)
+        .cast("long") + 1
+    val pref = t.join(freq, "tok")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(
+        col("__f"), md5(col("tok")).as("__h"), col("tok")))).as("__a"))
+      .join(sz, "__id")
+      .select(col("__id"), explode(slice(col("__a"), lit(1),
+        prefLen.cast("int"))).as("__p"))
+      .select(col("__id"), col("__p.tok").as("tok"))
+    val cand = pref.select(col("__id").as("id1"), col("tok"))
+      .join(pref.select(col("__id").as("id2"), col("tok")), "tok")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val inter = cand
+      .join(t.select(col("__id").as("id1"), col("tok")), "id1")
+      .join(t.select(col("__id").as("id2"), col("tok")), Seq("id2", "tok"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("__id").as("id1"), col("__n").as("n1")), "id1")
+      .join(sz.select(col("__id").as("id2"), col("__n").as("n2")), "id2")
+      .filter(col("inter") * tauDen >=
+        lit(tauNum) * (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+  }
+
   /** Cross-split contamination: near-duplicate pairs that STRADDLE the
     * train boundary — a held-out (val/test) document whose near-twin sits
     * in train inflates eval scores without any verbatim overlap, which is

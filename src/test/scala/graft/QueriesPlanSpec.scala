@@ -22,7 +22,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q197_mmr_diversify",     // greedy rounds are max/argmax aggregates
     "q198_split_leakage",     // pair tier × split: joins only
     "q199_source_drift",      // one token pass + |groups|·64-row folds
-    "q200_curation_select")   // capstone: all component shapes, no window
+    "q200_curation_select",   // capstone: all component shapes, no window
+    "q201_setsim_join")       // prefix-filter joins + bounded per-doc arrays
 
   for (q <- noWindowQueries)
     test(s"$q plans with no Window operator") {

@@ -661,6 +661,27 @@ class CurationSpec extends SparkSpec {
     assert(!r3("e")._2.isNaN && !r3("e")._3.isNaN && r3("e")._2 > 0.0)
   }
 
+  test("setSimilarityJoin: exact pair set, boundary Jaccard kept, " +
+      "below-threshold dropped") {
+    val d = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), // i=4, union 6 → 2/3 ≥ 3/5
+      (3L, "a b x y z"),                    // vs 1: i=2, union 8 → 1/4
+      (4L, "a b c d e"),                    // ≡ doc 1 → J = 1
+      (5L, "q r s t u v")).toDF("doc_id", "text")
+    val out = Dedup.setSimilarityJoin(d, "doc_id", "text", 3, 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)), out)
+    assert(out((1L, 4L)) == ((5L, 1.0)))
+    assert(out((1L, 2L))._1 == 4L)
+    // boundary: J exactly 3/5 survives the integer filter
+    val onEdge = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    assert(Dedup.setSimilarityJoin(onEdge, "doc_id", "text", 3, 5).count() == 1)
+    // just below: J = 1/2 drops
+    val below = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    assert(Dedup.setSimilarityJoin(below, "doc_id", "text", 3, 5).count() == 0)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
