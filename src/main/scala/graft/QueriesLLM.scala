@@ -543,6 +543,26 @@ object QueriesLLM {
           "doc_id", "text", tauNum = 3, tauDen = 5)
         .orderBy("id1", "id2")
     },
+    // ---- incremental exact set-sim join: two batches through persisted
+    // token/prefix/frequency stores; union of per-batch emissions must
+    // equal q201's one-shot naive all-pairs answer (the frozen rarity
+    // model shifts efficiency, never the pair set) ----
+    "q202_setsim_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).filter(pmod(col("doc_id"), lit(7)) === 0)
+      val work = tempWorkDir("graft_q202_")
+      def st(sub: String) = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/$sub", 500,
+          keyCols = Seq("entity_id", "tok")))
+      val (toks, prefs, freqs) = (st("t"), st("p"), st("f"))
+      val hv = conv(substring(md5(concat(lit("ssj:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      def run(b: org.apache.spark.sql.DataFrame) =
+        Dedup.setSimJoinIncremental(toks, prefs, freqs, "g", b,
+          "doc_id", "text", tauNum = 3, tauDen = 5)
+      val r1 = run(d.filter(hv === 0L))
+      val r2 = run(d.filter(hv === 1L))
+      r1.unionByName(r2).orderBy("id1", "id2")
+    },
     // ---- hard-negative mining (contrastive data prep): per-anchor top-5
     // in the cosine band [0.05, 0.30) from LSH-bucket candidates ----
     "q134_hard_negatives" -> { (s, dir) =>
@@ -2691,6 +2711,27 @@ object QueriesLLM {
            UNION
            SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)"""
 
+  /** Naive all-pairs Jaccard ≥ 3/5 on the doc_id % 7 slice — shared by
+    * q201 (one-shot prefix-filtered join) and q202 (incremental). */
+  private val SetSimSliceOracle: String =
+    s"""WITH $ToksCte,
+       td AS (
+         SELECT DISTINCT doc_id, tok FROM toks
+         WHERE tok <> '' AND doc_id % 7 = 0),
+       sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(count(*) AS BIGINT) AS i
+         FROM td a JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT x.id1, x.id2, sa.n AS n1, sb.n AS n2, x.i AS inter,
+         CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) AS jac
+       FROM inter x
+       JOIN sz sa ON sa.doc_id = x.id1
+       JOIN sz sb ON sb.doc_id = x.id2
+       WHERE x.i * 5 >= 3 * (sa.n + sb.n - x.i)
+       ORDER BY x.id1, x.id2"""
+
   val oracleSql: Map[String, String] = Map(
     "q195_weighted_sample" -> {
       val ladder = md5Ladder32("'wrs:' || CAST(doc_id AS VARCHAR)")
@@ -2712,25 +2753,11 @@ object QueriesLLM {
     // NAIVE all-pairs (no prefix filter): the oracle deliberately takes
     // the quadratic route so agreement certifies the filter's
     // completeness, not just its precision. Integer threshold i·5 ≥
-    // 3·(n1+n2−i) mirrors the engine exactly.
-    "q201_setsim_join" ->
-      s"""WITH $ToksCte,
-         td AS (
-           SELECT DISTINCT doc_id, tok FROM toks
-           WHERE tok <> '' AND doc_id % 7 = 0),
-         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM td GROUP BY 1),
-         inter AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2,
-             CAST(count(*) AS BIGINT) AS i
-           FROM td a JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT x.id1, x.id2, sa.n AS n1, sb.n AS n2, x.i AS inter,
-           CAST(x.i AS DOUBLE) / CAST(sa.n + sb.n - x.i AS DOUBLE) AS jac
-         FROM inter x
-         JOIN sz sa ON sa.doc_id = x.id1
-         JOIN sz sb ON sb.doc_id = x.id2
-         WHERE x.i * 5 >= 3 * (sa.n + sb.n - x.i)
-         ORDER BY x.id1, x.id2""",
+    // 3·(n1+n2−i) mirrors the engine exactly. The SAME answer gates the
+    // one-shot join (q201) and the two-batch incremental (q202) —
+    // incremental emission must reconstruct the full pair set.
+    "q201_setsim_join" -> SetSimSliceOracle,
+    "q202_setsim_incremental" -> SetSimSliceOracle,
     // Capstone: q198's split + pair CTEs → leak-pruned train → q195's
     // A-ES ladder over the pruned set → q199's drift CTEs over the
     // sampled docs.

@@ -247,6 +247,110 @@ object Dedup {
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
   }
 
+  /** Incremental [[setSimilarityJoin]] — the exact tier's append-only
+    * path: per batch, new docs' prefixes join the PERSISTED prefix index
+    * (plus the batch's own), verify runs against stored token sets
+    * pruned to candidate ids, and the batch's tokens + prefix entries
+    * append to the stores. Emits each qualifying pair exactly once
+    * across the batch schedule (new-new pairs in their batch, new-old
+    * pairs when the newer side arrives), so the union over batches ==
+    * the one-shot batch join's pair set.
+    *
+    * The rarity model FREEZES on the first batch (later batches look up
+    * stored frequencies; unseen tokens default to freq 0 = rarest).
+    * Prefix filtering is complete under ANY total token order shared by
+    * all docs — the frozen model only shifts efficiency, never the pair
+    * set, which is why this stays oracle-exact against the naive
+    * all-pairs answer. Rebuilding the model (and prefix store) is an
+    * offline maintenance rewrite, like [[compactParents]].
+    *
+    * Stores: tokens + prefixes keyed (entity_id, tok), timestamp =
+    * doc id (id-range partitioning, appends land in the new ids'
+    * partitions); the frequency model keyed (entity_id = tok md5-56,
+    * tok). Batch ids must be NEW (append-only, the incremental-family
+    * contract). */
+  def setSimJoinIncremental(
+      tokStore: graft.storage.PartStore, prefStore: graft.storage.PartStore,
+      freqStore: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1 && tauDen >= 1 && tauNum <= tauDen,
+      s"setSimJoinIncremental: need 0 < num/den <= 1, got $tauNum/$tauDen")
+    for ((st, nm) <- Seq(tokStore -> "token", prefStore -> "prefix",
+        freqStore -> "frequency"))
+      require(st.config.keyCols == Seq("entity_id", "tok"),
+        s"setSimJoinIncremental: $nm store must be keyed (entity_id, tok)")
+    val t = TextAnalysis.tokens(batch, idCol, textCol)
+      .filter(col("tok") =!= "")
+      .select(col(idCol).cast("long").as("__id"), col("tok")).distinct()
+      .localCheckpoint()
+    val model = freqStore.readPart(part) match {
+      case Some(m) => m.select(col("tok"), col("freq"))
+      case None =>
+        val m = t.groupBy("tok").agg(count(lit(1)).as("freq"))
+        val th = conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long")
+        freqStore.store(part, m.select(th.as("entity_id"),
+          th.as("timestamp"), col("tok"), col("freq"),
+          lit(1L).as("modified")))
+        m
+    }
+    val sz = t.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val prefLen = col("__n") -
+      ((lit(tauNum) * col("__n") + (tauDen - 1)) / tauDen).cast("long") + 1
+    val pref = t.join(model, Seq("tok"), "left")
+      .select(col("__id"), col("tok"),
+        coalesce(col("freq"), lit(0L)).as("__f"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(
+        col("__f"), md5(col("tok")).as("__h"), col("tok")))).as("__a"))
+      .join(sz, "__id")
+      .select(col("__id"), explode(slice(col("__a"), lit(1),
+        prefLen.cast("int"))).as("__p"))
+      .select(col("__id"), col("__p.tok").as("tok"))
+      .localCheckpoint()
+    val oldPref = prefStore.readPart(part) match {
+      case Some(p) => p.select(col("entity_id").as("__oid"), col("tok"))
+      case None    => pref.limit(0).select(col("__id").as("__oid"), col("tok"))
+    }
+    val candNew = pref.select(col("__id").as("id1"), col("tok"))
+      .join(pref.select(col("__id").as("id2"), col("tok")), "tok")
+      .filter(col("id1") < col("id2")).select("id1", "id2")
+    val candCross = pref.select(col("__id").as("__nid"), col("tok"))
+      .join(oldPref, "tok")
+      .select(least(col("__nid"), col("__oid")).as("id1"),
+        greatest(col("__nid"), col("__oid")).as("id2"))
+    val cand = candNew.unionByName(candCross).distinct().localCheckpoint()
+    val oldToks = tokStore.readPart(part) match {
+      case Some(tk) => tk.select(col("entity_id").as("__id"), col("tok"))
+      case None     => t.limit(0)
+    }
+    // verify only candidate ids' token rows — the stored corpus never
+    // streams through the verify join whole
+    val candIds = cand.select(col("id1").as("__id"))
+      .unionByName(cand.select(col("id2").as("__id"))).distinct()
+    val verifyToks = t.unionByName(oldToks)
+      .join(candIds, Seq("__id"), "left_semi").localCheckpoint()
+    val sizes = verifyToks.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val out = cand
+      .join(verifyToks.select(col("__id").as("id1"), col("tok")), "id1")
+      .join(verifyToks.select(col("__id").as("id2"), col("tok")),
+        Seq("id2", "tok"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__id").as("id1"), col("__n").as("n1")), "id1")
+      .join(sizes.select(col("__id").as("id2"), col("__n").as("n2")), "id2")
+      .filter(col("inter") * tauDen >=
+        lit(tauNum) * (col("n1") + col("n2") - col("inter")))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+      .localCheckpoint()
+    tokStore.store(part, t.select(col("__id").as("entity_id"),
+      col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
+    prefStore.store(part, pref.select(col("__id").as("entity_id"),
+      col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
+    out
+  }
+
   /** Cross-split contamination: near-duplicate pairs that STRADDLE the
     * train boundary — a held-out (val/test) document whose near-twin sits
     * in train inflates eval scores without any verbatim overlap, which is

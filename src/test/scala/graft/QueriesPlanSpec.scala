@@ -23,7 +23,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q198_split_leakage",     // pair tier × split: joins only
     "q199_source_drift",      // one token pass + |groups|·64-row folds
     "q200_curation_select",   // capstone: all component shapes, no window
-    "q201_setsim_join")       // prefix-filter joins + bounded per-doc arrays
+    "q201_setsim_join",       // prefix-filter joins + bounded per-doc arrays
+    "q202_setsim_incremental") // same shapes against persisted stores
 
   for (q <- noWindowQueries)
     test(s"$q plans with no Window operator") {

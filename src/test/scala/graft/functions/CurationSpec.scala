@@ -682,6 +682,32 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.setSimilarityJoin(below, "doc_id", "text", 3, 5).count() == 0)
   }
 
+  test("setSimJoinIncremental: batched emission == one-shot pair set, " +
+      "unseen-token batches included") {
+    val all = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (4L, "a b c d e"),
+      (3L, "a b x y z"), (5L, "q r s t u v"),
+      (6L, "a b c d g"),        // batch 2, overlaps batch-1 vocab
+      (7L, "m n o p"), (8L, "m n o p"))  // batch 2, vocab UNSEEN by the model
+    val df = all.toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("ssji").toString
+    def st(sub: String) = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/$sub", 500,
+        keyCols = Seq("entity_id", "tok")))
+    val (t, p, f) = (st("t"), st("p"), st("f"))
+    val b1 = df.filter(col("doc_id") <= 5)
+    val b2 = df.filter(col("doc_id") > 5)
+    val r1 = Dedup.setSimJoinIncremental(t, p, f, "g", b1, "doc_id", "text", 3, 5)
+    val r2 = Dedup.setSimJoinIncremental(t, p, f, "g", b2, "doc_id", "text", 3, 5)
+    val inc = (r1.collect() ++ r2.collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val oneShot = Dedup.setSimilarityJoin(df, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(inc == oneShot, s"inc=$inc vs one-shot=$oneShot")
+    // the unseen-vocab pair (7, 8) was found despite freq-0 model rows
+    assert(inc.exists(x => x._1 == 7L && x._2 == 8L), inc)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
