@@ -1013,6 +1013,176 @@ object QueriesCore {
           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
     },
+    // ---- TPC-H Q2 shape (minimum-cost supplier): the fixture has no
+    // partsupp, so supply cost = the cheapest observed sale of the part
+    // by that supplier (min over lineitem, decimal-exact). The correlated
+    // min subquery becomes a per-part min aggregate + equality join-back —
+    // the same plan shape Catalyst produces for the classic query. Dims
+    // (region-filtered suppliers, size-band parts) broadcast; only the
+    // lineitem scan and its (part,supp) aggregate shuffle ----
+    "q203_tpch_q2" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val euroSupp = load(s, dir, "supplier")
+        .join(broadcast(load(s, dir, "nation")
+            .join(load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE")
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val parts = load(s, dir, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val cost = load(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(euroSupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dec(col("l_extendedprice"))).as("supply_cost"))
+      val minCost = cost.groupBy(col("l_partkey").as("mpk"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost.join(minCost,
+          col("l_partkey") === col("mpk") && col("supply_cost") === col("min_cost"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("supply_cost").cast("double").as("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+    // ---- TPC-H Q11 shape (important stock): per-part sale value for one
+    // nation's suppliers, kept where value > 0.1% of the nation total.
+    // The scalar subquery is a broadcast cross-join; the threshold compare
+    // stays in DECIMAL (value*1000 > total — integer-exact, no float) ----
+    "q204_tpch_q11" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val supN = load(s, dir, "supplier")
+        .join(broadcast(load(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val v = load(s, dir, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(dec(col("l_extendedprice"))).as("value_dec"))
+      val tot = v.agg(sum(col("value_dec")).as("tot"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_dec") * 1000 > col("tot"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    // ---- TPC-H Q12 shape (shipping priority classes): no l_shipmode in
+    // the fixture, so the mode split becomes a ship-delay split (>60 days
+    // = "late"); the CASE'd priority counts keep Q12's exact shape ----
+    "q205_tpch_q12" -> { (s, dir) =>
+      val o = load(s, dir, "orders")
+        .withColumn("order_sec", expr("o_orderdate div 1000000000"))
+      val l = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") >= 800000000L && col("ship_sec") < 950000000L)
+      val isHigh = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_class",
+          when(col("ship_sec") - col("order_sec") > 86400L * 60, lit("late"))
+            .otherwise(lit("ontime")))
+        .groupBy("ship_class")
+        .agg(count(when(isHigh, lit(1))).as("high_line_count"),
+          count(when(!isHigh, lit(1))).as("low_line_count"))
+        .orderBy("ship_class")
+    },
+    // ---- TPC-H Q15 (top supplier): windowed per-supplier revenue, max
+    // selected by exact-decimal equality against the broadcast scalar —
+    // float never enters the comparison so ties are exact ----
+    "q206_tpch_q15" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val rev = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") >= 850000000L && col("ship_sec") < 900000000L)
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .as("rev"))
+      val maxRev = rev.agg(max(col("rev")).as("max_rev"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev") === col("max_rev"))
+        .join(broadcast(load(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    // ---- TPC-H Q16 shape (parts/supplier relationship): distinct
+    // supplier counts per (brand,type,size) from the lineitem-derived
+    // part↔supplier pairs; the complaint exclusion becomes negative
+    // account balance (no s_comment in the fixture) ----
+    "q207_tpch_q16" -> { (s, dir) =>
+      val goodSupp = load(s, dir, "supplier")
+        .filter(col("s_acctbal") >= 0).select("s_suppkey")
+      val p = load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#11" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      load(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(goodSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    // ---- TPC-H Q20 shape (potential part promotion): suppliers shipping
+    // >25% of a red part's windowed volume (availqty has no fixture
+    // analogue, so the excess-stock predicate compares the supplier's
+    // shipped share against the part total — 4*ps_qty > part_qty stays
+    // decimal-exact), restricted to European suppliers ----
+    "q208_tpch_q20" -> { (s, dir) =>
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+      val redParts = load(s, dir, "part")
+        .filter(col("p_name").startsWith("red")).select("p_partkey")
+      val ps = load(s, dir, "lineitem")
+        .withColumn("ship_sec", expr("l_shipdate div 1000000000"))
+        .filter(col("ship_sec") >= 850000000L && col("ship_sec") < 900000000L)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("ps_qty"))
+      val tot = ps.groupBy(col("l_partkey").as("tpk"))
+        .agg(sum(col("ps_qty")).as("part_qty"))
+      val qualifying = ps.join(tot, col("l_partkey") === col("tpk"))
+        .filter(col("ps_qty") * 4 > col("part_qty"))
+        .select("l_suppkey").distinct()
+      load(s, dir, "supplier")
+        .join(broadcast(load(s, dir, "nation")
+            .join(load(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    },
+    // ---- TPC-H Q21 shape (suppliers who kept orders waiting): no
+    // commit/receipt dates, so "waiting" = the supplier was the SOLE last
+    // shipper of a multi-supplier finished order — EXISTS (another
+    // supplier in the order) + NOT EXISTS (another supplier shipped
+    // later), expressed as a semi- + anti-self-join on the order key (one
+    // shuffle partitioning serves both). Raw nanosecond shipdates compare
+    // on both engines so same-second ties never diverge ----
+    "q209_tpch_q21" -> { (s, dir) =>
+      val l = load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val fOrders = load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = l.join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("ship3"))
+      l1.join(l2, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3") &&
+          col("ship3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -1673,6 +1843,118 @@ object QueriesCore {
                SELECT 1 FROM orders WHERE o_custkey = c_custkey
                  AND o_orderpriority = '1-URGENT')
            GROUP BY 1 ORDER BY 1""",
+      "q203_tpch_q2" ->
+        """WITH euro AS (
+             SELECT s_suppkey, s_name, s_acctbal, n_name
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+           parts AS (
+             SELECT p_partkey, p_name FROM part
+             WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+           cost AS (
+             SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost
+             FROM lineitem
+             WHERE l_partkey IN (SELECT p_partkey FROM parts)
+               AND l_suppkey IN (SELECT s_suppkey FROM euro)
+             GROUP BY 1, 2),
+           mc AS (
+             SELECT l_partkey AS mpk, min(supply_cost) AS min_cost
+             FROM cost GROUP BY 1)
+           SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             CAST(supply_cost AS DOUBLE) AS supply_cost
+           FROM cost JOIN mc ON l_partkey = mpk AND supply_cost = min_cost
+           JOIN euro ON l_suppkey = s_suppkey
+           JOIN parts ON l_partkey = p_partkey
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+      "q204_tpch_q11" ->
+        """WITH v AS (
+             SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+             FROM lineitem
+             WHERE l_suppkey IN (
+               SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_3')
+             GROUP BY 1),
+           t AS (SELECT sum(value_dec) AS tot FROM v)
+           SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+           FROM v CROSS JOIN t
+           WHERE value_dec * 1000 > tot
+           ORDER BY part_value DESC, l_partkey""",
+      "q205_tpch_q12" ->
+        """SELECT
+             CASE WHEN epoch_ns(l_shipdate)//1000000000
+                 - epoch_ns(o_orderdate)//1000000000 > 86400*60
+               THEN 'late' ELSE 'ontime' END AS ship_class,
+             count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 END) AS high_line_count,
+             count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 END) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE epoch_ns(l_shipdate)//1000000000 >= 800000000
+             AND epoch_ns(l_shipdate)//1000000000 < 950000000
+           GROUP BY 1 ORDER BY 1""",
+      "q206_tpch_q15" ->
+        """WITH r AS (
+             SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                 AS rev
+             FROM lineitem
+             WHERE epoch_ns(l_shipdate)//1000000000 >= 850000000
+               AND epoch_ns(l_shipdate)//1000000000 < 900000000
+             GROUP BY 1)
+           SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+           FROM r JOIN supplier ON l_suppkey = s_suppkey
+           WHERE rev = (SELECT max(rev) FROM r)
+           ORDER BY s_suppkey""",
+      "q207_tpch_q16" ->
+        """SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+           FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'PROMO%'
+             AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+           GROUP BY 1, 2, 3
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+      "q208_tpch_q20" ->
+        """WITH ps AS (
+             SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps_qty
+             FROM lineitem
+             WHERE epoch_ns(l_shipdate)//1000000000 >= 850000000
+               AND epoch_ns(l_shipdate)//1000000000 < 900000000
+               AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             GROUP BY 1, 2),
+           tot AS (SELECT l_partkey AS tpk, sum(ps_qty) AS part_qty FROM ps GROUP BY 1),
+           q AS (
+             SELECT DISTINCT l_suppkey FROM ps JOIN tot ON l_partkey = tpk
+             WHERE ps_qty * 4 > part_qty)
+           SELECT s_name, s_acctbal
+           FROM supplier
+           WHERE s_nationkey IN (
+               SELECT n_nationkey FROM nation
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'EUROPE')
+             AND s_suppkey IN (SELECT l_suppkey FROM q)
+           ORDER BY s_name""",
+      "q209_tpch_q21" ->
+        """SELECT s_name, count(*) AS numwait
+           FROM lineitem l1
+           JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+           JOIN supplier ON l1.l_suppkey = s_suppkey
+           WHERE EXISTS (SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_shipdate > l1.l_shipdate)
+           GROUP BY 1
+           ORDER BY numwait DESC, s_name LIMIT 100""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

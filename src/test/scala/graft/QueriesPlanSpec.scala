@@ -24,7 +24,31 @@ class QueriesPlanSpec extends SparkSpec {
     "q199_source_drift",      // one token pass + |groups|·64-row folds
     "q200_curation_select",   // capstone: all component shapes, no window
     "q201_setsim_join",       // prefix-filter joins + bounded per-doc arrays
-    "q202_setsim_incremental") // same shapes against persisted stores
+    "q202_setsim_incremental", // same shapes against persisted stores
+    "q203_tpch_q2",           // correlated-min → agg + equality join-back
+    "q204_tpch_q11",          // scalar threshold → broadcast cross-join
+    "q205_tpch_q12",          // CASE'd counts, one fact⋈fact join
+    "q206_tpch_q15",          // max-revenue scalar → broadcast cross-join
+    "q207_tpch_q16",          // distinct pairs + broadcast dims
+    "q208_tpch_q20",          // share predicate via agg joins, no rank
+    "q209_tpch_q21")          // EXISTS/NOT EXISTS → semi/anti self-joins
+
+  /** The remaining TPC-H shapes: dims must broadcast (a fact-side
+    * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
+    * for nothing); the self-joins in q209 are the only legitimate
+    * fact⋈fact SMJs in the seven new gates. */
+  test("q203/q204/q206/q208 join dims by broadcast, never by fact shuffle") {
+    for (q <- Seq("q203_tpch_q2", "q204_tpch_q11", "q206_tpch_q15",
+        "q208_tpch_q20")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize AQE
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: dim join fell back to SMJ:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: cartesian product:\n$plan")
+    }
+  }
 
   for (q <- noWindowQueries)
     test(s"$q plans with no Window operator") {
