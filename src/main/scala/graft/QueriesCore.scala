@@ -1183,6 +1183,37 @@ object QueriesCore {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     },
+    // ---- A1/A2/A4 for the SECOND in-tree harvest format: a JSON-lines
+    // drop driven through the plugin REGISTRY (register → get → read),
+    // full distributed schema deduction, and the normalized package
+    // contract. Money is pre-scaled to integer cents in the drop so the
+    // deduced lattice types stay integer-exact end to end (the float
+    // deduction path is spec-covered; oracles never compare floats that
+    // crossed a serialization boundary) ----
+    "q210_json_ingest" -> { (s, dir) =>
+      import graft.sources.{JsonSourceConfig, JsonTrendSource, TrendSources}
+      val work = java.nio.file.Files.createTempDirectory("graft_q210_").toString
+      events(s, dir).filter(pmod(col("event_id"), lit(3)) === 0).select(
+          col("user_id").as("node"),
+          date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd'T'HH:mm:ss").as("ts"),
+          col("event_id"),
+          floor(col("value") * 100).cast("long").as("value_cents"),
+          col("event_type"))
+        .coalesce(4)
+        .write.mode("overwrite").json(s"$work/drop")
+      TrendSources.register(JsonTrendSource.plugin(
+        JsonSourceConfig("node", Some("ts"),
+          timestampFormat = "yyyy-MM-dd'T'HH:mm:ss"), "json_events"))
+      val pkg = TrendSources.get("json_events").get.read(s, s"$work/drop")
+      pkg.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("entity")).as("n_entities"),
+          min(col("timestamp")).as("min_ts"),
+          max(col("timestamp")).as("max_ts"),
+          sum(col("value_cents")).cast("long").as("sum_cents"),
+          max(col("event_id")).cast("long").as("max_event_id"))
+        .orderBy("event_type")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -1955,6 +1986,20 @@ object QueriesCore {
                  AND l3.l_shipdate > l1.l_shipdate)
            GROUP BY 1
            ORDER BY numwait DESC, s_name LIMIT 100""",
+      // The oracle recomputes the JSON round-trip's expected end state
+      // straight from events: ts seconds survive the format+parse cycle
+      // exactly (second-truncated on write), cents are integer-exact.
+      "q210_json_ingest" ->
+        s"""WITH ev AS (
+             SELECT user_id, $ts AS sec, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents, event_type
+             FROM events WHERE event_id % 3 = 0)
+           SELECT event_type, count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_entities,
+             min(sec) AS min_ts, max(sec) AS max_ts,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(max(event_id) AS BIGINT) AS max_event_id
+           FROM ev GROUP BY 1 ORDER BY 1""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
