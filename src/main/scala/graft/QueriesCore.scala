@@ -1214,6 +1214,18 @@ object QueriesCore {
           max(col("event_id")).cast("long").as("max_event_id"))
         .orderBy("event_type")
     },
+    // ---- Layout-invariant approximate quantiles (HdrHistogram log-linear
+    // sketch): per-source document-length p50/p90/p99 as exact integer
+    // bucket ranges with a hard 2^-5 relative-error bound. The sketch is
+    // ONE map-side-combined aggregate; the oracle replays the identical
+    // integer bucketization — no float ever enters ----
+    "q211_hdr_quantiles" -> { (s, dir) =>
+      graft.functions.HdrQuantiles.quantiles(
+          load(s, dir, "documents").select(col("source"), col("n_chars")),
+          Seq("source"), "n_chars",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
+        .orderBy("source")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2000,6 +2012,47 @@ object QueriesCore {
              CAST(sum(cents) AS BIGINT) AS sum_cents,
              CAST(max(event_id) AS BIGINT) AS max_event_id
            FROM ev GROUP BY 1 ORDER BY 1""",
+      // The identical HdrHistogram integer bucketization, replayed in SQL:
+      // shift = max(floor(log2 v) - 5, 0); bucket = shift*32 + (v >> shift);
+      // quantile = smallest bucket reaching ceil(q*n); bounds invert the
+      // bucket to its exact [lo, hi] value range.
+      "q211_hdr_quantiles" ->
+        """WITH v AS (
+             SELECT source, greatest(n_chars, 0) AS v FROM documents),
+           b AS (
+             SELECT source,
+               greatest(length(bin(v)) - 1 - 5, 0) * 32
+                 + (v >> greatest(length(bin(v)) - 1 - 5, 0)) AS bucket,
+               count(*) AS cnt
+             FROM v GROUP BY 1, 2),
+           c AS (
+             SELECT source, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS total
+             FROM b),
+           q AS (
+             SELECT source, CAST(max(total) AS BIGINT) AS n,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS b50,
+               min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS b90,
+               min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END) AS b99
+             FROM c GROUP BY 1)
+           SELECT source, n,
+             (b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0) AS p50_lo,
+             ((b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b50 // 32 - 1, 0)) - 1 AS p50_hi,
+             (b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0) AS p90_lo,
+             ((b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b90 // 32 - 1, 0)) - 1 AS p90_hi,
+             (b99 - greatest(b99 // 32 - 1, 0) * 32)
+               << greatest(b99 // 32 - 1, 0) AS p99_lo,
+             ((b99 - greatest(b99 // 32 - 1, 0) * 32)
+               << greatest(b99 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b99 // 32 - 1, 0)) - 1 AS p99_hi
+           FROM q ORDER BY source""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -61,7 +61,8 @@ class QueriesPlanSpec extends SparkSpec {
     * scans — bounded by one key's row count), never global. */
   private val keyedWindowQueries = Seq(
     "q178_cdc_chunks" -> "doc_id",        // per-doc boundary prefix sum
-    "q181_interval_coverage" -> "user_id") // per-user interval merge
+    "q181_interval_coverage" -> "user_id", // per-user interval merge
+    "q211_hdr_quantiles" -> "source")     // cumsum over SKETCH rows (≤64·2^p/group)
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
