@@ -1226,6 +1226,18 @@ object QueriesCore {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
         .orderBy("source")
     },
+    // ---- k-core peeling over the q126-style derived link graph:
+    // synchronous rounds (order-free, partition-invariant), peel_round
+    // NULL = still in core after 4 capped rounds. The oracle unrolls the
+    // same four synchronous rounds as chained CTEs ----
+    "q212_kcore" -> { (s, dir) =>
+      val e = events(s, dir)
+      graft.functions.Graph.kCorePeel(
+          e.select(col("user_id").as("src"),
+            pmod(col("event_id"), lit(97)).cast("long").as("dst")),
+          "src", "dst", k = 60, rounds = 4)
+        .orderBy("node")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2053,6 +2065,36 @@ object QueriesCore {
                << greatest(b99 // 32 - 1, 0))
                + (CAST(1 AS BIGINT) << greatest(b99 // 32 - 1, 0)) - 1 AS p99_hi
            FROM q ORDER BY source""",
+      "q212_kcore" ->
+        """WITH raw AS (
+             SELECT user_id AS u, event_id % 97 AS v FROM events
+             WHERE user_id <> event_id % 97),
+           sym AS (
+             SELECT DISTINCT u, v FROM (
+               SELECT u, v FROM raw UNION ALL SELECT v, u FROM raw)),
+           n0 AS (SELECT DISTINCT u AS node FROM sym),
+           -- peel by complement (keep = deg >= k among survivors) so a
+           -- node whose every neighbor peeled removes too
+           k1 AS (SELECT u AS node FROM sym GROUP BY 1 HAVING count(*) >= 60),
+           a1 AS (SELECT u, v FROM sym
+                  WHERE u IN (SELECT node FROM k1)
+                    AND v IN (SELECT node FROM k1)),
+           k2 AS (SELECT u AS node FROM a1 GROUP BY 1 HAVING count(*) >= 60),
+           a2 AS (SELECT u, v FROM a1
+                  WHERE u IN (SELECT node FROM k2)
+                    AND v IN (SELECT node FROM k2)),
+           k3 AS (SELECT u AS node FROM a2 GROUP BY 1 HAVING count(*) >= 60),
+           a3 AS (SELECT u, v FROM a2
+                  WHERE u IN (SELECT node FROM k3)
+                    AND v IN (SELECT node FROM k3)),
+           k4 AS (SELECT u AS node FROM a3 GROUP BY 1 HAVING count(*) >= 60)
+           SELECT n0.node,
+             CASE WHEN n0.node NOT IN (SELECT node FROM k1) THEN CAST(1 AS BIGINT)
+                  WHEN n0.node NOT IN (SELECT node FROM k2) THEN CAST(2 AS BIGINT)
+                  WHEN n0.node NOT IN (SELECT node FROM k3) THEN CAST(3 AS BIGINT)
+                  WHEN n0.node NOT IN (SELECT node FROM k4) THEN CAST(4 AS BIGINT)
+             END AS peel_round
+           FROM n0 ORDER BY node""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

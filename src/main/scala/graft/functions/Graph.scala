@@ -220,4 +220,69 @@ object Graph {
     tri.select(explode(array(col("w"), col("p"), col("q"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core peeling (Seidman 1983, public): up to `rounds` synchronous
+    * rounds of "remove every node with degree < k" over the undirected
+    * simple graph. Returns (node, peel_round) for every node of the
+    * graph — peel_round = the round that removed it (1-based), or NULL
+    * for survivors: after convergence those are exactly the k-core; the
+    * dense subgraph filter used to separate link-farm/boilerplate hosts
+    * from organically-linked ones in web-corpus curation.
+    *
+    * Determinism: synchronous peeling is order-free — round r removes
+    * all nodes whose degree in the round-(r−1) subgraph is < k, so the
+    * result is a pure function of the graph, any partitioning.
+    *
+    * Scale: each round is one degree aggregate (shuffle ∝ surviving
+    * |edges|, map-side combined) + two anti-joins on the removed set
+    * (broadcast-sized in practice — the set shrinks geometrically);
+    * lineage cut per round via localCheckpoint, convergence detected by
+    * an exact removed-count == 0 test so `rounds` is a cap, not a cost.
+    * The peeled-subgraph sequence is monotone decreasing — total work ≤
+    * rounds · |edges|, no quadratic blowup. */
+  def kCorePeel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "kCorePeel: k must be >= 1")
+    require(rounds >= 1, "kCorePeel: rounds must be >= 1")
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    var adj = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+    val spark = edges.sparkSession
+    var removed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("peel_round",
+          org.apache.spark.sql.types.LongType))))
+    var alive = nodes
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
+      // peel by complement: keep = degree ≥ k in the SURVIVING subgraph,
+      // so a node whose every neighbor peeled (degree 0, absent from the
+      // aggregate) is correctly removed too
+      val keep = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("node")).localCheckpoint()
+      val rm = alive.join(keep, Seq("node"), "left_anti")
+        .withColumn("peel_round", lit(r.toLong)).localCheckpoint()
+      if (rm.isEmpty) converged = true
+      else {
+        removed = removed.unionByName(rm).localCheckpoint()
+        alive = keep
+        adj = adj
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    nodes.join(removed, Seq("node"), "left")
+  }
 }
