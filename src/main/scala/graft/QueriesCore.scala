@@ -1238,6 +1238,18 @@ object QueriesCore {
           "src", "dst", k = 60, rounds = 4)
         .orderBy("node")
     },
+    // ---- HITS hubs/authorities over the same derived directed graph:
+    // two mutual-reinforcement iterations, integer max-normalization per
+    // half-step (bit-exact under any layout); oracle unrolls the four
+    // half-steps ----
+    "q213_hits" -> { (s, dir) =>
+      val e = events(s, dir)
+      graft.functions.Graph.hits(
+          e.select(col("user_id").as("src"),
+            pmod(col("event_id"), lit(97)).cast("long").as("dst")),
+          "src", "dst", iterations = 2)
+        .orderBy("node")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2095,6 +2107,33 @@ object QueriesCore {
                   WHEN n0.node NOT IN (SELECT node FROM k4) THEN CAST(4 AS BIGINT)
              END AS peel_round
            FROM n0 ORDER BY node""",
+      "q213_hits" ->
+        """WITH raw AS (
+             SELECT DISTINCT user_id AS u, event_id % 97 AS v FROM events),
+           nodes AS (SELECT u AS node FROM raw UNION SELECT v FROM raw),
+           a1r AS (SELECT v AS node, count(*) * 1000000 AS s
+                   FROM raw GROUP BY 1),
+           a1 AS (SELECT node, (s * 1000000) // (SELECT max(s) FROM a1r) AS s
+                  FROM a1r),
+           h1r AS (SELECT raw.u AS node, sum(a1.s) AS s
+                   FROM raw JOIN a1 ON raw.v = a1.node GROUP BY 1),
+           h1 AS (SELECT node, (s * 1000000) // (SELECT max(s) FROM h1r) AS s
+                  FROM h1r),
+           a2r AS (SELECT raw.v AS node, sum(h1.s) AS s
+                   FROM raw JOIN h1 ON raw.u = h1.node GROUP BY 1),
+           a2 AS (SELECT node, (s * 1000000) // (SELECT max(s) FROM a2r) AS s
+                  FROM a2r),
+           h2r AS (SELECT raw.u AS node, sum(a2.s) AS s
+                   FROM raw JOIN a2 ON raw.v = a2.node GROUP BY 1),
+           h2 AS (SELECT node, (s * 1000000) // (SELECT max(s) FROM h2r) AS s
+                  FROM h2r)
+           SELECT nodes.node,
+             CAST(coalesce(h2.s, 0) AS BIGINT) AS hub,
+             CAST(coalesce(a2.s, 0) AS BIGINT) AS auth
+           FROM nodes
+           LEFT JOIN h2 ON nodes.node = h2.node
+           LEFT JOIN a2 ON nodes.node = a2.node
+           ORDER BY nodes.node""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -221,6 +221,59 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999, public): `iterations` rounds
+    * of the mutual-reinforcement iteration over the directed graph —
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v) — with
+    * MAX-normalization after every half-step kept in pure integer
+    * arithmetic: s ← s·scale div max(s). No float ever enters, so scores
+    * are bit-identical under any partition layout (the [[pageRank]]
+    * determinism contract; L2 normalization would hash-diverge on
+    * summation order, and max-normalization preserves HITS's ordinal
+    * structure, which is what curation weighting consumes).
+    *
+    * Overflow bound: raw sums reach indegree·scale and the normalize
+    * multiply reaches rawmax·scale — callers keep nodecount·scale² below
+    * 2^63 (the default scale 1e6 admits ~9e6-node graphs; drop scale for
+    * bigger ones).
+    *
+    * Scale: per half-step one edges⋈scores equi-join + one grouped sum
+    * (shuffle ∝ |edges|, map-side combined) + a 1-row max broadcast;
+    * lineage cut per iteration. Returns (node, hub, auth) over all graph
+    * nodes, zeros included. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "hits: iterations must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+
+    def normalize(scores: DataFrame): DataFrame =
+      scores.crossJoin(broadcast(scores.agg(max(col("s")).as("m"))))
+        .select(col("node"), expr(s"(s * ${scale}L) div m").as("s"))
+
+    var hub = nodes.withColumn("s", lit(scale)).localCheckpoint()
+    var auth = hub
+    for (_ <- 0 until iterations) {
+      auth = normalize(
+        e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s")))
+        .localCheckpoint()
+      hub = normalize(
+        e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("s")).as("s")))
+        .localCheckpoint()
+    }
+    nodes
+      .join(hub.withColumnRenamed("s", "hub"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("s", "auth"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+  }
+
   /** k-core peeling (Seidman 1983, public): up to `rounds` synchronous
     * rounds of "remove every node with degree < k" over the undirected
     * simple graph. Returns (node, peel_round) for every node of the
