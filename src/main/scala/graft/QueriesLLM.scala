@@ -1726,6 +1726,16 @@ object QueriesLLM {
       d.select(col("id"), col("format"), col("width"), col("height"))
         .orderBy("id")
     },
+    // ---- multimodal: OGG page walk (RFC 3533) with a real Vorbis id
+    // header — lacing-value page hops, rate/channels from the BOS packet,
+    // total samples from the EOS granule position ----
+    "q214_ogg_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.oggBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("frames").as("total_samples"))
+        .orderBy("id")
+    },
     // ---- multimodal: MPEG-1 Layer III frame walk (ID3v2 skip + per-frame
     // length hops; rate/channels from the first header, frames counted) ----
     "q127_mp3_decode" -> { (s, dir) =>
@@ -5472,6 +5482,12 @@ object QueriesLLM {
       """SELECT doc_id AS id, 'webp' AS format,
            CAST(1 + n_chars % 4096 AS INT) AS width,
            CAST(1 + (doc_id * 17) % 2160 AS INT) AS height
+         FROM documents ORDER BY id""",
+    "q214_ogg_decode" ->
+      """SELECT doc_id AS id, 'ogg' AS format,
+           CAST(8000 + (n_chars % 6) * 6000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(200 + (doc_id * 31) % 90000 AS INT) AS total_samples
          FROM documents ORDER BY id""",
     "q179_mp4_decode" ->
       """SELECT doc_id AS id, 'mp4' AS format,

@@ -340,6 +340,46 @@ object Multimodal {
     else DecodedMedia(id, "mp4", m(0), m(1), m(2), cs)
   }
 
+  /** OGG page walk (RFC 3533, public) with a Vorbis identification
+    * header (Vorbis I spec §4.2.2): each page is 27 bytes + segment
+    * table + payload, so the walk hops page to page by summed lacing
+    * values; the FIRST page's packet yields channels (byte 11) and
+    * sample rate (le32 @ 12) when it starts "\\x01vorbis"; the LAST
+    * page's granule position is the stream's total sample count.
+    * Mapping as WAV/FLAC: width = rate, height = channels,
+    * frames = total samples (clamped to Int). */
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i).toLong & 0xffffffffL) |
+      ((le32(b, i + 4).toLong & 0xffffffffL) << 32)
+
+  private def parseOgg(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = 0
+    var rate = 0
+    var channels = 0
+    var lastGranule = 0L
+    var first = true
+    while (pos + 27 <= b.length && fourcc(b, pos) == "OggS") {
+      val granule = le64(b, pos + 6)
+      val nsegs = u8(b, pos + 26)
+      if (pos + 27 + nsegs > b.length) return unknown(id, cs)
+      var paylen = 0
+      for (s <- 0 until nsegs) paylen += u8(b, pos + 27 + s)
+      val payload = pos + 27 + nsegs
+      if (payload + paylen > b.length) return unknown(id, cs)
+      if (first && paylen >= 16 && u8(b, payload) == 0x01 &&
+          fourcc(b, payload + 1) == "vorb") {
+        channels = u8(b, payload + 11)
+        rate = le32(b, payload + 12)
+      }
+      if (granule > 0) lastGranule = granule
+      first = false
+      pos += 27 + nsegs + paylen
+    }
+    if (pos == 0 || rate == 0) unknown(id, cs)
+    else DecodedMedia(id, "ogg", rate, channels,
+      math.min(lastGranule, Int.MaxValue.toLong).toInt, cs)
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -369,6 +409,8 @@ object Multimodal {
     else if (bytes.length >= 4 &&
              ((bytes(0) == 'I' && bytes(1) == 'I') || (bytes(0) == 'M' && bytes(1) == 'M')))
       parseTiff(id, bytes, cs)
+    else if (bytes.length >= 27 && fourcc(bytes, 0) == "OggS")
+      parseOgg(id, bytes, cs)
     else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
       parseMp4(id, bytes, cs)
     else if (id3v2Size(bytes) > 0 || isMp3Sync(bytes, 0))
@@ -631,6 +673,44 @@ object Multimodal {
 
   def flacBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(flacFixture)
+
+  /** OGG/Vorbis stream with three REAL pages (RFC 3533 layout): BOS page
+    * carrying the 30-byte Vorbis identification header, a middle data
+    * page the walk must hop over by its lacing values, and an EOS page
+    * whose granule position is the total sample count. CRCs are zero
+    * (the metadata walk does not checksum payloads, as with the RIFF
+    * fixtures). */
+  private def le64b(v: Long): Array[Byte] =
+    le32b((v & 0xffffffffL).toInt) ++ le32b(((v >> 32) & 0xffffffffL).toInt)
+
+  private def oggPage(
+      headerType: Int, granule: Long, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    require(payload.length <= 255, "single-segment fixture page")
+    val nsegs: Array[Byte] =
+      if (payload.isEmpty) Array(0.toByte)
+      else Array(1.toByte, payload.length.toByte)
+    ascii("OggS") ++ Array(0.toByte, headerType.toByte) ++
+      le64b(granule) ++ le32b(0x6772616f) ++ le32b(seq) ++ le32b(0) ++
+      nsegs ++ payload
+  }
+
+  def synthOgg(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && channels <= 255 && totalSamples >= 0)
+    val idHeader = Array(1.toByte) ++ ascii("vorbis") ++ le32b(0) ++
+      Array(channels.toByte) ++ le32b(rate) ++
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ Array(0xb8.toByte, 1.toByte)
+    oggPage(0x02, 0L, 0, idHeader) ++
+      oggPage(0x00, totalSamples / 2, 1, Array.fill(5)(0.toByte)) ++
+      oggPage(0x04, totalSamples, 2, Array.empty[Byte])
+  }
+
+  def oggFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthOgg(8000 + (nChars % 6).toInt * 6000, 1 + (docId % 2).toInt,
+      200 + (docId * 31) % 90000)
+
+  def oggBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(oggFixture)
 
   /** TIFF fixture: little-endian for even doc_id, SHORT values for even
     * n_chars; w = 1 + n_chars % 4000, h = 1 + (doc_id·13) % 3000. */

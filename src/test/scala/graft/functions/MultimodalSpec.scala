@@ -195,6 +195,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hand-built OGG: page hops by lacing values, EOS granule wins; corrupt degrades") {
+    // three real pages per RFC 3533; fixture formulas round-trip
+    for (docId <- 0L to 3L; nChars <- Seq(0L, 7L, 5000L)) {
+      val m = Multimodal.parseMedia(docId, Multimodal.oggFixture(docId, nChars))
+      assert(m.format == "ogg" && m.width == 8000 + (nChars % 6) * 6000 &&
+        m.height == 1 + docId % 2 &&
+        m.frames == 200 + (docId * 31) % 90000)
+    }
+    // middle-page hop is load-bearing: synthOgg's data page granule is
+    // total/2 — a walk that stopped at page 2 would report half
+    val whole = Multimodal.parseMedia(9L, Multimodal.synthOgg(44100, 2, 88200L))
+    assert(whole.frames == 88200 && whole.width == 44100 && whole.height == 2)
+    // truncated segment table degrades to unknown, never crashes
+    val truncated = Multimodal.synthOgg(44100, 2, 1000L).take(30)
+    assert(Multimodal.parseMedia(10L, truncated).format == "unknown")
+    // an OggS stream whose first packet is not a Vorbis id header
+    val noVorbis = "OggS".getBytes("US-ASCII") ++ Array.fill(23)(0.toByte) ++
+      Array(1.toByte, 4.toByte) ++ Array.fill(4)(0x55.toByte)
+    assert(Multimodal.parseMedia(11L, noVorbis).format == "unknown")
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
