@@ -1250,6 +1250,60 @@ object QueriesCore {
           "src", "dst", iterations = 2)
         .orderBy("node")
     },
+    // ---- Winsorized robust mean per source: exact R-7 [p10, p90]
+    // cutoffs (q85's machinery), then the clamped mean assembled from
+    // EXACT integer components (mid-range sum + clamp counts) so no
+    // order-dependent float sum exists — one broadcast join, two
+    // aggregates ----
+    "q215_winsorized" -> { (s, dir) =>
+      val d = load(s, dir, "documents")
+      val cuts = graft.functions.TextAnalysis.groupQuantiles(
+          d, Seq("source"), "n_chars", Seq("p10" -> 0.1, "p90" -> 0.9))
+        .select(col("source"), col("p10"), col("p90"))
+      d.join(broadcast(cuts), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("p10")).as("p10"), first(col("p90")).as("p90"),
+          sum(when(col("n_chars") >= col("p10") && col("n_chars") <= col("p90"),
+            col("n_chars")).otherwise(0L)).cast("long").as("sum_mid"),
+          count(when(col("n_chars") < col("p10"), lit(1))).as("n_lo"),
+          count(when(col("n_chars") > col("p90"), lit(1))).as("n_hi"))
+        .withColumn("winsorized_mean",
+          (col("sum_mid") + col("n_lo") * col("p10") + col("n_hi") * col("p90"))
+            / col("n_docs"))
+        .orderBy("source")
+    },
+    // ---- Incremental persisted HdrHistogram sketch: batch-1 sketch
+    // stored, batch-2 merged in by bucket addition and upserted, then
+    // quantiles answered from the STORE — byte-identical to the q211
+    // full-corpus answer (same oracle SQL), with per-append cost ∝ batch
+    // sketch, never corpus ----
+    "q216_hdr_incremental" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      import graft.functions.HdrQuantiles
+      val work = java.nio.file.Files.createTempDirectory("graft_q216_").toString
+      val d = load(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      val ps = new PartStore(s, PartStoreConfig(s"$work/sketch", 64L,
+        keyCols = Seq("source", "bucket")))
+      def skOf(df: DataFrame) =
+        HdrQuantiles.sketch(df, Seq("source"), "n_chars")
+      val b1 = skOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .withColumn("timestamp", col("bucket"))
+        .withColumn("modified", lit(1L))
+      ps.store("hdr", b1)
+      val b2 = skOf(d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      val persisted = ps.readPart("hdr").get.select("source", "bucket", "cnt")
+      val merged = HdrQuantiles.merge(Seq("source"), persisted, b2)
+        .withColumn("timestamp", col("bucket"))
+        .withColumn("modified", lit(2L))
+      ps.store("hdr", merged)
+      HdrQuantiles.quantilesFromSketch(
+          ps.readPart("hdr").get.select("source", "bucket", "cnt"),
+          Seq("source"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
+        .orderBy("source")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2134,6 +2188,67 @@ object QueriesCore {
            LEFT JOIN h2 ON nodes.node = h2.node
            LEFT JOIN a2 ON nodes.node = a2.node
            ORDER BY nodes.node""",
+      // Winsorized mean assembled from the same exact components:
+      // mid-range integer sum + clamp counts × R-7 cutoffs, one double
+      // expression evaluated in the same association order.
+      "q215_winsorized" ->
+        """WITH cuts AS (
+             SELECT source,
+               quantile_cont(n_chars, 0.1) AS p10,
+               quantile_cont(n_chars, 0.9) AS p90
+             FROM documents GROUP BY 1)
+           SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             max(c.p10) AS p10, max(c.p90) AS p90,
+             CAST(sum(CASE WHEN d.n_chars >= c.p10 AND d.n_chars <= c.p90
+               THEN d.n_chars ELSE 0 END) AS BIGINT) AS sum_mid,
+             count(CASE WHEN d.n_chars < c.p10 THEN 1 END) AS n_lo,
+             count(CASE WHEN d.n_chars > c.p90 THEN 1 END) AS n_hi,
+             (CAST(sum(CASE WHEN d.n_chars >= c.p10 AND d.n_chars <= c.p90
+                 THEN d.n_chars ELSE 0 END) AS BIGINT)
+               + count(CASE WHEN d.n_chars < c.p10 THEN 1 END) * max(c.p10)
+               + count(CASE WHEN d.n_chars > c.p90 THEN 1 END) * max(c.p90))
+               / count(*) AS winsorized_mean
+           FROM documents d JOIN cuts c ON d.source = c.source
+           GROUP BY 1 ORDER BY 1""",
+      // The incremental store answers EXACTLY the full-corpus sketch
+      // query — layout invariance makes the q211 oracle its oracle too.
+      "q216_hdr_incremental" ->
+        """WITH v AS (
+             SELECT source, greatest(n_chars, 0) AS v FROM documents),
+           b AS (
+             SELECT source,
+               greatest(length(bin(v)) - 1 - 5, 0) * 32
+                 + (v >> greatest(length(bin(v)) - 1 - 5, 0)) AS bucket,
+               count(*) AS cnt
+             FROM v GROUP BY 1, 2),
+           c AS (
+             SELECT source, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS total
+             FROM b),
+           q AS (
+             SELECT source, CAST(max(total) AS BIGINT) AS n,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS b50,
+               min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS b90,
+               min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END) AS b99
+             FROM c GROUP BY 1)
+           SELECT source, n,
+             (b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0) AS p50_lo,
+             ((b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b50 // 32 - 1, 0)) - 1 AS p50_hi,
+             (b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0) AS p90_lo,
+             ((b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b90 // 32 - 1, 0)) - 1 AS p90_hi,
+             (b99 - greatest(b99 // 32 - 1, 0) * 32)
+               << greatest(b99 // 32 - 1, 0) AS p99_lo,
+             ((b99 - greatest(b99 // 32 - 1, 0) * 32)
+               << greatest(b99 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b99 // 32 - 1, 0)) - 1 AS p99_hi
+           FROM q ORDER BY source""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -62,10 +62,18 @@ object HdrQuantiles {
     * never by data size. */
   def quantiles(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)], p: Int = 5): DataFrame =
+    quantilesFromSketch(sketch(df, groupCols, valueCol, p), groupCols, qs, p)
+
+  /** Quantile extraction from an existing sketch frame (group…, bucket,
+    * cnt) — the entry point for PERSISTED sketches: a store that
+    * accumulates bucket counts answers quantiles without ever rescanning
+    * the corpus. */
+  def quantilesFromSketch(
+      sk: DataFrame, groupCols: Seq[String],
       qs: Seq[(String, Double)], p: Int = 5): DataFrame = {
     require(qs.nonEmpty, "quantiles needs at least one target")
     val m = 1 << p
-    val sk = sketch(df, groupCols, valueCol, p)
     val byGroup = Window.partitionBy(groupCols.map(col): _*)
     val cum = sk
       .withColumn("__cum", sum("cnt").over(byGroup.orderBy("bucket")))

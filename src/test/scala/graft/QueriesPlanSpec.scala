@@ -31,7 +31,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q206_tpch_q15",          // max-revenue scalar → broadcast cross-join
     "q207_tpch_q16",          // distinct pairs + broadcast dims
     "q208_tpch_q20",          // share predicate via agg joins, no rank
-    "q209_tpch_q21")          // EXISTS/NOT EXISTS → semi/anti self-joins
+    "q209_tpch_q21",          // EXISTS/NOT EXISTS → semi/anti self-joins
+    "q215_winsorized")        // R-7 cutoff broadcast + exact components
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
@@ -62,7 +63,8 @@ class QueriesPlanSpec extends SparkSpec {
   private val keyedWindowQueries = Seq(
     "q178_cdc_chunks" -> "doc_id",        // per-doc boundary prefix sum
     "q181_interval_coverage" -> "user_id", // per-user interval merge
-    "q211_hdr_quantiles" -> "source")     // cumsum over SKETCH rows (≤64·2^p/group)
+    "q211_hdr_quantiles" -> "source",     // cumsum over SKETCH rows (≤64·2^p/group)
+    "q216_hdr_incremental" -> "source")   // same extraction over the stored sketch
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
