@@ -1304,6 +1304,18 @@ object QueriesCore {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
         .orderBy("source")
     },
+    // ---- Dyadic EWMA trend smoothing: α=1/2 truncated at 8 lags, pure
+    // integer weights (units of 1/256) — the deterministic form of
+    // exponential smoothing; per-user keyed window, frame bounded by the
+    // depth ----
+    "q217_ewma" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      TemporalOps.dyadicEwma(
+          e.select("user_id", "event_id", "ts_sec", "cents"),
+          Seq("user_id"), Seq("ts_sec", "event_id"), "cents", depth = 8)
+        .orderBy("user_id", "ts_sec", "event_id")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2249,6 +2261,23 @@ object QueriesCore {
                << greatest(b99 // 32 - 1, 0))
                + (CAST(1 AS BIGINT) << greatest(b99 // 32 - 1, 0)) - 1 AS p99_hi
            FROM q ORDER BY source""",
+      "q217_ewma" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS ts_sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events)
+           SELECT user_id, event_id, ts_sec, cents,
+             coalesce(lag(cents, 0) OVER w, 0) * 128
+               + coalesce(lag(cents, 1) OVER w, 0) * 64
+               + coalesce(lag(cents, 2) OVER w, 0) * 32
+               + coalesce(lag(cents, 3) OVER w, 0) * 16
+               + coalesce(lag(cents, 4) OVER w, 0) * 8
+               + coalesce(lag(cents, 5) OVER w, 0) * 4
+               + coalesce(lag(cents, 6) OVER w, 0) * 2
+               + coalesce(lag(cents, 7) OVER w, 0) AS ewma_scaled
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+           ORDER BY user_id, ts_sec, event_id""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -276,4 +276,31 @@ object TemporalOps {
       .withColumn("roll_min", min(col(valueCol)).over(w))
       .withColumn("roll_max", max(col(valueCol)).over(w))
   }
+
+  /** Dyadic EWMA: exponential smoothing with α = 1/2 truncated at `depth`
+    * lags, kept ENTIRELY in integers — the weight of lag k is the
+    * power-of-two 2^(depth−1−k), so `ewma_scaled` is the exact smoothed
+    * value in units of 1/2^depth and never touches a float (classic
+    * float EWMA is a sequential recurrence whose rounding depends on
+    * history length; the truncated dyadic form is a pure windowed sum,
+    * bit-identical anywhere, with truncation error ≤ 2^-depth of the
+    * value scale). Warm-up rows (< depth predecessors) carry the partial
+    * mass of the lags that exist — missing lags contribute zero, not a
+    * renormalization.
+    *
+    * Scale: one keyed window per entity (frame bounded by `depth` rows);
+    * no shuffle beyond the per-key partitioning every per-entity
+    * operator already pays. */
+  def dyadicEwma(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 32, "dyadicEwma: depth in [1, 32]")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until depth).map { k =>
+      coalesce(lag(col(valueCol), k).over(w), lit(0L)) *
+        lit(1L << (depth - 1 - k))
+    }
+    df.withColumn("ewma_scaled", terms.reduce(_ + _))
+  }
 }

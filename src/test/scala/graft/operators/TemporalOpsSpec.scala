@@ -185,4 +185,19 @@ class TemporalOpsSpec extends SparkSpec {
       (1L, 4L, 3L, 55L, 5L, 30L),
       (2L, 1L, 1L, 7L, 7L, 7L)))
   }
+
+  test("dyadicEwma: power-of-two lag weights, warm-up partial mass, per-key isolation") {
+    val df = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 400L),
+      (2L, 1L, 50L)).toDF("k", "ord", "v")
+    val out = TemporalOps.dyadicEwma(df, Seq("k"), Seq("ord"), "v", depth = 3)
+      .orderBy("k", "ord").select("k", "ord", "ewma_scaled")
+      .as[(Long, Long, Long)].collect()
+    // depth 3 → weights 4,2,1 (units of 1/8); warm-up rows carry only
+    // the lags that exist
+    assert(out.toSeq === Seq(
+      (1L, 1L, 400L),            // 100*4
+      (1L, 2L, 200L * 4 + 100L * 2), // 1000
+      (1L, 3L, 400L * 4 + 200L * 2 + 100L), // 2100
+      (2L, 1L, 200L)))           // other key: its own history only
+  }
 }
