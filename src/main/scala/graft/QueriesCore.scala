@@ -1316,6 +1316,56 @@ object QueriesCore {
           Seq("user_id"), Seq("ts_sec", "event_id"), "cents", depth = 8)
         .orderBy("user_id", "ts_sec", "event_id")
     },
+    // ---- Record linkage (Fellegi–Sunter shape): a deterministically
+    // dirtied CRM copy of customers (typo'd names, one-off nations,
+    // floored balances, supplier noise) linked back by TWO blocking
+    // passes (nation; id-tail — the second recovers pairs the first's
+    // perturbed key loses) + integer field-agreement scores:
+    // edit-distance ≤ 2 on names (8), digit-id equality (4), balance
+    // proximity (2), nation equality (1); threshold 12 forces name+id
+    // agreement so near-id neighbors (lev 1 on the digit tail) never
+    // false-match ----
+    "q219_record_linkage" -> { (s, dir) =>
+      import graft.functions.RecordLinkage
+      val c = load(s, dir, "customer")
+      val leftDf = c.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("nk"), col("c_acctbal"),
+        pmod(col("c_custkey"), lit(100)).as("tail"))
+      val crm = c.select(
+          (col("c_custkey") + 5000000L).as("acct_id"),
+          when(pmod(col("c_custkey"), lit(3)) === 0,
+            regexp_replace(col("c_name"), "Customer", "Custmer"))
+            .when(pmod(col("c_custkey"), lit(3)) === 1, upper(col("c_name")))
+            .otherwise(col("c_name")).as("acct_name"),
+          when(pmod(col("c_custkey"), lit(17)) === 0,
+            pmod(col("c_nationkey") + 1, lit(25)))
+            .otherwise(col("c_nationkey")).cast("long").as("acct_nation"),
+          floor(col("c_acctbal")).as("acct_bal"),
+          pmod(col("c_custkey"), lit(100)).as("acct_tail"))
+        .unionByName(load(s, dir, "supplier").select(
+          (col("s_suppkey") + 6000000L).as("acct_id"),
+          col("s_name").as("acct_name"),
+          col("s_nationkey").cast("long").as("acct_nation"),
+          floor(col("s_acctbal")).as("acct_bal"),
+          pmod(col("s_suppkey"), lit(100)).as("acct_tail")))
+      val pairs = RecordLinkage.blockedPairs(leftDf, crm,
+        "c_custkey", "acct_id",
+        Seq("nk" -> "acct_nation", "tail" -> "acct_tail"))
+      pairs
+        .join(leftDf, "c_custkey").join(crm, "acct_id")
+        .withColumn("score",
+          (when(levenshtein(lower(col("c_name")), lower(col("acct_name"))) <= 2,
+            8).otherwise(0)
+          + when(regexp_extract(col("c_name"), "([0-9]+)", 1) ===
+              regexp_extract(col("acct_name"), "([0-9]+)", 1), 4).otherwise(0)
+          + when(col("c_acctbal") - col("acct_bal") >= 0 &&
+              col("c_acctbal") - col("acct_bal") < 1, 2).otherwise(0)
+          + when(col("nk") === col("acct_nation"), 1).otherwise(0))
+            .cast("long"))
+        .filter(col("score") >= 12)
+        .select("c_custkey", "acct_id", "score")
+        .orderBy("c_custkey", "acct_id")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2278,6 +2328,45 @@ object QueriesCore {
            FROM ev
            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
            ORDER BY user_id, ts_sec, event_id""",
+      "q219_record_linkage" ->
+        """WITH crm AS (
+             SELECT c_custkey + 5000000 AS acct_id,
+               CASE WHEN c_custkey % 3 = 0
+                 THEN replace(c_name, 'Customer', 'Custmer')
+                 WHEN c_custkey % 3 = 1 THEN upper(c_name)
+                 ELSE c_name END AS acct_name,
+               CASE WHEN c_custkey % 17 = 0 THEN (c_nationkey + 1) % 25
+                 ELSE c_nationkey END AS acct_nation,
+               floor(c_acctbal) AS acct_bal,
+               c_custkey % 100 AS acct_tail
+             FROM customer
+             UNION ALL
+             SELECT s_suppkey + 6000000, s_name, s_nationkey,
+               floor(s_acctbal), s_suppkey % 100
+             FROM supplier),
+           pairs AS (
+             SELECT c.c_custkey, m.acct_id
+             FROM customer c JOIN crm m ON c.c_nationkey = m.acct_nation
+             UNION
+             SELECT c.c_custkey, m.acct_id
+             FROM customer c JOIN crm m ON c.c_custkey % 100 = m.acct_tail),
+           scored AS (
+             SELECT p.c_custkey, p.acct_id,
+               CAST(
+                 CASE WHEN levenshtein(lower(c.c_name), lower(m.acct_name)) <= 2
+                   THEN 8 ELSE 0 END
+                 + CASE WHEN regexp_extract(c.c_name, '([0-9]+)', 1)
+                     = regexp_extract(m.acct_name, '([0-9]+)', 1)
+                   THEN 4 ELSE 0 END
+                 + CASE WHEN c.c_acctbal - m.acct_bal >= 0
+                     AND c.c_acctbal - m.acct_bal < 1
+                   THEN 2 ELSE 0 END
+                 + CASE WHEN c.c_nationkey = m.acct_nation
+                   THEN 1 ELSE 0 END AS BIGINT) AS score
+             FROM pairs p
+             JOIN customer c USING (c_custkey) JOIN crm m USING (acct_id))
+           SELECT c_custkey, acct_id, score FROM scored
+           WHERE score >= 12 ORDER BY c_custkey, acct_id""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

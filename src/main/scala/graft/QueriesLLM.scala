@@ -1170,6 +1170,43 @@ object QueriesLLM {
         .select(col("digest"), col("keeper"))
         .orderBy("digest")
     },
+    // ---- streaming HdrHistogram sketch sink: two micro-batches merge
+    // into the persisted (source,bucket) store by bucket addition; the
+    // stored sketch answers quantiles byte-identical to the batch sketch
+    // of the same capped slice (oracle replays the q211 arithmetic over
+    // the slice) ----
+    "q218_streaming_sketch" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = docs(s, dir).select("doc_id", "source", "n_chars")
+        .withColumn("__h", md5(concat(lit("skscap:"), col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+      val split = pmod(conv(substring(md5(concat(lit("sks:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = d.withColumn("__s", split)
+        .select("source", "n_chars", "__s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val work = tempWorkDir("graft_q218_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L,
+          keyCols = Seq("source", "bucket")))
+      val mem = MemoryStream[(String, Long)]
+      val q = graft.streaming.StreamingRollup.sketchSink(
+        mem.toDF().toDF("source", "n_chars"), ps, "hdr",
+        Seq("source"), "n_chars")
+      try {
+        mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.functions.HdrQuantiles.quantilesFromSketch(
+          ps.readPart("hdr").get.select("source", "bucket", "cnt"),
+          Seq("source"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
+        .orderBy("source")
+    },
     // ---- stream-stream interval join gate (view⋈click attribution):
     // both sides replay in time-split batches; inner-join rows emit on
     // arrival of the matching side (no sentinel needed), watermark
@@ -5801,6 +5838,48 @@ object QueriesLLM {
             .replaceAll("\\bembeddings\\b", "ecap")}""",
     // Streaming dedup = the batch two-call schedule: batch-1 digests
     // keep their min id; only genuinely-new digests land from batch 2.
+    // The streamed store equals the batch sketch of the capped slice —
+    // the q211 bucketization replayed over the same md5-capped rows.
+    "q218_streaming_sketch" ->
+      """WITH sl AS (
+           SELECT source, greatest(n_chars, 0) AS v
+           FROM (SELECT source, n_chars, doc_id FROM documents
+                 ORDER BY md5('skscap:' || CAST(doc_id AS VARCHAR)), doc_id
+                 LIMIT 2048)),
+         b AS (
+           SELECT source,
+             greatest(length(bin(v)) - 1 - 5, 0) * 32
+               + (v >> greatest(length(bin(v)) - 1 - 5, 0)) AS bucket,
+             count(*) AS cnt
+           FROM sl GROUP BY 1, 2),
+         c AS (
+           SELECT source, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total
+           FROM b),
+         q AS (
+           SELECT source, CAST(max(total) AS BIGINT) AS n,
+             min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS b50,
+             min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS b90,
+             min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END) AS b99
+           FROM c GROUP BY 1)
+         SELECT source, n,
+           (b50 - greatest(b50 // 32 - 1, 0) * 32)
+             << greatest(b50 // 32 - 1, 0) AS p50_lo,
+           ((b50 - greatest(b50 // 32 - 1, 0) * 32)
+             << greatest(b50 // 32 - 1, 0))
+             + (CAST(1 AS BIGINT) << greatest(b50 // 32 - 1, 0)) - 1 AS p50_hi,
+           (b90 - greatest(b90 // 32 - 1, 0) * 32)
+             << greatest(b90 // 32 - 1, 0) AS p90_lo,
+           ((b90 - greatest(b90 // 32 - 1, 0) * 32)
+             << greatest(b90 // 32 - 1, 0))
+             + (CAST(1 AS BIGINT) << greatest(b90 // 32 - 1, 0)) - 1 AS p90_hi,
+           (b99 - greatest(b99 // 32 - 1, 0) * 32)
+             << greatest(b99 // 32 - 1, 0) AS p99_lo,
+           ((b99 - greatest(b99 // 32 - 1, 0) * 32)
+             << greatest(b99 // 32 - 1, 0))
+             + (CAST(1 AS BIGINT) << greatest(b99 // 32 - 1, 0)) - 1 AS p99_hi
+         FROM q ORDER BY source""",
     "q190_streaming_dedup" -> {
       val splitLadder = md5Ladder32("'sdd:' || CAST(doc_id AS VARCHAR)")
       s"""WITH capped AS (

@@ -293,6 +293,47 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming HdrHistogram sketch sink: each micro-batch's bucket
+    * sketch merges into the persisted (group…, bucket) store by bucket
+    * ADDITION — the streaming face of q216's incremental sketch, closing
+    * the batch/incremental/streaming triangle for approximate quantiles.
+    * Because the sketch is layout-invariant and merge is commutative
+    * addition, the store after any prefix of micro-batches equals the
+    * batch sketch of that prefix's rows — stream vs batch never
+    * diverges by a single count. Per-batch cost ∝ the BATCH's sketch
+    * (≤ 64·2^p rows per group), never corpus. NOTE: replaying a
+    * micro-batch double-counts (addition is not idempotent) — recovery
+    * deployments checkpoint and rely on exactly-once foreachBatch
+    * delivery, or key batches by epoch in `modified`. */
+  def sketchSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 5,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.functions.HdrQuantiles
+          val skCols = groupCols.map(col) ++ Seq(col("bucket"), col("cnt"))
+          val sk = HdrQuantiles.sketch(batch.toDF(), groupCols, valueCol, p)
+          val merged = ps.readPart(part) match {
+            case None => sk
+            case Some(ex) =>
+              HdrQuantiles.merge(groupCols, ex.select(skCols: _*), sk)
+          }
+          ps.store(part, merged
+            .withColumn("timestamp", col("bucket"))
+            .withColumn("modified", lit(batchId)))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental dedup with PERSISTED state: each micro-batch
     * runs [[graft.functions.Dedup.exactIncremental]] against the shared
     * digest PartStore — the streaming face of q142, complementing
