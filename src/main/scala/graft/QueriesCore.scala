@@ -1366,6 +1366,48 @@ object QueriesCore {
         .select("c_custkey", "acct_id", "score")
         .orderBy("c_custkey", "acct_id")
     },
+    // ---- Markov transition matrix of user journeys: per-user ordered
+    // event-type bigrams (keyed window), counts + exact-ratio transition
+    // probabilities ----
+    "q220_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      val t = e.select(col("user_id"), col("ts_sec"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val cnt = t.groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("event_type").as("ft"))
+        .agg(sum(col("n")).as("row_total"))
+      cnt.join(tot, col("event_type") === col("ft"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("row_total")).as("p"))
+        .orderBy("event_type", "next_type")
+    },
+    // ---- CUSUM change detection on the cents stream: per-user exact
+    // median target (doubled units keep the half-step integral), the
+    // sequential max-recurrence via its prefix-sum/running-min closed
+    // form — two keyed windows, no iteration ----
+    "q221_cusum" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val med = e.groupBy("user_id")
+        .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      val j = e.join(med, "user_id")
+        .withColumn("c2", col("cents") * 2)
+      TemporalOps.cusum(
+          j.select("user_id", "event_id", "ts_sec", "c2", "med2"),
+          Seq("user_id"), Seq("ts_sec", "event_id"),
+          "c2", "med2", slack = 50L, threshold = 2000L)
+        .filter(col("alarm"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_alarms"),
+          min(col("ts_sec")).as("first_alarm_sec"),
+          max(col("cusum")).as("max_cusum"))
+        .orderBy("user_id")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2367,6 +2409,49 @@ object QueriesCore {
              JOIN customer c USING (c_custkey) JOIN crm m USING (acct_id))
            SELECT c_custkey, acct_id, score FROM scored
            WHERE score >= 12 ORDER BY c_custkey, acct_id""",
+      "q220_transitions" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec, event_type FROM events),
+           t AS (
+             SELECT user_id, event_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY sec, event_id) AS next_type
+             FROM ev),
+           cnt AS (
+             SELECT event_type, next_type, count(*) AS n FROM t
+             WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           tot AS (
+             SELECT event_type AS ft, sum(n) AS row_total FROM cnt GROUP BY 1)
+           SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+             CAST(n AS DOUBLE) / row_total AS p
+           FROM cnt JOIN tot ON event_type = ft
+           ORDER BY 1, 2""",
+      "q221_cusum" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           med AS (
+             SELECT user_id,
+               CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+             FROM ev GROUP BY 1),
+           y AS (
+             SELECT e.user_id, event_id, sec,
+               2 * cents - med2 - 50 AS y
+             FROM ev e JOIN med USING (user_id)),
+           c AS (
+             SELECT user_id, event_id, sec, sum(y) OVER w AS cum FROM y
+             WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING)),
+           s AS (
+             SELECT user_id, event_id, sec,
+               cum - least(0, min(cum) OVER w) AS cusum FROM c
+             WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING))
+           SELECT user_id, count(*) AS n_alarms,
+             min(sec) AS first_alarm_sec,
+             CAST(max(cusum) AS BIGINT) AS max_cusum
+           FROM s WHERE cusum > 2000 GROUP BY 1 ORDER BY 1""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

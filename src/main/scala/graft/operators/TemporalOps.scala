@@ -303,4 +303,32 @@ object TemporalOps {
     }
     df.withColumn("ewma_scaled", terms.reduce(_ + _))
   }
+
+  /** One-sided CUSUM change detection (Page 1954, public) in pure
+    * integers: the classic sequential recurrence
+    * S_t = max(0, S_{t−1} + (x_t − target − slack)) has the closed form
+    * S_t = C_t − min(0, min_{j≤t} C_j) over the prefix sums
+    * C_t = Σ (x_i − target − slack) — so the inherently sequential
+    * statistic becomes TWO keyed-window prefix scans (cumulative sum +
+    * running min), engine-portable and layout-invariant; `alarm` fires
+    * where S_t > threshold. All columns must be integral (the minerva
+    * trigger convention: detect on cents, not floats).
+    *
+    * Scale: both windows partition by the entity key — bounded by one
+    * entity's history, the same class as every per-entity ordered scan
+    * in this file. */
+  def cusum(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, targetCol: String, slack: Long,
+      threshold: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__y", col(valueCol) - col(targetCol) - slack)
+      .withColumn("__c", sum(col("__y")).over(run))
+      .withColumn("cusum",
+        col("__c") - least(lit(0L), min(col("__c")).over(run)))
+      .withColumn("alarm", (col("cusum") > threshold).cast("boolean"))
+      .drop("__y", "__c")
+  }
 }

@@ -65,7 +65,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q178_cdc_chunks" -> "doc_id",        // per-doc boundary prefix sum
     "q181_interval_coverage" -> "user_id", // per-user interval merge
     "q211_hdr_quantiles" -> "source",     // cumsum over SKETCH rows (≤64·2^p/group)
-    "q216_hdr_incremental" -> "source")   // same extraction over the stored sketch
+    "q216_hdr_incremental" -> "source",   // same extraction over the stored sketch
+    "q220_transitions" -> "user_id",      // per-user bigram lead
+    "q221_cusum" -> "user_id")            // per-user prefix scans
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {

@@ -200,4 +200,18 @@ class TemporalOpsSpec extends SparkSpec {
       (1L, 3L, 400L * 4 + 200L * 2 + 100L), // 2100
       (2L, 1L, 200L)))           // other key: its own history only
   }
+
+  test("cusum closed form equals the sequential max-recurrence") {
+    // x = 15, 0, 20, 2, 30; target 10, slack 2 → y = 3, -12, 8, -10, 18
+    // sequential S: 3, 0, 8, 0, 18; threshold 10 alarms only the last
+    val df = Seq((1L, 1L, 15L), (1L, 2L, 0L), (1L, 3L, 20L),
+      (1L, 4L, 2L), (1L, 5L, 30L))
+      .toDF("k", "ord", "v").withColumn("target", lit(10L))
+    val out = TemporalOps.cusum(df, Seq("k"), Seq("ord"), "v", "target",
+        slack = 2L, threshold = 10L)
+      .orderBy("ord").select("ord", "cusum", "alarm")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq === Seq((1L, 3L, false), (2L, 0L, false),
+      (3L, 8L, false), (4L, 0L, false), (5L, 18L, true)))
+  }
 }
