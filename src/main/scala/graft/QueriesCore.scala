@@ -1408,6 +1408,37 @@ object QueriesCore {
           max(col("cusum")).as("max_cusum"))
         .orderBy("user_id")
     },
+    // ---- M4 time-series downsampling (Jugel et al. 2014, public): per
+    // (series, bucket) the first/last/min/max points — the
+    // error-free-at-pixel-width visualization reduction, ONE map-side
+    // combined aggregate (min_by/max_by on a unique order key; no
+    // window, no join-back) ----
+    "q222_m4_downsample" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .withColumn("hour", expr("ts_sec div 3600"))
+        // unique per-user order key; event_id < 10^7 at every fixture sf
+        .withColumn("okey", col("ts_sec") * 10000000L + col("event_id"))
+      e.groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("n_points"),
+          min(col("cents")).as("min_c"), max(col("cents")).as("max_c"),
+          expr("min_by(cents, okey)").as("first_c"),
+          expr("max_by(cents, okey)").as("last_c"))
+        .orderBy("user_id", "hour")
+    },
+    // ---- k-anonymity audit over quasi-identifiers (Sweeney 2002,
+    // public): equivalence-class sizes for (nation, segment,
+    // balance-band); classes below k are the re-identification risk a
+    // release must suppress or generalize ----
+    "q223_k_anonymity" -> { (s, dir) =>
+      load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("suppress", (col("class_size") < 5).cast("boolean"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2452,6 +2483,24 @@ object QueriesCore {
              min(sec) AS first_alarm_sec,
              CAST(max(cusum) AS BIGINT) AS max_cusum
            FROM s WHERE cusum > 2000 GROUP BY 1 ORDER BY 1""",
+      "q222_m4_downsample" ->
+        s"""WITH ev AS (
+             SELECT user_id, $ts AS sec, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               ($ts) // 3600 AS hour,
+               ($ts) * 10000000 + event_id AS okey
+             FROM events)
+           SELECT user_id, hour, count(*) AS n_points,
+             min(cents) AS min_c, max(cents) AS max_c,
+             arg_min(cents, okey) AS first_c,
+             arg_max(cents, okey) AS last_c
+           FROM ev GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q223_k_anonymity" ->
+        """SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS class_size,
+             count(*) < 5 AS suppress
+           FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -33,7 +33,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q208_tpch_q20",          // share predicate via agg joins, no rank
     "q209_tpch_q21",          // EXISTS/NOT EXISTS → semi/anti self-joins
     "q215_winsorized",        // R-7 cutoff broadcast + exact components
-    "q219_record_linkage")    // blocking passes are equi-joins only
+    "q219_record_linkage",    // blocking passes are equi-joins only
+    "q222_m4_downsample",     // one min_by/max_by aggregate, no window
+    "q223_k_anonymity")       // one grouped count
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
