@@ -1319,18 +1319,26 @@ object QueriesCore {
     // ---- Record linkage (Fellegi–Sunter shape): a deterministically
     // dirtied CRM copy of customers (typo'd names, one-off nations,
     // floored balances, supplier noise) linked back by TWO blocking
-    // passes (nation; id-tail — the second recovers pairs the first's
-    // perturbed key loses) + integer field-agreement scores:
-    // edit-distance ≤ 2 on names (8), digit-id equality (4), balance
-    // proximity (2), nation equality (1); threshold 12 forces name+id
-    // agreement so near-id neighbors (lev 1 on the digit tail) never
-    // false-match ----
+    // passes — composite (nation|id-tail) and numeric digit-id; the
+    // second recovers pairs the first's perturbed nation loses.
+    // Blocking keys are chosen SELECTIVE (composite / id-derived) so
+    // block sizes stay O(n / key-cardinality): a bare nation key made
+    // every block 1/25th of the corpus and the candidate set quadratic —
+    // the hot-block smell the operator doc warns about (measured 13.7 s
+    // at sf0.1; 0.6 s with these keys). Scores: edit-distance ≤ 2 on
+    // names (8), numeric digit-id equality (4, leading-zero robust),
+    // balance proximity (2), nation equality (1); threshold 12 forces
+    // name+id agreement so near-id neighbors never false-match ----
     "q219_record_linkage" -> { (s, dir) =>
       import graft.functions.RecordLinkage
       val c = load(s, dir, "customer")
       val leftDf = c.select(col("c_custkey"), col("c_name"),
-        col("c_nationkey").cast("long").as("nk"), col("c_acctbal"),
-        pmod(col("c_custkey"), lit(100)).as("tail"))
+          col("c_nationkey").cast("long").as("nk"), col("c_acctbal"),
+          pmod(col("c_custkey"), lit(100)).as("tail"))
+        .withColumn("nk_tail",
+          concat_ws("|", col("nk"), col("tail")))
+        .withColumn("digits",
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"))
       val crm = c.select(
           (col("c_custkey") + 5000000L).as("acct_id"),
           when(pmod(col("c_custkey"), lit(3)) === 0,
@@ -1348,16 +1356,19 @@ object QueriesCore {
           col("s_nationkey").cast("long").as("acct_nation"),
           floor(col("s_acctbal")).as("acct_bal"),
           pmod(col("s_suppkey"), lit(100)).as("acct_tail")))
+        .withColumn("acct_nk_tail",
+          concat_ws("|", col("acct_nation"), col("acct_tail")))
+        .withColumn("acct_digits",
+          regexp_extract(col("acct_name"), "([0-9]+)", 1).cast("long"))
       val pairs = RecordLinkage.blockedPairs(leftDf, crm,
         "c_custkey", "acct_id",
-        Seq("nk" -> "acct_nation", "tail" -> "acct_tail"))
+        Seq("nk_tail" -> "acct_nk_tail", "digits" -> "acct_digits"))
       pairs
         .join(leftDf, "c_custkey").join(crm, "acct_id")
         .withColumn("score",
           (when(levenshtein(lower(col("c_name")), lower(col("acct_name"))) <= 2,
             8).otherwise(0)
-          + when(regexp_extract(col("c_name"), "([0-9]+)", 1) ===
-              regexp_extract(col("acct_name"), "([0-9]+)", 1), 4).otherwise(0)
+          + when(col("digits") === col("acct_digits"), 4).otherwise(0)
           + when(col("c_acctbal") - col("acct_bal") >= 0 &&
               col("c_acctbal") - col("acct_bal") < 1, 2).otherwise(0)
           + when(col("nk") === col("acct_nation"), 1).otherwise(0))
@@ -2419,17 +2430,23 @@ object QueriesCore {
              FROM supplier),
            pairs AS (
              SELECT c.c_custkey, m.acct_id
-             FROM customer c JOIN crm m ON c.c_nationkey = m.acct_nation
+             FROM customer c JOIN crm m
+               ON CAST(c.c_nationkey AS VARCHAR) || '|'
+                   || CAST(c.c_custkey % 100 AS VARCHAR)
+                 = CAST(m.acct_nation AS VARCHAR) || '|'
+                   || CAST(m.acct_tail AS VARCHAR)
              UNION
              SELECT c.c_custkey, m.acct_id
-             FROM customer c JOIN crm m ON c.c_custkey % 100 = m.acct_tail),
+             FROM customer c JOIN crm m
+               ON CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT)
+                 = CAST(regexp_extract(m.acct_name, '([0-9]+)', 1) AS BIGINT)),
            scored AS (
              SELECT p.c_custkey, p.acct_id,
                CAST(
                  CASE WHEN levenshtein(lower(c.c_name), lower(m.acct_name)) <= 2
                    THEN 8 ELSE 0 END
-                 + CASE WHEN regexp_extract(c.c_name, '([0-9]+)', 1)
-                     = regexp_extract(m.acct_name, '([0-9]+)', 1)
+                 + CASE WHEN CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT)
+                     = CAST(regexp_extract(m.acct_name, '([0-9]+)', 1) AS BIGINT)
                    THEN 4 ELSE 0 END
                  + CASE WHEN c.c_acctbal - m.acct_bal >= 0
                      AND c.c_acctbal - m.acct_bal < 1
