@@ -49,10 +49,12 @@ object HdrQuantiles {
   /** Merge sketches by bucket addition — the property that makes the
     * sketch incremental: yesterday's persisted sketch + today's batch
     * sketch = the corpus sketch, no re-scan. */
-  def merge(groupCols: Seq[String], sketches: DataFrame*): DataFrame =
+  def merge(groupCols: Seq[String], sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
     sketches.reduce(_.unionByName(_))
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Per-group quantile estimates from the sketch: for each q the
     * smallest bucket whose cumulative count reaches ceil(q·n), returned

@@ -86,6 +86,19 @@ class JsonTrendSourceSpec extends SparkSpec {
     assert(r.getAs[String]("entity") == "n1")
   }
 
+  test("nested JSON values deduce as text (raw JSON string), scalars unaffected") {
+    val p = Paths.get("target/tmp/jnested.jsonl")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """{"node":"n1","meta":{"a":1,"b":"x"},"tags":[1,2,3],"v":7}""" + "\n")
+    val cfg = JsonSourceConfig("node", None, fixedTimestampSec = Some(0L))
+    val schema = JsonTrendSource.deduceSchemaDistributed(spark, p.toString, cfg).toMap
+    // objects/arrays surface as their raw JSON text → lattice rank text;
+    // the scalar column still classifies numerically
+    assert(schema("meta") == MText && schema("tags") == MText)
+    assert(schema("v") == MSmallInt)
+  }
+
   test("plugin registers and reads through the TrendSources registry") {
     val path = writeFixture("jreg")
     TrendSources.register(JsonTrendSource.plugin(
