@@ -1450,6 +1450,28 @@ object QueriesCore {
         .withColumn("suppress", (col("class_size") < 5).cast("boolean"))
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
+    // ---- LOCF gap-filling over a dense series grid: the C6 series
+    // expansion (q15) composed with last-observation-carried-forward —
+    // per-entity keyed window, grid = entities × 120 six-hour buckets;
+    // leading gaps before the first observation stay NULL (is_gap only
+    // counts fillable holes) ----
+    "q224_locf_gapfill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir).withColumn("bkt", expr("ts_sec div 21600"))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val obs = e.groupBy("user_id", "bkt")
+        .agg(sum(col("cents")).as("cents"))
+      val grid = e.select("user_id").distinct()
+        .crossJoin(broadcast(s.range(1).select(explode(
+          sequence(lit(78892L), lit(79011L), lit(1L))).as("bkt"))))
+      val w = Window.partitionBy("user_id").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "bkt"), "left")
+        .withColumn("filled", last(col("cents"), ignoreNulls = true).over(w))
+        .withColumn("is_gap",
+          (col("cents").isNull && col("filled").isNotNull).cast("boolean"))
+        .orderBy("user_id", "bkt")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2518,6 +2540,30 @@ object QueriesCore {
              count(*) AS class_size,
              count(*) < 5 AS suppress
            FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+      "q224_locf_gapfill" ->
+        s"""WITH ev AS (
+             SELECT user_id, ($ts) // 21600 AS bkt,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           obs AS (
+             SELECT user_id, bkt, CAST(sum(cents) AS BIGINT) AS cents
+             FROM ev GROUP BY 1, 2),
+           grid AS (
+             SELECT u.user_id, g.bkt
+             FROM (SELECT DISTINCT user_id FROM ev) u
+             CROSS JOIN (SELECT unnest(generate_series(78892, 79011)) AS bkt) g),
+           j AS (
+             SELECT g.user_id, g.bkt, o.cents FROM grid g
+             LEFT JOIN obs o ON g.user_id = o.user_id AND g.bkt = o.bkt),
+           f AS (
+             SELECT user_id, bkt, cents,
+               last_value(cents IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bkt
+                 ROWS UNBOUNDED PRECEDING) AS filled
+             FROM j)
+           SELECT user_id, bkt, cents, filled,
+             (cents IS NULL AND filled IS NOT NULL) AS is_gap
+           FROM f ORDER BY user_id, bkt""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

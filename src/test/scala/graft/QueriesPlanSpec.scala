@@ -69,7 +69,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q211_hdr_quantiles" -> "source",     // cumsum over SKETCH rows (≤64·2^p/group)
     "q216_hdr_incremental" -> "source",   // same extraction over the stored sketch
     "q220_transitions" -> "user_id",      // per-user bigram lead
-    "q221_cusum" -> "user_id")            // per-user prefix scans
+    "q221_cusum" -> "user_id",            // per-user prefix scans
+    "q224_locf_gapfill" -> "user_id")     // per-user LOCF over 120 buckets
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
