@@ -1472,6 +1472,39 @@ object QueriesCore {
           (col("cents").isNull && col("filled").isNotNull).cast("boolean"))
         .orderBy("user_id", "bkt")
     },
+    // ---- Harvest quarantine path: a CSV drop with deterministically
+    // corrupted cells (bad values at id%11, bad timestamps at id%13)
+    // driven through readAudited — malformed rows divert with their
+    // per-column reasons instead of killing the load (the row-level form
+    // of harvest/error.py's ParseError), clean rows aggregate normally;
+    // ONE pass computes both ----
+    "q225_quarantine" -> { (s, dir) =>
+      import graft.core.MinervaType
+      import graft.sources.{CsvSourceConfig, CsvTrendSource}
+      val work = java.nio.file.Files.createTempDirectory("graft_q225_").toString
+      events(s, dir).select(
+          col("user_id").as("node"),
+          when(pmod(col("event_id"), lit(13)) === 0, lit("not-a-time"))
+            .otherwise(date_format(timestamp_seconds(col("ts_sec")),
+              "yyyy-MM-dd HH:mm:ss")).as("ts"),
+          col("event_id"),
+          when(pmod(col("event_id"), lit(11)) === 0, lit("oops"))
+            .otherwise(col("value").cast("string")).as("value"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      val cfg = CsvSourceConfig("node", Some("ts"),
+        timestampFormat = "yyyy-MM-dd HH:mm:ss")
+      val schema = Seq(
+        "node" -> MinervaType.MBigInt, "ts" -> MinervaType.MTimestamp,
+        "event_id" -> MinervaType.MBigInt, "value" -> MinervaType.MDouble)
+      val audited = CsvTrendSource.readAudited(s, s"$work/drop", cfg, schema)
+      val quarantined = audited.filter(size(col("parse_errors")) > 0)
+        .groupBy(array_join(col("parse_errors"), ",").as("reasons"))
+        .agg(count(lit(1)).as("n_rows"))
+      val clean = audited.filter(size(col("parse_errors")) === 0)
+        .agg(lit("__clean__").as("reasons"), count(lit(1)).as("n_rows"))
+      quarantined.unionByName(clean).orderBy("reasons")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2564,6 +2597,16 @@ object QueriesCore {
            SELECT user_id, bkt, cents, filled,
              (cents IS NULL AND filled IS NOT NULL) AS is_gap
            FROM f ORDER BY user_id, bkt""",
+      // Quarantine reasons recomputed from the corruption rules; reason
+      // order = schema column order (ts before value).
+      "q225_quarantine" ->
+        """SELECT reasons, count(*) AS n_rows FROM (
+             SELECT CASE
+               WHEN event_id % 13 = 0 AND event_id % 11 = 0 THEN 'ts,value'
+               WHEN event_id % 13 = 0 THEN 'ts'
+               WHEN event_id % 11 = 0 THEN 'value'
+               ELSE '__clean__' END AS reasons
+             FROM events) GROUP BY 1 ORDER BY 1""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

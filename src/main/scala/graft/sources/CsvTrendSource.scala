@@ -111,40 +111,80 @@ object CsvTrendSource {
   def read(
       spark: SparkSession, path: String, cfg: CsvSourceConfig,
       schema: Seq[(String, MinervaType)]): DataFrame = {
+    val raw = rawStrings(spark, path, cfg, schema)
+    val typed = schema.foldLeft(raw) { case (df, (c, t)) =>
+      df.withColumn(c, typedColumn(cfg, c, t))
+    }
+    normalizeNames(typed, cfg)
+  }
+
+  /** Like [[read]] but with the reference's harvest error path made
+    * row-level (harvest/error.py raises ParseError and fails the file;
+    * at 100 TB a single malformed row must not kill a load): adds
+    * `parse_errors` — the names of columns whose NON-NULL raw text
+    * failed its typed parse — so callers split clean rows from a
+    * quarantine frame (`size(parse_errors) > 0`) carrying the reason,
+    * in the same single pass. Null tokens are not errors. */
+  def readAudited(
+      spark: SparkSession, path: String, cfg: CsvSourceConfig,
+      schema: Seq[(String, MinervaType)]): DataFrame = {
+    val raw = rawStrings(spark, path, cfg, schema)
+    val withErrs = raw.withColumn("parse_errors",
+      array_compact(array(schema.map { case (c, t) =>
+        when(cleanedColumn(cfg, c).isNotNull && typedColumn(cfg, c, t).isNull,
+          lit(c)).otherwise(lit(null).cast("string"))
+      }: _*)))
+    val typed = schema.foldLeft(withErrs) { case (df, (c, t)) =>
+      df.withColumn(c, typedColumn(cfg, c, t))
+    }
+    normalizeNames(typed, cfg)
+  }
+
+  private def rawStrings(
+      spark: SparkSession, path: String, cfg: CsvSourceConfig,
+      schema: Seq[(String, MinervaType)]): DataFrame = {
     val structFields = schema.map { case (c, _) => StructField(c, StringType) }
-    val raw = spark.read
+    spark.read
       .option("header", "true").option("delimiter", cfg.delimiter)
       .schema(StructType(structFields))
       .csv(path)
-    val typed = schema.foldLeft(raw) { case (df, (c, t)) =>
-      val cleaned = when(col(c) === cfg.nullToken || col(c) === "", lit(null))
-        .otherwise(col(c))
-      val castCol =
-        if (Some(c) == cfg.timestampColumn)
-          // configured format first, then the reference's two recognized
-          // forms — so a column deduction classified as timestamp
-          // ('yyyy-MM-dd[ T]HH:mm:ss') always parses even when the caller
-          // kept the offset-bearing default format
-          coalesce(
-            try_to_timestamp(cleaned, lit(cfg.timestampFormat)),
-            try_to_timestamp(regexp_replace(cleaned, "T", " "))).cast("long")
-        else t match {
-          case MinervaType.MTimestamp => to_timestamp(regexp_replace(cleaned, "T", " "))
-          case arr: MinervaType.MArray =>
-            // COPY `{a,b,c}` / bracketed `[a,b,c]` array form — the column
-            // expression mirror of MinervaType.MArray.parseArray (reference
-            // datatype.py:781-862, 1005-1016). Empty braces → empty array;
-            // element null tokens → null elements.
-            val inner = regexp_replace(cleaned, "^[\\{\\[]|[\\}\\]]$", "")
-            when(cleaned.isNull, lit(null).cast(arr.sparkType))
-              .when(trim(inner) === "", array().cast(arr.sparkType))
-              .otherwise(transform(split(inner, ","), e =>
-                when(trim(e) === cfg.nullToken || trim(e) === "", lit(null))
-                  .otherwise(trim(e)).cast(arr.elem.sparkType)))
-          case other => cleaned.cast(other.sparkType)
-        }
-      df.withColumn(c, castCol)
+  }
+
+  private def cleanedColumn(cfg: CsvSourceConfig, c: String): Column =
+    when(col(c) === cfg.nullToken || col(c) === "", lit(null))
+      .otherwise(col(c))
+
+  private def typedColumn(
+      cfg: CsvSourceConfig, c: String, t: MinervaType): Column = {
+    val cleaned = cleanedColumn(cfg, c)
+    if (Some(c) == cfg.timestampColumn)
+      // configured format first, then the reference's two recognized
+      // forms — so a column deduction classified as timestamp
+      // ('yyyy-MM-dd[ T]HH:mm:ss') always parses even when the caller
+      // kept the offset-bearing default format
+      coalesce(
+        try_to_timestamp(cleaned, lit(cfg.timestampFormat)),
+        try_to_timestamp(regexp_replace(cleaned, "T", " "))).cast("long")
+    else t match {
+      case MinervaType.MTimestamp => to_timestamp(regexp_replace(cleaned, "T", " "))
+      case arr: MinervaType.MArray =>
+        // COPY `{a,b,c}` / bracketed `[a,b,c]` array form — the column
+        // expression mirror of MinervaType.MArray.parseArray (reference
+        // datatype.py:781-862, 1005-1016). Empty braces → empty array;
+        // element null tokens → null elements.
+        val inner = regexp_replace(cleaned, "^[\\{\\[]|[\\}\\]]$", "")
+        when(cleaned.isNull, lit(null).cast(arr.sparkType))
+          .when(trim(inner) === "", array().cast(arr.sparkType))
+          .otherwise(transform(split(inner, ","), e =>
+            when(trim(e) === cfg.nullToken || trim(e) === "", lit(null))
+              .otherwise(trim(e)).try_cast(arr.elem.sparkType)))
+      // try_cast: a malformed cell yields NULL (readAudited turns it
+      // into a quarantine reason) instead of ANSI-mode failing the load
+      case other => cleaned.try_cast(other.sparkType)
     }
+  }
+
+  private def normalizeNames(typed: DataFrame, cfg: CsvSourceConfig): DataFrame = {
     val withEntity = typed.withColumnRenamed(cfg.identifierColumn, "entity")
     cfg.timestampColumn match {
       case Some(tc) => withEntity.withColumnRenamed(tc, "timestamp")

@@ -35,7 +35,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q215_winsorized",        // R-7 cutoff broadcast + exact components
     "q219_record_linkage",    // blocking passes are equi-joins only
     "q222_m4_downsample",     // one min_by/max_by aggregate, no window
-    "q223_k_anonymity")       // one grouped count
+    "q223_k_anonymity",       // one grouped count
+    "q225_quarantine")        // single-pass audited read + two aggregates
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled

@@ -56,6 +56,31 @@ class CsvTrendSourceSpec extends SparkSpec {
     }
   }
 
+  test("readAudited: malformed cells quarantine with per-column reasons; null tokens don't") {
+    val p = Paths.get("target/tmp/audited.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      """node,timestamp,outside_temp,label
+        |h14,2020-08-25T14:00:00Z,14.4,ok
+        |h15,not-a-time,15.0,ok
+        |h16,2020-08-25T14:30:00Z,oops,warm
+        |h17,2020-08-25T14:45:00Z,\N,fine
+        |""".stripMargin)
+    val cfg = CsvSourceConfig("node", Some("timestamp"))
+    val df = CsvTrendSource.readAudited(spark, p.toString, cfg, Seq(
+      "node" -> graft.core.MinervaType.MText,
+      "timestamp" -> graft.core.MinervaType.MTimestamp,
+      "outside_temp" -> graft.core.MinervaType.MReal,
+      "label" -> graft.core.MinervaType.MText))
+    val byNode = df.collect()
+      .map(r => r.getAs[String]("entity") ->
+        r.getSeq[String](r.fieldIndex("parse_errors")).toList).toMap
+    assert(byNode("h14").isEmpty)
+    assert(byNode("h15") == Seq("timestamp"))
+    assert(byNode("h16") == Seq("outside_temp"))
+    assert(byNode("h17").isEmpty, "null token is not a parse error")
+  }
+
   test("read normalizes: entity/timestamp naming, null tokens, typed trends") {
     val path = writeFixture("readnorm")
     val cfg = CsvSourceConfig("node", Some("timestamp"))
