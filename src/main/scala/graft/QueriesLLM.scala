@@ -336,6 +336,26 @@ object QueriesLLM {
       TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
           queryToks = Seq("hash", "join", "merge"), topN = 20)
     },
+    // ---- incremental persisted BM25 index: postings + doc lengths
+    // upserted per batch (cost ∝ batch), corpus stats reconstructed at
+    // query time so stored search ≡ full-corpus bm25Search exactly —
+    // same oracle as q129; postings scan partition-pruned to the query
+    // tokens' crc32 cells ----
+    "q226_bm25_incremental" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q226_")
+      val psP = new PartStore(s, PartStoreConfig(s"$work/post", 64L,
+        keyCols = Seq("tok", "doc_id")))
+      val psD = new PartStore(s, PartStoreConfig(s"$work/docs", 64L,
+        keyCols = Seq("doc_id")))
+      val d = docs(s, dir)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 1L)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 2L)
+      TextAnalysis.bm25SearchStored(psP, psD,
+        Seq("hash", "join", "merge"), topN = 20)
+    },
     // ---- graph-based ANN: NN-Descent k-NN graph (Dong et al. 2011),
     // deterministic bucket + md5-ring init, 2 neighbor-of-neighbor rounds ----
     "q130_nn_descent" -> { (s, dir) =>
@@ -3622,6 +3642,43 @@ object QueriesLLM {
     // BM25 search: q121's stats CTEs + the raw-idf-ratio contribution in
     // the exact Spark op order, LONG fixed-point before the per-doc sum.
     "q129_bm25_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM t GROUP BY 1, 2),
+         dl AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM t GROUP BY 1),
+         dfq AS (
+           SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM t GROUP BY 1),
+         n AS (
+           SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_toks
+           FROM t),
+         hits AS (
+           SELECT tf.doc_id,
+             CAST(floor(
+               (CAST(tf.tf AS DOUBLE) * 2.2 /
+                 (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+                   0.75 * CAST(dl.dl AS DOUBLE) /
+                     (CAST(n.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+               * ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+                  (CAST(dfq.df AS DOUBLE) + 0.5))
+               * 1e9) AS BIGINT) AS contrib
+           FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
+           WHERE tf.tok IN ('hash', 'join', 'merge'))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_toks,
+           CAST(sum(contrib) AS BIGINT) AS score_scaled
+         FROM hits GROUP BY 1
+         ORDER BY score_scaled DESC, doc_id LIMIT 20""",
+    // Stored-index search reconstructs stats at query time, so its
+    // oracle is q129's full-corpus BM25 verbatim.
+    "q226_bm25_incremental" ->
       """WITH t AS (
            SELECT doc_id,
              unnest(list_filter(string_split_regex(trim(text), '\s+'),

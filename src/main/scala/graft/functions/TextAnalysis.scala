@@ -1028,6 +1028,74 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** Incremental persisted BM25 index, append side: tokenize ONLY the
+    * batch and upsert its postings (tok, doc_id, tf) and doc lengths
+    * (doc_id, dl) into the two PartStores — per-append cost ∝ batch,
+    * never corpus; re-appending a doc replaces its rows (upsert by key),
+    * so replays are idempotent. Postings partition by crc32(tok) so a
+    * query's token set prunes to its partitions at search time.
+    * Stores: `psPostings` keyed (tok, doc_id), `psDocLens` keyed
+    * (doc_id), both with partitionSizeSeconds = 64 over the 0..1023
+    * surrogate timestamp. */
+  def bm25IndexAppend(
+      psPostings: graft.storage.PartStore,
+      psDocLens: graft.storage.PartStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      modified: Long): Unit = {
+    val toks = tokens(batch, idCol, textCol).filter(col("tok") =!= "")
+    psPostings.store("postings",
+      toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+        .select(col("tok"), col(idCol).as("doc_id"), col("tf"))
+        .withColumn("timestamp", pmod(crc32(col("tok")), lit(1024L)))
+        .withColumn("modified", lit(modified)))
+    psDocLens.store("doclen",
+      toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+        .select(col(idCol).as("doc_id"), col("dl"))
+        .withColumn("timestamp", pmod(col("doc_id"), lit(1024L)))
+        .withColumn("modified", lit(modified)))
+  }
+
+  /** Query side of the stored index: corpus statistics (df per query
+    * token, n_docs, total tokens) reconstruct from the stores AT QUERY
+    * TIME, so after any append sequence the stored search is
+    * byte-identical to [[bm25Search]] over the union corpus — stats
+    * never go stale. The postings scan partition-prunes to the query
+    * tokens' crc32 cells (a token's postings all share one pindex);
+    * scoring is the exact [[bm25Search]] fixed-point arithmetic. */
+  def bm25SearchStored(
+      psPostings: graft.storage.PartStore,
+      psDocLens: graft.storage.PartStore,
+      queryToks: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25SearchStored: empty query")
+    val crc = new java.util.zip.CRC32()
+    val pindexes = queryToks.map { t =>
+      crc.reset(); crc.update(t.getBytes("UTF-8"))
+      (crc.getValue % 1024L) / 64L
+    }.distinct
+    val post = psPostings.readPart("postings").get
+      .filter(col("pindex").isin(pindexes: _*))
+      .select("tok", "doc_id", "tf")
+    val dls = psDocLens.readPart("doclen").get.select("doc_id", "dl")
+    val totals = dls.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("__n_toks"))
+    val hits = post.filter(col("tok").isin(queryToks: _*))
+    val dfq = hits.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") /
+          (col("__n_toks").cast("double") / col("n_docs").cast("double"))))
+    hits.join(dfq, "tok").join(dls, "doc_id").crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        floor(tfNorm *
+          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_toks"), sum(col("contrib")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Per-source token-budget fill: admit documents in deterministic
     * md5-shuffled order until each source's running token count reaches
     * `budget` — the "fill N billion tokens per source" step of mixture

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stored-index BM25: append-append-query must be byte-identical to the
+  * one-shot full-corpus search (stats reconstruct at query time), the
+  * postings scan must partition-prune to the query tokens' crc32 cells,
+  * and re-appending a document must be idempotent. */
+class Bm25StoredSpec extends SparkSpec {
+  private lazy val si = spark.implicits
+  import si._
+
+  private def corpus = Seq(
+    (1L, "hash join merge sort hash"),
+    (2L, "merge scan filter"),
+    (3L, "hash hash hash probe"),
+    (4L, "window order group"),
+    (5L, "join join merge hash scan")
+  ).toDF("doc_id", "text")
+
+  private def stores(tag: String) = {
+    val p = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"target/tmp/bm25_$tag/post", 64L,
+        keyCols = Seq("tok", "doc_id")))
+    val d = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"target/tmp/bm25_$tag/docs", 64L,
+        keyCols = Seq("doc_id")))
+    p.deletePart("postings"); d.deletePart("doclen")
+    (p, d)
+  }
+
+  test("incremental appends == one-shot search; scan carries pindex filter") {
+    val (p, d) = stores("inc")
+    TextAnalysis.bm25IndexAppend(p, d,
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", 1L)
+    TextAnalysis.bm25IndexAppend(p, d,
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2L)
+    val stored = TextAnalysis.bm25SearchStored(p, d, Seq("hash", "merge"), 10)
+    val fresh = TextAnalysis.bm25Search(corpus, "doc_id", "text",
+      Seq("hash", "merge"), 10)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      fresh.collect().map(_.toSeq).toSeq)
+    val scanLine = stored.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pindex"), s"no pindex partition filter: $scanLine")
+  }
+
+  test("re-appending a document is idempotent (upsert by key)") {
+    val (p, d) = stores("idem")
+    TextAnalysis.bm25IndexAppend(p, d, corpus, "doc_id", "text", 1L)
+    val once = TextAnalysis.bm25SearchStored(p, d, Seq("hash", "merge"), 10)
+      .collect().map(_.toSeq).toSeq
+    TextAnalysis.bm25IndexAppend(p, d,
+      corpus.filter(col("doc_id") === 3), "doc_id", "text", 2L)
+    val twice = TextAnalysis.bm25SearchStored(p, d, Seq("hash", "merge"), 10)
+      .collect().map(_.toSeq).toSeq
+    assert(once == twice)
+  }
+}
