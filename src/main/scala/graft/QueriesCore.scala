@@ -1505,6 +1505,28 @@ object QueriesCore {
         .agg(lit("__clean__").as("reasons"), count(lit(1)).as("n_rows"))
       quarantined.unionByName(clean).orderBy("reasons")
     },
+    // ---- Time-weighted average (the telemetry statistic for unevenly
+    // sampled series): per-user integral of the LOCF value over time —
+    // Σ cents_i · (t_{i+1} − t_i) — divided by the covered span, all
+    // integer until the single final division; one keyed lead window ----
+    "q227_time_weighted_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      e.select(col("user_id"), col("ts_sec"), col("event_id"), col("cents"))
+        .withColumn("next_ts", lead(col("ts_sec"), 1).over(w))
+        .filter(col("next_ts").isNotNull) // last sample holds no interval
+        .withColumn("dur", col("next_ts") - col("ts_sec"))
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("dur")).as("weighted_sum"),
+          sum(col("dur")).as("span_sec"),
+          count(lit(1)).as("n_intervals"))
+        .filter(col("span_sec") > 0)
+        .withColumn("twa_cents",
+          col("weighted_sum").cast("double") / col("span_sec"))
+        .orderBy("user_id")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2607,6 +2629,25 @@ object QueriesCore {
                WHEN event_id % 11 = 0 THEN 'value'
                ELSE '__clean__' END AS reasons
              FROM events) GROUP BY 1 ORDER BY 1""",
+      "q227_time_weighted_avg" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           iv AS (
+             SELECT user_id, cents,
+               lead(sec) OVER (PARTITION BY user_id
+                 ORDER BY sec, event_id) - sec AS dur
+             FROM ev),
+           g AS (
+             SELECT user_id,
+               CAST(sum(cents * dur) AS BIGINT) AS weighted_sum,
+               CAST(sum(dur) AS BIGINT) AS span_sec,
+               count(*) AS n_intervals
+             FROM iv WHERE dur IS NOT NULL GROUP BY 1)
+           SELECT user_id, weighted_sum, span_sec, n_intervals,
+             CAST(weighted_sum AS DOUBLE) / span_sec AS twa_cents
+           FROM g WHERE span_sec > 0 ORDER BY user_id""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
