@@ -356,6 +356,38 @@ object QueriesLLM {
       TextAnalysis.bm25SearchStored(psP, psD,
         Seq("hash", "join", "merge"), topN = 20)
     },
+    // ---- token co-occurrence association (PMI's ratio form): pairs
+    // within a 3-token window via constant-fanout offset expansion +
+    // equi-join on (doc, pos) — never a per-doc range join; counts
+    // exact, the association ratio p(xy)/(p(x)p(y)) reported as one
+    // fixed double expression; selection by exact pair count ----
+    "q228_cooccurrence" -> { (s, dir) =>
+      val t = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+        .filter(col("tok") =!= "")
+      val right = t.select(col("doc_id"), col("pos").as("rpos"),
+        col("tok").as("rtok"))
+      val pairs = t
+        .withColumn("k", explode(array(lit(1), lit(2), lit(3))))
+        .withColumn("rpos", col("pos") + col("k"))
+        .join(right, Seq("doc_id", "rpos"))
+        .select(least(col("tok"), col("rtok")).as("a"),
+          greatest(col("tok"), col("rtok")).as("b"))
+      val cxy = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_xy"))
+      val cx = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val totals = t.agg(count(lit(1)).as("n_toks"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+      cxy
+        .join(cx.select(col("tok").as("a"), col("c").as("c_a")), "a")
+        .join(cx.select(col("tok").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(totals))
+        .filter(col("c_xy") >= 5)
+        .withColumn("assoc_ratio",
+          col("c_xy").cast("double") * col("n_toks") / col("n_pairs")
+            * col("n_toks") / col("c_a") / col("c_b"))
+        .select("a", "b", "c_xy", "c_a", "c_b", "assoc_ratio")
+        .orderBy(col("c_xy").desc, col("a"), col("b"))
+        .limit(50)
+    },
     // ---- graph-based ANN: NN-Descent k-NN graph (Dong et al. 2011),
     // deterministic bucket + md5-ring init, 2 neighbor-of-neighbor rounds ----
     "q130_nn_descent" -> { (s, dir) =>
@@ -3713,6 +3745,29 @@ object QueriesLLM {
            CAST(sum(contrib) AS BIGINT) AS score_scaled
          FROM hits GROUP BY 1
          ORDER BY score_scaled DESC, doc_id LIMIT 20""",
+    "q228_cooccurrence" ->
+      s"""WITH $ToksCte,
+         t AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+         p AS (
+           SELECT least(t1.tok, t2.tok) AS a, greatest(t1.tok, t2.tok) AS b
+           FROM t t1 JOIN t t2
+             ON t1.doc_id = t2.doc_id
+             AND t2.pos - t1.pos BETWEEN 1 AND 3),
+         cxy AS (SELECT a, b, count(*) AS c_xy FROM p GROUP BY 1, 2),
+         cx AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         n AS (
+           SELECT (SELECT count(*) FROM t) AS n_toks,
+             (SELECT count(*) FROM p) AS n_pairs)
+         SELECT cxy.a, cxy.b, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+           CAST(c_xy AS DOUBLE) * n_toks / n_pairs * n_toks / ca.c / cb.c
+             AS assoc_ratio
+         FROM cxy
+         JOIN cx ca ON cxy.a = ca.tok
+         JOIN cx cb ON cxy.b = cb.tok
+         CROSS JOIN n
+         WHERE c_xy >= 5
+         ORDER BY c_xy DESC, a, b LIMIT 50""",
     // Max-passage retrieval: q125's chunk CTE → re-tokenized passages →
     // q129's BM25 arithmetic keyed by passage_id → per-doc best of top-50.
     "q131_passage_search" ->
