@@ -108,6 +108,30 @@ object QueriesLLM {
         .join(sk, "source")
         .orderBy("source")
     },
+    // ---- incremental persisted KMV distinct sketch: per-batch minima
+    // merged into the store by min-union (minima-of-union ≡
+    // union-of-minima, so the grown store equals the one-shot corpus
+    // sketch — q81's oracle verbatim); the rewrite touches only
+    // sketch-sized data ----
+    "q229_kmv_incremental" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q229_")
+      val ps = new PartStore(s, PartStoreConfig(s"$work/kmv", 64L,
+        keyCols = Seq("source", "h")))
+      val d = docs(s, dir)
+      val t = TextAnalysis.tokens(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      TextAnalysis.kmvIncrementalAppend(ps, "kmv",
+        t.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Seq("source"), "tok", k = 128, modified = 1L)
+      TextAnalysis.kmvIncrementalAppend(ps, "kmv",
+        t.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("source"), "tok", k = 128, modified = 2L)
+      t.groupBy("source").agg(countDistinct(col("tok")).as("exact_distinct"))
+        .join(TextAnalysis.kmvEstimateStored(ps, "kmv", Seq("source"), k = 128),
+          "source")
+        .orderBy("source")
+    },
     // ---- Z-order key for multi-dimensional file clustering ----
     "q82_zorder_key" -> { (s, dir) =>
       load(s, dir, "events")
@@ -3599,6 +3623,33 @@ object QueriesLLM {
          ORDER BY doc_id"""
     },
     "q81_kmv_distinct" -> {
+      val ladder = md5Ladder52("tok")
+      s"""WITH $ToksCte,
+         tt AS (
+           SELECT t.doc_id, t.tok, d.source
+           FROM toks t JOIN documents d USING (doc_id)),
+         hv AS (
+           SELECT DISTINCT source,
+             CAST($ladder AS BIGINT)
+             AS h
+           FROM tt),
+         mins AS (
+           SELECT source, h FROM hv
+           QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 128),
+         agg AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_minima, max(h) AS kth
+           FROM mins GROUP BY 1),
+         ex AS (
+           SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+           FROM tt GROUP BY 1)
+         SELECT source, exact_distinct, n_minima,
+           CASE WHEN n_minima < 128 THEN CAST(n_minima AS DOUBLE)
+                ELSE 127 * 4503599627370496.0 / kth END AS est_distinct
+         FROM ex JOIN agg USING (source) ORDER BY source"""
+    },
+    // The grown store equals the one-shot corpus sketch — q81's oracle,
+    // replayed.
+    "q229_kmv_incremental" -> {
       val ladder = md5Ladder52("tok")
       s"""WITH $ToksCte,
          tt AS (

@@ -803,6 +803,66 @@ object TextAnalysis {
           .as("est_distinct")): _*)
   }
 
+  /** Incremental persisted KMV distinct sketch, append side: per-group
+    * k smallest distinct hashes merged with the stored sketch and the
+    * part REWRITTEN — legal because the sketch is bounded (k·|groups|
+    * rows), so the rewrite cost is sketch-sized, never corpus-sized,
+    * while the batch contributes only its own per-group minima. KMV
+    * minima-of-union = union-of-minima, so the stored sketch after any
+    * append sequence equals the one-shot corpus sketch exactly (the
+    * [[HdrQuantiles]] layout-invariance argument, here through min
+    * instead of addition). */
+  def kmvIncrementalAppend(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, modified: Long): Unit = {
+    val hv = conv(substring(md5(col(valueCol)), 1, 13), 16, 10).cast("long")
+    val batchMins = batch
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.expressions.MinKLongs.mink(hv, k).as("__m"))
+      .select(groupCols.map(col) :+ explode(col("__m")).as("h"): _*)
+    val existing = ps.readPart(part)
+    val merged = existing match {
+      case None => batchMins
+      case Some(ex) =>
+        ex.select(groupCols.map(col) :+ col("h"): _*)
+          .unionByName(batchMins)
+          .groupBy(groupCols.map(col): _*)
+          .agg(graft.expressions.MinKLongs.mink(col("h"), k).as("__m"))
+          .select(groupCols.map(col) :+ explode(col("__m")).as("h"): _*)
+    }
+    val rows = merged
+      .withColumn("timestamp", pmod(col("h"), lit(1024L)))
+      .withColumn("modified", lit(modified))
+    if (existing.isEmpty) ps.store(part, rows)
+    else {
+      // rewrite, not upsert: hashes falling OUT of the k smallest must
+      // leave the store; the whole part is sketch-sized so this is cheap
+      val psz = ps.config.partitionSizeSeconds
+      ps.rewritePart(part, _ => rows.withColumn("pindex",
+        ((col("timestamp") - pmod(col("timestamp"), lit(psz))) / psz)
+          .cast("long")))
+      ()
+    }
+  }
+
+  /** Estimate side of the stored KMV sketch: the standard (k−1)·H/kth
+    * estimator straight off the stored minima — identical arithmetic to
+    * [[kmvDistinct]], so a batch sketch and the incrementally grown
+    * store answer byte-identically. */
+  def kmvEstimateStored(
+      ps: graft.storage.PartStore, part: String,
+      groupCols: Seq[String], k: Int): DataFrame =
+    ps.readPart(part).get
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("h"))).as("__minima"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("__minima")).cast("long").as("n_minima"),
+        when(size(col("__minima")) < k, size(col("__minima")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * KmvHashSpace) /
+            element_at(col("__minima"), k).cast("double"))
+          .as("est_distinct")): _*)
+
   /** Cross-corpus overlap estimation from two KMV sketches (Bar-Yossef
     * et al. 2002; the Jaccard-from-min-k construction of Beyer et al.
     * 2007, public): X = the k smallest distinct hashes of the sketch
