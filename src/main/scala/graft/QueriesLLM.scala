@@ -1283,6 +1283,50 @@ object QueriesLLM {
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
         .orderBy("source")
     },
+    // ---- streaming CUSUM monitor (calibrate-then-monitor): per-user
+    // median targets from the reference half (stream-static join
+    // upstream), then the O(1)-state monitor over the time-ordered
+    // second half in two micro-batches; oracle replays the closed form
+    // over the same capped slice ----
+    "q230_streaming_cusum" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mid = 1705361400L
+      val ev = load(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("__h", md5(concat(lit("csmcap:"), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select("user_id", "event_id", "sec", "cents")
+      val med = ev.filter(col("sec") < mid).groupBy("user_id")
+        .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      val monitor = ev.filter(col("sec") >= mid)
+        .join(med, "user_id")
+        .select(col("user_id"),
+          (col("sec") * 10000000L + col("event_id")).as("ord"),
+          (col("cents") * 2 - col("med2") - 50L).as("y"))
+      val mid2 = 1706008500L * 10000000L
+      val rows = monitor.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val mem = MemoryStream[(Long, Long, Long)]
+      val alarms = graft.streaming.StreamingRollup.cusumDetect(
+        mem.toDF().toDF("user_id", "ord", "y"), "user_id", "ord", "y",
+        threshold = 2000L)
+      val sink = alarms.writeStream.outputMode("append")
+        .format("memory").queryName("q230_alarms").start()
+      try {
+        mem.addData(rows.filter(_._2 < mid2).toSeq: _*)
+        sink.processAllAvailable()
+        mem.addData(rows.filter(_._2 >= mid2).toSeq: _*)
+        sink.processAllAvailable()
+      } finally sink.stop()
+      s.table("q230_alarms")
+        .groupBy(col("entity_id").as("user_id"))
+        .agg(count(lit(1)).as("n_alarms"),
+          min(col("ord")).as("first_alarm_ord"),
+          max(col("cusum")).as("max_cusum"))
+        .orderBy("user_id")
+    },
     // ---- stream-stream interval join gate (view⋈click attribution):
     // both sides replay in time-split batches; inner-join rows emit on
     // arrival of the matching side (no sentinel needed), watermark
@@ -6001,6 +6045,39 @@ object QueriesLLM {
             .replaceAll("\\bembeddings\\b", "ecap")}""",
     // Streaming dedup = the batch two-call schedule: batch-1 digests
     // keep their min id; only genuinely-new digests land from batch 2.
+    // Streaming CUSUM ≡ the batch closed form over the same capped,
+    // calibrated slice.
+    "q230_streaming_cusum" ->
+      s"""WITH capped AS (
+           SELECT * FROM events
+           ORDER BY md5('csmcap:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096),
+         ev AS (
+           SELECT user_id, event_id, (epoch_ns(ts)//1000000000) AS sec,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+           FROM capped),
+         med AS (
+           SELECT user_id,
+             CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+           FROM ev WHERE sec < 1705361400 GROUP BY 1),
+         yv AS (
+           SELECT e.user_id, e.sec * 10000000 + e.event_id AS ord,
+             2 * cents - med2 - 50 AS y
+           FROM ev e JOIN med USING (user_id)
+           WHERE sec >= 1705361400),
+         c AS (
+           SELECT user_id, ord, sum(y) OVER w AS cum FROM yv
+           WINDOW w AS (PARTITION BY user_id ORDER BY ord
+             ROWS UNBOUNDED PRECEDING)),
+         st AS (
+           SELECT user_id, ord, cum - least(0, min(cum) OVER w) AS cusum
+           FROM c
+           WINDOW w AS (PARTITION BY user_id ORDER BY ord
+             ROWS UNBOUNDED PRECEDING))
+         SELECT user_id, count(*) AS n_alarms,
+           min(ord) AS first_alarm_ord,
+           CAST(max(cusum) AS BIGINT) AS max_cusum
+         FROM st WHERE cusum > 2000 GROUP BY 1 ORDER BY 1""",
     // The streamed store equals the batch sketch of the capped slice —
     // the q211 bucketization replayed over the same md5-capped rows.
     "q218_streaming_sketch" ->

@@ -14,6 +14,8 @@ final case class ClosedSession(
 /** A completed stage sequence emitted by [[StreamingRollup.funnelDetect]]. */
 final case class FunnelHit(entity_id: Long, times: Seq[Long])
 
+final case class CusumAlarm(entity_id: Long, ord: Long, cusum: Long)
+
 /** Structured Streaming equivalents of the reference's micro-batch
   * incremental loop (SURVEY §2 I1-I6).
   *
@@ -175,6 +177,44 @@ object StreamingRollup {
             if (times.nonEmpty) state.update(times)
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming one-sided CUSUM change detection — the live-monitor face
+    * of the batch closed form (TemporalOps.cusum): per entity the state
+    * is exactly TWO longs (running sum, running min of the sum), so
+    * S = cum − min(0, minCum) replays the sequential recurrence without
+    * retaining history; an alarm row emits whenever S crosses
+    * `threshold`. The input must already carry the deviation column
+    * (value − target − slack, integral) — calibration (e.g. per-entity
+    * medians from a reference window) joins in upstream as a
+    * stream-static join, keeping this operator pure monitoring.
+    * Rows are ordered by `ordCol` within each micro-batch; batches must
+    * arrive in time order (the q193 funnel contract — event-time
+    * ordering across batches is the replay harness's/watermark's job).
+    * State is O(1) per entity, never ∝ history. */
+  def cusumDetect(
+      stream: DataFrame, entityCol: String, ordCol: String, yCol: String,
+      threshold: Long): Dataset[CusumAlarm] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream.select(col(entityCol).cast("long"),
+        col(ordCol).cast("long"), col(yCol).cast("long"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (entity, rows, state: GroupState[(Long, Long)]) =>
+          var (cum, minCum) = state.getOption.getOrElse((0L, 0L))
+          val out = Seq.newBuilder[CusumAlarm]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ord, y) =>
+            cum += y
+            if (cum < minCum) minCum = cum
+            val s = cum - math.min(0L, minCum)
+            if (s > threshold) out += CusumAlarm(entity, ord, s)
+          }
+          state.update((cum, minCum))
+          out.result().iterator
       }
   }
 

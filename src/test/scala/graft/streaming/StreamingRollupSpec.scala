@@ -66,6 +66,29 @@ class StreamingRollupSpec extends SparkSpec {
     assert(u1(1).getAs[Long]("n_events") == 1L) // closed by event-time timeout
   }
 
+  test("streaming cusumDetect carries O(1) state across batches == batch closed form") {
+    implicit val sc = spark.sqlContext
+    // y = 3, -12, 8, -10, 18 → sequential S = 3, 0, 8, 0, 18; thr 7 →
+    // alarms at ord 3 (S=8) and ord 5 (S=18)
+    val rows = Seq((1L, 1L, 3L), (1L, 2L, -12L), (1L, 3L, 8L),
+      (1L, 4L, -10L), (1L, 5L, 18L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val alarms = StreamingRollup.cusumDetect(
+      mem.toDF().toDF("user_id", "ord", "y"), "user_id", "ord", "y",
+      threshold = 7L)
+    val q = alarms.writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*) // state (cum, minCum) must survive
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_sink")
+      .orderBy("ord").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((3L, 8L), (5L, 18L)))
+  }
+
   test("streaming trend sink merges micro-batches through the staged store") {
     implicit val sc = spark.sqlContext
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -18,7 +18,7 @@ object R12PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val qs = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(q => (160 to 217).exists(n => q.startsWith(s"q${n}_")))
+      .filter(q => (160 to 240).exists(n => q.startsWith(s"q${n}_")))
     println(f"${"query"}%-28s smj bhj bnlj exch win unkeyedWin")
     for (q <- qs) {
       try {
