@@ -1893,6 +1893,16 @@ object QueriesLLM {
           col("height").as("channels"), col("frames").as("total_samples"))
         .orderBy("id")
     },
+    // ---- multimodal: AIFF COMM chunk walk — the sample rate decoded
+    // from a REAL 80-bit extended float in integer arithmetic, decoy
+    // chunk hopped with odd-size even-padding ----
+    "q231_aiff_decode" -> { (s, dir) =>
+      val d = Multimodal.decode(
+        Multimodal.aiffBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      d.select(col("id"), col("format"), col("width").as("sample_rate"),
+          col("height").as("channels"), col("frames").as("n_frames"))
+        .orderBy("id")
+    },
     // ---- multimodal: MPEG-1 Layer III frame walk (ID3v2 skip + per-frame
     // length hops; rate/channels from the first header, frames counted) ----
     "q127_mp3_decode" -> { (s, dir) =>
@@ -5732,6 +5742,12 @@ object QueriesLLM {
            CAST(8000 + (n_chars % 6) * 6000 AS INT) AS sample_rate,
            CAST(1 + doc_id % 2 AS INT) AS channels,
            CAST(200 + (doc_id * 31) % 90000 AS INT) AS total_samples
+         FROM documents ORDER BY id""",
+    "q231_aiff_decode" ->
+      """SELECT doc_id AS id, 'aiff' AS format,
+           CAST(11025 * (1 + n_chars % 4) AS INT) AS sample_rate,
+           CAST(1 + doc_id % 6 AS INT) AS channels,
+           CAST(100 + (doc_id * 17) % 5000 AS INT) AS n_frames
          FROM documents ORDER BY id""",
     "q179_mp4_decode" ->
       """SELECT doc_id AS id, 'mp4' AS format,

@@ -380,6 +380,39 @@ object Multimodal {
       math.min(lastGranule, Int.MaxValue.toLong).toInt, cs)
   }
 
+  /** AIFF COMM chunk walk (Apple AIFF-1.3 spec, public; EA-IFF-85
+    * container): big-endian chunks padded to even length; COMM carries
+    * channels (be16), numSampleFrames (be32), sampleSize (be16) and the
+    * sample rate as an 80-bit IEEE 754 EXTENDED float — 15-bit biased
+    * exponent + 64-bit mantissa with an explicit integer bit — decoded
+    * here in pure integer arithmetic (rate = mantissa >> (63 − e) for
+    * e ≤ 63, exact for every real-world rate). Mapping as WAV/FLAC:
+    * width = rate, height = channels, frames = numSampleFrames. */
+  private def parseAiff(id: Long, b: Array[Byte], cs: Long): DecodedMedia = {
+    var pos = 12
+    while (pos + 8 <= b.length) {
+      val id4 = fourcc(b, pos)
+      val size = be32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return unknown(id, cs)
+      if (id4 == "COMM") {
+        if (size < 18) return unknown(id, cs)
+        val channels = be16(b, pos + 8)
+        val frames = be32(b, pos + 10)
+        val expRaw = be16(b, pos + 16)
+        val e = (expRaw & 0x7fff) - 16383
+        val mantHi = be32(b, pos + 18).toLong & 0xffffffffL
+        val mantLo = be32(b, pos + 22).toLong & 0xffffffffL
+        val mant = (mantHi << 32) | mantLo
+        if (e < 0 || e > 62) return unknown(id, cs)
+        val rate = (mant >>> (63 - e)).toInt
+        return if (rate == 0) unknown(id, cs)
+        else DecodedMedia(id, "aiff", rate, channels, frames, cs)
+      }
+      pos += 8 + size + (size & 1) // chunks pad to even length
+    }
+    unknown(id, cs)
+  }
+
   private def unknown(id: Long, cs: Long): DecodedMedia =
     DecodedMedia(id, "unknown", 0, 0, 0, cs)
 
@@ -411,6 +444,9 @@ object Multimodal {
       parseTiff(id, bytes, cs)
     else if (bytes.length >= 27 && fourcc(bytes, 0) == "OggS")
       parseOgg(id, bytes, cs)
+    else if (bytes.length >= 12 && fourcc(bytes, 0) == "FORM" &&
+             fourcc(bytes, 8) == "AIFF")
+      parseAiff(id, bytes, cs)
     else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
       parseMp4(id, bytes, cs)
     else if (id3v2Size(bytes) > 0 || isMp3Sync(bytes, 0))
@@ -711,6 +747,30 @@ object Multimodal {
 
   def oggBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(oggFixture)
+
+  /** AIFF with a real COMM chunk: the sample rate encoded as a genuine
+    * 80-bit extended float (explicit-integer-bit mantissa), preceded by
+    * a decoy chunk the walk must hop (odd size → even padding). */
+  def synthAiff(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+    require(rate > 0 && channels >= 1 && frames >= 0)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(rate.toLong).toInt
+    val mant = rate.toLong << (63 - e)
+    val expRaw = e + 16383
+    val comm = ascii("COMM") ++ be32b(18) ++ be16b(channels) ++
+      be32b(frames) ++ be16b(16) ++ be16b(expRaw) ++
+      be32b((mant >>> 32).toInt) ++ be32b((mant & 0xffffffffL).toInt)
+    val decoy = ascii("ANNO") ++ be32b(3) ++ ascii("odd") ++
+      Array(0.toByte) // odd-size chunk pads to even
+    val body = ascii("AIFF") ++ decoy ++ comm
+    ascii("FORM") ++ be32b(body.length) ++ body
+  }
+
+  def aiffFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthAiff(11025 * (1 + (nChars % 4)).toInt, 1 + (docId % 6).toInt,
+      (100 + (docId * 17) % 5000).toInt)
+
+  def aiffBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(aiffFixture)
 
   /** TIFF fixture: little-endian for even doc_id, SHORT values for even
     * n_chars; w = 1 + n_chars % 4000, h = 1 + (doc_id·13) % 3000. */

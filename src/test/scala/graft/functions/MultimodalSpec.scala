@@ -216,6 +216,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseMedia(11L, noVorbis).format == "unknown")
   }
 
+  test("hand-built AIFF: 80-bit extended-float rate, decoy hop, truncation degrade") {
+    // 44100 = 0x400E_AC44_0000... in extended form; round-trip via fixture
+    for (docId <- 0L to 3L; nChars <- Seq(0L, 3L)) {
+      val m = Multimodal.parseMedia(docId, Multimodal.aiffFixture(docId, nChars))
+      assert(m.format == "aiff" && m.width == 11025 * (1 + nChars % 4) &&
+        m.height == 1 + docId % 6 && m.frames == 100 + (docId * 17) % 5000)
+    }
+    // non-power-of-two rate exercises mantissa bits below the top byte
+    val odd = Multimodal.parseMedia(7L, Multimodal.synthAiff(48000, 2, 555))
+    assert(odd.width == 48000 && odd.height == 2 && odd.frames == 555)
+    // truncated mid-COMM degrades, never crashes
+    val t = Multimodal.synthAiff(44100, 2, 10).take(30)
+    assert(Multimodal.parseMedia(8L, t).format == "unknown")
+    // a FORM that is not AIFF (e.g. AIFC) is not claimed
+    val aifc = Multimodal.synthAiff(44100, 2, 10)
+    aifc(8) = 'A'; aifc(9) = 'I'; aifc(10) = 'F'; aifc(11) = 'C'
+    assert(Multimodal.parseMedia(9L, aifc).format == "unknown")
+  }
+
   test("fnv64 matches published FNV-1a test vectors") {
     assert(Multimodal.fnv64(Array.empty) == BigInt("cbf29ce484222325", 16).toLong)
     assert(Multimodal.fnv64("a".getBytes("UTF-8")) == BigInt("af63dc4c8601ec8c", 16).toLong)
