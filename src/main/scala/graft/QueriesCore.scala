@@ -1527,6 +1527,35 @@ object QueriesCore {
           col("weighted_sum").cast("double") / col("span_sec"))
         .orderBy("user_id")
     },
+    // ---- Per-entity OLS trend slope + Pearson correlation from EXACT
+    // integer sums (x = seconds since the fixture epoch to keep n·Σxy
+    // far from overflow): slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) as one
+    // double division of exact longs; r adds two IEEE sqrts of exact
+    // integers — both bit-stable cross-engine. The minerva trend
+    // direction statistic, one map-side aggregate ----
+    "q232_trend_slope" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("x", col("ts_sec") - 1704067200L)
+        .withColumn("y", floor(col("value") * 100).cast("long"))
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("denx") > 0 && col("deny") > 0)
+        .withColumn("slope_cents_per_sec",
+          col("num").cast("double") / col("denx"))
+        .withColumn("pearson_r",
+          col("num").cast("double") /
+            (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double"))))
+        .select("user_id", "n", "num", "denx", "deny",
+          "slope_cents_per_sec", "pearson_r")
+        .orderBy("user_id")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2648,6 +2677,30 @@ object QueriesCore {
            SELECT user_id, weighted_sum, span_sec, n_intervals,
              CAST(weighted_sum AS DOUBLE) / span_sec AS twa_cents
            FROM g WHERE span_sec > 0 ORDER BY user_id""",
+      "q232_trend_slope" ->
+        s"""WITH ev AS (
+             SELECT user_id, ($ts) - 1704067200 AS x,
+               CAST(floor(value * 100) AS BIGINT) AS y
+             FROM events),
+           g AS (
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+             FROM ev GROUP BY 1),
+           d AS (
+             SELECT user_id, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS denx,
+               CAST(n * syy - sy * sy AS BIGINT) AS deny
+             FROM g)
+           SELECT user_id, n, num, denx, deny,
+             CAST(num AS DOUBLE) / denx AS slope_cents_per_sec,
+             CAST(num AS DOUBLE) /
+               (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+               AS pearson_r
+           FROM d WHERE denx > 0 AND deny > 0 ORDER BY user_id""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -37,7 +37,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q222_m4_downsample",     // one min_by/max_by aggregate, no window
     "q223_k_anonymity",       // one grouped count
     "q225_quarantine",        // single-pass audited read + two aggregates
-    "q228_cooccurrence")      // offset-expand equi-join, no range window
+    "q228_cooccurrence",      // offset-expand equi-join, no range window
+    "q232_trend_slope")       // one map-side moment aggregate
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
