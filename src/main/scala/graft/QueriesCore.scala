@@ -1556,6 +1556,30 @@ object QueriesCore {
           "slope_cents_per_sec", "pearson_r")
         .orderBy("user_id")
     },
+    // ---- Funnel latency quantiles: q156's stage chains composed with
+    // the q211 sketch — per-transition conversion-delay p50/p90 as exact
+    // bucket ranges; the composition a product team actually asks for
+    // ("how long from view to click?") in one sketch aggregate ----
+    "q233_funnel_latency" -> { (s, dir) =>
+      val e = events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_sec")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_sec") >= col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts_sec")).as("c_ts"),
+          first(col("v_ts")).as("v_ts2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_sec") >= col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts_sec")).as("p_ts"),
+          first(col("c_ts")).as("c_ts2"))
+      val delays = c.select(lit("view_to_click").as("stage"),
+          (col("c_ts") - col("v_ts2")).as("delay"))
+        .unionByName(p.select(lit("click_to_purchase").as("stage"),
+          (col("p_ts") - col("c_ts2")).as("delay")))
+      graft.functions.HdrQuantiles.quantiles(delays, Seq("stage"), "delay",
+          Seq("p50" -> 0.5, "p90" -> 0.9), p = 5)
+        .orderBy("stage")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2701,6 +2725,54 @@ object QueriesCore {
                (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
                AS pearson_r
            FROM d WHERE denx > 0 AND deny > 0 ORDER BY user_id""",
+      "q233_funnel_latency" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_type, $ts AS sec FROM events),
+           fv AS (
+             SELECT user_id, min(sec) AS v_ts FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+           fc AS (
+             SELECT e.user_id, min(e.sec) AS c_ts, min(fv.v_ts) AS v_ts2
+             FROM ev e JOIN fv USING (user_id)
+             WHERE e.event_type = 'click' AND e.sec >= fv.v_ts GROUP BY 1),
+           fp AS (
+             SELECT e.user_id, min(e.sec) AS p_ts, min(fc.c_ts) AS c_ts2
+             FROM ev e JOIN fc USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.sec >= fc.c_ts GROUP BY 1),
+           delays AS (
+             SELECT 'view_to_click' AS stage,
+               greatest(c_ts - v_ts2, 0) AS v FROM fc
+             UNION ALL
+             SELECT 'click_to_purchase' AS stage,
+               greatest(p_ts - c_ts2, 0) AS v FROM fp),
+           b AS (
+             SELECT stage,
+               greatest(length(bin(v)) - 1 - 5, 0) * 32
+                 + (v >> greatest(length(bin(v)) - 1 - 5, 0)) AS bucket,
+               count(*) AS cnt
+             FROM delays GROUP BY 1, 2),
+           c AS (
+             SELECT stage, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY stage ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY stage) AS total
+             FROM b),
+           q AS (
+             SELECT stage, CAST(max(total) AS BIGINT) AS n,
+               min(CASE WHEN cum >= ceil(0.5 * total) THEN bucket END) AS b50,
+               min(CASE WHEN cum >= ceil(0.9 * total) THEN bucket END) AS b90
+             FROM c GROUP BY 1)
+           SELECT stage, n,
+             (b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0) AS p50_lo,
+             ((b50 - greatest(b50 // 32 - 1, 0) * 32)
+               << greatest(b50 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b50 // 32 - 1, 0)) - 1 AS p50_hi,
+             (b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0) AS p90_lo,
+             ((b90 - greatest(b90 // 32 - 1, 0) * 32)
+               << greatest(b90 // 32 - 1, 0))
+               + (CAST(1 AS BIGINT) << greatest(b90 // 32 - 1, 0)) - 1 AS p90_hi
+           FROM q ORDER BY stage""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -74,7 +74,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q220_transitions" -> "user_id",      // per-user bigram lead
     "q221_cusum" -> "user_id",            // per-user prefix scans
     "q224_locf_gapfill" -> "user_id",     // per-user LOCF over 120 buckets
-    "q227_time_weighted_avg" -> "user_id") // per-user interval lead
+    "q227_time_weighted_avg" -> "user_id", // per-user interval lead
+    "q233_funnel_latency" -> "stage")      // cumsum over sketch rows
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
