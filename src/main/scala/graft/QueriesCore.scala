@@ -1528,32 +1528,45 @@ object QueriesCore {
         .orderBy("user_id")
     },
     // ---- Per-entity OLS trend slope + Pearson correlation from EXACT
-    // integer sums (x = seconds since the fixture epoch to keep n·Σxy
-    // far from overflow): slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) as one
-    // double division of exact longs; r adds two IEEE sqrts of exact
-    // integers — both bit-stable cross-engine. The minerva trend
-    // direction statistic, one map-side aggregate ----
+    // integer sums: slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) as one double
+    // division of exact values; r adds two IEEE sqrts — both bit-stable
+    // cross-engine. Per-row products x·y (≤ ~2.6e12 at the fixture
+    // span) stay in LONG; the Σ and n·Σ accumulations go through
+    // DECIMAL(38,0) (the q92/q173 fixed-point convention; HUGEINT on
+    // the DuckDB side) so an entity with millions of events can never
+    // wrap 2^63. The minerva trend direction statistic, one map-side
+    // aggregate ----
     "q232_trend_slope" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
       val e = events(s, dir)
         .withColumn("x", col("ts_sec") - 1704067200L)
         .withColumn("y", floor(col("value") * 100).cast("long"))
       e.groupBy("user_id")
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("denx", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .withColumn("num",
+          (col("n").cast(dec) * col("sxy") - col("sx") * col("sy")).cast(dec))
+        .withColumn("denx",
+          (col("n").cast(dec) * col("sxx") - col("sx") * col("sx")).cast(dec))
+        .withColumn("deny",
+          (col("n").cast(dec) * col("syy") - col("sy") * col("sy")).cast(dec))
         .filter(col("denx") > 0 && col("deny") > 0)
         .withColumn("slope_cents_per_sec",
           col("num").cast("double") / col("denx"))
         .withColumn("pearson_r",
           col("num").cast("double") /
             (sqrt(col("denx").cast("double")) * sqrt(col("deny").cast("double"))))
-        .select("user_id", "n", "num", "denx", "deny",
-          "slope_cents_per_sec", "pearson_r")
+        // exact DECIMAL internally; the emitted columns are one
+        // round-to-nearest DOUBLE cast each (bit-identical cross-engine),
+        // per the q173 convention — the gate guard rejects DECIMAL outputs
+        .select(col("user_id"), col("n"),
+          col("num").cast("double").as("num"),
+          col("denx").cast("double").as("denx"),
+          col("deny").cast("double").as("deny"),
+          col("slope_cents_per_sec"), col("pearson_r"))
         .orderBy("user_id")
     },
     // ---- Funnel latency quantiles: q156's stage chains composed with
@@ -2707,24 +2720,29 @@ object QueriesCore {
                CAST(floor(value * 100) AS BIGINT) AS y
              FROM events),
            g AS (
-             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * y) AS BIGINT) AS sxy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy
+             SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
              FROM ev GROUP BY 1),
            d AS (
-             SELECT user_id, n,
-               CAST(n * sxy - sx * sy AS BIGINT) AS num,
-               CAST(n * sxx - sx * sx AS BIGINT) AS denx,
-               CAST(n * syy - sy * sy AS BIGINT) AS deny
+             SELECT user_id, CAST(n AS BIGINT) AS n,
+               n * sxy - sx * sy AS num0,
+               n * sxx - sx * sx AS denx0,
+               n * syy - sy * sy AS deny0
              FROM g)
-           SELECT user_id, n, num, denx, deny,
-             CAST(num AS DOUBLE) / denx AS slope_cents_per_sec,
-             CAST(num AS DOUBLE) /
-               (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE)))
+           SELECT user_id, n,
+             CAST(num0 AS DOUBLE) AS num,
+             CAST(denx0 AS DOUBLE) AS denx,
+             CAST(deny0 AS DOUBLE) AS deny,
+             CAST(num0 AS DOUBLE) / CAST(denx0 AS DOUBLE)
+               AS slope_cents_per_sec,
+             CAST(num0 AS DOUBLE) /
+               (sqrt(CAST(denx0 AS DOUBLE)) * sqrt(CAST(deny0 AS DOUBLE)))
                AS pearson_r
-           FROM d WHERE denx > 0 AND deny > 0 ORDER BY user_id""",
+           FROM d WHERE denx0 > 0 AND deny0 > 0 ORDER BY user_id""",
       "q233_funnel_latency" ->
         s"""WITH ev AS (
              SELECT user_id, event_type, $ts AS sec FROM events),

@@ -1091,9 +1091,24 @@ object TextAnalysis {
   /** Incremental persisted BM25 index, append side: tokenize ONLY the
     * batch and upsert its postings (tok, doc_id, tf) and doc lengths
     * (doc_id, dl) into the two PartStores — per-append cost ∝ batch,
-    * never corpus; re-appending a doc replaces its rows (upsert by key),
-    * so replays are idempotent. Postings partition by crc32(tok) so a
-    * query's token set prunes to its partitions at search time.
+    * never corpus, on the append-only path. Postings partition by
+    * crc32(tok) so a query's token set prunes to its partitions at
+    * search time.
+    *
+    * Re-append semantics: a byte-identical replay is idempotent through
+    * the (tok, doc_id) upsert alone. A CONTENT UPDATE (same doc_id, new
+    * text) additionally needs the old version's postings for dropped
+    * tokens removed — an upsert keyed (tok, doc_id) cannot delete them,
+    * and stale rows would corrupt df and the doc's term set. This method
+    * detects updates (batch ids semi-joined against the doclen store,
+    * partition-pruned to the batch's pindexes) and, only when any exist,
+    * purges those doc_ids' prior postings via a store rewrite BEFORE the
+    * upsert. Cost model, honestly: append-only batches pay one pruned
+    * existence probe and never rewrite; a content-update batch pays one
+    * postings-store rewrite (the old tokens live in arbitrary crc32
+    * partitions, so no pruning is possible without a scan anyway) — the
+    * classic token-partitioned-index update cost. Bulk re-indexing
+    * should drop the part and rebuild instead.
     * Stores: `psPostings` keyed (tok, doc_id), `psDocLens` keyed
     * (doc_id), both with partitionSizeSeconds = 64 over the 0..1023
     * surrogate timestamp. */
@@ -1103,6 +1118,29 @@ object TextAnalysis {
       batch: DataFrame, idCol: String, textCol: String,
       modified: Long): Unit = {
     val toks = tokens(batch, idCol, textCol).filter(col("tok") =!= "")
+    // Update detection: which batch ids already have a doc length on
+    // store? Prune the doclen read to the batch's own pindexes (pmod
+    // 1024 div 64 mirrors the store's layout), so the probe reads only
+    // the partitions this batch could collide with.
+    val batchIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // ≤16 values by construction: the doclen store has 1024/64 partitions
+    val batchPindexes = batchIds
+      .select((pmod(col("doc_id"), lit(1024L)) / 64L).cast("long").as("pi"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val reappended = psDocLens.readPart("doclen") match {
+      case None => None
+      case Some(dls) =>
+        val hit = dls.filter(col("pindex").isin(batchPindexes: _*))
+          .select(col("doc_id").cast("long").as("doc_id"))
+          .join(batchIds, "doc_id")
+        if (hit.isEmpty) None else Some(hit)
+    }
+    reappended.foreach { stale =>
+      val staleIds = stale.select(col("doc_id").as("__stale_id"))
+      psPostings.rewritePart("postings",
+        df => df.join(staleIds,
+            col("doc_id").cast("long") === col("__stale_id"), "left_anti"))
+    }
     psPostings.store("postings",
       toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
         .select(col("tok"), col(idCol).as("doc_id"), col("tf"))

@@ -353,7 +353,17 @@ object StreamingRollup {
       valueCol: String,
       p: Int = 5,
       checkpointLocation: Option[String] = None
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Addition-merge is NOT idempotent, so running without a checkpoint
+    // double-counts every micro-batch replayed after a restart. Tests
+    // drive ephemeral MemoryStreams without one; anything durable must
+    // not — make the unsafe default loud instead of silent.
+    if (checkpointLocation.isEmpty)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("sketchSink started WITHOUT checkpointLocation: bucket " +
+          "addition is not idempotent, so a post-restart micro-batch " +
+          "replay will double-count. Pass a checkpoint for any stream " +
+          "that can restart.")
     checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -373,6 +383,7 @@ object StreamingRollup {
         }
       }
       .start()
+  }
 
   /** Streaming incremental dedup with PERSISTED state: each micro-batch
     * runs [[graft.functions.Dedup.exactIncremental]] against the shared

@@ -57,4 +57,23 @@ class Bm25StoredSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(once == twice)
   }
+
+  test("content update purges the old version's dropped-token postings") {
+    val (p, d) = stores("upd")
+    TextAnalysis.bm25IndexAppend(p, d, corpus, "doc_id", "text", 1L)
+    // doc 3 loses every 'hash' and gains 'merge' — without the purge the
+    // stale (hash, 3) posting would keep scoring doc 3 on 'hash' queries
+    val v2 = Seq((3L, "merge probe probe")).toDF("doc_id", "text")
+    TextAnalysis.bm25IndexAppend(p, d, v2, "doc_id", "text", 2L)
+    val updatedCorpus = corpus.filter(col("doc_id") =!= 3).unionByName(v2)
+    val stored = TextAnalysis.bm25SearchStored(p, d, Seq("hash", "merge"), 10)
+      .collect().map(_.toSeq).toSeq
+    val fresh = TextAnalysis.bm25Search(updatedCorpus, "doc_id", "text",
+      Seq("hash", "merge"), 10).collect().map(_.toSeq).toSeq
+    assert(stored == fresh)
+    // and the store holds no postings at all for doc 3's dropped tokens
+    val doc3Toks = p.readPart("postings").get
+      .filter(col("doc_id") === 3).select("tok").as[String].collect().toSet
+    assert(doc3Toks == Set("merge", "probe"))
+  }
 }
