@@ -492,10 +492,11 @@ object QueriesLLM {
     // ---- incremental persisted graph-ANN index (the HNSW insert loop):
     // two batches build the stored graph — batch 2 beam-searches the
     // EXISTING index for its neighbors, links bidirectionally, appends —
-    // then retrieval runs over the accumulated store. Deterministic for
-    // the fixed schedule, but graph construction is insertion-order
-    // semantics by nature (no SQL-expressible oracle; the driver records
-    // the rows-only check, SimilaritySpec measures recall vs fresh) ----
+    // then retrieval runs over the accumulated store. Insertion-order
+    // semantics, but the SCHEDULE is fixed and deterministic, so the
+    // oracle replays it end-to-end as chained CTEs (per-batch nnDescent
+    // + the cross-link beam search + retrieval over the union edge set);
+    // SimilaritySpec still measures recall vs the fresh build ----
     "q194_graph_incremental" -> { (s, dir) =>
       val e = load(s, dir, "embeddings")
       val work = tempWorkDir("graft_q194_")
@@ -4235,6 +4236,153 @@ object QueriesLLM {
          ${beamRound("c_f2", "f2", 8)},
          c_fin AS (SELECT qid, node FROM f2),
          ${beamRound("c_fin", "fin", 4)}
+         SELECT qid AS query_id, node AS neighbor_id, rank, cos
+         FROM fin ORDER BY query_id, rank"""
+    },
+    // Incremental graph index: the fixed two-batch insert schedule
+    // replayed as chained CTEs (the q133/q174 multi-pass pattern).
+    // Per batch: nnDescent (init + 1 descent round) restricted to the
+    // batch builds its internal edges; batch 2 then beam-searches the
+    // batch-1 graph (the store's state at that point) for its top-4 old
+    // neighbors, linked bidirectionally; retrieval runs the q133 beam
+    // over the union edge set. Insertion-order semantics made
+    // SQL-derivable BECAUSE the schedule is deterministic.
+    "q194_graph_incremental" -> {
+      val rankRound = (pairs: String, out: String, k: Int) =>
+        s"""s_$out AS (
+             SELECT p.q, p.nb,
+               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+             FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+           $out AS (
+             SELECT q, nb FROM (
+               SELECT q, nb,
+                 CAST(row_number() OVER (PARTITION BY q
+                   ORDER BY cos DESC, nb) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $k)"""
+      val expand = (prev: String, out: String) =>
+        s"""g_$out AS (
+             SELECT q AS a, nb AS b FROM $prev
+             UNION SELECT nb, q FROM $prev),
+           h_$out AS (
+             SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
+           c_$out AS (
+             SELECT DISTINCT a AS q, b AS nb FROM (
+               SELECT * FROM g_$out UNION SELECT * FROM h_$out)
+             WHERE a <> b)"""
+      val beamRound = (cands: String, out: String, n: Int, qcte: String) =>
+        s"""s_$out AS (
+             SELECT c.qid, c.node,
+               list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
+             FROM $cands c
+             JOIN n nv ON c.node = nv.id
+             JOIN $qcte qv ON c.qid = qv.qid
+             WHERE c.qid <> c.node),
+           $out AS (
+             SELECT qid, node, cos, rank FROM (
+               SELECT qid, node, cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $n)"""
+      val hop = (prev: String, out: String, graph: String) =>
+        s"""c_$out AS (
+             SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
+             UNION SELECT qid, node FROM $prev)"""
+      // internal k-NN graph of one batch: nnDescent(k=4, iterations=1,
+      // initBits=4) restricted to the subset CTE `s` → g_$s(q, nb)
+      val knnInternal = (s: String) =>
+        s"""mk_$s AS (SELECT m.id, m.mk FROM mkr m JOIN $s USING (id)),
+           ring_$s AS (
+             SELECT id, COALESCE(
+                 lead(id) OVER (ORDER BY mk, id),
+                 first_value(id) OVER (ORDER BY mk, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+               AS succ
+             FROM mk_$s),
+           bkc_$s AS (
+             SELECT bk.id, bk.b FROM bk JOIN $s USING (id)
+             QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+           p0_$s AS (
+             SELECT x.id AS q, y.id AS nb
+             FROM bkc_$s x JOIN bkc_$s y ON x.b = y.b AND x.id <> y.id
+             UNION SELECT id, succ FROM ring_$s WHERE id <> succ
+             UNION SELECT succ, id FROM ring_$s WHERE id <> succ),
+           ${rankRound(s"p0_$s", s"r0_$s", 4)},
+           ${expand(s"r0_$s", s"i1_$s")},
+           ${rankRound(s"c_i1_$s", s"g_$s", 4)}"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         hvt AS (
+           SELECT id, (${md5Ladder32("'gidx:' || CAST(id AS VARCHAR)")}) % 2
+             AS h
+           FROM n),
+         b0 AS (SELECT id FROM hvt WHERE h = 0),
+         b1 AS (SELECT id FROM hvt WHERE h = 1),
+         ${knnInternal("b0")},
+         ${knnInternal("b1")},
+         qs1 AS (
+           SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
+           FROM n nn JOIN b1 USING (id)),
+         ent_x AS (SELECT id FROM mk_b0 ORDER BY mk, id LIMIT 4),
+         bent_x AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN b0 USING (id) JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb_x AS (SELECT q.qid, bk.b FROM qs1 q JOIN bk ON q.qid = bk.id),
+         c_x0 AS (
+           SELECT q.qid, e.id AS node FROM qs1 q CROSS JOIN ent_x e
+           UNION
+           SELECT qb_x.qid, bent_x.node FROM qb_x JOIN bent_x USING (b)),
+         ${beamRound("c_x0", "x0", 8, "qs1")},
+         ${hop("x0", "x1", "g_b0")},
+         ${beamRound("c_x1", "x1", 8, "qs1")},
+         ${hop("x1", "x2", "g_b0")},
+         ${beamRound("c_x2", "x2", 8, "qs1")},
+         c_xf AS (SELECT qid, node FROM x2),
+         ${beamRound("c_xf", "xf", 4, "qs1")},
+         crossE AS (
+           SELECT qid AS q, node AS nb FROM xf
+           UNION SELECT node, qid FROM xf),
+         eset AS (
+           SELECT q, nb FROM g_b0
+           UNION SELECT q, nb FROM g_b1
+           UNION SELECT q, nb FROM crossE),
+         qsq AS (
+           SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n
+           WHERE id % 50 = 0),
+         ent AS (SELECT id FROM mkr ORDER BY mk, id LIMIT 4),
+         bent AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
+         c_f0 AS (
+           SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent e
+           UNION
+           SELECT qb.qid, bent.node FROM qb JOIN bent USING (b)),
+         ${beamRound("c_f0", "f0", 8, "qsq")},
+         ${hop("f0", "f1", "eset")},
+         ${beamRound("c_f1", "f1", 8, "qsq")},
+         ${hop("f1", "f2", "eset")},
+         ${beamRound("c_f2", "f2", 8, "qsq")},
+         c_fin AS (SELECT qid, node FROM f2),
+         ${beamRound("c_fin", "fin", 4, "qsq")}
          SELECT qid AS query_id, node AS neighbor_id, rank, cos
          FROM fin ORDER BY query_id, rank"""
     },
