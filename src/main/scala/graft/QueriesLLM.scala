@@ -518,6 +518,33 @@ object QueriesLLM {
           seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- LAYERED incremental graph index: q194's insert schedule with
+    // the coarse 1/16 layer maintained incrementally alongside (same
+    // loop, 1/denom of the work), so the ACCUMULATED store serves the
+    // two-layer q161 retrieval — stored-index HNSW, both layers grown
+    // by appends. Deterministic schedule → the oracle replays both
+    // layers' construction and the layered walk as chained CTEs ----
+    "q234_layered_incremental" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val work = tempWorkDir("graft_q234_")
+      val es = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/e", 500, keyCols = Seq("entity_id", "dst")))
+      val vs = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/v", 500, keyCols = Seq("entity_id")))
+      val hv = conv(substring(md5(concat(lit("gidx:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      def insert(b: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.graphInsertBatchLayered(es, vs, "g", b, "vec_id", "embedding",
+          k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4, denom = 16)
+      insert(e.filter(hv === 0L))
+      insert(e.filter(hv === 1L))
+      val (g0, g1, v) = Similarity.readGraphIndexLayered(es, vs, "g")
+      Similarity.graphSearchLayered(e.filter(col("vec_id") % 50 === 0), g0, g1,
+          v.select(col("entity_id").as("vec_id"), col("vec").as("embedding")),
+          "vec_id", "embedding", k = 4, beam = 8, hops = 2, entries = 4,
+          beam1 = 4, hops1 = 2, seedBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- weighted sampling without replacement (Efraimidis-Spirtakis
     // A-ES): per-source top-8 by the ln(u)/w priority, w = doc length —
     // the bounded-aggregate shape (TopKPairs partials, no per-group
@@ -3971,7 +3998,7 @@ object QueriesLLM {
              JOIN n nv ON c.node = nv.id
              JOIN qsq qv ON c.qid = qv.qid
              WHERE c.qid <> c.node),
-           $out AS (
+           $out AS MATERIALIZED (
              SELECT qid, node, cos, rank FROM (
                SELECT qid, node, cos,
                  CAST(row_number() OVER (PARTITION BY qid
@@ -3985,7 +4012,7 @@ object QueriesLLM {
       s"""WITH v AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
          bk AS (
            SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
@@ -4070,7 +4097,7 @@ object QueriesLLM {
       s"""WITH v AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
          bk AS (
            SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
@@ -4128,7 +4155,7 @@ object QueriesLLM {
              JOIN n nv ON c.node = nv.id
              JOIN qsq qv ON c.qid = qv.qid
              WHERE c.qid <> c.node),
-           $out AS (
+           $out AS MATERIALIZED (
              SELECT qid, node, cos, rank FROM (
                SELECT qid, node, cos,
                  CAST(row_number() OVER (PARTITION BY qid
@@ -4136,13 +4163,13 @@ object QueriesLLM {
                FROM s_$out)
              WHERE rank <= $n)"""
       val hop = (prev: String, out: String, graph: String) =>
-        s"""c_$out AS (
+        s"""c_$out AS MATERIALIZED (
              SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
              UNION SELECT qid, node FROM $prev)"""
       s"""WITH v AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
          bk AS (
            SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
@@ -4253,7 +4280,7 @@ object QueriesLLM {
              SELECT p.q, p.nb,
                list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
              FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
-           $out AS (
+           $out AS MATERIALIZED (
              SELECT q, nb FROM (
                SELECT q, nb,
                  CAST(row_number() OVER (PARTITION BY q
@@ -4266,7 +4293,7 @@ object QueriesLLM {
              UNION SELECT nb, q FROM $prev),
            h_$out AS (
              SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
-           c_$out AS (
+           c_$out AS MATERIALIZED (
              SELECT DISTINCT a AS q, b AS nb FROM (
                SELECT * FROM g_$out UNION SELECT * FROM h_$out)
              WHERE a <> b)"""
@@ -4278,7 +4305,7 @@ object QueriesLLM {
              JOIN n nv ON c.node = nv.id
              JOIN $qcte qv ON c.qid = qv.qid
              WHERE c.qid <> c.node),
-           $out AS (
+           $out AS MATERIALIZED (
              SELECT qid, node, cos, rank FROM (
                SELECT qid, node, cos,
                  CAST(row_number() OVER (PARTITION BY qid
@@ -4286,7 +4313,7 @@ object QueriesLLM {
                FROM s_$out)
              WHERE rank <= $n)"""
       val hop = (prev: String, out: String, graph: String) =>
-        s"""c_$out AS (
+        s"""c_$out AS MATERIALIZED (
              SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
              UNION SELECT qid, node FROM $prev)"""
       // internal k-NN graph of one batch: nnDescent(k=4, iterations=1,
@@ -4314,7 +4341,7 @@ object QueriesLLM {
       s"""WITH v AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
          bk AS (
            SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
@@ -4356,7 +4383,7 @@ object QueriesLLM {
          crossE AS (
            SELECT qid AS q, node AS nb FROM xf
            UNION SELECT node, qid FROM xf),
-         eset AS (
+         eset AS MATERIALIZED (
            SELECT q, nb FROM g_b0
            UNION SELECT q, nb FROM g_b1
            UNION SELECT q, nb FROM crossE),
@@ -4386,6 +4413,180 @@ object QueriesLLM {
          SELECT qid AS query_id, node AS neighbor_id, rank, cos
          FROM fin ORDER BY query_id, rank"""
     },
+    // Layered incremental graph index: the q194 replay for the flat
+    // layer, the SAME replay restricted to the coarse 1/16 members for
+    // the layer-1 edge set, then the q161 two-layer walk (coarse beam-4
+    // locates the basin, its best 4 seed the layer-0 beam-8 rounds)
+    // over the two accumulated edge sets.
+    "q234_layered_incremental" -> {
+      val rankRound = (pairs: String, out: String, k: Int) =>
+        s"""s_$out AS (
+             SELECT p.q, p.nb,
+               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+             FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+           $out AS MATERIALIZED (
+             SELECT q, nb FROM (
+               SELECT q, nb,
+                 CAST(row_number() OVER (PARTITION BY q
+                   ORDER BY cos DESC, nb) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $k)"""
+      val expand = (prev: String, out: String) =>
+        s"""g_$out AS (
+             SELECT q AS a, nb AS b FROM $prev
+             UNION SELECT nb, q FROM $prev),
+           h_$out AS (
+             SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
+           c_$out AS MATERIALIZED (
+             SELECT DISTINCT a AS q, b AS nb FROM (
+               SELECT * FROM g_$out UNION SELECT * FROM h_$out)
+             WHERE a <> b)"""
+      val beamRound = (cands: String, out: String, n: Int, qcte: String) =>
+        s"""s_$out AS (
+             SELECT c.qid, c.node,
+               list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
+             FROM $cands c
+             JOIN n nv ON c.node = nv.id
+             JOIN $qcte qv ON c.qid = qv.qid
+             WHERE c.qid <> c.node),
+           $out AS MATERIALIZED (
+             SELECT qid, node, cos, rank FROM (
+               SELECT qid, node, cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS INT) AS rank
+               FROM s_$out)
+             WHERE rank <= $n)"""
+      val hop = (prev: String, out: String, graph: String) =>
+        s"""c_$out AS MATERIALIZED (
+             SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
+             UNION SELECT qid, node FROM $prev)"""
+      val knnInternal = (s: String) =>
+        s"""mk_$s AS (SELECT m.id, m.mk FROM mkr m JOIN $s USING (id)),
+           ring_$s AS (
+             SELECT id, COALESCE(
+                 lead(id) OVER (ORDER BY mk, id),
+                 first_value(id) OVER (ORDER BY mk, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+               AS succ
+             FROM mk_$s),
+           bkc_$s AS (
+             SELECT bk.id, bk.b FROM bk JOIN $s USING (id)
+             QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+           p0_$s AS (
+             SELECT x.id AS q, y.id AS nb
+             FROM bkc_$s x JOIN bkc_$s y ON x.b = y.b AND x.id <> y.id
+             UNION SELECT id, succ FROM ring_$s WHERE id <> succ
+             UNION SELECT succ, id FROM ring_$s WHERE id <> succ),
+           ${rankRound(s"p0_$s", s"r0_$s", 4)},
+           ${expand(s"r0_$s", s"i1_$s")},
+           ${rankRound(s"c_i1_$s", s"g_$s", 4)}"""
+      // one batch's cross links: queries `qcte` beam-search the prior
+      // store state (graph `graph`, entry/bucket lists from subset
+      // `sub`) — beam 8 × 2 hops × final top-4, both directions kept
+      val crossChain = (qcte: String, graph: String, sub: String, sfx: String) =>
+        s"""ent_$sfx AS (SELECT id FROM mk_$sub ORDER BY mk, id LIMIT 4),
+           bent_$sfx AS (
+             SELECT b, id AS node FROM (
+               SELECT bk.b, bk.id,
+                 CAST(row_number() OVER (PARTITION BY bk.b
+                   ORDER BY m.mk, bk.id) AS INT) AS rn
+               FROM bk JOIN $sub USING (id) JOIN mkr m ON bk.id = m.id)
+             WHERE rn <= 4),
+           qb_$sfx AS (SELECT q.qid, bk.b FROM $qcte q JOIN bk ON q.qid = bk.id),
+           c_${sfx}0 AS (
+             SELECT q.qid, e.id AS node FROM $qcte q CROSS JOIN ent_$sfx e
+             UNION
+             SELECT qb_$sfx.qid, bent_$sfx.node
+             FROM qb_$sfx JOIN bent_$sfx USING (b)),
+           ${beamRound(s"c_${sfx}0", s"${sfx}0", 8, qcte)},
+           ${hop(s"${sfx}0", s"${sfx}1", graph)},
+           ${beamRound(s"c_${sfx}1", s"${sfx}1", 8, qcte)},
+           ${hop(s"${sfx}1", s"${sfx}2", graph)},
+           ${beamRound(s"c_${sfx}2", s"${sfx}2", 8, qcte)},
+           c_${sfx}f AS (SELECT qid, node FROM ${sfx}2),
+           ${beamRound(s"c_${sfx}f", s"${sfx}f", 4, qcte)},
+           cr_$sfx AS (
+             SELECT qid AS q, node AS nb FROM ${sfx}f
+             UNION SELECT node, qid FROM ${sfx}f)"""
+      s"""WITH v AS (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS MATERIALIZED (
+           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+         bk AS (
+           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+           GROUP BY 1),
+         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+         hvt AS (
+           SELECT id, (${md5Ladder32("'gidx:' || CAST(id AS VARCHAR)")}) % 2
+             AS h
+           FROM n),
+         b0 AS (SELECT id FROM hvt WHERE h = 0),
+         b1 AS (SELECT id FROM hvt WHERE h = 1),
+         lvl AS (
+           SELECT id FROM n
+           WHERE (${md5Ladder32("'lvl:' || CAST(id AS VARCHAR)")}) % 16 = 0),
+         cb0 AS (SELECT id FROM b0 JOIN lvl USING (id)),
+         cb1 AS (SELECT id FROM b1 JOIN lvl USING (id)),
+         ${knnInternal("b0")},
+         ${knnInternal("b1")},
+         ${knnInternal("cb0")},
+         ${knnInternal("cb1")},
+         qs1 AS (
+           SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
+           FROM n nn JOIN b1 USING (id)),
+         qsc AS (
+           SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
+           FROM n nn JOIN cb1 USING (id)),
+         ${crossChain("qs1", "g_b0", "b0", "x")},
+         ${crossChain("qsc", "g_cb0", "cb0", "cx")},
+         eset0 AS MATERIALIZED (
+           SELECT q, nb FROM g_b0
+           UNION SELECT q, nb FROM g_b1
+           UNION SELECT q, nb FROM cr_x),
+         eset1 AS MATERIALIZED (
+           SELECT q, nb FROM g_cb0
+           UNION SELECT q, nb FROM g_cb1
+           UNION SELECT q, nb FROM cr_cx),
+         qsq AS (
+           SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n
+           WHERE id % 50 = 0),
+         l1n AS (SELECT q AS id FROM eset1 UNION SELECT nb FROM eset1),
+         ent1 AS (
+           SELECT l.id FROM l1n l JOIN mkr m USING (id)
+           ORDER BY m.mk, l.id LIMIT 4),
+         bent1 AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN l1n USING (id) JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb1 AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
+         c_w0 AS (
+           SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent1 e
+           UNION
+           SELECT qb1.qid, bent1.node FROM qb1 JOIN bent1 USING (b)),
+         ${beamRound("c_w0", "w0", 4, "qsq")},
+         ${hop("w0", "w1", "eset1")},
+         ${beamRound("c_w1", "w1", 4, "qsq")},
+         ${hop("w1", "w2", "eset1")},
+         ${beamRound("c_w2", "w2", 4, "qsq")},
+         c_wf AS (SELECT qid, node FROM w2),
+         ${beamRound("c_wf", "wf", 4, "qsq")},
+         c_f0 AS (SELECT qid, node FROM wf),
+         ${beamRound("c_f0", "f0", 8, "qsq")},
+         ${hop("f0", "f1", "eset0")},
+         ${beamRound("c_f1", "f1", 8, "qsq")},
+         ${hop("f1", "f2", "eset0")},
+         ${beamRound("c_f2", "f2", 8, "qsq")},
+         c_fin AS (SELECT qid, node FROM f2),
+         ${beamRound("c_fin", "fin", 4, "qsq")}
+         SELECT qid AS query_id, node AS neighbor_id, rank, cos
+         FROM fin ORDER BY query_id, rank"""
+    },
     // NN-Descent: deterministic 4-bit sign-bucket init, then two rounds
     // of (forward ∪ reverse) one-hop candidate expansion, exact cosine,
     // top-4 per node — the same set-valued fixpoint the Spark loop runs.
@@ -4408,14 +4609,14 @@ object QueriesLLM {
              UNION SELECT nb, q FROM $prev),
            h_$out AS (
              SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
-           c_$out AS (
+           c_$out AS MATERIALIZED (
              SELECT DISTINCT a AS q, b AS nb FROM (
                SELECT * FROM g_$out UNION SELECT * FROM h_$out)
              WHERE a <> b)"""
       s"""WITH v AS (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
            FROM embeddings),
-         n AS (
+         n AS MATERIALIZED (
            SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
          bk AS (
            SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]

@@ -501,12 +501,18 @@ object Similarity {
     * fixed 1/denom sample is the two-layer special case), md5-derived so
     * membership is engine-reproducible and append-stable (a new vector's
     * level never depends on corpus size). */
+  /** The layer-1 membership predicate on an id column — exposed so the
+    * incremental index can filter stored vectors to the coarse subset
+    * without a join (membership is a pure function of the id, which is
+    * exactly what makes it append-stable). */
+  def coarseLevelPred(id: org.apache.spark.sql.Column, denom: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit("lvl:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(denom.toLong)) === 0L
+
   def coarseLayerNodes(vectors: DataFrame, idCol: String, denom: Int): DataFrame = {
     require(denom >= 2, s"coarseLayerNodes: denom >= 2, got $denom")
     vectors.select(col(idCol).cast("long").as("id"))
-      .filter(pmod(conv(substring(md5(concat(lit("lvl:"),
-        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
-        lit(denom.toLong)) === 0L)
+      .filter(coarseLevelPred(col(idCol), denom))
   }
 
   /** Two-layer graph-ANN retrieval (the HNSW shape, Malkov & Yashunin
@@ -683,22 +689,11 @@ object Similarity {
     requireIntegralId(batch, idCol, "graphInsertBatch")
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
-    val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-    val cross = (edgeStore.readPart(part), vecStore.readPart(part)) match {
-      case (Some(edges0), Some(vecs0)) =>
-        val g = edges0.select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
-        val vOld = vecs0.select(col("entity_id").as("id"), col("vec"))
-        val found = graphSearch(b.withColumnRenamed("vec", vecCol)
-            .withColumnRenamed("id", idCol),
-          g, vOld.withColumnRenamed("vec", vecCol).withColumnRenamed("id", idCol),
-          idCol, vecCol, k, beam, hops, entries, seedBits)
-          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-          .localCheckpoint()
-        found.unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
-      case _ => b.limit(0).select(col("id").as("src"), col("id").as("dst"))
-    }
-    val edges = internal.unionByName(cross).distinct()
+    val edges = batchEdges(b,
+      (edgeStore.readPart(part), vecStore.readPart(part)) match {
+        case (Some(e0), Some(v0)) => Some((e0, v0))
+        case _ => None
+      }, k, beam, hops, entries, seedBits)
     edgeStore.store(part, edges.select(
       col("src").as("entity_id"), col("src").as("timestamp"),
       col("dst"), lit(1L).as("modified")))
@@ -706,6 +701,91 @@ object Similarity {
       col("id").as("entity_id"), col("id").as("timestamp"),
       col("vec"), lit(1L).as("modified")))
     ()
+  }
+
+  /** One insert batch's new edge set — the shared core of the flat and
+    * layered insert loops: the batch's internal k-NN edges (nnDescent on
+    * the batch alone) plus, when an existing (edges, vectors) store
+    * state is given, the bidirectional cross links found by beam-
+    * searching it. `b` is (id, vec); `old` carries the store's
+    * (entity_id, dst) edge rows and (entity_id, vec) vector rows. */
+  private def batchEdges(
+      b: DataFrame, old: Option[(DataFrame, DataFrame)],
+      k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int): DataFrame = {
+    val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val cross = old match {
+      case Some((edges0, vecs0)) =>
+        val g = edges0.select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
+        val vOld = vecs0.select(col("entity_id").as("id"), col("vec"))
+        val found = graphSearch(b, g, vOld, "id", "vec",
+            k, beam, hops, entries, seedBits)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          .localCheckpoint()
+        found.unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
+      case None => b.limit(0).select(col("id").as("src"), col("id").as("dst"))
+    }
+    internal.unionByName(cross).distinct()
+  }
+
+  /** Layered incremental graph index — [[graphInsertBatch]] plus an
+    * incrementally-maintained COARSE graph over the [[coarseLayerNodes]]
+    * 1/denom subset, so the accumulated store can serve
+    * [[graphSearchLayered]] (round-12's stored index could only feed the
+    * flat [[graphSearch]]). The coarse layer runs the SAME insert loop —
+    * batch-internal nnDescent + beam-searched bidirectional cross links —
+    * restricted to the batch's coarse members against the stored coarse
+    * graph and the stored vectors' coarse subset (a FILTER, not a join:
+    * membership is a pure md5 function of the id, append-stable by
+    * construction), ~1/denom of the flat layer's work. Coarse edges land
+    * in `part + "__l1"` of the same edge store; vectors are stored once.
+    *
+    * Ordering contract: the coarse edge set is computed and stored
+    * BEFORE the flat insert runs, so both layers link against the store
+    * state as of the previous batch (lazy re-reads after the flat
+    * insert's partition swap would otherwise see this batch's own
+    * vectors). Search the accumulated index with [[graphSearchLayered]]
+    * over [[readGraphIndexLayered]]. */
+  def graphInsertBatchLayered(
+      edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
+      part: String, batch: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int,
+      denom: Int): Unit = {
+    require(denom >= 2, s"graphInsertBatchLayered: denom >= 2, got $denom")
+    requireIntegralId(batch, idCol, "graphInsertBatchLayered")
+    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val bC = b.filter(coarseLevelPred(col("id"), denom)).localCheckpoint()
+    if (bC.head(1).nonEmpty) {
+      val oldCoarse = (edgeStore.readPart(part + "__l1"),
+          vecStore.readPart(part)) match {
+        case (Some(e1), Some(v0)) =>
+          Some((e1, v0.filter(coarseLevelPred(col("entity_id"), denom))))
+        case _ => None
+      }
+      val coarseEdges = batchEdges(bC, oldCoarse,
+        k, beam, hops, entries, seedBits).localCheckpoint()
+      edgeStore.store(part + "__l1", coarseEdges.select(
+        col("src").as("entity_id"), col("src").as("timestamp"),
+        col("dst"), lit(1L).as("modified")))
+    }
+    graphInsertBatch(edgeStore, vecStore, part, batch, idCol, vecCol,
+      k, beam, hops, entries, seedBits)
+  }
+
+  /** The accumulated (layer-0 graph, coarse graph, vectors) view of a
+    * [[graphInsertBatchLayered]] index, in the shapes
+    * [[graphSearchLayered]] consumes. */
+  def readGraphIndexLayered(
+      edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
+      part: String): (DataFrame, DataFrame, DataFrame) = {
+    val (g0, v) = readGraphIndex(edgeStore, vecStore, part)
+    val g1 = edgeStore.readPart(part + "__l1").getOrElse(
+        throw new IllegalArgumentException(
+          s"readGraphIndexLayered: no coarse edge part '${part}__l1' — " +
+            "was the index built with graphInsertBatchLayered?"))
+      .select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
+    (g0, g1, v)
   }
 
   /** The accumulated (graph, vectors) view of a [[graphInsertBatch]]

@@ -1201,6 +1201,51 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readGraphIndex(es, vs, "g")._1.count() >= nEdges)
   }
 
+  test("graphInsertBatchLayered: stored index serves layered search, recall >= flat") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_glay_").toString
+    val es = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/e", 50, keyCols = Seq("entity_id", "dst")))
+    val vs = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/v", 50, keyCols = Seq("entity_id")))
+    def insert(b: org.apache.spark.sql.DataFrame): Unit =
+      Similarity.graphInsertBatchLayered(es, vs, "g", b, "vec_id", "embedding",
+        k = 4, beam = 8, hops = 2, entries = 3, seedBits = 3, denom = 4)
+    insert(clustered.filter(col("vec_id") < 50))
+    insert(clustered.filter(col("vec_id") >= 50))
+    val (g0, g1, v) = Similarity.readGraphIndexLayered(es, vs, "g")
+    // the coarse layer holds exactly the md5-level subset's nodes
+    val coarseIds = Similarity.coarseLayerNodes(clustered, "vec_id", 4)
+      .as[Long].collect().toSet
+    val g1Nodes = g1.select("query_id").as[Long].collect().toSet ++
+      g1.select("neighbor_id").as[Long].collect().toSet
+    assert(g1Nodes.subsetOf(coarseIds), "coarse graph has non-coarse nodes")
+    assert(g1Nodes.nonEmpty)
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val vAsEmb = v.select(col("entity_id").as("vec_id"), col("vec").as("embedding"))
+    val exact = Similarity.bruteForceTopK(queries, clustered,
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(got: Set[(Long, Long)]): Double =
+      exact.count(got.contains).toDouble / exact.size
+    val layered = recall(Similarity.graphSearchLayered(queries, g0, g1, vAsEmb,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3,
+        beam1 = 4, hops1 = 2, seedBits = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet)
+    val flat = recall(Similarity.graphSearch(queries, g0, vAsEmb,
+        "vec_id", "embedding", k = 3, beam = 8, hops = 2, entries = 3,
+        seedBits = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet)
+    // the layered entry points must not LOSE recall vs flat seeding on
+    // the same stored graph (LayeredSweep measures the eval savings)
+    assert(layered >= flat - 1e-9 && layered >= 0.6,
+      s"stored layered recall $layered vs flat $flat")
+    // idempotent replay maintains both layers
+    val n1 = g1.count()
+    insert(clustered.filter(col("vec_id") >= 50))
+    assert(Similarity.readGraphIndexLayered(es, vs, "g")._2.count() >= n1)
+  }
+
   test("OPQ permutation: true permutation, partition-invariant, spreads variance") {
     // variance-skewed fixture: dims 0..3 dominate — under identity
     // grouping all four land in subspace 0 and starve the others
