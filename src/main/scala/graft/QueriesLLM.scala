@@ -45,6 +45,46 @@ object QueriesLLM {
           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         FROM documents)"""
 
+  /** Textbook log-idf BM25 top-20 over the full corpus — shared by the
+    * fresh (q235) and stored (q236) gates, which are equivalent by the
+    * stats-reconstruct-at-query-time contract. The ln enters only the
+    * ORDER BY key (selection tier); emitted columns are exact integers. */
+  private val Bm25LogIdfOracle =
+    """WITH t AS (
+         SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x <> '')) AS tok
+         FROM documents),
+       tf AS (
+         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         FROM t GROUP BY 1, 2),
+       dl AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM t GROUP BY 1),
+       dfq AS (
+         SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM t GROUP BY 1),
+       n AS (
+         SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_toks
+         FROM t),
+       hits AS (
+         SELECT tf.doc_id, tf.tf, dl.dl,
+           CAST(floor(
+             (CAST(tf.tf AS DOUBLE) * 2.2 /
+               (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+                 0.75 * CAST(dl.dl AS DOUBLE) /
+                   (CAST(n.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))
+             * ln(1 + ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) /
+                (CAST(dfq.df AS DOUBLE) + 0.5)))
+             * 1e9) AS BIGINT) AS contrib
+         FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN n
+         WHERE tf.tok IN ('hash', 'join', 'merge'))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_toks,
+         CAST(sum(tf) AS BIGINT) AS sum_tf, CAST(max(dl) AS BIGINT) AS dl
+       FROM hits GROUP BY 1
+       ORDER BY sum(contrib) DESC, doc_id LIMIT 20"""
+
   /** DuckDB CTE producing distinct (doc_id, shingle) word 3-shingles. */
   private val ShinglesCte =
     s"""$ToksCte,
@@ -379,6 +419,35 @@ object QueriesLLM {
         d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 2L)
       TextAnalysis.bm25SearchStored(psP, psD,
         Seq("hash", "join", "merge"), topN = 20)
+    },
+    // ---- TEXTBOOK multi-term BM25 (q129's successor): rank by the
+    // summed fixed-point log-idf contribution — the standard BM25 doc
+    // order, where q129's raw-ratio weighting is only per-term
+    // rank-equivalent. ln is the selection key (q74/q195 convention);
+    // the hash-compared columns are exact integers ----
+    "q235_bm25_logidf" -> { (s, dir) =>
+      TextAnalysis.bm25SearchLog(docs(s, dir), "doc_id", "text",
+          queryToks = Seq("hash", "join", "merge"), topN = 20)
+        .drop("score_scaled")
+    },
+    // ---- stored-index textbook BM25: the log-idf ranking over the
+    // incrementally-appended postings store ≡ fresh bm25SearchLog over
+    // the union corpus (stats reconstruct at query time) ----
+    "q236_bm25_logidf_stored" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q236_")
+      val psP = new PartStore(s, PartStoreConfig(s"$work/post", 64L,
+        keyCols = Seq("tok", "doc_id")))
+      val psD = new PartStore(s, PartStoreConfig(s"$work/docs", 64L,
+        keyCols = Seq("doc_id")))
+      val d = docs(s, dir)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 1L)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 2L)
+      TextAnalysis.bm25SearchStoredLog(psP, psD,
+          Seq("hash", "join", "merge"), topN = 20)
+        .drop("score_scaled")
     },
     // ---- token co-occurrence association (PMI's ratio form): pairs
     // within a 3-token window via constant-fanout offset expansion +
@@ -3878,6 +3947,13 @@ object QueriesLLM {
            CAST(sum(contrib) AS BIGINT) AS score_scaled
          FROM hits GROUP BY 1
          ORDER BY score_scaled DESC, doc_id LIMIT 20""",
+    // Textbook log-idf BM25 (fresh and stored share one oracle: stats
+    // reconstruct at query time, so stored ≡ full-corpus): the ranking
+    // key is the summed fixed-point ln contribution — ln both engines'
+    // libm, allowed for SELECTION per the q74/q195 convention — and the
+    // hash-compared columns are exact integers.
+    "q235_bm25_logidf" -> Bm25LogIdfOracle,
+    "q236_bm25_logidf_stored" -> Bm25LogIdfOracle,
     "q228_cooccurrence" ->
       s"""WITH $ToksCte,
          t AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),

@@ -1058,8 +1058,9 @@ object TextAnalysis {
     * differently from the summed-log-idf formulation (the ratio
     * exaggerates rare-term dominance). This variant is chosen for
     * engine-exact fixed-point summation, not BM25 rank equivalence —
-    * callers needing textbook multi-term BM25 order should rank by a
-    * sum over the [[bm25]] frame's `bm25` (log-idf) column instead.
+    * callers needing textbook multi-term BM25 order use
+    * [[bm25SearchLog]] / [[bm25SearchStoredLog]], which rank by the
+    * summed fixed-point log-idf contribution.
     * The score is scaled to LONG
     * fixed-point (`floor(·1e9)`) before the per-doc sum, which makes the
     * aggregate order-independent and engine-exact (a double sum over query
@@ -1079,11 +1080,49 @@ object TextAnalysis {
     val stats = bm25(df, idCol, textCol, k1, b)
     stats.filter(col("tok").isin(queryToks: _*))
       .withColumn("contrib",
-        floor(col("tf_norm") *
-          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) * lit(1e9)).cast("long"))
+        floor(col("tf_norm") * rawIdf * lit(1e9)).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hit_toks"), sum(col("contrib")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col(idCol))
+      .limit(topN)
+  }
+
+  /** The raw Robertson idf ratio (n−df+0.5)/(df+0.5) — [[bm25Search]]'s
+    * per-term weight, rank-equivalent to log idf per term only. */
+  private def rawIdf: org.apache.spark.sql.Column =
+    (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+
+  /** TEXTBOOK log idf: ln(1 + (n−df+0.5)/(df+0.5)) (Robertson/Sparck
+    * Jones with the +1 smoothing Lucene uses, public). Selection-tier
+    * libm per the q74/q195 convention: fine as a ranking KEY, not
+    * emitted as an oracle-compared value column. */
+  private def logIdf: org.apache.spark.sql.Column = log(lit(1.0) + rawIdf)
+
+  /** Textbook multi-term BM25 retrieval: per-term contribution
+    * tf_norm · ln(1 + (n−df+0.5)/(df+0.5)), quantized to LONG
+    * fixed-point (`floor(·1e9)`) BEFORE the per-doc sum so the aggregate
+    * is order-free, then top `topN` by the summed score — unlike
+    * [[bm25Search]]'s raw-ratio weighting this IS the standard BM25
+    * document order for multi-term queries (per-term ln is monotone in
+    * the ratio, but a SUM of ratios is not rank-equivalent to a sum of
+    * logs). The ln is selection-tier (q74/q195 convention): it decides
+    * the ranking, while the emitted value columns (`n_hit_toks`,
+    * `sum_tf`, `dl`) are exact integers the oracle hash-compares;
+    * `score_scaled` rides along for spec use and callers drop it from
+    * gate output. Same scale story as [[bm25Search]]. */
+  def bm25SearchLog(
+      df: DataFrame, idCol: String, textCol: String,
+      queryToks: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25SearchLog: empty query")
+    val stats = bm25(df, idCol, textCol, k1, b)
+    stats.filter(col("tok").isin(queryToks: _*))
+      .withColumn("contrib",
+        floor(col("tf_norm") * logIdf * lit(1e9)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_toks"), sum(col("tf")).as("sum_tf"),
+        max(col("dl")).as("dl"), sum(col("contrib")).as("score_scaled"))
       .orderBy(col("score_scaled").desc, col(idCol))
       .limit(topN)
   }
@@ -1160,12 +1199,14 @@ object TextAnalysis {
     * never go stale. The postings scan partition-prunes to the query
     * tokens' crc32 cells (a token's postings all share one pindex);
     * scoring is the exact [[bm25Search]] fixed-point arithmetic. */
-  def bm25SearchStored(
+  /** Shared query side of the stored index: reconstruct corpus stats AT
+    * QUERY TIME and return the scored hit rows
+    * (doc_id, tok, tf, df, dl, n_docs, tf_norm) — partition-pruned to
+    * the query tokens' crc32 cells. */
+  private def storedHits(
       psPostings: graft.storage.PartStore,
       psDocLens: graft.storage.PartStore,
-      queryToks: Seq[String], topN: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryToks.nonEmpty, "bm25SearchStored: empty query")
+      queryToks: Seq[String], k1: Double, b: Double): DataFrame = {
     val crc = new java.util.zip.CRC32()
     val pindexes = queryToks.map { t =>
       crc.reset(); crc.update(t.getBytes("UTF-8"))
@@ -1184,12 +1225,40 @@ object TextAnalysis {
         lit(b) * col("dl").cast("double") /
           (col("__n_toks").cast("double") / col("n_docs").cast("double"))))
     hits.join(dfq, "tok").join(dls, "doc_id").crossJoin(broadcast(totals))
+      .withColumn("tf_norm", tfNorm)
+  }
+
+  def bm25SearchStored(
+      psPostings: graft.storage.PartStore,
+      psDocLens: graft.storage.PartStore,
+      queryToks: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25SearchStored: empty query")
+    storedHits(psPostings, psDocLens, queryToks, k1, b)
       .withColumn("contrib",
-        floor(tfNorm *
-          ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) * lit(1e9)).cast("long"))
+        floor(col("tf_norm") * rawIdf * lit(1e9)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_toks"), sum(col("contrib")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** [[bm25SearchLog]] over the stored index — textbook multi-term BM25
+    * ranking with query-time-reconstructed stats, byte-identical to the
+    * fresh [[bm25SearchLog]] over the union corpus after any append
+    * sequence. Same column contract as [[bm25SearchLog]]. */
+  def bm25SearchStoredLog(
+      psPostings: graft.storage.PartStore,
+      psDocLens: graft.storage.PartStore,
+      queryToks: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryToks.nonEmpty, "bm25SearchStoredLog: empty query")
+    storedHits(psPostings, psDocLens, queryToks, k1, b)
+      .withColumn("contrib",
+        floor(col("tf_norm") * logIdf * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_toks"), sum(col("tf")).as("sum_tf"),
+        max(col("dl")).as("dl"), sum(col("contrib")).as("score_scaled"))
       .orderBy(col("score_scaled").desc, col("doc_id"))
       .limit(topN)
   }

@@ -58,6 +58,39 @@ class Bm25StoredSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("log-idf ranking is textbook BM25 where the raw ratio is not") {
+    // crafted flip: doc 0 holds one ultra-rare term (df=1, ratio 6.33),
+    // docs 1..5 hold three moderately-common terms (df=5, ratio 1.0 each).
+    // All dl equal => tf_norm = 1.0 exactly. Raw-ratio scoring puts doc 0
+    // first (6.33 > 3.0); textbook summed log idf puts the multi-match
+    // docs first (3·ln 2 = 2.079 > ln 7.33 = 1.992) — the Robertson
+    // rare-term exaggeration the log variant corrects.
+    val corpus = (Seq((0L, "x f0 f0 f0")) ++
+      (1L to 5L).map(i => (i, "y1 y2 y3 f0")) ++
+      (6L to 9L).map(i => (i, "f0 f0 f0 f0"))).toDF("doc_id", "text")
+    val q = Seq("x", "y1", "y2", "y3")
+    val raw = TextAnalysis.bm25Search(corpus, "doc_id", "text", q, 10)
+      .select("doc_id").as[Long].collect().toSeq
+    val log = TextAnalysis.bm25SearchLog(corpus, "doc_id", "text", q, 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(raw.head == 0L, s"raw ratio should rank the rare-term doc first: $raw")
+    assert(log.take(5) == Seq(1L, 2L, 3L, 4L, 5L) && log(5) == 0L,
+      s"textbook order should rank the 3-term docs first: $log")
+  }
+
+  test("stored log-idf search == fresh bm25SearchLog after appends") {
+    val (p, d) = stores("log")
+    TextAnalysis.bm25IndexAppend(p, d,
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", 1L)
+    TextAnalysis.bm25IndexAppend(p, d,
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", 2L)
+    val stored = TextAnalysis.bm25SearchStoredLog(p, d, Seq("hash", "merge"), 10)
+    val fresh = TextAnalysis.bm25SearchLog(corpus, "doc_id", "text",
+      Seq("hash", "merge"), 10)
+    assert(stored.collect().map(_.toSeq).toSeq ==
+      fresh.collect().map(_.toSeq).toSeq)
+  }
+
   test("content update purges the old version's dropped-token postings") {
     val (p, d) = stores("upd")
     TextAnalysis.bm25IndexAppend(p, d, corpus, "doc_id", "text", 1L)
