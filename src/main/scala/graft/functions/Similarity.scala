@@ -2131,6 +2131,63 @@ object Similarity {
     writeIndexBatch(ps, part, permuteVectors(batch, vecCol, perm),
       idCol, vecCol, centroids, codebooks, modified)
 
+  /** Persist a dense OPQ rotation matrix ([[opqRotationPca]] /
+    * [[opqRotationNonParametric]]) — the sidecar that makes the DENSE
+    * rotation storable the way q160 made the permutation storable:
+    * without it the rotation retrains per run and any stored rotated
+    * index is unreadable next session. Lines are
+    * `row<TAB>v1,v2,...` with `Float.toString` values — Java guarantees
+    * `parseFloat(toString(f)) == f`, so the round trip is bit-exact and
+    * codes from a loaded rotation equal codes from the trained one
+    * (the [[saveSqParams]] contract). Frozen like every sidecar:
+    * re-deriving R invalidates every stored code — rebuild, don't
+    * append. */
+  def saveRotation(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rot: Seq[Seq[Float]]): Unit = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(rot.zipWithIndex.map { case (row, i) =>
+      s"$i\t${row.mkString(",")}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Inverse of [[saveRotation]]. */
+  def loadRotation(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Float]] = {
+    val fs = graft.core.HadoopFs.forPath(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(i, vs) = line.split("\t", 2)
+      i.toInt -> vs.split(",").toSeq.map(_.toFloat)
+    }.sortBy(_._1).map(_._2)
+  }
+
+  /** [[writeIndexBatchOpq]]'s dense-rotation sibling: the batch's
+    * vectors are rotated into OPQ space first, then bucketed and coded —
+    * centroids and codebooks must have been trained on ROTATED vectors
+    * (for the non-parametric pair, the codebooks
+    * [[opqRotationNonParametric]] returns, which are jointly optimized
+    * with R). Four sidecars travel with the index: [[saveRotation]],
+    * [[saveCentroids]], [[savePqCodebooks]] (+ SQ params when stacked).
+    * Retrieval rotates queries with the loaded R and runs
+    * [[ivfPqTopKStored]] entirely in rotated space (R is orthonormal,
+    * so cosines — and therefore results — match the unrotated exact
+    * rerank). */
+  def writeIndexBatchRot(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      rot: Seq[Seq[Float]],
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], modified: Long): Unit =
+    writeIndexBatch(ps, part, rotateVectors(batch, vecCol, rot),
+      idCol, vecCol, centroids, codebooks, modified)
+
   // ---- OPQ: orthogonal transforms before PQ (Ge et al. 2013, CVPR —
   // "Optimized Product Quantization", public) --------------------------
 

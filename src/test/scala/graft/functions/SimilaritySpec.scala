@@ -415,6 +415,39 @@ class SimilaritySpec extends SparkSpec {
     assert(stored == fresh)
   }
 
+  test("rotation sidecar round-trips; stored rotated batches equal fresh encode") {
+    // the dense-rotation analogue of the permutation sidecar test: R and
+    // its jointly-optimized codebooks train once, persist, and a stored
+    // index written batch-by-batch with the LOADED sidecar must equal a
+    // fresh whole-corpus rotate + encode (the frozen-sidecar contract)
+    val (rot, cbs) = Similarity.opqRotationNonParametric(
+      clustered, "vec_id", "embedding", m = 4, k = 4, dim = dim, iters = 4)
+    Similarity.saveRotation(spark, "target/tmp/rot_sidecar", rot)
+    val back = Similarity.loadRotation(spark, "target/tmp/rot_sidecar")
+    assert(back == rot) // Float.toString round-trip: parseFloat(toString(f)) == f
+    val r = Similarity.rotateVectors(clustered, "embedding", back)
+    val cents = Similarity.ivfCentroidsRefined(r, "vec_id", "embedding", 5)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig("target/tmp/rot_store", 50))
+    ps.deletePart("emb")
+    Similarity.writeIndexBatchRot(ps, "emb",
+      clustered.filter(col("vec_id") < 50), "vec_id", "embedding",
+      back, cents, cbs, modified = 1L)
+    Similarity.writeIndexBatchRot(ps, "emb",
+      clustered.filter(col("vec_id") >= 50), "vec_id", "embedding",
+      back, cents, cbs, modified = 1L)
+    val stored = ps.readPart("emb").get
+      .select(col("entity_id"), col("embedding"), col("bucket"), col("pq_code"))
+      .orderBy("entity_id").collect().map(_.toSeq).toSeq
+    val fresh = Similarity.pqEncodeArray(r, "vec_id", "embedding", cbs)
+      .join(r, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+        col("pq_code"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(stored == fresh)
+  }
+
   test("incremental IVF: batches bucket at write time, retrieval spans them") {
     // the full growing-corpus loop: codebook trained once and persisted,
     // each ingest batch computes its OWN bucket with the loaded codebook,
