@@ -1469,6 +1469,55 @@ object QueriesLLM {
         .select("view_id", "click_id", "v_sec", "c_sec")
         .orderBy("view_id", "click_id")
     },
+    // ---- streaming AS-OF join gate (latest-at-or-before feature
+    // attachment, q138's shape on a live stream): closed-hour stats
+    // stream alongside the click stream; each click attaches the newest
+    // available hour within 2 h. Two time-split batches per side (the
+    // q193/q230 event-time-ordered contract buys O(1) per-key state);
+    // oracle = DuckDB ASOF LEFT JOIN over the same capped slice ----
+    "q237_stream_asof" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = load(s, dir, "events").select(col("event_id"), col("user_id"),
+        graft.Tables.epochSec(col("ts")).as("sec"), col("event_type"))
+      val base = ev
+        .withColumn("__h", md5(concat(lit("saj:"), col("event_id").cast("string"))))
+        .orderBy("__h", "event_id").limit(4096)
+        .select("event_id", "user_id", "sec", "event_type")
+        .localCheckpoint()
+      val rights = base.groupBy(col("user_id"),
+          ((col("sec") - pmod(col("sec"), lit(3600L))) + 3600L).as("avail_sec"))
+        .agg(count(lit(1)).as("hr_events"))
+        .select("user_id", "avail_sec", "hr_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lefts = base.filter(col("event_type") === "click")
+        .select("user_id", "sec", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val allTs = lefts.map(_._2) ++ rights.map(_._2)
+      val mid = (allTs.min + allTs.max) / 2
+      // ONE tagged source (side 0 = hourly feature, 1 = click): both row
+      // kinds of a time window share each micro-batch — the co-delivery
+      // the operator's contract requires
+      val tagged = lefts.map { case (u, sec, id) => (u, sec, 1L, id) } ++
+        rights.map { case (u, avail, ev) => (u, avail, 0L, ev) }
+      val mem = MemoryStream[(Long, Long, Long, Long)]
+      val joined = graft.streaming.StreamingRollup.streamAsofJoinTagged(
+        mem.toDS(), tolerance = Some(7200L))
+      val q = joined.toDF()
+        .writeStream.format("memory").queryName("q237_saj")
+        .outputMode("append").start()
+      try {
+        mem.addData(tagged.filter(_._2 < mid).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(tagged.filter(_._2 >= mid).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q237_saj")
+        .select(col("entity_id"), col("l_ord"), col("l_ts"),
+          col("asof_ts"), col("r_val"))
+        .orderBy("entity_id", "l_ts", "l_ord")
+    },
     // ---- streaming windowed rollup gate (SURVEY I1/I3's watermarked
     // tumbling-window aggregation, Append mode): the md5-capped slice
     // replays in two TIME-SPLIT batches — lateness 0 is sound because a
@@ -6603,6 +6652,35 @@ object QueriesLLM {
          FROM v JOIN c USING (user_id)
          WHERE c_sec >= v_sec AND c_sec <= v_sec + 7200
          ORDER BY view_id, click_id""",
+    // Batch equivalence for the streaming as-of join: DuckDB's native
+    // ASOF LEFT JOIN (an independent algorithm, the q122/q138
+    // convention) over the same md5-capped slice, tolerance-masked.
+    "q237_stream_asof" ->
+      """WITH ev AS (
+           SELECT event_id, user_id,
+             (epoch_ns(ts)//1000000000) AS sec, event_type
+           FROM events),
+         base AS (
+           SELECT event_id, user_id, sec, event_type FROM ev
+           ORDER BY md5('saj:' || CAST(event_id AS VARCHAR)), event_id
+           LIMIT 4096),
+         hourly AS (
+           SELECT user_id, (sec//3600)*3600 + 3600 AS avail_sec,
+             count(*) AS hr_events
+           FROM base GROUP BY 1, 2),
+         lefts AS (
+           SELECT user_id, event_id, sec FROM base
+           WHERE event_type = 'click'),
+         j AS (
+           SELECT l.user_id, l.event_id, l.sec, h.avail_sec, h.hr_events
+           FROM lefts l ASOF LEFT JOIN hourly h
+             ON l.user_id = h.user_id AND l.sec >= h.avail_sec)
+         SELECT user_id AS entity_id, event_id AS l_ord, sec AS l_ts,
+           CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+             THEN avail_sec END AS asof_ts,
+           CASE WHEN avail_sec IS NOT NULL AND sec - avail_sec <= 7200
+             THEN hr_events END AS r_val
+         FROM j ORDER BY entity_id, l_ts, l_ord""",
     // Batch-reprocessing equivalence for the streaming windowed rollup:
     // per-(entity, hour-end) fixed-point sums over the same capped slice.
     "q171_streaming_rollup" ->

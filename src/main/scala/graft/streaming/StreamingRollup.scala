@@ -16,6 +16,12 @@ final case class FunnelHit(entity_id: Long, times: Seq[Long])
 
 final case class CusumAlarm(entity_id: Long, ord: Long, cusum: Long)
 
+/** A left row with its latest-at-or-before right match attached (None
+  * when no match survives), emitted by [[StreamingRollup.streamAsofJoin]]. */
+final case class AsofAttached(
+    entity_id: Long, l_ord: Long, l_ts: Long,
+    asof_ts: Option[Long], r_val: Option[Long])
+
 /** Structured Streaming equivalents of the reference's micro-batch
   * incremental loop (SURVEY §2 I1-I6).
   *
@@ -247,6 +253,90 @@ object StreamingRollup {
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"interval $windowSeconds seconds"))
+  }
+
+  /** Streaming as-of join: each left row attaches the LATEST right row
+    * with the same key whose event time is at-or-before the left's —
+    * feature attachment on a live stream (price-at-trade, last-closed-
+    * hour stats at event time), the latest-at-or-before shape
+    * [[streamIntervalJoin]]'s range condition cannot express (a range
+    * join emits ALL matches in the window; as-of emits exactly the
+    * newest). Batch equivalent: `TemporalOps.asofJoinNative` — the q237
+    * gate and `StreamingRollupSpec` hold the two to the same rows over a
+    * replayed slice.
+    *
+    * Why not a stream-stream join + per-left max aggregate: Spark would
+    * buffer every in-horizon right per key AND delay emission to window
+    * finalization. Here state is O(1) PER KEY — exactly the newest
+    * right (ts, value) — the same two-long trick as the native batch
+    * exec's merge and [[cusumDetect]]'s closed form, and left rows emit
+    * in their own micro-batch. The contract that buys O(1) state is the
+    * established q193/q230 one: micro-batches arrive in event-time
+    * order (any order WITHIN a batch — rows are processed in (ts, side)
+    * order, rights before lefts at equal ts, so an exactly-simultaneous
+    * feature is visible, matching the batch operator's equality-
+    * inclusive match). Right rows must be unique per (key, ts) — the
+    * same determinism precondition the batch oracle needs.
+    * `tolerance` masks matches older than the given gap (the match is
+    * still ONLY the latest right — an older in-tolerance right never
+    * substitutes, exactly like the batch form).
+    *
+    * CO-DELIVERY caveat: with two physically separate sources Spark may
+    * pull one logical round's sides in SEPARATE micro-batches (left
+    * batch first → its rows emit before the same round's rights are
+    * seen). The contract therefore requires the two sides of a time
+    * window to arrive in the SAME micro-batch — in practice one tagged
+    * source (a single bus carrying both row kinds), which is what
+    * [[streamAsofJoinTagged]] takes and the q237 replay drives. This
+    * two-frame convenience wrapper is for aligned sources only. */
+  def streamAsofJoin(
+      left: DataFrame, leftKey: String, leftTs: String, leftOrd: String,
+      right: DataFrame, rightKey: String, rightTs: String, rightVal: String,
+      tolerance: Option[Long] = None): Dataset[AsofAttached] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    // tagged union: (key, ts, side, payload) — side 0 = right so it
+    // sorts before a left row at the same ts
+    val l = left.select(col(leftKey).cast("long"), col(leftTs).cast("long"),
+        lit(1L), col(leftOrd).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    val r = right.select(col(rightKey).cast("long"), col(rightTs).cast("long"),
+        lit(0L), col(rightVal).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    streamAsofJoinTagged(l.union(r), tolerance)
+  }
+
+  /** [[streamAsofJoin]] on a pre-tagged single stream of
+    * (key, ts, side, payload) rows — side 0 = right (payload = value),
+    * side 1 = left (payload = the left row's id). One source means one
+    * micro-batch per logical round, which is what makes the in-batch
+    * (ts, side) sort a total order over each round's rows. */
+  def streamAsofJoinTagged(
+      tagged: Dataset[(Long, Long, Long, Long)],
+      tolerance: Option[Long] = None): Dataset[AsofAttached] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), AsofAttached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Long)]) =>
+          var latest = state.getOption // newest right (ts, val) so far
+          val out = Seq.newBuilder[AsofAttached]
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach {
+            case (_, ts, 0L, v) =>
+              if (latest.forall(_._1 <= ts)) latest = Some((ts, v))
+            case (_, ts, _, ordId) =>
+              // rts <= ts is implied by ordered delivery + in-batch sort;
+              // kept as a guard so a contract violation (a future right
+              // already in state) degrades to an honest null, never a
+              // leaked future feature
+              val m = latest.filter { case (rts, _) =>
+                rts <= ts && tolerance.forall(t => ts - rts <= t) }
+              out += AsofAttached(key, ordId, ts, m.map(_._1), m.map(_._2))
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Streaming ingest into a trend part (the streaming analogue of the

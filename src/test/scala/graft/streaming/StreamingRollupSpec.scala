@@ -89,6 +89,48 @@ class StreamingRollupSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 8L), (5L, 18L)))
   }
 
+  test("streamAsofJoin == asofJoinNative over a time-ordered replay") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // two keys, rights and lefts interleaved; gaps straddle the
+    // tolerance; one left precedes any right (null); one left lands
+    // exactly on a right's ts (equality-inclusive match)
+    val rights = Seq((1L, 100L, 10L), (1L, 300L, 30L), (1L, 900L, 90L),
+      (2L, 200L, 20L), (2L, 800L, 80L))
+    val lefts = Seq((1L, 50L, 1L), (1L, 100L, 2L), (1L, 350L, 3L),
+      (1L, 950L, 4L), (2L, 250L, 5L), (2L, 790L, 6L), (2L, 1600L, 7L))
+    val tol = Some(500L)
+    val tagged = lefts.map { case (k, t, id) => (k, t, 1L, id) } ++
+      rights.map { case (k, t, v) => (k, t, 0L, v) }
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val joined = StreamingRollup.streamAsofJoinTagged(mem.toDS(), tol)
+    val q = joined.toDF().writeStream.format("memory")
+      .queryName("saj_sink").outputMode("append").start()
+    try {
+      mem.addData(tagged.filter(_._2 < 500L): _*) // state crosses batches
+      q.processAllAvailable()
+      mem.addData(tagged.filter(_._2 >= 500L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("saj_sink")
+      .orderBy("entity_id", "l_ts", "l_ord")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TemporalOps.asofJoinNative(
+        lefts.toDF("entity_id", "l_ts", "l_ord"),
+        rights.toDF("entity_id", "r_ts", "r_val"),
+        Seq("entity_id"), "l_ts", "r_ts", tolerance = tol)
+      .select("entity_id", "l_ord", "l_ts", "asof_ts", "r_val")
+      .orderBy("entity_id", "l_ts", "l_ord")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batch)
+    // spot-check the fixture exercises all three outcomes
+    val byOrd = spark.table("saj_sink").collect()
+      .map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(byOrd(1L).isEmpty)   // left before any right
+    assert(byOrd(2L).contains(100L)) // simultaneous right visible
+    assert(byOrd(7L).isEmpty)   // latest right outside tolerance
+  }
+
   test("streaming trend sink merges micro-batches through the staged store") {
     implicit val sc = spark.sqlContext
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
