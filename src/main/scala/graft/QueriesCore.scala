@@ -1593,6 +1593,82 @@ object QueriesCore {
           Seq("p50" -> 0.5, "p90" -> 0.9), p = 5)
         .orderBy("stage")
     },
+    // ---- I1-I6 CAPSTONE: the live-monitor loop end-to-end, twice —
+    // ingest batch → trend store (staged swap) → modified log →
+    // fingerprint staleness → materialize ONLY stale hours → trigger →
+    // typed notification store (PK dedup, last created wins). Mirrors
+    // the reference's poll loop (live_monitor.py:40-45 process modified
+    // log → materialize; trigger/trigger.py:158-172 notifications).
+    // Round 2 adds the tail of the timeline PLUS a sparse late trickle
+    // into already-materialized hours, so staleness selection really
+    // decides what re-materializes; a round-1 notification whose hour
+    // never goes stale again survives with created=1 (notifications are
+    // events, they don't retract), a re-fired hour upserts to created=2.
+    // Oracle replays the two-round chain as set algebra ----
+    "q238_live_monitor" -> { (s, dir) =>
+      import graft.model.AttributeDef
+      import graft.core.MinervaType
+      import graft.storage.{NotificationStore, PartStore, PartStoreConfig}
+      val base = java.nio.file.Files.createTempDirectory("graft_q238").toString
+      val e = events(s, dir).select(
+          col("user_id").as("entity_id"), col("ts_sec"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("hr", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+      val isRound2 = col("ts_sec") >= 1705276800L ||
+        pmod(col("event_id"), lit(97)) === 0
+      val raw = new PartStore(s,
+        PartStoreConfig(s"$base/raw", 86400L, keyCols = Seq("event_id")))
+      val ns = new NotificationStore(s, s"$base/notif", Seq(
+        AttributeDef("weight", MinervaType.MInteger),
+        AttributeDef("details", MinervaType.MText),
+        AttributeDef("samples", MinervaType.MInteger)))
+      var processedFp: DataFrame = null
+      def monitorRound(batch: DataFrame, round: Long): Unit = {
+        // 1. ingest: staged-swap keyed merge + modified-log entries
+        raw.store("t", batch.select(col("event_id"), col("entity_id"),
+          col("ts_sec").as("timestamp"), col("cents"))
+          .withColumn("modified", lit(round)))
+        raw.markModified("t",
+          batch.select(col("hr").as("timestamp")).distinct(), nowSec = round)
+        // 2. staleness: fingerprint the folded log, diff vs processed
+        val state = Materialization.modifiedState(
+          raw.readModifiedLog().get, Seq("timestamp", "part"), "modified")
+        val srcFp = Materialization
+          .fingerprint(state, "timestamp", "part", "last_modified")
+          .localCheckpoint()
+        val stale =
+          if (processedFp == null) srcFp
+          else Materialization.staleChunks(srcFp, processedFp, "timestamp")
+        // 3. materialize ONLY stale hours from the accumulated store
+        val agg = raw.readPart("t").get
+          .withColumn("hr", col("timestamp") - pmod(col("timestamp"), lit(3600L)))
+          .join(stale.select(col("timestamp").as("hr")), Seq("hr"), "left_semi")
+          .groupBy("entity_id", "hr")
+          .agg(count(lit(1)).as("samples"), max(col("cents")).as("max_cents"))
+        // 4. trigger over the fresh materialization, into the typed store
+        val notifs = TriggerOps.createNotifications(
+          agg.select(col("entity_id"), col("hr").as("timestamp"),
+            col("samples"), col("max_cents")),
+          TriggerRule(
+            name = "user/1h/highmax",
+            thresholds = Map("max_thr" -> 4500.0),
+            condition = "max_cents > max_thr",
+            weight = "CASE WHEN max_cents > 4800 THEN 10 " +
+              "WHEN max_cents > 4650 THEN 5 ELSE 1 END",
+            details = concat(lit("HighMax: user "),
+              col("entity_id").cast("string"),
+              lit(" cents "), col("max_cents").cast("string"))),
+          extras = Seq(col("samples")))
+        ns.store(notifs, nowSec = round)
+        processedFp = srcFp // everything stale was materialized
+      }
+      monitorRound(e.filter(!isRound2), 1L)
+      monitorRound(e.filter(isRound2), 2L)
+      ns.read().get
+        .select(col("entity_id"), col("timestamp"), col("rule"),
+          col("weight"), col("details"), col("samples"), col("created"))
+        .orderBy("entity_id", "timestamp")
+    },
     // ---- bucketed co-located join: both fact tables written
     // bucketBy(8, orderkey) + sortBy into the session catalog, so the
     // orders⋈lineitem SortMergeJoin reads pre-bucketed, pre-sorted
@@ -2791,6 +2867,57 @@ object QueriesCore {
                << greatest(b90 // 32 - 1, 0))
                + (CAST(1 AS BIGINT) << greatest(b90 // 32 - 1, 0)) - 1 AS p90_hi
            FROM q ORDER BY stage""",
+      // The live-monitor chain as set algebra: round-1 trigger rows over
+      // the round-1-only rollup; round-2 trigger rows over the FULL
+      // rollup of exactly the hours round 2 touched (= the fingerprint-
+      // stale set: a new modified-log entry changes an hour's
+      // fingerprint iff the hour appears in the round-2 batch); final
+      // store = round-2 rows ∪ surviving round-1 rows (PK last-wins).
+      "q238_live_monitor" ->
+        s"""WITH ev AS (
+             SELECT user_id AS entity_id, $ts AS sec, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           e2 AS (
+             SELECT entity_id, sec, event_id, cents,
+               sec - sec % 3600 AS hr,
+               (sec >= 1705276800 OR event_id % 97 = 0) AS is2
+             FROM ev),
+           agg1 AS (
+             SELECT entity_id, hr, CAST(count(*) AS INTEGER) AS samples,
+               max(cents) AS max_cents
+             FROM e2 WHERE NOT is2 GROUP BY 1, 2),
+           stale2 AS (SELECT DISTINCT hr FROM e2 WHERE is2),
+           agg2 AS (
+             SELECT entity_id, hr, CAST(count(*) AS INTEGER) AS samples,
+               max(cents) AS max_cents
+             FROM e2 JOIN stale2 USING (hr) GROUP BY 1, 2),
+           n1 AS (
+             SELECT entity_id, hr AS "timestamp",
+               'user/1h/highmax' AS rule,
+               CAST(CASE WHEN max_cents > 4800 THEN 10
+                 WHEN max_cents > 4650 THEN 5 ELSE 1 END AS INTEGER) AS weight,
+               'HighMax: user ' || CAST(entity_id AS VARCHAR) ||
+                 ' cents ' || CAST(max_cents AS VARCHAR) AS details,
+               samples, CAST(1 AS BIGINT) AS created
+             FROM agg1 WHERE max_cents > 4500),
+           n2 AS (
+             SELECT entity_id, hr AS "timestamp",
+               'user/1h/highmax' AS rule,
+               CAST(CASE WHEN max_cents > 4800 THEN 10
+                 WHEN max_cents > 4650 THEN 5 ELSE 1 END AS INTEGER) AS weight,
+               'HighMax: user ' || CAST(entity_id AS VARCHAR) ||
+                 ' cents ' || CAST(max_cents AS VARCHAR) AS details,
+               samples, CAST(2 AS BIGINT) AS created
+             FROM agg2 WHERE max_cents > 4500)
+           SELECT * FROM n2
+           UNION ALL
+           SELECT * FROM n1
+           WHERE NOT EXISTS (
+             SELECT 1 FROM n2
+             WHERE n2.entity_id = n1.entity_id
+               AND n2."timestamp" = n1."timestamp" AND n2.rule = n1.rule)
+           ORDER BY entity_id, "timestamp"""",
       "q185_bucketed_join" ->
         """SELECT o_orderpriority, count(*) AS n_items,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
