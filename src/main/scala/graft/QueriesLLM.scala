@@ -587,6 +587,33 @@ object QueriesLLM {
           seedBits = 4)
         .orderBy("query_id", "rank")
     },
+    // ---- graph-store degree compaction (the HNSW M-prune, bulk form):
+    // q194's insert schedule grows hot nodes' degrees through reverse
+    // links; compaction prunes every node to its top-4 out-edges by
+    // exact cosine inside the store rewrite, then retrieval runs over
+    // the pruned store. Oracle = q194's replay + one prune CTE ----
+    "q239_graph_compact" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val work = tempWorkDir("graft_q239_")
+      val es = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/e", 500, keyCols = Seq("entity_id", "dst")))
+      val vs = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/v", 500, keyCols = Seq("entity_id")))
+      val hv = conv(substring(md5(concat(lit("gidx:"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      def insert(b: org.apache.spark.sql.DataFrame): Unit =
+        Similarity.graphInsertBatch(es, vs, "g", b, "vec_id", "embedding",
+          k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4)
+      insert(e.filter(hv === 0L))
+      insert(e.filter(hv === 1L))
+      Similarity.graphCompact(es, vs, "g", k = 4)
+      val (g, v) = Similarity.readGraphIndex(es, vs, "g")
+      Similarity.graphSearch(e.filter(col("vec_id") % 50 === 0), g,
+          v.select(col("entity_id").as("vec_id"), col("vec").as("embedding")),
+          "vec_id", "embedding", k = 4, beam = 8, hops = 2, entries = 4,
+          seedBits = 4)
+        .orderBy("query_id", "rank")
+    },
     // ---- LAYERED incremental graph index: q194's insert schedule with
     // the coarse 1/16 layer maintained incrementally alongside (same
     // loop, 1/denom of the work), so the ACCUMULATED store serves the
@@ -2361,6 +2388,153 @@ object QueriesLLM {
         s"(strpos('0123456789abcdef', substr(md5($sqlExpr), ${i + 1}, 1)) - 1)"
       if (mult == 1) term else s"$term * $mult"
     }.mkString("\n           + ")
+
+  /** q194/q239 shared oracle: the fixed two-batch incremental graph
+    * build replayed as chained CTEs (see the q194 entry); with `prune`
+    * the accumulated edge set additionally passes the compaction top-4
+    * cut — (cos DESC, dst) per node, mirroring Similarity.graphCompact
+    * — before the final beam search reads it. */
+  private def graphIncOracle(prune: Boolean): String = {
+    val sg = if (prune) "prd" else "eset"
+        val rankRound = (pairs: String, out: String, k: Int) =>
+          s"""s_$out AS (
+               SELECT p.q, p.nb,
+                 list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+               FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
+             $out AS MATERIALIZED (
+               SELECT q, nb FROM (
+                 SELECT q, nb,
+                   CAST(row_number() OVER (PARTITION BY q
+                     ORDER BY cos DESC, nb) AS INT) AS rank
+                 FROM s_$out)
+               WHERE rank <= $k)"""
+        val expand = (prev: String, out: String) =>
+          s"""g_$out AS (
+               SELECT q AS a, nb AS b FROM $prev
+               UNION SELECT nb, q FROM $prev),
+             h_$out AS (
+               SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
+             c_$out AS MATERIALIZED (
+               SELECT DISTINCT a AS q, b AS nb FROM (
+                 SELECT * FROM g_$out UNION SELECT * FROM h_$out)
+               WHERE a <> b)"""
+        val beamRound = (cands: String, out: String, n: Int, qcte: String) =>
+          s"""s_$out AS (
+               SELECT c.qid, c.node,
+                 list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
+               FROM $cands c
+               JOIN n nv ON c.node = nv.id
+               JOIN $qcte qv ON c.qid = qv.qid
+               WHERE c.qid <> c.node),
+             $out AS MATERIALIZED (
+               SELECT qid, node, cos, rank FROM (
+                 SELECT qid, node, cos,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, node) AS INT) AS rank
+                 FROM s_$out)
+               WHERE rank <= $n)"""
+        val hop = (prev: String, out: String, graph: String) =>
+          s"""c_$out AS MATERIALIZED (
+               SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
+               UNION SELECT qid, node FROM $prev)"""
+        // internal k-NN graph of one batch: nnDescent(k=4, iterations=1,
+        // initBits=4) restricted to the subset CTE `s` → g_$s(q, nb)
+        val knnInternal = (s: String) =>
+          s"""mk_$s AS (SELECT m.id, m.mk FROM mkr m JOIN $s USING (id)),
+             ring_$s AS (
+               SELECT id, COALESCE(
+                   lead(id) OVER (ORDER BY mk, id),
+                   first_value(id) OVER (ORDER BY mk, id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+                 AS succ
+               FROM mk_$s),
+             bkc_$s AS (
+               SELECT bk.id, bk.b FROM bk JOIN $s USING (id)
+               QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
+             p0_$s AS (
+               SELECT x.id AS q, y.id AS nb
+               FROM bkc_$s x JOIN bkc_$s y ON x.b = y.b AND x.id <> y.id
+               UNION SELECT id, succ FROM ring_$s WHERE id <> succ
+               UNION SELECT succ, id FROM ring_$s WHERE id <> succ),
+             ${rankRound(s"p0_$s", s"r0_$s", 4)},
+             ${expand(s"r0_$s", s"i1_$s")},
+             ${rankRound(s"c_i1_$s", s"g_$s", 4)}"""
+        s"""WITH v AS (
+             SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+             FROM embeddings),
+           n AS MATERIALIZED (
+             SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+           bk AS (
+             SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
+             FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+             GROUP BY 1),
+           mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
+           hvt AS (
+             SELECT id, (${md5Ladder32("'gidx:' || CAST(id AS VARCHAR)")}) % 2
+               AS h
+             FROM n),
+           b0 AS (SELECT id FROM hvt WHERE h = 0),
+           b1 AS (SELECT id FROM hvt WHERE h = 1),
+           ${knnInternal("b0")},
+           ${knnInternal("b1")},
+           qs1 AS (
+             SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
+             FROM n nn JOIN b1 USING (id)),
+           ent_x AS (SELECT id FROM mk_b0 ORDER BY mk, id LIMIT 4),
+           bent_x AS (
+             SELECT b, id AS node FROM (
+               SELECT bk.b, bk.id,
+                 CAST(row_number() OVER (PARTITION BY bk.b
+                   ORDER BY m.mk, bk.id) AS INT) AS rn
+               FROM bk JOIN b0 USING (id) JOIN mkr m ON bk.id = m.id)
+             WHERE rn <= 4),
+           qb_x AS (SELECT q.qid, bk.b FROM qs1 q JOIN bk ON q.qid = bk.id),
+           c_x0 AS (
+             SELECT q.qid, e.id AS node FROM qs1 q CROSS JOIN ent_x e
+             UNION
+             SELECT qb_x.qid, bent_x.node FROM qb_x JOIN bent_x USING (b)),
+           ${beamRound("c_x0", "x0", 8, "qs1")},
+           ${hop("x0", "x1", "g_b0")},
+           ${beamRound("c_x1", "x1", 8, "qs1")},
+           ${hop("x1", "x2", "g_b0")},
+           ${beamRound("c_x2", "x2", 8, "qs1")},
+           c_xf AS (SELECT qid, node FROM x2),
+           ${beamRound("c_xf", "xf", 4, "qs1")},
+           crossE AS (
+             SELECT qid AS q, node AS nb FROM xf
+             UNION SELECT node, qid FROM xf),
+           eset AS MATERIALIZED (
+             SELECT q, nb FROM g_b0
+             UNION SELECT q, nb FROM g_b1
+             UNION SELECT q, nb FROM crossE),
+           ${if (prune) rankRound("eset", "prd", 4) + "," else ""}
+           qsq AS (
+             SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n
+             WHERE id % 50 = 0),
+           ent AS (SELECT id FROM mkr ORDER BY mk, id LIMIT 4),
+           bent AS (
+             SELECT b, id AS node FROM (
+               SELECT bk.b, bk.id,
+                 CAST(row_number() OVER (PARTITION BY bk.b
+                   ORDER BY m.mk, bk.id) AS INT) AS rn
+               FROM bk JOIN mkr m ON bk.id = m.id)
+             WHERE rn <= 4),
+           qb AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
+           c_f0 AS (
+             SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent e
+             UNION
+             SELECT qb.qid, bent.node FROM qb JOIN bent USING (b)),
+           ${beamRound("c_f0", "f0", 8, "qsq")},
+           ${hop("f0", "f1", sg)},
+           ${beamRound("c_f1", "f1", 8, "qsq")},
+           ${hop("f1", "f2", sg)},
+           ${beamRound("c_f2", "f2", 8, "qsq")},
+           c_fin AS (SELECT qid, node FROM f2),
+           ${beamRound("c_fin", "fin", 4, "qsq")}
+           SELECT qid AS query_id, node AS neighbor_id, rank, cos
+           FROM fin ORDER BY query_id, rank"""
+  }
 
   /** 8-nibble (32-bit) md5 ladder — mirrors TextAnalysis.hashUniform. */
   private def md5Ladder32(sqlExpr: String): String =
@@ -4399,145 +4573,11 @@ object QueriesLLM {
     // neighbors, linked bidirectionally; retrieval runs the q133 beam
     // over the union edge set. Insertion-order semantics made
     // SQL-derivable BECAUSE the schedule is deterministic.
-    "q194_graph_incremental" -> {
-      val rankRound = (pairs: String, out: String, k: Int) =>
-        s"""s_$out AS (
-             SELECT p.q, p.nb,
-               list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
-             FROM $pairs p JOIN n a ON p.q = a.id JOIN n b ON p.nb = b.id),
-           $out AS MATERIALIZED (
-             SELECT q, nb FROM (
-               SELECT q, nb,
-                 CAST(row_number() OVER (PARTITION BY q
-                   ORDER BY cos DESC, nb) AS INT) AS rank
-               FROM s_$out)
-             WHERE rank <= $k)"""
-      val expand = (prev: String, out: String) =>
-        s"""g_$out AS (
-             SELECT q AS a, nb AS b FROM $prev
-             UNION SELECT nb, q FROM $prev),
-           h_$out AS (
-             SELECT g1.a, g2.b FROM g_$out g1 JOIN g_$out g2 ON g1.b = g2.a),
-           c_$out AS MATERIALIZED (
-             SELECT DISTINCT a AS q, b AS nb FROM (
-               SELECT * FROM g_$out UNION SELECT * FROM h_$out)
-             WHERE a <> b)"""
-      val beamRound = (cands: String, out: String, n: Int, qcte: String) =>
-        s"""s_$out AS (
-             SELECT c.qid, c.node,
-               list_dot_product(qv.qvec, nv.vec) / (qv.qnrm * nv.nrm) AS cos
-             FROM $cands c
-             JOIN n nv ON c.node = nv.id
-             JOIN $qcte qv ON c.qid = qv.qid
-             WHERE c.qid <> c.node),
-           $out AS MATERIALIZED (
-             SELECT qid, node, cos, rank FROM (
-               SELECT qid, node, cos,
-                 CAST(row_number() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, node) AS INT) AS rank
-               FROM s_$out)
-             WHERE rank <= $n)"""
-      val hop = (prev: String, out: String, graph: String) =>
-        s"""c_$out AS MATERIALIZED (
-             SELECT f.qid, r.nb AS node FROM $prev f JOIN $graph r ON f.node = r.q
-             UNION SELECT qid, node FROM $prev)"""
-      // internal k-NN graph of one batch: nnDescent(k=4, iterations=1,
-      // initBits=4) restricted to the subset CTE `s` → g_$s(q, nb)
-      val knnInternal = (s: String) =>
-        s"""mk_$s AS (SELECT m.id, m.mk FROM mkr m JOIN $s USING (id)),
-           ring_$s AS (
-             SELECT id, COALESCE(
-                 lead(id) OVER (ORDER BY mk, id),
-                 first_value(id) OVER (ORDER BY mk, id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-               AS succ
-             FROM mk_$s),
-           bkc_$s AS (
-             SELECT bk.id, bk.b FROM bk JOIN $s USING (id)
-             QUALIFY count(*) OVER (PARTITION BY b) <= 4096),
-           p0_$s AS (
-             SELECT x.id AS q, y.id AS nb
-             FROM bkc_$s x JOIN bkc_$s y ON x.b = y.b AND x.id <> y.id
-             UNION SELECT id, succ FROM ring_$s WHERE id <> succ
-             UNION SELECT succ, id FROM ring_$s WHERE id <> succ),
-           ${rankRound(s"p0_$s", s"r0_$s", 4)},
-           ${expand(s"r0_$s", s"i1_$s")},
-           ${rankRound(s"c_i1_$s", s"g_$s", 4)}"""
-      s"""WITH v AS (
-           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
-           FROM embeddings),
-         n AS MATERIALIZED (
-           SELECT id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
-         bk AS (
-           SELECT id, CAST(sum(CASE WHEN vec[2*b + 1] > vec[2*b + 2]
-             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS b
-           FROM n CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
-           GROUP BY 1),
-         mkr AS (SELECT id, md5(CAST(id AS VARCHAR)) AS mk FROM n),
-         hvt AS (
-           SELECT id, (${md5Ladder32("'gidx:' || CAST(id AS VARCHAR)")}) % 2
-             AS h
-           FROM n),
-         b0 AS (SELECT id FROM hvt WHERE h = 0),
-         b1 AS (SELECT id FROM hvt WHERE h = 1),
-         ${knnInternal("b0")},
-         ${knnInternal("b1")},
-         qs1 AS (
-           SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
-           FROM n nn JOIN b1 USING (id)),
-         ent_x AS (SELECT id FROM mk_b0 ORDER BY mk, id LIMIT 4),
-         bent_x AS (
-           SELECT b, id AS node FROM (
-             SELECT bk.b, bk.id,
-               CAST(row_number() OVER (PARTITION BY bk.b
-                 ORDER BY m.mk, bk.id) AS INT) AS rn
-             FROM bk JOIN b0 USING (id) JOIN mkr m ON bk.id = m.id)
-           WHERE rn <= 4),
-         qb_x AS (SELECT q.qid, bk.b FROM qs1 q JOIN bk ON q.qid = bk.id),
-         c_x0 AS (
-           SELECT q.qid, e.id AS node FROM qs1 q CROSS JOIN ent_x e
-           UNION
-           SELECT qb_x.qid, bent_x.node FROM qb_x JOIN bent_x USING (b)),
-         ${beamRound("c_x0", "x0", 8, "qs1")},
-         ${hop("x0", "x1", "g_b0")},
-         ${beamRound("c_x1", "x1", 8, "qs1")},
-         ${hop("x1", "x2", "g_b0")},
-         ${beamRound("c_x2", "x2", 8, "qs1")},
-         c_xf AS (SELECT qid, node FROM x2),
-         ${beamRound("c_xf", "xf", 4, "qs1")},
-         crossE AS (
-           SELECT qid AS q, node AS nb FROM xf
-           UNION SELECT node, qid FROM xf),
-         eset AS MATERIALIZED (
-           SELECT q, nb FROM g_b0
-           UNION SELECT q, nb FROM g_b1
-           UNION SELECT q, nb FROM crossE),
-         qsq AS (
-           SELECT id AS qid, vec AS qvec, nrm AS qnrm FROM n
-           WHERE id % 50 = 0),
-         ent AS (SELECT id FROM mkr ORDER BY mk, id LIMIT 4),
-         bent AS (
-           SELECT b, id AS node FROM (
-             SELECT bk.b, bk.id,
-               CAST(row_number() OVER (PARTITION BY bk.b
-                 ORDER BY m.mk, bk.id) AS INT) AS rn
-             FROM bk JOIN mkr m ON bk.id = m.id)
-           WHERE rn <= 4),
-         qb AS (SELECT q.qid, bk.b FROM qsq q JOIN bk ON q.qid = bk.id),
-         c_f0 AS (
-           SELECT q.qid, e.id AS node FROM qsq q CROSS JOIN ent e
-           UNION
-           SELECT qb.qid, bent.node FROM qb JOIN bent USING (b)),
-         ${beamRound("c_f0", "f0", 8, "qsq")},
-         ${hop("f0", "f1", "eset")},
-         ${beamRound("c_f1", "f1", 8, "qsq")},
-         ${hop("f1", "f2", "eset")},
-         ${beamRound("c_f2", "f2", 8, "qsq")},
-         c_fin AS (SELECT qid, node FROM f2),
-         ${beamRound("c_fin", "fin", 4, "qsq")}
-         SELECT qid AS query_id, node AS neighbor_id, rank, cos
-         FROM fin ORDER BY query_id, rank"""
-    },
+    "q194_graph_incremental" -> graphIncOracle(prune = false),
+    // Degree compaction: the identical replay plus ONE prune CTE -
+    // every node's out-edges cut to its top-4 by (cos DESC, dst) -
+    // feeding the same final beam search over the pruned edge set.
+    "q239_graph_compact" -> graphIncOracle(prune = true),
     // Layered incremental graph index: the q194 replay for the flat
     // layer, the SAME replay restricted to the coarse 1/16 members for
     // the layer-1 edge set, then the q161 two-layer walk (coarse beam-4

@@ -788,6 +788,45 @@ object Similarity {
     (g0, g1, v)
   }
 
+  /** Degree compaction for the incremental graph store — the HNSW
+    * M-prune applied in bulk (Malkov & Yashunin 2016 §4 keep the best M
+    * links per node; the insert loop here documents that reverse-link
+    * accrual grows hot nodes' degree and search cost per hop scales
+    * with degree). Every node's out-edges are pruned to its top `k` by
+    * exact cosine, (cos DESC, dst) tie-break, computed INSIDE the store
+    * rewrite so kept rows preserve their partition assignment (pruning
+    * only deletes rows). Cost: one scored pass over the edge set + the
+    * staged partition-swap rewrite — O(|edges|), run occasionally after
+    * many insert batches, exactly like any LSM-style maintenance. The
+    * per-node ranking is a KEYED window bounded by that node's degree —
+    * the quantity compaction exists to bound. Deterministic, so the
+    * q239 oracle replays insert schedule + prune + search end-to-end.
+    * Returns the number of partitions rewritten. */
+  def graphCompact(
+      edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
+      part: String, k: Int): Int = {
+    require(k >= 1, s"graphCompact: k >= 1, got $k")
+    val vecs = vecStore.readPart(part).getOrElse(
+        throw new IllegalArgumentException(s"graphCompact: no vector part '$part'"))
+      .select(col("entity_id").as("__vid"), col("vec"), norm(col("vec")).as("__nrm"))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    edgeStore.rewritePart(part, { edges =>
+      val w = Window.partitionBy("entity_id")
+        .orderBy(col("__cos").desc, col("dst"))
+      edges
+        .join(vecs.select(col("__vid"), col("vec").as("__sv"),
+          col("__nrm").as("__sn")), col("entity_id") === col("__vid"))
+        .drop("__vid")
+        .join(vecs.select(col("__vid"), col("vec").as("__dv"),
+          col("__nrm").as("__dn")), col("dst") === col("__vid"))
+        .withColumn("__cos", dot(col("__sv"), col("__dv")) / (col("__sn") * col("__dn")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .drop("__vid", "__sv", "__sn", "__dv", "__dn", "__cos", "__rk")
+    })
+  }
+
   /** The accumulated (graph, vectors) view of a [[graphInsertBatch]]
     * index, in the shapes [[graphSearch]] consumes. */
   def readGraphIndex(

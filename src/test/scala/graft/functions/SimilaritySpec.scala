@@ -1234,6 +1234,45 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.readGraphIndex(es, vs, "g")._1.count() >= nEdges)
   }
 
+  test("graphCompact prunes every node to its exact top-k by cosine") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_gcmp_").toString
+    val es = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/e", 50, keyCols = Seq("entity_id", "dst")))
+    val vs = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/v", 50, keyCols = Seq("entity_id")))
+    def insert(b: org.apache.spark.sql.DataFrame): Unit =
+      Similarity.graphInsertBatch(es, vs, "g", b, "vec_id", "embedding",
+        k = 4, beam = 8, hops = 2, entries = 3, seedBits = 3)
+    insert(clustered.filter(col("vec_id") < 50))
+    insert(clustered.filter(col("vec_id") >= 50))
+    val before = Similarity.readGraphIndex(es, vs, "g")._1
+      .as[(Long, Long)].collect().toSet
+    val maxDegBefore = before.groupBy(_._1).values.map(_.size).max
+    assert(maxDegBefore > 4, s"fixture never accrued degree > 4 ($maxDegBefore)")
+    Similarity.graphCompact(es, vs, "g", k = 4)
+    val (g, v) = Similarity.readGraphIndex(es, vs, "g")
+    val after = g.as[(Long, Long)].collect().toSet
+    val vecs = v.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosD(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    // kept edges per node == the top-4 of that node's PRE-compaction
+    // neighbors under the exact (cos desc, dst) order
+    before.groupBy(_._1).foreach { case (src, es0) =>
+      val want = es0.toSeq.map(_._2)
+        .sortBy(dst => (-cosD(vecs(src), vecs(dst)), dst)).take(4).toSet
+      val got = after.filter(_._1 == src).map(_._2)
+      assert(got == want, s"node $src kept $got, expected $want")
+    }
+    // idempotent: a second compaction changes nothing
+    Similarity.graphCompact(es, vs, "g", k = 4)
+    assert(Similarity.readGraphIndex(es, vs, "g")._1
+      .as[(Long, Long)].collect().toSet == after)
+  }
+
   test("graphInsertBatchLayered: stored index serves layered search, recall >= flat") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_glay_").toString
