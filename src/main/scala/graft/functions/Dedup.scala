@@ -202,11 +202,20 @@ object Dedup {
     * Scale shape: one distinct-token pass, one corpus-frequency
     * aggregate joined back, per-doc prefix via sorted bounded
     * collect_list (array ≤ doc length — no window), candidate equi-join
-    * on prefix tokens, and a verify join bounded by candidates × doc
-    * length. Skew = a frequent token landing in prefixes; rarity
-    * ordering makes prefix tokens the RAREST ones, which is the
-    * algorithm's own skew defense. Output: (id1, id2, n1, n2, inter,
-    * jac), id1 < id2. */
+    * on prefix tokens with PPJoin's LENGTH filter (τ·max(n₁,n₂) ≤
+    * min(n₁,n₂), integer form) and POSITIONAL filter (the first shared
+    * token at 0-based sorted positions (p₁, p₂) bounds the overlap by
+    * 1 + min(n₁−p₁−1, n₂−p₂−1); a qualifying pair's first common token
+    * lies inside both prefixes, so keeping pairs where ANY shared
+    * prefix token passes is complete) applied AT the join — both are
+    * exact, so they change candidate count only, never the pair set.
+    * The verify join is bounded by candidates × doc length. Skew = a
+    * frequent token landing in prefixes; rarity ordering makes prefix
+    * tokens the RAREST ones, which is the algorithm's own skew defense
+    * — and under a degenerate tiny vocabulary where NO token is rare
+    * (the scale rung's stress), the length+positional filters are what
+    * keep the candidate tier from touching every co-bucketed pair.
+    * Output: (id1, id2, n1, n2, inter, jac), id1 < id2. */
   def setSimilarityJoin(
       df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int): DataFrame = {
@@ -226,13 +235,12 @@ object Dedup {
       .agg(array_sort(collect_list(struct(
         col("__f"), md5(col("tok")).as("__h"), col("tok")))).as("__a"))
       .join(sz, "__id")
-      .select(col("__id"), explode(slice(col("__a"), lit(1),
-        prefLen.cast("int"))).as("__p"))
-      .select(col("__id"), col("__p.tok").as("tok"))
-    val cand = pref.select(col("__id").as("id1"), col("tok"))
-      .join(pref.select(col("__id").as("id2"), col("tok")), "tok")
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select(col("__id"), col("__n"), posexplode(slice(col("__a"), lit(1),
+        prefLen.cast("int"))).as(Seq("__pos", "__p")))
+      .select(col("__id"), col("__p.tok").as("tok"), col("__pos"), col("__n"))
+    val cand = candidatePairs(pref, pref.withColumnRenamed("__id", "__id2")
+        .withColumnRenamed("__pos", "__pos2").withColumnRenamed("__n", "__n2"),
+      tauNum, tauDen)
     val inter = cand
       .join(t.select(col("__id").as("id1"), col("tok")), "id1")
       .join(t.select(col("__id").as("id2"), col("tok")), Seq("id2", "tok"))
@@ -246,6 +254,30 @@ object Dedup {
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
   }
+
+  /** Candidate pairs from two prefix-entry frames — the shared PPJoin
+    * candidate tier of [[setSimilarityJoin]] and [[setSimJoinIncremental]].
+    * `left` carries (__id, tok, __pos, __n), `right` the same renamed
+    * (__id2, __pos2, __n2); equi-join on tok, then the exact LENGTH
+    * filter (τ·max(n₁,n₂) ≤ min(n₁,n₂) in integers) and POSITIONAL
+    * filter (overlap ubound 1 + min(n₁−p₁−1, n₂−p₂−1) must still reach
+    * ⌈τ/(1+τ)·(n₁+n₂)⌉; a qualifying pair's FIRST common token is in
+    * both prefixes and passes, so any-token-passes keeps completeness),
+    * normalized to id1 < id2 and deduped. Both filters are exact — they
+    * shrink the candidate tier, never the verified pair set. */
+  private def candidatePairs(
+      left: DataFrame, right: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame =
+    left.join(right, "tok")
+      .filter(col("__id") =!= col("__id2"))
+      .filter(col("__n") * tauNum <= col("__n2") * tauDen &&
+        col("__n2") * tauNum <= col("__n") * tauDen)
+      .filter((lit(1) + least(col("__n") - col("__pos") - 1,
+          col("__n2") - col("__pos2") - 1)) * (tauDen + tauNum) >=
+        lit(tauNum) * (col("__n") + col("__n2")))
+      .select(least(col("__id"), col("__id2")).as("id1"),
+        greatest(col("__id"), col("__id2")).as("id2"))
+      .distinct()
 
   /** Incremental [[setSimilarityJoin]] — the exact tier's append-only
     * path: per batch, new docs' prefixes join the PERSISTED prefix index
@@ -304,21 +336,21 @@ object Dedup {
       .agg(array_sort(collect_list(struct(
         col("__f"), md5(col("tok")).as("__h"), col("tok")))).as("__a"))
       .join(sz, "__id")
-      .select(col("__id"), explode(slice(col("__a"), lit(1),
-        prefLen.cast("int"))).as("__p"))
-      .select(col("__id"), col("__p.tok").as("tok"))
+      .select(col("__id"), col("__n"), posexplode(slice(col("__a"), lit(1),
+        prefLen.cast("int"))).as(Seq("__pos", "__p")))
+      .select(col("__id"), col("__p.tok").as("tok"), col("__pos"), col("__n"))
       .localCheckpoint()
+    def asRight(p: DataFrame): DataFrame = p
+      .withColumnRenamed("__id", "__id2")
+      .withColumnRenamed("__pos", "__pos2")
+      .withColumnRenamed("__n", "__n2")
     val oldPref = prefStore.readPart(part) match {
-      case Some(p) => p.select(col("entity_id").as("__oid"), col("tok"))
-      case None    => pref.limit(0).select(col("__id").as("__oid"), col("tok"))
+      case Some(p) => p.select(col("entity_id").as("__id2"), col("tok"),
+        col("pos").as("__pos2"), col("n").as("__n2"))
+      case None    => asRight(pref.limit(0))
     }
-    val candNew = pref.select(col("__id").as("id1"), col("tok"))
-      .join(pref.select(col("__id").as("id2"), col("tok")), "tok")
-      .filter(col("id1") < col("id2")).select("id1", "id2")
-    val candCross = pref.select(col("__id").as("__nid"), col("tok"))
-      .join(oldPref, "tok")
-      .select(least(col("__nid"), col("__oid")).as("id1"),
-        greatest(col("__nid"), col("__oid")).as("id2"))
+    val candNew = candidatePairs(pref, asRight(pref), tauNum, tauDen)
+    val candCross = candidatePairs(pref, oldPref, tauNum, tauDen)
     val cand = candNew.unionByName(candCross).distinct().localCheckpoint()
     val oldToks = tokStore.readPart(part) match {
       case Some(tk) => tk.select(col("entity_id").as("__id"), col("tok"))
@@ -346,8 +378,12 @@ object Dedup {
       .localCheckpoint()
     tokStore.store(part, t.select(col("__id").as("entity_id"),
       col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
+    // prefix store v2: entries carry their sorted position and doc size
+    // so the cross-batch candidate join can run the length + positional
+    // filters without touching the token store
     prefStore.store(part, pref.select(col("__id").as("entity_id"),
-      col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
+      col("__id").as("timestamp"), col("tok"), col("__pos").as("pos"),
+      col("__n").as("n"), lit(1L).as("modified")))
     out
   }
 

@@ -38,7 +38,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q223_k_anonymity",       // one grouped count
     "q225_quarantine",        // single-pass audited read + two aggregates
     "q228_cooccurrence",      // offset-expand equi-join, no range window
-    "q232_trend_slope")       // one map-side moment aggregate
+    "q232_trend_slope",       // one map-side moment aggregate
+    "q235_bm25_logidf",       // aggregates + TakeOrdered, no rank window
+    "q236_bm25_logidf_stored") // same shapes over the pruned store scan
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
@@ -75,7 +77,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q221_cusum" -> "user_id",            // per-user prefix scans
     "q224_locf_gapfill" -> "user_id",     // per-user LOCF over 120 buckets
     "q227_time_weighted_avg" -> "user_id", // per-user interval lead
-    "q233_funnel_latency" -> "stage")      // cumsum over sketch rows
+    "q233_funnel_latency" -> "stage",      // cumsum over sketch rows
+    "q238_live_monitor" -> "entity_id")    // notification PK dedup window
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
