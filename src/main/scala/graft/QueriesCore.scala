@@ -1735,6 +1735,85 @@ object QueriesCore {
           e.select("user_id", "event_id", "ts_sec", "cents"),
           Seq("user_id"), Seq("ts_sec", "event_id"), "cents", window = 5)
         .orderBy("user_id", "ts_sec", "event_id")
+    },
+    // ---- Pivot long→wide: the trend-store layout itself — harvested
+    // (entity, ts, metric, value) rows become one wide row per (entity,
+    // hour) with a column pair per metric (the reference's wide trend
+    // tables, storage.py's column-per-counter model). Pivot with
+    // EXPLICIT values compiles to ONE HashAggregate of CASE projections:
+    // one shuffle on the group key, no per-pivot-value pass, and adding
+    // a metric adds a projection, not a scan ----
+    "q240_pivot_wide" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("hr", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+      e.groupBy(col("user_id").as("entity_id"), col("hr"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(sum(lit(1L)).as("cnt"), sum(col("cents")).as("cents"))
+        .orderBy("entity_id", "hr")
+    },
+    // ---- Unpivot wide→long, the inverse lossless round-trip (export a
+    // wide trend table back to harvest-shaped rows). `unpivot` is a
+    // zero-shuffle map-side explode; null cells (metric absent for the
+    // hour) drop, so long(wide(x)) == x ----
+    "q241_unpivot_long" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("hr", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+      val wide = e.groupBy(col("user_id").as("entity_id"), col("hr"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(sum(lit(1L)).as("cnt"))
+      wide.unpivot(
+          Array(col("entity_id"), col("hr")),
+          Array(col("view"), col("click"), col("purchase")),
+          "metric", "cnt")
+        .filter(col("cnt").isNotNull)
+        .orderBy("entity_id", "hr", "metric")
+    },
+    // ---- CUBE report: all four (returnflag × linestatus) grouping
+    // combinations in ONE aggregate pass (Spark expands the grouping
+    // sets before the shuffle — map-side partials still apply; the
+    // alternative is 4 scans + union). grouping() flags disambiguate
+    // "NULL because grouped away" from data nulls ----
+    "q242_cube_report" -> { (s, dir) =>
+      load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(30,2)")).cast("double").as("sum_price"))
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n",
+          "sum_qty", "sum_price")
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    },
+    // ---- Zone-map pruned scan: events ingested into a day-partitioned
+    // PartStore with `_zones.tsv` min/max kept for event_id (a column
+    // that CORRELATES with time without being derivable from it — ids,
+    // sequence numbers). A mid-range id predicate then reads only the
+    // partition directories whose zone intersects: plan-time directory
+    // pruning, no footer reads (Moerkotte SMA / Netezza zone maps; see
+    // ZoneSidecar). Two half-ingests exercise the widen-only sidecar
+    // merge; ZoneMapSpec asserts the skip actually happens ----
+    "q245_zonemap_scan" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = java.nio.file.Files.createTempDirectory("graft_q245_").toString
+      val e = events(s, dir).select(
+          col("event_id"), col("user_id").as("entity_id"),
+          col("ts_sec").as("timestamp"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("modified", lit(1L))
+      val ps = new PartStore(s, PartStoreConfig(s"$work/t", 86400L,
+        keyCols = Seq("event_id"), zoneCols = Seq("event_id")))
+      ps.store("ev", e.filter(pmod(col("event_id"), lit(2)) === 0))
+      ps.store("ev", e.filter(pmod(col("event_id"), lit(2)) === 1))
+      // bounded driver read: one max() row picks a sf-relative id range
+      val maxId = e.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (lo, hi) = (maxId / 4, maxId / 2)
+      ps.readPartZonePruned("ev", "event_id", lo, hi).get
+        .groupBy((col("timestamp") - pmod(col("timestamp"), lit(86400L))).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("sum_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("day")
     }
   )
 
@@ -3040,7 +3119,63 @@ object QueriesCore {
            FROM ev
            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-           ORDER BY user_id, ts_sec, event_id"""
+           ORDER BY user_id, ts_sec, event_id""",
+      // sum(1)/sum(cents) FILTER → NULL when a metric has no rows for the
+      // hour — matching Spark's pivot cell semantics (count(*) would give 0)
+      "q240_pivot_wide" ->
+        s"""SELECT user_id AS entity_id, ($ts//3600)*3600 AS hr,
+             CAST(sum(1) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cnt,
+             CAST(sum(CAST(floor(value*100) AS BIGINT))
+               FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cents,
+             CAST(sum(1) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cnt,
+             CAST(sum(CAST(floor(value*100) AS BIGINT))
+               FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cents,
+             CAST(sum(1) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cnt,
+             CAST(sum(CAST(floor(value*100) AS BIGINT))
+               FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cents
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q241_unpivot_long" ->
+        s"""WITH wide AS (
+             SELECT user_id AS entity_id, ($ts//3600)*3600 AS hr,
+               CAST(sum(1) FILTER (WHERE event_type = 'view') AS BIGINT) AS "view",
+               CAST(sum(1) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+               CAST(sum(1) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+             FROM events GROUP BY 1, 2)
+           SELECT entity_id, hr, metric, cnt FROM (
+             SELECT entity_id, hr, 'view' AS metric, "view" AS cnt FROM wide
+             UNION ALL
+             SELECT entity_id, hr, 'click' AS metric, click AS cnt FROM wide
+             UNION ALL
+             SELECT entity_id, hr, 'purchase' AS metric, purchase AS cnt FROM wide)
+           WHERE cnt IS NOT NULL
+           ORDER BY entity_id, hr, metric""",
+      // within each (g_rf, g_ls) stratum a grouped-away key is constant
+      // NULL, so the ORDER BY never compares NULL against a value — the
+      // engines' opposite null-ordering defaults cannot diverge
+      "q242_cube_report" ->
+        """SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+             CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+           FROM lineitem
+           GROUP BY CUBE (l_returnflag, l_linestatus)
+           ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""",
+      // the store holds exactly the ingested events (two disjoint halves
+      // upserted by event_id), so the oracle is the plain filter — the
+      // gate's value is that the SPARK side answers it from the
+      // zone-pruned read (ZoneMapSpec asserts directories were skipped)
+      "q245_zonemap_scan" ->
+        s"""WITH m AS (SELECT max(event_id) AS mx FROM events),
+           f AS (
+             SELECT event_id, $ts AS sec, CAST(floor(value*100) AS BIGINT) AS cents
+             FROM events, m
+             WHERE event_id BETWEEN mx//4 AND mx//2)
+           SELECT (sec//86400)*86400 AS day, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             min(event_id) AS min_id, max(event_id) AS max_id
+           FROM f GROUP BY 1 ORDER BY 1"""
     )
   }
 }

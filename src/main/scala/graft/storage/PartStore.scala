@@ -36,7 +36,11 @@ final case class PartStoreConfig(
     partitionSizeSeconds: Long,
     keyCols: Seq[String] = Seq("entity_id", "timestamp"),
     modifiedCol: String = "modified",
-    createdCol: String = "created"
+    createdCol: String = "created",
+    /** Integral columns to keep `_zones.tsv` partition min/max for —
+      * predicates on them prune partition DIRECTORIES at planning via
+      * [[PartStore.readPartZonePruned]] (see [[ZoneSidecar]]). */
+    zoneCols: Seq[String] = Seq.empty
 )
 
 class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
@@ -251,6 +255,12 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // sidecar BEFORE the swaps: the union/widened schema is a superset of
     // every surviving file under any crash interleaving (see SchemaSidecar)
     SchemaSidecar.write(fs, path(part), merged.schema)
+    // zone sidecar, same before-the-swaps / superset discipline: ranges
+    // come from the STAGED parquet (a columnar scan of only the affected
+    // partitions — never a recompute of the merge plan) and WIDEN any
+    // existing entry, so every entry is ⊇ the live partition's range
+    // whether the swap below lands or not
+    updateZones(part, staging)
     // Swap order is crash-safe: the live partition is renamed ASIDE (not
     // deleted) before the staged one moves in, so at no point is the data
     // present in zero places. A crash leaves either the live dir, or the
@@ -285,6 +295,85 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     }
     fs.delete(hp(staging), true)
   }
+
+  // ---- zone maps (ZoneSidecar): plan-time partition-directory pruning
+  // on correlated non-partition columns (ids, sequence numbers) ----
+
+  /** Per-pindex [min, max] of the configured zone columns, computed from
+    * a staged data directory (columnar scan of zone columns only — never
+    * a recompute of the merge plan). Driver memory is O(partitions ·
+    * zone columns). All-null columns in a partition get no entry (= that
+    * partition is always read — conservative). */
+  private def zonesOf(dataDir: String): Option[ZoneSidecar.Zones] = {
+    if (zoneCols.isEmpty) return None
+    val df = spark.read.parquet(dataDir)
+    val present = zoneCols.filter(df.columns.contains)
+    if (present.isEmpty) return None
+    val aggs = present.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__lo_$c"),
+      max(col(c).cast("long")).as(s"__hi_$c")))
+    val rows = df.groupBy(col("pindex").cast("long").as("__pi"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    Some(rows.map { r =>
+      val pi = r.getAs[Long]("__pi")
+      pi -> present.flatMap { c =>
+        val lo = r.getAs[java.lang.Long](s"__lo_$c")
+        val hi = r.getAs[java.lang.Long](s"__hi_$c")
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.longValue, hi.longValue))
+      }.toMap
+    }.toMap)
+  }
+
+  /** Fold a staged write's zones into the part's sidecar, widen-only. */
+  private def updateZones(part: String, stagingDir: String): Unit =
+    zonesOf(stagingDir).foreach { fresh =>
+      val base = ZoneSidecar.read(fs, path(part)).getOrElse(Map.empty: ZoneSidecar.Zones)
+      ZoneSidecar.write(fs, path(part), ZoneSidecar.widen(base, fresh))
+    }
+
+  private def livePindexes(part: String): Seq[Long] = {
+    val dir = hp(path(part))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("pindex="))
+      .flatMap(n => scala.util.Try(n.stripPrefix("pindex=").toLong).toOption)
+  }
+
+  /** The pindexes a predicate `colName BETWEEN lo AND hi` must read,
+    * per the zone sidecar: entries that intersect the range, PLUS any
+    * live partition with no entry for the column (conservative — a
+    * missing entry never causes a skip). None = no sidecar at all, the
+    * caller reads everything. Exposed (not just used by
+    * readPartZonePruned) so callers and specs can audit what pruning
+    * actually did. */
+  def zonePindexes(part: String, colName: String, lo: Long, hi: Long): Option[Seq[Long]] = {
+    recoverAsides(part)
+    ZoneSidecar.read(fs, path(part)).map { zones =>
+      livePindexes(part).filter { pi =>
+        zones.get(pi).flatMap(_.get(colName)) match {
+          case Some((zlo, zhi)) => zhi >= lo && zlo <= hi
+          case None => true
+        }
+      }.sorted
+    }
+  }
+
+  /** Read with a zone-pruned range predicate on `colName`: the value
+    * range becomes a `pindex` IN-list (a PartitionFilter — skipped
+    * directories are never listed or planned) plus the residual value
+    * filter. Degrades to a plain filtered read when no sidecar exists.
+    * The time analogue is [[readPartRange]]; this one prunes on columns
+    * that CORRELATE with time without being derivable from it. */
+  def readPartZonePruned(part: String, colName: String, lo: Long, hi: Long): Option[DataFrame] =
+    readPart(part).map { df =>
+      val filtered = df.filter(col(colName) >= lo && col(colName) <= hi)
+      zonePindexes(part, colName, lo, hi) match {
+        case Some(keep) => filtered.filter(col("pindex").isin(keep: _*))
+        case None => filtered
+      }
+    }
 
   // ---- schema migration hooks (trend-store add/remove/alter-trends) ----
 
@@ -333,6 +422,9 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         df.repartition(col("pindex"))
           .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(rewriteDir)
         SchemaSidecar.write(fs, rewriteDir, df.schema)
+        // a rewrite knows the FULL new contents, so zones recompute
+        // exactly (not widen) and ride the same whole-dir swap
+        zonesOf(rewriteDir).foreach(z => ZoneSidecar.write(fs, rewriteDir, z))
         val aside = hp(s"$basePath/.${part}_old")
         if (fs.exists(aside)) fs.delete(aside, true)
         if (!fs.rename(hp(path(part)), aside))
@@ -464,6 +556,13 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
             .filter(_ < cutoffIndex)
             .foreach(_ => fs.delete(st.getPath, true))
         }
+      }
+      // drop zone entries for the expired partitions (leaving them would
+      // be harmless — pruning only ever skips — but stale entries make
+      // the sidecar grow with retention churn)
+      ZoneSidecar.read(fs, path(part)).foreach { z =>
+        val kept = z.filter(_._1 >= cutoffIndex)
+        if (kept.size != z.size) ZoneSidecar.write(fs, path(part), kept)
       }
     }
   }

@@ -40,7 +40,11 @@ class QueriesPlanSpec extends SparkSpec {
     "q228_cooccurrence",      // offset-expand equi-join, no range window
     "q232_trend_slope",       // one map-side moment aggregate
     "q235_bm25_logidf",       // aggregates + TakeOrdered, no rank window
-    "q236_bm25_logidf_stored") // same shapes over the pruned store scan
+    "q236_bm25_logidf_stored", // same shapes over the pruned store scan
+    "q240_pivot_wide",        // pivot = ONE CASE-projection aggregate
+    "q241_unpivot_long",      // unpivot = map-side explode, no shuffle
+    "q242_cube_report",       // cube expands grouping sets BEFORE the shuffle
+    "q245_zonemap_scan")      // pruned read + one aggregate
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
