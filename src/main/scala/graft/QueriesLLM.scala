@@ -45,6 +45,36 @@ object QueriesLLM {
           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
         FROM documents)"""
 
+  /** Count-min top-20 replay — shared by the batch (q243), incremental
+    * (q244), and streaming (q246) gates, which are equivalent because
+    * cell addition is associative+commutative (any batch split produces
+    * the one-shot grid). Cells and probes use the repo's md5-ladder
+    * hash; everything is BIGINT. */
+  private lazy val CmsTopkOracle = {
+    val ladder = md5Ladder32("'cms' || CAST(rw.r AS VARCHAR) || ':' || tok")
+    s"""WITH t AS (
+         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         FROM documents),
+       tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+       rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       cells AS (
+         SELECT rw.r AS r, ($ladder) % 512 AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS cell
+         FROM tf, rows_ rw GROUP BY 1, 2),
+       top_ AS (
+         SELECT tok, cnt AS exact_cnt FROM tf
+         ORDER BY cnt DESC, tok LIMIT 20),
+       probes AS (
+         SELECT tok, exact_cnt, rw.r AS r, ($ladder) % 512 AS bucket
+         FROM top_, rows_ rw),
+       est AS (
+         SELECT p.tok, p.exact_cnt, min(coalesce(c.cell, 0)) AS est
+         FROM probes p LEFT JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+         GROUP BY 1, 2)
+       SELECT tok, exact_cnt, CAST(est AS BIGINT) AS est
+       FROM est ORDER BY exact_cnt DESC, tok"""
+  }
+
   /** Textbook log-idf BM25 top-20 over the full corpus — shared by the
     * fresh (q235) and stored (q236) gates, which are equivalent by the
     * stats-reconstruct-at-query-time contract. The ln enters only the
@@ -171,6 +201,41 @@ object QueriesLLM {
         .join(TextAnalysis.kmvEstimateStored(ps, "kmv", Seq("source"), k = 128),
           "source")
         .orderBy("source")
+    },
+    // ---- Count-min sketch heavy hitters: token frequencies through a
+    // fixed 4×512 integer grid (Cormode–Muthukrishnan) — the
+    // open-vocabulary path where an exact token shuffle is the
+    // bottleneck. Estimates are min-over-rows of md5-hashed cells: pure
+    // integer, engine-invariant, replayed cell-for-cell by the oracle.
+    // Selection stays the exact tier (top-20 by true count) so the gate
+    // pins BOTH the grid and the ≥-exact overestimate guarantee ----
+    "q243_cms_topk" -> { (s, dir) =>
+      val t = toks(s, dir)
+      val sk = CountMin.sketch(t, "tok", None)
+      val exact = t.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      CountMin.estimate(exact, sk, "tok")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    // ---- incremental persisted CMS: per-batch grids merge into the
+    // store by cell ADDITION (addition is associative+commutative, so
+    // the grown store ≡ the one-shot corpus grid — q243's oracle
+    // verbatim); each append rewrites only grid-sized data (≤ d·w
+    // rows), never the corpus ----
+    "q244_cms_incremental" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q244_")
+      val ps = new PartStore(s, PartStoreConfig(s"$work/cms", 64L,
+        keyCols = Seq("r", "bucket")))
+      val t = toks(s, dir)
+      CountMin.incrementalAppend(ps, "cms",
+        t.filter(pmod(col("doc_id"), lit(2)) === 0), "tok", modified = 1L)
+      CountMin.incrementalAppend(ps, "cms",
+        t.filter(pmod(col("doc_id"), lit(2)) === 1), "tok", modified = 2L)
+      val exact = t.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      CountMin.estimateStored(ps, "cms", exact, "tok")
+        .orderBy(col("exact_cnt").desc, col("tok"))
     },
     // ---- Z-order key for multi-dimensional file clustering ----
     "q82_zorder_key" -> { (s, dir) =>
@@ -4023,6 +4088,8 @@ object QueriesLLM {
     },
     // The grown store equals the one-shot corpus sketch — q81's oracle,
     // replayed.
+    "q243_cms_topk" -> CmsTopkOracle,
+    "q244_cms_incremental" -> CmsTopkOracle,
     "q229_kmv_incremental" -> {
       val ladder = md5Ladder52("tok")
       s"""WITH $ToksCte,

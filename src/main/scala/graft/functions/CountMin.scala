@@ -82,4 +82,33 @@ object CountMin {
       .groupBy(queries.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Incremental persisted form (the q216/q229 store family): the
+    * batch's grid merges into the PartStore by cell addition, so the
+    * store after any sequence of appends equals the one-shot corpus
+    * sketch — the full-corpus oracle applies verbatim. The rewrite
+    * touches only grid-sized data (≤ d·w rows), never the corpus. The
+    * store must be keyed (r, bucket). */
+  def incrementalAppend(ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, keyCol: String, weightCol: Option[String] = None,
+      d: Int = 4, w: Int = 512, salt: String = "cms",
+      modified: Long): Unit = {
+    val sk = sketch(batch, keyCol, weightCol, d, w, salt)
+    val merged = ps.readPart(part) match {
+      case None => sk
+      case Some(p) => merge(p.select(col("r"), col("bucket"), col("cnt")), sk)
+    }
+    ps.store(part, merged
+      .withColumn("timestamp", col("bucket"))
+      .withColumn("modified", lit(modified)))
+  }
+
+  /** Point estimates answered from the accumulated store. */
+  def estimateStored(ps: graft.storage.PartStore, part: String,
+      queries: DataFrame, keyCol: String,
+      d: Int = 4, w: Int = 512, salt: String = "cms"): DataFrame =
+    estimate(queries,
+      ps.readPart(part).getOrElse(sys.error(s"no CMS store at $part"))
+        .select(col("r"), col("bucket"), col("cnt")),
+      keyCol, d, w, salt)
 }
