@@ -50,11 +50,12 @@ object QueriesLLM {
     * cell addition is associative+commutative (any batch split produces
     * the one-shot grid). Cells and probes use the repo's md5-ladder
     * hash; everything is BIGINT. */
-  private lazy val CmsTopkOracle = {
+  private def cmsTopkOracleOver(docsSql: String) = {
     val ladder = md5Ladder32("'cms' || CAST(rw.r AS VARCHAR) || ':' || tok")
-    s"""WITH t AS (
+    s"""WITH d_ AS ($docsSql),
+       t AS (
          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-         FROM documents),
+         FROM d_),
        tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
        rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
        cells AS (
@@ -74,6 +75,16 @@ object QueriesLLM {
        SELECT tok, exact_cnt, CAST(est AS BIGINT) AS est
        FROM est ORDER BY exact_cnt DESC, tok"""
   }
+
+  private lazy val CmsTopkOracle =
+    cmsTopkOracleOver("SELECT text FROM documents")
+
+  /** q246's md5-capped 512-doc replay slice (the q218/q230 convention). */
+  private lazy val CmsStreamOracle =
+    cmsTopkOracleOver(
+      """SELECT text FROM documents
+         ORDER BY md5('cmscap:' || CAST(doc_id AS VARCHAR)), doc_id
+         LIMIT 512""")
 
   /** Textbook log-idf BM25 top-20 over the full corpus — shared by the
     * fresh (q235) and stored (q236) gates, which are equivalent by the
@@ -1471,6 +1482,43 @@ object QueriesLLM {
           Seq("source"),
           Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), p = 5)
         .orderBy("source")
+    },
+    // ---- streaming count-min sink: two micro-batches of tokens merge
+    // into the persisted 4×512 grid by cell addition; heavy-hitter
+    // estimates from the STORE over an md5-capped doc slice (the
+    // q218/q230 replay convention) — oracle replays grid and probes over
+    // the same slice ----
+    "q246_stream_cms" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val capped = docs(s, dir)
+        .withColumn("__h", md5(concat(lit("cmscap:"), col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(512)
+      val splitCoin = pmod(conv(substring(md5(concat(lit("cmss:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = capped.withColumn("__s", splitCoin)
+        .select("doc_id", "text", "__s").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val work = tempWorkDir("graft_q246_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/cms", 64L,
+          keyCols = Seq("r", "bucket")))
+      val mem = MemoryStream[(Long, String)]
+      val tokStream = mem.toDF().toDF("doc_id", "text")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val q = graft.streaming.StreamingRollup.cmsSink(tokStream, ps, "cms", "tok")
+      try {
+        mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val t = TextAnalysis.tokens(capped, "doc_id", "text")
+      val exact = t.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      CountMin.estimateStored(ps, "cms", exact, "tok")
+        .orderBy(col("exact_cnt").desc, col("tok"))
     },
     // ---- streaming CUSUM monitor (calibrate-then-monitor): per-user
     // median targets from the reference half (stream-static join
@@ -4090,6 +4138,7 @@ object QueriesLLM {
     // replayed.
     "q243_cms_topk" -> CmsTopkOracle,
     "q244_cms_incremental" -> CmsTopkOracle,
+    "q246_stream_cms" -> CmsStreamOracle,
     "q229_kmv_incremental" -> {
       val ladder = md5Ladder52("tok")
       s"""WITH $ToksCte,

@@ -475,6 +475,44 @@ object StreamingRollup {
       .start()
   }
 
+  /** Streaming count-min sink: each micro-batch's d×w grid merges into
+    * the persisted (r, bucket) store by cell addition — the streaming
+    * face of q244's incremental CMS, closing the
+    * batch/incremental/streaming triangle for heavy hitters exactly as
+    * [[sketchSink]] does for quantiles. Addition is associative and
+    * commutative, so the store after any prefix of micro-batches equals
+    * the batch grid of that prefix's rows. Per-batch cost ∝ the batch's
+    * key vocabulary; the store never exceeds d·w rows. Same
+    * non-idempotence caveat as sketchSink: recoverable streams must
+    * checkpoint. */
+  def cmsSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 512,
+      salt: String = "cms",
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpointLocation.isEmpty)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn("cmsSink started WITHOUT checkpointLocation: cell " +
+          "addition is not idempotent, so a post-restart micro-batch " +
+          "replay will double-count. Pass a checkpoint for any stream " +
+          "that can restart.")
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.CountMin.incrementalAppend(
+            ps, part, batch.toDF(), keyCol, None, d, w, salt, modified = batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming incremental dedup with PERSISTED state: each micro-batch
     * runs [[graft.functions.Dedup.exactIncremental]] against the shared
     * digest PartStore — the streaming face of q142, complementing

@@ -258,6 +258,39 @@ class StreamingRollupSpec extends SparkSpec {
     assert(state(dg("delta")) === 4L)
   }
 
+  test("streaming cmsSink: store after a batch-job seed + two micro-batches == one-shot grid") {
+    import graft.functions.CountMin
+    implicit val sc = spark.sqlContext
+    val base = "target/tmp/stream_cms"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 64L, keyCols = Seq("r", "bucket")))
+    val all = ((1 to 40).map(i => s"tok${i % 7}") ++ (1 to 20).map(i => s"rare$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // a BATCH job seeds the store; the stream appends to the same grid —
+    // the shared write contract of the sink families
+    CountMin.incrementalAppend(ps, "cms",
+      all.filter(_._1 % 3 == 0).toDF("id", "tok"), "tok", modified = 0L)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingRollup.cmsSink(
+      mem.toDF().toDF("id", "tok").select("tok"), ps, "cms", "tok")
+    try {
+      mem.addData(all.filter(_._1 % 3 == 1): _*)
+      q.processAllAvailable()
+      mem.addData(all.filter(_._1 % 3 == 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = ps.readPart("cms").get.select("r", "bucket", "cnt")
+      .orderBy("r", "bucket").collect().toSeq
+    val fresh = CountMin.sketch(all.toDF("id", "tok"), "tok", None)
+      .orderBy("r", "bucket").collect().toSeq
+    assert(stored == fresh)
+    val est = CountMin.estimateStored(ps, "cms",
+      Seq(("tok1", 6L)).toDF("tok", "exact_cnt"), "tok").head
+    assert(est.getAs[Long]("est") >= 6L)
+  }
+
   test("streaming indexSink grows the IVF-PQ index batch by batch; retrieval matches fresh") {
     import graft.functions.Similarity
     implicit val sc = spark.sqlContext
