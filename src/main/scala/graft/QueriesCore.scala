@@ -24,6 +24,65 @@ object QueriesCore {
   private def events(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "events").withColumn("ts_sec", expr(tsSec))
 
+  /** q219/q247 shared linkage fixture: the master side (customer +
+    * derived blocking keys) and the deterministically dirtied CRM copy
+    * (typo'd names, one-off nations, floored balances, supplier noise). */
+  private def linkageFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = load(s, dir, "customer")
+    val leftDf = c.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("nk"), col("c_acctbal"),
+        pmod(col("c_custkey"), lit(100)).as("tail"))
+      .withColumn("nk_tail",
+        concat_ws("|", col("nk"), col("tail")))
+      .withColumn("digits",
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"))
+    val crm = c.select(
+        (col("c_custkey") + 5000000L).as("acct_id"),
+        when(pmod(col("c_custkey"), lit(3)) === 0,
+          regexp_replace(col("c_name"), "Customer", "Custmer"))
+          .when(pmod(col("c_custkey"), lit(3)) === 1, upper(col("c_name")))
+          .otherwise(col("c_name")).as("acct_name"),
+        when(pmod(col("c_custkey"), lit(17)) === 0,
+          pmod(col("c_nationkey") + 1, lit(25)))
+          .otherwise(col("c_nationkey")).cast("long").as("acct_nation"),
+        floor(col("c_acctbal")).as("acct_bal"),
+        pmod(col("c_custkey"), lit(100)).as("acct_tail"))
+      .unionByName(load(s, dir, "supplier").select(
+        (col("s_suppkey") + 6000000L).as("acct_id"),
+        col("s_name").as("acct_name"),
+        col("s_nationkey").cast("long").as("acct_nation"),
+        floor(col("s_acctbal")).as("acct_bal"),
+        pmod(col("s_suppkey"), lit(100)).as("acct_tail")))
+      .withColumn("acct_nk_tail",
+        concat_ws("|", col("acct_nation"), col("acct_tail")))
+      .withColumn("acct_digits",
+        regexp_extract(col("acct_name"), "([0-9]+)", 1).cast("long"))
+    (leftDf, crm)
+  }
+
+  /** Blocked + Fellegi–Sunter-scored linkage matches (score ≥ 12):
+    * (c_custkey, acct_id, score). The selective composite blocking keys
+    * are the point — see q219's PLANS.md entry. */
+  private def linkageMatches(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RecordLinkage
+    val (leftDf, crm) = linkageFrames(s, dir)
+    val pairs = RecordLinkage.blockedPairs(leftDf, crm,
+      "c_custkey", "acct_id",
+      Seq("nk_tail" -> "acct_nk_tail", "digits" -> "acct_digits"))
+    pairs
+      .join(leftDf, "c_custkey").join(crm, "acct_id")
+      .withColumn("score",
+        (when(levenshtein(lower(col("c_name")), lower(col("acct_name"))) <= 2,
+          8).otherwise(0)
+        + when(col("digits") === col("acct_digits"), 4).otherwise(0)
+        + when(col("c_acctbal") - col("acct_bal") >= 0 &&
+            col("c_acctbal") - col("acct_bal") < 1, 2).otherwise(0)
+        + when(col("nk") === col("acct_nation"), 1).otherwise(0))
+          .cast("long"))
+      .filter(col("score") >= 12)
+      .select("c_custkey", "acct_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- D1/D3: time aggregation with per-trend agg fns + samples ----
     "q01_time_agg" -> { (s, dir) =>
@@ -1330,52 +1389,7 @@ object QueriesCore {
     // balance proximity (2), nation equality (1); threshold 12 forces
     // name+id agreement so near-id neighbors never false-match ----
     "q219_record_linkage" -> { (s, dir) =>
-      import graft.functions.RecordLinkage
-      val c = load(s, dir, "customer")
-      val leftDf = c.select(col("c_custkey"), col("c_name"),
-          col("c_nationkey").cast("long").as("nk"), col("c_acctbal"),
-          pmod(col("c_custkey"), lit(100)).as("tail"))
-        .withColumn("nk_tail",
-          concat_ws("|", col("nk"), col("tail")))
-        .withColumn("digits",
-          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"))
-      val crm = c.select(
-          (col("c_custkey") + 5000000L).as("acct_id"),
-          when(pmod(col("c_custkey"), lit(3)) === 0,
-            regexp_replace(col("c_name"), "Customer", "Custmer"))
-            .when(pmod(col("c_custkey"), lit(3)) === 1, upper(col("c_name")))
-            .otherwise(col("c_name")).as("acct_name"),
-          when(pmod(col("c_custkey"), lit(17)) === 0,
-            pmod(col("c_nationkey") + 1, lit(25)))
-            .otherwise(col("c_nationkey")).cast("long").as("acct_nation"),
-          floor(col("c_acctbal")).as("acct_bal"),
-          pmod(col("c_custkey"), lit(100)).as("acct_tail"))
-        .unionByName(load(s, dir, "supplier").select(
-          (col("s_suppkey") + 6000000L).as("acct_id"),
-          col("s_name").as("acct_name"),
-          col("s_nationkey").cast("long").as("acct_nation"),
-          floor(col("s_acctbal")).as("acct_bal"),
-          pmod(col("s_suppkey"), lit(100)).as("acct_tail")))
-        .withColumn("acct_nk_tail",
-          concat_ws("|", col("acct_nation"), col("acct_tail")))
-        .withColumn("acct_digits",
-          regexp_extract(col("acct_name"), "([0-9]+)", 1).cast("long"))
-      val pairs = RecordLinkage.blockedPairs(leftDf, crm,
-        "c_custkey", "acct_id",
-        Seq("nk_tail" -> "acct_nk_tail", "digits" -> "acct_digits"))
-      pairs
-        .join(leftDf, "c_custkey").join(crm, "acct_id")
-        .withColumn("score",
-          (when(levenshtein(lower(col("c_name")), lower(col("acct_name"))) <= 2,
-            8).otherwise(0)
-          + when(col("digits") === col("acct_digits"), 4).otherwise(0)
-          + when(col("c_acctbal") - col("acct_bal") >= 0 &&
-              col("c_acctbal") - col("acct_bal") < 1, 2).otherwise(0)
-          + when(col("nk") === col("acct_nation"), 1).otherwise(0))
-            .cast("long"))
-        .filter(col("score") >= 12)
-        .select("c_custkey", "acct_id", "score")
-        .orderBy("c_custkey", "acct_id")
+      linkageMatches(s, dir).orderBy("c_custkey", "acct_id")
     },
     // ---- Markov transition matrix of user journeys: per-user ordered
     // event-type bigrams (keyed window), counts + exact-ratio transition
@@ -1814,6 +1828,84 @@ object QueriesCore {
         .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("sum_cents"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy("day")
+    },
+    // ---- Golden-record capstone: q219's scored matches → connected
+    // components (large-star/small-star, O(log n) rounds) → one
+    // consolidated record per entity cluster. Survivorship rules are
+    // deterministic aggregates: golden_name = min_by (priority, id) —
+    // master records outrank CRM copies — max balance, nation spread.
+    // The match→cluster→merge chain IS the MDM pipeline (Fellegi–Sunter
+    // matching, transitive closure, rule-based survivorship) ----
+    "q247_golden_record" -> { (s, dir) =>
+      import graft.functions.Dedup
+      val (leftDf, crm) = linkageFrames(s, dir)
+      val members = leftDf.select(col("c_custkey").as("id"),
+          col("c_name").as("name"), col("nk").as("nation"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          lit(0L).as("priority"))
+        .unionByName(crm.select(col("acct_id").as("id"),
+          col("acct_name").as("name"), col("acct_nation").as("nation"),
+          (col("acct_bal") * 100).cast("long").as("bal_cents"),
+          lit(1L).as("priority")))
+      val matches = linkageMatches(s, dir)
+        .select(col("c_custkey").as("id1"), col("acct_id").as("id2"))
+      val cc = Dedup.connectedKeepersStar(members, "id", matches)
+      members.join(cc, "id")
+        .groupBy(col("keeper").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("priority") === 0L, 1L).otherwise(0L)).cast("long")
+            .as("n_masters"),
+          min_by(col("name"), struct(col("priority"), col("id")))
+            .as("golden_name"),
+          max(col("bal_cents")).as("max_bal_cents"),
+          countDistinct(col("nation")).as("n_nations"))
+        .orderBy("cluster_id")
+    },
+    // ---- Declarative data-quality audit: all row rules in ONE
+    // aggregate pass (adding a rule adds a projection, never a scan),
+    // uniqueness as its own keyed aggregate, referential integrity as a
+    // left-anti join — the quarantine ingest's field checks (q225)
+    // lifted to table-level contracts ----
+    "q248_dq_audit" -> { (s, dir) =>
+      import graft.operators.DataQuality
+      val e = events(s, dir)
+      DataQuality.audit(e,
+        rowRules = Seq(
+          "user_id_not_null" -> col("user_id").isNull,
+          "value_in_range" -> !(col("value") >= 0.0 && col("value") < 990.0),
+          "known_event_type" -> !col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"),
+          "props_present" -> (col("props").isNull || col("props") === "")),
+        uniqueKeys = Seq("event_id_unique" -> Seq("event_id")),
+        fks = Seq(("user_is_customer", "user_id",
+          load(s, dir, "customer"), "c_custkey")))
+        .orderBy("rule")
+    },
+    // ---- Snapshot diff: two orders snapshots reconciled in one
+    // full-outer key join — added/removed/changed with the exact changed
+    // column set (the attribute store's lag-compare generalized to
+    // whole-snapshot CDC audit). The "new" snapshot is a deterministic
+    // perturbation: %97 keys dropped, %89 keys cloned to new ids, %13
+    // prices bumped, %31 statuses flipped ----
+    "q249_snapshot_diff" -> { (s, dir) =>
+      import graft.operators.SnapshotDiff
+      val o = load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val neu = o.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("price_cents",
+          when(pmod(col("o_orderkey"), lit(13)) === 0,
+            col("price_cents") + 500L).otherwise(col("price_cents")))
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(31)) === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(
+          o.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      SnapshotDiff.diff(o, neu, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -3175,7 +3267,159 @@ object QueriesCore {
            SELECT (sec//86400)*86400 AS day, count(*) AS n,
              CAST(sum(cents) AS BIGINT) AS sum_cents,
              min(event_id) AS min_id, max(event_id) AS max_id
-           FROM f GROUP BY 1 ORDER BY 1"""
+           FROM f GROUP BY 1 ORDER BY 1""",
+      // q219's match replay + recursive label spread (the q113 reach
+      // pattern) + rule-based survivorship per cluster
+      "q247_golden_record" ->
+        """WITH RECURSIVE crm AS (
+             SELECT c_custkey + 5000000 AS acct_id,
+               CASE WHEN c_custkey % 3 = 0
+                 THEN replace(c_name, 'Customer', 'Custmer')
+                 WHEN c_custkey % 3 = 1 THEN upper(c_name)
+                 ELSE c_name END AS acct_name,
+               CASE WHEN c_custkey % 17 = 0 THEN (c_nationkey + 1) % 25
+                 ELSE c_nationkey END AS acct_nation,
+               floor(c_acctbal) AS acct_bal,
+               c_custkey % 100 AS acct_tail
+             FROM customer
+             UNION ALL
+             SELECT s_suppkey + 6000000, s_name, s_nationkey,
+               floor(s_acctbal), s_suppkey % 100
+             FROM supplier),
+           cand AS (
+             SELECT c.c_custkey, m.acct_id
+             FROM customer c JOIN crm m
+               ON CAST(c.c_nationkey AS VARCHAR) || '|'
+                   || CAST(c.c_custkey % 100 AS VARCHAR)
+                 = CAST(m.acct_nation AS VARCHAR) || '|'
+                   || CAST(m.acct_tail AS VARCHAR)
+             UNION
+             SELECT c.c_custkey, m.acct_id
+             FROM customer c JOIN crm m
+               ON CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT)
+                 = CAST(regexp_extract(m.acct_name, '([0-9]+)', 1) AS BIGINT)),
+           matches AS (
+             SELECT p.c_custkey AS id1, p.acct_id AS id2
+             FROM cand p
+             JOIN customer c USING (c_custkey) JOIN crm m USING (acct_id)
+             WHERE CASE WHEN levenshtein(lower(c.c_name), lower(m.acct_name)) <= 2
+                     THEN 8 ELSE 0 END
+                 + CASE WHEN CAST(regexp_extract(c.c_name, '([0-9]+)', 1) AS BIGINT)
+                     = CAST(regexp_extract(m.acct_name, '([0-9]+)', 1) AS BIGINT)
+                   THEN 4 ELSE 0 END
+                 + CASE WHEN c.c_acctbal - m.acct_bal >= 0
+                     AND c.c_acctbal - m.acct_bal < 1
+                   THEN 2 ELSE 0 END
+                 + CASE WHEN c.c_nationkey = m.acct_nation
+                   THEN 1 ELSE 0 END >= 12),
+           members AS (
+             SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(0 AS BIGINT) AS priority
+             FROM customer
+             UNION ALL
+             SELECT CAST(acct_id AS BIGINT), acct_name,
+               CAST(acct_nation AS BIGINT),
+               CAST(acct_bal * 100 AS BIGINT), CAST(1 AS BIGINT)
+             FROM crm),
+           edges AS (
+             SELECT id1 AS src, id2 AS dst FROM matches
+             UNION ALL SELECT id2, id1 FROM matches),
+           reach AS (
+             SELECT id, id AS label FROM members
+             UNION
+             SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           comp AS (
+             SELECT id, CAST(min(label) AS BIGINT) AS keeper
+             FROM reach GROUP BY 1),
+           best AS (
+             SELECT c.keeper AS cluster_id, mb.name AS golden_name
+             FROM comp c JOIN members mb USING (id)
+             QUALIFY row_number() OVER (PARTITION BY c.keeper
+               ORDER BY mb.priority, mb.id) = 1),
+           agg AS (
+             SELECT c.keeper AS cluster_id, count(*) AS n_members,
+               CAST(sum(CASE WHEN mb.priority = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masters,
+               max(mb.bal_cents) AS max_bal_cents,
+               CAST(count(DISTINCT mb.nation) AS BIGINT) AS n_nations
+             FROM comp c JOIN members mb USING (id) GROUP BY 1)
+           SELECT a.cluster_id, a.n_members, a.n_masters, b.golden_name,
+             a.max_bal_cents, a.n_nations
+           FROM agg a JOIN best b USING (cluster_id) ORDER BY a.cluster_id""",
+      "q248_dq_audit" ->
+        """WITH rowr AS (
+             SELECT count(*) AS checked,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS user_id_not_null,
+               CAST(sum(CASE WHEN NOT (value >= 0.0 AND value < 990.0)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS value_in_range,
+               CAST(sum(CASE WHEN event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'error')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS known_event_type,
+               CAST(sum(CASE WHEN props IS NULL OR props = ''
+                 THEN 1 ELSE 0 END) AS BIGINT) AS props_present
+             FROM events),
+           uniq AS (
+             SELECT CAST(sum(c - 1) AS BIGINT) AS violations,
+               count(*) AS checked
+             FROM (SELECT count(*) AS c FROM events GROUP BY event_id)),
+           fk AS (
+             SELECT CAST(sum(CASE WHEN cust.c_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS violations,
+               count(*) AS checked
+             FROM events e
+             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) cust
+               ON e.user_id = cust.c_custkey
+             WHERE e.user_id IS NOT NULL)
+           SELECT rule, violations, checked FROM (
+             SELECT 'user_id_not_null' AS rule, user_id_not_null AS violations,
+               checked FROM rowr
+             UNION ALL SELECT 'value_in_range', value_in_range, checked FROM rowr
+             UNION ALL SELECT 'known_event_type', known_event_type, checked FROM rowr
+             UNION ALL SELECT 'props_present', props_present, checked FROM rowr
+             UNION ALL SELECT 'event_id_unique', violations, checked FROM uniq
+             UNION ALL SELECT 'user_is_customer', violations, checked FROM fk)
+           ORDER BY rule""",
+      "q249_snapshot_diff" ->
+        """WITH o AS (
+             SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+             FROM orders),
+           n AS (
+             SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 31 = 0 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 500
+                 ELSE price_cents END AS price_cents
+             FROM o WHERE o_orderkey % 97 <> 0
+             UNION ALL
+             SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, price_cents
+             FROM o WHERE o_orderkey % 89 = 0),
+           j AS (
+             SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               o.o_orderkey IS NOT NULL AS in_old,
+               n.o_orderkey IS NOT NULL AS in_new,
+               CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                 THEN 'o_custkey' END AS c1,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 THEN 'o_orderstatus' END AS c2,
+               CASE WHEN o.price_cents IS DISTINCT FROM n.price_cents
+                 THEN 'price_cents' END AS c3
+             FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+           cls AS (
+             SELECT o_orderkey,
+               CASE WHEN NOT in_old THEN 'added'
+                 WHEN NOT in_new THEN 'removed'
+                 WHEN c1 IS NOT NULL OR c2 IS NOT NULL OR c3 IS NOT NULL
+                   THEN 'changed'
+                 ELSE 'unchanged' END AS change,
+               CASE WHEN in_old AND in_new THEN concat_ws(',', c1, c2, c3)
+                 ELSE '' END AS changed_cols
+             FROM j)
+           SELECT o_orderkey, change, changed_cols FROM cls
+           WHERE change <> 'unchanged' ORDER BY o_orderkey"""
     )
   }
 }

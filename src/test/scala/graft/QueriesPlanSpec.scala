@@ -44,7 +44,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q240_pivot_wide",        // pivot = ONE CASE-projection aggregate
     "q241_unpivot_long",      // unpivot = map-side explode, no shuffle
     "q242_cube_report",       // cube expands grouping sets BEFORE the shuffle
-    "q245_zonemap_scan")      // pruned read + one aggregate
+    "q245_zonemap_scan",      // pruned read + one aggregate
+    "q248_dq_audit",          // one scan for all row rules + keyed agg + anti-join
+    "q249_snapshot_diff")     // one full-outer key join, then projections
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Declarative DQ audit: rule classes, null semantics, plan shape. */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Option(10L), Option(5.0), "a"),
+    (2L, Option(20L), Option(-1.0), "b"),   // range violation
+    (2L, Option(20L), Option(2.0), "a"),    // duplicate id
+    (3L, None, Option(3.0), "zz"),          // null ref (not an FK violation)
+    (4L, Option(99L), None, "a"))           // no parent 99; null value
+    .toDF("id", "ref", "value", "tag")
+
+  private lazy val parent = Seq(10L, 20L).toDF("pid")
+
+  private def report = DataQuality.audit(df,
+    rowRules = Seq(
+      "value_nonneg" -> (col("value") < 0.0),
+      "tag_known" -> !col("tag").isin("a", "b")),
+    uniqueKeys = Seq("id_unique" -> Seq("id")),
+    fks = Seq(("ref_in_parent", "ref", parent, "pid")))
+    .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("row rules: violation predicates count rows; NULL predicate counts as clean") {
+    assert(report("value_nonneg") == (1L, 5L)) // the NULL value row is clean
+    assert(report("tag_known") == (1L, 5L))
+  }
+
+  test("uniqueness: violations = surplus rows beyond one per key") {
+    assert(report("id_unique") == (1L, 4L)) // 5 rows, 4 distinct ids
+  }
+
+  test("referential: null children are excluded, orphans counted") {
+    assert(report("ref_in_parent") == (1L, 4L)) // ref=99 orphan; null ref skipped
+  }
+
+  test("all row rules share one aggregate pass (one scan, no join, no window)") {
+    val plan = DataQuality.audit(df,
+      rowRules = Seq(
+        "r1" -> (col("value") < 0.0), "r2" -> col("tag").isNull,
+        "r3" -> (col("id") < 0L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Join"))
+    // exactly one scan of the source regardless of rule count
+    assert(plan.linesIterator.count(_.contains("Scan")) <= 1, plan)
+  }
+}
