@@ -1906,6 +1906,24 @@ object QueriesCore {
         .select(col("o_orderkey"), col("change"),
           array_join(col("changed_cols"), ",").as("changed_cols"))
         .orderBy("o_orderkey")
+    },
+    // ---- Bitemporal attribute read: state AS OF a historical instant —
+    // the SCD-2 validity view (q07) filtered to the containing range per
+    // entity ("what did this attribute say at T?", the attribute
+    // store's history-reconstruction contract). One keyed window to
+    // build validity + a filter; at scale the filter pushes below the
+    // window's shuffle output, never a second scan ----
+    "q250_attr_asof" -> { (s, dir) =>
+      val tUs = 1705276800000000L // mid-fixture instant (q238's boundary)
+      AttributeOps.scd2(events(s, dir), "user_id", "ts", Seq("event_id"),
+          Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          expr("valid_from div 1000").as("valid_from_us"),
+          expr("valid_to div 1000").as("valid_to_us"))
+        .filter(col("valid_from_us") <= tUs &&
+          (col("valid_to_us").isNull || col("valid_to_us") > tUs))
+        .select("user_id", "event_type", "valid_from_us")
+        .orderBy("user_id")
     }
   )
 
@@ -3419,7 +3437,22 @@ object QueriesCore {
                  ELSE '' END AS changed_cols
              FROM j)
            SELECT o_orderkey, change, changed_cols FROM cls
-           WHERE change <> 'unchanged' ORDER BY o_orderkey"""
+           WHERE change <> 'unchanged' ORDER BY o_orderkey""",
+      "q250_attr_asof" ->
+        """WITH compacted AS (
+             SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM (
+               SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+             WHERE prev IS NULL OR prev <> event_type),
+           v AS (
+             SELECT user_id, event_type, ts_us AS valid_from_us,
+               lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+             FROM compacted)
+           SELECT user_id, event_type, valid_from_us FROM v
+           WHERE valid_from_us <= 1705276800000000
+             AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
+           ORDER BY user_id"""
     )
   }
 }

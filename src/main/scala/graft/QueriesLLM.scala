@@ -213,6 +213,28 @@ object QueriesLLM {
           "source")
         .orderBy("source")
     },
+    // ---- Incremental vocabulary growth (Heaps-law monitoring): the
+    // token-type store admits only unseen types per batch (anti-join,
+    // idempotent on replay); the gate reports per-batch occurrence /
+    // type / new-type counts + the cumulative vocabulary — "is this
+    // source still contributing new language, or scraping duplicates?"
+    // — a curation signal the dedup tier doesn't give ----
+    "q251_vocab_growth" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      import s.implicits._
+      val work = tempWorkDir("graft_q251_")
+      val ps = new PartStore(s, PartStoreConfig(s"$work/vocab", 64L,
+        keyCols = Seq("tok")))
+      val t = toks(s, dir)
+      def batch(b: Long) =
+        t.filter(pmod(col("doc_id"), lit(2)) === b).select("tok")
+      val r0 = TextAnalysis.vocabGrowthAppend(ps, "vocab", batch(0), "tok", 1L)
+      val r1 = TextAnalysis.vocabGrowthAppend(ps, "vocab", batch(1), "tok", 2L)
+      Seq((0L, r0._1, r0._2, r0._3, r0._3),
+          (1L, r1._1, r1._2, r1._3, r0._3 + r1._3))
+        .toDF("batch", "n_tokens", "n_types", "n_new_types", "cum_types")
+        .orderBy("batch")
+    },
     // ---- Count-min sketch heavy hitters: token frequencies through a
     // fixed 4×512 integer grid (Cormode–Muthukrishnan) — the
     // open-vocabulary path where an exact token shuffle is the
@@ -4139,6 +4161,28 @@ object QueriesLLM {
     "q243_cms_topk" -> CmsTopkOracle,
     "q244_cms_incremental" -> CmsTopkOracle,
     "q246_stream_cms" -> CmsStreamOracle,
+    "q251_vocab_growth" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')) AS tok,
+           doc_id % 2 AS b
+           FROM documents),
+         per AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+           FROM t GROUP BY 1),
+         firstb AS (SELECT tok, min(b) AS b FROM t GROUP BY 1),
+         newt AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS n_new_types
+           FROM firstb GROUP BY 1),
+         j AS (
+           SELECT per.b AS batch, per.n_tokens, per.n_types,
+             CAST(coalesce(newt.n_new_types, 0) AS BIGINT) AS n_new_types
+           FROM per LEFT JOIN newt ON per.b = newt.b)
+         SELECT batch, n_tokens, n_types, n_new_types,
+           CAST(sum(n_new_types) OVER (ORDER BY batch) AS BIGINT) AS cum_types
+         FROM j ORDER BY batch""",
     "q229_kmv_incremental" -> {
       val ladder = md5Ladder52("tok")
       s"""WITH $ToksCte,

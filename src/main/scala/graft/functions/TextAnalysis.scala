@@ -1480,4 +1480,33 @@ object TextAnalysis {
           (acc, x) => acc + x.getField("__c") *
             (log(x.getField("__pt")) - log(x.getField("__pr")))).as("logw"))
   }
+
+  /** Incremental vocabulary tracking (Heaps-law monitoring — "is the
+    * corpus still contributing new types, or are we scraping
+    * duplicates?"): the store holds one row per token TYPE ever seen
+    * (keyed tok, crc32-spread partitions like the postings store); each
+    * append anti-joins the batch's distinct types against the store,
+    * inserts only the NEW ones, and reports the batch's occurrence /
+    * type / new-type counts. Per-append cost ∝ batch vocabulary; the
+    * store grows with the vocabulary, never the corpus. Replaying the
+    * same batch inserts nothing (idempotent, like the digest store). */
+  def vocabGrowthAppend(
+      ps: graft.storage.PartStore, part: String,
+      tokens: DataFrame, tokCol: String, epoch: Long): (Long, Long, Long) = {
+    val batchToks = tokens.select(col(tokCol).as("tok"))
+      .filter(col("tok") =!= "")
+    val nTokens = batchToks.count()
+    val types = batchToks.distinct()
+    val nTypes = types.count()
+    val fresh = (ps.readPart(part) match {
+      case None => types
+      case Some(ex) => types.join(ex.select("tok"), Seq("tok"), "left_anti")
+    }).localCheckpoint() // one compute: counted AND stored
+    val nNew = fresh.count()
+    if (nNew > 0)
+      ps.store(part, fresh
+        .withColumn("timestamp", pmod(crc32(col("tok")), lit(1024L)))
+        .withColumn("modified", lit(epoch)))
+    (nTokens, nTypes, nNew)
+  }
 }

@@ -84,7 +84,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q224_locf_gapfill" -> "user_id",     // per-user LOCF over 120 buckets
     "q227_time_weighted_avg" -> "user_id", // per-user interval lead
     "q233_funnel_latency" -> "stage",      // cumsum over sketch rows
-    "q238_live_monitor" -> "entity_id")    // notification PK dedup window
+    "q238_live_monitor" -> "entity_id",    // notification PK dedup window
+    "q250_attr_asof" -> "user_id")         // SCD-2 validity windows per entity
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
