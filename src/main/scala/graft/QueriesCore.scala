@@ -1924,6 +1924,41 @@ object QueriesCore {
           (col("valid_to_us").isNull || col("valid_to_us") > tUs))
         .select("user_id", "event_type", "valid_from_us")
         .orderBy("user_id")
+    },
+    // ---- Robust per-entity outlier detection (median/MAD, not
+    // mean/stddev — one corrupt reading can't drag the threshold): the
+    // q230 ×2/×4 fixed-point trick keeps med2 = 2·median and
+    // mad4 = 4·MAD exact integers (the interpolating percentile of
+    // longs lands on integer or half-integer), so the emitted stats and
+    // the 3-MAD cut (2·dev2 > 3·mad4) are engine-invariant. Three keyed
+    // aggregates, no window ----
+    "q252_robust_outliers" -> { (s, dir) =>
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select("user_id", "cents")
+      val med = e.groupBy("user_id")
+        .agg((expr("percentile(cents, 0.5)") * 2).cast("long").as("med2"))
+      val dev = e.join(med, "user_id")
+        .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+      val mad = dev.groupBy("user_id")
+        .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), first(col("med2")).as("med2"),
+          first(col("mad4")).as("mad4"),
+          sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+            .cast("long").as("n_outliers"))
+        .orderBy("user_id")
+    },
+    // ---- ANALYZE-style column profile: per-column non-null/null/NDV/
+    // min/max for the whole events table in ONE aggregate pass (exact
+    // NDV rides Expand; the scaladoc names KMV as the 100 TB swap) ----
+    "q255_table_stats" -> { (s, dir) =>
+      graft.operators.DataQuality.profile(
+          events(s, dir).select("event_id", "ts_sec", "user_id",
+            "event_type", "value", "props"),
+          Seq("event_id", "ts_sec", "user_id", "event_type", "value", "props"))
+        .orderBy("column")
     }
   )
 
@@ -3452,7 +3487,71 @@ object QueriesCore {
            SELECT user_id, event_type, valid_from_us FROM v
            WHERE valid_from_us <= 1705276800000000
              AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
-           ORDER BY user_id"""
+           ORDER BY user_id""",
+      "q252_robust_outliers" ->
+        """WITH e AS (
+             SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+             FROM events),
+           med AS (
+             SELECT user_id,
+               CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+             FROM e GROUP BY 1),
+           dev AS (
+             SELECT e.user_id, abs(e.cents * 2 - m.med2) AS dev2, m.med2
+             FROM e JOIN med m USING (user_id)),
+           mad AS (
+             SELECT user_id,
+               CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+             FROM dev GROUP BY 1)
+           SELECT d.user_id, count(*) AS n,
+             CAST(min(d.med2) AS BIGINT) AS med2,
+             CAST(min(m.mad4) AS BIGINT) AS mad4,
+             CAST(sum(CASE WHEN d.dev2 * 2 > m.mad4 * 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+           FROM dev d JOIN mad m USING (user_id)
+           GROUP BY 1 ORDER BY 1""",
+      "q255_table_stats" ->
+        s"""WITH e AS (
+             SELECT event_id, $ts AS ts_sec, user_id, event_type, value, props
+             FROM events)
+           SELECT "column", n_values, n_nulls, ndv, min_num, max_num,
+             min_str, max_str
+           FROM (
+             SELECT 'event_id' AS "column", count(event_id) AS n_values,
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+               CAST(min(event_id) AS DOUBLE) AS min_num,
+               CAST(max(event_id) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             FROM e
+             UNION ALL
+             SELECT 'ts_sec', count(ts_sec),
+               CAST(sum(CASE WHEN ts_sec IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT ts_sec) AS BIGINT),
+               CAST(min(ts_sec) AS DOUBLE), CAST(max(ts_sec) AS DOUBLE),
+               NULL, NULL FROM e
+             UNION ALL
+             SELECT 'user_id', count(user_id),
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+               NULL, NULL FROM e
+             UNION ALL
+             SELECT 'event_type', count(event_type),
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT event_type) AS BIGINT),
+               NULL, NULL, min(event_type), max(event_type) FROM e
+             UNION ALL
+             SELECT 'value', count(value),
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT value) AS BIGINT),
+               min(value), max(value), NULL, NULL FROM e
+             UNION ALL
+             SELECT 'props', count(props),
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT props) AS BIGINT),
+               NULL, NULL, min(props), max(props) FROM e)
+           ORDER BY "column""""
     )
   }
 }

@@ -213,6 +213,34 @@ object QueriesLLM {
           "source")
         .orderBy("source")
     },
+    // ---- Boolean retrieval (AND + NOT): docs containing ALL of
+    // {hash, join, scan} and NOT {slow}. AND = one (doc, tok)-distinct
+    // postings pass + HAVING count = |terms| (set intersection without
+    // a per-term scan); NOT = anti-join. Cost ∝ the query terms'
+    // postings, never the corpus ----
+    "q253_boolean_search" -> { (s, dir) =>
+      val must = Seq("hash", "join", "scan")
+      val t = toks(s, dir).select("doc_id", "tok").distinct()
+      val ands = t.filter(col("tok").isin(must: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+        .filter(col("n_terms") === must.length)
+      val nots = t.filter(col("tok") === "slow").select("doc_id")
+      ands.join(nots, Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    },
+    // ---- Exact-phrase retrieval over POSITIONAL postings: "hash join"
+    // = equi-join of the two terms' (doc, pos) lists on (doc, pos+1) —
+    // the adjacency probe an inverted index with positions answers in
+    // O(df(hash) + df(join)), never a corpus substring scan ----
+    "q254_phrase_search" -> { (s, dir) =>
+      val t = toks(s, dir)
+      val a = t.filter(col("tok") === "hash").select(col("doc_id"), col("pos"))
+      val b = t.filter(col("tok") === "join")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      a.join(b, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
+    },
     // ---- Incremental vocabulary growth (Heaps-law monitoring): the
     // token-type store admits only unseen types per batch (anti-join,
     // idempotent on replay); the gate reports per-batch occurrence /
@@ -4161,6 +4189,22 @@ object QueriesLLM {
     "q243_cms_topk" -> CmsTopkOracle,
     "q244_cms_incremental" -> CmsTopkOracle,
     "q246_stream_cms" -> CmsStreamOracle,
+    "q253_boolean_search" ->
+      s"""WITH $ToksCte,
+         td AS (SELECT DISTINCT doc_id, tok FROM toks),
+         ands AS (
+           SELECT doc_id FROM td WHERE tok IN ('hash', 'join', 'scan')
+           GROUP BY 1 HAVING count(*) = 3)
+         SELECT doc_id FROM ands
+         WHERE doc_id NOT IN (SELECT doc_id FROM td WHERE tok = 'slow')
+         ORDER BY doc_id""",
+    "q254_phrase_search" ->
+      s"""WITH $ToksCte
+         SELECT a.doc_id, count(*) AS n_occurrences
+         FROM toks a JOIN toks b
+           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         WHERE a.tok = 'hash' AND b.tok = 'join'
+         GROUP BY 1 ORDER BY 1""",
     "q251_vocab_growth" ->
       """WITH t AS (
            SELECT doc_id,

@@ -46,7 +46,11 @@ class QueriesPlanSpec extends SparkSpec {
     "q242_cube_report",       // cube expands grouping sets BEFORE the shuffle
     "q245_zonemap_scan",      // pruned read + one aggregate
     "q248_dq_audit",          // one scan for all row rules + keyed agg + anti-join
-    "q249_snapshot_diff")     // one full-outer key join, then projections
+    "q249_snapshot_diff",     // one full-outer key join, then projections
+    "q252_robust_outliers",   // three keyed aggregates, no rank/row_number
+    "q253_boolean_search",    // postings intersection = grouped count + anti-join
+    "q254_phrase_search",     // positional equi-join on (doc, pos+1)
+    "q255_table_stats")       // one Expand aggregate + 1-row restack
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled

@@ -38,6 +38,21 @@ class DataQualitySpec extends SparkSpec {
     assert(report("ref_in_parent") == (1L, 4L)) // ref=99 orphan; null ref skipped
   }
 
+  test("profile: per-column counts/NDV/min-max with numeric vs string routing") {
+    val p = DataQuality.profile(df, Seq("id", "value", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val idRow = p("id")
+    assert(idRow.getLong(1) == 5L && idRow.getLong(2) == 0L && idRow.getLong(3) == 4L)
+    assert(idRow.getDouble(4) == 1.0 && idRow.getDouble(5) == 4.0)
+    assert(idRow.isNullAt(6) && idRow.isNullAt(7)) // numeric: no string min/max
+    val vRow = p("value")
+    assert(vRow.getLong(1) == 4L && vRow.getLong(2) == 1L) // one null value
+    assert(vRow.getDouble(4) == -1.0 && vRow.getDouble(5) == 5.0)
+    val tRow = p("tag")
+    assert(tRow.getString(6) == "a" && tRow.getString(7) == "zz")
+    assert(tRow.isNullAt(4) && tRow.isNullAt(5)) // string: no numeric min/max
+  }
+
   test("all row rules share one aggregate pass (one scan, no join, no window)") {
     val plan = DataQuality.audit(df,
       rowRules = Seq(
