@@ -1950,6 +1950,105 @@ object QueriesCore {
             .cast("long").as("n_outliers"))
         .orderBy("user_id")
     },
+    // ---- Two-level materialization DAG with staleness PROPAGATION:
+    // raw → stale HOURS → hourly store (whose markModified marks the
+    // affected DAYS) → stale DAYS → daily store. Round 2's late trickle
+    // re-materializes exactly the touched hours AND their containing
+    // days — the reference's hourly-feeds-daily chain with per-level
+    // modified logs. The correctness statement IS the oracle: after any
+    // incremental schedule the daily store equals the one-shot full
+    // recompute ----
+    "q256_staleness_chain" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val base = java.nio.file.Files.createTempDirectory("graft_q256_").toString
+      val e = events(s, dir).select(
+          col("user_id").as("entity_id"), col("ts_sec"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("hr", col("ts_sec") - pmod(col("ts_sec"), lit(3600L)))
+      // sparse trickle (%997) so round 2 leaves some days untouched —
+      // the emitted last_round column then PROVES selective propagation
+      // (an oracle-derivable 1 for days the chain correctly skipped)
+      val isRound2 = col("ts_sec") >= 1705276800L ||
+        pmod(col("event_id"), lit(997)) === 0
+      val raw = new PartStore(s,
+        PartStoreConfig(s"$base/raw", 86400L, keyCols = Seq("event_id")))
+      val hourly = new PartStore(s, PartStoreConfig(s"$base/hourly", 86400L))
+      val daily = new PartStore(s, PartStoreConfig(s"$base/daily", 86400L * 32))
+      var procRawFp: DataFrame = null
+      var procHourFp: DataFrame = null
+      def round(batch: DataFrame, r: Long): Unit = {
+        raw.store("t", batch.select(col("event_id"), col("entity_id"),
+          col("ts_sec").as("timestamp"), col("cents"))
+          .withColumn("modified", lit(r)))
+        raw.markModified("t",
+          batch.select(col("hr").as("timestamp")).distinct(), nowSec = r)
+        val rawFp = Materialization.fingerprint(
+            Materialization.modifiedState(raw.readModifiedLog().get,
+              Seq("timestamp", "part"), "modified"),
+            "timestamp", "part", "last_modified").localCheckpoint()
+        val staleHours =
+          (if (procRawFp == null) rawFp
+           else Materialization.staleChunks(rawFp, procRawFp, "timestamp"))
+            .select(col("timestamp").as("hr"))
+        val hourAgg = raw.readPart("t").get
+          .withColumn("hr", col("timestamp") - pmod(col("timestamp"), lit(3600L)))
+          .join(staleHours, Seq("hr"), "left_semi")
+          .groupBy("entity_id", "hr")
+          .agg(count(lit(1)).as("samples"), sum(col("cents")).as("sum_cents"))
+        hourly.store("h", hourAgg
+          .select(col("entity_id"), col("hr").as("timestamp"),
+            col("samples"), col("sum_cents"))
+          .withColumn("modified", lit(r)))
+        // PROPAGATION: the re-materialized hours mark their days stale
+        hourly.markModified("h",
+          staleHours.select((col("hr") - pmod(col("hr"), lit(86400L)))
+            .as("timestamp")).distinct(), nowSec = r)
+        val hourFp = Materialization.fingerprint(
+            Materialization.modifiedState(hourly.readModifiedLog().get,
+              Seq("timestamp", "part"), "modified"),
+            "timestamp", "part", "last_modified").localCheckpoint()
+        val staleDays =
+          (if (procHourFp == null) hourFp
+           else Materialization.staleChunks(hourFp, procHourFp, "timestamp"))
+            .select(col("timestamp").as("day"))
+        val dayAgg = hourly.readPart("h").get
+          .withColumn("day", col("timestamp") - pmod(col("timestamp"), lit(86400L)))
+          .join(staleDays, Seq("day"), "left_semi")
+          .groupBy("entity_id", "day")
+          .agg(sum(col("samples")).cast("long").as("samples"),
+            sum(col("sum_cents")).cast("long").as("sum_cents"))
+        daily.store("d", dayAgg
+          .select(col("entity_id"), col("day").as("timestamp"),
+            col("samples"), col("sum_cents"))
+          .withColumn("modified", lit(r)))
+        procRawFp = rawFp
+        procHourFp = hourFp
+      }
+      round(e.filter(!isRound2), 1L)
+      round(e.filter(isRound2), 2L)
+      daily.readPart("d").get
+        .select(col("entity_id"), col("timestamp").as("day"),
+          col("samples"), col("sum_cents"),
+          col("modified").as("last_round"))
+        .orderBy("entity_id", "day")
+    },
+    // ---- Multi-horizon rolling features (ML feature prep): for every
+    // event, trailing 1h and 24h counts/sums per entity in keyed RANGE
+    // frames — one sort per entity serves all horizons, frames bounded
+    // by per-entity history ----
+    "q257_lag_features" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .withColumn("cents", floor(col("value") * 100).cast("long"))
+        .select("user_id", "event_id", "ts_sec", "cents")
+      def w(sec: Long) = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-(sec - 1), 0)
+      e.withColumn("cnt_1h", count(lit(1)).over(w(3600)))
+        .withColumn("sum_1h", sum(col("cents")).over(w(3600)).cast("long"))
+        .withColumn("cnt_24h", count(lit(1)).over(w(86400)))
+        .withColumn("sum_24h", sum(col("cents")).over(w(86400)).cast("long"))
+        .orderBy("user_id", "ts_sec", "event_id")
+    },
     // ---- ANALYZE-style column profile: per-column non-null/null/NDV/
     // min/max for the whole events table in ONE aggregate pass (exact
     // NDV rides Expand; the scaladoc names KMV as the 100 TB swap) ----
@@ -3488,6 +3587,39 @@ object QueriesCore {
            WHERE valid_from_us <= 1705276800000000
              AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
            ORDER BY user_id""",
+      // incremental-DAG == one-shot recompute: the whole point of the
+      // staleness chain, so the oracle is the plain full aggregate
+      "q256_staleness_chain" ->
+        s"""WITH e AS (
+             SELECT user_id, ($ts//86400)*86400 AS day,
+               CAST(floor(value*100) AS BIGINT) AS cents,
+               CASE WHEN $ts >= 1705276800 OR event_id % 997 = 0
+                 THEN 2 ELSE 1 END AS rnd
+             FROM events),
+           dayr AS (SELECT day, CAST(max(rnd) AS BIGINT) AS last_round
+             FROM e GROUP BY 1),
+           agg AS (
+             SELECT user_id AS entity_id, day, count(*) AS samples,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+             FROM e GROUP BY 1, 2)
+           SELECT a.entity_id, a.day, a.samples, a.sum_cents, d.last_round
+           FROM agg a JOIN dayr d USING (day) ORDER BY 1, 2""",
+      "q257_lag_features" ->
+        s"""WITH e AS (
+             SELECT user_id, event_id, $ts AS ts_sec,
+               CAST(floor(value*100) AS BIGINT) AS cents
+             FROM events)
+           SELECT user_id, event_id, ts_sec, cents,
+             count(*) OVER w1 AS cnt_1h,
+             CAST(sum(cents) OVER w1 AS BIGINT) AS sum_1h,
+             count(*) OVER w24 AS cnt_24h,
+             CAST(sum(cents) OVER w24 AS BIGINT) AS sum_24h
+           FROM e
+           WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+             w24 AS (PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, ts_sec, event_id""",
       "q252_robust_outliers" ->
         """WITH e AS (
              SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS cents
