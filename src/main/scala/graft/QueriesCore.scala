@@ -1950,6 +1950,30 @@ object QueriesCore {
             .cast("long").as("n_outliers"))
         .orderBy("user_id")
     },
+    // ---- Top user journeys: sessionize (30-min gap, the q45 pattern)
+    // then the session's ordered event-type PATH (array_sort of
+    // (ts, event_id, type) structs — bounded by session length, no
+    // second window), counted and top-20 by (count, path). The
+    // path-mining report a product team reads daily ----
+    "q259_top_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = e
+        .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull ||
+            (col("ts_sec") - col("prev_sec")) > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_id")
+        .agg(array_sort(collect_list(struct(col("ts_sec"), col("event_id"),
+          col("event_type")))).as("__evs"))
+        .select(concat_ws(">",
+          expr("transform(__evs, x -> x.event_type)")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
     // ---- Two-level materialization DAG with staleness PROPAGATION:
     // raw → stale HOURS → hourly store (whose markModified marks the
     // affected DAYS) → stale DAYS → daily store. Round 2's late trickle
@@ -3587,6 +3611,28 @@ object QueriesCore {
            WHERE valid_from_us <= 1705276800000000
              AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
            ORDER BY user_id""",
+      "q259_top_paths" ->
+        s"""WITH ev AS (
+             SELECT user_id, event_id, $ts AS sec, event_type FROM events),
+           g AS (
+             SELECT *, lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) AS prev
+             FROM ev),
+           m AS (
+             SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+               THEN 1 ELSE 0 END AS ns
+             FROM g),
+           s0 AS (
+             SELECT *, CAST(sum(ns) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             FROM m),
+           p AS (
+             SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY sec, event_id) AS path
+             FROM s0 GROUP BY 1, 2)
+           SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+           ORDER BY n_sessions DESC, path LIMIT 20""",
       // incremental-DAG == one-shot recompute: the whole point of the
       // staleness chain, so the oracle is the plain full aggregate
       "q256_staleness_chain" ->

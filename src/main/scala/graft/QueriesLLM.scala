@@ -241,6 +241,22 @@ object QueriesLLM {
         .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
         .orderBy("doc_id")
     },
+    // ---- Proximity retrieval: docs where 'hash' and 'scan' occur
+    // within 3 tokens — the positional-postings join of q254 with a
+    // band predicate instead of adjacency (NEAR/k of a search engine).
+    // Cost ∝ df(hash) · occurrences-per-doc(scan), never corpus ----
+    "q258_proximity_search" -> { (s, dir) =>
+      val t = toks(s, dir)
+      val a = t.filter(col("tok") === "hash")
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = t.filter(col("tok") === "scan")
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, "doc_id")
+        .filter(abs(col("pa") - col("pb")) <= 3)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+        .orderBy("doc_id")
+    },
     // ---- Incremental vocabulary growth (Heaps-law monitoring): the
     // token-type store admits only unseen types per batch (anti-join,
     // idempotent on replay); the gate reports per-batch occurrence /
@@ -1569,6 +1585,50 @@ object QueriesLLM {
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
       CountMin.estimateStored(ps, "cms", exact, "tok")
         .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    // ---- streaming vocabulary sink: 3-shingle types (a genuinely
+    // growing type space, unlike the 31-word token vocab) stream in two
+    // doc micro-batches; the store admits only unseen types (idempotent
+    // replay) and its modified column IS the first-seen log — read back
+    // as per-batch growth. Shingling is a window-free streaming-safe
+    // transform(sequence) projection; oracle replays first-seen-batch
+    // per type over the capped slice ----
+    "q260_stream_vocab" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val capped = docs(s, dir)
+        .withColumn("__h", md5(concat(lit("vcap:"), col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(512)
+      val coin = pmod(conv(substring(md5(concat(lit("vs:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = capped.withColumn("__s", coin)
+        .select("doc_id", "text", "__s").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val work = tempWorkDir("graft_q260_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/vocab", 64L,
+          keyCols = Seq("tok")))
+      val mem = MemoryStream[(Long, String)]
+      val shingleStream = mem.toDF().toDF("doc_id", "text")
+        .withColumn("__arr", split(trim(col("text")), "\\s+"))
+        .filter(size(col("__arr")) >= 3)
+        .select(explode(expr("array_distinct(transform(" +
+          "sequence(0, size(__arr) - 3), " +
+          "i -> concat_ws(' ', __arr[i], __arr[i+1], __arr[i+2])))"))
+          .as("tok"))
+      val q = graft.streaming.StreamingRollup.vocabSink(
+        shingleStream, ps, "vocab", "tok")
+      try {
+        mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ps.readPart("vocab").get
+        .groupBy(col("modified").as("batch"))
+        .agg(count(lit(1)).as("n_new_types"))
+        .orderBy("batch")
     },
     // ---- streaming CUSUM monitor (calibrate-then-monitor): per-user
     // median targets from the reference half (stream-static join
@@ -4189,6 +4249,33 @@ object QueriesLLM {
     "q243_cms_topk" -> CmsTopkOracle,
     "q244_cms_incremental" -> CmsTopkOracle,
     "q246_stream_cms" -> CmsStreamOracle,
+    "q260_stream_vocab" -> {
+      val ladder = md5Ladder32("'vs:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d_ AS (
+           SELECT doc_id, text FROM documents
+           ORDER BY md5('vcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 512),
+         toks AS (
+           SELECT doc_id,
+             unnest(generate_series(0,
+               len(regexp_split_to_array(trim(text), '\\s+')) - 1)) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM d_),
+         led AS (
+           SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+           FROM toks),
+         sh AS (
+           SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle
+           FROM led WHERE t3 IS NOT NULL),
+         coin AS (SELECT doc_id, ($ladder) % 2 AS b FROM d_),
+         f AS (
+           SELECT shingle, CAST(min(c.b) AS BIGINT) AS batch
+           FROM sh JOIN coin c USING (doc_id) GROUP BY 1)
+         SELECT batch, CAST(count(*) AS BIGINT) AS n_new_types
+         FROM f GROUP BY 1 ORDER BY 1"""
+    },
     "q253_boolean_search" ->
       s"""WITH $ToksCte,
          td AS (SELECT DISTINCT doc_id, tok FROM toks),
@@ -4198,6 +4285,13 @@ object QueriesLLM {
          SELECT doc_id FROM ands
          WHERE doc_id NOT IN (SELECT doc_id FROM td WHERE tok = 'slow')
          ORDER BY doc_id""",
+    "q258_proximity_search" ->
+      s"""WITH $ToksCte
+         SELECT a.doc_id, count(*) AS n_pairs,
+           CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+         FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+         WHERE a.tok = 'hash' AND b.tok = 'scan' AND abs(a.pos - b.pos) <= 3
+         GROUP BY 1 ORDER BY 1""",
     "q254_phrase_search" ->
       s"""WITH $ToksCte
          SELECT a.doc_id, count(*) AS n_occurrences

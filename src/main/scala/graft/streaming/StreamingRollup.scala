@@ -513,6 +513,32 @@ object StreamingRollup {
       .start()
   }
 
+  /** Streaming vocabulary sink: each micro-batch's distinct key types
+    * anti-join the persisted type store and only UNSEEN ones append
+    * ([[graft.functions.TextAnalysis.vocabGrowthAppend]]) — the
+    * streaming face of q251. Unlike the addition-merge sinks this one
+    * is IDEMPOTENT on replay (a replayed micro-batch inserts nothing),
+    * so it is safe without a checkpoint; `modified` records the
+    * inserting micro-batch id, making the store its own first-seen
+    * log (which the q260 gate reads back as per-batch growth). */
+  def vocabSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      keyCol: String,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.TextAnalysis.vocabGrowthAppend(
+            ps, part, batch.toDF(), keyCol, epoch = batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental dedup with PERSISTED state: each micro-batch
     * runs [[graft.functions.Dedup.exactIncremental]] against the shared
     * digest PartStore — the streaming face of q142, complementing

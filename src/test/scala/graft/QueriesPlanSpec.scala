@@ -51,7 +51,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q253_boolean_search",    // postings intersection = grouped count + anti-join
     "q254_phrase_search",     // positional equi-join on (doc, pos+1)
     "q255_table_stats",       // one Expand aggregate + 1-row restack
-    "q256_staleness_chain")   // store loop: semi-joins + aggregates only
+    "q256_staleness_chain",   // store loop: semi-joins + aggregates only
+    "q258_proximity_search")  // banded positional equi-join
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
@@ -91,7 +92,8 @@ class QueriesPlanSpec extends SparkSpec {
     "q233_funnel_latency" -> "stage",      // cumsum over sketch rows
     "q238_live_monitor" -> "entity_id",    // notification PK dedup window
     "q250_attr_asof" -> "user_id",         // SCD-2 validity windows per entity
-    "q257_lag_features" -> "user_id")      // multi-horizon RANGE frames per entity
+    "q257_lag_features" -> "user_id",      // multi-horizon RANGE frames per entity
+    "q259_top_paths" -> "user_id")         // sessionize windows per entity
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
