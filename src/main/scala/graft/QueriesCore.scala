@@ -1950,6 +1950,35 @@ object QueriesCore {
             .cast("long").as("n_outliers"))
         .orderBy("user_id")
     },
+    // ---- Declarative sessionization: Spark's BUILT-IN session_window
+    // (gap-merged event-time windows) in one aggregate — the
+    // Catalyst-native form of q45's lag/cumsum chain and the streaming
+    // spec's mapGroupsWithState, same semantics (merge while gap <
+    // 30 min, end = last event + gap). µs precision throughout ----
+    "q261_session_window" -> { (s, dir) =>
+      val e = load(s, dir, "events")
+        .withColumn("evt", timestamp_micros(expr("ts div 1000")))
+      e.groupBy(col("user_id"), session_window(col("evt"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    },
+    // ---- 3-dimensional Morton clustering key (zorderKeyN): octree
+    // file layout so row-group stats prune on ANY of three columns —
+    // the q82 two-dim key generalized; same pure-integer arithmetic,
+    // oracle replays the interleave bit-for-bit ----
+    "q262_zorder3_key" -> { (s, dir) =>
+      events(s, dir).select(col("event_id"),
+        graft.operators.Layout.zorderKeyN(Seq(
+          pmod(col("user_id"), lit(256L)),
+          pmod(col("event_id"), lit(256L)),
+          pmod(floor(col("value") * 100).cast("long"), lit(256L))),
+          bits = 8).as("zkey"))
+        .orderBy("event_id")
+    },
     // ---- Top user journeys: sessionize (30-min gap, the q45 pattern)
     // then the session's ordered event-type PATH (array_sort of
     // (ts, event_id, type) structs — bounded by session length, no
@@ -3611,6 +3640,39 @@ object QueriesCore {
            WHERE valid_from_us <= 1705276800000000
              AND (valid_to_us IS NULL OR valid_to_us > 1705276800000000)
            ORDER BY user_id""",
+      // session_window merges while the next event is STRICTLY inside
+      // the previous window [t, t+gap), so a new session starts at
+      // diff >= gap (vs q45's sec-precision "> 1800" convention)
+      "q261_session_window" -> {
+        val gapUs = 1800000000L
+        s"""WITH ev AS (
+             SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+           g AS (
+             SELECT *, lag(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS prev
+             FROM ev),
+           m AS (
+             SELECT *, CASE WHEN prev IS NULL OR us - prev >= $gapUs
+               THEN 1 ELSE 0 END AS ns
+             FROM g),
+           s0 AS (
+             SELECT *, CAST(sum(ns) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             FROM m)
+           SELECT user_id, min(us) AS start_us,
+             max(us) + $gapUs AS end_us, count(*) AS n_events
+           FROM s0 GROUP BY user_id, sid ORDER BY user_id, start_us"""
+      },
+      "q262_zorder3_key" -> {
+        val cols = Seq("user_id", "event_id",
+          "CAST(floor(value*100) AS BIGINT)")
+        val terms = (for (i <- 0 until 8; j <- cols.indices) yield
+          s"((((${cols(j)} % 256 + 256) % 256) >> $i) % 2) * ${1L << (i * 3 + j)}")
+          .mkString("\n             + ")
+        s"""SELECT event_id, CAST($terms AS BIGINT) AS zkey
+           FROM events ORDER BY event_id"""
+      },
       "q259_top_paths" ->
         s"""WITH ev AS (
              SELECT user_id, event_id, $ts AS sec, event_type FROM events),

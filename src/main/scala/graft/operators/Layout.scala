@@ -28,6 +28,27 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-dimensional Morton key: round-robin bit interleave of the low
+    * `bits` bits of each NON-NEGATIVE integer column (col j's bit i
+    * lands at position i·n + j). The 2-column form is [[zorderKey]]
+    * with the same layout. n·bits must fit a signed long (≤ 62).
+    * Same domain-bounding caveat as zorderKey; three or four dims is
+    * the practical ceiling — each added dimension halves the per-dim
+    * resolution a fixed key width can carry (n·bits ≤ 62), so rectangle
+    * bounds per file loosen geometrically. */
+  def zorderKeyN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"zorderKeyN interleaves at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"n*bits must be in [2, 62], got ${n * bits}")
+    (for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield pmod(shiftright(c.cast("long"), i), lit(2L)) *
+        lit(1L << (i * n + j)))
+      .reduce(_ + _)
+  }
+
   /** Cluster a frame for writing: range-partition on the key (contiguous
     * key ranges per output file) and sort within partitions (row groups
     * inside a file stay contiguous too). With a Z-order key each output
