@@ -1979,6 +1979,35 @@ object QueriesCore {
           bits = 8).as("zkey"))
         .orderBy("event_id")
     },
+    // ---- Benford first-digit audit (fraud/synthetic-data signal, the
+    // classic DQ screen): first significant digit of the exact cents
+    // amount vs the canonical Benford distribution, all-integer basis
+    // points. ONE ≤9-key map-side aggregate + a broadcast scalar total
+    // — no window, no second scan of the fact; the per-row digit
+    // extraction rides the parquet scan. Expected shares are the
+    // canonical log10(1+1/d) table as integer literals, so the gate is
+    // engine-invariant (no libm in compared columns). ----
+    "q263_benford_audit" -> { (s, dir) =>
+      val li = load(s, dir, "lineitem")
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(12,2)") * lit(100))
+            .cast("bigint"))
+        .filter(col("cents").isNotNull && col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast("bigint"))
+      val counts = li.groupBy("digit").agg(count(lit(1)).as("cnt"))
+      val total = li.agg(count(lit(1)).as("__total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share_bp", expr("(cnt * 10000) DIV __total"))
+        .withColumn("expected_bp", expr(
+          """CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+             WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+             WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END"""))
+        .select(col("digit"), col("cnt"), col("share_bp"),
+          col("expected_bp"),
+          (col("share_bp") - col("expected_bp")).as("dev_bp"))
+        .orderBy("digit")
+    },
     // ---- Top user journeys: sessionize (30-min gap, the q45 pattern)
     // then the session's ordered event-type PATH (array_sort of
     // (ts, event_id, type) structs — bounded by session length, no
@@ -3673,6 +3702,27 @@ object QueriesCore {
         s"""SELECT event_id, CAST($terms AS BIGINT) AS zkey
            FROM events ORDER BY event_id"""
       },
+      "q263_benford_audit" ->
+        """WITH c AS (
+             SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT) AS cents
+             FROM lineitem),
+           d AS (
+             SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+             FROM c WHERE cents IS NOT NULL AND cents > 0),
+           g AS (SELECT digit, count(*) AS cnt FROM d GROUP BY 1),
+           t AS (SELECT count(*) AS total FROM d)
+           SELECT digit, cnt,
+             (cnt * 10000) // total AS share_bp,
+             CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+               WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+               WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS expected_bp,
+             (cnt * 10000) // total -
+             CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+               WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+               WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS dev_bp
+           FROM g, t ORDER BY digit""",
       "q259_top_paths" ->
         s"""WITH ev AS (
              SELECT user_id, event_id, $ts AS sec, event_type FROM events),
