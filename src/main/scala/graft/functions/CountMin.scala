@@ -67,20 +67,33 @@ object CountMin {
     * broadcast it; the probe never shuffles the query side. */
   def estimate(queries: DataFrame, sketchDf: DataFrame, keyCol: String,
       d: Int = 4, w: Int = 512, salt: String = "cms"): DataFrame = {
-    val probes = queries
-      .select(queries.columns.map(col) :+
+    // Each input row gets its own estimate — duplicate query rows stay
+    // duplicated. The probe explodes per-row under a monotonic id (a
+    // narrow per-partition stamp, no shuffle), so the regroup key is the
+    // id, never the (possibly non-distinct, possibly internal-colliding)
+    // query columns.
+    val reserved = Seq("est", "r", "bucket", "cnt", "__qid", "__cell")
+    val clash = queries.columns.toSet intersect reserved.toSet
+    require(clash.isEmpty,
+      s"estimate: query columns collide with internals: ${clash.mkString(", ")}")
+    val tagged = queries.withColumn("__qid", monotonically_increasing_id())
+    val probes = tagged
+      .select(tagged.columns.map(col) :+
         explode(array((0 until d).map(r =>
           struct(lit(r).as("r"), bucket(col(keyCol), r, w, salt).as("bucket"))
         ): _*)).as("__cell"): _*)
-      .select(queries.columns.map(col) :+ col("__cell.r").as("__r") :+
+      .select(tagged.columns.map(col) :+ col("__cell.r").as("__r") :+
         col("__cell.bucket").as("__bucket"): _*)
     probes
       .join(broadcast(sketchDf),
         probes("__r") === sketchDf("r") &&
           probes("__bucket") === sketchDf("bucket"),
         "left")
-      .groupBy(queries.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .groupBy(col("__qid"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"),
+        queries.columns.map(c => first(col(c)).as(c)): _*)
+      .drop("__qid")
+      .select((queries.columns.map(col) :+ col("est")): _*)
   }
 
   /** Incremental persisted form (the q216/q229 store family): the
@@ -93,6 +106,9 @@ object CountMin {
       batch: DataFrame, keyCol: String, weightCol: Option[String] = None,
       d: Int = 4, w: Int = 512, salt: String = "cms",
       modified: Long): Unit = {
+    require(ps.config.keyCols == Seq("r", "bucket"),
+      s"CMS store must be keyed (r, bucket) so cell upserts address grid " +
+        s"cells, got ${ps.config.keyCols.mkString("(", ", ", ")")}")
     val sk = sketch(batch, keyCol, weightCol, d, w, salt)
     val merged = ps.readPart(part) match {
       case None => sk
@@ -106,9 +122,13 @@ object CountMin {
   /** Point estimates answered from the accumulated store. */
   def estimateStored(ps: graft.storage.PartStore, part: String,
       queries: DataFrame, keyCol: String,
-      d: Int = 4, w: Int = 512, salt: String = "cms"): DataFrame =
+      d: Int = 4, w: Int = 512, salt: String = "cms"): DataFrame = {
+    require(ps.config.keyCols == Seq("r", "bucket"),
+      s"CMS store must be keyed (r, bucket), got " +
+        ps.config.keyCols.mkString("(", ", ", ")"))
     estimate(queries,
       ps.readPart(part).getOrElse(sys.error(s"no CMS store at $part"))
         .select(col("r"), col("bucket"), col("cnt")),
       keyCol, d, w, salt)
+  }
 }

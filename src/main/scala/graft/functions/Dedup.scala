@@ -345,8 +345,19 @@ object Dedup {
       .withColumnRenamed("__pos", "__pos2")
       .withColumnRenamed("__n", "__n2")
     val oldPref = prefStore.readPart(part) match {
-      case Some(p) => p.select(col("entity_id").as("__id2"), col("tok"),
-        col("pos").as("__pos2"), col("n").as("__n2"))
+      case Some(p) =>
+        // v2 prefix stores carry (pos, n) for the length + positional
+        // filters; a v1 store (written before that change) lacks them and
+        // cannot be read silently — fail loudly rather than throw an
+        // opaque AnalysisException mid-plan
+        val missing = Seq("pos", "n").filterNot(p.columns.contains)
+        require(missing.isEmpty,
+          s"setSimJoinIncremental: prefix store at '$part' is an old-format " +
+            s"(v1) store missing column(s) ${missing.mkString(", ")}; " +
+            "rebuild required — delete the prefix store part and replay " +
+            "batches (the token store is unaffected)")
+        p.select(col("entity_id").as("__id2"), col("tok"),
+          col("pos").as("__pos2"), col("n").as("__n2"))
       case None    => asRight(pref.limit(0))
     }
     val candNew = candidatePairs(pref, asRight(pref), tauNum, tauDen)

@@ -39,7 +39,9 @@ object DataQuality {
     if (rowRules.nonEmpty) {
       val aggCols = count(lit(1)).as("__checked") +:
         rowRules.map { case (n, pred) =>
-          sum(when(pred, 1L).otherwise(0L)).as(n)
+          // coalesce: sum over zero rows is NULL; report 0 violations on
+          // an empty table, consistent with the uniqueKeys path
+          coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(n)
         }
       parts += df.agg(aggCols.head, aggCols.tail: _*)
         .unpivot(Array(col("__checked")),

@@ -31,16 +31,18 @@ object SnapshotDiff {
       (oldDf.columns.toSet intersect newDf.columns.toSet)
         .diff(keyCols.toSet).toSeq.sorted
     val o = oldDf.select((keyCols ++ compareCols).map(c =>
-      col(c).as(s"__o_$c")): _*)
+      col(c).as(s"__o_$c")) :+ lit(1).as("__o_present"): _*)
     val n = newDf.select((keyCols ++ compareCols).map(c =>
-      col(c).as(s"__n_$c")): _*)
+      col(c).as(s"__n_$c")) :+ lit(1).as("__n_present"): _*)
     val joinCond = keyCols.map(k => o(s"__o_$k") <=> n(s"__n_$k"))
       .reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
-    // presence probes must be non-null key columns, not data columns (a
-    // legitimately-null data value would misclassify the row)
-    val inOld = keyCols.map(k => col(s"__o_$k").isNotNull).reduce(_ && _)
-    val inNew = keyCols.map(k => col(s"__n_$k").isNotNull).reduce(_ && _)
+    // presence probes are lit(1) markers added per side before the join:
+    // key columns can't serve (the <=> join matches NULL keys, so a
+    // NULL-key row present on both sides would read as absent) and data
+    // columns can't either (a legitimately-null value misclassifies)
+    val inOld = col("__o_present").isNotNull
+    val inNew = col("__n_present").isNotNull
     val changedArr =
       if (compareCols.isEmpty) array().cast("array<string>")
       else array_compact(array(compareCols.map(c =>

@@ -72,4 +72,37 @@ class CountMinSpec extends SparkSpec {
     val est = CountMin.estimateStored(ps, "cms", exact, "tok").collect()
     est.foreach(r => assert(r.getAs[Long]("est") >= r.getAs[Long]("exact_cnt")))
   }
+
+  test("duplicate query rows each keep their own estimate row") {
+    val sk = CountMin.sketch(corpus, "tok", None)
+    val dup = Seq("tok1", "tok1", "rare3").toDF("tok")
+    val est = CountMin.estimate(dup, sk, "tok").collect()
+    assert(est.length == 3)
+    assert(est.count(_.getAs[String]("tok") == "tok1") == 2)
+  }
+
+  test("reserved query column names are refused loudly") {
+    val sk = CountMin.sketch(corpus, "tok", None)
+    val bad = Seq(("tok1", 1L)).toDF("tok", "est")
+    val e = intercept[IllegalArgumentException] {
+      CountMin.estimate(bad, sk, "tok")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("incremental store refuses a mis-keyed PartStore") {
+    val base = "target/tmp/cms_badkey"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val bad = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 64L)) // default (entity_id, timestamp)
+    val e = intercept[IllegalArgumentException] {
+      CountMin.incrementalAppend(bad, "cms", corpus, "tok", modified = 1L)
+    }
+    assert(e.getMessage.contains("(r, bucket)"))
+    val e2 = intercept[IllegalArgumentException] {
+      CountMin.estimateStored(bad, "cms", exact, "tok")
+    }
+    assert(e2.getMessage.contains("(r, bucket)"))
+  }
 }

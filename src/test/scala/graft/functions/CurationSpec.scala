@@ -708,6 +708,27 @@ class CurationSpec extends SparkSpec {
     assert(inc.exists(x => x._1 == 7L && x._2 == 8L), inc)
   }
 
+  test("setSimJoinIncremental: an old-format (pos/n-less) prefix store " +
+      "fails loudly with a rebuild message, not an AnalysisException") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("ssjv1").toString
+    def st(sub: String) = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/$sub", 500,
+        keyCols = Seq("entity_id", "tok")))
+    val (t, p, f) = (st("t"), st("p"), st("f"))
+    Dedup.setSimJoinIncremental(t, p, f, "g", df, "doc_id", "text", 3, 5)
+    // simulate a v1 store: strip pos/n from the stored prefix part
+    val v1 = p.readPart("g").get.drop("pos", "n").localCheckpoint()
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$work/p/g"), true)
+    p.store("g", v1)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.setSimJoinIncremental(t, p, f, "g",
+        Seq((3L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 3, 5)
+    }
+    assert(e.getMessage.contains("rebuild required"), e.getMessage)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2

@@ -64,4 +64,15 @@ class DataQualitySpec extends SparkSpec {
     // exactly one scan of the source regardless of rule count
     assert(plan.linesIterator.count(_.contains("Scan")) <= 1, plan)
   }
+
+  test("empty table: row rules report 0 violations / 0 checked, never NULL") {
+    val empty = df.limit(0)
+    val rows = DataQuality.audit(empty,
+      rowRules = Seq("neg" -> (col("value") < 0.0)),
+      uniqueKeys = Seq("uk" -> Seq("id"))).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), r.toString)
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L, r.toString)
+    }
+  }
 }

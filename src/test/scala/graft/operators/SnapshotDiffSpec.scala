@@ -49,4 +49,23 @@ class SnapshotDiffSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!d.contains(1L)) // still unchanged: 'extra' not compared
   }
+
+  test("NULL key components classify by presence, not by key nullness") {
+    // the <=> join matches NULL keys across sides; presence must come
+    // from per-side markers or a NULL-key row reads as 'added'
+    val o = Seq((Option.empty[Long], Option("x")), (Some(9L), Option("y")))
+      .toDF("k", "s")
+    val nSame = Seq((Option.empty[Long], Option("x")), (Some(9L), Option("y")))
+      .toDF("k", "s")
+    assert(SnapshotDiff.diff(o, nSame, Seq("k")).count() == 0)
+    val nChanged = Seq((Option.empty[Long], Option("X")), (Some(9L), Option("y")))
+      .toDF("k", "s")
+    val d = SnapshotDiff.diff(o, nChanged, Seq("k"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(d(None) == "changed")
+    val nGone = Seq((Some(9L), Option("y"))).toDF("k", "s")
+    val d2 = SnapshotDiff.diff(o, nGone, Seq("k"))
+      .collect().map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(d2(None) == "removed")
+  }
 }
