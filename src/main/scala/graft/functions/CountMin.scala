@@ -127,7 +127,8 @@ object CountMin {
       s"CMS store must be keyed (r, bucket), got " +
         ps.config.keyCols.mkString("(", ", ", ")"))
     estimate(queries,
-      ps.readPart(part).getOrElse(sys.error(s"no CMS store at $part"))
+      ps.readPart(part).getOrElse(
+        throw new graft.core.NoSuchPartException(s"no CMS store at $part"))
         .select(col("r"), col("bucket"), col("cnt")),
       keyCol, d, w, salt)
   }

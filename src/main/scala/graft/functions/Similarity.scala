@@ -807,7 +807,7 @@ object Similarity {
       part: String, k: Int): Int = {
     require(k >= 1, s"graphCompact: k >= 1, got $k")
     val vecs = vecStore.readPart(part).getOrElse(
-        throw new IllegalArgumentException(s"graphCompact: no vector part '$part'"))
+        throw new graft.core.NoSuchPartException(s"graphCompact: no vector part '$part'"))
       .select(col("entity_id").as("__vid"), col("vec"), norm(col("vec")).as("__nrm"))
       .localCheckpoint()
     import org.apache.spark.sql.expressions.Window
@@ -833,10 +833,10 @@ object Similarity {
       edgeStore: graft.storage.PartStore, vecStore: graft.storage.PartStore,
       part: String): (DataFrame, DataFrame) = {
     val g = edgeStore.readPart(part).getOrElse(
-        throw new IllegalArgumentException(s"readGraphIndex: no edge part '$part'"))
+        throw new graft.core.NoSuchPartException(s"readGraphIndex: no edge part '$part'"))
       .select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
     val v = vecStore.readPart(part).getOrElse(
-        throw new IllegalArgumentException(s"readGraphIndex: no vector part '$part'"))
+        throw new graft.core.NoSuchPartException(s"readGraphIndex: no vector part '$part'"))
       .select(col("entity_id"), col("vec"))
     (g, v)
   }

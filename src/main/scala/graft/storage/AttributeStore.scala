@@ -102,7 +102,7 @@ class AttributeStore(spark: SparkSession, basePath: String, buckets: Int = 16) {
       if (flat) stamped else stamped.withColumn("abucket", bucketCol)
     SchemaSidecar.merged(saved, toWrite.schema) match {
       case Some(sc) => SchemaSidecar.write(fs, historyPath, sc)
-      case None => throw new IllegalArgumentException(
+      case None => throw new graft.core.TypeMismatchException(
         s"attribute batch schema ${stamped.schema.simpleString} conflicts " +
           s"with stored history ${saved.get.simpleString} — cast the batch " +
           "to the stored types before transfer")

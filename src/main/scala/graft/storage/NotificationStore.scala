@@ -110,7 +110,7 @@ class NotificationStore(
             df.withColumn(a.name,
               assignmentCast(col(a.name), a.name, t, a.dataType.sparkType))
           case Some(t) =>
-            throw new IllegalArgumentException(
+            throw new graft.core.TypeMismatchException(
               s"notification attribute '${a.name}' declared " +
                 s"${a.dataType.name} (${a.dataType.sparkType.simpleString}) " +
                 s"but batch column is ${t.simpleString} — no assignment cast")

@@ -24,7 +24,13 @@ import org.apache.spark.sql.functions._
   * table. On Delta/Iceberg the same logical plan becomes MERGE INTO with
   * optimistic concurrency; here writers to one part must serialize (the
   * reference splits batches per part already — B2 — so the natural unit of
-  * parallelism is parts, not writers-per-part).
+  * parallelism is parts, not writers-per-part). The contract is ENFORCED:
+  * store() and rewritePart() hold a per-part writer lease (create-exclusive
+  * lock file, stale-TTL takeover) for the whole read-merge-swap and throw
+  * [[graft.core.ConcurrentWriterException]] on contention past
+  * writerLeaseWaitMs — racing writers queue or fail loudly, never lose
+  * rows silently (the reference's test_store_concurrent.py:60-123
+  * guarantee, by exclusion instead of ON CONFLICT).
   *
   * Schema evolution (trendstorepart.py:141-167,351-374): merge unions
   * columns (new trends appear with nulls in history) and the type-widening
@@ -40,7 +46,17 @@ final case class PartStoreConfig(
     /** Integral columns to keep `_zones.tsv` partition min/max for —
       * predicates on them prune partition DIRECTORIES at planning via
       * [[PartStore.readPartZonePruned]] (see [[ZoneSidecar]]). */
-    zoneCols: Seq[String] = Seq.empty
+    zoneCols: Seq[String] = Seq.empty,
+    /** How long a writer waits for a held writer lease before refusing
+      * loudly with [[graft.core.ConcurrentWriterException]]. The default
+      * tolerates brief back-to-back stores; a deployment that WANTS
+      * serialized same-part loaders raises it to its batch cadence. */
+    writerLeaseWaitMs: Long = 10000L,
+    /** Age past which a lease counts as a crashed writer and is taken
+      * over. Must exceed the longest store()/rewritePart() a writer runs
+      * — a takeover mid-write reopens the lost-update window the lease
+      * exists to close. */
+    writerLeaseTtlMs: Long = 600000L
 )
 
 class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
@@ -60,6 +76,78 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
 
   private def fs = graft.core.HadoopFs.forPath(spark, basePath)
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  // ---- writer lease: enforce the single-writer-per-part contract ----
+  // The read-merge-overwrite protocol loses rows if two writers race one
+  // part (both read the same base, last swap wins — the other batch's
+  // rows silently vanish). The reference gets convergence for free from
+  // PG ON CONFLICT (integration_tests/storage/trend/test_store_concurrent
+  // .py:60-123); on parquet the equivalent guarantee is exclusion: a
+  // lease FILE beside the part dir (not inside — rewritePart renames the
+  // part dir wholesale), taken create-exclusive, held across the whole
+  // read-merge-swap, and refused loudly on contention. A lease older
+  // than writerLeaseTtlMs is a crashed writer and is taken over (the
+  // crash itself is already recovered by recoverAsides). create(p,
+  // overwrite=false) is atomic on HDFS; on raw local / object stores it
+  // is check-then-act — a razor-thin window next to the seconds-long
+  // store it guards, and the loud-refusal contract holds for any
+  // interleaving a scheduler actually produces.
+  private def leasePath(part: String) = hp(s"$basePath/.${part}__lease")
+
+  private def acquireLease(part: String): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val p = leasePath(part)
+    fs.mkdirs(hp(basePath))
+    val deadline = System.currentTimeMillis() + writerLeaseWaitMs
+    var backoff = 25L
+    while (true) {
+      try {
+        val out = fs.create(p, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        return token
+      } catch {
+        case _: java.io.IOException => // FileAlreadyExistsException included
+          val st =
+            try Some(fs.getFileStatus(p))
+            catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case Some(s) if System.currentTimeMillis() - s.getModificationTime >
+                writerLeaseTtlMs =>
+              // crashed writer: clear and re-race the create (two
+              // takeover racers: one create wins, the other loops)
+              fs.delete(p, false)
+            case Some(_) if System.currentTimeMillis() >= deadline =>
+              throw new graft.core.ConcurrentWriterException(
+                s"writer lease for part '$part' is held by another writer " +
+                  s"(waited ${writerLeaseWaitMs} ms) — writers to one part " +
+                  "must serialize; raise writerLeaseWaitMs to queue behind " +
+                  "it, or split the batch per part upstream (B2)")
+            case _ =>
+              Thread.sleep(backoff)
+              backoff = math.min(backoff * 2, 500L)
+          }
+      }
+    }
+    token // unreachable
+  }
+
+  private def releaseLease(part: String, token: String): Unit = {
+    val p = leasePath(part)
+    try {
+      val in = fs.open(p)
+      val buf = new Array[Byte](64)
+      val n = try in.read(buf) finally in.close()
+      // only release a lease we still hold — after a (misconfigured-TTL)
+      // takeover the file is the new writer's, not ours
+      if (new String(buf, 0, math.max(n, 0), "UTF-8") == token)
+        fs.delete(p, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  private def withWriterLease[A](part: String)(body: => A): A = {
+    val token = acquireLease(part)
+    try body finally releaseLease(part, token)
+  }
 
   /** Crash recovery: a `.pindex_old_<i>` aside dir with NO live
     * `pindex=<i>` means a crash hit between the two swap renames — the
@@ -190,6 +278,10 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 10): Int = {
     require(zorderBy.isEmpty || zorderBy.length == 2,
       s"zorderBy interleaves exactly two columns, got ${zorderBy.length}")
+    // the lease covers the merge-base READ too — excluding only the swap
+    // would still let two writers merge against the same base and lose
+    // whichever lands first
+    withWriterLease(part) {
     val b = withPindex(batch)
     val batchIndices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
     val (merged, indices) = readPart(part) match {
@@ -220,6 +312,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         col(zorderBy(0)), col(zorderBy(1)), zorderBits))
     writeAndSwap(part, merged, indices.toIndexedSeq, zorder)
     indices.length
+    }
   }
 
   /** Staged write + per-partition swap shared by `store` and
@@ -412,7 +505,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     * `recoverAsides` before any later read — the interrupted migration is
     * simply re-run. */
   def rewritePart(part: String, transform: DataFrame => DataFrame): Int =
-    readPart(part) match {
+    withWriterLease(part) { readPart(part) match {
       case None => 0
       case Some(df0) =>
         val df = transform(df0)
@@ -435,7 +528,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         }
         fs.delete(aside, true)
         indices.length
-    }
+    } }
 
   /** Parts physically present under the store base — any non-hidden
     * directory except internal logs (`_modified_log` etc.). One driver-side
@@ -459,6 +552,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   def deletePart(part: String): Boolean = {
     val aside = fs.delete(hp(s"$basePath/.${part}_old"), true)
     val staging = fs.delete(hp(path(part) + "__rewrite"), true)
+    fs.delete(leasePath(part), false) // a crashed writer's leftover lease
     fs.delete(hp(path(part)), true) || aside || staging
   }
 

@@ -290,4 +290,74 @@ class PartStoreSpec extends SparkSpec {
     // a later compaction folds the preserved append in cleanly
     assert(ps.compactModifiedLog() == 3L)
   }
+
+  // ---- writer lease: the reference's concurrent-store guarantee
+  // (integration_tests/storage/trend/test_store_concurrent.py:60-123 —
+  // racing writers of one part converge, never lose rows) ----
+
+  test("two racing writer threads to one part converge — every row survives") {
+    val base = "target/tmp/partstore_race2w"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    // generous wait: the loser queues behind the holder instead of refusing
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400,
+      writerLeaseWaitMs = 120000L))
+    def batch(ids: Range, v: Double) = ids.map(i =>
+      (i.toLong, 1000L, v, 100L, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified", "created")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = Seq(batch(1 to 50, 1.0), batch(51 to 100, 2.0)).map { b =>
+      new Thread(() => {
+        try { gate.await(); ps.store("p", b) }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing stores must serialize, got $errs")
+    val back = ps.readPart("p").get
+    assert(back.count() == 100L, "a racing writer's rows were lost")
+    assert(back.select("entity_id").distinct().count() == 100L)
+    // no leftover lease after both writers released
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/.p__lease")))
+  }
+
+  test("a held lease past the wait is refused loudly, not lost silently") {
+    val base = "target/tmp/partstore_leaseheld"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400,
+      writerLeaseWaitMs = 300L))
+    val b = Seq((1L, 1000L, 1.0, 100L, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified", "created")
+    ps.store("p", b) // establishes the part (and releases its lease)
+    // another writer's live lease
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val lease = new org.apache.hadoop.fs.Path(s"$base/.p__lease")
+    val out = fsys.create(lease, false)
+    out.write("other-writer".getBytes("UTF-8")); out.close()
+    val e = intercept[graft.core.ConcurrentWriterException] { ps.store("p", b) }
+    assert(e.getMessage.contains("must serialize"))
+    // the foreign lease is untouched by the refused writer
+    assert(fsys.exists(lease))
+    fsys.delete(lease, false)
+  }
+
+  test("a stale lease (crashed writer) is taken over after the TTL") {
+    val base = "target/tmp/partstore_leasestale"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400,
+      writerLeaseWaitMs = 30000L, writerLeaseTtlMs = 1000L))
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val lease = new org.apache.hadoop.fs.Path(s"$base/.p__lease")
+    val out = fsys.create(lease, false)
+    out.write("crashed-writer".getBytes("UTF-8")); out.close()
+    fsys.setTimes(lease, System.currentTimeMillis() - 60000L, -1L)
+    val b = Seq((1L, 1000L, 1.0, 100L, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified", "created")
+    ps.store("p", b) // takes over the stale lease instead of refusing
+    assert(ps.readPart("p").get.count() == 1L)
+    assert(!fsys.exists(lease)) // and released its own cleanly
+  }
 }
