@@ -240,14 +240,35 @@ object Dedup {
       .select(col("__id"), col("__p.tok").as("tok"), col("__pos"), col("__n"))
     val cand = candidatePairs(pref, pref.withColumnRenamed("__id", "__id2")
         .withColumnRenamed("__pos", "__pos2").withColumnRenamed("__n", "__n2"),
-      tauNum, tauDen)
-    val inter = cand
-      .join(t.select(col("__id").as("id1"), col("tok")), "id1")
-      .join(t.select(col("__id").as("id2"), col("tok")), Seq("id2", "tok"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("__id").as("id1"), col("__n").as("n1")), "id1")
-      .join(sz.select(col("__id").as("id2"), col("__n").as("n2")), "id2")
+      tauNum, tauDen, directed = true)
+    verifyPairs(cand, t, tauNum, tauDen)
+  }
+
+  /** Verify tier shared by [[setSimilarityJoin]] and
+    * [[setSimJoinIncremental]]: exact intersection per candidate pair via
+    * per-doc token ARRAYS and codegen `array_intersect` — two id-keyed
+    * joins of the candidate set against a |docs|-row array side, then a
+    * pure projection. The alternative (exploding candidate ids back over
+    * their token rows and re-grouping) shuffles candidates × doc length
+    * rows; on a dense corpus (the 10× rung: 6.6M candidates × ~31
+    * tokens ≈ 200M exploded rows) that shuffle dominated the whole
+    * join. Arrays are bounded by doc token count — the same bound the
+    * prefix scheme already assumes — and the array side is corpus-sized,
+    * so AQE broadcasts it when small and the shuffle is ∝ candidates,
+    * never candidates × tokens. `toks` input must be distinct (id, tok)
+    * rows. */
+  private def verifyPairs(
+      cand: DataFrame, toks: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val sets = toks.groupBy("__id")
+      .agg(collect_list(col("tok")).as("__toks"), count(lit(1)).as("__n"))
+    cand
+      .join(sets.select(col("__id").as("id1"), col("__toks").as("__t1"),
+        col("__n").as("n1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__toks").as("__t2"),
+        col("__n").as("n2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("__t1"), col("__t2"))).cast("long"))
       .filter(col("inter") * tauDen >=
         lit(tauNum) * (col("n1") + col("n2") - col("inter")))
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
@@ -258,18 +279,67 @@ object Dedup {
   /** Candidate pairs from two prefix-entry frames — the shared PPJoin
     * candidate tier of [[setSimilarityJoin]] and [[setSimJoinIncremental]].
     * `left` carries (__id, tok, __pos, __n), `right` the same renamed
-    * (__id2, __pos2, __n2); equi-join on tok, then the exact LENGTH
-    * filter (τ·max(n₁,n₂) ≤ min(n₁,n₂) in integers) and POSITIONAL
-    * filter (overlap ubound 1 + min(n₁−p₁−1, n₂−p₂−1) must still reach
-    * ⌈τ/(1+τ)·(n₁+n₂)⌉; a qualifying pair's FIRST common token is in
-    * both prefixes and passes, so any-token-passes keeps completeness),
-    * normalized to id1 < id2 and deduped. Both filters are exact — they
-    * shrink the candidate tier, never the verified pair set. */
+    * (__id2, __pos2, __n2); equi-join on (tok, LENGTH BAND), then the
+    * exact LENGTH filter (τ·max(n₁,n₂) ≤ min(n₁,n₂) in integers) and
+    * POSITIONAL filter (overlap ubound 1 + min(n₁−p₁−1, n₂−p₂−1) must
+    * still reach ⌈τ/(1+τ)·(n₁+n₂)⌉; a qualifying pair's FIRST common
+    * token is in both prefixes and passes, so any-token-passes keeps
+    * completeness), normalized to id1 < id2 and deduped. All three
+    * filters are exact — they shrink the candidate tier, never the
+    * verified pair set.
+    *
+    * The length band is the PPJoin length filter carried as an EQUI-KEY
+    * (Bayardo et al.'s size-window as a join attribute): geometric bands
+    * base B = τden/τnum, build side keyed band(n₂) = ⌊log n₂ / log B⌋,
+    * probe side exploded to the ≤3 bands intersecting its exact window
+    * [⌈n·τ⌉, ⌊n/τ⌋]. On a degenerate low-vocabulary corpus (where every
+    * token is common and the prefix filter alone degenerates toward
+    * all-pairs) cross-band pairs now prune at the SHUFFLE, not after the
+    * join — the candidate tier scales with Σ_band |postings|² instead of
+    * |postings|². Completeness needs no float-exactness argument: band()
+    * is monotone (log, /const, floor all monotone), so n₂ ∈ [lo, hi]
+    * implies band(n₂) ∈ [band(lo), band(hi)] under ANY evaluation of the
+    * same expression. Bands derive from n at plan time — stored prefix
+    * entries carry only (pos, n), no format change. */
   private def candidatePairs(
       left: DataFrame, right: DataFrame,
-      tauNum: Int, tauDen: Int): DataFrame =
-    left.join(right, "tok")
-      .filter(col("__id") =!= col("__id2"))
+      tauNum: Int, tauDen: Int, directed: Boolean = false): DataFrame = {
+    val logB = math.log(tauDen.toDouble / tauNum.toDouble)
+    val joined =
+      if (logB == 0.0) left.join(right, "tok") // τ = 1: one band, exact-equal lengths
+      else {
+        def bandOf(n: Column): Column =
+          floor(log(n.cast("double")) / lit(logB)).cast("long")
+        val lo = ((col("__n") * tauNum + (tauDen - 1)) / tauDen).cast("long")
+        val hi = ((col("__n") * tauDen) / tauNum).cast("long")
+        val probe = left.withColumn("__band",
+          explode(sequence(bandOf(lo), bandOf(hi))))
+        val build = right.withColumn("__band", bandOf(col("__n2")))
+        probe.join(build, Seq("tok", "__band")).drop("__band")
+      }
+    // directed mode: each unordered pair is generated EXACTLY ONCE, with
+    // the (n, id)-larger doc probing and the smaller doc building — which
+    // lets the build side keep only its INDEX prefix (PPJoin's midprefix,
+    // ⌈2τ/(1+τ)·n⌉ short of n): for a qualifying pair with |y| ≤ |x|, the
+    // first common token under the rarity order lies in BOTH x's probing
+    // prefix and y's index prefix (if it didn't, overlap ≤ ⌈τ|x|⌉−1 < α
+    // resp. ≤ ⌈2τ/(1+τ)|y|⌉−1 < α — both contradict J ≥ τ), so the
+    // shortened build postings lose no pair and cut the raw stream ∝
+    // index/probe prefix ratio — on top of halving it vs emitting both
+    // orders. A self-join is the directed join of a frame with itself; a
+    // cross tier (incremental new-vs-stored) is the union of the two
+    // directed joins. Undirected mode keeps full prefixes and both
+    // orders, normalized below.
+    val ordered =
+      if (directed) {
+        val idxCeil = ((col("__n2") * (2 * tauNum) + (tauNum + tauDen - 1)) /
+          (tauNum + tauDen)).cast("long")
+        joined
+          .filter(col("__pos2") < col("__n2") - idxCeil + 1)
+          .filter(col("__n2") < col("__n") ||
+            (col("__n2") === col("__n") && col("__id2") < col("__id")))
+      } else joined.filter(col("__id") =!= col("__id2"))
+    ordered
       .filter(col("__n") * tauNum <= col("__n2") * tauDen &&
         col("__n2") * tauNum <= col("__n") * tauDen)
       .filter((lit(1) + least(col("__n") - col("__pos") - 1,
@@ -278,6 +348,7 @@ object Dedup {
       .select(least(col("__id"), col("__id2")).as("id1"),
         greatest(col("__id"), col("__id2")).as("id2"))
       .distinct()
+  }
 
   /** Incremental [[setSimilarityJoin]] — the exact tier's append-only
     * path: per batch, new docs' prefixes join the PERSISTED prefix index
@@ -360,9 +431,19 @@ object Dedup {
           col("pos").as("__pos2"), col("n").as("__n2"))
       case None    => asRight(pref.limit(0))
     }
-    val candNew = candidatePairs(pref, asRight(pref), tauNum, tauDen)
+    val candNew = candidatePairs(pref, asRight(pref), tauNum, tauDen,
+      directed = true)
+    // cross tier stays ONE undirected join with the BATCH probing: each
+    // new-old pair is already generated exactly once (ids disjoint), and
+    // the alternative — splitting into two directed joins so the stored
+    // side could be index-prefix-shortened — makes the accumulated corpus
+    // the probe side of the second join (band-exploded ×3), which costs
+    // more than the shortened build saves (measured on the 10× rung)
     val candCross = candidatePairs(pref, oldPref, tauNum, tauDen)
-    val cand = candNew.unionByName(candCross).distinct().localCheckpoint()
+    // new-new and new-old pairs are disjoint under the append-only batch
+    // contract (batch ids are NEW), so a plain union stays duplicate-free
+    // — no cross-family distinct shuffle
+    val cand = candNew.unionByName(candCross).localCheckpoint()
     val oldToks = tokStore.readPart(part) match {
       case Some(tk) => tk.select(col("entity_id").as("__id"), col("tok"))
       case None     => t.limit(0)
@@ -373,20 +454,7 @@ object Dedup {
       .unionByName(cand.select(col("id2").as("__id"))).distinct()
     val verifyToks = t.unionByName(oldToks)
       .join(candIds, Seq("__id"), "left_semi").localCheckpoint()
-    val sizes = verifyToks.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val out = cand
-      .join(verifyToks.select(col("__id").as("id1"), col("tok")), "id1")
-      .join(verifyToks.select(col("__id").as("id2"), col("tok")),
-        Seq("id2", "tok"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("__id").as("id1"), col("__n").as("n1")), "id1")
-      .join(sizes.select(col("__id").as("id2"), col("__n").as("n2")), "id2")
-      .filter(col("inter") * tauDen >=
-        lit(tauNum) * (col("n1") + col("n2") - col("inter")))
-      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
-      .localCheckpoint()
+    val out = verifyPairs(cand, verifyToks, tauNum, tauDen).localCheckpoint()
     tokStore.store(part, t.select(col("__id").as("entity_id"),
       col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
     // prefix store v2: entries carry their sorted position and doc size
