@@ -5003,8 +5003,36 @@ object QueriesLLM {
          qsc AS (
            SELECT nn.id AS qid, nn.vec AS qvec, nn.nrm AS qnrm
            FROM n nn JOIN cb1 USING (id)),
-         ${crossChain("qs1", "g_b0", "b0", "x")},
          ${crossChain("qsc", "g_cb0", "cb0", "cx")},
+         l1x AS (SELECT q AS id FROM g_cb0 UNION SELECT nb FROM g_cb0),
+         mk_l1x AS (SELECT m.id, m.mk FROM mkr m JOIN l1x USING (id)),
+         ent_dx AS (SELECT id FROM mk_l1x ORDER BY mk, id LIMIT 4),
+         bent_dx AS (
+           SELECT b, id AS node FROM (
+             SELECT bk.b, bk.id,
+               CAST(row_number() OVER (PARTITION BY bk.b
+                 ORDER BY m.mk, bk.id) AS INT) AS rn
+             FROM bk JOIN l1x USING (id) JOIN mkr m ON bk.id = m.id)
+           WHERE rn <= 4),
+         qb_dx AS (SELECT q.qid, bk.b FROM qs1 q JOIN bk ON q.qid = bk.id),
+         c_dx0 AS (
+           SELECT q.qid, e.id AS node FROM qs1 q CROSS JOIN ent_dx e
+           UNION
+           SELECT qb_dx.qid, bent_dx.node FROM qb_dx JOIN bent_dx USING (b)),
+         ${beamRound("c_dx0", "dx0", 4, "qs1")},
+         ${hop("dx0", "dx1", "g_cb0")},
+         ${beamRound("c_dx1", "dx1", 4, "qs1")},
+         c_x0 AS (SELECT qid, node FROM dx1),
+         ${beamRound("c_x0", "x0", 8, "qs1")},
+         ${hop("x0", "x1", "g_b0")},
+         ${beamRound("c_x1", "x1", 8, "qs1")},
+         ${hop("x1", "x2", "g_b0")},
+         ${beamRound("c_x2", "x2", 8, "qs1")},
+         c_xf AS (SELECT qid, node FROM x2),
+         ${beamRound("c_xf", "xf", 4, "qs1")},
+         cr_x AS (
+           SELECT qid AS q, node AS nb FROM xf
+           UNION SELECT node, qid FROM xf),
          eset0 AS MATERIALIZED (
            SELECT q, nb FROM g_b0
            UNION SELECT q, nb FROM g_b1

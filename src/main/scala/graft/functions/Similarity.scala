@@ -421,24 +421,29 @@ object Similarity {
     * per-query `seeds` (qid, node) — `hops` rounds of expand-neighbors /
     * score-exact-cosine / keep-`beam`, then the final top `k`. `q`/`v`
     * carry (qid|id, vec, nrm); see [[graphSearch]] for the contract. */
+  private def topBeamOn(
+      q: DataFrame, v: DataFrame, stats: Option[SearchStats])(
+      cands: DataFrame, n: Int): DataFrame = {
+    stats.foreach(_.evals += cands.count())
+    cands
+      .join(v.select(col("id").as("node"), col("vec"), col("nrm")), "node")
+      .join(q, "qid")
+      .filter(col("qid") =!= col("node"))
+      .select(col("qid"), col("node"),
+        (dot(col("qv"), col("vec")) / (col("qn") * col("nrm"))).as("cos"))
+      .groupBy("qid")
+      .agg(graft.expressions.TopKPairs.topk(
+        col("node").cast("long"), col("cos").cast("double"), n).as("tops"))
+      .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t._2").as("node"),
+        (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
+  }
+
   private def beamWalk(
       q: DataFrame, v: DataFrame, edges: DataFrame, seeds: DataFrame,
       beam: Int, hops: Int, k: Int, stats: Option[SearchStats]): DataFrame = {
-    def topBeam(cands: DataFrame, n: Int): DataFrame = {
-      stats.foreach(_.evals += cands.count())
-      cands
-        .join(v.select(col("id").as("node"), col("vec"), col("nrm")), "node")
-        .join(q, "qid")
-        .filter(col("qid") =!= col("node"))
-        .select(col("qid"), col("node"),
-          (dot(col("qv"), col("vec")) / (col("qn") * col("nrm"))).as("cos"))
-        .groupBy("qid")
-        .agg(graft.expressions.TopKPairs.topk(
-          col("node").cast("long"), col("cos").cast("double"), n).as("tops"))
-        .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
-        .select(col("qid"), col("t._2").as("node"),
-          (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
-    }
+    def topBeam(cands: DataFrame, n: Int): DataFrame =
+      topBeamOn(q, v, stats)(cands, n)
     var frontier = topBeam(seeds, beam)
       .select("qid", "node").localCheckpoint()
     for (_ <- 0 until hops) {
@@ -708,18 +713,80 @@ object Similarity {
     * the batch alone) plus, when an existing (edges, vectors) store
     * state is given, the bidirectional cross links found by beam-
     * searching it. `b` is (id, vec); `old` carries the store's
-    * (entity_id, dst) edge rows and (entity_id, vec) vector rows. */
+    * (entity_id, dst) edge rows and (entity_id, vec) vector rows.
+    *
+    * `oldCoarse` (the stored coarse graph as of the PREVIOUS batch, when
+    * the index is layered) switches the cross search to the true HNSW
+    * descent: a walk over the 1/denom coarse graph locates each new
+    * vector's basin and its best coarse nodes seed the layer-0 beam —
+    * replacing [[graphSearch]]'s global + LSH-bucket seeding, whose
+    * per-bucket row_number window recomputes over the FULL accumulated
+    * corpus on every batch. With the descent, the only per-batch work
+    * that touches the whole corpus is the hash-join build sides; the
+    * seed computation scales with |corpus|/denom. */
   private def batchEdges(
       b: DataFrame, old: Option[(DataFrame, DataFrame)],
-      k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int): DataFrame = {
+      k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int,
+      oldCoarse: Option[DataFrame] = None): DataFrame = {
     val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val cross = old match {
       case Some((edges0, vecs0)) =>
         val g = edges0.select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
         val vOld = vecs0.select(col("entity_id").as("id"), col("vec"))
-        val found = graphSearch(b, g, vOld, "id", "vec",
-            k, beam, hops, entries, seedBits)
+        val searched = oldCoarse match {
+          case Some(g1raw) =>
+            val q = b.select(col("id").as("qid"), col("vec").as("qv"),
+                norm(col("vec")).as("qn")).localCheckpoint()
+            val v = vOld.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+              .localCheckpoint()
+            val edges0 = g.select(col("query_id").as("src"),
+              col("neighbor_id").as("dst")).localCheckpoint()
+            val edges1 = g1raw.select(col("entity_id").as("src"), col("dst"))
+            // minimal coarse locate (2 scored rounds, all coarse-side):
+            // md5-global + LSH-bucket seeds over the COARSE node set,
+            // keep top-`entries`, one neighbor expansion, re-keep — the
+            // located nodes seed the layer-0 walk directly. Basin
+            // REFINEMENT is the layer-0 walk's job; a full-beam coarse
+            // walk would nearly double the per-batch round count.
+            val l1Nodes = edges1.select(col("src").as("id"))
+              .union(edges1.select(col("dst").as("id"))).distinct()
+            val entryIds = l1Nodes
+              .withColumn("mk", md5(col("id").cast("string")))
+              .orderBy("mk", "id").limit(entries).select("id")
+            val globalSeeds = q.select(col("qid"))
+              .crossJoin(entryIds.select(col("id").as("node")))
+            val seeds =
+              if (seedBits <= 0) globalSeeds
+              else {
+                import org.apache.spark.sql.expressions.Window
+                val bw = Window.partitionBy("b").orderBy("mk", "id")
+                val bucketEntries = v.join(l1Nodes, "id")
+                  .select(col("id"), hyperplaneBucket(col("vec"), seedBits).as("b"),
+                    md5(col("id").cast("string")).as("mk"))
+                  .withColumn("rn", row_number().over(bw))
+                  .filter(col("rn") <= entries)
+                  .select(col("b"), col("id").as("node"))
+                val qBuckets = q.select(col("qid"),
+                  hyperplaneBucket(col("qv"), seedBits).as("b"))
+                globalSeeds.union(qBuckets.join(bucketEntries, "b")
+                  .select("qid", "node")).distinct()
+              }
+            val r0 = topBeamOn(q, v, None)(seeds, entries)
+              .select("qid", "node").localCheckpoint()
+            val expanded = r0.join(edges1, r0("node") === edges1("src"))
+              .select(col("qid"), col("dst").as("node"))
+              .union(r0.select("qid", "node")).distinct()
+            val located = topBeamOn(q, v, None)(expanded, entries)
+              .select("qid", "node")
+            beamWalk(q, v, edges0, located, beam, hops, k, None)
+              .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
+                col("rank"), col("cos"))
+          case None =>
+            graphSearch(b, g, vOld, "id", "vec",
+              k, beam, hops, entries, seedBits)
+        }
+        val found = searched
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
           .localCheckpoint()
         found.unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
@@ -756,9 +823,14 @@ object Similarity {
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
     val bC = b.filter(coarseLevelPred(col("id"), denom)).localCheckpoint()
+    // the previous batch's coarse graph, MATERIALIZED before the coarse
+    // store swap below replaces its files: it both links the coarse
+    // insert and — the HNSW descent — seeds the flat insert's layer-0
+    // search, so every per-batch search runs against the store state as
+    // of the previous batch. |coarse edges| = |corpus|/denom × k.
+    val prevCoarse = edgeStore.readPart(part + "__l1").map(_.localCheckpoint())
     if (bC.head(1).nonEmpty) {
-      val oldCoarse = (edgeStore.readPart(part + "__l1"),
-          vecStore.readPart(part)) match {
+      val oldCoarse = (prevCoarse, vecStore.readPart(part)) match {
         case (Some(e1), Some(v0)) =>
           Some((e1, v0.filter(coarseLevelPred(col("entity_id"), denom))))
         case _ => None
@@ -769,8 +841,21 @@ object Similarity {
         col("src").as("entity_id"), col("src").as("timestamp"),
         col("dst"), lit(1L).as("modified")))
     }
-    graphInsertBatch(edgeStore, vecStore, part, batch, idCol, vecCol,
-      k, beam, hops, entries, seedBits)
+    // flat insert, coarse-descent-seeded (verdict r13 #2): the layer-0
+    // cross search enters through prevCoarse instead of re-windowing the
+    // full corpus for LSH-bucket seeds on every batch
+    val edges = batchEdges(b,
+      (edgeStore.readPart(part), vecStore.readPart(part)) match {
+        case (Some(e0), Some(v0)) => Some((e0, v0))
+        case _ => None
+      }, k, beam, hops, entries, seedBits, oldCoarse = prevCoarse)
+    edgeStore.store(part, edges.select(
+      col("src").as("entity_id"), col("src").as("timestamp"),
+      col("dst"), lit(1L).as("modified")))
+    vecStore.store(part, b.select(
+      col("id").as("entity_id"), col("id").as("timestamp"),
+      col("vec"), lit(1L).as("modified")))
+    ()
   }
 
   /** The accumulated (layer-0 graph, coarse graph, vectors) view of a
