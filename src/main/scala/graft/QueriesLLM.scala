@@ -481,6 +481,17 @@ object QueriesLLM {
           TextAnalysis.tokens(corpus, "doc_id", "text"), "doc_id", 8)
         .orderBy("doc_id")
     },
+    // ---- exact longest-duplicated-span per doc via distributed
+    // prefix-doubling suffix ranks (Lee et al.'s suffix-array form;
+    // q75's fixed-8-gram coverage is the approximation, this is exact
+    // longest-match). 7 ranking rounds + 7 LCP joins, each a linear
+    // shuffle; ranks assigned by range-partition + zipWithIndex, no
+    // single-partition window. Oracle replays the identical rounds as
+    // chained dense_rank CTEs ----
+    "q264_suffix_dedup" -> { (s, dir) =>
+      graft.functions.Dedup.suffixDupSpans(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // ---- duplicated-span removal (drop-every-occurrence rebuild) ----
     "q79_dup_span_removal" -> { (s, dir) =>
       val corpus = docs(s, dir).select(col("doc_id"),
@@ -3453,6 +3464,66 @@ object QueriesLLM {
        ORDER BY x.id1, x.id2"""
 
   val oracleSql: Map[String, String] = Map(
+    // q264: replay the prefix-doubling rounds verbatim — rk0 = md5-token
+    // dense rank, 7 pair-rank rounds (missing shifted position → unique
+    // negative sentinel), strict (rank, gpos) total order, sorted-
+    // neighbor pairs, then 7 descending LCP accumulation steps against
+    // the kept round tables. All integers; dense_rank over distinct keys
+    // equals the Spark side's sorted zipWithIndex by construction.
+    "q264_suffix_dedup" -> {
+      val ranks = (0 until 7).map { k =>
+        val sh = 1L << k
+        s"""pr$k AS (
+             SELECT a.gpos, a.r AS k1, COALESCE(b.r, -(a.gpos + $sh) - 1) AS k2
+             FROM rk$k a LEFT JOIN rk$k b ON b.gpos = a.gpos + $sh),
+           rk${k + 1} AS (
+             SELECT gpos, CAST(dense_rank() OVER (ORDER BY k1, k2) AS BIGINT) AS r
+             FROM pr$k)"""
+      }.mkString(",\n         ")
+      val lcps = (6 to 0 by -1).map { k =>
+        val sh = 1L << k
+        val prev = if (k == 6) "adj0" else s"l${k + 1}"
+        s"""l$k AS (
+             SELECT p.a, p.b,
+               p.acc + CASE WHEN COALESCE(ta.r, -(p.a + p.acc) - 1) =
+                 COALESCE(tb.r, -(p.b + p.acc) - 1) THEN $sh ELSE 0 END AS acc
+             FROM $prev p
+             LEFT JOIN rk$k ta ON ta.gpos = p.a + p.acc
+             LEFT JOIN rk$k tb ON tb.gpos = p.b + p.acc)"""
+      }.mkString(",\n         ")
+      s"""WITH dbase AS (
+             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+             FROM documents),
+           tk AS (
+             SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+             FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i FROM dbase)
+             WHERE toks[i] <> '' AND i - 1 < 128),
+           pos0 AS (
+             SELECT doc_id, doc_id * 256 + pos AS gpos, tok FROM tk),
+           rk0 AS (
+             SELECT gpos, CAST(dense_rank() OVER (ORDER BY md5(tok)) AS BIGINT) AS r
+             FROM pos0),
+           $ranks,
+           fin AS (
+             SELECT gpos, CAST(row_number() OVER (ORDER BY r, gpos) AS BIGINT) AS fr
+             FROM rk7),
+           adj0 AS (
+             SELECT x.gpos AS a, y.gpos AS b, CAST(0 AS BIGINT) AS acc
+             FROM fin x JOIN fin y ON y.fr = x.fr + 1),
+           $lcps,
+           dup AS (
+             SELECT gpos, max(acc) AS dup FROM (
+               SELECT a AS gpos, acc FROM l0
+               UNION ALL SELECT b, acc FROM l0)
+             GROUP BY 1)
+         SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(max(d.dup), 0) AS BIGINT) AS max_dup,
+           CAST(COALESCE(sum(CASE WHEN d.dup >= 8 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_dup_pos
+         FROM pos0 p LEFT JOIN dup d USING (gpos)
+         GROUP BY 1 ORDER BY doc_id"""
+    },
     "q195_weighted_sample" -> {
       val ladder = md5Ladder32("'wrs:' || CAST(doc_id AS VARCHAR)")
       s"""WITH k AS (

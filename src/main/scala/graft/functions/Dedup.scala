@@ -1334,6 +1334,136 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  // ---- exact-substring dedup via distributed suffix ranks ----
+
+  /** Global dense rank of a frame of DISTINCT key rows, without a global
+    * window: range-repartition + in-partition sort puts the keys in total
+    * order across partitions, and zipWithIndex stamps the global position
+    * (partition offsets are computed from actual partition sizes, so the
+    * result is independent of where the sampled range boundaries land).
+    * This is the scalable form of `dense_rank() OVER (ORDER BY keys)` on
+    * distinct keys — O(n log n) shuffle, no single-partition stage. */
+  private def globalDenseRank(
+      distinctKeys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val sp = distinctKeys.sparkSession
+    val np = sp.sessionState.conf.numShufflePartitions
+    val sorted = distinctKeys
+      .repartitionByRange(np, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val schema = sorted.schema.add("__r", org.apache.spark.sql.types.LongType)
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L)) }
+    sp.createDataFrame(rdd, schema)
+  }
+
+  /** Longest duplicated span per document via DISTRIBUTED PREFIX-DOUBLING
+    * suffix ranks — the suffix-array formulation of exact-substring dedup
+    * (Lee et al. 2022 §4.1 use a suffix array over the concatenated
+    * corpus; [[duplicatedSpans]] is the fixed-n gram approximation, this
+    * is the exact longest-match form). Manber & Myers' doubling, batch-
+    * reformulated:
+    *
+    * 1. positions: each doc's first `2^rounds` tokens at global position
+    *    gpos = doc_id · 2^(rounds+1) + pos — the per-doc address blocks
+    *    are 2× the cap, so no shifted probe (pos + acc < 2·cap) ever
+    *    lands in another document: document boundaries need no separator
+    *    sentinels, out-of-range probes ARE the sentinels.
+    * 2. rank₀ = dense rank of md5(tok) (md5 so the Spark and oracle
+    *    orders agree byte-for-byte regardless of collation; ANY shared
+    *    total token order yields the same blocks of equal suffixes,
+    *    which is all duplication detection needs).
+    * 3. rounds k = 0..rounds−1: rank_{k+1} = dense rank of the pair
+    *    (rank_k[p], rank_k[p + 2^k]), missing positions → the unique
+    *    negative sentinel −(p + 2^k) − 1. Each round is one self-join on
+    *    the shifted position + one [[globalDenseRank]] — O(log cap)
+    *    linear shuffles, the "sorted rounds" of the public distributed
+    *    suffix-array constructions (Flick & Aluru 2015).
+    * 4. final total order: (rank_R, gpos) ranked — a strict permutation
+    *    (identical truncated docs tie-break by position), so the sorted
+    *    neighbor is an equi-join on rank + 1.
+    * 5. LCP(adjacent) by descending doubling: for k = rounds−1..0, if
+    *    rank_k[a + acc] = rank_k[b + acc] then acc += 2^k — 2·rounds
+    *    equi-joins against the kept round tables, no sequential Kasai
+    *    scan. A position's longest duplicated prefix is its max LCP with
+    *    either sorted neighbor (spans cap at 2^rounds − 1 tokens).
+    *
+    * Output per doc: (doc_id, n_tokens, max_dup, n_dup_pos) where
+    * max_dup = the longest span starting in the doc that occurs ≥ 2
+    * times anywhere in the corpus (including within the same doc) and
+    * n_dup_pos = positions whose duplicated prefix is ≥ `minLen`.
+    * Deterministic integers end to end — oracle-replayable as chained
+    * dense_rank CTEs. */
+  def suffixDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, rounds: Int = 7): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"suffixDupSpans: rounds in [1,16], got $rounds")
+    val cap = 1 << rounds
+    val block = 2L << rounds
+    val toks = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "" && col("pos") < cap)
+      .select(col("__doc"), (col("__doc") * block + col("pos")).as("gpos"),
+        col("tok"))
+      .localCheckpoint()
+    val r0keys = globalDenseRank(
+      toks.select(md5(col("tok")).as("k1")).distinct(), Seq("k1"))
+    var rank = toks
+      .join(r0keys, md5(toks("tok")) === r0keys("k1"))
+      .select(col("gpos"), col("__r").as("r"))
+      .localCheckpoint()
+    val roundTables = Array.newBuilder[DataFrame]
+    for (k <- 0 until rounds) {
+      roundTables += rank
+      val shift = 1L << k
+      val paired = rank.as("a")
+        .join(rank.select((col("gpos") - shift).as("gpos"),
+          col("r").as("__r2")).as("b"), Seq("gpos"), "left")
+        .select(col("gpos"), col("r").as("k1"),
+          coalesce(col("__r2"), -(col("gpos") + shift) - 1).as("k2"))
+      val rk = globalDenseRank(
+        paired.select("k1", "k2").distinct(), Seq("k1", "k2"))
+      rank = paired.join(rk, Seq("k1", "k2"))
+        .select(col("gpos"), col("__r").as("r"))
+        .localCheckpoint()
+    }
+    val tables = roundTables.result()
+    // strict total order (permutation) for the neighbor equi-join
+    val fin = globalDenseRank(
+      rank.select(col("r").as("k1"), col("gpos").as("k2")), Seq("k1", "k2"))
+      .select(col("k2").as("gpos"), col("__r").as("fr"))
+      .localCheckpoint()
+    var adj = fin.as("x")
+      .join(fin.select((col("fr") - 1).as("fr"), col("gpos").as("__b")).as("y"),
+        Seq("fr"))
+      .select(col("gpos").as("a"), col("__b").as("b"), lit(0L).as("acc"))
+    for (k <- (rounds - 1) to 0 by -1) {
+      val shift = 1L << k
+      val t = tables(k)
+      adj = adj
+        .join(t.select(col("gpos").as("__pa"), col("r").as("__ra")),
+          col("__pa") === col("a") + col("acc"), "left")
+        .join(t.select(col("gpos").as("__pb"), col("r").as("__rb")),
+          col("__pb") === col("b") + col("acc"), "left")
+        .select(col("a"), col("b"),
+          (col("acc") + when(
+            coalesce(col("__ra"), -(col("a") + col("acc")) - 1) ===
+              coalesce(col("__rb"), -(col("b") + col("acc")) - 1),
+            lit(shift)).otherwise(lit(0L))).as("acc"))
+    }
+    val lcp = adj.localCheckpoint()
+    val dupLen = lcp.select(col("a").as("gpos"), col("acc"))
+      .unionByName(lcp.select(col("b").as("gpos"), col("acc")))
+      .groupBy("gpos").agg(max(col("acc")).as("dup"))
+    val perDoc = toks.join(dupLen, Seq("gpos"), "left")
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(max(col("dup")), lit(0L)).as("max_dup"),
+        coalesce(sum(when(col("dup") >= minLen, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_pos"))
+    perDoc
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -729,6 +729,38 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild required"), e.getMessage)
   }
 
+  test("suffixDupSpans: exact longest duplicated span per doc, " +
+      "cross-doc and within-doc") {
+    val docsDf = Seq(
+      (1L, "a b c d e f g h i j"),  // shares "a b c d e" with doc 2
+      (2L, "x y z a b c d e q r"),
+      (3L, "p p p p"),              // internal: "p p p" at pos 0 vs 1
+      (4L, "u v w"))                // unique
+      .toDF("doc_id", "text")
+    val out = Dedup.suffixDupSpans(docsDf, "doc_id", "text", minLen = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((10L, 5L, 4L)), out(1L)) // dup lens 5,4,3,2 at pos 0-3
+    assert(out(2L) == ((10L, 5L, 4L)), out(2L)) // same span starting pos 3
+    assert(out(3L) == ((4L, 3L, 3L)), out(3L))  // "p p p" at 0 AND 1; "p p" at 2
+    assert(out(4L) == ((3L, 0L, 0L)), out(4L))
+  }
+
+  test("suffixDupSpans: deterministic under repartition; 128-token cap") {
+    val base = (1 to 40).map(i =>
+      (i.toLong, (1 to 150).map(j => s"t${(i * 7 + j) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Dedup.suffixDupSpans(base, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.suffixDupSpans(base.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // cap: only the first 128 tokens of the 150 participate
+    assert(a.forall(_.getAs[Long]("n_tokens") == 128L))
+    // 23-token vocabulary cycling => long duplicated spans exist
+    assert(a.exists(_.getAs[Long]("max_dup") >= 8L))
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
