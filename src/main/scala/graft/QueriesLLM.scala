@@ -1108,6 +1108,24 @@ object QueriesLLM {
       TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text", nMerges = 3)
         .orderBy("step")
     },
+    // ---- batched-merge BPE ≡ sequential greedy: 32 merges learned in
+    // 4 driver rounds (batch = 8) on a crafted corpus whose ranking
+    // prefixes are symbol-disjoint at every round — the regime where
+    // simultaneous application provably equals one-at-a-time greedy
+    // (disjoint pairs' occurrence sets are invariant under each other's
+    // merges). The oracle is the analytically-derived merge table, which
+    // sequential greedy also produces — so the gate pins batched ==
+    // sequential == closed form. The production bound moves from 64
+    // driver round-trips to nMerges/batch ----
+    "q265_bpe_batched" -> { (s, dir) =>
+      import s.implicits._
+      val text = ('a' to 'p').zipWithIndex.flatMap { case (ch, i) =>
+        Seq.fill(100 - i)(ch.toString * 4) }.mkString(" ")
+      val doc = Seq((1L, text)).toDF("doc_id", "text")
+      TextAnalysis.bpeTrainBatched(doc, "doc_id", "text",
+          nMerges = 32, batch = 8)
+        .orderBy("step")
+    },
     // ---- BPE encoding: per-doc piece counts after the q187-learned
     // merges — corpus tokens join the segmented vocab (encode is a
     // broadcast-size lookup, never a per-doc merge replay) ----
@@ -6338,6 +6356,21 @@ object QueriesLLM {
            SELECT CAST(1 AS INT) AS step, l, r, cnt FROM m1
            UNION ALL SELECT 2, l, r, cnt FROM m2
            UNION ALL SELECT 3, l, r, cnt FROM m3)
+         ORDER BY step""",
+    // q265: the closed-form merge table of the crafted corpus (word_i =
+    // letter_i × 4, freq_i = 100 − i): rounds 1-2 merge every (x, x) at
+    // 3·freq descending, rounds 3-4 merge every (xx, xx) at freq
+    // descending — which is also exactly what sequential greedy emits.
+    "q265_bpe_batched" ->
+      """WITH l AS (
+           SELECT i, chr(CAST(97 + i AS INT)) AS ch
+           FROM (SELECT unnest(generate_series(0, 15)) AS i))
+         SELECT step, lft AS "left", rgt AS "right", pair_freq FROM (
+           SELECT CAST(i + 1 AS INT) AS step, ch AS lft, ch AS rgt,
+             CAST(3 * (100 - i) AS BIGINT) AS pair_freq FROM l
+           UNION ALL
+           SELECT CAST(i + 17 AS INT), ch || ch, ch || ch,
+             CAST(100 - i AS BIGINT) FROM l)
          ORDER BY step""",
     // BPE encode: the q187 chain's FINAL vocab joined back to corpus
     // tokens — per-doc word and piece counts.

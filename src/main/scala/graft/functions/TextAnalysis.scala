@@ -626,6 +626,52 @@ object TextAnalysis {
       nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 64,
       s"bpeTrain: nMerges in [1, 64], got $nMerges")
+    bpeCoreBatched(df, idCol, textCol, nMerges, batch = 1)
+  }
+
+  /** Batched-merge BPE training (the SentencePiece-style round batching
+    * that lifts [[bpeTrain]]'s driver-loop bound): each ROUND ranks all
+    * pairs once, collects the top `batch` candidates in ONE driver read,
+    * and accepts the longest PREFIX of that ranking whose pairs are
+    * pairwise SYMBOL-DISJOINT — then applies every accepted merge
+    * simultaneously. Driver round-trips are ∝ nMerges / batch instead of
+    * nMerges.
+    *
+    * Equivalence to sequential greedy: symbol-disjoint pairs have
+    * non-overlapping occurrences, and merging one leaves every other
+    * accepted pair's occurrence set (and count) EXACTLY unchanged — so
+    * the simultaneous application equals applying the accepted prefix
+    * sequentially in rank order. (Where batched CAN diverge from a
+    * strict one-at-a-time argmax: a merge may create a brand-new pair
+    * involving its output token whose count overtakes a later accepted
+    * candidate — the standard, documented batched-BPE deviation; with
+    * batch = 1 the loop IS sequential greedy, which is the spec's
+    * equivalence anchor.) The stop-at-first-conflict prefix rule keeps
+    * the accepted set an exact prefix of the round's ranking, so the
+    * emitted (step, left, right, pair_freq) order is the ranking order.
+    *
+    * Scale: per round one vocab-sized pair aggregate, a `batch`-row
+    * driver collect, and one windowed merge application over the vocab
+    * (windows bounded by word length). nMerges up to 4096. */
+  def bpeTrainBatched(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, batch: Int = 64): DataFrame =
+    bpeCoreBatched(df, idCol, textCol, nMerges, batch)._1
+
+  /** [[bpeVocab]] for the batched trainer (one training run, both
+    * outputs). */
+  def bpeVocabBatched(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, batch: Int = 64): DataFrame =
+    bpeCoreBatched(df, idCol, textCol, nMerges, batch)._2
+
+  private def bpeCoreBatched(
+      df: DataFrame, idCol: String, textCol: String,
+      nMerges: Int, batch: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 4096,
+      s"bpeTrainBatched: nMerges in [1, 4096], got $nMerges")
+    require(batch >= 1 && batch <= 1024,
+      s"bpeTrainBatched: batch in [1, 1024], got $batch")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -634,23 +680,46 @@ object TextAnalysis {
       .select(col("word"), col("freq"), split(col("word"), "").as("toks"))
       .localCheckpoint()
     val steps = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to nMerges) {
-      // pair stream: per word, (t, lead(t)) over pos
+    var done = 0
+    var exhausted = false
+    while (done < nMerges && !exhausted) {
       val w = Window.partitionBy("word").orderBy("pos")
       val occ = vocab
         .select(col("word"), col("freq"), posexplode(col("toks")).as(Seq("pos", "t")))
         .withColumn("nxt", lead(col("t"), 1).over(w))
+      val want = math.min(batch, nMerges - done)
       val top = occ.filter(col("nxt").isNotNull)
         .groupBy(col("t").as("l"), col("nxt").as("r"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        steps += ((step, l, r, cnt))
-        // apply the merge via per-word windows (greedy ≡ run-parity)
+        .limit(want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // accept the longest pairwise-symbol-disjoint PREFIX of the ranking
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var open = true
+        for (row <- top if open) {
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (used.contains(l) || used.contains(r)) open = false
+          else { accepted += ((l, r, c)); used += l; used += r }
+        }
+        val acc = accepted.result()
+        acc.foreach { case (l, r, c) =>
+          done += 1; steps += ((done, l, r, c))
+        }
+        // simultaneous application: occurrences of distinct accepted
+        // pairs can never overlap (overlap implies a shared symbol), and
+        // consecutive marked positions always belong to one same-symbol
+        // run — so the single-merge run-parity machinery applies verbatim
+        // with the multi-pair mark
+        val isAcc = acc.map { case (l, r, _) =>
+          col("t") === l && col("nxt") === r }.reduce(_ || _)
+        val selfPair = acc.filter { case (l, r, _) => l == r }
+          .map { case (l, _, _) => col("t") === l }
+          .foldLeft(lit(false))(_ || _)
         val marked = occ
-          .withColumn("occ", col("t") === l && col("nxt") === r)
+          .withColumn("occ", isAcc)
           .withColumn("newRun",
             (col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
               .cast("long"))
@@ -660,7 +729,7 @@ object TextAnalysis {
           .groupBy("word", "runId").agg(min("pos").as("runStart"))
         val taken = marked.join(runStarts, Seq("word", "runId"), "left")
           .withColumn("taken",
-            col("occ") && (lit(l) =!= lit(r) ||
+            col("occ") && (!selfPair ||
               pmod(col("pos") - col("runStart"), lit(2)) === 0))
           .withColumn("consumed",
             coalesce(lag(col("taken"), 1).over(w), lit(false)))

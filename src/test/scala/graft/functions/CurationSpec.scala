@@ -422,6 +422,39 @@ class CurationSpec extends SparkSpec {
     assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("bpeTrainBatched: batch=1 IS sequential greedy; batched rounds " +
+      "equal sequential on disjoint rankings; 512 merges train") {
+    val docs = Seq(
+      (1L, "abab abab abab ab ab"),
+      (2L, "aaaa aaaa"),
+      (3L, "xyz xyz wv wv wv wv")
+    ).toDF("doc_id", "text")
+    val seq6 = TextAnalysis.bpeTrain(docs, "doc_id", "text", nMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b1 = TextAnalysis.bpeTrainBatched(docs, "doc_id", "text",
+        nMerges = 6, batch = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(b1 === seq6) // batch=1 is the sequential loop, any corpus
+    // disjoint-prefix corpus: batched(8) == sequential (the q265 shape)
+    val crafted = Seq((1L, ('a' to 'h').zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(50 - i)(c.toString * 4) }.mkString(" "))).toDF("doc_id", "text")
+    val sq = TextAnalysis.bpeTrain(crafted, "doc_id", "text", nMerges = 16)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val bt = TextAnalysis.bpeTrainBatched(crafted, "doc_id", "text",
+        nMerges = 16, batch = 8)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bt === sq)
+    // merge budget beyond the sequential trainer's 64-step bound: a
+    // 600-word synthetic vocab trains 512 merges in ~512/64 rounds
+    val wide = Seq((1L, (1 to 600).map(i =>
+      s"w${i}x${i % 7}y${i % 13}z").mkString(" "))).toDF("doc_id", "text")
+    val big = TextAnalysis.bpeTrainBatched(wide, "doc_id", "text",
+        nMerges = 512, batch = 64)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(big.size == 512)
+    assert(big.map(_._1) == (1 to 512)) // dense, ranking-ordered steps
+  }
+
   test("cdcChunks: insertion-robust boundaries; fixed-stride chunking is not") {
     val words = (1 to 400).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, words), (2L, "inserted prefix tokens " + words))
