@@ -1108,6 +1108,34 @@ object QueriesLLM {
       TextAnalysis.bpeTrain(docs(s, dir), "doc_id", "text", nMerges = 3)
         .orderBy("step")
     },
+    // ---- bigram LM statistics with Kneser-Ney pieces: raw counts,
+    // left/right continuation counts (the KN backoff quantity), and the
+    // absolute-discount numerator as the exact integer 4c−3 (D = 3/4 —
+    // float probability assembly stays downstream per the q74
+    // convention). Top-50 bigrams by (count, w1, w2) ----
+    "q268_bigram_kn" -> { (s, dir) =>
+      TextAnalysis.bigramKneserNey(docs(s, dir), "doc_id", "text", topK = 50)
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+    },
+    // ---- T5-style span-corruption mask audit: blocked deterministic
+    // spans (one md5-minimal 3-token span per 20-token block — block
+    // disjointness replaces the sequential greedy non-overlap scan, so
+    // the mask is a pure (id, pos) function). Per-doc span/mask counts
+    // + integer basis-point corruption rate ----
+    "q267_span_corruption" -> { (s, dir) =>
+      TextAnalysis.spanCorruptionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // ---- training-sequence packing (concat-then-chunk): the global
+    // token stream in doc_id order splits into 512-token sequences;
+    // per-doc placement + boundary-crossing audit. The prefix sum is the
+    // two-pass range-partition form (per-partition totals → broadcast
+    // offsets → partition-keyed running window) — never a global
+    // single-partition window ----
+    "q266_pack_sequences" -> { (s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512L)
+        .orderBy("doc_id")
+    },
     // ---- batched-merge BPE ≡ sequential greedy: 32 merges learned in
     // 4 driver rounds (batch = 8) on a crafted corpus whose ranking
     // prefixes are symbol-disjoint at every round — the regime where
@@ -6357,6 +6385,81 @@ object QueriesLLM {
            UNION ALL SELECT 2, l, r, cnt FROM m2
            UNION ALL SELECT 3, l, r, cnt FROM m3)
          ORDER BY step""",
+    // q268: per-doc adjacency, three aggregates, integer KN pieces.
+    "q268_bigram_kn" ->
+      s"""WITH $ToksCte,
+         nn AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+         bi AS (
+           -- positions are dense after the ''-filter (the regex split of
+           -- trimmed text never yields interior empties), so the
+           -- successor is pos + 1 — same adjacency Spark's lead() sees
+           SELECT a.tok AS w1, b.tok AS w2
+           FROM nn a JOIN nn b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         cts AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                 FROM bi GROUP BY 1, 2),
+         cr AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont_right
+                FROM cts GROUP BY 1),
+         cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cont_left
+                FROM cts GROUP BY 1),
+         top AS (SELECT * FROM cts ORDER BY c DESC, w1, w2 LIMIT 50)
+         SELECT t.w1, t.w2, t.c, cl.cont_left, cr.cont_right,
+           greatest(t.c * 4 - 3, 0) AS disc_num4
+         FROM top t JOIN cr USING (w2) JOIN cl USING (w1)
+         ORDER BY t.c DESC, t.w1, t.w2""",
+    // q267: one md5-minimal span per 20-token block, clipped at block
+    // and doc end; counts + integer basis points.
+    "q267_span_corruption" ->
+      s"""WITH $ToksCte,
+         mk AS (
+           SELECT doc_id, pos,
+             md5('mask:' || CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(pos AS VARCHAR)) AS mkh,
+             pos // 20 AS blk
+           FROM toks WHERE tok <> ''),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM mk GROUP BY 1),
+         st AS (
+           SELECT doc_id, blk, min(mkh) AS mkh FROM mk GROUP BY 1, 2),
+         sp AS (
+           SELECT m.doc_id, m.blk, m.pos, s2.n_tokens
+           FROM st JOIN mk m ON st.doc_id = m.doc_id AND st.blk = m.blk
+             AND st.mkh = m.mkh
+           JOIN sz s2 ON s2.doc_id = m.doc_id),
+         msk AS (
+           SELECT doc_id, blk,
+             unnest(generate_series(pos,
+               least(pos + 2, (blk + 1) * 20 - 1, n_tokens - 1))) AS mp
+           FROM sp),
+         agg AS (
+           SELECT doc_id, CAST(count(DISTINCT blk) AS BIGINT) AS n_spans,
+             CAST(count(*) AS BIGINT) AS n_masked
+           FROM msk GROUP BY 1)
+         SELECT s.doc_id, s.n_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked,
+           (COALESCE(a.n_masked, 0) * 10000) // s.n_tokens AS mask_bp
+         FROM sz s LEFT JOIN agg a USING (doc_id)
+         ORDER BY s.doc_id""",
+    // q266: global cumsum in doc order, integer-div sequence indices.
+    "q266_pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_toks
+           FROM documents),
+         nz AS (SELECT * FROM d WHERE n_toks > 0),
+         c AS (
+           SELECT doc_id, n_toks,
+             CAST(COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM nz)
+         SELECT doc_id, n_toks, cum_before,
+           cum_before // 512 AS start_seq,
+           (cum_before + n_toks - 1) // 512 AS end_seq,
+           ((cum_before + n_toks - 1) // 512) > (cum_before // 512) AS crosses
+         FROM c ORDER BY doc_id""",
     // q265: the closed-form merge table of the crafted corpus (word_i =
     // letter_i × 4, freq_i = 100 − i): rounds 1-2 merge every (x, x) at
     // 3·freq descending, rounds 3-4 merge every (xx, xx) at freq

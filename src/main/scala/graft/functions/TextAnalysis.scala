@@ -1379,6 +1379,142 @@ object TextAnalysis {
 
   /** (id, source, n_toks, __mk, __stratum) working frame for
     * [[tokenBudgetFill]]: md5 admission key plus its 2-hex-char stratum. */
+  /** Training-sequence packing, concat-then-chunk (the GPT-style packer:
+    * documents concatenate into one global token stream in a fixed
+    * deterministic order, the stream splits into fixed `seqLen`-token
+    * training sequences, and a document may straddle a boundary). The
+    * pipeline question this answers: which sequence(s) does each doc land
+    * in, and how many docs cross boundaries — the packing audit run
+    * before writing training shards.
+    *
+    * Output per doc (ordered by the packing order = idCol asc):
+    * (id, n_toks, cum_before, start_seq, end_seq, crosses) with
+    * start/end = the 0-based sequence indices of the doc's first/last
+    * token, crosses = end > start.
+    *
+    * Scale: the global prefix sum is the two-pass form — range-partition
+    * by id + in-partition sort, per-partition totals to the driver (ONE
+    * ≤|partitions|-row control read), broadcast offsets back, in-
+    * partition running sum under a window PARTITIONED by the physical
+    * partition id (bounded partitions, never a global single-partition
+    * window). The result is invariant to where the range boundaries land
+    * — cum_before is determined by the total order alone. */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen >= 1, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val sp = df.sparkSession
+    val np = sp.sessionState.conf.numShufflePartitions
+    val perDoc = df.select(col(idCol).cast("long").as("__id"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val parted = perDoc.repartitionByRange(np, col("__id"))
+      .sortWithinPartitions("__id")
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint() // pin partition ids before the two passes below
+    val partTotals = parted.groupBy("__pid").agg(sum("n_toks").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partTotals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t) }.init.zip(partTotals).map { case ((_, off), (pid, _)) =>
+      (pid, off) }
+    import sp.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("__local", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum_before", col("__local") + col("__off"))
+      // integer div (not float-divide-then-truncate): exact at any stream
+      // length, and the engine-invariant form (Spark DIV ≡ DuckDB //)
+      .withColumn("start_seq", expr(s"cum_before div ${seqLen}L"))
+      .withColumn("end_seq", expr(s"(cum_before + n_toks - 1) div ${seqLen}L"))
+      .withColumn("crosses", col("end_seq") > col("start_seq"))
+      .select(col("__id").as(idCol), col("n_toks"), col("cum_before"),
+        col("start_seq"), col("end_seq"), col("crosses"))
+  }
+
+  /** Span-corruption masking audit, T5-style (Raffel et al. 2020 §3.1.4
+    * corrupt ~15% of tokens in short contiguous spans), made
+    * deterministic and relational by BLOCKED span placement: positions
+    * partition into `blockSize`-token blocks, each block masks one
+    * `spanLen`-token span starting at its md5-minimal position (clipped
+    * at block and document end) — non-overlap is guaranteed by block
+    * disjointness instead of a sequential greedy scan, so the mask is a
+    * pure function of (id, pos) any engine replays bit-for-bit. With the
+    * 3/20 defaults the corruption rate is ~15% away from tails.
+    *
+    * Returns per doc: (id, n_tokens, n_spans, n_masked, mask_bp) with
+    * mask_bp the integer basis-point corruption rate. Scale: one token
+    * scan, one (doc, block) aggregate, one equi-join back on the md5 key,
+    * a ≤spanLen explode — map-side shapes only, no window. */
+  def spanCorruptionStats(
+      df: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(blockSize >= 1 && spanLen >= 1 && spanLen <= blockSize,
+      s"spanCorruptionStats: need 1 <= spanLen <= blockSize, got $spanLen/$blockSize")
+    val toks = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .select(col(idCol), col("pos"),
+        md5(concat(lit("mask:"), col(idCol).cast("string"), lit(":"),
+          col("pos").cast("string"))).as("__mk"))
+    val sizes = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    val withBlock = toks.withColumn("__blk", expr(s"pos div $blockSize"))
+    val starts = withBlock.groupBy(col(idCol), col("__blk"))
+      .agg(min(col("__mk")).as("__mk"))
+      .join(withBlock, Seq(idCol, "__blk", "__mk"))
+    val masked = starts
+      .join(sizes, Seq(idCol))
+      .select(col(idCol), col("__blk"),
+        explode(sequence(col("pos"),
+          least(col("pos") + (spanLen - 1),
+            (col("__blk") + 1) * blockSize - 1,
+            col("n_tokens") - 1))).as("__mp"))
+    val perDoc = masked.groupBy(col(idCol))
+      .agg(countDistinct(col("__blk")).as("n_spans"),
+        count(lit(1)).as("n_masked"))
+    sizes.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_bp", expr("(n_masked * 10000) div n_tokens"))
+  }
+
+  /** Bigram language-model statistics with Kneser-Ney pieces (Kneser &
+    * Ney 1995; Chen & Goodman 1998 §2.7, public): per bigram the raw
+    * count, the left/right CONTINUATION counts (|distinct contexts|, the
+    * quantity KN backs off to instead of raw unigram frequency), and the
+    * absolute-discount numerator max(c − D, 0) with the fixed rational
+    * D = 3/4 carried as the integer 4c − 3 (the q74 convention: exact
+    * integer pieces in the gate, the float probability assembled
+    * downstream). The n-gram LM is the classic data-quality scorer and
+    * the KN pieces are what a trainer shards.
+    *
+    * Scale: per-doc adjacency via a doc-keyed window (bounded by doc
+    * length), then three map-side-combined aggregates (bigram counts,
+    * left contexts, right contexts) and bounded top-K selection. */
+  def bigramKneserNey(
+      df: DataFrame, idCol: String, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"bigramKneserNey: topK >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy("pos")
+    val bi = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok").as("w1"), col("nxt").as("w2"))
+    val counts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val contRight = counts.groupBy("w2")
+      .agg(count(lit(1)).as("cont_right")) // |{w1 : c(w1,w2) > 0}|
+    val contLeft = counts.groupBy("w1")
+      .agg(count(lit(1)).as("cont_left"))  // |{w2 : c(w1,w2) > 0}|
+    counts
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
+      .join(contRight, "w2").join(contLeft, "w1")
+      .withColumn("disc_num4", greatest(col("c") * 4 - 3, lit(0L)))
+      .select(col("w1"), col("w2"), col("c"), col("cont_left"),
+        col("cont_right"), col("disc_num4"))
+  }
+
   private def tokenBudgetBase(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame = {
     val nToks = size(split(trim(col(textCol)), "\\s+")).cast("long")

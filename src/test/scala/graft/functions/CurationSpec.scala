@@ -455,6 +455,79 @@ class CurationSpec extends SparkSpec {
     assert(big.map(_._1) == (1 to 512)) // dense, ranking-ordered steps
   }
 
+  test("packSequences: global cumsum in id order, boundary crossings, " +
+      "partition-invariant") {
+    val docsDf = (1 to 300).map(i =>
+      (i.toLong, (1 to (i % 17 + 1)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docsDf, "doc_id", "text", seqLen = 64L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // local reference
+    var cum = 0L
+    val exp = (1 to 300).map { i =>
+      val n = (i % 17 + 1).toLong
+      val row = (i.toLong, n, cum, cum / 64, (cum + n - 1) / 64,
+        (cum + n - 1) / 64 > cum / 64)
+      cum += n
+      row
+    }
+    assert(got.toSeq == exp)
+    val again = TextAnalysis.packSequences(docsDf.repartition(17), "doc_id",
+        "text", seqLen = 64L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(again.toSeq == exp)
+    // the plan has no partition-less window (the cumsum is keyed by the
+    // physical partition id)
+    val plan = TextAnalysis.packSequences(docsDf, "doc_id", "text", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [sum") ||
+      plan.contains("windowspecdefinition(__pid"), plan)
+  }
+
+  test("spanCorruptionStats: one span per block, clipped, ~15% masked, " +
+      "deterministic") {
+    val docsDf = Seq(
+      (1L, (1 to 60).map(i => s"t$i").mkString(" ")), // 3 full blocks
+      (2L, (1 to 7).map(i => s"t$i").mkString(" ")),  // 1 short block
+      (3L, "x"))                                       // 1-token doc
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruptionStats(docsDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (n1, s1, m1, bp1) = out(1L)
+    assert(n1 == 60L && s1 == 3L && m1 <= 9L && m1 >= 3L)
+    assert(bp1 == m1 * 10000 / 60)
+    val (n2, s2, m2, _) = out(2L)
+    assert(n2 == 7L && s2 == 1L && m2 >= 1L && m2 <= 3L)
+    assert(out(3L) == ((1L, 1L, 1L, 10000L))) // the whole doc masked
+    // masks are a pure (id, pos) function: partition layout can't move them
+    val again = TextAnalysis.spanCorruptionStats(docsDf.repartition(5),
+      "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(again == out)
+  }
+
+  test("bigramKneserNey: counts, continuation counts, integer discount") {
+    val docsDf = Seq(
+      (1L, "a b a b c"),   // (a,b)x2 (b,a) (b,c)
+      (2L, "x b"))          // (x,b)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramKneserNey(docsDf, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // c(a,b)=2; cont_left(a)=|{b}|=1; cont_right(b)=|{a,x}|=2; 4c-3=5
+    assert(out(("a", "b")) == ((2L, 1L, 2L, 5L)), out)
+    // c(b,a)=1: cont_left(b)=|{a,c}|=2; cont_right(a)=|{b}|=1; 4-3=1
+    assert(out(("b", "a")) == ((1L, 2L, 1L, 1L)))
+    assert(out(("x", "b")) == ((1L, 1L, 2L, 1L)))
+    assert(out.size == 4) // no cross-doc bigram (c,x) ever forms
+  }
+
   test("cdcChunks: insertion-robust boundaries; fixed-stride chunking is not") {
     val words = (1 to 400).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, words), (2L, "inserted prefix tokens " + words))
