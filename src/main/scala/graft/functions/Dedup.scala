@@ -1336,25 +1336,9 @@ object Dedup {
 
   // ---- exact-substring dedup via distributed suffix ranks ----
 
-  /** Global dense rank of a frame of DISTINCT key rows, without a global
-    * window: range-repartition + in-partition sort puts the keys in total
-    * order across partitions, and zipWithIndex stamps the global position
-    * (partition offsets are computed from actual partition sizes, so the
-    * result is independent of where the sampled range boundaries land).
-    * This is the scalable form of `dense_rank() OVER (ORDER BY keys)` on
-    * distinct keys — O(n log n) shuffle, no single-partition stage. */
   private def globalDenseRank(
-      distinctKeys: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val sp = distinctKeys.sparkSession
-    val np = sp.sessionState.conf.numShufflePartitions
-    val sorted = distinctKeys
-      .repartitionByRange(np, keyCols.map(col): _*)
-      .sortWithinPartitions(keyCols.map(col): _*)
-    val schema = sorted.schema.add("__r", org.apache.spark.sql.types.LongType)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L)) }
-    sp.createDataFrame(rdd, schema)
-  }
+      distinctKeys: DataFrame, keyCols: Seq[String]): DataFrame =
+    Ranks.globalDenseRank(distinctKeys, keyCols)
 
   /** Longest duplicated span per document via DISTRIBUTED PREFIX-DOUBLING
     * suffix ranks — the suffix-array formulation of exact-substring dedup

@@ -30,9 +30,13 @@ object EntityResolution {
       .select("name").distinct()
       .join(dim.select("name", "id"), Seq("name"), "left")
     val maxId = dim.agg(coalesce(max("id"), lit(0L)).cast("long")).first().getLong(0)
-    val missing = matched
-      .filter(col("id").isNull)
-      .withColumn("id", lit(maxId) + dense_rank().over(Window.orderBy("name")))
+    // ids for the missing names come from the distributed rank (range
+    // partition + zipWithIndex), not a partition-less dense_rank window:
+    // same values (names are distinct), but no single task ever sorts the
+    // whole missing set
+    val missing = graft.functions.Ranks.globalDenseRank(
+        matched.filter(col("id").isNull).select("name"), Seq("name"))
+      .select(col("name"), (lit(maxId) + col("__r")).as("id"))
     matched.filter(col("id").isNotNull)
       .unionByName(missing.select("name", "id"))
   }

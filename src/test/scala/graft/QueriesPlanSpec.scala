@@ -52,7 +52,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q254_phrase_search",     // positional equi-join on (doc, pos+1)
     "q255_table_stats",       // one Expand aggregate + 1-row restack
     "q256_staleness_chain",   // store loop: semi-joins + aggregates only
-    "q258_proximity_search")  // banded positional equi-join
+    "q258_proximity_search",  // banded positional equi-join
+    "q264_suffix_dedup",      // doubling rounds: joins + range-sort ranks
+    "q267_span_corruption")   // block aggregate + md5-key join-back
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
@@ -93,7 +95,10 @@ class QueriesPlanSpec extends SparkSpec {
     "q238_live_monitor" -> "entity_id",    // notification PK dedup window
     "q250_attr_asof" -> "user_id",         // SCD-2 validity windows per entity
     "q257_lag_features" -> "user_id",      // multi-horizon RANGE frames per entity
-    "q259_top_paths" -> "user_id")         // sessionize windows per entity
+    "q259_top_paths" -> "user_id",         // sessionize windows per entity
+    "q266_pack_sequences" -> "__pid")      // cumsum keyed by PHYSICAL partition
+    // (q268's doc-keyed adjacency window sits BEFORE its counts
+    // localCheckpoint, so the final plan shows no Window to assert on)
 
   for ((q, key) <- keyedWindowQueries)
     test(s"$q windows are keyed by $key, never global") {
