@@ -602,6 +602,32 @@ object QueriesLLM {
           Seq("hash", "join", "merge"), topN = 20)
         .drop("score_scaled")
     },
+    // ---- right-to-be-forgotten purge through the derived index: build
+    // the stored BM25 index over the full corpus, physically purge a
+    // takedown list (doc_id % 5 = 0) from postings + doclens, and
+    // search — because stats reconstruct at query time, the purged
+    // index is byte-identical to a FRESH index on the surviving corpus
+    // (deleted docs stop influencing df/avgdl for everyone else, which
+    // a lazy hit-stage tombstone filter would get wrong). Oracle = the
+    // q235 replay over the surviving corpus ----
+    "q269_index_purge" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q269_")
+      val psP = new PartStore(s, PartStoreConfig(s"$work/post", 64L,
+        keyCols = Seq("tok", "doc_id")))
+      val psD = new PartStore(s, PartStoreConfig(s"$work/docs", 64L,
+        keyCols = Seq("doc_id")))
+      val d = docs(s, dir)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", 1L)
+      TextAnalysis.bm25IndexAppend(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", 2L)
+      TextAnalysis.bm25IndexPurge(psP, psD,
+        d.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"), "doc_id")
+      TextAnalysis.bm25SearchStoredLog(psP, psD,
+          Seq("hash", "join", "merge"), topN = 20)
+        .drop("score_scaled")
+    },
     // ---- token co-occurrence association (PMI's ratio form): pairs
     // within a 3-token window via constant-fanout offset expansion +
     // equi-join on (doc, pos) — never a per-doc range join; counts
@@ -4592,6 +4618,10 @@ object QueriesLLM {
     // hash-compared columns are exact integers.
     "q235_bm25_logidf" -> Bm25LogIdfOracle,
     "q236_bm25_logidf_stored" -> Bm25LogIdfOracle,
+    // q269: the q235 replay on the SURVIVING corpus — purged docs must
+    // vanish from df/n_docs/avgdl, not just from the hit list
+    "q269_index_purge" -> Bm25LogIdfOracle.replace(
+      "FROM documents)", "FROM documents WHERE doc_id % 5 <> 0)"),
     "q228_cooccurrence" ->
       s"""WITH $ToksCte,
          t AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),

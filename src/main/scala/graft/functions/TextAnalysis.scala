@@ -1261,6 +1261,45 @@ object TextAnalysis {
         .withColumn("modified", lit(modified)))
   }
 
+  /** Deletion propagation through the stored index — the
+    * right-to-be-forgotten purge every training-data deployment needs
+    * (a takedown/opt-out list must leave DERIVED artifacts too, not just
+    * the document store): physically remove `deleteIds`' rows from both
+    * the postings and doclen stores. Because [[bm25SearchStoredLog]]
+    * reconstructs ALL corpus statistics (df, n_docs, avgdl) at query
+    * time, the purged index is byte-identical to an index freshly built
+    * on the surviving corpus — deleted docs stop influencing OTHER
+    * documents' scores too, which a lazy tombstone-filter at the hit
+    * stage would get wrong (df/avgdl would still count the purged docs).
+    *
+    * Cost: one staged rewrite per store (O(index), the standard
+    * tombstone-compaction shape — batch deletions and purge
+    * periodically; the low-latency variant is a tombstone list
+    * anti-joined at query time, traded off in the scaladoc precisely
+    * because its stats go stale). Returns the number of purged doc ids
+    * actually present. */
+  def bm25IndexPurge(
+      psPostings: graft.storage.PartStore,
+      psDocLens: graft.storage.PartStore,
+      deleteIds: DataFrame, idCol: String): Long = {
+    val ids = deleteIds.select(col(idCol).cast("long").as("__del_id"))
+      .distinct().localCheckpoint()
+    val present = psDocLens.readPart("doclen") match {
+      case None => 0L
+      case Some(dls) => dls.join(ids,
+        col("doc_id").cast("long") === col("__del_id"), "left_semi").count()
+    }
+    if (present > 0) {
+      psPostings.rewritePart("postings",
+        df => df.join(ids,
+          col("doc_id").cast("long") === col("__del_id"), "left_anti"))
+      psDocLens.rewritePart("doclen",
+        df => df.join(ids,
+          col("doc_id").cast("long") === col("__del_id"), "left_anti"))
+    }
+    present
+  }
+
   /** Query side of the stored index: corpus statistics (df per query
     * token, n_docs, total tokens) reconstruct from the stores AT QUERY
     * TIME, so after any append sequence the stored search is

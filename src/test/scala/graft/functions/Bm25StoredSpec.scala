@@ -109,4 +109,29 @@ class Bm25StoredSpec extends SparkSpec {
       .filter(col("doc_id") === 3).select("tok").as[String].collect().toSet
     assert(doc3Toks == Set("merge", "probe"))
   }
+
+  test("bm25IndexPurge: purged index == fresh index on survivors; " +
+      "stats forget the deleted docs") {
+    val (p, d) = stores("purge")
+    TextAnalysis.bm25IndexAppend(p, d, corpus, "doc_id", "text", 1L)
+    val n = TextAnalysis.bm25IndexPurge(p, d,
+      Seq(1L, 3L).toDF("doc_id"), "doc_id")
+    assert(n == 2L)
+    val survivors = corpus.filter(!col("doc_id").isin(1L, 3L))
+    val stored = TextAnalysis.bm25SearchStoredLog(p, d, Seq("hash", "merge"), 10)
+      .collect().map(_.toSeq).toSeq
+    val fresh = TextAnalysis.bm25SearchLog(survivors, "doc_id", "text",
+      Seq("hash", "merge"), 10).collect().map(_.toSeq).toSeq
+    assert(stored == fresh)
+    // physically gone, not filtered: no postings or doclen rows remain
+    assert(p.readPart("postings").get
+      .filter(col("doc_id").isin(1L, 3L)).isEmpty)
+    assert(d.readPart("doclen").get
+      .filter(col("doc_id").isin(1L, 3L)).isEmpty)
+    // purging ids that are not on store is a no-op reporting 0
+    assert(TextAnalysis.bm25IndexPurge(p, d,
+      Seq(99L).toDF("doc_id"), "doc_id") == 0L)
+    assert(TextAnalysis.bm25SearchStoredLog(p, d, Seq("hash", "merge"), 10)
+      .collect().map(_.toSeq).toSeq == stored)
+  }
 }
