@@ -1390,6 +1390,13 @@ object Dedup {
       .select(col("__doc"), (col("__doc") * block + col("pos")).as("gpos"),
         col("tok"))
       .localCheckpoint()
+    // negative ids would interleave block address ranges and silently
+    // merge documents — refuse loudly (one aggregate over the
+    // checkpointed positions, noise next to the 14 ranking/LCP rounds)
+    val minDoc = toks.agg(min(col("__doc"))).head()
+    require(minDoc.isNullAt(0) || minDoc.getLong(0) >= 0L,
+      s"suffixDupSpans: negative $idCol values break the per-doc block " +
+        s"addressing (min = ${minDoc.getLong(0)})")
     val r0keys = globalDenseRank(
       toks.select(md5(col("tok")).as("k1")).distinct(), Seq("k1"))
     var rank = toks
