@@ -828,7 +828,12 @@ object Similarity {
     // insert and — the HNSW descent — seeds the flat insert's layer-0
     // search, so every per-batch search runs against the store state as
     // of the previous batch. |coarse edges| = |corpus|/denom × k.
-    val prevCoarse = edgeStore.readPart(part + "__l1").map(_.localCheckpoint())
+    // an EMPTY coarse part (a first batch with a single coarse member
+    // stores zero edges) must fall back to flat seeding — a descent from
+    // zero coarse nodes would find no entry points and silently drop
+    // every cross link
+    val prevCoarse = edgeStore.readPart(part + "__l1")
+      .map(_.localCheckpoint()).filter(_.head(1).nonEmpty)
     if (bC.head(1).nonEmpty) {
       val oldCoarse = (prevCoarse, vecStore.readPart(part)) match {
         case (Some(e1), Some(v0)) =>
