@@ -628,6 +628,32 @@ object QueriesLLM {
           Seq("hash", "join", "merge"), topN = 20)
         .drop("score_scaled")
     },
+    // ---- audio CONTENT: loudness over real 16-bit PCM frames — peak,
+    // Σ|s|, Σs² exact BIGINT, per-channel-stride zero crossings, RMS by
+    // the exact-floor IEEE sqrt. One narrow pass per blob; the oracle
+    // replays the sample formula with generate_series ----
+    "q270_wav_loudness" -> { (s, dir) =>
+      Multimodal.pcmLoudness(
+        Multimodal.pcmBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+        .orderBy("id")
+    },
+    // ---- audio CONTENT: silence segmentation (voice-activity shape) —
+    // a frame is silent iff every channel |s| < 8192; reports silent
+    // frames, maximal active runs, longest silent run ----
+    "q271_wav_silence" -> { (s, dir) =>
+      Multimodal.pcmSilence(
+        Multimodal.pcmBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob",
+        threshold = 8192)
+        .orderBy("id")
+    },
+    // ---- image CONTENT: BMP 24-bit pixel-array decode (stride padding +
+    // bottom-up rows) → exact per-channel sums + weighted checksum of the
+    // 2×2 integer box downsample — real decode/resize, no codec needed ----
+    "q272_bmp_pixels" -> { (s, dir) =>
+      Multimodal.bmpPixelStats(
+        Multimodal.bmpPixelBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+        .orderBy("id")
+    },
     // ---- token co-occurrence association (PMI's ratio form): pairs
     // within a 3-token window via constant-fanout offset expansion +
     // equi-join on (doc, pos) — never a per-doc range join; counts
@@ -4622,6 +4648,113 @@ object QueriesLLM {
     // vanish from df/n_docs/avgdl, not just from the hit list
     "q269_index_purge" -> Bm25LogIdfOracle.replace(
       "FROM documents)", "FROM documents WHERE doc_id % 5 <> 0)"),
+    // q270: replay of the PCM fixture — sample j of doc d is
+    // ((d·7919 + j·104729) mod 65536) − 32768; all columns exact BIGINT
+    // except rms, whose floor-sqrt is provably exact below 2^30
+    "q270_wav_loudness" ->
+      """WITH par AS (
+           SELECT doc_id, 1 + doc_id % 2 AS channels,
+             (50 + (doc_id * 13) % 400) * (1 + doc_id % 2) AS n
+           FROM documents),
+         smp AS (
+           SELECT doc_id, channels, n,
+             unnest(generate_series(0, n - 1)) AS j
+           FROM par),
+         sv AS (
+           SELECT doc_id, channels, n, j,
+             ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS s,
+             CASE WHEN j >= channels THEN
+               ((doc_id * 7919 + (j - channels) * 104729) % 65536) - 32768
+             END AS prev_s
+           FROM smp),
+         agg AS (
+           SELECT doc_id, max(n) AS n, max(abs(s)) AS peak_abs,
+             sum(abs(s)) AS sum_abs, sum(s * s) AS sum_sq,
+             sum(CASE WHEN prev_s IS NOT NULL AND ((s < 0) <> (prev_s < 0))
+                 THEN 1 ELSE 0 END) AS zero_cross
+           FROM sv GROUP BY 1)
+         SELECT doc_id AS id, CAST(n AS BIGINT) AS n_samples,
+           CAST(peak_abs AS BIGINT) AS peak_abs,
+           CAST(sum_abs AS BIGINT) AS sum_abs,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           CAST(zero_cross AS BIGINT) AS zero_cross,
+           CAST(floor(sqrt(CAST(sum_sq // n AS DOUBLE))) AS BIGINT) AS rms
+         FROM agg ORDER BY id""",
+    // q271: frame silent iff ALL channels |s| < 8192; active segments =
+    // silent→active transitions (stream starts silent); longest silent
+    // run via gaps-and-islands
+    "q271_wav_silence" ->
+      """WITH par AS (
+           SELECT doc_id, 1 + doc_id % 2 AS channels,
+             50 + (doc_id * 13) % 400 AS frames
+           FROM documents),
+         fr AS (
+           SELECT doc_id, channels, frames,
+             unnest(generate_series(0, frames - 1)) AS f
+           FROM par),
+         ch AS (
+           SELECT doc_id, channels, frames, f,
+             unnest(generate_series(0, channels - 1)) AS c
+           FROM fr),
+         sil AS (
+           SELECT doc_id, frames, f,
+             CASE WHEN max(abs(((doc_id * 7919 + (f * channels + c) * 104729)
+               % 65536) - 32768)) < 8192 THEN 1 ELSE 0 END AS silent
+           FROM ch GROUP BY doc_id, frames, f),
+         w AS (
+           SELECT doc_id, frames, f, silent,
+             lag(silent, 1, 1) OVER (PARTITION BY doc_id ORDER BY f) AS prev_silent
+           FROM sil),
+         runs AS (
+           SELECT doc_id,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+           FROM w WHERE silent = 1),
+         rlen AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, isl),
+         longest AS (SELECT doc_id, max(rl) AS longest_silence FROM rlen GROUP BY 1),
+         base AS (
+           SELECT doc_id, max(frames) AS frames, sum(silent) AS silent_frames,
+             sum(CASE WHEN silent = 0 AND prev_silent = 1 THEN 1 ELSE 0 END)
+               AS n_active_segments
+           FROM w GROUP BY 1)
+         SELECT b.doc_id AS id, CAST(b.frames AS BIGINT) AS frames,
+           CAST(b.silent_frames AS BIGINT) AS silent_frames,
+           CAST(b.n_active_segments AS BIGINT) AS n_active_segments,
+           CAST(coalesce(l.longest_silence, 0) AS BIGINT) AS longest_silence
+         FROM base b LEFT JOIN longest l USING (doc_id) ORDER BY id""",
+    // q272: pixel byte (BGR physical c) at image (x, y) of doc d is
+    // (d·31 + y·509 + x·127 + c·8191) mod 256; even dims → every 2×2 box
+    // complete, so the box mean is sum // 4 exactly
+    "q272_bmp_pixels" ->
+      """WITH par AS (
+           SELECT doc_id, 4 + 2 * (doc_id % 14) AS w,
+             4 + 2 * ((doc_id * 7) % 14) AS h
+           FROM documents),
+         xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM par),
+         xy AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+         pc AS (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM xy),
+         pv AS (
+           SELECT doc_id, w, h, x, y, c,
+             (doc_id * 31 + y * 509 + x * 127 + c * 8191) % 256 AS v
+           FROM pc),
+         sums AS (
+           SELECT doc_id, max(w) AS w, max(h) AS h,
+             sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS sum_b,
+             sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS sum_g,
+             sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS sum_r
+           FROM pv GROUP BY 1),
+         down AS (
+           SELECT doc_id,
+             sum((sv // 4) * (1 + (bx + 2 * by + 3 * c) % 13)) AS down_checksum
+           FROM (
+             SELECT doc_id, x // 2 AS bx, y // 2 AS by, c, sum(v) AS sv
+             FROM pv GROUP BY doc_id, bx, by, c) t
+           GROUP BY 1)
+         SELECT s.doc_id AS id, CAST(s.w AS INT) AS width,
+           CAST(s.h AS INT) AS height,
+           CAST(sum_b AS BIGINT) AS sum_b, CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(coalesce(d.down_checksum, 0) AS BIGINT) AS down_checksum
+         FROM sums s LEFT JOIN down d USING (doc_id) ORDER BY id""",
     "q228_cooccurrence" ->
       s"""WITH $ToksCte,
          t AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),

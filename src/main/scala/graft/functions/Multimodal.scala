@@ -794,6 +794,278 @@ object Multimodal {
   def audioBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
     blobsOf(docs, idCol, nCharsCol)(audioFixture)
 
+  // ---- audio CONTENT (PCM sample decode) -------------------------------
+  // Header parsing answers "what is this"; the content tier answers "what
+  // does it sound like" — loudness and silence structure over the real
+  // 16-bit frames, all in integer arithmetic so the result is exact and
+  // layout-invariant (the 100 TB contract: per-blob one-pass map, fixed-
+  // size feature rows out, no codec, no shuffle).
+
+  /** Deterministic 16-bit sample stream: sample j of blob `seed` is
+    * ((seed·7919 + j·104729) mod 65536) − 32768 ∈ [−32768, 32767].
+    * Pure BIGINT arithmetic — the oracle replays it with generate_series. */
+  def pcmSample(seed: Long, j: Long): Int =
+    (((seed * 7919L + j * 104729L) % 65536L) - 32768L).toInt
+
+  /** Canonical PCM WAV with a REAL sample payload: interleaved int16-LE
+    * frames from [[pcmSample]]. Same chunk layout as [[synthWav]]. */
+  def synthWavPcm(rate: Int, channels: Int, frames: Int, seed: Long): Array[Byte] = {
+    val n = frames * channels
+    val data = new Array[Byte](n * 2)
+    var j = 0
+    while (j < n) {
+      val s = pcmSample(seed, j.toLong)
+      data(2 * j) = (s & 0xff).toByte
+      data(2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    val block = channels * 2
+    val fmt = ascii("fmt ") ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      le32b(rate) ++ le32b(rate * block) ++ le16b(block) ++ le16b(16)
+    ascii("RIFF") ++ le32b(4 + fmt.length + 8 + data.length) ++ ascii("WAVE") ++
+      fmt ++ ascii("data") ++ le32b(data.length) ++ data
+  }
+
+  /** PCM fixture, recomputable from (doc_id, n_chars):
+    *   rate = 8000 + (n_chars % 8)·1000, channels = 1 + doc_id % 2,
+    *   frames = 50 + (doc_id·13) % 400, sample seed = doc_id. */
+  def pcmFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthWavPcm(rate = 8000 + (nChars % 8).toInt * 1000,
+      channels = 1 + (docId % 2).toInt,
+      frames = (50 + (docId * 13) % 400).toInt, seed = docId)
+
+  def pcmBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(pcmFixture)
+
+  /** Locate the `fmt ` and `data` chunks of a RIFF/WAVE blob; returns
+    * (channels, dataOff, nSamples) for 16-bit PCM, None otherwise. */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE") return None
+    var pos = 12
+    var fmt = -1
+    var dataOff = -1
+    var dataSize = -1
+    var ok = true
+    while (ok && pos + 8 <= b.length) {
+      val cid = fourcc(b, pos)
+      val size = le32(b, pos + 4).toLong
+      if (size < 0 || pos + 8L + size > b.length.toLong + 1) ok = false
+      else {
+        if (cid == "fmt ") fmt = pos + 8
+        if (cid == "data") { dataOff = pos + 8; dataSize = size.toInt }
+        pos = (pos + 8L + size + (size & 1)).toInt
+      }
+    }
+    if (fmt < 0 || fmt + 16 > b.length || dataOff < 0 || dataSize < 2) None
+    else {
+      val channels = le16(b, fmt + 2)
+      val bits = le16(b, fmt + 14)
+      if (bits != 16 || channels < 1) None
+      else Some((channels, dataOff, dataSize / 2))
+    }
+  }
+
+  /** One signed int16-LE sample at index j of the data chunk. */
+  private def s16(b: Array[Byte], dataOff: Int, j: Int): Int =
+    ((u8(b, dataOff + 2 * j) | (u8(b, dataOff + 2 * j + 1) << 8)) << 16) >> 16
+
+  final case class PcmStats(
+      id: Long, n_samples: Long, peak_abs: Long, sum_abs: Long, sum_sq: Long,
+      zero_cross: Long, rms: Long)
+
+  /** Loudness over the decoded 16-bit frames: peak |s|, Σ|s|, Σs² (exact
+    * BIGINT), per-channel-stride zero crossings ((s<0) flips vs the same
+    * channel's previous frame), and RMS = ⌊√(Σs² div n)⌋. The mean square
+    * is < 2³⁰, where IEEE-754 sqrt is correctly rounded and the floor is
+    * provably exact (√(k²−1) sits 1/(2k) ≈ 2⁻¹⁶ below k, far beyond a
+    * half-ulp), so even the RMS column is engine-invariant — same
+    * convention as the repeated-IEEE-sqrt gates. Unparseable or non-16-bit
+    * blobs degrade to an all-zero feature row, mirroring [[parseMedia]]'s
+    * unknown fallback. One pass per blob, narrow, no shuffle. */
+  def pcmLoudness(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        wavPcmLayout(b) match {
+          case None => PcmStats(id, 0L, 0L, 0L, 0L, 0L, 0L)
+          case Some((channels, dataOff, n)) =>
+            var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+            var j = 0
+            while (j < n) {
+              val s = s16(b, dataOff, j).toLong
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sumAbs += a
+              sumSq += s * s
+              if (j >= channels &&
+                  (s < 0) != (s16(b, dataOff, j - channels) < 0)) zc += 1
+              j += 1
+            }
+            val msq = sumSq / n
+            PcmStats(id, n.toLong, peak, sumAbs, sumSq, zc,
+              math.floor(math.sqrt(msq.toDouble)).toLong)
+        }
+      }).toDF()
+  }
+
+  final case class PcmSilence(
+      id: Long, frames: Long, silent_frames: Long, n_active_segments: Long,
+      longest_silence: Long)
+
+  /** Silence segmentation: a FRAME is silent iff every channel's |s| <
+    * `threshold`; reports silent-frame count, the number of maximal
+    * non-silent runs, and the longest silent run — the voice-activity
+    * shape an audio-corpus filter keys on. Run-length state is a plain
+    * per-blob scan (blobs are independent; the cross-frame dependency
+    * never leaves one task). */
+  def pcmSilence(df: DataFrame, idCol: String, binCol: String, threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        wavPcmLayout(b) match {
+          case None => PcmSilence(id, 0L, 0L, 0L, 0L)
+          case Some((channels, dataOff, n)) =>
+            val frames = n / channels
+            var silent = 0L; var segs = 0L; var longest = 0L
+            var run = 0L; var prevSilent = true
+            var f = 0
+            while (f < frames) {
+              var frameSilent = true
+              var c = 0
+              while (frameSilent && c < channels) {
+                if (math.abs(s16(b, dataOff, f * channels + c)) >= threshold)
+                  frameSilent = false
+                c += 1
+              }
+              if (frameSilent) {
+                silent += 1; run += 1
+                if (run > longest) longest = run
+              } else {
+                if (prevSilent) segs += 1
+                run = 0
+              }
+              prevSilent = frameSilent
+              f += 1
+            }
+            PcmSilence(id, frames.toLong, silent, segs, longest)
+        }
+      }).toDF()
+  }
+
+  // ---- image CONTENT (BMP pixel decode + box downsample) ---------------
+  // BMP 24-bit is the one mainstream image container whose pixel array is
+  // raw bytes — content ops need no codec, so "decode / resize" can be
+  // REAL here (the codec formats keep the header-only + stub contract).
+
+  /** Deterministic pixel byte: channel byte c (BGR physical order) of
+    * image-coordinate pixel (x, y) is (seed·31 + y·509 + x·127 + c·8191)
+    * mod 256 — pure BIGINT, oracle-replayable. */
+  def bmpPixel(seed: Long, x: Long, y: Long, c: Long): Int =
+    ((seed * 31L + y * 509L + x * 127L + c * 8191L) % 256L).toInt
+
+  /** Bottom-up 24-bit BITMAPINFOHEADER BMP with a REAL pixel array:
+    * rows padded to 4 bytes per the spec, file row r holding image row
+    * h−1−r — the parser has to get stride and orientation right. */
+  def synthBmpPixels(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val px = new Array[Byte](stride * h)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px(r * stride + x * 3 + c) = bmpPixel(seed, x.toLong, y.toLong, c.toLong).toByte
+          c += 1
+        }
+        x += 1
+      }
+      r += 1
+    }
+    ascii("BM") ++ le32b(54 + px.length) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+      Array.fill(24)(0.toByte) ++ px
+  }
+
+  /** Pixel fixture: EVEN dims (so the 2×2 downsample tiles exactly),
+    *   w = 4 + 2·(doc_id % 14), h = 4 + 2·((doc_id·7) % 14), seed = doc_id. */
+  def bmpPixelFixture(docId: Long, nChars: Long): Array[Byte] =
+    synthBmpPixels((4 + 2 * (docId % 14)).toInt, (4 + 2 * ((docId * 7) % 14)).toInt, docId)
+
+  def bmpPixelBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(bmpPixelFixture)
+
+  final case class BmpPixelStats(
+      id: Long, width: Int, height: Int, sum_b: Long, sum_g: Long, sum_r: Long,
+      down_checksum: Long)
+
+  /** Decode the pixel array (stride + bottom-up handled) and emit exact
+    * per-channel byte sums plus a weighted checksum of the 2×2 integer
+    * box downsample (each output channel = mean-div-4 of its 4 source
+    * bytes, weighted 1 + (bx + 2·by + 3·c) mod 13 so a transposed or
+    * mis-strided read cannot cancel out). The real "resize" a vision
+    * pipeline runs, in one narrow pass. */
+  def bmpPixelStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val ok = b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+          le32(b, 14) >= 40 && le16(b, 28) == 24
+        if (!ok) BmpPixelStats(id, 0, 0, 0L, 0L, 0L, 0L)
+        else {
+          val off = le32(b, 10)
+          val w = le32(b, 18)
+          val hRaw = le32(b, 22)
+          val h = math.abs(hRaw)
+          val stride = (w * 3 + 3) & ~3
+          if (w <= 0 || h <= 0 || off + stride.toLong * h > b.length)
+            BmpPixelStats(id, 0, 0, 0L, 0L, 0L, 0L)
+          else {
+            // image row y lives at file row (h-1-y) when bottom-up
+            def px(x: Int, y: Int, c: Int): Int = {
+              val r = if (hRaw > 0) h - 1 - y else y
+              u8(b, off + r * stride + x * 3 + c)
+            }
+            val sums = new Array[Long](3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var c = 0
+                while (c < 3) { sums(c) += px(x, y, c); c += 1 }
+                x += 1
+              }
+              y += 1
+            }
+            var checksum = 0L
+            var by = 0
+            while (2 * by + 1 < h) {
+              var bx = 0
+              while (2 * bx + 1 < w) {
+                var c = 0
+                while (c < 3) {
+                  val m = (px(2 * bx, 2 * by, c) + px(2 * bx + 1, 2 * by, c) +
+                    px(2 * bx, 2 * by + 1, c) + px(2 * bx + 1, 2 * by + 1, c)) / 4
+                  checksum += m.toLong * (1L + (bx + 2L * by + 3L * c) % 13L)
+                  c += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            BmpPixelStats(id, w, h, sums(0), sums(1), sums(2), checksum)
+          }
+        }
+      }).toDF()
+  }
+
   /** Per-doc fixture: format rotates on doc_id % 4; dimensions derive from
     * (doc_id, n_chars) so the oracle can recompute them without bytes.
     *   0 → PNG  w = 1 + n_chars % 1000, h = 1 + (doc_id·7) % 1000

@@ -260,6 +260,119 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Hand-built 16-bit PCM WAV around explicit samples — independent of
+    * [[Multimodal.synthWavPcm]] and its sample formula. */
+  private def wavOf(channels: Int, samples: Seq[Int], bits: Int = 16): Array[Byte] = {
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+    val data = samples.flatMap(s => le16b(s & 0xffff)).toArray
+    val block = channels * bits / 8
+    "RIFF".getBytes("US-ASCII") ++ le32b(28 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32b(16) ++ le16b(1) ++ le16b(channels) ++
+      le32b(8000) ++ le32b(8000 * block) ++ le16b(block) ++ le16b(bits) ++
+      "data".getBytes("US-ASCII") ++ le32b(data.length) ++ data
+  }
+
+  test("pcmLoudness: exact integer stats over hand-built samples") {
+    import spark.implicits._
+    // mono 0, 100, -200, 300: peak 300, Σ|s| 600, Σs² 140000,
+    // sign flips at j=2 and j=3, rms = ⌊√35000⌋ = 187
+    val mono = Seq((1L, wavOf(1, Seq(0, 100, -200, 300)))).toDF("doc_id", "blob")
+    val r = Multimodal.pcmLoudness(mono, "doc_id", "blob").collect().head
+    assert(r.getAs[Long]("n_samples") == 4 && r.getAs[Long]("peak_abs") == 300 &&
+      r.getAs[Long]("sum_abs") == 600 && r.getAs[Long]("sum_sq") == 140000L &&
+      r.getAs[Long]("zero_cross") == 2 && r.getAs[Long]("rms") == 187)
+    // stereo interleaved (100,-100)(−100,100): zero crossings compare at
+    // CHANNEL stride — 2 crossings, not the 3 an interleaved walk would see
+    val st = Seq((2L, wavOf(2, Seq(100, -100, -100, 100)))).toDF("doc_id", "blob")
+    val r2 = Multimodal.pcmLoudness(st, "doc_id", "blob").collect().head
+    assert(r2.getAs[Long]("zero_cross") == 2)
+    // non-16-bit and truncated blobs degrade to the all-zero feature row
+    val bad = Seq(
+      (3L, wavOf(1, Seq(1, 2, 3), bits = 8)),
+      (4L, wavOf(1, Seq(1, 2, 3)).take(20))).toDF("doc_id", "blob")
+    val rows = Multimodal.pcmLoudness(bad, "doc_id", "blob").collect()
+    assert(rows.forall(x => x.getAs[Long]("n_samples") == 0 &&
+      x.getAs[Long]("peak_abs") == 0 && x.getAs[Long]("rms") == 0))
+  }
+
+  test("pcmSilence: frame-level runs (all channels below threshold)") {
+    import spark.implicits._
+    // mono, threshold 100: silent flags T T F F T T F T →
+    // 5 silent, 2 active segments, longest silent run 2
+    val mono = Seq((1L, wavOf(1, Seq(0, 50, 200, 300, 0, 0, 150, 0))))
+      .toDF("doc_id", "blob")
+    val r = Multimodal.pcmSilence(mono, "doc_id", "blob", threshold = 100)
+      .collect().head
+    assert(r.getAs[Long]("frames") == 8 && r.getAs[Long]("silent_frames") == 5 &&
+      r.getAs[Long]("n_active_segments") == 2 &&
+      r.getAs[Long]("longest_silence") == 2)
+    // stereo: a frame is active if ANY channel is loud
+    val st = Seq((2L, wavOf(2, Seq(0, 500, 400, 0, 0, 0)))).toDF("doc_id", "blob")
+    val r2 = Multimodal.pcmSilence(st, "doc_id", "blob", threshold = 100)
+      .collect().head
+    assert(r2.getAs[Long]("frames") == 3 && r2.getAs[Long]("silent_frames") == 1 &&
+      r2.getAs[Long]("n_active_segments") == 1 &&
+      r2.getAs[Long]("longest_silence") == 1)
+  }
+
+  test("bmpPixelStats: stride + orientation; sums and box checksum exact") {
+    import spark.implicits._
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+    // image-coordinate pixel bytes p(x,y,c) = x·10 + y·100 + c + 1
+    def p(x: Int, y: Int, c: Int) = (x * 10 + y * 100 + c + 1).toByte
+    def bmp(hRaw: Int): Array[Byte] = {
+      val h = math.abs(hRaw)
+      val stride = 8 // w=2 → 6 pixel bytes + 2 pad
+      val px = new Array[Byte](stride * h)
+      for (r <- 0 until h; x <- 0 until 2; c <- 0 until 3) {
+        val y = if (hRaw > 0) h - 1 - r else r
+        px(r * stride + x * 3 + c) = p(x, y, c)
+      }
+      "BM".getBytes("US-ASCII") ++ le32b(54 + px.length) ++ le32b(0) ++
+        le32b(54) ++ le32b(40) ++ le32b(2) ++ le32b(hRaw) ++ le16b(1) ++
+        le16b(24) ++ Array.fill(24)(0.toByte) ++ px
+    }
+    // sums: b 224, g 228, r 232; one 2×2 box → means 56/57/58,
+    // weights 1/4/7 → checksum 690
+    for (hRaw <- Seq(2, -2)) {
+      val df = Seq((1L, bmp(hRaw))).toDF("doc_id", "blob")
+      val r = Multimodal.bmpPixelStats(df, "doc_id", "blob").collect().head
+      assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 2)
+      assert(r.getAs[Long]("sum_b") == 224 && r.getAs[Long]("sum_g") == 228 &&
+        r.getAs[Long]("sum_r") == 232, s"hRaw=$hRaw")
+      assert(r.getAs[Long]("down_checksum") == 690, s"hRaw=$hRaw")
+    }
+    // truncated pixel array degrades to the all-zero row
+    val bad = Seq((2L, bmp(2).take(58))).toDF("doc_id", "blob")
+    val rb = Multimodal.bmpPixelStats(bad, "doc_id", "blob").collect().head
+    assert(rb.getAs[Int]("width") == 0 && rb.getAs[Long]("down_checksum") == 0)
+  }
+
+  test("PCM/pixel fixtures round-trip their closed forms; plans stay narrow") {
+    import spark.implicits._
+    val docs = Seq((7L, 13L), (8L, 20L)).toDF("doc_id", "n_chars")
+    val loud = Multimodal.pcmLoudness(
+      Multimodal.pcmBlobs(docs, "doc_id", "n_chars"), "doc_id", "blob")
+    assert(!loud.queryExecution.executedPlan.toString.contains("Exchange"))
+    val l7 = loud.collect().find(_.getAs[Long]("id") == 7L).get
+    val n7 = (50 + 7 * 13 % 400) * 2 // stereo (7 % 2 = 1)
+    assert(l7.getAs[Long]("n_samples") == n7)
+    // recompute Σs² directly from the documented sample formula
+    val expSq = (0 until n7.toInt)
+      .map(j => { val s = Multimodal.pcmSample(7L, j.toLong).toLong; s * s }).sum
+    assert(l7.getAs[Long]("sum_sq") == expSq)
+    val pix = Multimodal.bmpPixelStats(
+      Multimodal.bmpPixelBlobs(docs, "doc_id", "n_chars"), "doc_id", "blob")
+    val p8 = pix.collect().find(_.getAs[Long]("id") == 8L).get
+    assert(p8.getAs[Int]("width") == (4 + 2 * (8 % 14)) &&
+      p8.getAs[Int]("height") == (4 + 2 * (8 * 7 % 14)))
+  }
+
   test("fixtureBlobs + decode is a narrow pipeline (no shuffle)") {
     import spark.implicits._
     val docs = Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
