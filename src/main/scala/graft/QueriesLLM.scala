@@ -654,6 +654,47 @@ object QueriesLLM {
         Multimodal.bmpPixelBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
         .orderBy("id")
     },
+    // ---- leakage-SAFE train/val/test split: the split key is the
+    // near-dup CLUSTER (connected-component minimum), never the doc —
+    // near-duplicates land in the same split by construction, which
+    // q198 could only measure after the fact. Same pairs + CC as q61,
+    // same md5 bands as q76 ----
+    "q273_clustersafe_split" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+          nBits = 4, minCos = 0.98, maxBucket = 100)
+        .select("id1", "id2")
+      TextAnalysis.hashSplit(
+          Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs),
+          "keeper", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "keeper", "split")
+        .orderBy("doc_id")
+    },
+    // ---- first-occurrence 8-gram novelty per doc (memorization /
+    // boilerplate profile): one gram-keyed min-doc aggregate + join
+    // back; integer basis-point rate ----
+    "q274_gram_novelty" -> { (s, dir) =>
+      TextAnalysis.gramNovelty(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+    // ---- bigram-LM scoring (CCNet-style filter core, exact counts):
+    // LM trained on even docs, odd docs classified per adjacent pair as
+    // seen / backoff / OOV ----
+    "q275_bigram_lm_score" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.bigramLmScore(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // ---- chat-history truncation to a context budget (SFT pipeline):
+    // synthetic turns (3 + (id+t) mod 5 tokens, +2 template tokens
+    // each), keep the maximal suffix fitting 32 ----
+    "q276_turn_truncate" -> { (s, dir) =>
+      TextAnalysis.turnTruncate(docs(s, dir), "doc_id", "text", budget = 32L)
+        .orderBy("doc_id")
+    },
     // ---- token co-occurrence association (PMI's ratio form): pairs
     // within a 3-token window via constant-fanout offset expansion +
     // equi-join on (doc, pos) — never a per-doc range join; counts
@@ -2685,6 +2726,15 @@ object QueriesLLM {
              SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS cp
              FROM gr JOIN dups USING (g))),
          tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM base)"""
+
+  /** DuckDB md5→uniform-in-[0,1e6) fragment over an arbitrary SQL
+    * expression — the q76 8-nibble expansion, shared so every split/
+    * sample oracle hashes identically. */
+  private def hvSql(salt: String, e: String): String =
+    (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(md5('$salt' || $e), ${i + 1}, 1)) - 1) * $mult"
+    }.mkString("((", "\n           + ", ") % 1000000)")
 
   /** Shared 16-bit SimHash CTE (q29/q80): md5-nibble token values, ±1
     * per-bit votes, sign → bit; yields `sh16(doc_id, simhash)`. */
@@ -4755,6 +4805,111 @@ object QueriesLLM {
            CAST(sum_r AS BIGINT) AS sum_r,
            CAST(coalesce(d.down_checksum, 0) AS BIGINT) AS down_checksum
          FROM sums s LEFT JOIN down d USING (doc_id) ORDER BY id""",
+    // q273: q61's transitive closure gives the cluster minimum; q76's
+    // md5 bands hash the CLUSTER id, so a cluster can never straddle
+    // splits
+    "q273_clustersafe_split" ->
+      s"""WITH $NearDupReachCte,
+         comp AS (
+           SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
+           FROM reach GROUP BY 1),
+         hv AS (
+           SELECT doc_id, keeper,
+             CAST(${hvSql("split:", "CAST(keeper AS VARCHAR)")} AS DOUBLE) AS hv
+           FROM comp)
+         SELECT doc_id, keeper,
+           CASE WHEN hv < 1000000.0 * 0.9 THEN 'train'
+                WHEN hv < 1000000.0 * (0.9 + 0.05) THEN 'val'
+                ELSE 'test' END AS split
+         FROM hv ORDER BY doc_id""",
+    // q274: list-slice 8-grams; novelty = the gram's min doc id is mine
+    "q274_gram_novelty" ->
+      """WITH base AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM base),
+         gr AS (
+           SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM occ),
+         fd AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1),
+         per AS (
+           SELECT gr.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN fd.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel_occ,
+             count(DISTINCT gr.g) AS n_distinct,
+             count(DISTINCT CASE WHEN fd.first_doc = gr.doc_id THEN gr.g END) AS n_novel
+           FROM gr JOIN fd USING (g) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_novel_occ, 0) AS BIGINT) AS n_novel_occ,
+           CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN coalesce(p.n_distinct, 0) = 0 THEN 0
+                ELSE 10000 * p.n_novel // p.n_distinct END AS BIGINT) AS novelty_bp
+         FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+    // q275: positions dense after the ''-filter (q268 convention), so
+    // adjacency is pos + 1; LM = even docs, scored = odd docs
+    "q275_bigram_lm_score" ->
+      s"""WITH $ToksCte,
+         nn AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),
+         bi AS (
+           SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+           FROM nn a JOIN nn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         lmbi AS (SELECT w1, w2 FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         lmuni AS (SELECT DISTINCT tok FROM nn WHERE doc_id % 2 = 0),
+         j AS (
+           SELECT sc.doc_id,
+             CASE WHEN lb.w1 IS NOT NULL THEN 1 ELSE 0 END AS seen,
+             CASE WHEN lb.w1 IS NULL AND lu.tok IS NOT NULL THEN 1 ELSE 0 END AS backoff,
+             CASE WHEN lu.tok IS NULL THEN 1 ELSE 0 END AS oov
+           FROM (SELECT * FROM bi WHERE doc_id % 2 = 1) sc
+           LEFT JOIN lmbi lb ON sc.w1 = lb.w1 AND sc.w2 = lb.w2
+           LEFT JOIN lmuni lu ON sc.w2 = lu.tok)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(seen) AS BIGINT) AS n_seen,
+           CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE 10000 * sum(seen) // count(*) END AS BIGINT) AS seen_bp
+         FROM j GROUP BY 1 ORDER BY 1""",
+    // q276: turn t holds 3 + (id+t) mod 5 tokens (last partial); cost =
+    // tokens + 2; keep the maximal suffix with total cost <= 32
+    "q276_turn_truncate" ->
+      s"""WITH $ToksCte,
+         nt AS (
+           SELECT doc_id, count(*) AS n_tokens
+           FROM toks WHERE tok <> '' GROUP BY 1),
+         tt AS (
+           SELECT doc_id, n_tokens, unnest(generate_series(0, 63)) AS t
+           FROM nt),
+         lt AS (
+           SELECT doc_id, n_tokens, t, 3 + (doc_id + t) % 5 AS len_t
+           FROM tt),
+         st AS (
+           SELECT doc_id, n_tokens, t, len_t,
+             coalesce(sum(len_t) OVER (PARTITION BY doc_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+           FROM lt),
+         tu AS (
+           SELECT doc_id, n_tokens, t,
+             least(len_t, n_tokens - strt) AS turn_tokens
+           FROM st WHERE strt < n_tokens),
+         sc AS (
+           SELECT doc_id, n_tokens, t, turn_tokens,
+             sum(turn_tokens + 2) OVER (PARTITION BY doc_id ORDER BY t DESC)
+               AS suffix_cost
+           FROM tu)
+         SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(CASE WHEN suffix_cost <= 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_turns,
+           CAST(sum(CASE WHEN suffix_cost <= 32 THEN turn_tokens ELSE 0 END)
+             AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN suffix_cost <= 32 THEN turn_tokens + 2 ELSE 0 END)
+             AS BIGINT) AS kept_cost
+         FROM sc GROUP BY 1 ORDER BY 1""",
     "q228_cooccurrence" ->
       s"""WITH $ToksCte,
          t AS (SELECT doc_id, pos, tok FROM toks WHERE tok <> ''),

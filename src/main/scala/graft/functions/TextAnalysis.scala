@@ -1554,6 +1554,126 @@ object TextAnalysis {
         col("cont_right"), col("disc_num4"))
   }
 
+  /** First-occurrence n-gram novelty per document: how much of a doc's
+    * n-gram vocabulary is NEW to the corpus (its grams' minimum doc id is
+    * this doc) vs recycled from earlier documents — the memorization /
+    * boilerplate profile a corpus report keys on. Reports per-doc gram
+    * occurrences, novel occurrences, distinct grams, novel distinct
+    * grams, and the integer basis-point novelty rate.
+    *
+    * Scale: grams from a doc-keyed lead window (bounded by doc length),
+    * first-occurrence via ONE gram-keyed aggregate (map-side combined),
+    * one join back; no all-pairs, no global window. */
+  def gramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"gramNovelty: n >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    val occ = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("g"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+    val firstDoc = occ.groupBy("g").agg(min(col(idCol)).as("first_doc"))
+    val novel = col("first_doc") === col(idCol)
+    val per = occ.join(firstDoc, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(novel, 1L).otherwise(0L)).as("n_novel_occ"),
+        countDistinct(col("g")).as("n_distinct"),
+        countDistinct(when(novel, col("g"))).as("n_novel"))
+    df.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel_occ"), lit(0L)).as("n_novel_occ"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        when(col("n_distinct") === 0L, 0L)
+          .otherwise(expr("10000 * n_novel DIV n_distinct")))
+  }
+
+  /** Bigram language-model scoring (the exact-count core of a CCNet-style
+    * perplexity filter): train bigram/unigram tables on `trainDf`, then
+    * classify every adjacent pair of a scored doc as SEEN (bigram in the
+    * LM), BACKOFF (unseen bigram, successor in the train vocabulary) or
+    * OOV (successor unseen) — plus the integer basis-point seen rate.
+    * The float log-prob sum stays spec-territory per the ln convention;
+    * these counts are the engine-invariant selection signal.
+    *
+    * Scale: the LM sides are two map-side-combined aggregates; scoring is
+    * two key joins (bigram, unigram) — broadcast-able when the LM is
+    * small, shuffle joins otherwise. No windows beyond the doc-keyed
+    * adjacency lead. */
+  def bigramLmScore(
+      trainDf: DataFrame, scoreDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      tokens(d, idCol, textCol).filter(col("tok") =!= "")
+        .withColumn("w2", lead(col("tok"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col(idCol), col("tok").as("w1"), col("w2"))
+    }
+    val lmBi = bigrams(trainDf).groupBy("w1", "w2").agg(lit(1).as("__in_lm"))
+    val lmUni = tokens(trainDf, idCol, textCol).filter(col("tok") =!= "")
+      .select(col("tok").as("w2")).distinct().withColumn("__in_vocab", lit(1))
+    val per = bigrams(scoreDf)
+      .join(lmBi, Seq("w1", "w2"), "left")
+      .join(lmUni, Seq("w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__in_lm").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("__in_lm").isNull && col("__in_vocab").isNotNull, 1L)
+          .otherwise(0L)).as("n_backoff"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    per.withColumn("seen_bp",
+      when(col("n_bigrams") === 0L, 0L)
+        .otherwise(expr("10000 * n_seen DIV n_bigrams")))
+  }
+
+  /** Chat-history truncation (the SFT-pipeline context-window op): each
+    * doc's token stream splits into synthetic turns — turn t carries
+    * 3 + (id + t) mod 5 tokens (the last turn partial) — every turn
+    * costs its tokens + 2 template tokens, and the kept window is the
+    * maximal SUFFIX of turns whose total cost fits `budget` (keep the
+    * most recent history, drop the oldest). Reports per-doc turn/token
+    * counts and what survived.
+    *
+    * Scale: the turn table is a constant-fanout explode (≤ maxTurns rows
+    * per doc) with doc-keyed prefix/suffix windows — bounded state,
+    * no global ordering anywhere. */
+  def turnTruncate(
+      df: DataFrame, idCol: String, textCol: String, budget: Long,
+      maxTurns: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    val wPre = Window.partitionBy(col(idCol)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSuf = Window.partitionBy(col(idCol)).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nTok
+      .withColumn("t", explode(sequence(lit(0L), lit(maxTurns.toLong - 1))))
+      .withColumn("len_t", lit(3L) + pmod(col(idCol) + col("t"), lit(5L)))
+      .withColumn("start", coalesce(sum(col("len_t")).over(wPre), lit(0L)))
+      .filter(col("start") < col("n_tokens"))
+      .withColumn("turn_tokens", least(col("len_t"), col("n_tokens") - col("start")))
+      .withColumn("cost", col("turn_tokens") + 2L)
+      .withColumn("suffix_cost", sum(col("cost")).over(wSuf))
+      .groupBy(col(idCol))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_turns"),
+        sum(when(col("suffix_cost") <= budget, 1L).otherwise(0L)).as("kept_turns"),
+        sum(when(col("suffix_cost") <= budget, col("turn_tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        sum(when(col("suffix_cost") <= budget, col("cost")).otherwise(0L))
+          .as("kept_cost"))
+  }
+
   private def tokenBudgetBase(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String): DataFrame = {
     val nToks = size(split(trim(col(textCol)), "\\s+")).cast("long")

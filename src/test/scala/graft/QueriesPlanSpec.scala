@@ -96,7 +96,10 @@ class QueriesPlanSpec extends SparkSpec {
     "q250_attr_asof" -> "user_id",         // SCD-2 validity windows per entity
     "q257_lag_features" -> "user_id",      // multi-horizon RANGE frames per entity
     "q259_top_paths" -> "user_id",         // sessionize windows per entity
-    "q266_pack_sequences" -> "__pid")      // cumsum keyed by PHYSICAL partition
+    "q266_pack_sequences" -> "__pid",      // cumsum keyed by PHYSICAL partition
+    "q274_gram_novelty" -> "doc_id",       // per-doc gram lead
+    "q275_bigram_lm_score" -> "doc_id",    // per-doc adjacency lead
+    "q276_turn_truncate" -> "doc_id")      // per-doc prefix/suffix cumsums
     // (q268's doc-keyed adjacency window sits BEFORE its counts
     // localCheckpoint, so the final plan shows no Window to assert on)
 

@@ -1384,4 +1384,48 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(bigCell.count { case (id, _) => uncapped(id) } == 1)
   }
+
+  test("gramNovelty: first-occurrence attribution, repeats, short docs") {
+    val d = Seq(
+      (1L, "a b c"),     // grams "a b","b c" — both first here
+      (2L, "a b a b"),   // "a b"×2 (doc 1's), "b a" first here
+      (3L, "a b"),       // nothing novel
+      (4L, "x")          // too short for any bigram → zero row survives
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gramNovelty(d, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r(1L) == ((2L, 2L, 2L, 2L, 10000L)))
+    assert(r(2L) == ((3L, 1L, 2L, 1L, 5000L)))
+    assert(r(3L) == ((1L, 0L, 1L, 0L, 0L)))
+    assert(r(4L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("bigramLmScore: seen / backoff / OOV classification is exact") {
+    val train = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b x c b")).toDF("doc_id", "text")
+    // (a,b) seen; (b,x) OOV (x unseen); (x,c) and (c,b) backoff
+    val r = TextAnalysis.bigramLmScore(train, score, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_bigrams") == 4 && r.getAs[Long]("n_seen") == 1 &&
+      r.getAs[Long]("n_backoff") == 2 && r.getAs[Long]("n_oov") == 1 &&
+      r.getAs[Long]("seen_bp") == 2500)
+  }
+
+  test("turnTruncate: suffix-keep under budget; partial last turn") {
+    // doc 0, 20 tokens: turn lens 3,4,5,6 then partial 2 (start 18);
+    // costs 5,6,7,8,4 — suffix sums 4,12,19,25,30: budget 20 keeps the
+    // last three turns (tokens 5+6+2)
+    val d = Seq((0L, Seq.fill(20)("t").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.turnTruncate(d, "doc_id", "text", budget = 20L)
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 20 && r.getAs[Long]("n_turns") == 5)
+    assert(r.getAs[Long]("kept_turns") == 3 && r.getAs[Long]("kept_tokens") == 13 &&
+      r.getAs[Long]("kept_cost") == 19)
+    // budget large enough keeps everything
+    val all = TextAnalysis.turnTruncate(d, "doc_id", "text", budget = 99L)
+      .collect().head
+    assert(all.getAs[Long]("kept_turns") == 5 &&
+      all.getAs[Long]("kept_tokens") == 20 && all.getAs[Long]("kept_cost") == 30)
+  }
 }
