@@ -695,6 +695,46 @@ object QueriesLLM {
       TextAnalysis.turnTruncate(docs(s, dir), "doc_id", "text", budget = 32L)
         .orderBy("doc_id")
     },
+    // ---- incremental gram novelty against a persisted registry: each
+    // batch scored vs everything ingested so far, registry grows by the
+    // batch's new grams (insert-missing — a gram's first owner never
+    // changes). Batches in ascending id order make the union equal the
+    // one-shot q274 run, which is exactly what the oracle certifies ----
+    "q277_novelty_incremental" -> { (s, dir) =>
+      import graft.storage.{PartStore, PartStoreConfig}
+      val work = tempWorkDir("graft_q277_")
+      val ps = new PartStore(s, PartStoreConfig(s"$work/grams", 64L,
+        keyCols = Seq("digest")))
+      val d = docs(s, dir)
+      val r1 = TextAnalysis.gramNoveltyAppend(ps, "reg",
+        d.filter(col("doc_id") < 250), "doc_id", "text", n = 8, modified = 1L)
+        .localCheckpoint() // materialize before append 2 rewrites the part
+      val r2 = TextAnalysis.gramNoveltyAppend(ps, "reg",
+        d.filter(col("doc_id") >= 250), "doc_id", "text", n = 8, modified = 2L)
+      r1.unionByName(r2).orderBy("doc_id")
+    },
+    // ---- cross-modal curation capstone: one keep/drop decision joining
+    // the text tier (8-gram novelty), the audio tier (silence fraction)
+    // and the image tier (orientation) — the shape a multimodal corpus
+    // filter actually runs, all thresholds on exact integers ----
+    "q278_multimodal_curation" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val nov = TextAnalysis.gramNovelty(d, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("novelty_bp"))
+      val sil = Multimodal.pcmSilence(
+          Multimodal.pcmBlobs(d, "doc_id", "n_chars"), "doc_id", "blob",
+          threshold = 8192)
+        .select(col("id").as("doc_id"),
+          when(col("frames") === 0L, 10000L)
+            .otherwise(expr("10000 * silent_frames DIV frames")).as("silence_bp"))
+      val img = Multimodal.bmpPixelStats(
+          Multimodal.bmpPixelBlobs(d, "doc_id", "n_chars"), "doc_id", "blob")
+        .select(col("id").as("doc_id"), (col("width") > col("height")).as("landscape"))
+      nov.join(sil, "doc_id").join(img, "doc_id")
+        .withColumn("keep",
+          col("novelty_bp") >= 5000L && col("silence_bp") <= 2500L && col("landscape"))
+        .orderBy("doc_id")
+    },
     // ---- token co-occurrence association (PMI's ratio form): pairs
     // within a 3-token window via constant-fanout offset expansion +
     // equi-join on (doc, pos) — never a per-doc range join; counts
@@ -2736,6 +2776,87 @@ object QueriesLLM {
       s"(strpos('0123456789abcdef', substr(md5('$salt' || $e), ${i + 1}, 1)) - 1) * $mult"
     }.mkString("((", "\n           + ", ") % 1000000)")
 
+  /** Shared 8-gram first-occurrence novelty CTE (q274/q277/q278):
+    * list-slice grams + min-doc attribution → `novstats(doc_id, n_grams,
+    * n_novel_occ, n_distinct, n_novel)`; docs shorter than 8 tokens are
+    * absent (callers LEFT JOIN and zero-fill). */
+  private val GramNoveltyCte =
+    """nbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         nocc AS (
+           SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+           FROM nbase),
+         ngr AS (
+           SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM nocc),
+         nfd AS (SELECT g, min(doc_id) AS first_doc FROM ngr GROUP BY 1),
+         novstats AS (
+           SELECT ngr.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN nfd.first_doc = ngr.doc_id THEN 1 ELSE 0 END)
+               AS n_novel_occ,
+             count(DISTINCT ngr.g) AS n_distinct,
+             count(DISTINCT CASE WHEN nfd.first_doc = ngr.doc_id THEN ngr.g END)
+               AS n_novel
+           FROM ngr JOIN nfd USING (g) GROUP BY 1)"""
+
+  /** One final select shared by the one-shot (q274) and incremental
+    * (q277) novelty gates: ascending-id batches make the incremental
+    * union provably equal the one-shot run, so ONE oracle certifies
+    * both. */
+  private val GramNoveltyOracle =
+    s"""WITH $GramNoveltyCte
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_novel_occ, 0) AS BIGINT) AS n_novel_occ,
+           CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN coalesce(p.n_distinct, 0) = 0 THEN 0
+                ELSE 10000 * p.n_novel // p.n_distinct END AS BIGINT) AS novelty_bp
+         FROM documents d LEFT JOIN novstats p USING (doc_id) ORDER BY d.doc_id"""
+
+  /** Shared PCM silence CTE (q271/q278): replay of the q270 sample
+    * formula at frame level → `silstats(doc_id, frames, silent_frames,
+    * n_active_segments, longest_silence)`. */
+  private val PcmSilenceCte =
+    """apar AS (
+           SELECT doc_id, 1 + doc_id % 2 AS channels,
+             50 + (doc_id * 13) % 400 AS frames
+           FROM documents),
+         afr AS (
+           SELECT doc_id, channels, frames,
+             unnest(generate_series(0, frames - 1)) AS f
+           FROM apar),
+         ach AS (
+           SELECT doc_id, channels, frames, f,
+             unnest(generate_series(0, channels - 1)) AS c
+           FROM afr),
+         asil AS (
+           SELECT doc_id, frames, f,
+             CASE WHEN max(abs(((doc_id * 7919 + (f * channels + c) * 104729)
+               % 65536) - 32768)) < 8192 THEN 1 ELSE 0 END AS silent
+           FROM ach GROUP BY doc_id, frames, f),
+         aw AS (
+           SELECT doc_id, frames, f, silent,
+             lag(silent, 1, 1) OVER (PARTITION BY doc_id ORDER BY f) AS prev_silent
+           FROM asil),
+         aruns AS (
+           SELECT doc_id,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+           FROM aw WHERE silent = 1),
+         arlen AS (SELECT doc_id, count(*) AS rl FROM aruns GROUP BY doc_id, isl),
+         along AS (SELECT doc_id, max(rl) AS longest FROM arlen GROUP BY 1),
+         silstats AS (
+           SELECT b.doc_id, b.frames, b.silent_frames, b.n_active_segments,
+             coalesce(l.longest, 0) AS longest_silence
+           FROM (
+             SELECT doc_id, max(frames) AS frames, sum(silent) AS silent_frames,
+               sum(CASE WHEN silent = 0 AND prev_silent = 1 THEN 1 ELSE 0 END)
+                 AS n_active_segments
+             FROM aw GROUP BY 1) b
+           LEFT JOIN along l USING (doc_id))"""
+
   /** Shared 16-bit SimHash CTE (q29/q80): md5-nibble token values, ±1
     * per-bit votes, sign → bit; yields `sh16(doc_id, simhash)`. */
   private val SimhashCte =
@@ -4734,43 +4855,12 @@ object QueriesLLM {
     // silent→active transitions (stream starts silent); longest silent
     // run via gaps-and-islands
     "q271_wav_silence" ->
-      """WITH par AS (
-           SELECT doc_id, 1 + doc_id % 2 AS channels,
-             50 + (doc_id * 13) % 400 AS frames
-           FROM documents),
-         fr AS (
-           SELECT doc_id, channels, frames,
-             unnest(generate_series(0, frames - 1)) AS f
-           FROM par),
-         ch AS (
-           SELECT doc_id, channels, frames, f,
-             unnest(generate_series(0, channels - 1)) AS c
-           FROM fr),
-         sil AS (
-           SELECT doc_id, frames, f,
-             CASE WHEN max(abs(((doc_id * 7919 + (f * channels + c) * 104729)
-               % 65536) - 32768)) < 8192 THEN 1 ELSE 0 END AS silent
-           FROM ch GROUP BY doc_id, frames, f),
-         w AS (
-           SELECT doc_id, frames, f, silent,
-             lag(silent, 1, 1) OVER (PARTITION BY doc_id ORDER BY f) AS prev_silent
-           FROM sil),
-         runs AS (
-           SELECT doc_id,
-             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS isl
-           FROM w WHERE silent = 1),
-         rlen AS (SELECT doc_id, count(*) AS rl FROM runs GROUP BY doc_id, isl),
-         longest AS (SELECT doc_id, max(rl) AS longest_silence FROM rlen GROUP BY 1),
-         base AS (
-           SELECT doc_id, max(frames) AS frames, sum(silent) AS silent_frames,
-             sum(CASE WHEN silent = 0 AND prev_silent = 1 THEN 1 ELSE 0 END)
-               AS n_active_segments
-           FROM w GROUP BY 1)
-         SELECT b.doc_id AS id, CAST(b.frames AS BIGINT) AS frames,
-           CAST(b.silent_frames AS BIGINT) AS silent_frames,
-           CAST(b.n_active_segments AS BIGINT) AS n_active_segments,
-           CAST(coalesce(l.longest_silence, 0) AS BIGINT) AS longest_silence
-         FROM base b LEFT JOIN longest l USING (doc_id) ORDER BY id""",
+      s"""WITH $PcmSilenceCte
+         SELECT doc_id AS id, CAST(frames AS BIGINT) AS frames,
+           CAST(silent_frames AS BIGINT) AS silent_frames,
+           CAST(n_active_segments AS BIGINT) AS n_active_segments,
+           CAST(longest_silence AS BIGINT) AS longest_silence
+         FROM silstats ORDER BY id""",
     // q272: pixel byte (BGR physical c) at image (x, y) of doc d is
     // (d·31 + y·509 + x·127 + c·8191) mod 256; even dims → every 2×2 box
     // complete, so the box mean is sum // 4 exactly
@@ -4823,32 +4913,34 @@ object QueriesLLM {
                 ELSE 'test' END AS split
          FROM hv ORDER BY doc_id""",
     // q274: list-slice 8-grams; novelty = the gram's min doc id is mine
-    "q274_gram_novelty" ->
-      """WITH base AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         occ AS (
-           SELECT doc_id, toks,
-             unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
-           FROM base),
-         gr AS (
-           SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS g FROM occ),
-         fd AS (SELECT g, min(doc_id) AS first_doc FROM gr GROUP BY 1),
-         per AS (
-           SELECT gr.doc_id,
-             count(*) AS n_grams,
-             sum(CASE WHEN fd.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS n_novel_occ,
-             count(DISTINCT gr.g) AS n_distinct,
-             count(DISTINCT CASE WHEN fd.first_doc = gr.doc_id THEN gr.g END) AS n_novel
-           FROM gr JOIN fd USING (g) GROUP BY 1)
+    "q274_gram_novelty" -> GramNoveltyOracle,
+    // q277: ascending-id batches make registry insert-missing ≡ global
+    // min-doc attribution, so the incremental union replays as the
+    // one-shot novelty run
+    "q277_novelty_incremental" -> GramNoveltyOracle,
+    // q278: the three tier replays joined into one decision — novelty
+    // basis points, silence basis points, closed-form image orientation
+    "q278_multimodal_curation" ->
+      s"""WITH $GramNoveltyCte,
+         $PcmSilenceCte,
+         dims AS (
+           SELECT doc_id,
+             (4 + 2 * (doc_id % 14)) > (4 + 2 * ((doc_id * 7) % 14)) AS landscape
+           FROM documents)
          SELECT d.doc_id,
-           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-           CAST(coalesce(p.n_novel_occ, 0) AS BIGINT) AS n_novel_occ,
-           CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
-           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
-           CAST(CASE WHEN coalesce(p.n_distinct, 0) = 0 THEN 0
-                ELSE 10000 * p.n_novel // p.n_distinct END AS BIGINT) AS novelty_bp
-         FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""",
+           CAST(CASE WHEN coalesce(n.n_distinct, 0) = 0 THEN 0
+                ELSE 10000 * n.n_novel // n.n_distinct END AS BIGINT) AS novelty_bp,
+           CAST(10000 * s.silent_frames // s.frames AS BIGINT) AS silence_bp,
+           dm.landscape,
+           ((CASE WHEN coalesce(n.n_distinct, 0) = 0 THEN 0
+                 ELSE 10000 * n.n_novel // n.n_distinct END) >= 5000
+             AND (10000 * s.silent_frames // s.frames) <= 2500
+             AND dm.landscape) AS keep
+         FROM documents d
+         LEFT JOIN novstats n USING (doc_id)
+         JOIN silstats s USING (doc_id)
+         JOIN dims dm USING (doc_id)
+         ORDER BY d.doc_id""",
     // q275: positions dense after the ''-filter (q268 convention), so
     // adjacency is pos + 1; LM = even docs, scored = odd docs
     "q275_bigram_lm_score" ->

@@ -1596,6 +1596,72 @@ object TextAnalysis {
           .otherwise(expr("10000 * n_novel DIV n_distinct")))
   }
 
+  /** Incremental [[gramNovelty]] against a persisted gram registry: the
+    * production shape, where each arriving batch is scored for novelty
+    * vs EVERYTHING ingested so far and the registry grows by the batch's
+    * new grams. Registry rows are (digest, first_doc) — insert-missing
+    * only (a gram's first owner never changes), so the per-batch cost is
+    * batch grams + the probed registry partitions, never the corpus.
+    * With batches arriving in ascending id order, the union of all
+    * batches' outputs equals the one-shot [[gramNovelty]] run (the gate
+    * oracle certifies exactly that).
+    *
+    * Configure the store with `keyCols = Seq("digest")` and
+    * partitionSizeSeconds = 64 over the crc32(digest) mod 1024 surrogate
+    * timestamp (16 partitions). Evaluate the returned frame (e.g.
+    * localCheckpoint) before the next append rewrites the part. */
+  def gramNoveltyAppend(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String, n: Int,
+      modified: Long): DataFrame = {
+    require(store.config.keyCols == Seq("digest"),
+      "gramNoveltyAppend: store must be keyed by digest " +
+        s"(keyCols = Seq(\"digest\")), got ${store.config.keyCols}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    val occ = tokens(batch, idCol, textCol).filter(col("tok") =!= "")
+      .select(col(idCol), concat_ws(" ", parts: _*).as("g"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select(col(idCol), md5(col("g")).as("digest"))
+      .localCheckpoint() // feeds the registry upsert AND the scoring join
+    val batchGrams = occ.groupBy("digest")
+      .agg(min(col(idCol).cast("long")).as("first_doc"))
+      .withColumn("timestamp", pmod(crc32(col("digest")), lit(1024L)))
+    val fresh = store.readPart(part) match {
+      case None => batchGrams
+      case Some(ex) =>
+        batchGrams.join(ex.select("digest"), Seq("digest"), "left_anti")
+    }
+    store.store(part, fresh.withColumn("modified", lit(modified)))
+    // score against the post-append registry (empty batch → no partitions
+    // yet; novelty of nothing is the empty frame either way)
+    val state = store.readPart(part)
+      .map(_.select(col("digest"), col("first_doc")))
+      .getOrElse(batchGrams.select("digest", "first_doc").limit(0))
+    val novel = col("first_doc") === col(idCol).cast("long")
+    val per = occ.join(state, "digest")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(novel, 1L).otherwise(0L)).as("n_novel_occ"),
+        countDistinct(col("digest")).as("n_distinct"),
+        countDistinct(when(novel, col("digest"))).as("n_novel"))
+    batch.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel_occ"), lit(0L)).as("n_novel_occ"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        when(col("n_distinct") === 0L, 0L)
+          .otherwise(expr("10000 * n_novel DIV n_distinct")))
+  }
+
   /** Bigram language-model scoring (the exact-count core of a CCNet-style
     * perplexity filter): train bigram/unigram tables on `trainDf`, then
     * classify every adjacent pair of a scored doc as SEEN (bigram in the

@@ -1401,6 +1401,35 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("gramNoveltyAppend: batched union equals one-shot; registry insert-missing") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "a b c d"),   // batch 1
+      (2L, "a b c x"),   // batch 1 — "a b" recycled from doc 1
+      (3L, "a b c d"),   // batch 2 — everything recycled
+      (4L, "p q r s")    // batch 2 — all novel
+    ).toDF("doc_id", "text")
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(
+        s"target/tmp/novreg_${System.nanoTime()}", 64L, keyCols = Seq("digest")))
+    val r1 = TextAnalysis.gramNoveltyAppend(ps, "reg",
+      d.filter(col("doc_id") <= 2), "doc_id", "text", n = 2, modified = 1L)
+      .localCheckpoint()
+    val regAfter1 = ps.readPart("reg").get.count()
+    val r2 = TextAnalysis.gramNoveltyAppend(ps, "reg",
+      d.filter(col("doc_id") > 2), "doc_id", "text", n = 2, modified = 2L)
+    val inc = r1.unionByName(r2)
+    val oneShot = TextAnalysis.gramNovelty(d, "doc_id", "text", n = 2)
+    assert(inc.orderBy("doc_id").collect().toSeq ==
+      oneShot.orderBy("doc_id").collect().toSeq)
+    // batch 1 grams: a b, b c, c d, c x → 4; batch 2 adds p q, q r, r s
+    assert(regAfter1 == 4 && ps.readPart("reg").get.count() == 7)
+    // a replayed gram keeps its FIRST owner (insert-missing)
+    val firstOwners = ps.readPart("reg").get
+      .select("first_doc").collect().map(_.getLong(0))
+    assert(!firstOwners.contains(3L), "recycled grams must keep doc 1/2 owners")
+  }
+
   test("bigramLmScore: seen / backoff / OOV classification is exact") {
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
     val score = Seq((1L, "a b x c b")).toDF("doc_id", "text")
