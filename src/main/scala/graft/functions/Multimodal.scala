@@ -1024,8 +1024,13 @@ object Multimodal {
           val w = le32(b, 18)
           val hRaw = le32(b, 22)
           val h = math.abs(hRaw)
-          val stride = (w * 3 + 3) & ~3
-          if (w <= 0 || h <= 0 || off + stride.toLong * h > b.length)
+          // Long stride math: a corrupt w near 2^30 overflows w*3 in Int
+          // to a NEGATIVE stride that slips past the bounds check and
+          // crashes the task — same degrade-not-crash contract as the
+          // RIFF walks
+          val stride = ((w.toLong * 3 + 3) & ~3L).toInt
+          if (w <= 0 || h <= 0 || off < 0 ||
+              off + w.toLong * 3 * h > b.length || off + stride.toLong * h > b.length)
             BmpPixelStats(id, 0, 0, 0L, 0L, 0L, 0L)
           else {
             // image row y lives at file row (h-1-y) when bottom-up

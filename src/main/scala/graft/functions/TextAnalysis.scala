@@ -1718,6 +1718,17 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val nTok = tokens(df, idCol, textCol).filter(col("tok") =!= "")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+      .localCheckpoint() // reused by the coverage probe below
+    // a doc needing more than maxTurns turns would silently UNDERCOUNT
+    // (turns beyond the explode bound never materialize) — refuse loudly
+    // instead; one ≤1-row control read, the repo's bounded-collect shape
+    val maxNeed = locally {
+      val r = nTok.agg(max(col("n_tokens"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty corpus → no turns
+    }
+    require(maxNeed <= 3L * maxTurns,
+      s"turnTruncate: a ${maxNeed}-token doc can need up to " +
+        s"ceil($maxNeed/3) turns > maxTurns = $maxTurns — raise maxTurns")
     val wPre = Window.partitionBy(col(idCol)).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wSuf = Window.partitionBy(col(idCol)).orderBy(col("t").desc)
