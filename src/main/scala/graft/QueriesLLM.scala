@@ -713,6 +713,48 @@ object QueriesLLM {
         d.filter(col("doc_id") >= 250), "doc_id", "text", n = 8, modified = 2L)
       r1.unionByName(r2).orderBy("doc_id")
     },
+    // ---- streaming face of the gram-novelty registry: two micro-batches
+    // through noveltySink (same ascending-id schedule as q277), then the
+    // registry grouped by the batch that registered each gram — batch ≡
+    // incremental ≡ streaming on one store contract ----
+    "q279_stream_novelty" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = docs(s, dir).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val work = tempWorkDir("graft_q279_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/grams", 64L,
+          keyCols = Seq("digest")))
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingRollup.noveltySink(
+        mem.toDF().toDF("doc_id", "text"), ps, "reg", "doc_id", "text", n = 8)
+      try {
+        mem.addData(rows.filter(_._1 < 250).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 >= 250).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      ps.readPart("reg").get
+        .groupBy(col("modified").as("batch"))
+        .agg(count(lit(1)).as("n_new_grams"))
+        .orderBy("batch")
+    },
+    // ---- audio CONTENT dedup: loudness-envelope fingerprint over the
+    // decoded samples — re-containered copies (same samples, different
+    // rate label) collide on the envelope where q25's byte digest
+    // cannot; min-id keeper per fingerprint ----
+    "q280_audio_fingerprint" -> { (s, dir) =>
+      val env = Multimodal.pcmEnvelope(
+        Multimodal.pcmDupBlobs(docs(s, dir), "doc_id", "n_chars"), "doc_id", "blob")
+      val fp = env.select(col("id").as("doc_id"), md5(col("env")).as("fp"))
+      val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+      fp.join(keepers, "fp")
+        .select(col("doc_id"), col("fp"), col("keeper"),
+          (col("doc_id") =!= col("keeper")).as("is_dup"))
+        .orderBy("doc_id")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -4918,6 +4960,40 @@ object QueriesLLM {
     // min-doc attribution, so the incremental union replays as the
     // one-shot novelty run
     "q277_novelty_incremental" -> GramNoveltyOracle,
+    // q279: a gram registers under the batch whose docs first carried it;
+    // batches split at doc 250, so first_doc tells which
+    "q279_stream_novelty" ->
+      s"""WITH $GramNoveltyCte
+         SELECT CAST(CASE WHEN first_doc < 250 THEN 0 ELSE 1 END AS BIGINT)
+             AS batch,
+           CAST(count(*) AS BIGINT) AS n_new_grams
+         FROM nfd GROUP BY 1 ORDER BY 1""",
+    // q280: envelope replay — |s| means over 8 equal spans of the
+    // doc_id-mod-50 sample stream; md5 of the comma-joined integers
+    "q280_audio_fingerprint" ->
+      """WITH dpar AS (
+           SELECT doc_id, doc_id % 50 AS seed,
+             (50 + ((doc_id % 50) * 13) % 400) * (1 + (doc_id % 50) % 2) AS n
+           FROM documents),
+         smp AS (
+           SELECT doc_id, seed, n, unnest(generate_series(0, n - 1)) AS j
+           FROM dpar),
+         blk AS (
+           SELECT doc_id, (j * 8) // n AS k,
+             abs(((seed * 7919 + j * 104729) % 65536) - 32768) AS a
+           FROM smp),
+         env AS (
+           SELECT doc_id,
+             array_to_string(list(CAST(m AS VARCHAR) ORDER BY k), ',') AS env
+           FROM (
+             SELECT doc_id, k, CAST(sum(a) // count(*) AS BIGINT) AS m
+             FROM blk GROUP BY 1, 2) t
+           GROUP BY 1),
+         fp AS (SELECT doc_id, md5(env) AS fp FROM env),
+         kp AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1)
+         SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
+           f.doc_id <> k.keeper AS is_dup
+         FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
     // q278: the three tier replays joined into one decision — novelty
     // basis points, silence basis points, closed-form image orientation
     "q278_multimodal_curation" ->

@@ -910,6 +910,58 @@ object Multimodal {
       }).toDF()
   }
 
+  /** PCM fixture with PLANTED duplicates: content (channels, frames,
+    * samples) keys off doc_id mod 50 while the container RATE still
+    * varies with n_chars — every ~50th doc carries the same audio in a
+    * differently-labelled container, which byte-digest dedup (q25)
+    * cannot see and content fingerprinting must. */
+  def pcmDupFixture(docId: Long, nChars: Long): Array[Byte] = {
+    val seed = docId % 50
+    synthWavPcm(rate = 8000 + (nChars % 8).toInt * 1000,
+      channels = 1 + (seed % 2).toInt,
+      frames = (50 + (seed * 13) % 400).toInt, seed = seed)
+  }
+
+  def pcmDupBlobs(docs: DataFrame, idCol: String, nCharsCol: String): DataFrame =
+    blobsOf(docs, idCol, nCharsCol)(pcmDupFixture)
+
+  final case class PcmEnvelope(id: Long, n_samples: Long, env: String)
+
+  /** Content fingerprint of the decoded samples: the |s| loudness
+    * envelope over `blocks` equal spans (block of sample j is
+    * j·blocks div n; per-block mean = Σ|s| div count — all integer, so
+    * the envelope string is engine-exact and md5-able on both sides).
+    * Headers are NOT hashed: a re-containered copy (different rate
+    * label, same samples) fingerprints identically. Unparseable blobs
+    * degrade to the empty envelope. */
+  def pcmEnvelope(df: DataFrame, idCol: String, binCol: String,
+      blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, s"pcmEnvelope: blocks >= 1, got $blocks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        wavPcmLayout(b) match {
+          case None => PcmEnvelope(id, 0L, "")
+          case Some((_, dataOff, n)) =>
+            val sums = new Array[Long](blocks)
+            val cnts = new Array[Long](blocks)
+            var j = 0
+            while (j < n) {
+              val k = (j.toLong * blocks / n).toInt
+              sums(k) += math.abs(s16(b, dataOff, j).toLong)
+              cnts(k) += 1
+              j += 1
+            }
+            PcmEnvelope(id, n.toLong,
+              (0 until blocks) // n < blocks leaves empty blocks → mean 0
+                .map(k => if (cnts(k) == 0) 0L else sums(k) / cnts(k))
+                .mkString(","))
+        }
+      }).toDF()
+  }
+
   final case class PcmSilence(
       id: Long, frames: Long, silent_frames: Long, n_active_segments: Long,
       longest_silence: Long)

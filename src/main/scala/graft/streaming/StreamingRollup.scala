@@ -539,6 +539,34 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming face of the gram-novelty registry
+    * ([[graft.functions.TextAnalysis.gramNoveltyAppend]]): each
+    * micro-batch registers its new grams (insert-missing, so replayed
+    * micro-batches are idempotent) — the batch/incremental/streaming
+    * triangle the other stores carry. The per-batch score frame the
+    * append returns is discarded here (a production pipeline would
+    * write it to its own sink); the registry is the shared state.
+    * Recoverable streams must pass `checkpointLocation`. */
+  def noveltySink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.TextAnalysis.gramNoveltyAppend(
+            ps, part, batch.toDF(), idCol, textCol, n, modified = batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental dedup with PERSISTED state: each micro-batch
     * runs [[graft.functions.Dedup.exactIncremental]] against the shared
     * digest PartStore — the streaming face of q142, complementing

@@ -353,6 +353,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rb.getAs[Int]("width") == 0 && rb.getAs[Long]("down_checksum") == 0)
   }
 
+  test("pcmEnvelope: content fingerprint ignores the container label") {
+    import spark.implicits._
+    // ids 7 and 57 share seed 7 (same samples) but different n_chars →
+    // different RATE labels, different raw bytes — envelopes must collide
+    val docs = Seq((7L, 13L), (57L, 20L), (8L, 13L)).toDF("doc_id", "n_chars")
+    val blobs = Multimodal.pcmDupBlobs(docs, "doc_id", "n_chars")
+    val raw = blobs.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(!java.util.Arrays.equals(raw(7L), raw(57L)),
+      "containers must differ byte-wise or the test proves nothing")
+    val env = Multimodal.pcmEnvelope(blobs, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(env(7L) == env(57L), "same samples → same envelope")
+    assert(env(7L) != env(8L), "different seed → different envelope")
+    // hand-check: mono [100, -200, 300, -400] over 2 blocks → means
+    // (100+200)/2=150 and (300+400)/2=350
+    val tiny = Seq((1L, wavOf(1, Seq(100, -200, 300, -400)))).toDF("doc_id", "blob")
+    val e = Multimodal.pcmEnvelope(tiny, "doc_id", "blob", blocks = 2)
+      .collect().head
+    assert(e.getString(2) == "150,350" && e.getLong(1) == 4)
+    // degrade + short-stream zero blocks
+    val bad = Seq((2L, Array[Byte](1, 2, 3)),
+      (3L, wavOf(1, Seq(500)))).toDF("doc_id", "blob")
+    val be = Multimodal.pcmEnvelope(bad, "doc_id", "blob", blocks = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(be(2L) == "" && be(3L) == "500,0")
+  }
+
   test("PCM/pixel fixtures round-trip their closed forms; plans stay narrow") {
     import spark.implicits._
     val docs = Seq((7L, 13L), (8L, 20L)).toDF("doc_id", "n_chars")

@@ -258,6 +258,43 @@ class StreamingRollupSpec extends SparkSpec {
     assert(state(dg("delta")) === 4L)
   }
 
+  test("streaming noveltySink: registry after stream == batch appends; replay idempotent") {
+    import graft.functions.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val base = s"target/tmp/stream_nov_${System.nanoTime()}"
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 64L, keyCols = Seq("digest")))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingRollup.noveltySink(mem.toDF().toDF("doc_id", "text"),
+      ps, "reg", "doc_id", "text", n = 2)
+    mem.addData((1L, "a b c"), (2L, "a b x"))
+    q.processAllAvailable()
+    mem.addData((3L, "a b c"), (4L, "p q"))
+    q.processAllAvailable()
+    q.stop()
+    // grams: batch 0 registers "a b","b c","b x"; batch 1 adds only "p q"
+    val reg = ps.readPart("reg").get.select("first_doc", "modified")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reg.length == 4)
+    assert(reg.count(_._2 == 0L) == 3 && reg.count(_._2 == 1L) == 1)
+    assert(!reg.map(_._1).contains(3L), "doc 3's grams were already owned")
+    // the SAME registry a batch caller builds (shared write contract)
+    val base2 = s"target/tmp/batch_nov_${System.nanoTime()}"
+    val ps2 = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base2, 64L, keyCols = Seq("digest")))
+    TextAnalysis.gramNoveltyAppend(ps2, "reg",
+      Seq((1L, "a b c"), (2L, "a b x")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, modified = 0L).count()
+    TextAnalysis.gramNoveltyAppend(ps2, "reg",
+      Seq((3L, "a b c"), (4L, "p q")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, modified = 1L).count()
+    val reg2 = ps2.readPart("reg").get.select("digest", "first_doc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val reg1 = ps.readPart("reg").get.select("digest", "first_doc")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(reg1.sameElements(reg2))
+  }
+
   test("streaming cmsSink: store after a batch-job seed + two micro-batches == one-shot grid") {
     import graft.functions.CountMin
     implicit val sc = spark.sqlContext
