@@ -1632,16 +1632,27 @@ object TextAnalysis {
     val batchGrams = occ.groupBy("digest")
       .agg(min(col(idCol).cast("long")).as("first_doc"))
       .withColumn("timestamp", pmod(crc32(col("digest")), lit(1024L)))
+      .localCheckpoint() // probe-pindex read + anti-join + empty fallback
+    // prune both registry reads to the batch's own pindexes (crc32 mod
+    // 1024 div psize mirrors the store layout) — ≤ 1024/psize values, the
+    // sibling incremental APIs' bounded control read; a batch's digests
+    // can only collide inside these partitions
+    val psize = store.config.partitionSizeSeconds
+    val batchPindexes = batchGrams
+      .select((col("timestamp") / psize).cast("long").as("pi"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    def pruned(df: DataFrame): DataFrame =
+      df.filter(col("pindex").isin(batchPindexes: _*))
     val fresh = store.readPart(part) match {
       case None => batchGrams
       case Some(ex) =>
-        batchGrams.join(ex.select("digest"), Seq("digest"), "left_anti")
+        batchGrams.join(pruned(ex).select("digest"), Seq("digest"), "left_anti")
     }
     store.store(part, fresh.withColumn("modified", lit(modified)))
     // score against the post-append registry (empty batch → no partitions
     // yet; novelty of nothing is the empty frame either way)
     val state = store.readPart(part)
-      .map(_.select(col("digest"), col("first_doc")))
+      .map(ex => pruned(ex).select(col("digest"), col("first_doc")))
       .getOrElse(batchGrams.select("digest", "first_doc").limit(0))
     val novel = col("first_doc") === col(idCol).cast("long")
     val per = occ.join(state, "digest")
