@@ -755,6 +755,44 @@ object QueriesLLM {
           (col("doc_id") =!= col("keeper")).as("is_dup"))
         .orderBy("doc_id")
     },
+    // ---- k-anonymity audit (data governance): group sizes over the
+    // quasi-identifier tuple (lang, source, length centile-bucket);
+    // groups under k = 5 are re-identification risks → suppression
+    // list. One map-side-combined aggregate ----
+    "q281_k_anonymity" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("group_n"))
+        .withColumn("suppress", col("group_n") < 5L)
+        .orderBy("lang", "source", "len_bucket")
+    },
+    // ---- deterministic negative sampling (contrastive/recsys training):
+    // per user, the 3 md5-ranked catalog items they never interacted
+    // with. The catalog is broadcast (bounded), negatives come from one
+    // anti-join + a bounded sorted-slice aggregate — no RNG state, no
+    // per-user window ----
+    "q282_negative_sampling" -> { (s, dir) =>
+      val inter = load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val items = inter.select("item").distinct()
+      val users = inter.select("user_id").distinct()
+      val top = users.crossJoin(broadcast(items))
+        .join(inter, Seq("user_id", "item"), "left_anti")
+        .withColumn("h", md5(concat(lit("neg:"), col("user_id").cast("string"),
+          lit(":"), col("item").cast("string"))))
+        .groupBy("user_id")
+        .agg(slice(array_sort(collect_list(struct(col("h"), col("item")))),
+          1, 3).as("top"))
+      top.select(col("user_id"), posexplode(col("top")).as(Seq("i", "sel")))
+        .select(col("user_id"), col("sel.item").as("neg_item"),
+          (col("i") + 1).cast("long").as("rnk"))
+        .orderBy("user_id", "rnk")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -4994,6 +5032,34 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    "q281_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_n,
+           count(*) < 5 AS suppress
+         FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // q282: row_number over the md5 rank ≡ Spark's sorted-slice (hashes
+    // are collision-free ties)
+    "q282_negative_sampling" ->
+      """WITH inter AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         it AS (SELECT DISTINCT item FROM inter),
+         u AS (SELECT DISTINCT user_id FROM inter),
+         cand AS (
+           SELECT u.user_id, it.item,
+             md5('neg:' || CAST(u.user_id AS VARCHAR) || ':'
+               || CAST(it.item AS VARCHAR)) AS h
+           FROM u CROSS JOIN it
+           LEFT JOIN inter s ON s.user_id = u.user_id AND s.item = it.item
+           WHERE s.user_id IS NULL),
+         r AS (
+           SELECT user_id, item,
+             row_number() OVER (PARTITION BY user_id ORDER BY h) AS rnk
+           FROM cand)
+         SELECT user_id, item AS neg_item, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""",
     // q278: the three tier replays joined into one decision — novelty
     // basis points, silence basis points, closed-form image orientation
     "q278_multimodal_curation" ->
