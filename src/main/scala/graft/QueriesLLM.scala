@@ -793,6 +793,63 @@ object QueriesLLM {
           (col("i") + 1).cast("long").as("rnk"))
         .orderBy("user_id", "rnk")
     },
+    // ---- fill-in-the-middle transform audit (FIM, Bavarian et al.
+    // 2022, public): md5-deterministic cut points split each doc into
+    // prefix/middle/suffix, reassembled in PSM order (prefix, <SUF>,
+    // suffix, <MID>, middle); lengths + the reassembly md5 gate the
+    // transform exactly. Pure per-row expressions, no shuffle ----
+    "q283_fim_transform" -> { (s, dir) =>
+      val arr = split(trim(col("text")), "\\s+")
+      val n = size(arr).cast("long")
+      def cut(salt: String) = lit(1L) + pmod(
+        conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"), n - 1L)
+      val lo = least(cut("fim1:"), cut("fim2:"))
+      val hi = greatest(cut("fim1:"), cut("fim2:"))
+      val psm = concat_ws(" ", concat(
+        slice(arr, lit(1), lo.cast("int")),
+        array(lit("<SUF>")),
+        slice(arr, (hi + 1L).cast("int"), (n - hi).cast("int")),
+        array(lit("<MID>")),
+        slice(arr, (lo + 1L).cast("int"), (hi - lo).cast("int"))))
+      docs(s, dir).select(col("doc_id"), n.as("n_tokens"),
+          lo.as("p_len"), (hi - lo).as("m_len"), (n - hi).as("s_len"),
+          md5(psm).as("psm_md5"))
+        .orderBy("doc_id")
+    },
+    // ---- retrieval evaluation (IR eval over the q235 textbook BM25):
+    // relevance = docs carrying ALL query tokens; precision@10,
+    // recall@20 and MRR in integer basis points. Ranks come from
+    // Ranks.globalDenseRank (range partition + zipWithIndex), never a
+    // partition-less window ----
+    "q284_retrieval_eval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val q = Seq("dup", "key", "vector")
+      val top = TextAnalysis.bm25SearchLog(d, "doc_id", "text", q, topN = 20)
+      val ranked = graft.functions.Ranks.globalDenseRank(
+          top.select((-col("score_scaled")).as("negscore"), col("doc_id")),
+          Seq("negscore", "doc_id"))
+        .select(col("doc_id"), col("__r").as("rnk"))
+      val rel = TextAnalysis.tokens(d, "doc_id", "text")
+        .filter(col("tok").isin(q: _*))
+        .groupBy("doc_id").agg(countDistinct(col("tok")).as("nq"))
+        .filter(col("nq") === q.length)
+        .select(col("doc_id"), lit(1).as("relv"))
+      ranked.join(rel, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          sum(when(col("rnk") <= 10 && col("relv").isNotNull, 1L)
+            .otherwise(0L)).as("hits_at_10"),
+          sum(when(col("relv").isNotNull, 1L).otherwise(0L)).as("rel_retrieved"),
+          min(when(col("relv").isNotNull, col("rnk"))).as("first_rel"))
+        .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_relevant"))))
+        .select(col("n_retrieved"), col("n_relevant"), col("hits_at_10"),
+          col("rel_retrieved"),
+          expr("10000 * hits_at_10 DIV 10").as("prec10_bp"),
+          when(col("n_relevant") === 0L, 0L)
+            .otherwise(expr("10000 * rel_retrieved DIV n_relevant"))
+            .as("recall20_bp"),
+          coalesce(expr("10000 DIV first_rel"), lit(0L)).as("mrr_bp"))
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -2850,11 +2907,16 @@ object QueriesLLM {
   /** DuckDB md5→uniform-in-[0,1e6) fragment over an arbitrary SQL
     * expression — the q76 8-nibble expansion, shared so every split/
     * sample oracle hashes identically. */
-  private def hvSql(salt: String, e: String): String =
+  /** The raw first-8-nibble md5 value (0..2³²−1) — Spark's
+    * `conv(substring(md5(...), 1, 8), 16, 10)`. */
+  private def hv32Sql(salt: String, e: String): String =
     (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
       s"(strpos('0123456789abcdef', substr(md5('$salt' || $e), ${i + 1}, 1)) - 1) * $mult"
-    }.mkString("((", "\n           + ", ") % 1000000)")
+    }.mkString("(", "\n           + ", ")")
+
+  private def hvSql(salt: String, e: String): String =
+    s"(${hv32Sql(salt, e)} % 1000000)"
 
   /** Shared 8-gram first-occurrence novelty CTE (q274/q277/q278):
     * list-slice grams + min-doc attribution → `novstats(doc_id, n_grams,
@@ -5032,6 +5094,65 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q283: cut points are 1 + hv32 mod (n−1); PSM reassembly md5-gated
+    "q283_fim_transform" ->
+      s"""WITH base AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         cuts AS (
+           SELECT doc_id, toks, len(toks) AS n,
+             1 + ${hv32Sql("fim1:", "CAST(doc_id AS VARCHAR)")}
+               % (len(toks) - 1) AS c1,
+             1 + ${hv32Sql("fim2:", "CAST(doc_id AS VARCHAR)")}
+               % (len(toks) - 1) AS c2
+           FROM base),
+         spans AS (
+           SELECT doc_id, toks, n,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+           FROM cuts)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(lo AS BIGINT) AS p_len,
+           CAST(hi - lo AS BIGINT) AS m_len,
+           CAST(n - hi AS BIGINT) AS s_len,
+           md5(array_to_string(
+             list_concat(list_concat(list_concat(list_concat(
+               toks[1:lo], ['<SUF>']), toks[hi+1:n]), ['<MID>']),
+               toks[lo+1:hi]), ' ')) AS psm_md5
+         FROM spans ORDER BY doc_id""",
+    // q284: the q235 chain re-queried for (dup, key, vector), ranks by
+    // the same ordering, IR metrics in integer basis points
+    "q284_retrieval_eval" -> {
+      val chain = Bm25LogIdfOracle
+        .take(Bm25LogIdfOracle.lastIndexOf(
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_toks"))
+        .replace("('hash', 'join', 'merge')", "('dup', 'key', 'vector')")
+      s"""$chain, bm AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rnk
+           FROM hits GROUP BY doc_id ORDER BY rnk LIMIT 20),
+         rel AS (
+           SELECT doc_id FROM tf WHERE tok IN ('dup', 'key', 'vector')
+           GROUP BY 1 HAVING count(DISTINCT tok) = 3),
+         j AS (
+           SELECT bm.doc_id, bm.rnk, r.doc_id IS NOT NULL AS relv
+           FROM bm LEFT JOIN rel r USING (doc_id)),
+         m AS (
+           SELECT count(*) AS n_retrieved,
+             sum(CASE WHEN rnk <= 10 AND relv THEN 1 ELSE 0 END) AS hits_at_10,
+             sum(CASE WHEN relv THEN 1 ELSE 0 END) AS rel_retrieved,
+             min(CASE WHEN relv THEN rnk END) AS first_rel
+           FROM j)
+         SELECT CAST(n_retrieved AS BIGINT) AS n_retrieved,
+           CAST((SELECT count(*) FROM rel) AS BIGINT) AS n_relevant,
+           CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+           CAST(rel_retrieved AS BIGINT) AS rel_retrieved,
+           CAST(10000 * hits_at_10 // 10 AS BIGINT) AS prec10_bp,
+           CAST(CASE WHEN (SELECT count(*) FROM rel) = 0 THEN 0
+                ELSE 10000 * rel_retrieved // (SELECT count(*) FROM rel)
+                END AS BIGINT) AS recall20_bp,
+           CAST(coalesce(10000 // first_rel, 0) AS BIGINT) AS mrr_bp
+         FROM m"""
+    },
     "q281_k_anonymity" ->
       """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
            CAST(count(*) AS BIGINT) AS group_n,
