@@ -850,6 +850,49 @@ object QueriesLLM {
             .as("recall20_bp"),
           coalesce(expr("10000 DIV first_rel"), lit(0L)).as("mrr_bp"))
     },
+    // ---- deterministic random-walk corpus (DeepWalk/node2vec shape,
+    // Perozzi et al. 2014): 3-hop walks over the user–item bipartite
+    // graph, each hop picking the md5-minimal neighbor (salted by step,
+    // so hops differ) — graph-to-sequence training data with no RNG
+    // state. Three message-passing joins + min_by aggregates ----
+    "q285_deepwalk" -> { (s, dir) =>
+      val adj = load(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+        .localCheckpoint() // three hops reuse it
+      def hopItem(step: Int, userCol: String, out: String) = adj
+        .groupBy(col("user_id").as(userCol))
+        .agg(expr(s"min_by(item, md5(concat('w:$step:', " +
+          "cast(user_id as string), ':', cast(item as string))))").as(out))
+      val hopUser = adj
+        .groupBy(col("item").as("i1"))
+        .agg(expr("min_by(user_id, md5(concat('w:2:', " +
+          "cast(item as string), ':', cast(user_id as string))))").as("u2"))
+      hopItem(1, "u0", "i1")
+        .join(hopUser, "i1")
+        .join(hopItem(3, "u2", "i3"), "u2")
+        .select(col("u0"), col("i1"), col("u2"), col("i3"))
+        .orderBy("u0")
+    },
+    // ---- epoch shuffling for training (md5-permuted order per epoch,
+    // fixed-size shards): the cross-epoch shard contingency table —
+    // exactly how much of each shard epoch 1 reshuffles away. Ranks by
+    // globalDenseRank, never a partition-less window ----
+    "q286_epoch_shuffle" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id")
+      def shards(epoch: Int) = graft.functions.Ranks.globalDenseRank(
+          d.withColumn("h",
+            md5(concat(lit(s"ep:$epoch:"), col("doc_id").cast("string"))))
+            .select("h", "doc_id"),
+          Seq("h"))
+        .select(col("doc_id"), expr("(__r - 1) DIV 64").as(s"shard_e$epoch"))
+      shards(0).join(shards(1), "doc_id")
+        .groupBy("shard_e0", "shard_e1")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_e0", "shard_e1")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -5094,6 +5137,48 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q285: min_by over the same salted md5 keys; DuckDB's min_by ties
+    // are impossible (distinct hash strings)
+    "q285_deepwalk" ->
+      """WITH adj AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         h1 AS (
+           SELECT user_id AS u0,
+             min_by(item, md5('w:1:' || CAST(user_id AS VARCHAR) || ':'
+               || CAST(item AS VARCHAR))) AS i1
+           FROM adj GROUP BY 1),
+         h2 AS (
+           SELECT item AS i1,
+             min_by(user_id, md5('w:2:' || CAST(item AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR))) AS u2
+           FROM adj GROUP BY 1),
+         h3 AS (
+           SELECT user_id AS u2,
+             min_by(item, md5('w:3:' || CAST(user_id AS VARCHAR) || ':'
+               || CAST(item AS VARCHAR))) AS i3
+           FROM adj GROUP BY 1)
+         SELECT h1.u0, h1.i1, h2.u2, h3.i3
+         FROM h1 JOIN h2 USING (i1) JOIN h3 USING (u2)
+         ORDER BY h1.u0""",
+    // q286: row_number over the per-epoch md5 order replays the
+    // globalDenseRank permutation; 64-doc shards
+    "q286_epoch_shuffle" ->
+      """WITH r0 AS (
+           SELECT doc_id, (row_number() OVER (ORDER BY
+             md5('ep:0:' || CAST(doc_id AS VARCHAR))) - 1) // 64 AS shard_e0
+           FROM documents),
+         r1 AS (
+           SELECT doc_id, (row_number() OVER (ORDER BY
+             md5('ep:1:' || CAST(doc_id AS VARCHAR))) - 1) // 64 AS shard_e1
+           FROM documents)
+         SELECT CAST(shard_e0 AS BIGINT) AS shard_e0,
+           CAST(shard_e1 AS BIGINT) AS shard_e1,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM r0 JOIN r1 USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q283: cut points are 1 + hv32 mod (n−1); PSM reassembly md5-gated
     "q283_fim_transform" ->
       s"""WITH base AS (
