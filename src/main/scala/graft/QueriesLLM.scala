@@ -755,18 +755,21 @@ object QueriesLLM {
           (col("doc_id") =!= col("keeper")).as("is_dup"))
         .orderBy("doc_id")
     },
-    // ---- k-anonymity audit (data governance): group sizes over the
-    // quasi-identifier tuple (lang, source, length centile-bucket);
-    // groups under k = 5 are re-identification risks → suppression
-    // list. One map-side-combined aggregate ----
-    "q281_k_anonymity" -> { (s, dir) =>
+    // ---- l-diversity audit (Machanavajjhala et al. 2006, public — the
+    // step BEYOND q223's k-anonymity): a quasi-identifier class can be
+    // large yet still leak if its SENSITIVE attribute is uniform.
+    // QI = (source, length bucket), sensitive = lang; classes with
+    // fewer than l = 2 distinct langs violate even when k-anonymous ----
+    "q281_l_diversity" -> { (s, dir) =>
       docs(s, dir)
-        .select(col("lang"), col("source"),
-          expr("n_chars DIV 100").as("len_bucket"))
-        .groupBy("lang", "source", "len_bucket")
-        .agg(count(lit(1)).as("group_n"))
-        .withColumn("suppress", col("group_n") < 5L)
-        .orderBy("lang", "source", "len_bucket")
+        .select(col("source"), expr("n_chars DIV 100").as("len_bucket"),
+          col("lang"))
+        .groupBy("source", "len_bucket")
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col("lang")).as("n_langs"))
+        .withColumn("k_anonymous", col("group_n") >= 5L)
+        .withColumn("l_diverse", col("n_langs") >= 2L)
+        .orderBy("source", "len_bucket")
     },
     // ---- deterministic negative sampling (contrastive/recsys training):
     // per user, the 3 md5-ranked catalog items they never interacted
@@ -5238,11 +5241,14 @@ object QueriesLLM {
            CAST(coalesce(10000 // first_rel, 0) AS BIGINT) AS mrr_bp
          FROM m"""
     },
-    "q281_k_anonymity" ->
-      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+    // q281: a big class with one lang is k-anonymous yet NOT l-diverse
+    "q281_l_diversity" ->
+      """SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
            CAST(count(*) AS BIGINT) AS group_n,
-           count(*) < 5 AS suppress
-         FROM documents GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT lang) >= 2 AS l_diverse
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     // q282: row_number over the md5 rank ≡ Spark's sorted-slice (hashes
     // are collision-free ties)
     "q282_negative_sampling" ->

@@ -54,7 +54,17 @@ class QueriesPlanSpec extends SparkSpec {
     "q256_staleness_chain",   // store loop: semi-joins + aggregates only
     "q258_proximity_search",  // banded positional equi-join
     "q264_suffix_dedup",      // doubling rounds: joins + range-sort ranks
-    "q267_span_corruption")   // block aggregate + md5-key join-back
+    "q267_span_corruption",   // block aggregate + md5-key join-back
+    "q270_wav_loudness",      // narrow per-blob decode, zero shuffles
+    "q271_wav_silence",       // narrow per-blob decode, zero shuffles
+    "q272_bmp_pixels",        // narrow per-blob decode, zero shuffles
+    "q280_audio_fingerprint", // narrow envelope + fp-keyed aggregate
+    "q281_l_diversity",       // one grouped count + distinct count
+    "q282_negative_sampling", // broadcast catalog + sorted-slice agg, no rank
+    "q283_fim_transform",     // pure per-row expressions
+    "q284_retrieval_eval",    // zipWithIndex ranks + aggregates
+    "q285_deepwalk",          // min_by hops, message-passing joins
+    "q286_epoch_shuffle")     // zipWithIndex permutation, grouped counts
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
