@@ -1617,6 +1617,15 @@ object TextAnalysis {
     require(store.config.keyCols == Seq("digest"),
       "gramNoveltyAppend: store must be keyed by digest " +
         s"(keyCols = Seq(\"digest\")), got ${store.config.keyCols}")
+    // first_doc is stored as LONG; a string/UUID id would hit the ANSI
+    // cast deep inside a job — refuse loudly, like exactIncremental
+    locally {
+      import org.apache.spark.sql.types._
+      val t = batch.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+        s"gramNoveltyAppend: id column '$idCol' must be integral, " +
+          s"got ${t.simpleString}")
+    }
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = (0 until n).map {
@@ -1726,6 +1735,14 @@ object TextAnalysis {
   def turnTruncate(
       df: DataFrame, idCol: String, textCol: String, budget: Long,
       maxTurns: Int = 64): DataFrame = {
+    // turn lengths key off (id + t) mod 5 — a non-numeric id would hit
+    // the ANSI cast inside pmod; refuse loudly
+    locally {
+      import org.apache.spark.sql.types._
+      val t = df.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+        s"turnTruncate: id column '$idCol' must be integral, got ${t.simpleString}")
+    }
     import org.apache.spark.sql.expressions.Window
     val nTok = tokens(df, idCol, textCol).filter(col("tok") =!= "")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
