@@ -896,6 +896,45 @@ object QueriesLLM {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("shard_e0", "shard_e1")
     },
+    // ---- dedup-quality evaluation: LSH candidate recall/precision vs
+    // the exact Jaccard ground truth (both already oracle-gated alone —
+    // this gate measures the APPROXIMATION, the number a dedup rollout
+    // decision actually turns on). Integer basis points ----
+    "q287_lsh_eval" -> { (s, dir) =>
+      val sh = Dedup.shingles(toks(s, dir), "doc_id", 3).localCheckpoint()
+      val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+      val cand = Dedup.lshCandidates(Dedup.lshBuckets(sig, "doc_id", 4, 2),
+        "doc_id", maxBucket = 50).select("id1", "id2")
+      val truth = Dedup.jaccardPairs(sh, "doc_id", 0.10, maxDocFreq = 100)
+        .select("id1", "id2").localCheckpoint()
+      val hit = truth.join(cand, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          when(col("n_truth") === 0L, 0L)
+            .otherwise(expr("10000 * n_hit DIV n_truth")).as("recall_bp"),
+          when(col("n_candidates") === 0L, 0L)
+            .otherwise(expr("10000 * n_hit DIV n_candidates")).as("precision_bp"))
+    },
+    // ---- ANN index health check: IVF(nProbe=2) recall@5 per query vs
+    // the exact brute-force top-5 — the monitoring gate an embedding
+    // index deployment runs after every build ----
+    "q288_ann_recall_eval" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val centroids = Similarity.ivfCentroidsRefinedFull(e, "vec_id", "embedding", 8)
+      val ivf = Similarity.ivfTopK(queries, e, "vec_id", "embedding",
+          centroids, k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .withColumn("recall_bp", expr("10000 * n_overlap DIV 5"))
+        .orderBy("query_id")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -3045,6 +3084,50 @@ object QueriesLLM {
              FROM aw GROUP BY 1) b
            LEFT JOIN along l USING (doc_id))"""
 
+  /** q27's LSH banding chain as a fragment (expects `sh` from
+    * [[ShinglesCte]]): yields `lshcand(id1, id2)` — shared with the
+    * q287 eval gate. */
+  private val LshCandChainCte =
+    """sig AS (
+           SELECT doc_id,
+             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+           FROM sh GROUP BY 1),
+         buckets AS (
+           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
+           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         bsz AS (SELECT band, key FROM buckets GROUP BY 1, 2 HAVING count(*) <= 50),
+         capped AS (
+           SELECT b.* FROM buckets b JOIN bsz s ON b.band = s.band AND b.key = s.key),
+         lshcand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM capped a JOIN capped b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+  /** q28's exact-Jaccard chain as a fragment (expects `sh`): yields
+    * `jpairs(id1, id2, inter, jaccard)` at τ = 0.10, maxDocFreq 100 —
+    * shared with the q287 eval gate. */
+  private val JaccardChainCte =
+    """shc AS (
+           SELECT * FROM sh WHERE shingle IN (
+             SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+         jcounts AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+         jp0 AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jpairs AS (
+           SELECT id1, id2, inter,
+             CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+           FROM jp0
+           JOIN jcounts ca ON ca.doc_id = id1
+           JOIN jcounts cb ON cb.doc_id = id2
+           WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.10)"""
+
   /** Shared 16-bit SimHash CTE (q29/q80): md5-nibble token values, ±1
     * per-bit votes, sign → bit; yields `sh16(doc_id, simhash)`. */
   private val SimhashCte =
@@ -4486,42 +4569,12 @@ object QueriesLLM {
     },
     "q27_lsh_candidates" ->
       s"""WITH $ShinglesCte,
-         sig AS (
-           SELECT doc_id,
-             min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-             min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-             min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-             min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-           FROM sh GROUP BY 1),
-         buckets AS (
-           SELECT doc_id, 0 AS band, md5(h0 || h1) AS key FROM sig
-           UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-           UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-           UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
-         bsz AS (SELECT band, key FROM buckets GROUP BY 1, 2 HAVING count(*) <= 50),
-         capped AS (
-           SELECT b.* FROM buckets b JOIN bsz s ON b.band = s.band AND b.key = s.key)
-         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM capped a JOIN capped b
-           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         ORDER BY 1, 2""",
+         $LshCandChainCte
+         SELECT id1, id2 FROM lshcand ORDER BY 1, 2""",
     "q28_jaccard_pairs" ->
       s"""WITH $ShinglesCte,
-         shc AS (
-           SELECT * FROM sh WHERE shingle IN (
-             SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
-         counts AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-         pairs AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id1, id2, inter,
-           CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
-         FROM pairs
-         JOIN counts ca ON ca.doc_id = id1
-         JOIN counts cb ON cb.doc_id = id2
-         WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.10
-         ORDER BY 1, 2""",
+         $JaccardChainCte
+         SELECT id1, id2, inter, jaccard FROM jpairs ORDER BY 1, 2""",
     "q29_simhash" ->
       s"""WITH $SimhashCte
          SELECT doc_id, simhash FROM sh16 ORDER BY 1""",
@@ -5140,6 +5193,55 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q287: both chains replayed side by side; hit = truth ∩ candidates
+    "q287_lsh_eval" ->
+      s"""WITH $ShinglesCte,
+         $LshCandChainCte,
+         $JaccardChainCte,
+         m AS (SELECT
+           (SELECT count(*) FROM jpairs) AS n_truth,
+           (SELECT count(*) FROM lshcand) AS n_candidates,
+           (SELECT count(*) FROM jpairs t JOIN lshcand c
+              ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit)
+         SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN n_truth = 0 THEN 0
+                ELSE 10000 * n_hit // n_truth END AS BIGINT) AS recall_bp,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                ELSE 10000 * n_hit // n_candidates END AS BIGINT) AS precision_bp
+         FROM m""",
+    // q288: the q95 IVF chain kept as CTEs, joined against the exact
+    // brute-force top-5 (q35's replay restricted to the query set)
+    "q288_ann_recall_eval" -> {
+      val chain = IvfRetrievalSql.take(
+        IvfRetrievalSql.lastIndexOf("SELECT query_id, neighbor_id,"))
+      s"""WITH $FullRefinedCentCte,
+         $chain, ivf AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM rescored) t WHERE rnk <= 5),
+         bf AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+               b.vec_id) AS rnk
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id % 100 = 0),
+         exact AS (SELECT query_id, neighbor_id FROM bf WHERE rnk <= 5)
+         SELECT e.query_id,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap,
+           CAST(10000 * sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             // 5 AS BIGINT) AS recall_bp
+         FROM exact e LEFT JOIN ivf i
+           ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+         GROUP BY 1 ORDER BY 1"""
+    },
     // q285: min_by over the same salted md5 keys; DuckDB's min_by ties
     // are impossible (distinct hash strings)
     "q285_deepwalk" ->
