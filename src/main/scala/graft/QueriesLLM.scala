@@ -935,6 +935,53 @@ object QueriesLLM {
         .withColumn("recall_bp", expr("10000 * n_overlap DIV 5"))
         .orderBy("query_id")
     },
+    // ---- tokenizer evaluation (compression rate / fertility per
+    // stratum): chars-per-BPE-token and pieces-per-word over the
+    // q187-learned merges, per (lang, source) — the numbers a tokenizer
+    // rollout compares across corpora. Broadcast vocab, two aggregates ----
+    "q289_tokenizer_eval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.bpeVocab(d, "doc_id", "text", nMerges = 3)
+        .select(col("word"), size(col("toks")).cast("long").as("n_pieces"))
+      val per = TextAnalysis.tokens(d, "doc_id", "text").filter(col("tok") =!= "")
+        .join(broadcast(vocab), col("tok") === col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_bpe"))
+      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(per, "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe_tokens"))
+        .withColumn("chars_per_token_bp",
+          expr("10000 * sum_chars DIV n_bpe_tokens"))
+        .withColumn("fertility_bp", expr("10000 * n_bpe_tokens DIV n_words"))
+        .orderBy("lang", "source")
+    },
+    // ---- Spearman rank correlation between two corpus signals (length
+    // vs 8-gram novelty), exact: ranks via globalDenseRank with doc-id
+    // tie-break, Σd² and ρ = 1 − 6Σd²/(n(n²−1)) carried as exact
+    // integers (the division keeps positive operands — DIV ≡ // only
+    // holds for positives) ----
+    "q290_spearman" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("n_chars"))
+        .join(TextAnalysis.gramNovelty(d, "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("novelty_bp")), "doc_id")
+        .localCheckpoint() // both rank passes read it
+      val rx = graft.functions.Ranks.globalDenseRank(
+          base.select("n_chars", "doc_id"), Seq("n_chars", "doc_id"))
+        .select(col("doc_id"), col("__r").as("rx"))
+      val ry = graft.functions.Ranks.globalDenseRank(
+          base.select("novelty_bp", "doc_id"), Seq("novelty_bp", "doc_id"))
+        .select(col("doc_id"), col("__r").as("ry"))
+      rx.join(ry, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          (col("n") * (col("n") * col("n") - 1L)).as("rho_den"),
+          (lit(10000L) - expr("(60000 * sum_d2) DIV (n * (n * n - 1))"))
+            .as("rho_bp"))
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -5193,6 +5240,49 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q289: the q188 BPE chain aggregated per stratum
+    "q289_tokenizer_eval" ->
+      s"""WITH $ToksCte,
+         $BpeV0Cte,
+         ${bpeStepCte("v0", 1)},
+         ${bpeStepCte("v1", 2)},
+         ${bpeStepCte("v2", 3)},
+         per AS (
+           SELECT t.doc_id, count(*) AS n_words,
+             CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe
+           FROM toks t JOIN v3 v ON t.tok = v.word
+           WHERE t.tok <> '' GROUP BY 1)
+         SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(10000 * sum(d.n_chars) // sum(p.n_bpe) AS BIGINT)
+             AS chars_per_token_bp,
+           CAST(10000 * sum(p.n_bpe) // sum(p.n_words) AS BIGINT) AS fertility_bp
+         FROM documents d JOIN per p USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q290: row_number replays the rank passes; ρ pieces exact
+    "q290_spearman" ->
+      s"""WITH $GramNoveltyCte,
+         nv AS (
+           SELECT d.doc_id, d.n_chars,
+             CASE WHEN coalesce(p.n_distinct, 0) = 0 THEN 0
+                  ELSE 10000 * p.n_novel // p.n_distinct END AS novelty_bp
+           FROM documents d LEFT JOIN novstats p USING (doc_id)),
+         rx AS (
+           SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rx
+           FROM nv),
+         ry AS (
+           SELECT doc_id, row_number() OVER (ORDER BY novelty_bp, doc_id) AS ry
+           FROM nv),
+         m AS (
+           SELECT count(*) AS n, sum((rx - ry) * (rx - ry)) AS sum_d2
+           FROM rx JOIN ry USING (doc_id))
+         SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST(n * (n * n - 1) AS BIGINT) AS rho_den,
+           CAST(10000 - (60000 * sum_d2) // (n * (n * n - 1)) AS BIGINT)
+             AS rho_bp
+         FROM m""",
     // q287: both chains replayed side by side; hit = truth ∩ candidates
     "q287_lsh_eval" ->
       s"""WITH $ShinglesCte,
