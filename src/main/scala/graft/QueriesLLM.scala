@@ -982,6 +982,15 @@ object QueriesLLM {
           (lit(10000L) - expr("(60000 * sum_d2) DIV (n * (n * n - 1))"))
             .as("rho_bp"))
     },
+    // ---- multi-probe LSH retrieval (Lv et al. 2007): own bucket + all
+    // Hamming-1 buckets probed, exact rerank — recall without more hash
+    // tables, the missing rung between single-bucket LSH (q36) and IVF ----
+    "q291_multiprobe_lsh" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      Similarity.multiProbeTopK(e.filter(col("vec_id") % 100 === 0), e,
+          "vec_id", "embedding", nBits = 8, k = 5)
+        .orderBy("query_id", "rank")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -5240,6 +5249,40 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q291: q36's sign buckets + xor perturbations, q35's rerank ordering
+    "q291_multiprobe_lsh" ->
+      """WITH bs AS (SELECT unnest(generate_series(0, 7)) AS b),
+         bk AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN embedding[2*b + 1] > embedding[2*b + 2]
+               THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings CROSS JOIN bs GROUP BY 1),
+         pr AS (
+           SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id % 100 = 0
+           UNION ALL
+           SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << j)
+           FROM bk CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+           WHERE vec_id % 100 = 0),
+         cand AS (
+           SELECT p.query_id, c.vec_id AS neighbor_id
+           FROM pr p JOIN bk c USING (bucket)
+           WHERE c.vec_id <> p.query_id),
+         scored AS (
+           SELECT cd.query_id, cd.neighbor_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+               AS cos
+           FROM cand cd
+           JOIN embeddings q ON q.vec_id = cd.query_id
+           JOIN embeddings n ON n.vec_id = cd.neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, rank, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // q289: the q188 BPE chain aggregated per stratum
     "q289_tokenizer_eval" ->
       s"""WITH $ToksCte,

@@ -273,6 +273,37 @@ object Similarity {
     bucketedNeighborsBy(vectors, idCol, vecCol,
       hyperplaneBucket(col(vecCol), nBits), minCos, maxBucket)
 
+  /** Multi-probe hyperplane LSH retrieval (Lv et al., VLDB 2007,
+    * public): probe the query's own sign bucket PLUS every Hamming-1
+    * perturbation — (nBits+1)× probes instead of (nBits+1)× hash
+    * tables, the classic recall-for-memory trade (the bits most likely
+    * to flip for a near neighbor are exactly the low-margin ones, so
+    * 1-bit perturbations recover most cross-bucket neighbors). Bucket
+    * equi-join candidates (a corpus vector sits in ONE bucket, so no
+    * per-query duplicates), exact cosine rerank, bounded top-k through
+    * the TopKPairs aggregate — never a rank window. */
+  def multiProbeTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "multiProbeTopK")
+    require(nBits >= 1 && nBits <= 16,
+      s"multiProbeTopK: 1 <= nBits <= 16, got $nBits")
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), hyperplaneBucket(col(vecCol), nBits).as("__bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        hyperplaneBucket(col(vecCol), nBits).as("__b0"))
+      .withColumn("__bucket", explode(array(
+        col("__b0") +: (0 until nBits)
+          .map(j => col("__b0").bitwiseXOR(lit(1L << j))): _*)))
+      .drop("__b0")
+    val scored = probes.join(assigned, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .select("query_id", "neighbor_id", "cos")
+    topKByQuery(scored, k)
+  }
+
   /** Graph-based ANN construction: NN-Descent (Dong et al., WWW 2011,
     * public). Builds a k-NN cosine graph by iterative neighbor-of-neighbor
     * refinement — the missing ANN family next to the partition (IVF),

@@ -1498,4 +1498,24 @@ class SimilaritySpec extends SparkSpec {
     assert(tied.toSeq == Seq((20L, 1), (30L, 2)), tied.toSeq)
   }
 
+  test("multiProbeTopK: Hamming-1 probes recover the cross-bucket neighbor") {
+    // q's sign bits are all 1; v flips exactly bit 0 (elements 1,2
+    // swapped) yet stays cosine-close — a single-bucket probe can never
+    // see it, the 1-bit perturbation must
+    val q = Array.tabulate(dim)(i => if (i % 2 == 0) 2f else 1f)
+    val v = q.clone(); v(0) = 1f; v(1) = 2f
+    val w = q.map(_ * 1.1f) // same bucket as q, cos = 1
+    val df = Seq((1L, q.toSeq), (2L, v.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val b = df.select(
+      Similarity.hyperplaneBucket(org.apache.spark.sql.functions.col("embedding"), 8))
+      .collect().map(_.getLong(0))
+    assert(b(0) == b(2) && Integer.bitCount((b(0) ^ b(1)).toInt) == 1)
+    val r = Similarity.multiProbeTopK(df.filter($"vec_id" === 1L), df,
+        "vec_id", "embedding", nBits = 8, k = 5)
+      .collect().map(x => x.getAs[Long]("neighbor_id") -> x.getAs[Int]("rank"))
+      .toMap
+    assert(r(3L) == 1, s"same-bucket exact match must rank first: $r")
+    assert(r.contains(2L), s"Hamming-1 neighbor must be recovered: $r")
+  }
 }
