@@ -991,6 +991,34 @@ object QueriesLLM {
           "vec_id", "embedding", nBits = 8, k = 5)
         .orderBy("query_id", "rank")
     },
+    // ---- dataset card (Datasheets for Datasets, Gebru et al. 2018,
+    // public): the corpus datasheet a release publishes, as one
+    // long-format (metric, value) table of exact integers — sizes,
+    // diversity, duplication. Every metric is a one-scan aggregate ----
+    "q292_dataset_card" -> { (s, dir) =>
+      val d = docs(s, dir).localCheckpoint()
+      def metric(name: String, df: DataFrame) =
+        df.select(lit(name).as("metric"), col("value").cast("long").as("value"))
+      val toks = TextAnalysis.tokens(d, "doc_id", "text")
+        .filter(col("tok") =!= "")
+      metric("n_docs", d.agg(count(lit(1)).as("value")))
+        .unionByName(metric("n_tokens", toks.agg(count(lit(1)).as("value"))))
+        .unionByName(metric("n_chars", d.agg(sum("n_chars").as("value"))))
+        .unionByName(metric("n_langs", d.agg(countDistinct("lang").as("value"))))
+        .unionByName(metric("n_sources",
+          d.agg(countDistinct("source").as("value"))))
+        .unionByName(metric("vocab_size",
+          toks.agg(countDistinct("tok").as("value"))))
+        .unionByName(metric("exact_dup_docs",
+          d.select(Dedup.digest(col("text")).as("dg"))
+            .groupBy("dg").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)
+            .agg(coalesce(sum("c"), lit(0L)).as("value"))))
+        .unionByName(metric("median_doc_chars",
+          d.agg(expr("CAST(percentile(n_chars, 0.5) * 2 AS BIGINT)")
+            .as("value")))) // doubled to stay integer at even counts
+        .orderBy("metric")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -5249,6 +5277,34 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q292: one-scan replays of each datasheet metric; median doubled to
+    // stay integer at even counts (quantile_cont is R-7 both engines)
+    "q292_dataset_card" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x <> '')) AS tok
+           FROM documents),
+         dgc AS (
+           SELECT md5(lower(trim(text))) AS dg FROM documents),
+         dup AS (
+           SELECT coalesce(sum(c), 0) AS v FROM (
+             SELECT dg, count(*) AS c FROM dgc GROUP BY 1
+             HAVING count(*) > 1) x)
+         SELECT * FROM (
+           SELECT 'exact_dup_docs' AS metric, CAST(v AS BIGINT) AS value FROM dup
+           UNION ALL SELECT 'median_doc_chars',
+             CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_docs', CAST(count(*) AS BIGINT) FROM documents
+           UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT)
+             FROM documents
+           UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT)
+             FROM documents
+           UNION ALL SELECT 'n_tokens', CAST(count(*) AS BIGINT) FROM t
+           UNION ALL SELECT 'vocab_size', CAST(count(DISTINCT tok) AS BIGINT)
+             FROM t) u
+         ORDER BY metric""",
     // q291: q36's sign buckets + xor perturbations, q35's rerank ordering
     "q291_multiprobe_lsh" ->
       """WITH bs AS (SELECT unnest(generate_series(0, 7)) AS b),
