@@ -1430,6 +1430,24 @@ class CurationSpec extends SparkSpec {
     assert(!firstOwners.contains(3L), "recycled grams must keep doc 1/2 owners")
   }
 
+  test("gramNoveltyAppend: registry scan carries a pindex partition filter") {
+    import org.apache.spark.sql.functions.col
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(
+        s"target/tmp/novprune_${System.nanoTime()}", 64L, keyCols = Seq("digest")))
+    TextAnalysis.gramNoveltyAppend(ps, "reg",
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, modified = 1L).count()
+    val out = TextAnalysis.gramNoveltyAppend(ps, "reg",
+      Seq((2L, "a b x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 2, modified = 2L)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.nonEmpty, s"expected a registry parquet scan in:\n$plan")
+    assert(scanLines.forall(_.contains("pindex")),
+      s"registry scan not pindex-pruned:\n${scanLines.mkString("\n")}")
+  }
+
   test("bigramLmScore: seen / backoff / OOV classification is exact") {
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
     val score = Seq((1L, "a b x c b")).toDF("doc_id", "text")

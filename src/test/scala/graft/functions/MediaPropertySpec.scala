@@ -119,4 +119,32 @@ object MediaPropertySpec extends Properties("Multimodal.parseMedia") {
         else m.format == "mp3" && m.frames == fr
       }
     }
+
+  // ---- content tier ----------------------------------------------------
+
+  property("synthWavPcm round-trips header fields for any shape") =
+    forAll(Gen.chooseNum(1, 2), Gen.chooseNum(1, 400),
+      Gen.chooseNum(0L, 100000L), Gen.chooseNum(0, 7)) { (ch, frames, seed, ridx) =>
+      val rate = 8000 + ridx * 1000
+      val m = Multimodal.parseMedia(1L, Multimodal.synthWavPcm(rate, ch, frames, seed))
+      m.format == "wav" && m.width == rate && m.height == ch && m.frames == frames
+    }
+
+  property("pcmSample stays in int16 range for fixture-shaped inputs") =
+    forAll(Gen.chooseNum(0L, 1L << 31), Gen.chooseNum(0L, 1L << 20)) { (seed, j) =>
+      val s = Multimodal.pcmSample(seed, j)
+      s >= -32768 && s <= 32767
+    }
+
+  property("synthBmpPixels: dims round-trip; pixel bytes sit at the documented layout") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40),
+      Gen.chooseNum(0L, 100000L)) { (w, h, seed) =>
+      val b = Multimodal.synthBmpPixels(w, h, seed)
+      val m = Multimodal.parseMedia(2L, b)
+      val stride = (w * 3 + 3) & ~3
+      val x = (seed % w).toInt; val y = (seed % h).toInt; val c = (seed % 3).toInt
+      val got = b(54 + (h - 1 - y) * stride + x * 3 + c) & 0xff
+      m.format == "bmp" && m.width == w && m.height == h &&
+        got == Multimodal.bmpPixel(seed, x, y, c)
+    }
 }
