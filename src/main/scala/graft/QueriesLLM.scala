@@ -1019,6 +1019,45 @@ object QueriesLLM {
             .as("value")))) // doubled to stay integer at even counts
         .orderBy("metric")
     },
+    // ---- the LLM data-pipeline funnel as ONE driver-checked gate (the
+    // q238 treatment for the curation loop): raw → integer-exact quality
+    // rule (n_toks ≥ 20, top-token ratio ≤ 1/5) → near-dup keep-best
+    // (clusters computed corpus-wide so cluster identity is stable;
+    // quality and dedup INTERSECT) → cluster-safe train split → 512-token
+    // packing estimate; per-stage doc/token counts ----
+    "q293_pipeline_capstone" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tc = TextAnalysis.tokens(d, "doc_id", "text").filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(sum("cnt").as("n_toks"), max("cnt").as("max_tok"))
+        .localCheckpoint()
+      val qual = tc.filter(col("n_toks") >= 20L && col("max_tok") * 5 <= col("n_toks"))
+        .select("doc_id", "n_toks")
+      val emb = TextAnalysis.hashEmbedding(d, "doc_id", "text", 16)
+      val pairs = Similarity.bucketedNeighbors(emb, "doc_id", "embedding",
+        nBits = 4, minCos = 0.98, maxBucket = 100).select("id1", "id2")
+      val comp = Dedup.connectedKeepers(d.select("doc_id"), "doc_id", pairs)
+        .localCheckpoint()
+      val nd = qual.join(
+        comp.filter(col("keeper") === col("doc_id")).select("doc_id"), "doc_id")
+      val tr = TextAnalysis.hashSplit(nd.join(comp, "doc_id"), "keeper",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .filter(col("split") === "train").select("doc_id", "n_toks")
+        .localCheckpoint() // two funnel rows read it
+      def stage(name: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_docs"), coalesce(sum("n_toks"), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      stage("0_raw", tc.select("doc_id", "n_toks"))
+        .unionByName(stage("1_quality", qual))
+        .unionByName(stage("2_neardup", nd))
+        .unionByName(stage("3_train", tr))
+        .unionByName(tr
+          .agg(coalesce(sum("n_toks"), lit(0L)).as("tok"))
+          .select(lit("4_packed_512").as("stage"),
+            expr("(tok + 511) DIV 512").as("n_docs"), col("tok").as("n_tokens")))
+        .orderBy("stage")
+    },
     // ---- cross-modal curation capstone: one keep/drop decision joining
     // the text tier (8-gram novelty), the audio tier (silence fraction)
     // and the image tier (orientation) — the shape a multimodal corpus
@@ -5277,6 +5316,44 @@ object QueriesLLM {
          SELECT f.doc_id, f.fp, CAST(k.keeper AS BIGINT) AS keeper,
            f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN kp k USING (fp) ORDER BY f.doc_id""",
+    // q293: the funnel replayed stage by stage — quality in integers
+    // (max_tok·5 ≤ n_toks), q61's reach for keepers, q76's bands on the
+    // keeper, ceil-div packing estimate
+    "q293_pipeline_capstone" -> {
+      s"""WITH $NearDupReachCte,
+         comp AS (
+           SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper
+           FROM reach GROUP BY 1),
+         tc AS (
+           SELECT doc_id, sum(cnt) AS n_toks, max(cnt) AS max_tok FROM (
+             SELECT doc_id, tok, count(*) AS cnt
+             FROM toks WHERE tok <> '' GROUP BY doc_id, tok) x
+           GROUP BY 1),
+         qq AS (
+           SELECT doc_id, n_toks FROM tc
+           WHERE n_toks >= 20 AND max_tok * 5 <= n_toks),
+         nd AS (
+           SELECT qq.doc_id, qq.n_toks FROM qq
+           JOIN comp c USING (doc_id) WHERE c.keeper = qq.doc_id),
+         tr AS (
+           SELECT nd.doc_id, nd.n_toks FROM nd
+           JOIN comp c USING (doc_id)
+           WHERE CAST(${hvSql("split:", "CAST(c.keeper AS VARCHAR)")} AS DOUBLE)
+             < 1000000.0 * 0.9)
+         SELECT * FROM (
+           SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens FROM tc
+           UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM qq
+           UNION ALL SELECT '2_neardup', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM nd
+           UNION ALL SELECT '3_train', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr
+           UNION ALL SELECT '4_packed_512',
+             CAST((coalesce(sum(n_toks), 0) + 511) // 512 AS BIGINT),
+             CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr) u
+         ORDER BY stage"""
+    },
     // q292: one-scan replays of each datasheet metric; median doubled to
     // stay integer at even counts (quantile_cont is R-7 both engines)
     "q292_dataset_card" ->
