@@ -991,6 +991,32 @@ object QueriesLLM {
           "vec_id", "embedding", nBits = 8, k = 5)
         .orderBy("query_id", "rank")
     },
+    // ---- t-closeness audit (Li et al. 2007, public — the third rung of
+    // the privacy triad after q223 k-anonymity and q281 l-diversity): a
+    // class can be k-anonymous AND l-diverse yet still leak when its
+    // sensitive distribution diverges from the table's. For categorical
+    // attributes EMD = total-variation distance — a rational, carried as
+    // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    "q294_t_closeness" -> { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("source"), expr("n_chars DIV 100").as("len_bucket"),
+          col("lang")).localCheckpoint()
+      val cl = d.groupBy("source", "len_bucket", "lang")
+        .agg(count(lit(1)).as("cnt"))
+      val cls = d.groupBy("source", "len_bucket").agg(count(lit(1)).as("n"))
+      val g = d.groupBy("lang").agg(count(lit(1)).as("total"))
+      val nTotal = d.agg(count(lit(1)).as("n_corpus"))
+      cls.crossJoin(broadcast(g)).crossJoin(broadcast(nTotal))
+        .join(cl, Seq("source", "len_bucket", "lang"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .groupBy("source", "len_bucket")
+        .agg(max(col("n")).as("group_n"),
+          sum(abs(col("cnt") * col("n_corpus") - col("total") * col("n")))
+            .as("t_num"),
+          (max(col("n")) * max(col("n_corpus")) * 2L).as("t_den"))
+        .withColumn("t_bp", expr("10000 * t_num DIV t_den"))
+        .orderBy("source", "len_bucket")
+    },
     // ---- dataset card (Datasheets for Datasets, Gebru et al. 2018,
     // public): the corpus datasheet a release publishes, as one
     // long-format (metric, value) table of exact integers — sizes,
@@ -5354,6 +5380,30 @@ object QueriesLLM {
              CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr) u
          ORDER BY stage"""
     },
+    // q294: the total-variation pieces replayed over the (class, lang)
+    // grid — missing langs contribute total·n
+    "q294_t_closeness" ->
+      """WITH d AS (
+           SELECT source, n_chars // 100 AS len_bucket, lang FROM documents),
+         cl AS (
+           SELECT source, len_bucket, lang, count(*) AS cnt
+           FROM d GROUP BY 1, 2, 3),
+         cls AS (SELECT source, len_bucket, count(*) AS n FROM d GROUP BY 1, 2),
+         g AS (SELECT lang, count(*) AS total FROM d GROUP BY 1),
+         nt AS (SELECT count(*) AS n_corpus FROM d),
+         grid AS (
+           SELECT c.source, c.len_bucket, c.n, g.lang, g.total, nt.n_corpus,
+             coalesce(cl.cnt, 0) AS cnt
+           FROM cls c CROSS JOIN g CROSS JOIN nt
+           LEFT JOIN cl ON cl.source = c.source
+             AND cl.len_bucket = c.len_bucket AND cl.lang = g.lang)
+         SELECT source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(max(n) AS BIGINT) AS group_n,
+           CAST(sum(abs(cnt * n_corpus - total * n)) AS BIGINT) AS t_num,
+           CAST(max(n) * max(n_corpus) * 2 AS BIGINT) AS t_den,
+           CAST(10000 * sum(abs(cnt * n_corpus - total * n))
+             // (max(n) * max(n_corpus) * 2) AS BIGINT) AS t_bp
+         FROM grid GROUP BY 1, 2 ORDER BY 1, 2""",
     // q292: one-scan replays of each datasheet metric; median doubled to
     // stay integer at even counts (quantile_cont is R-7 both engines)
     "q292_dataset_card" ->
