@@ -721,7 +721,14 @@ object QueriesLLM {
       implicit val sc = s.sqlContext
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val rows = docs(s, dir).select("doc_id", "text").collect()
+      // md5-capped replay slice (q104/q190's convention): driver memory
+      // O(1) in sf — the cap binds above sf0.01's 500 docs and is
+      // mirrored in the oracle's capdocs CTE
+      val rows = docs(s, dir).select("doc_id", "text")
+        .withColumn("__h", md5(concat(lit("novcap:"),
+          col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+        .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1)))
       val work = tempWorkDir("graft_q279_")
       val ps = new graft.storage.PartStore(s,
@@ -2017,6 +2024,8 @@ object QueriesLLM {
       Similarity.savePqCodebooks(s, s"$work/codebooks", cbs)
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 200))
+      // bounded: e is the md5-capped 4096-row slice selected above —
+      // driver memory is O(cap), not O(sf)
       val rows = e.as[(Long, Seq[Float])].collect()
       val mem = MemoryStream[(Long, Seq[Float])]
       val q = graft.streaming.StreamingRollup.indexSink(
@@ -3156,10 +3165,10 @@ object QueriesLLM {
     * list-slice grams + min-doc attribution → `novstats(doc_id, n_grams,
     * n_novel_occ, n_distinct, n_novel)`; docs shorter than 8 tokens are
     * absent (callers LEFT JOIN and zero-fill). */
-  private val GramNoveltyCte =
-    """nbase AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
+  private def gramNoveltyCte(src: String) =
+    s"""nbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM $src),
          nocc AS (
            SELECT doc_id, toks,
              unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
@@ -3176,6 +3185,8 @@ object QueriesLLM {
              count(DISTINCT CASE WHEN nfd.first_doc = ngr.doc_id THEN ngr.g END)
                AS n_novel
            FROM ngr JOIN nfd USING (g) GROUP BY 1)"""
+
+  private val GramNoveltyCte = gramNoveltyCte("documents")
 
   /** One final select shared by the one-shot (q274) and incremental
     * (q277) novelty gates: ascending-id batches make the incremental
@@ -5311,7 +5322,11 @@ object QueriesLLM {
     // q279: a gram registers under the batch whose docs first carried it;
     // batches split at doc 250, so first_doc tells which
     "q279_stream_novelty" ->
-      s"""WITH $GramNoveltyCte
+      s"""WITH capdocs AS (
+           SELECT doc_id, text FROM documents
+           ORDER BY md5('novcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 2048),
+         ${gramNoveltyCte("capdocs")}
          SELECT CAST(CASE WHEN first_doc < 250 THEN 0 ELSE 1 END AS BIGINT)
              AS batch,
            CAST(count(*) AS BIGINT) AS n_new_grams

@@ -72,7 +72,8 @@ object CountMin {
     // narrow per-partition stamp, no shuffle), so the regroup key is the
     // id, never the (possibly non-distinct, possibly internal-colliding)
     // query columns.
-    val reserved = Seq("est", "r", "bucket", "cnt", "__qid", "__cell")
+    val reserved =
+      Seq("est", "r", "bucket", "cnt", "__qid", "__cell", "__r", "__bucket")
     val clash = queries.columns.toSet intersect reserved.toSet
     require(clash.isEmpty,
       s"estimate: query columns collide with internals: ${clash.mkString(", ")}")

@@ -861,7 +861,10 @@ object Multimodal {
       val channels = le16(b, fmt + 2)
       val bits = le16(b, fmt + 14)
       if (bits != 16 || channels < 1) None
-      else Some((channels, dataOff, dataSize / 2))
+      // the RIFF walk tolerates a 1-byte truncation (missing pad byte), so
+      // clamp the sample count to the payload bytes actually present —
+      // degrade, never index past b.length
+      else Some((channels, dataOff, math.min(dataSize, b.length - dataOff) / 2))
     }
   }
 

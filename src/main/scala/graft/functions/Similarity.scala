@@ -850,6 +850,10 @@ object Similarity {
       k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int,
       denom: Int): Unit = {
     require(denom >= 2, s"graphInsertBatchLayered: denom >= 2, got $denom")
+    require(edgeStore.config.keyCols == Seq("entity_id", "dst"),
+      "graphInsertBatchLayered: edge store must be keyed (entity_id, dst)")
+    require(vecStore.config.keyCols == Seq("entity_id"),
+      "graphInsertBatchLayered: vector store must be keyed (entity_id)")
     requireIntegralId(batch, idCol, "graphInsertBatchLayered")
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()

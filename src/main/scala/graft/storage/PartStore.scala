@@ -101,9 +101,21 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     val deadline = System.currentTimeMillis() + writerLeaseWaitMs
     var backoff = 25L
     while (true) {
+      // deadline must gate EVERY retry, including the lease-vanished branch
+      // below — a tight create/delete interleave with other writers would
+      // otherwise loop past writerLeaseWaitMs indefinitely
+      if (System.currentTimeMillis() >= deadline)
+        throw new graft.core.ConcurrentWriterException(
+          s"writer lease for part '$part' is held by another writer " +
+            s"(waited ${writerLeaseWaitMs} ms) — writers to one part " +
+            "must serialize; raise writerLeaseWaitMs to queue behind " +
+            "it, or split the batch per part upstream (B2)")
       try {
         val out = fs.create(p, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
+        // a failure between create and close must not orphan an empty lease
+        // file until the TTL — delete what we just created and rethrow
+        try { try out.write(token.getBytes("UTF-8")) finally out.close() }
+        catch { case t: Throwable => fs.delete(p, false); throw t }
         return token
       } catch {
         case _: java.io.IOException => // FileAlreadyExistsException included
