@@ -1004,6 +1004,36 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- small-file compaction is answer-invisible (the q216/q226
+    // "stored ≡ fresh" convention, here "stored ≡ compacted"): two
+    // z-ordered store batches fragment every partition dir into many
+    // range-task files, compactPart bin-packs them, and the read-back
+    // must still equal the fresh per-doc token counts. did_compact rides
+    // along so the oracle also pins that the compactor REWROTE partitions
+    // (how many is physical — range-sampling decides which pindexes span
+    // multiple tasks — so the exact counts live in PartStoreSpec) ----
+    "q295_compact_store" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_toks"))
+      val sp = pmod(conv(substring(md5(concat(lit("cpt:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = d.select(col("doc_id").as("entity_id"),
+        pmod(col("doc_id"), lit(256L)).as("timestamp"),
+        col("n_toks"), lit(1L).as("modified"), sp.as("__s"))
+        .localCheckpoint()
+      val work = tempWorkDir("graft_q295_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L))
+      ps.store("toks", rows.filter(col("__s") === 0).drop("__s"),
+        zorderBy = Seq("entity_id", "n_toks"))
+      ps.store("toks", rows.filter(col("__s") === 1).drop("__s"),
+        zorderBy = Seq("entity_id", "n_toks"))
+      val compacted = ps.compactPart("toks")
+      ps.readPart("toks").get
+        .select(col("entity_id").as("doc_id"), col("n_toks"),
+          lit(compacted >= 1).as("did_compact"))
+        .orderBy("doc_id")
+    },
     "q294_t_closeness" -> { (s, dir) =>
       val d = docs(s, dir)
         .select(col("source"), expr("n_chars DIV 100").as("len_bucket"),
@@ -5395,6 +5425,15 @@ object QueriesLLM {
              CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr) u
          ORDER BY stage"""
     },
+    // q295: compaction is physical only — the oracle recomputes the token
+    // counts fresh; did_compact pins that 32 range tasks over 4 pindexes
+    // must fragment at least one partition, which the compactor rewrites
+    "q295_compact_store" ->
+      """SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_toks,
+           TRUE AS did_compact
+         FROM documents ORDER BY doc_id""",
     // q294: the total-variation pieces replayed over the (class, lang)
     // grid — missing langs contribute total·n
     "q294_t_closeness" ->

@@ -1217,6 +1217,19 @@ object Main {
       ps.expire(part, cutoff)
       println(s"""{"expired_before":$cutoff,"part":"$part"}""")
 
+    // Small-file compaction (the sibling maintenance verb to expire):
+    // bin-packs each partition dir's files to ~targetBytes, answer-
+    // invisible, through the staged swap + writer lease.
+    case "compact" :: base :: part :: rest =>
+      val s = spark()
+      val targetBytes = rest.headOption.flatMap(_.toLongOption)
+        .getOrElse(128L << 20)
+      val psize = rest.drop(1).headOption.flatMap(_.toLongOption)
+        .getOrElse(86400L)
+      val ps = new PartStore(s, PartStoreConfig(base, psize))
+      val n = ps.compactPart(part, targetBytes)
+      println(s"""{"compacted_partitions":$n,"part":"$part"}""")
+
     case "materialize" :: base :: srcPart :: dstPart :: granSec :: Nil =>
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
@@ -1465,6 +1478,7 @@ object Main {
            |  load-sample-data <instanceDir> <storeBase> [dataset] [--interval-count=N]
            |  materialize <storeBase> <sourcePart> <targetPart> <granSec>
            |  expire <storeBase> <part> <cutoffSec> [partitionSizeSec]
+           |  compact <storeBase> <part> [targetBytes] [partitionSizeSec]
            |  live-monitor <storeBase> <sourcePart> <targetPart> <granSec> <iterations> <pollMs>""".stripMargin)
       exit(2)
   }

@@ -184,6 +184,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       else fs.delete(oldAside, true)
     }
     fs.delete(hp(path(part) + "__rewrite"), true)
+    fs.delete(hp(path(part) + "__compact"), true)
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
@@ -366,12 +367,18 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // existing entry, so every entry is ⊇ the live partition's range
     // whether the swap below lands or not
     updateZones(part, staging)
-    // Swap order is crash-safe: the live partition is renamed ASIDE (not
-    // deleted) before the staged one moves in, so at no point is the data
-    // present in zero places. A crash leaves either the live dir, or the
-    // `__old` dir + staged dir — both recoverable; `__old` leftovers are
-    // swept on the next store. (`pindex=` prefix means Spark's partition
-    // discovery ignores the aside dir even if a sweep is missed.)
+    swapStaged(part, staging, indices)
+  }
+
+  /** Crash-safe per-partition swap of staged `pindex=` dirs into the live
+    * part (shared by [[writeAndSwap]] and [[compactPart]]): the live
+    * partition is renamed ASIDE (not deleted) before the staged one moves
+    * in, so at no point is the data present in zero places. A crash
+    * leaves either the live dir, or the aside + staged dir — both
+    * recoverable; aside leftovers are swept by recoverAsides. (`pindex=`
+    * prefix means Spark's partition discovery ignores the aside dir even
+    * if a sweep is missed.) */
+  private def swapStaged(part: String, staging: String, indices: Seq[Long]): Unit = {
     indices.foreach { i =>
       val src = hp(s"$staging/pindex=$i")
       val dst = hp(s"${path(part)}/pindex=$i")
@@ -672,4 +679,80 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
       }
     }
   }
+
+  /** Bin-pack the data files inside each `pindex=` partition directory of
+    * `part` into ~`targetBytes` files — the maintenance verb for stores
+    * whose partitions accrue many small files: z-ordered range writes
+    * land several range-tasks per partition, the 100 TB layout
+    * (repartitionByRange(pindex, entity_id), see [[writeAndSwap]]) keeps
+    * multiple files per partition BY DESIGN, and a day of 2 s micro-batch
+    * sink merges re-staged through that layout multiplies them. Postgres
+    * heaps never fragment this way; on parquet this is the sibling
+    * maintenance verb to retention ([[expire]] — trend_store.py:793-845).
+    *
+    * Pure PHYSICAL rewrite: row contents, schema sidecar and zone sidecar
+    * are untouched, so every read answers identically before and after
+    * (the q295 gate proves storage is answer-invisible through the
+    * oracle). Runs under the writer lease through the same staged write +
+    * crash-safe per-partition swap as store(); only partitions holding
+    * MORE files than their byte-optimal count (ceil(bytes/targetBytes))
+    * are rewritten — an already-compact store is a directory listing, no
+    * job. Returns the number of partitions compacted. */
+  def compactPart(part: String, targetBytes: Long = 128L << 20): Int =
+    withWriterLease(part) {
+      recoverAsides(part)
+      val dir = hp(path(part))
+      if (!fs.exists(dir)) 0
+      else {
+        // driver work is O(partitions) directory stats — the same order
+        // as the swap loop every store() already runs
+        val cands: Seq[(Long, Int)] = fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("pindex="))
+          .flatMap { st =>
+            scala.util.Try(st.getPath.getName.stripPrefix("pindex=").toLong)
+              .toOption.flatMap { pi =>
+                val files = fs.listStatus(st.getPath).toSeq.filter { f =>
+                  f.isFile && !f.getPath.getName.startsWith("_") &&
+                    !f.getPath.getName.startsWith(".")
+                }
+                val bytes = files.map(_.getLen).sum
+                val want = math.max(1L,
+                  (bytes + targetBytes - 1) / targetBytes).toInt
+                if (files.length > want) Some(pi -> want) else None
+              }
+          }
+        if (cands.isEmpty) 0
+        else {
+          val staging = path(part) + "__compact"
+          fs.delete(hp(staging), true)
+          // read ONLY the candidate partition dirs (basePath keeps the
+          // pindex partition column); the sidecar schema is a superset of
+          // every file's, exactly as readPart declares it
+          val reader = SchemaSidecar.read(fs, path(part)) match {
+            case Some(sc) => spark.read.schema(sc)
+            case None => spark.read.option("mergeSchema", "true")
+          }
+          val df = reader.option("basePath", path(part))
+            .parquet(cands.map { case (pi, _) => s"${path(part)}/pindex=$pi" }: _*)
+          // per-partition file budget as a tiny literal map (O(touched
+          // partitions) plan metadata, same order as `cands` itself); the
+          // salt splits a partition's rows across exactly `want` tasks so
+          // each compacted dir gets at most `want` files
+          val wantMap = map(cands.flatMap { case (pi, w) =>
+            Seq(lit(pi), lit(w)) }: _*)
+          val salt = pmod(xxhash64(keyCols.map(col): _*),
+            element_at(wantMap, col("pindex")))
+          val n = spark.sessionState.conf.numShufflePartitions
+          df.withColumn("__salt", salt)
+            .repartition(n, col("pindex"), col("__salt"))
+            .sortWithinPartitions(keyCols.map(col): _*)
+            .drop("__salt")
+            .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+          // no sidecar updates: contents, schema and zone ranges are
+          // byte-for-byte the same rows — only the file layout changed
+          swapStaged(part, staging, cands.map(_._1))
+          cands.length
+        }
+      }
+    }
 }

@@ -360,4 +360,63 @@ class PartStoreSpec extends SparkSpec {
     assert(ps.readPart("p").get.count() == 1L)
     assert(!fsys.exists(lease)) // and released its own cleanly
   }
+
+  private def dataFiles(base: String, part: String, pindex: Long) = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$base/$part/pindex=$pindex")
+    fsys.listStatus(dir).toSeq.filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+  }
+
+  test("compactPart bin-packs multi-file partitions and preserves contents") {
+    val base = "target/tmp/partstore_compact"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400))
+    // a z-ordered store range-partitions by (pindex, zkey): one pindex's
+    // rows span many range tasks, so the partition dir lands MANY files —
+    // exactly the layout compaction exists for
+    val rows = (0 until 2000).map(i =>
+      (i.toLong, (i % 2) * 86400L + 10L, (i * 37 % 1000).toLong, 100L))
+    val df = rows.toDF("entity_id", "timestamp", "seq", "modified")
+    ps.store("p", df, zorderBy = Seq("entity_id", "seq"))
+    val before0 = dataFiles(base, "p", 0).length
+    val before1 = dataFiles(base, "p", 1).length
+    assert(before0 > 1, s"fixture must start fragmented, got $before0 files")
+    val want = ps.readPart("p").get.orderBy("entity_id", "timestamp")
+      .collect().map(_.toString).toSeq
+    val compacted = ps.compactPart("p")
+    assert(compacted == 2)
+    // bin-packed: tiny partitions pack to exactly one file each
+    assert(dataFiles(base, "p", 0).length == 1)
+    assert(dataFiles(base, "p", 1).length == 1)
+    // answer-invisible: identical rows, identical schema sidecar
+    val after = ps.readPart("p").get.orderBy("entity_id", "timestamp")
+      .collect().map(_.toString).toSeq
+    assert(after == want)
+    // idempotent: an already-compact store is a no-op listing
+    assert(ps.compactPart("p") == 0)
+    assert(dataFiles(base, "p", 0).length == 1)
+    // upserts after compaction still merge correctly
+    val up = Seq((0L, 10L, 999L, 200L)).toDF("entity_id", "timestamp", "seq", "modified")
+    ps.store("p", up)
+    val r = ps.readPart("p").get.filter(col("entity_id") === 0L && col("timestamp") === 10L)
+      .select("seq").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(999L))
+  }
+
+  test("compactPart leaves a leftover __compact staging swept on next read") {
+    val base = "target/tmp/partstore_compact_crash"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400))
+    ps.store("p", Seq((1L, 10L, 100L)).toDF("entity_id", "timestamp", "modified"))
+    // simulate a compaction crash that left its staging dir behind
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$base/p__compact/pindex=0"))
+    assert(ps.readPart("p").get.count() == 1L) // recoverAsides swept it
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/p__compact")))
+  }
 }
