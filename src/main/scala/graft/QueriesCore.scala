@@ -352,6 +352,54 @@ object QueriesCore {
     // source normalize (A1) → existing-trend filter (B4) → split by part
     // (B2) → job-stamped PartStore writes (A5, I1) → read-back + join.
     // The oracle recomputes the expected end state straight from events.
+    // ---- naive `timestamp` ≠ `timestamp with time zone` (datatype.py:
+    // 207-275 vs 137-204): a naive-ts CSV keeps its wall-clock values
+    // VERBATIM whatever session timezone the loader runs under. The same
+    // file is deduced + loaded under UTC and under America/New_York; the
+    // TIMESTAMP_NTZ column must be bit-identical in both (tz_invariant),
+    // and the values hash-match DuckDB's (ntz) TIMESTAMP ----
+    "q296_ntz_csv" -> { (s, dir) =>
+      import graft.core.MinervaType
+      import graft.sources.{CsvSourceConfig, CsvTrendSource}
+      val work = java.nio.file.Files.createTempDirectory("graft_q296_").toString
+      load(s, dir, "documents").select(
+          col("doc_id").cast("string").as("entity"),
+          concat(lit("2024-0"),
+            (pmod(col("doc_id"), lit(9)) + 1).cast("string"), lit("-"),
+            lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+            lit(" "),
+            lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0"), lit(":"),
+            lpad(pmod(col("doc_id") * 7, lit(60)).cast("string"), 2, "0"),
+            lit(":00")).as("seen_at"),
+          col("n_chars").cast("string").as("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      val cfg = CsvSourceConfig("entity", None, fixedTimestampSec = Some(0L))
+      def loadUnder(tz: String): DataFrame = {
+        val old = s.conf.get("spark.sql.session.timeZone")
+        s.conf.set("spark.sql.session.timeZone", tz)
+        try {
+          val schema = CsvTrendSource.deduceSchemaDistributed(
+            s, s"$work/drop", cfg)
+          // deduction must classify the naive column as the NTZ type —
+          // the lattice carries only the naive form, like TYPE_ORDER
+          require(schema.toMap.apply("seen_at") == MinervaType.MTimestampNtz,
+            s"seen_at deduced ${schema.toMap.apply("seen_at")}, not ntz")
+          // materialize UNDER this session tz: a lazy plan would execute
+          // after the zone is restored and prove nothing
+          CsvTrendSource.read(s, s"$work/drop", cfg, schema).localCheckpoint()
+        } finally s.conf.set("spark.sql.session.timeZone", old)
+      }
+      val utc = loadUnder("UTC")
+        .select(col("entity").cast("long").as("doc_id"), col("seen_at"))
+      val nyc = loadUnder("America/New_York")
+        .select(col("entity").cast("long").as("doc_id"),
+          col("seen_at").as("seen_at_nyc"))
+      utc.join(nyc, "doc_id")
+        .select(col("doc_id"), col("seen_at"),
+          (col("seen_at") <=> col("seen_at_nyc")).as("tz_invariant"))
+        .orderBy("doc_id")
+    },
     "q46_csv_ingest" -> { (s, dir) =>
       import graft.core.MinervaType
       import graft.sources.{CsvSourceConfig, CsvTrendSource}
@@ -2459,6 +2507,14 @@ object QueriesCore {
       // The round-trip writes what it read: expected end state = events
       // projected to the stored columns, second-truncated timestamps,
       // job_id 1 (first job in a fresh store).
+      // q296: DuckDB TIMESTAMP is itself naive — make_timestamp rebuilds
+      // the wall-clock values the CSV carried, no timezone anywhere
+      "q296_ntz_csv" ->
+        """SELECT doc_id,
+             make_timestamp(2024, 1 + doc_id % 9, 1 + doc_id % 28,
+               doc_id % 24, (doc_id * 7) % 60, 0) AS seen_at,
+             TRUE AS tz_invariant
+           FROM documents ORDER BY doc_id""",
       "q46_csv_ingest" ->
         s"""SELECT user_id AS entity_id, $ts AS ts_sec, event_id, value,
              event_type, CAST(1 AS BIGINT) AS job_id

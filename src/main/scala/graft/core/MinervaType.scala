@@ -59,7 +59,13 @@ object MinervaType {
     def accepts(v: String): Boolean =
       try { BigDecimal(v); true } catch { case _: Exception => false }
   }
-  case object MTimestamp extends MinervaType("timestamp", 6, TimestampType) {
+  /** The reference's NAIVE `timestamp` (datatype.py:207-275): the parsed
+    * wall-clock value is kept verbatim with no timezone attached, so a
+    * file loaded under any session timezone stores identical values.
+    * Spark mapping: TimestampNTZType (SURVEY §1.2). This is the type in
+    * the deduction lattice — TYPE_ORDER carries only the naive form
+    * (datatype.py:908-917). */
+  case object MTimestampNtz extends MinervaType("timestamp", 6, TimestampNTZType) {
     // The reference recognizes exactly two formats (datatype.py:207-275).
     private val formats = Seq(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
@@ -69,6 +75,17 @@ object MinervaType {
       try { java.time.LocalDateTime.parse(v, f); true }
       catch { case _: Exception => false }
     }
+  }
+  /** `timestamp with time zone` (datatype.py:137-204): the parsed value is
+    * LOCALIZED in the configured timezone (reference default UTC) — an
+    * absolute instant. Spark mapping: TimestampType. Declared-only (trend
+    * configs, notification stores); deduction never produces it, exactly
+    * like the reference's TYPE_ORDER. Shares the naive type's lattice
+    * rank so a declared tz column widens like a timestamp in migration
+    * ladders. */
+  case object MTimestamp
+      extends MinervaType("timestamp with time zone", 6, TimestampType) {
+    def accepts(v: String): Boolean = MTimestampNtz.accepts(v)
   }
   case object MText extends MinervaType("text", 7, StringType) {
     def accepts(v: String): Boolean = true
@@ -85,10 +102,10 @@ object MinervaType {
   /** TYPE_ORDER (datatype.py:908-917). boolean sits outside the widening
     * order in the reference as well. */
   val TypeOrder: Seq[MinervaType] =
-    Seq(MSmallInt, MInteger, MBigInt, MReal, MDouble, MNumeric, MTimestamp, MText)
+    Seq(MSmallInt, MInteger, MBigInt, MReal, MDouble, MNumeric, MTimestampNtz, MText)
 
   def byName(n: String): Option[MinervaType] =
-    (MBoolean +: TypeOrder).find(_.name == n)
+    (MBoolean +: MTimestamp +: TypeOrder).find(_.name == n)
 
   /** Widest of two types (max_data_type, datatype.py:925-938). */
   def max(a: MinervaType, b: MinervaType): MinervaType =
@@ -143,8 +160,18 @@ object MinervaType {
         if (MBoolean.trueTokens.contains(v.toLowerCase)) true
         else if (MBoolean.falseTokens.contains(v.toLowerCase)) false
         else throw new IllegalArgumentException(s"not a boolean: $v")
+      case MTimestampNtz =>
+        // external type for TimestampNTZType — the wall-clock value
+        // verbatim, never shifted through any timezone
+        java.time.LocalDateTime.parse(v.replace("T", " "),
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
       case MTimestamp =>
-        java.sql.Timestamp.valueOf(v.replace("T", " "))
+        // localize in the reference's default parser timezone (UTC,
+        // datatype.py:139-141) — an absolute instant, independent of the
+        // JVM default zone
+        java.time.LocalDateTime.parse(v.replace("T", " "),
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          .atOffset(java.time.ZoneOffset.UTC).toInstant
       case a: MArray =>
         a.parseArray(v).getOrElse(
           throw new IllegalArgumentException(s"not an array: $v"))

@@ -166,7 +166,16 @@ object CsvTrendSource {
         try_to_timestamp(cleaned, lit(cfg.timestampFormat)),
         try_to_timestamp(regexp_replace(cleaned, "T", " "))).cast("long")
     else t match {
-      case MinervaType.MTimestamp => to_timestamp(regexp_replace(cleaned, "T", " "))
+      // deduced naive `timestamp`: wall-clock verbatim (TIMESTAMP_NTZ) —
+      // the stored value is identical under every session timezone
+      case MinervaType.MTimestampNtz =>
+        to_timestamp_ntz(regexp_replace(cleaned, "T", " "))
+      // declared `timestamp with time zone`: localized in the reference's
+      // default parser timezone (UTC, datatype.py:139-141) — the explicit
+      // offset makes the parse independent of the session zone
+      case MinervaType.MTimestamp =>
+        to_timestamp(concat(regexp_replace(cleaned, "T", " "), lit("Z")),
+          "yyyy-MM-dd HH:mm:ssXXX")
       case arr: MinervaType.MArray =>
         // COPY `{a,b,c}` / bracketed `[a,b,c]` array form — the column
         // expression mirror of MinervaType.MArray.parseArray (reference

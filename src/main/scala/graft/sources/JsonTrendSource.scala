@@ -83,7 +83,7 @@ object JsonTrendSource {
     // chain to CSV — never Spark's locale/TZ-implicit JSON timestamp path)
     val structFields = schema.map { case (c, t) =>
       val spark_t = t match {
-        case MinervaType.MTimestamp => StringType
+        case MinervaType.MTimestamp | MinervaType.MTimestampNtz => StringType
         case other => other.sparkType
       }
       StructField(c, spark_t)
@@ -96,8 +96,14 @@ object JsonTrendSource {
             try_to_timestamp(col(c), lit(cfg.timestampFormat)),
             try_to_timestamp(regexp_replace(col(c), "T", " "))).cast("long")
         else t match {
+          // naive `timestamp`: wall-clock verbatim, session-zone-proof
+          case MinervaType.MTimestampNtz =>
+            to_timestamp_ntz(regexp_replace(col(c), "T", " "))
+          // `timestamp with time zone`: localized UTC (reference default),
+          // explicit offset so the session zone never shifts the instant
           case MinervaType.MTimestamp =>
-            to_timestamp(regexp_replace(col(c), "T", " "))
+            to_timestamp(concat(regexp_replace(col(c), "T", " "), lit("Z")),
+              "yyyy-MM-dd HH:mm:ssXXX")
           case _ => col(c) // already typed by the read schema
         }
       df.withColumn(c, castCol)

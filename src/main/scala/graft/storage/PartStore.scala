@@ -240,7 +240,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   private val widenOrder: Seq[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     Seq(ShortType, IntegerType, LongType, FloatType, DoubleType,
-      DecimalType(38, 18), TimestampType, StringType)
+      DecimalType(38, 18), TimestampNTZType, TimestampType, StringType)
   }
 
   private def wider(a: org.apache.spark.sql.types.DataType,

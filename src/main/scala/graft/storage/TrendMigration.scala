@@ -85,7 +85,8 @@ object TrendMigration {
     case FloatType => 3
     case DoubleType => 4
     case _: DecimalType => 5
-    case TimestampType => 6
+    case TimestampNTZType => 6 // naive `timestamp` — the TYPE_ORDER member
+    case TimestampType => 6 // `timestamp with time zone`, same rung
     case StringType => 7
     case _ => -1 // boolean / arrays: only identity is "upward"
   }

@@ -29,11 +29,11 @@ class MinervaTypeSpec extends AnyFunSuite {
     assert(deduceValue("40000") == MInteger)
     assert(deduceValue("3000000000") == MBigInt)
     assert(deduceValue("1.5") == MReal)
-    assert(deduceValue("2020-01-01 10:00:00") == MTimestamp)
+    assert(deduceValue("2020-01-01 10:00:00") == MTimestampNtz)
     assert(deduceValue("hello") == MText)
   }
   test("widening lattice order") {
-    val order = Seq(MSmallInt, MInteger, MBigInt, MReal, MDouble, MNumeric, MTimestamp, MText)
+    val order = Seq(MSmallInt, MInteger, MBigInt, MReal, MDouble, MNumeric, MTimestampNtz, MText)
     assert(TypeOrder == order)
     for (i <- order.indices; j <- order.indices)
       assert(MinervaType.max(order(i), order(j)) == order(math.max(i, j)))
@@ -67,5 +67,29 @@ class MinervaTypeSpec extends AnyFunSuite {
     assert(MTimestamp.accepts("2020-08-25 14:00:00"))
     assert(MTimestamp.accepts("2020-08-25T14:00:00"))
     assert(!MTimestamp.accepts("25-08-2020"))
+    assert(MTimestampNtz.accepts("2020-08-25 14:00:00"))
+    assert(MTimestampNtz.accepts("2020-08-25T14:00:00"))
+    assert(!MTimestampNtz.accepts("25-08-2020"))
+  }
+
+  test("naive timestamp and timestamptz are distinct lattice types") {
+    import org.apache.spark.sql.types._
+    // names resolve per the reference's two types (datatype.py:137-275)
+    assert(MinervaType.byName("timestamp").contains(MTimestampNtz))
+    assert(MinervaType.byName("timestamp with time zone").contains(MTimestamp))
+    assert(MTimestampNtz.sparkType == TimestampNTZType)
+    assert(MTimestamp.sparkType == TimestampType)
+    // deduction only ever produces the naive form — TYPE_ORDER has no tz
+    assert(TypeOrder.contains(MTimestampNtz) && !TypeOrder.contains(MTimestamp))
+    assert(deduce(Seq("42", "2020-01-01 10:00:00")) == MTimestampNtz)
+    // both widen to text, and both out-widen numerics (same rung)
+    assert(MinervaType.max(MTimestampNtz, MText) == MText)
+    assert(MinervaType.max(MNumeric, MTimestampNtz) == MTimestampNtz)
+    // naive parse keeps the wall clock verbatim; tz parse pins UTC —
+    // neither consults the JVM default zone
+    assert(parse(MTimestampNtz, "2020-08-25T14:00:00")
+      .contains(java.time.LocalDateTime.of(2020, 8, 25, 14, 0, 0)))
+    assert(parse(MTimestamp, "2020-08-25T14:00:00")
+      .contains(java.time.Instant.parse("2020-08-25T14:00:00Z")))
   }
 }

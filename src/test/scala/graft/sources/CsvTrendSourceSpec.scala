@@ -136,7 +136,7 @@ class CsvTrendSourceSpec extends SparkSpec {
     val full = CsvTrendSource.deduceSchemaDistributed(spark, p.toString, cfg).toMap
     assert(full("id") == MInteger)
     assert(full("v") == MReal)
-    assert(full("ts") == MTimestamp)
+    assert(full("ts") == MTimestampNtz)
     assert(full("label") == MText)
   }
 
@@ -191,5 +191,39 @@ class CsvTrendSourceSpec extends SparkSpec {
       "power_kwh" -> MNumeric, "label" -> MText)
     val df = CsvTrendSource.read(spark, path, cfg, schema)
     assert(df.select("timestamp").distinct().head.getLong(0) == 1700000000L)
+  }
+
+  test("naive vs tz data columns: ntz is session-zone-proof, tz pins UTC") {
+    val csvT =
+      """node,seen,logged
+        |n1,2020-08-25 14:00:00,2020-08-25 14:00:00
+        |n2,2021-01-02T03:04:05,2021-01-02T03:04:05
+        |""".stripMargin
+    val p = Paths.get("target/tmp/ntzcsv.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, csvT)
+    val cfg = CsvSourceConfig("node", None, fixedTimestampSec = Some(0L))
+    val schema = Seq("node" -> MText,
+      "seen" -> MTimestampNtz, // the deduced naive type
+      "logged" -> MTimestamp) // declared timestamptz (instance YAML)
+    def loadUnder(tz: String) = {
+      val old = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        val r = CsvTrendSource.read(spark, p.toString, cfg, schema)
+          .sort("entity")
+          .select("seen", "logged").collect().toSeq
+        r.map(row => (row.getAs[java.time.LocalDateTime](0),
+          row.getAs[java.sql.Timestamp](1).toInstant))
+      } finally spark.conf.set("spark.sql.session.timeZone", old)
+    }
+    val utc = loadUnder("UTC")
+    val tokyo = loadUnder("Asia/Tokyo")
+    assert(utc == tokyo) // both columns independent of the session zone
+    assert(utc.head._1 == java.time.LocalDateTime.of(2020, 8, 25, 14, 0, 0))
+    // tz column localized in the reference's default parser tz = UTC
+    assert(utc.head._2 == java.time.Instant.parse("2020-08-25T14:00:00Z"))
+    assert(utc(1)._1 == java.time.LocalDateTime.of(2021, 1, 2, 3, 4, 5))
+    assert(utc(1)._2 == java.time.Instant.parse("2021-01-02T03:04:05Z"))
   }
 }

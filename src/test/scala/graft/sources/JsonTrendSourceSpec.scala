@@ -30,7 +30,7 @@ class JsonTrendSourceSpec extends SparkSpec {
     val cfg = JsonSourceConfig("node", Some("timestamp"))
     val schema = JsonTrendSource.deduceSchemaDistributed(spark, path, cfg).toMap
     assert(schema("node") == MText)
-    assert(schema("timestamp") == MTimestamp)
+    assert(schema("timestamp") == MTimestampNtz)
     assert(schema("outside_temp") == MReal)
     assert(schema("count_small") == MInteger) // 40000 exceeds smallint
     assert(schema("count_big") == MBigInt)    // 4e9 exceeds integer
