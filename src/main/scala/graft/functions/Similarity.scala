@@ -725,17 +725,71 @@ object Similarity {
     requireIntegralId(batch, idCol, "graphInsertBatch")
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
+    // the PERSISTED seed registry as of the previous batch (verdict r14
+    // #5): per-bucket md5-top-`entries` nodes of the accumulated corpus.
+    // Because md5-top-k per bucket is an ORDER-INSENSITIVE monoid fold,
+    // the incrementally-maintained registry equals the full-corpus
+    // per-bucket window graphSearch would compute — bit-identically (the
+    // q194 oracle replay is unchanged) — while the per-batch seed cost
+    // drops from a full-corpus sort to |batch| + |registry|.
+    val seedsPart = part + "__seeds"
+    val prevReg = vecStore.readPart(seedsPart)
+      .map(_.select(col("entity_id").as("node"), col("b"), col("mk"))
+        .localCheckpoint())
+      .filter(_.head(1).nonEmpty)
     val edges = batchEdges(b,
       (edgeStore.readPart(part), vecStore.readPart(part)) match {
         case (Some(e0), Some(v0)) => Some((e0, v0))
         case _ => None
-      }, k, beam, hops, entries, seedBits)
+      }, k, beam, hops, entries, seedBits, seedRegistry = prevReg)
     edgeStore.store(part, edges.select(
       col("src").as("entity_id"), col("src").as("timestamp"),
       col("dst"), lit(1L).as("modified")))
     vecStore.store(part, b.select(
       col("id").as("entity_id"), col("id").as("timestamp"),
       col("vec"), lit(1L).as("modified")))
+    updateSeedRegistry(vecStore, seedsPart, prevReg, b, entries, seedBits)
+  }
+
+  /** Fold one insert batch into the persisted seed registry: per-bucket
+    * md5-top-`entries` (bucket −1 when seedBits == 0, so the global
+    * entry set still derives). Two-stage fold keeps every window keyed
+    * AND bounded: first prune WITHIN the batch (partitions ≤ the batch's
+    * per-bucket counts), then merge with the tiny previous registry
+    * (≤ 2^seedBits · entries rows) and re-prune — equal to the one-shot
+    * fold by the monoid property. The registry part is REPLACED through
+    * rewritePart's staged whole-dir swap (crash-safe; a pruned-out node
+    * must not linger, or the bound — and the full-corpus-window
+    * equivalence — breaks). */
+  private def updateSeedRegistry(
+      vecStore: graft.storage.PartStore, seedsPart: String,
+      prevReg: Option[DataFrame], b: DataFrame,
+      entries: Int, seedBits: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket =
+      if (seedBits > 0) hyperplaneBucket(col("vec"), seedBits) else lit(-1L)
+    def prune(df: DataFrame): DataFrame = {
+      val bw = Window.partitionBy("b").orderBy("mk", "node")
+      df.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= entries).drop("rn")
+    }
+    val cand = prune(b.select(col("id").as("node"), bucket.as("b"),
+      md5(col("id").cast("string")).as("mk")).dropDuplicates("node"))
+    // dedup by node before the re-prune: a REPLAYED batch's nodes are
+    // already in the registry, and a duplicate row would displace a
+    // distinct node from the top-`entries` (node determines b and mk,
+    // so dropping by node loses nothing)
+    val merged = prune(prevReg.map(_.unionByName(cand)).getOrElse(cand)
+      .dropDuplicates("node"))
+    val psize = vecStore.config.partitionSizeSeconds
+    val rows = merged.select(col("node").as("entity_id"),
+        col("node").as("timestamp"), col("b"), col("mk"),
+        lit(1L).as("modified"))
+    if (vecStore.exists(seedsPart))
+      vecStore.rewritePart(seedsPart, _ => rows.withColumn("pindex",
+        ((col("timestamp") - pmod(col("timestamp"), lit(psize))) / psize)
+          .cast("long")))
+    else vecStore.store(seedsPart, rows)
     ()
   }
 
@@ -758,7 +812,8 @@ object Similarity {
   private def batchEdges(
       b: DataFrame, old: Option[(DataFrame, DataFrame)],
       k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int,
-      oldCoarse: Option[DataFrame] = None): DataFrame = {
+      oldCoarse: Option[DataFrame] = None,
+      seedRegistry: Option[DataFrame] = None): DataFrame = {
     val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     val cross = old match {
@@ -813,9 +868,39 @@ object Similarity {
             beamWalk(q, v, edges0, located, beam, hops, k, None)
               .select(col("qid").as("query_id"), col("node").as("neighbor_id"),
                 col("rank"), col("cos"))
-          case None =>
-            graphSearch(b, g, vOld, "id", "vec",
-              k, beam, hops, entries, seedBits)
+          case None => seedRegistry match {
+            case Some(reg) =>
+              // flat incremental path: seeds come from the persisted
+              // registry (previous-batch state), NEVER a window over the
+              // accumulated corpus. The registry is ≤ 2^seedBits·entries
+              // rows, so the global-entry sort below is bounded; it
+              // equals graphSearch's full-corpus md5-top because a
+              // global top-k is a subset of the per-bucket top-ks.
+              val q = b.select(col("id").as("qid"), col("vec").as("qv"),
+                norm(col("vec")).as("qn")).localCheckpoint()
+              val v = vOld.select(col("id"), col("vec"),
+                norm(col("vec")).as("nrm"))
+              val edgesF = g.select(col("query_id").as("src"),
+                col("neighbor_id").as("dst"))
+              val entryIds = reg.orderBy("mk", "node").limit(entries)
+                .select("node")
+              val globalSeeds = q.select(col("qid")).crossJoin(entryIds)
+              val seeds =
+                if (seedBits <= 0) globalSeeds
+                else {
+                  val qBuckets = q.select(col("qid"),
+                    hyperplaneBucket(col("qv"), seedBits).as("b"))
+                  globalSeeds.union(qBuckets
+                    .join(reg.select(col("b"), col("node")), "b")
+                    .select("qid", "node")).distinct()
+                }
+              beamWalk(q, v, edgesF, seeds, beam, hops, k, None)
+                .select(col("qid").as("query_id"),
+                  col("node").as("neighbor_id"), col("rank"), col("cos"))
+            case None =>
+              graphSearch(b, g, vOld, "id", "vec",
+                k, beam, hops, entries, seedBits)
+          }
         }
         val found = searched
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))

@@ -1232,6 +1232,26 @@ class SimilaritySpec extends SparkSpec {
     val nEdges = g.count()
     insert(clustered.filter(col("vec_id") >= 50))
     assert(Similarity.readGraphIndex(es, vs, "g")._1.count() >= nEdges)
+    // the persisted seed registry (what replaced the per-batch full-
+    // corpus window, verdict r14 #5) must equal the full-corpus
+    // per-bucket md5-top-`entries` recompute EXACTLY — the monoid-fold
+    // equivalence that keeps the q194 oracle replay valid. Also stable
+    // under the batch-2 replay above (dedup-by-node before the prune).
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val reg = vs.readPart("g__seeds").get
+        .select(col("entity_id").as("node"), col("b"), col("mk"))
+        .as[(Long, Long, String)].collect().toSet
+      val bw = Window.partitionBy("b").orderBy("mk", "node")
+      val full = clustered
+        .select(col("vec_id").as("node"),
+          Similarity.hyperplaneBucket(col("embedding"), 3).as("b"),
+          md5(col("vec_id").cast("string")).as("mk"))
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= 3).drop("rn")
+        .as[(Long, Long, String)].collect().toSet
+      assert(reg == full, s"registry ${reg.size} != full recompute ${full.size}")
+    }
   }
 
   test("graphCompact prunes every node to its exact top-k by cosine") {
