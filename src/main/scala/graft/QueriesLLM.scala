@@ -1004,6 +1004,30 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- incremental exact-substring dedup (q264's incremental tier):
+    // two md5-split batches append anchor grams to a digest-range store;
+    // the read-time stats are RETROACTIVE (a batch-1 doc duplicated only
+    // by batch 2 reports it) and equal the fresh chain over the union —
+    // n_dup_pos is bit-equal to q264's rank-chain definition by the
+    // anchor identity (exact dup prefix >= 8 iff the 8-gram repeats),
+    // spec-asserted against suffixDupSpans itself ----
+    "q297_suffix_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val hv = conv(substring(md5(concat(lit("sfx:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      val work = tempWorkDir("graft_q297_")
+      val as = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/a", 1L << 55,
+          keyCols = Seq("digest", "gpos")))
+      val ds = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/d", 500,
+          keyCols = Seq("entity_id")))
+      def run(b: org.apache.spark.sql.DataFrame) =
+        Dedup.anchorDupIncremental(as, ds, "sfx", b, "doc_id", "text")
+      run(d.filter(hv === 0L)).count() // batch 1 -> state (+ its stats)
+      run(d.filter(hv === 1L)).count() // batch 2 appends + probes
+      Dedup.anchorDupStats(as, ds, "sfx").orderBy("doc_id")
+    },
     // ---- small-file compaction is answer-invisible (the q216/q226
     // "stored ≡ fresh" convention, here "stored ≡ compacted"): two
     // z-ordered store batches fragment every partition dir into many
@@ -5425,6 +5449,51 @@ object QueriesLLM {
              CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr) u
          ORDER BY stage"""
     },
+    // q297: the fresh-over-union replay — anchors from the same truncated
+    // token slices, counts, duplicated flags, per-doc gaps-and-islands
+    // runs. n_dup_pos here is definitionally q264's (exact dup prefix
+    // >= 8 iff the position's 8-gram occurs twice), so the store read is
+    // answer-invisible vs the one-shot chain.
+    "q297_suffix_incremental" ->
+      """WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         tk AS (
+           SELECT doc_id, count(*) AS n_tokens
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i FROM dbase)
+           WHERE toks[i] <> '' AND i - 1 < 128
+           GROUP BY 1),
+         anch AS (
+           SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1,
+               greatest(least(len(toks), 128) - 7, 0))) AS i FROM dbase)
+           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
+         cnt AS (SELECT g, count(*) AS c FROM anch GROUP BY 1),
+         fl AS (
+           SELECT a.doc_id, a.pos, (cnt.c >= 2) AS dup
+           FROM anch a JOIN cnt USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM fl WHERE dup),
+         runs AS (
+           SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+         mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1),
+         nd AS (
+           SELECT doc_id, sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup_pos
+           FROM fl GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(tk.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(nd.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+           CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run
+         FROM dbase d
+         LEFT JOIN tk USING (doc_id)
+         LEFT JOIN nd USING (doc_id)
+         LEFT JOIN mr USING (doc_id)
+         ORDER BY doc_id""",
     // q295: compaction is physical only — the oracle recomputes the token
     // counts fresh; did_compact pins that 32 range tasks over 4 pindexes
     // must fragment at least one partition, which the compactor rewrites

@@ -1455,6 +1455,157 @@ object Dedup {
     perDoc
   }
 
+  // ---- incremental exact-substring dedup: anchor-gram digest store ----
+
+  /** The `minLen`-gram ANCHOR positions of each doc under exactly
+    * [[suffixDupSpans]]' truncation: one row per position `pos` whose
+    * full minLen-gram lies inside the first `2^rounds` tokens and
+    * contains no empty token, digest = md5 of the space-joined gram
+    * (split on \s+, so tokens are space-free and the join is injective).
+    *
+    * Why anchors: a position's EXACT duplicated-prefix length is
+    * ≥ minLen iff its anchor digest occurs at ≥ 2 positions — so anchor
+    * counts reproduce suffixDupSpans' `n_dup_pos` identically (spec-
+    * asserted against the rank chain). And unlike suffix ranks, anchor
+    * digests are CONTENT-ADDRESSED: they never change as the corpus
+    * grows, which is what makes the incremental store append-only. */
+  def anchorGrams(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, rounds: Int = 7): DataFrame = {
+    val cap = 1 << rounds
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          least(size(col("toks")), lit(cap)) - minLen)).as("pos"))
+      .withColumn("gram", expr(s"slice(toks, pos + 1, $minLen)"))
+      .filter(!array_contains(col("gram"), ""))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", col("gram"))).as("digest"))
+  }
+
+  /** Per-doc stats over a duplicated-anchor flag frame (doc_id, pos,
+    * dup): `n_dup_pos` = duplicated anchors (≡ suffixDupSpans positions
+    * with exact dup prefix ≥ minLen), `max_run` = longest run of
+    * CONSECUTIVE duplicated anchors (gaps-and-islands over a per-doc
+    * keyed window, ≤ 2^rounds rows per doc). */
+  private def anchorDocStats(flags: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = flags.filter(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+    flags.groupBy("doc_id")
+      .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_dup_pos"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  /** Incremental exact-substring dedup against a PERSISTED anchor store
+    * — [[suffixDupSpans]]' incremental tier (the q142/q175/q202 store
+    * pattern). `anchorStore` (keyed (digest, gpos), digest-range
+    * partitioned) accumulates every batch's anchor rows; `docStore`
+    * (keyed (entity_id), id-range partitioned) accumulates per-doc
+    * truncated token counts. Each batch:
+    *
+    *  1. appends its anchors — write cost ∝ batch + the digest
+    *     partitions the batch lands in (PartStore merges only those);
+    *  2. returns ITS docs' stats against the accumulated corpus
+    *     INCLUDING this batch, probing only the store partitions the
+    *     batch's digests land in (the broadcast-pidx prune, exactly
+    *     [[exactIncremental]]'s read shape).
+    *
+    * Old docs' answers update RETROACTIVELY at read time:
+    * [[anchorDupStats]] recomputes counts over the accumulated store, so
+    * a batch-1 doc whose text only batch 2 duplicates reports its dup —
+    * storage is answer-invisible: the read equals the fresh chain over
+    * the union (`n_dup_pos` bit-equal to [[suffixDupSpans]] by the
+    * anchor identity; `max_run` equal to its own one-shot replay). */
+  def anchorDupIncremental(
+      anchorStore: graft.storage.PartStore, docStore: graft.storage.PartStore,
+      part: String, batch: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, rounds: Int = 7): DataFrame = {
+    require(anchorStore.config.keyCols == Seq("digest", "gpos"),
+      "anchorDupIncremental: anchor store must be keyed (digest, gpos)")
+    require(docStore.config.keyCols == Seq("entity_id"),
+      "anchorDupIncremental: doc store must be keyed (entity_id)")
+    locally {
+      import org.apache.spark.sql.types._
+      val t = batch.schema(idCol).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
+        s"anchorDupIncremental: id column '$idCol' must be integral, " +
+          s"got ${t.simpleString}")
+    }
+    val cap = 1 << rounds
+    val block = 2L << rounds
+    val a = anchorGrams(batch, idCol, textCol, minLen, rounds)
+      .select(col("digest"), (col("doc_id") * block + col("pos")).as("gpos"),
+        conv(substring(col("digest"), 1, 15), 16, 10).cast("long")
+          .as("entity_id"),
+        col("doc_id"), col("pos"))
+      .withColumn("timestamp", col("entity_id"))
+      .withColumn("modified", lit(1L))
+      .localCheckpoint()
+    // negative ids would interleave gpos blocks — refuse like suffixDupSpans
+    val minDoc = a.agg(min(col("doc_id"))).head()
+    require(minDoc.isNullAt(0) || minDoc.getLong(0) >= 0L,
+      "anchorDupIncremental: negative doc ids break gpos block addressing")
+    val docRows = batch
+      .select(col(idCol).cast("long").as("entity_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("entity_id"), col("entity_id").as("timestamp"),
+        size(filter(expr(s"slice(toks, 1, least(size(toks), $cap))"),
+          t => t =!= "")).cast("long").as("n_tokens"),
+        lit(1L).as("modified"))
+    val psize = anchorStore.config.partitionSizeSeconds
+    val pidx = a.select(((col("timestamp") - pmod(col("timestamp"), lit(psize)))
+        / psize).cast("long").as("p")).distinct()
+    anchorStore.store(part, a)
+    docStore.store(part, docRows)
+    // batch stats vs the accumulated corpus: counts probe ONLY the
+    // digest partitions the batch touches (broadcast prune — a batch's
+    // digests can't be duplicated by rows living in other partitions)
+    val stored = anchorStore.readPart(part).get
+    val touched = stored.join(broadcast(pidx),
+      stored("pindex") === col("p")).drop("p")
+    val cnt = touched.groupBy("digest").agg(count(lit(1)).as("__c"))
+    val flags = a.select(col("doc_id"), col("pos"), col("digest"))
+      .join(cnt, Seq("digest"), "left")
+      .select(col("doc_id"), col("pos"),
+        (coalesce(col("__c"), lit(1L)) >= 2).as("dup"))
+    docRows.select(col("entity_id").as("doc_id"), col("n_tokens"))
+      .join(anchorDocStats(flags), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  /** Read-time per-doc stats from the accumulated anchor store: the
+    * fresh-over-union answer (retroactive — counts see every batch).
+    * One corpus-sized read, like any stored-index retrieval. */
+  def anchorDupStats(
+      anchorStore: graft.storage.PartStore, docStore: graft.storage.PartStore,
+      part: String): DataFrame = {
+    val docs = docStore.readPart(part).get
+      .select(col("entity_id").as("doc_id"), col("n_tokens"))
+    anchorStore.readPart(part) match {
+      case None =>
+        docs.select(col("doc_id"), col("n_tokens"),
+          lit(0L).as("n_dup_pos"), lit(0L).as("max_run"))
+      case Some(stored) =>
+        val cnt = stored.groupBy("digest").agg(count(lit(1)).as("__c"))
+        val flags = stored.select(col("doc_id"), col("pos"), col("digest"))
+          .join(cnt, Seq("digest"))
+          .select(col("doc_id"), col("pos"), (col("__c") >= 2).as("dup"))
+        docs.join(anchorDocStats(flags), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+            coalesce(col("max_run"), lit(0L)).as("max_run"))
+    }
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

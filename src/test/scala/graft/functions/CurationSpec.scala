@@ -867,6 +867,51 @@ class CurationSpec extends SparkSpec {
     assert(a.exists(_.getAs[Long]("max_dup") >= 8L))
   }
 
+  test("anchorDupIncremental: n_dup_pos equals suffixDupSpans over the " +
+      "union; old docs update retroactively") {
+    // doc 1 and doc 30 share an 8+-token span, but land in DIFFERENT
+    // batches (split below is by doc_id parity): the batch-1 doc's dup
+    // only exists once batch 2 arrives — the retroactivity under test
+    val docsDf = ((1 to 28).map(i =>
+        (i.toLong, (1 to 40).map(j => s"w${(i * 131 + j * 17) % 9973}").mkString(" "))) ++
+      Seq((29L, "a b c d e f g h i j k l unique tail one"),
+          (30L, "prefix two a b c d e f g h i j k l z")))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_anch_").toString
+    val as = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/a", 1L << 55,
+        keyCols = Seq("digest", "gpos")))
+    val ds = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$work/d", 500, keyCols = Seq("entity_id")))
+    val b1 = docsDf.filter(col("doc_id") % 2 === 1)
+    val b2 = docsDf.filter(col("doc_id") % 2 === 0)
+    val r1 = Dedup.anchorDupIncremental(as, ds, "s", b1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // batch 1 alone: doc 29's partner (30) hasn't arrived
+    assert(r1(29L) == 0L, s"doc 29 dup before partner arrived: $r1")
+    val r2 = Dedup.anchorDupIncremental(as, ds, "s", b2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // batch 2's doc 30 sees the batch-1 doc 29 through the store:
+    // shared 12-token run "a b c d e f g h i j k l" = 5 anchors
+    assert(r2(30L) == 5L, s"doc 30 cross-batch dup: $r2")
+    // read-time stats are retroactive AND equal the fresh rank chain
+    val got = Dedup.anchorDupStats(as, ds, "s")
+      .select("doc_id", "n_tokens", "n_dup_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = Dedup.suffixDupSpans(docsDf, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_dup_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == fresh, s"store read != fresh suffixDupSpans chain")
+    assert(got.exists { case (d, _, nd) => d == 29L && nd == 5L },
+      s"doc 29 not retroactively updated: $got")
+    // idempotent replay: re-running batch 2 upserts the same keys
+    Dedup.anchorDupIncremental(as, ds, "s", b2, "doc_id", "text").count()
+    val again = Dedup.anchorDupStats(as, ds, "s")
+      .select("doc_id", "n_tokens", "n_dup_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == fresh)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
