@@ -216,6 +216,42 @@ object Main {
       jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
       println(s"""{"loaded_partitions":$n,"part":"$part","job_id":$jobId}""")
 
+    // Harvest through a NAMED plugin (reference `load-data --type`,
+    // commands/load_data.py over harvest/plugins.py): resolves built-ins,
+    // register()ed vendor sources, AND ServiceLoader-discovered jar
+    // drop-ins (META-INF/services/graft.sources.TrendSource), then runs
+    // the same resolve → job-log → store chain as load-data.
+    case "harvest" :: plugin :: path :: base :: part :: rest =>
+      val s = spark()
+      val psize = rest.headOption.flatMap(_.toLongOption).getOrElse(86400L)
+      val src = graft.sources.TrendSources.get(plugin).getOrElse {
+        System.err.println(s"no such harvest plugin: $plugin " +
+          s"(available: ${graft.sources.TrendSources.names.mkString(", ")})")
+        exit(2); null
+      }
+      val pkg = src.read(s, path)
+      val dim = pkg.sparkSession.createDataFrame(
+        pkg.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      val resolved = EntityResolution.resolveHash(
+        pkg.select(col("entity").cast("string").as("name")), dim, "default")
+      val now = System.currentTimeMillis() / 1000
+      val jobLog = new graft.storage.JobLog(s, base)
+      val jobId = jobLog.startJob(s"harvest $plugin $path -> $part", now)
+      val pkgS = pkg.withColumn("entity", col("entity").cast("string"))
+      val batch = pkgS.join(resolved, pkgS("entity") === resolved("name"))
+        .drop("entity", "name")
+        .withColumnRenamed("id", "entity_id")
+        .withColumn("modified", lit(now))
+        .withColumn("job_id", lit(jobId))
+      val ps = new PartStore(s, PartStoreConfig(base, psize))
+      val n = ps.store(part, batch)
+      ps.markModified(part, batch, now)
+      jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
+      println(s"""{"loaded_partitions":$n,"part":"$part","job_id":$jobId,"plugin":"$plugin"}""")
+
     // Attribute harvest path (plugin_api_attribute.py + attribute
     // DataPackage): CSV → typed package → entity resolution → staging
     // transfer into the attribute store, job-logged like trend loads.
@@ -1435,6 +1471,7 @@ object Main {
            |usage:
            |  initialize <instanceDir> <storeBase> [--load-sample-data]
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
+           |  harvest <plugin> <path> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
            |  aggregation-compile-all <instanceDir>

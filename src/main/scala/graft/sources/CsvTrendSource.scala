@@ -34,16 +34,42 @@ trait TrendSource {
 
 /** Harvest plugin registry (reference: harvest/plugin discovery via
   * pkg_resources entry points, src/minerva/harvest/plugins.py): named
-  * registration + lookup; the CSV source self-registers as the built-in.
-  * A deployment registers vendor plugins at startup and `load-data` picks
-  * them by name. */
+  * registration + lookup; the CSV source self-registers as the built-in
+  * (plugins.py:12-14 `builtin_types`). A deployment registers vendor
+  * plugins at startup — either programmatically via [[register]] or by
+  * DROPPING A JAR on the classpath that lists its [[TrendSource]]
+  * implementations in `META-INF/services/graft.sources.TrendSource`:
+  * [[discover]] is `java.util.ServiceLoader` over that contract, the JVM
+  * analogue of the reference's `minerva.harvest.plugins` entry-point
+  * group (plugins.py:9,17-18,37-48 — get_plugin falls back from builtins
+  * to entry points; here statically-registered names likewise win over
+  * discovered ones). */
 object TrendSources {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, TrendSource]
 
   def register(source: TrendSource): Unit = registry.put(source.name, source)
-  def get(name: String): Option[TrendSource] = registry.get(name)
-  def names: Seq[String] = registry.keys.toSeq.sorted
+  def get(name: String): Option[TrendSource] =
+    registry.get(name).orElse(discovered.get(name))
+  def names: Seq[String] = (registry.keys ++ discovered.keys).toSeq.distinct.sorted
+
+  /** Entry-point-style plugins from the classpath, loaded once on first
+    * use (ServiceLoader iteration instantiates each provider via its
+    * no-arg constructor, exactly entry_point.load()() at plugins.py:32).
+    * A provider that fails to instantiate is skipped loudly on stderr
+    * rather than poisoning the registry. */
+  lazy val discovered: Map[String, TrendSource] = {
+    val it = java.util.ServiceLoader.load(classOf[TrendSource]).iterator()
+    val found = Map.newBuilder[String, TrendSource]
+    while (it.hasNext) {
+      try { val s = it.next(); found += s.name -> s }
+      catch {
+        case e: java.util.ServiceConfigurationError =>
+          System.err.println(s"skipping unloadable TrendSource provider: $e")
+      }
+    }
+    found.result()
+  }
 
   register(CsvTrendSource.plugin(CsvSourceConfig("entity", Some("timestamp"))))
 }

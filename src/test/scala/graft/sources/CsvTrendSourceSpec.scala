@@ -193,6 +193,49 @@ class CsvTrendSourceSpec extends SparkSpec {
     assert(df.select("timestamp").distinct().head.getLong(0) == 1700000000L)
   }
 
+  test("ServiceLoader discovery: a META-INF/services drop-in loads " +
+      "through the registry and the CLI harvest path") {
+    // tsv-test comes ONLY from META-INF/services/graft.sources.TrendSource
+    // (test resources = the vendor jar's classpath contribution); it was
+    // never register()ed
+    assert(TrendSources.discovered.contains("tsv-test"))
+    assert(TrendSources.names.contains("tsv-test"))
+    val src = TrendSources.get("tsv-test").get
+    val tsv = "node\tts\tv\nn1\t2020-08-25 14:00:00\t7\nn2\t2020-08-25 15:00:00\t9\n"
+    val p = Paths.get("target/tmp/plugin_drop.tsv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, tsv)
+    val df = src.read(spark, p.toString)
+    assert(df.count() == 2L)
+    assert(df.columns.contains("entity") && df.columns.contains("timestamp"))
+    // a statically-registered name with the same key wins over discovery
+    // (plugins.py:38-39 builtins-first), and unknown names stay None
+    assert(TrendSources.get("no-such-plugin-xyz").isEmpty)
+    // CLI path: harvest <plugin> resolves the discovered source and
+    // lands rows in a part store through the standard load chain
+    val base = "target/tmp/plugin_cli_store"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      graft.cli.Main.run(List("harvest", "tsv-test", p.toString, base, "tsv_part"))
+    }
+    assert(out.toString.contains("\"plugin\":\"tsv-test\""), out.toString)
+    val stored = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(base, 86400)).readPart("tsv_part").get
+    assert(stored.count() == 2L)
+    assert(stored.columns.contains("v"))
+    // an unknown plugin refuses with exit 2, listing what exists
+    val ex = intercept[graft.cli.Main.CliExit] {
+      Console.withOut(new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream())) {
+        graft.cli.Main.run(List("harvest", "nope", p.toString, base, "x"))
+      }
+    }
+    assert(ex.code == 2)
+  }
+
   test("naive vs tz data columns: ntz is session-zone-proof, tz pins UTC") {
     val csvT =
       """node,seen,logged
