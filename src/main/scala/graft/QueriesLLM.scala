@@ -832,6 +832,28 @@ object QueriesLLM {
     // recall@20 and MRR in integer basis points. Ranks come from
     // Ranks.globalDenseRank (range partition + zipWithIndex), never a
     // partition-less window ----
+    // ---- nDCG@10 completes the retrieval-eval family (q284 has
+    // P@10/MRR): same BM25 ranking, GRADED judgments (gain = how many of
+    // the 3 query tokens the doc contains — nDCG's whole point over
+    // binary P@k). Gate compares the exact (rank, doc, gain, ideal_gain)
+    // table; the log2-weighted quotient is spec-tested and dropped, per
+    // the q74/q235 fixed-point-ln convention ----
+    "q298_ndcg" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val q = Seq("dup", "key", "vector")
+      val top = TextAnalysis.bm25SearchLog(d, "doc_id", "text", q, topN = 20)
+      val ranked = graft.functions.Ranks.globalDenseRank(
+          top.select((-col("score_scaled")).as("negscore"), col("doc_id")),
+          Seq("negscore", "doc_id"))
+        .select(col("doc_id"), col("__r").as("rnk"))
+      val gains = TextAnalysis.tokens(d, "doc_id", "text")
+        .filter(col("tok").isin(q: _*))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("tok")).cast("long").as("gain"))
+      TextAnalysis.ndcgAtK(ranked, gains, "doc_id", k = 10)
+        .drop("ndcg_scaled")
+        .orderBy("rnk")
+    },
     "q284_retrieval_eval" -> { (s, dir) =>
       val d = docs(s, dir)
       val q = Seq("dup", "key", "vector")
@@ -5750,6 +5772,33 @@ object QueriesLLM {
          FROM spans ORDER BY doc_id""",
     // q284: the q235 chain re-queried for (dup, key, vector), ranks by
     // the same ordering, IR metrics in integer basis points
+    // q298: same BM25 chain; graded gains + ideal ranks over the judged
+    // set — exact integers only (ndcg_scaled is dropped on the Spark
+    // side; the log quotient lives in the spec)
+    "q298_ndcg" -> {
+      val chain = Bm25LogIdfOracle
+        .take(Bm25LogIdfOracle.lastIndexOf(
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_toks"))
+        .replace("('hash', 'join', 'merge')", "('dup', 'key', 'vector')")
+      s"""$chain, bm AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY sum(contrib) DESC, doc_id) AS rnk
+           FROM hits GROUP BY doc_id ORDER BY rnk LIMIT 20),
+         gns AS (
+           SELECT doc_id, count(DISTINCT tok) AS gain
+           FROM tf WHERE tok IN ('dup', 'key', 'vector') GROUP BY 1),
+         idl AS (
+           SELECT row_number() OVER (ORDER BY -gain, doc_id) AS rnk,
+             gain AS ideal_gain
+           FROM gns)
+         SELECT CAST(bm.rnk AS BIGINT) AS rnk, bm.doc_id,
+           CAST(COALESCE(g.gain, 0) AS BIGINT) AS gain,
+           CAST(COALESCE(i.ideal_gain, 0) AS BIGINT) AS ideal_gain
+         FROM bm
+         LEFT JOIN gns g USING (doc_id)
+         LEFT JOIN idl i ON i.rnk = bm.rnk
+         WHERE bm.rnk <= 10 ORDER BY rnk"""
+    },
     "q284_retrieval_eval" -> {
       val chain = Bm25LogIdfOracle
         .take(Bm25LogIdfOracle.lastIndexOf(

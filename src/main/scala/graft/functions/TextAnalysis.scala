@@ -1959,6 +1959,47 @@ object TextAnalysis {
     * type / new-type counts. Per-append cost ∝ batch vocabulary; the
     * store grows with the vocabulary, never the corpus. Replaying the
     * same batch inserts nothing (idempotent, like the digest store). */
+  /** nDCG@k over an integer-graded judgment set (Järvelin & Kekäläinen
+    * 2002 — the retrieval-eval metric q284's P@10/MRR family lacked):
+    * DCG@k = Σ_{i≤k} gain(doc at rank i) / log2(i + 1), normalized by
+    * the ideal DCG of the k largest judged gains. Output: one row per
+    * rank 1..k with EXACT integer columns (rnk, doc id, gain,
+    * ideal_gain) — the gate-compared surface — plus `ndcg_scaled` =
+    * floor(nDCG · 1e9), the libm-log quotient, which per the q74/q235
+    * fixed-point-ln convention is spec-tested and DROPPED from oracle
+    * comparison. `ranked` carries (idCol, rnk) with rnk 1-based and a
+    * strict permutation; `judgments` carries (idCol, gain ≥ 0) with
+    * unique ids — unjudged retrieved docs gain 0. Ideal ranks come from
+    * [[Ranks.globalDenseRank]] over (−gain, id) (a permutation — no
+    * global window). */
+  def ndcgAtK(
+      ranked: DataFrame, judgments: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"ndcgAtK: k >= 1, got $k")
+    val top = ranked.filter(col("rnk") <= k)
+      .join(judgments.select(col(idCol), col("gain")), Seq(idCol), "left")
+      .select(col("rnk"), col(idCol),
+        coalesce(col("gain"), lit(0L)).as("gain"))
+    val ideal = Ranks.globalDenseRank(
+        judgments.select((-col("gain")).as("ng"), col(idCol).as("__i")),
+        Seq("ng", "__i"))
+      .filter(col("__r") <= k)
+      .select(col("__r").as("rnk"), (-col("ng")).cast("long").as("ideal_gain"))
+    val rows = top.join(ideal, Seq("rnk"), "left")
+      .withColumn("ideal_gain", coalesce(col("ideal_gain"), lit(0L)))
+      .localCheckpoint() // feeds both the output and the scalar below
+    // 1-row broadcast scalar (the repo's bounded-crossJoin pattern)
+    val scalar = rows.agg(
+        sum(col("gain") / log2(col("rnk") + 1)).as("__dcg"),
+        sum(col("ideal_gain") / log2(col("rnk") + 1)).as("__idcg"))
+      .select(when(col("__idcg") > 0,
+          floor(col("__dcg") / col("__idcg") * lit(1e9)).cast("long"))
+        .otherwise(lit(0L)).as("ndcg_scaled"))
+    rows.crossJoin(broadcast(scalar))
+      .select(col("rnk"), col(idCol), col("gain"), col("ideal_gain"),
+        col("ndcg_scaled"))
+  }
+
   def vocabGrowthAppend(
       ps: graft.storage.PartStore, part: String,
       tokens: DataFrame, tokCol: String, epoch: Long): (Long, Long, Long) = {

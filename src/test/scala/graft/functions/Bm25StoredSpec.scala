@@ -134,4 +134,31 @@ class Bm25StoredSpec extends SparkSpec {
     assert(TextAnalysis.bm25SearchStoredLog(p, d, Seq("hash", "merge"), 10)
       .collect().map(_.toSeq).toSeq == stored)
   }
+
+  test("ndcgAtK: exact gain/ideal columns; log2 quotient matches the " +
+      "closed form; perfect ranking scores 1e9") {
+    import spark.implicits._
+    val ranked = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    // d4 is judged but unretrieved — it still shapes the ideal ranking
+    val gains = Seq((1L, 0L), (2L, 3L), (3L, 1L), (4L, 2L)).toDF("doc_id", "gain")
+    val out = TextAnalysis.ndcgAtK(ranked, gains, "doc_id", k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, 1L, 0L, 3L), (2L, 2L, 3L, 2L), (3L, 3L, 1L, 1L)))
+    // identical libm calls reproduce the fixed-point quotient exactly
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 0.0 / l2(2) + 3.0 / l2(3) + 1.0 / l2(4)
+    val idcg = 3.0 / l2(2) + 2.0 / l2(3) + 1.0 / l2(4)
+    assert(out.head.getLong(4) == math.floor(dcg / idcg * 1e9).toLong)
+    // perfect ranking (retrieved order == ideal order) scores exactly 1
+    val perfect = TextAnalysis.ndcgAtK(
+      Seq((2L, 1L), (4L, 2L), (3L, 3L)).toDF("doc_id", "rnk"),
+      gains, "doc_id", k = 3).head()
+    assert(perfect.getLong(4) == 1000000000L)
+    // zero-gain judgments degrade to 0, not NaN
+    val zero = TextAnalysis.ndcgAtK(ranked,
+      Seq((9L, 0L)).toDF("doc_id", "gain"), "doc_id", k = 3).head()
+    assert(zero.getLong(4) == 0L)
+  }
 }
