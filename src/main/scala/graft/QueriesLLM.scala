@@ -1026,6 +1026,50 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- curriculum interleave (Bengio et al. 2009 curriculum order ×
+    // mixture balance): hardest-first within each source, round-robin
+    // across sources — the training-order permutation, with NO
+    // per-source window (two globalDenseRank passes + a |sources|-row
+    // broadcast offset) ----
+    "q301_curriculum_interleave" -> { (s, dir) =>
+      TextAnalysis.curriculumInterleave(docs(s, dir),
+          "doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    // ---- generation-eval: BLEU modified n-gram precision (Papineni et
+    // al. 2002) per (candidate, reference) pair — candidate doc i vs
+    // reference doc i+1, so q142's engineered dup clusters surface as
+    // perfect-precision rows against a mostly-disjoint background.
+    // Exact clipped/total integers + bp precisions; the exp/log BLEU
+    // composite is spec-side ----
+    "q300_ngram_precision" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("cand_id"),
+          (col("doc_id") + 1).as("ref_id"))
+        .join(d.select(col("doc_id").as("ref_id")), Seq("ref_id"))
+      TextAnalysis.ngramPrecision(pairs, d, "doc_id", "text", ns = Seq(1, 2))
+        .orderBy("cand_id")
+    },
+    // ---- span-level contamination audit (the Lee et al. 2022 / GPT-3
+    // n-gram overlap methodology): eval docs with doc_id % 10 == 0 get a
+    // TRAIN doc's text prepended, so the gate measures real shared
+    // spans — per eval doc, contaminated anchors, longest shared run,
+    // contamination basis points. Completes the decontamination family
+    // (q63 exact digest, q98 Bloom) at span granularity ----
+    "q299_contamination_spans" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val donor = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("donor_text"))
+      val evalDf = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("donor_text").isNotNull,
+            concat_ws(" ", col("donor_text"), col("text")))
+            .otherwise(col("text")).as("text"))
+      val trainDf = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Dedup.contaminationSpans(trainDf, evalDf, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // ---- incremental exact-substring dedup (q264's incremental tier):
     // two md5-split batches append anchor grams to a digest-range store;
     // the read-time stats are RETROACTIVE (a batch-1 doc duplicated only
@@ -5471,6 +5515,130 @@ object QueriesLLM {
              CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM tr) u
          ORDER BY stage"""
     },
+    // q301: the two rank passes as two row_numbers — hardest-first within
+    // source (score DESC, id), then (rank_in_source, source) globally
+    "q301_curriculum_interleave" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars AS score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rank_in_source
+           FROM documents)
+         SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(row_number() OVER (ORDER BY rank_in_source, source)
+             AS BIGINT) AS interleave_pos
+         FROM r ORDER BY doc_id""",
+    // q300: per-n gram bags with the anchorGrams empty-token rule;
+    // clipped = sum of min(cand count, ref count) over candidate grams
+    "q300_ngram_precision" ->
+      """WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         lens AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> x <> '')) AS l FROM dbase),
+         g1 AS (
+           SELECT doc_id, toks[i] AS g, count(*) AS cnt
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i FROM dbase)
+           WHERE toks[i] <> '' GROUP BY 1, 2),
+         g2 AS (
+           SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g,
+             count(*) AS cnt
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i FROM dbase)
+           WHERE len(list_filter(toks[i:i+1], x -> x = '')) = 0
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.doc_id AS cand_id, a.doc_id + 1 AS ref_id
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         n1 AS (
+           SELECT p.cand_id, p.ref_id,
+             sum(least(c.cnt, COALESCE(r.cnt, 0))) AS clip1,
+             sum(c.cnt) AS tot1
+           FROM pairs p
+           JOIN g1 c ON c.doc_id = p.cand_id
+           LEFT JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
+           GROUP BY 1, 2),
+         n2 AS (
+           SELECT p.cand_id, p.ref_id,
+             sum(least(c.cnt, COALESCE(r.cnt, 0))) AS clip2,
+             sum(c.cnt) AS tot2
+           FROM pairs p
+           JOIN g2 c ON c.doc_id = p.cand_id
+           LEFT JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+           GROUP BY 1, 2)
+         SELECT p.cand_id, p.ref_id,
+           CAST(COALESCE(lc.l, 0) AS BIGINT) AS len_c,
+           CAST(COALESCE(lr.l, 0) AS BIGINT) AS len_r,
+           CAST(COALESCE(n1.clip1, 0) AS BIGINT) AS clip1,
+           CAST(COALESCE(n1.tot1, 0) AS BIGINT) AS tot1,
+           CAST(CASE WHEN COALESCE(n1.tot1, 0) = 0 THEN 0
+             ELSE 10000 * n1.clip1 // n1.tot1 END AS BIGINT) AS p1_bp,
+           CAST(COALESCE(n2.clip2, 0) AS BIGINT) AS clip2,
+           CAST(COALESCE(n2.tot2, 0) AS BIGINT) AS tot2,
+           CAST(CASE WHEN COALESCE(n2.tot2, 0) = 0 THEN 0
+             ELSE 10000 * n2.clip2 // n2.tot2 END AS BIGINT) AS p2_bp
+         FROM pairs p
+         LEFT JOIN lens lc ON lc.doc_id = p.cand_id
+         LEFT JOIN lens lr ON lr.doc_id = p.ref_id
+         LEFT JOIN n1 USING (cand_id, ref_id)
+         LEFT JOIN n2 USING (cand_id, ref_id)
+         ORDER BY cand_id""",
+    // q299: the same anchor machinery split across a train/eval boundary
+    // — eval docs (with the %10 donor splice replayed) probe the train
+    // corpus's distinct anchor set; runs via gaps-and-islands
+    "q299_contamination_spans" ->
+      """WITH donor AS (
+           SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         ev AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 0 AND s.donor_text IS NOT NULL
+               THEN s.donor_text || ' ' || d.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN donor s USING (doc_id)
+           WHERE d.doc_id % 5 = 0),
+         tr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         evb AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM ev),
+         trb AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM tr),
+         eva AS (
+           SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1,
+               greatest(least(len(toks), 128) - 7, 0))) AS i FROM evb)
+           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
+         tra AS (
+           SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1,
+               greatest(least(len(toks), 128) - 7, 0))) AS i FROM trb)
+           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
+         fl AS (
+           SELECT e.doc_id, e.pos, t.g IS NOT NULL AS dup
+           FROM eva e LEFT JOIN tra t USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM fl WHERE dup),
+         runs AS (
+           SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+         mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1),
+         st AS (
+           SELECT doc_id, count(*) AS n_anchors,
+             sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_contaminated
+           FROM fl GROUP BY 1)
+         SELECT st.doc_id, CAST(st.n_anchors AS BIGINT) AS n_anchors,
+           CAST(st.n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run,
+           CAST(10000 * st.n_contaminated // st.n_anchors AS BIGINT)
+             AS contam_bp
+         FROM st LEFT JOIN mr USING (doc_id) ORDER BY doc_id""",
     // q297: the fresh-over-union replay — anchors from the same truncated
     // token slices, counts, duplicated flags, per-doc gaps-and-islands
     // runs. n_dup_pos here is definitionally q264's (exact dup prefix

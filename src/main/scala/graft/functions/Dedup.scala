@@ -1606,6 +1606,38 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus contamination SPANS — the span-level form of
+    * decontamination (the q63/q98 tier flags whole docs by exact digest
+    * or Bloom; real contamination audits measure n-gram OVERLAP spans,
+    * the Lee et al. 2022 / GPT-3-appendix methodology). For each eval
+    * doc: how many of its minLen-gram anchors occur anywhere in the
+    * train corpus, and the longest run of consecutive contaminated
+    * anchors (a run of r anchors = a shared span of r + minLen − 1
+    * tokens).
+    *
+    * Scale shape: the train side collapses to DISTINCT anchor digests
+    * before the join (set semantics — one shuffle, no frequency
+    * blow-up), the probe is a broadcast-or-shuffle left-semi-style
+    * equi-join, and runs are per-doc keyed windows (≤ 2^rounds rows).
+    * Output: (doc_id, n_anchors, n_contaminated, max_run, contam_bp). */
+  def contaminationSpans(
+      train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, rounds: Int = 7): DataFrame = {
+    val trainDigests = anchorGrams(train, idCol, textCol, minLen, rounds)
+      .select("digest").distinct()
+    val flags = anchorGrams(eval_, idCol, textCol, minLen, rounds)
+      .join(trainDigests.withColumn("__hit", lit(1)), Seq("digest"), "left")
+      .select(col("doc_id"), col("pos"), col("__hit").isNotNull.as("dup"))
+    val stats = anchorDocStats(flags)
+    flags.groupBy("doc_id").agg(count(lit(1)).as("n_anchors"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_anchors"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_contaminated"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .withColumn("contam_bp",
+        expr("10000 * n_contaminated DIV n_anchors"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

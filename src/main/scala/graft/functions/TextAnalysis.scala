@@ -2000,6 +2000,104 @@ object TextAnalysis {
         col("ndcg_scaled"))
   }
 
+  /** BLEU-style modified n-gram precision per (candidate, reference)
+    * pair (Papineni et al. 2002 §2.1): for each n, clipped matches =
+    * Σ_g min(count_cand(g), count_ref(g)) over the candidate's n-grams,
+    * total = candidate n-gram count. Emits EXACT integers only —
+    * lengths (the brevity-penalty inputs), clipped/total per n, and
+    * basis-point precisions via integer division; the exp/log BLEU
+    * composite is the caller's spec-side business, per the fixed-point
+    * convention. One shuffle per n on (pair, gram) — linear in corpus
+    * size, no cross-pair state. */
+  def ngramPrecision(
+      pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ngramPrecision: ns in [1,8], got $ns")
+    val toks = docs.select(col(idCol).cast("long").as("__d"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .localCheckpoint() // one tokenize feeds every n
+    def counts(n: Int): DataFrame = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("__d"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("p"),
+        col("toks"))
+      .withColumn("gram", expr(s"slice(toks, p + 1, $n)"))
+      .filter(!array_contains(col("gram"), "")) // the anchorGrams rule
+      .select(col("__d"), concat_ws(" ", col("gram")).as("g"))
+      .groupBy("__d", "g").agg(count(lit(1)).as("cnt"))
+    val base = pairs.select(col("cand_id").cast("long").as("cand_id"),
+      col("ref_id").cast("long").as("ref_id"))
+    val lens = toks.select(col("__d"),
+      size(filter(col("toks"), t => t =!= "")).cast("long").as("__len"))
+    val withLens = base
+      .join(lens.select(col("__d").as("cand_id"), col("__len").as("len_c")),
+        Seq("cand_id"), "left")
+      .join(lens.select(col("__d").as("ref_id"), col("__len").as("len_r")),
+        Seq("ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("len_c"), lit(0L)).as("len_c"),
+        coalesce(col("len_r"), lit(0L)).as("len_r"))
+    ns.foldLeft(withLens) { (acc, n) =>
+      val c = counts(n)
+      val perPair = base
+        .join(c.select(col("__d").as("cand_id"), col("g"),
+          col("cnt").as("__cc")), Seq("cand_id"))
+        .join(c.select(col("__d").as("ref_id"), col("g"),
+          col("cnt").as("__rc")), Seq("ref_id", "g"), "left")
+        .groupBy("cand_id", "ref_id")
+        .agg(sum(least(col("__cc"), coalesce(col("__rc"), lit(0L))))
+            .as(s"clip$n"),
+          sum(col("__cc")).as(s"tot$n"))
+      acc.join(perPair, Seq("cand_id", "ref_id"), "left")
+        .withColumn(s"clip$n", coalesce(col(s"clip$n"), lit(0L)))
+        .withColumn(s"tot$n", coalesce(col(s"tot$n"), lit(0L)))
+        .withColumn(s"p${n}_bp",
+          when(col(s"tot$n") === 0, 0L)
+            .otherwise(expr(s"10000 * clip$n DIV tot$n")))
+    }
+  }
+
+  /** Curriculum interleave: order docs by an integer difficulty score
+    * WITHIN each source, then round-robin across sources — the standard
+    * "anneal difficulty while keeping the mixture balanced per step"
+    * training order (curriculum learning à la Bengio et al. 2009,
+    * mixture-balanced like every multi-source pretraining schedule).
+    *
+    * Scale shape: NO per-source window (a source is a corpus-sized
+    * partition). rank_in_source falls out of one [[Ranks.globalDenseRank]]
+    * over (source, −score, id) minus a broadcast per-source offset
+    * (≤ |sources| rows), and the interleave position is a second global
+    * rank over (rank_in_source, source) — two O(n log n) shuffles.
+    * Output: (id, source, score, rank_in_source, interleave_pos);
+    * ties break by id, so the order is a deterministic permutation. */
+  def curriculumInterleave(
+      df: DataFrame, idCol: String, srcCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(srcCol).as("__src"), col(scoreCol).cast("long").as("__score"))
+    val r = Ranks.globalDenseRank(
+      base.select(col("__src"), (-col("__score")).as("__ns"), col("__id")),
+      Seq("__src", "__ns", "__id"))
+    // per-source offsets: rows of sources that sort strictly earlier —
+    // |sources| rows, computed with one tiny aggregate and a driver-free
+    // broadcast self-join
+    val cnts = base.groupBy("__src").agg(count(lit(1)).as("__n"))
+    val offs = cnts.as("a").join(cnts.as("b"), col("b.__src") < col("a.__src"), "left")
+      .groupBy(col("a.__src").as("__src"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val inSrc = r.join(broadcast(offs), Seq("__src"))
+      .select(col("__id"), col("__src"), (-col("__ns")).as("__score"),
+        (col("__r") - col("__off")).as("rank_in_source"))
+    Ranks.globalDenseRank(
+        inSrc.select(col("rank_in_source"), col("__src"), col("__id"),
+          col("__score")),
+        Seq("rank_in_source", "__src"))
+      .select(col("__id").as(idCol), col("__src").as(srcCol),
+        col("__score").as("score"), col("rank_in_source"),
+        col("__r").as("interleave_pos"))
+  }
+
   def vocabGrowthAppend(
       ps: graft.storage.PartStore, part: String,
       tokens: DataFrame, tokCol: String, epoch: Long): (Long, Long, Long) = {

@@ -64,7 +64,10 @@ class QueriesPlanSpec extends SparkSpec {
     "q283_fim_transform",     // pure per-row expressions
     "q284_retrieval_eval",    // zipWithIndex ranks + aggregates
     "q285_deepwalk",          // min_by hops, message-passing joins
-    "q286_epoch_shuffle")     // zipWithIndex permutation, grouped counts
+    "q286_epoch_shuffle",     // zipWithIndex permutation, grouped counts
+    "q298_ndcg",              // zipWithIndex ideal ranks + bounded joins
+    "q300_ngram_precision",   // per-n gram bags: equi-joins + grouped sums
+    "q301_curriculum_interleave") // two zipWithIndex ranks + broadcast offsets
 
   /** The remaining TPC-H shapes: dims must broadcast (a fact-side
     * SortMergeJoin against a 100-row dim means the 100 TB fact shuffled
@@ -109,7 +112,9 @@ class QueriesPlanSpec extends SparkSpec {
     "q266_pack_sequences" -> "__pid",      // cumsum keyed by PHYSICAL partition
     "q274_gram_novelty" -> "doc_id",       // per-doc gram lead
     "q275_bigram_lm_score" -> "doc_id",    // per-doc adjacency lead
-    "q276_turn_truncate" -> "doc_id")      // per-doc prefix/suffix cumsums
+    "q276_turn_truncate" -> "doc_id",      // per-doc prefix/suffix cumsums
+    "q297_suffix_incremental" -> "doc_id", // per-doc dup-run islands
+    "q299_contamination_spans" -> "doc_id") // per-eval-doc run islands
     // (q268's doc-keyed adjacency window sits BEFORE its counts
     // localCheckpoint, so the final plan shows no Window to assert on)
 

@@ -912,6 +912,65 @@ class CurationSpec extends SparkSpec {
     assert(again == fresh)
   }
 
+  test("contaminationSpans: shared spans flag, clean eval scores zero") {
+    val train = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      // 10 tokens copied from train doc 1 (t2..t11) then clean tail:
+      // anchors at pos 0..2 contaminated (runs of 3), rest clean
+      (100L, "t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 c1 c2 c3 c4 c5"),
+      (101L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")) // fully clean
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 100: 8 anchors total (15 tokens), pos 0..2 are 8-grams fully
+    // inside the copied 10 tokens → 3 contaminated, run 3, 3750 bp
+    assert(out(100L) == ((8L, 3L, 3L, 3750L)), out(100L))
+    assert(out(101L) == ((3L, 0L, 0L, 0L)), out(101L))
+  }
+
+  test("ngramPrecision: BLEU clipping (Papineni et al. 2002 fig. ex.)") {
+    // the canonical clipping example: candidate = 'the'×7 vs a reference
+    // with two 'the' → clip1 = 2 of 7
+    val d = Seq(
+      (1L, "the the the the the the the"),
+      (2L, "the cat is on the mat"),
+      (3L, "the cat is on the mat"),   // identical pair 3→4? no: cand 3 ref 4
+      (4L, "the cat is on the mat"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("cand_id", "ref_id")
+    val out = TextAnalysis.ngramPrecision(pairs, d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("cand_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("len_c") == 7 && r1.getAs[Long]("len_r") == 6)
+    assert(r1.getAs[Long]("clip1") == 2 && r1.getAs[Long]("tot1") == 7)
+    assert(r1.getAs[Long]("p1_bp") == 2857) // 10000*2/7
+    assert(r1.getAs[Long]("clip2") == 0 && r1.getAs[Long]("tot2") == 6)
+    val r3 = out(3L) // identical texts: perfect precision both n
+    assert(r3.getAs[Long]("p1_bp") == 10000 && r3.getAs[Long]("p2_bp") == 10000)
+  }
+
+  test("curriculumInterleave: hardest-first per source, balanced rounds") {
+    val d = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L), (5L, "b", 50L), (6L, "b", 5L))
+      .toDF("doc_id", "source", "score")
+    val out = TextAnalysis.curriculumInterleave(d, "doc_id", "source", "score")
+      .orderBy("interleave_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), r.getLong(4))).toSeq
+    // round 1: a's hardest (doc 1, 30) then b's hardest (doc 5, 50);
+    // round 2: a#2 (doc 3, 20) then b#2 (doc 4, score 5, id tiebreak);
+    // round 3: a#3 (doc 2) then b#3 (doc 6)
+    assert(out == Seq(
+      (1L, "a", 1L, 1L), (5L, "b", 1L, 2L),
+      (3L, "a", 2L, 3L), (4L, "b", 2L, 4L),
+      (2L, "a", 3L, 5L), (6L, "b", 3L, 6L)), out)
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
