@@ -1026,6 +1026,90 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- streaming decontamination sink completes the q63 family's
+    // triangle (batch digest / incremental q302 spans / streaming here):
+    // train docs stream in two md5-capped micro-batches, the eval digest
+    // store is fixed state, every doc lands stamped with its verdict.
+    // Splice: train docs with doc_id % 10 == 1 carry the PREVIOUS (eval)
+    // doc's text, so contaminated rows are guaranteed, not incidental ----
+    "q303_stream_decontam" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = docs(s, dir).select("doc_id", "text")
+      val donor = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1).as("doc_id"), col("text").as("donor"))
+      val train = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 1 && col("donor").isNotNull,
+            col("donor")).otherwise(col("text")).as("text"))
+      val work = tempWorkDir("graft_q303_")
+      val es = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/eval", 1L << 55,
+          keyCols = Seq("digest")))
+      es.store("ev", d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(Dedup.digest(col("text")).as("digest")).distinct()
+        .withColumn("entity_id",
+          conv(substring(col("digest"), 1, 15), 16, 10).cast("long"))
+        .withColumn("timestamp", col("entity_id"))
+        .withColumn("modified", lit(1L)))
+      val os = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/out", 500,
+          keyCols = Seq("entity_id")))
+      // md5-capped replay slice (q104's convention; binds above sf0.01)
+      val rows = train
+        .withColumn("__h", md5(concat(lit("dctcap:"),
+          col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingRollup.decontamSink(
+        mem.toDF().toDF("doc_id", "text"), es, "ev", os, "out",
+        "doc_id", "text")
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      os.readPart("out").get
+        .select(col("entity_id").as("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+    // ---- incremental contamination registry: the SAME answer as q299,
+    // but the train anchors accrue through a two-batch persisted store
+    // (anchorDupIncremental) before the eval probe — the weeks-long
+    // training-corpus reality. Oracle literally IS q299's: storage is
+    // answer-invisible ----
+    "q302_contamination_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val donor = d.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("donor_text"))
+      val evalDf = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("donor_text").isNotNull,
+            concat_ws(" ", col("donor_text"), col("text")))
+            .otherwise(col("text")).as("text"))
+      val trainDf = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val hv = conv(substring(md5(concat(lit("ctr:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      val work = tempWorkDir("graft_q302_")
+      val as = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/a", 1L << 55,
+          keyCols = Seq("digest", "gpos")))
+      val ds2 = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/d", 500,
+          keyCols = Seq("entity_id")))
+      Dedup.anchorDupIncremental(as, ds2, "tr",
+        trainDf.filter(hv === 0L), "doc_id", "text").count()
+      Dedup.anchorDupIncremental(as, ds2, "tr",
+        trainDf.filter(hv === 1L), "doc_id", "text").count()
+      Dedup.contaminationSpansStored(as, "tr", evalDf, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // ---- curriculum interleave (Bengio et al. 2009 curriculum order ×
     // mixture balance): hardest-first within each source, round-robin
     // across sources — the training-order permutation, with NO
@@ -3308,6 +3392,62 @@ object QueriesLLM {
 
   private val GramNoveltyCte = gramNoveltyCte("documents")
 
+  /** q299/q302 shared replay: eval (with the %10 donor splice) probes
+    * the train corpus's distinct anchor set; runs via gaps-and-islands.
+    * q302 reuses it verbatim — the persisted registry must be
+    * answer-invisible. */
+  private val ContamSpansOracle =
+      """WITH donor AS (
+           SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
+         ev AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 0 AND s.donor_text IS NOT NULL
+               THEN s.donor_text || ' ' || d.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN donor s USING (doc_id)
+           WHERE d.doc_id % 5 = 0),
+         tr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         evb AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM ev),
+         trb AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM tr),
+         eva AS (
+           SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1,
+               greatest(least(len(toks), 128) - 7, 0))) AS i FROM evb)
+           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
+         tra AS (
+           SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1,
+               greatest(least(len(toks), 128) - 7, 0))) AS i FROM trb)
+           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
+         fl AS (
+           SELECT e.doc_id, e.pos, t.g IS NOT NULL AS dup
+           FROM eva e LEFT JOIN tra t USING (g)),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+           FROM fl WHERE dup),
+         runs AS (
+           SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+         mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1),
+         st AS (
+           SELECT doc_id, count(*) AS n_anchors,
+             sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_contaminated
+           FROM fl GROUP BY 1)
+         SELECT st.doc_id, CAST(st.n_anchors AS BIGINT) AS n_anchors,
+           CAST(st.n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run,
+           CAST(10000 * st.n_contaminated // st.n_anchors AS BIGINT)
+             AS contam_bp
+         FROM st LEFT JOIN mr USING (doc_id) ORDER BY doc_id"""
+
   /** One final select shared by the one-shot (q274) and incremental
     * (q277) novelty gates: ascending-id batches make the incremental
     * union provably equal the one-shot run, so ONE oracle certifies
@@ -5587,58 +5727,36 @@ object QueriesLLM {
          ORDER BY cand_id""",
     // q299: the same anchor machinery split across a train/eval boundary
     // — eval docs (with the %10 donor splice replayed) probe the train
-    // corpus's distinct anchor set; runs via gaps-and-islands
-    "q299_contamination_spans" ->
-      """WITH donor AS (
-           SELECT doc_id - 1 AS doc_id, text AS donor_text FROM documents),
-         ev AS (
-           SELECT d.doc_id,
-             CASE WHEN d.doc_id % 10 = 0 AND s.donor_text IS NOT NULL
-               THEN s.donor_text || ' ' || d.text ELSE d.text END AS text
-           FROM documents d LEFT JOIN donor s USING (doc_id)
-           WHERE d.doc_id % 5 = 0),
+    // corpus's distinct anchor set; runs via gaps-and-islands.
+    // q302 reuses this verbatim: the train anchors having passed through
+    // a two-batch PERSISTED registry must be answer-invisible.
+    "q299_contamination_spans" -> ContamSpansOracle,
+    "q302_contamination_incremental" -> ContamSpansOracle,
+    // q303: the stream ≡ the batch closed form over the same capped,
+    // spliced slice — verdict per doc by digest membership in eval
+    "q303_stream_decontam" ->
+      """WITH dn AS (
+           SELECT doc_id + 1 AS doc_id, text AS donor
+           FROM documents WHERE doc_id % 10 = 0),
          tr AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-         evb AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM ev),
-         trb AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM tr),
-         eva AS (
-           SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(toks[i:i+7], ' ')) AS g
-           FROM (SELECT doc_id, toks,
-             unnest(generate_series(1,
-               greatest(least(len(toks), 128) - 7, 0))) AS i FROM evb)
-           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
-         tra AS (
-           SELECT DISTINCT md5(array_to_string(toks[i:i+7], ' ')) AS g
-           FROM (SELECT doc_id, toks,
-             unnest(generate_series(1,
-               greatest(least(len(toks), 128) - 7, 0))) AS i FROM trb)
-           WHERE len(list_filter(toks[i:i+7], x -> x = '')) = 0),
-         fl AS (
-           SELECT e.doc_id, e.pos, t.g IS NOT NULL AS dup
-           FROM eva e LEFT JOIN tra t USING (g)),
-         isl AS (
-           SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS grp
-           FROM fl WHERE dup),
-         runs AS (
-           SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
-         mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY 1),
-         st AS (
-           SELECT doc_id, count(*) AS n_anchors,
-             sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_contaminated
-           FROM fl GROUP BY 1)
-         SELECT st.doc_id, CAST(st.n_anchors AS BIGINT) AS n_anchors,
-           CAST(st.n_contaminated AS BIGINT) AS n_contaminated,
-           CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run,
-           CAST(10000 * st.n_contaminated // st.n_anchors AS BIGINT)
-             AS contam_bp
-         FROM st LEFT JOIN mr USING (doc_id) ORDER BY doc_id""",
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 10 = 1 AND dn.donor IS NOT NULL
+               THEN dn.donor ELSE d.text END AS text
+           FROM documents d LEFT JOIN dn USING (doc_id)
+           WHERE d.doc_id % 5 <> 0),
+         capped AS (
+           SELECT doc_id, text FROM tr
+           ORDER BY md5('dctcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 2048),
+         ev AS (
+           SELECT DISTINCT md5(lower(trim(text))) AS dg
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT c.doc_id,
+           CAST(CASE WHEN e.dg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+         FROM capped c
+         LEFT JOIN ev e ON e.dg = md5(lower(trim(c.text)))
+         ORDER BY doc_id""",
     // q297: the fresh-over-union replay — anchors from the same truncated
     // token slices, counts, duplicated flags, per-doc gaps-and-islands
     // runs. n_dup_pos here is definitionally q264's (exact dup prefix

@@ -1622,10 +1622,32 @@ object Dedup {
     * Output: (doc_id, n_anchors, n_contaminated, max_run, contam_bp). */
   def contaminationSpans(
       train: DataFrame, eval_ : DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8, rounds: Int = 7): DataFrame =
+    contamProbe(anchorGrams(eval_, idCol, textCol, minLen, rounds),
+      anchorGrams(train, idCol, textCol, minLen, rounds)
+        .select("digest").distinct())
+
+  /** [[contaminationSpans]] against a PERSISTED train-anchor registry
+    * (accrued batch-by-batch with [[anchorDupIncremental]]): the
+    * incremental tier of the decontamination family — the training
+    * corpus grows over weeks, the eval set probes whatever has landed.
+    * Answer-invisible: equals the one-shot [[contaminationSpans]] over
+    * the accumulated train union (q302 reuses q299's oracle verbatim). */
+  def contaminationSpansStored(
+      anchorStore: graft.storage.PartStore, part: String,
+      eval_ : DataFrame, idCol: String, textCol: String,
       minLen: Int = 8, rounds: Int = 7): DataFrame = {
-    val trainDigests = anchorGrams(train, idCol, textCol, minLen, rounds)
-      .select("digest").distinct()
-    val flags = anchorGrams(eval_, idCol, textCol, minLen, rounds)
+    val stored = anchorStore.readPart(part).getOrElse(
+      throw new IllegalStateException(
+        s"contaminationSpansStored: no anchor part '$part' — append train " +
+          "batches with anchorDupIncremental first"))
+    contamProbe(anchorGrams(eval_, idCol, textCol, minLen, rounds),
+      stored.select("digest").distinct())
+  }
+
+  private def contamProbe(
+      evalAnchors: DataFrame, trainDigests: DataFrame): DataFrame = {
+    val flags = evalAnchors
       .join(trainDigests.withColumn("__hit", lit(1)), Seq("digest"), "left")
       .select(col("doc_id"), col("pos"), col("__hit").isNotNull.as("dup"))
     val stats = anchorDocStats(flags)

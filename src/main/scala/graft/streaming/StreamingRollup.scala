@@ -598,6 +598,57 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming decontamination sink — the streaming face of the q63
+    * exact-digest decontaminate, completing that family's triangle
+    * (batch q63 / incremental q302 / streaming here): training docs
+    * stream in, the EVAL-set digest store is fixed state, and every
+    * micro-batch lands its docs in `outPart` stamped with the
+    * contamination verdict. The eval probe prunes to the digest
+    * partitions the batch touches (the exactIncremental read shape);
+    * writes upsert on doc id, so replayed micro-batches are idempotent.
+    * Filtering is the reader's one predicate (`contaminated = 0`) —
+    * keeping flagged rows preserves the audit trail the reference's
+    * decontamination reports need. */
+  def decontamSink(
+      stream: DataFrame,
+      evalStore: graft.storage.PartStore,
+      evalPart: String,
+      outStore: graft.storage.PartStore,
+      outPart: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+            .select(col(idCol).cast("long").as("entity_id"),
+              graft.functions.Dedup.digest(col(textCol)).as("digest"))
+            .withColumn("timestamp",
+              conv(substring(col("digest"), 1, 15), 16, 10).cast("long"))
+            .localCheckpoint()
+          val psize = evalStore.config.partitionSizeSeconds
+          val pidx = b.select(((col("timestamp") -
+              pmod(col("timestamp"), lit(psize))) / psize)
+            .cast("long").as("p")).distinct()
+          val evalDigests = evalStore.readPart(evalPart) match {
+            case Some(ex) => ex.join(broadcast(pidx),
+                ex("pindex") === col("p")).select("digest").distinct()
+            case None => b.limit(0).select("digest")
+          }
+          outStore.store(outPart, b
+            .join(evalDigests.withColumn("__hit", lit(1)), Seq("digest"), "left")
+            .select(col("entity_id"), col("entity_id").as("timestamp"),
+              col("digest"),
+              when(col("__hit").isNotNull, 1L).otherwise(0L).as("contaminated"),
+              lit(batchId + 1).as("modified")))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop re-arrivals of the same normalized-text
     * digest within the watermark horizon — the streaming face of the batch
     * `Dedup.exact` (q25), for ingest feeds that replay or mirror documents.

@@ -258,6 +258,40 @@ class StreamingRollupSpec extends SparkSpec {
     assert(state(dg("delta")) === 4L)
   }
 
+  test("streaming decontamSink stamps verdicts against the eval store; replay idempotent") {
+    implicit val sc = spark.sqlContext
+    val base = "target/tmp/stream_decontam"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val es = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$base/ev", 1L << 55,
+        keyCols = Seq("digest")))
+    es.store("ev", Seq("held out", "secret eval")
+      .toDF("text")
+      .select(graft.functions.Dedup.digest(col("text")).as("digest"))
+      .withColumn("entity_id",
+        conv(substring(col("digest"), 1, 15), 16, 10).cast("long"))
+      .withColumn("timestamp", col("entity_id"))
+      .withColumn("modified", lit(1L)))
+    val os = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(s"$base/out", 500,
+        keyCols = Seq("entity_id")))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingRollup.decontamSink(mem.toDF().toDF("doc_id", "text"),
+      es, "ev", os, "out", "doc_id", "text")
+    mem.addData((1L, "clean doc"), (2L, "Held Out")) // digest normalizes case
+    q.processAllAvailable()
+    mem.addData((3L, "secret eval"), (2L, "Held Out")) // doc 2 REPLAYED
+    q.processAllAvailable()
+    q.stop()
+    val state = os.readPart("out").get
+      .select("entity_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state === Map(1L -> 0L, 2L -> 1L, 3L -> 1L)) // no dup row for 2
+    assert(os.readPart("out").get.count() === 3L)
+  }
+
   test("streaming noveltySink: registry after stream == batch appends; replay idempotent") {
     import graft.functions.TextAnalysis
     implicit val sc = spark.sqlContext
