@@ -1026,6 +1026,28 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- Unicode NFC normalization audit (UAX #15) via the native
+    // codegen'd NfcNormalize expression: decomposed and precomposed
+    // accents are different BYTES for the same text — normalize before
+    // any digest/dedup/shingle or the same document splits. Fixture
+    // injects a decomposed e+U+0301 (doc_id%3==0) and a precomposed é
+    // (%3==1); the audit reports NFC status, char lengths, and the
+    // post-normalization digest ----
+    "q304_unicode_nfc" -> { (s, dir) =>
+      val mod = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("é "), col("text")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("é "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val nfc = graft.expressions.StringExpressions.nfc(col("text"))
+      mod.select(col("doc_id"),
+          (col("text") === nfc).as("is_nfc"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(nfc).cast("long").as("len_nfc"),
+          md5(nfc).as("dg_nfc"))
+        .orderBy("doc_id")
+    },
     // ---- streaming decontamination sink completes the q63 family's
     // triangle (batch digest / incremental q302 spans / streaming here):
     // train docs stream in two md5-capped micro-batches, the eval digest
@@ -5732,6 +5754,20 @@ object QueriesLLM {
     // a two-batch PERSISTED registry must be answer-invisible.
     "q299_contamination_spans" -> ContamSpansOracle,
     "q302_contamination_incremental" -> ContamSpansOracle,
+    // q304: DuckDB nfc_normalize implements the same UAX #15 NFC as the
+    // JDK Normalizer the native expression calls; both md5 UTF-8 bytes
+    "q304_unicode_nfc" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'é ' || text
+                  WHEN doc_id % 3 = 1 THEN 'é ' || text
+                  ELSE text END AS text
+           FROM documents)
+         SELECT doc_id, text = nfc_normalize(text) AS is_nfc,
+           CAST(length(text) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
+           md5(nfc_normalize(text)) AS dg_nfc
+         FROM m ORDER BY doc_id""",
     // q303: the stream ≡ the batch closed form over the same capped,
     // spliced slice — verdict per doc by digest membership in eval
     "q303_stream_decontam" ->
