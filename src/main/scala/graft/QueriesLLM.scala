@@ -1026,6 +1026,21 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- IVF hot-cell split (the skewed-cell maintenance verb — FAISS
+    // retrains, SPANN re-partitions hot leaves; here a deterministic
+    // 2-way split around the cell's two md5-minimal members): cells over
+    // the cap split, subcell 0 keeps the id, subcell 1 takes
+    // maxBucket + rank. No per-cell window on the Spark side — a hot
+    // cell is exactly what one task must never sort ----
+    "q305_ivf_cell_split" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefinedFull(e, "vec_id", "embedding", 8)
+      val assigned = e.select(col("vec_id"),
+        col("embedding"), Similarity.ivfBucket(col("embedding"), cents).as("bucket"))
+      Similarity.ivfCellSplit(assigned, "vec_id", "embedding", "bucket", cap = 70)
+        .select(col("id").as("vec_id"), col("bucket_old"), col("bucket_new"))
+        .orderBy("vec_id")
+    },
     // ---- Unicode NFC normalization audit (UAX #15) via the native
     // codegen'd NfcNormalize expression: decomposed and precomposed
     // accents are different BYTES for the same text — normalize before
@@ -5768,6 +5783,50 @@ object QueriesLLM {
            CAST(length(nfc_normalize(text)) AS BIGINT) AS len_nfc,
            md5(nfc_normalize(text)) AS dg_nfc
          FROM m ORDER BY doc_id""",
+    // q305: full-corpus refined cells (the q95 chain), hot detection,
+    // per-hot-cell 2 md5-minimal seeds, cos argmax with the q92 tiebreak
+    // (>= sends ties to subcell 1), new ids = maxBucket + rank-by-cell
+    "q305_ivf_cell_split" -> {
+      def cosd(a: String, b: String) =
+        s"""list_dot_product($a, $b) /
+            (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+      s"""WITH $FullRefinedCentCte,
+         casg AS (
+           SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             s.i AS b
+           FROM embeddings e CROSS JOIN cent s
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ${cosd("CAST(e.embedding AS DOUBLE[])", "s.embedding")} DESC,
+             s.i DESC) = 1),
+         ccnt AS (SELECT b, count(*) AS n FROM casg GROUP BY 1),
+         chot AS (SELECT b FROM ccnt WHERE n > 70),
+         chr2 AS (
+           SELECT b, CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS hr
+           FROM chot),
+         cmx AS (SELECT CAST(max(b) AS BIGINT) AS mb FROM ccnt),
+         chm AS (
+           SELECT c.id, c.emb, c.b, md5(CAST(c.id AS VARCHAR)) AS mk
+           FROM casg c JOIN chot USING (b)),
+         csd AS (
+           SELECT b, id, emb,
+             row_number() OVER (PARTITION BY b ORDER BY mk, id) AS rn
+           FROM chm),
+         cs1 AS (SELECT b, emb AS v1 FROM csd WHERE rn = 1),
+         cs2 AS (SELECT b, emb AS v2 FROM csd WHERE rn = 2),
+         csb AS (
+           SELECT h.id,
+             CASE WHEN ${cosd("h.emb", "s2.v2")} >= ${cosd("h.emb", "s1.v1")}
+               THEN 1 ELSE 0 END AS sub
+           FROM chm h JOIN cs1 s1 USING (b) JOIN cs2 s2 USING (b))
+         SELECT c.id AS vec_id, CAST(c.b AS BIGINT) AS bucket_old,
+           CAST(CASE WHEN csb.sub = 1 THEN cmx.mb + chr2.hr
+                ELSE c.b END AS BIGINT) AS bucket_new
+         FROM casg c
+         LEFT JOIN csb ON csb.id = c.id
+         LEFT JOIN chr2 ON chr2.b = c.b
+         CROSS JOIN cmx
+         ORDER BY vec_id"""
+    },
     // q303: the stream ≡ the batch closed form over the same capped,
     // spliced slice — verdict per doc by digest membership in eval
     "q303_stream_decontam" ->

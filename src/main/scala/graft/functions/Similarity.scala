@@ -1150,6 +1150,69 @@ object Similarity {
       sample.take(k).map(_._2).zipWithIndex.map { case (v, i) => i -> v })
   }
 
+  /** IVF hot-cell split — index maintenance for the skewed-cell problem:
+    * at real scale some cells accrue far more vectors than others
+    * (duplicated content, dense topics), and a probe that lands in a hot
+    * cell scans it all — nProbe budgeting is defeated by one whale. The
+    * standard maintenance (FAISS re-trains; ScaNN/SPANN re-partition hot
+    * leaves) re-expressed deterministically: every cell with more than
+    * `cap` members splits in two around its two md5-minimal member
+    * vectors (higher-cos wins, ties to subcell 1 — the q92 tiebreak
+    * shape), subcell 0 keeps the old id, subcell 1 takes
+    * maxBucket + denseRank(hot cell).
+    *
+    * Scale shape: hot-cell detection is one grouped count (≤ |cells|
+    * rows); seed selection is two min_by aggregate passes (NO per-cell
+    * window — a hot cell is precisely the thing one task must not
+    * sort); re-assignment touches ONLY hot cells' members. Everything is
+    * float-dot arithmetic both engines replay exactly.
+    * Output: (id, bucket_old, bucket_new) for EVERY input row (cold
+    * cells pass through unchanged) — feed it to the stored index's
+    * upsert to physically move subcell-1 rows. */
+  def ivfCellSplit(
+      assigned: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"ivfCellSplit: cap >= 1, got $cap")
+    requireIntegralId(assigned, idCol, "ivfCellSplit")
+    val a = assigned.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"), col(bucketCol).cast("long").as("b"))
+      .localCheckpoint()
+    val counts = a.groupBy("b").agg(count(lit(1)).as("__n"))
+    val hot = counts.filter(col("__n") > cap).select("b")
+    val hotRank = graft.functions.Ranks.globalDenseRank(hot, Seq("b"))
+      .select(col("b"), col("__r").as("__hr"))
+    // bounded driver read: one MAX over the (≤ |cells|-row) count frame
+    val maxB = counts.agg(max(col("b"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val hm = a.join(broadcast(hot), Seq("b"))
+      .withColumn("__mk", md5(col("id").cast("string")))
+    // two md5-minimal members per hot cell, via min_by aggregates — the
+    // second pass excludes the first winner
+    val s1 = hm.groupBy("b")
+      .agg(expr("min_by(struct(id, vec), struct(__mk, id))").as("__s"))
+      .select(col("b"), col("__s.id").as("__sid1"), col("__s.vec").as("__v1"))
+    val s2 = hm.join(broadcast(s1.select("b", "__sid1")), Seq("b"))
+      .filter(col("id") =!= col("__sid1"))
+      .groupBy("b")
+      .agg(expr("min_by(struct(id, vec), struct(__mk, id))").as("__s"))
+      .select(col("b"), col("__s.vec").as("__v2"))
+    val sub = hm
+      .join(broadcast(s1), Seq("b")).join(broadcast(s2), Seq("b"))
+      .select(col("b"), col("id"),
+        (dot(col("vec"), col("__v2")) / (norm(col("vec")) * norm(col("__v2"))) >=
+          dot(col("vec"), col("__v1")) / (norm(col("vec")) * norm(col("__v1"))))
+          .cast("long").as("__sub"))
+    a.select(col("id"), col("b").as("bucket_old"))
+      .join(sub.select(col("id"), col("__sub")), Seq("id"), "left")
+      .join(broadcast(hotRank),
+        col("bucket_old") === col("b"), "left")
+      .select(col("id"), col("bucket_old"),
+        when(col("__sub") === 1L, lit(maxB) + col("__hr"))
+          .otherwise(col("bucket_old")).as("bucket_new"))
+  }
+
   /** Distributed per-cell means for a Lloyd refinement pass over the FULL
     * corpus — the scale rung above the bounded driver-side [[lloydOnce]]
     * (whose 2048-vector sample caps codebook quality at large k).

@@ -1254,6 +1254,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCellSplit: only hot cells split, membership preserved, ids fresh") {
+    val assigned = clustered.select(col("vec_id"),
+      col("embedding"), (col("vec_id") % 4).as("bucket")) // 25 members each
+    val out = Similarity.ivfCellSplit(assigned, "vec_id", "embedding",
+        "bucket", cap = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 100)
+    // every cell is hot (25 > 20): four splits, new ids 4..7 (maxB=3 + rank)
+    val newIds = out.map(_._3).toSet
+    assert(newIds.subsetOf(Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)), newIds)
+    out.groupBy(_._2).foreach { case (oldB, rows) =>
+      val subs = rows.map(_._3).toSet
+      assert(subs.size == 2 && subs.contains(oldB), s"cell $oldB -> $subs")
+      assert(subs.filter(_ != oldB).forall(_ >= 4L))
+      // both subcells non-empty and membership preserved
+      assert(rows.groupBy(_._3).values.forall(_.nonEmpty))
+      assert(rows.map(_._1).toSet ==
+        (0 until 100).map(_.toLong).filter(_ % 4 == oldB).toSet)
+    }
+    // a cold corpus passes through untouched
+    val cold = Similarity.ivfCellSplit(assigned, "vec_id", "embedding",
+        "bucket", cap = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(cold.forall { case (o, n) => o == n })
+  }
+
   test("graphCompact prunes every node to its exact top-k by cosine") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_gcmp_").toString
