@@ -1026,6 +1026,28 @@ object QueriesLLM {
     // sensitive distribution diverges from the table's. For categorical
     // attributes EMD = total-variation distance — a rational, carried as
     // exact integers: t = Σ|cnt·N − total·n| / (2·n·N) ----
+    // ---- the split applied to a STORED by-bucket index: moved rows
+    // physically change partition directory through the staged swap,
+    // subcell centroids are fixed-point means, and the partition-pruned
+    // retrieval over the post-split index is oracle-exact — index
+    // maintenance end to end ----
+    "q306_ivf_split_stored" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsRefinedFull(e, "vec_id", "embedding", 8)
+      val work = tempWorkDir("graft_q306_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L, keyCols = Seq("entity_id")))
+      ps.store("emb", e.select(col("vec_id").as("entity_id"),
+        Similarity.ivfBucket(col("embedding"), cents).cast("long")
+          .as("timestamp"),
+        col("embedding"),
+        Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+        lit(1L).as("modified")))
+      val newCents = Similarity.applyCellSplitStored(ps, "emb", cents, cap = 70)
+      Similarity.ivfTopKStoredPruned(e.filter(col("vec_id") % 100 === 0),
+          ps, "emb", "vec_id", "embedding", newCents, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    },
     // ---- IVF hot-cell split (the skewed-cell maintenance verb — FAISS
     // retrains, SPANN re-partitions hot leaves; here a deterministic
     // 2-way split around the cell's two md5-minimal members): cells over
@@ -3889,6 +3911,53 @@ object QueriesLLM {
          ${fullLloydPassCte("g1", "fseeds", "g1cent")},
          ${fullLloydPassCte("g2", "g1cent", "cent")}"""
 
+  private def cosdSql(a: String, b: String) =
+    s"""list_dot_product($a, $b) /
+        (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+
+  /** q305/q306 shared replay: full-corpus refined cells, hot detection
+    * (> 70), per-hot-cell 2 md5-minimal seeds, cos argmax with the q92
+    * tiebreak (>= sends ties to subcell 1), new ids = maxBucket + rank.
+    * Ends with `fin(id, emb, b, fb)` — every vector with its final
+    * bucket. */
+  private val CellSplitCtes =
+    s"""$FullRefinedCentCte,
+         casg AS (
+           SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
+             s.i AS b
+           FROM embeddings e CROSS JOIN cent s
+           QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             ${cosdSql("CAST(e.embedding AS DOUBLE[])", "s.embedding")} DESC,
+             s.i DESC) = 1),
+         ccnt AS (SELECT b, count(*) AS n FROM casg GROUP BY 1),
+         chot AS (SELECT b FROM ccnt WHERE n > 70),
+         chr2 AS (
+           SELECT b, CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS hr
+           FROM chot),
+         cmx AS (SELECT CAST(max(b) AS BIGINT) AS mb FROM ccnt),
+         chm AS (
+           SELECT c.id, c.emb, c.b, md5(CAST(c.id AS VARCHAR)) AS mk
+           FROM casg c JOIN chot USING (b)),
+         csd AS (
+           SELECT b, id, emb,
+             row_number() OVER (PARTITION BY b ORDER BY mk, id) AS rn
+           FROM chm),
+         cs1 AS (SELECT b, emb AS v1 FROM csd WHERE rn = 1),
+         cs2 AS (SELECT b, emb AS v2 FROM csd WHERE rn = 2),
+         csb AS (
+           SELECT h.id,
+             CASE WHEN ${cosdSql("h.emb", "s2.v2")} >= ${cosdSql("h.emb", "s1.v1")}
+               THEN 1 ELSE 0 END AS sub
+           FROM chm h JOIN cs1 s1 USING (b) JOIN cs2 s2 USING (b)),
+         fin AS (
+           SELECT c.id, c.emb, c.b,
+             CAST(CASE WHEN csb.sub = 1 THEN cmx.mb + chr2.hr
+                  ELSE c.b END AS BIGINT) AS fb
+           FROM casg c
+           LEFT JOIN csb ON csb.id = c.id
+           LEFT JOIN chr2 ON chr2.b = c.b
+           CROSS JOIN cmx)"""
+
   /** IVF retrieval body shared by q83 (driver-sample-refined centroids)
     * and q95 (full-corpus fixed-point centroids): reads whichever `cent`
     * CTE precedes it — 2-of-8 cell probe per query (probe tie-break
@@ -5786,47 +5855,57 @@ object QueriesLLM {
     // q305: full-corpus refined cells (the q95 chain), hot detection,
     // per-hot-cell 2 md5-minimal seeds, cos argmax with the q92 tiebreak
     // (>= sends ties to subcell 1), new ids = maxBucket + rank-by-cell
-    "q305_ivf_cell_split" -> {
-      def cosd(a: String, b: String) =
-        s"""list_dot_product($a, $b) /
-            (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
-      s"""WITH $FullRefinedCentCte,
-         casg AS (
-           SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
-             s.i AS b
-           FROM embeddings e CROSS JOIN cent s
-           QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             ${cosd("CAST(e.embedding AS DOUBLE[])", "s.embedding")} DESC,
-             s.i DESC) = 1),
-         ccnt AS (SELECT b, count(*) AS n FROM casg GROUP BY 1),
-         chot AS (SELECT b FROM ccnt WHERE n > 70),
-         chr2 AS (
-           SELECT b, CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS hr
-           FROM chot),
-         cmx AS (SELECT CAST(max(b) AS BIGINT) AS mb FROM ccnt),
-         chm AS (
-           SELECT c.id, c.emb, c.b, md5(CAST(c.id AS VARCHAR)) AS mk
-           FROM casg c JOIN chot USING (b)),
-         csd AS (
-           SELECT b, id, emb,
-             row_number() OVER (PARTITION BY b ORDER BY mk, id) AS rn
-           FROM chm),
-         cs1 AS (SELECT b, emb AS v1 FROM csd WHERE rn = 1),
-         cs2 AS (SELECT b, emb AS v2 FROM csd WHERE rn = 2),
-         csb AS (
-           SELECT h.id,
-             CASE WHEN ${cosd("h.emb", "s2.v2")} >= ${cosd("h.emb", "s1.v1")}
-               THEN 1 ELSE 0 END AS sub
-           FROM chm h JOIN cs1 s1 USING (b) JOIN cs2 s2 USING (b))
-         SELECT c.id AS vec_id, CAST(c.b AS BIGINT) AS bucket_old,
-           CAST(CASE WHEN csb.sub = 1 THEN cmx.mb + chr2.hr
-                ELSE c.b END AS BIGINT) AS bucket_new
-         FROM casg c
-         LEFT JOIN csb ON csb.id = c.id
-         LEFT JOIN chr2 ON chr2.b = c.b
-         CROSS JOIN cmx
-         ORDER BY vec_id"""
-    },
+    "q305_ivf_cell_split" ->
+      s"""WITH $CellSplitCtes
+         SELECT id AS vec_id, CAST(b AS BIGINT) AS bucket_old,
+           fb AS bucket_new
+         FROM fin ORDER BY vec_id""",
+    // q306: the split applied to the stored index — subcell codebook =
+    // fixed-point member means rounded through REAL (the q92/Lloyd
+    // arithmetic), then the q95 retrieval shape over the FINAL buckets
+    "q306_ivf_split_stored" ->
+      s"""WITH $CellSplitCtes,
+         spdims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+         ncm AS (
+           SELECT f.fb, d.dim,
+             CAST(CAST(CAST(sum(CAST(floor(f.emb[d.dim + 1] * 16777216.0
+                 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / count(*) / 16777216.0 AS REAL) AS mr
+           FROM fin f JOIN chm h ON h.id = f.id
+           CROSS JOIN spdims d
+           GROUP BY 1, 2),
+         nsub AS (
+           SELECT fb AS i, list(CAST(mr AS DOUBLE) ORDER BY dim) AS embedding
+           FROM ncm GROUP BY 1),
+         newcent AS (
+           SELECT CAST(i AS BIGINT) AS i, embedding FROM cent
+           WHERE i NOT IN (SELECT b FROM chot)
+           UNION ALL SELECT i, embedding FROM nsub),
+         qscored AS (
+           SELECT e.vec_id, c.i,
+             ${cosdSql("CAST(e.embedding AS DOUBLE[])", "c.embedding")} AS cos
+           FROM embeddings e CROSS JOIN newcent c
+           WHERE e.vec_id % 100 = 0),
+         qprobes AS (
+           SELECT vec_id AS query_id, i AS bucket FROM qscored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, i DESC) <= 2),
+         qcand AS (
+           SELECT p.query_id, f.id AS neighbor_id
+           FROM qprobes p JOIN fin f ON f.fb = p.bucket
+           WHERE f.id <> p.query_id),
+         qres AS (
+           SELECT c.query_id, c.neighbor_id,
+             ${cosdSql("q.emb", "n.emb")} AS cos
+           FROM qcand c
+           JOIN fin q ON q.id = c.query_id
+           JOIN fin n ON n.id = c.neighbor_id)
+         SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id) AS INT) AS rank, cos
+         FROM qres
+         QUALIFY rank <= 5
+         ORDER BY query_id, rank""",
     // q303: the stream ≡ the batch closed form over the same capped,
     // spliced slice — verdict per doc by digest membership in eval
     "q303_stream_decontam" ->

@@ -1213,6 +1213,78 @@ object Similarity {
           .otherwise(col("bucket_old")).as("bucket_new"))
   }
 
+  /** Apply [[ivfCellSplit]] to a BY-BUCKET stored index: upsert the hot
+    * cells' rows under their new bucket (timestamp = bucket, so the
+    * staged swap physically MOVES subcell-1 rows into the new cell's
+    * partition directory — only hot cells' partitions rewrite), and
+    * return the post-split centroid list: unsplit cells keep their
+    * centroid, each subcell gets the fixed-point mean of its members
+    * (the q92 arithmetic — floor(x·2²⁴+0.5) BIGINT sums rounded through
+    * Float — so the oracle replays the new codebook bit-for-bit).
+    *
+    * Store contract: partitionSizeSeconds = 1, keyCols = (entity_id) —
+    * the upsert must REPLACE a moved row under its id, not add a second
+    * row under a new (id, timestamp) key. Degenerate-tie guard: the
+    * subcell-0 anchor (the first md5-minimal member) stays put unless
+    * its vector is parallel to the second seed, so every split cell's
+    * old partition is in the upsert's touched set; an all-moved cell
+    * (duplicate vectors) is refused loudly rather than leaving stale
+    * rows behind. */
+  def applyCellSplitStored(
+      ps: graft.storage.PartStore, part: String,
+      centroids: Seq[(Int, Seq[Float])], cap: Int,
+      modified: Long = 2L, scaleBits: Int = 24): Seq[(Int, Seq[Float])] = {
+    require(ps.config.partitionSizeSeconds == 1L &&
+        ps.config.keyCols == Seq("entity_id"),
+      "applyCellSplitStored: store must be by-bucket " +
+        "(partitionSizeSeconds = 1) and keyed (entity_id)")
+    val stored = ps.readPart(part).getOrElse(throw new IllegalArgumentException(
+      s"applyCellSplitStored: no stored index part '$part'"))
+    val split = ivfCellSplit(stored.select(col("entity_id"),
+        col("embedding"), col("bucket")),
+      "entity_id", "embedding", "bucket", cap).localCheckpoint()
+    val hot = split.filter(col("bucket_new") =!= col("bucket_old"))
+      .select("bucket_old").distinct()
+      .collect().map(_.getLong(0)).toSet // bounded: ≤ |cells|
+    if (hot.isEmpty) return centroids
+    val stayed = split
+      .filter(col("bucket_old").isin(hot.toSeq: _*) &&
+        col("bucket_new") === col("bucket_old"))
+      .select("bucket_old").distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(hot.subsetOf(stayed),
+      s"applyCellSplitStored: cells ${(hot -- stayed).toSeq.sorted} moved " +
+        "EVERY member (duplicate vectors tie toward subcell 1) — the old " +
+        "partition would keep stale rows; dedup the corpus or raise cap")
+    // rows of hot cells, re-stamped with their final bucket —
+    // MATERIALIZED before the store: the swap below replaces the files
+    // this frame lazily reads, and the means after it reuse it
+    val rewrite = stored.drop("bucket")
+      .join(split.filter(col("bucket_old").isin(hot.toSeq: _*))
+        .select(col("id").as("entity_id"), col("bucket_new")), Seq("entity_id"))
+      .select(col("entity_id"), col("bucket_new").as("timestamp"),
+        col("embedding"), col("bucket_new").cast("int").as("bucket"),
+        lit(modified).as("modified"))
+      .localCheckpoint()
+    ps.store(part, rewrite)
+    // post-split codebook: fixed-point subcell means (bounded collect —
+    // ≤ 2·|hot| · dim rows), Float-rounded exactly like lloydOnce
+    val scale = (1L << scaleBits).toDouble
+    val meanRows = rewrite.select(col("bucket").cast("long").as("fb"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("fb", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * scale + 0.5).cast("long")).as("q"))
+      .select(col("fb"), col("dim"),
+        (col("q").cast("double") / col("n") / scale).as("mean"))
+      .collect()
+    val subCents = meanRows.groupBy(_.getLong(0)).map { case (fb, rows) =>
+      fb.toInt -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+    }
+    (centroids.filterNot { case (i, _) => hot.contains(i.toLong) } ++
+      subCents.toSeq).sortBy(_._1)
+  }
+
   /** Distributed per-cell means for a Lloyd refinement pass over the FULL
     * corpus — the scale rung above the bounded driver-side [[lloydOnce]]
     * (whose 2048-vector sample caps codebook quality at large k).

@@ -1280,6 +1280,48 @@ class SimilaritySpec extends SparkSpec {
     assert(cold.forall { case (o, n) => o == n })
   }
 
+  test("applyCellSplitStored: rows physically move partitions; pruned " +
+      "retrieval over the post-split index stays exact") {
+    val work = java.nio.file.Files.createTempDirectory("graft_split_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L, keyCols = Seq("entity_id")))
+    val cents = Similarity.ivfCentroidsRefinedFull(
+      clustered, "vec_id", "embedding", 4)
+    ps.store("emb", clustered.select(col("vec_id").as("entity_id"),
+      Similarity.ivfBucket(col("embedding"), cents).cast("long").as("timestamp"),
+      col("embedding"),
+      Similarity.ivfBucket(col("embedding"), cents).as("bucket"),
+      lit(1L).as("modified")))
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dirs = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$work/emb"))
+      .map(_.getPath.getName).filter(_.startsWith("pindex=")).sorted.toSeq
+    val before = dirs
+    val newCents = Similarity.applyCellSplitStored(ps, "emb", cents, cap = 20)
+    // 100 vectors over 4 cells → every cell hot at cap 20 → 4 new dirs
+    assert(dirs.size > before.size, s"no new partition dirs: $dirs")
+    assert(newCents.size == cents.size + dirs.size - before.size)
+    // no duplicate ids survived the move, and counts respect the split
+    val stored = ps.readPart("emb").get
+    assert(stored.count() == 100L)
+    assert(stored.select("entity_id").distinct().count() == 100L)
+    // pruned retrieval over the post-split index: plan prunes by pindex,
+    // results equal the unpruned stored scan over the same rows
+    val queries = clustered.filter(col("vec_id") % 10 === 0)
+    val pruned = Similarity.ivfTopKStoredPruned(queries, ps, "emb",
+      "vec_id", "embedding", newCents, k = 3, nProbe = 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("pindex"), s"no pindex partition filter: $scan")
+    val full = Similarity.ivfTopKStored(queries,
+      stored.select(col("entity_id").as("vec_id"), col("embedding"),
+        col("bucket")),
+      "vec_id", "embedding", "bucket", newCents, k = 3, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(rows(pruned) == rows(full))
+  }
+
   test("graphCompact prunes every node to its exact top-k by cosine") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("graft_gcmp_").toString
