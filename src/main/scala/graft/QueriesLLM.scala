@@ -1705,6 +1705,72 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- the char-LM triangle, incremental face: trigram counts are a
+    // commutative monoid, so two appended batches equal the one-shot
+    // corpus counts and the q135 oracle applies verbatim to scoring
+    // against the STORE ----
+    "q307_charlm_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val hv = conv(substring(md5(concat(lit("clm:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2L
+      val work = tempWorkDir("graft_q307_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
+      TextAnalysis.charLmCountsAppend(ps, "lm", d.filter(hv === 0L),
+        "doc_id", "text", modified = 1L)
+      TextAnalysis.charLmCountsAppend(ps, "lm", d.filter(hv === 1L),
+        "doc_id", "text", modified = 2L)
+      val scored = TextAnalysis.charLmScoreStored(ps, "lm", d, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .filter(col("mean_p").isNotNull)
+      val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
+        Seq("c13" -> (1.0 / 3), "c23" -> (2.0 / 3))).drop("n_docs")
+      scored.join(broadcast(cuts), "lang")
+        .withColumn("ppl_bucket",
+          when(col("mean_p") >= col("c23"), "head")
+            .when(col("mean_p") >= col("c13"), "middle").otherwise("tail"))
+        .select("doc_id", "lang", "mean_p", "ppl_bucket")
+        .orderBy("doc_id")
+    },
+    // ---- the char-LM triangle, streaming face: the model accrues
+    // through charLmSink micro-batches over an md5-capped slice, then
+    // that slice scores against the streamed store ----
+    "q308_charlm_stream" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val capped = docs(s, dir)
+        .withColumn("__h", md5(concat(lit("lmcap:"),
+          col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+        .select("doc_id", "text", "lang").localCheckpoint()
+      val rows = capped.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val work = tempWorkDir("graft_q308_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingRollup.charLmSink(
+        mem.toDF().toDF("doc_id", "text"), ps, "lm", "doc_id", "text")
+      try {
+        mem.addData(rows.filter(_._1 % 2 == 0).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val scored = TextAnalysis.charLmScoreStored(ps, "lm", capped,
+          "doc_id", "text")
+        .join(capped.select("doc_id", "lang"), "doc_id")
+        .filter(col("mean_p").isNotNull)
+      val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
+        Seq("c13" -> (1.0 / 3), "c23" -> (2.0 / 3))).drop("n_docs")
+      scored.join(broadcast(cuts), "lang")
+        .withColumn("ppl_bucket",
+          when(col("mean_p") >= col("c23"), "head")
+            .when(col("mean_p") >= col("c13"), "middle").otherwise("tail"))
+        .select("doc_id", "lang", "mean_p", "ppl_bucket")
+        .orderBy("doc_id")
+    },
     "q135_perplexity_filter" -> { (s, dir) =>
       val d = docs(s, dir)
       val scored = TextAnalysis.charLmScore(d, "doc_id", "text")
@@ -3428,6 +3494,48 @@ object QueriesLLM {
     * list-slice grams + min-doc attribution → `novstats(doc_id, n_grams,
     * n_novel_occ, n_distinct, n_novel)`; docs shorter than 8 tokens are
     * absent (callers LEFT JOIN and zero-fill). */
+  /** q135's char-trigram tercile chain, parameterized on the corpus
+    * source CTE — reused verbatim by the incremental (q307) and capped
+    * streaming (q308) faces: counts add-merge, so stored ≡ fresh. */
+  private def charLmTercilesCte(src: String) =
+    s"""norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+             'g')) AS s FROM $src),
+         tri AS (
+           SELECT doc_id, substring(s, i, 3) AS tri FROM (
+             SELECT doc_id, s,
+               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+             FROM norm)),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+                FROM c3 GROUP BY 1),
+         model AS (
+           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27)
+             AS p
+           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
+         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
+                 x -> x.c * x.p)), (a, b) -> a + b) AS sum_p
+           FROM dt JOIN model USING (tri) GROUP BY 1),
+         scored AS (
+           SELECT d.doc_id, d.lang, agg.sum_p / agg.n_trigrams AS mean_p
+           FROM $src d JOIN agg USING (doc_id)
+           WHERE agg.n_trigrams > 0),
+         cuts AS (
+           SELECT lang,
+             quantile_cont(mean_p, CAST(1 AS DOUBLE) / 3) AS c13,
+             quantile_cont(mean_p, CAST(2 AS DOUBLE) / 3) AS c23
+           FROM scored GROUP BY 1)
+         SELECT doc_id, lang, mean_p,
+           CASE WHEN mean_p >= c23 THEN 'head'
+                WHEN mean_p >= c13 THEN 'middle' ELSE 'tail' END
+             AS ppl_bucket
+         FROM scored JOIN cuts USING (lang) ORDER BY doc_id"""
+
   private def gramNoveltyCte(src: String) =
     s"""nbase AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -7788,43 +7896,18 @@ object QueriesLLM {
          WHERE rank <= 5 ORDER BY anchor_id, rank""",
     // Fluency buckets: q71's char-LM CTEs + per-language ntile terciles.
     "q135_perplexity_filter" ->
-      """WITH norm AS (
-           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
-             'g')) AS s FROM documents),
-         tri AS (
-           SELECT doc_id, substring(s, i, 3) AS tri FROM (
-             SELECT doc_id, s,
-               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
-             FROM norm)),
-         c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
-         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
-                FROM c3 GROUP BY 1),
-         model AS (
-           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27)
-             AS p
-           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
-         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
-         agg AS (
-           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(
-                 list(struct_pack(tri := tri, c := c, p := p) ORDER BY tri),
-                 x -> x.c * x.p)), (a, b) -> a + b) AS sum_p
-           FROM dt JOIN model USING (tri) GROUP BY 1),
-         scored AS (
-           SELECT d.doc_id, d.lang, agg.sum_p / agg.n_trigrams AS mean_p
-           FROM documents d JOIN agg USING (doc_id)
-           WHERE agg.n_trigrams > 0),
-         cuts AS (
-           SELECT lang,
-             quantile_cont(mean_p, CAST(1 AS DOUBLE) / 3) AS c13,
-             quantile_cont(mean_p, CAST(2 AS DOUBLE) / 3) AS c23
-           FROM scored GROUP BY 1)
-         SELECT doc_id, lang, mean_p,
-           CASE WHEN mean_p >= c23 THEN 'head'
-                WHEN mean_p >= c13 THEN 'middle' ELSE 'tail' END
-             AS ppl_bucket
-         FROM scored JOIN cuts USING (lang) ORDER BY doc_id""",
+      s"""WITH ${charLmTercilesCte("documents")}""",
+    "q307_charlm_incremental" ->
+      s"""WITH ${charLmTercilesCte("documents")}""",
+    // q308: the capped replay slice is the corpus — counts, cuts and
+    // buckets all derive from it
+    "q308_charlm_stream" ->
+      s"""WITH lmcap AS (
+           SELECT doc_id, text, lang FROM documents
+           ORDER BY md5('lmcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 2048),
+         ${charLmTercilesCte("lmcap")}""",
+
     // Linear classifier: q74's bucket ladder, synthetic weight formula
     // inlined, bucket-ordered fold + bias, logit-space keep flag.
     "q136_classifier_filter" ->

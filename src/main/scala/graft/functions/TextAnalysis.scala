@@ -247,6 +247,57 @@ object TextAnalysis {
     val docTri = tris.groupBy(col(idCol), col("tri"))
       .agg(count(lit(1)).as("__c"))
     val c3 = docTri.groupBy("tri").agg(sum("__c").as("__c3"))
+    charLmScoreCore(df, idCol, docTri, c3)
+  }
+
+  /** Incremental persisted char-trigram counts (the CMS/KMV addition-
+    * merge family): trigram counts are a commutative monoid, so the
+    * store after any append sequence equals the one-shot corpus counts
+    * and the q135 oracle applies verbatim to scoring. The rewrite
+    * touches only model-sized data (≤ 27³ trigram rows), never the
+    * corpus. Store keyed (tri). */
+  def charLmCountsAppend(
+      ps: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      modified: Long): Unit = {
+    require(ps.config.keyCols == Seq("tri"),
+      s"char-LM store must be keyed (tri), got ${ps.config.keyCols}")
+    val bc = charTrigrams(batch, idCol, textCol)
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    val merged = ps.readPart(part) match {
+      case None => bc
+      case Some(p) => p.select(col("tri"), col("c3"))
+        .unionByName(bc)
+        .groupBy("tri").agg(sum("c3").as("c3"))
+    }
+    ps.store(part, merged
+      .withColumn("timestamp", pmod(crc32(col("tri")), lit(1024L)))
+      .withColumn("modified", lit(modified)))
+    ()
+  }
+
+  /** Score a frame against the ACCUMULATED stored char-LM counts: same
+    * scoring fold as [[charLmScore]], model from the store — after the
+    * appends cover the corpus, bit-identical to the fresh run (counts
+    * are exact integers, the model division and the sorted fold are the
+    * same expressions). */
+  def charLmScoreStored(
+      ps: graft.storage.PartStore, part: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(ps.config.keyCols == Seq("tri"),
+      s"char-LM store must be keyed (tri), got ${ps.config.keyCols}")
+    val c3 = ps.readPart(part).getOrElse(throw new IllegalArgumentException(
+        s"charLmScoreStored: no counts part '$part' — append batches first"))
+      .select(col("tri"), col("c3").as("__c3"))
+    val docTri = charTrigrams(df, idCol, textCol)
+      .groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("__c"))
+    charLmScoreCore(df, idCol, docTri, c3)
+  }
+
+  private def charLmScoreCore(
+      df: DataFrame, idCol: String,
+      docTri: DataFrame, c3: DataFrame): DataFrame = {
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__pre"))
       .agg(sum("__c3").as("__c2"))
     val model = c3.join(c2, substring(c3("tri"), 1, 2) === c2("__pre"))

@@ -598,6 +598,33 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming char-LM counts sink — the streaming face of the q135
+    * trigram model (triangle: one-shot charLmScore / incremental
+    * charLmCountsAppend / this): each micro-batch's trigram counts merge
+    * into the persisted model by ADDITION, so the store after the stream
+    * equals the one-shot corpus counts and scoring against it is
+    * bit-identical to fresh. Like the other addition-merge sinks
+    * (cmsSink), a REPLAYED micro-batch double-counts — production
+    * deployments checkpoint and rely on exactly-once foreachBatch. */
+  def charLmSink(
+      stream: DataFrame,
+      ps: graft.storage.PartStore,
+      part: String,
+      idCol: String,
+      textCol: String,
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.TextAnalysis.charLmCountsAppend(
+            ps, part, batch.toDF(), idCol, textCol, modified = batchId + 1)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming decontamination sink — the streaming face of the q63
     * exact-digest decontaminate, completing that family's triangle
     * (batch q63 / incremental q302 / streaming here): training docs

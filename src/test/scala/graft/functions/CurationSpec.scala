@@ -971,6 +971,32 @@ class CurationSpec extends SparkSpec {
       (2L, "a", 3L, 5L), (6L, "b", 3L, 6L)), out)
   }
 
+  test("charLm store: two appended batches == one-shot counts; stored " +
+      "scoring bit-equals fresh") {
+    val d = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick red fox"),
+      (3L, "lorem ipsum dolor sit"), (4L, "pack my box with jugs"))
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_clm_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
+    TextAnalysis.charLmCountsAppend(ps, "lm",
+      d.filter(col("doc_id") <= 2), "doc_id", "text", 1L)
+    TextAnalysis.charLmCountsAppend(ps, "lm",
+      d.filter(col("doc_id") > 2), "doc_id", "text", 2L)
+    val stored = ps.readPart("lm").get.select("tri", "c3")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fresh = TextAnalysis.charTrigrams(d, "doc_id", "text")
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == fresh) // addition-merge == one-shot counts
+    val a = TextAnalysis.charLmScoreStored(ps, "lm", d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.charLmScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b) // identical model -> bit-identical floats
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
