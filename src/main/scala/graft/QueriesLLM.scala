@@ -1705,6 +1705,16 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- trainer-side length-bucket batching: docs bucket by padded
+    // length, md5-order within bucket, group into batches of 16 — per
+    // batch the padding waste pad-to-max leaves (what bucketing exists
+    // to minimize). Within-bucket rank = rankWithinGroup (global rank +
+    // broadcast offsets, no per-bucket window) ----
+    "q309_length_batching" -> { (s, dir) =>
+      CorpusClean.lengthBucketBatches(docs(s, dir), "doc_id", "text",
+          bucketWidth = 16, batchSize = 16)
+        .orderBy("bucket", "batch_idx")
+    },
     // ---- the char-LM triangle, incremental face: trigram counts are a
     // commutative monoid, so two appended batches equal the one-shot
     // corpus counts and the q135 oracle applies verbatim to scoring
@@ -7899,6 +7909,36 @@ object QueriesLLM {
       s"""WITH ${charLmTercilesCte("documents")}""",
     "q307_charlm_incremental" ->
       s"""WITH ${charLmTercilesCte("documents")}""",
+    // q309: within-bucket row_number replays rankWithinGroup; waste =
+    // integer basis points of pad-to-max
+    "q309_length_batching" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS l
+           FROM documents),
+         b AS (
+           SELECT doc_id, l, ((l + 15) // 16) * 16 AS bucket,
+             md5('lbb:' || CAST(doc_id AS VARCHAR)) AS mk
+           FROM d),
+         r AS (
+           SELECT bucket, l,
+             (row_number() OVER (PARTITION BY bucket ORDER BY mk, doc_id)
+               - 1) // 16 AS batch_idx
+           FROM b),
+         g AS (
+           SELECT bucket, batch_idx, count(*) AS n_docs, max(l) AS max_len,
+             sum(l) AS sum_len
+           FROM r GROUP BY 1, 2)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(batch_idx AS BIGINT) AS batch_idx,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_len AS BIGINT) AS max_len,
+           CAST(sum_len AS BIGINT) AS sum_len,
+           CAST(CASE WHEN max_len = 0 THEN 0
+             ELSE 10000 * (n_docs * max_len - sum_len)
+               // (n_docs * max_len) END AS BIGINT) AS pad_waste_bp
+         FROM g ORDER BY bucket, batch_idx""",
     // q308: the capped replay slice is the corpus — counts, cuts and
     // buckets all derive from it
     "q308_charlm_stream" ->

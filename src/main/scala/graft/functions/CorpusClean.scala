@@ -175,6 +175,41 @@ object CorpusClean {
     * (no full-shard buffering for an unbounded-preceding frame). The id
     * modulus is the oracle-portable shard key; production swaps in
     * xxhash64 for non-integer ids, same shape. */
+  /** Length-bucket batching (the trainer-side "bucketing by length"
+    * that bounds padding waste): docs bucket by token length rounded up
+    * to a multiple of `bucketWidth`, order deterministically within the
+    * bucket (md5, id), and group into batches of `batchSize`. Per batch:
+    * doc count, max/sum length, and padding waste in basis points
+    * (pad-to-max inside the batch — the quantity length-bucketing
+    * exists to minimize).
+    *
+    * Scale shape: the within-bucket rank is [[Ranks.rankWithinGroup]]
+    * (global rank + broadcast offsets — no per-bucket window; a bucket
+    * is a corpus-sized slice); everything after is one grouped
+    * aggregate. Buckets are bounded by maxLen / bucketWidth. */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"lengthBucketBatches: width/size >= 1, got $bucketWidth/$batchSize")
+    val toks = size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+      .cast("long")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        toks.as("__len"))
+      .withColumn("bucket",
+        expr(s"((__len + ${bucketWidth - 1}) DIV $bucketWidth) * $bucketWidth"))
+      .withColumn("__mk", md5(concat(lit("lbb:"), col("__id").cast("string"))))
+    Ranks.rankWithinGroup(base, Seq("bucket"), Seq("__mk", "__id"))
+      .withColumn("batch_idx", expr(s"(__gr - 1) DIV $batchSize"))
+      .groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("pad_waste_bp",
+        when(col("max_len") === 0, 0L).otherwise(
+          expr("10000 * (n_docs * max_len - sum_len) DIV (n_docs * max_len)")))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Int, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2127,19 +2127,11 @@ object TextAnalysis {
       scoreCol: String): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(srcCol).as("__src"), col(scoreCol).cast("long").as("__score"))
-    val r = Ranks.globalDenseRank(
-      base.select(col("__src"), (-col("__score")).as("__ns"), col("__id")),
-      Seq("__src", "__ns", "__id"))
-    // per-source offsets: rows of sources that sort strictly earlier —
-    // |sources| rows, computed with one tiny aggregate and a driver-free
-    // broadcast self-join
-    val cnts = base.groupBy("__src").agg(count(lit(1)).as("__n"))
-    val offs = cnts.as("a").join(cnts.as("b"), col("b.__src") < col("a.__src"), "left")
-      .groupBy(col("a.__src").as("__src"))
-      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
-    val inSrc = r.join(broadcast(offs), Seq("__src"))
+    val inSrc = Ranks.rankWithinGroup(
+        base.select(col("__src"), (-col("__score")).as("__ns"), col("__id")),
+        Seq("__src"), Seq("__ns", "__id"))
       .select(col("__id"), col("__src"), (-col("__ns")).as("__score"),
-        (col("__r") - col("__off")).as("rank_in_source"))
+        col("__gr").as("rank_in_source"))
     Ranks.globalDenseRank(
         inSrc.select(col("rank_in_source"), col("__src"), col("__id"),
           col("__score")),
