@@ -1705,6 +1705,16 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- JSONL export + manifest (hand-off to the trainer): md5-mod
+    // shards, explicitly-constructed escaped lines, and an exact
+    // per-shard manifest — counts plus an order-insensitive md5-prefix
+    // fingerprint the consumer can re-derive without Spark ----
+    "q310_jsonl_export" -> { (s, dir) =>
+      val work = tempWorkDir("graft_q310_")
+      CorpusClean.exportJsonlShards(docs(s, dir), "doc_id", "text",
+          s"$work/out", nShards = 8)
+        .orderBy("shard")
+    },
     // ---- trainer-side length-bucket batching: docs bucket by padded
     // length, md5-order within bucket, group into batches of 16 — per
     // batch the padding waste pad-to-max leaves (what bucketing exists
@@ -7909,6 +7919,26 @@ object QueriesLLM {
       s"""WITH ${charLmTercilesCte("documents")}""",
     "q307_charlm_incremental" ->
       s"""WITH ${charLmTercilesCte("documents")}""",
+    // q310: the manifest re-derived outside Spark — same explicit line
+    // construction and the 32-bit md5-prefix sum (strpos ladder)
+    "q310_jsonl_export" -> {
+      s"""WITH l AS (
+           SELECT doc_id,
+             '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' ||
+               replace(replace(text, '\\', '\\\\'), '"', '\\"') || '"}'
+               AS line,
+             (${hv32Sql("shard:", "CAST(doc_id AS VARCHAR)")}) % 8 AS shard,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               x -> x <> '')) AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c
+           FROM documents)
+         SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(sum(${hv32Sql("", "line")}) AS BIGINT) AS fp32_sum
+         FROM l GROUP BY 1 ORDER BY shard"""
+    },
     // q309: within-bucket row_number replays rankWithinGroup; waste =
     // integer basis points of pad-to-max
     "q309_length_batching" ->

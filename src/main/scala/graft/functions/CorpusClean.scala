@@ -210,6 +210,41 @@ object CorpusClean {
           expr("10000 * (n_docs * max_len - sum_len) DIV (n_docs * max_len)")))
   }
 
+  /** Export the corpus as deterministic JSONL shards plus an EXACT
+    * manifest — the "hand the dataset to the trainer" step. Sharding is
+    * md5-mod (append-stable, engine-replayable); each line is an
+    * explicitly-constructed `{"doc_id":N,"text":"..."}` with backslash
+    * and quote escaped (explicit concat, not to_json — the manifest
+    * fingerprint must be reproducible outside Spark). The manifest rows
+    * per shard: doc/token/char counts and an order-insensitive content
+    * fingerprint (sum of each line's 32-bit md5 prefix — BIGINT-safe to
+    * ~2^31 lines/shard). The write itself is one partitioned text write;
+    * the frame is materialized once and feeds both the files and the
+    * manifest. */
+  def exportJsonlShards(
+      df: DataFrame, idCol: String, textCol: String,
+      outDir: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"exportJsonlShards: nShards >= 1, got $nShards")
+    val esc = regexp_replace(
+      regexp_replace(col(textCol), "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val line = concat(lit("{\"doc_id\":"), col(idCol).cast("string"),
+      lit(",\"text\":\""), esc, lit("\"}"))
+    val shard = pmod(conv(substring(md5(concat(lit("shard:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"), lit(nShards))
+    val toks = size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+      .cast("long")
+    val rows = df.select(shard.as("shard"), line.as("line"),
+        toks.as("__t"), length(col(textCol)).cast("long").as("__c"))
+      .localCheckpoint()
+    rows.select(col("shard"), col("line"))
+      .write.partitionBy("shard").mode("overwrite").text(outDir)
+    rows.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        sum(conv(substring(md5(col("line")), 1, 8), 16, 10).cast("long"))
+          .as("fp32_sum"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Int, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

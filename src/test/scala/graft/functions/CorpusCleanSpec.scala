@@ -166,4 +166,33 @@ class CorpusCleanSpec extends SparkSpec {
     assert(rows(3).getLong(1) == 0L) // 2 letters -> no trigram
   }
 
+  test("exportJsonlShards: escaping survives a real JSON parse; manifest " +
+      "matches the files") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "plain words"),
+      (2L, "has \"quotes\" inside"),
+      (3L, "back\\slash and \"both\\\" mixed"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    val manifest = CorpusClean.exportJsonlShards(d, "doc_id", "text",
+        s"$out/x", nShards = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.values.map(_._1).sum == 4L)
+    // the written lines are REAL JSON: Spark's parser reproduces the
+    // originals byte for byte, including quotes and backslashes
+    val back = spark.read.json(s"$out/x")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, s"round-trip mismatch: $back")
+    // file-level counts agree with the manifest
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    manifest.foreach { case (shard, (nDocs, _)) =>
+      val lines = spark.read.text(s"$out/x/shard=$shard").count()
+      assert(lines == nDocs, s"shard $shard: $lines lines vs $nDocs manifest")
+    }
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/x/shard=2")))
+  }
 }
