@@ -1705,6 +1705,31 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- classifier calibration audit (reliability-diagram bins, Guo
+    // et al. 2017): q136's hashed-BoW logits against a deterministic
+    // binary target (lang = 'en'), 10 fixed-width bins over [-5, 5) —
+    // per bin exact n / positives / fixed-point score sum, the pieces
+    // ECE divides ----
+    "q312_calibration_bins" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val weights = (0 until 64).map(b => ((b * 37) % 21 - 10) / 10.0)
+      val scored = TextAnalysis.linearScore(d, "doc_id", "text",
+          weights, bias = -0.55)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("y")),
+          "doc_id")
+      TextAnalysis.calibrationBins(scored, "doc_id", "logit", "y",
+          nBins = 10, lo = -5.0, hi = 5.0)
+        .orderBy("bin")
+    },
+    // ---- winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm): rightmost-minimal 32-bit k-gram hash per w-window —
+    // the position-localized fingerprint family member (exact digest /
+    // MinHash / SimHash cover the others). Raw fingerprint rows are the
+    // gate surface ----
+    "q311_winnowing" -> { (s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 5)
+        .orderBy("doc_id", "pos", "h")
+    },
     // ---- JSONL export + manifest (hand-off to the trainer): md5-mod
     // shards, explicitly-constructed escaped lines, and an exact
     // per-shard manifest — counts plus an order-insensitive md5-prefix
@@ -7919,6 +7944,72 @@ object QueriesLLM {
       s"""WITH ${charLmTercilesCte("documents")}""",
     "q307_charlm_incremental" ->
       s"""WITH ${charLmTercilesCte("documents")}""",
+    // q312: q136's logit chain + fixed-width clamped bins; identical
+    // doubles make floor() agree at every bin edge
+    "q312_calibration_bins" ->
+      s"""WITH $ToksCte,
+         f AS (
+           SELECT doc_id,
+             CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT)
+               % 64 AS b
+           FROM toks WHERE tok <> ''),
+         dc AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+         model AS (
+           SELECT b, CAST((b * 37) % 21 - 10 AS DOUBLE) / 10.0 AS w
+           FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+         agg AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(struct_pack(b := b, c := c, w := w) ORDER BY b),
+                 x -> x.c * x.w)), (a, y) -> a + y) + (-0.55) AS logit
+           FROM dc JOIN model USING (b) GROUP BY 1),
+         lbl AS (
+           SELECT a.doc_id, a.logit,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM agg a JOIN documents d USING (doc_id)),
+         binned AS (
+           SELECT least(greatest(CAST(floor((logit - (-5.0)) / 1.0)
+               AS BIGINT), 0), 9) AS bin,
+             y, logit
+           FROM lbl)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(floor(logit * 16777216.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS score_fp_sum
+         FROM binned GROUP BY 1 ORDER BY bin""",
+    // q311: same gram/window/rightmost-min chain — the full-window test
+    // (max pos over w rows == pos + w - 1) also excises windows crossing
+    // empty-token gaps, in both engines
+    "q311_winnowing" -> {
+      s"""WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             (${hv32Sql("", "array_to_string(toks[i:i+3], ' ')")}) AS h
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         res AS (
+           SELECT w.doc_id, w.t, max(g.pos) AS pos, max(g.h) AS h
+           FROM fullw w JOIN grams g
+             ON g.doc_id = w.doc_id
+             AND g.pos BETWEEN w.t AND w.t + 4 AND g.h = w.mh
+           GROUP BY 1, 2)
+         SELECT DISTINCT doc_id, CAST(h AS BIGINT) AS h,
+           CAST(pos AS BIGINT) AS pos
+         FROM res ORDER BY doc_id, pos, h"""
+    },
     // q310: the manifest re-derived outside Spark — same explicit line
     // construction and the 32-bit md5-prefix sum (strpos ladder)
     "q310_jsonl_export" -> {

@@ -1660,6 +1660,58 @@ object Dedup {
         expr("10000 * n_contaminated DIV n_anchors"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): k-gram rolling hashes, windows of `w` consecutive
+    * hashes, one fingerprint per window = the RIGHTMOST minimal hash —
+    * guarantees any shared substring of length ≥ w + k − 1 shares a
+    * fingerprint, with expected density 2/(w+1). Completes the
+    * fingerprint family (exact digest / MinHash / SimHash) with the
+    * position-localized one plagiarism detection uses.
+    *
+    * Hashes are 32-bit md5 prefixes of the space-joined k-gram (the
+    * anchorGrams rules: consecutive positions, no empty tokens).
+    * Per-doc windows only (≤ doc length rows — the keyed-window
+    * invariant); the window→rightmost-min resolution is a constant
+    * w-fanout self-join, not a second window. Output: one row per
+    * distinct (doc, fingerprint hash, position). */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k,w >= 1, got $k,$w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - k)).as("pos"),
+        col("toks"))
+      .withColumn("gram", expr(s"slice(toks, pos + 1, $k)"))
+      .filter(!array_contains(col("gram"), ""))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("gram"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .localCheckpoint() // feeds both the window mins and the resolver
+    val dw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val wins = grams
+      .withColumn("__mh", min(col("h")).over(dw))
+      .withColumn("__last", max(col("pos")).over(dw))
+      // only FULL windows fingerprint (the trailing <w stubs are the
+      // next doc's problem in a streaming cut; here they just end)
+      .filter(col("__last") === col("pos") + (w - 1))
+      .select(col("doc_id"), col("pos").as("t"), col("__mh"))
+    // rightmost occurrence of the window's min: constant w-fanout join
+    val fp = wins.join(grams.select(col("doc_id"), col("pos"), col("h")),
+        Seq("doc_id"))
+      .filter(col("pos").between(col("t"), col("t") + (w - 1)) &&
+        col("h") === col("__mh"))
+      .groupBy("doc_id", "t")
+      .agg(max(col("pos")).as("pos"), max(col("h")).as("h"))
+    fp.select(col("doc_id"), col("h"), col("pos").cast("long").as("pos"))
+      .distinct()
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -1893,6 +1893,31 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > 0)
   }
 
+  /** Calibration bins for a scored binary task (the reliability-diagram
+    * table behind ECE, Guo et al. 2017 / DeGroot & Fienberg): scores
+    * bucket into `nBins` fixed-width bins over [lo, hi) (clamped), each
+    * bin reporting exact integers — count, positives, and the
+    * fixed-point score sum (floor(score·2²⁴+0.5) BIGINT — the
+    * deterministic-sum convention). acc−conf gaps and the ECE weighted
+    * sum are one driver-side division away; the exact pieces are the
+    * gate surface. */
+  def calibrationBins(
+      scored: DataFrame, idCol: String, scoreCol: String, labelCol: String,
+      nBins: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1 && hi > lo,
+      s"calibrationBins: nBins >= 1 and hi > lo, got $nBins, [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(scoreCol) - lo) / width).cast("long"), lit(0L)),
+      lit((nBins - 1).toLong))
+    scored.select(col(idCol), col(scoreCol), col(labelCol).cast("long").as("__y"))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(floor(col(scoreCol) * (1L << 24) + 0.5).cast("long"))
+          .as("score_fp_sum"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot

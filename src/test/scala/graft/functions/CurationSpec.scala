@@ -997,6 +997,48 @@ class CurationSpec extends SparkSpec {
     assert(a == b) // identical model -> bit-identical floats
   }
 
+  test("winnowFingerprints: shared substring >= w+k-1 tokens shares a " +
+      "fingerprint; density ~ 2/(w+1)") {
+    // docs 1 and 2 share an 8-token run (= w + k - 1 with k=4, w=5):
+    // winnowing GUARANTEES at least one common (hash) fingerprint
+    val d = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 s5 s6 s7 s8 z1 z2 z3"),
+      (2L, "b1 b2 b3 s1 s2 s3 s4 s5 s6 s7 s8 y1"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "guaranteed shared fingerprint missing")
+    assert((byDoc(3L) intersect byDoc(1L)).isEmpty) // disjoint text
+    // every fingerprint's position is a real gram position of its doc
+    assert(fp.forall { case (_, _, pos) => pos >= 0 && pos <= 9 })
+    // selection is deterministic under repartition
+    val fp2 = Dedup.winnowFingerprints(d.repartition(7), "doc_id", "text",
+      k = 4, w = 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fp.toSet == fp2.toSet)
+  }
+
+  test("calibrationBins: clamped fixed-width bins, exact pieces") {
+    val scored = Seq(
+      (1L, -9.0, 0L), // clamps into bin 0
+      (2L, -0.1, 0L), // bin 4
+      (3L, 0.1, 1L),  // bin 5
+      (4L, 0.9, 1L),  // bin 5
+      (5L, 9.0, 1L)   // clamps into bin 9
+    ).toDF("id", "score", "y")
+    val out = TextAnalysis.calibrationBins(scored, "id", "score", "y",
+        nBins = 10, lo = -5.0, hi = 5.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    def fp(x: Double) = math.floor(x * (1L << 24) + 0.5).toLong
+    assert(out(0L) == ((1L, 0L, fp(-9.0))))
+    assert(out(4L) == ((1L, 0L, fp(-0.1))))
+    assert(out(5L) == ((2L, 2L, fp(0.1) + fp(0.9))))
+    assert(out(9L) == ((1L, 1L, fp(9.0))))
+  }
+
   test("splitLeakage: only train-straddling pairs, holdout-oriented") {
     val pairs = Seq(
       (1L, 2L, 0.95),   // train ~ test  → leak, holdout = 2
