@@ -1705,6 +1705,91 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- round-15 funnel capstone (the q293 treatment for THIS round's
+    // newcomers): raw → NFC normalize (a decomposed/precomposed dup pair
+    // unifies ONLY after normalization) → exact dedup keep-first →
+    // decontaminate vs the eval set (spliced eval texts planted in
+    // train) → JSONL export, whose manifest must reconcile with the
+    // surviving stage. Every stage count oracle-replayed ----
+    "q314_funnel_r15" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val b15 = d.select((col("doc_id") + 15).as("doc_id"),
+        col("text").as("b_text"))
+      val c2 = d.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("c_text"))
+      val mods = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .join(b15, Seq("doc_id"), "left")
+        .join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(30)) === 1,
+            concat(lit("é "), col("text"))) // decomposed e+U+0301
+            .when(pmod(col("doc_id"), lit(30)) === 16 && col("b_text").isNotNull,
+              concat(lit("é "), col("b_text"))) // precomposed, donor base
+            .when(pmod(col("doc_id"), lit(20)) === 3 && col("c_text").isNotNull,
+              col("c_text")) // planted eval text (doc_id + 2 is % 5 == 0)
+            .otherwise(col("text")).as("text"))
+        .localCheckpoint()
+      val ntext = graft.expressions.StringExpressions.nfc(col("text"))
+      val normed = mods.select(col("doc_id"), ntext.as("text"))
+        .withColumn("dg", Dedup.digest(col("text")))
+        .localCheckpoint()
+      val kept = normed.groupBy("dg").agg(min("doc_id").as("doc_id"))
+        .join(normed, Seq("dg", "doc_id"))
+      val evalDg = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(Dedup.digest(
+          graft.expressions.StringExpressions.nfc(col("text"))).as("dg"))
+        .distinct()
+      val clean = kept.join(evalDg, Seq("dg"), "left_anti")
+        .localCheckpoint()
+      val work = tempWorkDir("graft_q314_")
+      val manifest = CorpusClean.exportJsonlShards(clean, "doc_id", "text",
+        s"$work/out", nShards = 4)
+      val toks = (c: org.apache.spark.sql.Column) =>
+        size(filter(split(trim(c), "\\s+"), t => t =!= "")).cast("long")
+      def stage(name: String, df: DataFrame) =
+        df.agg(coalesce(count(lit(1)), lit(0L)).as("n_docs"),
+            coalesce(sum(toks(col("text"))), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("a_raw", mods)
+        .unionByName(stage("b_dedup", kept))
+        .unionByName(stage("c_decontam", clean))
+        .unionByName(manifest.agg(sum("n_docs").as("n_docs"),
+            sum("n_tokens").as("n_tokens"))
+          .select(lit("d_export").as("stage"),
+            col("n_docs").cast("long").as("n_docs"),
+            col("n_tokens").cast("long").as("n_tokens")))
+        .orderBy("stage")
+    },
+    // ---- vocabulary-size planning: OOV rate at candidate vocab caps —
+    // rank types by frequency (globalDenseRank, no global window), then
+    // for each cap the occurrence coverage the truncated vocab buys.
+    // The table a tokenizer-budget decision actually reads ----
+    "q313_oov_coverage" -> { (s, dir) =>
+      val cnt = TextAnalysis.tokens(docs(s, dir), "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = graft.functions.Ranks.globalDenseRank(
+          cnt.select((-col("cnt")).as("__nc"), col("tok")),
+          Seq("__nc", "tok"))
+        .join(cnt, "tok")
+        .select(col("tok"), col("cnt"), col("__r").as("rnk"))
+        .localCheckpoint() // three caps read it
+      val total = ranked.agg(sum("cnt").as("__tot"),
+        count(lit(1)).as("__types"))
+      val caps = Seq(64, 256, 1024)
+      caps.map { k =>
+        ranked.filter(col("rnk") <= k)
+          .agg(coalesce(sum("cnt"), lit(0L)).as("covered"),
+            count(lit(1)).as("vocab_used"))
+          .select(lit(k.toLong).as("vocab_cap"), col("vocab_used"),
+            col("covered"))
+      }.reduce(_.unionByName(_))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_cap"), col("vocab_used"), col("covered"),
+          col("__tot").as("total_occ"), col("__types").as("n_types"),
+          expr("10000 * (__tot - covered) DIV __tot").as("oov_bp"))
+        .orderBy("vocab_cap")
+    },
     // ---- classifier calibration audit (reliability-diagram bins, Guo
     // et al. 2017): q136's hashed-BoW logits against a deterministic
     // binary target (lang = 'en'), 10 fixed-width bins over [-5, 5) —
@@ -7944,6 +8029,85 @@ object QueriesLLM {
       s"""WITH ${charLmTercilesCte("documents")}""",
     "q307_charlm_incremental" ->
       s"""WITH ${charLmTercilesCte("documents")}""",
+    // q314: full replay — nfc_normalize unifies the planted
+    // decomposed/precomposed pair, dedup keeps min id, decontam drops
+    // planted eval texts, export == survivors
+    "q314_funnel_r15" ->
+      """WITH mods AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 30 = 1 THEN 'é ' || d.text
+                  WHEN d.doc_id % 30 = 16 AND b.text IS NOT NULL
+                    THEN 'é ' || b.text
+                  WHEN d.doc_id % 20 = 3 AND c.text IS NOT NULL
+                    THEN c.text
+                  ELSE d.text END AS text
+           FROM documents d
+           LEFT JOIN documents b ON b.doc_id = d.doc_id - 15
+           LEFT JOIN documents c ON c.doc_id = d.doc_id + 2
+           WHERE d.doc_id % 5 <> 0),
+         normed AS (
+           SELECT doc_id, nfc_normalize(text) AS text,
+             md5(lower(trim(nfc_normalize(text)))) AS dg
+           FROM mods),
+         kept AS (
+           SELECT n.doc_id, n.text, n.dg FROM normed n
+           JOIN (SELECT dg, min(doc_id) AS doc_id FROM normed GROUP BY 1) k
+             ON k.dg = n.dg AND k.doc_id = n.doc_id),
+         ev AS (
+           SELECT DISTINCT md5(lower(trim(nfc_normalize(text)))) AS dg
+           FROM documents WHERE doc_id % 5 = 0),
+         clean AS (
+           SELECT doc_id, text FROM kept
+           WHERE dg NOT IN (SELECT dg FROM ev)),
+         tk AS (
+           SELECT 'a_raw' AS stage, count(*) AS n_docs,
+             sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> ''))) AS n_tokens
+           FROM mods
+           UNION ALL
+           SELECT 'b_dedup', count(*),
+             sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')))
+           FROM kept
+           UNION ALL
+           SELECT 'c_decontam', count(*),
+             sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')))
+           FROM clean
+           UNION ALL
+           SELECT 'd_export', count(*),
+             sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> x <> '')))
+           FROM clean)
+         SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM tk ORDER BY stage""",
+    // q313: rank types by (cnt DESC, tok), coverage per cap
+    "q313_oov_coverage" ->
+      s"""WITH $ToksCte,
+         cnt AS (
+           SELECT tok, count(*) AS cnt FROM toks WHERE tok <> ''
+           GROUP BY 1),
+         rk AS (
+           SELECT tok, cnt,
+             row_number() OVER (ORDER BY -cnt, tok) AS rnk
+           FROM cnt),
+         tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS total_occ,
+             CAST(count(*) AS BIGINT) AS n_types
+           FROM cnt),
+         caps AS (SELECT unnest([64, 256, 1024]) AS vocab_cap),
+         cov AS (
+           SELECT c.vocab_cap,
+             CAST(count(r.tok) AS BIGINT) AS vocab_used,
+             CAST(COALESCE(sum(r.cnt), 0) AS BIGINT) AS covered
+           FROM caps c LEFT JOIN rk r ON r.rnk <= c.vocab_cap
+           GROUP BY 1)
+         SELECT CAST(vocab_cap AS BIGINT) AS vocab_cap, vocab_used, covered,
+           total_occ, n_types,
+           CAST(10000 * (total_occ - covered) // total_occ AS BIGINT)
+             AS oov_bp
+         FROM cov CROSS JOIN tot ORDER BY vocab_cap""",
     // q312: q136's logit chain + fixed-width clamped bins; identical
     // doubles make floor() agree at every bin edge
     "q312_calibration_bins" ->
