@@ -1705,6 +1705,70 @@ object QueriesLLM {
     // broadcast back (R-7 interpolation is bit-identical in Spark
     // `percentile` and DuckDB `quantile_cont`, and both engines compute
     // mean_p identically, so the >= comparisons agree exactly) ----
+    // ---- TextTiling topic boundaries (Hearst 1997, block comparison,
+    // integerized): distinct-token overlap between adjacent 10-token
+    // blocks; a STRICT interior local minimum flags a topic shift ----
+    "q315_texttiling" -> { (s, dir) =>
+      TextAnalysis.textTileBoundaries(docs(s, dir), "doc_id", "text",
+          blockSize = 10)
+        .orderBy("doc_id", "boundary")
+    },
+    // ---- MOSS matching: near-dup candidate pairs from shared winnowing
+    // fingerprints, hot-fingerprint doc-freq cap mirrored in the oracle
+    // (the LSH bucket-cap convention) ----
+    "q316_winnow_pairs" -> { (s, dir) =>
+      Dedup.winnowPairs(
+          Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+            k = 4, w = 5),
+          minShared = 2, maxDocFreq = 50)
+        .orderBy("id1", "id2")
+    },
+    // ---- quota rebalancing: md5-first admission per source until the
+    // target-composition quota fills; short groups contribute all they
+    // have (src3's 800 bp quota exceeds its rows at every sf) ----
+    "q317_quota_sample" -> { (s, dir) =>
+      TextAnalysis.quotaSample(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 400L, "src1" -> 200L, "src2" -> 100L,
+            "src3" -> 800L))
+        .orderBy("doc_id")
+    },
+    // ---- drop-provenance ledger over the q314 funnel: every input doc
+    // gets a FATE (kept / dup / contaminated) — the lineage answer
+    // "why is my document not in the training set" ----
+    "q318_drop_ledger" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val b15 = d.select((col("doc_id") + 15).as("doc_id"),
+        col("text").as("b_text"))
+      val c2 = d.select((col("doc_id") - 2).as("doc_id"),
+        col("text").as("c_text"))
+      val mods = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .join(b15, Seq("doc_id"), "left")
+        .join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(30)) === 1,
+            concat(lit("é "), col("text"))) // decomposed e+U+0301
+            .when(pmod(col("doc_id"), lit(30)) === 16 && col("b_text").isNotNull,
+              concat(lit("é "), col("b_text")))
+            .when(pmod(col("doc_id"), lit(20)) === 3 && col("c_text").isNotNull,
+              col("c_text"))
+            .otherwise(col("text")).as("text"))
+      val normed = mods.select(col("doc_id"),
+          Dedup.digest(graft.expressions.StringExpressions.nfc(col("text")))
+            .as("dg"))
+        .localCheckpoint()
+      val keepers = normed.groupBy("dg").agg(min("doc_id").as("__keeper"))
+      val evalDg = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(Dedup.digest(
+          graft.expressions.StringExpressions.nfc(col("text"))).as("dg"))
+        .distinct().withColumn("__ev", lit(1))
+      normed.join(keepers, "dg")
+        .join(evalDg, Seq("dg"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("__keeper"), "dup")
+            .when(col("__ev").isNotNull, "contaminated")
+            .otherwise("kept").as("fate"))
+        .orderBy("doc_id")
+    },
     // ---- round-15 funnel capstone (the q293 treatment for THIS round's
     // newcomers): raw → NFC normalize (a decomposed/precomposed dup pair
     // unifies ONLY after normalization) → exact dedup keep-first →
@@ -1722,7 +1786,7 @@ object QueriesLLM {
         .join(c2, Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(30)) === 1,
-            concat(lit("é "), col("text"))) // decomposed e+U+0301
+            concat(lit("é "), col("text"))) // decomposed e+U+0301
             .when(pmod(col("doc_id"), lit(30)) === 16 && col("b_text").isNotNull,
               concat(lit("é "), col("b_text"))) // precomposed, donor base
             .when(pmod(col("doc_id"), lit(20)) === 3 && col("c_text").isNotNull,
@@ -8029,6 +8093,126 @@ object QueriesLLM {
       s"""WITH ${charLmTercilesCte("documents")}""",
     "q307_charlm_incremental" ->
       s"""WITH ${charLmTercilesCte("documents")}""",
+    // q315: block-distinct token sets, adjacent overlap counts, strict
+    // interior local minima
+    "q315_texttiling" ->
+      """WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         tk AS (
+           SELECT doc_id, (i - 1) // 10 AS blk, toks[i] AS tok
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i FROM dbase)
+           WHERE toks[i] <> ''),
+         blocks AS (SELECT DISTINCT doc_id, blk, tok FROM tk),
+         sizes AS (
+           SELECT doc_id, blk, count(*) AS n FROM blocks GROUP BY 1, 2),
+         ov AS (
+           SELECT a.doc_id, a.blk AS boundary, count(*) AS overlap
+           FROM blocks a JOIN blocks b
+             ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+               AND b.tok = a.tok
+           GROUP BY 1, 2),
+         allb AS (
+           SELECT l.doc_id, l.blk AS boundary,
+             CAST(l.n AS BIGINT) AS left_toks,
+             CAST(r.n AS BIGINT) AS right_toks,
+             CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap
+           FROM sizes l
+           JOIN sizes r ON r.doc_id = l.doc_id AND r.blk = l.blk + 1
+           LEFT JOIN ov ON ov.doc_id = l.doc_id AND ov.boundary = l.blk)
+         SELECT doc_id, CAST(boundary AS BIGINT) AS boundary, left_toks,
+           right_toks, overlap,
+           COALESCE(lag(overlap) OVER w IS NOT NULL
+             AND lead(overlap) OVER w IS NOT NULL
+             AND overlap < lag(overlap) OVER w
+             AND overlap < lead(overlap) OVER w, FALSE) AS is_boundary
+         FROM allb
+         WINDOW w AS (PARTITION BY doc_id ORDER BY boundary)
+         ORDER BY doc_id, boundary""",
+    // q316: the q311 fingerprint chain + doc-freq-capped hash join
+    "q316_winnow_pairs" -> {
+      s"""WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             (${hv32Sql("", "array_to_string(toks[i:i+3], ' ')")}) AS h
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         hs AS (SELECT DISTINCT doc_id, mh AS h FROM fullw),
+         dfq AS (
+           SELECT h FROM hs GROUP BY 1 HAVING count(*) <= 50),
+         kept AS (SELECT hs.doc_id, hs.h FROM hs JOIN dfq USING (h)),
+         pr AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fp
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2, CAST(shared_fp AS BIGINT) AS shared_fp
+         FROM pr WHERE shared_fp >= 2 ORDER BY id1, id2"""
+    },
+    // q317: per-source md5 row_number against floor-quotas of the total
+    "q317_quota_sample" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+         q AS (
+           SELECT * FROM (VALUES ('src0', 400), ('src1', 200),
+             ('src2', 100), ('src3', 800)) AS t(source, bp)),
+         qq AS (
+           SELECT source, CAST((tot.n * bp) // 10000 AS BIGINT) AS quota
+           FROM q CROSS JOIN tot),
+         r AS (
+           SELECT d.doc_id, d.source,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY md5('quota:' || CAST(d.doc_id AS VARCHAR)),
+                 d.doc_id) AS BIGINT) AS rank_in_group
+           FROM documents d JOIN qq ON qq.source = d.source)
+         SELECT r.doc_id, r.source, r.rank_in_group, qq.quota
+         FROM r JOIN qq USING (source)
+         WHERE r.rank_in_group <= qq.quota
+         ORDER BY r.doc_id""",
+    // q318: the q314 mods replayed into per-doc fates — dup beats
+    // contaminated (a non-keeper never reaches the decontam stage)
+    "q318_drop_ledger" ->
+      """WITH mods AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 30 = 1 THEN 'é ' || d.text
+                  WHEN d.doc_id % 30 = 16 AND b.text IS NOT NULL
+                    THEN 'é ' || b.text
+                  WHEN d.doc_id % 20 = 3 AND c.text IS NOT NULL
+                    THEN c.text
+                  ELSE d.text END AS text
+           FROM documents d
+           LEFT JOIN documents b ON b.doc_id = d.doc_id - 15
+           LEFT JOIN documents c ON c.doc_id = d.doc_id + 2
+           WHERE d.doc_id % 5 <> 0),
+         normed AS (
+           SELECT doc_id,
+             md5(lower(trim(nfc_normalize(text)))) AS dg
+           FROM mods),
+         keepers AS (
+           SELECT dg, min(doc_id) AS keeper FROM normed GROUP BY 1),
+         ev AS (
+           SELECT DISTINCT md5(lower(trim(nfc_normalize(text)))) AS dg
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT n.doc_id,
+           CASE WHEN n.doc_id <> k.keeper THEN 'dup'
+                WHEN e.dg IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS fate
+         FROM normed n
+         JOIN keepers k USING (dg)
+         LEFT JOIN ev e USING (dg)
+         ORDER BY n.doc_id""",
     // q314: full replay — nfc_normalize unifies the planted
     // decomposed/precomposed pair, dedup keeps min id, decontam drops
     // planted eval texts, export == survivors

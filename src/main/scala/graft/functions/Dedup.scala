@@ -1712,6 +1712,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate near-dup pairs from SHARED winnowing fingerprints — the
+    * MOSS matching step: docs sharing ≥ `minShared` distinct fingerprint
+    * hashes pair up, with a doc-frequency cap on hot fingerprints
+    * (boilerplate grams — mirrored in the oracle exactly like the LSH
+    * bucket caps) so the self-join never goes quadratic on one
+    * ubiquitous hash. Bucketed by hash, never all-pairs. */
+  def winnowPairs(
+      fingerprints: DataFrame, minShared: Int = 2,
+      maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 2,
+      s"winnowPairs: minShared >= 1, maxDocFreq >= 2")
+    val hs = fingerprints.select("doc_id", "h").distinct().localCheckpoint()
+    val dfq = hs.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("h")
+    val kept = hs.join(dfq, "h")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,
     * sign → bit. Pure integer arithmetic on the first 4 hex chars (bit
     * width is a parameter in spirit; 16 keeps the oracle SQL tractable and

@@ -1918,6 +1918,80 @@ object TextAnalysis {
           .as("score_fp_sum"))
   }
 
+  /** TextTiling-style topic-boundary scores (Hearst 1997, the block-
+    * comparison form, integerized): each doc splits into fixed
+    * `blockSize`-token blocks; the score at boundary b = |distinct-token
+    * overlap| between block b and block b+1 — low overlap suggests a
+    * topic shift, and a boundary is flagged when its overlap is a
+    * STRICT local minimum against both neighbors (interior boundaries
+    * only). All exact integers; per-doc keyed windows over ≤ blocks
+    * rows. Output: (doc, boundary, overlap, left/right block sizes,
+    * is_boundary). */
+  def textTileBoundaries(
+      df: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 10): DataFrame = {
+    require(blockSize >= 1, s"textTileBoundaries: blockSize >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val blocks = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .withColumn("blk", expr(s"pos DIV $blockSize"))
+      .select(col(idCol).as("doc_id"), col("blk"), col("tok"))
+      .distinct() // block-level token SETS
+      .localCheckpoint() // both join sides
+    val overlaps = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.blk") === col("a.blk") + 1 &&
+          col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.blk").as("boundary"))
+      .agg(count(lit(1)).as("overlap"))
+    val sizes = blocks.groupBy("doc_id", "blk")
+      .agg(count(lit(1)).as("__n"))
+    // every adjacent block pair is a boundary, overlap 0 when disjoint
+    val all = sizes.as("l")
+      .join(sizes.as("r"),
+        col("l.doc_id") === col("r.doc_id") &&
+          col("r.blk") === col("l.blk") + 1)
+      .select(col("l.doc_id").as("doc_id"), col("l.blk").as("boundary"),
+        col("l.__n").as("left_toks"), col("r.__n").as("right_toks"))
+      .join(overlaps, Seq("doc_id", "boundary"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+    val w = Window.partitionBy("doc_id").orderBy("boundary")
+    all
+      .withColumn("__prev", lag(col("overlap"), 1).over(w))
+      .withColumn("__next", lead(col("overlap"), 1).over(w))
+      .withColumn("is_boundary",
+        col("__prev").isNotNull && col("__next").isNotNull &&
+          col("overlap") < col("__prev") && col("overlap") < col("__next"))
+      .drop("__prev", "__next")
+  }
+
+  /** Quota rebalancing: take the md5-first `floor(total · bp / 10000)`
+    * docs of each group so the sample matches a TARGET composition
+    * (the "make this corpus look like the reference mixture" op —
+    * upsampling is [[materializeTemperatureSample]]'s job; this is the
+    * exact-quota downsampling face). Admission order inside a group is
+    * md5(id) — append-stable and engine-replayable; groups short of
+    * quota contribute everything they have. Per-group rank via
+    * [[Ranks.rankWithinGroup]] — no per-group window. */
+  def quotaSample(
+      df: DataFrame, idCol: String, groupCol: String,
+      targetBp: Map[String, Long]): DataFrame = {
+    require(targetBp.nonEmpty, "quotaSample: empty target")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count() // one driver scalar — the quota base
+    val quotas = targetBp.toSeq.toDF(groupCol, "__bp")
+      .withColumn("__quota", expr(s"($total * __bp) DIV 10000"))
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(groupCol))
+      .withColumn("__mk", md5(concat(lit("quota:"), col("__id").cast("string"))))
+    Ranks.rankWithinGroup(base, Seq(groupCol), Seq("__mk", "__id"))
+      .join(broadcast(quotas), groupCol)
+      .filter(col("__gr") <= col("__quota"))
+      .select(col("__id").as(idCol), col(groupCol),
+        col("__gr").as("rank_in_group"), col("__quota").as("quota"))
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005, public): `d`
     * independent hash rows of `w` counters each — the bounded-memory
     * frequency summary behind heavy-hitter stats (vocab counts, hot
