@@ -1824,6 +1824,44 @@ object QueriesLLM {
             col("n_tokens").cast("long").as("n_tokens")))
         .orderBy("stage")
     },
+    // ---- incremental OOV audit: a NEW batch scored against the
+    // ACCUMULATED vocab store (q251's vocabGrowthAppend state) — the
+    // ingest-time "how novel is this feed" signal, q313's streaming-age
+    // sibling. Two md5-split batches build the store; the third probes ----
+    "q319_oov_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val hv = conv(substring(md5(concat(lit("oov:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 3L
+      val work = tempWorkDir("graft_q319_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tok")))
+      def toksOf(b: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.tokens(b, "doc_id", "text").filter(col("tok") =!= "")
+      TextAnalysis.vocabGrowthAppend(ps, "v", toksOf(d.filter(hv === 0L)),
+        "tok", epoch = 1L)
+      TextAnalysis.vocabGrowthAppend(ps, "v", toksOf(d.filter(hv === 1L)),
+        "tok", epoch = 2L)
+      // the fixture's 31-token vocabulary is fully covered by two
+      // batches, so the probe plants one genuinely-novel doc-specific
+      // token per doc_id % 7 == 0 doc (mirrored in the oracle) — the
+      // audit must MEASURE novelty, not assert zero
+      val probe = toksOf(d.filter(hv === 2L)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" nv"), col("doc_id").cast("string")))
+              .otherwise(col("text")).as("text")))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val vocab = ps.readPart("v").get.select("tok")
+      probe.join(vocab.withColumn("__in", lit(1)), Seq("tok"), "left")
+        .agg(sum(col("cnt")).as("n_occ"),
+          sum(when(col("__in").isNull, col("cnt")).otherwise(0L))
+            .as("n_oov_occ"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+        .select(col("n_occ"), col("n_oov_occ"), col("n_types"),
+          col("n_oov_types"),
+          expr("10000 * n_oov_occ DIV n_occ").as("oov_bp"))
+    },
     // ---- vocabulary-size planning: OOV rate at candidate vocab caps —
     // rank types by frequency (globalDenseRank, no global window), then
     // for each cap the occurrence coverage the truncated vocab buys.
@@ -8266,6 +8304,44 @@ object QueriesLLM {
          SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens
          FROM tk ORDER BY stage""",
+    // q319: vocab = distinct tokens of the first two md5 batches; the
+    // third batch's occurrences/types split by membership
+    "q319_oov_incremental" -> {
+      val split = md5Ladder32("'oov:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH sp AS (
+           SELECT doc_id, text, CAST(($split) % 3 AS BIGINT) AS h
+           FROM documents),
+         vt AS (
+           SELECT DISTINCT toks[i] AS tok
+           FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks,
+             unnest(generate_series(1,
+               len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+             FROM sp WHERE h < 2)
+           WHERE toks[i] <> ''),
+         p3 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' nv' || CAST(doc_id AS VARCHAR)
+               ELSE text END AS text
+           FROM sp WHERE h = 2),
+         pr AS (
+           SELECT toks[i] AS tok, count(*) AS cnt
+           FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks,
+             unnest(generate_series(1,
+               len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+             FROM p3)
+           WHERE toks[i] <> ''
+           GROUP BY 1)
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_occ,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_oov_occ,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_types,
+           CAST(10000 * sum(CASE WHEN v.tok IS NULL THEN cnt ELSE 0 END)
+             // sum(cnt) AS BIGINT) AS oov_bp
+         FROM pr LEFT JOIN vt v USING (tok)"""
+    },
     // q313: rank types by (cnt DESC, tok), coverage per cap
     "q313_oov_coverage" ->
       s"""WITH $ToksCte,
