@@ -1701,11 +1701,20 @@ object Dedup {
       // next doc's problem in a streaming cut; here they just end)
       .filter(col("__last") === col("pos") + (w - 1))
       .select(col("doc_id"), col("pos").as("t"), col("__mh"))
-    // rightmost occurrence of the window's min: constant w-fanout join
-    val fp = wins.join(grams.select(col("doc_id"), col("pos"), col("h")),
-        Seq("doc_id"))
-      .filter(col("pos").between(col("t"), col("t") + (w - 1)) &&
-        col("h") === col("__mh"))
+    // rightmost occurrence of the window's min. The window explodes into
+    // its w member positions FIRST so the join is an equi-join on
+    // (doc_id, pos) — true constant-w fanout (|wins|·w rows enumerated,
+    // ≤w matches per window). A doc_id-only join with the position range
+    // as a post-filter would enumerate |wins|·|grams| ≈ L² pairs inside
+    // each doc's task — quadratic in doc LENGTH, which the sf ladder
+    // (scaling doc count) never sees; one book-length doc would be
+    // 10^10+ pair enumerations in a single task.
+    val winPos = wins.select(col("doc_id"), col("t"), col("__mh"),
+      explode(sequence(col("t"), col("t") + (w - 1))).as("pos"))
+    val fp = winPos
+      .join(grams.select(col("doc_id"), col("pos"), col("h")),
+        Seq("doc_id", "pos"))
+      .filter(col("h") === col("__mh"))
       .groupBy("doc_id", "t")
       .agg(max(col("pos")).as("pos"), max(col("h")).as("h"))
     fp.select(col("doc_id"), col("h"), col("pos").cast("long").as("pos"))

@@ -128,6 +128,22 @@ class QueriesPlanSpec extends SparkSpec {
         s"window not keyed by $key:\n$plan")
     }
 
+  test("q311 winnowing resolver equi-joins on (doc_id, pos), never doc_id alone") {
+    // a doc_id-only join with the position range as a post-filter
+    // enumerates |wins|·|grams| ≈ L² pairs inside one doc's task —
+    // quadratic in doc LENGTH, invisible to the sf ladder (which scales
+    // doc count). The resolver must carry pos in the equi-join keys.
+    val df = SparkEntry.queries("q311_winnowing")(spark, dir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val joins = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joins.nonEmpty, s"expected the resolver join in:\n$plan")
+    assert(joins.forall(l => l.contains("pos")),
+      s"resolver join keys missing pos:\n$plan")
+  }
+
   test("q185 bucketed join shuffles NEITHER fact side when broadcast is off") {
     // at gate SF Catalyst (correctly) broadcasts the small side, which
     // hides what bucketing buys; disabling auto-broadcast simulates the
