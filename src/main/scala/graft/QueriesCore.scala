@@ -400,6 +400,76 @@ object QueriesCore {
           (col("seen_at") <=> col("seen_at_nyc")).as("tz_invariant"))
         .orderBy("doc_id")
     },
+    // ---- A2-attribute (plugin_api_attribute.py:1-37): the attribute-side
+    // harvest plugin API end-to-end — a register()ed AttributeSource
+    // resolves through the registry and the `harvest-attributes` CLI verb,
+    // lands in the AttributeStore via the job-logged staged transfer, and
+    // the curr-ptr view over the harvested history matches the oracle.
+    // ServiceLoader drop-in discovery for the same contract is spec-covered
+    // (AttributeSourceSpec — test-resources META-INF/services can't reach
+    // the Verify classpath) ----
+    "q320_attr_plugin" -> { (s, dir) =>
+      import graft.sources.{AttributeSources, CsvAttributeSource, CsvSourceConfig}
+      val work = java.nio.file.Files.createTempDirectory("graft_q320_").toString
+      events(s, dir).filter(pmod(col("event_id"), lit(5)) === 0).select(
+          col("user_id").as("node"),
+          date_format(timestamp_seconds(col("ts_sec")), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          // uid rides along as a data column so the gate's output keys on
+          // a value DuckDB can reproduce (entity_id is the resolver hash)
+          col("user_id").as("uid"), col("event_id"), col("event_type"))
+        .coalesce(4)
+        .write.mode("overwrite").option("header", "true").csv(s"$work/drop")
+      AttributeSources.register(CsvAttributeSource.plugin(
+        CsvSourceConfig("node", Some("ts"),
+          timestampFormat = "yyyy-MM-dd HH:mm:ss"), "csv_node_q320"))
+      val devNull = new java.io.PrintStream(java.io.OutputStream.nullOutputStream())
+      Console.withOut(devNull) {
+        graft.cli.Main.run(List("harvest-attributes", "csv_node_q320",
+          s"$work/drop", s"$work/store", "node_attrs"))
+      }
+      val hist = new graft.storage.AttributeStore(
+        s, s"$work/store/node_attrs").history.get
+      AttributeOps.currentPtr(hist, "entity_id", Seq("timestamp", "event_id"))
+        .select(col("uid").cast("long").as("uid"),
+          col("timestamp").as("ts_sec"),
+          col("event_id").cast("long").as("event_id"), col("event_type"))
+        .orderBy("uid")
+    },
+    // ---- Entity tags / tag groups (directory/tag.py:1-6, taggroup.py:1-5,
+    // attribute/tag.py tag_attributes/flush_tag_links): idempotent
+    // case-insensitive link insert (the replay must add 0 links), flush of
+    // one tag, then a TAG-SCOPED entity aggregation — the reference's
+    // "run this rollup over the tagged entity set". The scope is a
+    // broadcast semi-join, so tagging adds no shuffle to the rollup ----
+    "q321_entity_tags" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q321_").toString
+      val tags = new graft.storage.TagDirectory(s, work)
+      val c = load(s, dir, "customer")
+      val segLinks = c.select(lit("segment").as("tag_group"),
+        col("c_mktsegment").as("tag"), col("c_custkey").as("entity_id"))
+      val vipLinks = c.filter(col("c_acctbal") > 9000).select(
+        lit("value").as("tag_group"), lit("VIP").as("tag"),
+        col("c_custkey").as("entity_id"))
+      tags.tagEntities(segLinks.unionByName(vipLinks))
+      val replay = tags.tagEntities(segLinks) // idempotent: adds nothing
+      require(replay == 0L, s"tag replay added $replay links")
+      tags.flushTag("MACHINERY")
+      require(tags.entitiesWithTag("machinery").isEmpty,
+        "flushTag left machinery links behind")
+      val o = load(s, dir, "orders")
+      val scoped = tags.scope(
+        o.withColumn("bucket",
+          expr("((o_orderdate div 1000000000) div 86400) div 1024")),
+        "building", "o_custkey")
+      val rel = c.select(col("c_custkey").as("source_id"),
+        col("c_nationkey").cast("long").as("target_id"))
+      EntityAggregation.aggregate(scoped, rel, "o_custkey", "bucket",
+          Seq(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents")))
+        .select(col("entity_id").as("nation_id"),
+          col("timestamp").as("bucket"), col("n_orders"), col("sum_cents"))
+        .orderBy("nation_id", "bucket")
+    },
     "q46_csv_ingest" -> { (s, dir) =>
       import graft.core.MinervaType
       import graft.sources.{CsvSourceConfig, CsvTrendSource}
@@ -2519,6 +2589,27 @@ object QueriesCore {
         s"""SELECT user_id AS entity_id, $ts AS ts_sec, event_id, value,
              event_type, CAST(1 AS BIGINT) AS job_id
            FROM events WHERE event_id % 4 = 0 ORDER BY event_id""",
+      // q320: the harvested history is the 20% event slice; curr-ptr =
+      // latest (timestamp, event_id) per entity. uid mirrors the identifier
+      // column — entity_id itself is the resolver hash, Spark-side only.
+      "q320_attr_plugin" ->
+        s"""SELECT user_id AS uid, $ts AS ts_sec, event_id, event_type
+           FROM events WHERE event_id % 5 = 0
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY $ts DESC, event_id DESC) = 1
+           ORDER BY uid""",
+      // q321: links = lower(segment) per customer ∪ vip(acctbal>9000),
+      // machinery flushed; the scoped rollup keeps only BUILDING-tagged
+      // customers' orders, aggregated to nation × epoch-day bucket.
+      "q321_entity_tags" ->
+        """SELECT CAST(c_nationkey AS BIGINT) AS nation_id,
+             ((epoch_ns(o_orderdate)//1000000000)//86400)//1024 AS bucket,
+             count(*) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE lower(c_mktsegment) = 'building'
+           GROUP BY 1, 2 ORDER BY 1, 2""",
       "q48_array_ingest" ->
         s"""SELECT event_id AS entity_id, $ts AS ts_sec,
              CAST(2 AS INT) AS n_vals,

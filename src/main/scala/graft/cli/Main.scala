@@ -173,6 +173,38 @@ object Main {
     stores.find(st => st.title == source ||
       st.parts.exists(p => parts.exists(_.source == p.name)))
 
+  /** Shared attribute-harvest chain (package → entity resolution →
+    * job-logged staged transfer) behind both `load-attributes` (built-in
+    * CSV plugin) and `harvest-attributes <plugin>` (registry lookup) —
+    * the attribute twin of the trend `harvest` chain. */
+  private def harvestAttributes(
+      s: org.apache.spark.sql.SparkSession, src: graft.sources.AttributeSource,
+      path: String, base: String, storeName: String, jobDesc: String): Unit = {
+    val pkg = src.read(s, path)
+    val dim = pkg.sparkSession.createDataFrame(
+      pkg.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+    val pkgS = pkg.withColumn("entity", col("entity").cast("string"))
+    val resolved = EntityResolution.resolveHash(
+      pkgS.select(col("entity").as("name")), dim, "default")
+    val now = System.currentTimeMillis() / 1000
+    val jobLog = new graft.storage.JobLog(s, base)
+    val jobId = jobLog.startJob(jobDesc, now)
+    val batch = pkgS.join(resolved, pkgS("entity") === resolved("name"))
+      .drop("entity", "name")
+      .withColumnRenamed("id", "entity_id")
+      .withColumn("job_id", lit(jobId))
+      .persist() // one source read serves both the write and the row count
+    val store = new graft.storage.AttributeStore(s, s"$base/$storeName")
+    store.transferStaged(batch, now)
+    val nRows = batch.count()
+    batch.unpersist()
+    jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
+    println(s"""{"loaded_rows":$nRows,"store":"$storeName","job_id":$jobId,"plugin":"${src.name}"}""")
+  }
+
   /** Exit with `code` without killing the JVM: commands signal failure by
     * throwing [[CliExit]], `main` converts it to a process exit, and tests
     * call [[run]] directly and intercept it — CLI error paths become
@@ -253,35 +285,32 @@ object Main {
       println(s"""{"loaded_partitions":$n,"part":"$part","job_id":$jobId,"plugin":"$plugin"}""")
 
     // Attribute harvest path (plugin_api_attribute.py + attribute
-    // DataPackage): CSV → typed package → entity resolution → staging
-    // transfer into the attribute store, job-logged like trend loads.
+    // DataPackage): typed package → entity resolution → staging transfer
+    // into the attribute store, job-logged like trend loads. Routed
+    // through the AttributeSource plugin registry — load-attributes is
+    // the built-in CSV plugin with an explicit per-file config, exactly
+    // how the reference's CSV parser serves plugin_api_attribute.
     case "load-attributes" :: csv :: idCol :: tsCol :: base :: storeName :: Nil =>
       val s = spark()
-      val cfg = CsvSourceConfig(idCol, Some(tsCol))
-      val schema = CsvTrendSource.deduceSchemaDistributed(s, csv, cfg)
-        .map { case (c, t) => if (c == tsCol) c -> MinervaType.MTimestamp else c -> t }
-      val pkg = CsvTrendSource.read(s, csv, cfg, schema)
-      val dim = pkg.sparkSession.createDataFrame(
-        pkg.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
-      val resolved = EntityResolution.resolveHash(
-        pkg.select(col("entity").as("name")), dim, "default")
-      val now = System.currentTimeMillis() / 1000
-      val jobLog = new graft.storage.JobLog(s, base)
-      val jobId = jobLog.startJob(s"load-attributes $csv -> $storeName", now)
-      val batch = pkg.join(resolved, pkg("entity") === resolved("name"))
-        .drop("entity", "name")
-        .withColumnRenamed("id", "entity_id")
-        .withColumn("job_id", lit(jobId))
-        .persist() // one CSV read serves both the write and the row count
-      val store = new graft.storage.AttributeStore(s, s"$base/$storeName")
-      store.transferStaged(batch, now)
-      val nRows = batch.count()
-      batch.unpersist()
-      jobLog.endJob(jobId, System.currentTimeMillis() / 1000)
-      println(s"""{"loaded_rows":$nRows,"store":"$storeName","job_id":$jobId}""")
+      val src = graft.sources.CsvAttributeSource.plugin(
+        CsvSourceConfig(idCol, Some(tsCol)))
+      harvestAttributes(s, src, csv, base, storeName,
+        s"load-attributes $csv -> $storeName")
+
+    // Attribute harvest through a NAMED plugin (reference
+    // plugin_api_attribute.py + harvest/plugins.py entry points): resolves
+    // built-ins, register()ed vendor sources, AND ServiceLoader-discovered
+    // jar drop-ins (META-INF/services/graft.sources.AttributeSource) —
+    // the attribute twin of the trend-side `harvest` verb.
+    case "harvest-attributes" :: plugin :: path :: base :: storeName :: Nil =>
+      val s = spark()
+      val src = graft.sources.AttributeSources.get(plugin).getOrElse {
+        System.err.println(s"no such attribute harvest plugin: $plugin " +
+          s"(available: ${graft.sources.AttributeSources.names.mkString(", ")})")
+        exit(2); null
+      }
+      harvestAttributes(s, src, path, base, storeName,
+        s"harvest-attributes $plugin $path -> $storeName")
 
     // `minerva aggregation compile` (commands/aggregation.py:123-140 +
     // aggregation_compilation.py:562-599): read an aggregation definition,
@@ -1473,6 +1502,7 @@ object Main {
            |  load-data <csv> <identifierCol> <timestampCol> <storeBase> <part> [partitionSizeSec]
            |  harvest <plugin> <path> <storeBase> <part> [partitionSizeSec]
            |  load-attributes <csv> <identifierCol> <timestampCol> <storeBase> <attrStore>
+           |  harvest-attributes <plugin> <path> <storeBase> <attrStore>
            |  aggregation-compile <instanceDir> <aggregationYaml>
            |  aggregation-compile-all <instanceDir>
            |  aggregation-generate <instanceDir> [storeTitle...]
