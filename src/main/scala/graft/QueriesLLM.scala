@@ -1723,6 +1723,18 @@ object QueriesLLM {
           minShared = 2, maxDocFreq = 50)
         .orderBy("id1", "id2")
     },
+    // ---- the MOSS family closed end-to-end (r15 verdict item 7):
+    // winnowing fingerprints → df-capped candidate pairs → exact
+    // k-gram-Jaccard verification → star-contraction components →
+    // kept/dup fate ledger (q318 convention). The keeper SET is
+    // oracle-replayed: same grams, same caps, recursive min-label
+    // reach over the same verified edges ----
+    "q322_winnow_keepers" -> { (s, dir) =>
+      Dedup.winnowKeepers(docs(s, dir), "doc_id", "text",
+          k = 4, w = 5, minShared = 2, maxDocFreq = 50,
+          tauNum = 1, tauDen = 4)
+        .orderBy("doc_id")
+    },
     // ---- quota rebalancing: md5-first admission per source until the
     // target-composition quota fills; short groups contribute all they
     // have (src3's 800 bp quota exceeds its rows at every sf) ----
@@ -8199,6 +8211,62 @@ object QueriesLLM {
            GROUP BY 1, 2)
          SELECT id1, id2, CAST(shared_fp AS BIGINT) AS shared_fp
          FROM pr WHERE shared_fp >= 2 ORDER BY id1, id2"""
+    },
+    // q322: full MOSS replay — q311's gram/window CTEs, q316's df-capped
+    // pair tier, exact gram-set Jaccard at 1/4 in integers, recursive
+    // min-label reach over the verified edges (the q61/q113 CC oracle)
+    "q322_winnow_keepers" -> {
+      s"""WITH RECURSIVE dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             (${hv32Sql("", "array_to_string(toks[i:i+3], ' ')")}) AS h
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         hs AS (SELECT DISTINCT doc_id, mh AS h FROM fullw),
+         dfq AS (SELECT h FROM hs GROUP BY 1 HAVING count(*) <= 50),
+         kept AS (SELECT hs.doc_id, hs.h FROM hs JOIN dfq USING (h)),
+         pr AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM kept a JOIN kept b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         gs AS (SELECT DISTINCT doc_id, h FROM grams),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM gs GROUP BY 1),
+         iv AS (
+           SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS i
+           FROM pr p
+           JOIN gs a ON a.doc_id = p.id1
+           JOIN gs b ON b.doc_id = p.id2 AND b.h = a.h
+           GROUP BY 1, 2),
+         ver AS (
+           SELECT iv.id1, iv.id2
+           FROM iv
+           JOIN sz s1 ON s1.doc_id = iv.id1
+           JOIN sz s2 ON s2.doc_id = iv.id2
+           WHERE iv.i * 4 >= 1 * (s1.n + s2.n - iv.i)),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM ver
+           UNION SELECT id2, id1 FROM ver),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper,
+           CASE WHEN min(label) = id THEN 'kept' ELSE 'dup' END AS fate
+         FROM reach GROUP BY id ORDER BY doc_id"""
     },
     // q317: per-source md5 row_number against floor-quotas of the total
     "q317_quota_sample" ->

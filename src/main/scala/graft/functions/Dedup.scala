@@ -1674,12 +1674,14 @@ object Dedup {
     * invariant); the window→rightmost-min resolution is a constant
     * w-fanout self-join, not a second window. Output: one row per
     * distinct (doc, fingerprint hash, position). */
-  def winnowFingerprints(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5): DataFrame = {
-    require(k >= 1 && w >= 1, s"winnowFingerprints: k,w >= 1, got $k,$w")
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs
+  /** The winnowing k-gram tier — (doc_id, pos, h) rows of 32-bit hashed
+    * word k-grams (anchorGrams rules: consecutive positions, no empty
+    * tokens). Shared by [[winnowFingerprints]] (window mins + resolver)
+    * and [[winnowKeepers]] (exact-Jaccard verification against the same
+    * gram universe the fingerprints sampled). */
+  private def winnowGrams(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
       .select(col(idCol).cast("long").as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
@@ -1691,6 +1693,13 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(concat_ws(" ", col("gram"))), 1, 8), 16, 10)
           .cast("long").as("h"))
+
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k,w >= 1, got $k,$w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = winnowGrams(docs, idCol, textCol, k)
       .localCheckpoint() // feeds both the window mins and the resolver
     val dw = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
@@ -1742,6 +1751,51 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
+  }
+
+  /** The full MOSS pipeline closed to a KEEPER ledger: winnowing
+    * fingerprints → df-capped candidate pairs ([[winnowPairs]]) →
+    * EXACT k-gram-Jaccard verification of each candidate (distinct gram
+    * hashes — the same universe the fingerprints sampled, so verification
+    * never re-tokenizes differently) → star-contraction components over
+    * the verified pairs → per-doc fate `kept`/`dup` (the q318 drop-ledger
+    * convention; keeper = component minimum).
+    *
+    * Scale shape: the expensive tier is candidate generation, already
+    * hash-bucketed and doc-frequency-capped; verification touches ONLY
+    * candidate pairs (each a bounded gram-set intersect, ≤ doc length),
+    * and the component stage is O(log n) star rounds. Nothing here is
+    * all-pairs or per-doc quadratic. Threshold is the exact rational
+    * tauNum/tauDen compared in integers — no float enters the keep/drop
+    * decision. */
+  def winnowKeepers(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2, maxDocFreq: Int = 50,
+      tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum >= 0 && tauDen >= 1,
+      s"winnowKeepers: threshold $tauNum/$tauDen invalid")
+    val gramSets = winnowGrams(docs, idCol, textCol, k)
+      .select(col("doc_id"), col("h")).distinct()
+      .localCheckpoint() // feeds both per-doc set sizes and the verify join
+    val cand = winnowPairs(
+      winnowFingerprints(docs, idCol, textCol, k, w), minShared, maxDocFreq)
+    val sets = gramSets.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("__hs"), count(lit(1)).as("__n"))
+    val verified = cand
+      .join(sets.select(col("doc_id").as("id1"), col("__hs").as("__h1"),
+        col("__n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("__hs").as("__h2"),
+        col("__n").as("n2")), "id2")
+      .withColumn("inter",
+        size(array_intersect(col("__h1"), col("__h2"))).cast("long"))
+      .filter(col("inter") * tauDen >=
+        lit(tauNum) * (col("n1") + col("n2") - col("inter")))
+      .select("id1", "id2")
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    connectedKeepersStar(ids, "doc_id", verified)
+      .select(col("doc_id"), col("keeper").cast("long").as("keeper"),
+        when(col("doc_id") === col("keeper"), "kept").otherwise("dup")
+          .as("fate"))
   }
 
   /** 16-bit SimHash from token md5 nibbles: per-bit ±1 votes over tokens,

@@ -1020,6 +1020,36 @@ class CurationSpec extends SparkSpec {
     assert(fp.toSet == fp2.toSet)
   }
 
+  test("winnowKeepers: verified chain collapses to one keeper; " +
+      "candidates failing Jaccard stay kept") {
+    // doc1 = A, doc2 = A·B, doc3 = B: J(1,2) = J(2,3) = 13/29 ≈ 0.45 ≥ 1/3
+    // but J(1,3) = 0 — a true CHAIN with no direct 1–3 pair; components
+    // must still collapse all three to keeper 1. Doc 4 shares one 8-token
+    // run (= w+k−1 → a GUARANTEED shared fingerprint candidate with 1)
+    // but gram-Jaccard ≈ 0.15 < 1/3 — verification must reject it.
+    // Doc 5 is disjoint filler.
+    val a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val b = (1 to 16).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, a),
+      (2L, s"$a $b"),
+      (3L, b),
+      (4L, "a1 a2 a3 a4 a5 a6 a7 a8 " +
+        (1 to 20).map(i => s"q$i").mkString(" ")),
+      (5L, (1 to 15).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowKeepers(d, "doc_id", "text",
+        k = 4, w = 5, minShared = 1, maxDocFreq = 50,
+        tauNum = 1, tauDen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(1L) == ((1L, "kept")))
+    assert(out(2L) == ((1L, "dup")))
+    assert(out(3L) == ((1L, "dup"))) // via the chain, not a direct pair
+    assert(out(4L) == ((4L, "kept"))) // candidate, but verify rejects
+    assert(out(5L) == ((5L, "kept")))
+  }
+
   test("calibrationBins: clamped fixed-width bins, exact pieces") {
     val scored = Seq(
       (1L, -9.0, 0L), // clamps into bin 0
