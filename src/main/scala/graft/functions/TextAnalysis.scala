@@ -270,8 +270,15 @@ object TextAnalysis {
         .unionByName(bc)
         .groupBy("tri").agg(sum("c3").as("c3"))
     }
-    ps.store(part, merged
-      .withColumn("timestamp", pmod(crc32(col("tri")), lit(1024L)))
+    // The model is bounded (≤ 27³ trigram rows) at ANY corpus scale, so
+    // it lives in ONE partition dir, and the merged frame above IS the
+    // part's complete new state — replacePart publishes it through one
+    // staged swap. ps.store() here would re-read the part and upsert-
+    // merge a second time (an extra read + shuffle per batch for a
+    // provable no-op), and a crc-spread timestamp would fan the tiny
+    // model across 16 partition dirs of sliver files.
+    ps.replacePart(part, merged
+      .withColumn("timestamp", lit(0L))
       .withColumn("modified", lit(modified)))
     ()
   }

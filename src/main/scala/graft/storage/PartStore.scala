@@ -526,28 +526,53 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   def rewritePart(part: String, transform: DataFrame => DataFrame): Int =
     withWriterLease(part) { readPart(part) match {
       case None => 0
-      case Some(df0) =>
-        val df = transform(df0)
-        val indices = df.select("pindex").distinct().collect().map(_.getLong(0)).sorted
-        val rewriteDir = path(part) + "__rewrite"
-        fs.delete(hp(rewriteDir), true)
-        df.repartition(col("pindex"))
-          .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(rewriteDir)
-        SchemaSidecar.write(fs, rewriteDir, df.schema)
-        // a rewrite knows the FULL new contents, so zones recompute
-        // exactly (not widen) and ride the same whole-dir swap
-        zonesOf(rewriteDir).foreach(z => ZoneSidecar.write(fs, rewriteDir, z))
-        val aside = hp(s"$basePath/.${part}_old")
-        if (fs.exists(aside)) fs.delete(aside, true)
-        if (!fs.rename(hp(path(part)), aside))
-          throw new java.io.IOException(s"failed to move aside ${path(part)}")
-        if (!fs.rename(hp(rewriteDir), hp(path(part)))) {
-          fs.rename(aside, hp(path(part))) // roll back
-          throw new java.io.IOException(s"failed to swap in $rewriteDir")
-        }
-        fs.delete(aside, true)
-        indices.length
+      case Some(df0) => publishWhole(part, transform(df0))
     } }
+
+  /** Publish `df` as a part's COMPLETE new contents: staged write of the
+    * whole directory, exact zone recompute, near-atomic whole-dir swap
+    * with rollback. Callers hold the writer lease. */
+  private def publishWhole(part: String, df0: DataFrame): Int = {
+    val df = if (df0.columns.contains("pindex")) df0 else withPindex(df0)
+    val rewriteDir = path(part) + "__rewrite"
+    fs.delete(hp(rewriteDir), true)
+    df.repartition(col("pindex"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(rewriteDir)
+    // indices from the STAGED dir listing, not a distinct().collect() on
+    // the plan — that would EXECUTE the full merge plan a second time
+    // just to count partitions the write already materialized
+    val indices = fs.listStatus(hp(rewriteDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("pindex="))
+      .map(_.stripPrefix("pindex=").toLong).sorted
+    SchemaSidecar.write(fs, rewriteDir, df.schema)
+    // a rewrite knows the FULL new contents, so zones recompute
+    // exactly (not widen) and ride the same whole-dir swap
+    zonesOf(rewriteDir).foreach(z => ZoneSidecar.write(fs, rewriteDir, z))
+    val aside = hp(s"$basePath/.${part}_old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    val existed = fs.exists(hp(path(part)))
+    if (existed && !fs.rename(hp(path(part)), aside))
+      throw new java.io.IOException(s"failed to move aside ${path(part)}")
+    if (!fs.rename(hp(rewriteDir), hp(path(part)))) {
+      if (existed) fs.rename(aside, hp(path(part))) // roll back
+      throw new java.io.IOException(s"failed to swap in $rewriteDir")
+    }
+    if (existed) fs.delete(aside, true)
+    indices.length
+  }
+
+  /** Full-content REPLACE: publish `df` as the part's complete new
+    * contents through the same staged-write + whole-dir swap as
+    * [[rewritePart]], creating the part if absent — WITHOUT reading or
+    * merging the existing contents. For model-sized parts (bounded
+    * count/sketch stores — char-LM trigrams, codebooks) whose maintainers
+    * already computed the full merged state: `store()` would re-read the
+    * part and run the upsert merge a second time against contents the
+    * caller just folded in, paying an extra read + shuffle per batch for
+    * a provable no-op. Same single-writer lease as every other write. */
+  def replacePart(part: String, df: DataFrame): Int =
+    withWriterLease(part) { publishWhole(part, df) }
 
   /** Parts physically present under the store base — any non-hidden
     * directory except internal logs (`_modified_log` etc.). One driver-side
