@@ -2241,6 +2241,38 @@ object QueriesLLM {
     // ---- BPE encoding: per-doc piece counts after the q187-learned
     // merges — corpus tokens join the segmented vocab (encode is a
     // broadcast-size lookup, never a per-doc merge replay) ----
+    // ---- BPE ENCODE against a STORED rule list (the inference half the
+    // train-side gates leave open): merges learned on the even-doc half,
+    // replayed by bpeApply over the FULL corpus — held-out words (n_oov
+    // > 0 proves they exist) segment under the same rules, which a
+    // memoized word→pieces vocab cannot do ----
+    "q323_bpe_apply" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val train = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      // every odd doc gets one planted word the trainer never saw — the
+      // fixture's even/odd halves otherwise share their whole vocabulary
+      // and the held-out claim would be vacuous (n_oov must be > 0)
+      val enc = d.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 1,
+          concat(col("text"), lit(" oovword"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      // bounded control-plane read: the trainer's own ≤3-row rule list
+      val rules = TextAnalysis.bpeTrain(train, "doc_id", "text", nMerges = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = TextAnalysis.bpeApply(enc, "doc_id", "text", rules)
+        .select(col("word"), size(col("toks")).cast("long").as("__np"))
+      val trainVocab = TextAnalysis.tokens(train, "doc_id", "text")
+        .filter(col("tok") =!= "").select(col("tok").as("__tw")).distinct()
+      TextAnalysis.tokens(enc, "doc_id", "text").filter(col("tok") =!= "")
+        .join(broadcast(seg), col("tok") === col("word"))
+        .join(broadcast(trainVocab), col("tok") === col("__tw"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("__np").as("n_pieces"),
+          sum(when(col("__tw").isNull, 1L).otherwise(0L)).as("n_oov_words"))
+        .orderBy("doc_id")
+    },
     "q188_bpe_tokens" -> { (s, dir) =>
       val d = docs(s, dir)
       val vocab = TextAnalysis.bpeVocab(d, "doc_id", "text", nMerges = 3)
@@ -4821,6 +4853,49 @@ object QueriesLLM {
                list(CASE WHEN taken THEN t || nxt ELSE t END ORDER BY pos)
                  AS toks
              FROM u$n WHERE NOT consumed GROUP BY 1, 2)"""
+
+  /** Apply-variant of [[bpeStepCte]] (q323): the same explode/run-parity/
+    * merge chain but driven by a GIVEN one-row merge CTE (`mergeFrom`,
+    * columns l/r — e.g. the train chain's m1) instead of computing the
+    * argmax of its own vocab — the oracle form of bpeApply's stored-rule
+    * replay. Emits ae/ao/anr/ar/ars/at/au prefixed with $n and the output
+    * vocab CTE `v$n`. */
+  private def bpeApplyStepCte(vp: String, mergeFrom: String, n: Int): String =
+    s"""ae$n AS (
+             SELECT word, freq, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS t,
+               CASE WHEN u.i < len(toks) THEN toks[u.i + 1] END AS nxt
+             FROM $vp CROSS JOIN
+               unnest(generate_series(1, len(toks))) AS u(i)),
+           ao$n AS (
+             SELECT e.word, e.freq, e.pos, e.t, e.nxt, m.l AS ml, m.r AS mr,
+               coalesce(e.t = m.l AND e.nxt = m.r, false) AS occ
+             FROM ae$n e CROSS JOIN $mergeFrom m),
+           anr$n AS (
+             SELECT *, CASE WHEN occ AND NOT coalesce(
+                 lag(occ) OVER (PARTITION BY word ORDER BY pos), false)
+               THEN 1 ELSE 0 END AS newRun
+             FROM ao$n),
+           ar$n AS (
+             SELECT *, sum(newRun) OVER (PARTITION BY word ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS runId
+             FROM anr$n),
+           ars$n AS (
+             SELECT word, runId, min(pos) AS runStart
+             FROM ar$n WHERE occ GROUP BY 1, 2),
+           at$n AS (
+             SELECT a.*, coalesce(a.occ AND (a.ml <> a.mr
+                 OR (a.pos - b.runStart) % 2 = 0), false) AS taken
+             FROM ar$n a LEFT JOIN ars$n b
+               ON a.word = b.word AND a.runId = b.runId),
+           au$n AS (
+             SELECT *, coalesce(lag(taken) OVER (PARTITION BY word
+               ORDER BY pos), false) AS consumed
+             FROM at$n),
+           v$n AS (
+             SELECT word, freq,
+               list(CASE WHEN taken THEN t || nxt ELSE t END ORDER BY pos)
+                 AS toks
+             FROM au$n WHERE NOT consumed GROUP BY 1, 2)"""
 
   private val NearDupReachCte =
     s"""RECURSIVE $ToksCte,
@@ -9027,6 +9102,47 @@ object QueriesLLM {
          ORDER BY step""",
     // BPE encode: the q187 chain's FINAL vocab joined back to corpus
     // tokens — per-doc word and piece counts.
+    // q323: train chain on the even-doc vocab emits m1..m3; the apply
+    // chain replays them over the FULL-corpus vocab (a0 → v11 → v12 →
+    // v13); OOV = corpus words absent from the train token set
+    "q323_bpe_apply" ->
+      s"""WITH mods AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1
+               THEN text || ' oovword' || CAST(doc_id AS VARCHAR)
+               ELSE text END AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM mods),
+         ttoks AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         tv0 AS (
+           SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(tok)),
+               i -> substring(tok, i, 1)) AS toks
+           FROM ttoks WHERE tok <> '' GROUP BY 1),
+         ${bpeStepCte("tv0", 1)},
+         ${bpeStepCte("v1", 2)},
+         ${bpeStepCte("v2", 3)},
+         a0 AS (
+           SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(tok)),
+               i -> substring(tok, i, 1)) AS toks
+           FROM toks WHERE tok <> '' GROUP BY 1),
+         ${bpeApplyStepCte("a0", "m1", 11)},
+         ${bpeApplyStepCte("v11", "m2", 12)},
+         ${bpeApplyStepCte("v12", "m3", 13)},
+         tw AS (SELECT DISTINCT tok FROM ttoks WHERE tok <> '')
+         SELECT t.doc_id, count(*) AS n_words,
+           CAST(sum(len(v.toks)) AS BIGINT) AS n_pieces,
+           CAST(sum(CASE WHEN tw.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov_words
+         FROM toks t
+         JOIN v13 v ON t.tok = v.word
+         LEFT JOIN tw ON t.tok = tw.tok
+         WHERE t.tok <> ''
+         GROUP BY 1 ORDER BY 1""",
     "q188_bpe_tokens" ->
       s"""WITH $ToksCte,
          $BpeV0Cte,

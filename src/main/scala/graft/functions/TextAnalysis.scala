@@ -771,37 +771,85 @@ object TextAnalysis {
         // consecutive marked positions always belong to one same-symbol
         // run — so the single-merge run-parity machinery applies verbatim
         // with the multi-pair mark
-        val isAcc = acc.map { case (l, r, _) =>
-          col("t") === l && col("nxt") === r }.reduce(_ || _)
-        val selfPair = acc.filter { case (l, r, _) => l == r }
-          .map { case (l, _, _) => col("t") === l }
-          .foldLeft(lit(false))(_ || _)
-        val marked = occ
-          .withColumn("occ", isAcc)
-          .withColumn("newRun",
-            (col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
-              .cast("long"))
-          .withColumn("runId", sum(col("newRun")).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-        val runStarts = marked.filter(col("occ"))
-          .groupBy("word", "runId").agg(min("pos").as("runStart"))
-        val taken = marked.join(runStarts, Seq("word", "runId"), "left")
-          .withColumn("taken",
-            col("occ") && (!selfPair ||
-              pmod(col("pos") - col("runStart"), lit(2)) === 0))
-          .withColumn("consumed",
-            coalesce(lag(col("taken"), 1).over(w), lit(false)))
-        vocab = taken.filter(!col("consumed"))
-          .withColumn("out", when(col("taken"), concat(col("t"), col("nxt")))
-            .otherwise(col("t")))
-          .groupBy("word", "freq")
-          .agg(array_sort(collect_list(struct(col("pos"), col("out")))).as("a"))
-          .select(col("word"), col("freq"),
-            transform(col("a"), x => x("out")).as("toks"))
-          .localCheckpoint()
+        vocab = applyMergePass(vocab, acc.map { case (l, r, _) => (l, r) })
       }
     }
     (steps.result().toDF("step", "left", "right", "pair_freq"), vocab)
+  }
+
+  /** One greedy merge-application pass over a segmented vocab (word,
+    * freq, toks): merge every occurrence of the given symbol-disjoint
+    * pair set, greedy left-to-right via the run-parity windows (windows
+    * bounded by word length). Shared by the training loop and
+    * [[bpeApply]]. */
+  private def applyMergePass(
+      vocab: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("word").orderBy("pos")
+    val occ = vocab
+      .select(col("word"), col("freq"), posexplode(col("toks")).as(Seq("pos", "t")))
+      .withColumn("nxt", lead(col("t"), 1).over(w))
+    val isAcc = pairs.map { case (l, r) =>
+      col("t") === l && col("nxt") === r }.reduce(_ || _)
+    val selfPair = pairs.filter { case (l, r) => l == r }
+      .map { case (l, _) => col("t") === l }
+      .foldLeft(lit(false))(_ || _)
+    val marked = occ
+      .withColumn("occ", isAcc)
+      .withColumn("newRun",
+        (col("occ") && !coalesce(lag(col("occ"), 1).over(w), lit(false)))
+          .cast("long"))
+      .withColumn("runId", sum(col("newRun")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runStarts = marked.filter(col("occ"))
+      .groupBy("word", "runId").agg(min("pos").as("runStart"))
+    marked.join(runStarts, Seq("word", "runId"), "left")
+      .withColumn("taken",
+        col("occ") && (!selfPair ||
+          pmod(col("pos") - col("runStart"), lit(2)) === 0))
+      .withColumn("consumed",
+        coalesce(lag(col("taken"), 1).over(w), lit(false)))
+      .filter(!col("consumed"))
+      .withColumn("out", when(col("taken"), concat(col("t"), col("nxt")))
+        .otherwise(col("t")))
+      .groupBy("word", "freq")
+      .agg(array_sort(collect_list(struct(col("pos"), col("out")))).as("a"))
+      .select(col("word"), col("freq"),
+        transform(col("a"), x => x("out")).as("toks"))
+      .localCheckpoint()
+  }
+
+  /** ENCODE a corpus against a stored ordered merge-rule list (the
+    * [[bpeTrain]] output): segment every DISTINCT word of `df` by
+    * replaying the rules in rank order, one application pass per rule —
+    * the same pass the trainer ran, driven by the stored rule instead of
+    * the argmax. Two consequences, both by construction:
+    * encode(training corpus) is BIT-IDENTICAL to [[bpeVocab]]'s
+    * segmentation, and UNSEEN words — the held-out/inference case a
+    * memoized word→pieces vocab cannot cover — segment under exactly the
+    * rules the trainer learned. (One pass per rule is the trainer's
+    * application order; the classic encoder's re-scan for earlier-rank
+    * pairs created by later merges is a documented deviation shared with
+    * the training loop and its oracle.)
+    *
+    * Scale: cost ∝ |rules| × |distinct words of df| (windows bounded by
+    * word length) — never corpus-sized; the caller joins corpus tokens
+    * against the returned (word, freq, toks) with a broadcast. Rules are
+    * a bounded driver-side list (≤4096 — the trainer's own cap). */
+  def bpeApply(
+      df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 4096,
+      s"bpeApply: 1..4096 rules, got ${rules.size}")
+    var vocab = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .groupBy(col("tok").as("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), split(col("word"), "").as("toks"))
+      .localCheckpoint()
+    // rules apply one at a time: unlike a training round's accepted set
+    // they are not symbol-disjoint, so batching them would let later
+    // rules see pre-merge symbols
+    rules.foreach { rule => vocab = applyMergePass(vocab, Seq(rule)) }
+    vocab
   }
 
   /** Per-group robust location/scale: median and MAD (median absolute

@@ -422,6 +422,32 @@ class CurationSpec extends SparkSpec {
     assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("bpeApply: stored rules == trainer's segmentation on the training " +
+      "corpus; unseen words segment under the same rules") {
+    val train = Seq(
+      (1L, "abab abab abab ab ab"),
+      (2L, "aaaa aaaa")
+    ).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrain(train, "doc_id", "text", nMerges = 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    // encode(training corpus) ≡ bpeVocab, bit for bit
+    val fromVocab = TextAnalysis.bpeVocab(train, "doc_id", "text", nMerges = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val fromApply = TextAnalysis.bpeApply(train, "doc_id", "text", rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(fromApply == fromVocab)
+    // held-out words: rules (a,b)(a,a)(ab,ab) learned above apply to
+    // words the trainer never saw
+    val heldout = Seq((9L, "ababab ba aab zz")).toDF("doc_id", "text")
+    val seg = TextAnalysis.bpeApply(heldout, "doc_id", "text", rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("ababab") == Seq("abab", "ab")) // (a,b)×3 then (ab,ab) greedy
+    assert(seg("ba") == Seq("b", "a"))         // no rule matches
+    assert(seg("aab") == Seq("a", "ab"))       // (a,b) wins pos 1; (a,a) gone
+    assert(seg("zz") == Seq("z", "z"))         // fully OOV symbols
+  }
+
   test("bpeTrainBatched: batch=1 IS sequential greedy; batched rounds " +
       "equal sequential on disjoint rankings; 512 merges train") {
     val docs = Seq(
