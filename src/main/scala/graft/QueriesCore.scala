@@ -470,6 +470,36 @@ object QueriesCore {
           col("timestamp").as("bucket"), col("n_orders"), col("sum_cents"))
         .orderBy("nation_id", "bucket")
     },
+    // ---- COMPLEMENTARY tag groups (taggroup.py `complementary`): within
+    // such a group an entity holds at most one tag — retagging REPLACES.
+    // All customers tag by segment, negative-balance ones then move to
+    // 'dormant'; the replay adds 0 changes, per-entity uniqueness is
+    // asserted in-plan, and the per-tag census is oracle-replayed ----
+    "q324_complementary_tags" -> { (s, dir) =>
+      val work = java.nio.file.Files.createTempDirectory("graft_q324_").toString
+      val tags = new graft.storage.TagDirectory(s, work)
+      val c = load(s, dir, "customer")
+      tags.tagEntities(c.select(lit("segment").as("tag_group"),
+        col("c_mktsegment").as("tag"), col("c_custkey").as("entity_id")))
+      val dormant = c.filter(col("c_acctbal") < 0).select(
+        lit("segment").as("tag_group"), lit("dormant").as("tag"),
+        col("c_custkey").as("entity_id"))
+      val moved = tags.retagComplementary(dormant)
+      val replay = tags.retagComplementary(dormant) // idempotent
+      require(replay == 0L, s"complementary retag replay changed $replay")
+      require(moved > 0L, "fixture has no negative balances — gate degenerate")
+      // complementarity holds store-wide: at most one segment tag/entity
+      require(tags.links.filter(col("tag_group") === "segment")
+        .groupBy("entity_id").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).head(1).isEmpty,
+        "entity with two tags in a complementary group")
+      tags.links.filter(col("tag_group") === "segment")
+        .join(c, col("entity_id") === col("c_custkey"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n_entities"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+        .orderBy("tag")
+    },
     "q46_csv_ingest" -> { (s, dir) =>
       import graft.core.MinervaType
       import graft.sources.{CsvSourceConfig, CsvTrendSource}
@@ -2598,6 +2628,15 @@ object QueriesCore {
            QUALIFY row_number() OVER (PARTITION BY user_id
              ORDER BY $ts DESC, event_id DESC) = 1
            ORDER BY uid""",
+      // q324: post-retag state = dormant where balance < 0, else the
+      // lowercased segment — one tag per entity by construction
+      "q324_complementary_tags" ->
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'dormant'
+               ELSE lower(c_mktsegment) END AS tag,
+             count(*) AS n_entities,
+             CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+           FROM customer GROUP BY 1 ORDER BY tag""",
       // q321: links = lower(segment) per customer ∪ vip(acctbal>9000),
       // machinery flushed; the scoped rollup keeps only BUILDING-tagged
       // customers' orders, aggregated to nation × epoch-day bucket.

@@ -64,6 +64,49 @@ class TagDirectory(spark: SparkSession, basePath: String) {
     n
   }
 
+  /** COMPLEMENTARY-group retag (reference `TagGroup.complementary`,
+    * directory/taggroup.py:1-5: a group whose tags are mutually
+    * exclusive — an entity holds at most one). Inserting a link REPLACES
+    * the entity's existing tag in that group; other groups are untouched.
+    * Returns the number of entities whose tag actually changed (a replay
+    * of the same links is a no-op, like [[tagEntities]]). Same staged
+    * whole-table swap as [[flushTag]] — link tables are directory-scale. */
+  def retagComplementary(newLinks: DataFrame): Long = {
+    val normalized = newLinks.select(
+        lower(col("tag_group")).as("tag_group"),
+        lower(col("tag")).as("tag"),
+        col("entity_id").cast("long").as("entity_id"))
+      .distinct()
+    // a batch assigning two tags to one entity within the group would
+    // itself violate complementarity — refuse loudly (one directory-scale
+    // aggregate, head(1) short-circuits)
+    require(normalized.groupBy("tag_group", "entity_id")
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).head(1).isEmpty,
+      "retagComplementary: batch assigns multiple tags to one entity " +
+        "within a complementary group")
+    val existing = links
+    val changed = normalized.join(
+        existing, Seq("tag_group", "tag", "entity_id"), "left_anti")
+      .persist() // one anti-join serves the count and the rewrite
+    val n = changed.count()
+    if (n > 0) {
+      // displaced = the group's old links for the re-tagged entities
+      val kept = existing.join(
+        changed.select("tag_group", "entity_id").distinct(),
+        Seq("tag_group", "entity_id"), "left_anti")
+      val staged = new org.apache.hadoop.fs.Path(s"$basePath/_tags.staged")
+      fs.delete(staged, true)
+      kept.unionByName(changed)
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      fs.delete(linkPath, true)
+      if (!fs.rename(staged, linkPath))
+        throw new IllegalStateException(
+          s"retagComplementary: rename $staged -> $linkPath failed")
+    }
+    changed.unpersist()
+    n
+  }
+
   /** Remove every link of one tag (reference `flush_tag_links`,
     * attribute/tag.py:63-77). Link tables are directory-scale, so the
     * staged rewrite-then-swap of the whole table is control-plane cost;

@@ -1,0 +1,66 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Entity tags (reference directory/tag.py, taggroup.py, attribute/tag.py):
+  * idempotent case-insensitive inserts, per-tag flush, complementary-group
+  * replacement, and broadcast-semi scoping. */
+class TagDirectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(name: String): TagDirectory = {
+    val base = s"target/tmp/tagdir_$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    new TagDirectory(spark, base)
+  }
+
+  test("tagEntities is case-insensitive idempotent; flushTag removes one tag") {
+    val td = fresh("basic")
+    val l1 = Seq(("Grp", "Red", 1L), ("grp", "red", 2L), ("grp", "blue", 3L))
+      .toDF("tag_group", "tag", "entity_id")
+    assert(td.tagEntities(l1) == 3L)
+    // replay under different casing adds nothing
+    assert(td.tagEntities(l1.withColumn("tag", upper(col("tag")))) == 0L)
+    assert(td.links.count() == 3L)
+    assert(td.entitiesWithTag("RED").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    td.flushTag("red")
+    assert(td.entitiesWithTag("red").isEmpty)
+    assert(td.links.count() == 1L) // blue survives
+  }
+
+  test("retagComplementary replaces within the group, leaves others; " +
+      "multi-tag batch refused") {
+    val td = fresh("compl")
+    td.tagEntities(Seq(
+      ("seg", "a", 1L), ("seg", "a", 2L), ("seg", "b", 3L),
+      ("other", "x", 1L)).toDF("tag_group", "tag", "entity_id"))
+    val mv = Seq(("seg", "c", 1L)).toDF("tag_group", "tag", "entity_id")
+    assert(td.retagComplementary(mv) == 1L)
+    assert(td.retagComplementary(mv) == 0L) // replay no-op
+    val segTags = td.links.filter(col("tag_group") === "seg")
+      .collect().map(r => r.getLong(2) -> r.getString(1)).toMap
+    assert(segTags == Map(1L -> "c", 2L -> "a", 3L -> "b"))
+    // the other group's link for entity 1 is untouched
+    assert(td.links.filter(col("tag_group") === "other").count() == 1L)
+    val bad = Seq(("seg", "p", 9L), ("seg", "q", 9L))
+      .toDF("tag_group", "tag", "entity_id")
+    intercept[IllegalArgumentException] { td.retagComplementary(bad) }
+  }
+
+  test("scope is a broadcast left-semi keeping only tagged entities") {
+    val td = fresh("scope")
+    td.tagEntities(Seq(("g", "keep", 1L), ("g", "keep", 3L))
+      .toDF("tag_group", "tag", "entity_id"))
+    val facts = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (1L, 40.0))
+      .toDF("ent", "v")
+    val scoped = td.scope(facts, "KEEP", "ent")
+    assert(scoped.agg(sum("v")).head.getDouble(0) == 80.0)
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"scope should be a broadcast left-semi:\n$plan")
+  }
+}
