@@ -1735,6 +1735,24 @@ object QueriesLLM {
           tauNum = 1, tauDen = 4)
         .orderBy("doc_id")
     },
+    // ---- incremental MOSS matching against the persisted fingerprint
+    // store (the q175 discipline for winnowing): two md5-split batches,
+    // each probing state-as-of-its-call with cumulative df caps; the
+    // oracle replays the schedule, not the one-shot corpus ----
+    "q325_winnow_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val split = pmod(conv(substring(md5(concat(lit("wnb:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q325_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L << 16,
+          keyCols = Seq("h", "entity_id")))
+      val c1 = Dedup.winnowIncremental(ps, "fp", d.filter(split === 0),
+        "doc_id", "text", k = 4, w = 5, minShared = 2, maxDocFreq = 50)
+      val c2 = Dedup.winnowIncremental(ps, "fp", d.filter(split === 1),
+        "doc_id", "text", k = 4, w = 5, minShared = 2, maxDocFreq = 50)
+      c1.union(c2).distinct().orderBy("id1", "id2")
+    },
     // ---- quota rebalancing: md5-first admission per source until the
     // target-composition quota fills; short groups contribute all they
     // have (src3's 800 bp quota exceeds its rows at every sf) ----
@@ -8342,6 +8360,57 @@ object QueriesLLM {
          SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS keeper,
            CASE WHEN min(label) = id THEN 'kept' ELSE 'dup' END AS fate
          FROM reach GROUP BY id ORDER BY doc_id"""
+    },
+    // q325: schedule replay — batch-1 pairs from split-0 fingerprints
+    // under split-0 caps; batch-2 pairs over the CUMULATIVE membership
+    // of every hash batch 2 touches, cap recomputed over that state
+    // (the q175 per-probe convention), ≥1 side from batch 2
+    "q325_winnow_incremental" -> {
+      val splitLadder = md5Ladder32("'wnb:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             (${hv32Sql("", "array_to_string(toks[i:i+3], ' ')")}) AS h
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         hs AS (SELECT DISTINCT doc_id, mh AS h FROM fullw),
+         spl AS (
+           SELECT doc_id, CAST(($splitLadder) % 2 AS BIGINT) AS split
+           FROM documents),
+         hsx AS (
+           SELECT h.doc_id, h.h, s.split FROM hs h JOIN spl s USING (doc_id)),
+         c1sz AS (
+           SELECT h FROM hsx WHERE split = 0
+           GROUP BY 1 HAVING count(*) <= 50),
+         c1m AS (SELECT hsx.* FROM hsx JOIN c1sz USING (h) WHERE split = 0),
+         p1 AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM c1m a JOIN c1m b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         k2 AS (SELECT DISTINCT h FROM hsx WHERE split = 1),
+         c2all AS (SELECT hsx.* FROM hsx JOIN k2 USING (h)),
+         c2sz AS (SELECT h FROM c2all GROUP BY 1 HAVING count(*) <= 50),
+         c2m AS (SELECT c2all.* FROM c2all JOIN c2sz USING (h)),
+         p2 AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM c2m a JOIN c2m b ON a.h = b.h AND a.doc_id < b.doc_id
+           WHERE a.split = 1 OR b.split = 1
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT DISTINCT id1, id2
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+         ORDER BY id1, id2"""
     },
     // q317: per-source md5 row_number against floor-quotas of the total
     "q317_quota_sample" ->

@@ -1753,6 +1753,62 @@ object Dedup {
       .filter(col("shared_fp") >= minShared)
   }
 
+  /** Incremental MOSS matching against a PERSISTED fingerprint store
+    * (the [[lshIncremental]] discipline applied to winnowing): each batch
+    * appends its distinct (h, doc) fingerprints to a store partitioned by
+    * HASH RANGE (`timestamp` = h's low 20 bits, so every row of one hash
+    * lives in one partition and a probe prunes to the partitions the
+    * batch touches), then emits candidate pairs involving ≥1 batch doc —
+    * docs sharing ≥ `minShared` fingerprints whose CUMULATIVE doc
+    * frequency at probe time is ≤ `maxDocFreq` (the cap is state-as-of-
+    * this-call, exactly the LSH bucket-cap replay convention). Per-batch
+    * cost ∝ batch fingerprints + touched partitions; the corpus is never
+    * rescanned. Eager snapshot: the result is checkpointed so a later
+    * batch's append cannot change this batch's candidates. */
+  def winnowIncremental(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Int = 2,
+      maxDocFreq: Int = 50): DataFrame = {
+    require(store.config.keyCols == Seq("h", "entity_id"),
+      "winnowIncremental: store must be keyed by fingerprint membership " +
+        s"(keyCols = Seq(\"h\", \"entity_id\")), got ${store.config.keyCols}")
+    val psize = store.config.partitionSizeSeconds
+    val fps = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col("h"), col("doc_id").as("entity_id"))
+      .distinct()
+      .withColumn("timestamp", pmod(col("h"), lit(1L << 20)))
+      .withColumn("modified", lit(1L))
+      .localCheckpoint() // feeds the write, the probe filter, and newIds
+    store.store(part, fps)
+    val pidx = fps
+      .select(((col("timestamp") - pmod(col("timestamp"), lit(psize))) / psize)
+        .cast("long").as("p")).distinct()
+    // an all-short-docs batch writes zero fingerprints: state may still
+    // be absent — probe an empty frame instead of crashing on .get
+    val state = store.readPart(part)
+      .getOrElse(fps.limit(0).withColumn("pindex", lit(0L)))
+    val pruned = state.join(broadcast(pidx), state("pindex") === col("p"))
+      .select(col("h"), col("entity_id"))
+    val capped =
+      if (maxDocFreq == Int.MaxValue) pruned
+      else SkewOps.keepSmallKeys(pruned, Seq("h"), maxDocFreq)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val pairs = a.join(b,
+        col("a.h") === col("b.h") &&
+          col("a.entity_id") < col("b.entity_id"))
+      .groupBy(col("a.entity_id").as("id1"), col("b.entity_id").as("id2"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select("id1", "id2")
+    val newIds = fps.select(col("entity_id").as("nid")).distinct()
+    pairs.join(newIds, pairs("id1") === col("nid"), "left_semi")
+      .union(pairs.join(newIds, pairs("id2") === col("nid"), "left_semi"))
+      .distinct()
+      .localCheckpoint()
+  }
+
   /** The full MOSS pipeline closed to a KEEPER ledger: winnowing
     * fingerprints → df-capped candidate pairs ([[winnowPairs]]) →
     * EXACT k-gram-Jaccard verification of each candidate (distinct gram

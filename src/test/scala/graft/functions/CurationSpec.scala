@@ -422,6 +422,39 @@ class CurationSpec extends SparkSpec {
     assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("winnowIncremental: cross-batch pairs resolve through the stored " +
+      "fingerprints; two-batch union == one-shot pairs when caps idle") {
+    val base = (1 to 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$base a1"),   // batch A (even ids split below)
+      (2L, s"$base a2"),   // batch B — near-dup of 1 ACROSS batches
+      (3L, s"$base a3"),   // batch A — near-dup of 1 within batch
+      (8L, (1 to 20).map(i => s"z$i").mkString(" ")), // unrelated, batch B
+      (9L, (1 to 20).map(i => s"y$i").mkString(" "))) // unrelated, batch A
+      .toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_wninc_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 16,
+        keyCols = Seq("h", "entity_id")))
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowIncremental(ps, "fp", b, "doc_id", "text",
+        k = 4, w = 5, minShared = 2, maxDocFreq = 50)
+    val c1 = run(d.filter(col("doc_id") % 2 === 1)) // 1, 3, 9
+    val c2 = run(d.filter(col("doc_id") % 2 === 0)) // 2, 8
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1 sees only its own docs: (1,3)
+    assert(pairs(c1) == Set((1L, 3L)))
+    // batch 2's doc 2 pairs with BOTH stored near-dups through the store
+    assert(pairs(c2) == Set((1L, 2L), (2L, 3L)))
+    // with caps idle, the union equals the one-shot batch pair set
+    val oneShot = Dedup.winnowPairs(
+        Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 5),
+        minShared = 2, maxDocFreq = 50)
+      .select("id1", "id2")
+    assert(pairs(c1.union(c2).distinct()) == pairs(oneShot))
+  }
+
   test("bpeApply: stored rules == trainer's segmentation on the training " +
       "corpus; unseen words segment under the same rules") {
     val train = Seq(
