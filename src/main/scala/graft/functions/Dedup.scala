@@ -1788,19 +1788,14 @@ object Dedup {
     // be absent — probe an empty frame instead of crashing on .get
     val state = store.readPart(part)
       .getOrElse(fps.limit(0).withColumn("pindex", lit(0L)))
-    val pruned = state.join(broadcast(pidx), state("pindex") === col("p"))
-      .select(col("h"), col("entity_id"))
-    val capped =
-      if (maxDocFreq == Int.MaxValue) pruned
-      else SkewOps.keepSmallKeys(pruned, Seq("h"), maxDocFreq)
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b,
-        col("a.h") === col("b.h") &&
-          col("a.entity_id") < col("b.entity_id"))
-      .groupBy(col("a.entity_id").as("id1"), col("b.entity_id").as("id2"))
-      .agg(count(lit(1)).as("shared_fp"))
-      .filter(col("shared_fp") >= minShared)
+    // the probe IS the batch matcher over state-as-of-this-call: the
+    // df-cap + hash-bucketed self-join + minShared count live in ONE
+    // code path (winnowPairs), so the plan-shape guard on the batch
+    // tier covers the incremental tier too
+    val pairs = winnowPairs(
+        state.join(broadcast(pidx), state("pindex") === col("p"))
+          .select(col("entity_id").as("doc_id"), col("h")),
+        minShared, maxDocFreq)
       .select("id1", "id2")
     val newIds = fps.select(col("entity_id").as("nid")).distinct()
     pairs.join(newIds, pairs("id1") === col("nid"), "left_semi")

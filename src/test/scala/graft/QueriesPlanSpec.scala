@@ -144,6 +144,29 @@ class QueriesPlanSpec extends SparkSpec {
       s"resolver join keys missing pos:\n$plan")
   }
 
+  test("winnowPairs candidate self-join carries the fingerprint hash h " +
+      "in its equi-keys (guards q316/q322/q325 — one shared code path)") {
+    // the candidate tier must stay hash-bucketed: a join that loses `h`
+    // from its keys (e.g. doc-only with an h post-filter) would enumerate
+    // cross products inside a task — the q311-class bug, pair flavor.
+    // q325's incremental probe routes through this same function, so the
+    // guard covers the stored tier too (its gate plan hides behind the
+    // eager snapshot checkpoints).
+    import spark.implicits._
+    val fps = Seq((1L, 10L, 0L), (2L, 10L, 1L), (3L, 11L, 2L))
+      .toDF("doc_id", "h", "pos")
+    val df = graft.functions.Dedup.winnowPairs(fps, minShared = 1,
+      maxDocFreq = 50)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    val selfJoins = plan.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("doc_id")).toSeq
+    assert(selfJoins.nonEmpty, s"expected the candidate self-join in:\n$plan")
+    assert(selfJoins.forall(l => l.contains("h#")),
+      s"candidate join keys missing h:\n$plan")
+  }
+
   test("q185 bucketed join shuffles NEITHER fact side when broadcast is off") {
     // at gate SF Catalyst (correctly) broadcasts the small side, which
     // hides what bucketing buys; disabling auto-broadcast simulates the
