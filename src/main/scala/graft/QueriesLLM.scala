@@ -1927,6 +1927,20 @@ object QueriesLLM {
     // binary target (lang = 'en'), 10 fixed-width bins over [-5, 5) —
     // per bin exact n / positives / fixed-point score sum, the pieces
     // ECE divides ----
+    // ---- inter-annotator agreement (Cohen's κ): annotator B is a
+    // deterministic md5-corrupted copy of the labels (1-in-7 rotated) —
+    // the q219 dirtied-copy convention; confusion matrix + exact
+    // fixed-point κ, the label-quality audit before labels are trusted ----
+    "q326_annotator_kappa" -> { (s, dir) =>
+      val e = load(s, dir, "embeddings")
+      val flip = pmod(conv(substring(md5(concat(lit("ann:"),
+        col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(7L))
+      val ab = e.select(col("label").cast("long").as("a"),
+        when(flip === 0, pmod(col("label").cast("long") + 1, lit(10L)))
+          .otherwise(col("label").cast("long")).as("b"))
+      TextAnalysis.cohenKappa(ab, "a", "b")
+        .orderBy("a", "b")
+    },
     "q312_calibration_bins" -> { (s, dir) =>
       val d = docs(s, dir)
       val weights = (0 until 64).map(b => ((b * 37) % 21 - 10) / 10.0)
@@ -8411,6 +8425,37 @@ object QueriesLLM {
          SELECT DISTINCT id1, id2
          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
          ORDER BY id1, id2"""
+    },
+    // q326: confusion matrix + κ = (N·Σdiag − Σ r_k·c_k)/(N² − Σ r_k·c_k)
+    // in HUGEINT; sign-split magnitude // matches Spark's trunc DIV
+    "q326_annotator_kappa" -> {
+      val flip = md5Ladder32("'ann:' || CAST(vec_id AS VARCHAR)")
+      s"""WITH ab AS (
+           SELECT CAST(label AS BIGINT) AS a,
+             CASE WHEN ($flip) % 7 = 0
+               THEN (CAST(label AS BIGINT) + 1) % 10
+               ELSE CAST(label AS BIGINT) END AS b
+           FROM embeddings),
+         cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                FROM ab GROUP BY 1, 2),
+         rk AS (SELECT a, sum(n) AS r FROM cm GROUP BY 1),
+         ck AS (SELECT b, sum(n) AS c FROM cm GROUP BY 1),
+         pe AS (SELECT coalesce(sum(rk.r * ck.c), 0) AS pe_num
+                FROM rk JOIN ck ON rk.a = ck.b),
+         sc AS (
+           SELECT nt, agr,
+             (nt * agr - pe_num) AS knum, (nt * nt - pe_num) AS kden
+           FROM (SELECT sum(n) AS nt,
+                   sum(CASE WHEN a = b THEN n ELSE 0 END) AS agr
+                 FROM cm) CROSS JOIN pe)
+         SELECT cm.a, cm.b, cm.n,
+           CAST(sc.nt AS BIGINT) AS n_total,
+           CAST(sc.agr AS BIGINT) AS n_agree,
+           CAST(CASE WHEN sc.kden = 0 THEN 0
+                WHEN sc.knum >= 0 THEN (1000000000 * sc.knum) // sc.kden
+                ELSE -((1000000000 * -sc.knum) // sc.kden) END AS BIGINT)
+             AS kappa_scaled
+         FROM cm CROSS JOIN sc ORDER BY cm.a, cm.b"""
     },
     // q317: per-source md5 row_number against floor-quotas of the total
     "q317_quota_sample" ->

@@ -2205,6 +2205,53 @@ object TextAnalysis {
         col("ndcg_scaled"))
   }
 
+  /** Cohen's κ inter-annotator agreement over two label columns (Cohen
+    * 1960, public standard — the label-quality audit a human-annotated
+    * or LLM-judged training set needs before its labels are trusted):
+    * the confusion matrix plus the EXACT rational
+    * κ = (N·Σdiag − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k), emitted
+    * fixed-point ×1e9. All arithmetic is integer: counts, the marginal
+    * products, and a sign-split magnitude division (trunc = floor on the
+    * nonnegative magnitude, so any engine agrees even for κ < 0). The
+    * ×1e9 scaling bounds exactness to N ≲ 3·10⁶ rows in 64-bit — beyond
+    * that, audit per stratum (per source/shard), which is the useful
+    * granularity anyway; the confusion cells themselves are exact at any
+    * N.
+    *
+    * Output: one row per confusion cell (a, b, n) with the scalars
+    * (n_total, n_agree, kappa_scaled) broadcast onto every row (the
+    * bounded-crossJoin scalar pattern — label domains are enumerable, so
+    * the matrix is control-plane-sized). Scale shape: ONE map-side-
+    * combined aggregate over the corpus; everything after is
+    * matrix-sized. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cm = df.groupBy(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the cells and all three scalar aggregates
+    val rk = cm.groupBy("a").agg(sum("n").as("__r"))
+    val ck = cm.groupBy("b").agg(sum("n").as("__c"))
+    val pe = rk.join(ck, rk("a") === ck("b"))
+      .agg(coalesce(sum(col("__r") * col("__c")), lit(0L)).as("__pe"))
+    val scalar = cm
+      .agg(sum("n").as("__n"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(lit(0L)))
+          .as("__agree"))
+      .crossJoin(pe)
+      .withColumn("__knum", col("__n") * col("__agree") - col("__pe"))
+      .withColumn("__kden", col("__n") * col("__n") - col("__pe"))
+      .select(col("__n"), col("__agree"),
+        when(col("__kden") === 0, lit(0L)) // degenerate: one label only
+          .when(col("__knum") >= 0,
+            expr("(1000000000 * __knum) DIV __kden"))
+          .otherwise(-expr("(1000000000 * -__knum) DIV __kden"))
+          .as("kappa_scaled"))
+    cm.crossJoin(broadcast(scalar))
+      .select(col("a"), col("b"), col("n"),
+        col("__n").as("n_total"), col("__agree").as("n_agree"),
+        col("kappa_scaled"))
+  }
+
   /** BLEU-style modified n-gram precision per (candidate, reference)
     * pair (Papineni et al. 2002 §2.1): for each n, clipped matches =
     * Σ_g min(count_cand(g), count_ref(g)) over the candidate's n-grams,

@@ -422,6 +422,34 @@ class CurationSpec extends SparkSpec {
     assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("cohenKappa: hand-computed matrix, perfect, and negative agreement") {
+    // textbook 2x2: diag 45+15, off 15+25 -> po=.60, pe=.54,
+    // kappa = .06/.46; fixed point = 1e9*600 div 4600 = 130434782
+    val rows = Seq.fill(45)((0L, 0L)) ++ Seq.fill(15)((0L, 1L)) ++
+      Seq.fill(25)((1L, 0L)) ++ Seq.fill(15)((1L, 1L))
+    val out = TextAnalysis.cohenKappa(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(out.head.getAs[Long]("kappa_scaled") == 130434782L)
+    assert(out.head.getAs[Long]("n_total") == 100L)
+    assert(out.head.getAs[Long]("n_agree") == 60L)
+    assert(out.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap ==
+      Map((0L, 0L) -> 45L, (0L, 1L) -> 15L, (1L, 0L) -> 25L, (1L, 1L) -> 15L))
+    // perfect agreement -> exactly 1e9
+    val perfect = TextAnalysis.cohenKappa(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("a", "b"), "a", "b").collect()
+    assert(perfect.head.getAs[Long]("kappa_scaled") == 1000000000L)
+    // perfect DISagreement on a symmetric 2x2 -> exactly -1e9 (the
+    // sign-split magnitude division; trunc == floor on the magnitude)
+    val neg = TextAnalysis.cohenKappa(
+      (Seq.fill(50)((0L, 1L)) ++ Seq.fill(50)((1L, 0L))).toDF("a", "b"),
+      "a", "b").collect()
+    assert(neg.head.getAs[Long]("kappa_scaled") == -1000000000L)
+    // one-label degenerate: kden = 0 -> reported 0, not a crash
+    val degen = TextAnalysis.cohenKappa(
+      Seq((7L, 7L), (7L, 7L)).toDF("a", "b"), "a", "b").collect()
+    assert(degen.head.getAs[Long]("kappa_scaled") == 0L)
+  }
+
   test("winnowIncremental: cross-batch pairs resolve through the stored " +
       "fingerprints; two-batch union == one-shot pairs when caps idle") {
     val base = (1 to 30).map(i => s"s$i").mkString(" ")
