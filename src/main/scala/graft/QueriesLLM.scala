@@ -1927,6 +1927,48 @@ object QueriesLLM {
     // binary target (lang = 'en'), 10 fixed-width bins over [-5, 5) —
     // per bin exact n / positives / fixed-point score sum, the pieces
     // ECE divides ----
+    // ---- round-16 funnel capstone (the q293/q314 treatment for THIS
+    // round's newcomers): raw → MOSS keeper ledger (winnow → verify →
+    // components, q322) drops dups → TAG scope (tag by source, flush
+    // src2 — the reference's tag-scoped corpus selection, q321/q324) →
+    // BPE encode of the survivors against rules trained on them (q323).
+    // Every stage count oracle-replayed, one ledger row per stage ----
+    "q327_funnel_r16" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text", "source")
+      val fates = Dedup.winnowKeepers(d, "doc_id", "text",
+        k = 4, w = 5, minShared = 2, maxDocFreq = 50, tauNum = 1, tauDen = 4)
+      val kept = d.join(
+        fates.filter(col("fate") === "kept").select("doc_id"), "doc_id")
+      val work = tempWorkDir("graft_q327_")
+      val tags = new graft.storage.TagDirectory(s, work)
+      tags.tagEntities(kept.select(lit("src").as("tag_group"),
+        col("source").as("tag"), col("doc_id").as("entity_id")))
+      tags.flushTag("src2")
+      val scoped = kept.join(
+        broadcast(tags.links.select(col("entity_id").as("doc_id")).distinct()),
+        "doc_id")
+      // bounded control-plane read: the trainer's own ≤3-row rule list
+      val rules = TextAnalysis.bpeTrain(scoped, "doc_id", "text", nMerges = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = TextAnalysis.bpeApply(scoped, "doc_id", "text", rules)
+        .select(col("word"), size(col("toks")).cast("long").as("__np"))
+      val enc = TextAnalysis.tokens(scoped, "doc_id", "text")
+        .filter(col("tok") =!= "")
+        .join(broadcast(seg), col("tok") === col("word"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"), sum("__np").as("n_pieces"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"),
+            lit(0L).as("n_words"), lit(0L).as("n_pieces"))
+      stage("0_raw", d)
+        .unionByName(stage("1_kept", kept))
+        .unionByName(stage("2_tagged", scoped))
+        .unionByName(enc.select(lit("3_encoded").as("stage"),
+          col("n_docs"), col("n_words"), col("n_pieces")))
+        .orderBy("stage")
+    },
     // ---- inter-annotator agreement (Cohen's κ): annotator B is a
     // deterministic md5-corrupted copy of the labels (1-in-7 rotated) —
     // the q219 dirtied-copy convention; confusion matrix + exact
@@ -8425,6 +8467,88 @@ object QueriesLLM {
          SELECT DISTINCT id1, id2
          FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
          ORDER BY id1, id2"""
+    },
+    // q327: full funnel replay — q322's winnow/verify/reach keeper chain,
+    // the tag scope as its semantic equivalent (source <> 'src2' on the
+    // kept set), and the q188-form BPE count join on the survivors
+    "q327_funnel_r16" -> {
+      s"""WITH RECURSIVE dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos,
+             (${hv32Sql("", "array_to_string(toks[i:i+3], ' ')")}) AS h
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         hs AS (SELECT DISTINCT doc_id, mh AS h FROM fullw),
+         dfq AS (SELECT h FROM hs GROUP BY 1 HAVING count(*) <= 50),
+         keptfp AS (SELECT hs.doc_id, hs.h FROM hs JOIN dfq USING (h)),
+         pr AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM keptfp a JOIN keptfp b
+             ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         gs AS (SELECT DISTINCT doc_id, h FROM grams),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM gs GROUP BY 1),
+         iv AS (
+           SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS i
+           FROM pr p
+           JOIN gs a ON a.doc_id = p.id1
+           JOIN gs b ON b.doc_id = p.id2 AND b.h = a.h
+           GROUP BY 1, 2),
+         ver AS (
+           SELECT iv.id1, iv.id2
+           FROM iv
+           JOIN sz s1 ON s1.doc_id = iv.id1
+           JOIN sz s2 ON s2.doc_id = iv.id2
+           WHERE iv.i * 4 >= 1 * (s1.n + s2.n - iv.i)),
+         edges AS (
+           SELECT id1 AS src, id2 AS dst FROM ver
+           UNION SELECT id2, id1 FROM ver),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         keepdocs AS (
+           SELECT id AS doc_id FROM reach GROUP BY id HAVING min(label) = id),
+         scoped AS (
+           SELECT d.doc_id, d.text FROM documents d
+           JOIN keepdocs USING (doc_id) WHERE d.source <> 'src2'),
+         toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           FROM scoped),
+         $BpeV0Cte,
+         ${bpeStepCte("v0", 1)},
+         ${bpeStepCte("v1", 2)},
+         ${bpeStepCte("v2", 3)},
+         enc AS (
+           SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) AS nd,
+             CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(len(v.toks)) AS BIGINT) AS np
+           FROM toks t JOIN v3 v ON t.tok = v.word WHERE t.tok <> '')
+         SELECT '0_raw' AS stage,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(0 AS BIGINT) AS n_words, CAST(0 AS BIGINT) AS n_pieces
+         UNION ALL SELECT '1_kept',
+           (SELECT CAST(count(*) AS BIGINT) FROM keepdocs),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION ALL SELECT '2_tagged',
+           (SELECT CAST(count(*) AS BIGINT) FROM scoped),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION ALL SELECT '3_encoded', nd, nw, np FROM enc
+         ORDER BY stage"""
     },
     // q326: confusion matrix + κ = (N·Σdiag − Σ r_k·c_k)/(N² − Σ r_k·c_k)
     // in HUGEINT; sign-split magnitude // matches Spark's trunc DIV
