@@ -1969,6 +1969,24 @@ object QueriesLLM {
           col("n_docs"), col("n_words"), col("n_pieces")))
         .orderBy("stage")
     },
+    // ---- min-k% probability membership inference (Shi et al. 2023):
+    // the char-LM store trains on the EVEN half only; every doc then
+    // scores by the mean probability of its 20% least-probable covered
+    // trigram occurrences under that stored model — members trim away a
+    // fatter low-p tail. Greedy bottom-quota selection is an integer-
+    // remaining fold over the (p, tri)-sorted list, engine-exact ----
+    "q328_mink_membership" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val work = tempWorkDir("graft_q328_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
+      TextAnalysis.charLmCountsAppend(ps, "lm",
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", modified = 1L)
+      TextAnalysis.minKProbStored(ps, "lm", d, "doc_id", "text", kBp = 2000)
+        .withColumn("member", pmod(col("doc_id"), lit(2)) === 0)
+        .orderBy("doc_id")
+    },
     // ---- inter-annotator agreement (Cohen's κ): annotator B is a
     // deterministic md5-corrupted copy of the labels (1-in-7 rotated) —
     // the q219 dirtied-copy convention; confusion matrix + exact
@@ -8550,6 +8568,63 @@ object QueriesLLM {
          UNION ALL SELECT '3_encoded', nd, nw, np FROM enc
          ORDER BY stage"""
     },
+    // q328: member-half model, per-doc bottom-quota fold ordered by
+    // (p, tri) — take_i = min(c_i, max(quota − cumprev_i, 0)) equals the
+    // Spark remaining-quota accumulator; ordered list_reduce sums the
+    // identical term sequence
+    "q328_mink_membership" ->
+      """WITH norm AS (
+           SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ',
+             'g')) AS s FROM documents),
+         tri AS (
+           SELECT doc_id, substring(s, i, 3) AS tri FROM (
+             SELECT doc_id, s,
+               unnest(generate_series(1, greatest(length(s) - 2, 0))) AS i
+             FROM norm)),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tri
+                WHERE doc_id % 2 = 0 GROUP BY 1),
+         c2 AS (SELECT substring(tri, 1, 2) AS pre, sum(c3) AS c2
+                FROM c3 GROUP BY 1),
+         model AS (
+           SELECT tri, CAST(c3 + 1 AS DOUBLE) / (CAST(c2 AS DOUBLE) + 27)
+             AS p
+           FROM c3 JOIN c2 ON substring(c3.tri, 1, 2) = c2.pre),
+         dt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+         j AS (SELECT dt.doc_id, dt.tri, dt.c, m.p
+               FROM dt JOIN model m USING (tri)),
+         q AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_covered,
+             greatest(1, (CAST(sum(c) AS BIGINT) * 2000) // 10000)
+               AS n_scored
+           FROM j GROUP BY 1),
+         w AS (
+           SELECT j.doc_id, j.tri, j.c, j.p,
+             sum(j.c) OVER (PARTITION BY j.doc_id ORDER BY j.p, j.tri
+               ROWS UNBOUNDED PRECEDING) - j.c AS cumprev
+           FROM j),
+         contrib AS (
+           SELECT w.doc_id, w.p, w.tri,
+             least(w.c, greatest(q.n_scored - w.cumprev, 0)) AS take
+           FROM w JOIN q USING (doc_id)),
+         agg AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list(struct_pack(p := p, tri := tri, take := take)
+                   ORDER BY p, tri),
+                 x -> x.take * x.p)), (a, b) -> a + b) AS sum_p_mink
+           FROM contrib GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(q.n_covered, 0) AS n_covered,
+           CAST(coalesce(q.n_scored, 0) AS BIGINT) AS n_scored,
+           coalesce(a.sum_p_mink, 0.0) AS sum_p_mink,
+           CASE WHEN coalesce(q.n_scored, 0) > 0
+             THEN a.sum_p_mink / q.n_scored END AS mean_p_mink,
+           (d.doc_id % 2 = 0) AS member
+         FROM documents d
+         LEFT JOIN q USING (doc_id)
+         LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
     // q326: confusion matrix + κ = (N·Σdiag − Σ r_k·c_k)/(N² − Σ r_k·c_k)
     // in HUGEINT; sign-split magnitude // matches Spark's trunc DIV
     "q326_annotator_kappa" -> {

@@ -302,6 +302,70 @@ object TextAnalysis {
     charLmScoreCore(df, idCol, docTri, c3)
   }
 
+  /** Min-k% probability membership score against the STORED char-LM
+    * (Shi et al. 2023 "Detecting Pretraining Data from Large Language
+    * Models", public — the membership-inference signal): per document,
+    * the mean probability of its `kBp`/10000 LEAST-probable trigram
+    * occurrences under the stored model. Text the model trained on has
+    * a fatter low-probability tail trimmed away, so members score
+    * higher — the audit for "was this eval document in the training
+    * set" when exact/fuzzy matching (q63/q299-family) misses.
+    *
+    * Exactness: the greedy bottom-quota selection folds over the
+    * per-doc trigram list SORTED by (p, tri) with an integer remaining-
+    * quota accumulator — take_i = min(c_i, max(quota − Σ_{j<i} c_j, 0))
+    * — so every term and the fold order are engine-identical (the
+    * charLmScoreCore convention). Coverage-restricted: trigrams absent
+    * from the stored model are not scored (unseen-mass auditing is
+    * q313/q319's job); quota is over COVERED occurrences.
+    *
+    * Scale: model ≤ 27³ rows broadcast; per-doc state bounded by
+    * distinct covered trigrams per document. */
+  def minKProbStored(
+      ps: graft.storage.PartStore, part: String,
+      df: DataFrame, idCol: String, textCol: String,
+      kBp: Int): DataFrame = {
+    require(kBp >= 1 && kBp <= 10000, s"minKProbStored: kBp in [1,10000]")
+    require(ps.config.keyCols == Seq("tri"),
+      s"char-LM store must be keyed (tri), got ${ps.config.keyCols}")
+    val c3 = ps.readPart(part).getOrElse(throw new IllegalArgumentException(
+        s"minKProbStored: no counts part '$part' — append batches first"))
+      .select(col("tri"), col("c3").as("__c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__pre"))
+      .agg(sum("__c3").as("__c2"))
+    val model = c3.join(c2, substring(c3("tri"), 1, 2) === c2("__pre"))
+      .select(col("tri"),
+        ((col("__c3") + 1).cast("double") / (col("__c2").cast("double") + 27))
+          .as("__p"))
+    val docTri = charTrigrams(df, idCol, textCol)
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__c"))
+    val perDoc = docTri
+      .join(broadcast(model), "tri")
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_covered"),
+        array_sort(collect_list(struct(col("__p"), col("tri"), col("__c"))))
+          .as("__arr"))
+      .withColumn("n_scored",
+        greatest(lit(1L), expr(s"n_covered * $kBp DIV 10000")))
+      .select(col(idCol), col("n_covered"), col("n_scored"),
+        aggregate(col("__arr"),
+          struct(col("n_scored").as("rem"), lit(0.0).as("s")),
+          (acc, x) => {
+            val take = least(x.getField("__c"),
+              greatest(acc.getField("rem"), lit(0L)))
+            struct((acc.getField("rem") - take).as("rem"),
+              (acc.getField("s") +
+                take.cast("double") * x.getField("__p")).as("s"))
+          }).getField("s").as("sum_p_mink"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("sum_p_mink"), lit(0.0)).as("sum_p_mink"),
+        when(col("n_scored") > 0, col("sum_p_mink") / col("n_scored"))
+          .as("mean_p_mink"))
+  }
+
   private def charLmScoreCore(
       df: DataFrame, idCol: String,
       docTri: DataFrame, c3: DataFrame): DataFrame = {

@@ -422,6 +422,39 @@ class CurationSpec extends SparkSpec {
     assert(odd === Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("minKProbStored: kBp=10000 equals the full stored sum_p; small " +
+      "quotas take the least-probable occurrences first") {
+    val d = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog ran over a log"),
+      (3L, "completely different words here zz qq")).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft_mink_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
+    TextAnalysis.charLmCountsAppend(ps, "lm", d, "doc_id", "text", 1L)
+    // full quota: min-k degenerates to the whole covered sum. NOT
+    // bit-compared: minK folds in (p, tri) order, charLmScoreStored in
+    // (tri) order — same terms, different association, last-ULP drift.
+    // (Cross-ENGINE exactness holds because the oracle replays the
+    // (p, tri) order; this asserts the same-terms property.)
+    val full = TextAnalysis.minKProbStored(ps, "lm", d, "doc_id", "text",
+        kBp = 10000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ref = TextAnalysis.charLmScoreStored(ps, "lm", d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    for ((id, s) <- full)
+      assert(math.abs(s - ref(id)) <= 1e-12 * math.abs(ref(id)), s"$id")
+    // tiny quota: n_scored = max(1, n*1/10000) = 1 → sum = the single
+    // lowest (p, tri) occurrence's probability
+    val one = TextAnalysis.minKProbStored(ps, "lm", d, "doc_id", "text",
+        kBp = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(one.values.forall(_._1 == 1L))
+    // mean over quota 1 == the minimum per-trigram p of the doc
+    for ((id, (_, s)) <- one) assert(s <= full(id) && s > 0.0, s"$id: $s")
+  }
+
   test("cohenKappa: hand-computed matrix, perfect, and negative agreement") {
     // textbook 2x2: diag 45+15, off 15+25 -> po=.60, pe=.54,
     // kappa = .06/.46; fixed point = 1e9*600 div 4600 = 130434782
