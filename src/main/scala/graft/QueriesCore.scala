@@ -500,6 +500,29 @@ object QueriesCore {
           sum(floor(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
         .orderBy("tag")
     },
+    // ---- ATTRIBUTE-definition tags (attribute/tag.py:11-77 — the
+    // attribute_tag_link table keys on attribute ids, i.e. COLUMN
+    // definitions, not entities): tag two defs 'kpi', flush the 'meta'
+    // tag, then the tag-scoped attribute report = curr-ptr projected to
+    // exactly the tagged columns (how reference users scope reports) ----
+    "q329_attribute_tags" -> { (s, dir) =>
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_q329_").toString
+      val tags = new graft.storage.TagDirectory(s, work)
+      tags.tagNames(Seq(("KPI", "value_cents"), ("kpi", "event_id"),
+        ("meta", "event_type"), ("meta", "props")).toDF("tag", "name"))
+      val replay = tags.tagNames(Seq(("kpi", "value_cents")).toDF("tag", "name"))
+      require(replay == 0L, s"name-tag replay added $replay") // case-insensitive idempotent
+      tags.flushNameTag("META")
+      require(tags.namesWithTag("meta").isEmpty, "flushNameTag left links")
+      val kpiCols = tags.namesWithTag("kpi") // bounded catalog read
+      require(kpiCols == Seq("event_id", "value_cents"), kpiCols.toString)
+      val e = events(s, dir)
+        .withColumn("value_cents", floor(col("value") * 100).cast("long"))
+      AttributeOps.currentPtr(e, "user_id", Seq("ts_sec", "event_id"))
+        .select((col("user_id") +: kpiCols.map(col)): _*)
+        .orderBy("user_id")
+    },
     "q46_csv_ingest" -> { (s, dir) =>
       import graft.core.MinervaType
       import graft.sources.{CsvSourceConfig, CsvTrendSource}
@@ -2628,6 +2651,15 @@ object QueriesCore {
            QUALIFY row_number() OVER (PARTITION BY user_id
              ORDER BY $ts DESC, event_id DESC) = 1
            ORDER BY uid""",
+      // q329: the tagged defs are (event_id, value_cents) by
+      // construction; report = latest row per user projected to them
+      "q329_attribute_tags" ->
+        s"""SELECT user_id, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS value_cents
+           FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id
+             ORDER BY $ts DESC, event_id DESC) = 1
+           ORDER BY user_id""",
       // q324: post-retag state = dormant where balance < 0, else the
       // lowercased segment — one tag per entity by construction
       "q324_complementary_tags" ->

@@ -122,6 +122,71 @@ class TagDirectory(spark: SparkSession, basePath: String) {
         s"flushTag: rename $staged -> $linkPath failed")
   }
 
+  // ---- metadata (attribute-definition) tags: the reference's
+  // attribute_directory.attribute_tag_link keys on ATTRIBUTE ids
+  // (storage/attribute/tag.py:11-36 — tagging column definitions, not
+  // entities). graft attribute definitions are columns, so the NAME is
+  // the key; same idempotent case-insensitive insert + per-tag flush
+  // semantics, a parallel `_nametags` link table. ----
+
+  private def namePath = new org.apache.hadoop.fs.Path(s"$basePath/_nametags")
+
+  private def emptyNameLinks: DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("tag", StringType),
+        StructField("name", StringType))))
+  }
+
+  /** All (tag, name) metadata links; empty frame if never written. */
+  def nameLinks: DataFrame = {
+    val hasData = fs.exists(namePath) && fs.listStatus(namePath).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) spark.read.parquet(namePath.toString).select("tag", "name")
+    else emptyNameLinks
+  }
+
+  /** Idempotently tag metadata names (attribute/trend definitions) —
+    * `tag_attributes`' anti-join INSERT, attribute/tag.py:21-28. Tag is
+    * lowercased (the reference's lower(tag.name) match); the NAME keeps
+    * its case — it identifies a real column. */
+  def tagNames(newLinks: DataFrame): Long = {
+    val normalized = newLinks.select(
+        lower(col("tag")).as("tag"), col("name").cast("string").as("name"))
+      .distinct()
+    val missing = normalized.join(nameLinks, Seq("tag", "name"), "left_anti")
+      .persist()
+    val n = missing.count()
+    if (n > 0)
+      missing.write.mode(SaveMode.Append).parquet(namePath.toString)
+    missing.unpersist()
+    n
+  }
+
+  /** Remove one metadata tag's links (`flush_tag_links`,
+    * attribute/tag.py:63-77) — staged whole-table swap like [[flushTag]]. */
+  def flushNameTag(tag: String): Unit = {
+    val kept = nameLinks.filter(col("tag") =!= lower(lit(tag)))
+    val staged = new org.apache.hadoop.fs.Path(s"$basePath/_nametags.staged")
+    fs.delete(staged, true)
+    kept.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    fs.delete(namePath, true)
+    if (!fs.rename(staged, namePath))
+      throw new IllegalStateException(
+        s"flushNameTag: rename $staged -> $namePath failed")
+  }
+
+  /** The metadata names carrying `tag` — a bounded control-plane read
+    * (tag links are catalog-sized): callers project a frame to the
+    * tagged attribute columns, the reference's tag-scoped attribute
+    * selection. */
+  def namesWithTag(tag: String): Seq[String] =
+    nameLinks.filter(col("tag") === lower(lit(tag)))
+      .select("name").collect().map(_.getString(0)).toSeq.sorted
+
   /** The distinct entity set carrying `tag` (case-insensitive, like every
     * reference tag lookup). */
   def entitiesWithTag(tag: String): DataFrame =

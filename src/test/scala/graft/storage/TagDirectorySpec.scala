@@ -51,6 +51,20 @@ class TagDirectorySpec extends SparkSpec {
     intercept[IllegalArgumentException] { td.retagComplementary(bad) }
   }
 
+  test("tagNames: metadata links are case-insensitive idempotent on the " +
+      "tag, name-preserving, flushable") {
+    val td = fresh("names")
+    assert(td.tagNames(Seq(("KPI", "Weight"), ("kpi", "temp"),
+      ("meta", "notes")).toDF("tag", "name")) == 3L)
+    // replay under different tag casing adds nothing; name case matters
+    assert(td.tagNames(Seq(("Kpi", "Weight")).toDF("tag", "name")) == 0L)
+    assert(td.tagNames(Seq(("kpi", "weight")).toDF("tag", "name")) == 1L)
+    assert(td.namesWithTag("KPI") == Seq("Weight", "temp", "weight"))
+    td.flushNameTag("kpi")
+    assert(td.namesWithTag("kpi").isEmpty)
+    assert(td.namesWithTag("meta") == Seq("notes")) // other tags survive
+  }
+
   test("scope is a broadcast left-semi keeping only tagged entities") {
     val td = fresh("scope")
     td.tagEntities(Seq(("g", "keep", 1L), ("g", "keep", 3L))
