@@ -1969,6 +1969,20 @@ object QueriesLLM {
           col("n_docs"), col("n_words"), col("n_pieces")))
         .orderBy("stage")
     },
+    // ---- rendezvous/HRW sharding (consistent re-sharding): growing the
+    // fleet 8 → 9 must move ONLY docs whose new shard's hash wins —
+    // every off-diagonal transition lands on shard 9's new index 8, and
+    // E[moved] = 1/9 (mod-sharding would reshuffle 7/8 of a 100 TB
+    // corpus for the same change). Transition matrix oracle-replayed ----
+    "q330_rendezvous_shards" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id")
+      val a = graft.operators.Layout.rendezvousShard(d, "doc_id", 8)
+        .withColumnRenamed("shard", "shard8")
+      val b = graft.operators.Layout.rendezvousShard(a, "doc_id", 9)
+        .withColumnRenamed("shard", "shard9")
+      b.groupBy("shard8", "shard9").agg(count(lit(1)).as("n"))
+        .orderBy("shard8", "shard9")
+    },
     // ---- min-k% probability membership inference (Shi et al. 2023):
     // the char-LM store trains on the EVEN half only; every doc then
     // scores by the mean probability of its 20% least-probable covered
@@ -8567,6 +8581,31 @@ object QueriesLLM {
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          UNION ALL SELECT '3_encoded', nd, nw, np FROM enc
          ORDER BY stage"""
+    },
+    // q330: HRW argmax replayed as row_number over (h DESC, s DESC) —
+    // the same tie-break as Spark's struct array_max
+    "q330_rendezvous_shards" -> {
+      def hrw(sExpr: String) = md5Ladder32(
+        s"'hrw:' || CAST(doc_id AS VARCHAR) || ':' || CAST($sExpr AS VARCHAR)")
+      s"""WITH s8 AS (
+           SELECT doc_id, s AS shard8 FROM (
+             SELECT doc_id, u.s, (${hrw("u.s")}) AS h
+             FROM documents CROSS JOIN
+               (SELECT unnest(generate_series(0, 7)) AS s) u)
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY h DESC, s DESC) = 1),
+         s9 AS (
+           SELECT doc_id, s AS shard9 FROM (
+             SELECT doc_id, u.s, (${hrw("u.s")}) AS h
+             FROM documents CROSS JOIN
+               (SELECT unnest(generate_series(0, 8)) AS s) u)
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY h DESC, s DESC) = 1)
+         SELECT CAST(shard8 AS BIGINT) AS shard8,
+           CAST(shard9 AS BIGINT) AS shard9,
+           CAST(count(*) AS BIGINT) AS n
+         FROM s8 JOIN s9 USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     },
     // q328: member-half model, per-doc bottom-quota fold ordered by
     // (p, tri) — take_i = min(c_i, max(quota − cumprev_i, 0)) equals the

@@ -53,6 +53,29 @@ object Layout {
     * key ranges per output file) and sort within partitions (row groups
     * inside a file stay contiguous too). With a Z-order key each output
     * file covers a bounded rectangle of the two dimensions. */
+  /** Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    * 1998, public — the consistent-sharding alternative to `id % n`):
+    * shard(id) = argmax over s ∈ [0, n) of md5("salt:id:s"). Growing the
+    * fleet n → n+1 moves ONLY the rows whose new shard's hash wins —
+    * E[moved] = 1/(n+1) — where mod-sharding reshuffles (n−1)/n of a
+    * 100 TB corpus for the same change. Pure expression arithmetic
+    * (md5 + array_max over n (hash, s) structs; ties break to the
+    * LARGER s in both the struct max and any ORDER BY h DESC, s DESC
+    * replay), codegen-friendly, oracle-checkable. n is a fleet size —
+    * tens to thousands — so the n-way array per row is bounded. */
+  def rendezvousShard(
+      df: DataFrame, idCol: String, n: Int,
+      salt: String = "hrw:"): DataFrame = {
+    require(n >= 1 && n <= 65536, s"rendezvousShard: n in [1, 65536], got $n")
+    val entries = (0 until n).map { s =>
+      struct(
+        conv(substring(md5(concat(lit(salt), col(idCol).cast("string"),
+          lit(":"), lit(s.toString))), 1, 8), 16, 10).cast("long").as("h"),
+        lit(s.toLong).as("s"))
+    }
+    df.withColumn("shard", array_max(array(entries: _*)).getField("s"))
+  }
+
   def clusterBy(df: DataFrame, numPartitions: Int, key: Column): DataFrame =
     df.repartitionByRange(numPartitions, key).sortWithinPartitions(key)
 }

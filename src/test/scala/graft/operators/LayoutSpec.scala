@@ -88,4 +88,24 @@ class LayoutSpec extends SparkSpec {
         s"partition rectangle too wide: $r")
     }
   }
+
+  test("rendezvousShard: growing n moves only winners of the NEW shard, " +
+      "~1/(n+1) of rows; deterministic under repartition") {
+    val d = spark.range(2000).toDF("id")
+    val a = Layout.rendezvousShard(d, "id", 8).withColumnRenamed("shard", "s8")
+    val b = Layout.rendezvousShard(a, "id", 9).withColumnRenamed("shard", "s9")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every shard index in range
+    assert(b.forall { case (_, s8, s9) => s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9 })
+    // the consistency property: a moved row can only have been claimed
+    // by the NEW shard (existing hashes are unchanged)
+    val moved = b.filter { case (_, s8, s9) => s8 != s9 }
+    assert(moved.forall(_._3 == 8L), moved.take(5).toSeq.toString)
+    // E[moved] = 1/9 of 2000 = 222; binomial sd ~ 14 -> generous band
+    assert(moved.length > 150 && moved.length < 300, moved.length.toString)
+    // deterministic under physical layout
+    val again = Layout.rendezvousShard(d.repartition(7), "id", 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b.forall { case (id, _, s9) => again(id) == s9 })
+  }
 }
