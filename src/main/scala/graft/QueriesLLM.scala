@@ -1969,6 +1969,50 @@ object QueriesLLM {
           col("n_docs"), col("n_words"), col("n_pieces")))
         .orderBy("stage")
     },
+    // ---- streaming quota admission (q317's rebalancer, streaming face):
+    // per-source caps enforced ACROSS micro-batches through the
+    // persisted admitted-count state; within a batch admission order is
+    // the deterministic (md5, id). src1/src2 bind in batch 1, src0 binds
+    // across the batch boundary, src3 never binds — the oracle replays
+    // the two-stage schedule ----
+    "q331_stream_quota" -> { (s, dir) =>
+      implicit val sc = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val capped = docs(s, dir).select("doc_id", "source")
+        .withColumn("__h", md5(concat(lit("sqcap:"),
+          col("doc_id").cast("string"))))
+        .orderBy("__h", "doc_id").limit(2048)
+        .select("doc_id", "source").localCheckpoint()
+      val split = pmod(conv(substring(md5(concat(lit("sq:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val rows = capped.withColumn("__s", split)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val work = tempWorkDir("graft_q331_")
+      val kept = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/k", 64L,
+          keyCols = Seq("entity_id")))
+      val cnt = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/c", 64L,
+          keyCols = Seq("source")))
+      val mem = MemoryStream[(Long, String)]
+      // src1 binds inside batch 1, src0 binds ACROSS the batch boundary
+      // (cross-batch state), src3 never binds, the 16 unlisted sources
+      // have no quota (the q317 target-composition semantic: absent from
+      // the mix = admit none)
+      val q = graft.streaming.StreamingRollup.quotaSink(
+        mem.toDF().toDF("doc_id", "source"), kept, cnt, "doc_id", "source",
+        Map("src0" -> 15L, "src1" -> 8L, "src2" -> 20L, "src3" -> 1000L))
+      try {
+        mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      kept.readPart("kept").get
+        .select(col("entity_id").as("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     // ---- rendezvous/HRW sharding (consistent re-sharding): growing the
     // fleet 8 → 9 must move ONLY docs whose new shard's hash wins —
     // every off-diagonal transition lands on shard 9's new index 8, and
@@ -8581,6 +8625,40 @@ object QueriesLLM {
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          UNION ALL SELECT '3_encoded', nd, nw, np FROM enc
          ORDER BY stage"""
+    },
+    // q331: two-stage schedule replay — batch-1 ranks admit to quota,
+    // batch-2 ranks admit to quota − batch-1 admissions (the md5 cap
+    // CTE mirrors the gate's replay slice; it binds only above sf0.01)
+    "q331_stream_quota" -> {
+      val spl = md5Ladder32("'sq:' || CAST(doc_id AS VARCHAR)")
+      val quota = """CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 8
+               WHEN 'src2' THEN 20 WHEN 'src3' THEN 1000 ELSE 0 END"""
+      s"""WITH slice AS (
+           SELECT doc_id, source FROM documents
+           ORDER BY md5('sqcap:' || CAST(doc_id AS VARCHAR)), doc_id
+           LIMIT 2048),
+         spl AS (
+           SELECT doc_id, source, CAST(($spl) % 2 AS BIGINT) AS s
+           FROM slice),
+         r1 AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('qh:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+           FROM spl WHERE s = 0),
+         a1 AS (SELECT doc_id, source FROM r1 WHERE r <= $quota),
+         c1 AS (SELECT source, count(*) AS adm FROM a1 GROUP BY 1),
+         r2 AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5('qh:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+           FROM spl WHERE s = 1),
+         a2 AS (
+           SELECT r2.doc_id, r2.source FROM r2
+           LEFT JOIN c1 USING (source)
+           WHERE r2.r + coalesce(c1.adm, 0) <= $quota)
+         SELECT doc_id, source
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         ORDER BY doc_id"""
     },
     // q330: HRW argmax replayed as row_number over (h DESC, s DESC) —
     // the same tie-break as Spark's struct array_max

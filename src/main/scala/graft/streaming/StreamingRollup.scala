@@ -598,6 +598,78 @@ object StreamingRollup {
       }
       .start()
 
+  /** Streaming quota-admission sink — the streaming face of q317's
+    * quota rebalancer: per-source admission caps enforced ACROSS
+    * micro-batches through a persisted admitted-count state. Each batch
+    * ranks its rows within source by the deterministic (md5(id), id)
+    * admission order (rank via `Ranks.rankWithinGroup` — sources are a
+    * bounded group set, no per-group corpus sort), admits rank ≤
+    * quota − already-admitted, upserts the admitted rows into
+    * `keptStore` (id-keyed, so row replays are idempotent) and
+    * replace-publishes the |sources|-row count state. The admission set
+    * is a pure function of (state, batch) — deterministic order, so the
+    * SCHEDULE is engine-replayable (the q175/q325 per-probe convention,
+    * admission flavor). Row replays are idempotent (id-keyed upsert);
+    * the count state follows the addition-merge sinks' caveat (cmsSink,
+    * charLmSink): a re-fired micro-batch recounts — production relies
+    * on exactly-once foreachBatch via checkpointing. */
+  def quotaSink(
+      stream: DataFrame,
+      keptStore: graft.storage.PartStore,
+      countStore: graft.storage.PartStore,
+      idCol: String,
+      srcCol: String,
+      quotas: Map[String, Long],
+      checkpointLocation: Option[String] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keptStore.config.keyCols == Seq("entity_id"),
+      s"quotaSink: kept store keys (entity_id), got ${keptStore.config.keyCols}")
+    require(countStore.config.keyCols == Seq("source"),
+      s"quotaSink: count store keys (source), got ${countStore.config.keyCols}")
+    checkpointLocation.foldLeft(stream.writeStream)(_.option("checkpointLocation", _))
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch0: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = batch0.toDF()
+          val counts = countStore.readPart("counts")
+            .map(_.select(col("source"), col("admitted")))
+            .getOrElse {
+              val s = batch.sparkSession
+              import org.apache.spark.sql.types._
+              s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("source", StringType),
+                  StructField("admitted", LongType))))
+            }
+          val qmap = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+            when(col("source") === s, lit(q)).otherwise(acc)
+          }
+          val ranked = graft.functions.Ranks.rankWithinGroup(
+            batch.select(col(srcCol).as("source"),
+              md5(concat(lit("qh:"), col(idCol).cast("string"))).as("__h"),
+              col(idCol).cast("long").as("entity_id")),
+            Seq("source"), Seq("__h", "entity_id"))
+          val admitted = ranked
+            .join(broadcast(counts.withColumnRenamed("admitted", "__a")),
+              Seq("source"), "left")
+            .filter(col("__gr") + coalesce(col("__a"), lit(0L)) <= qmap)
+            .select(col("entity_id"), col("source"))
+            .localCheckpoint() // one admission set feeds both stores
+          keptStore.store("kept", admitted
+            .withColumn("timestamp", pmod(col("entity_id"), lit(1024L)))
+            .withColumn("modified", lit(batchId + 1)))
+          val newCounts = counts
+            .unionByName(admitted.groupBy("source")
+              .agg(count(lit(1)).as("admitted")))
+            .groupBy("source").agg(sum("admitted").as("admitted"))
+          countStore.replacePart("counts", newCounts
+            .withColumn("timestamp", lit(0L))
+            .withColumn("modified", lit(batchId + 1)))
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming char-LM counts sink — the streaming face of the q135
     * trigram model (triangle: one-shot charLmScore / incremental
     * charLmCountsAppend / this): each micro-batch's trigram counts merge
