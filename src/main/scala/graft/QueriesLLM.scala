@@ -1969,6 +1969,34 @@ object QueriesLLM {
           col("n_docs"), col("n_words"), col("n_pieces")))
         .orderBy("stage")
     },
+    // ---- fully incremental MOSS keepers (the q177 capstone, winnowing
+    // flavor): winnow-fingerprint candidates from the persisted store →
+    // KMV gram-sketch verify → union-find parent state; two md5-split
+    // batches each emit their docs' as-of keepers, cross-batch merges
+    // flow through all three stores. Oracle replays the schedule ----
+    "q332_winnow_dup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select("doc_id", "text")
+      val split = pmod(conv(substring(md5(concat(lit("wnb:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q332_")
+      val fps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/f", 1L << 16,
+          keyCols = Seq("h", "entity_id")))
+      val ss = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/s", 1L << 55,
+          keyCols = Seq("entity_id")))
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(s"$work/p", 1L << 55,
+          keyCols = Seq("entity_id")))
+      def run(b: org.apache.spark.sql.DataFrame) =
+        Dedup.winnowDupIncremental(fps, ss, ps, b, "doc_id", "text",
+          k = 4, w = 5, minShared = 2, maxDocFreq = 50,
+          sketchK = 256, threshold = 0.25)
+      val r1 = run(d.filter(split === 0)).withColumn("batch", lit(0L))
+      val r2 = run(d.filter(split === 1)).withColumn("batch", lit(1L))
+      r1.union(r2).select("doc_id", "batch", "keeper")
+        .orderBy("doc_id", "batch")
+    },
     // ---- streaming quota admission (q317's rebalancer, streaming face):
     // per-source caps enforced ACROSS micro-batches through the
     // persisted admitted-count state; within a batch admission order is
@@ -8625,6 +8653,103 @@ object QueriesLLM {
            CAST(0 AS BIGINT), CAST(0 AS BIGINT)
          UNION ALL SELECT '3_encoded', nd, nw, np FROM enc
          ORDER BY stage"""
+    },
+    // q332: the q177 schedule-replay shape on winnow candidates — q325's
+    // capped pair tier per probe, KMV verify over gram TEXT (52-bit md5
+    // minima), recursive reach per batch state
+    "q332_winnow_dup_incremental" -> {
+      val splitLadder = md5Ladder32("'wnb:' || CAST(doc_id AS VARCHAR)")
+      val skLadder = md5Ladder52("gram")
+      val verify = (pairsCte: String, out: String) =>
+        s"""$out AS (
+             SELECT id1, id2 FROM (
+               SELECT p.id1, p.id2,
+                 list_sort(list_distinct(list_concat(a.minima, b.minima)))[1:256]
+                   AS x,
+                 a.minima AS ma, b.minima AS mb
+               FROM $pairsCte p
+               JOIN skl a ON a.doc_id = p.id1
+               JOIN skl b ON b.doc_id = p.id2)
+             WHERE len(x) > 0
+               AND CAST(len(list_intersect(list_intersect(x, ma), mb))
+                 AS DOUBLE) / len(x) >= 0.25)"""
+      s"""WITH RECURSIVE dbase AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+         gocc AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+3], ' ') AS g
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i
+             FROM dbase)
+           WHERE len(list_filter(toks[i:i+3], x -> x = '')) = 0),
+         grams AS (
+           SELECT doc_id, pos, (${hv32Sql("", "g")}) AS h FROM gocc),
+         wins AS (
+           SELECT doc_id, pos AS t,
+             min(h) OVER dwin AS mh,
+             max(pos) OVER dwin AS last
+           FROM grams
+           WINDOW dwin AS (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+         fullw AS (SELECT doc_id, t, mh FROM wins WHERE last = t + 4),
+         hs AS (SELECT DISTINCT doc_id, mh AS h FROM fullw),
+         spl AS (
+           SELECT doc_id, CAST(($splitLadder) % 2 AS BIGINT) AS split
+           FROM documents),
+         hsx AS (
+           SELECT h.doc_id, h.h, s.split FROM hs h JOIN spl s USING (doc_id)),
+         c1sz AS (
+           SELECT h FROM hsx WHERE split = 0
+           GROUP BY 1 HAVING count(*) <= 50),
+         c1m AS (SELECT hsx.* FROM hsx JOIN c1sz USING (h) WHERE split = 0),
+         p1 AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM c1m a JOIN c1m b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         k2 AS (SELECT DISTINCT h FROM hsx WHERE split = 1),
+         c2all AS (SELECT hsx.* FROM hsx JOIN k2 USING (h)),
+         c2sz AS (SELECT h FROM c2all GROUP BY 1 HAVING count(*) <= 50),
+         c2m AS (SELECT c2all.* FROM c2all JOIN c2sz USING (h)),
+         p2 AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM c2m a JOIN c2m b ON a.h = b.h AND a.doc_id < b.doc_id
+           WHERE a.split = 1 OR b.split = 1
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dh AS (
+           SELECT DISTINCT doc_id, CAST($skLadder AS BIGINT) AS h
+           FROM (SELECT DISTINCT doc_id, g AS gram FROM gocc)),
+         mkv AS (
+           SELECT doc_id, h FROM dh
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 256),
+         skl AS (
+           SELECT doc_id, list(h ORDER BY h) AS minima FROM mkv GROUP BY 1),
+         ${verify("p1", "v1")},
+         ${verify("p2", "v2")},
+         edges1 AS (
+           SELECT id1 AS src, id2 AS dst FROM v1
+           UNION ALL SELECT id2, id1 FROM v1),
+         reach1 AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach1 r JOIN edges1 e ON e.src = r.id),
+         kp1 AS (SELECT id AS doc_id, min(label) AS keeper FROM reach1 GROUP BY 1),
+         edges2 AS (
+           SELECT id1 AS src, id2 AS dst FROM v1
+           UNION ALL SELECT id2, id1 FROM v1
+           UNION ALL SELECT id1, id2 FROM v2
+           UNION ALL SELECT id2, id1 FROM v2),
+         reach2 AS (
+           SELECT doc_id AS id, doc_id AS label FROM documents
+           UNION
+           SELECT e.dst AS id, r.label FROM reach2 r JOIN edges2 e ON e.src = r.id),
+         kp2 AS (SELECT id AS doc_id, min(label) AS keeper FROM reach2 GROUP BY 1)
+         SELECT doc_id, batch, keeper FROM (
+           SELECT s.doc_id, CAST(0 AS BIGINT) AS batch, kp1.keeper
+           FROM spl s JOIN kp1 USING (doc_id) WHERE s.split = 0
+           UNION ALL
+           SELECT s.doc_id, CAST(1 AS BIGINT) AS batch, kp2.keeper
+           FROM spl s JOIN kp2 USING (doc_id) WHERE s.split = 1)
+         ORDER BY doc_id, batch"""
     },
     // q331: two-stage schedule replay — batch-1 ranks admit to quota,
     // batch-2 ranks admit to quota − batch-1 admissions (the md5 cap

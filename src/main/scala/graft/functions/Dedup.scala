@@ -581,8 +581,25 @@ object Dedup {
     // 1. candidate pairs (>=1 batch side), from persisted bucket state
     val cand = lshIncremental(bucketStore, "buckets", batch, idCol, textCol,
       bands, rowsPerBand, shingleK, maxBucket, shinglesOpt = Some(sh))
+    incrementalKeeperTail(sketchStore, parentStore, batch, idCol,
+      sh, "shingle", cand, sketchK, threshold)
+  }
+
+  /** Steps 2–6 of the incremental keeper pipeline, shared by the LSH
+    * ([[nearDupIncremental]]) and winnowing ([[winnowDupIncremental]])
+    * candidate tiers: persist this batch's KMV sketches over `unitCol`,
+    * verify candidates against STORED sketches pruned to candidate ids,
+    * then fold verified pairs into the union-find parent-pointer state
+    * with path compression. The tail never cares where candidates came
+    * from — only that ≥1 side of each pair is a batch doc. */
+  private def incrementalKeeperTail(
+      sketchStore: graft.storage.PartStore,
+      parentStore: graft.storage.PartStore,
+      batch: DataFrame, idCol: String,
+      units: DataFrame, unitCol: String,
+      cand: DataFrame, sketchK: Int, threshold: Double): DataFrame = {
     // 2. persist this batch's sketches (id-range partitions)
-    val sk = kmvDocSketches(sh, idCol, "shingle", sketchK)
+    val sk = kmvDocSketches(units, idCol, unitCol, sketchK)
     sketchStore.store("sk", sk.select(
       col(idCol).cast("long").as("entity_id"),
       col(idCol).cast("long").as("timestamp"),
@@ -1802,6 +1819,46 @@ object Dedup {
       .union(pairs.join(newIds, pairs("id2") === col("nid"), "left_semi"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** Fully incremental MOSS keepers — the winnowing twin of
+    * [[nearDupIncremental]]: candidates from the persisted fingerprint
+    * store ([[winnowIncremental]]), verified by KMV-sketch Jaccard over
+    * the doc's word k-GRAM set (persisted per-doc sketches, pruned to
+    * candidate ids), folded into the shared union-find parent-pointer
+    * state. Each batch emits its docs' as-of keepers; cross-batch
+    * merges flow through all three stores. Per-batch cost ∝ batch +
+    * touched partitions — the corpus is never rescanned. */
+  def winnowDupIncremental(
+      fpStore: graft.storage.PartStore,
+      sketchStore: graft.storage.PartStore,
+      parentStore: graft.storage.PartStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDocFreq: Int,
+      sketchK: Int, threshold: Double): DataFrame = {
+    require(sketchStore.config.keyCols == Seq("entity_id") &&
+        parentStore.config.keyCols == Seq("entity_id"),
+      "winnowDupIncremental: sketch/parent stores must be keyed by entity_id")
+    require(threshold > 0 && threshold <= 1,
+      s"winnowDupIncremental: threshold in (0, 1], got $threshold")
+    val cand = winnowIncremental(fpStore, "fp", batch, idCol, textCol,
+      k, w, minShared, maxDocFreq)
+    // distinct gram TEXT per doc (not the 32-bit fingerprint hash): the
+    // KMV sketch hashes the unit value itself, exactly the shingle tier
+    val units = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - k)).as("pos"),
+        col("toks"))
+      .withColumn("gram", expr(s"slice(toks, pos + 1, $k)"))
+      .filter(!array_contains(col("gram"), ""))
+      .select(col("doc_id"), concat_ws(" ", col("gram")).as("gram"))
+      .distinct()
+    incrementalKeeperTail(sketchStore, parentStore, batch, idCol,
+      units.withColumnRenamed("doc_id", idCol), "gram", cand,
+      sketchK, threshold)
   }
 
   /** The full MOSS pipeline closed to a KEEPER ledger: winnowing
