@@ -2041,6 +2041,13 @@ object QueriesLLM {
         .select(col("entity_id").as("doc_id"), col("source"))
         .orderBy("doc_id")
     },
+    // ---- Zipf rank-frequency curve in power-of-2 rank buckets (corpus
+    // health: flat per-bucket mass = Zipfian; head spikes = boilerplate).
+    // Ranks via globalDenseRank, buckets via exact bit-length ----
+    "q333_zipf_buckets" -> { (s, dir) =>
+      TextAnalysis.zipfBuckets(docs(s, dir), "doc_id", "text")
+        .orderBy("bucket")
+    },
     // ---- rendezvous/HRW sharding (consistent re-sharding): growing the
     // fleet 8 → 9 must move ONLY docs whose new shard's hash wins —
     // every off-diagonal transition lands on shard 9's new index 8, and
@@ -8785,6 +8792,24 @@ object QueriesLLM {
          FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
          ORDER BY doc_id"""
     },
+    // q333: row_number over (freq DESC, tok) = the dense rank on
+    // distinct keys; floor(log2(rank)) is boundary-safe (powers of two
+    // are exact doubles, non-powers are ≥1e-8 from an integer)
+    "q333_zipf_buckets" ->
+      s"""WITH $ToksCte,
+         fr AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS freq
+           FROM toks WHERE tok <> '' GROUP BY 1),
+         rk AS (
+           SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS r
+           FROM fr)
+         SELECT CAST(floor(log2(r)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           CAST(min(r) AS BIGINT) AS min_rank,
+           CAST(max(r) AS BIGINT) AS max_rank
+         FROM rk GROUP BY 1 ORDER BY 1""",
     // q330: HRW argmax replayed as row_number over (h DESC, s DESC) —
     // the same tie-break as Spark's struct array_max
     "q330_rendezvous_shards" -> {

@@ -2269,6 +2269,29 @@ object TextAnalysis {
         col("ndcg_scaled"))
   }
 
+  /** Zipf rank-frequency diagnostics in power-of-two rank buckets (the
+    * corpus-health curve: under Zipf's law each doubling of rank holds
+    * roughly constant total mass, so a healthy crawl shows a flat
+    * `sum_freq` profile and boilerplate/duplication shows head spikes).
+    * Ranks come from [[Ranks.globalDenseRank]] over (freq DESC, token) —
+    * never a single-partition window — and the bucket is the EXACT
+    * integer ⌊log₂ rank⌋ (bit-length arithmetic, no float log near a
+    * boundary). Output per bucket: distinct types, total occurrences,
+    * and the bucket's min/max rank — all exact integers at any corpus
+    * size. */
+  def zipfBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val freqs = tokens(df, idCol, textCol).filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = graft.functions.Ranks.globalDenseRank(
+      freqs.select((-col("freq")).as("nf"), col("tok"), col("freq")),
+      Seq("nf", "tok"))
+    ranked
+      .withColumn("bucket", (length(expr("bin(__r)")) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("sum_freq"),
+        min("__r").as("min_rank"), max("__r").as("max_rank"))
+  }
+
   /** Cohen's κ inter-annotator agreement over two label columns (Cohen
     * 1960, public standard — the label-quality audit a human-annotated
     * or LLM-judged training set needs before its labels are trusted):
