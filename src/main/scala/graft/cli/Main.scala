@@ -230,14 +230,19 @@ object Main {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+      // cast entity to string BEFORE the resolve join: resolveHash hashes
+      // the string form (the one identity convention shared with harvest
+      // and both attribute verbs), and a long===string join would coerce
+      // both sides to double (precision loss past 2^53)
+      val pkgS0 = pkg.withColumn("entity", col("entity").cast("string"))
       val resolved = EntityResolution.resolveHash(
-        pkg.select(col("entity").as("name")), dim, "default")
+        pkgS0.select(col("entity").as("name")), dim, "default")
       val now = System.currentTimeMillis() / 1000
       val jobLog = new graft.storage.JobLog(s, base)
       val jobId = jobLog.startJob(s"load-data $csv -> $part", now)
       // every stored row carries the loading job's id
       // (trendstorepart.py:440-454)
-      val batch = pkg.join(resolved, pkg("entity") === resolved("name"))
+      val batch = pkgS0.join(resolved, pkgS0("entity") === resolved("name"))
         .drop("entity", "name")
         .withColumnRenamed("id", "entity_id")
         .withColumn("modified", lit(now))

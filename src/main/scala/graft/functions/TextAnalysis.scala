@@ -2300,10 +2300,12 @@ object TextAnalysis {
     * fixed-point ×1e9. All arithmetic is integer: counts, the marginal
     * products, and a sign-split magnitude division (trunc = floor on the
     * nonnegative magnitude, so any engine agrees even for κ < 0). The
-    * ×1e9 scaling bounds exactness to N ≲ 3·10⁶ rows in 64-bit — beyond
-    * that, audit per stratum (per source/shard), which is the useful
-    * granularity anyway; the confusion cells themselves are exact at any
-    * N.
+    * ×1e9 scaled division runs in DECIMAL(38,0): knum/kden are Θ(N²), so
+    * a 64-bit 1e9·knum would wrap (non-ANSI, silently) from N ≈ 1e5 while
+    * the DuckDB oracle's HUGEINT stayed exact — decimal keeps both
+    * engines exact to N ≈ 3·10⁹ (where N·Σdiag itself leaves 64-bit; a
+    * corpus past that audits per stratum, the useful granularity anyway);
+    * the confusion cells themselves are exact at any N.
     *
     * Output: one row per confusion cell (a, b, n) with the scalars
     * (n_total, n_agree, kappa_scaled) broadcast onto every row (the
@@ -2329,9 +2331,12 @@ object TextAnalysis {
       .withColumn("__kden", col("__n") * col("__n") - col("__pe"))
       .select(col("__n"), col("__agree"),
         when(col("__kden") === 0, lit(0L)) // degenerate: one label only
-          .when(col("__knum") >= 0,
-            expr("(1000000000 * __knum) DIV __kden"))
-          .otherwise(-expr("(1000000000 * -__knum) DIV __kden"))
+          .when(col("__knum") >= 0, expr(
+            "CAST((CAST(__knum AS DECIMAL(38,0)) * 1000000000)" +
+              " DIV CAST(__kden AS DECIMAL(38,0)) AS BIGINT)"))
+          .otherwise(-expr(
+            "CAST((CAST(-__knum AS DECIMAL(38,0)) * 1000000000)" +
+              " DIV CAST(__kden AS DECIMAL(38,0)) AS BIGINT)"))
           .as("kappa_scaled"))
     cm.crossJoin(broadcast(scalar))
       .select(col("a"), col("b"), col("n"),

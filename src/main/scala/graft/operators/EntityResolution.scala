@@ -41,9 +41,19 @@ object EntityResolution {
       .unionByName(missing.select("name", "id"))
   }
 
-  /** Hash-based allocation: scales without coordination. */
+  /** Hash-based allocation: scales without coordination.
+    *
+    * Identity convention: the hash input is the STRING form of the name —
+    * normalized HERE, once, so every caller (load-data, harvest, both
+    * attribute verbs) allocates the same entity_id for the same
+    * identifier whether its source column arrived as long or string
+    * (xxhash64 of a long differs from xxhash64 of its string form, so a
+    * caller-side cast asymmetry would silently re-key stores across
+    * verbs). Migration note: stores written by a pre-convention build
+    * whose loader hashed raw numeric identifiers carry different
+    * entity_ids and need a one-time re-key. */
   def resolveHash(names: DataFrame, dim: DataFrame, entityType: String): DataFrame = {
-    val matched = names.select("name").distinct()
+    val matched = names.select(col("name").cast("string").as("name")).distinct()
       .join(dim.select("name", "id"), Seq("name"), "left")
     matched.withColumn(
       "id",
@@ -55,7 +65,10 @@ object EntityResolution {
     * append names not yet in the dimension (left_anti — the reference's
     * `ON CONFLICT DO NOTHING`). */
   def missingEntities(names: DataFrame, dim: DataFrame): DataFrame =
-    names.select("name").distinct()
+    // string-normalize like resolveHash: a long===string anti-join would
+    // coerce both sides to double, and a numeric-typed name column would
+    // diverge from the stored string dimension
+    names.select(col("name").cast("string").as("name")).distinct()
       .join(dim.select("name"), Seq("name"), "left_anti")
 
   /** Alias-based resolution (reference: directory/entityref.py:56-95

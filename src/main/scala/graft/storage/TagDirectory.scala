@@ -24,6 +24,91 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   private def fs = graft.core.HadoopFs.forPath(spark, basePath)
   private def linkPath = new org.apache.hadoop.fs.Path(s"$basePath/_tags")
 
+  // ---- crash-safe swap + writer lease (PartStore's protocol, scaled to
+  // the two directory-sized link tables). The r16 shape — delete(live)
+  // then rename(staged) — lost the WHOLE table if a crash or rename
+  // failure landed between the two calls, and links() then silently read
+  // empty: total tag-data loss with no recovery path. Now: rename live →
+  // .aside, rename staged → live (roll the aside back on failure), delete
+  // the aside LAST; recoverTable() runs before every read and write, so a
+  // leftover aside is restored (crash mid-swap: the interrupted flush is
+  // simply re-run) or dropped (crash after swap-in: the aside is stale),
+  // never surfaced as an empty table. A create-exclusive lease file
+  // serializes writers per table — without it a concurrent tagEntities
+  // APPEND could interleave with a flush's swap and vanish. ----
+
+  private def asidePath(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, s".${live.getName}_aside")
+  private def stagedPath(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, s"${live.getName}.staged")
+
+  private def recoverTable(live: org.apache.hadoop.fs.Path): Unit = {
+    val aside = asidePath(live)
+    if (fs.exists(aside)) {
+      if (!fs.exists(live)) {
+        // crash between the two swap renames: the aside is the ONLY copy
+        if (!fs.rename(aside, live)) throw new IllegalStateException(
+          s"tag recovery: restore $aside -> $live failed")
+      } else fs.delete(aside, true) // crash after swap-in: aside is stale
+    }
+    fs.delete(stagedPath(live), true) // incomplete or superseded either way
+  }
+
+  /** Swap `staged` in as the new `live` table: aside-rename protocol,
+    * rollback on failure, aside deleted last (never both dirs lost). */
+  private def swapIn(live: org.apache.hadoop.fs.Path): Unit = {
+    val staged = stagedPath(live)
+    val aside = asidePath(live)
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, aside))
+      throw new IllegalStateException(s"tag swap: move-aside $live failed")
+    val ok =
+      try fs.rename(staged, live)
+      catch { case t: Throwable =>
+        if (hadLive) fs.rename(aside, live) // roll back before rethrowing
+        throw t
+      }
+    if (!ok) {
+      if (hadLive) fs.rename(aside, live)
+      throw new IllegalStateException(s"tag swap: rename $staged -> $live failed")
+    }
+    if (hadLive) fs.delete(aside, true)
+  }
+
+  // lease file beside the table (create-exclusive = atomic on HDFS); held
+  // across the whole read-transform-swap. Tag mutations are control-plane
+  // operations (seconds), so contention is refused after a short wait and
+  // a lease older than the TTL is a crashed writer and is taken over.
+  private val leaseWaitMs = 10000L
+  private val leaseTtlMs = 600000L
+
+  private def withTableLease[A](live: org.apache.hadoop.fs.Path)(body: => A): A = {
+    val lease =
+      new org.apache.hadoop.fs.Path(live.getParent, s".${live.getName}__lease")
+    fs.mkdirs(live.getParent)
+    val deadline = System.currentTimeMillis() + leaseWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.create(lease, false).close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lease).getModificationTime
+            catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+          if (age > leaseTtlMs) fs.delete(lease, false) // crashed writer
+          else if (System.currentTimeMillis() >= deadline)
+            throw new graft.core.ConcurrentWriterException(
+              s"tag-table lease ${lease.getName} is held by another writer " +
+                s"(waited $leaseWaitMs ms) — tag mutations serialize per table")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally fs.delete(lease, false)
+  }
+
   private def emptyLinks: DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -32,8 +117,11 @@ class TagDirectory(spark: SparkSession, basePath: String) {
         StructField("tag", StringType), StructField("entity_id", LongType))))
   }
 
-  /** All (tag_group, tag, entity_id) links; empty frame if never written. */
+  /** All (tag_group, tag, entity_id) links; empty frame only if never
+    * written (a mid-swap crash leaves an aside that [[recoverTable]]
+    * restores here, never an empty read). */
   def links: DataFrame = {
+    recoverTable(linkPath)
     val hasData = fs.exists(linkPath) && fs.listStatus(linkPath).exists { st =>
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
@@ -48,7 +136,7 @@ class TagDirectory(spark: SparkSession, basePath: String) {
     * and group names are lowercased on write, the reference's
     * `lower(tag.name)` match baked into storage. Returns the number of
     * links actually added, so a replay is provably a no-op. */
-  def tagEntities(newLinks: DataFrame): Long = {
+  def tagEntities(newLinks: DataFrame): Long = withTableLease(linkPath) {
     val normalized = newLinks.select(
         lower(col("tag_group")).as("tag_group"),
         lower(col("tag")).as("tag"),
@@ -71,7 +159,7 @@ class TagDirectory(spark: SparkSession, basePath: String) {
     * Returns the number of entities whose tag actually changed (a replay
     * of the same links is a no-op, like [[tagEntities]]). Same staged
     * whole-table swap as [[flushTag]] — link tables are directory-scale. */
-  def retagComplementary(newLinks: DataFrame): Long = {
+  def retagComplementary(newLinks: DataFrame): Long = withTableLease(linkPath) {
     val normalized = newLinks.select(
         lower(col("tag_group")).as("tag_group"),
         lower(col("tag")).as("tag"),
@@ -94,14 +182,9 @@ class TagDirectory(spark: SparkSession, basePath: String) {
       val kept = existing.join(
         changed.select("tag_group", "entity_id").distinct(),
         Seq("tag_group", "entity_id"), "left_anti")
-      val staged = new org.apache.hadoop.fs.Path(s"$basePath/_tags.staged")
-      fs.delete(staged, true)
       kept.unionByName(changed)
-        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      fs.delete(linkPath, true)
-      if (!fs.rename(staged, linkPath))
-        throw new IllegalStateException(
-          s"retagComplementary: rename $staged -> $linkPath failed")
+        .write.mode(SaveMode.Overwrite).parquet(stagedPath(linkPath).toString)
+      swapIn(linkPath)
     }
     changed.unpersist()
     n
@@ -110,16 +193,11 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   /** Remove every link of one tag (reference `flush_tag_links`,
     * attribute/tag.py:63-77). Link tables are directory-scale, so the
     * staged rewrite-then-swap of the whole table is control-plane cost;
-    * the swap keeps a crash from leaving a half-deleted directory. */
-  def flushTag(tag: String): Unit = {
-    val kept = links.filter(col("tag") =!= lower(lit(tag)))
-    val staged = new org.apache.hadoop.fs.Path(s"$basePath/_tags.staged")
-    fs.delete(staged, true)
-    kept.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    fs.delete(linkPath, true)
-    if (!fs.rename(staged, linkPath))
-      throw new IllegalStateException(
-        s"flushTag: rename $staged -> $linkPath failed")
+    * the aside-protocol swap keeps a crash at ANY point recoverable. */
+  def flushTag(tag: String): Unit = withTableLease(linkPath) {
+    links.filter(col("tag") =!= lower(lit(tag)))
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath(linkPath).toString)
+    swapIn(linkPath)
   }
 
   // ---- metadata (attribute-definition) tags: the reference's
@@ -139,8 +217,10 @@ class TagDirectory(spark: SparkSession, basePath: String) {
         StructField("name", StringType))))
   }
 
-  /** All (tag, name) metadata links; empty frame if never written. */
+  /** All (tag, name) metadata links; empty frame only if never written
+    * ([[recoverTable]] restores a mid-swap aside first, like [[links]]). */
   def nameLinks: DataFrame = {
+    recoverTable(namePath)
     val hasData = fs.exists(namePath) && fs.listStatus(namePath).exists { st =>
       val n = st.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
@@ -153,7 +233,7 @@ class TagDirectory(spark: SparkSession, basePath: String) {
     * `tag_attributes`' anti-join INSERT, attribute/tag.py:21-28. Tag is
     * lowercased (the reference's lower(tag.name) match); the NAME keeps
     * its case — it identifies a real column. */
-  def tagNames(newLinks: DataFrame): Long = {
+  def tagNames(newLinks: DataFrame): Long = withTableLease(namePath) {
     val normalized = newLinks.select(
         lower(col("tag")).as("tag"), col("name").cast("string").as("name"))
       .distinct()
@@ -167,16 +247,11 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   }
 
   /** Remove one metadata tag's links (`flush_tag_links`,
-    * attribute/tag.py:63-77) — staged whole-table swap like [[flushTag]]. */
-  def flushNameTag(tag: String): Unit = {
-    val kept = nameLinks.filter(col("tag") =!= lower(lit(tag)))
-    val staged = new org.apache.hadoop.fs.Path(s"$basePath/_nametags.staged")
-    fs.delete(staged, true)
-    kept.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    fs.delete(namePath, true)
-    if (!fs.rename(staged, namePath))
-      throw new IllegalStateException(
-        s"flushNameTag: rename $staged -> $namePath failed")
+    * attribute/tag.py:63-77) — aside-protocol swap like [[flushTag]]. */
+  def flushNameTag(tag: String): Unit = withTableLease(namePath) {
+    nameLinks.filter(col("tag") =!= lower(lit(tag)))
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath(namePath).toString)
+    swapIn(namePath)
   }
 
   /** The metadata names carrying `tag` — a bounded control-plane read
@@ -196,7 +271,11 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   /** Scope a frame to entities carrying `tag`: broadcast left-semi join —
     * the tag set is directory-scale, so scoping adds no shuffle to the
     * consuming plan (a 100 TB scan keeps its partitioning). */
-  def scope(df: DataFrame, tag: String, entityCol: String): DataFrame =
-    df.join(broadcast(entitiesWithTag(tag)),
-      df(entityCol) === col("entity_id"), "left_semi")
+  def scope(df: DataFrame, tag: String, entityCol: String): DataFrame = {
+    // alias the broadcast side: store-backed frames typically carry their
+    // own entity_id column, and an unqualified reference would be
+    // ambiguous (or bind to the wrong side)
+    val tagged = entitiesWithTag(tag).withColumnRenamed("entity_id", "__tag_eid")
+    df.join(broadcast(tagged), df(entityCol) === tagged("__tag_eid"), "left_semi")
+  }
 }

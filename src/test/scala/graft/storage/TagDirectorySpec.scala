@@ -65,6 +65,58 @@ class TagDirectorySpec extends SparkSpec {
     assert(td.namesWithTag("meta") == Seq("notes")) // other tags survive
   }
 
+  test("mid-swap crash (live missing, aside present) recovers on next read") {
+    val td = fresh("crash")
+    td.tagEntities(Seq(("g", "red", 1L), ("g", "blue", 2L))
+      .toDF("tag_group", "tag", "entity_id"))
+    val base = "target/tmp/tagdir_crash"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$base/_tags")
+    val aside = new org.apache.hadoop.fs.Path(s"$base/._tags_aside")
+    val staged = new org.apache.hadoop.fs.Path(s"$base/_tags.staged")
+    // simulate a crash between the two swap renames: live moved aside,
+    // the staged replacement still sitting there
+    assert(fs.rename(live, aside))
+    fs.mkdirs(staged)
+    // the old shape read this state as an EMPTY table (total tag loss);
+    // recovery must restore the aside and drop the stale staged dir
+    assert(td.links.count() == 2L)
+    assert(!fs.exists(aside) && !fs.exists(staged))
+    // crash AFTER swap-in (aside present WITH a live dir): aside is stale
+    fs.mkdirs(aside)
+    assert(td.entitiesWithTag("red").count() == 1L)
+    assert(!fs.exists(aside))
+  }
+
+  test("writer lease: a held lease refuses a second writer loudly") {
+    val td = fresh("lease")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(
+      "target/tmp/tagdir_lease/._tags__lease")
+    fs.mkdirs(lease.getParent)
+    fs.create(lease, false).close() // another writer holds the table
+    intercept[graft.core.ConcurrentWriterException] {
+      td.tagEntities(Seq(("g", "t", 1L)).toDF("tag_group", "tag", "entity_id"))
+    }
+    fs.delete(lease, false)
+    assert(td.tagEntities(Seq(("g", "t", 1L))
+      .toDF("tag_group", "tag", "entity_id")) == 1L)
+  }
+
+  test("scope binds to the tag side even when the frame has its own " +
+      "entity_id column") {
+    val td = fresh("scope_amb")
+    td.tagEntities(Seq(("g", "keep", 1L)).toDF("tag_group", "tag", "entity_id"))
+    // frame carries an entity_id column DIFFERENT from the scoping column —
+    // an unqualified entity_id in the join condition would bind to it
+    val facts = Seq((1L, 999L, 10.0), (2L, 1L, 20.0))
+      .toDF("ent", "entity_id", "v")
+    val scoped = td.scope(facts, "keep", "ent")
+    assert(scoped.select("v").as[Double].collect().toSeq == Seq(10.0))
+  }
+
   test("scope is a broadcast left-semi keeping only tagged entities") {
     val td = fresh("scope")
     td.tagEntities(Seq(("g", "keep", 1L), ("g", "keep", 3L))
