@@ -1029,17 +1029,89 @@ object Main {
           s""""materializations":${jarr(mats)},""" +
           s""""triggers":${jarr(triggers)}}""")
 
-    case "report" :: base :: part :: Nil =>
+    case "report" :: base :: part :: rest if rest.isEmpty ||
+        (rest.length == 2 && rest.head == "--tag") =>
       val s = spark()
       val ps = new PartStore(s, PartStoreConfig(base, 86400))
       ps.readPart(part) match {
         case None => println(s"""{"error":"no such part","part":"$part"}"""); exit(1)
-        case Some(df) =>
+        case Some(df0) =>
+          // --tag scopes the report to entities carrying the tag — the
+          // reference's tag-scoped selection, via TagDirectory.scope
+          // (broadcast left-semi: adds no shuffle to the aggregate)
+          val df = rest match {
+            case "--tag" :: tag :: Nil =>
+              new graft.storage.TagDirectory(s, base).scope(df0, tag, "entity_id")
+            case _ => df0
+          }
+          val tagField = rest match {
+            case "--tag" :: tag :: Nil => s""","tag":${js(tag.toLowerCase)}"""
+            case _ => ""
+          }
           val r = df.agg(
             count(lit(1)).as("rows"),
             countDistinct(col("entity_id")).as("entities"),
             max(col("timestamp")).as("max_ts")).head()
-          println(s"""{"part":"$part","rows":${r.getLong(0)},"entities":${r.getLong(1)},"max_ts":${r.get(2)}}""")
+          println(s"""{"part":"$part","rows":${r.getLong(0)},"entities":${r.getLong(1)},"max_ts":${r.get(2)}$tagField}""")
+      }
+
+    // `minerva tag …` / `minerva tag-group …`: admin verbs over the tag
+    // directory (reference: directory/tag.py, taggroup.py — tags scope
+    // the entity sets reports and aggregations run over; attribute/tag.py
+    // maintains the links). Links load from a CSV with a header matching
+    // the link schema: (tag_group, tag, entity_id) for entity links,
+    // (tag, name) for metadata (attribute-definition) links.
+    case "tag" :: "entities" :: base :: csvPath :: Nil =>
+      val s = spark()
+      val td = new graft.storage.TagDirectory(s, base)
+      val n = td.tagEntities(
+        s.read.option("header", "true").csv(csvPath)
+          .select(col("tag_group"), col("tag"), col("entity_id")))
+      println(s"""{"tagged":$n}""")
+
+    case "tag" :: "retag" :: base :: csvPath :: Nil =>
+      val s = spark()
+      val td = new graft.storage.TagDirectory(s, base)
+      val n = td.retagComplementary(
+        s.read.option("header", "true").csv(csvPath)
+          .select(col("tag_group"), col("tag"), col("entity_id")))
+      println(s"""{"retagged":$n}""")
+
+    case "tag" :: "flush" :: base :: tag :: Nil =>
+      new graft.storage.TagDirectory(spark(), base).flushTag(tag)
+      println(s"""{"tag":${js(tag.toLowerCase)},"flushed":true}""")
+
+    case "tag" :: "list" :: base :: Nil =>
+      val td = new graft.storage.TagDirectory(spark(), base)
+      // directory-scale aggregate: one row per (group, tag) with its size
+      val rows = td.links.groupBy("tag_group", "tag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tag_group", "tag").collect()
+      println(rows.map(r =>
+          s"""{"tag_group":${js(r.getString(0))},"tag":${js(r.getString(1))},"entities":${r.getLong(2)}}""")
+        .mkString("[", ",", "]"))
+
+    case "tag" :: "name-add" :: base :: csvPath :: Nil =>
+      val s = spark()
+      val td = new graft.storage.TagDirectory(s, base)
+      val n = td.tagNames(s.read.option("header", "true").csv(csvPath)
+        .select(col("tag"), col("name")))
+      println(s"""{"tagged_names":$n}""")
+
+    case "tag" :: "name-flush" :: base :: tag :: Nil =>
+      new graft.storage.TagDirectory(spark(), base).flushNameTag(tag)
+      println(s"""{"tag":${js(tag.toLowerCase)},"flushed":true}""")
+
+    case "tag" :: "name-list" :: base :: rest if rest.length <= 1 =>
+      val td = new graft.storage.TagDirectory(spark(), base)
+      rest match {
+        case tag :: Nil =>
+          println(td.namesWithTag(tag).map(js).mkString("[", ",", "]"))
+        case _ =>
+          val rows = td.nameLinks.orderBy("tag", "name").collect()
+          println(rows.map(r =>
+              s"""{"tag":${js(r.getString(0))},"name":${js(r.getString(1))}}""")
+            .mkString("[", ",", "]"))
       }
 
     // `minerva trigger create|delete|list|enable|disable|execute|run-all`
@@ -1535,7 +1607,13 @@ object Main {
            |  alias create|delete|list <storeBase> [name]
            |  notification-store create <storeBase> <defYaml>
            |  notification-store delete <storeBase> <name>
-           |  report <storeBase> <part>
+           |  report <storeBase> <part> [--tag <tag>]
+           |  tag entities|retag <storeBase> <links.csv>   (header: tag_group,tag,entity_id)
+           |  tag flush <storeBase> <tag>
+           |  tag list <storeBase>
+           |  tag name-add <storeBase> <links.csv>         (header: tag,name)
+           |  tag name-flush <storeBase> <tag>
+           |  tag name-list <storeBase> [tag]
            |  trigger <trendBase> <part> <triggerYaml> <outDir>
            |  trigger create <storeBase> <triggerYaml>
            |  trigger delete|enable|disable <storeBase> <name>

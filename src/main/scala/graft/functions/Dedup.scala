@@ -598,12 +598,17 @@ object Dedup {
       batch: DataFrame, idCol: String,
       units: DataFrame, unitCol: String,
       cand: DataFrame, sketchK: Int, threshold: Double): DataFrame = {
-    // 2. persist this batch's sketches (id-range partitions)
+    // 2. persist this batch's sketches (id-range partitions). Checkpoint
+    // the store input: store() executes its batch plan twice (pindex
+    // probe + staged write), and this plan is the gate's most expensive —
+    // a k-minima agg over the exploded distinct-gram stream (the winnow
+    // tier passes units UN-checkpointed, so without this the whole
+    // tokenize→explode→distinct ran twice per batch too)
     val sk = kmvDocSketches(units, idCol, unitCol, sketchK)
     sketchStore.store("sk", sk.select(
       col(idCol).cast("long").as("entity_id"),
       col(idCol).cast("long").as("timestamp"),
-      col("minima"), lit(1L).as("modified")))
+      col("minima"), lit(1L).as("modified")).localCheckpoint())
     // 3. verify candidates from STORED sketches, pruned to candidate ids
     def prunedByIds(
         store: graft.storage.PartStore, part: String, ids: DataFrame,
@@ -670,6 +675,7 @@ object Dedup {
     val upserts = nodeKeeper
       .union(comp.select(col("root").as("node"), col("keeper")))
       .distinct()
+      .localCheckpoint() // store() runs its input twice; snapshot once
     parentStore.store("par", upserts.select(
       col("node").as("entity_id"), col("node").as("timestamp"),
       col("keeper").as("parent"), lit(1L).as("modified")))
@@ -1079,9 +1085,14 @@ object Dedup {
     * set is round-stable (exact: count + one-sided anti check on
     * distinct sets), then every surviving edge IS (node, component min).
     * Ids need only be orderable — numeric and string both work. */
+  /** Edge-count cutoff below which [[connectedKeepersStar]] union-finds on
+    * the driver (two longs per edge ⇒ ≲32 MB at this bound). */
+  val ConnectedDriverMaxEdges: Long = 1L << 21
+
   def connectedKeepersStar(
       all: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverMaxEdges: Long = ConnectedDriverMaxEdges): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = nbrs.groupBy("u").agg(min("v").as("__mn"))
@@ -1106,6 +1117,46 @@ object Dedup {
       .select(col("id1").as("u"), col("id2").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
+    val nEdges = edges.count() // checkpointed — a cached-count action
+    // shortcut 1: no edges ⇒ everyone keeps themselves; skip the loop's
+    // fixed per-round cost (2 star passes + checkpoint + set-equality)
+    if (nEdges == 0)
+      return all.select(col(idCol), col(idCol).as("keeper"))
+    // shortcut 2: a BOUNDED long-id edge set union-finds on the driver in
+    // milliseconds — the star loop pays ~4 Spark actions per round, pure
+    // fixed cost when the contracted graph is thousands of edges (the
+    // incremental keeper gates' every batch). The cutoff is an exact
+    // count on checkpointed data, so the collect is provably bounded
+    // (≲ 32 MB at the 2M default); anything larger, or non-long ids
+    // (keeper must keep the id's type), takes the distributed loop —
+    // the 100 TB path is unchanged.
+    val idType = edges.schema("u").dataType
+    if (nEdges <= driverMaxEdges &&
+        idType == org.apache.spark.sql.types.LongType &&
+        edges.schema("v").dataType == org.apache.spark.sql.types.LongType) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN: the root is always its component's minimum, the
+        // same keeper the star loop converges to
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val sp = all.sparkSession
+      import sp.implicits._
+      val lab = nodes.map(x => (x, find(x))).toSeq.toDF("__id", "keeper")
+      return all.select(col(idCol))
+        .join(broadcast(lab), all(idCol) === lab("__id"), "left")
+        .select(col(idCol), coalesce(col("keeper"), col(idCol)).as("keeper"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -1717,34 +1768,27 @@ object Dedup {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k,w >= 1, got $k,$w")
     import org.apache.spark.sql.expressions.Window
     val grams = winnowGrams(docs, idCol, textCol, k)
-      .localCheckpoint() // feeds both the window mins and the resolver
     val dw = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
-    val wins = grams
-      .withColumn("__mh", min(col("h")).over(dw))
+    // the window min AND its rightmost position in ONE window pass:
+    // min(struct(h, -pos)) is lexicographic — smallest h first, then
+    // smallest -pos = LARGEST pos among its occurrences. This replaces
+    // the r16 explode-into-members + (doc_id, pos) equi-join resolver:
+    // same result, zero joins, zero w× fanout — the per-window work is
+    // the O(L·w) frame scan Spark's WindowExec already does for the min,
+    // and nothing here can degrade to the L²-in-one-task shape the r15
+    // resolver had (there is no join to lose its keys). Both windows
+    // share one frame spec, so Catalyst computes them in a single
+    // WindowExec pass.
+    val fp = grams
+      .withColumn("__mn", min(struct(col("h"), (-col("pos")).as("np"))).over(dw))
       .withColumn("__last", max(col("pos")).over(dw))
       // only FULL windows fingerprint (the trailing <w stubs are the
       // next doc's problem in a streaming cut; here they just end)
       .filter(col("__last") === col("pos") + (w - 1))
-      .select(col("doc_id"), col("pos").as("t"), col("__mh"))
-    // rightmost occurrence of the window's min. The window explodes into
-    // its w member positions FIRST so the join is an equi-join on
-    // (doc_id, pos) — true constant-w fanout (|wins|·w rows enumerated,
-    // ≤w matches per window). A doc_id-only join with the position range
-    // as a post-filter would enumerate |wins|·|grams| ≈ L² pairs inside
-    // each doc's task — quadratic in doc LENGTH, which the sf ladder
-    // (scaling doc count) never sees; one book-length doc would be
-    // 10^10+ pair enumerations in a single task.
-    val winPos = wins.select(col("doc_id"), col("t"), col("__mh"),
-      explode(sequence(col("t"), col("t") + (w - 1))).as("pos"))
-    val fp = winPos
-      .join(grams.select(col("doc_id"), col("pos"), col("h")),
-        Seq("doc_id", "pos"))
-      .filter(col("h") === col("__mh"))
-      .groupBy("doc_id", "t")
-      .agg(max(col("pos")).as("pos"), max(col("h")).as("h"))
-    fp.select(col("doc_id"), col("h"), col("pos").cast("long").as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("__mn.h").as("h"),
+        (-col("__mn.np")).cast("long").as("pos"))
+    fp.distinct()
   }
 
   /** Candidate near-dup pairs from SHARED winnowing fingerprints — the

@@ -295,6 +295,12 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // would still let two writers merge against the same base and lose
     // whichever lands first
     withWriterLease(part) {
+    // NOTE: the batch plan executes twice here (the pindex-distinct collect
+    // and the staged merge write). A persist() across the two was measured
+    // SLOWER (r17): caching materializes every wide column while the
+    // distinct is column-pruned to pindex, and callers already checkpoint
+    // one step upstream — the second execution pays one agg over
+    // checkpointed data, less than the cache materialization costs.
     val b = withPindex(batch)
     val batchIndices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
     val (merged, indices) = readPart(part) match {

@@ -128,20 +128,28 @@ class QueriesPlanSpec extends SparkSpec {
         s"window not keyed by $key:\n$plan")
     }
 
-  test("q311 winnowing resolver equi-joins on (doc_id, pos), never doc_id alone") {
-    // a doc_id-only join with the position range as a post-filter
-    // enumerates |wins|·|grams| ≈ L² pairs inside one doc's task —
-    // quadratic in doc LENGTH, invisible to the sf ladder (which scales
-    // doc count). The resolver must carry pos in the equi-join keys.
+  test("q311 winnowing resolver is join-free (single struct-min window pass)") {
+    // history: the r15 resolver joined wins to grams on doc_id ALONE with
+    // the position range as a post-filter — |wins|·|grams| ≈ L² pairs
+    // inside one doc's task, quadratic in doc LENGTH and invisible to the
+    // sf ladder (which scales doc count). r16 fixed the join's keys; r17
+    // removed the join entirely: min(struct(h, -pos)) over the winnowing
+    // window yields the min AND its rightmost position in one WindowExec
+    // pass. Guard: the fingerprint plan must contain NO join at all (a
+    // join reappearing means the resolver regressed to a shape that can
+    // lose its keys) and its window must be keyed by doc_id.
     val df = SparkEntry.queries("q311_winnowing")(spark, dir)
     df.collect() // finalize AQE
     val plan = df.queryExecution.executedPlan.toString
     val joins = plan.linesIterator.filter(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("BroadcastHashJoin")).toSeq
-    assert(joins.nonEmpty, s"expected the resolver join in:\n$plan")
-    assert(joins.forall(l => l.contains("pos")),
-      s"resolver join keys missing pos:\n$plan")
+        l.contains("BroadcastHashJoin") ||
+        l.contains("BroadcastNestedLoopJoin") ||
+        l.contains("CartesianProduct")).toSeq
+    assert(joins.isEmpty, s"winnowing resolver must be join-free:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("doc_id")),
+      s"expected doc_id-keyed windows:\n$plan")
   }
 
   test("winnowPairs candidate self-join carries the fingerprint hash h " +

@@ -95,11 +95,25 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
     // string ids: min is order-based, so lexicographic components work
+    // (string ids always take the distributed star loop)
     val sAll = Seq("a", "b", "c", "z").toDF("doc_id")
     val sPairs = Seq(("a", "b"), ("b", "c")).toDF("id1", "id2")
     val s = graft.functions.Dedup.connectedKeepersStar(sAll, "doc_id", sPairs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(s("a") == "a" && s("b") == "a" && s("c") == "a" && s("z") == "z")
+    // driver-side union-find (small long-id edge sets) must agree with
+    // the distributed star loop forced via driverMaxEdges = 0
+    val dLab = graft.functions.Dedup.connectedKeepersStar(allR, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val distLab = graft.functions.Dedup.connectedKeepersStar(
+        allR, "doc_id", pairs, driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dLab == distLab)
+    // empty edge set: everyone keeps themselves, no loop rounds
+    val eLab = graft.functions.Dedup.connectedKeepersStar(
+        allR, "doc_id", pairs.limit(0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(eLab == ids.map(i => (i, i)).toSet)
   }
 
   test("clusterRepresentatives picks the highest-quality copy, ties to smaller id") {
