@@ -2048,6 +2048,14 @@ object QueriesLLM {
       TextAnalysis.zipfBuckets(docs(s, dir), "doc_id", "text")
         .orderBy("bucket")
     },
+    // ---- canonical ("fuzzy-exact") dedup: case/punct/whitespace-folded
+    // digests — the C4/RefinedWeb tier between raw-exact and MinHash.
+    // One digest-partitioned window = one shuffle; fate ledger out ----
+    "q334_canonical_dedup" -> { (s, dir) =>
+      Dedup.canonicalKeepers(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "canon_digest", "keeper", "copies", "fate")
+        .orderBy("doc_id")
+    },
     // ---- rendezvous/HRW sharding (consistent re-sharding): growing the
     // fleet 8 → 9 must move ONLY docs whose new shard's hash wins —
     // every off-diagonal transition lands on shard 9's new index 8, and
@@ -8795,6 +8803,20 @@ object QueriesLLM {
     // q333: row_number over (freq DESC, tok) = the dense rank on
     // distinct keys; floor(log2(rank)) is boundary-safe (powers of two
     // are exact doubles, non-powers are ≥1e-8 from an integer)
+    "q334_canonical_dedup" ->
+      """WITH canon AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_digest
+           FROM documents)
+         SELECT doc_id, canon_digest,
+           CAST(min(doc_id) OVER (PARTITION BY canon_digest) AS BIGINT)
+             AS keeper,
+           CAST(count(*) OVER (PARTITION BY canon_digest) AS BIGINT)
+             AS copies,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_digest)
+             THEN 'kept' ELSE 'dup' END AS fate
+         FROM canon ORDER BY doc_id""",
     "q333_zipf_buckets" ->
       s"""WITH $ToksCte,
          fr AS (

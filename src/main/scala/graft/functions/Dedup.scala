@@ -34,6 +34,38 @@ object Dedup {
     df.groupBy(digest(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("copies"))
 
+  /** Aggressive text canonicalization for the "fuzzy-exact" dedup tier
+    * (the C4/RefinedWeb practice, public): lowercase, replace every
+    * character outside ASCII [a-z0-9] and whitespace with a space,
+    * collapse whitespace runs, trim. Two docs differing only in case,
+    * punctuation, or spacing canonicalize identically — the tier between
+    * [[digest]]-exact (which sees "Hello, world!" ≠ "hello world") and
+    * MinHash near-dup (which pays shingling for what is really the same
+    * byte content reflowed). ASCII-scoped on purpose: it is engine-exact
+    * (Java regex here, RE2 in the oracle, same result), and non-ASCII
+    * letters degrade to separators rather than silently merging
+    * lookalikes. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Canonical exact-dedup fate ledger: one row per doc with its
+    * canonical digest, the component keeper (min id among docs sharing
+    * the digest), copy count, and fate kept/dup (the q318 drop-ledger
+    * convention). Scale shape: ONE shuffle — the digest-partitioned
+    * window computes keeper and copies in the same exchange; no join, no
+    * second pass, and nothing is corpus-global. */
+  def canonicalKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("canon_digest")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        md5(canonicalize(col(textCol))).as("canon_digest"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("copies", count(lit(1)).over(w))
+      .withColumn("fate",
+        when(col("doc_id") === col("keeper"), "kept").otherwise("dup"))
+  }
+
   /** Incremental exact dedup against PERSISTED digest state: the
     * digest→keeper map of all prior batches lives in a [[graft.storage
     * .PartStore]] part (range-partitioned by a 60-bit digest prefix, so

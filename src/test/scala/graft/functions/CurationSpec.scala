@@ -13,6 +13,27 @@ class CurationSpec extends SparkSpec {
   private def toks(df: org.apache.spark.sql.DataFrame) =
     TextAnalysis.tokens(df, "doc_id", "text")
 
+  test("canonicalKeepers: case/punct/whitespace variants fold to one " +
+      "keeper; distinct content does not") {
+    val d = Seq(
+      (1L, "Hello, world!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world"),
+      (5L, "hello,world"))          // punct folds to a separator too
+      .toDF("doc_id", "text")
+    val fates = graft.functions.Dedup.canonicalKeepers(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(Seq(1L, 2L, 3L, 5L).forall(fates(_)._1 == 1L))
+    assert(fates(1L)._2 == "kept" &&
+      Seq(2L, 3L, 5L).forall(fates(_)._2 == "dup"))
+    assert(fates(4L) == (4L, "kept"))
+    // exactly one shuffle: a single digest-partitioned Window, no join
+    val plan = graft.functions.Dedup.canonicalKeepers(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"canonical dedup must be join-free:\n$plan")
+  }
+
   test("minhashEstimate: identical docs estimate 1.0, disjoint docs 0.0") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
