@@ -272,6 +272,27 @@ object QueriesCore {
         .agg(count(lit(1)).as("n"), min(sec).as("min_sec"), max(sec).as("max_sec"))
         .orderBy("pindex")
     },
+    // ---- H13 granularity parser, driver-gated (was spec-only): the
+    // reference's spellings (granularity.py:97-152 — bare seconds, short
+    // and verbose units) through parse → canonical name + truncate/next
+    // of the corpus' max event second, UTC. The instant is data-derived
+    // so the gate exercises parser AND calendar arithmetic against the
+    // oracle's date_trunc/interval replay, not a frozen literal. ----
+    "q335_granularity_parse" -> { (s, dir) =>
+      import s.implicits._
+      val maxSec = events(s, dir).agg(max(col("ts_sec"))).head.getLong(0)
+      val zone = java.time.ZoneId.of("UTC")
+      val t = java.time.Instant.ofEpochSecond(maxSec)
+      Seq("900", "900 seconds", "15m", "30 min", "1h", "4 hours",
+          "1d", "2 days", "1w", "1 month", "3 months", "1y")
+        .map { g =>
+          val gr = graft.core.Granularity.parse(g)
+          val tr = gr.truncate(t, zone)
+          (g, gr.name, tr.getEpochSecond, gr.next(tr, zone).getEpochSecond)
+        }
+        .toDF("gran", "gname", "trunc_sec", "next_sec")
+        .orderBy("gran")
+    },
     // ---- I6/H1/H11: trigger rule → notifications ----
     "q20_trigger" -> { (s, dir) =>
       val kpi = events(s, dir).select(
@@ -2509,6 +2530,31 @@ object QueriesCore {
              min(epoch_ns(l_shipdate)//1000000000) AS min_sec,
              max(epoch_ns(l_shipdate)//1000000000) AS max_sec
            FROM lineitem GROUP BY 1 ORDER BY 1""",
+      "q335_granularity_parse" ->
+        """WITH m AS (
+             SELECT max(epoch_ns(ts)//1000000000) AS sec FROM events),
+           mt AS (
+             SELECT sec, make_timestamp(sec * 1000000) AS t FROM m),
+           specs(gran, gname, kind, n) AS (VALUES
+             ('900','15m','s',900), ('900 seconds','15m','s',900),
+             ('15m','15m','s',900), ('30 min','30m','s',1800),
+             ('1h','1h','s',3600), ('4 hours','4h','s',14400),
+             ('1d','1d','d',1), ('2 days','2d','d',2), ('1w','1w','w',1),
+             ('1 month','1month','mo',1), ('3 months','3month','mo',3),
+             ('1y','12month','mo',12))
+           SELECT gran, gname,
+             CAST(CASE kind
+               WHEN 's' THEN sec - sec % n
+               WHEN 'd' THEN epoch(date_trunc('day', t))
+               WHEN 'w' THEN epoch(date_trunc('week', t))
+               ELSE epoch(date_trunc('month', t)) END AS BIGINT) AS trunc_sec,
+             CAST(CASE kind
+               WHEN 's' THEN sec - sec % n + n
+               WHEN 'd' THEN epoch(date_trunc('day', t) + to_days(n))
+               WHEN 'w' THEN epoch(date_trunc('week', t) + to_days(7 * n))
+               ELSE epoch(date_trunc('month', t) + to_months(n)) END AS BIGINT)
+               AS next_sec
+           FROM specs, mt ORDER BY gran""",
       "q20_trigger" ->
         s"""SELECT user_id AS entity_id, $ts AS "timestamp",
              'user/1h/highvalue' AS rule,
