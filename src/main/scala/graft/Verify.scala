@@ -31,9 +31,19 @@ object Verify {
     t.setDaemon(true)
     t.start()
     if (!done.await(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-      spark.sparkContext.cancelJobGroup(name)
-      // give the cancellation a moment to unwind cleanly
-      done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      // cancel-until-dead: a SINGLE cancel races job submission — if the
+      // worker is still planning, the group has no active jobs yet (the
+      // "Failed to cancel job group … Cannot find active jobs" WARN) and
+      // a job submitted AFTER the one-shot cancel runs unbounded, starving
+      // every later query. Re-cancel each second until the worker thread
+      // actually exits, then interrupt as a last resort.
+      var waited = 0
+      while (done.getCount > 0 && waited < 60) {
+        spark.sparkContext.cancelJobGroup(name)
+        done.await(1, java.util.concurrent.TimeUnit.SECONDS)
+        waited += 1
+      }
+      if (done.getCount > 0) t.interrupt()
       Some(s"timed out after ${timeoutSec}s (job group cancelled)")
     } else Option(err.get).map(e => String.valueOf(e.getMessage))
   }
