@@ -293,6 +293,72 @@ object QueriesCore {
         .toDF("gran", "gname", "trunc_sec", "next_sec")
         .orderBy("gran")
     },
+    // ---- A13 sample-data generator, driver-gated (was spec-only): a
+    // 3-node/2-trend template rendered over 24 fixed hourly intervals
+    // (generate_sample_data.py:61-110's render loop with a pinned `now`),
+    // ingested back through the CSV trend source, aggregated per
+    // interval. Values are md5-derived (SampleDataGen's engine-exact
+    // convention) so the oracle REGENERATES them in SQL — the gate proves
+    // generate AND ingest, not just row counts. Milli-scaling keeps the
+    // compared sums integral (the repo's exact-aggregation convention). ----
+    "q337_sample_data_gen" -> { (s, dir) =>
+      import graft.core.MinervaType
+      import graft.sources.{CsvSourceConfig, CsvTrendSource, SampleDataGen}
+      val work = java.nio.file.Files.createTempDirectory("graft_q337_").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$work/sample.csv"),
+        "node,timestamp,power,temp\n" +
+          "n1,{{ timestamp }},{{ power[0] }},{{ temp[0] }}\n" +
+          "n2,{{ timestamp }},{{ power[1] }},{{ temp[1] }}\n" +
+          "n3,{{ timestamp }},{{ power[2] }},{{ temp[2] }}\n")
+      // 24 hourly intervals ending 2024-01-16T00:00:00Z — the reference's
+      // end = truncate(now) walk-back with `now` pinned for determinism
+      val tss = (0 until 24).map(i => 1705276800L + 3600L * i)
+      SampleDataGen.generate(s"$work/sample.csv", s"$work/out", tss)
+      val cfg = CsvSourceConfig("node", Some("timestamp"))
+      val schema = Seq(
+        "node" -> MinervaType.MText, "timestamp" -> MinervaType.MTimestamp,
+        "power" -> MinervaType.MDouble, "temp" -> MinervaType.MDouble)
+      CsvTrendSource.read(s, s"$work/out", cfg, schema)
+        .groupBy(col("timestamp").as("ts_sec"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("entity")).as("n_nodes"),
+          sum(round(col("power") * 1000).cast("long")).as("power_milli"),
+          sum(round(col("temp") * 1000).cast("long")).as("temp_milli"),
+          max(round(col("power") * 1000).cast("long")).as("max_power_milli"))
+        .orderBy("ts_sec")
+    },
+    // ---- H14 zoned calendar truncation, driver-gated (q335 covers UTC):
+    // truncate/next in Europe/Amsterdam across BOTH 2024 DST transitions.
+    // The instants are fixed on purpose — they must straddle the
+    // 2024-03-31 02:00→03:00 spring-forward gap and the 2024-10-27
+    // 03:00→02:00 fall-back overlap (including one second in EACH pass of
+    // the ambiguous hour); span_sec pins the 23 h spring day (82800) and
+    // 25 h fall day (90000) that a fixed-86400 step would get wrong.
+    // Seconds-based 1h is the zone-independent contrast row. Oracle
+    // replays via DuckDB's icu timezone()/date_trunc. ----
+    "q338_granularity_dst" -> { (s, dir) =>
+      import s.implicits._
+      val zone = java.time.ZoneId.of("Europe/Amsterdam")
+      val secs = Seq(
+        1711800000L, // 2024-03-30 12:00 UTC — day before spring-forward
+        1711845000L, // 2024-03-31 00:30 UTC = 01:30 CET, pre-gap
+        1711848600L, // 2024-03-31 01:30 UTC = 03:30 CEST, post-gap
+        1729944000L, // 2024-10-26 12:00 UTC — day before fall-back
+        1729989000L, // 2024-10-27 00:30 UTC = 02:30 CEST (1st pass, ambiguous)
+        1729992600L) // 2024-10-27 01:30 UTC = 02:30 CET (2nd pass)
+      val grans = Seq("1h", "1d", "1w", "1month")
+      secs.flatMap { sec =>
+        val t = java.time.Instant.ofEpochSecond(sec)
+        grans.map { g =>
+          val gr = graft.core.Granularity.parse(g)
+          val tr = gr.truncate(t, zone).getEpochSecond
+          val nx = gr.next(java.time.Instant.ofEpochSecond(tr), zone).getEpochSecond
+          (sec, g, tr, nx, nx - tr)
+        }
+      }.toDF("sec", "gran", "trunc_sec", "next_sec", "span_sec")
+        .orderBy("sec", "gran")
+    },
     // ---- I6/H1/H11: trigger rule → notifications ----
     "q20_trigger" -> { (s, dir) =>
       val kpi = events(s, dir).select(
@@ -2555,6 +2621,74 @@ object QueriesCore {
                ELSE epoch(date_trunc('month', t) + to_months(n)) END AS BIGINT)
                AS next_sec
            FROM specs, mt ORDER BY gran""",
+      // q337: the oracle REGENERATES the sample data — SampleDataGen's
+      // value is md5("name:idx:ts") first-32-bits mod 80000 milli-units,
+      // replayed here nibble by nibble (the md5Ladder32 convention), so a
+      // generator or ingest defect cannot hide behind a rows-only check.
+      "q337_sample_data_gen" -> {
+        def ladder(expr: String): String =
+          (0 until 8).map { i =>
+            val mult = BigInt(16).pow(7 - i)
+            val term =
+              s"(strpos('0123456789abcdef', substr(md5($expr), ${i + 1}, 1)) - 1)"
+            if (mult == 1) term else s"$term * $mult"
+          }.mkString(" + ")
+        val p = ladder("'power:' || CAST(i AS VARCHAR) || ':' || CAST(sec AS VARCHAR)")
+        val t = ladder("'temp:' || CAST(i AS VARCHAR) || ':' || CAST(sec AS VARCHAR)")
+        s"""WITH ts AS (
+             SELECT CAST(1705276800 + 3600 * unnest(generate_series(0, 23))
+               AS BIGINT) AS sec),
+           cells AS (
+             SELECT sec, unnest(generate_series(0, 2)) AS i FROM ts),
+           vals AS (
+             SELECT sec, i, ($p) % 80000 AS p_milli, ($t) % 80000 AS t_milli
+             FROM cells)
+           SELECT sec AS ts_sec, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT i) AS BIGINT) AS n_nodes,
+             CAST(sum(p_milli) AS BIGINT) AS power_milli,
+             CAST(sum(t_milli) AS BIGINT) AS temp_milli,
+             CAST(max(p_milli) AS BIGINT) AS max_power_milli
+           FROM vals GROUP BY 1 ORDER BY 1"""
+      },
+      // q338: zoned truncation replay — timezone('Europe/Amsterdam', tz)
+      // converts instant→local wall clock, date_trunc on the naive local,
+      // timezone(zone, naive) re-interprets in the zone (DuckDB icu).
+      // next = local trunc + calendar interval, re-zoned — 23 h and 25 h
+      // DST days fall out of the zone math, never hand-added.
+      "q338_granularity_dst" ->
+        """WITH secs(sec) AS (VALUES (1711800000), (1711845000),
+             (1711848600), (1729944000), (1729989000), (1729992600)),
+           g(gran, kind, n) AS (VALUES ('1h','s',3600), ('1d','d',1),
+             ('1w','w',1), ('1month','mo',1)),
+           loc AS (
+             SELECT sec, gran, kind, n,
+               timezone('Europe/Amsterdam', to_timestamp(sec)) AS lt
+             FROM secs, g),
+           tr AS (
+             SELECT sec, gran, kind, n,
+               CASE kind
+                 WHEN 's' THEN sec - sec % n
+                 WHEN 'd' THEN CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('day', lt))) AS BIGINT)
+                 WHEN 'w' THEN CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('week', lt))) AS BIGINT)
+                 ELSE CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('month', lt))) AS BIGINT) END AS trunc_sec,
+               CASE kind
+                 WHEN 's' THEN sec - sec % n + n
+                 WHEN 'd' THEN CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('day', lt) + to_days(n))) AS BIGINT)
+                 WHEN 'w' THEN CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('week', lt) + to_days(7 * n))) AS BIGINT)
+                 ELSE CAST(epoch(timezone('Europe/Amsterdam',
+                   date_trunc('month', lt) + to_months(n))) AS BIGINT)
+                 END AS next_sec
+             FROM loc)
+           SELECT CAST(sec AS BIGINT) AS sec, gran,
+             CAST(trunc_sec AS BIGINT) AS trunc_sec,
+             CAST(next_sec AS BIGINT) AS next_sec,
+             CAST(next_sec - trunc_sec AS BIGINT) AS span_sec
+           FROM tr ORDER BY sec, gran""",
       "q20_trigger" ->
         s"""SELECT user_id AS entity_id, $ts AS "timestamp",
              'user/1h/highvalue' AS rule,

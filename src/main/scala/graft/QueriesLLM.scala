@@ -2056,6 +2056,32 @@ object QueriesLLM {
         .select("doc_id", "canon_digest", "keeper", "copies", "fate")
         .orderBy("doc_id")
     },
+    // ---- incremental canonical dedup against a PERSISTED digest store:
+    // q142's two-batch store discipline keyed by the CANONICAL digest.
+    // Cross-batch dups are case/punct/spacing-mangled copies (docs id ≡ 3
+    // mod 7 carry '** ' + double-spaced text of id−3 + ' !!') — invisible
+    // to the raw-exact tier, folded identical by canonicalize; batch 2
+    // must resolve keepers from batch 1's persisted state ----
+    "q336_canonical_incremental" -> { (s, dir) =>
+      val d0 = docs(s, dir).select("doc_id", "text")
+      val dupSrc = d0.select((col("doc_id") + 3).as("doc_id"),
+        concat(lit("** "), regexp_replace(col("text"), " ", "  "),
+          lit(" !!")).as("dup_text"))
+      val corpus = d0.join(dupSrc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 3 && col("dup_text").isNotNull,
+            col("dup_text")).otherwise(col("text")).as("text"))
+      val split = pmod(conv(substring(md5(concat(lit("cinc:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L))
+      val work = tempWorkDir("graft_q336_")
+      val ps = new graft.storage.PartStore(s,
+        graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+      Dedup.canonicalIncremental(ps, "digests",
+        corpus.filter(split === 0), "doc_id", "text").count() // batch 1 → state
+      Dedup.canonicalIncremental(ps, "digests",
+          corpus.filter(split === 1), "doc_id", "text")
+        .orderBy("digest")
+    },
     // ---- rendezvous/HRW sharding (consistent re-sharding): growing the
     // fleet 8 → 9 must move ONLY docs whose new shard's hash wins —
     // every off-diagonal transition lands on shard 9's new index 8, and
@@ -8817,6 +8843,35 @@ object QueriesLLM {
            CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_digest)
              THEN 'kept' ELSE 'dup' END AS fate
          FROM canon ORDER BY doc_id""",
+    // Incremental canonical dedup: batch-2 keepers resolve to batch-1's
+    // where the CANONICAL digest was already seen — storage is
+    // answer-invisible (the q142 convention), the oracle recomputes pure
+    // two-batch semantics over the same mangled-copy corpus.
+    "q336_canonical_incremental" -> {
+      val split = md5Ladder32("'cinc:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH corpus AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 7 = 3 AND s.text IS NOT NULL
+               THEN '** ' || replace(s.text, ' ', '  ') || ' !!'
+               ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 3),
+         sp AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS digest,
+             CAST(($split) % 2 AS BIGINT) AS split
+           FROM corpus),
+         b1 AS (
+           SELECT digest, CAST(min(doc_id) AS BIGINT) AS keeper
+           FROM sp WHERE split = 0 GROUP BY 1),
+         b2 AS (
+           SELECT digest, CAST(min(doc_id) AS BIGINT) AS keeper2,
+             CAST(count(*) AS BIGINT) AS batch_copies
+           FROM sp WHERE split = 1 GROUP BY 1)
+         SELECT b2.digest, b2.batch_copies,
+           coalesce(b1.keeper, b2.keeper2) AS keeper
+         FROM b2 LEFT JOIN b1 USING (digest) ORDER BY digest"""
+    },
     "q333_zipf_buckets" ->
       s"""WITH $ToksCte,
          fr AS (

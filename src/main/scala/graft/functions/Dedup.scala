@@ -84,9 +84,32 @@ object Dedup {
     * seen for the digest (historical, not batch-local). */
   def exactIncremental(
       store: graft.storage.PartStore, part: String,
-      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+      batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    incrementalByDigest(store, part, batch, idCol,
+      digest(col(textCol)), "exactIncremental")
+
+  /** Incremental CANONICAL ("fuzzy-exact") dedup: [[exactIncremental]]'s
+    * persisted-digest-store discipline keyed by
+    * `md5(`[[canonicalize]]`(text))` — the C4/RefinedWeb folding tier run
+    * the way a 100 TB pipeline actually runs it, batch by batch. Two docs
+    * differing only in case, punctuation, or spacing share a canonical
+    * digest ACROSS batches: the first batch's doc becomes the keeper, a
+    * later batch's reflowed copy resolves to it from stored state.
+    * Storage contract identical to the exact tier (digest-range-
+    * partitioned store, first-occurrence keeper, replay-idempotent,
+    * bounded partition blast radius); only the digest definition differs. */
+  def canonicalIncremental(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    incrementalByDigest(store, part, batch, idCol,
+      md5(canonicalize(col(textCol))), "canonicalIncremental")
+
+  private def incrementalByDigest(
+      store: graft.storage.PartStore, part: String,
+      batch: DataFrame, idCol: String, digestExpr: Column,
+      opName: String): DataFrame = {
     require(store.config.keyCols == Seq("digest"),
-      "exactIncremental: store must be keyed by the digest column " +
+      s"$opName: store must be keyed by the digest column " +
         s"(keyCols = Seq(\"digest\")), got ${store.config.keyCols}")
     // a string/UUID id would cast to NULL and persist null keepers into
     // the shared state forever — refuse loudly, like the ANN paths
@@ -94,12 +117,12 @@ object Dedup {
       import org.apache.spark.sql.types._
       val t = batch.schema(idCol).dataType
       require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(t),
-        s"exactIncremental: id column '$idCol' must be integral (keepers " +
+        s"$opName: id column '$idCol' must be integral (keepers " +
           s"are stored as LONG), got ${t.simpleString}")
     }
     val psize = store.config.partitionSizeSeconds
     val batchState = batch
-      .select(col(idCol).cast("long").as("__id"), digest(col(textCol)).as("digest"))
+      .select(col(idCol).cast("long").as("__id"), digestExpr.as("digest"))
       .groupBy("digest")
       .agg(min(col("__id")).as("keeper"), count(lit(1)).as("batch_copies"))
       .withColumn("entity_id", conv(substring(col("digest"), 1, 15), 16, 10).cast("long"))
@@ -1118,8 +1141,13 @@ object Dedup {
     * distinct sets), then every surviving edge IS (node, component min).
     * Ids need only be orderable — numeric and string both work. */
   /** Edge-count cutoff below which [[connectedKeepersStar]] union-finds on
-    * the driver (two longs per edge ⇒ ≲32 MB at this bound). */
-  val ConnectedDriverMaxEdges: Long = 1L << 21
+    * the driver. The honest memory bound at 1M edges is NOT "two longs
+    * per edge": the collected Tuple2 array is ~48 MB, the union-find
+    * HashMap boxes up to 2M (key, parent) entries (~80 MB), and the label
+    * frame embeds up to 2M local rows in the plan before broadcast —
+    * a few hundred MB of TRANSIENT driver heap, comfortably inside a
+    * multi-GB driver but not the "≲32 MB" the r17 comment claimed. */
+  val ConnectedDriverMaxEdges: Long = 1L << 20
 
   def connectedKeepersStar(
       all: DataFrame, idCol: String, pairs: DataFrame,
@@ -1159,14 +1187,20 @@ object Dedup {
     // fixed cost when the contracted graph is thousands of edges (the
     // incremental keeper gates' every batch). The cutoff is an exact
     // count on checkpointed data, so the collect is provably bounded
-    // (≲ 32 MB at the 2M default); anything larger, or non-long ids
-    // (keeper must keep the id's type), takes the distributed loop —
-    // the 100 TB path is unchanged.
+    // (a few hundred MB transient at the 1M default — see
+    // [[ConnectedDriverMaxEdges]] for the honest accounting); anything
+    // larger, or non-long ids (keeper must keep the id's type), takes
+    // the distributed loop — the 100 TB path is unchanged. The collect
+    // goes through the (Long, Long) encoder, not Row: specialized
+    // tuples, no per-field boxing in the collected array.
     val idType = edges.schema("u").dataType
     if (nEdges <= driverMaxEdges &&
         idType == org.apache.spark.sql.types.LongType &&
         edges.schema("v").dataType == org.apache.spark.sql.types.LongType) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = edges.as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)).collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -30,10 +30,21 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   // failure landed between the two calls, and links() then silently read
   // empty: total tag-data loss with no recovery path. Now: rename live →
   // .aside, rename staged → live (roll the aside back on failure), delete
-  // the aside LAST; recoverTable() runs before every read and write, so a
-  // leftover aside is restored (crash mid-swap: the interrupted flush is
-  // simply re-run) or dropped (crash after swap-in: the aside is stale),
-  // never surfaced as an empty table. A create-exclusive lease file
+  // the aside LAST. recoverTable() — which MUTATES (restores the aside,
+  // deletes leftover staged dirs) — runs ONLY under the table lease, at
+  // lease acquisition, so a leftover aside is restored (crash mid-swap:
+  // the interrupted flush is simply re-run) or dropped (crash after
+  // swap-in: the aside is stale), never surfaced as an empty table. The
+  // READ path never mutates while a writer may be active: the r17 shape
+  // ran recoverTable lease-free before every read, so a reader could
+  // delete a concurrent writer's freshly staged parquet mid-flush, or
+  // restore the aside between swapIn's two renames — after which the
+  // writer's rename(staged, live) fails spuriously (or, on HDFS, moves
+  // staged INSIDE live, silently discarding the flush). Readers now
+  // resolve a read target instead ([[readTarget]]): live if present, the
+  // aside snapshot while a leased writer is mid-swap, and only a
+  // lease-acquired recovery when a crashed swap left an aside with no
+  // live table and no active lease. A create-exclusive lease file
   // serializes writers per table — without it a concurrent tagEntities
   // APPEND could interleave with a flush's swap and vanish. ----
 
@@ -42,6 +53,13 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   private def stagedPath(live: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(live.getParent, s"${live.getName}.staged")
 
+  private def leaseFile(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, s".${live.getName}__lease")
+
+  /** MUTATING recovery — callers must hold the table lease (it deletes
+    * staged dirs and moves the aside, both of which race an in-flight
+    * swap if run lease-free). [[withTableLease]] runs it right after
+    * acquisition, so every write body starts from a consistent table. */
   private def recoverTable(live: org.apache.hadoop.fs.Path): Unit = {
     val aside = asidePath(live)
     if (fs.exists(aside)) {
@@ -52,6 +70,33 @@ class TagDirectory(spark: SparkSession, basePath: String) {
       } else fs.delete(aside, true) // crash after swap-in: aside is stale
     }
     fs.delete(stagedPath(live), true) // incomplete or superseded either way
+  }
+
+  /** Resolve which directory a READER should load — never mutates while a
+    * writer may be active. Live wins; a leftover aside with a lease
+    * present means a writer is mid-swap, and the aside IS the pre-swap
+    * snapshot (a consistent read); an aside with NO live table and NO
+    * lease is a crashed swap, recovered under the lease (the only
+    * mutating branch, serialized with writers). Returns None only when
+    * the table was never written. */
+  private def readTarget(
+      live: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    if (fs.exists(live)) Some(live)
+    else {
+      val aside = asidePath(live)
+      if (!fs.exists(aside)) None
+      else if (fs.exists(leaseFile(live))) Some(aside) // writer mid-swap
+      else {
+        // crashed mid-swap: restore under the lease (recoverTable runs at
+        // acquisition). A concurrent writer beating us to the lease also
+        // recovers — fall back to whatever is readable afterwards.
+        try withTableLease(live) { () }
+        catch { case _: graft.core.ConcurrentWriterException => () }
+        if (fs.exists(live)) Some(live)
+        else if (fs.exists(aside)) Some(aside)
+        else None
+      }
+    }
   }
 
   /** Swap `staged` in as the new `live` table: aside-rename protocol,
@@ -78,13 +123,18 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   // lease file beside the table (create-exclusive = atomic on HDFS); held
   // across the whole read-transform-swap. Tag mutations are control-plane
   // operations (seconds), so contention is refused after a short wait and
-  // a lease older than the TTL is a crashed writer and is taken over.
+  // a lease older than the TTL is a crashed writer and is taken over —
+  // FENCED by a heartbeat: the holder touches the lease mtime every
+  // TTL/4, so a slow-but-alive writer never looks stale and the takeover
+  // (delete + create-exclusive reacquire, which only one waiter can win)
+  // hits genuinely dead holders only. recoverTable runs at acquisition:
+  // every leased body starts from a consistent table, and the mutating
+  // recovery is itself serialized with all other writers.
   private val leaseWaitMs = 10000L
   private val leaseTtlMs = 600000L
 
   private def withTableLease[A](live: org.apache.hadoop.fs.Path)(body: => A): A = {
-    val lease =
-      new org.apache.hadoop.fs.Path(live.getParent, s".${live.getName}__lease")
+    val lease = leaseFile(live)
     fs.mkdirs(live.getParent)
     val deadline = System.currentTimeMillis() + leaseWaitMs
     var acquired = false
@@ -98,7 +148,7 @@ class TagDirectory(spark: SparkSession, basePath: String) {
             try System.currentTimeMillis() -
               fs.getFileStatus(lease).getModificationTime
             catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-          if (age > leaseTtlMs) fs.delete(lease, false) // crashed writer
+          if (age > leaseTtlMs) fs.delete(lease, false) // dead writer
           else if (System.currentTimeMillis() >= deadline)
             throw new graft.core.ConcurrentWriterException(
               s"tag-table lease ${lease.getName} is held by another writer " +
@@ -106,7 +156,26 @@ class TagDirectory(spark: SparkSession, basePath: String) {
           else Thread.sleep(50)
       }
     }
-    try body finally fs.delete(lease, false)
+    // heartbeat: keep the lease mtime fresh while the body runs, so the
+    // TTL takeover path cannot fire on a live holder mid-operation
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(leaseTtlMs / 4)
+          try fs.setTimes(lease, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"tag-lease-hb-${live.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try {
+      recoverTable(live)
+      body
+    } finally {
+      hb.interrupt()
+      fs.delete(lease, false)
+    }
   }
 
   private def emptyLinks: DataFrame = {
@@ -118,17 +187,16 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   }
 
   /** All (tag_group, tag, entity_id) links; empty frame only if never
-    * written (a mid-swap crash leaves an aside that [[recoverTable]]
-    * restores here, never an empty read). */
-  def links: DataFrame = {
-    recoverTable(linkPath)
-    val hasData = fs.exists(linkPath) && fs.listStatus(linkPath).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) spark.read.parquet(linkPath.toString)
-      .select("tag_group", "tag", "entity_id")
-    else emptyLinks
+    * written (a mid-swap crash leaves an aside that [[readTarget]]
+    * resolves — recovered under the lease, or read as the pre-swap
+    * snapshot while a live writer swaps — never an empty read). */
+  def links: DataFrame = readTarget(linkPath) match {
+    case Some(p) if fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        } =>
+      spark.read.parquet(p.toString).select("tag_group", "tag", "entity_id")
+    case _ => emptyLinks
   }
 
   /** Idempotently add links (reference `tag_attributes`: the INSERT's
@@ -218,15 +286,14 @@ class TagDirectory(spark: SparkSession, basePath: String) {
   }
 
   /** All (tag, name) metadata links; empty frame only if never written
-    * ([[recoverTable]] restores a mid-swap aside first, like [[links]]). */
-  def nameLinks: DataFrame = {
-    recoverTable(namePath)
-    val hasData = fs.exists(namePath) && fs.listStatus(namePath).exists { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (hasData) spark.read.parquet(namePath.toString).select("tag", "name")
-    else emptyNameLinks
+    * ([[readTarget]] resolves a mid-swap aside first, like [[links]]). */
+  def nameLinks: DataFrame = readTarget(namePath) match {
+    case Some(p) if fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        } =>
+      spark.read.parquet(p.toString).select("tag", "name")
+    case _ => emptyNameLinks
   }
 
   /** Idempotently tag metadata names (attribute/trend definitions) —

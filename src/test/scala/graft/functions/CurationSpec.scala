@@ -237,6 +237,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("canonicalIncremental: reflowed copies resolve cross-batch; " +
+      "raw-exact tier would miss them") {
+    val work = java.nio.file.Files.createTempDirectory("graft_cincdedup_").toString
+    val ps = new graft.storage.PartStore(spark,
+      graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
+    val b1 = Seq((10L, "Hello, world!"), (11L, "other doc")).toDF("doc_id", "text")
+    // batch 2: a case/punct/spacing reflow of doc 10 + genuinely new text
+    val b2 = Seq((1L, "HELLO   world"), (2L, "brand new")).toDF("doc_id", "text")
+    val r1 = Dedup.canonicalIncremental(ps, "d", b1, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(r1 === Set((1L, 10L), (1L, 11L)))
+    val r2 = Dedup.canonicalIncremental(ps, "d", b2, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    // the reflow shares doc 10's CANONICAL digest: keeper stays 10 even
+    // though batch-2's id 1 is smaller — first occurrence EVER wins
+    assert(r2 === Set((1L, 10L), (1L, 2L)))
+    // replay idempotence: same batch again changes nothing, appends nothing
+    val n = ps.readPart("d").get.count()
+    val r3 = Dedup.canonicalIncremental(ps, "d", b2, "doc_id", "text")
+      .select("batch_copies", "keeper").as[(Long, Long)].collect().toSet
+    assert(r3 === r2)
+    assert(ps.readPart("d").get.count() === n)
+    // the raw-exact tier keeps the two variants apart (distinct digests) —
+    // the canonical tier is a genuinely different equivalence
+    assert(Dedup.exact(b1.unionByName(b2), "doc_id", "text")
+      .filter(col("copies") > 1).count() === 0L)
+  }
+
   test("tokenBudgetFill: boundary doc admitted, cut respected, deterministic") {
     val df = Seq(
       (1L, "a b c d e", "s1"), (2L, "a b c", "s1"), (3L, "a", "s1"),

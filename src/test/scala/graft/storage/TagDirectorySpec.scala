@@ -81,12 +81,44 @@ class TagDirectorySpec extends SparkSpec {
     fs.mkdirs(staged)
     // the old shape read this state as an EMPTY table (total tag loss);
     // recovery must restore the aside and drop the stale staged dir
+    // (no live table + no lease ⇒ the read takes the lease and recovers)
     assert(td.links.count() == 2L)
     assert(!fs.exists(aside) && !fs.exists(staged))
-    // crash AFTER swap-in (aside present WITH a live dir): aside is stale
+    // crash AFTER swap-in (aside present WITH a live dir): the aside is
+    // stale, but a READ must not mutate (r18: a lease-free read deleting
+    // dirs raced concurrent writers' swaps) — it reads live and leaves
+    // the aside for the next LEASED write's recoverTable to drop
     fs.mkdirs(aside)
     assert(td.entitiesWithTag("red").count() == 1L)
-    assert(!fs.exists(aside))
+    assert(fs.exists(aside)) // read left it alone
+    td.tagEntities(Seq(("g", "green", 3L)).toDF("tag_group", "tag", "entity_id"))
+    assert(!fs.exists(aside)) // the write's under-lease recovery dropped it
+  }
+
+  test("reader mid-swap (lease held, live missing) sees the pre-swap " +
+      "aside snapshot, not an empty table — and does not touch the dirs") {
+    val td = fresh("midswap")
+    td.tagEntities(Seq(("g", "red", 1L), ("g", "blue", 2L))
+      .toDF("tag_group", "tag", "entity_id"))
+    val base = "target/tmp/tagdir_midswap"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$base/_tags")
+    val aside = new org.apache.hadoop.fs.Path(s"$base/._tags_aside")
+    val staged = new org.apache.hadoop.fs.Path(s"$base/_tags.staged")
+    val lease = new org.apache.hadoop.fs.Path(s"$base/._tags__lease")
+    // freeze a writer exactly between swapIn's two renames: live is
+    // aside, the staged replacement exists, the lease is HELD
+    assert(fs.rename(live, aside))
+    fs.mkdirs(staged)
+    fs.create(lease, false).close()
+    assert(td.links.count() == 2L)     // the aside snapshot, not empty
+    assert(fs.exists(aside) && fs.exists(staged)) // reader touched nothing
+    // writer completes: staged becomes live; reads switch to it
+    assert(fs.rename(staged, live))
+    fs.delete(aside, true)
+    fs.delete(lease, false)
+    assert(td.links.count() == 0L)     // staged was an empty dir
   }
 
   test("writer lease: a held lease refuses a second writer loudly") {
