@@ -366,6 +366,100 @@ object Similarity {
         .select(col("id"), col("next_head").as("succ")))
   }
 
+  /** Grouped [[md5Ring]]: one successor ring PER `grp` value in a single
+    * pass — every key gains the grp column and the head-stitch windows
+    * partition by grp (still ≤16 rows per group). Per-group output ≡
+    * [[md5Ring]] on that group's ids alone. */
+  private def md5RingGrouped(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = ids.select(col("grp"), col("id"), md5(col("id").cast("string")).as("mk"))
+      .withColumn("rb", conv(substring(col("mk"), 1, 1), 16, 10).cast("int"))
+    val w = Window.partitionBy("grp", "rb").orderBy("mk", "id")
+    val within = keyed.withColumn("succ", lead(col("id"), 1).over(w))
+    val heads = keyed.groupBy("grp", "rb")
+      .agg(min_by(col("id"), struct(col("mk"), col("id"))).as("head"))
+    val hw = Window.partitionBy("grp").orderBy("rb")
+    val hall = Window.partitionBy("grp").orderBy("rb")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nextHeads = heads
+      .withColumn("next_head",
+        coalesce(lead(col("head"), 1).over(hw), first(col("head")).over(hall)))
+      .select(col("grp"), col("rb"), col("next_head"))
+    val tails = within.filter(col("succ").isNull).select("grp", "rb", "id")
+    within.filter(col("succ").isNotNull).select("grp", "id", "succ")
+      .unionByName(tails.join(nextHeads, Seq("grp", "rb"))
+        .select(col("grp"), col("id"), col("next_head").as("succ")))
+  }
+
+  /** Grouped [[nnDescent]]: INDEPENDENT NN-Descent problems keyed by a
+    * `grp` column, run in one pass — every join, bucket, skew cap, ring
+    * and top-k key gains grp, so each group's output is row-identical to
+    * running [[nnDescent]] on that group alone (spec-pinned), while the
+    * fixed per-stage Spark-job cost is paid ONCE instead of once per
+    * group. Motivation (LayeredProfile, round 18): the layered insert
+    * loop ran nnDescent twice per batch, and the coarse problem — 1/denom
+    * of the rows — cost the SAME wall clock as the full batch (2.7 vs
+    * 2.6 s at sf0.1): at batch scale nnDescent is fixed-job-cost-bound,
+    * so fusing the two problems halves that fixed cost. Input
+    * (grp, id, vec); output (grp, query_id, neighbor_id, rank, cos). */
+  private[graft] def nnDescentGrouped(
+      vectors: DataFrame,
+      k: Int, iterations: Int, initBits: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    val v = vectors.select(col("grp"), col("id"), col("vec"),
+        norm(col("vec")).as("nrm"))
+      .localCheckpoint()
+    def scoreAndRank(pairs: DataFrame): DataFrame = {
+      val scored = pairs
+        .join(v.select(col("grp"), col("id").as("query_id"),
+          col("vec").as("qv"), col("nrm").as("qn")), Seq("grp", "query_id"))
+        .join(v.select(col("grp"), col("id").as("neighbor_id"),
+          col("vec").as("cv"), col("nrm").as("cn")), Seq("grp", "neighbor_id"))
+        .select(col("grp"), col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      scored.groupBy("grp", "query_id")
+        .agg(graft.expressions.TopKPairs.topk(
+          col("neighbor_id").cast("long"), col("cos").cast("double"), k).as("tops"))
+        .select(col("grp"), col("query_id"),
+          posexplode(col("tops")).as(Seq("pos", "t")))
+        .select(col("grp"), col("query_id"), col("t._2").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"), col("t._1").as("cos"))
+    }
+    val bucketed = v.select(col("grp"), col("id"),
+      hyperplaneBucket(col("vec"), initBits).as("b"))
+    val small =
+      graft.operators.SkewOps.keepSmallKeys(bucketed, Seq("grp", "b"), maxBucket)
+    val bucketPairs = small.select(col("grp"), col("b"), col("id").as("query_id"))
+      .join(small.select(col("grp"), col("b"), col("id").as("neighbor_id")),
+        Seq("grp", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("grp", "query_id", "neighbor_id")
+    val ring = md5RingGrouped(v.select(col("grp"), col("id")))
+    val initPairs = bucketPairs
+      .union(ring.select(col("grp"), col("id").as("query_id"),
+        col("succ").as("neighbor_id")))
+      .union(ring.select(col("grp"), col("succ").as("query_id"),
+        col("id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+    var nbr = scoreAndRank(initPairs).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val fwd = nbr.select(col("grp"), col("query_id").as("a"),
+        col("neighbor_id").as("nb"))
+      val gen = fwd.union(fwd.select(col("grp"), col("nb").as("a"),
+        col("a").as("nb")))
+      val hop = gen.join(gen.select(col("grp"), col("a").as("nb"),
+          col("nb").as("c")), Seq("grp", "nb"))
+        .select(col("grp"), col("a"), col("c").as("nb"))
+      val cands = gen.union(hop)
+        .filter(col("a") =!= col("nb"))
+        .distinct()
+        .select(col("grp"), col("a").as("query_id"), col("nb").as("neighbor_id"))
+      nbr = scoreAndRank(cands).localCheckpoint()
+    }
+    nbr
+  }
+
   def nnDescent(
       vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int, initBits: Int,
@@ -813,9 +907,14 @@ object Similarity {
       b: DataFrame, old: Option[(DataFrame, DataFrame)],
       k: Int, beam: Int, hops: Int, entries: Int, seedBits: Int,
       oldCoarse: Option[DataFrame] = None,
-      seedRegistry: Option[DataFrame] = None): DataFrame = {
-    val internal = nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      seedRegistry: Option[DataFrame] = None,
+      internalPre: Option[DataFrame] = None): DataFrame = {
+    // `internalPre` lets the layered insert hand in batch-internal edges
+    // computed by ONE grouped nnDescent pass shared across layers
+    // (identical rows to the call below — nnDescentGrouped's contract)
+    val internal = internalPre.getOrElse(
+      nnDescent(b, "id", "vec", k, iterations = 1, initBits = seedBits)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
     val cross = old match {
       case Some((edges0, vecs0)) =>
         val g = edges0.select(col("entity_id").as("query_id"), col("dst").as("neighbor_id"))
@@ -943,6 +1042,18 @@ object Similarity {
     val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
     val bC = b.filter(coarseLevelPred(col("id"), denom)).localCheckpoint()
+    // BOTH layers' batch-internal k-NN edges from ONE grouped nnDescent
+    // pass (grp 0 = flat batch, grp 1 = coarse members): per-layer rows
+    // are identical to two separate nnDescent calls — the r18 profile
+    // showed the coarse call's cost was pure fixed job overhead (2.7 s
+    // for 1/16 of the rows vs 2.6 s for all of them at sf0.1), so the
+    // fusion halves the per-batch nnDescent wall clock for free
+    val internals = nnDescentGrouped(
+      b.select(lit(0L).as("grp"), col("id"), col("vec"))
+        .unionByName(bC.select(lit(1L).as("grp"), col("id"), col("vec"))),
+      k, iterations = 1, initBits = seedBits).localCheckpoint()
+    def internalOf(g: Long): DataFrame = internals.filter(col("grp") === g)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     // the previous batch's coarse graph, MATERIALIZED before the coarse
     // store swap below replaces its files: it both links the coarse
     // insert and — the HNSW descent — seeds the flat insert's layer-0
@@ -961,7 +1072,8 @@ object Similarity {
         case _ => None
       }
       val coarseEdges = batchEdges(bC, oldCoarse,
-        k, beam, hops, entries, seedBits).localCheckpoint()
+        k, beam, hops, entries, seedBits,
+        internalPre = Some(internalOf(1L))).localCheckpoint()
       edgeStore.store(part + "__l1", coarseEdges.select(
         col("src").as("entity_id"), col("src").as("timestamp"),
         col("dst"), lit(1L).as("modified")))
@@ -973,7 +1085,8 @@ object Similarity {
       (edgeStore.readPart(part), vecStore.readPart(part)) match {
         case (Some(e0), Some(v0)) => Some((e0, v0))
         case _ => None
-      }, k, beam, hops, entries, seedBits, oldCoarse = prevCoarse)
+      }, k, beam, hops, entries, seedBits, oldCoarse = prevCoarse,
+      internalPre = Some(internalOf(0L)))
     edgeStore.store(part, edges.select(
       col("src").as("entity_id"), col("src").as("timestamp"),
       col("dst"), lit(1L).as("modified")))

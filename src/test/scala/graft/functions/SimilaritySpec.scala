@@ -59,6 +59,31 @@ class SimilaritySpec extends SparkSpec {
     assert(again === refined.orderBy("query_id", "rank").collect().toSeq)
   }
 
+  test("nnDescentGrouped per group equals nnDescent run on each group " +
+      "alone (the layered-insert fusion's correctness contract)") {
+    import org.apache.spark.sql.functions._
+    // grp 1 is a SUBSET of grp 0 (exactly the layered insert's coarse
+    // slice) — the same ids in both groups must not cross-contaminate
+    val flat = clustered.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("vec"))
+    val coarse = flat.filter(pmod(col("id"), lit(3)) === 0)
+    val tagged = flat.select(lit(0L).as("grp"), col("id"), col("vec"))
+      .unionByName(coarse.select(lit(1L).as("grp"), col("id"), col("vec")))
+    val grouped = Similarity.nnDescentGrouped(tagged,
+      k = 3, iterations = 1, initBits = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val g0 = rows(grouped.filter(col("grp") === 0L))
+    val g1 = rows(grouped.filter(col("grp") === 1L))
+    val s0 = rows(Similarity.nnDescent(flat, "id", "vec",
+      k = 3, iterations = 1, initBits = 4))
+    val s1 = rows(Similarity.nnDescent(coarse, "id", "vec",
+      k = 3, iterations = 1, initBits = 4))
+    assert(g0 === s0)
+    assert(g1 === s1)
+  }
+
   test("nnDescent: hop expansion reconnects nodes split across init buckets") {
     // a chain of near-identical vectors whose sign-bits differ on dim 0/1:
     // bucket init splits {0,1} from {2,3}, but 1-2 are mutual neighbors

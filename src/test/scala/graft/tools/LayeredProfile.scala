@@ -86,6 +86,39 @@ object LayeredProfile {
             seedBits = 4).count()
         }
       }
+      // ---- batch-1 component breakdown (state = batch 0 layered):
+      // replays the pieces of graphInsertBatchLayered(b1) standalone;
+      // full-insert minus components ≈ descent seeding + beamWalk +
+      // the three store cycles (IncrStoreProfile: ~0.7-0.8 s each) ----
+      locally {
+        val work = java.nio.file.Files.createTempDirectory("graft_lp_c_").toString
+        val es = new graft.storage.PartStore(spark,
+          graft.storage.PartStoreConfig(s"$work/e", 500,
+            keyCols = Seq("entity_id", "dst")))
+        val vs = new graft.storage.PartStore(spark,
+          graft.storage.PartStoreConfig(s"$work/v", 500,
+            keyCols = Seq("entity_id")))
+        def insert(b: org.apache.spark.sql.DataFrame): Unit =
+          Similarity.graphInsertBatchLayered(es, vs, "g", b, "vec_id",
+            "embedding", k = 4, beam = 8, hops = 2, entries = 4,
+            seedBits = 4, denom = 16)
+        insert(e.filter(hv === 0L))
+        val b1 = e.filter(hv === 1L)
+        val b1c = b1.filter(Similarity.coarseLevelPred(col("vec_id"), 16))
+        t("c1 nnDescent(b1) [flat internal edges]")(
+          Similarity.nnDescent(b1, "vec_id", "embedding",
+            k = 4, iterations = 1, initBits = 4).count())
+        t("c2 nnDescent(b1 coarse) [coarse internal]")(
+          Similarity.nnDescent(b1c, "vec_id", "embedding",
+            k = 4, iterations = 1, initBits = 4).count())
+        val (_, g1, v) = Similarity.readGraphIndexLayered(es, vs, "g")
+        val vC = v.filter(Similarity.coarseLevelPred(col("entity_id"), 16))
+          .select(col("entity_id").as("vec_id"), col("vec").as("embedding"))
+        t("c3 graphSearch(b1c vs coarse state) [coarse cross]")(
+          Similarity.graphSearch(b1c, g1, vC, "vec_id", "embedding",
+            k = 4, beam = 8, hops = 2, entries = 4, seedBits = 4).count())
+        t("c4 FULL layered insert(b1)")(insert(b1))
+      }
     }
     spark.stop()
   }
