@@ -49,6 +49,21 @@ object Dedup {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Unicode-aware [[canonicalize]] variant for multilingual corpora:
+    * lowercase, replace every char that is not a Unicode letter, digit,
+    * or whitespace with a space, collapse runs, trim — so "Héllo, wörld"
+    * and "héllo wörld" fold together instead of degrading accented
+    * letters to separators. Spec-verified but NOT oracle-gated by
+    * design: the driver corpus is pure ASCII (verified round 18 — a gate
+    * would be evidentially identical to q334's), and Unicode lowercase
+    * folding is not engine-exact across Java and RE2/ICU (İ→i̇, ß) so a
+    * cross-engine hash gate would pin coincidence, not a contract. Same
+    * one-shuffle plan shape as the ASCII tier when used with
+    * [[canonicalKeepers]]-style windows. */
+  def canonicalizeUnicode(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
   /** Canonical exact-dedup fate ledger: one row per doc with its
     * canonical digest, the component keeper (min id among docs sharing
     * the digest), copy count, and fate kept/dup (the q318 drop-ledger

@@ -237,6 +237,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUnicode folds accents/CJK-adjacent punctuation like " +
+      "the ASCII tier folds ASCII; ASCII tier degrades non-ASCII letters") {
+    val d = Seq(
+      (1L, "Héllo, wörld!"),
+      (2L, "héllo   wörld"),
+      (3L, "naïve — café"),
+      (4L, "naïve café"),
+      (5L, "hello world")).toDF("doc_id", "text")
+    val uni = d.select(col("doc_id"),
+      graft.functions.Dedup.canonicalizeUnicode(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(uni(1L) == uni(2L) && uni(1L) == "héllo wörld")
+    assert(uni(3L) == uni(4L) && uni(3L) == "naïve café")
+    assert(uni(5L) == "hello world")
+    // the ASCII-scoped tier treats the same accented letters as
+    // separators — documented, intentional divergence
+    val ascii = d.select(col("doc_id"),
+      graft.functions.Dedup.canonicalize(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ascii(3L) == "na ve caf")
+    // both variants agree on pure-ASCII input (the oracle-gated subset)
+    assert(ascii(5L) == uni(5L))
+  }
+
   test("canonicalIncremental: reflowed copies resolve cross-batch; " +
       "raw-exact tier would miss them") {
     val work = java.nio.file.Files.createTempDirectory("graft_cincdedup_").toString
