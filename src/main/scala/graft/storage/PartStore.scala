@@ -87,7 +87,9 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
   // part dir wholesale), taken create-exclusive, held across the whole
   // read-merge-swap, and refused loudly on contention. A lease older
   // than writerLeaseTtlMs is a crashed writer and is taken over (the
-  // crash itself is already recovered by recoverAsides). create(p,
+  // crash itself is already recovered by recoverAsides); a LIVE holder
+  // never ages past the TTL because withWriterLease heartbeats the
+  // lease mtime every TTL/4 for as long as its body runs. create(p,
   // overwrite=false) is atomic on HDFS; on raw local / object stores it
   // is check-then-act — a razor-thin window next to the seconds-long
   // store it guards, and the loud-refusal contract holds for any
@@ -158,7 +160,30 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
 
   private def withWriterLease[A](part: String)(body: => A): A = {
     val token = acquireLease(part)
-    try body finally releaseLease(part, token)
+    // Heartbeat fence: keep the lease mtime fresh while the body runs.
+    // Without it, a store()/rewritePart slower than writerLeaseTtlMs —
+    // entirely plausible for a 100 TB-scale merge — looks crashed, gets
+    // taken over by a concurrent writer, and the lost-update window the
+    // lease exists to close reopens with BOTH writers alive. Touching
+    // only mtime leaves the token bytes intact, so releaseLease's
+    // own-lease check is unaffected; takeover now hits dead holders only.
+    val p = leasePath(part)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(writerLeaseTtlMs / 4, 50L))
+          try fs.setTimes(p, System.currentTimeMillis(), -1L)
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"partstore-lease-hb-$part")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally {
+      hb.interrupt()
+      releaseLease(part, token)
+    }
   }
 
   /** Crash recovery: a `.pindex_old_<i>` aside dir with NO live

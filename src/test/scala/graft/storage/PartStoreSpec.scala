@@ -343,6 +343,43 @@ class PartStoreSpec extends SparkSpec {
     fsys.delete(lease, false)
   }
 
+  test("a SLOW but alive writer is never taken over at the TTL — the " +
+      "heartbeat keeps the lease fresh while its store runs") {
+    val base = "target/tmp/partstore_leasehb"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    // TTL far below the store's wall clock: pre-fence, any concurrent
+    // writer arriving mid-store would see an "expired" lease and take
+    // over — reopening the lost-update window with both writers ALIVE
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400,
+      writerLeaseWaitMs = 200L, writerLeaseTtlMs = 300L))
+    val big = (1 to 20000).map(i =>
+        (i.toLong, (i % 20).toLong * 86400L, 1.0, 100L, 100L))
+      .toDF("entity_id", "timestamp", "power", "modified", "created")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() => {
+      try ps.store("p", big) catch { case t: Throwable => errs.add(t) }
+    })
+    a.start()
+    val lease = new org.apache.hadoop.fs.Path(s"$base/.p__lease")
+    // wait until A actually holds the lease, then well past the TTL
+    var spins = 0
+    while (!fsys.exists(lease) && spins < 100) { Thread.sleep(50); spins += 1 }
+    Thread.sleep(600)
+    // the 20-partition staged swap takes seconds; skip (not fail) in the
+    // unlikely event A already finished — there is nothing left to race
+    if (fsys.exists(lease)) {
+      val e = intercept[graft.core.ConcurrentWriterException] {
+        ps.store("p", big.limit(1))
+      }
+      assert(e.getMessage.contains("must serialize"))
+    } else cancel("writer finished before the TTL window — nothing to race")
+    a.join()
+    assert(errs.isEmpty, s"slow writer failed: $errs")
+    assert(ps.readPart("p").get.count() == 20000L) // nothing lost
+  }
+
   test("a stale lease (crashed writer) is taken over after the TTL") {
     val base = "target/tmp/partstore_leasestale"
     val fsys = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
