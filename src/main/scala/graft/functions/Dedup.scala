@@ -1541,31 +1541,47 @@ object Dedup {
       .localCheckpoint()
     // negative ids would interleave block address ranges and silently
     // merge documents — refuse loudly (one aggregate over the
-    // checkpointed positions, noise next to the 14 ranking/LCP rounds)
-    val minDoc = toks.agg(min(col("__doc"))).head()
+    // checkpointed positions, noise next to the 14 ranking/LCP rounds);
+    // the count rides along for the convergence check below
+    val minDoc = toks.agg(min(col("__doc")), count(lit(1))).head()
     require(minDoc.isNullAt(0) || minDoc.getLong(0) >= 0L,
       s"suffixDupSpans: negative $idCol values break the per-doc block " +
-        s"addressing (min = ${minDoc.getLong(0)})")
-    val r0keys = globalDenseRank(
-      toks.select(md5(col("tok")).as("k1")).distinct(), Seq("k1"))
-    var rank = toks
-      .join(r0keys, md5(toks("tok")) === r0keys("k1"))
-      .select(col("gpos"), col("__r").as("r"))
-      .localCheckpoint()
+        s"addressing (min = ${if (minDoc.isNullAt(0)) 0L else minDoc.getLong(0)})")
+    val nPos = minDoc.getLong(1)
+    // rank attached in ONE range exchange per round (no distinct → rank →
+    // join-back round trip), and the shifted probe rank[p + 2^k] read by
+    // a per-doc window lead instead of a self-join: positions are DENSE
+    // within a doc (split never emits empty tokens after trim, so pos
+    // 0..n−1 all survive the filter), `lead(r, 2^k)` over gpos order IS
+    // the probe, and the 2×cap block addressing already guarantees no
+    // probe crosses a document. Each doubling round is therefore one
+    // bounded window (≤ cap rows per doc group) + one rank exchange.
+    val (r0, nd0) = Ranks.globalDenseRankAttach(
+      toks.select(col("gpos"), md5(col("tok")).as("k1")), Seq("k1"))
+    var rank = r0.select(col("gpos"), col("__r").as("r")).localCheckpoint()
+    // converged ⇔ rank is injective over positions: every later round's
+    // dense rank of (rank[p], rank[p+2^k]) orders by the injective first
+    // component alone, reproducing rank EXACTLY — so the remaining round
+    // tables are this table, and LCP equality tests against it behave
+    // identically (equal ranks ⇒ same position; sentinels differ for
+    // a ≠ b). The distinct count falls out of the rank pass for free.
+    var converged = nd0 == nPos
+    val winDoc = {
+      import org.apache.spark.sql.expressions.Window
+      Window.partitionBy(expr(s"gpos div $block")).orderBy(col("gpos"))
+    }
     val roundTables = Array.newBuilder[DataFrame]
     for (k <- 0 until rounds) {
       roundTables += rank
-      val shift = 1L << k
-      val paired = rank.as("a")
-        .join(rank.select((col("gpos") - shift).as("gpos"),
-          col("r").as("__r2")).as("b"), Seq("gpos"), "left")
-        .select(col("gpos"), col("r").as("k1"),
-          coalesce(col("__r2"), -(col("gpos") + shift) - 1).as("k2"))
-      val rk = globalDenseRank(
-        paired.select("k1", "k2").distinct(), Seq("k1", "k2"))
-      rank = paired.join(rk, Seq("k1", "k2"))
-        .select(col("gpos"), col("__r").as("r"))
-        .localCheckpoint()
+      if (!converged) {
+        val shift = 1L << k
+        val paired = rank.select(col("gpos"), col("r").as("k1"),
+          coalesce(lead(col("r"), shift.toInt).over(winDoc),
+            -(col("gpos") + shift) - 1).as("k2"))
+        val (rk, nd) = Ranks.globalDenseRankAttach(paired, Seq("k1", "k2"))
+        rank = rk.select(col("gpos"), col("__r").as("r")).localCheckpoint()
+        converged = nd == nPos
+      }
     }
     val tables = roundTables.result()
     // strict total order (permutation) for the neighbor equi-join

@@ -53,7 +53,10 @@ class QueriesPlanSpec extends SparkSpec {
     "q255_table_stats",       // one Expand aggregate + 1-row restack
     "q256_staleness_chain",   // store loop: semi-joins + aggregates only
     "q258_proximity_search",  // banded positional equi-join
-    "q264_suffix_dedup",      // doubling rounds: joins + range-sort ranks
+    "q264_suffix_dedup",      // rank-attach rounds; the per-doc (≤cap-row)
+                              // lead windows sit before localCheckpoints,
+                              // so the final plan is checkpoint scans +
+                              // joins + aggregates (the q268 convention)
     "q267_span_corruption",   // block aggregate + md5-key join-back
     "q270_wav_loudness",      // narrow per-blob decode, zero shuffles
     "q271_wav_silence",       // narrow per-blob decode, zero shuffles
