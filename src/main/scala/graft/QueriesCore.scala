@@ -2330,7 +2330,21 @@ object QueriesCore {
           (if (procRawFp == null) rawFp
            else Materialization.staleChunks(rawFp, procRawFp, "timestamp"))
             .select(col("timestamp").as("hr"))
+        // staleHours is read twice (pindex collect + semi-join) but
+        // derives from the two CHECKPOINTED fingerprint frames — the
+        // recompute is a metadata-scale compare, cheaper than
+        // materializing it
+        // partition-pruned re-aggregation (the readPartRange/production
+        // shape): only the stale hours' DAY directories are scanned, not
+        // the whole raw store — at 100 TB a late trickle touching one day
+        // lists one directory. Bounded driver read: distinct pindex of
+        // the stale set ≤ |days in corpus| (metadata scale, same bound as
+        // the modified log itself).
+        val stalePidx = staleHours
+          .select(expr("hr div 86400").as("p")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
         val hourAgg = raw.readPart("t").get
+          .filter(col("pindex").isin(stalePidx: _*))
           .withColumn("hr", col("timestamp") - pmod(col("timestamp"), lit(3600L)))
           .join(staleHours, Seq("hr"), "left_semi")
           .groupBy("entity_id", "hr")
@@ -2351,7 +2365,13 @@ object QueriesCore {
           (if (procHourFp == null) hourFp
            else Materialization.staleChunks(hourFp, procHourFp, "timestamp"))
             .select(col("timestamp").as("day"))
+        // same pruned shape one level up: stale DAYS prune the hourly
+        // store's day directories before the daily re-aggregation
+        val staleDayPidx = staleDays
+          .select(expr("day div 86400").as("p")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
         val dayAgg = hourly.readPart("h").get
+          .filter(col("pindex").isin(staleDayPidx: _*))
           .withColumn("day", col("timestamp") - pmod(col("timestamp"), lit(86400L)))
           .join(staleDays, Seq("day"), "left_semi")
           .groupBy("entity_id", "day")
