@@ -1605,15 +1605,20 @@ object QueriesCore {
         keyCols = Seq("source", "bucket")))
       def skOf(df: DataFrame) =
         HdrQuantiles.sketch(df, Seq("source"), "n_chars")
+      // sketches are bounded (|sources|·buckets rows) — pin them so the
+      // corpus scan + sketch shuffle runs once per append, not twice
+      // (store() executes its input for the pindex collect AND the write)
       val b1 = skOf(d.filter(pmod(col("doc_id"), lit(2)) === 0))
         .withColumn("timestamp", col("bucket"))
         .withColumn("modified", lit(1L))
+        .localCheckpoint()
       ps.store("hdr", b1)
       val b2 = skOf(d.filter(pmod(col("doc_id"), lit(2)) === 1))
       val persisted = ps.readPart("hdr").get.select("source", "bucket", "cnt")
       val merged = HdrQuantiles.merge(Seq("source"), persisted, b2)
         .withColumn("timestamp", col("bucket"))
         .withColumn("modified", lit(2L))
+        .localCheckpoint()
       ps.store("hdr", merged)
       HdrQuantiles.quantilesFromSketch(
           ps.readPart("hdr").get.select("source", "bucket", "cnt"),

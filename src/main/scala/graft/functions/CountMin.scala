@@ -111,10 +111,12 @@ object CountMin {
       s"CMS store must be keyed (r, bucket) so cell upserts address grid " +
         s"cells, got ${ps.config.keyCols.mkString("(", ", ", ")")}")
     val sk = sketch(batch, keyCol, weightCol, d, w, salt)
-    val merged = ps.readPart(part) match {
+    val merged = (ps.readPart(part) match {
       case None => sk
       case Some(p) => merge(p.select(col("r"), col("bucket"), col("cnt")), sk)
-    }
+    }).localCheckpoint() // ≤ d·w rows — store() executes its input twice
+    // (pindex collect + staged write); without this pin the batch's full
+    // key scan + sketch shuffle would run twice per append
     ps.store(part, merged
       .withColumn("timestamp", col("bucket"))
       .withColumn("modified", lit(modified)))

@@ -1724,6 +1724,9 @@ object Dedup {
         size(filter(expr(s"slice(toks, 1, least(size(toks), $cap))"),
           t => t =!= "")).cast("long").as("n_tokens"),
         lit(1L).as("modified"))
+      .localCheckpoint() // doc-count-sized; feeds the store (which
+      // executes it twice) AND the final stats join — without the pin
+      // the batch text is re-split three times per append
     val psize = anchorStore.config.partitionSizeSeconds
     val pidx = a.select(((col("timestamp") - pmod(col("timestamp"), lit(psize)))
         / psize).cast("long").as("p")).distinct()

@@ -1073,6 +1073,9 @@ object TextAnalysis {
     val rows = merged
       .withColumn("timestamp", pmod(col("h"), lit(1024L)))
       .withColumn("modified", lit(modified))
+      .localCheckpoint() // sketch-sized (k·|groups|); store() executes its
+      // input twice — without the pin the batch's full scan + mink
+      // aggregation would run twice per append
     if (existing.isEmpty) ps.store(part, rows)
     else {
       // rewrite, not upsert: hashes falling OUT of the k smallest must
@@ -1396,10 +1399,20 @@ object TextAnalysis {
       batch: DataFrame, idCol: String, textCol: String,
       modified: Long): Unit = {
     val toks = tokens(batch, idCol, textCol).filter(col("tok") =!= "")
+    // ONE tokenize per append: the tf rows are pinned and BOTH stores
+    // derive from them (dl = Σ tf per doc — same count(*) over the raw
+    // token stream, proven by the sum-of-group-counts identity). Without
+    // the pin the batch text was tokenized four times: each store()
+    // executes its input twice (pindex collect + staged write), and the
+    // two stores each carried their own tokenize+groupBy plan.
+    val tfRows = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
     // Update detection: which batch ids already have a doc length on
     // store? Prune the doclen read to the batch's own pindexes (pmod
     // 1024 div 64 mirrors the store's layout), so the probe reads only
-    // the partitions this batch could collide with.
+    // the partitions this batch could collide with. Ids come from the
+    // BATCH, not tfRows — a re-appended doc whose new text is empty has
+    // no token rows but must still purge its stale postings.
     val batchIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
     // ≤16 values by construction: the doclen store has 1024/64 partitions
     val batchPindexes = batchIds
@@ -1420,12 +1433,12 @@ object TextAnalysis {
             col("doc_id").cast("long") === col("__stale_id"), "left_anti"))
     }
     psPostings.store("postings",
-      toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      tfRows
         .select(col("tok"), col(idCol).as("doc_id"), col("tf"))
         .withColumn("timestamp", pmod(crc32(col("tok")), lit(1024L)))
         .withColumn("modified", lit(modified)))
     psDocLens.store("doclen",
-      toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      tfRows.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
         .select(col(idCol).as("doc_id"), col("dl"))
         .withColumn("timestamp", pmod(col("doc_id"), lit(1024L)))
         .withColumn("modified", lit(modified)))
@@ -2439,9 +2452,17 @@ object TextAnalysis {
       tokens: DataFrame, tokCol: String, epoch: Long): (Long, Long, Long) = {
     val batchToks = tokens.select(col(tokCol).as("tok"))
       .filter(col("tok") =!= "")
-    val nTokens = batchToks.count()
-    val types = batchToks.distinct()
-    val nTypes = types.count()
+    // ONE pass over the batch token stream: per-type counts pin both
+    // scalar counts and the type set (previously three separate passes —
+    // occurrence count, distinct count, anti-join — each re-running the
+    // caller's tokenize; the groupBy shuffles the same vocabulary-sized
+    // set the old distinct did, map-side combined)
+    val typeCounts = batchToks.groupBy("tok")
+      .agg(count(lit(1)).as("__cnt")).localCheckpoint()
+    val nTokens = typeCounts.agg(coalesce(sum(col("__cnt")), lit(0L)))
+      .collect()(0).getLong(0) // coalesce: an all-empty batch sums NULL
+    val nTypes = typeCounts.count()
+    val types = typeCounts.select("tok")
     val fresh = (ps.readPart(part) match {
       case None => types
       case Some(ex) => types.join(ex.select("tok"), Seq("tok"), "left_anti")

@@ -468,7 +468,10 @@ object StreamingRollup {
           }
           ps.store(part, merged
             .withColumn("timestamp", col("bucket"))
-            .withColumn("modified", lit(batchId)))
+            .withColumn("modified", lit(batchId))
+            // sketch-sized pin: store() executes its input twice; without
+            // it the micro-batch re-aggregates per store action
+            .localCheckpoint())
           ()
         }
       }
