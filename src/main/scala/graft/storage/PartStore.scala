@@ -320,17 +320,23 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // would still let two writers merge against the same base and lose
     // whichever lands first
     withWriterLease(part) {
-    // NOTE: the batch plan executes twice here (the pindex-distinct collect
-    // and the staged merge write). A persist() across the two was measured
-    // SLOWER (r17): caching materializes every wide column while the
-    // distinct is column-pruned to pindex, and callers already checkpoint
-    // one step upstream — the second execution pays one agg over
-    // checkpointed data, less than the cache materialization costs.
+    // NOTE: on a MERGE the batch plan executes twice here (the
+    // pindex-distinct collect — needed as a LITERAL in-list so the merge
+    // base read is a PartitionFilter — and the staged merge write). A
+    // persist() across the two was measured SLOWER (r17): caching
+    // materializes every wide column while the distinct is column-pruned
+    // to pindex, and callers already checkpoint one step upstream — the
+    // second execution pays one agg over checkpointed data, less than the
+    // cache materialization costs. A FIRST append has no base to prune,
+    // so it skips the collect entirely: the batch plan executes exactly
+    // once (the staged write), and the swap indices come from listing the
+    // staged directory — which holds exactly the batch's pindexes.
     val b = withPindex(batch)
-    val batchIndices = b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
-    val (merged, indices) = readPart(part) match {
-      case None => (b, batchIndices)
+    val merged = readPart(part) match {
+      case None => b
       case Some(existing0) =>
+        val batchIndices =
+          b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
         val (existingRec, bRec) = reconcileTypes(existing0, b)
         val widened = existingRec.schema != existing0.schema
         // A widened column must apply to EVERY partition — mixed parquet
@@ -343,28 +349,32 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
         val m = Upsert.merge(
           base, bRec, keyCols, modifiedCol,
           if (batch.columns.contains(createdCol)) Some(createdCol) else None)
-        val all = withPindex(m.drop("pindex"))
-        val idx =
-          if (widened)
-            all.select("pindex").distinct().collect().map(_.getLong(0)).sorted
-          else batchIndices
-        (all, idx)
+        withPindex(m.drop("pindex"))
     }
     val zorder =
       if (zorderBy.isEmpty) None
       else Some(graft.operators.Layout.zorderKey(
         col(zorderBy(0)), col(zorderBy(1)), zorderBits))
-    writeAndSwap(part, merged, indices.toIndexedSeq, zorder)
-    indices.length
+    // Swap indices ALWAYS come from the staged directory listing: a merge
+    // writes exactly base(pruned to batch pindexes) ∪ batch = the batch's
+    // pindexes (batch rows make every listed partition non-empty), a first
+    // append writes exactly the batch's pindexes, and a widened merge
+    // rewrites every partition — in each case the staged dirs ARE the swap
+    // set, with no extra action to recount them.
+    writeAndSwap(part, merged, None, zorder)
     }
   }
 
   /** Staged write + per-partition swap shared by `store` and
     * `rewritePart`: stage the frame partitioned by pindex, publish the
-    * sidecar, then swap each partition directory in near-atomically. */
+    * sidecar, then swap each partition directory in near-atomically.
+    * `indices = None` derives the swap set from the staged directory
+    * listing (a metadata read of dirs the write just materialized —
+    * never a recompute of the merge plan). Returns the swapped
+    * partition count. */
   private def writeAndSwap(
-      part: String, merged: DataFrame, indices: Seq[Long],
-      zorder: Option[org.apache.spark.sql.Column] = None): Unit = {
+      part: String, merged: DataFrame, indicesOpt: Option[Seq[Long]],
+      zorder: Option[org.apache.spark.sql.Column] = None): Int = {
     val staging = path(part) + "__staging"
     // One shuffle on pindex before the partitioned write: without it every
     // task writes a sliver into every touched partition dir (tasks ×
@@ -398,7 +408,14 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // existing entry, so every entry is ⊇ the live partition's range
     // whether the swap below lands or not
     updateZones(part, staging)
+    val indices = indicesOpt.getOrElse {
+      fs.listStatus(hp(staging)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("pindex="))
+        .map(_.stripPrefix("pindex=").toLong).sorted
+    }
     swapStaged(part, staging, indices)
+    indices.length
   }
 
   /** Crash-safe per-partition swap of staged `pindex=` dirs into the live

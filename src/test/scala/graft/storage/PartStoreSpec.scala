@@ -370,10 +370,21 @@ class PartStoreSpec extends SparkSpec {
     // the 20-partition staged swap takes seconds; skip (not fail) in the
     // unlikely event A already finished — there is nothing left to race
     if (fsys.exists(lease)) {
-      val e = intercept[graft.core.ConcurrentWriterException] {
-        ps.store("p", big.limit(1))
+      try {
+        val e = intercept[graft.core.ConcurrentWriterException] {
+          ps.store("p", big.limit(1))
+        }
+        assert(e.getMessage.contains("must serialize"))
+      } catch {
+        case _: org.scalatest.exceptions.TestFailedException
+            if !fsys.exists(lease) && errs.isEmpty =>
+          // A finished (and released) between the exists check and our
+          // store — the second store legitimately succeeded; nothing to
+          // race. (The extra row it wrote upserts the same key, so the
+          // count below still holds.)
+          a.join()
+          cancel("writer finished before the takeover attempt — nothing to race")
       }
-      assert(e.getMessage.contains("must serialize"))
     } else cancel("writer finished before the TTL window — nothing to race")
     a.join()
     assert(errs.isEmpty, s"slow writer failed: $errs")
