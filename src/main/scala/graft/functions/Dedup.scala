@@ -705,9 +705,12 @@ object Dedup {
       .distinct().localCheckpoint()
     val emptyPar = nodes0.select(col("node").as("entity_id"),
       col("node").as("parent")).limit(0)
+    // trivial projection of the checkpointed nodes0 — no second checkpoint
     var labels = nodes0.select(col("node"), col("node").as("root"))
-      .localCheckpoint()
-    var changed = true
+    // no parent state yet (every FIRST batch) ⇒ labels are already roots;
+    // the loop below would pay a full join + checkpoint + probe round to
+    // discover exactly that
+    var changed = parentStore.readPart("par").isDefined
     var iters = 0
     while (changed) {
       iters += 1

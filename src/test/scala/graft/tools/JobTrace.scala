@@ -26,11 +26,7 @@ object JobTrace {
       override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
         val j = js.getOrElseUpdate(e.jobId, J(e.jobId))
         j.start = e.time
-        j.desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("?")
+        j.desc = e.stageInfos.lastOption.map(_.name).getOrElse("?")
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
         js.get(e.jobId).foreach(_.end = e.time)
