@@ -29,6 +29,32 @@ class PartStoreSpec extends SparkSpec {
     assert(back.select("pindex").distinct().count() == 2)
   }
 
+  test("merge store() swaps exactly the batch's partitions and reports " +
+      "their count (swap set = staged directory listing)") {
+    val base = "target/tmp/partstore_swapset"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ps = new PartStore(spark, PartStoreConfig(base, 86400))
+    val b0 = Seq(
+      (1L, 1000L, 10.0, 100L, 100L),
+      (2L, 90000L, 20.0, 100L, 100L)
+    ).toDF("entity_id", "timestamp", "power", "modified", "created")
+    assert(ps.store("p", b0) == 2) // first append: both day partitions
+    val day1File = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$base/p/pindex=1")).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSeq
+    // second batch touches only day 0: return 1, day-1 files untouched
+    val b1 = Seq((1L, 2000L, 11.0, 200L, 200L))
+      .toDF("entity_id", "timestamp", "power", "modified", "created")
+    assert(ps.store("p", b1) == 1)
+    val day1After = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$base/p/pindex=1")).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSeq
+    assert(day1After == day1File) // untouched partition not rewritten
+    assert(ps.readPart("p").get.count() == 3)
+  }
+
   test("upsert: carried NULLs clobber, absent columns untouched (col = excluded.col)") {
     val ps = freshStore("upsert")
     val t0 = Seq(
