@@ -2239,6 +2239,8 @@ object QueriesLLM {
       val scored = TextAnalysis.charLmScore(d, "doc_id", "text")
         .join(d.select("doc_id", "lang"), "doc_id")
         .filter(col("mean_p").isNotNull)
+        .localCheckpoint() // doc-count rows, consumed by the quantile
+        // cuts AND the final bucket join (the q141 pin)
       val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
         Seq("c13" -> (1.0 / 3), "c23" -> (2.0 / 3))).drop("n_docs")
       scored.join(broadcast(cuts), "lang")
@@ -2290,6 +2292,9 @@ object QueriesLLM {
         .join(d.select("doc_id", "lang", "source"), "doc_id")
         .join(cls, "doc_id")
         .filter(col("mean_p").isNotNull)
+        .localCheckpoint() // doc-count rows; consumed by the quantile
+        // cuts AND the keep join — without the pin the char-LM scoring
+        // subtree is embedded (and can execute) twice in the final plan
       // keep head+middle = top two-thirds BY VALUE per language (R-7
       // cutoff broadcast, q135's shape — no per-language global sort)
       val cuts = TextAnalysis.groupQuantiles(scored, Seq("lang"), "mean_p",
@@ -2297,6 +2302,7 @@ object QueriesLLM {
       val keep = scored.join(broadcast(cuts), "lang")
         .filter(col("mean_p") >= col("c13"))
         .select("doc_id", "source")
+        .localCheckpoint() // two consumers below (chunk input + re-join)
       val chunks = TextAnalysis.chunkTokens(
         d.join(keep.select("doc_id"), "doc_id"), "doc_id", "text", 64, 48)
       chunks.join(keep, "doc_id")
