@@ -380,8 +380,12 @@ class PartStoreSpec extends SparkSpec {
     // over — reopening the lost-update window with both writers ALIVE
     val ps = new PartStore(spark, PartStoreConfig(base, 86400,
       writerLeaseWaitMs = 200L, writerLeaseTtlMs = 300L))
+    // 60 staged partition swaps keep writer A busy for seconds even on a
+    // fast store path, so the takeover attempt below reliably races a
+    // LIVE lease instead of cancelling (the store used to be slow enough
+    // with 20 at its old two-executions-per-call cost)
     val big = (1 to 20000).map(i =>
-        (i.toLong, (i % 20).toLong * 86400L, 1.0, 100L, 100L))
+        (i.toLong, (i % 60).toLong * 86400L, 1.0, 100L, 100L))
       .toDF("entity_id", "timestamp", "power", "modified", "created")
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val a = new Thread(() => {
