@@ -1976,7 +1976,7 @@ object Similarity {
         col("j").cast("int").as("j"), col("code").cast("int").as("code"))
     adcEstimateRerank(
       cand.join(dtMaybeBcast, Seq("query_id", "__bucket", "j", "code")),
-      queries, corpus, idCol, vecCol, k, shortlist)
+      queries, corpus, idCol, vecCol, k, shortlist, codebooks.length)
   }
 
   /** Packed PQ code: per subspace, nearest-centroid assignment by cosine
@@ -2054,7 +2054,11 @@ object Similarity {
     // dot = the codegen'd FloatVectorDot (same left-to-right double fold
     // as the HOF form — bit-identical, spec-asserted): the |corpus|·m·k
     // joined rows each pay one tight primitive loop instead of an
-    // interpreted zip_with/aggregate lambda pair (~10× on this stage)
+    // interpreted zip_with/aggregate lambda pair (~10× on this stage).
+    // (r19 negative result: hoisting the m slices + norms above the cross
+    // join as per-row arrays measured ~45% SLOWER on q101 — the nested
+    // array materialization per stream row and element_at indirection
+    // cost more than the k-redundant slice+norm folds save; reverted.)
     val subv = slice(col("__v"), col("j") * lit(sub) + 1, lit(sub))
     val keyCols = keys.map(col)
     vectors.select(keyCols :+ col(vecCol).as("__v"): _*)
@@ -2174,26 +2178,42 @@ object Similarity {
     // large for the broadcast ceiling (see adcTopK scaladoc)
     val qMaybeBcast = if (broadcastDistanceTable) broadcast(q) else q
     adcEstimateRerank(unpacked.join(qMaybeBcast, Seq("j", "code")),
-      queries, corpus, idCol, vecCol, k, shortlist)
+      queries, corpus, idCol, vecCol, k, shortlist, codebooks.length)
   }
 
   /** ADC tail shared by the full-scan paths ([[adcTopK]]/[[adcTopKArray]])
     * and the cell-probed path ([[ivfPqTopK]]): `joined` carries one row per
     * (query_id, neighbor_id, subspace) with the distance-table columns
-    * (qn, j, qdot, cn2) attached. Folds the estimated cosine in fixed
-    * j-order, shortlists per query, exact-reranks only the shortlist. */
+    * (qn, j, qdot, cn2) attached — exactly one row per subspace j in
+    * 0..m−1. Folds the estimated cosine in fixed j-order, shortlists per
+    * query, exact-reranks only the shortlist.
+    *
+    * The per-pair fold is PIVOTED into m codegen `sum(when(j = i, …))`
+    * aggregates plus an explicit left-associative `0.0 + d₀ + … + d_{m−1}`
+    * sum: each group holds exactly one row per j, so every sum is that
+    * row's value and the addition sequence is the same left-to-right
+    * j-ascending double fold as the previous
+    * `array_sort(collect_list(struct(j, …)))` + `aggregate(…)` form —
+    * bit-identical est_cos, but whole-stage-codegen'd instead of an
+    * interpreted higher-order lambda over a per-group collected array
+    * (this aggregate runs once per (query, candidate) pair — the widest
+    * frame of every ADC retrieval). */
   private def adcEstimateRerank(
       joined: DataFrame, queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      m: Int): DataFrame = {
+    val sums =
+      (0 until m).map(j => sum(when(col("j") === j, col("qdot"))).as(s"__d$j")) ++
+      (0 until m).map(j => sum(when(col("j") === j, col("cn2"))).as(s"__c$j"))
     val est = joined
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("qn")).as("qn"),
-        array_sort(collect_list(struct(col("j"), col("qdot"), col("cn2")))).as("__a"))
+      .agg(max(col("qn")).as("qn"), sums: _*)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (aggregate(col("__a"), lit(0.0), (a, x) => a + x.getField("qdot")) /
-          (col("qn") * sqrt(aggregate(col("__a"), lit(0.0),
-            (a, x) => a + x.getField("cn2"))))).as("est_cos"))
+        ((0 until m).map(j => col(s"__d$j")).foldLeft(lit(0.0))(_ + _) /
+          (col("qn") * sqrt(
+            (0 until m).map(j => col(s"__c$j")).foldLeft(lit(0.0))(_ + _))))
+          .as("est_cos"))
       // a candidate whose reconstructed centroid norm is zero (degenerate
       // codebook) has no estimate — drop rather than NaN-sink it
       .filter(!isnan(col("est_cos")))
@@ -2312,7 +2332,7 @@ object Similarity {
     // keyed by query_id as well — each candidate only meets ITS query's
     // distance-table rows, unlike the full-scan path's (j, code) join
     adcEstimateRerank(cand.join(dtMaybeBcast, Seq("query_id", "j", "code")),
-      queries, corpus, idCol, vecCol, k, shortlist)
+      queries, corpus, idCol, vecCol, k, shortlist, codebooks.length)
   }
 
   /** Stored IVF-PQ retrieval with PARTITION-PRUNED scan over a
