@@ -2321,7 +2321,12 @@ object QueriesCore {
       val daily = new PartStore(s, PartStoreConfig(s"$base/daily", 86400L * 32))
       var procRawFp: DataFrame = null
       var procHourFp: DataFrame = null
-      def round(batch: DataFrame, r: Long): Unit = {
+      def round(batch0: DataFrame, r: Long): Unit = {
+        // one materialization of the round's trickle: the frame feeds the
+        // raw store (twice on the round-2 merge: pindex collect + staged
+        // write) AND the markModified distinct — without the pin the
+        // events scan + filter re-executed for each (r19)
+        val batch = batch0.localCheckpoint()
         raw.store("t", batch.select(col("event_id"), col("entity_id"),
           col("ts_sec").as("timestamp"), col("cents"))
           .withColumn("modified", lit(r)))
@@ -2354,10 +2359,16 @@ object QueriesCore {
           .join(staleHours, Seq("hr"), "left_semi")
           .groupBy("entity_id", "hr")
           .agg(count(lit(1)).as("samples"), sum(col("cents")).as("sum_cents"))
+        // hourAgg timestamps are exactly the stale hours, whose day
+        // pindexes were JUST collected (stalePidx) — the hint saves the
+        // merge-path re-execution of the whole hourly aggregation for
+        // its pindex-distinct collect (r19; hourly psize = 86400 matches
+        // stalePidx's hr-div-86400 derivation)
         hourly.store("h", hourAgg
           .select(col("entity_id"), col("hr").as("timestamp"),
             col("samples"), col("sum_cents"))
-          .withColumn("modified", lit(r)))
+          .withColumn("modified", lit(r)),
+          batchIndicesHint = Some(stalePidx))
         // PROPAGATION: the re-materialized hours mark their days stale
         hourly.markModified("h",
           staleHours.select((col("hr") - pmod(col("hr"), lit(86400L)))
@@ -2382,10 +2393,15 @@ object QueriesCore {
           .groupBy("entity_id", "day")
           .agg(sum(col("samples")).cast("long").as("samples"),
             sum(col("sum_cents")).cast("long").as("sum_cents"))
+        // dayAgg timestamps are the stale midnight-aligned days; the
+        // daily store's psize is 86400·32, so its pindexes are the
+        // collected epoch-day list div 32 — derived in the driver, no
+        // re-execution of the daily aggregation for the collect (r19)
         daily.store("d", dayAgg
           .select(col("entity_id"), col("day").as("timestamp"),
             col("samples"), col("sum_cents"))
-          .withColumn("modified", lit(r)))
+          .withColumn("modified", lit(r)),
+          batchIndicesHint = Some(staleDayPidx.map(_ / 32).distinct))
         procRawFp = rawFp
         procHourFp = hourFp
       }

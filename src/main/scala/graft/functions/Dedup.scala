@@ -232,17 +232,26 @@ object Dedup {
     val capped =
       if (maxBucket == Int.MaxValue) pruned
       else SkewOps.keepSmallKeys(pruned, Seq("band", "key"), maxBucket)
-    val a = capped.alias("a")
-    val b = capped.alias("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.entity_id") < col("b.entity_id"))
-      .select(col("a.entity_id").as("id1"), col("b.entity_id").as("id2"))
+    // BATCH-SIDE probe (r19): the left join side is only the batch's own
+    // bucket memberships, not the whole co-resident state. The old shape
+    // self-joined capped×capped (all-pairs within every touched bucket —
+    // O(Σ bucket²) with the corpus on BOTH sides) and then semi-joined
+    // the result down to pairs involving ≥1 batch doc; generating from
+    // the batch side directly is O(batch memberships × bucket size) and
+    // produces the SAME set: every qualifying pair has a batch member,
+    // so it appears as (a = batch member, b = bucket mate), and the
+    // least/greatest normalization + distinct collapse orientation and
+    // multi-bucket duplicates exactly as the old a<b + distinct did.
     // no broadcast hint: an ingest batch can be millions of ids — let
     // AQE pick broadcast vs shuffle from the measured size
     val newIds = rows.select(col("entity_id").as("nid")).distinct()
-    pairs.join(newIds, pairs("id1") === col("nid"), "left_semi")
-      .union(pairs.join(newIds, pairs("id2") === col("nid"), "left_semi"))
+    val batchSide = capped
+      .join(newIds, capped("entity_id") === col("nid"), "left_semi")
+    batchSide.alias("a").join(capped.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.entity_id") =!= col("b.entity_id"))
+      .select(least(col("a.entity_id"), col("b.entity_id")).as("id1"),
+        greatest(col("a.entity_id"), col("b.entity_id")).as("id2"))
       .distinct()
       // EAGER snapshot: the probe reads the store AS OF THIS CALL — a
       // lazy frame evaluated after a later batch's store() would see the
@@ -525,14 +534,36 @@ object Dedup {
     val verifyToks = t.unionByName(oldToks)
       .join(candIds, Seq("__id"), "left_semi").localCheckpoint()
     val out = verifyPairs(cand, verifyToks, tauNum, tauDen).localCheckpoint()
+    // ONE bounded driver action replaces BOTH stores' merge-path pindex
+    // collects (r19): token and prefix rows are keyed timestamp = __id,
+    // and pref's id set ⊆ t's (pref derives from t), so each store's
+    // batch pindex set derives from t's ids — collect_set over
+    // id-div-psize is bounded by the touched partition count. t's set is
+    // a (usually exact, always safe) SUPERSET for the prefix store; the
+    // staged-listing guard in store() enforces the superset contract.
+    def pidxOf(p: Long) =
+      ((col("__id") - pmod(col("__id"), lit(p))) / p).cast("long")
+    val pTok = tokStore.config.partitionSizeSeconds
+    val pPref = prefStore.config.partitionSizeSeconds
+    // first batch: both stores take the collect-free first-append path —
+    // the hint would be a pure extra action there, so skip it
+    val (tokIdx, prefIdx) =
+      if (!tokStore.exists(part)) (None, None)
+      else {
+        val idxRow = t.agg(
+          collect_set(pidxOf(pTok)), collect_set(pidxOf(pPref))).head()
+        (Some(idxRow.getSeq[Long](0)), Some(idxRow.getSeq[Long](1)))
+      }
     tokStore.store(part, t.select(col("__id").as("entity_id"),
-      col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")))
+      col("__id").as("timestamp"), col("tok"), lit(1L).as("modified")),
+      batchIndicesHint = tokIdx)
     // prefix store v2: entries carry their sorted position and doc size
     // so the cross-batch candidate join can run the length + positional
     // filters without touching the token store
     prefStore.store(part, pref.select(col("__id").as("entity_id"),
       col("__id").as("timestamp"), col("tok"), col("__pos").as("pos"),
-      col("__n").as("n"), lit(1L).as("modified")))
+      col("__n").as("n"), lit(1L).as("modified")),
+      batchIndicesHint = prefIdx)
     out
   }
 
@@ -690,8 +721,12 @@ object Dedup {
         .getOrElse(emptyLike.withColumn("pindex", lit(0L)))
       st.join(broadcast(pidx), st("pindex") === col("p"))
     }
+    // candIds has exactly ONE consumer (the probe's broadcast pidx) and
+    // derives from the checkpointed cand — a localCheckpoint here was a
+    // whole driver action buying nothing (r19; the distinct computes
+    // inside the probe's broadcast build instead)
     val candIds = cand.select(col("id1").as("node"))
-      .union(cand.select(col("id2").as("node"))).distinct().localCheckpoint()
+      .union(cand.select(col("id2").as("node"))).distinct()
     val skPruned = prunedByIds(sketchStore, "sk", candIds,
         sk.select(col(idCol).cast("long").as("entity_id"), col("minima")).limit(0))
       .select(col("entity_id").as("did"), col("minima"))
@@ -712,6 +747,17 @@ object Dedup {
     // discover exactly that
     var changed = parentStore.readPart("par").isDefined
     var iters = 0
+    // materialize-and-probe FUSED to one action per round (r19): persist +
+    // count(changed) computes the round's labels AND the convergence
+    // probe in a single job, where localCheckpoint + head(1) paid two
+    // (and head over a converged round escalates executeTake scans).
+    // persist (not checkpoint) is safe here: the parent state is not
+    // mutated until AFTER every consumer of these frames has been
+    // materialized (nodeKeeper/upserts localCheckpoints below), so an
+    // eviction-driven recompute re-reads identical store state. The
+    // InMemoryRelation also bounds plan growth per round the way the
+    // checkpoint did. All round caches are unpersisted before the store.
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (changed) {
       iters += 1
       require(iters <= 64,
@@ -727,8 +773,9 @@ object Dedup {
       val next = labels.join(par, labels("root") === par("entity_id"), "left")
         .select(col("node"),
           coalesce(col("parent"), col("root")).as("root2"), col("root"))
-        .localCheckpoint()
-      changed = next.filter(col("root2") =!= col("root")).head(1).nonEmpty
+        .persist()
+      roundCaches += next
+      changed = next.filter(col("root2") =!= col("root")).count() > 0
       labels = next.select(col("node"), col("root2").as("root"))
     }
     // 5. components of the CONTRACTED graph (bounded by the batch
@@ -749,6 +796,9 @@ object Dedup {
       .union(comp.select(col("root").as("node"), col("keeper")))
       .distinct()
       .localCheckpoint() // store() runs its input twice; snapshot once
+    // every consumer of the union-find round caches is materialized
+    // (nodeKeeper + upserts are checkpointed) — release before the store
+    roundCaches.foreach(_.unpersist(false))
     parentStore.store("par", upserts.select(
       col("node").as("entity_id"), col("node").as("timestamp"),
       col("keeper").as("parent"), lit(1L).as("modified")))
@@ -1902,7 +1952,7 @@ object Dedup {
     * ubiquitous hash. Bucketed by hash, never all-pairs. */
   def winnowPairs(
       fingerprints: DataFrame, minShared: Int = 2,
-      maxDocFreq: Int = 50): DataFrame = {
+      maxDocFreq: Int = 50, probeIds: Option[DataFrame] = None): DataFrame = {
     require(minShared >= 1 && maxDocFreq >= 2,
       s"winnowPairs: minShared >= 1, maxDocFreq >= 2")
     val hs = fingerprints.select("doc_id", "h").distinct().localCheckpoint()
@@ -1910,11 +1960,38 @@ object Dedup {
       .filter(col("__df") <= maxDocFreq)
       .select("h")
     val kept = hs.join(dfq, "h")
-    kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("shared_fp"))
-      .filter(col("shared_fp") >= minShared)
+    probeIds match {
+      case None =>
+        kept.as("a").join(kept.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("shared_fp"))
+          .filter(col("shared_fp") >= minShared)
+      case Some(ids) =>
+        // BATCH-SIDE probe (the incremental tier, r19): only pairs with
+        // ≥1 probe doc are wanted, so the left join side is the probe
+        // docs' kept fingerprints instead of the whole state (the old
+        // shape ran the full state×state bucket self-join and semi-
+        // filtered afterwards — O(Σ bucket²) with the corpus on both
+        // sides). The (a < b OR b not-probe) condition generates each
+        // qualifying pair exactly once per shared hash — probe~probe
+        // pairs only in a < b orientation, probe~old pairs only from
+        // the probe side — so the normalized per-pair count equals the
+        // self-join's exactly (spec-pinned against the batch tier).
+        val marked = kept.join(
+            ids.select(col(ids.columns.head).as("doc_id")).distinct()
+              .withColumn("__new", lit(true)),
+            Seq("doc_id"), "left")
+          .withColumn("__new", coalesce(col("__new"), lit(false)))
+        marked.filter(col("__new")).as("a").join(marked.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.doc_id") =!= col("b.doc_id") &&
+              (col("a.doc_id") < col("b.doc_id") || !col("b.__new")))
+          .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+          .agg(count(lit(1)).as("shared_fp"))
+          .filter(col("shared_fp") >= minShared)
+    }
   }
 
   /** Incremental MOSS matching against a PERSISTED fingerprint store
@@ -1953,18 +2030,18 @@ object Dedup {
     val state = store.readPart(part)
       .getOrElse(fps.limit(0).withColumn("pindex", lit(0L)))
     // the probe IS the batch matcher over state-as-of-this-call: the
-    // df-cap + hash-bucketed self-join + minShared count live in ONE
-    // code path (winnowPairs), so the plan-shape guard on the batch
-    // tier covers the incremental tier too
-    val pairs = winnowPairs(
+    // df-cap + minShared count live in ONE code path (winnowPairs), so
+    // the plan-shape guard on the batch tier covers the incremental tier
+    // too; probeIds switches its candidate join to the batch side (only
+    // pairs involving ≥1 batch doc are wanted — same set as the old
+    // state self-join + semi-filter, generated without putting the
+    // corpus on both join sides)
+    val newIds = fps.select(col("entity_id").as("nid")).distinct()
+    winnowPairs(
         state.join(broadcast(pidx), state("pindex") === col("p"))
           .select(col("entity_id").as("doc_id"), col("h")),
-        minShared, maxDocFreq)
+        minShared, maxDocFreq, probeIds = Some(newIds))
       .select("id1", "id2")
-    val newIds = fps.select(col("entity_id").as("nid")).distinct()
-    pairs.join(newIds, pairs("id1") === col("nid"), "left_semi")
-      .union(pairs.join(newIds, pairs("id2") === col("nid"), "left_semi"))
-      .distinct()
       .localCheckpoint()
   }
 

@@ -1437,11 +1437,17 @@ object TextAnalysis {
         .select(col("tok"), col(idCol).as("doc_id"), col("tf"))
         .withColumn("timestamp", pmod(crc32(col("tok")), lit(1024L)))
         .withColumn("modified", lit(modified)))
+    // the doclen batch's pindexes are exactly the batchPindexes already
+    // collected for the update probe above (timestamp = pmod(id, 1024),
+    // psize 64 — the same layout the probe mirrored; tfRows' ids ⊆ the
+    // batch's, so the list is a safe superset): the hint saves the
+    // merge-path pindex collect, one driver action per append (r19)
     psDocLens.store("doclen",
       tfRows.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
         .select(col(idCol).as("doc_id"), col("dl"))
         .withColumn("timestamp", pmod(col("doc_id"), lit(1024L)))
-        .withColumn("modified", lit(modified)))
+        .withColumn("modified", lit(modified)),
+      batchIndicesHint = Some(batchPindexes))
   }
 
   /** Deletion propagation through the stored index — the

@@ -313,7 +313,8 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     * format. The default path is unchanged. */
   def store(
       part: String, batch: DataFrame,
-      zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 10): Int = {
+      zorderBy: Seq[String] = Seq.empty, zorderBits: Int = 10,
+      batchIndicesHint: Option[Seq[Long]] = None): Int = {
     require(zorderBy.isEmpty || zorderBy.length == 2,
       s"zorderBy interleaves exactly two columns, got ${zorderBy.length}")
     // the lease covers the merge-base READ too — excluding only the swap
@@ -331,18 +332,38 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // so it skips the collect entirely: the batch plan executes exactly
     // once (the staged write), and the swap indices come from listing the
     // staged directory — which holds exactly the batch's pindexes.
+    //
+    // `batchIndicesHint`: a caller that already KNOWS a superset of the
+    // batch's pindexes (collected one step upstream, or derived from the
+    // ids that built the batch) passes it here and the merge skips the
+    // pindex-distinct collect — one driver action fewer per merge. A
+    // SUPERSET is safe: extra partitions make the merge base read (and
+    // rewrite) partitions the batch doesn't touch, landing byte-identical
+    // contents back; an UNDER-approximation would lose base rows, so the
+    // staged listing is asserted ⊆ the hint before any swap (a batch
+    // partition outside the hint shows up staged and fails loudly).
     val b = withPindex(batch)
+    var hintCheck: Option[Seq[Long]] = None
+    var collectedCheck: Seq[Long] = Seq.empty
     val merged = readPart(part) match {
       case None => b
       case Some(existing0) =>
-        val batchIndices =
-          b.select("pindex").distinct().collect().map(_.getLong(0)).sorted
+        val batchIndices: Seq[Long] = batchIndicesHint match {
+          case Some(hint) => hint.distinct.sorted
+          case None =>
+            b.select("pindex").distinct().collect().map(_.getLong(0))
+              .sorted.toIndexedSeq
+        }
         val (existingRec, bRec) = reconcileTypes(existing0, b)
         val widened = existingRec.schema != existing0.schema
         // A widened column must apply to EVERY partition — mixed parquet
         // schemas across partition dirs don't merge (int vs long). Widening
         // is rare (the reference ALTERs the whole table too); normal loads
         // rewrite only the affected partitions.
+        if (!widened) {
+          if (batchIndicesHint.isDefined) hintCheck = Some(batchIndices)
+          else collectedCheck = batchIndices
+        }
         val base =
           if (widened) existingRec
           else existingRec.filter(col("pindex").isin(batchIndices.toIndexedSeq: _*))
@@ -360,21 +381,30 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // pindexes (batch rows make every listed partition non-empty), a first
     // append writes exactly the batch's pindexes, and a widened merge
     // rewrites every partition — in each case the staged dirs ARE the swap
-    // set, with no extra action to recount them.
-    writeAndSwap(part, merged, None, zorder)
+    // set, with no extra action to recount them. The two assert sets are
+    // metadata-only guards: staged ⊇ the collected batch indices (the
+    // old explicit-indices path made a violation loud — e.g. a future
+    // merge semantics change leaving a live partition unswapped), and
+    // staged ⊆ the caller hint (an under-approximated hint would
+    // silently drop base rows — refuse before any swap).
+    writeAndSwap(part, merged, zorder,
+      mustContain = collectedCheck, mustBeWithin = hintCheck)
     }
   }
 
   /** Staged write + per-partition swap shared by `store` and
     * `rewritePart`: stage the frame partitioned by pindex, publish the
     * sidecar, then swap each partition directory in near-atomically.
-    * `indices = None` derives the swap set from the staged directory
-    * listing (a metadata read of dirs the write just materialized —
-    * never a recompute of the merge plan). Returns the swapped
-    * partition count. */
+    * The swap set comes from the staged directory listing (a metadata
+    * read of dirs the write just materialized — never a recompute of
+    * the merge plan); `mustContain`/`mustBeWithin` are metadata-only
+    * sanity bounds on that listing, checked BEFORE any sidecar publish
+    * or swap. Returns the swapped partition count. */
   private def writeAndSwap(
-      part: String, merged: DataFrame, indicesOpt: Option[Seq[Long]],
-      zorder: Option[org.apache.spark.sql.Column] = None): Int = {
+      part: String, merged: DataFrame,
+      zorder: Option[org.apache.spark.sql.Column] = None,
+      mustContain: Seq[Long] = Seq.empty,
+      mustBeWithin: Option[Seq[Long]] = None): Int = {
     val staging = path(part) + "__staging"
     // One shuffle on pindex before the partitioned write: without it every
     // task writes a sliver into every touched partition dir (tasks ×
@@ -399,6 +429,31 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     }
     arranged
       .write.mode(SaveMode.Overwrite).partitionBy("pindex").parquet(staging)
+    val indices = listStagedPindexes(staging)
+    // metadata-only guards, BEFORE the sidecar publish and the swaps:
+    // a merge's staged set must cover every collected batch pindex (a
+    // violation means live partitions would silently stay stale), and a
+    // hinted merge's staged set must stay inside the caller's claimed
+    // superset (a violation means the hint under-approximated and the
+    // pruned base read lost rows — abort before anything is published)
+    locally {
+      val staged = indices.toSet
+      val missing = mustContain.filterNot(staged)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"store($part): staged write is missing batch partition(s) " +
+            s"${missing.mkString(", ")} — merge produced no rows for a " +
+            "partition the batch touches; refusing to swap")
+      mustBeWithin.foreach { hint =>
+        val extra = indices.filterNot(hint.toSet)
+        if (extra.nonEmpty)
+          throw new IllegalStateException(
+            s"store($part): batchIndicesHint under-approximates the " +
+              s"batch's pindexes (staged ${extra.mkString(", ")} not in " +
+              "hint) — the pruned merge base would lose rows; pass a " +
+              "superset or drop the hint")
+      }
+    }
     // sidecar BEFORE the swaps: the union/widened schema is a superset of
     // every surviving file under any crash interleaving (see SchemaSidecar)
     SchemaSidecar.write(fs, path(part), merged.schema)
@@ -408,15 +463,17 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // existing entry, so every entry is ⊇ the live partition's range
     // whether the swap below lands or not
     updateZones(part, staging)
-    val indices = indicesOpt.getOrElse {
-      fs.listStatus(hp(staging)).toSeq
-        .map(_.getPath.getName)
-        .filter(_.startsWith("pindex="))
-        .map(_.stripPrefix("pindex=").toLong).sorted
-    }
     swapStaged(part, staging, indices)
     indices.length
   }
+
+  /** Pindex values physically present under a staged directory — one
+    * metadata listing, shared by [[writeAndSwap]] and [[publishWhole]]. */
+  private def listStagedPindexes(dir: String): Seq[Long] =
+    fs.listStatus(hp(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("pindex="))
+      .map(_.stripPrefix("pindex=").toLong).sorted
 
   /** Crash-safe per-partition swap of staged `pindex=` dirs into the live
     * part (shared by [[writeAndSwap]] and [[compactPart]]): the live
@@ -589,10 +646,7 @@ class PartStore(spark: SparkSession, cfg: PartStoreConfig) {
     // indices from the STAGED dir listing, not a distinct().collect() on
     // the plan — that would EXECUTE the full merge plan a second time
     // just to count partitions the write already materialized
-    val indices = fs.listStatus(hp(rewriteDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("pindex="))
-      .map(_.stripPrefix("pindex=").toLong).sorted
+    val indices = listStagedPindexes(rewriteDir)
     SchemaSidecar.write(fs, rewriteDir, df.schema)
     // a rewrite knows the FULL new contents, so zones recompute
     // exactly (not widen) and ride the same whole-dir swap

@@ -55,6 +55,49 @@ class PartStoreSpec extends SparkSpec {
     assert(ps.readPart("p").get.count() == 3)
   }
 
+  test("store(batchIndicesHint): exact hint and proper superset both land " +
+      "the same state as the collect path; an under-approximation refuses") {
+    def mk(tag: String): PartStore = {
+      val base = s"target/tmp/partstore_hint_$tag"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      new PartStore(spark, PartStoreConfig(base, 86400))
+    }
+    val b0 = Seq(
+      (1L, 1000L, 10.0, 100L),
+      (2L, 90000L, 20.0, 100L),
+      (3L, 180000L, 30.0, 100L) // days 0, 1, 2
+    ).toDF("entity_id", "timestamp", "power", "modified")
+    // merge batch touches day 0 only (upsert of entity 1) + a new row
+    val b1 = Seq(
+      (1L, 2000L, 11.0, 200L),
+      (9L, 3000L, 90.0, 200L)
+    ).toDF("entity_id", "timestamp", "power", "modified")
+    def state(ps: PartStore): Seq[(Long, Long, Double, Long)] =
+      ps.readPart("p").get
+        .select("entity_id", "timestamp", "power", "modified")
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ctl = mk("ctl"); ctl.store("p", b0); ctl.store("p", b1)
+    val exact = mk("exact"); exact.store("p", b0)
+    assert(exact.store("p", b1, batchIndicesHint = Some(Seq(0L))) == 1)
+    val sup = mk("sup"); sup.store("p", b0)
+    // proper superset: day 1 carries base rows but no batch rows — it is
+    // rewritten byte-equivalently and swapped; contents must not change
+    assert(sup.store("p", b1, batchIndicesHint = Some(Seq(0L, 1L))) == 2)
+    assert(state(exact) == state(ctl))
+    assert(state(sup) == state(ctl))
+    // under-approximation: batch touches day 0, hint claims day 1 only —
+    // the staged-listing guard must refuse before any swap
+    val bad = mk("bad"); bad.store("p", b0)
+    val before = state(bad)
+    val e = intercept[IllegalStateException] {
+      bad.store("p", b1, batchIndicesHint = Some(Seq(1L)))
+    }
+    assert(e.getMessage.contains("under-approximates"))
+    assert(state(bad) == before) // nothing swapped
+  }
+
   test("upsert: carried NULLs clobber, absent columns untouched (col = excluded.col)") {
     val ps = freshStore("upsert")
     val t0 = Seq(
