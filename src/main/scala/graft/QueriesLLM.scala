@@ -735,6 +735,7 @@ object QueriesLLM {
         graft.storage.PartStoreConfig(s"$work/grams", 64L,
           keyCols = Seq("digest")))
       val mem = MemoryStream[(Long, String)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.noveltySink(
         mem.toDF().toDF("doc_id", "text"), ps, "reg", "doc_id", "text", n = 8)
       try {
@@ -743,6 +744,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._1 >= 250).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       ps.readPart("reg").get
         .groupBy(col("modified").as("batch"))
         .agg(count(lit(1)).as("n_new_grams"))
@@ -1124,6 +1126,7 @@ object QueriesLLM {
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1)))
       val mem = MemoryStream[(Long, String)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.decontamSink(
         mem.toDF().toDF("doc_id", "text"), es, "ev", os, "out",
         "doc_id", "text")
@@ -1133,6 +1136,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       os.readPart("out").get
         .select(col("entity_id").as("doc_id"), col("contaminated"))
         .orderBy("doc_id")
@@ -2028,6 +2032,7 @@ object QueriesLLM {
       // (cross-batch state), src3 never binds, the 16 unlisted sources
       // have no quota (the q317 target-composition semantic: absent from
       // the mix = admit none)
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.quotaSink(
         mem.toDF().toDF("doc_id", "source"), kept, cnt, "doc_id", "source",
         Map("src0" -> 15L, "src1" -> 8L, "src2" -> 20L, "src3" -> 1000L))
@@ -2037,6 +2042,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       kept.readPart("kept").get
         .select(col("entity_id").as("doc_id"), col("source"))
         .orderBy("doc_id")
@@ -2213,6 +2219,7 @@ object QueriesLLM {
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 64L, keyCols = Seq("tri")))
       val mem = MemoryStream[(Long, String)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.charLmSink(
         mem.toDF().toDF("doc_id", "text"), ps, "lm", "doc_id", "text")
       try {
@@ -2221,6 +2228,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       val scored = TextAnalysis.charLmScoreStored(ps, "lm", capped,
           "doc_id", "text")
         .join(capped.select("doc_id", "lang"), "doc_id")
@@ -2781,6 +2789,7 @@ object QueriesLLM {
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 86400))
       val mem = MemoryStream[(Long, Long, Long, Long)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.trendSink(
         mem.toDF().toDF("entity_id", "timestamp", "power", "modified"),
         ps, "ev", nowSec = () => 42L)
@@ -2790,6 +2799,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._2 < mid).toSeq: _*)  // then the late half
         q.processAllAvailable()
       } finally q.stop()
+      }
       ps.readPart("ev").get
         .select(col("entity_id"), col("timestamp"), col("power"))
         .orderBy("entity_id", "timestamp")
@@ -2816,6 +2826,7 @@ object QueriesLLM {
       val hits = graft.streaming.StreamingRollup.funnelDetect(
         mem.toDF().toDF("user_id", "sec", "event_type"),
         "user_id", "sec", "event_type", Seq("view", "click", "purchase"))
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = hits.toDF()
         .select(col("entity_id").as("user_id"),
           element_at(col("times"), 1).as("v_ts"),
@@ -2829,6 +2840,7 @@ object QueriesLLM {
         mem.addData(capped.filter(_._2 >= mid).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table("q193_funnel").orderBy("user_id")
     },
     // ---- streaming index sink gate (q99's loop through the streaming
@@ -2858,6 +2870,7 @@ object QueriesLLM {
       // driver memory is O(cap), not O(sf)
       val rows = e.as[(Long, Seq[Float])].collect()
       val mem = MemoryStream[(Long, Seq[Float])]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.indexSink(
         mem.toDF().toDF("vec_id", "embedding"), ps, "emb",
         s"$work/centroids", s"$work/codebooks", "vec_id", "embedding",
@@ -2868,6 +2881,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._1 % 2 == 1).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       val stored = ps.readPart("emb").get.select(
         col("entity_id").as("vec_id"), col("embedding"),
         col("bucket"), col("pq_code"))
@@ -2900,6 +2914,7 @@ object QueriesLLM {
       val ps = new graft.storage.PartStore(s,
         graft.storage.PartStoreConfig(work, 1L << 55, keyCols = Seq("digest")))
       val mem = MemoryStream[(Long, String)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.dedupSink(
         mem.toDF().toDF("doc_id", "text"), ps, "d", "doc_id", "text")
       try {
@@ -2908,6 +2923,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       ps.readPart("d").get
         .select(col("digest"), col("keeper"))
         .orderBy("digest")
@@ -2934,6 +2950,7 @@ object QueriesLLM {
         graft.storage.PartStoreConfig(work, 64L,
           keyCols = Seq("source", "bucket")))
       val mem = MemoryStream[(String, Long)]
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.sketchSink(
         mem.toDF().toDF("source", "n_chars"), ps, "hdr",
         Seq("source"), "n_chars")
@@ -2943,6 +2960,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       graft.functions.HdrQuantiles.quantilesFromSketch(
           ps.readPart("hdr").get.select("source", "bucket", "cnt"),
           Seq("source"),
@@ -2973,6 +2991,7 @@ object QueriesLLM {
       val mem = MemoryStream[(Long, String)]
       val tokStream = mem.toDF().toDF("doc_id", "text")
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.cmsSink(tokStream, ps, "cms", "tok")
       try {
         mem.addData(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toSeq: _*)
@@ -2980,6 +2999,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       val t = TextAnalysis.tokens(capped, "doc_id", "text")
       val exact = t.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
@@ -3017,6 +3037,7 @@ object QueriesLLM {
           "sequence(0, size(__arr) - 3), " +
           "i -> concat_ws(' ', __arr[i], __arr[i+1], __arr[i+2])))"))
           .as("tok"))
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = graft.streaming.StreamingRollup.vocabSink(
         shingleStream, ps, "vocab", "tok")
       try {
@@ -3025,6 +3046,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._3 == 1L).map(r => (r._1, r._2)).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       ps.readPart("vocab").get
         .groupBy(col("modified").as("batch"))
         .agg(count(lit(1)).as("n_new_types"))
@@ -3059,6 +3081,7 @@ object QueriesLLM {
       val alarms = graft.streaming.StreamingRollup.cusumDetect(
         mem.toDF().toDF("user_id", "ord", "y"), "user_id", "ord", "y",
         threshold = 2000L)
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val sink = alarms.writeStream.outputMode("append")
         .format("memory").queryName("q230_alarms").start()
       try {
@@ -3067,6 +3090,7 @@ object QueriesLLM {
         mem.addData(rows.filter(_._2 >= mid2).toSeq: _*)
         sink.processAllAvailable()
       } finally sink.stop()
+      }
       s.table("q230_alarms")
         .groupBy(col("entity_id").as("user_id"))
         .agg(count(lit(1)).as("n_alarms"),
@@ -3102,6 +3126,7 @@ object QueriesLLM {
         memV.toDF().toDF("view_id", "v_user", "v_ts"), "v_user", "v_ts",
         memC.toDF().toDF("click_id", "c_user", "c_ts"), "c_user", "c_ts",
         windowSeconds = 7200L, latenessSeconds = 0L)
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = joined.select(col("view_id"), col("click_id"),
           unix_timestamp(col("v_ts")).as("v_sec"),
           unix_timestamp(col("c_ts")).as("c_sec"))
@@ -3115,6 +3140,7 @@ object QueriesLLM {
         memC.addData(clicks.filter(_._3 >= mid).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table("q189_sij")
         .select("view_id", "click_id", "v_sec", "c_sec")
         .orderBy("view_id", "click_id")
@@ -3154,6 +3180,7 @@ object QueriesLLM {
       val mem = MemoryStream[(Long, Long, Long, Long)]
       val joined = graft.streaming.StreamingRollup.streamAsofJoinTagged(
         mem.toDS(), tolerance = Some(7200L))
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = joined.toDF()
         .writeStream.format("memory").queryName("q237_saj")
         .outputMode("append").start()
@@ -3163,6 +3190,7 @@ object QueriesLLM {
         mem.addData(tagged.filter(_._2 >= mid).toSeq: _*)
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table("q237_saj")
         .select(col("entity_id"), col("l_ord"), col("l_ts"),
           col("asof_ts"), col("r_val"))
@@ -3196,6 +3224,7 @@ object QueriesLLM {
           .withColumn("ets", col("sec").cast("timestamp")),
         "user_id", "ets", granSeconds = 3600L, latenessSeconds = 0L,
         aggs = Seq(sum(col("micro")).as("power")))
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = rolled.writeStream.format("memory")
         .queryName("q171_rollup").outputMode("append").start()
       try {
@@ -3209,6 +3238,7 @@ object QueriesLLM {
         mem.addData((-1L, sentinel + 3L * 3600L, 0L)) // flush sentinel's window
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table("q171_rollup")
         .filter(col("entity_id") =!= -1L)
         .select(col("entity_id"), col("timestamp"), col("power"))
@@ -3242,6 +3272,7 @@ object QueriesLLM {
       val sessions = graft.streaming.StreamingRollup.sessionize(
         mem.toDF().toDF("user_id", "sec"), "user_id", "sec",
         gapSeconds = 1800L, latenessSeconds = 0L)
+      graft.streaming.StreamingRollup.withStateSeam(s) {
       val q = sessions.toDF().writeStream.format("memory")
         .queryName("q176_sessions").outputMode("append").start()
       try {
@@ -3255,6 +3286,7 @@ object QueriesLLM {
         mem.addData((-1L, sentinel + 1800L + 10L)) // second advance: flush
         q.processAllAvailable()
       } finally q.stop()
+      }
       s.table("q176_sessions")
         .filter(col("entity_id") =!= -1L)
         .select(col("entity_id").as("user_id"), col("session_start"),

@@ -41,6 +41,59 @@ final case class AsofAttached(
   */
 object StreamingRollup {
 
+  /** Streaming STATE seam (r19): run `body` — a block that starts,
+    * drains and stops streaming queries — under an optional override of
+    * the state-store partition count and provider.
+    *
+    * Why a seam: a stateful operator commits one state-store delta per
+    * state partition per micro-batch, and the partition count is frozen
+    * at first start from `spark.sql.shuffle.partitions` — which this
+    * codebase (and the bench contract) sets to the CORE count. Those are
+    * different resources: state partitions should be sized to state
+    * volume and commit overhead, cores to compute. On the sf0.1 bench
+    * the mismatch is measurable — the streaming gates run 2–4× FASTER
+    * on 8 cores than 32 purely because fewer near-empty state stores
+    * commit per micro-batch; at 100 TB the same knob sizes partitions to
+    * the real key-space instead. Defaults are UNCHANGED (no env ⇒ no-op)
+    * so the driver's bench stays comparable across rounds; production
+    * values belong in deployment config:
+    *   - SPARK_GRAFT_STREAM_STATE_PARTITIONS: shuffle/state partition
+    *     count for the streaming block (e.g. 8 locally; at scale, sized
+    *     so per-partition state stays in the store's sweet spot)
+    *   - SPARK_GRAFT_STREAM_STATE_PROVIDER: "rocksdb" selects Spark's
+    *     RocksDBStateStoreProvider (the standard large-state provider);
+    *     any other value is taken as a provider class name
+    *
+    * The conf stays overridden for the WHOLE block — the stream thread
+    * clones the session conf when the first micro-batch plans, which
+    * happens after `.start()` returns — and is restored afterwards. */
+  def withStateSeam[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    val provider = sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case other => other
+    }
+    if (parts.isEmpty && provider.isEmpty) body
+    else {
+      val conf = spark.conf
+      val partsKey = "spark.sql.shuffle.partitions"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevParts = conf.get(partsKey)
+      val prevProv = conf.getOption(provKey)
+      parts.foreach(conf.set(partsKey, _))
+      provider.foreach(conf.set(provKey, _))
+      try body
+      finally {
+        conf.set(partsKey, prevParts)
+        prevProv match {
+          case Some(p) => conf.set(provKey, p)
+          case None    => conf.unset(provKey)
+        }
+      }
+    }
+  }
+
   /** Streaming time aggregation: tumbling `granSeconds` windows per entity,
     * tolerating `latenessSeconds` of out-of-order data.
     *
