@@ -569,17 +569,26 @@ object Similarity {
       beam: Int, hops: Int, k: Int, stats: Option[SearchStats]): DataFrame = {
     def topBeam(cands: DataFrame, n: Int): DataFrame =
       topBeamOn(q, v, stats)(cands, n)
-    var frontier = topBeam(seeds, beam)
-      .select("qid", "node").localCheckpoint()
+    // the walk keeps each round's FULL ranked output: the final top-k was
+    // a whole extra topBeam over the last frontier — re-joining v and q
+    // to recompute the very cosines the last round just ranked. Those
+    // expressions are deterministic over the same rows, so the re-scored
+    // top-k is exactly ranks 1..k of the last round's output; a filter
+    // replaces one broadcast-build + join + TopKPairs pass per walk
+    // (r19). The stats path keeps the old shape — its contract counts
+    // distance evaluations per topBeam stage, including the final one.
+    var ranked = topBeam(seeds, beam).localCheckpoint()
     for (_ <- 0 until hops) {
+      val frontier = ranked.select("qid", "node")
       val expanded = frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("qid"), col("dst").as("node"))
         .union(frontier.select("qid", "node"))
         .distinct()
-      frontier = topBeam(expanded, beam).select("qid", "node").localCheckpoint()
+      ranked = topBeam(expanded, beam).localCheckpoint()
     }
-    topBeam(frontier, k)
+    if (stats.isDefined) topBeam(ranked.select("qid", "node"), k)
+    else ranked.filter(col("rank") <= k)
   }
 
   def graphSearch(
