@@ -48,8 +48,10 @@ object JobStats {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async: give it a moment to drain before reading
-      Thread.sleep(500)
+      // listener bus is async: drain it DETERMINISTICALLY before reading —
+      // a fixed sleep undercounted jobs/stages on a loaded box (ADVICE r18)
+      org.apache.spark.GraftSparkTestBridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000L)
       println(f"$n%-28s wall $wall%7.2f s  jobs ${jobs.get}%4d  stages ${stages.get}%5d  " +
         f"tasks ${tasks.sum}%6d  shufW ${shufW.sum / 1024}%8d KiB  shufR ${shufR.sum / 1024}%8d KiB  " +
         f"cpu ${cpuNs.sum / 1e9}%7.2f s")
